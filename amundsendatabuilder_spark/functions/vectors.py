@@ -1,0 +1,34 @@
+"""Vector column functions over ``array<float|double>`` embedding columns.
+
+Implemented with higher-order functions (``zip_with`` + ``aggregate``) so the
+arithmetic stays in the JVM with no Python/Arrow round-trip. ``aggregate``
+folds left-to-right, making float sums order-deterministic — required for
+oracle parity and for reproducible ANN ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(x) -> Column:
+    return x if isinstance(x, Column) else F.col(x)
+
+
+def dot(a, b) -> Column:
+    """Dot product of two equal-length arrays, computed in double."""
+    prods = F.zip_with(_c(a), _c(b),
+                       lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a) -> Column:
+    sq = F.transform(_c(a), lambda x: x.cast("double") * x.cast("double"))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_similarity(a, b) -> Column:
+    """Cosine similarity in double precision; NULL when either norm is 0."""
+    na, nb = l2_norm(a), l2_norm(b)
+    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb))

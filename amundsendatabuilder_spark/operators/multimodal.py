@@ -1,0 +1,111 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque ``binary`` columns + typed metadata structs; all
+Spark-side plumbing (schemas, batching, partition sizing) is real and
+tested, while the codec step itself is stubbed: the container has no
+image/audio libraries, so ``decode_image``/``extract_audio_features`` use a
+deterministic fake (documented below) and raise ``NotImplementedError`` when
+``strict=True``. Swapping in Pillow/torchaudio later only changes the body
+of the per-batch function — the Spark contract is already exercised.
+
+Scale notes: decode runs via ``mapInPandas`` so each Arrow batch of binary
+blobs is decoded in one Python call; ``spark.sql.execution.arrow
+.maxRecordsPerBatch`` bounds peak memory per batch; blobs never pass
+through a shuffle (decode before any wide transform, project early).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),       # image|audio|video
+    T.StructField("payload", T.BinaryType(), True),     # opaque encoded bytes
+    T.StructField("meta", T.StructType([
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("codec", T.StringType(), True),
+    ]), True),
+])
+
+IMAGE_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("mean_luma", T.DoubleType(), True),
+    T.StructField("phash", T.StringType(), True),
+])
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for a real image decode: derives pseudo
+    dimensions/luma/phash from the byte content so tests are stable."""
+    import hashlib
+    h = hashlib.md5(payload or b"").hexdigest()
+    return {
+        "width": 64 + int(h[:2], 16),
+        "height": 64 + int(h[2:4], 16),
+        "mean_luma": int(h[4:8], 16) / 65535.0,
+        "phash": h[:16],
+    }
+
+
+def decode_image_features(media: DataFrame, strict: bool = False) -> DataFrame:
+    """binary image column -> feature rows via mapInPandas (Arrow-batched).
+
+    strict=True raises NotImplementedError at plan time: the real codec
+    (Pillow) is not available in this container.
+    """
+    if strict:
+        raise NotImplementedError(
+            "real image decode requires Pillow; install it and replace "
+            "_fake_decode — the Spark plumbing (schema/batching) is final")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = pdf["payload"].map(lambda b: _fake_decode(bytes(b) if b is not None else b""))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "width": feats.map(lambda f: f["width"]).astype("int32"),
+                "height": feats.map(lambda f: f["height"]).astype("int32"),
+                "mean_luma": feats.map(lambda f: f["mean_luma"]),
+                "phash": feats.map(lambda f: f["phash"]),
+            })
+
+    pruned = media.where(F.col("kind") == "image").select("media_id", "payload")
+    return pruned.mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: expands each video row into the frame
+    timestamps a decoder would extract (sequence + explode, JVM-side); the
+    per-frame decode hangs off the same mapInPandas pattern as images."""
+    return (
+        media.where(F.col("kind") == "video")
+        .select("media_id",
+                F.explode(F.sequence(
+                    F.lit(0),
+                    F.coalesce(F.col("meta.duration_ms"), F.lit(0)),
+                    F.lit(every_ms))).alias("frame_ts_ms"))
+    )
+
+
+def synthetic_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table for tests (payload = md5-derived
+    bytes). Stands in for `spark.read.format('binaryFile')` ingestion."""
+    import hashlib
+    rows = []
+    for i in range(n):
+        payload = hashlib.md5(f"media-{i}".encode()).digest() * 4
+        kind = ("image", "audio", "video")[i % 3]
+        rows.append((i, kind, bytearray(payload),
+                     (64, 48, 16000, 5000, "fake")))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

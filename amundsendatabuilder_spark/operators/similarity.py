@@ -1,0 +1,104 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- ``brute_force_topk``: exact cosine top-k. The query set is broadcast
+  (it is small by construction); each executor scans only its partition of
+  the corpus, computes cosine JVM-side, and a per-partition top-k window
+  keeps the shuffle at k rows per query — this is the pattern that holds at
+  100 TB: broadcast-queries × partitioned-corpus, never corpus × corpus.
+- ``ivf_topk``: IVF-style two-stage search — k-means-lite centroid
+  assignment (centroids sampled deterministically), probe the ``nprobe``
+  nearest inverted lists only. Trades recall for a ~corpus/nlist scan
+  reduction, the standard scale path.
+- ``rhp_signature``: random-hyperplane LSH bit signature for cosine —
+  bucketing primitive shared with dedup.embedding_near_duplicates.
+
+Ranking determinism: similarities are computed in double via ordered
+fold (functions/vectors.py), rounded to 6 decimals, ties broken by id — so
+results are stable across engines/partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from amundsendatabuilder_spark.functions.scalars import round_half_away
+
+from amundsendatabuilder_spark.functions.vectors import cosine_similarity, dot
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     include_self: bool = False) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cos, rank)."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    pairs = c.crossJoin(F.broadcast(q))
+    if not include_self:
+        pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.withColumn("cos", round_half_away(cosine_similarity("q_vec", "c_vec"), 6))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def rhp_signature(df: DataFrame, planes: list[list[float]],
+                  vec_col: str = "embedding", out_col: str = "rhp_sig") -> DataFrame:
+    """Random-hyperplane LSH: bit i = sign(v · plane_i); signature as a
+    bit-string column. ``planes`` is a fixed (seeded offline) list so runs
+    are reproducible."""
+    bits = []
+    for p in planes:
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(F.when(dot(F.col(vec_col), plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return df.withColumn(out_col, F.concat(*bits))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             nlist: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF(-flat) approximate top-k.
+
+    Centroids = deterministic sample of corpus vectors (every
+    ``corpus_size/nlist``-th id) — a k-means-free stand-in that keeps the
+    operator dependency-light; swap in real centroids at deployment.
+    Corpus rows are assigned to their nearest centroid (1 broadcast join);
+    queries probe their ``nprobe`` nearest lists; the final scan touches
+    ~nprobe/nlist of the corpus.
+    """
+    cents = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
+        .withColumn("rn", F.row_number().over(
+            Window.orderBy(F.col("cid"))))
+    )
+    n = corpus.count()
+    step = max(1, n // nlist)
+    cents = cents.where((F.col("rn") - 1) % step == 0).limit(nlist) \
+        .select(F.monotonically_increasing_id().alias("list_id"), "c_vec")
+    cents = F.broadcast(cents)
+
+    def assign(df: DataFrame, idc: str, vecc: str, topn: int, out: str) -> DataFrame:
+        scored = df.crossJoin(cents).withColumn(
+            "d", cosine_similarity(vecc, "c_vec"))
+        w = Window.partitionBy(idc).orderBy(F.col("d").desc(), F.col("list_id"))
+        return (scored.withColumn("r", F.row_number().over(w))
+                .where(F.col("r") <= topn)
+                .select(df["*"], F.col("list_id").alias(out)))
+
+    corpus_assigned = assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec2")),
+        "neighbor_id", "c_vec2", 1, "list_id")
+    query_probes = assign(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        "query_id", "q_vec", nprobe, "list_id")
+
+    pairs = corpus_assigned.join(F.broadcast(query_probes), "list_id") \
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.withColumn("cos", round_half_away(cosine_similarity("q_vec", "c_vec2"), 6))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos", "rank"))

@@ -1,0 +1,869 @@
+"""Oracle-verified query suite — one entry per operator class of SURVEY §2
+plus the training-data-pipeline operators, each expressed over the driver's
+TPC-H-ish test tables so a DuckDB ANSI-SQL twin can verify it.
+
+Every Spark query here is the idiomatic-DataFrame expression of a reference
+behavior (file:line cites on each function); the matching SQL string in
+``ORACLES`` is the ANSI equivalent DuckDB runs on the same parquet. Column
+names/types and float rounding are aligned on both sides because the
+driver's compare hashes values after sorting columns by name.
+
+Cross-engine determinism rules used throughout:
+- double aggregates rounded (2dp money, 4dp ratios, 6dp similarities);
+- integer SUMs cast to BIGINT (DuckDB sums to HUGEINT otherwise);
+- epoch via ``unix_timestamp`` (UTC session) == ``CAST(epoch(ts) AS BIGINT)``;
+- arrays emitted as sorted joined strings (engine array hashing differs);
+- all content hashing via md5 (identical hex in both engines);
+- top-k ranks ordered by (rounded measure, id) so ties break identically.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from amundsendatabuilder_spark import keys
+from amundsendatabuilder_spark.functions.scalars import (
+    epoch_from_string, literal_replace, round_half_away, template_substitute,
+)
+from amundsendatabuilder_spark.functions.text import STOPWORDS
+from amundsendatabuilder_spark.operators import dedup, similarity, textops
+from amundsendatabuilder_spark.session import load_tables
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    dfs = load_tables(spark, sf_dir, names or None)
+    return [dfs[n] for n in names] if names else list(dfs.values())
+
+
+# ---------------------------------------------------------------------------
+# 1. Scans / projection / filter / scalar functions
+# ---------------------------------------------------------------------------
+
+@query("scan_filter_project", """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       round(l_extendedprice * (1 - l_discount), 2) AS net_price
+FROM lineitem
+WHERE l_returnflag = 'R' AND l_quantity > 45
+""")
+def scan_filter_project(spark, sf_dir):
+    """Scan+filter+project with row-level arithmetic — the CsvExtractor /
+    DBAPIExtractor shape (reference: extractor/csv_extractor.py:49-62).
+    Catalyst pushes both predicates into the parquet scan and prunes to the
+    4 referenced columns (verified via .explain PushedFilters/ReadSchema)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where((F.col("l_returnflag") == "R") & (F.col("l_quantity") > 45))
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+                round_half_away(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)
+                .alias("net_price"))
+    )
+
+
+@query("key_templates", """
+SELECT o_orderkey,
+       'database://tpch' AS database_key,
+       'tpch://gold' AS cluster_key,
+       'tpch://gold.' || o_orderpriority AS schema_key,
+       'tpch://gold.' || o_orderpriority || '/' || CAST(o_orderkey AS VARCHAR) AS table_key,
+       'tpch://gold.' || o_orderpriority || '/' || CAST(o_orderkey AS VARCHAR)
+           || '/' || o_orderstatus AS column_key
+FROM orders WHERE o_orderkey % 100 = 0
+""")
+def key_templates(spark, sf_dir):
+    """The §1.4 key-template system (reference:
+    databuilder/models/table_metadata.py:296-313,249) as format_string
+    columns — pure codegen, no UDF."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    db, cl = F.lit("tpch"), F.lit("gold")
+    sch = F.col("o_orderpriority")
+    tbl = F.col("o_orderkey").cast("string")
+    return (
+        orders.where(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            keys.database_key(db).alias("database_key"),
+            keys.cluster_key(db, cl).alias("cluster_key"),
+            keys.schema_key(db, cl, sch).alias("schema_key"),
+            keys.table_key(db, cl, sch, tbl).alias("table_key"),
+            keys.column_key(db, cl, sch, tbl, F.col("o_orderstatus")).alias("column_key"),
+        )
+    )
+
+
+@query("epoch_transform", """
+SELECT o_orderkey,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_epoch,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date_str
+FROM orders WHERE o_orderkey % 100 = 0
+""")
+def epoch_transform(spark, sf_dir):
+    """TimestampStringToEpoch semantics (reference:
+    transformer/timestamp_string_to_epoch.py:30-44): timestamp -> epoch
+    seconds (UTC session => DuckDB epoch parity), plus formatted date."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.where(F.col("o_orderkey") % 100 == 0)
+        .select("o_orderkey",
+                F.unix_timestamp("o_orderdate").alias("order_epoch"),
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"))
+    )
+
+
+@query("literal_replace_transform", """
+SELECT p_partkey, lower(replace(p_type, ' ', '_')) AS norm_type
+FROM part
+""")
+def literal_replace_transform(spark, sf_dir):
+    """RegexStrReplaceTransformer does LITERAL replace despite its name
+    (reference: transformer/regex_str_replace_transformer.py:41-42) — we
+    use F.replace (literal), not regexp_replace."""
+    (part,) = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lower(literal_replace(F.col("p_type"), [(" ", "_")])).alias("norm_type"))
+
+
+@query("template_substitution", """
+SELECT event_id,
+       'https://app/' || event_type || '/' || CAST(user_id AS VARCHAR) AS url
+FROM events WHERE event_id % 50 = 0
+""")
+def template_substitution(spark, sf_dir):
+    """TemplateVariableSubstitutionTransformer (reference:
+    transformer/template_variable_substitution_transformer.py:29-33):
+    '{field}' template filled from record fields, as a concat column."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.where(F.col("event_id") % 50 == 0)
+        .select("event_id",
+                template_substitute("https://app/{event_type}/{user_id}",
+                                    event_type="event_type",
+                                    user_id="user_id").alias("url"))
+    )
+
+
+@query("tag_normalize_explode", """
+SELECT tag, count(*) AS tag_count
+FROM (SELECT lower(trim(unnest(string_split(p_type, ' ')))) AS tag FROM part)
+WHERE tag <> ''
+GROUP BY tag
+""")
+def tag_normalize_explode(spark, sf_dir):
+    """Tag normalization + fan-out (reference:
+    models/table_metadata.py:34-41 format_tags lower/strip;
+    csv split at extractor/csv_extractor.py:17-24): split -> explode ->
+    normalize -> count. The explode is a UDTF-free flatMap."""
+    (part,) = _t(spark, sf_dir, "part")
+    return (
+        part.select(F.explode(F.split("p_type", " ")).alias("raw"))
+        .select(F.lower(F.trim("raw")).alias("tag"))
+        .where(F.col("tag") != "")
+        .groupBy("tag").agg(F.count("*").alias("tag_count"))
+    )
+
+
+@query("json_props_extract", """
+SELECT event_type,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 2) AS avg_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+""")
+def json_props_extract(spark, sf_dir):
+    """JSON path extraction over a string column (reference: JSONPath in
+    rest_api/rest_api_query.py:126,152-155 and Presto view JSON decode at
+    extractor/presto_view_metadata_extractor.py:100-115)."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.select("event_type",
+                      F.get_json_object("props", "$.k").cast("long").alias("k"))
+        .groupBy("event_type")
+        .agg(round_half_away(F.avg("k"), 2).alias("avg_k"), F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Aggregations (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+@query("q1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark, sf_dir):
+    """Headline aggregation (TPC-H Q1 shape) — the engine's widest
+    map-side-combinable groupBy; all arithmetic stays in whole-stage
+    codegen, shuffle carries only 6 groups."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round_half_away(F.sum("l_quantity"), 2).alias("sum_qty"),
+             round_half_away(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+             round_half_away(F.sum(disc_price), 2).alias("sum_disc_price"),
+             round_half_away(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+             round_half_away(F.avg("l_quantity"), 4).alias("avg_qty"),
+             round_half_away(F.avg("l_extendedprice"), 4).alias("avg_price"),
+             round_half_away(F.avg("l_discount"), 4).alias("avg_disc"),
+             F.count("*").alias("count_order"))
+    )
+
+
+@query("group_nest_columns", """
+SELECT l_orderkey,
+       count(*) AS n_lines,
+       array_to_string(list_sort(list(printf('%02d:%d', l_linenumber, l_partkey))), ',')
+           AS parts_by_line
+FROM lineitem GROUP BY l_orderkey
+""")
+def group_nest_columns(spark, sf_dir):
+    """The sort-based group-by -> nested-columns pattern (reference:
+    extractor/base_postgres_metadata_extractor.py:79-96 itertools.groupby
+    nesting ordered rows into TableMetadata.columns). Spark shape:
+    groupBy + sort_array(collect_list(...)) — order restored inside the
+    group, no global ORDER BY needed."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_lines"),
+             F.concat_ws(",", F.array_sort(F.collect_list(
+                 F.format_string("%02d:%d", "l_linenumber", "l_partkey"))))
+             .alias("parts_by_line"))
+    )
+
+
+@query("usage_hash_count", """
+SELECT user_id, event_type, count(*) AS read_count,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY user_id, event_type
+""")
+def usage_hash_count(spark, sf_dir):
+    """BigQuery usage-log hash-count aggregation (reference:
+    extractor/bigquery_usage_extractor.py:101-110 dict[key]+=1) as a
+    shuffle groupBy with map-side partial aggregation."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("read_count"),
+             round_half_away(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@query("last_updated_max", """
+SELECT event_type, CAST(floor(epoch(max(ts))) AS BIGINT) AS last_updated_epoch
+FROM events GROUP BY event_type
+""")
+def last_updated_max(spark, sf_dir):
+    """Hive last-updated MAX(create_time) GROUP BY (reference:
+    extractor/hive_table_last_updated_extractor.py:62-72)."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(F.unix_timestamp(F.max("ts")).alias("last_updated_epoch"))
+    )
+
+
+@query("watermark_min_max", """
+SELECT o_orderpriority,
+       strftime(min(o_orderdate), '%Y-%m-%d') AS low_watermark,
+       strftime(max(o_orderdate), '%Y-%m-%d') AS high_watermark,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+""")
+def watermark_min_max(spark, sf_dir):
+    """BigQuery watermark min/max-per-prefix (reference:
+    extractor/bigquery_watermark_extractor.py:52-56,127-147)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("low_watermark"),
+             F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("high_watermark"),
+             F.count("*").alias("n_orders"))
+    )
+
+
+@query("staleness_guard_ratio", """
+SELECT event_type,
+       count(*) AS total,
+       CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END) AS BIGINT) AS stale,
+       round(CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS stale_ratio
+FROM events GROUP BY event_type
+""")
+def staleness_guard_ratio(spark, sf_dir):
+    """Staleness %-guard validation (reference:
+    task/neo4j_staleness_removal_task.py:187-253 — refuse delete when
+    stale/total exceeds threshold): conditional count + ratio per label."""
+    (events,) = _t(spark, sf_dir, "events")
+    stale = F.sum(F.when(F.col("ts") < F.lit("2024-01-15").cast("timestamp"), 1)
+                  .otherwise(0)).cast("long")
+    return (
+        events.groupBy("event_type")
+        .agg(F.count("*").alias("total"),
+             stale.alias("stale"),
+             round_half_away(stale.cast("double") / F.count("*"), 4).alias("stale_ratio"))
+    )
+
+
+@query("windowed_event_agg", """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+""")
+def windowed_event_agg(spark, sf_dir):
+    """Tumbling-window event aggregation — the batch twin of the
+    streaming/events.py Structured-Streaming job (the reference's Kafka
+    surface, extractor/kafka_source_extractor.py:136-169, has no windowed
+    aggs; this is the pipeline-native extension)."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             round_half_away(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. Joins (SURVEY §2.3) + set ops + windows
+# ---------------------------------------------------------------------------
+
+@query("q3_top_revenue", """
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""")
+def q3_top_revenue(spark, sf_dir):
+    """Multi-way join + group + deterministic top-k (TPC-H Q3 shape).
+    customer is broadcast (small dim); rank ties broken by key so LIMIT is
+    stable across engines/partitionings."""
+    customer, orders, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    return (
+        li.where(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+        .join(orders.where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer.where(F.col("c_mktsegment") == "BUILDING")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round_half_away(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query("q5_region_volume", """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY n_name
+""")
+def q5_region_volume(spark, sf_dir):
+    """6-way star join (TPC-H Q5 shape): fact lineitem joined to orders,
+    then all dimensions broadcast — one shuffle for the orders join, zero
+    for dims; this is the plan that survives a 100× scale-up."""
+    customer, orders, li, supplier, nation, region = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region")
+    return (
+        li.join(orders.where(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.where(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round_half_away(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+
+
+@query("staleness_anti_join", """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""")
+def staleness_anti_join(spark, sf_dir):
+    """Staleness anti-join deletion set (reference:
+    task/neo4j_staleness_removal_task.py:143-150 — delete graph entities
+    absent from the current publish): left_anti join."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query("semi_join_exists", """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+""")
+def semi_join_exists(spark, sf_dir):
+    """EXISTS / left-semi (reference: the Hive NOT EXISTS partition split,
+    extractor/hive_table_last_updated_extractor.py:88-90, inverted)."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    return (
+        customer.join(orders.where(F.col("o_orderstatus") == "O"),
+                      F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query("right_join_tables", """
+SELECT n_nationkey, n_name, s_name
+FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+""")
+def right_join_tables(spark, sf_dir):
+    """RIGHT JOIN (reference: DremioMetadataExtractor's right join,
+    extractor/dremio_metadata_extractor.py:47-49): nations without
+    suppliers survive with NULL supplier columns."""
+    supplier, nation = _t(spark, sf_dir, "supplier", "nation")
+    return (
+        supplier.join(nation, F.col("s_nationkey") == F.col("n_nationkey"), "right")
+        .select("n_nationkey", "n_name", "s_name")
+    )
+
+
+@query("self_join_same_region", """
+SELECT a.n_name AS nation_a, b.n_name AS nation_b, a.n_regionkey AS regionkey
+FROM nation a JOIN nation b
+  ON a.n_regionkey = b.n_regionkey AND a.n_name < b.n_name
+""")
+def self_join_same_region(spark, sf_dir):
+    """Self-join (reference: User -> manager_email self-join,
+    databuilder/models/user.py:207-212): nation pairs sharing a region."""
+    (nation,) = _t(spark, sf_dir, "nation")
+    a, b = nation.alias("a"), nation.alias("b")
+    return (
+        a.join(b, (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+               & (F.col("a.n_name") < F.col("b.n_name")))
+        .select(F.col("a.n_name").alias("nation_a"),
+                F.col("b.n_name").alias("nation_b"),
+                F.col("a.n_regionkey").alias("regionkey"))
+    )
+
+
+@query("union_dedup", """
+SELECT p_brand, p_type FROM part WHERE p_size > 40
+UNION
+SELECT p_brand, p_type FROM part WHERE p_retailprice > 1500
+""")
+def union_dedup(spark, sf_dir):
+    """UNION-with-dedup of two overlapping scans (reference: Hive
+    partition/regular column UNION, extractor/hive_table_metadata_extractor.py:46;
+    Redshift 3-way UNION, extractor/redshift_metadata_extractor.py:48,63)."""
+    (part,) = _t(spark, sf_dir, "part")
+    return (
+        part.where(F.col("p_size") > 40).select("p_brand", "p_type")
+        .union(part.where(F.col("p_retailprice") > 1500).select("p_brand", "p_type"))
+        .distinct()
+    )
+
+
+@query("latest_execution_window", """
+SELECT o_custkey, o_orderkey, o_orderdate FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders) WHERE rn = 1
+""")
+def latest_execution_window(spark, sf_dir):
+    """'Latest execution' first-match pattern (reference:
+    extractor/mysql_search_data_extractor.py:284-286 picks
+    _last_successful_execution): window row_number()=1 with deterministic
+    tie-break."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+
+@query("cond_agg_subqueries", """
+WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_customers,
+                  round(sum(c_acctbal), 2) AS customer_balance
+           FROM customer GROUP BY 1),
+     s AS (SELECT s_nationkey AS nk, count(*) AS n_suppliers,
+                  round(sum(s_acctbal), 2) AS supplier_balance
+           FROM supplier GROUP BY 1)
+SELECT n_nationkey, n_name,
+       coalesce(n_customers, 0) AS n_customers,
+       coalesce(customer_balance, 0.0) AS customer_balance,
+       coalesce(n_suppliers, 0) AS n_suppliers,
+       coalesce(supplier_balance, 0.0) AS supplier_balance
+FROM nation LEFT JOIN c ON n_nationkey = c.nk LEFT JOIN s ON n_nationkey = s.nk
+""")
+def cond_agg_subqueries(spark, sf_dir):
+    """The user-search grouped-subquery join pattern (reference:
+    extractor/mysql_search_data_extractor.py:320-390 — six grouped LEFT
+    JOIN subqueries re-joined on the entity key): pre-aggregate per
+    relation, left-join aggregates back to the spine."""
+    customer, supplier, nation = _t(spark, sf_dir, "customer", "supplier", "nation")
+    c = (customer.groupBy(F.col("c_nationkey").alias("nk"))
+         .agg(F.count("*").alias("n_customers"),
+              round_half_away(F.sum("c_acctbal"), 2).alias("customer_balance")))
+    s = (supplier.groupBy(F.col("s_nationkey").alias("nk"))
+         .agg(F.count("*").alias("n_suppliers"),
+              round_half_away(F.sum("s_acctbal"), 2).alias("supplier_balance")))
+    return (
+        nation
+        .join(c, F.col("n_nationkey") == c["nk"], "left")
+        .join(s, F.col("n_nationkey") == s["nk"], "left")
+        .select("n_nationkey", "n_name",
+                F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+                F.coalesce("customer_balance", F.lit(0.0)).alias("customer_balance"),
+                F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+                F.coalesce("supplier_balance", F.lit(0.0)).alias("supplier_balance"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. The flagship search-document build (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+@query("search_doc_flagship", """
+WITH usage AS (
+  SELECT o_custkey,
+         count(*) AS total_usage,
+         CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS unique_usage,
+         round(sum(o_totalprice), 2) AS total_spend,
+         CAST(floor(epoch(max(o_orderdate))) AS BIGINT) AS last_updated_epoch,
+         coalesce(array_to_string(list_sort(list(DISTINCT o_orderpriority)), ','), '')
+             AS priorities
+  FROM orders GROUP BY o_custkey)
+SELECT 'tpch://gold.' || c_mktsegment || '/' || c_name AS key,
+       c_name AS name, c_mktsegment AS schema_name,
+       n_name AS nation, r_name AS region,
+       coalesce(total_usage, 0) AS total_usage,
+       coalesce(unique_usage, 0) AS unique_usage,
+       coalesce(total_spend, 0.0) AS total_spend,
+       last_updated_epoch,
+       coalesce(priorities, '') AS priorities
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+LEFT JOIN usage ON c_custkey = o_custkey
+""")
+def search_doc_flagship(spark, sf_dir):
+    """THE flagship query — the table-search-document build (reference:
+    extractor/neo4j_search_data_extractor.py:23-62; SQL twin
+    extractor/mysql_search_data_extractor.py:35-176): entity spine joined
+    to per-relation pre-aggregates (SUM usage, COUNT DISTINCT users,
+    COLLECTed attribute lists), all LEFT so entities without relations
+    survive; key built from the §1.4 template.
+
+    Plan shape at scale: usage pre-aggregation shuffles once on the spine
+    key; dimension joins broadcast; no row explosion before aggregation."""
+    customer, orders, nation, region = _t(
+        spark, sf_dir, "customer", "orders", "nation", "region")
+    usage = (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("total_usage"),
+             F.countDistinct("o_orderstatus").alias("unique_usage"),
+             round_half_away(F.sum("o_totalprice"), 2).alias("total_spend"),
+             F.unix_timestamp(F.max("o_orderdate")).alias("last_updated_epoch"),
+             F.concat_ws(",", F.array_sort(F.collect_set("o_orderpriority")))
+             .alias("priorities"))
+    )
+    return (
+        customer
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(usage, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            keys.table_key(F.lit("tpch"), F.lit("gold"),
+                           F.col("c_mktsegment"), F.col("c_name")).alias("key"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("schema_name"),
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            F.coalesce("total_usage", F.lit(0)).alias("total_usage"),
+            F.coalesce("unique_usage", F.lit(0)).alias("unique_usage"),
+            F.coalesce("total_spend", F.lit(0.0)).alias("total_spend"),
+            F.col("last_updated_epoch"),
+            F.coalesce("priorities", F.lit("")).alias("priorities"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. Training-data pipeline: text analysis
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
+
+
+def _lang_id_sql() -> str:
+    langs = sorted(STOPWORDS)
+    score_cols = ",\n       ".join(
+        "CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        + f"], lower(x)))) AS DOUBLE) / len(toks) ELSE 0.0 END AS score_{lang}"
+        for lang in langs)
+    pred = " ".join(
+        f"WHEN score_{lang} = best THEN '{lang}'" for lang in langs)
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+sc AS (SELECT doc_id,
+       {score_cols}
+       FROM t),
+b AS (SELECT *, greatest({', '.join('score_' + lang for lang in langs)}) AS best FROM sc)
+SELECT doc_id, CASE {pred} END AS predicted_lang, round(best, 6) AS confidence
+FROM b
+"""
+
+
+@query("lang_id", _lang_id_sql())
+def lang_id(spark, sf_dir):
+    """Language-ID via stopword-ratio heuristic (training-data pipeline
+    operator; the synthetic corpus shares one vocabulary so this mostly
+    demonstrates the plan shape: N per-language scores + argmax in one
+    narrow pass, no shuffle)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return textops.language_id(docs)
+
+
+@query("quality_metrics", r"""
+WITH t AS (SELECT doc_id, text, """ + _TOKS_SQL + r""" AS toks FROM documents),
+m AS (SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(string_split_regex(text, '[^A-Za-z]+'), x -> x <> ''))
+           + len(list_filter(string_split_regex(text, '[^0-9]+'), x -> x <> ''))
+           + (length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g')))
+           AS BIGINT) AS n_tokens_bpe,
+        CASE WHEN length(text) > 0
+             THEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g'))
+                  AS DOUBLE) / length(text) ELSE 0.0 END AS praw,
+        CASE WHEN len(toks) > 0
+             THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END AS diversity
+      FROM t)
+SELECT doc_id, n_tokens, n_tokens_bpe, round(praw, 6) AS punct_ratio,
+       round(least(n_tokens / 100.0, 1.0) * 0.4 + diversity * 0.4 + (1 - praw) * 0.2, 4)
+           AS quality
+FROM m
+""")
+def quality_metrics(spark, sf_dir):
+    """C4/Gopher-style quality features + composite score per document
+    (token counts incl. BPE-ish proxy, punctuation ratio, diversity)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return textops.quality_metrics(docs)
+
+
+@query("doc_fingerprint", r"""
+SELECT doc_id,
+       md5(array_to_string(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                       x -> x <> ''), ' ')) AS fingerprint,
+       substr(md5(array_to_string(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                              x -> x <> ''), ' ')), 1, 1) AS prefix_bucket
+FROM documents
+""")
+def doc_fingerprint(spark, sf_dir):
+    """Deterministic md5 content fingerprint + 16-way prefix shard bucket
+    (the partition key an incremental dedup store shards by)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return textops.fingerprints(docs)
+
+
+# ---------------------------------------------------------------------------
+# 6. Training-data pipeline: deduplication
+# ---------------------------------------------------------------------------
+
+@query("dedup_exact", r"""
+SELECT md5(array_to_string(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                       x -> x <> ''), ' ')) AS fingerprint,
+       count(*) AS n_docs, min(doc_id) AS keep_id
+FROM documents GROUP BY 1
+""")
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on normalized-content fingerprint with a
+    deterministic keeper (min doc_id — cf. SURVEY §7.4 first-wins dedup
+    trap). One shuffle on a 32-byte key; text never shuffles."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    from amundsendatabuilder_spark.functions.text import fingerprint_md5
+    return (
+        docs.select("doc_id", fingerprint_md5(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+_SHINGLES_SQL = r"""
+t AS (SELECT doc_id, """ + _TOKS_SQL + r""" AS toks FROM documents),
+s AS (SELECT DISTINCT doc_id,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM t))
+"""
+
+
+@query("dedup_minhash_lsh", r"""
+WITH """ + _SHINGLES_SQL + r""",
+seeds AS (SELECT unnest(range(0, 16)) AS seed),
+mh AS (SELECT doc_id, seed,
+              min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+       FROM s CROSS JOIN seeds GROUP BY doc_id, seed),
+bands AS (SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+                 array_to_string(list_sort(list(CAST(seed AS VARCHAR) || ':' || minhash)), '|')
+                     AS band_sig
+          FROM mh GROUP BY doc_id, 2)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+""")
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates: word-3-gram shingles -> 16 seeded
+    md5 min-hashes -> 4 bands x 4 rows -> bucket self-join. Only
+    (doc_id, band_sig) pairs shuffle — never document text; this is the
+    100 TB-scale dedup path (Broder resemblance + banding)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4,
+                                   shingle_size=3, max_bucket_size=1_000_000_000)
+
+
+@query("dedup_simhash", r"""
+WITH tok AS (SELECT doc_id,
+                    unnest(""" + _TOKS_SQL + r""") AS tok
+             FROM documents),
+h AS (SELECT doc_id, substr(md5(tok), 1, 4) AS h FROM tok),
+bs AS (SELECT doc_id, h, unnest(range(0, 16)) AS bit FROM h),
+votes AS (SELECT doc_id, bit,
+                 sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, CAST(bit // 4 AS INT) + 1, 1)) - 1)
+                                >> CAST(3 - bit % 4 AS INT)) & 1 = 1
+                          THEN 1 ELSE -1 END) AS v
+          FROM bs GROUP BY doc_id, bit),
+sig AS (SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0 THEN 1 << CAST(15 - bit AS INT) ELSE 0 END) AS BIGINT)
+                   AS simhash
+        FROM votes GROUP BY doc_id)
+SELECT simhash, count(*) AS bucket_size, min(doc_id) AS keep_id
+FROM sig GROUP BY simhash HAVING count(*) > 1
+""")
+def dedup_simhash(spark, sf_dir):
+    """SimHash (Charikar) duplicate buckets: 16-bit signatures from
+    md5-nibble bit votes, identical-signature grouping. Explode+groupBy
+    only — map-side combinable, no UDF."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return dedup.simhash_buckets(docs, bits=16)
+
+
+@query("dedup_ngram_jaccard", r"""
+WITH """ + _SHINGLES_SQL + r""",
+sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.6
+""")
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard pairs >= 0.6 via inverted-index self-join —
+    the verification stage behind MinHash candidates (at scale, run on
+    LSH candidates only; shingle-join form shown for the oracle)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, shingle_size=3, threshold=0.6)
+
+
+@query("dedup_embedding_cosine", r"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 5 = 0)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+""")
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (subset all-pairs form; the
+    scale path pre-buckets with random-hyperplane LSH,
+    operators/similarity.rhp_signature)."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_duplicates(
+        emb.where(F.col("vec_id") % 5 == 0), threshold=0.30)
+
+
+# ---------------------------------------------------------------------------
+# 7. Training-data pipeline: similarity search
+# ---------------------------------------------------------------------------
+
+@query("ann_brute_force_topk", r"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+sc AS (SELECT query_id, neighbor_id,
+              round(list_cosine_similarity(qv, cv), 6) AS cos
+       FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+      FROM sc)
+SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 10
+""")
+def ann_brute_force_topk(spark, sf_dir):
+    """Exact cosine top-k baseline: broadcast query set x partitioned
+    corpus scan, per-partition top-k window keeps the shuffle at k rows
+    per query. Rank ordered by (rounded cos, id) for cross-engine tie
+    stability. IVF variant: operators/similarity.ivf_topk (weaker
+    rows-only check — recall is probe-dependent)."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(
+        emb, emb.where(F.col("vec_id") < 8), k=10)
+
+
+@query("embedding_norms", r"""
+SELECT label, count(*) AS n_vectors,
+       round(avg(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))), 4)
+           AS avg_norm
+FROM embeddings GROUP BY label
+""")
+def embedding_norms(spark, sf_dir):
+    """Per-cluster embedding stats via higher-order functions (ordered
+    fold => deterministic double sums), the norm/normalize primitive under
+    all vector operators."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    from amundsendatabuilder_spark.functions.vectors import l2_norm
+    return (
+        emb.groupBy("label")
+        .agg(F.count("*").alias("n_vectors"),
+             round_half_away(F.avg(l2_norm("embedding")), 4).alias("avg_norm"))
+    )

@@ -1,0 +1,79 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[N]`` but every default here is chosen to also
+hold on a 1000-executor cluster: AQE on (runtime re-plan, skew-join split,
+partition coalescing), shuffle partitions sized to the environment, Arrow on
+for the few Pandas-UDF paths, UTC session timezone so epoch math matches any
+ANSI-SQL oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "amundsendatabuilder_spark",
+              master: str | None = None,
+              shuffle_partitions: str | int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-appropriate defaults.
+
+    On a real cluster, callers pass ``master=None`` and let spark-submit
+    decide; ``spark.sql.shuffle.partitions`` should then be ~2-3x total
+    cores (AQE coalesces the excess at runtime, so over-provisioning is
+    cheap and under-provisioning is not).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions",
+                str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # driver testdata writes TIMESTAMP(NANOS) which Spark has no native
+        # type for; read as long and convert in load_tables
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+TPCH_TABLES = ("region", "nation", "customer", "supplier", "part",
+               "orders", "lineitem", "events", "documents", "embeddings")
+
+# tables whose parquet files carry TIMESTAMP(NANOS) columns
+NANO_TS_COLS = {"events": ("ts",)}
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: tuple[str, ...] = TPCH_TABLES) -> dict:
+    """Read the driver-provided parquet tables as DataFrames and register
+    them as temp views (so plans can be written in either API)."""
+    out = {}
+    for name in names:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # nanosAsLong surfaces TIMESTAMP(NANOS) columns as bigint; restore
+        # them to timestamps at microsecond precision (floor division —
+        # matches DuckDB's TIMESTAMP_NS -> TIMESTAMP truncation).
+        if name in NANO_TS_COLS:
+            for c in NANO_TS_COLS[name]:
+                if dict(df.dtypes).get(c) == "bigint":
+                    # integer division — nanos exceed double's 2^53 mantissa
+                    df = df.withColumn(
+                        c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

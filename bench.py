@@ -1,0 +1,67 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Headline set = the scale-relevant plans (wide agg, star join, flagship
+search-doc build, dedup sketches, ANN) — quadratic verification operators
+(all-pairs jaccard/cosine) are exercised by the correctness gate instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "q5_region_volume",
+    "search_doc_flagship",
+    "group_nest_columns",
+    "usage_hash_count",
+    "windowed_event_agg",
+    "latest_execution_window",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "quality_metrics",
+    "doc_fingerprint",
+    "ann_brute_force_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from amundsendatabuilder_spark.plans.oracle_suite import QUERIES
+    from amundsendatabuilder_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # JVM+codegen warmup on the smallest scale so per-query timings measure
+    # the plan, not first-call JIT
+    QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = QUERIES[name](spark, sf_dir)
+        n = df.count() if name != "q3_top_revenue" else len(df.collect())
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

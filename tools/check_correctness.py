@@ -1,0 +1,106 @@
+"""Local stand-in for the driver's correctness gate: runs every queries()
+entry on Spark and its oracle_sql() twin on DuckDB over the same parquet,
+compares row count, column names, and exact canonicalized values.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
+ONLY = [a for a in sys.argv[1:] if "/" not in a]
+
+TABLES = ("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")
+
+
+def canon(v):
+    import datetime
+    import math
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return f"{int(v)}.0"
+        return repr(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
+def rows_to_canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(canon(r[i]) for i in order) for r in rows)
+
+
+def main():
+    import duckdb
+
+    from __spark_entry__ import oracle_sql, queries
+    from amundsendatabuilder_spark.session import get_spark
+
+    spark = get_spark("correctness_check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    qs, oracles = queries(), oracle_sql()
+    names = [n for n in qs if not ONLY or n in ONLY]
+    failures = []
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception:
+            print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok?  {name}: rows-only (no oracle) rows={len(srows)} "
+                  f"[{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception:
+            print(f"FAIL {name}: duckdb error\n{traceback.format_exc()}")
+            failures.append(name)
+            continue
+        problems = []
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if not problems:
+            sc = rows_to_canon(scols, srows)
+            dc = rows_to_canon(dcols, drows)
+            if sc != dc:
+                diff = [(a, b) for a, b in zip(sc, dc) if a != b][:3]
+                extra_s = [x for x in sc if x not in set(dc)][:3]
+                extra_d = [x for x in dc if x not in set(sc)][:3]
+                problems.append(f"values differ, e.g. {diff or (extra_s, extra_d)}")
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            failures.append(name)
+        else:
+            print(f"PASS {name}: rows={len(srows)} [{time.time()-t0:.1f}s]")
+    print(f"\n{len(names)-len(failures)}/{len(names)} passed"
+          + (f"; FAILED: {failures}" if failures else ""))
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
