@@ -20,11 +20,13 @@ def epoch_from_string(col, fmt: str = "yyyy-MM-dd'T'HH:mm:ss") -> Column:
 
     reference: databuilder/transformer/timestamp_string_to_epoch.py:30-44
     (strptime -> timestamp(); returns 0 when parsing fails).
-    Spark: ``unix_timestamp`` yields NULL on failure -> coalesce to 0.
+    Spark: ``try_to_timestamp`` yields NULL on failure (even under ANSI
+    mode, where plain unix_timestamp would raise) -> coalesce to 0.
     Assumes UTC session timezone (set in session.py) for parity with the
     reference's naive-datetime arithmetic.
     """
-    return F.coalesce(F.unix_timestamp(_c(col), fmt), F.lit(0)).cast("long")
+    ts = F.try_to_timestamp(_c(col), F.lit(fmt))
+    return F.coalesce(F.unix_timestamp(ts), F.lit(0)).cast("long")
 
 
 def round_half_away(col, n: int) -> Column:

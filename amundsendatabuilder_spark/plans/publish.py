@@ -1,0 +1,113 @@
+"""Publishing semantics (reference: publisher/neo4j_csv_publisher.py):
+idempotent key-MERGE upserts with publish-tag versioning, create-only
+labels, transaction batching, deadlock retry — mapped to Spark as column
+stamping + a batched foreachPartition writer with an injected upsert
+callable (bolt/jdbc/... stays out of the engine)."""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from amundsendatabuilder_spark.models.base import GraphOutput
+
+
+def stamp_publish_tag(out: GraphOutput, tag: str,
+                      epoch_ms: int | None = None) -> GraphOutput:
+    """Add published_tag + publisher_last_updated_epoch_ms to every node
+    and relationship (reference: neo4j_csv_publisher.py:58-64,382-410).
+    epoch_ms is passed explicitly (not now()) so a job's stamp is uniform
+    across all partitions and retries."""
+    ts = F.lit(epoch_ms if epoch_ms is not None
+               else int(time.time() * 1000)).cast("string")
+
+    def stamp(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "props",
+            F.map_concat(
+                F.col("props"),
+                F.create_map(F.lit("published_tag"), F.lit(tag),
+                             F.lit("publisher_last_updated_epoch_ms"), ts)))
+
+    return GraphOutput(stamp(out.nodes), stamp(out.rels))
+
+
+def publish_nodes(nodes: DataFrame,
+                  upsert_batch: Callable[[str, list[dict]], None],
+                  batch_size: int = 500,
+                  create_only_labels: frozenset[str] = frozenset(),
+                  max_retries: int = 5, retry_sleep_sec: float = 2.0,
+                  num_partitions: int | None = None) -> None:
+    """MERGE-upsert all nodes through an injected writer.
+
+    - ``batch_size=500`` mirrors neo4j_transaction_size (reference :96);
+    - ``create_only_labels`` => the writer is told to skip ON MATCH SET
+      (reference :150,289-311);
+    - transient failures retry ×5 with sleep (reference :104-106,326-342);
+    - ``upsert_batch(label_mode, rows)`` receives 'merge:<label>' or
+      'create_only:<label>'.
+    """
+    if num_partitions:
+        nodes = nodes.repartition(num_partitions, "LABEL")
+
+    co_labels = set(create_only_labels)
+
+    def send(partition) -> None:
+        buckets: dict[str, list[dict]] = {}
+        def flush(mode: str) -> None:
+            rows = buckets.pop(mode, [])
+            if not rows:
+                return
+            for attempt in range(max_retries):
+                try:
+                    upsert_batch(mode, rows)
+                    return
+                except Exception:  # noqa: BLE001 — mirror TransientError retry
+                    if attempt == max_retries - 1:
+                        raise
+                    time.sleep(retry_sleep_sec)
+        for row in partition:
+            label = row["LABEL"]
+            mode = (f"create_only:{label}" if label in co_labels
+                    else f"merge:{label}")
+            buckets.setdefault(mode, []).append(row.asDict())
+            if len(buckets[mode]) >= batch_size:
+                flush(mode)
+        for mode in list(buckets):
+            flush(mode)
+
+    nodes.foreachPartition(send)
+
+
+def publish_rels(rels: DataFrame,
+                 upsert_batch: Callable[[str, list[dict]], None],
+                 batch_size: int = 500, max_retries: int = 5,
+                 retry_sleep_sec: float = 2.0) -> None:
+    """Relationship MERGE batches; the writer is expected to materialize
+    the bidirectional pair (TYPE + REVERSE_TYPE) exactly as the
+    reference's Cypher does (neo4j_csv_publisher.py:235-287)."""
+    def send(partition) -> None:
+        batch: list[dict] = []
+        def flush() -> None:
+            nonlocal batch
+            if not batch:
+                return
+            rows, batch = batch, []
+            for attempt in range(max_retries):
+                try:
+                    upsert_batch("merge_rel", rows)
+                    return
+                except Exception:  # noqa: BLE001
+                    if attempt == max_retries - 1:
+                        raise
+                    time.sleep(retry_sleep_sec)
+        for row in partition:
+            batch.append(row.asDict())
+            if len(batch) >= batch_size:
+                flush()
+        flush()
+
+    rels.foreachPartition(send)

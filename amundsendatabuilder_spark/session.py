@@ -62,6 +62,14 @@ def load_tables(spark: SparkSession, sf_dir: str,
                 names: tuple[str, ...] = TPCH_TABLES) -> dict:
     """Read the driver-provided parquet tables as DataFrames and register
     them as temp views (so plans can be written in either API)."""
+    # defensive: queries assume UTC epoch math and nanos-tolerant parquet
+    # reads even when the caller (e.g. the verification driver) built the
+    # session without session.py's defaults
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # static conf in some builds; events read then needs our session
     out = {}
     for name in names:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -1,0 +1,76 @@
+"""Streaming event analytics — file-source Structured Streaming jobs over
+the events table shape (event_id, ts, user_id, event_type, value, props).
+
+The reference has no windowed/stateful streaming (SURVEY §2.8); these are
+the pipeline-native extensions, built on watermarks + windowed aggregation
+so late data is handled and state is bounded:
+
+- ``windowed_counts``: tumbling-window counts/sums per event_type with a
+  late-data watermark;
+- ``sessionize``: session windows per user (gap-based) via
+  ``F.session_window``;
+- ``run_to_memory``: AvailableNow drain into an in-memory table for tests
+  and the rows-only correctness check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = ("event_id long, ts timestamp, user_id long, "
+                 "event_type string, value double, props string")
+
+
+def read_event_stream(spark: SparkSession, path: str,
+                      schema: str = EVENTS_SCHEMA) -> DataFrame:
+    """File-source stream (new files under ``path`` become micro-batches —
+    the production job swaps this for read_kafka_stream unchanged)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Tumbling event-time window with late-data watermark: the state
+    store retains only ``watermark`` of history regardless of input size —
+    the property that keeps this runnable forever on a real stream."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"),
+             F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "total_value")
+    )
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes",
+               watermark: str = "2 hours") -> DataFrame:
+    """Gap-based session windows per user — the custom stateful operator
+    the reference lacks; session_window keeps it declarative (no
+    applyInPandasWithState needed for gap sessions)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"),
+             F.sum("value").alias("total_value"),
+             F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"))
+        .select("user_id", F.col("s.start").alias("window_start"),
+                "n_events", "total_value")
+    )
+
+
+def run_to_memory(stream_df: DataFrame, spark: SparkSession,
+                  name: str, checkpoint_dir: str,
+                  output_mode: str = "append") -> DataFrame:
+    """Drain the stream with AvailableNow into an in-memory sink and
+    return the resulting batch DataFrame."""
+    q = (stream_df.writeStream.format("memory")
+         .queryName(name)
+         .outputMode(output_mode)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,29 @@
+"""CSV source tests — the CsvTableColumnExtractor join semantics
+(reference: tests/unit/extractor/test_csv_extractor.py is the model)."""
+
+from pyspark.sql import functions as F
+
+
+def test_tables_nest_columns(tables_df):
+    rows = {(r["database"], r["name"], r["description_source"]): r
+            for r in tables_df.collect()}
+    t1 = rows[("hive", "test_table1", None)]
+    assert [c["name"] for c in t1["columns"]] == ["col1", "col2"]
+    assert t1["columns"][0]["description"] == "col1 description"
+    assert t1["columns"][1]["col_type"] == "bigint"
+    assert t1["columns"][1]["badges"] == ["pk", "partition column"]
+    assert t1["tags"] == ["tag1", "tag2"]
+    assert t1["is_view"] is False
+
+
+def test_table_without_columns_survives_left_join(spark, tables_df):
+    # programmatic-description row has same key; join is left so all 3
+    # source rows survive
+    assert tables_df.count() == 3
+
+
+def test_generic_records(spark):
+    from amundsendatabuilder_spark.sources.csv_source import from_records
+    df = from_records(spark, [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}])
+    assert df.count() == 2
+    assert set(df.columns) == {"a", "b"}

@@ -1,0 +1,106 @@
+"""Model expansion tests — per-model expected node/relation assertions,
+mirroring the reference's tests/unit/models/ strategy (SURVEY §5)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import FIXTURES
+
+
+def _nodes_by_label(out):
+    rows = out.nodes.collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["LABEL"], []).append(r)
+    return by
+
+
+def test_expand_tables_nodes(tables_df):
+    from amundsendatabuilder_spark.models.table_metadata import expand_tables
+    out = expand_tables(tables_df)
+    by = _nodes_by_label(out)
+
+    table_keys = sorted(n["KEY"] for n in by["Table"])
+    assert table_keys == ["dynamo://gold.test_schema/test_table2",
+                          "hive://gold.test_schema/test_table1"]
+    # deduped parents: 2 databases, 2 clusters, 2 schemas (per database)
+    assert sorted(n["KEY"] for n in by["Database"]) == [
+        "database://dynamo", "database://hive"]
+    assert sorted(n["KEY"] for n in by["Cluster"]) == [
+        "dynamo://gold", "hive://gold"]
+    assert sorted(n["KEY"] for n in by["Schema"]) == [
+        "dynamo://gold.test_schema", "hive://gold.test_schema"]
+    # default + programmatic description split (reference
+    # models/table_metadata.py:143-150)
+    desc_keys = sorted(n["KEY"] for n in by["Description"])
+    assert "hive://gold.test_schema/test_table1/_description" in desc_keys
+    prog = [n["KEY"] for n in by["Programmatic_Description"]]
+    assert prog == ["hive://gold.test_schema/test_table1/_s3_crawler_description"]
+    # columns + badge from the nested struct
+    col_keys = sorted(n["KEY"] for n in by["Column"])
+    assert col_keys == [
+        "dynamo://gold.test_schema/test_table2/colA",
+        "hive://gold.test_schema/test_table1/col1",
+        "hive://gold.test_schema/test_table1/col2"]
+    assert sorted(n["KEY"] for n in by["Badge"]) == ["partition column", "pk"]
+    assert sorted(n["KEY"] for n in by["Tag"]) == ["tag1", "tag2"]
+
+
+def test_expand_tables_rels(tables_df):
+    from amundsendatabuilder_spark.models.table_metadata import expand_tables
+    out = expand_tables(tables_df)
+    rels = out.rels.collect()
+    types = {(r["TYPE"], r["REVERSE_TYPE"]) for r in rels}
+    assert ("TABLE", "TABLE_OF") in types
+    assert ("COLUMN", "COLUMN_OF") in types
+    assert ("TAGGED_BY", "TAG") in types
+    assert ("HAS_BADGE", "BADGE_FOR") in types
+    schema_table = [r for r in rels if r["TYPE"] == "TABLE"]
+    assert {(r["START_KEY"], r["END_KEY"]) for r in schema_table} == {
+        ("hive://gold.test_schema", "hive://gold.test_schema/test_table1"),
+        ("dynamo://gold.test_schema", "dynamo://gold.test_schema/test_table2")}
+
+
+def test_graph_validation(tables_df):
+    from amundsendatabuilder_spark.models.base import validate_graph
+    from amundsendatabuilder_spark.models.table_metadata import expand_tables
+    out = expand_tables(tables_df)
+    checks = validate_graph(out, strict=True)  # should not raise
+    assert all(df.limit(1).count() == 0 for df in checks.values())
+
+
+def test_expand_users_manager_self_join(spark):
+    from amundsendatabuilder_spark.models.misc import expand_users
+    from amundsendatabuilder_spark.sources.csv_source import read_csv
+    users = read_csv(spark, os.path.join(FIXTURES, "sample_user.csv"))
+    out = expand_users(users)
+    assert out.nodes.count() == 3
+    mgr = [(r["START_KEY"], r["END_KEY"]) for r in out.rels.collect()]
+    assert sorted(mgr) == [("alice@example.com", "carol@example.com"),
+                           ("bob@example.com", "carol@example.com")]
+
+
+def test_expand_watermarks(spark):
+    from amundsendatabuilder_spark.models.misc import expand_watermarks
+    from amundsendatabuilder_spark.sources.csv_source import read_csv
+    wm = read_csv(spark, os.path.join(FIXTURES, "sample_watermark.csv"))
+    out = expand_watermarks(wm)
+    nodes = {r["KEY"]: r for r in out.nodes.collect()}
+    low = nodes["hive://gold.test_schema/test_table1/low_watermark/"]
+    assert low["props"]["partition_key"] == "ds"
+    assert low["props"]["partition_value"] == "2020-01-01"
+    rel = out.rels.collect()[0]
+    assert rel["TYPE"] == "BELONG_TO_TABLE"
+    assert rel["END_KEY"] == "hive://gold.test_schema/test_table1"
+
+
+def test_expand_dashboard_executions_sentinels(spark):
+    from amundsendatabuilder_spark.models.dashboard import expand_dashboard_executions
+    from amundsendatabuilder_spark.sources.csv_source import read_csv
+    ex = read_csv(spark, os.path.join(FIXTURES, "sample_dashboard_last_execution.csv"))
+    out = expand_dashboard_executions(ex)
+    keys = sorted(r["KEY"] for r in out.nodes.collect())
+    assert keys == [
+        "mode_dashboard://gold.grp1/d1/execution/_last_execution",
+        "mode_dashboard://gold.grp1/d1/execution/_last_successful_execution"]

@@ -1,0 +1,60 @@
+"""Flagship search-document plan tests against the catalog fixtures —
+field-level parity with models/table_elasticsearch_document.py:14-49."""
+
+import os
+
+from tests.conftest import FIXTURES
+
+
+def _csv(spark, name):
+    from amundsendatabuilder_spark.sources.csv_source import read_csv
+    return read_csv(spark, os.path.join(FIXTURES, name))
+
+
+def test_table_documents(spark, tables_df):
+    from amundsendatabuilder_spark.plans.search_documents import build_table_documents
+    docs = build_table_documents(
+        tables_df,
+        usage=_csv(spark, "sample_column_usage.csv"),
+        last_updated=_csv(spark, "sample_table_last_updated.csv"),
+        schema_descriptions=_csv(spark, "sample_schema_description.csv"),
+        badges=_csv(spark, "sample_badges.csv"),
+    )
+    rows = {r["key"]: r for r in docs.collect()}
+    t1 = rows["hive://gold.test_schema/test_table1"]
+    assert t1["display_name"] == "test_schema.test_table1"
+    assert t1["column_names"] == ["col1", "col2"]
+    assert t1["column_descriptions"] == ["col1 description"]
+    assert t1["total_usage"] == 15
+    assert t1["unique_usage"] == 2
+    assert t1["last_updated_timestamp"] == 1600000000
+    assert t1["schema_description"] == "test schema description"
+    assert sorted(t1["badges"]) == ["beta", "deprecated"]
+    assert t1["programmatic_descriptions"] == ["1st test table programmatic"]
+    t2 = rows["dynamo://gold.test_schema/test_table2"]
+    assert t2["total_usage"] == 7 and t2["unique_usage"] == 1
+    assert t2["badges"] == [] and t2["schema_description"] is None
+
+
+def test_user_documents(spark):
+    from amundsendatabuilder_spark.plans.search_documents import build_user_documents
+    docs = build_user_documents(
+        _csv(spark, "sample_user.csv"),
+        table_usage=_csv(spark, "sample_column_usage.csv"))
+    rows = {r["email"]: r for r in docs.collect()}
+    assert rows["alice@example.com"]["total_read"] == 17
+    assert rows["bob@example.com"]["total_read"] == 5
+    assert rows["carol@example.com"]["total_read"] == 0
+
+
+def test_dashboard_documents(spark):
+    from amundsendatabuilder_spark.plans.search_documents import build_dashboard_documents
+    docs = build_dashboard_documents(
+        _csv(spark, "sample_dashboard_base.csv"),
+        last_exec=_csv(spark, "sample_dashboard_last_execution.csv"))
+    rows = {r["key"]: r for r in docs.collect()}
+    d1 = rows["mode_dashboard://gold.grp1/d1"]
+    # picks _last_successful_execution, not _last_execution (reference
+    # mysql_search_data_extractor.py:284-286)
+    assert d1["last_successful_run_timestamp"] == 1600000500
+    assert rows["mode_dashboard://gold.grp1/d2"]["last_successful_run_timestamp"] is None

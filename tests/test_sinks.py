@@ -1,0 +1,110 @@
+"""Sink tests: graph CSV sharding with :UNQUOTED headers, ES JSON sorted
+keys + alias-swap ordering, publish batching, staleness sweep guard."""
+
+import glob
+import json
+import os
+
+import pytest
+
+
+def test_graph_csv_shards(tables_df, tmp_path):
+    from amundsendatabuilder_spark.models.table_metadata import expand_tables
+    from amundsendatabuilder_spark.sinks.graph_csv import write_graph
+    out = expand_tables(tables_df)
+    paths = write_graph(out, str(tmp_path))
+    assert paths["nodes"] and paths["rels"]
+    # Column shard must carry sort_order with the :UNQUOTED suffix
+    col_shards = [p for p in paths["nodes"] if "/Column_" in p]
+    assert len(col_shards) == 1
+    csv_file = glob.glob(os.path.join(col_shards[0], "*.csv"))[0]
+    header = open(csv_file).readline().strip().split(",")
+    assert "sort_order:UNQUOTED" in header
+    assert "KEY" in header and "LABEL" in header
+    # ragged shards: Description nodes (description+source) and Table
+    # nodes (name+is_view) land in different files
+    labels = {os.path.basename(p).split("_")[0] for p in paths["nodes"]}
+    assert {"Table", "Column", "Tag", "Badge", "Database"} <= labels
+
+
+def test_es_json_sorted_keys(spark, tmp_path):
+    from amundsendatabuilder_spark.sinks.es_json import write_documents
+    df = spark.createDataFrame([(1, "b", "a")], "zz int, mm string, aa string")
+    out = str(tmp_path / "docs")
+    write_documents(df, out)
+    lines = [l for p in glob.glob(os.path.join(out, "part-*"))
+             for l in open(p).read().splitlines() if l.strip()]
+    assert len(lines) == 1
+    doc = json.loads(lines[0])
+    assert list(doc.keys()) == ["aa", "mm", "zz"]  # sorted (reference
+    # models/elasticsearch_document.py:15-22 json.dumps sort_keys)
+
+
+def test_es_publish_alias_swap_after_bulk(spark, tmp_path):
+    from amundsendatabuilder_spark.sinks.es_json import publish
+    # foreachPartition runs in worker processes: record calls via files
+    log = str(tmp_path / "bulk_log")
+    os.makedirs(log)
+    df = spark.createDataFrame([(i,) for i in range(25)], "id int").coalesce(2)
+    alias_calls = []
+
+    def bulk_index(idx, lines):
+        fname = os.path.join(log, f"{os.getpid()}_{len(os.listdir(log))}")
+        with open(fname, "w") as f:
+            json.dump({"idx": idx, "n": len(lines)}, f)
+
+    publish(df, new_index="idx_v2", alias="tables",
+            bulk_index=bulk_index,
+            update_aliases=lambda alias, idx: alias_calls.append((alias, idx)),
+            batch_size=10)
+    assert alias_calls == [("tables", "idx_v2")]  # swap happened, on driver
+    entries = [json.load(open(os.path.join(log, f))) for f in os.listdir(log)]
+    assert sum(e["n"] for e in entries) == 25
+    assert all(e["idx"] == "idx_v2" and e["n"] <= 10 for e in entries)
+
+
+def test_publish_tag_and_batching(spark, tables_df):
+    from amundsendatabuilder_spark.models.table_metadata import expand_tables
+    from amundsendatabuilder_spark.plans.publish import publish_nodes, stamp_publish_tag
+    out = stamp_publish_tag(expand_tables(tables_df), "unique_tag_1",
+                            epoch_ms=1700000000000)
+    node = out.nodes.limit(1).collect()[0]
+    assert node["props"]["published_tag"] == "unique_tag_1"
+    assert node["props"]["publisher_last_updated_epoch_ms"] == "1700000000000"
+
+    import tempfile
+    record_path = tempfile.mktemp(suffix=".jsonl")
+
+    def upsert(mode, rows):
+        # runs in worker processes — append to a shared file by path
+        with open(record_path, "a") as f:
+            f.write(json.dumps({"mode": mode, "n": len(rows)}) + "\n")
+
+    publish_nodes(out.nodes, upsert, batch_size=3,
+                  create_only_labels=frozenset({"Tag"}))
+    entries = [json.loads(l) for l in open(record_path)]
+    assert all(e["n"] <= 3 for e in entries)
+    modes = {e["mode"] for e in entries}
+    assert "create_only:Tag" in modes
+    assert any(m.startswith("merge:Table") for m in modes)
+    assert sum(e["n"] for e in entries) == out.nodes.count()
+
+
+def test_staleness_sweep(spark):
+    from amundsendatabuilder_spark.plans.staleness import (
+        StalenessGuardError, sweep, validate_staleness, find_stale)
+    rows = ([("k%d" % i, "Table", {"published_tag": "new"}) for i in range(90)]
+            + [("s%d" % i, "Table", {"published_tag": "old"}) for i in range(10)])
+    existing = spark.createDataFrame(
+        rows, "KEY string, LABEL string, props map<string,string>")
+    # 10% stale >= 5% guard -> abort
+    with pytest.raises(StalenessGuardError):
+        sweep(existing, "new", staleness_max_pct=5.0, dry_run=True)
+    # raised guard lets it through; delete set is exactly the old rows
+    deleted = sweep(existing, "new", staleness_max_pct=20.0, dry_run=True)
+    assert sorted(r["KEY"] for r in deleted.collect()) == sorted(
+        "s%d" % i for i in range(10))
+    # ms_to_expire path: new-tag rows older than expiry are stale too
+    stale = find_stale(existing, "new", ms_to_expire=1000,
+                       now_epoch_ms=2000)
+    assert stale.count() == 100  # no epoch stamp -> all considered expired
