@@ -28,7 +28,13 @@ def l2_norm(a) -> Column:
     return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v))
 
 
-def cosine_similarity(a, b) -> Column:
-    """Cosine similarity in double precision; NULL when either norm is 0."""
-    na, nb = l2_norm(a), l2_norm(b)
+def cosine_similarity(a, b, norm_a: Column | None = None,
+                      norm_b: Column | None = None) -> Column:
+    """Cosine similarity in double precision; NULL when either norm is 0.
+
+    Pass precomputed ``norm_a``/``norm_b`` columns on hot paths (top-k
+    scans recompute the query norm |corpus| times otherwise); results are
+    bit-identical since the same sqrt values feed the same division."""
+    na = norm_a if norm_a is not None else l2_norm(a)
+    nb = norm_b if norm_b is not None else l2_norm(b)
     return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb))

@@ -54,24 +54,25 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", num_hashes: int = 16,
                        shingle_size: int = 3) -> DataFrame:
-    """(doc_id, seed, minhash) — one row per (doc, hash function).
+    """(doc_id, mh0..mh{k-1}) — one row per doc, one column per hash fn.
 
-    Shingles are word n-grams; each of the ``num_hashes`` seeded md5 hashes
-    is minimized over the doc's distinct shingle set. The explode is the
-    only row-multiplying step and it happens before the shuffle, so the
-    map-side min-combine reduces traffic to num_hashes rows per doc.
+    Hash family: md5('<salt>:'+shingle) yields 32 hex chars = four
+    independent 8-hex (32-bit) uniform chunks, so ``num_hashes`` functions
+    need only ``num_hashes/4`` md5 evaluations per shingle. The signature
+    is computed as k simultaneous ``min`` aggregates over the exploded
+    distinct-shingle rows — no per-seed row explosion, full map-side
+    combine: the shuffle carries one k-column row per document. At 100 TB
+    this is the difference between shuffling k× the shingle count and
+    shuffling one row per doc.
     """
-    shingled = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_size))).alias("shingle"),
-    )
-    seeds = F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("seed")
-    return (
-        shingled.select("doc_id", "shingle", seeds)
-        .groupBy("doc_id", "seed")
-        .agg(F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"),
-                                  F.col("shingle")))).alias("minhash"))
-    )
+    assert num_hashes % 4 == 0, "num_hashes must be a multiple of 4"
+    from amundsendatabuilder_spark.functions.text import exploded_shingles
+    shingled = exploded_shingles(docs, id_col, text_col, shingle_size)
+    salts = {s: F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))
+             for s in range(num_hashes // 4)}
+    aggs = [F.min(F.substring(salts[j // 4], (j % 4) * 8 + 1, 8)).alias(f"mh{j}")
+            for j in range(num_hashes)]
+    return shingled.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
@@ -79,17 +80,26 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       bands: int = 4, shingle_size: int = 3,
                       max_bucket_size: int = 1000) -> DataFrame:
     """Candidate near-duplicate pairs (doc_a < doc_b) sharing at least one
-    LSH band. bands × rows layout: band = seed // (num_hashes/bands);
-    band signature = ordered concat of the band's minhashes.
+    LSH band. bands × rows layout: band b holds hashes
+    [b*rows_per_band, (b+1)*rows_per_band); band signature = ordered
+    concat of the band's minhashes.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_size)
-    band_sigs = (
-        sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.concat_ws("|", F.array_sort(F.collect_list(
-            F.concat_ws(":", F.col("seed"), F.col("minhash"))))).alias("band_sig"))
-    )
+    # one explode instead of a bands-way union: the shingle+hash pipeline
+    # runs exactly once, then fans out 4 tiny (band, sig) rows per doc.
+    # cache() because the bucket guard and both join sides re-read it —
+    # without it Catalyst re-executes the full upstream per consumer.
+    band_structs = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.concat_ws("|", *[F.col(f"mh{j}")
+                                    for j in range(b * rows_per_band,
+                                                   (b + 1) * rows_per_band)])
+                 .alias("band_sig"))
+        for b in range(bands)])
+    band_sigs = (sigs.select("doc_id", F.explode(band_structs).alias("bs"))
+                 .select("doc_id", "bs.band", "bs.band_sig")
+                 .cache())
     # Guard against degenerate buckets (e.g. empty docs all hashing equal):
     # production near-dup pipelines drop buckets above a size cap rather
     # than quadratically exploding one executor.
@@ -165,10 +175,9 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     document-frequency cap on shingles (stopword shingles removed) to bound
     the join fan-out.
     """
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_size))).alias("shingle"),
-    )
+    from amundsendatabuilder_spark.functions.text import exploded_shingles
+    # cache: read 3× below (sizes + both join sides)
+    sh = exploded_shingles(docs, id_col, text_col, shingle_size).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -196,11 +205,17 @@ def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
     All-pairs form; at scale pre-bucket with random-hyperplane signatures
     (similarity.rhp_signature) and join within buckets instead.
     """
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    from amundsendatabuilder_spark.functions.vectors import l2_norm
+    a = emb.select(F.col(id_col).alias("id_a"),
+                   F.col(vec_col).cast("array<double>").alias("vec_a")) \
+        .withColumn("norm_a", l2_norm("vec_a"))
+    b = emb.select(F.col(id_col).alias("id_b"),
+                   F.col(vec_col).cast("array<double>").alias("vec_b")) \
+        .withColumn("norm_b", l2_norm("vec_b"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", round_half_away(cosine_similarity("vec_a", "vec_b"), 6))
+        .withColumn("cos", round_half_away(cosine_similarity(
+            "vec_a", "vec_b", norm_a=F.col("norm_a"), norm_b=F.col("norm_b")), 6))
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

@@ -31,12 +31,21 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      include_self: bool = False) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, cos, rank)."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    from amundsendatabuilder_spark.functions.vectors import l2_norm
+    # pre-cast to double and precompute norms ONCE per row — the pair scan
+    # then does a single ordered fold (dot) per pair instead of three
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("q_vec")) \
+        .withColumn("q_norm", l2_norm("q_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("c_vec")) \
+        .withColumn("c_norm", l2_norm("c_vec"))
     pairs = c.crossJoin(F.broadcast(q))
     if not include_self:
         pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.withColumn("cos", round_half_away(cosine_similarity("q_vec", "c_vec"), 6))
+    scored = pairs.withColumn(
+        "cos", round_half_away(cosine_similarity(
+            "q_vec", "c_vec", norm_a=F.col("q_norm"), norm_b=F.col("c_norm")), 6))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -738,20 +738,33 @@ s AS (SELECT DISTINCT doc_id,
 """
 
 
-@query("dedup_minhash_lsh", r"""
-WITH """ + _SHINGLES_SQL + r""",
-seeds AS (SELECT unnest(range(0, 16)) AS seed),
-mh AS (SELECT doc_id, seed,
-              min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
-       FROM s CROSS JOIN seeds GROUP BY doc_id, seed),
-bands AS (SELECT doc_id, CAST(seed // 4 AS INT) AS band,
-                 array_to_string(list_sort(list(CAST(seed AS VARCHAR) || ':' || minhash)), '|')
-                     AS band_sig
-          FROM mh GROUP BY doc_id, 2)
+def _minhash_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    # mirror dedup.minhash_signatures: hash j = 8-hex chunk (j%4) of
+    # md5('<j//4>:' + shingle); band b = hashes [b*rpb, (b+1)*rpb)
+    mins = ",\n              ".join(
+        f"min(substr(md5('{j // 4}:' || shingle), {(j % 4) * 8 + 1}, 8)) AS mh{j}"
+        for j in range(num_hashes))
+    rpb = num_hashes // bands
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, "
+        + " || '|' || ".join(f"mh{j}" for j in range(b * rpb, (b + 1) * rpb))
+        + " AS band_sig FROM mh"
+        for b in range(bands))
+    return f"""
+WITH {_SHINGLES_SQL},
+mh AS (SELECT doc_id,
+              {mins}
+       FROM s GROUP BY doc_id),
+bands AS (
+{band_selects}
+)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-""")
+"""
+
+
+@query("dedup_minhash_lsh", _minhash_sql())
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates: word-3-gram shingles -> 16 seeded
     md5 min-hashes -> 4 bands x 4 rows -> bucket self-join. Only
