@@ -197,6 +197,45 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def lsh_verified_pairs(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", num_hashes: int = 16,
+                       bands: int = 4, shingle_size: int = 3,
+                       threshold: float = 0.7,
+                       max_bucket_size: int = 1_000_000_000) -> DataFrame:
+    """Two-stage scale dedup: MinHash-LSH candidates -> exact Jaccard
+    verification restricted to candidate pairs. The verify join is
+    candidates ⨝ shingles (broadcast candidates), so its cost tracks the
+    near-dup count, not |docs|² — the standard production pipeline shape.
+    Returns (doc_a, doc_b, jaccard >= threshold).
+    """
+    from amundsendatabuilder_spark.functions.text import exploded_shingles
+    cands = minhash_lsh_pairs(docs, id_col, text_col, num_hashes, bands,
+                              shingle_size, max_bucket_size)
+    sh = exploded_shingles(docs, id_col, text_col, shingle_size).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
+    sb = sh.select(F.col("doc_id").alias("_doc_b2"),
+                   F.col("shingle").alias("shingle_b"))
+    inter = (
+        F.broadcast(cands).join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("_doc_b2"))
+              & (F.col("shingle") == F.col("shingle_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_shingles").alias("size_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_shingles").alias("size_b"))
+    return (
+        inter.join(za, "doc_a").join(zb, "doc_b")
+        .withColumn("jaccard", round_half_away(
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
                               vec_col: str = "embedding",
                               threshold: float = 0.95) -> DataFrame:

@@ -880,3 +880,296 @@ def embedding_norms(spark, sf_dir):
         .agg(F.count("*").alias("n_vectors"),
              round_half_away(F.avg(l2_norm("embedding")), 4).alias("avg_norm"))
     )
+
+
+# ---------------------------------------------------------------------------
+# 8. Batch 2: remaining operator surfaces
+# ---------------------------------------------------------------------------
+
+@query("presto_view_decode", r"""
+WITH v AS (
+  SELECT p_partkey,
+         '/* Presto View: ' ||
+         to_base64(encode('{"columns":[{"name":"c","type":"' || p_brand || '"}]}'))
+         || ' */' AS view_original_text
+  FROM part WHERE p_partkey % 20 = 0)
+SELECT p_partkey,
+       json_extract_string(decode(from_base64(
+           regexp_extract(view_original_text, '/\* Presto View: ([^*]+) \*/', 1))),
+           '$.columns[0].name') AS col_name,
+       json_extract_string(decode(from_base64(
+           regexp_extract(view_original_text, '/\* Presto View: ([^*]+) \*/', 1))),
+           '$.columns[0].type') AS col_type
+FROM v
+""")
+def presto_view_decode(spark, sf_dir):
+    """Presto view definition decode (reference:
+    extractor/presto_view_metadata_extractor.py:92-115): the base64-JSON
+    payload is built in-query from part rows (kept <57 bytes — Spark's
+    base64 MIME-wraps at 76 encoded chars), then unbase64 + from_json
+    recovers the columns. No UDF anywhere."""
+    from amundsendatabuilder_spark.functions.scalars import decode_presto_view
+    (part,) = _t(spark, sf_dir, "part")
+    v = (part.where(F.col("p_partkey") % 20 == 0)
+         .select("p_partkey",
+                 F.concat(F.lit("/* Presto View: "),
+                          F.base64(F.concat(
+                              F.lit('{"columns":[{"name":"c","type":"'),
+                              F.col("p_brand"), F.lit('"}]}')).cast("binary")),
+                          F.lit(" */")).alias("view_original_text")))
+    cols = decode_presto_view(F.col("view_original_text"))
+    return v.select("p_partkey",
+                    cols[0]["name"].alias("col_name"),
+                    cols[0]["type"].alias("col_type"))
+
+
+@query("shard_watermarks", r"""
+WITH t AS (SELECT DISTINCT 'events_' || strftime(ts, '%Y%m%d') AS name FROM events),
+e AS (SELECT regexp_extract(name, '^(.+)_(\d{8})$', 1) AS table_prefix,
+             regexp_extract(name, '^(.+)_(\d{8})$', 2) AS suffix
+      FROM t WHERE regexp_extract(name, '^(.+)_(\d{8})$', 2) <> ''),
+agg AS (SELECT table_prefix, min(suffix) AS lo, max(suffix) AS hi
+        FROM e GROUP BY table_prefix)
+SELECT table_prefix, 'low_watermark' AS part_type, lo AS part_value FROM agg
+UNION ALL
+SELECT table_prefix, 'high_watermark' AS part_type, hi AS part_value FROM agg
+""")
+def shard_watermarks_query(spark, sf_dir):
+    """BigQuery sharded-table watermark extraction (reference:
+    bigquery_watermark_extractor.py:48-63) driven through
+    sources/bigquery.shard_watermarks on shard names synthesized from
+    event dates."""
+    from amundsendatabuilder_spark.sources.bigquery import shard_watermarks
+    (events,) = _t(spark, sf_dir, "events")
+    tables = events.select(
+        F.concat(F.lit("events_"),
+                 F.date_format("ts", "yyyyMMdd")).alias("name")).distinct()
+    return shard_watermarks(tables)
+
+
+@query("sharded_table_grouping", r"""
+WITH t AS (
+  SELECT 'orders_' || strftime(o_orderdate, '%Y%m%d') AS name, count(*) AS n
+  FROM orders GROUP BY 1
+  UNION ALL
+  SELECT p_brand AS name, count(*) AS n FROM part GROUP BY 1),
+e AS (SELECT name, n,
+             CASE WHEN regexp_extract(name, '^(.+)_(\d{8})$', 1) <> ''
+                  THEN regexp_extract(name, '^(.+)_(\d{8})$', 1) ELSE name END AS prefix,
+             nullif(regexp_extract(name, '^(.+)_(\d{8})$', 2), '') AS suffix
+      FROM t),
+r AS (SELECT prefix AS name, n,
+             row_number() OVER (PARTITION BY prefix
+                                ORDER BY suffix DESC NULLS LAST, name) AS rn
+      FROM e)
+SELECT name, n FROM r WHERE rn = 1
+""")
+def sharded_table_grouping(spark, sf_dir):
+    """Date-sharded table collapse (reference:
+    bigquery_metadata_extractor.py:44-57): '…_YYYYMMDD' names group to one
+    logical table keeping the latest shard's row — via
+    sources/bigquery.group_sharded_tables."""
+    from amundsendatabuilder_spark.sources.bigquery import group_sharded_tables
+    orders, part = _t(spark, sf_dir, "orders", "part")
+    t = (orders.groupBy(F.concat(F.lit("orders_"),
+                                 F.date_format("o_orderdate", "yyyyMMdd"))
+                        .alias("name")).agg(F.count("*").alias("n"))
+         .unionByName(part.groupBy(F.col("p_brand").alias("name"))
+                      .agg(F.count("*").alias("n"))))
+    return group_sharded_tables(t)
+
+
+@query("top_customer_per_segment", """
+SELECT c_mktsegment, c_custkey, c_name, c_acctbal FROM (
+  SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer) WHERE rn = 1
+""")
+def top_customer_per_segment(spark, sf_dir):
+    """Top-1-per-group (the reference's first-match pattern generalized,
+    mysql_search_data_extractor.py:284-286): deterministic argmax via
+    window with id tie-break."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (customer.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("c_mktsegment", "c_custkey", "c_name", "c_acctbal"))
+
+
+@query("rollup_orders", """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""")
+def rollup_orders(spark, sf_dir):
+    """ROLLUP subtotal hierarchy — beyond the reference's surface (SURVEY
+    §2.4 notes it has no grouping sets) but table-stakes for an analytics
+    engine; NULL grouping markers match ANSI."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (orders.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n_orders"),
+                 round_half_away(F.sum("o_totalprice"), 2).alias("total_price")))
+
+
+@query("revenue_share", """
+WITH rev AS (
+  SELECT n_name, round(sum(o_totalprice), 2) AS revenue
+  FROM orders JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name)
+SELECT n_name, revenue,
+       round(revenue / (SELECT sum(revenue) FROM rev), 6) AS share
+FROM rev
+""")
+def revenue_share(spark, sf_dir):
+    """Scalar-subquery normalization (share-of-total): grand total via an
+    empty window so the plan stays one pass + broadcast-exchange of a
+    single row."""
+    orders, customer, nation = _t(spark, sf_dir, "orders", "customer", "nation")
+    rev = (orders
+           .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+           .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+           .groupBy("n_name")
+           .agg(round_half_away(F.sum("o_totalprice"), 2).alias("revenue")))
+    total = Window.partitionBy()
+    return rev.select(
+        "n_name", "revenue",
+        round_half_away(F.col("revenue") / F.sum("revenue").over(total), 6)
+        .alias("share"))
+
+
+@query("char_ngram_profile", r"""
+WITH n AS (
+  SELECT lang, substr(text, i, 3) AS ngram
+  FROM (SELECT lang, text, unnest(range(1, length(text) - 1)) AS i FROM documents)),
+c AS (SELECT lang, ngram, count(*) AS n FROM n GROUP BY lang, ngram),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang
+                                        ORDER BY n DESC, ngram) AS INT) AS rank
+      FROM c)
+SELECT lang, ngram, n, rank FROM r WHERE rank <= 5
+""")
+def char_ngram_profile(spark, sf_dir):
+    """Character-n-gram language profile (the feature family behind real
+    language-ID): top-5 trigrams per language, deterministic tie-break."""
+    from amundsendatabuilder_spark.functions.text import char_ngrams
+    (docs,) = _t(spark, sf_dir, "documents")
+    grams = (docs.select("lang", F.explode(char_ngrams(F.col("text"), 3))
+                         .alias("ngram"))
+             .groupBy("lang", "ngram").agg(F.count("*").alias("n")))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("ngram"))
+    return (grams.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5))
+
+
+def _lsh_verified_sql(num_hashes: int = 16, bands: int = 4,
+                      threshold: float = 0.7) -> str:
+    # minhash candidate CTEs (same construction as _minhash_sql) + exact
+    # jaccard verification restricted to candidate pairs
+    mins = ",\n              ".join(
+        f"min(substr(md5('{j // 4}:' || shingle), {(j % 4) * 8 + 1}, 8)) AS mh{j}"
+        for j in range(num_hashes))
+    rpb = num_hashes // bands
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, "
+        + " || '|' || ".join(f"mh{j}" for j in range(b * rpb, (b + 1) * rpb))
+        + " AS band_sig FROM mh"
+        for b in range(bands))
+    return f"""
+WITH {_SHINGLES_SQL},
+mh AS (SELECT doc_id,
+              {mins}
+       FROM s GROUP BY doc_id),
+bands AS (
+{band_selects}
+),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_sig = b.band_sig
+          AND a.doc_id < b.doc_id),
+sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+inter AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS i
+          FROM s sa JOIN s sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+          JOIN cand ON cand.doc_a = sa.doc_id AND cand.doc_b = sb.doc_id
+          GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i), 6) AS jaccard
+FROM inter i JOIN sz za ON i.doc_a = za.doc_id JOIN sz zb ON i.doc_b = zb.doc_id
+WHERE CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i) >= {threshold}
+"""
+
+
+@query("dedup_lsh_verified", _lsh_verified_sql())
+def dedup_lsh_verified(spark, sf_dir):
+    """The two-stage scale dedup pipeline: MinHash-LSH candidate
+    generation THEN exact Jaccard verification restricted to candidates —
+    at 100 TB the verify join touches only candidate pairs, never all
+    pairs."""
+    from amundsendatabuilder_spark.operators.dedup import lsh_verified_pairs
+    (docs,) = _t(spark, sf_dir, "documents")
+    return lsh_verified_pairs(docs, threshold=0.7)
+
+
+# --- rows-only entries (no SQL-expressible oracle) -------------------------
+
+@query("stream_windowed_counts")
+def stream_windowed_counts(spark, sf_dir):
+    """Structured Streaming tumbling-window counts over the events table
+    (streaming/events.py), drained with Trigger.AvailableNow. Rows-only
+    check: streaming semantics (watermark/append emission) are asserted
+    in tests/test_streaming.py against the batch twin windowed_event_agg."""
+    import tempfile
+
+    from amundsendatabuilder_spark.streaming.events import run_to_memory
+    stream = (spark.readStream
+              .schema("event_id long, ts long, user_id long, event_type string,"
+                      " value double, props string")
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir)
+              .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))))
+    agg = (stream.withWatermark("ts", "2 hours")
+           .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+           .agg(F.count("*").alias("n_events"))
+           .select(F.col("w.start").alias("window_start"), "event_type", "n_events"))
+    name = "swc_" + next(tempfile._get_candidate_names())  # unique per run
+    return run_to_memory(agg, spark, name, tempfile.mkdtemp())
+
+
+@query("stream_sessionize")
+def stream_sessionize(spark, sf_dir):
+    """Gap-based session windows per user over the event stream
+    (streaming/events.py sessionize). Rows-only check."""
+    import tempfile
+
+    from amundsendatabuilder_spark.streaming.events import run_to_memory, sessionize
+    stream = (spark.readStream
+              .schema("event_id long, ts long, user_id long, event_type string,"
+                      " value double, props string")
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir)
+              .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))))
+    name = "ssn_" + next(tempfile._get_candidate_names())
+    return run_to_memory(sessionize(stream, gap="30 minutes"), spark, name,
+                         tempfile.mkdtemp())
+
+
+@query("ann_ivf_topk")
+def ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k (operators/similarity.ivf_topk): probe-limited
+    scan. Rows-only check — recall vs the exact oracle is probe-dependent
+    by design; tests assert structure."""
+    from amundsendatabuilder_spark.operators.similarity import ivf_topk
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.where(F.col("vec_id") < 8), k=10,
+                    nlist=16, nprobe=4)
+
+
+@query("multimodal_image_features")
+def multimodal_image_features(spark, sf_dir):
+    """Multimodal binary-column plumbing (operators/multimodal): Arrow-
+    batched mapInPandas decode of image payloads (deterministic stub codec
+    — the container ships no image libs; the Spark contract is real).
+    Rows-only check."""
+    from amundsendatabuilder_spark.operators.multimodal import (
+        decode_image_features, synthetic_media)
+    return decode_image_features(synthetic_media(spark, n=96))

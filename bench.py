@@ -27,6 +27,7 @@ HEADLINE = [
     "latest_execution_window",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_lsh_verified",
     "dedup_simhash",
     "quality_metrics",
     "doc_fingerprint",
