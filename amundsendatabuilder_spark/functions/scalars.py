@@ -61,7 +61,11 @@ def normalize_tags(col) -> Column:
     tags. reference: databuilder/models/table_metadata.py:34-41 (format_tags:
     lower/strip) and csv split at extractor/csv_extractor.py:17-24."""
     exploded = F.split(_c(col), ",")
-    cleaned = F.transform(exploded, lambda t: F.lower(F.trim(t)))
+    # NOT F.trim: Spark trim strips only ' ' while the reference's
+    # str.strip() strips all whitespace (tabs included) — regexp instead
+    cleaned = F.transform(
+        exploded,
+        lambda t: F.lower(F.regexp_replace(t, r"^\s+|\s+$", "")))
     return F.filter(cleaned, lambda t: (t != "") & t.isNotNull())
 
 

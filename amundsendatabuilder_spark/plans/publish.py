@@ -35,6 +35,30 @@ def stamp_publish_tag(out: GraphOutput, tag: str,
     return GraphOutput(stamp(out.nodes), stamp(out.rels))
 
 
+def pre_delete_edges(rels: DataFrame,
+                     delete_batch: Callable[[list[dict]], None],
+                     edge_types: frozenset[str],
+                     batch_size: int = 100) -> None:
+    """Desired-state preprocessor: delete listed edge types before merge so
+    removed relationships don't linger (reference:
+    publisher/neo4j_preprocessor.py:120-205 DeleteRelationPreprocessor).
+    ``delete_batch`` receives (START_KEY, END_KEY, TYPE) dicts."""
+    targets = rels.where(F.col("TYPE").isin(*edge_types)) \
+        .select("START_KEY", "START_LABEL", "END_KEY", "END_LABEL", "TYPE")
+
+    def send(partition) -> None:
+        batch: list[dict] = []
+        for row in partition:
+            batch.append(row.asDict())
+            if len(batch) >= batch_size:
+                delete_batch(batch)
+                batch = []
+        if batch:
+            delete_batch(batch)
+
+    targets.foreachPartition(send)
+
+
 def publish_nodes(nodes: DataFrame,
                   upsert_batch: Callable[[str, list[dict]], None],
                   batch_size: int = 500,
