@@ -1110,6 +1110,227 @@ def dedup_lsh_verified(spark, sf_dir):
     return lsh_verified_pairs(docs, threshold=0.7)
 
 
+@query("search_doc_user", """
+WITH users AS (
+  SELECT 'u' || CAST(c_custkey AS VARCHAR) AS email,
+         c_mktsegment AS first_name, c_name AS last_name, c_name AS name,
+         'gh' || CAST(c_custkey AS VARCHAR) AS github_username,
+         c_mktsegment AS team_name,
+         'fte' AS employee_type,
+         'u' || CAST((c_custkey % 150) + 1 AS VARCHAR) AS manager_email,
+         '@u' || CAST(c_custkey AS VARCHAR) AS slack_id, 'analyst' AS role_name
+  FROM customer WHERE c_custkey <= 150),
+reads AS (SELECT 'u' || CAST(user_id + 1 AS VARCHAR) AS email,
+                 CAST(count(*) AS BIGINT) AS total_read
+          FROM events GROUP BY 1),
+own AS (SELECT 'u' || CAST(o_custkey AS VARCHAR) AS email,
+               CAST(count(*) AS BIGINT) AS total_own
+        FROM orders WHERE o_custkey <= 150 GROUP BY 1)
+SELECT u.email, first_name, last_name, name, github_username, team_name,
+       employee_type, manager_email, slack_id, role_name,
+       coalesce(r.total_read, 0) AS total_read,
+       coalesce(o.total_own, 0) AS total_own
+FROM users u LEFT JOIN reads r ON u.email = r.email
+             LEFT JOIN own o ON u.email = o.email
+""")
+def search_doc_user(spark, sf_dir):
+    """User search documents (reference:
+    extractor/neo4j_search_data_extractor.py:64-83; 6-grouped-subquery SQL
+    twin mysql_search_data_extractor.py:320-390) through
+    plans.search_documents.build_user_documents. Users mapped onto
+    customers, read events onto table usage, orders onto table ownership;
+    manager_email exercises the self-referential edge (models/user.py:207-212)."""
+    from amundsendatabuilder_spark.plans.search_documents import build_user_documents
+    customer, orders, events = _t(spark, sf_dir, "customer", "orders", "events")
+    users = customer.where(F.col("c_custkey") <= 150).select(
+        F.concat(F.lit("u"), F.col("c_custkey").cast("string")).alias("email"),
+        F.col("c_mktsegment").alias("first_name"),
+        F.col("c_name").alias("last_name"),
+        F.col("c_name").alias("full_name"),
+        F.concat(F.lit("gh"), F.col("c_custkey").cast("string")).alias("github_username"),
+        F.col("c_mktsegment").alias("team_name"),
+        F.lit("fte").alias("employee_type"),
+        F.concat(F.lit("u"),
+                 ((F.col("c_custkey") % 150) + 1).cast("string")).alias("manager_email"),
+        F.concat(F.lit("@u"), F.col("c_custkey").cast("string")).alias("slack_id"),
+        F.lit("analyst").alias("role_name"))
+    usage = events.select(
+        F.concat(F.lit("u"), (F.col("user_id") + 1).cast("string")).alias("user_email"),
+        F.lit(1).cast("long").alias("read_count"),
+        F.lit("app").alias("database"), F.lit("prod").alias("cluster"),
+        F.lit("events").alias("schema"), F.col("event_type").alias("table_name"))
+    owned = orders.where(F.col("o_custkey") <= 150).select(
+        F.concat(F.lit("u"), F.col("o_custkey").cast("string")).alias("owners"))
+    return build_user_documents(users, usage, owned)
+
+
+@query("search_doc_dashboard", r"""
+WITH d AS (
+  SELECT p_partkey,
+         'g' || CAST(p_partkey % 10 AS VARCHAR) AS gid,
+         CAST(p_partkey AS VARCHAR) AS did,
+         'group ' || CAST(p_partkey % 10 AS VARCHAR) AS group_name,
+         p_name AS name, p_type AS description,
+         'https://app/g' || CAST(p_partkey % 10 AS VARCHAR) AS group_url,
+         'https://app/d/' || CAST(p_partkey AS VARCHAR) AS url
+  FROM part),
+u AS (SELECT l_partkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_usage
+      FROM lineitem GROUP BY 1),
+q AS (SELECT l_partkey,
+             array_to_string(list_sort(list(DISTINCT 'q' || CAST(l_linenumber AS VARCHAR))), ',')
+                 AS query_names
+      FROM lineitem GROUP BY 1),
+e AS (SELECT l_partkey,
+             CAST(floor(epoch(max(l_shipdate))) AS BIGINT) AS last_successful_run_timestamp
+      FROM lineitem GROUP BY 1)
+SELECT 'mode_dashboard://gold.' || gid || '/' || d.did AS key,
+       'mode' AS product, 'gold' AS cluster,
+       group_name, name, description, group_url, url,
+       coalesce(u.total_usage, 0) AS total_usage,
+       coalesce(q.query_names, '') AS query_names,
+       e.last_successful_run_timestamp
+FROM d LEFT JOIN u ON d.p_partkey = u.l_partkey
+       LEFT JOIN q ON d.p_partkey = q.l_partkey
+       LEFT JOIN e ON d.p_partkey = e.l_partkey
+""")
+def search_doc_dashboard(spark, sf_dir):
+    """Dashboard search documents (reference:
+    extractor/neo4j_search_data_extractor.py:85-115, incl. the
+    '_last_successful_execution' first-match rule at
+    mysql_search_data_extractor.py:284-286) through
+    build_dashboard_documents. Dashboards mapped onto parts, usage/queries/
+    executions onto their lineitems; query_names re-emitted as a sorted
+    joined string because engine array hashing differs."""
+    from amundsendatabuilder_spark.plans.search_documents import (
+        build_dashboard_documents)
+    part, li = _t(spark, sf_dir, "part", "lineitem")
+    pgid = F.concat(F.lit("g"), (F.col("p_partkey") % 10).cast("string"))
+    dashboards = part.select(
+        F.lit("mode").alias("product"), F.lit("gold").alias("cluster"),
+        pgid.alias("dashboard_group_id"),
+        F.col("p_partkey").cast("string").alias("dashboard_id"),
+        F.concat(F.lit("group "), (F.col("p_partkey") % 10).cast("string"))
+        .alias("dashboard_group"),
+        F.col("p_name").alias("dashboard_name"),
+        F.col("p_type").alias("description"),
+        F.concat(F.lit("https://app/g"), (F.col("p_partkey") % 10).cast("string"))
+        .alias("dashboard_group_url"),
+        F.concat(F.lit("https://app/d/"), F.col("p_partkey").cast("string"))
+        .alias("dashboard_url"))
+    lgid = F.concat(F.lit("g"), (F.col("l_partkey") % 10).cast("string"))
+    usage = li.select(
+        F.lit("mode").alias("product"), F.lit("gold").alias("cluster"),
+        lgid.alias("dashboard_group_id"),
+        F.col("l_partkey").cast("string").alias("dashboard_id"),
+        F.col("l_quantity").cast("long").alias("view_count"))
+    queries_df = li.select(
+        F.lit("mode").alias("product"), F.lit("gold").alias("cluster"),
+        lgid.alias("dashboard_group_id"),
+        F.col("l_partkey").cast("string").alias("dashboard_id"),
+        F.concat(F.lit("q"), F.col("l_linenumber").cast("string")).alias("query_name"))
+    last_exec = (
+        li.groupBy("l_partkey")
+        .agg(F.max(F.unix_timestamp("l_shipdate")).alias("execution_timestamp"))
+        .select(F.lit("mode").alias("product"), F.lit("gold").alias("cluster"),
+                F.concat(F.lit("g"), (F.col("l_partkey") % 10).cast("string"))
+                .alias("dashboard_group_id"),
+                F.col("l_partkey").cast("string").alias("dashboard_id"),
+                F.lit("_last_successful_execution").alias("execution_id"),
+                "execution_timestamp"))
+    docs = build_dashboard_documents(dashboards, usage, queries_df, last_exec)
+    return docs.withColumn("query_names", F.concat_ws(",", "query_names"))
+
+
+@query("graph_expand_tables", """
+WITH t AS (
+  SELECT 'tpch://gold.s' || CAST(s_nationkey AS VARCHAR) AS schema_key,
+         'tpch://gold.s' || CAST(s_nationkey AS VARCHAR) || '/' || s_name AS table_key,
+         'tier' || CAST(s_suppkey % 3 AS VARCHAR) AS tier_tag
+  FROM supplier),
+descs AS (SELECT table_key || '/_description' AS k FROM t
+          UNION ALL SELECT table_key || '/c1/_description' FROM t),
+tags AS (SELECT 'rated' AS g FROM t UNION ALL SELECT tier_tag FROM t),
+cols AS (SELECT table_key || '/c1' AS k FROM t
+         UNION ALL SELECT table_key || '/c2' FROM t),
+desc_rels AS (SELECT table_key || '>' || table_key || '/_description' AS k FROM t
+              UNION ALL SELECT table_key || '/c1>' || table_key || '/c1/_description' FROM t),
+tag_rels AS (SELECT table_key || '>rated' AS k FROM t
+             UNION ALL SELECT table_key || '>' || tier_tag FROM t),
+col_rels AS (SELECT table_key || '>' || table_key || '/c1' AS k FROM t
+             UNION ALL SELECT table_key || '>' || table_key || '/c2' FROM t)
+SELECT 'node' AS kind, 'Table' AS entity, CAST(count(*) AS BIGINT) AS n,
+       min(table_key) AS min_key, max(table_key) AS max_key FROM t
+UNION ALL SELECT 'node', 'Database', 1, 'database://tpch', 'database://tpch'
+UNION ALL SELECT 'node', 'Cluster', 1, 'tpch://gold', 'tpch://gold'
+UNION ALL SELECT 'node', 'Schema', CAST(count(DISTINCT schema_key) AS BIGINT),
+          min(schema_key), max(schema_key) FROM t
+UNION ALL SELECT 'node', 'Description', CAST(count(DISTINCT k) AS BIGINT),
+          min(k), max(k) FROM descs
+UNION ALL SELECT 'node', 'Tag', CAST(count(DISTINCT g) AS BIGINT),
+          min(g), max(g) FROM tags
+UNION ALL SELECT 'node', 'Column', CAST(count(DISTINCT k) AS BIGINT),
+          min(k), max(k) FROM cols
+UNION ALL SELECT 'node', 'Badge', 1, 'pk', 'pk'
+UNION ALL SELECT 'rel', 'CLUSTER', 1,
+          'database://tpch>tpch://gold', 'database://tpch>tpch://gold'
+UNION ALL SELECT 'rel', 'SCHEMA', CAST(count(DISTINCT schema_key) AS BIGINT),
+          min('tpch://gold>' || schema_key), max('tpch://gold>' || schema_key) FROM t
+UNION ALL SELECT 'rel', 'TABLE', CAST(count(*) AS BIGINT),
+          min(schema_key || '>' || table_key), max(schema_key || '>' || table_key) FROM t
+UNION ALL SELECT 'rel', 'DESCRIPTION', CAST(count(DISTINCT k) AS BIGINT),
+          min(k), max(k) FROM desc_rels
+UNION ALL SELECT 'rel', 'TAGGED_BY', CAST(count(DISTINCT k) AS BIGINT),
+          min(k), max(k) FROM tag_rels
+UNION ALL SELECT 'rel', 'COLUMN', CAST(count(DISTINCT k) AS BIGINT),
+          min(k), max(k) FROM col_rels
+UNION ALL SELECT 'rel', 'HAS_BADGE', CAST(count(*) AS BIGINT),
+          min(table_key || '/c1>pk'), max(table_key || '/c1>pk') FROM t
+""")
+def graph_expand_tables(spark, sf_dir):
+    """Graph expansion end-to-end (reference:
+    databuilder/models/table_metadata.py:427-598): a TableMetadata DataFrame
+    synthesized from suppliers (schemas from nations, two columns, tags,
+    badges, descriptions) runs through models.table_metadata.expand_tables;
+    the result is summarized per node LABEL / rel TYPE as
+    (count, min key, max key) so the oracle verifies expansion cardinality,
+    parent dedup (Database/Cluster/Schema/Tag/Badge collapse — SURVEY §7.4)
+    and every key template byte-for-byte."""
+    from amundsendatabuilder_spark.models.table_metadata import expand_tables
+    (sup,) = _t(spark, sf_dir, "supplier")
+    tables = sup.select(
+        F.lit("tpch").alias("database"), F.lit("gold").alias("cluster"),
+        F.concat(F.lit("s"), F.col("s_nationkey").cast("string")).alias("schema"),
+        F.col("s_name").alias("name"),
+        F.col("s_name").alias("description"),
+        F.lit(None).cast("string").alias("description_source"),
+        F.array(F.lit("rated"),
+                F.concat(F.lit("tier"), (F.col("s_suppkey") % 3).cast("string")))
+        .alias("tags"),
+        F.lit(False).alias("is_view"),
+        F.array(
+            F.struct(F.lit("c1").alias("name"),
+                     F.col("s_name").alias("description"),
+                     F.lit("varchar").alias("col_type"),
+                     F.lit(1).alias("sort_order"),
+                     F.array(F.lit("pk")).alias("badges")),
+            F.struct(F.lit("c2").alias("name"),
+                     F.lit(None).cast("string").alias("description"),
+                     F.lit("int").alias("col_type"),
+                     F.lit(2).alias("sort_order"),
+                     F.array().cast("array<string>").alias("badges"))).alias("columns"))
+    out = expand_tables(tables)
+    nodes = (out.nodes.groupBy(F.col("LABEL").alias("entity"))
+             .agg(F.count("*").alias("n"),
+                  F.min("KEY").alias("min_key"), F.max("KEY").alias("max_key"))
+             .withColumn("kind", F.lit("node")))
+    rels = (out.rels.groupBy(F.col("TYPE").alias("entity"))
+            .agg(F.count("*").alias("n"),
+                 F.min(F.concat_ws(">", "START_KEY", "END_KEY")).alias("min_key"),
+                 F.max(F.concat_ws(">", "START_KEY", "END_KEY")).alias("max_key"))
+            .withColumn("kind", F.lit("rel")))
+    return nodes.unionByName(rels).select("kind", "entity", "n", "min_key", "max_key")
+
+
 # --- rows-only entries (no SQL-expressible oracle) -------------------------
 
 @query("stream_windowed_counts")
