@@ -8,7 +8,7 @@ scalar transforms into Transformer classes
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from amundsendatabuilder_spark.functions.scalars import round_half_away
@@ -55,6 +55,101 @@ def quality_metrics(docs: DataFrame, id_col: str = "doc_id",
         round_half_away(punct_ratio(t), 6).alias("punct_ratio"),
         quality_score(t).alias("quality"),
     )
+
+
+# PII patterns kept RE2-compatible so Spark (java.util.regex) and DuckDB
+# (RE2) oracle runs rewrite identically. Scrub order matters: emails first
+# (they contain digit runs), then long digit runs (phone-ish), then IPv4.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_DIGITS = r"[0-9]{7,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """(doc_id, scrubbed_md5, n_emails, n_numbers) — redact emails, long
+    digit runs and IPv4s with typed placeholders; counts of each redaction
+    ride along for audit. Pure regexp_replace chain, JVM-side, linear scan
+    — the shape a 100 TB scrub pass needs (no shuffle at all)."""
+    t = F.col(text_col)
+    n_emails = (F.size(F.split(t, PII_EMAIL, -1)) - 1).cast("long")
+    after_email = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    n_numbers = (F.size(F.split(after_email, PII_DIGITS, -1)) - 1).cast("long")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(after_email, PII_DIGITS, "<NUM>"),
+        PII_IPV4, "<IP>")
+    return docs.select(
+        F.col(id_col),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        n_emails.alias("n_emails"),
+        n_numbers.alias("n_numbers"),
+    )
+
+
+def repetition_metrics(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition features per doc: fraction of tokens that are
+    repeats (1 - distinct/total) and the top single token's share. One
+    explode + one groupBy(doc, token) with map-side combine, then a per-doc
+    re-aggregation — both shuffles carry (id, token, count), never text."""
+    tok_rows = docs.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
+    per_tok = tok_rows.groupBy(id_col, "tok").agg(F.count("*").alias("n"))
+    return (per_tok.groupBy(id_col)
+            .agg(F.sum("n").cast("long").alias("n_tokens"),
+                 F.count("*").cast("long").alias("n_distinct"),
+                 round_half_away(
+                     F.lit(1.0) - F.count("*").cast("double") / F.sum("n"), 6)
+                 .alias("dup_token_frac"),
+                 round_half_away(
+                     F.max("n").cast("double") / F.sum("n"), 6)
+                 .alias("top_token_frac")))
+
+
+def hash_sample(docs: DataFrame, id_col: str = "doc_id",
+                strata_col: str = "lang",
+                prefix_chars: tuple[str, ...] = ("0", "1")) -> DataFrame:
+    """Deterministic content-addressed sampling summary per stratum:
+    keep rows whose md5(id) starts with one of ``prefix_chars`` (2/16 =
+    12.5% expected). Hash-based sampling is reproducible across runs,
+    engines and cluster sizes — unlike rand()-based sampling, re-runs at
+    100 TB select the same rows, so downstream caches stay valid."""
+    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
+    keep = h.isin(*prefix_chars)
+    return (docs.groupBy(strata_col)
+            .agg(F.count("*").alias("n_total"),
+                 F.sum(keep.cast("long")).cast("long").alias("n_sampled"),
+                 F.min(F.when(keep, F.col(id_col))).alias("first_sampled_id")))
+
+
+def vocab_topk(docs: DataFrame, k: int = 100,
+               text_col: str = "text") -> DataFrame:
+    """Global token vocabulary top-k by frequency (rank ties broken by
+    token): the vocabulary-build pass of a tokenizer-training pipeline.
+    explode -> two-level count (map-side partial then merge) -> single-
+    reducer top-k on the already-tiny distinct-token set."""
+    counts = (docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
+              .groupBy("tok").agg(F.count("*").alias("n")))
+    w = Window.orderBy(F.col("n").desc(), F.col("tok"))
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def length_stats(docs: DataFrame, strata_col: str = "lang",
+                 text_col: str = "text") -> DataFrame:
+    """Per-stratum document-length distribution (exact linear-interpolation
+    percentiles — matches ANSI percentile_cont/quantile_cont): the corpus
+    profile a data-mixing recipe reads. Percentile is exact (not approx)
+    for oracle parity; at 100 TB swap percentile_approx in with a relative
+    error bound."""
+    per_doc = docs.select(F.col(strata_col),
+                          token_count_ws(F.col(text_col)).alias("n_tokens"))
+    return (per_doc.groupBy(strata_col)
+            .agg(F.count("*").alias("n_docs"),
+                 round_half_away(F.avg("n_tokens"), 2).alias("avg_tokens"),
+                 round_half_away(F.percentile("n_tokens", 0.5), 2).alias("p50_tokens"),
+                 round_half_away(F.percentile("n_tokens", 0.9), 2).alias("p90_tokens"),
+                 F.max("n_tokens").alias("max_tokens")))
 
 
 def fingerprints(docs: DataFrame, id_col: str = "doc_id",

@@ -1331,7 +1331,132 @@ def graph_expand_tables(spark, sf_dir):
     return nodes.unionByName(rels).select("kind", "entity", "n", "min_key", "max_key")
 
 
+# ---------------------------------------------------------------------------
+# 9. Training-data pipeline: scrubbing / filtering / sampling / profiling
+# ---------------------------------------------------------------------------
+
+_LTOKS_SQL = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')"
+
+
+@query("pii_scrub", r"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' contact u' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555' || CAST(1000000 + doc_id AS VARCHAR)
+              || ' ip 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) AS text
+  FROM documents),
+s AS (
+  SELECT doc_id, text,
+         CAST(len(string_split_regex(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1 AS BIGINT)
+             AS n_emails,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g') AS t1
+  FROM d)
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(t1, '[0-9]{7,}', '<NUM>', 'g'),
+           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'))
+           AS scrubbed_md5,
+       n_emails,
+       CAST(len(string_split_regex(t1, '[0-9]{7,}')) - 1 AS BIGINT) AS n_numbers
+FROM s
+""")
+def pii_scrub(spark, sf_dir):
+    """PII redaction pass (training-data pipeline): emails, long digit runs,
+    IPv4s replaced by typed placeholders with audit counts; synthetic PII is
+    appended in-query (the corpus has none) identically on both engines.
+    Pure regexp chain — no shuffle, linear scan, the 100 TB scrub shape."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit(" contact u"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com or 555"),
+                 (F.col("doc_id") + 1000000).cast("string"),
+                 F.lit(" ip 10.0.0."), (F.col("doc_id") % 256).cast("string"))
+        .alias("text"))
+    return textops.pii_scrub(seeded)
+
+
+@query("repetition_metrics", r"""
+WITH tok AS (SELECT doc_id, unnest(""" + _LTOKS_SQL + r""") AS tok FROM documents),
+pt AS (SELECT doc_id, tok, count(*) AS n FROM tok GROUP BY 1, 2)
+SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round(1.0 - CAST(count(*) AS DOUBLE) / sum(n), 6) AS dup_token_frac,
+       round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top_token_frac
+FROM pt GROUP BY doc_id
+""")
+def repetition_metrics(spark, sf_dir):
+    """Gopher-style repetition filters: per-doc duplicate-token fraction and
+    top-token share. Shuffles carry (id, token, count) pairs only — document
+    text never crosses the wire."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return textops.repetition_metrics(docs)
+
+
+@query("hash_sample_stratified", """
+SELECT lang, count(*) AS n_total,
+       CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                     IN ('0', '1') THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       min(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                IN ('0', '1') THEN doc_id END) AS first_sampled_id
+FROM documents GROUP BY lang
+""")
+def hash_sample_stratified(spark, sf_dir):
+    """Deterministic hash-based sampling summarized per language stratum:
+    md5-prefix membership selects the same ~12.5% of rows on every run,
+    engine and cluster size (rand()-based sampling cannot promise that)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return textops.hash_sample(docs)
+
+
+@query("vocab_topk", r"""
+WITH tok AS (SELECT unnest(""" + _LTOKS_SQL + r""") AS tok FROM documents),
+c AS (SELECT tok, count(*) AS n FROM tok GROUP BY 1),
+r AS (SELECT tok, n,
+             CAST(row_number() OVER (ORDER BY n DESC, tok) AS INT) AS rank
+      FROM c)
+SELECT tok, n, rank FROM r WHERE rank <= 100
+""")
+def vocab_topk(spark, sf_dir):
+    """Tokenizer-training vocabulary build: global token counts (map-side
+    partial agg) then top-100 on the tiny distinct-token set, rank ties
+    broken by token for cross-engine stability."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return textops.vocab_topk(docs, k=100)
+
+
+@query("corpus_length_stats", r"""
+WITH d AS (SELECT lang, CAST(len(""" + _TOKS_SQL + r""") AS BIGINT) AS n_tokens
+           FROM documents)
+SELECT lang, count(*) AS n_docs,
+       round(avg(n_tokens), 2) AS avg_tokens,
+       round(quantile_cont(n_tokens, 0.5), 2) AS p50_tokens,
+       round(quantile_cont(n_tokens, 0.9), 2) AS p90_tokens,
+       max(n_tokens) AS max_tokens
+FROM d GROUP BY lang
+""")
+def corpus_length_stats(spark, sf_dir):
+    """Corpus length profile per language (the distribution a data-mixing
+    recipe reads): exact linear-interpolation percentiles for oracle parity
+    (percentile_approx is the drop-in at 100 TB)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return textops.length_stats(docs)
+
+
 # --- rows-only entries (no SQL-expressible oracle) -------------------------
+
+
+@query("multimodal_frame_plan")
+def multimodal_frame_plan(spark, sf_dir):
+    """Video frame-sampling plan (operators/multimodal.frame_sample_plan):
+    per-asset frame timestamps fanned out from duration metadata — the
+    Spark-side plumbing (schema, explode cardinality) is real; decode is
+    stubbed. Rows-only check."""
+    from amundsendatabuilder_spark.operators.multimodal import (
+        frame_sample_plan, synthetic_media)
+    return frame_sample_plan(synthetic_media(spark, n=64), every_ms=500)
 
 @query("stream_windowed_counts")
 def stream_windowed_counts(spark, sf_dir):

@@ -111,3 +111,58 @@ def test_multimodal_plumbing(spark):
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
         decode_image_features(media, strict=True)
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from amundsendatabuilder_spark.operators.textops import pii_scrub
+    docs = spark.createDataFrame(
+        [(1, "mail me at bob.smith+x@corp.example.org or call 5551234567"),
+         (2, "server at 192.168.0.1 took 42 ms"),
+         (3, "nothing sensitive here")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert rows[1]["n_emails"] == 1 and rows[1]["n_numbers"] == 1
+    assert rows[2]["n_emails"] == 0 and rows[2]["n_numbers"] == 0
+    assert rows[3]["n_emails"] == 0
+    # scrubbed doc 2 hashes the <IP>-redacted text, not the original
+    import hashlib
+    expected = hashlib.md5(b"server at <IP> took 42 ms").hexdigest()
+    assert rows[2]["scrubbed_md5"] == expected
+
+
+def test_repetition_metrics(spark):
+    from amundsendatabuilder_spark.operators.textops import repetition_metrics
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "w x y z")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in repetition_metrics(docs).collect()}
+    assert rows[1]["n_tokens"] == 4 and rows[1]["n_distinct"] == 1
+    assert rows[1]["dup_token_frac"] == 0.75 and rows[1]["top_token_frac"] == 1.0
+    assert rows[2]["dup_token_frac"] == 0.0 and rows[2]["top_token_frac"] == 0.25
+
+
+def test_hash_sample_deterministic(spark):
+    from amundsendatabuilder_spark.operators.textops import hash_sample
+    docs = spark.createDataFrame(
+        [(i, "t", "en") for i in range(64)], "doc_id long, text string, lang string")
+    a = hash_sample(docs).collect()
+    b = hash_sample(docs).collect()
+    assert a == b  # same rows every run
+    assert 0 < a[0]["n_sampled"] < a[0]["n_total"]
+
+
+def test_vocab_topk_rank_order(spark):
+    from amundsendatabuilder_spark.operators.textops import vocab_topk
+    docs = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a b")], "doc_id long, text string")
+    rows = vocab_topk(docs, k=2).collect()
+    assert [(r["tok"], r["n"], r["rank"]) for r in rows] == [("b", 4, 1), ("a", 3, 2)]
+
+
+def test_length_stats_percentiles(spark):
+    from amundsendatabuilder_spark.operators.textops import length_stats
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en"), (2, "a b c d e", "en"), (3, "a", "en")],
+        "doc_id long, text string, lang string")
+    (row,) = length_stats(docs).collect()
+    assert row["n_docs"] == 3 and row["max_tokens"] == 5
+    assert row["p50_tokens"] == 3.0  # exact interpolated median
