@@ -1445,6 +1445,70 @@ def corpus_length_stats(spark, sf_dir):
     return textops.length_stats(docs)
 
 
+@query("lineage_reachability", """
+WITH RECURSIVE keys AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+edges AS (
+  SELECT a.k AS src, b.k AS dst FROM keys a JOIN keys b ON b.k = a.k * 2
+  UNION ALL
+  SELECT a.k AS src, b.k AS dst FROM keys a JOIN keys b ON b.k = a.k * 2 + 1),
+r AS (
+  SELECT k AS root, k AS node, 0 AS depth FROM keys WHERE k <= 8
+  UNION
+  SELECT r.root, e.dst AS node, r.depth + 1 AS depth
+  FROM r JOIN edges e ON e.src = r.node WHERE r.depth < 4)
+SELECT root, node, min(depth) AS depth
+FROM r WHERE depth > 0 AND node <> root GROUP BY root, node
+""")
+def lineage_reachability(spark, sf_dir):
+    """Multi-hop lineage traversal (the question the reference's lineage
+    models exist to answer but leave to the graph DB —
+    extractor/csv_extractor.py:261-362, models/table_lineage.py) as a Spark
+    operator: operators/graph_algo.reachability frontier-BFS, one equi-join
+    per hop, visited-set dedup. Lineage DAG synthesized as the binary-tree
+    edges (k -> 2k, 2k+1) over existing order keys; oracle = recursive CTE."""
+    from amundsendatabuilder_spark.operators.graph_algo import reachability
+    (orders,) = _t(spark, sf_dir, "orders")
+    keys_df = orders.select(F.col("o_orderkey").alias("k")).distinct().cache()
+    a, b = keys_df.alias("a"), keys_df.alias("b")
+    edges = (
+        a.join(b, F.col("b.k") == F.col("a.k") * 2)
+        .select(F.col("a.k").alias("src"), F.col("b.k").alias("dst"))
+        .unionByName(
+            a.join(b, F.col("b.k") == F.col("a.k") * 2 + 1)
+            .select(F.col("a.k").alias("src"), F.col("b.k").alias("dst"))))
+    sources = keys_df.where(F.col("k") <= 8).select(F.col("k").alias("src"))
+    return reachability(edges, sources, max_depth=4)
+
+
+@query("publish_diff", """
+WITH old AS (SELECT o_orderkey, o_orderstatus AS v
+             FROM orders WHERE o_orderkey % 7 <> 0),
+new AS (SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END AS v
+        FROM orders WHERE o_orderkey % 5 <> 0)
+SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+       CASE WHEN old.o_orderkey IS NULL THEN 'added'
+            WHEN new.o_orderkey IS NULL THEN 'removed'
+            WHEN old.v <> new.v THEN 'changed' END AS change
+FROM old FULL JOIN new ON old.o_orderkey = new.o_orderkey
+WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL OR old.v <> new.v
+""")
+def publish_diff(spark, sf_dir):
+    """Incremental-publish delta (plans/publish.diff_generations): two
+    publish generations full-outer-joined on the entity key, emitting only
+    added/removed/changed — the write-minimizing upgrade over the
+    reference's re-MERGE-everything publish."""
+    from amundsendatabuilder_spark.plans.publish import diff_generations
+    (orders,) = _t(spark, sf_dir, "orders")
+    old = (orders.where(F.col("o_orderkey") % 7 != 0)
+           .select("o_orderkey", F.col("o_orderstatus").alias("v")))
+    new = (orders.where(F.col("o_orderkey") % 5 != 0)
+           .select("o_orderkey",
+                   F.when(F.col("o_orderkey") % 3 == 0, "X")
+                   .otherwise(F.col("o_orderstatus")).alias("v")))
+    return diff_generations(old, new, ["o_orderkey"], ["v"])
+
+
 # --- rows-only entries (no SQL-expressible oracle) -------------------------
 
 

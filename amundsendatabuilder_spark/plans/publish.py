@@ -35,6 +35,30 @@ def stamp_publish_tag(out: GraphOutput, tag: str,
     return GraphOutput(stamp(out.nodes), stamp(out.rels))
 
 
+def diff_generations(old: DataFrame, new: DataFrame,
+                     key_cols: list[str],
+                     compare_cols: list[str]) -> DataFrame:
+    """Incremental-publish diff between two publish generations: returns
+    (key..., change) with change ∈ added|removed|changed (unchanged rows
+    dropped — they need no write at all).
+
+    This is the set-level upgrade of the reference's publish model (which
+    re-MERGEs every staged row each run, neo4j_csv_publisher.py:271-287 —
+    idempotent but O(full catalog) writes): a full-outer join on the key
+    with null-safe value comparison shrinks the sink write to the actual
+    delta, which at 100 TB catalog scale is the difference between
+    re-writing everything nightly and touching only what moved."""
+    o = old.select(*key_cols, F.struct(*compare_cols).alias("_v_old"))
+    n = new.select(*key_cols, F.struct(*compare_cols).alias("_v_new"))
+    change = (F.when(F.col("_v_old").isNull(), "added")
+              .when(F.col("_v_new").isNull(), "removed")
+              .when(~F.col("_v_old").eqNullSafe(F.col("_v_new")), "changed")
+              .otherwise("unchanged"))
+    return (o.join(n, key_cols, "full_outer")
+            .select(*key_cols, change.alias("change"))
+            .where(F.col("change") != "unchanged"))
+
+
 def pre_delete_edges(rels: DataFrame,
                      delete_batch: Callable[[list[dict]], None],
                      edge_types: frozenset[str],

@@ -166,3 +166,23 @@ def test_length_stats_percentiles(spark):
     (row,) = length_stats(docs).collect()
     assert row["n_docs"] == 3 and row["max_tokens"] == 5
     assert row["p50_tokens"] == 3.0  # exact interpolated median
+
+
+def test_reachability_bfs_min_depth(spark):
+    from amundsendatabuilder_spark.operators.graph_algo import reachability
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (9, 9)], "src long, dst long")
+    roots = spark.createDataFrame([(1,), (9,)], "src long")
+    rows = {(r.root, r.node): r.depth for r in reachability(edges, roots, 5).collect()}
+    # min-depth wins: 3 reachable at depth 1 direct, not 2 via 1->2->3
+    assert rows == {(1, 2): 1, (1, 3): 1, (1, 4): 2}  # 9's self-loop excluded
+
+
+def test_connected_components(spark):
+    from amundsendatabuilder_spark.operators.graph_algo import connected_components_small
+    edges = spark.createDataFrame(
+        [(5, 2), (2, 7), (10, 11)], "src long, dst long")
+    comps = {r.node: r.component
+             for r in connected_components_small(edges).collect()}
+    assert comps[5] == comps[2] == comps[7] == 2
+    assert comps[10] == comps[11] == 10
