@@ -1445,6 +1445,41 @@ def corpus_length_stats(spark, sf_dir):
     return textops.length_stats(docs)
 
 
+@query("dedup_clusters", f"""
+WITH RECURSIVE pairs AS ({_lsh_verified_sql()}),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach AS (SELECT a, b FROM sym
+          UNION
+          SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b
+          WHERE s.b <> r.a),
+comp AS (SELECT a AS node, least(a, min(b)) AS component
+         FROM reach GROUP BY a)
+SELECT component AS keeper, CAST(count(*) AS BIGINT) AS n_docs,
+       array_to_string(list_sort(list(node)), ',') AS members
+FROM comp GROUP BY component
+""")
+def dedup_clusters(spark, sf_dir):
+    """THE production dedup endpoint: near-duplicate PAIRS (MinHash-LSH
+    candidates + exact-Jaccard verification) fused into duplicate GROUPS by
+    connected components (graph_algo.connected_components_small min-label
+    propagation), one keeper (min doc_id) per cluster. Oracle = transitive
+    closure via recursive CTE over the same verified pairs. At 100 TB the
+    component step runs on the pair set (tiny relative to the corpus), so
+    the whole pipeline's cost stays dominated by the single shingle pass."""
+    from amundsendatabuilder_spark.operators.dedup import lsh_verified_pairs
+    from amundsendatabuilder_spark.operators.graph_algo import (
+        connected_components_small)
+    (docs,) = _t(spark, sf_dir, "documents")
+    pairs = lsh_verified_pairs(docs, threshold=0.7)
+    comps = connected_components_small(pairs, src_col="doc_a", dst_col="doc_b")
+    return (comps.groupBy(F.col("component").alias("keeper"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.concat_ws(",", F.transform(
+                     F.array_sort(F.collect_list("node")),
+                     lambda x: x.cast("string"))).alias("members")))
+
+
 @query("lineage_reachability", """
 WITH RECURSIVE keys AS (SELECT DISTINCT o_orderkey AS k FROM orders),
 edges AS (
