@@ -1547,6 +1547,36 @@ def publish_diff(spark, sf_dir):
 # --- rows-only entries (no SQL-expressible oracle) -------------------------
 
 
+@query("stream_dedup_first_seen")
+def stream_dedup_first_seen(spark, sf_dir):
+    """Online first-seen dedup (streaming/dedup_stream.first_seen_filter):
+    applyInPandasWithState keeps one (fingerprint -> count) state entry and
+    emits each distinct document once, in the micro-batch where it first
+    appears. Rows-only check (stateful streaming has no SQL twin); the
+    cross-batch state semantics are asserted in
+    tests/test_streaming.py::test_stream_first_seen_dedup."""
+    import tempfile
+
+    from amundsendatabuilder_spark.functions.text import fingerprint_md5
+    from amundsendatabuilder_spark.streaming.dedup_stream import first_seen_filter
+    stream = (spark.readStream
+              .schema("doc_id long, text string, lang string, source string,"
+                      " n_chars long")
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir)
+              .select("doc_id", fingerprint_md5(F.col("text")).alias("fingerprint")))
+    out = first_seen_filter(stream)
+    rows = []
+    q = (out.writeStream
+         .foreachBatch(lambda df, _: rows.extend(df.collect()))
+         .outputMode("update")
+         .option("checkpointLocation", tempfile.mkdtemp())
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.createDataFrame(rows, "fingerprint string, doc_id long, dup_rank long") \
+        if rows else spark.createDataFrame([], "fingerprint string, doc_id long, dup_rank long")
+
+
 @query("multimodal_frame_plan")
 def multimodal_frame_plan(spark, sf_dir):
     """Video frame-sampling plan (operators/multimodal.frame_sample_plan):

@@ -59,3 +59,44 @@ def test_sessionize_stream(spark, tmp_path):
     assert sessions[(1, "2024-01-01 00:00:00")] == 2
     assert sessions[(1, "2024-01-01 02:00:00")] == 1
     assert sessions[(2, "2024-01-01 00:05:00")] == 1
+
+
+def test_stream_first_seen_dedup(spark, tmp_path):
+    """Duplicates across micro-batches are dropped: the second run re-sends
+    fingerprints from the first and contributes nothing new (state store
+    survives via the checkpoint)."""
+    from amundsendatabuilder_spark.streaming.dedup_stream import first_seen_filter
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    chk = str(tmp_path / "chk")
+    b1 = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "aa")], "doc_id long, fingerprint string")
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+
+    stream = (spark.readStream.schema("doc_id long, fingerprint string")
+              .option("pathGlobFilter", "*.parquet")
+              .parquet(str(src) + "/*"))
+    out = first_seen_filter(stream)
+    emitted = []
+
+    def run_once():
+        batch_rows = []
+        q = (out.writeStream
+             .foreachBatch(lambda df, _: batch_rows.extend(df.collect()))
+             .outputMode("update").option("checkpointLocation", chk)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return batch_rows
+
+    rows1 = {r.fingerprint: r for r in run_once()}
+    assert set(rows1) == {"aa", "bb"}
+    assert rows1["aa"].doc_id == 1  # min doc_id within the first batch
+    emitted.extend(rows1)
+
+    # second micro-batch: all dups + one new fingerprint
+    b2 = spark.createDataFrame(
+        [(4, "aa"), (5, "cc")], "doc_id long, fingerprint string")
+    b2.coalesce(1).write.parquet(str(src / "b2"))
+    rows2 = {r.fingerprint: r.doc_id for r in run_once()}
+    assert rows2 == {"cc": 5}  # 'aa' suppressed by state from batch 1
