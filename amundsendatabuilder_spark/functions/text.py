@@ -58,8 +58,10 @@ def exploded_shingles(df, id_col: str, text_col: str, n: int = 3):
     sf0.1). Two narrow projections, no shuffle.
     """
     from pyspark.sql import functions as F  # local alias for clarity
-    toks_df = df.select(F.col(id_col).alias("doc_id"),
-                        tokens(F.col(text_col)).alias("_toks"))
+    from amundsendatabuilder_spark.session import ensure_parallelism
+    toks_df = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("_toks"))
     idx = F.sequence(F.lit(0), F.size(F.col("_toks")) - n)
     shingle = F.transform(idx, lambda i: F.concat_ws(
         " ", *[F.element_at(F.col("_toks"), (i + j + 1).cast("int"))

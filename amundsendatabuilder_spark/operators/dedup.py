@@ -43,8 +43,10 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
     (fingerprint, dup_count, min_doc_id) — min_doc_id is the canonical
     'keeper' (deterministic winner, cf. SURVEY §7.4 dedup order trap).
     """
+    from amundsendatabuilder_spark.session import ensure_parallelism
     return (
-        docs.select(F.col(id_col), fingerprint_md5(F.col(text_col)).alias("fingerprint"))
+        ensure_parallelism(docs)
+        .select(F.col(id_col), fingerprint_md5(F.col(text_col)).alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(F.count("*").alias("dup_count"), F.min(id_col).alias("keep_id"))
         .where(F.col("dup_count") > 1)
@@ -125,8 +127,9 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     signed votes (+1 if bit set, -1 otherwise) are summed; sign of the sum
     is the signature bit. Pure explode+groupBy — no UDF.
     """
+    from amundsendatabuilder_spark.session import ensure_parallelism
     nibbles = bits // 4
-    toks = docs.select(
+    toks = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
     ).withColumn("h", F.md5(F.col("tok")).substr(1, nibbles))

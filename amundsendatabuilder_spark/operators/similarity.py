@@ -34,9 +34,11 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     from amundsendatabuilder_spark.functions.vectors import l2_norm
     # pre-cast to double and precompute norms ONCE per row — the pair scan
     # then does a single ordered fold (dot) per pair instead of three
+    from amundsendatabuilder_spark.session import ensure_parallelism
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("q_vec")) \
         .withColumn("q_norm", l2_norm("q_vec"))
+    corpus = ensure_parallelism(corpus)
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).cast("array<double>").alias("c_vec")) \
         .withColumn("c_norm", l2_norm("c_vec"))

@@ -51,6 +51,20 @@ def get_spark(app_name: str = "amundsendatabuilder_spark",
     return spark
 
 
+def ensure_parallelism(df, min_partitions: int | None = None):
+    """Repartition iff the plan's current partitioning is narrower than the
+    cluster's parallelism. Small single-row-group parquet files scan as ONE
+    partition, which serializes every downstream CPU-heavy pass (minhash,
+    simhash, vector math) onto one core; one up-front round-robin shuffle
+    of the raw input is far cheaper than that. On well-partitioned input
+    (any real 100 TB table) the condition is false and this is a no-op —
+    the check reads only plan metadata, it triggers no job."""
+    target = min_partitions or int(DEFAULT_SHUFFLE_PARTITIONS)
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 TPCH_TABLES = ("region", "nation", "customer", "supplier", "part",
                "orders", "lineitem", "events", "documents", "embeddings")
 
