@@ -1,0 +1,61 @@
+"""As-of (most-recent-prior) join — a temporal operator Spark lacks as a
+built-in and the reference never needed (SURVEY §2.3: no theta/range/as-of
+joins), but any event-timeline workload does: enrich each fact row with the
+latest dimension/event row at-or-before its timestamp.
+
+Implementation is the scalable UNION + WINDOW formulation, not a range
+join and not a UDF:
+
+    tag both sides, union them, then per key order by (ts, side) and carry
+    the last LEFT row forward with last_value(ignorenulls) — one shuffle on
+    the join key, one sort within partitions, zero row explosion.
+
+A naive range join (`l.ts <= r.ts` + window max) explodes to O(n·m) pairs
+before pruning; the union-window form is O(n+m) log-sorted, the same plan
+a merge-based ASOF join executes natively (DuckDB's ASOF JOIN — which is
+exactly the oracle used to verify this operator).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, *,
+              on: str, ts: str = "ts",
+              right_cols: list[str] | None = None,
+              strict: bool = False) -> DataFrame:
+    """For each ``left`` row, attach the ``right`` row with the greatest
+    ``ts`` that is <= left.ts (strictly < when ``strict``), matching on the
+    equality key ``on``. Left rows with no prior right row survive with
+    NULLs (left-outer as-of).
+
+    ``right_cols``: payload columns of ``right`` to carry (default: all
+    except the key and timestamp). Carried columns come back prefixed
+    ``asof_`` (timestamp as ``asof_ts``).
+    """
+    rcols = right_cols or [c for c in right.columns if c not in (on, ts)]
+    l_tag = left.withColumn("_side", F.lit(1)).withColumn("_r", F.lit(None).cast(
+        "struct<" + ",".join(f"{c}:{dict(right.dtypes)[c]}" for c in rcols) + ">"))
+    r_tag = right.select(
+        F.col(on), F.col(ts), F.lit(0).alias("_side"),
+        F.struct(*[F.col(c) for c in rcols]).alias("_r"))
+    # align schemas: left keeps its payload, right rows carry nulls for it
+    for c in left.columns:
+        if c not in (on, ts) and c not in r_tag.columns:
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    r_tag = r_tag.select(*[F.col(c) for c in l_tag.columns])
+
+    # strict: right rows at ts T must NOT match left rows at the same T —
+    # ordering (ts, _side) with right first makes ties visible unless
+    # strict, in which case right sorts after left at equal ts
+    side_order = F.col("_side").desc() if strict else F.col("_side").asc()
+    w = (Window.partitionBy(on).orderBy(F.col(ts).asc(), side_order)
+         .rowsBetween(Window.unboundedPreceding, -1 if strict else 0))
+    carried = (l_tag.unionByName(r_tag)
+               .withColumn("_last_r", F.last("_r", ignorenulls=True).over(w)))
+    out = carried.where(F.col("_side") == 1)
+    payload = [F.col(f"_last_r.{c}").alias(f"asof_{c}") for c in rcols]
+    keep = [c for c in left.columns]
+    return out.select(*keep, *payload)

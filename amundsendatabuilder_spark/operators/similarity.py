@@ -68,6 +68,31 @@ def rhp_signature(df: DataFrame, planes: list[list[float]],
     return df.withColumn(out_col, F.concat(*bits))
 
 
+def assign_centroids(corpus: DataFrame, centroids: DataFrame,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     cent_id_col: str = "cent_id") -> DataFrame:
+    """Nearest-centroid assignment — the IVF index-BUILD step (and one
+    k-means iteration) exposed as its own verified operator: broadcast the
+    centroid set, score each corpus vector against all centroids JVM-side,
+    keep the argmax-cosine centroid (ties broken by centroid id).
+    Exactly one pass over the corpus, no shuffle beyond the broadcast."""
+    from amundsendatabuilder_spark.functions.vectors import l2_norm
+    from amundsendatabuilder_spark.session import ensure_parallelism
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")) \
+        .withColumn("_vn", l2_norm("_v"))
+    cents = F.broadcast(centroids.select(
+        F.col(cent_id_col), F.col(vec_col).cast("array<double>").alias("_c"))
+        .withColumn("_cn", l2_norm("_c")))
+    scored = c.join(cents).withColumn(
+        "cos", round_half_away(cosine_similarity(
+            "_v", "_c", norm_a=F.col("_vn"), norm_b=F.col("_cn")), 6))
+    w = Window.partitionBy(id_col).orderBy(F.col("cos").desc(), F.col(cent_id_col))
+    return (scored.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") == 1)
+            .select(F.col(id_col), F.col(cent_id_col), F.col("cos")))
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              nlist: int = 16, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

@@ -1544,6 +1544,88 @@ def publish_diff(spark, sf_dir):
     return diff_generations(old, new, ["o_orderkey"], ["v"])
 
 
+@query("asof_view_before_purchase", """
+WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id, ts, max(event_id) AS view_event_id
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+SELECT p.user_id, CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us, p.event_id,
+       v.view_event_id AS asof_view_event_id
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+""")
+def asof_view_before_purchase(spark, sf_dir):
+    """As-of join (operators/asof.asof_join): each purchase event enriched
+    with the user's most recent view at-or-before it. Spark lacks a native
+    ASOF JOIN; the operator is the scalable UNION + last_value(ignorenulls)
+    window formulation (one shuffle on the key, no pair explosion) and the
+    oracle is DuckDB's native ASOF LEFT JOIN — the strongest possible
+    cross-check of the semantics. Right side pre-deduped per (user, ts) so
+    tie-order is engine-independent."""
+    from amundsendatabuilder_spark.operators.asof import asof_join
+    (events,) = _t(spark, sf_dir, "events")
+    purchases = (events.where(F.col("event_type") == "purchase")
+                 .select("user_id", "ts", "event_id"))
+    views = (events.where(F.col("event_type") == "view")
+             .groupBy("user_id", "ts")
+             .agg(F.max("event_id").alias("view_event_id")))
+    joined = asof_join(purchases, views, on="user_id", ts="ts",
+                       right_cols=["view_event_id"])
+    return joined.select("user_id",
+                         F.unix_micros("ts").alias("purchase_us"),
+                         "event_id", "asof_view_event_id")
+
+
+@query("sessionize_batch", """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT user_id, ts, event_id,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+      FROM o)
+SELECT user_id, session_id, count(*) AS n_events,
+       CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+       CAST(epoch_us(max(ts)) AS BIGINT) AS session_end_us
+FROM s GROUP BY user_id, session_id
+""")
+def sessionize_batch_query(spark, sf_dir):
+    """Gap-based sessionization, batch form (streaming/events.
+    sessionize_batch): gaps-and-islands windows verify the exact session
+    semantics the streaming session_window variant implements (which keeps
+    its weaker rows-only check)."""
+    from amundsendatabuilder_spark.streaming.events import sessionize_batch
+    (events,) = _t(spark, sf_dir, "events")
+    return sessionize_batch(events, gap_minutes=30)
+
+
+@query("centroid_assignment", """
+WITH c AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+           FROM embeddings WHERE vec_id < 8),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
+sc AS (SELECT vec_id, cent_id,
+              round(list_cosine_similarity(vv, cv), 6) AS cos
+       FROM v CROSS JOIN c),
+r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos DESC, cent_id) AS rn
+      FROM sc)
+SELECT vec_id, cent_id, cos FROM r WHERE rn = 1
+""")
+def centroid_assignment(spark, sf_dir):
+    """IVF index build / k-means assignment step
+    (operators/similarity.assign_centroids): every corpus vector assigned
+    to its argmax-cosine centroid (broadcast centroids, one corpus pass,
+    deterministic tie-break) — upgrades the IVF path from rows-only to
+    oracle-verified on its core primitive."""
+    from amundsendatabuilder_spark.operators.similarity import assign_centroids
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    cents = (emb.where(F.col("vec_id") < 8)
+             .select(F.col("vec_id").alias("cent_id"), "embedding"))
+    return assign_centroids(emb, cents)
+
+
 # --- rows-only entries (no SQL-expressible oracle) -------------------------
 
 

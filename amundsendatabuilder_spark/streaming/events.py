@@ -74,3 +74,30 @@ def run_to_memory(stream_df: DataFrame, spark: SparkSession,
          .start())
     q.awaitTermination()
     return spark.table(name)
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch twin of ``sessionize`` via gaps-and-islands: a new session
+    starts where the gap from the user's previous event exceeds
+    ``gap_minutes``; session id = running count of session starts. Output
+    matches what session_window produces, but is ANSI-window expressible,
+    so the oracle can verify the session semantics exactly (the streaming
+    variant then only needs the weaker rows-only check).
+
+    Two window passes over one (user_id, ts)-sorted shuffle partition-
+    pruning-friendly layout; no UDF, no explosion."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    new_sess = (prev_us.isNull()
+                | ((F.unix_micros("ts") - prev_us) > gap_us)).cast("int")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_sess = (events
+                 .withColumn("_new", new_sess)
+                 .withColumn("session_id", F.sum("_new").over(run)))
+    return (with_sess.groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.unix_micros(F.min("ts")).alias("session_start_us"),
+                 F.unix_micros(F.max("ts")).alias("session_end_us")))

@@ -186,3 +186,47 @@ def test_connected_components(spark):
              for r in connected_components_small(edges).collect()}
     assert comps[5] == comps[2] == comps[7] == 2
     assert comps[10] == comps[11] == 10
+
+
+def test_asof_join_semantics(spark):
+    from amundsendatabuilder_spark.operators.asof import asof_join
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 200, "p2"), (2, 50, "p3")],
+        "k long, ts long, pid string")
+    right = spark.createDataFrame(
+        [(1, 100, "r_at_100"), (1, 150, "r_at_150"), (3, 10, "other_key")],
+        "k long, ts long, payload string")
+    rows = {r.pid: r.asof_payload
+            for r in asof_join(left, right, on="k", ts="ts").collect()}
+    assert rows == {"p1": "r_at_100",   # same-ts row matches (non-strict)
+                    "p2": "r_at_150",   # latest prior wins
+                    "p3": None}         # no right row for key 2
+    strict = {r.pid: r.asof_payload
+              for r in asof_join(left, right, on="k", ts="ts",
+                                 strict=True).collect()}
+    assert strict["p1"] is None         # same-ts excluded when strict
+
+
+def test_assign_centroids_argmax(spark):
+    from amundsendatabuilder_spark.operators.similarity import assign_centroids
+    vecs = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0]), (12, [0.7, 0.7])],
+        "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "cent_id long, embedding array<double>")
+    rows = {r.vec_id: r.cent_id for r in assign_centroids(vecs, cents).collect()}
+    assert rows == {10: 0, 11: 1, 12: 0}  # tie on 12 -> min cent_id
+
+
+def test_sessionize_batch_gap_split(spark):
+    from amundsendatabuilder_spark.streaming.events import sessionize_batch
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0, 1), (1, t0 + dt.timedelta(minutes=10), 2),
+            (1, t0 + dt.timedelta(minutes=90), 3),  # 80-min gap -> new session
+            (2, t0, 4)]
+    events = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    out = {(r.user_id, r.session_id): r.n_events
+           for r in sessionize_batch(events, gap_minutes=30).collect()}
+    assert out == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
