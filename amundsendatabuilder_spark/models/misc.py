@@ -202,6 +202,41 @@ def expand_badges(df: DataFrame, spark) -> GraphOutput:
     return GraphOutput(nodes, rels)
 
 
+# Badge start-key patterns per start label (reference: models/badge.py:52-59
+# — re.match, i.e. anchored at the start only)
+BADGE_KEY_PATTERNS = {
+    "Table": r"^[a-z]+://[a-zA-Z0-9_.-]+.[a-zA-Z0-9_.-]+/[a-zA-Z0-9_.-]+",
+    "Dashboard": r"^[a-z]+_dashboard://[a-zA-Z0-9_.-]+.[a-zA-Z0-9_.-]+/[a-zA-Z0-9_.-]+",
+    "Column": r"^[a-z]+://[a-zA-Z0-9_.-]+.[a-zA-Z0-9_.-]+/[a-zA-Z0-9_.-]+/[a-zA-Z0-9_.-]+",
+}
+
+
+def validate_badge_keys(df: DataFrame, start_label: str,
+                        key_col: str = "start_key",
+                        strict: bool = True) -> DataFrame:
+    """Set-level version of the reference's per-record badge key check
+    (models/badge.py:52-67: start label must be Table/Dashboard/Column and
+    the start key must match that label's regex, else raise). strict=True
+    raises on the first violation (via ``raise_error`` inside the plan —
+    no driver-side collect of good rows); strict=False returns the
+    violating rows for quarantine instead.
+
+    Note: the strict check fires when the key column is EVALUATED — a
+    downstream count() would prune it away. Sinks always materialize the
+    key, so the write path is covered; for an eager standalone check use
+    the quarantine form + isEmpty()."""
+    if start_label not in BADGE_KEY_PATTERNS:
+        raise ValueError(f"{start_label} is not a valid start_label for a Badge relation")
+    ok = F.col(key_col).rlike(BADGE_KEY_PATTERNS[start_label])
+    if not strict:
+        return df.where(~ok)
+    return df.withColumn(
+        key_col,
+        F.when(ok, F.col(key_col)).otherwise(F.raise_error(F.concat(
+            F.col(key_col),
+            F.lit(f" does not match the key pattern for a {start_label}")))))
+
+
 def expand_users(df: DataFrame) -> GraphOutput:
     """User (reference: models/user.py:21-220) incl. the manager self-join
     edge (:207-212). Input: email, first_name, last_name, full_name,

@@ -104,3 +104,25 @@ def test_expand_dashboard_executions_sentinels(spark):
     assert keys == [
         "mode_dashboard://gold.grp1/d1/execution/_last_execution",
         "mode_dashboard://gold.grp1/d1/execution/_last_successful_execution"]
+
+
+def test_badge_key_validation(spark):
+    import pytest as _pytest
+    from amundsendatabuilder_spark.models.misc import validate_badge_keys
+    good = spark.createDataFrame(
+        [("hive://gold.core/orders",)], "start_key string")
+    bad = spark.createDataFrame(
+        [("hive://gold.core/orders",), ("not-a-key",)], "start_key string")
+    # strict: good rows flow through, bad plans raise on evaluation
+    assert validate_badge_keys(good, "Table").count() == 1
+    with _pytest.raises(Exception, match="does not match the key pattern"):
+        validate_badge_keys(bad, "Table").collect()  # count() would prune the col
+    # quarantine mode returns only violations
+    assert [r.start_key for r in
+            validate_badge_keys(bad, "Table", strict=False).collect()] == ["not-a-key"]
+    with _pytest.raises(ValueError, match="not a valid start_label"):
+        validate_badge_keys(good, "User")
+    # dashboard pattern is distinct
+    dash = spark.createDataFrame(
+        [("mode_dashboard://gold.grp/d1",)], "start_key string")
+    assert validate_badge_keys(dash, "Dashboard").count() == 1
