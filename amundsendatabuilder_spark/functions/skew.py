@@ -1,0 +1,56 @@
+"""Skew-mitigation primitives.
+
+AQE's skew-join splitting (on in session.py) handles most skew at runtime,
+but two situations still need explicit salting at 100 TB:
+
+- joining a huge fact to a SMALL dim on a LOW-CARDINALITY key (every row
+  of one key lands on one reducer; AQE can split the partition but the
+  build side must be replicated to match) — ``salted_join``;
+- aggregations whose merge functions have no map-side partial form
+  (collect_list over few groups) — two-stage salted aggregation,
+  ``salted_two_stage_collect``.
+
+Salt values never reach the output: they only widen the shuffle key space,
+so results are byte-identical to the unsalted plan (which is exactly what
+the oracle verifies).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(big: DataFrame, small: DataFrame, on: str,
+                buckets: int = 8, how: str = "inner") -> DataFrame:
+    """Equi-join ``big`` ⨝ ``small`` on a skewed low-cardinality key:
+    the big side gets a uniform salt in [0, buckets); the small side is
+    replicated once per salt value (explode of a literal range — cheap,
+    it is the SMALL side by contract); the join key becomes (key, salt),
+    spreading each hot key over ``buckets`` reducers.
+
+    Salt is derived from a hash of the full row's partition position, not
+    rand(), so re-executed tasks (speculation, retries) salt
+    deterministically within a run."""
+    big_s = big.withColumn(
+        "_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(buckets)))
+    small_s = (small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))))
+    out = big_s.join(small_s, [on, "_salt"], how)
+    return out.drop("_salt")
+
+
+def salted_two_stage_collect(df: DataFrame, group_col: str, value_col: str,
+                             buckets: int = 16) -> DataFrame:
+    """collect_list with salting: stage 1 collects per (group, salt) —
+    ``buckets``-way parallel even for one giant group; stage 2 flattens the
+    per-salt arrays. Output (group, values sorted) — sorting makes the
+    result deterministic, which any salted collect needs anyway since
+    arrival order is partition-dependent."""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.hash(F.col(value_col)), F.lit(buckets)))
+    stage1 = (salted.groupBy(group_col, "_salt")
+              .agg(F.collect_list(value_col).alias("_part")))
+    return (stage1.groupBy(group_col)
+            .agg(F.array_sort(F.flatten(F.collect_list("_part")))
+                 .alias("values")))

@@ -1626,6 +1626,53 @@ def centroid_assignment(spark, sf_dir):
     return assign_centroids(emb, cents)
 
 
+@query("skew_salted_join", """
+WITH dim AS (
+  SELECT * FROM (VALUES ('R', 'returned'), ('A', 'accepted'), ('N', 'none'))
+           AS t(flag, description))
+SELECT description, count(*) AS n,
+       round(sum(l_extendedprice), 2) AS total_price
+FROM lineitem JOIN dim ON l_returnflag = flag
+GROUP BY description
+""")
+def skew_salted_join(spark, sf_dir):
+    """Salted join on an extreme-skew key (functions/skew.salted_join):
+    lineitem joins a 3-row dim on l_returnflag — unsalted, each flag's
+    millions of rows hit ONE reducer; salting spreads each over 8. The
+    salt never reaches the output, so the oracle (plain join) verifies
+    byte-identical semantics."""
+    from amundsendatabuilder_spark.functions.skew import salted_join
+    (li,) = _t(spark, sf_dir, "lineitem")
+    dim = spark.createDataFrame(
+        [("R", "returned"), ("A", "accepted"), ("N", "none")],
+        "l_returnflag string, description string")
+    return (salted_join(li.select("l_returnflag", "l_extendedprice"), dim,
+                        on="l_returnflag", buckets=8)
+            .groupBy("description")
+            .agg(F.count("*").alias("n"),
+                 round_half_away(F.sum("l_extendedprice"), 2).alias("total_price")))
+
+
+@query("skew_salted_collect", """
+SELECT o_orderstatus,
+       array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS values
+FROM orders GROUP BY o_orderstatus
+""")
+def skew_salted_collect(spark, sf_dir):
+    """Two-stage salted collect (functions/skew.salted_two_stage_collect):
+    collect over 3 giant groups parallelized across 16 salt buckets, then
+    flattened — the pattern for non-algebraic aggregations AQE cannot
+    split. Distinct+sort applied for a deterministic compare."""
+    from amundsendatabuilder_spark.functions.skew import salted_two_stage_collect
+    (orders,) = _t(spark, sf_dir, "orders")
+    collected = salted_two_stage_collect(
+        orders.select("o_orderstatus", "o_orderpriority"),
+        "o_orderstatus", "o_orderpriority")
+    return collected.select(
+        "o_orderstatus",
+        F.concat_ws(",", F.array_sort(F.array_distinct("values"))).alias("values"))
+
+
 # --- rows-only entries (no SQL-expressible oracle) -------------------------
 
 
