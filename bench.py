@@ -32,6 +32,18 @@ HEADLINE = [
     "quality_metrics",
     "doc_fingerprint",
     "ann_brute_force_topk",
+    # round-1 additions: temporal join, sessions, clustering, scrub/profile,
+    # skew-salted plans, search docs
+    "asof_view_before_purchase",
+    "sessionize_batch",
+    "dedup_clusters",
+    "centroid_assignment",
+    "pii_scrub",
+    "repetition_metrics",
+    "vocab_topk",
+    "skew_salted_join",
+    "search_doc_user",
+    "search_doc_dashboard",
 ]
 
 
