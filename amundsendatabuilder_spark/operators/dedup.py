@@ -55,7 +55,8 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", num_hashes: int = 16,
-                       shingle_size: int = 3) -> DataFrame:
+                       shingle_size: int = 3,
+                       shingles: DataFrame | None = None) -> DataFrame:
     """(doc_id, mh0..mh{k-1}) — one row per doc, one column per hash fn.
 
     Hash family: md5('<salt>:'+shingle) yields 32 hex chars = four
@@ -69,7 +70,10 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     """
     assert num_hashes % 4 == 0, "num_hashes must be a multiple of 4"
     from amundsendatabuilder_spark.functions.text import exploded_shingles
-    shingled = exploded_shingles(docs, id_col, text_col, shingle_size)
+    # callers that also need the shingle rows (e.g. LSH+verify) pass them
+    # in, so the tokenize+explode pass runs once for the whole pipeline
+    shingled = shingles if shingles is not None \
+        else exploded_shingles(docs, id_col, text_col, shingle_size)
     salts = {s: F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))
              for s in range(num_hashes // 4)}
     aggs = [F.min(F.substring(salts[j // 4], (j % 4) * 8 + 1, 8)).alias(f"mh{j}")
@@ -80,14 +84,16 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", num_hashes: int = 16,
                       bands: int = 4, shingle_size: int = 3,
-                      max_bucket_size: int = 1000) -> DataFrame:
+                      max_bucket_size: int = 1000,
+                      shingles: DataFrame | None = None) -> DataFrame:
     """Candidate near-duplicate pairs (doc_a < doc_b) sharing at least one
     LSH band. bands × rows layout: band b holds hashes
     [b*rows_per_band, (b+1)*rows_per_band); band signature = ordered
     concat of the band's minhashes.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_size)
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_size,
+                              shingles=shingles)
     # one explode instead of a bands-way union: the shingle+hash pipeline
     # runs exactly once, then fans out 4 tiny (band, sig) rows per doc.
     # cache() because the bucket guard and both join sides re-read it —
@@ -212,9 +218,9 @@ def lsh_verified_pairs(docs: DataFrame, id_col: str = "doc_id",
     Returns (doc_a, doc_b, jaccard >= threshold).
     """
     from amundsendatabuilder_spark.functions.text import exploded_shingles
-    cands = minhash_lsh_pairs(docs, id_col, text_col, num_hashes, bands,
-                              shingle_size, max_bucket_size)
     sh = exploded_shingles(docs, id_col, text_col, shingle_size).cache()
+    cands = minhash_lsh_pairs(docs, id_col, text_col, num_hashes, bands,
+                              shingle_size, max_bucket_size, shingles=sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
     sb = sh.select(F.col("doc_id").alias("_doc_b2"),
