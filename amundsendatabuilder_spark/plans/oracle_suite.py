@@ -1673,6 +1673,39 @@ def skew_salted_collect(spark, sf_dir):
         F.concat_ws(",", F.array_sort(F.array_distinct("values"))).alias("values"))
 
 
+@query("embedding_label_centroids", r"""
+WITH u AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding::DOUBLE[]) AS x
+  FROM embeddings),
+m AS (SELECT label, pos, avg(x) AS mean_x FROM u GROUP BY label, pos)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS dim,
+       round(sum(mean_x * mean_x), 6) AS centroid_sq_norm,
+       round(max(mean_x), 6) AS max_component
+FROM m GROUP BY label
+""")
+def embedding_label_centroids(spark, sf_dir):
+    """Element-wise mean vector (centroid) per label — the k-means update
+    step and the embedding-space class profile. posexplode + (label, pos)
+    aggregation: the shuffle carries scalars, never whole vectors, and the
+    reduce is map-side combinable — at 100 TB this is the only stable way
+    to average billions of vectors (no driver-side accumulation). Output
+    summarizes the centroid (dim, squared norm, max component) because
+    array columns hash differently across engines."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    from amundsendatabuilder_spark.session import ensure_parallelism
+    u = (ensure_parallelism(emb)
+         .select("label", F.posexplode(F.col("embedding").cast("array<double>"))
+                 .alias("pos", "x")))
+    m = u.groupBy("label", "pos").agg(F.avg("x").alias("mean_x"))
+    return (m.groupBy("label")
+            .agg(F.count("*").alias("dim"),
+                 round_half_away(F.sum(F.col("mean_x") * F.col("mean_x")), 6)
+                 .alias("centroid_sq_norm"),
+                 round_half_away(F.max("mean_x"), 6).alias("max_component")))
+
+
 # --- rows-only entries (no SQL-expressible oracle) -------------------------
 
 
