@@ -1706,6 +1706,58 @@ def embedding_label_centroids(spark, sf_dir):
                  round_half_away(F.max("mean_x"), 6).alias("max_component")))
 
 
+@query("hive_union_nest", """
+SELECT 'sch' || r_name AS schema, n_name AS name,
+       'tbl ' || n_name AS description,
+       false AS is_view,
+       CAST(3 AS INT) AS n_cols,
+       'ds,c1,c2' AS col_order,
+       'ds' AS part_cols
+FROM nation JOIN region ON n_regionkey = r_regionkey
+""")
+def hive_union_nest(spark, sf_dir):
+    """The Hive metastore hard part end-to-end (reference:
+    extractor/hive_table_metadata_extractor.py:35-158): partition-column
+    and regular-column halves UNIONed with set-dedup (an exact-duplicate
+    row is injected and must collapse), nested per table with partition
+    columns sorted FIRST and badged 'partition column'. Tables synthesized
+    from nations; oracle is the hand-computed expectation, so ordering,
+    dedup and badge attachment are all verified byte-for-byte."""
+    from amundsendatabuilder_spark.sources.hive import (
+        nest_hive_columns, union_hive_columns)
+    nation, region = _t(spark, sf_dir, "nation", "region")
+    base = (nation.join(F.broadcast(region),
+                        F.col("n_regionkey") == F.col("r_regionkey"))
+            .select(F.concat(F.lit("sch"), F.col("r_name")).alias("schema"),
+                    F.col("n_name").alias("name")))
+
+    def half(col_name, sort_order, col_type, col_desc, is_part, desc):
+        return base.select(
+            "schema", "name",
+            (F.concat(F.lit("tbl "), F.col("name")) if desc
+             else F.lit(None).cast("string")).alias("description"),
+            F.lit(col_name).alias("col_name"),
+            F.lit(sort_order).alias("col_sort_order"),
+            F.lit(col_type).alias("col_type"),
+            F.lit(col_desc).cast("string").alias("col_description"),
+            F.lit(is_part).alias("is_partition_col"),
+            F.lit(0).alias("is_view"))
+
+    part_half = half("ds", 0, "string", "partition date", 1, True)
+    regular = (half("c1", 0, "bigint", None, 0, False)
+               .unionByName(half("c2", 1, "string", None, 0, False))
+               .unionByName(half("c2", 1, "string", None, 0, False)))  # exact dup
+    nested = nest_hive_columns(union_hive_columns(part_half, regular))
+    cols = F.col("columns")
+    return nested.select(
+        "schema", "name", "description", "is_view",
+        F.size(cols).alias("n_cols"),
+        F.concat_ws(",", F.transform(cols, lambda c: c["name"])).alias("col_order"),
+        F.concat_ws(",", F.transform(
+            F.filter(cols, lambda c: F.size(c["badges"]) > 0),
+            lambda c: c["name"])).alias("part_cols"))
+
+
 # --- rows-only entries (no SQL-expressible oracle) -------------------------
 
 
