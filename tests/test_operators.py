@@ -230,3 +230,23 @@ def test_sessionize_batch_gap_split(spark):
     out = {(r.user_id, r.session_id): r.n_events
            for r in sessionize_batch(events, gap_minutes=30).collect()}
     assert out == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_ivf_recall_vs_exact(spark):
+    """IVF quality contract on the driver testdata: partial probing finds a
+    usable fraction of true neighbors, and probing EVERY list degrades to
+    exhaustive search (recall 1.0) — the knob users turn at 100 TB."""
+    from pyspark.sql import functions as F
+    from amundsendatabuilder_spark.operators.similarity import (
+        brute_force_topk, ivf_topk)
+    from amundsendatabuilder_spark.session import load_tables
+    emb = load_tables(spark, "/root/testdata/sf0.001", ("embeddings",))["embeddings"]
+    q = emb.where(F.col("vec_id") < 8)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(emb, q, k=10).collect()}
+    partial = {(r.query_id, r.neighbor_id)
+               for r in ivf_topk(emb, q, k=10, nlist=16, nprobe=4).collect()}
+    assert len(exact & partial) / len(exact) >= 0.4  # measured 0.613
+    full = {(r.query_id, r.neighbor_id)
+            for r in ivf_topk(emb, q, k=10, nlist=16, nprobe=16).collect()}
+    assert len(exact & full) / len(exact) == 1.0
