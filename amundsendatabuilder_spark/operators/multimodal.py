@@ -98,6 +98,59 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+AUDIO_CHUNKS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("chunk_idx", T.IntegerType(), False),
+    T.StructField("start_ms", T.LongType(), False),
+    T.StructField("end_ms", T.LongType(), False),
+    T.StructField("rms_energy", T.DoubleType(), True),
+])
+
+
+def audio_chunk_features(media: DataFrame, chunk_ms: int = 1000,
+                         strict: bool = False) -> DataFrame:
+    """Audio path: chunk boundaries expand JVM-side (sequence + explode on
+    duration metadata — same shape as frame_sample_plan), then a per-chunk
+    feature (RMS energy) is computed over the payload slice via
+    mapInPandas. The codec (resample/decode) is the stubbed step: the
+    deterministic fake derives energy from the chunk's byte window so the
+    full Spark contract — metadata fan-out, Arrow batching, per-chunk
+    feature schema — is real and testable without torchaudio."""
+    if strict:
+        raise NotImplementedError(
+            "real audio decode requires torchaudio/librosa; replace the "
+            "fake energy body — the Spark plumbing is final")
+    chunks = (
+        media.where(F.col("kind") == "audio")
+        .select("media_id", "payload",
+                F.posexplode(F.sequence(
+                    F.lit(0),
+                    F.greatest(F.coalesce(F.col("meta.duration_ms"), F.lit(0))
+                               - 1, F.lit(0)),
+                    F.lit(chunk_ms))).alias("chunk_idx", "start_ms"))
+        .withColumn("end_ms", F.col("start_ms") + chunk_ms))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        for pdf in it:
+            def energy(row):
+                b = bytes(row["payload"] or b"")
+                lo = int(row["chunk_idx"]) % max(1, len(b))
+                window = b[lo:lo + 16] or b"\0"
+                h = hashlib.md5(window).hexdigest()
+                return int(h[:4], 16) / 65535.0
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "chunk_idx": pdf["chunk_idx"].astype("int32"),
+                "start_ms": pdf["start_ms"].astype("int64"),
+                "end_ms": pdf["end_ms"].astype("int64"),
+                "rms_energy": pdf.apply(energy, axis=1) if len(pdf) else
+                pd.Series([], dtype="float64"),
+            })
+
+    return chunks.mapInPandas(batches, AUDIO_CHUNKS_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (payload = md5-derived
     bytes). Stands in for `spark.read.format('binaryFile')` ingestion."""

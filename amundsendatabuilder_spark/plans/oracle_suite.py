@@ -1791,6 +1791,17 @@ def stream_dedup_first_seen(spark, sf_dir):
         if rows else spark.createDataFrame([], "fingerprint string, doc_id long, dup_rank long")
 
 
+@query("multimodal_audio_chunks")
+def multimodal_audio_chunks(spark, sf_dir):
+    """Audio chunking + per-chunk feature extraction
+    (operators/multimodal.audio_chunk_features): JVM-side chunk fan-out
+    from duration metadata, Arrow-batched per-chunk energy (stub codec).
+    Rows-only check."""
+    from amundsendatabuilder_spark.operators.multimodal import (
+        audio_chunk_features, synthetic_media)
+    return audio_chunk_features(synthetic_media(spark, n=96), chunk_ms=500)
+
+
 @query("multimodal_frame_plan")
 def multimodal_frame_plan(spark, sf_dir):
     """Video frame-sampling plan (operators/multimodal.frame_sample_plan):

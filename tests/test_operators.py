@@ -250,3 +250,24 @@ def test_ivf_recall_vs_exact(spark):
     full = {(r.query_id, r.neighbor_id)
             for r in ivf_topk(emb, q, k=10, nlist=16, nprobe=16).collect()}
     assert len(exact & full) / len(exact) == 1.0
+
+
+def test_audio_chunk_features(spark):
+    from amundsendatabuilder_spark.operators.multimodal import (
+        audio_chunk_features, synthetic_media)
+    import pytest as _pytest
+    media = synthetic_media(spark, n=9)  # 3 audio rows (kind cycle)
+    out = audio_chunk_features(media, chunk_ms=1000).collect()
+    # duration 5000ms -> chunks at 0,1000,2000,3000,4000 per audio asset
+    per_asset = {}
+    for r in out:
+        per_asset.setdefault(r.media_id, []).append(r)
+        assert r.end_ms - r.start_ms == 1000
+        assert 0.0 <= r.rms_energy <= 1.0
+    assert all(len(v) == 5 for v in per_asset.values())
+    assert len(per_asset) == 3
+    # determinism: same payload bytes -> same energies
+    again = audio_chunk_features(media, chunk_ms=1000).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    with _pytest.raises(NotImplementedError):
+        audio_chunk_features(media, strict=True)

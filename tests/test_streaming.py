@@ -100,3 +100,40 @@ def test_stream_first_seen_dedup(spark, tmp_path):
     b2.coalesce(1).write.parquet(str(src / "b2"))
     rows2 = {r.fingerprint: r.doc_id for r in run_once()}
     assert rows2 == {"cc": 5}  # 'aa' suppressed by state from batch 1
+
+
+def test_commit_on_success_contract(spark, tmp_path):
+    """The reference's Kafka contract (offsets committed ONLY after the
+    downstream publish succeeds, kafka_source_extractor.py:116-130) mapped
+    to checkpointing: a sink that fails leaves offsets uncommitted, so the
+    next run REPLAYS the batch; after a successful run the data is not
+    redelivered."""
+    from amundsendatabuilder_spark.streaming.kafka_job import run_available_now
+
+    src = tmp_path / "in"
+    src.mkdir()
+    chk = str(tmp_path / "chk")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string") \
+        .coalesce(1).write.parquet(str(src / "f1"))
+    stream = (spark.readStream.schema("id long, v string")
+              .option("pathGlobFilter", "*.parquet").parquet(str(src) + "/*"))
+
+    delivered = []
+
+    def failing_sink(df, epoch):
+        raise RuntimeError("publish failed")
+
+    import pytest as _pytest
+    q = run_available_now(stream, chk, failing_sink)
+    with _pytest.raises(Exception):
+        q.awaitTermination(120)
+
+    def good_sink(df, epoch):
+        delivered.extend(r.id for r in df.collect())
+
+    run_available_now(stream, chk, good_sink).awaitTermination(120)
+    assert sorted(delivered) == [1, 2]  # replayed after failure
+
+    delivered.clear()
+    run_available_now(stream, chk, good_sink).awaitTermination(120)
+    assert delivered == []  # committed: no redelivery
