@@ -137,3 +137,47 @@ def test_commit_on_success_contract(spark, tmp_path):
     delivered.clear()
     run_available_now(stream, chk, good_sink).awaitTermination(120)
     assert delivered == []  # committed: no redelivery
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """Cross-check the two sessionization implementations: with a second
+    micro-batch advancing the watermark past every real session, the
+    stream (append mode) must emit EXACTLY the sessions the batch
+    gaps-and-islands computation produces."""
+    import datetime as dt
+
+    from amundsendatabuilder_spark.streaming.events import (
+        run_to_memory, sessionize, sessionize_batch)
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for user in range(1, 6):
+        for s in range(3):  # 3 sessions/user, >30-min gaps between them
+            base = t0 + dt.timedelta(minutes=s * 60 + user)
+            for k in range(4):
+                rows.append((eid, base + dt.timedelta(minutes=5 * k),
+                             user, "view", 1.0, "{}"))
+                eid += 1
+    schema = ("event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string")
+    events = spark.createDataFrame(rows, schema)
+    pusher = spark.createDataFrame(
+        [(99999, t0 + dt.timedelta(hours=10), 99, "view", 1.0, "{}")], schema)
+    src = tmp_path / "ev"
+    src.mkdir()
+    events.coalesce(1).write.parquet(str(src / "f1"))
+    pusher.coalesce(1).write.parquet(str(src / "f2"))
+
+    batch = {(r.user_id, r.session_start_us, r.n_events)
+             for r in sessionize_batch(events).collect()}
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)  # f2's batch advances the watermark
+              .option("pathGlobFilter", "*.parquet")
+              .parquet(str(src) + "/*"))
+    out = run_to_memory(sessionize(stream, gap="30 minutes"), spark,
+                        "sess_eq", str(tmp_path / "chk"))
+    streamed = {(r.user_id, int(r.window_start.timestamp() * 1_000_000),
+                 r.n_events) for r in out.collect() if r.user_id != 99}
+    assert streamed == batch
