@@ -86,6 +86,7 @@ def connected_components_small(edges: DataFrame,
     # checkpointed as 32 partitions costs a full task wave per iteration
     # for nothing. ~200k edges per partition; grows with the graph.
     n_edges = sym.count()
+    edges.unpersist()  # sym is materialized now; the input cache is done
     n_parts = max(1, min(int(DEFAULT_SHUFFLE_PARTITIONS),
                          n_edges // 200_000 + 1))
     labels = (sym.select("a").distinct()

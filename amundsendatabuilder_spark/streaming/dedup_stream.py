@@ -33,21 +33,22 @@ def _first_seen_fn(key, pdf_iter, state: GroupState):
     import pandas as pd
 
     (n_seen,) = state.get if state.exists else (0,)
-    first = None
+    was_new = n_seen == 0
+    min_id = None
     for pdf in pdf_iter:
         if len(pdf) == 0:
             continue
-        if n_seen == 0 and first is None:
-            row = pdf.nsmallest(1, "doc_id") if "doc_id" in pdf else pdf.iloc[[0]]
-            first = pd.DataFrame({
-                "fingerprint": [key[0]],
-                "doc_id": row["doc_id"].iloc[0:1].reset_index(drop=True),
-                "dup_rank": [0],
-            })
+        if was_new:
+            chunk_min = int(pdf["doc_id"].min())
+            min_id = chunk_min if min_id is None else min(min_id, chunk_min)
         n_seen += len(pdf)
     state.update((n_seen,))
-    if first is not None:
-        yield first
+    if was_new and min_id is not None:
+        # min across ALL Arrow chunks of this batch's group, so the keeper
+        # is deterministic regardless of batch chunking
+        yield pd.DataFrame({"fingerprint": [key[0]],
+                            "doc_id": [min_id],
+                            "dup_rank": [0]})
 
 
 def first_seen_filter(docs: DataFrame, key_col: str = "fingerprint") -> DataFrame:
