@@ -1853,6 +1853,31 @@ def stream_sessionize(spark, sf_dir):
                          tempfile.mkdtemp())
 
 
+@query("ann_ivf_full_probe", r"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+sc AS (SELECT query_id, neighbor_id,
+              round(list_cosine_similarity(qv, cv), 6) AS cos
+       FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+      FROM sc)
+SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 10
+""")
+def ann_ivf_full_probe(spark, sf_dir):
+    """IVF at nprobe == nlist degenerates to exhaustive search, which makes
+    the whole IVF machinery (centroid sampling, list assignment, probe
+    routing, final rank) oracle-verifiable against the EXACT top-k SQL —
+    the strongest check available for an ANN operator. The partial-probe
+    production configuration keeps its rows-only entry (ann_ivf_topk) plus
+    the recall contract test."""
+    from amundsendatabuilder_spark.operators.similarity import ivf_topk
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.where(F.col("vec_id") < 8), k=10,
+                    nlist=16, nprobe=16)
+
+
 @query("ann_ivf_topk")
 def ann_ivf_topk(spark, sf_dir):
     """IVF approximate top-k (operators/similarity.ivf_topk): probe-limited
