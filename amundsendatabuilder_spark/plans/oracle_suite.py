@@ -1802,12 +1802,19 @@ def multimodal_audio_chunks(spark, sf_dir):
     return audio_chunk_features(synthetic_media(spark, n=96), chunk_ms=500)
 
 
-@query("multimodal_frame_plan")
+@query("multimodal_frame_plan", """
+SELECT i AS media_id, f AS frame_ts_ms
+FROM (SELECT unnest(range(0, 64)) AS i) t,
+     (SELECT unnest(range(0, 5001, 500)) AS f) u
+WHERE i % 3 = 2
+""")
 def multimodal_frame_plan(spark, sf_dir):
     """Video frame-sampling plan (operators/multimodal.frame_sample_plan):
-    per-asset frame timestamps fanned out from duration metadata — the
-    Spark-side plumbing (schema, explode cardinality) is real; decode is
-    stubbed. Rows-only check."""
+    per-asset frame timestamps fanned out from duration metadata. The
+    synthetic media table is deterministic (video assets = ids with
+    i % 3 == 2, duration 5000 ms -> frames 0..5000 step 500), so the
+    metadata fan-out IS oracle-verifiable; only the pixel decode stays a
+    stub."""
     from amundsendatabuilder_spark.operators.multimodal import (
         frame_sample_plan, synthetic_media)
     return frame_sample_plan(synthetic_media(spark, n=64), every_ms=500)
