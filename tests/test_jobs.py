@@ -33,3 +33,29 @@ def test_job_validation_failure_skips_finalizers(spark):
     with pytest.raises(ValueError, match="node_label_not_title"):
         job.run()
     assert finalized == []
+
+
+def test_chained_fanout_ordering(spark):
+    """The reference's integration scenario (tests/integration/
+    test_chained_trainsformers_task.py:48-80): a chain of fan-out ->
+    noop -> duplicate transformers must emit, per input record,
+    [table, table, owner, owner] in order. The pull loop's stream order
+    becomes explicit position columns (SURVEY §7.4: reproduce 1->N
+    ordering as flatMap with position indices)."""
+    from pyspark.sql import functions as F
+    data = spark.createDataFrame([(1, "db1"), (2, "db2")], "rec long, db string")
+    fanout = data.select(
+        "rec", "db",
+        F.posexplode(F.array(F.lit("table"), F.lit("owner")))
+        .alias("yield_idx", "kind"))
+    noop = fanout
+    duplicated = noop.select(
+        "rec", "db", "yield_idx", "kind",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("dup_idx"))
+    rows = duplicated.orderBy("rec", "yield_idx", "dup_idx").collect()
+    assert [(r.rec, r.kind) for r in rows] == [
+        (1, "table"), (1, "table"), (1, "owner"), (1, "owner"),
+        (2, "table"), (2, "table"), (2, "owner"), (2, "owner")]
+    # filter stage (transform -> None) drops records without disturbing order
+    filtered = duplicated.where(F.col("kind") != "owner")
+    assert filtered.count() == 4
