@@ -1758,6 +1758,58 @@ def hive_union_nest(spark, sf_dir):
             lambda c: c["name"])).alias("part_cols"))
 
 
+@query("event_interarrival", """
+WITH d AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events)
+SELECT user_id, count(*) AS n_gaps,
+       CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+       round(avg(gap_us), 2) AS avg_gap_us
+FROM d WHERE gap_us IS NOT NULL GROUP BY user_id
+""")
+def event_interarrival(spark, sf_dir):
+    """lag()-based inter-arrival gaps per user (the §2.5 window surface
+    beyond row_number): one shuffle on user_id serves both the window and
+    the aggregation — Catalyst reuses the partitioning."""
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    return (events.select("user_id", gap.alias("gap_us"))
+            .where(F.col("gap_us").isNotNull())
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_gaps"),
+                 F.min("gap_us").alias("min_gap_us"),
+                 F.max("gap_us").alias("max_gap_us"),
+                 round_half_away(F.avg("gap_us"), 2).alias("avg_gap_us")))
+
+
+@query("fuzzy_name_match", """
+SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+       CAST(levenshtein(a.s_name, b.s_name) AS INT) AS edit_distance
+FROM supplier a JOIN supplier b
+  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 3
+""")
+def fuzzy_name_match(spark, sf_dir):
+    """Fuzzy name matching via edit distance — the catalog schema-matching
+    primitive (find near-identical table/column names across schemas) the
+    reference leaves to humans. Blocked on an equality key (nation) so the
+    quadratic comparison runs within blocks only — the standard
+    entity-resolution blocking strategy at scale."""
+    (sup,) = _t(spark, sf_dir, "supplier")
+    a, b = sup.alias("a"), sup.alias("b")
+    dist = F.levenshtein(F.col("a.s_name"), F.col("b.s_name"))
+    return (a.join(b, (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+                   & (F.col("a.s_suppkey") < F.col("b.s_suppkey")))
+            .where(dist <= 3)
+            .select(F.col("a.s_suppkey").alias("id_a"),
+                    F.col("b.s_suppkey").alias("id_b"),
+                    dist.alias("edit_distance")))
+
+
 # --- rows-only entries (no SQL-expressible oracle) -------------------------
 
 
