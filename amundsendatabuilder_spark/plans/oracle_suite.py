@@ -1810,6 +1810,32 @@ def fuzzy_name_match(spark, sf_dir):
                     dist.alias("edit_distance")))
 
 
+@query("pivot_status_by_priority", """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_count,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_count,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p_count,
+       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS f_total
+FROM orders GROUP BY o_orderpriority
+""")
+def pivot_status_by_priority(spark, sf_dir):
+    """Pivot (long -> wide) via groupBy().pivot() with EXPLICIT pivot
+    values: naming the values skips Spark's extra distinct-collection job
+    and keeps the plan a single pass — the form that scales. The oracle is
+    the equivalent conditional aggregation."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    wide = (orders.groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["F", "O", "P"])
+            .agg(F.count(F.lit(1)).alias("n"),
+                 round_half_away(F.sum("o_totalprice"), 2).alias("total")))
+    return wide.select(
+        "o_orderpriority",
+        F.coalesce("F_n", F.lit(0)).alias("f_count"),
+        F.coalesce("O_n", F.lit(0)).alias("o_count"),
+        F.coalesce("P_n", F.lit(0)).alias("p_count"),
+        F.coalesce("F_total", F.lit(0.0)).alias("f_total"))
+
+
 # --- rows-only entries (no SQL-expressible oracle) -------------------------
 
 
