@@ -271,3 +271,36 @@ def test_audio_chunk_features(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
     with _pytest.raises(NotImplementedError):
         audio_chunk_features(media, strict=True)
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Cross-implementation check: on seeded random data, asof_join must
+    agree with pandas.merge_asof (direction='backward'), an independent
+    implementation of the same semantics."""
+    import numpy as np
+    import pandas as pd
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 5, 200),
+        "ts": rng.integers(0, 10_000, 200),
+        "lid": np.arange(200),
+    }).sort_values(["ts", "lid"]).reset_index(drop=True)
+    right = (pd.DataFrame({
+        "k": rng.integers(0, 5, 150),
+        "ts": rng.integers(0, 10_000, 150),
+        "payload": np.arange(150),
+    }).drop_duplicates(["k", "ts"])  # unique (key, ts) -> deterministic ties
+        .sort_values("ts").reset_index(drop=True))
+
+    expected = pd.merge_asof(left, right, on="ts", by="k",
+                             direction="backward", suffixes=("", "_r"))
+    exp = {int(r.lid): (None if pd.isna(r.payload) else int(r.payload))
+           for r in expected.itertuples()}
+
+    from amundsendatabuilder_spark.operators.asof import asof_join
+    sl = spark.createDataFrame(left)
+    sr = spark.createDataFrame(right)
+    got = {int(r.lid): (None if r.asof_payload is None else int(r.asof_payload))
+           for r in asof_join(sl, sr, on="k", ts="ts",
+                              right_cols=["payload"]).collect()}
+    assert got == exp
