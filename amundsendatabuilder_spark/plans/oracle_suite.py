@@ -1836,6 +1836,94 @@ def pivot_status_by_priority(spark, sf_dir):
         F.coalesce("F_total", F.lit(0.0)).alias("f_total"))
 
 
+@query("search_doc_table_built", """
+WITH t AS (
+  SELECT s_suppkey, s_nationkey, s_name,
+         's' || CAST(s_nationkey AS VARCHAR) AS sch,
+         'tpch://gold.s' || CAST(s_nationkey AS VARCHAR) || '/' || s_name AS key
+  FROM supplier),
+u AS (SELECT l_suppkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_usage,
+             CAST(count(DISTINCT 'u' || CAST(l_orderkey % 50 AS VARCHAR)) AS BIGINT)
+                 AS unique_usage
+      FROM lineitem GROUP BY 1)
+SELECT 'tpch' AS database, 'gold' AS cluster, t.sch AS schema, t.s_name AS name,
+       t.key, t.sch || '.' || t.s_name AS display_name,
+       CASE WHEN s_suppkey % 4 <> 0 AND s_suppkey % 2 = 0
+            THEN 'about ' || t.s_name END AS description,
+       'schema ' || t.sch AS schema_description,
+       CAST(s_suppkey * 1000 AS BIGINT) AS last_updated_timestamp,
+       'c1,c2' AS column_names,
+       'col one' AS column_descriptions,
+       coalesce(u.total_usage, 0) AS total_usage,
+       coalesce(u.unique_usage, 0) AS unique_usage,
+       CASE WHEN s_suppkey % 3 = 0 THEN 'rated' ELSE '' END AS tags,
+       CASE WHEN s_suppkey % 5 = 0 THEN 'iceberg,pk' ELSE '' END AS badges,
+       CASE WHEN s_suppkey % 4 <> 0 AND s_suppkey % 2 = 1
+            THEN 'about ' || t.s_name ELSE '' END AS programmatic_descriptions
+FROM t LEFT JOIN u ON t.s_suppkey = u.l_suppkey
+""")
+def search_doc_table_built(spark, sf_dir):
+    """build_table_documents (the §2.6 flagship builder API) verified with
+    EVERY feature active: default vs programmatic description routing,
+    usage aggregation (SUM + COUNT DISTINCT users), last-updated join,
+    schema descriptions, badge normalization, tags, nested column
+    projection. Tables synthesized from suppliers, usage from their
+    lineitems; arrays flattened to sorted joined strings for the
+    cross-engine hash."""
+    from amundsendatabuilder_spark.plans.search_documents import (
+        build_table_documents)
+    sup, li = _t(spark, sf_dir, "supplier", "lineitem")
+    sk = F.col("s_suppkey")
+    sch = F.concat(F.lit("s"), F.col("s_nationkey").cast("string"))
+    has_desc = sk % 4 != 0
+    tables = sup.select(
+        F.lit("tpch").alias("database"), F.lit("gold").alias("cluster"),
+        sch.alias("schema"), F.col("s_name").alias("name"),
+        F.when(has_desc, F.concat(F.lit("about "), F.col("s_name")))
+        .alias("description"),
+        F.when(sk % 2 == 1, F.lit("quality_report")).alias("description_source"),
+        F.when(sk % 3 == 0, F.array(F.lit("rated")))
+        .otherwise(F.array().cast("array<string>")).alias("tags"),
+        F.lit(False).alias("is_view"),
+        F.array(
+            F.struct(F.lit("c1").alias("name"), F.lit("col one").alias("description"),
+                     F.lit("varchar").alias("col_type"), F.lit(1).alias("sort_order"),
+                     F.array().cast("array<string>").alias("badges")),
+            F.struct(F.lit("c2").alias("name"), F.lit(None).cast("string").alias("description"),
+                     F.lit("int").alias("col_type"), F.lit(2).alias("sort_order"),
+                     F.array().cast("array<string>").alias("badges"))).alias("columns"))
+    usage = (li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+             .select(F.lit("tpch").alias("database"), F.lit("gold").alias("cluster"),
+                     sch.alias("schema"), F.col("s_name").alias("table_name"),
+                     F.concat(F.lit("u"), (F.col("l_orderkey") % 50).cast("string"))
+                     .alias("user_email"),
+                     F.col("l_quantity").cast("long").alias("read_count")))
+    last_updated = sup.select(
+        F.lit("tpch").alias("db"), F.lit("gold").alias("cluster"),
+        sch.alias("schema"), F.col("s_name").alias("table_name"),
+        (sk * 1000).cast("long").alias("last_updated_time_epoch"))
+    schema_desc = sup.select(
+        F.concat(F.lit("tpch://gold."), sch).alias("schema_key"),
+        sch.alias("schema"),
+        F.concat(F.lit("schema "), sch).alias("description")).distinct()
+    badges = sup.where(sk % 5 == 0).select(
+        F.lit("tpch").alias("database"), F.lit("gold").alias("cluster"),
+        sch.alias("schema"), F.col("s_name").alias("table_name"),
+        F.lit("pk,iceberg").alias("name"))
+    docs = build_table_documents(tables, usage=usage, last_updated=last_updated,
+                                 schema_descriptions=schema_desc, badges=badges)
+    return docs.select(
+        "database", "cluster", "schema", "name", "key", "display_name",
+        "description", "schema_description", "last_updated_timestamp",
+        F.concat_ws(",", "column_names").alias("column_names"),
+        F.concat_ws(",", "column_descriptions").alias("column_descriptions"),
+        "total_usage", "unique_usage",
+        F.concat_ws(",", F.array_sort("tags")).alias("tags"),
+        F.concat_ws(",", F.array_sort("badges")).alias("badges"),
+        F.concat_ws(",", "programmatic_descriptions").alias("programmatic_descriptions"))
+
+
 # --- rows-only entries (no SQL-expressible oracle) -------------------------
 
 
