@@ -1924,6 +1924,48 @@ def search_doc_table_built(spark, sf_dir):
         F.concat_ws(",", "programmatic_descriptions").alias("programmatic_descriptions"))
 
 
+@query("graph_match_pattern", """
+WITH t AS (
+  SELECT 'tpch://gold.s' || CAST(s_nationkey AS VARCHAR) || '/' || s_name AS table_key,
+         s_name
+  FROM supplier)
+SELECT table_key AS a_key, table_key || '/c1' AS b_key, 'c1' AS col_name
+FROM t
+UNION ALL
+SELECT table_key, table_key || '/c2', 'c2' FROM t
+""")
+def graph_match_pattern(spark, sf_dir):
+    """The Neo4jExtractor surface (reference: extractor/neo4j_extractor.py
+    — run Cypher over the published graph): MATCH
+    (Table)-[:COLUMN]->(Column) via sources/graph.match over the engine's
+    own expansion of supplier-derived tables. Key-equality joins on
+    label-filtered node/rel sets; oracle recomputes the expected pattern
+    rows from first principles."""
+    from amundsendatabuilder_spark.models.table_metadata import expand_tables
+    from amundsendatabuilder_spark.sources.graph import match
+    (sup,) = _t(spark, sf_dir, "supplier")
+    tables = sup.select(
+        F.lit("tpch").alias("database"), F.lit("gold").alias("cluster"),
+        F.concat(F.lit("s"), F.col("s_nationkey").cast("string")).alias("schema"),
+        F.col("s_name").alias("name"),
+        F.col("s_name").alias("description"),
+        F.lit(None).cast("string").alias("description_source"),
+        F.array().cast("array<string>").alias("tags"),
+        F.lit(False).alias("is_view"),
+        F.array(
+            F.struct(F.lit("c1").alias("name"), F.lit(None).cast("string").alias("description"),
+                     F.lit("varchar").alias("col_type"), F.lit(1).alias("sort_order"),
+                     F.array().cast("array<string>").alias("badges")),
+            F.struct(F.lit("c2").alias("name"), F.lit(None).cast("string").alias("description"),
+                     F.lit("int").alias("col_type"), F.lit(2).alias("sort_order"),
+                     F.array().cast("array<string>").alias("badges"))).alias("columns"))
+    out = expand_tables(tables)
+    rows = match(out.nodes, out.rels, start_label="Table",
+                 rel_type="COLUMN", end_label="Column")
+    return rows.select("a_key", "b_key",
+                       F.col("b_props").getItem("name").alias("col_name"))
+
+
 # --- rows-only entries (no SQL-expressible oracle) -------------------------
 
 
