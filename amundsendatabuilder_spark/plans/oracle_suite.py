@@ -1966,6 +1966,41 @@ def graph_match_pattern(spark, sf_dir):
                        F.col("b_props").getItem("name").alias("col_name"))
 
 
+@query("column_profile", """
+SELECT col_name, n_rows, n_nulls, n_distinct, min_value, max_value, stddev
+FROM (
+  SELECT 'l_quantity' AS col_name, count(*) AS n_rows,
+         CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+         CAST(min(l_quantity) AS VARCHAR) AS min_value,
+         CAST(max(l_quantity) AS VARCHAR) AS max_value,
+         round(stddev_samp(l_quantity), 4) AS stddev
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', count(*),
+         CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(DISTINCT l_discount) AS BIGINT),
+         CAST(min(l_discount) AS VARCHAR), CAST(max(l_discount) AS VARCHAR),
+         round(stddev_samp(l_discount), 4)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_linenumber', count(*),
+         CAST(sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(DISTINCT l_linenumber) AS BIGINT),
+         CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR),
+         round(stddev_samp(l_linenumber), 4)
+  FROM lineitem)
+""")
+def column_profile(spark, sf_dir):
+    """Column profiling (operators/profiling.profile_columns): the
+    stats-ingestion pass that populates the reference's TableColumnStats
+    model (models/table_stats.py) — min/max/nulls/distinct/stddev for
+    every column in ONE table scan (wide aggregate + stack unpivot)."""
+    from amundsendatabuilder_spark.operators.profiling import profile_columns
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return profile_columns(li, ["l_quantity", "l_discount", "l_linenumber"])
+
+
 # --- rows-only entries (no SQL-expressible oracle) -------------------------
 
 
