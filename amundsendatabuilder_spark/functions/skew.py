@@ -47,8 +47,11 @@ def salted_two_stage_collect(df: DataFrame, group_col: str, value_col: str,
     per-salt arrays. Output (group, values sorted) — sorting makes the
     result deterministic, which any salted collect needs anyway since
     arrival order is partition-dependent."""
+    # salt by row position, NOT by value: hashing the value would send all
+    # copies of one value to the same bucket, re-creating the hot reducer
+    # for exactly the low-cardinality data this operator exists for
     salted = df.withColumn(
-        "_salt", F.pmod(F.hash(F.col(value_col)), F.lit(buckets)))
+        "_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(buckets)))
     stage1 = (salted.groupBy(group_col, "_salt")
               .agg(F.collect_list(value_col).alias("_part")))
     return (stage1.groupBy(group_col)
