@@ -113,4 +113,5 @@ def connected_components_small(edges: DataFrame,
         labels = updated.drop("_changed")
         if converged:
             break
+    sym.unpersist()  # labels is checkpoint-materialized; sym is done
     return labels.select("node", "component")
