@@ -2001,6 +2001,28 @@ def column_profile(spark, sf_dir):
     return profile_columns(li, ["l_quantity", "l_discount", "l_linenumber"])
 
 
+@query("stat_aggregates", """
+SELECT c_mktsegment,
+       round(stddev_samp(c_acctbal), 4) AS bal_stddev,
+       round(var_samp(c_acctbal), 4) AS bal_var,
+       round(corr(c_acctbal, CAST(c_nationkey AS DOUBLE)), 6) AS bal_nation_corr,
+       round(covar_samp(c_acctbal, CAST(c_nationkey AS DOUBLE)), 4) AS bal_nation_covar
+FROM customer GROUP BY c_mktsegment
+""")
+def stat_aggregates(spark, sf_dir):
+    """Statistical aggregate family (stddev/variance/correlation/
+    covariance) per group — single map-side-combinable pass; the moment
+    sketches merge associatively so the plan is identical at any scale."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    nk = F.col("c_nationkey").cast("double")
+    return (customer.groupBy("c_mktsegment")
+            .agg(round_half_away(F.stddev_samp("c_acctbal"), 4).alias("bal_stddev"),
+                 round_half_away(F.var_samp("c_acctbal"), 4).alias("bal_var"),
+                 round_half_away(F.corr(F.col("c_acctbal"), nk), 6).alias("bal_nation_corr"),
+                 round_half_away(F.covar_samp(F.col("c_acctbal"), nk), 4)
+                 .alias("bal_nation_covar")))
+
+
 # --- rows-only entries (no SQL-expressible oracle) -------------------------
 
 

@@ -304,3 +304,15 @@ def test_asof_join_matches_pandas_merge_asof(spark):
            for r in asof_join(sl, sr, on="k", ts="ts",
                               right_cols=["payload"]).collect()}
     assert got == exp
+
+
+def test_approx_count_distinct_tolerance(spark):
+    """The 100 TB substitution documented in SURVEY §2.4: unique_usage via
+    approx_count_distinct stays within its 5% default rsd of the exact
+    count on the driver testdata (exact stays in the oracle suite)."""
+    from pyspark.sql import functions as F
+    from amundsendatabuilder_spark.session import load_tables
+    ev = load_tables(spark, "/root/testdata/sf0.01", ("events",))["events"]
+    row = ev.agg(F.countDistinct("user_id").alias("exact"),
+                 F.approx_count_distinct("user_id").alias("approx")).first()
+    assert abs(row.approx - row.exact) / row.exact <= 0.05
