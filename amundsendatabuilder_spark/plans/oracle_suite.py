@@ -2023,6 +2023,33 @@ def stat_aggregates(spark, sf_dir):
                  .alias("bal_nation_covar")))
 
 
+@query("cohort_retention", """
+WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+           FROM events GROUP BY 1),
+e AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events)
+SELECT cohort_day,
+       CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM e JOIN f USING (user_id)
+GROUP BY cohort_day, day_offset
+""")
+def cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen day, activity
+    counted per (cohort, day-offset). Two aggregations sharing the
+    user_id shuffle key + a broadcast-sized cohort join — the analytics
+    shape behind every retention dashboard."""
+    (events,) = _t(spark, sf_dir, "events")
+    day = F.to_date("ts")  # DATE, matching DuckDB's date_trunc('day') type
+    first = (events.groupBy("user_id")
+             .agg(F.min(day).alias("cohort_day")))
+    active = events.select("user_id", day.alias("day")).distinct()
+    return (active.join(F.broadcast(first), "user_id")
+            .groupBy("cohort_day",
+                     F.datediff(F.col("day"), F.col("cohort_day"))
+                     .cast("int").alias("day_offset"))
+            .agg(F.count("*").alias("n_users")))
+
+
 # --- rows-only entries (no SQL-expressible oracle) -------------------------
 
 
