@@ -2050,6 +2050,27 @@ def cohort_retention(spark, sf_dir):
             .agg(F.count("*").alias("n_users")))
 
 
+@query("sliding_window_counts", """
+SELECT ws AS window_start, event_type, count(*) AS n_events
+FROM (
+  SELECT date_trunc('hour', ts) AS ws, event_type FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS ws, event_type FROM events)
+GROUP BY ws, event_type
+""")
+def sliding_window_counts(spark, sf_dir):
+    """Sliding (overlapping) window aggregation: 2-hour windows hopping
+    hourly, so every event lands in exactly two windows. Spark's
+    F.window(size, slide) does the fan-out natively; the oracle expresses
+    the same assignment as a 2-way union of shifted hour-truncations."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (events
+            .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events"))
+
+
 # --- rows-only entries (no SQL-expressible oracle) -------------------------
 
 
