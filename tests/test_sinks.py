@@ -108,3 +108,37 @@ def test_staleness_sweep(spark):
     stale = find_stale(existing, "new", ms_to_expire=1000,
                        now_epoch_ms=2000)
     assert stale.count() == 100  # no epoch stamp -> all considered expired
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketing both sides of a recurring join on the join key removes
+    the per-query shuffle entirely (SURVEY scale strategy: pre-partition /
+    bucket for co-located joins). Asserted on the physical plan: no
+    hashpartitioning exchange feeds the sort-merge join."""
+    from amundsendatabuilder_spark.session import load_tables
+    t = load_tables(spark, "/root/testdata/sf0.001", ("orders", "lineitem"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        (t["orders"].write.mode("overwrite")
+         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+         .saveAsTable("bkt_orders"))
+        (t["lineitem"].write.mode("overwrite")
+         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+         .saveAsTable("bkt_lineitem"))
+        joined = (spark.table("bkt_orders")
+                  .join(spark.table("bkt_lineitem"),
+                        spark.table("bkt_orders")["o_orderkey"]
+                        == spark.table("bkt_lineitem")["l_orderkey"]))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # buckets align
+        # sanity: result is the plain join
+        expected = t["lineitem"].join(
+            t["orders"], t["orders"]["o_orderkey"] == t["lineitem"]["l_orderkey"]
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
