@@ -25,10 +25,18 @@ def stamp_publish_tag(out: GraphOutput, tag: str,
                else int(time.time() * 1000)).cast("string")
 
     def stamp(df: DataFrame) -> DataFrame:
+        # Strip any prior stamp first: under the default
+        # spark.sql.mapKeyDedupPolicy=EXCEPTION a duplicate map key throws
+        # at runtime, and re-stamping an already-published generation must
+        # be idempotent (the reference overwrites the same Cypher params).
+        cleaned = F.map_filter(
+            F.col("props"),
+            lambda k, _: ~k.isin("published_tag",
+                                 "publisher_last_updated_epoch_ms"))
         return df.withColumn(
             "props",
             F.map_concat(
-                F.col("props"),
+                cleaned,
                 F.create_map(F.lit("published_tag"), F.lit(tag),
                              F.lit("publisher_last_updated_epoch_ms"), ts)))
 

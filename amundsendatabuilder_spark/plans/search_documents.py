@@ -15,7 +15,7 @@ explosion, no re-aggregation after the join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from amundsendatabuilder_spark import keys
@@ -73,10 +73,19 @@ def build_table_documents(tables: DataFrame,
             .groupBy("key")
             .agg(F.array_sort(F.collect_list("_prog_desc"))
                  .alias("programmatic_descriptions")))
-    spine = (spine.where(F.col("_prog_desc").isNull()
-                         | F.col("description").isNotNull()
-                         | F.lit(True))  # keep all; prog rows may also be spine rows
-             .drop("_prog_desc").dropDuplicates(["key"]))
+    # Deterministic spine winner per key: the reference always takes the
+    # default Description node (neo4j_search_data_extractor.py:28-30) and
+    # collects programmatic descriptions separately (:31-33), so prefer the
+    # default-description row over programmatic rows, then rows with a
+    # non-null description, then lexicographic description as a stable
+    # tie-break. Window on the same key the downstream joins shuffle on.
+    w = Window.partitionBy("key").orderBy(
+        F.col("_prog_desc").isNotNull(),   # default-description rows first
+        F.col("description").isNull(),     # then rows that carry a description
+        F.col("description"))              # stable tie-break
+    spine = (spine.withColumn("_rn", F.row_number().over(w))
+             .where(F.col("_rn") == 1)
+             .drop("_rn", "_prog_desc"))
 
     if usage is not None:
         u = usage.withColumn("key", keys.table_key(

@@ -20,11 +20,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _json_lines(docs: DataFrame) -> DataFrame:
+    # ignoreNullFields=false: the reference's json.dumps emits
+    # '"field": null' for missing values; Spark's to_json drops null keys
+    # by default, which would change the staged document shape.
+    cols = sorted(docs.columns)
+    return docs.select(
+        F.to_json(F.struct(*[F.col(c) for c in cols]),
+                  {"ignoreNullFields": "false"}).alias("value"))
+
+
 def write_documents(docs: DataFrame, out_path: str) -> None:
     """DataFrame -> newline-JSON text files with per-doc sorted keys."""
-    cols = sorted(docs.columns)
-    (docs.select(F.to_json(F.struct(*[F.col(c) for c in cols])).alias("value"))
-     .write.mode("overwrite").text(out_path))
+    _json_lines(docs).write.mode("overwrite").text(out_path)
 
 
 def publish(docs: DataFrame, *, new_index: str, alias: str,
@@ -35,9 +43,7 @@ def publish(docs: DataFrame, *, new_index: str, alias: str,
     ``alias`` (add new, remove+delete old) — reference
     elasticsearch_publisher.py:93-123. ``bulk_index(index, json_lines)``
     and ``update_aliases(alias, new_index)`` wrap the ES client."""
-    cols = sorted(docs.columns)
-    json_docs = docs.select(
-        F.to_json(F.struct(*[F.col(c) for c in cols])).alias("value"))
+    json_docs = _json_lines(docs)
 
     def send(partition) -> None:
         batch: list[str] = []

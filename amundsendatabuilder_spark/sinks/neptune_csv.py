@@ -49,15 +49,21 @@ def write_neptune_csv(out: GraphOutput, out_dir: str,
     rel_props = _prop_columns(out.rels)
     start_id = F.format_string("%s:%s", "START_LABEL", "START_KEY")
     end_id = F.format_string("%s:%s", "END_LABEL", "END_KEY")
-    common = [F.lit("job").alias("creation_type:String(single)"),
+    # Relationship creation_type header is bare 'String' (not '(single)') —
+    # neptune_serializer.py:38-40 vs the node form :34-36.
+    common = [F.lit("job").alias("creation_type:String"),
               F.lit(extracted_at).alias("last_extracted_datetime:Date(single)")] + \
              [F.col("props")[p].alias(_typed_header(p)) for p in rel_props]
+    # Edge ~id leads with the relationship label:
+    # '{label}:{from_label}:{from_id}_{to_label}:{to_id}'
+    # (neptune_serializer.get_forward/reverse_relationship_id :99-119) so
+    # bulk loads dedupe on the same edge identity as reference output.
     fwd = out.rels.select(
-        F.format_string("%s_%s_%s", start_id, F.col("TYPE"), end_id).alias("~id"),
+        F.format_string("%s:%s_%s", F.col("TYPE"), start_id, end_id).alias("~id"),
         F.col("TYPE").alias("~label"),
         start_id.alias("~from"), end_id.alias("~to"), *common)
     rev = out.rels.select(
-        F.format_string("%s_%s_%s", end_id, F.col("REVERSE_TYPE"), start_id).alias("~id"),
+        F.format_string("%s:%s_%s", F.col("REVERSE_TYPE"), end_id, start_id).alias("~id"),
         F.col("REVERSE_TYPE").alias("~label"),
         end_id.alias("~from"), start_id.alias("~to"), *common)
     edges = fwd.unionByName(rev).orderBy("~id")

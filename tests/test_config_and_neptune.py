@@ -33,10 +33,20 @@ def test_neptune_csv_writer(spark, tables_df, tmp_path):
     ecsv = glob.glob(os.path.join(paths["edges"], "*.csv"))[0]
     eheader = open(ecsv).readline().strip().split(",")
     assert eheader[:4] == ["~id", "~label", "~from", "~to"]
+    # relationship creation_type header is bare String, not String(single)
+    # (neptune_serializer.py:38-40)
+    assert "creation_type:String" in eheader
+    assert "creation_type:String(single)" not in eheader
     # bidirectional: both TYPE and REVERSE_TYPE rows exist
     body = open(ecsv).read()
     assert ",TABLE," in body and ",TABLE_OF," in body
     assert out.rels.count() * 2 == len(body.splitlines()) - 1
+    # edge ~id leads with the relationship label then from/to composite ids
+    # (neptune_serializer.get_forward_relationship_id :99-107)
+    assert any(l.startswith(
+        "TABLE:Schema:hive://gold.test_schema_"
+        "Table:hive://gold.test_schema/test_table1,")
+        for l in body.splitlines()[1:])
 
 
 def test_pre_delete_edges(spark, tables_df, tmp_path):

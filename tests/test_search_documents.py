@@ -23,6 +23,12 @@ def test_table_documents(spark, tables_df):
     rows = {r["key"]: r for r in docs.collect()}
     t1 = rows["hive://gold.test_schema/test_table1"]
     assert t1["display_name"] == "test_schema.test_table1"
+    # deterministic spine winner: the default-description row beats the
+    # programmatic (s3_crawler) duplicate — description and tags must come
+    # from the default row every run (reference always takes the default
+    # Description node; ADVICE r1 medium finding)
+    assert t1["description"] == "1st test table"
+    assert sorted(t1["tags"]) == ["tag1", "tag2"]
     assert t1["column_names"] == ["col1", "col2"]
     assert t1["column_descriptions"] == ["col1 description"]
     assert t1["total_usage"] == 15

@@ -40,6 +40,19 @@ def test_es_json_sorted_keys(spark, tmp_path):
     # models/elasticsearch_document.py:15-22 json.dumps sort_keys)
 
 
+def test_es_json_emits_null_fields(spark, tmp_path):
+    """json.dumps in the reference emits '"field": null'; to_json must not
+    drop null keys (ignoreNullFields=false)."""
+    from amundsendatabuilder_spark.sinks.es_json import write_documents
+    df = spark.createDataFrame([("k1", None)], "key string, description string")
+    out = str(tmp_path / "nulldocs")
+    write_documents(df, out)
+    lines = [l for p in glob.glob(os.path.join(out, "part-*"))
+             for l in open(p).read().splitlines() if l.strip()]
+    doc = json.loads(lines[0])
+    assert "description" in doc and doc["description"] is None
+
+
 def test_es_publish_alias_swap_after_bulk(spark, tmp_path):
     from amundsendatabuilder_spark.sinks.es_json import publish
     # foreachPartition runs in worker processes: record calls via files
@@ -71,6 +84,12 @@ def test_publish_tag_and_batching(spark, tables_df):
     node = out.nodes.limit(1).collect()[0]
     assert node["props"]["published_tag"] == "unique_tag_1"
     assert node["props"]["publisher_last_updated_epoch_ms"] == "1700000000000"
+    # re-stamping an already-stamped generation is idempotent: no
+    # DUPLICATED_MAP_KEY under mapKeyDedupPolicy=EXCEPTION, new tag wins
+    restamped = stamp_publish_tag(out, "unique_tag_2", epoch_ms=1700000001000)
+    node2 = restamped.nodes.limit(1).collect()[0]
+    assert node2["props"]["published_tag"] == "unique_tag_2"
+    assert node2["props"]["publisher_last_updated_epoch_ms"] == "1700000001000"
 
     import tempfile
     record_path = tempfile.mktemp(suffix=".jsonl")
