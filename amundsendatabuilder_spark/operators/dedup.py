@@ -267,3 +267,26 @@ def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def benchmark_overlap(train: DataFrame, benchmark: DataFrame,
+                      n: int = 5, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Test-set decontamination: training docs sharing at least one word
+    n-gram with a benchmark/eval corpus, with the count of distinct
+    overlapping n-grams per doc (doc_id, n_overlap).
+
+    The standard LLM-pretraining hygiene pass (n=13 in GPT-3's dedup
+    appendix; smaller n here for the synthetic corpus). Scale shape: the
+    benchmark gram set is tiny relative to the corpus (benchmarks are MBs,
+    corpora are TBs), so it broadcasts — the 100 TB side never shuffles;
+    each training gram probes a broadcast hash set map-side, and only
+    (doc_id) survives to the one count-aggregation shuffle.
+    """
+    from amundsendatabuilder_spark.functions.text import exploded_shingles
+    bench_grams = (exploded_shingles(benchmark, id_col, text_col, n=n)
+                   .select("shingle").distinct())
+    train_grams = exploded_shingles(train, id_col, text_col, n=n)
+    return (train_grams.join(F.broadcast(bench_grams), "shingle")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_overlap")))

@@ -98,22 +98,25 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF(-flat) approximate top-k.
 
-    Centroids = deterministic sample of corpus vectors (every
-    ``corpus_size/nlist``-th id) — a k-means-free stand-in that keeps the
-    operator dependency-light; swap in real centroids at deployment.
+    Centroids = deterministic pseudo-random sample of ``nlist`` corpus
+    vectors (first nlist by md5(id)) — a k-means-free stand-in that keeps
+    the operator dependency-light; swap in real centroids at deployment.
     Corpus rows are assigned to their nearest centroid (1 broadcast join);
     queries probe their ``nprobe`` nearest lists; the final scan touches
     ~nprobe/nlist of the corpus.
     """
+    # Deterministic pseudo-random sample of nlist corpus vectors as
+    # centroids: order by md5(id) and take the first nlist — a distributed
+    # top-k (TakeOrderedAndProject), NOT a global row_number window over
+    # the whole corpus (which would sort 100 TB onto one partition).
     cents = (
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
-        .withColumn("rn", F.row_number().over(
-            Window.orderBy(F.col("cid"))))
+        corpus.select(F.md5(F.col(id_col).cast("string")).alias("_h"),
+                      F.col(vec_col).alias("c_vec"))
+        .orderBy("_h").limit(nlist)
     )
-    n = corpus.count()
-    step = max(1, n // nlist)
-    cents = cents.where((F.col("rn") - 1) % step == 0).limit(nlist) \
-        .select(F.monotonically_increasing_id().alias("list_id"), "c_vec")
+    w_c = Window.orderBy(F.col("_h"))
+    cents = cents.withColumn("list_id", F.row_number().over(w_c) - 1) \
+        .select("list_id", "c_vec")
     cents = F.broadcast(cents)
 
     def assign(df: DataFrame, idc: str, vecc: str, topn: int, out: str) -> DataFrame:

@@ -130,9 +130,14 @@ def vocab_topk(docs: DataFrame, k: int = 100,
     reducer top-k on the already-tiny distinct-token set."""
     counts = (docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
               .groupBy("tok").agg(F.count("*").alias("n")))
+    # Distributed top-k (TakeOrderedAndProject: per-partition heads, then a
+    # k*P-row merge) instead of a global-ordered window over every distinct
+    # token — at 100 TB the vocabulary is 10^7+ rows and an unpartitioned
+    # window serializes them onto one core. The rank window then runs over
+    # only the k surviving rows.
+    top = counts.orderBy(F.col("n").desc(), F.col("tok")).limit(k)
     w = Window.orderBy(F.col("n").desc(), F.col("tok"))
-    return (counts.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k))
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 def length_stats(docs: DataFrame, strata_col: str = "lang",
@@ -163,3 +168,56 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id",
         fp.alias("fingerprint"),
         F.substring(fp, 1, 1).alias("prefix_bucket"),
     )
+
+
+def quality_quantile_filter(docs: DataFrame, keep_frac: float = 0.5,
+                            strata_col: str = "lang",
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Keep the top ``keep_frac`` of documents per stratum by composite
+    quality score — the data-mixing step that trims each language to its
+    best half. Returns (doc_id, stratum, quality).
+
+    percent_rank over (stratum) partitions: each language ranks
+    independently in its own shuffle partition group, so the window
+    parallelizes across strata (never a global sort). Ties are broken by
+    doc_id so the kept set is deterministic and oracle-reproducible.
+    """
+    scored = docs.select(
+        F.col(id_col), F.col(strata_col).alias("stratum"),
+        round_half_away(quality_score(F.col(text_col)), 4).alias("quality"))
+    w = Window.partitionBy("stratum").orderBy(
+        F.col("quality").desc(), F.col(id_col))
+    return (scored
+            .withColumn("_pr", F.percent_rank().over(w))
+            .where(F.col("_pr") <= keep_frac)
+            .drop("_pr"))
+
+
+def mixture_sampling_rates(docs: DataFrame,
+                           group_cols: tuple[str, ...] = ("lang", "source"),
+                           text_col: str = "text") -> DataFrame:
+    """Per-(lang, source) token inventory + the sampling rate that would
+    equalize the mixture: rate = min(1, target/actual) where target =
+    total_tokens / n_groups — the bookkeeping pass behind a training-data
+    mixing recipe. Returns (group..., n_docs, n_tokens, token_share, rate).
+
+    One groupBy shuffle carrying (group_key, count, sum); the grand totals
+    come from an empty window over the already-aggregated group rows
+    (dozens, not documents), so the single-partition window is bounded by
+    group cardinality, not data size.
+    """
+    g = (docs.groupBy(*group_cols)
+         .agg(F.count("*").cast("long").alias("n_docs"),
+              F.sum(token_count_ws(F.col(text_col))).cast("long")
+              .alias("n_tokens")))
+    everything = Window.partitionBy()
+    total = F.sum("n_tokens").over(everything)
+    n_groups = F.count("*").over(everything)
+    target = total.cast("double") / n_groups
+    return g.select(
+        *group_cols, "n_docs", "n_tokens",
+        round_half_away(F.col("n_tokens") / total.cast("double"), 6)
+        .alias("token_share"),
+        round_half_away(F.least(F.lit(1.0), target / F.col("n_tokens")), 6)
+        .alias("rate"))

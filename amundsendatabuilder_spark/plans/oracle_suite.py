@@ -2218,3 +2218,102 @@ def multimodal_image_features(spark, sf_dir):
     from amundsendatabuilder_spark.operators.multimodal import (
         decode_image_features, synthetic_media)
     return decode_image_features(synthetic_media(spark, n=96))
+
+
+# ---------------------------------------------------------------------------
+# 9. Round-2 training-pipeline additions: decontamination, mixing,
+#    quantile filtering, conversion attribution
+# ---------------------------------------------------------------------------
+
+@query("decontam_benchmark_overlap", r"""
+WITH t AS (SELECT doc_id, """ + _TOKS_SQL + r""" AS toks FROM documents),
+g AS (SELECT DISTINCT doc_id,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+             toks[i+3] || ' ' || toks[i+4] AS shingle
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i FROM t)),
+b AS (SELECT DISTINCT shingle FROM g WHERE doc_id % 50 = 0),
+tr AS (SELECT doc_id, shingle FROM g WHERE doc_id % 50 <> 0)
+SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+FROM tr JOIN b USING (shingle)
+GROUP BY tr.doc_id
+""")
+def decontam_benchmark_overlap(spark, sf_dir):
+    """Test-set decontamination (operators/dedup.benchmark_overlap):
+    training docs sharing any word 5-gram with the benchmark slice
+    (doc_id % 50 == 0 stands in for an eval set). The benchmark gram set
+    broadcasts; the corpus side never shuffles text."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return dedup.benchmark_overlap(
+        docs.where(F.col("doc_id") % 50 != 0),
+        docs.where(F.col("doc_id") % 50 == 0), n=5)
+
+
+@query("quality_quantile_filter", r"""
+WITH t AS (SELECT doc_id, lang, text, """ + _TOKS_SQL + r""" AS toks FROM documents),
+m AS (SELECT doc_id, lang AS stratum,
+        round(least(len(toks) / 100.0, 1.0) * 0.4
+              + CASE WHEN len(toks) > 0
+                     THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                     ELSE 0.0 END * 0.4
+              + (1 - CASE WHEN length(text) > 0
+                          THEN CAST(length(text) -
+                               length(regexp_replace(text, '[.,;:!?''"()]', '', 'g'))
+                               AS DOUBLE) / length(text)
+                          ELSE 0.0 END) * 0.2, 4) AS quality
+      FROM t),
+r AS (SELECT *, percent_rank() OVER (PARTITION BY stratum
+                                     ORDER BY quality DESC, doc_id) AS pr
+      FROM m)
+SELECT doc_id, stratum, quality FROM r WHERE pr <= 0.5
+""")
+def quality_quantile_filter_query(spark, sf_dir):
+    """Per-language top-half quality cut (textops.quality_quantile_filter):
+    percent_rank windows partitioned by stratum — parallel across
+    languages, deterministic tie-break by doc_id."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return textops.quality_quantile_filter(docs, keep_frac=0.5)
+
+
+@query("mixture_rates", r"""
+WITH g AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(len(""" + _TOKS_SQL + r""")) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total,
+               count(*) AS n_groups FROM g)
+SELECT lang, source, n_docs, n_tokens,
+       round(n_tokens / total, 6) AS token_share,
+       round(least(1.0, (total / n_groups) / n_tokens), 6) AS rate
+FROM g, tot
+""")
+def mixture_rates(spark, sf_dir):
+    """Training-mixture bookkeeping (textops.mixture_sampling_rates):
+    per-(lang, source) token inventory + equalizing sampling rate. One
+    groupBy shuffle; grand totals via an empty window over the dozens of
+    group rows."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return textops.mixture_sampling_rates(docs)
+
+
+@query("conversion_attribution", r"""
+WITH conv AS (SELECT event_id, user_id, CAST(floor(epoch(ts) * 1000000) AS BIGINT) AS conversion_us
+              FROM events WHERE event_type = 'purchase'),
+t AS (SELECT user_id AS tu, CAST(floor(epoch(ts) * 1000000) AS BIGINT) AS touch_us
+      FROM events WHERE event_type = 'view')
+SELECT c.event_id, c.user_id, c.conversion_us,
+       CAST(count(CASE WHEN t.touch_us <= c.conversion_us
+                        AND t.touch_us > c.conversion_us - 3600000000
+                       THEN 1 END) AS BIGINT) AS n_touches,
+       max(CASE WHEN t.touch_us <= c.conversion_us
+                 AND t.touch_us > c.conversion_us - 3600000000
+                THEN t.touch_us END) AS last_touch_us
+FROM conv c LEFT JOIN t ON c.user_id = t.tu
+GROUP BY 1, 2, 3
+""")
+def conversion_attribution_query(spark, sf_dir):
+    """Bounded-interval attribution join (operators/attribution): views in
+    the hour before each purchase, per user — equi-join on user_id with
+    the time bound as a residual predicate, cost bounded by per-user
+    density."""
+    from amundsendatabuilder_spark.operators.attribution import conversion_attribution
+    (events,) = _t(spark, sf_dir, "events")
+    return conversion_attribution(events)

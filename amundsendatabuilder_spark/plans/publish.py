@@ -43,6 +43,19 @@ def stamp_publish_tag(out: GraphOutput, tag: str,
     return GraphOutput(stamp(out.nodes), stamp(out.rels))
 
 
+def unique_constraint_statements(nodes: DataFrame) -> list[str]:
+    """One ``CREATE CONSTRAINT`` per distinct node label, run before the
+    first MERGE touches that label (reference:
+    neo4j_csv_publisher.py:449-467 _try_create_index — the publisher
+    creates a unique index on ``key`` per label it sees). The distinct
+    label set is catalog-tiny, so the collect is a broadcast-sized
+    driver round-trip, not a data move."""
+    labels = sorted(r["LABEL"] for r in
+                    nodes.select("LABEL").distinct().collect())
+    return [f"CREATE CONSTRAINT ON (node:{label}) ASSERT node.key IS UNIQUE"
+            for label in labels]
+
+
 def diff_generations(old: DataFrame, new: DataFrame,
                      key_cols: list[str],
                      compare_cols: list[str]) -> DataFrame:

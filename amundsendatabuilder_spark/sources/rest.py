@@ -113,6 +113,27 @@ def rest_api_join(seeds: DataFrame, url_template: str, json_path: str,
     return seeds.mapInPandas(run, out_schema)
 
 
+def compute_sub_records(result_list: list, field_names: list[str],
+                        json_path_contains_or: bool = False) -> list[list]:
+    """Reshape a flat JSONPath multi-field extraction into records
+    (reference: rest_api_query.py:207-250 ``_compute_sub_records``).
+
+    AND(,) paths interleave fields record-by-record — chunk every
+    len(field_names) values; OR(|) paths list all of field 1, then all of
+    field 2, … — stride across the list. Driver-side list reshaping (the
+    payloads are single API responses); the fan-out into a DataFrame
+    happens afterwards via ``spark.createDataFrame``.
+    """
+    if not field_names:
+        raise ValueError("Field names should not be empty")
+    n = len(field_names)
+    if not json_path_contains_or:
+        return [result_list[i:i + n] for i in range(0, len(result_list), n)]
+    num_subresult = int(len(result_list) / n)
+    return [[result_list[j] for j in range(i, len(result_list), num_subresult)]
+            for i in range(num_subresult)]
+
+
 def paginated_fetch(fetch: JsonFetch, url_template: str,
                     page_param: str = "page", max_record_size: int = 30,
                     max_pages: int = 1000) -> list[dict]:

@@ -316,3 +316,58 @@ def test_approx_count_distinct_tolerance(spark):
     row = ev.agg(F.countDistinct("user_id").alias("exact"),
                  F.approx_count_distinct("user_id").alias("approx")).first()
     assert abs(row.approx - row.exact) / row.exact <= 0.05
+
+
+def test_benchmark_overlap_decontamination(spark):
+    """Docs sharing a 2-gram with the benchmark are flagged with the
+    distinct-overlap count; clean docs don't appear."""
+    from amundsendatabuilder_spark.operators.dedup import benchmark_overlap
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox")], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, "a quick brown dog"),        # shares 'quick brown'
+         (2, "totally unrelated words"),  # clean
+         (3, "the quick brown fox again")],  # shares 3 of the grams
+        "doc_id long, text string")
+    got = {r.doc_id: r.n_overlap
+           for r in benchmark_overlap(train, bench, n=2).collect()}
+    assert got == {1: 1, 3: 3}
+
+
+def test_conversion_attribution_zero_touch_survives(spark):
+    """Purchases with no prior view still emit a row (n_touches=0); views
+    after the purchase or outside the lookback don't count."""
+    from amundsendatabuilder_spark.operators.attribution import conversion_attribution
+    base = 1_700_000_000_000_000  # us
+    rows = [
+        (1, 10, "view", base - 10 * 60 * 1_000_000),       # 10 min before
+        (2, 10, "view", base - 90 * 60 * 1_000_000),       # outside 60 min
+        (3, 10, "purchase", base),
+        (4, 20, "purchase", base),                          # no views at all
+        (5, 20, "view", base + 1_000_000),                  # after purchase
+    ]
+    ev = spark.createDataFrame(
+        [(i, u, t, ts) for i, u, t, ts in rows],
+        "event_id long, user_id long, event_type string, ts_us long"
+    ).selectExpr("event_id", "user_id", "event_type",
+                 "timestamp_micros(ts_us) AS ts")
+    got = {r.event_id: (r.n_touches, r.last_touch_us)
+           for r in conversion_attribution(ev).collect()}
+    assert got[3] == (1, base - 10 * 60 * 1_000_000)
+    assert got[4] == (0, None)
+
+
+def test_quality_quantile_filter_keeps_top_half(spark):
+    """Each stratum independently keeps ceil-half by percent_rank <= 0.5;
+    ties broken by doc_id so the kept set is stable."""
+    from amundsendatabuilder_spark.operators.textops import quality_quantile_filter
+    docs = spark.createDataFrame(
+        [(i, "en", "word " * (10 * (i + 1))) for i in range(4)]
+        + [(10, "fr", "un deux trois")],
+        "doc_id long, lang string, text string")
+    kept = quality_quantile_filter(docs, keep_frac=0.5)
+    by_lang = {r.doc_id: r.stratum for r in kept.collect()}
+    # en: 4 docs, pr <= 0.5 keeps ranks 1,2 (pr 0, 1/3); singleton fr has
+    # pr 0 and survives
+    assert sum(1 for v in by_lang.values() if v == "en") == 2
+    assert 10 in by_lang

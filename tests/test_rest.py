@@ -76,3 +76,17 @@ def test_paginated_fetch_stops_on_partial_page(spark):
 
     out = paginated_fetch(fetch, "u?page={page}", max_record_size=3)
     assert len(out) == 7  # stops after the short page 3
+
+
+def test_compute_sub_records_and_vs_or():
+    """Reference rest_api_query.py:207-250 — AND(,) chunks record-by-record,
+    OR(|) strides field-by-field (the docstring's own examples)."""
+    from amundsendatabuilder_spark.sources.rest import compute_sub_records
+    assert compute_sub_records(
+        ["1", "a", "x", "2", "b", "y", "3", "c", "z"],
+        ["f1", "f2", "f3"]) == [["1", "a", "x"], ["2", "b", "y"], ["3", "c", "z"]]
+    assert compute_sub_records(
+        ["1", "2", "3", "a", "b", "c"], ["f1", "f2"],
+        json_path_contains_or=True) == [["1", "a"], ["2", "b"], ["3", "c"]]
+    with pytest.raises(ValueError):
+        compute_sub_records(["1"], [])

@@ -183,3 +183,17 @@ def test_partitioned_write_enables_pruning(spark, tmp_path):
     # and the result is exactly the direct row filter
     direct = ev.where(F.to_date("ts") == "2024-01-03").count()
     assert one_day.count() == direct > 0
+
+
+def test_unique_constraint_statements(spark, tables_df):
+    """One CREATE CONSTRAINT per distinct label, key-unique (reference
+    neo4j_csv_publisher.py:449-467)."""
+    from amundsendatabuilder_spark.models.table_metadata import expand_tables
+    from amundsendatabuilder_spark.plans.publish import unique_constraint_statements
+    stmts = unique_constraint_statements(expand_tables(tables_df).nodes)
+    assert stmts == sorted(stmts)
+    assert ("CREATE CONSTRAINT ON (node:Table) ASSERT node.key IS UNIQUE"
+            in stmts)
+    assert ("CREATE CONSTRAINT ON (node:Column) ASSERT node.key IS UNIQUE"
+            in stmts)
+    assert len(stmts) == len(set(stmts))
