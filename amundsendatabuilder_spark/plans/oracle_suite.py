@@ -1469,10 +1469,10 @@ def dedup_clusters(spark, sf_dir):
     the whole pipeline's cost stays dominated by the single shingle pass."""
     from amundsendatabuilder_spark.operators.dedup import lsh_verified_pairs
     from amundsendatabuilder_spark.operators.graph_algo import (
-        connected_components_small)
+        connected_components)
     (docs,) = _t(spark, sf_dir, "documents")
     pairs = lsh_verified_pairs(docs, threshold=0.7)
-    comps = connected_components_small(pairs, src_col="doc_a", dst_col="doc_b")
+    comps = connected_components(pairs, src_col="doc_a", dst_col="doc_b")
     return (comps.groupBy(F.col("component").alias("keeper"))
             .agg(F.count("*").alias("n_docs"),
                  F.concat_ws(",", F.transform(

@@ -371,3 +371,22 @@ def test_quality_quantile_filter_keeps_top_half(spark):
     # pr 0 and survives
     assert sum(1 for v in by_lang.values() if v == "en") == 2
     assert 10 in by_lang
+
+
+def test_connected_components_adaptive_matches_distributed(spark):
+    """The driver union-find path and the distributed label-propagation
+    path produce identical (node, component) sets; component is the min
+    node id either way."""
+    import random
+    from amundsendatabuilder_spark.operators.graph_algo import (
+        connected_components, connected_components_small)
+    rng = random.Random(7)
+    edges = [(rng.randrange(0, 40), rng.randrange(0, 40)) for _ in range(30)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    via_driver = sorted(map(tuple, connected_components(df).collect()))
+    via_dist = sorted(map(tuple, connected_components_small(df).collect()))
+    assert via_driver == via_dist
+    # forcing the distributed branch through the adaptive entry too
+    via_forced = sorted(map(tuple, connected_components(
+        df, driver_threshold=0).collect()))
+    assert via_forced == via_driver
