@@ -221,3 +221,29 @@ def mixture_sampling_rates(docs: DataFrame,
         .alias("token_share"),
         round_half_away(F.least(F.lit(1.0), target / F.col("n_tokens")), 6)
         .alias("rate"))
+
+
+def pack_shards(docs: DataFrame, budget_tokens: int = 20_000,
+                strata_col: str = "lang", id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Assign documents to fixed-token-budget output shards per stratum —
+    the sequence-packing bookkeeping before writing training files of
+    ~budget tokens each. Returns (doc_id, stratum, n_tokens, shard_id)
+    where shard_id = the shard containing the doc's starting token offset
+    in (stratum, doc_id) order.
+
+    Running sum via a window partitioned by stratum: each stratum packs
+    independently and in parallel; nothing is globally ordered. The
+    deterministic (doc_id) order makes shard assignment reproducible
+    across runs and cluster sizes — the property that lets a 100 TB write
+    be resumed or re-sharded incrementally.
+    """
+    per_doc = docs.select(
+        F.col(id_col), F.col(strata_col).alias("stratum"),
+        token_count_ws(F.col(text_col)).alias("n_tokens"))
+    w = (Window.partitionBy("stratum").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum("n_tokens").over(w)
+    return per_doc.withColumn(
+        "shard_id",
+        F.floor((cum - F.col("n_tokens")) / budget_tokens).cast("long"))

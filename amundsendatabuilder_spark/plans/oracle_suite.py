@@ -2317,3 +2317,50 @@ def conversion_attribution_query(spark, sf_dir):
     from amundsendatabuilder_spark.operators.attribution import conversion_attribution
     (events,) = _t(spark, sf_dir, "events")
     return conversion_attribution(events)
+
+
+@query("token_shard_packing", r"""
+WITH t AS (SELECT doc_id, lang AS stratum,
+                  CAST(len(""" + _TOKS_SQL + r""") AS BIGINT) AS n_tokens
+           FROM documents),
+c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY stratum ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM t)
+SELECT doc_id, stratum, n_tokens,
+       CAST((cum - n_tokens) // 20000 AS BIGINT) AS shard_id
+FROM c
+""")
+def token_shard_packing(spark, sf_dir):
+    """Token-budget shard packing (textops.pack_shards): per-stratum
+    running token sum -> fixed-budget shard ids; windows partitioned by
+    stratum so strata pack in parallel, deterministic (doc_id) order."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return textops.pack_shards(docs, budget_tokens=20_000)
+
+
+@query("stream_attribution")
+def stream_attribution(spark, sf_dir):
+    """Watermarked stream-stream interval join (streaming/events.py
+    stream_stream_attribution): purchases joined to same-user views in the
+    preceding hour, both sides state-bounded by watermark + time-bound
+    join condition. Rows-only check: the batch twin conversion_attribution
+    is the oracle-verified semantics; the interval-join emission contract
+    is asserted in tests/test_streaming.py."""
+    import tempfile
+
+    from amundsendatabuilder_spark.streaming.events import (
+        run_to_memory, stream_stream_attribution)
+    stream = (spark.readStream
+              .schema("event_id long, ts long, user_id long, event_type string,"
+                      " value double, props string")
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir)
+              .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))))
+    joined = stream_stream_attribution(
+        stream.where(F.col("event_type") == "view"),
+        stream.where(F.col("event_type") == "purchase"),
+        lookback_minutes=60)
+    name = "sattr_" + next(tempfile._get_candidate_names())
+    import os
+    return run_to_memory(joined, spark, name,
+                         os.path.join(tempfile.mkdtemp(), "ckpt"))

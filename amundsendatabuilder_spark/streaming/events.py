@@ -101,3 +101,30 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             .agg(F.count("*").alias("n_events"),
                  F.unix_micros(F.min("ts")).alias("session_start_us"),
                  F.unix_micros(F.max("ts")).alias("session_end_us")))
+
+
+def stream_stream_attribution(views: DataFrame, purchases: DataFrame,
+                              lookback_minutes: int = 60,
+                              watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's view events in the preceding ``lookback_minutes`` — the
+    streaming twin of operators/attribution.conversion_attribution.
+
+    Both sides carry watermarks and the join condition bounds the event-
+    time distance, so Spark can expire buffered state on both sides (the
+    requirement for an unbounded stream-stream join to run forever with
+    bounded memory). Inner join: purchases with zero prior views don't
+    emit (streaming left-outer would hold them until watermark passes; the
+    batch twin keeps them via its left join).
+    """
+    v = (views.withWatermark("ts", watermark)
+         .select(F.col("user_id").alias("v_user"),
+                 F.col("ts").alias("view_ts")))
+    p = (purchases.withWatermark("ts", watermark)
+         .select("event_id", "user_id", F.col("ts").alias("purchase_ts")))
+    cond = ((p["user_id"] == v["v_user"])
+            & (v["view_ts"] <= p["purchase_ts"])
+            & (v["view_ts"] > p["purchase_ts"]
+               - F.expr(f"INTERVAL {lookback_minutes} MINUTES")))
+    return (p.join(v, cond, "inner")
+            .select("event_id", "user_id", "purchase_ts", "view_ts"))

@@ -4,7 +4,8 @@ the standard pretraining-data flow:
 
     read -> PII scrub -> quality/repetition filter -> near-dup removal
     (LSH candidates -> exact verify -> connected components -> keep one
-    per cluster) -> deterministic sample -> write cleaned parquet + stats
+    per cluster) -> test-set decontamination -> deterministic sample ->
+    token-budget shard packing -> write cleaned parquet + stats
 
 Run: python example/clean_corpus_job.py [sf_dir] [out_dir]
 
@@ -23,11 +24,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from amundsendatabuilder_spark.operators.dedup import lsh_verified_pairs  # noqa: E402
+from amundsendatabuilder_spark.operators.dedup import (  # noqa: E402
+    benchmark_overlap, lsh_verified_pairs)
 from amundsendatabuilder_spark.operators.graph_algo import (  # noqa: E402
-    connected_components_small)
+    connected_components)
 from amundsendatabuilder_spark.operators.textops import (  # noqa: E402
-    pii_scrub, quality_metrics, repetition_metrics)
+    pack_shards, pii_scrub, quality_metrics, repetition_metrics)
 from amundsendatabuilder_spark.session import get_spark, load_tables  # noqa: E402
 
 
@@ -56,23 +58,40 @@ def main() -> None:
              .drop("quality", "top_token_frac"))
     n_gated = gated.count()
 
-    # 3. near-dup removal: verified pairs -> components -> keep min doc_id
+    # 3. near-dup removal: verified pairs -> components (adaptive: driver
+    #    union-find on the small verified-pair graph) -> keep min doc_id
     pairs = lsh_verified_pairs(gated, threshold=0.7)
-    comps = connected_components_small(pairs, src_col="doc_a", dst_col="doc_b")
+    comps = connected_components(pairs, src_col="doc_a", dst_col="doc_b")
     losers = comps.where(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id"))
     deduped = gated.join(losers, "doc_id", "left_anti")
     n_deduped = deduped.count()
 
-    # 4. deterministic 12.5% sample (md5 prefix — reproducible across runs)
-    sampled = deduped.where(
+    # 4. test-set decontamination: drop training docs sharing any 5-gram
+    #    with the held-out slice (doc_id % 50 == 0 stands in for the eval
+    #    set); the benchmark gram set broadcasts, the corpus never shuffles
+    eval_set = deduped.where(F.col("doc_id") % 50 == 0)
+    train = deduped.where(F.col("doc_id") % 50 != 0)
+    contaminated = benchmark_overlap(train, eval_set, n=5).select("doc_id")
+    decontaminated = train.join(contaminated, "doc_id", "left_anti")
+    n_decontaminated = decontaminated.count()
+
+    # 5. deterministic 12.5% sample (md5 prefix — reproducible across runs)
+    sampled = decontaminated.where(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1"))
 
-    # 5. write + summary
-    sampled.write.mode("overwrite").parquet(os.path.join(out_dir, "clean"))
+    # 6. token-budget shard packing + write (one directory per shard id,
+    #    each shard ~budget tokens — the layout a trainer streams)
+    shards = pack_shards(sampled, budget_tokens=20_000).select(
+        "doc_id", "shard_id")
+    (sampled.join(shards, "doc_id")
+     .write.mode("overwrite").partitionBy("shard_id")
+     .parquet(os.path.join(out_dir, "clean")))
     n_out = spark.read.parquet(os.path.join(out_dir, "clean")).count()
     summary = {"input_docs": n_input, "after_quality_gate": n_gated,
-               "after_dedup": n_deduped, "sampled_out": n_out,
+               "after_dedup": n_deduped,
+               "after_decontamination": n_decontaminated,
+               "sampled_out": n_out,
                "status": "success"}
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(summary, f)

@@ -390,3 +390,17 @@ def test_connected_components_adaptive_matches_distributed(spark):
     via_forced = sorted(map(tuple, connected_components(
         df, driver_threshold=0).collect()))
     assert via_forced == via_driver
+
+
+def test_benchmark_overlap_broadcasts_benchmark_side(spark):
+    """The decontamination join must broadcast the (small) benchmark gram
+    set — the corpus side reaches the join without a shuffle exchange, the
+    property that keeps the pass linear at 100 TB."""
+    from amundsendatabuilder_spark.operators.dedup import benchmark_overlap
+    from amundsendatabuilder_spark.session import load_tables
+    docs = load_tables(spark, "/root/testdata/sf0.001", ("documents",))["documents"]
+    out = benchmark_overlap(docs.where("doc_id % 50 != 0"),
+                            docs.where("doc_id % 50 = 0"), n=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

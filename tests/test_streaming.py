@@ -181,3 +181,35 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     streamed = {(r.user_id, int(r.window_start.timestamp() * 1_000_000),
                  r.n_events) for r in out.collect() if r.user_id != 99}
     assert streamed == batch
+
+
+def test_stream_stream_attribution_interval_join(spark, tmp_path):
+    """Watermarked stream-stream interval join: purchases match same-user
+    views within the lookback only; out-of-window and wrong-user views
+    never emit."""
+    import datetime
+    from amundsendatabuilder_spark.streaming.events import (
+        read_event_stream, run_to_memory, stream_stream_attribution)
+    t0 = datetime.datetime(2024, 1, 1, 12, 0)
+    m = datetime.timedelta(minutes=1)
+    rows = [
+        (1, t0 - 10 * m, 1, "view", 1.0, "{}"),      # in window
+        (2, t0 - 90 * m, 1, "view", 1.0, "{}"),      # too old
+        (3, t0 + 1 * m, 1, "view", 1.0, "{}"),       # after purchase
+        (4, t0 - 5 * m, 2, "view", 1.0, "{}"),       # other user
+        (10, t0, 1, "purchase", 9.0, "{}"),
+        (11, t0, 3, "purchase", 9.0, "{}"),          # no views -> no emit
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string")
+    src = str(tmp_path / "attr_src")
+    df.write.mode("overwrite").parquet(src)
+    stream = read_event_stream(spark, src)
+    joined = stream_stream_attribution(
+        stream.where("event_type = 'view'"),
+        stream.where("event_type = 'purchase'"),
+        lookback_minutes=60)
+    got = run_to_memory(joined, spark, "attr_test", str(tmp_path / "ckpt_attr"))
+    pairs = sorted((r["event_id"], str(r["view_ts"])) for r in got.collect())
+    assert pairs == [(10, "2024-01-01 11:50:00")]
