@@ -162,3 +162,64 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
         rows.append((i, kind, bytearray(payload),
                      (64, 48, 16000, 5000, "fake")))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("target_w", T.IntegerType(), False),
+    T.StructField("target_h", T.IntegerType(), False),
+    T.StructField("resized_digest", T.StringType(), True),
+])
+
+
+def resize_spec(features: DataFrame, max_w: int = 224,
+                max_h: int = 224) -> DataFrame:
+    """Aspect-preserving resize targets from decoded dimensions — pure
+    JVM arithmetic over the feature rows (no payload touched): scale =
+    min(max_w/w, max_h/h, 1), floor to integer pixels, never upscale.
+    Returns (media_id, width, height, target_w, target_h, scale)."""
+    scale = F.least(F.lit(max_w) / F.col("width"),
+                    F.lit(max_h) / F.col("height"), F.lit(1.0))
+    return features.select(
+        "media_id", "width", "height",
+        F.greatest(F.floor(F.col("width") * scale), F.lit(1))
+        .cast("int").alias("target_w"),
+        F.greatest(F.floor(F.col("height") * scale), F.lit(1))
+        .cast("int").alias("target_h"),
+        F.round(scale, 6).alias("scale"))
+
+
+def resize_images(media: DataFrame, max_w: int = 224, max_h: int = 224,
+                  strict: bool = False) -> DataFrame:
+    """binary image column -> resized payload digests via mapInPandas.
+
+    The resample kernel is STUBBED (no image libs in this container): the
+    output digest is a deterministic function of (payload md5, target
+    dims), while everything Spark-side — column pruning to (media_id,
+    payload), Arrow batching, target-dimension math shared with
+    ``resize_spec`` — is the real production plumbing. strict=True raises
+    NotImplementedError at plan time, marking where Pillow plugs in.
+    """
+    if strict:
+        raise NotImplementedError(
+            "real resampling requires Pillow; replace the digest stub — "
+            "the Spark plumbing (pruning/batching/dim math) is final")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        for pdf in it:
+            rows = []
+            for rec in pdf.itertuples():
+                f = _fake_decode(bytes(rec.payload) if rec.payload is not None
+                                 else b"")
+                s = min(max_w / f["width"], max_h / f["height"], 1.0)
+                tw = max(int(f["width"] * s), 1)
+                th = max(int(f["height"] * s), 1)
+                digest = hashlib.md5(
+                    f"{f['phash']}:{tw}x{th}".encode()).hexdigest()
+                rows.append((rec.media_id, tw, th, digest))
+            yield pd.DataFrame(rows, columns=["media_id", "target_w",
+                                              "target_h", "resized_digest"])
+
+    pruned = media.where(F.col("kind") == "image").select("media_id", "payload")
+    return pruned.mapInPandas(batches, RESIZED_SCHEMA)

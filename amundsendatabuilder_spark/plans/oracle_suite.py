@@ -2364,3 +2364,40 @@ def stream_attribution(spark, sf_dir):
     import os
     return run_to_memory(joined, spark, name,
                          os.path.join(tempfile.mkdtemp(), "ckpt"))
+
+
+@query("incremental_ingest_anti_join", r"""
+WITH fp AS (SELECT doc_id,
+                   md5(array_to_string(list_filter(
+                       string_split_regex(trim(lower(text)), '\s+'),
+                       x -> x <> ''), ' ')) AS fingerprint
+            FROM documents)
+SELECT n.doc_id, n.fingerprint
+FROM fp n
+WHERE n.doc_id % 10 <> 0
+  AND NOT EXISTS (SELECT 1 FROM fp e
+                  WHERE e.doc_id % 10 = 0 AND e.fingerprint = n.fingerprint)
+""")
+def incremental_ingest_anti_join(spark, sf_dir):
+    """Incremental corpus ingest: a new batch (doc_id % 10 != 0) anti-
+    joined on content fingerprint against the already-ingested store
+    (% 10 == 0 slice) — only genuinely new content passes. The 100 TB
+    pattern: the store keeps only (fingerprint) — 32 bytes/doc — bucketed
+    by fingerprint prefix so the anti-join is co-located; new batches
+    never re-shuffle historical text."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    fp = textops.fingerprints(docs).select("doc_id", "fingerprint")
+    new = fp.where(F.col("doc_id") % 10 != 0)
+    existing = fp.where(F.col("doc_id") % 10 == 0).select("fingerprint")
+    return new.join(existing, "fingerprint", "left_anti") \
+        .select("doc_id", "fingerprint")
+
+
+@query("multimodal_resize")
+def multimodal_resize(spark, sf_dir):
+    """Aspect-preserving image resize plumbing (operators/multimodal
+    resize_images): stub resample kernel, real pruning/batching/dim math.
+    Rows-only check; spec-vs-stub dim agreement asserted in tests."""
+    from amundsendatabuilder_spark.operators.multimodal import (
+        resize_images, synthetic_media)
+    return resize_images(synthetic_media(spark, n=96))

@@ -404,3 +404,21 @@ def test_benchmark_overlap_broadcasts_benchmark_side(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_resize_spec_and_stub_agree(spark):
+    """resize_spec's JVM dim math matches the mapInPandas stub's per-row
+    math; aspect ratio is preserved and images are never upscaled."""
+    from amundsendatabuilder_spark.operators.multimodal import (
+        decode_image_features, resize_images, resize_spec, synthetic_media)
+    media = synthetic_media(spark, n=24)
+    feats = decode_image_features(media)
+    spec = {r.media_id: (r.target_w, r.target_h)
+            for r in resize_spec(feats, 100, 100).collect()}
+    stub = {r.media_id: (r.target_w, r.target_h)
+            for r in resize_images(media, 100, 100).collect()}
+    assert spec == stub and spec
+    dims = {r.media_id: (r.width, r.height) for r in feats.collect()}
+    for mid, (tw, th) in spec.items():
+        w, h = dims[mid]
+        assert tw <= 100 and th <= 100 and tw <= w and th <= h

@@ -197,3 +197,23 @@ def test_unique_constraint_statements(spark, tables_df):
     assert ("CREATE CONSTRAINT ON (node:Column) ASSERT node.key IS UNIQUE"
             in stmts)
     assert len(stmts) == len(set(stmts))
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A join on the partition column against a filtered dim injects a
+    dynamic-pruning subquery into the fact scan — the fact side reads only
+    the partitions the dim selects, decided at runtime. At 100 TB this is
+    what keeps a date-dimension join from scanning the full history."""
+    from pyspark.sql import functions as F
+    from amundsendatabuilder_spark.session import load_tables
+    ev = load_tables(spark, "/root/testdata/sf0.001", ("events",))["events"]
+    out = str(tmp_path / "ev_dpp")
+    (ev.withColumn("day", F.to_date("ts"))
+       .write.partitionBy("day").parquet(out))
+    fact = spark.read.parquet(out)
+    some_day = fact.select("day").first()["day"]
+    dim = spark.createDataFrame([(some_day, "keep"), ], "day date, tag string")
+    joined = fact.join(dim, "day").where(F.col("tag") == "keep")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    assert joined.count() == fact.where(F.col("day") == some_day).count() > 0
