@@ -141,3 +141,50 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cos", "rank"))
+
+
+def kmeans_fit(corpus: DataFrame, k: int = 16, max_iters: int = 5,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Lloyd's k-means over an embedding column — the real centroid
+    trainer behind an IVF index (ivf_topk's md5-sample centroids are the
+    dependency-light stand-in; this is the production path).
+
+    Per iteration: one broadcast-join assignment pass over the corpus
+    (assign_centroids — no shuffle of the vectors) + one posexplode
+    groupBy producing k×dim (cent_id, dimension, mean) rows, collapsed
+    back to k centroid arrays. Centroids live in a k×dim driver-side
+    list between iterations (kilobytes), so iteration state never grows
+    with the corpus — the shape that holds at 100 TB of embeddings.
+    Deterministic throughout: md5-ordered init, cosine ties by centroid
+    id. Returns (cent_id, embedding, n_members).
+    """
+    dims = F.size(F.col(vec_col).cast("array<double>"))
+    init = (corpus.select(F.md5(F.col(id_col).cast("string")).alias("_h"),
+                          F.col(vec_col).cast("array<double>").alias("embedding"))
+            .orderBy("_h").limit(k))
+    w0 = Window.orderBy("_h")
+    cents = (init.withColumn("cent_id", F.row_number().over(w0) - 1)
+             .select("cent_id", "embedding"))
+    counts = None
+    for _ in range(max_iters):
+        assigned = assign_centroids(corpus, cents, id_col=id_col,
+                                    vec_col=vec_col)
+        joined = assigned.join(
+            corpus.select(F.col(id_col),
+                          F.col(vec_col).cast("array<double>").alias("_v")),
+            id_col)
+        per_dim = (joined
+                   .select("cent_id", F.posexplode("_v").alias("pos", "x"))
+                   .groupBy("cent_id", "pos").agg(F.avg("x").alias("m")))
+        new_cents = (per_dim.groupBy("cent_id")
+                     .agg(F.transform(
+                         F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                         lambda s: s["m"]).alias("embedding")))
+        counts = assigned.groupBy("cent_id").agg(
+            F.count("*").cast("long").alias("n_members"))
+        # k×dim values — kilobytes; materialize so the next iteration's
+        # broadcast doesn't drag the whole previous lineage along
+        cents = new_cents.localCheckpoint()
+    return cents.join(counts, "cent_id", "left") \
+        .select("cent_id", "embedding",
+                F.coalesce("n_members", F.lit(0)).alias("n_members"))

@@ -2401,3 +2401,17 @@ def multimodal_resize(spark, sf_dir):
     from amundsendatabuilder_spark.operators.multimodal import (
         resize_images, synthetic_media)
     return resize_images(synthetic_media(spark, n=96))
+
+
+@query("kmeans_centroids")
+def kmeans_centroids(spark, sf_dir):
+    """Lloyd k-means fit over the embeddings table
+    (similarity.kmeans_fit): per-iteration broadcast assignment + k×dim
+    mean aggregation, driver-side k×dim state only. Rows-only check
+    (iterative, not SQL-expressible); cluster-recovery invariants in
+    tests/test_operators.py."""
+    from amundsendatabuilder_spark.operators.similarity import kmeans_fit
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    fitted = kmeans_fit(emb, k=8, max_iters=3)
+    return fitted.select("cent_id", "n_members",
+                         F.size("embedding").alias("dims"))

@@ -422,3 +422,28 @@ def test_resize_spec_and_stub_agree(spark):
     for mid, (tw, th) in spec.items():
         w, h = dims[mid]
         assert tw <= 100 and th <= 100 and tw <= w and th <= h
+
+
+def test_kmeans_recovers_separated_clusters(spark):
+    """Lloyd iterations on three well-separated clusters converge to one
+    centroid per cluster with the right membership counts."""
+    from amundsendatabuilder_spark.operators.similarity import (
+        assign_centroids, kmeans_fit)
+    import random
+    rng = random.Random(3)
+    rows = []
+    anchors = {0: [10.0, 0.0, 0.0], 1: [0.0, 10.0, 0.0], 2: [0.0, 0.0, 10.0]}
+    for i in range(60):
+        a = anchors[i % 3]
+        rows.append((i, [x + rng.uniform(-0.5, 0.5) for x in a]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(emb, k=3, max_iters=4)
+    got = cents.collect()
+    assert len(got) == 3
+    assert sorted(r.n_members for r in got) == [20, 20, 20]
+    # every member is closest to its own anchor direction: assignment of
+    # the anchors themselves lands in 3 distinct clusters
+    anchor_df = spark.createDataFrame(
+        [(i, v) for i, v in anchors.items()], "vec_id long, embedding array<double>")
+    assign = assign_centroids(anchor_df, cents)
+    assert len({r.cent_id for r in assign.collect()}) == 3
