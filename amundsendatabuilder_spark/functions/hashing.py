@@ -23,6 +23,34 @@ def md5_minhash(shingle_col, seed: int) -> Column:
     return F.md5(F.concat(F.lit(f"{seed}:"), _c(shingle_col)))
 
 
+MINHASH_MOD = 1 << 32
+
+
+def minhash_constants(num_hashes: int) -> tuple[list[int], list[int]]:
+    """(A, B) multiplier/offset tables for the universal-hash MinHash
+    family h_j(x) = (chunk(x) * A_j + B_j) mod 2^32.
+
+    A_j odd and < 2^31 so chunk (< 2^32) * A_j stays under 2^63 — exact in
+    signed 64-bit arithmetic on BOTH engines (Spark long, DuckDB BIGINT);
+    golden-ratio/Murmur mixing constants give independent permutations.
+    Fixed literals mirrored into the DuckDB oracle SQL."""
+    a = [((0x9E3779B1 * (2 * j + 1)) % 0x8000_0000) | 1
+         for j in range(num_hashes)]
+    b = [(0x85EBCA77 * j) % 0x8000_0000 for j in range(num_hashes)]
+    return a, b
+
+
+def md5_chunks(col) -> list[Column]:
+    """Four independent uniform 32-bit integers from ONE md5 evaluation —
+    8-hex substrings parsed with conv(,16,10). The md5 is the expensive
+    part of MinHash at corpus scale; every derived hash function reuses
+    these chunks through minhash_constants arithmetic instead of paying
+    another digest."""
+    h = F.md5(_c(col))
+    return [F.conv(F.substring(h, i * 8 + 1, 8), 16, 10).cast("long")
+            for i in range(4)]
+
+
 def nibble_value(char_col) -> Column:
     """Hex char -> 0..15 via position lookup (codegen-friendly, no UDF,
     and expressible identically in ANSI SQL as instr('0123..f', c)-1)."""

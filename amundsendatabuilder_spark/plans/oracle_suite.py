@@ -739,22 +739,33 @@ s AS (SELECT DISTINCT doc_id,
 
 
 def _minhash_sql(num_hashes: int = 16, bands: int = 4) -> str:
-    # mirror dedup.minhash_signatures: hash j = 8-hex chunk (j%4) of
-    # md5('<j//4>:' + shingle); band b = hashes [b*rpb, (b+1)*rpb)
+    # mirror dedup.minhash_signatures: ONE md5 per shingle -> four 32-bit
+    # chunks; hash j = (chunk_{j%4} * A_j + B_j) mod 2^32 with the exact
+    # constants from functions.hashing.minhash_constants; band b = hashes
+    # [b*rpb, (b+1)*rpb)
+    from amundsendatabuilder_spark.functions.hashing import minhash_constants
+    a_tab, b_tab = minhash_constants(num_hashes)
+    chunks = ",\n             ".join(
+        f"CAST('0x' || substr(md5(shingle), {i * 8 + 1}, 8) AS BIGINT) AS c{i}"
+        for i in range(4))
     mins = ",\n              ".join(
-        f"min(substr(md5('{j // 4}:' || shingle), {(j % 4) * 8 + 1}, 8)) AS mh{j}"
+        f"min((c{j % 4} * {a_tab[j]} + {b_tab[j]}) % 4294967296) AS mh{j}"
         for j in range(num_hashes))
     rpb = num_hashes // bands
     band_selects = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {b} AS band, "
-        + " || '|' || ".join(f"mh{j}" for j in range(b * rpb, (b + 1) * rpb))
+        + " || '|' || ".join(f"CAST(mh{j} AS VARCHAR)"
+                             for j in range(b * rpb, (b + 1) * rpb))
         + " AS band_sig FROM mh"
         for b in range(bands))
     return f"""
 WITH {_SHINGLES_SQL},
+hx AS (SELECT doc_id,
+             {chunks}
+       FROM s),
 mh AS (SELECT doc_id,
               {mins}
-       FROM s GROUP BY doc_id),
+       FROM hx GROUP BY doc_id),
 bands AS (
 {band_selects}
 )
@@ -1064,22 +1075,31 @@ def char_ngram_profile(spark, sf_dir):
 
 def _lsh_verified_sql(num_hashes: int = 16, bands: int = 4,
                       threshold: float = 0.7) -> str:
-    # minhash candidate CTEs (same construction as _minhash_sql) + exact
-    # jaccard verification restricted to candidate pairs
+    # minhash candidate CTEs (same universal-hash construction as
+    # _minhash_sql) + exact jaccard verification restricted to candidates
+    from amundsendatabuilder_spark.functions.hashing import minhash_constants
+    a_tab, b_tab = minhash_constants(num_hashes)
+    chunks = ",\n             ".join(
+        f"CAST('0x' || substr(md5(shingle), {i * 8 + 1}, 8) AS BIGINT) AS c{i}"
+        for i in range(4))
     mins = ",\n              ".join(
-        f"min(substr(md5('{j // 4}:' || shingle), {(j % 4) * 8 + 1}, 8)) AS mh{j}"
+        f"min((c{j % 4} * {a_tab[j]} + {b_tab[j]}) % 4294967296) AS mh{j}"
         for j in range(num_hashes))
     rpb = num_hashes // bands
     band_selects = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {b} AS band, "
-        + " || '|' || ".join(f"mh{j}" for j in range(b * rpb, (b + 1) * rpb))
+        + " || '|' || ".join(f"CAST(mh{j} AS VARCHAR)"
+                             for j in range(b * rpb, (b + 1) * rpb))
         + " AS band_sig FROM mh"
         for b in range(bands))
     return f"""
 WITH {_SHINGLES_SQL},
+hx AS (SELECT doc_id,
+             {chunks}
+       FROM s),
 mh AS (SELECT doc_id,
               {mins}
-       FROM s GROUP BY doc_id),
+       FROM hx GROUP BY doc_id),
 bands AS (
 {band_selects}
 ),
