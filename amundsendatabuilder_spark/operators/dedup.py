@@ -80,11 +80,18 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     # in, so the tokenize+explode pass runs once for the whole pipeline
     shingled = shingles if shingles is not None \
         else exploded_shingles(docs, id_col, text_col, shingle_size)
-    chunks = md5_chunks(F.col("shingle"))
+    # materialize the chunks as projection columns BEFORE the groupBy:
+    # aggregate expressions do not share subexpressions, so min() aggs
+    # referencing md5(...) inline would each re-evaluate the digest —
+    # 16 md5s per shingle instead of 1 (measured: the projection form is
+    # what realizes the single-digest win)
+    chunked = shingled.select(
+        "doc_id", *[c.alias(f"_c{i}")
+                    for i, c in enumerate(md5_chunks(F.col("shingle")))])
     a_tab, b_tab = minhash_constants(num_hashes)
-    aggs = [F.min((chunks[j % 4] * a_tab[j] + b_tab[j]) % MINHASH_MOD)
+    aggs = [F.min((F.col(f"_c{j % 4}") * a_tab[j] + b_tab[j]) % MINHASH_MOD)
             .alias(f"mh{j}") for j in range(num_hashes)]
-    return shingled.groupBy("doc_id").agg(*aggs)
+    return chunked.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",

@@ -777,8 +777,9 @@ FROM bands a JOIN bands b
 
 @query("dedup_minhash_lsh", _minhash_sql())
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates: word-3-gram shingles -> 16 seeded
-    md5 min-hashes -> 4 bands x 4 rows -> bucket self-join. Only
+    """MinHash+LSH near-dup candidates: word-3-gram shingles -> 16
+    universal-hash min-hashes from ONE md5 each -> 4 bands x 4 rows ->
+    bucket self-join. Only
     (doc_id, band_sig) pairs shuffle — never document text; this is the
     100 TB-scale dedup path (Broder resemblance + banding)."""
     (docs,) = _t(spark, sf_dir, "documents")

@@ -54,8 +54,12 @@ def main() -> None:
 
     spark = get_spark("bench")
     # JVM+codegen warmup on the smallest scale so per-query timings measure
-    # the plan, not first-call JIT
+    # the plan, not first-call JIT/janino compile: one scan-agg shape and
+    # the minhash shape (its 16-way modular-arithmetic aggregate is the
+    # most expensive whole-stage-codegen compile in the suite, ~2s once
+    # per JVM)
     QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001").collect()
+    QUERIES["dedup_minhash_lsh"](spark, "/root/testdata/sf0.001").collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
