@@ -1,0 +1,44 @@
+"""Output file sizing — write-amplification control for large writes.
+
+At 100 TB, output layout is a first-class concern: the default
+one-file-per-shuffle-partition write yields either thousands of KB-sized
+files (metadata pressure on every later scan) or a handful of
+multi-GB files (no scan parallelism). ``write_sized`` picks the file
+count from the DataFrame's own estimated byte size (Catalyst statistics,
+the same numbers AQE plans with), targeting a configured file size —
+the knob production lakehouses tune (e.g. 128-1024 MB parquet files).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+
+
+def estimated_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for the optimized plan (bytes). Exact for
+    parquet scans with stats; conservative upstream of joins/aggs."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+def planned_file_count(df: DataFrame, target_mb: int = 256,
+                       max_files: int = 100_000) -> int:
+    """ceil(estimated bytes / target) clamped to [1, max_files]."""
+    est = estimated_bytes(df)
+    return max(1, min(max_files, math.ceil(est / (target_mb * 1024 * 1024))))
+
+
+def write_sized(df: DataFrame, path: str, target_mb: int = 256,
+                mode: str = "overwrite",
+                partition_by: tuple[str, ...] = ()) -> int:
+    """Write parquet with ~target_mb-sized files; returns the planned file
+    count. Uses repartition (round-robin) so files are even-sized — the
+    coalesce alternative avoids the shuffle but inherits skewed upstream
+    partition sizes."""
+    n = planned_file_count(df, target_mb)
+    writer = df.repartition(n).write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return n

@@ -217,3 +217,29 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
     assert joined.count() == fact.where(F.col("day") == some_day).count() > 0
+
+
+def test_write_sized_controls_file_count(spark, tmp_path):
+    """write_sized plans the output file count from Catalyst's size
+    estimate and a target file size; tiny targets produce multiple
+    even-sized files, huge targets produce one."""
+    import glob
+    from amundsendatabuilder_spark.session import load_tables
+    from amundsendatabuilder_spark.sinks.compaction import (
+        estimated_bytes, planned_file_count, write_sized)
+    li = load_tables(spark, "/root/testdata/sf0.001",
+                     ("lineitem",))["lineitem"]
+    assert estimated_bytes(li) > 0
+    # ~300KB of parquet at a 100KB-ish target -> >1 file; clamp floor is 1
+    small_target_files = planned_file_count(li, target_mb=1)
+    one = str(tmp_path / "one")
+    n1 = write_sized(li, one, target_mb=10_000)
+    assert n1 == 1 == len(glob.glob(one + "/part-*.parquet"))
+    many = str(tmp_path / "many")
+    big = li
+    for _ in range(4):
+        big = big.union(big)  # 16x rows -> estimate well past 1 MB
+    nm = write_sized(big, many, target_mb=1)
+    assert nm > 1
+    assert len(glob.glob(many + "/part-*.parquet")) == nm
+    assert small_target_files >= 1
