@@ -247,3 +247,60 @@ def pack_shards(docs: DataFrame, budget_tokens: int = 20_000,
     return per_doc.withColumn(
         "shard_id",
         F.floor((cum - F.col("n_tokens")) / budget_tokens).cast("long"))
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
+                    overlap_tokens: int = 16, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Split documents into overlapping fixed-token chunks — the
+    context-window preparation step between cleaning and training.
+    Returns (doc_id, chunk_idx, n_tokens, chunk_md5); chunk i covers
+    tokens [i*step, i*step + chunk_tokens) with step = chunk_tokens -
+    overlap_tokens.
+
+    One narrow pass: tokenize once into a materialized array column (never
+    inside a lambda — Spark re-evaluates per reference), generate chunk
+    indices with sequence(), slice + hash per chunk, explode. No shuffle
+    at all; at 100 TB this pass is embarrassingly parallel and its output
+    (id, idx, hash) is 1000× smaller than the text unless the chunk text
+    itself is carried forward.
+    """
+    step = chunk_tokens - overlap_tokens
+    assert step > 0, "overlap must be smaller than chunk size"
+    toks_df = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")) \
+        .where(F.size("_toks") > 0)
+    idx = F.sequence(
+        F.lit(0), F.floor((F.size("_toks") - 1) / step).cast("int"))
+    chunks = F.transform(idx, lambda i: F.struct(
+        i.cast("int").alias("chunk_idx"),
+        F.slice(F.col("_toks"), (i * step + 1).cast("int"),
+                chunk_tokens).alias("_chunk")))
+    return (toks_df.select(F.col(id_col), F.explode(chunks).alias("c"))
+            .select(F.col(id_col),
+                    F.col("c.chunk_idx"),
+                    F.size("c._chunk").cast("long").alias("n_tokens"),
+                    F.md5(F.concat_ws(" ", F.col("c._chunk")))
+                    .alias("chunk_md5")))
+
+
+def cross_source_overlap(docs: DataFrame, n: int = 5,
+                         source_col: str = "source",
+                         text_col: str = "text") -> DataFrame:
+    """Pairwise content overlap between sources: count of distinct word
+    n-grams shared by each source pair — the provenance contamination
+    matrix a mixing recipe consults before weighting sources. Shuffles
+    (source, shingle) pairs only (text never moves); the self-join output
+    is bounded by shingles × source-pairs, and per-shingle fan-out is at
+    most (n_sources choose 2) — independent of corpus size."""
+    from amundsendatabuilder_spark.functions.text import exploded_shingles
+    sh = (exploded_shingles(
+        docs.select(F.col(source_col).alias("doc_id"), F.col(text_col)),
+        "doc_id", text_col, n=n)
+        .select(F.col("doc_id").alias("src"), "shingle").distinct())
+    a, b = sh.alias("a"), sh.alias("b")
+    return (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.src") < F.col("b.src")))
+            .groupBy(F.col("a.src").alias("source_a"),
+                     F.col("b.src").alias("source_b"))
+            .agg(F.count("*").cast("long").alias("n_shared")))

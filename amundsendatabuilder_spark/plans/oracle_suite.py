@@ -2436,3 +2436,41 @@ def kmeans_centroids(spark, sf_dir):
     fitted = kmeans_fit(emb, k=8, max_iters=3)
     return fitted.select("cent_id", "n_members",
                          F.size("embedding").alias("dims"))
+
+
+@query("doc_chunking", r"""
+WITH t AS (SELECT doc_id, """ + _TOKS_SQL + r""" AS toks FROM documents),
+c AS (SELECT doc_id, toks, i
+      FROM (SELECT doc_id, toks,
+                   unnest(range(0, ((len(toks) - 1) // 48) + 1)) AS i
+            FROM t WHERE len(toks) > 0))
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       CAST(len(toks[i*48+1 : i*48+64]) AS BIGINT) AS n_tokens,
+       md5(array_to_string(toks[i*48+1 : i*48+64], ' ')) AS chunk_md5
+FROM c
+""")
+def doc_chunking(spark, sf_dir):
+    """Context-window chunking (textops.chunk_documents): 64-token chunks
+    with 16-token overlap, chunk content hashed — one narrow pass, zero
+    shuffle."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return textops.chunk_documents(docs, chunk_tokens=64, overlap_tokens=16)
+
+
+@query("cross_source_overlap", r"""
+WITH t AS (SELECT source AS src, """ + _TOKS_SQL + r""" AS toks FROM documents),
+g AS (SELECT DISTINCT src,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+             toks[i+3] || ' ' || toks[i+4] AS shingle
+      FROM (SELECT src, toks, unnest(range(1, len(toks) - 3)) AS i FROM t))
+SELECT a.src AS source_a, b.src AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM g a JOIN g b ON a.shingle = b.shingle AND a.src < b.src
+GROUP BY 1, 2
+""")
+def cross_source_overlap_query(spark, sf_dir):
+    """Provenance contamination matrix (textops.cross_source_overlap):
+    distinct word-5-grams shared per source pair; only (source, shingle)
+    pairs shuffle, per-shingle fan-out bounded by source-pair count."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return textops.cross_source_overlap(docs, n=5)
