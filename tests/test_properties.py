@@ -68,3 +68,57 @@ def test_key_template_injective(sp):
     out = [r[0] for r in df.select(
         keys.table_key("db", "cl", "sc", "tb")).collect()]
     assert len(set(out)) == len(out)
+
+
+def test_pack_shards_invariants(spark):
+    """Property: shard_id equals the doc's starting token offset // budget
+    within its stratum (recomputed independently), so ids are
+    non-decreasing in doc_id order and every shard's token sum stays under
+    budget + its largest doc (docs never split)."""
+    from amundsendatabuilder_spark.operators.textops import pack_shards
+    import random
+    rng = random.Random(11)
+    docs = [(i, rng.choice(["en", "fr"]), "w " * rng.randrange(1, 120))
+            for i in range(200)]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    out = pack_shards(df, budget_tokens=100).collect()
+    by_stratum: dict = {}
+    for r in out:
+        by_stratum.setdefault(r.stratum, []).append(r)
+    for stratum, rows in by_stratum.items():
+        rows.sort(key=lambda r: r.doc_id)
+        offset = 0
+        for r in rows:
+            assert r.shard_id == offset // 100  # independent recomputation
+            offset += r.n_tokens
+        for sid in {r.shard_id for r in rows}:
+            members = [r for r in rows if r.shard_id == sid]
+            total = sum(r.n_tokens for r in members)
+            assert total < 100 + max(r.n_tokens for r in members)
+
+
+def test_chunk_documents_invariants(spark):
+    """Property: chunks tile the token array with the configured step;
+    every chunk except possibly the last is full; reassembling chunk
+    starts covers every token index."""
+    from amundsendatabuilder_spark.operators.textops import chunk_documents
+    import random
+    rng = random.Random(12)
+    docs = [(i, "tok " * rng.randrange(1, 300)) for i in range(50)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    n_tokens = {i: t.count("tok") for i, t in docs}
+    out = chunk_documents(df, chunk_tokens=64, overlap_tokens=16).collect()
+    step = 48
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(n_tokens)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        n = n_tokens[doc_id]
+        assert [r.chunk_idx for r in rows] == list(range(len(rows)))
+        assert len(rows) == (n - 1) // step + 1
+        for r in rows[:-1]:
+            assert r.n_tokens == 64 or r.chunk_idx * step + r.n_tokens == n
+        last = rows[-1]
+        assert last.chunk_idx * step + last.n_tokens == n  # tail reaches end
