@@ -447,3 +447,13 @@ def test_kmeans_recovers_separated_clusters(spark):
         [(i, v) for i, v in anchors.items()], "vec_id long, embedding array<double>")
     assign = assign_centroids(anchor_df, cents)
     assert len({r.cent_id for r in assign.collect()}) == 3
+
+
+def test_connected_components_empty_edges(spark):
+    """No pairs -> empty components frame with the right schema (the
+    dedup pipeline on a clean corpus must not fail)."""
+    from amundsendatabuilder_spark.operators.graph_algo import connected_components
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = connected_components(empty)
+    assert out.columns == ["node", "component"]
+    assert out.count() == 0
