@@ -104,13 +104,12 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     [b*rows_per_band, (b+1)*rows_per_band); band signature = ordered
     concat of the band's minhashes.
     """
+    from pyspark.sql import Window
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_size,
                               shingles=shingles)
     # one explode instead of a bands-way union: the shingle+hash pipeline
     # runs exactly once, then fans out 4 tiny (band, sig) rows per doc.
-    # cache() because the bucket guard and both join sides re-read it —
-    # without it Catalyst re-executes the full upstream per consumer.
     band_structs = F.array(*[
         F.struct(F.lit(b).alias("band"),
                  F.concat_ws("|", *[F.col(f"mh{j}")
@@ -119,23 +118,32 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                  .alias("band_sig"))
         for b in range(bands)])
     band_sigs = (sigs.select("doc_id", F.explode(band_structs).alias("bs"))
-                 .select("doc_id", "bs.band", "bs.band_sig")
-                 .cache())
-    # Guard against degenerate buckets (e.g. empty docs all hashing equal):
-    # production near-dup pipelines drop buckets above a size cap rather
-    # than quadratically exploding one executor.
-    bucket_sizes = band_sigs.groupBy("band", "band_sig").agg(F.count("*").alias("sz"))
-    bounded = band_sigs.join(
-        bucket_sizes.where(F.col("sz") <= max_bucket_size).select("band", "band_sig"),
-        ["band", "band_sig"], "inner")
-    a, b = bounded.alias("a"), bounded.alias("b")
-    return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.band_sig") == F.col("b.band_sig"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+                 .select("doc_id", "bs.band", "bs.band_sig"))
+    # Bucket stage in ONE shuffle, no joins, no cache:
+    #   1. window count over (band, band_sig) guards degenerate buckets
+    #      (e.g. empty docs all hashing equal) — the window sorter spills,
+    #      so a 10M-row boilerplate bucket is counted and dropped without
+    #      ever materializing an in-memory list of its members;
+    #   2. the same-key groupBy reuses the window's hash partitioning
+    #      (no second exchange) and collects the ≤ max_bucket_size
+    #      survivors per bucket;
+    #   3. in-bucket pairs come from an array transform — no self-join.
+    # The previous formulation (size groupBy + semi-join back + bucket
+    # self-join) spent 3 shuffles + a cache on the same result.
+    w = Window.partitionBy("band", "band_sig")
+    buckets = (band_sigs
+               .withColumn("_sz", F.count("*").over(w))
+               .where((F.col("_sz") >= 2) & (F.col("_sz") <= max_bucket_size))
+               .groupBy("band", "band_sig")
+               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids")))
+    pair = F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")))))
+    return (buckets.select(F.explode(pair).alias("p"))
+            .select("p.doc_a", "p.doc_b")
+            .distinct())
 
 
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",

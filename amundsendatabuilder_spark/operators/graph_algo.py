@@ -79,13 +79,17 @@ def connected_components(edges: DataFrame,
     min node id in the component, identical for both strategies.
     """
     edges = edges.cache()
-    n_edges = edges.count()
-    if n_edges > driver_threshold:
+    # ONE job decides the strategy AND delivers the edge list: take() with
+    # a threshold+1 limit both proves the graph is small enough for the
+    # driver and returns it — versus a count job followed by a collect job
+    # (2× the scheduling and 2× the cache reads of the same pipeline).
+    head = edges.select(src_col, dst_col).take(driver_threshold + 1)
+    if len(head) > driver_threshold:
         out = connected_components_small(edges, src_col=src_col,
                                          dst_col=dst_col, max_iters=max_iters)
         edges.unpersist()
         return out
-    pairs = [(r[0], r[1]) for r in edges.select(src_col, dst_col).collect()]
+    pairs = [(r[0], r[1]) for r in head]
     edges.unpersist()
     parent: dict = {}
 

@@ -53,6 +53,9 @@ def main() -> None:
     from amundsendatabuilder_spark.session import get_spark
 
     spark = get_spark("bench")
+    # timings go to the JSON line; executor WARN chatter (e.g. the
+    # documented tiny-set unpartitioned windows) would drown the tail
+    spark.sparkContext.setLogLevel("ERROR")
     # JVM+codegen warmup on the smallest scale so per-query timings measure
     # the plan, not first-call JIT/janino compile: one scan-agg shape and
     # the minhash shape (its 16-way modular-arithmetic aggregate is the
