@@ -70,3 +70,73 @@ def write_neptune_csv(out: GraphOutput, out_dir: str,
     epath = os.path.join(out_dir, "edges")
     edges.coalesce(1).write.mode("overwrite").option("header", True).csv(epath)
     return {"vertices": vpath, "edges": epath}
+
+
+# In-progress statuses the reference polls through
+# (publisher/neptune_csv_publisher.py:111-116).
+_IN_PROGRESS = ("LOAD_NOT_STARTED", "LOAD_IN_PROGRESS", "LOAD_IN_QUEUE")
+
+
+def publish_bulk(staged_dir: str, base_s3_data_path: str,
+                 datetime_portion: str, client,
+                 fail_on_error: bool = False,
+                 status_polling_period: float = 5,
+                 sleep=None) -> dict:
+    """Neptune bulk-load orchestration (reference
+    publisher/neptune_csv_publisher.py:89-143,156-172):
+
+    1. no-op when the staged directory holds no CSVs (_is_upload_required
+       :156-158);
+    2. upload every staged CSV to ``{base}/{datetime_portion}/{name}``
+       (upload_files :160-172 — the timestamped folder per publish run,
+       :93-97, is passed in rather than read from the clock so runs are
+       reproducible);
+    3. kick the bulk loader (client.load) and require
+       ``payload.loadId`` in the response (:101-109);
+    4. poll client.load_status every ``status_polling_period`` seconds
+       while the status is queued/in-progress, accumulating error-log
+       entries (:111-117, _poll_status :131-143).
+
+    ``client`` is the injected bulk-loader API (production:
+    NeptuneBulkLoaderApi over boto3+wss): ``upload(f, s3_object_key)``,
+    ``load(s3_object_key, failOnError) -> dict``,
+    ``load_status(load_id, errors) -> dict``. Returns
+    {loaded, load_id, status, errors}.
+    """
+    import time as _time
+    sleep = sleep or _time.sleep
+    file_paths = sorted(
+        os.path.join(root, fn)
+        for root, _dirs, files in os.walk(staged_dir)
+        for fn in files if fn.endswith(".csv"))
+    if not file_paths:
+        return {"loaded": False, "load_id": None, "status": None, "errors": []}
+
+    s3_folder_location = f"{base_s3_data_path}/{datetime_portion}"
+    for file_location in file_paths:
+        with open(file_location, "rb") as file_csv:
+            client.upload(
+                f=file_csv,
+                s3_object_key=f"{s3_folder_location}/{os.path.basename(file_location)}")
+
+    response = client.load(s3_object_key=s3_folder_location,
+                           failOnError=fail_on_error)
+    try:
+        load_id = response["payload"]["loadId"]
+    except KeyError:
+        raise RuntimeError(f"Failed to load csv. Response: {response}")
+
+    load_status = "LOAD_NOT_STARTED"
+    all_errors: list = []
+    while load_status in _IN_PROGRESS:
+        sleep(status_polling_period)
+        status_payload = client.load_status(load_id=load_id, errors=True) \
+            .get("payload", {})
+        try:
+            load_status = status_payload["overallStatus"]["status"]
+        except KeyError:
+            raise RuntimeError(
+                f"Failed to check status of {load_id} response: {status_payload!r}")
+        all_errors.extend(status_payload.get("errors", {}).get("errorLogs", []))
+    return {"loaded": True, "load_id": load_id, "status": load_status,
+            "errors": all_errors}
