@@ -188,3 +188,30 @@ def kmeans_fit(corpus: DataFrame, k: int = 16, max_iters: int = 5,
     return cents.join(counts, "cent_id", "left") \
         .select("cent_id", "embedding",
                 F.coalesce("n_members", F.lit(0)).alias("n_members"))
+
+
+def quantize_embeddings(emb: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Symmetric int8 scalar quantization of an embedding column — the
+    compression step before an ANN index ships to serving (4× smaller
+    vectors, dot products in int8 SIMD). Per vector: scale =
+    max(|x|)/127 (rounded to 9 places so the stored scale is the one
+    used to quantize), q_i = round(x_i / scale) in [-127, 127].
+    Returns (vec_id, scale, q) with q as a comma-joined string for
+    cross-engine comparison; zero vectors quantize to all-zero.
+
+    Pure per-row projection (transform over the array, no UDF, no
+    shuffle) — embarrassingly parallel at any scale.
+    """
+    from amundsendatabuilder_spark.functions.scalars import round_half_away
+    v = F.col(vec_col).cast("array<double>")
+    scale = round_half_away(
+        F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0), 9)
+    q = F.transform(
+        v, lambda x: F.when(scale == F.lit(0.0), F.lit(0).cast("long"))
+        .otherwise(round_half_away(x / scale, 0).cast("long")))
+    return emb.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        F.concat_ws(",", F.transform(q, lambda x: x.cast("string")))
+        .alias("q"))

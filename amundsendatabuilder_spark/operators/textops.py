@@ -304,3 +304,104 @@ def cross_source_overlap(docs: DataFrame, n: int = 5,
             .groupBy(F.col("a.src").alias("source_a"),
                      F.col("b.src").alias("source_b"))
             .agg(F.count("*").cast("long").alias("n_shared")))
+
+
+def split_assign(docs: DataFrame,
+                 weights: tuple[tuple[str, float], ...] = (
+                     ("train", 0.8), ("val", 0.1), ("test", 0.1)),
+                 id_col: str = "doc_id") -> DataFrame:
+    """Deterministic train/val/test assignment: md5(doc_id)'s first 4 hex
+    chars -> a 16-bit bucket, cut at the cumulative weight boundaries.
+    Returns (doc_id, split).
+
+    Hash-based (not rand()-based) so the assignment is stable across
+    runs, engines, cluster sizes, and re-partitioning — the property a
+    training pipeline needs so that a doc never migrates from test to
+    train between ingestion runs. Pure map-side projection: zero shuffle
+    at any scale.
+    """
+    assert abs(sum(w for _n, w in weights) - 1.0) < 1e-9
+    bucket = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10) \
+        .cast("long")
+    expr = F.lit(weights[-1][0])
+    acc = 0.0
+    cuts = []
+    for name, w in weights[:-1]:
+        acc += w
+        cuts.append((name, int(acc * 65536)))
+    for name, cut in reversed(cuts):
+        expr = F.when(bucket < cut, name).otherwise(expr)
+    return docs.select(F.col(id_col), expr.alias("split"))
+
+
+def dedup_rate_by_source(docs: DataFrame, source_col: str = "source",
+                         text_col: str = "text") -> DataFrame:
+    """Per-source duplication report: (source, n_docs, n_unique,
+    dup_rate) where n_unique counts distinct normalized-text
+    fingerprints — the provenance scorecard that decides which sources
+    need aggressive dedup before mixing. One groupBy shuffle carrying
+    32-byte hashes (count-distinct keeps a per-group hash set map-side;
+    text never shuffles)."""
+    from amundsendatabuilder_spark.functions.scalars import round_half_away
+    from amundsendatabuilder_spark.functions.text import fingerprint_md5
+    return (docs
+            .select(F.col(source_col).alias("source"),
+                    fingerprint_md5(F.col(text_col)).alias("fp"))
+            .groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.countDistinct("fp").cast("long").alias("n_unique"))
+            .withColumn("dup_rate", round_half_away(
+                1.0 - F.col("n_unique") / F.col("n_docs"), 6)))
+
+
+def boilerplate_chunk_stats(docs: DataFrame, chunk_tokens: int = 16,
+                            min_docs: int = 2, id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Cross-document repeated-chunk profile (the line-dedup /
+    boilerplate-removal pass of CCNet-style pipelines, adapted to
+    fixed-token chunks): per document, how many of its non-overlapping
+    ``chunk_tokens``-token chunks also appear in at least ``min_docs``
+    documents. Returns (doc_id, n_chunks, n_boilerplate, boilerplate_frac).
+
+    Shape: one chunking pass (zero shuffle), one groupBy over chunk
+    hashes to find repeated chunks (map-side combinable, 32-byte keys),
+    a broadcast-friendly join back, and the per-doc rollup. Only hashes
+    move — at 100 TB the chunk-frequency table is the working set, and a
+    document-frequency cap (stop-chunk removal) bounds its skew the same
+    way stopword shingles are dropped in n-gram dedup.
+    """
+    from amundsendatabuilder_spark.functions.scalars import round_half_away
+    ch = chunk_documents(docs, chunk_tokens=chunk_tokens, overlap_tokens=0,
+                         id_col=id_col, text_col=text_col)
+    rep = (ch.groupBy("chunk_md5")
+           .agg(F.countDistinct(id_col).alias("_nd"))
+           .where(F.col("_nd") >= min_docs)
+           .select("chunk_md5"))
+    flagged = ch.join(rep, "chunk_md5", "left_semi") \
+        .groupBy(id_col).agg(F.count("*").cast("long").alias("n_boilerplate"))
+    per_doc = ch.groupBy(id_col).agg(F.count("*").cast("long").alias("n_chunks"))
+    return (per_doc.join(flagged, id_col, "left")
+            .select(F.col(id_col),
+                    "n_chunks",
+                    F.coalesce("n_boilerplate", F.lit(0)).cast("long")
+                    .alias("n_boilerplate"))
+            .withColumn("boilerplate_frac", round_half_away(
+                F.col("n_boilerplate") / F.col("n_chunks"), 6)))
+
+
+def token_count_histogram(docs: DataFrame, bucket_width: int = 16,
+                          strata_col: str = "lang",
+                          text_col: str = "text") -> DataFrame:
+    """Document-length histogram per stratum with fixed-width integer
+    buckets: (stratum, bucket_lo, n_docs). Integer bucket arithmetic
+    (no float log) keeps bucket edges identical on every engine; the
+    whole pass is one map-side-combinable groupBy over ~(strata × #
+    buckets) cells."""
+    from amundsendatabuilder_spark.functions.text import token_count_ws
+    n = token_count_ws(F.col(text_col))
+    return (docs.select(F.col(strata_col).alias("stratum"),
+                        ((n / bucket_width).cast("long") * bucket_width)
+                        .alias("bucket_lo"))
+            .groupBy("stratum", "bucket_lo")
+            .agg(F.count("*").cast("long").alias("n_docs")))

@@ -2474,3 +2474,109 @@ def cross_source_overlap_query(spark, sf_dir):
     pairs shuffle, per-shingle fan-out bounded by source-pair count."""
     (docs,) = _t(spark, sf_dir, "documents")
     return textops.cross_source_overlap(docs, n=5)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: split assignment, provenance dedup report, boilerplate
+# chunks, length histogram, embedding quantization
+# ---------------------------------------------------------------------------
+
+@query("split_assign", """
+SELECT doc_id,
+       CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                      AS BIGINT) < 52428 THEN 'train'
+            WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                      AS BIGINT) < 58982 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""")
+def split_assign_query(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split by md5 bucket
+    (textops.split_assign): stable across runs/engines/partitionings,
+    zero shuffle — the reproducible-split contract rand() cannot give."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return textops.split_assign(docs)
+
+
+@query("dedup_rate_by_source", r"""
+WITH f AS (SELECT source,
+                  md5(array_to_string(list_filter(
+                      string_split_regex(trim(lower(text)), '\s+'),
+                      x -> x <> ''), ' ')) AS fp
+           FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+       round(1.0 - count(DISTINCT fp) / count(*), 6) AS dup_rate
+FROM f GROUP BY source
+""")
+def dedup_rate_by_source_query(spark, sf_dir):
+    """Per-source duplication scorecard (textops.dedup_rate_by_source):
+    the report that decides which provenance needs aggressive dedup.
+    One shuffle of 32-byte fingerprints."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return textops.dedup_rate_by_source(docs)
+
+
+@query("boilerplate_chunks", r"""
+WITH t AS (SELECT doc_id, """ + _TOKS_SQL + r""" AS toks FROM documents),
+c AS (SELECT doc_id,
+             md5(array_to_string(toks[i*16+1 : i*16+16], ' ')) AS chunk_md5
+      FROM (SELECT doc_id, toks,
+                   unnest(range(0, ((len(toks) - 1) // 16) + 1)) AS i
+            FROM t WHERE len(toks) > 0)),
+rep AS (SELECT chunk_md5 FROM c GROUP BY 1
+        HAVING count(DISTINCT doc_id) >= 2)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN chunk_md5 IN (SELECT chunk_md5 FROM rep)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+       round(sum(CASE WHEN chunk_md5 IN (SELECT chunk_md5 FROM rep)
+                      THEN 1 ELSE 0 END) / count(*), 6) AS boilerplate_frac
+FROM c GROUP BY doc_id
+""")
+def boilerplate_chunks_query(spark, sf_dir):
+    """Cross-document repeated-chunk profile
+    (textops.boilerplate_chunk_stats) — the CCNet-style boilerplate
+    detection pass: 16-token chunks hashed once, repeated-chunk set from
+    one hash groupBy, left-semi flag join; only 32-byte hashes shuffle."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return textops.boilerplate_chunk_stats(docs, chunk_tokens=16)
+
+
+@query("token_count_histogram", r"""
+WITH d AS (SELECT lang AS stratum,
+                  CAST(len(""" + _TOKS_SQL + r""") AS BIGINT) AS n
+           FROM documents)
+SELECT stratum, (n // 16) * 16 AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM d GROUP BY 1, 2
+""")
+def token_count_histogram_query(spark, sf_dir):
+    """Fixed-width document-length histogram per language
+    (textops.token_count_histogram): integer bucket edges (no float log)
+    so the histogram is engine-identical; one tiny-cardinality groupBy."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return textops.token_count_histogram(docs, bucket_width=16)
+
+
+@query("quantize_embeddings", r"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, v,
+             round(list_max(list_transform(v, x -> abs(x))) / 127.0, 9)
+                 AS scale
+      FROM v)
+SELECT vec_id, scale,
+       array_to_string(list_transform(
+           v, x -> CAST(CASE WHEN scale = 0 THEN 0
+                             ELSE round(x / scale, 0) END AS BIGINT)), ',')
+           AS q
+FROM s
+""")
+def quantize_embeddings_query(spark, sf_dir):
+    """Symmetric int8 scalar quantization of the embedding column
+    (similarity.quantize_embeddings): scale = max|x|/127 rounded to the
+    stored precision, per-dim round-half-away — a pure projection, zero
+    shuffle at any scale."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    from amundsendatabuilder_spark.operators.similarity import (
+        quantize_embeddings)
+    return quantize_embeddings(emb)

@@ -457,3 +457,73 @@ def test_connected_components_empty_edges(spark):
     out = connected_components(empty)
     assert out.columns == ["node", "component"]
     assert out.count() == 0
+
+
+def test_split_assign_deterministic_and_complete(spark):
+    from amundsendatabuilder_spark.operators.textops import split_assign
+
+    docs = spark.createDataFrame([(i, "x") for i in range(2000)],
+                                 "doc_id long, text string")
+    a = {r.doc_id: r.split for r in split_assign(docs).collect()}
+    b = {r.doc_id: r.split for r in split_assign(docs).collect()}
+    assert a == b  # hash-based => identical across runs
+    assert set(a.values()) == {"train", "val", "test"}
+    frac_train = sum(1 for s in a.values() if s == "train") / len(a)
+    assert 0.75 < frac_train < 0.85  # ~80% within sampling tolerance
+
+
+def test_split_assign_custom_weights(spark):
+    from amundsendatabuilder_spark.operators.textops import split_assign
+
+    docs = spark.createDataFrame([(i, "x") for i in range(1000)],
+                                 "doc_id long, text string")
+    out = split_assign(docs, weights=(("a", 0.5), ("b", 0.5)))
+    values = {r.split for r in out.collect()}
+    assert values == {"a", "b"}
+
+
+def test_boilerplate_chunk_stats_flags_shared_chunks(spark):
+    from amundsendatabuilder_spark.operators.textops import (
+        boilerplate_chunk_stats)
+
+    shared = " ".join(f"w{i}" for i in range(4))
+    docs = spark.createDataFrame(
+        [(1, shared + " unique one here now"),
+         (2, shared + " other tail words go"),
+         (3, "completely different text with no overlap at all")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in
+            boilerplate_chunk_stats(docs, chunk_tokens=4).collect()}
+    assert rows[1].n_boilerplate == 1 and rows[2].n_boilerplate == 1
+    assert rows[3].n_boilerplate == 0
+    assert rows[1].n_chunks == 2
+    assert abs(rows[1].boilerplate_frac - 0.5) < 1e-9
+
+
+def test_quantize_embeddings_zero_vector_and_range(spark):
+    from amundsendatabuilder_spark.operators.similarity import (
+        quantize_embeddings)
+
+    emb = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    rows = {r.vec_id: r for r in quantize_embeddings(emb).collect()}
+    q1 = [int(x) for x in rows[1].q.split(",")]
+    assert q1[1] == -127  # max-magnitude dim hits the int8 extreme
+    assert all(-127 <= x <= 127 for x in q1)
+    assert rows[2].q == "0,0,0" and rows[2].scale == 0.0
+
+
+def test_token_count_histogram_buckets(spark):
+    from amundsendatabuilder_spark.operators.textops import (
+        token_count_histogram)
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["a"] * 5), "en"),
+         (2, " ".join(["a"] * 17), "en"),
+         (3, " ".join(["a"] * 16), "en")],
+        "doc_id long, text string, lang string")
+    rows = {(r.stratum, r.bucket_lo): r.n_docs
+            for r in token_count_histogram(docs, bucket_width=16).collect()}
+    assert rows[("en", 0)] == 1   # 5 tokens
+    assert rows[("en", 16)] == 2  # 16 and 17 tokens share the bucket
