@@ -28,6 +28,17 @@ def l2_norm(a) -> Column:
     return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v))
 
 
+def random_planes(dim: int, n: int, seed: int = 7) -> list[list[float]]:
+    """``n`` Gaussian random hyperplanes of dimension ``dim`` for
+    random-hyperplane (sign-of-dot) LSH. Seeded NumPy PCG64 so the planes
+    — and therefore every signature and bucket — are bit-reproducible
+    across runs and machines; generated driver-side once (n×dim floats,
+    kilobytes) and baked into the plan as literals."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    return [[float(x) for x in row] for row in rng.normal(size=(n, dim))]
+
+
 def cosine_similarity(a, b, norm_a: Column | None = None,
                       norm_b: Column | None = None) -> Column:
     """Cosine similarity in double precision; NULL when either norm is 0.

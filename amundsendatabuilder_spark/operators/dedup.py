@@ -15,9 +15,11 @@ cluster, not the local test scale):
   one explode + two groupBys, all map-side combinable.
 - ``ngram_jaccard_pairs``: exact verification join — intended for use AFTER
   LSH candidate generation at scale; the all-pairs form here is for small
-  candidate sets / tests.
-- ``embedding_near_duplicates``: cosine > threshold pairs, bucketed by a
-  random-hyperplane LSH when ``planes`` is given (otherwise all-pairs).
+  candidate sets / tests. ``max_df`` drops boilerplate shingles before the
+  join so one stopword shingle shared by 10⁶ docs can't go quadratic.
+- ``embedding_near_duplicates``: cosine > threshold pairs, bucketed by
+  random-hyperplane band signatures by default (``all_pairs=True`` is the
+  explicit O(n²) escape hatch for small candidate sets).
 
 All hashing goes through md5 (functions/hashing.py) so results are
 reproducible across engines for the DuckDB oracle.
@@ -183,9 +185,9 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 
 def simhash_buckets(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", bits: int = 16) -> DataFrame:
-    """Duplicate-candidate buckets: documents sharing an identical SimHash.
-    (At 64 bits production systems bucket by rotated prefixes to catch
-    Hamming distance ≤ k; identical-signature grouping is the k=0 case.)"""
+    """Duplicate-candidate buckets: documents sharing an identical SimHash —
+    the Hamming k=0 case; ``simhash_hamming_pairs`` is the k>0 block
+    scheme."""
     return (
         simhash_signatures(docs, id_col, text_col, bits)
         .groupBy("simhash")
@@ -194,20 +196,87 @@ def simhash_buckets(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def simhash_hamming_pairs(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", bits: int = 16,
+                          k: int = 1) -> DataFrame:
+    """SimHash near-duplicate pairs within Hamming distance ≤ k
+    (doc_a < doc_b, hamming) — the production block-bucketing scheme
+    (Manku/Jain/Sarma WWW'07): split the signature into k+1 bit blocks; by
+    pigeonhole any pair within distance k agrees exactly on at least one
+    block, so bucketing by (block_idx, block_bits) finds ALL such pairs
+    with no signature rotation misses. Candidates sharing a block are then
+    verified with bit_count(sig_a XOR sig_b) ≤ k.
+
+    Scale shape: identical to MinHash banding — only (doc_id, block bits)
+    rows shuffle; candidate fan-out is bounded by block-bucket sizes
+    (wider signatures at scale, e.g. 64-bit, keep blocks discriminative).
+    """
+    sigs = simhash_signatures(docs, id_col, text_col, bits)
+    n_blocks = k + 1
+    # block b covers bit positions [start_b, start_b + width_b); widths as
+    # equal as possible so every block keeps maximal discriminative power
+    widths = [bits // n_blocks + (1 if i < bits % n_blocks else 0)
+              for i in range(n_blocks)]
+    starts = [sum(widths[:i]) for i in range(n_blocks)]
+    blocks = F.array(*[
+        F.struct(
+            F.lit(i).alias("blk"),
+            # bits [start, start+width) counted from the MSB of a
+            # bits-wide signature: shift right past the lower bits, mask
+            F.expr(f"(simhash >> {bits - starts[i] - widths[i]}) "
+                   f"& {(1 << widths[i]) - 1}").alias("blk_val"))
+        for i in range(n_blocks)])
+    keyed = (sigs.select("doc_id", "simhash", F.explode(blocks).alias("b"))
+             .select("doc_id", "simhash", "b.blk", "b.blk_val"))
+    return (keyed.alias("x").join(
+        keyed.alias("y"),
+        (F.col("x.blk") == F.col("y.blk"))
+        & (F.col("x.blk_val") == F.col("y.blk_val"))
+        & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+                F.expr("CAST(bit_count(x.simhash ^ y.simhash) AS INT)")
+                .alias("hamming"))
+        .where(F.col("hamming") <= k)
+        .distinct())
+
+
+def _cap_shingle_df(sh: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles appearing in more than ``max_df`` documents.
+
+    ``exploded_shingles`` emits distinct shingles per doc, so a plain window
+    count over the shingle partition IS the document frequency — one
+    spillable shuffle, no join back. This is the boilerplate-shingle guard:
+    without it a stopword 3-gram shared by 10⁶ docs makes any shingle
+    self-join quadratic in that shingle's DF.
+    """
+    from pyspark.sql import Window
+    w = Window.partitionBy("shingle")
+    return (sh.withColumn("_df", F.count("*").over(w))
+            .where(F.col("_df") <= max_df)
+            .drop("_df"))
+
+
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", shingle_size: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        max_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (doc_a < doc_b, jaccard ≥ t).
 
     Inverted-index join: explode distinct shingles, self-join on shingle to
     count intersections, then |A∪B| = |A|+|B|-|A∩B|. The shingle join only
-    pairs documents that actually share a shingle — at scale combine with a
-    document-frequency cap on shingles (stopword shingles removed) to bound
-    the join fan-out.
+    pairs documents that actually share a shingle — at scale pass ``max_df``
+    to drop boilerplate shingles (document frequency > max_df) before the
+    join, bounding the fan-out; Jaccard is then computed over the filtered
+    shingle sets (numerator AND denominator), the standard capped-DF
+    semantics.
     """
     from amundsendatabuilder_spark.functions.text import exploded_shingles
     # cache: read 3× below (sizes + both join sides)
-    sh = exploded_shingles(docs, id_col, text_col, shingle_size).cache()
+    sh = exploded_shingles(docs, id_col, text_col, shingle_size)
+    if max_df is not None:
+        sh = _cap_shingle_df(sh, max_df)
+    sh = sh.cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -231,15 +300,26 @@ def lsh_verified_pairs(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", num_hashes: int = 16,
                        bands: int = 4, shingle_size: int = 3,
                        threshold: float = 0.7,
-                       max_bucket_size: int = 1_000_000_000) -> DataFrame:
+                       max_bucket_size: int = 1000,
+                       max_df: int | None = None) -> DataFrame:
     """Two-stage scale dedup: MinHash-LSH candidates -> exact Jaccard
     verification restricted to candidate pairs. The verify join is
     candidates ⨝ shingles (broadcast candidates), so its cost tracks the
     near-dup count, not |docs|² — the standard production pipeline shape.
     Returns (doc_a, doc_b, jaccard >= threshold).
+
+    ``max_bucket_size`` (default 1000, same as minhash_lsh_pairs) is a real
+    guard here: the in-bucket pair stage materializes a bucket's O(sz²)
+    pairs as one array value, so a degenerate bucket (empty/boilerplate
+    docs sharing a band signature) must be dropped, not expanded.
+    ``max_df`` additionally drops boilerplate shingles before BOTH the
+    signature and the verify join (capped-DF Jaccard semantics).
     """
     from amundsendatabuilder_spark.functions.text import exploded_shingles
-    sh = exploded_shingles(docs, id_col, text_col, shingle_size).cache()
+    sh = exploded_shingles(docs, id_col, text_col, shingle_size)
+    if max_df is not None:
+        sh = _cap_shingle_df(sh, max_df)
+    sh = sh.cache()
     cands = minhash_lsh_pairs(docs, id_col, text_col, num_hashes, bands,
                               shingle_size, max_bucket_size, shingles=sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
@@ -268,26 +348,74 @@ def lsh_verified_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
                               vec_col: str = "embedding",
-                              threshold: float = 0.95) -> DataFrame:
+                              threshold: float = 0.95,
+                              planes: list[list[float]] | None = None,
+                              bands: int | None = None,
+                              all_pairs: bool = False,
+                              dim: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ t).
 
-    All-pairs form; at scale pre-bucket with random-hyperplane signatures
-    (similarity.rhp_signature) and join within buckets instead.
+    Default path: bucket both sides by random-hyperplane band signatures
+    (``planes`` split into ``bands`` contiguous groups; a pair is a
+    candidate when it shares ANY band's full bit signature — multi-band OR,
+    exactly the MinHash-LSH banding scheme transplanted to cosine space),
+    then verify exact cosine on the candidates only. ``planes`` defaults to
+    a seeded-deterministic Gaussian set (functions.vectors.random_planes)
+    sized to the vector dim (one scan-of-first-row peek unless ``dim`` is
+    given).
+
+    Recall tuning: a plane agrees on a pair with prob 1 - θ/π. For
+    near-dup thresholds (≥0.9, θ≤26°) use several planes per band; for low
+    thresholds use 1 plane per band and more bands. The oracle entry
+    verifies bucketed == all-pairs on the test fixture.
+
+    ``all_pairs=True`` is the explicit O(n²) escape hatch
+    (BroadcastNestedLoopJoin) for small candidate sets — never the scale
+    path.
     """
-    from amundsendatabuilder_spark.functions.vectors import l2_norm
-    a = emb.select(F.col(id_col).alias("id_a"),
-                   F.col(vec_col).cast("array<double>").alias("vec_a")) \
-        .withColumn("norm_a", l2_norm("vec_a"))
-    b = emb.select(F.col(id_col).alias("id_b"),
-                   F.col(vec_col).cast("array<double>").alias("vec_b")) \
-        .withColumn("norm_b", l2_norm("vec_b"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", round_half_away(cosine_similarity(
-            "vec_a", "vec_b", norm_a=F.col("norm_a"), norm_b=F.col("norm_b")), 6))
-        .where(F.col("cos") >= threshold)
-        .select("id_a", "id_b", "cos")
-    )
+    from amundsendatabuilder_spark.functions.vectors import l2_norm, random_planes
+    base = emb.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).cast("array<double>").alias("vec")) \
+        .withColumn("norm", l2_norm("vec"))
+    a = base.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
+                    F.col("norm").alias("norm_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
+                    F.col("norm").alias("norm_b"))
+    cos = round_half_away(cosine_similarity(
+        "vec_a", "vec_b", norm_a=F.col("norm_a"), norm_b=F.col("norm_b")), 6)
+    if all_pairs:
+        return (a.join(b, F.col("id_a") < F.col("id_b"))
+                .withColumn("cos", cos)
+                .where(F.col("cos") >= threshold)
+                .select("id_a", "id_b", "cos"))
+    if planes is None:
+        if dim is None:
+            dim = emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+        # 16 bands × 1 plane works down to threshold ~0.3 (miss prob
+        # (θ/π)^16 per pair); high-threshold callers pass tighter planes
+        planes = random_planes(dim, n=16, seed=7)
+    bands = bands if bands is not None else len(planes)
+    per_band = len(planes) // bands
+    assert per_band * bands == len(planes), "bands must divide len(planes)"
+    bits = [F.when(dot(F.col("vec"), F.array(*[F.lit(float(x)) for x in p])) >= 0,
+                   F.lit("1")).otherwise(F.lit("0"))
+            for p in planes]
+    band_structs = F.array(*[
+        F.struct(F.lit(g).alias("band"),
+                 F.concat(*bits[g * per_band:(g + 1) * per_band]).alias("sig"))
+        for g in range(bands)])
+    sigs = (base.select("id", F.explode(band_structs).alias("bs"))
+            .select("id", "bs.band", "bs.sig"))
+    cands = (sigs.alias("x").join(
+        sigs.alias("y"),
+        (F.col("x.band") == F.col("y.band")) & (F.col("x.sig") == F.col("y.sig"))
+        & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct())
+    return (cands.join(a, "id_a").join(b, "id_b")
+            .withColumn("cos", cos)
+            .where(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos"))
 
 
 def benchmark_overlap(train: DataFrame, benchmark: DataFrame,

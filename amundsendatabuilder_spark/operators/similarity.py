@@ -95,28 +95,37 @@ def assign_centroids(corpus: DataFrame, centroids: DataFrame,
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              nlist: int = 16, nprobe: int = 4,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: DataFrame | None = None) -> DataFrame:
     """IVF(-flat) approximate top-k.
 
-    Centroids = deterministic pseudo-random sample of ``nlist`` corpus
-    vectors (first nlist by md5(id)) — a k-means-free stand-in that keeps
-    the operator dependency-light; swap in real centroids at deployment.
-    Corpus rows are assigned to their nearest centroid (1 broadcast join);
-    queries probe their ``nprobe`` nearest lists; the final scan touches
-    ~nprobe/nlist of the corpus.
+    ``centroids`` (cent_id, embedding) — typically ``kmeans_fit`` output —
+    defines the inverted lists; when omitted, falls back to a
+    deterministic pseudo-random sample of ``nlist`` corpus vectors (first
+    nlist by md5(id)), the k-means-free stand-in. Trained centroids give
+    strictly better recall at the same nprobe (tests/test_similarity
+    measures both). Corpus rows are assigned to their nearest centroid
+    (1 broadcast join); queries probe their ``nprobe`` nearest lists; the
+    final scan touches ~nprobe/nlist of the corpus.
     """
-    # Deterministic pseudo-random sample of nlist corpus vectors as
-    # centroids: order by md5(id) and take the first nlist — a distributed
-    # top-k (TakeOrderedAndProject), NOT a global row_number window over
-    # the whole corpus (which would sort 100 TB onto one partition).
-    cents = (
-        corpus.select(F.md5(F.col(id_col).cast("string")).alias("_h"),
-                      F.col(vec_col).alias("c_vec"))
-        .orderBy("_h").limit(nlist)
-    )
-    w_c = Window.orderBy(F.col("_h"))
-    cents = cents.withColumn("list_id", F.row_number().over(w_c) - 1) \
-        .select("list_id", "c_vec")
+    if centroids is not None:
+        cents = centroids.select(
+            F.col("cent_id").cast("int").alias("list_id"),
+            F.col("embedding").cast("array<double>").alias("c_vec"))
+    else:
+        # Deterministic pseudo-random sample of nlist corpus vectors as
+        # centroids: order by md5(id) and take the first nlist — a
+        # distributed top-k (TakeOrderedAndProject), NOT a global
+        # row_number window over the whole corpus (which would sort 100 TB
+        # onto one partition).
+        cents = (
+            corpus.select(F.md5(F.col(id_col).cast("string")).alias("_h"),
+                          F.col(vec_col).alias("c_vec"))
+            .orderBy("_h").limit(nlist)
+        )
+        w_c = Window.orderBy(F.col("_h"))
+        cents = cents.withColumn("list_id", F.row_number().over(w_c) - 1) \
+            .select("list_id", "c_vec")
     cents = F.broadcast(cents)
 
     def assign(df: DataFrame, idc: str, vecc: str, topn: int, out: str) -> DataFrame:
@@ -156,16 +165,17 @@ def kmeans_fit(corpus: DataFrame, k: int = 16, max_iters: int = 5,
     list between iterations (kilobytes), so iteration state never grows
     with the corpus — the shape that holds at 100 TB of embeddings.
     Deterministic throughout: md5-ordered init, cosine ties by centroid
-    id. Returns (cent_id, embedding, n_members).
+    id. A cluster that loses every member keeps its previous centroid
+    (no silent shrinkage below k). Returns (cent_id, embedding,
+    n_members) with n_members counted by a final assignment pass against
+    the RETURNED centroids — not the penultimate ones.
     """
-    dims = F.size(F.col(vec_col).cast("array<double>"))
     init = (corpus.select(F.md5(F.col(id_col).cast("string")).alias("_h"),
                           F.col(vec_col).cast("array<double>").alias("embedding"))
             .orderBy("_h").limit(k))
     w0 = Window.orderBy("_h")
     cents = (init.withColumn("cent_id", F.row_number().over(w0) - 1)
              .select("cent_id", "embedding"))
-    counts = None
     for _ in range(max_iters):
         assigned = assign_centroids(corpus, cents, id_col=id_col,
                                     vec_col=vec_col)
@@ -180,12 +190,21 @@ def kmeans_fit(corpus: DataFrame, k: int = 16, max_iters: int = 5,
                      .agg(F.transform(
                          F.array_sort(F.collect_list(F.struct("pos", "m"))),
                          lambda s: s["m"]).alias("embedding")))
-        counts = assigned.groupBy("cent_id").agg(
-            F.count("*").cast("long").alias("n_members"))
+        # empty clusters produce no per_dim rows — keep their previous
+        # centroid so exactly k rows always come back
+        cents = (cents.alias("old")
+                 .join(new_cents.alias("new"), "cent_id", "left")
+                 .select("cent_id",
+                         F.coalesce(F.col("new.embedding"),
+                                    F.col("old.embedding")).alias("embedding")))
         # k×dim values — kilobytes; materialize so the next iteration's
         # broadcast doesn't drag the whole previous lineage along
-        cents = new_cents.localCheckpoint()
-    return cents.join(counts, "cent_id", "left") \
+        cents = cents.localCheckpoint()
+    final_counts = (assign_centroids(corpus, cents, id_col=id_col,
+                                     vec_col=vec_col)
+                    .groupBy("cent_id")
+                    .agg(F.count("*").cast("long").alias("n_members")))
+    return cents.join(final_counts, "cent_id", "left") \
         .select("cent_id", "embedding",
                 F.coalesce("n_members", F.lit(0)).alias("n_members"))
 

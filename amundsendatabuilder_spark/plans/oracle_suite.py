@@ -783,12 +783,14 @@ def dedup_minhash_lsh(spark, sf_dir):
     (doc_id, band_sig) pairs shuffle — never document text; this is the
     100 TB-scale dedup path (Broder resemblance + banding)."""
     (docs,) = _t(spark, sf_dir, "documents")
+    # default max_bucket_size=1000 engaged: the fixture's largest band
+    # bucket is far below it (max shingle DF is 7), so the guard provably
+    # drops nothing — the SQL twin has no cap
     return dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4,
-                                   shingle_size=3, max_bucket_size=1_000_000_000)
+                                   shingle_size=3)
 
 
-@query("dedup_simhash", r"""
-WITH tok AS (SELECT doc_id,
+_SIMHASH_SIG_SQL = r"""tok AS (SELECT doc_id,
                     unnest(""" + _TOKS_SQL + r""") AS tok
              FROM documents),
 h AS (SELECT doc_id, substr(md5(tok), 1, 4) AS h FROM tok),
@@ -801,7 +803,10 @@ votes AS (SELECT doc_id, bit,
 sig AS (SELECT doc_id,
                CAST(sum(CASE WHEN v > 0 THEN 1 << CAST(15 - bit AS INT) ELSE 0 END) AS BIGINT)
                    AS simhash
-        FROM votes GROUP BY doc_id)
+        FROM votes GROUP BY doc_id)"""
+
+
+@query("dedup_simhash", "WITH " + _SIMHASH_SIG_SQL + r"""
 SELECT simhash, count(*) AS bucket_size, min(doc_id) AS keep_id
 FROM sig GROUP BY simhash HAVING count(*) > 1
 """)
@@ -813,7 +818,24 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash_buckets(docs, bits=16)
 
 
-@query("dedup_ngram_jaccard", r"""
+@query("dedup_simhash_hamming", "WITH " + _SIMHASH_SIG_SQL + r"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+""")
+def dedup_simhash_hamming(spark, sf_dir):
+    """SimHash pairs within Hamming distance ≤ 1 via the production
+    block-bucketing scheme (Manku WWW'07): k+1 signature blocks, pigeonhole
+    guarantees any ≤k pair shares a block exactly; verify with
+    bit_count(XOR). The oracle twin is the ALL-PAIRS Hamming SQL, so a
+    hash match proves the block scheme loses no pairs. This is the k>0
+    bucketing dedup_simhash's docstring promises (k=0 = identical sigs)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return dedup.simhash_hamming_pairs(docs, bits=16, k=1)
+
+
+_NGRAM_JACCARD_SQL = r"""
 WITH """ + _SHINGLES_SQL + r""",
 sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
@@ -823,13 +845,28 @@ SELECT doc_a, doc_b,
        round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
 FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
 WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.6
-""")
+"""
+
+
+@query("dedup_ngram_jaccard", _NGRAM_JACCARD_SQL)
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard pairs >= 0.6 via inverted-index self-join —
     the verification stage behind MinHash candidates (at scale, run on
     LSH candidates only; shingle-join form shown for the oracle)."""
     (docs,) = _t(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(docs, shingle_size=3, threshold=0.6)
+
+
+@query("dedup_ngram_jaccard_capped", _NGRAM_JACCARD_SQL)
+def dedup_ngram_jaccard_capped(spark, sf_dir):
+    """Same Jaccard pairs with the max_df boilerplate-shingle guard
+    engaged (document frequency > 50 shingles dropped pre-join — the cap
+    that keeps a stopword shingle from going quadratic at corpus scale).
+    The fixture's max shingle DF is 7, so capped == uncapped: the oracle
+    twin is the UNCAPPED SQL, proving the guard costs no recall here."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, shingle_size=3, threshold=0.6,
+                                     max_df=50)
 
 
 @query("dedup_embedding_cosine", r"""
@@ -840,12 +877,31 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
 """)
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (subset all-pairs form; the
-    scale path pre-buckets with random-hyperplane LSH,
-    operators/similarity.rhp_signature)."""
+    """Embedding-cosine near-duplicate pairs — the explicit all_pairs=True
+    escape hatch on a small subset (the default path is RHP-bucketed; see
+    dedup_embedding_cosine_bucketed)."""
     (emb,) = _t(spark, sf_dir, "embeddings")
     return dedup.embedding_near_duplicates(
-        emb.where(F.col("vec_id") % 5 == 0), threshold=0.30)
+        emb.where(F.col("vec_id") % 5 == 0), threshold=0.30, all_pairs=True)
+
+
+@query("dedup_embedding_cosine_bucketed", r"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+""")
+def dedup_embedding_cosine_bucketed(spark, sf_dir):
+    """The DEFAULT (scale) embedding near-dup path: random-hyperplane band
+    signatures bucket both sides (16 seeded planes, 1 per band — multi-band
+    OR), exact cosine verified on candidates only. The oracle twin is the
+    ALL-PAIRS SQL over the full table, so a hash match proves the bucketed
+    path achieves recall 1.0 on the fixture — bucketed == all-pairs.
+    At scale only (id, band, sig) rows shuffle; vectors join back just for
+    the surviving candidates."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_duplicates(emb, threshold=0.40, dim=64)
 
 
 # ---------------------------------------------------------------------------
