@@ -64,13 +64,27 @@ def main() -> None:
     QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001").collect()
     QUERIES["dedup_minhash_lsh"](spark, "/root/testdata/sf0.001").collect()
 
+    # n runs per query, report the MEDIAN: single-run timings moved +-20-40%
+    # on sub-2s queries round-over-round, making regressions undecidable.
+    # clearCache() between runs keeps every run cold w.r.t. the .cache()
+    # calls inside operators (CacheManager plan-matching would otherwise
+    # hand runs 2..n the first run's materialized shingles — warm timings
+    # measure nothing).
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_N", "3"))
+    import statistics
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        df = QUERIES[name](spark, sf_dir)
-        n = df.count() if name != "q3_top_revenue" else len(df.collect())
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
+        runs: list[float] = []
+        rows = 0
+        for _ in range(n_runs):
+            t0 = time.time()
+            df = QUERIES[name](spark, sf_dir)
+            rows = df.count() if name != "q3_top_revenue" else len(df.collect())
+            runs.append(round(time.time() - t0, 3))
+            spark.catalog.clearCache()
+        timings[name] = round(statistics.median(runs), 3)
+        print(f"# {name}: median={timings[name]}s runs={runs} rows={rows}",
+              file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -78,6 +92,7 @@ def main() -> None:
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
+        "n": n_runs,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))

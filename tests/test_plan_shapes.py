@@ -28,6 +28,32 @@ def test_scan_filter_project_pushes_down(spark):
     assert "PushedFilters: []" not in plan
 
 
+def test_lsh_verified_shares_cached_shingles(spark):
+    """The tokenize+shingle subtree is cached and read by all four
+    consumers (minhash signatures, sizes, both verify-join sides) — the
+    executed plan must show the InMemoryTableScans, not re-executed
+    shingle pipelines (the round-2 plan had AQE-duplicated branches)."""
+    from amundsendatabuilder_spark.plans.oracle_suite import QUERIES
+    df = QUERIES["dedup_lsh_verified"](spark, "/root/testdata/sf0.001")
+    df.count()  # materialize so the cache fills and AQE finalizes
+    plan = _plan(df)
+    try:
+        assert plan.count("InMemoryTableScan") >= 4
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_embedding_bucketed_avoids_nested_loop(spark):
+    """The default (bucketed) embedding near-dup path must candidate-join
+    on band signatures — never the all-pairs BroadcastNestedLoopJoin that
+    only the explicit all_pairs=True escape hatch is allowed to use."""
+    from amundsendatabuilder_spark.plans.oracle_suite import QUERIES
+    plan = _plan(QUERIES["dedup_embedding_cosine_bucketed"](
+        spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_search_doc_flagship_no_cartesian_or_smj(spark):
     """The flagship search-document build stays broadcast+hash: no
     cartesian products, and the per-relation aggregates join back to the
