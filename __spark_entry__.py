@@ -30,7 +30,8 @@ _PRIORITY = [
     "dedup_simhash_hamming", "publish_diff", "centroid_assignment",
     "skew_salted_join", "skew_salted_collect", "embedding_label_centroids",
     "event_interarrival", "fuzzy_name_match", "pivot_status_by_priority",
-    "search_doc_table_built", "graph_match_pattern", "column_profile",
+    "search_doc_table_built", "graph_match_pattern", "graph_match_2hop",
+    "column_profile",
     "stat_aggregates", "cohort_retention", "sliding_window_counts",
     "multimodal_frame_plan", "incremental_ingest_anti_join", "doc_chunking",
     "cross_source_overlap", "split_assign", "dedup_rate_by_source",

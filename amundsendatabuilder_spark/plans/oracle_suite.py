@@ -2043,6 +2043,55 @@ def graph_match_pattern(spark, sf_dir):
                        F.col("b_props").getItem("name").alias("col_name"))
 
 
+@query("graph_match_2hop", """
+WITH t AS (
+  SELECT 'tpch://gold.s' || CAST(s_nationkey AS VARCHAR) || '/' || s_name AS table_key,
+         s_suppkey
+  FROM supplier)
+SELECT table_key, 'c1' AS col_name, 'pk' AS badge FROM t WHERE s_suppkey % 5 = 0
+UNION ALL
+SELECT table_key, 'c1', 'iceberg' FROM t WHERE s_suppkey % 5 = 0
+UNION ALL
+SELECT table_key, 'c2', 'golden' FROM t WHERE s_suppkey % 3 = 0
+""")
+def graph_match_2hop(spark, sf_dir):
+    """Multi-hop pattern composition — the general Neo4jExtractor surface
+    (reference extractor/neo4j_extractor.py:79-113 runs arbitrary-length
+    Cypher): MATCH (Table)-[:COLUMN]->(Column)-[:HAS_BADGE]->(Badge) in
+    ONE sources/graph.match_path call over the engine's own graph
+    expansion. The oracle recomputes the expected (table, column, badge)
+    paths from first principles."""
+    from amundsendatabuilder_spark.models.table_metadata import expand_tables
+    from amundsendatabuilder_spark.sources.graph import match_path
+    (sup,) = _t(spark, sf_dir, "supplier")
+    sk = F.col("s_suppkey")
+    no_badges = F.array().cast("array<string>")
+    tables = sup.select(
+        F.lit("tpch").alias("database"), F.lit("gold").alias("cluster"),
+        F.concat(F.lit("s"), F.col("s_nationkey").cast("string")).alias("schema"),
+        F.col("s_name").alias("name"),
+        F.col("s_name").alias("description"),
+        F.lit(None).cast("string").alias("description_source"),
+        F.array().cast("array<string>").alias("tags"),
+        F.lit(False).alias("is_view"),
+        F.array(
+            F.struct(F.lit("c1").alias("name"), F.lit(None).cast("string").alias("description"),
+                     F.lit("varchar").alias("col_type"), F.lit(1).alias("sort_order"),
+                     F.when(sk % 5 == 0, F.array(F.lit("pk"), F.lit("iceberg")))
+                     .otherwise(no_badges).alias("badges")),
+            F.struct(F.lit("c2").alias("name"), F.lit(None).cast("string").alias("description"),
+                     F.lit("int").alias("col_type"), F.lit(2).alias("sort_order"),
+                     F.when(sk % 3 == 0, F.array(F.lit("golden")))
+                     .otherwise(no_badges).alias("badges"))).alias("columns"))
+    out = expand_tables(tables)
+    paths = match_path(out.nodes, out.rels, start_label="Table",
+                       hops=[("COLUMN", "Column"), ("HAS_BADGE", "Badge")])
+    return paths.select(
+        F.col("n0_key").alias("table_key"),
+        F.col("n1_props").getItem("name").alias("col_name"),
+        F.col("n2_key").alias("badge"))
+
+
 @query("column_profile", """
 SELECT col_name, n_rows, n_nulls, n_distinct, min_value, max_value, stddev
 FROM (

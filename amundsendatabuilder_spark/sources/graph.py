@@ -48,6 +48,45 @@ def read_staged_graph(spark: SparkSession, staged_dir: str) -> GraphOutput:
     return GraphOutput(nodes, rels)
 
 
+def match_path(nodes: DataFrame, rels: DataFrame, *,
+               start_label: str, hops: list[tuple[str, str]],
+               optional: bool = False,
+               publish_tag: str | None = None) -> DataFrame:
+    """MATCH (n0:start)-[:t1]->(n1:l1)-[:t2]->(n2:l2)-...: the multi-hop
+    pattern surface of the reference's Neo4jExtractor (arbitrary Cypher,
+    neo4j_extractor.py:79-113) as a chain of (rel_type, node_label) hops —
+    e.g. ``hops=[("COLUMN", "Column"), ("HAS_BADGE", "Badge")]`` walks
+    Table→Column→Badge in one call.
+
+    Returns (n0_key, n0_props) then per hop i≥1: (r{i}_props, n{i}_key,
+    n{i}_props). ``optional=True`` left-joins every hop, so partial paths
+    survive with NULL tails (OPTIONAL MATCH). Each hop is two key-equality
+    joins against the label-filtered node/rel sets — label filters prune
+    at the scan, and a metadata graph's rel sides broadcast under AQE, so
+    an h-hop pattern is h pipelined joins, not a graph traversal engine.
+    """
+    how = "left" if optional else "inner"
+    out = nodes.where(F.col("LABEL") == start_label).select(
+        F.col("KEY").alias("n0_key"), F.col("props").alias("n0_props"))
+    prev_label = start_label
+    for i, (rel_type, node_label) in enumerate(hops, start=1):
+        r = rels.where((F.col("TYPE") == rel_type)
+                       & (F.col("START_LABEL") == prev_label)
+                       & (F.col("END_LABEL") == node_label))
+        if publish_tag is not None:
+            r = r.where(F.col("props").getItem("published_tag") == publish_tag)
+        r = r.select(F.col("START_KEY").alias(f"_start{i}"),
+                     F.col("END_KEY").alias(f"_end{i}"),
+                     F.col("props").alias(f"r{i}_props"))
+        n = nodes.where(F.col("LABEL") == node_label).select(
+            F.col("KEY").alias(f"n{i}_key"), F.col("props").alias(f"n{i}_props"))
+        out = (out.join(r, out[f"n{i - 1}_key"] == r[f"_start{i}"], how)
+               .join(n, F.col(f"_end{i}") == n[f"n{i}_key"], how)
+               .drop(f"_start{i}", f"_end{i}"))
+        prev_label = node_label
+    return out
+
+
 def match(nodes: DataFrame, rels: DataFrame, *,
           start_label: str, rel_type: str, end_label: str,
           optional: bool = False, publish_tag: str | None = None) -> DataFrame:

@@ -62,6 +62,26 @@ def test_expand_tables_rels(tables_df):
         ("dynamo://gold.test_schema", "dynamo://gold.test_schema/test_table2")}
 
 
+def test_match_path_two_hop_and_optional(tables_df):
+    """match_path walks Table→Column→Badge in one call; optional=True
+    keeps badge-less columns with NULL tails (OPTIONAL MATCH)."""
+    from amundsendatabuilder_spark.models.table_metadata import expand_tables
+    from amundsendatabuilder_spark.sources.graph import match_path
+    out = expand_tables(tables_df)
+    hops = [("COLUMN", "Column"), ("HAS_BADGE", "Badge")]
+    strict = match_path(out.nodes, out.rels, start_label="Table", hops=hops).collect()
+    assert {r.n2_key for r in strict} == {"pk", "partition column"}
+    assert all(r.n0_key and r.n1_key and r.n1_props["name"] for r in strict)
+    opt = match_path(out.nodes, out.rels, start_label="Table", hops=hops,
+                     optional=True).collect()
+    # all 3 fixture columns survive; only badge-bearing ones have a tail
+    assert {r.n1_key for r in opt if r.n1_key} == {
+        "dynamo://gold.test_schema/test_table2/colA",
+        "hive://gold.test_schema/test_table1/col1",
+        "hive://gold.test_schema/test_table1/col2"}
+    assert any(r.n2_key is None for r in opt)
+
+
 def test_graph_validation(tables_df):
     from amundsendatabuilder_spark.models.base import validate_graph
     from amundsendatabuilder_spark.models.table_metadata import expand_tables
