@@ -62,7 +62,7 @@ def reachability(edges: DataFrame, sources: DataFrame,
 def connected_components(edges: DataFrame,
                          src_col: str = "src",
                          dst_col: str = "dst",
-                         driver_threshold: int = 1_000_000,
+                         driver_threshold: int = 200_000,
                          max_iters: int = 10) -> DataFrame:
     """Adaptive connected components: union-find on the driver when the
     edge set is small, distributed min-label propagation otherwise.
@@ -74,7 +74,9 @@ def connected_components(edges: DataFrame,
     collect + zero shuffle versus ~diameter× (join + groupBy + probe)
     jobs. The decision uses the runtime edge count, the same
     stats-at-runtime strategy choice AQE applies to joins. Above the
-    threshold (default 1M edges ≈ tens of MB collected) it falls back to
+    threshold (default 200k edges — collected Rows are Python objects at
+    ~100s of bytes each, so this bounds driver heap at tens of MB, not
+    the row count × 16 bytes a C layout would suggest) it falls back to
     ``connected_components_small``. Returns (node, component), component =
     min node id in the component, identical for both strategies.
     """
@@ -85,8 +87,13 @@ def connected_components(edges: DataFrame,
     # (2× the scheduling and 2× the cache reads of the same pipeline).
     head = edges.select(src_col, dst_col).take(driver_threshold + 1)
     if len(head) > driver_threshold:
-        out = connected_components_small(edges, src_col=src_col,
-                                         dst_col=dst_col, max_iters=max_iters)
+        # materialize the propagation result (bounded by the pair-graph
+        # node count) BEFORE releasing the cache — unpersisting first
+        # would make the lazy fallback plan recompute the edge pipeline
+        # it just paid to cache
+        out = connected_components_small(
+            edges, src_col=src_col, dst_col=dst_col,
+            max_iters=max_iters).localCheckpoint()
         edges.unpersist()
         return out
     pairs = [(r[0], r[1]) for r in head]

@@ -58,24 +58,62 @@ def _fake_decode(payload: bytes) -> dict:
     }
 
 
+def _pil_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def _pil_decode(payload: bytes) -> dict:
+    """Real decode via Pillow when the library is present: dimensions,
+    grayscale mean luma, and an 8×8 average-hash perceptual hash.
+    Undecodable payloads yield all-NULL features (honest corrupt-input
+    semantics, not a job failure)."""
+    import io
+    try:
+        from PIL import Image
+        img = Image.open(io.BytesIO(payload))
+        gray = img.convert("L")
+        pixels = list(gray.getdata())
+        mean = sum(pixels) / len(pixels) if pixels else 0.0
+        thumb = list(gray.resize((8, 8)).getdata())
+        avg = sum(thumb) / 64.0
+        bits = 0
+        for p in thumb:
+            bits = (bits << 1) | (1 if p >= avg else 0)
+        return {"width": img.width, "height": img.height,
+                "mean_luma": mean / 255.0, "phash": f"{bits:016x}"}
+    except Exception:
+        return {"width": None, "height": None, "mean_luma": None, "phash": None}
+
+
 def decode_image_features(media: DataFrame, strict: bool = False) -> DataFrame:
     """binary image column -> feature rows via mapInPandas (Arrow-batched).
 
-    strict=True raises NotImplementedError at plan time: the real codec
-    (Pillow) is not available in this container.
+    The codec kernel is chosen at plan time: Pillow when importable (the
+    production path — this container lacks it, but the operator is real
+    the moment the environment has the lib), else the deterministic fake.
+    strict=True raises NotImplementedError only when no real codec is
+    available.
     """
-    if strict:
+    use_real = _pil_available()
+    if strict and not use_real:
         raise NotImplementedError(
-            "real image decode requires Pillow; install it and replace "
-            "_fake_decode — the Spark plumbing (schema/batching) is final")
+            "real image decode requires Pillow; the Spark plumbing "
+            "(schema/batching) is final and picks it up when installed")
+    decode = _pil_decode if use_real else _fake_decode
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = pdf["payload"].map(lambda b: _fake_decode(bytes(b) if b is not None else b""))
+            feats = pdf["payload"].map(lambda b: decode(bytes(b) if b is not None else b""))
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
-                "width": feats.map(lambda f: f["width"]).astype("int32"),
-                "height": feats.map(lambda f: f["height"]).astype("int32"),
+                # nullable Int32: the PIL path yields NULL dims for
+                # undecodable payloads (plain int32 would throw on NaN)
+                "width": feats.map(lambda f: f["width"]).astype("Int32"),
+                "height": feats.map(lambda f: f["height"]).astype("Int32"),
                 "mean_luma": feats.map(lambda f: f["mean_luma"]),
                 "phash": feats.map(lambda f: f["phash"]),
             })

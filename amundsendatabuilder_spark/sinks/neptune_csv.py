@@ -58,14 +58,19 @@ def write_neptune_csv(out: GraphOutput, out_dir: str,
     # '{label}:{from_label}:{from_id}_{to_label}:{to_id}'
     # (neptune_serializer.get_forward/reverse_relationship_id :99-119) so
     # bulk loads dedupe on the same edge identity as reference output.
+    # Every relationship row also carries key:String(single) = its own
+    # relation id, matching the vertex key property
+    # (neptune_serializer.py:65,76).
+    fwd_id = F.format_string("%s:%s_%s", F.col("TYPE"), start_id, end_id)
+    rev_id = F.format_string("%s:%s_%s", F.col("REVERSE_TYPE"), end_id, start_id)
     fwd = out.rels.select(
-        F.format_string("%s:%s_%s", F.col("TYPE"), start_id, end_id).alias("~id"),
-        F.col("TYPE").alias("~label"),
-        start_id.alias("~from"), end_id.alias("~to"), *common)
+        fwd_id.alias("~id"), F.col("TYPE").alias("~label"),
+        start_id.alias("~from"), end_id.alias("~to"),
+        fwd_id.alias("key:String(single)"), *common)
     rev = out.rels.select(
-        F.format_string("%s:%s_%s", F.col("REVERSE_TYPE"), end_id, start_id).alias("~id"),
-        F.col("REVERSE_TYPE").alias("~label"),
-        end_id.alias("~from"), start_id.alias("~to"), *common)
+        rev_id.alias("~id"), F.col("REVERSE_TYPE").alias("~label"),
+        end_id.alias("~from"), start_id.alias("~to"),
+        rev_id.alias("key:String(single)"), *common)
     edges = fwd.unionByName(rev).orderBy("~id")
     epath = os.path.join(out_dir, "edges")
     edges.coalesce(1).write.mode("overwrite").option("header", True).csv(epath)

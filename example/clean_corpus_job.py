@@ -80,12 +80,15 @@ def main() -> None:
     sampled = decontaminated.where(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1"))
 
-    # 6. token-budget shard packing + write (one directory per shard id,
-    #    each shard ~budget tokens — the layout a trainer streams)
+    # 6. token-budget shard packing + write: shard_id only counts WITHIN a
+    #    stratum, so the output partitions by (stratum, shard_id) — each
+    #    leaf directory then holds ~budget tokens of one stratum (the
+    #    layout a trainer streams); partitioning by shard_id alone would
+    #    merge every stratum's shard 0 into one oversized directory
     shards = pack_shards(sampled, budget_tokens=20_000).select(
-        "doc_id", "shard_id")
+        "doc_id", "stratum", "shard_id")
     (sampled.join(shards, "doc_id")
-     .write.mode("overwrite").partitionBy("shard_id")
+     .write.mode("overwrite").partitionBy("stratum", "shard_id")
      .parquet(os.path.join(out_dir, "clean")))
     n_out = spark.read.parquet(os.path.join(out_dir, "clean")).count()
     summary = {"input_docs": n_input, "after_quality_gate": n_gated,

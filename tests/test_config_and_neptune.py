@@ -47,6 +47,13 @@ def test_neptune_csv_writer(spark, tables_df, tmp_path):
         "TABLE:Schema:hive://gold.test_schema_"
         "Table:hive://gold.test_schema/test_table1,")
         for l in body.splitlines()[1:])
+    # every edge row carries key:String(single) = its own relation id
+    # (neptune_serializer.py:65,76 — same property the vertices carry)
+    assert "key:String(single)" in eheader
+    id_pos, key_pos = eheader.index("~id"), eheader.index("key:String(single)")
+    for line in body.splitlines()[1:]:
+        cells = line.split(",")
+        assert cells[key_pos] == cells[id_pos]
 
 
 def test_pre_delete_edges(spark, tables_df, tmp_path):

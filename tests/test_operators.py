@@ -252,6 +252,28 @@ def test_ivf_recall_vs_exact(spark):
     assert len(exact & full) / len(exact) == 1.0
 
 
+def test_image_codec_contract_either_path(spark):
+    """decode_image_features honors the same contract whichever codec
+    kernel is active: real Pillow decode when importable (NULL features
+    for undecodable payloads), deterministic fake otherwise (strict=True
+    then raises)."""
+    import pytest as _pytest
+    from amundsendatabuilder_spark.operators import multimodal as mm
+    media = mm.synthetic_media(spark, n=6)
+    out = mm.decode_image_features(media).collect()
+    expect_ids = {r.media_id for r in media.where("kind = 'image'").collect()}
+    assert {r.media_id for r in out} == expect_ids
+    if mm._pil_available():
+        # synthetic payloads are not valid images: the real codec reports
+        # NULL features instead of failing the job
+        assert all(r.width is None and r.phash is None for r in out)
+        mm.decode_image_features(media, strict=True)  # must not raise
+    else:
+        assert all(r.width is not None and r.phash for r in out)
+        with _pytest.raises(NotImplementedError):
+            mm.decode_image_features(media, strict=True)
+
+
 def test_max_df_caps_boilerplate_shingle_fanout(spark):
     """A boilerplate shingle shared by every doc (the classic skew bomb)
     must not pair up the whole corpus when max_df is set: only genuinely
