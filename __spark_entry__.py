@@ -36,12 +36,13 @@ _PRIORITY = [
     "multimodal_frame_plan", "incremental_ingest_anti_join", "doc_chunking",
     "cross_source_overlap", "split_assign", "dedup_rate_by_source",
     "boilerplate_chunks", "token_count_histogram", "quantize_embeddings",
-    # twice-verified family anchors (24) round out the 50-slot window
-    "search_doc_flagship", "q1_pricing_summary", "q3_top_revenue",
+    "ann_ivf_kmeans_full_probe",
+    # twice-verified family anchors (22) round out the 50-slot window
+    "search_doc_flagship", "q1_pricing_summary",
     "q5_region_volume", "group_nest_columns", "key_templates",
     "presto_view_decode", "hive_union_nest", "sharded_table_grouping",
     "staleness_anti_join", "semi_join_exists", "union_dedup",
-    "latest_execution_window", "cond_agg_subqueries", "rollup_orders",
+    "latest_execution_window", "cond_agg_subqueries",
     "windowed_event_agg", "sessionize_batch", "asof_view_before_purchase",
     "conversion_attribution", "search_doc_user", "lineage_reachability",
     "dedup_minhash_lsh", "dedup_lsh_verified", "ann_brute_force_topk",

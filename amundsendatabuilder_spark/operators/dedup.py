@@ -34,7 +34,7 @@ from amundsendatabuilder_spark.functions.scalars import round_half_away
 
 from amundsendatabuilder_spark.functions.hashing import md5_minhash
 from amundsendatabuilder_spark.functions.text import fingerprint_md5, tokens, word_shingles
-from amundsendatabuilder_spark.functions.vectors import cosine_similarity, dot
+from amundsendatabuilder_spark.functions.vectors import cosine_similarity
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
@@ -395,17 +395,8 @@ def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
         # (θ/π)^16 per pair); high-threshold callers pass tighter planes
         planes = random_planes(dim, n=16, seed=7)
     bands = bands if bands is not None else len(planes)
-    per_band = len(planes) // bands
-    assert per_band * bands == len(planes), "bands must divide len(planes)"
-    bits = [F.when(dot(F.col("vec"), F.array(*[F.lit(float(x)) for x in p])) >= 0,
-                   F.lit("1")).otherwise(F.lit("0"))
-            for p in planes]
-    band_structs = F.array(*[
-        F.struct(F.lit(g).alias("band"),
-                 F.concat(*bits[g * per_band:(g + 1) * per_band]).alias("sig"))
-        for g in range(bands)])
-    sigs = (base.select("id", F.explode(band_structs).alias("bs"))
-            .select("id", "bs.band", "bs.sig"))
+    from amundsendatabuilder_spark.operators.similarity import rhp_band_sigs
+    sigs = rhp_band_sigs(base, planes, bands, id_col="id", vec_col="vec")
     cands = (sigs.alias("x").join(
         sigs.alias("y"),
         (F.col("x.band") == F.col("y.band")) & (F.col("x.sig") == F.col("y.sig"))

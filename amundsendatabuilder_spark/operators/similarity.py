@@ -68,6 +68,74 @@ def rhp_signature(df: DataFrame, planes: list[list[float]],
     return df.withColumn(out_col, F.concat(*bits))
 
 
+def rhp_band_sigs(df: DataFrame, planes: list[list[float]], bands: int,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """(id, band, sig) rows: ``planes`` split into ``bands`` contiguous
+    groups, sig = the group's sign bits concatenated — the banding
+    primitive under both embedding near-dup (multi-band OR candidate
+    generation) and rhp_topk. One narrow projection + a bands-way
+    explode; the vectors themselves never leave their partitions."""
+    per_band = len(planes) // bands
+    assert per_band * bands == len(planes), "bands must divide len(planes)"
+    bits = []
+    for p in planes:
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(F.when(dot(F.col(vec_col), plane) >= 0,
+                           F.lit("1")).otherwise(F.lit("0")))
+    band_structs = F.array(*[
+        F.struct(F.lit(g).alias("band"),
+                 F.concat(*bits[g * per_band:(g + 1) * per_band]).alias("sig"))
+        for g in range(bands)])
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(band_structs).alias("bs"))
+            .select("id", "bs.band", "bs.sig"))
+
+
+def rhp_topk(corpus: DataFrame, queries: DataFrame,
+             planes: list[list[float]], bands: int = 4, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """LSH-bucketed approximate top-k — the bucketed alternative to
+    ``ivf_topk`` (no training step): corpus and queries get random-
+    hyperplane band signatures; each query scores ONLY corpus vectors
+    sharing at least one band signature (multi-band OR), then ranks the
+    candidates by exact cosine.
+
+    Scale shape: the candidate join shuffles (id, band, sig) rows — never
+    vectors; vectors join back for candidates only. More planes per band
+    shrink buckets (higher precision / lower recall); more bands recover
+    recall. Returns (query_id, neighbor_id, cos, rank≤k) — approximate:
+    neighbors in no shared bucket are unseen, so recall is
+    parameter-dependent (tests pin a measured floor).
+    """
+    from amundsendatabuilder_spark.functions.vectors import l2_norm
+    from amundsendatabuilder_spark.session import ensure_parallelism
+    corpus = ensure_parallelism(corpus)
+    c_sigs = rhp_band_sigs(corpus, planes, bands, id_col, vec_col)
+    q_sigs = rhp_band_sigs(queries, planes, bands, id_col, vec_col)
+    cands = (c_sigs.alias("c").join(
+        F.broadcast(q_sigs.alias("q")),
+        (F.col("c.band") == F.col("q.band")) & (F.col("c.sig") == F.col("q.sig"))
+        & (F.col("c.id") != F.col("q.id")))
+        .select(F.col("q.id").alias("query_id"), F.col("c.id").alias("neighbor_id"))
+        .distinct())
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).cast("array<double>").alias("q_vec")) \
+        .withColumn("q_norm", l2_norm("q_vec"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).cast("array<double>").alias("c_vec")) \
+        .withColumn("c_norm", l2_norm("c_vec"))
+    scored = (cands.join(cv, "neighbor_id").join(F.broadcast(qv), "query_id")
+              .withColumn("cos", round_half_away(cosine_similarity(
+                  "q_vec", "c_vec", norm_a=F.col("q_norm"),
+                  norm_b=F.col("c_norm")), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos", "rank"))
+
+
 def assign_centroids(corpus: DataFrame, centroids: DataFrame,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      cent_id_col: str = "cent_id") -> DataFrame:

@@ -2335,6 +2335,46 @@ def ann_ivf_topk(spark, sf_dir):
                     nlist=16, nprobe=4)
 
 
+@query("ann_ivf_kmeans_full_probe", r"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+sc AS (SELECT query_id, neighbor_id,
+              round(list_cosine_similarity(qv, cv), 6) AS cos
+       FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+      FROM sc)
+SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 10
+""")
+def ann_ivf_kmeans_full_probe(spark, sf_dir):
+    """The kmeans_fit → ivf_topk wiring verified hash-exact: full probe is
+    exhaustive REGARDLESS of the centroid set, so running the trained
+    centroids (Lloyd, k=10, deterministic md5 init) through the whole
+    IVF machinery — assignment, probe routing, final rank — must still
+    reproduce the exact top-k SQL. Partial-probe recall with the same
+    trained centroids is covered by test_ivf_trained_centroids_beat_sampled."""
+    from amundsendatabuilder_spark.operators.similarity import ivf_topk, kmeans_fit
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=10, max_iters=2)
+    return ivf_topk(emb, emb.where(F.col("vec_id") < 8), k=10,
+                    nlist=10, nprobe=10, centroids=cents)
+
+
+@query("ann_rhp_topk")
+def ann_rhp_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-k (operators/similarity.rhp_topk):
+    random-hyperplane band buckets gate the candidate scan — the
+    training-free bucketed scale path beside IVF. Rows-only check (recall
+    is parameter-dependent by design); tests pin a measured recall floor
+    vs exact search."""
+    from amundsendatabuilder_spark.functions.vectors import random_planes
+    from amundsendatabuilder_spark.operators.similarity import rhp_topk
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return rhp_topk(emb, emb.where(F.col("vec_id") < 8),
+                    planes=random_planes(64, 24, seed=5), bands=8, k=10)
+
+
 @query("multimodal_image_features")
 def multimodal_image_features(spark, sf_dir):
     """Multimodal binary-column plumbing (operators/multimodal): Arrow-

@@ -373,6 +373,36 @@ def test_ivf_trained_centroids_beat_sampled(spark):
     assert len(exact & full) / len(exact) == 1.0
 
 
+def test_rhp_topk_recall_vs_exact(spark):
+    """LSH-bucketed top-k quality contract: with 24 planes in 8 bands
+    (3-bit bucket signatures, multi-band OR) recall vs exact search is
+    measured 0.8875 at sf0.01 — pin a 0.8 floor; wider bands trade toward
+    precision, more bands toward recall."""
+    from pyspark.sql import functions as F
+    from amundsendatabuilder_spark.functions.vectors import random_planes
+    from amundsendatabuilder_spark.operators.similarity import (
+        brute_force_topk, rhp_topk)
+    from amundsendatabuilder_spark.session import load_tables
+    emb = load_tables(spark, "/root/testdata/sf0.01", ("embeddings",))["embeddings"]
+    q = emb.where(F.col("vec_id") < 8)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(emb, q, k=10).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in rhp_topk(emb, q, planes=random_planes(64, 24, seed=5),
+                                bands=8, k=10).collect()}
+    assert len(exact & approx) / len(exact) >= 0.8
+    # structural contract: ranks are 1..k dense per query, cos descending
+    rows = rhp_topk(emb, q, planes=random_planes(64, 24, seed=5),
+                    bands=8, k=10).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    for rs in per_q.values():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert all(rs[i].cos >= rs[i + 1].cos for i in range(len(rs) - 1))
+
+
 def test_audio_chunk_features(spark):
     from amundsendatabuilder_spark.operators.multimodal import (
         audio_chunk_features, synthetic_media)

@@ -38,11 +38,18 @@ def main() -> None:
     print(f"# corpus 1x={docs1.count()} 10x={docs10.count()} docs",
           file=sys.stderr)
 
+    from amundsendatabuilder_spark.functions.vectors import random_planes
+    from amundsendatabuilder_spark.operators.dedup import (
+        embedding_near_duplicates, ngram_jaccard_pairs, simhash_hamming_pairs)
+
     ops = {
         "exact_duplicates": lambda d: exact_duplicates(d),
-        "minhash_lsh_pairs": lambda d: minhash_lsh_pairs(
-            d, max_bucket_size=1_000_000_000),
+        # production defaults (bucket cap 1000) — the config users run
+        "minhash_lsh_pairs": lambda d: minhash_lsh_pairs(d),
         "lsh_verified_pairs": lambda d: lsh_verified_pairs(d, threshold=0.7),
+        "simhash_hamming_k1": lambda d: simhash_hamming_pairs(d, k=1),
+        "ngram_jaccard_max_df": lambda d: ngram_jaccard_pairs(
+            d, threshold=0.6, max_df=100),
         "benchmark_overlap": lambda d: benchmark_overlap(
             d.where(F.col("doc_id") % 50 != 0),
             d.where(F.col("doc_id") % 50 == 0), n=5),
@@ -62,6 +69,33 @@ def main() -> None:
             times[label] = time.time() - t0
         ratio = times["10x"] / max(times["1x"], 1e-9)
         print(f"{name:24} {times['1x']:8.2f} {times['10x']:8.2f} {ratio:5.1f}x")
+
+    # Embedding near-dup scales on FRESH vectors (cloning would only
+    # measure the output explosion of 10 exact copies per vector): md5-mix
+    # synthetic 64-dim vectors, realistic near-dup config (t=0.9, 32
+    # planes in 4 bands => 8-bit bucket signatures).
+    def synth_emb(n: int):
+        idx = F.sequence(F.lit(1), F.lit(64))
+        vec = F.transform(idx, lambda i: (
+            F.conv(F.substring(F.md5(F.concat(F.col("id").cast("string"),
+                                              F.lit("_"), i.cast("string"))),
+                               1, 4), 16, 10).cast("double") / 65535.0 - 0.5))
+        return (spark.range(n).select(F.col("id").alias("vec_id"),
+                                      vec.alias("embedding"))
+                .repartition(32).cache())
+
+    planes = random_planes(64, 32, seed=11)
+    for label, n in (("1x", 5_000), ("10x", 50_000)):
+        e = synth_emb(n)
+        e.count()
+        fn = lambda d: embedding_near_duplicates(  # noqa: E731
+            d, threshold=0.9, planes=planes, bands=4)
+        fn(e).count()  # warm
+        t0 = time.time()
+        n_pairs = fn(e).count()
+        t = time.time() - t0
+        print(f"embedding_near_dup_rhp {label:>4} n={n}: {t:6.2f}s pairs={n_pairs}")
+        spark.catalog.clearCache()
 
 
 if __name__ == "__main__":
