@@ -96,6 +96,63 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     return chunked.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_signatures_projected(docs: DataFrame, id_col: str = "doc_id",
+                                 text_col: str = "text",
+                                 num_hashes: int = 16,
+                                 shingle_size: int = 3) -> DataFrame:
+    """Per-ROW MinHash signature — identical output to
+    ``minhash_signatures`` (parity is test-pinned) computed as k
+    ``array_min`` folds over the doc's distinct-shingle array instead of
+    explode + k min() aggregates.
+
+    Exists for STREAMING: a pre-state aggregation would make a stateful
+    dedup query multi-stateful (unsupported), while this form is a pure
+    projection — zero shuffle, so band signatures can feed
+    applyInPandasWithState directly. Same hashing economics as the batch
+    form: the md5 chunk structs materialize as a real intermediate column,
+    so each shingle is digested once, not once per hash function."""
+    assert num_hashes % 4 == 0, "num_hashes must be a multiple of 4"
+    from amundsendatabuilder_spark.functions.hashing import (
+        MINHASH_MOD, md5_chunks, minhash_constants)
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_size))
+        .alias("_sh"))
+    out = (out.where(F.size("_sh") >= 1)
+           .withColumn("_ch", F.transform(
+               "_sh", lambda s: F.struct(
+                   *[c.alias(f"c{i}") for i, c in enumerate(md5_chunks(s))]))))
+    a_tab, b_tab = minhash_constants(num_hashes)
+
+    def mh(j: int):
+        # closure factory, NOT a default-arg lambda: F.transform treats a
+        # two-argument lambda as (element, index)
+        return F.array_min(F.transform(
+            "_ch", lambda c: (c[f"c{j % 4}"] * a_tab[j] + b_tab[j]) % MINHASH_MOD)
+        ).alias(f"mh{j}")
+
+    return out.select("doc_id", *[mh(j) for j in range(num_hashes)])
+
+
+def band_sig_rows(sigs: DataFrame, num_hashes: int = 16,
+                  bands: int = 4) -> DataFrame:
+    """(doc_id, band, band_sig) rows from a (doc_id, mh0..mh{k-1})
+    signature DataFrame: band b = ordered '|'-concat of hashes
+    [b*rpb, (b+1)*rpb). One explode instead of a bands-way union, so the
+    upstream signature pipeline runs exactly once; works on batch AND
+    streaming inputs (pure projection + generator)."""
+    rows_per_band = num_hashes // bands
+    band_structs = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.concat_ws("|", *[F.col(f"mh{j}")
+                                    for j in range(b * rows_per_band,
+                                                   (b + 1) * rows_per_band)])
+                 .alias("band_sig"))
+        for b in range(bands)])
+    return (sigs.select("doc_id", F.explode(band_structs).alias("bs"))
+            .select("doc_id", "bs.band", "bs.band_sig"))
+
+
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", num_hashes: int = 16,
                       bands: int = 4, shingle_size: int = 3,
@@ -107,20 +164,9 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     concat of the band's minhashes.
     """
     from pyspark.sql import Window
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_size,
                               shingles=shingles)
-    # one explode instead of a bands-way union: the shingle+hash pipeline
-    # runs exactly once, then fans out 4 tiny (band, sig) rows per doc.
-    band_structs = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.concat_ws("|", *[F.col(f"mh{j}")
-                                    for j in range(b * rows_per_band,
-                                                   (b + 1) * rows_per_band)])
-                 .alias("band_sig"))
-        for b in range(bands)])
-    band_sigs = (sigs.select("doc_id", F.explode(band_structs).alias("bs"))
-                 .select("doc_id", "bs.band", "bs.band_sig"))
+    band_sigs = band_sig_rows(sigs, num_hashes, bands)
     # Bucket stage in ONE shuffle, no joins, no cache:
     #   1. window count over (band, band_sig) guards degenerate buckets
     #      (e.g. empty docs all hashing equal) — the window sorter spills,

@@ -2230,6 +2230,38 @@ def stream_dedup_first_seen(spark, sf_dir):
         if rows else spark.createDataFrame([], "fingerprint string, doc_id long, dup_rank long")
 
 
+@query("stream_near_dup")
+def stream_near_dup(spark, sf_dir):
+    """Online NEAR-dup candidates (streaming/dedup_stream.
+    near_dup_candidates): per-row MinHash band signatures (no pre-state
+    aggregation) key one keeper doc_id of state per LSH bucket; documents
+    landing in a seen bucket emit (keeper, doc) pairs as they arrive —
+    the streaming twin of dedup.minhash_lsh_pairs. Rows-only check; batch
+    parity of the signature projection and cross-batch state are pinned in
+    tests/test_streaming.py."""
+    import tempfile
+
+    from amundsendatabuilder_spark.streaming.dedup_stream import (
+        near_dup_candidates)
+    stream = (spark.readStream
+              .schema("doc_id long, text string, lang string, source string,"
+                      " n_chars long")
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir)
+              .select("doc_id", "text"))
+    out = near_dup_candidates(stream)
+    rows = []
+    q = (out.writeStream
+         .foreachBatch(lambda df, _: rows.extend(df.collect()))
+         .outputMode("update")
+         .option("checkpointLocation", tempfile.mkdtemp())
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    schema = "band int, band_sig string, doc_a long, doc_b long"
+    return spark.createDataFrame(rows, schema) if rows \
+        else spark.createDataFrame([], schema)
+
+
 @query("multimodal_audio_chunks")
 def multimodal_audio_chunks(spark, sf_dir):
     """Audio chunking + per-chunk feature extraction

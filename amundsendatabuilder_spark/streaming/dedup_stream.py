@@ -51,6 +51,68 @@ def _first_seen_fn(key, pdf_iter, state: GroupState):
                             "dup_rank": [0]})
 
 
+NEAR_DUP_OUTPUT = "band int, band_sig string, doc_a long, doc_b long"
+_ND_STATE_SCHEMA = "keeper long"
+
+
+def _near_dup_fn(key, pdf_iter, state: GroupState):
+    """Per (band, band_sig) bucket: the first doc ever seen becomes the
+    bucket keeper (state = one long); every later doc in the bucket emits
+    a candidate pair (keeper, doc). Within a micro-batch, ids are sorted
+    so the keeper is deterministic regardless of Arrow chunking."""
+    import pandas as pd
+
+    keeper = state.get[0] if state.exists else None
+    ids: list[int] = []
+    for pdf in pdf_iter:
+        ids.extend(int(x) for x in pdf["doc_id"])
+    ids.sort()
+    out_b = []
+    for d in ids:
+        if keeper is None:
+            keeper = d
+        elif d != keeper:
+            out_b.append(d)
+    state.update((keeper,))
+    if out_b:
+        yield pd.DataFrame({"band": [key[0]] * len(out_b),
+                            "band_sig": [key[1]] * len(out_b),
+                            "doc_a": [keeper] * len(out_b),
+                            "doc_b": out_b})
+
+
+def near_dup_candidates(docs: DataFrame, num_hashes: int = 16,
+                        bands: int = 4, shingle_size: int = 3) -> DataFrame:
+    """Online NEAR-duplicate candidates — the streaming twin of the batch
+    ``dedup.minhash_lsh_pairs`` path: each arriving document's MinHash
+    band signatures (computed as a pure per-row projection,
+    ``dedup.minhash_signatures_projected`` — no pre-state aggregation, so
+    the query stays single-stateful) key a state store holding one keeper
+    doc_id per (band, band_sig) bucket; a document landing in any
+    already-seen bucket emits (keeper, doc) in that micro-batch.
+
+    Output mirrors the batch candidate stage pre-distinct: a pair can
+    surface through several bands — dedupe and exact-verify downstream
+    (e.g. per-batch in foreachBatch), exactly as the batch pipeline
+    verifies LSH candidates. State is one long per distinct bucket ever
+    seen; the stateful shuffle carries (band, band_sig, doc_id) only —
+    document text never reaches the state store, the shape that runs
+    indefinitely on RocksDB state at ingest scale."""
+    from amundsendatabuilder_spark.operators.dedup import (
+        band_sig_rows, minhash_signatures_projected)
+    sigs = minhash_signatures_projected(docs, num_hashes=num_hashes,
+                                        shingle_size=shingle_size)
+    keyed = band_sig_rows(sigs, num_hashes, bands)
+    return (keyed.groupBy("band", "band_sig")
+            .applyInPandasWithState(
+                _near_dup_fn,
+                outputStructType=NEAR_DUP_OUTPUT,
+                stateStructType=_ND_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            ))
+
+
 def first_seen_filter(docs: DataFrame, key_col: str = "fingerprint") -> DataFrame:
     """Streaming first-seen dedup: one output row per distinct ``key_col``
     ever observed, emitted in the micro-batch where it first appears.

@@ -102,6 +102,56 @@ def test_stream_first_seen_dedup(spark, tmp_path):
     assert rows2 == {"cc": 5}  # 'aa' suppressed by state from batch 1
 
 
+def test_minhash_projected_matches_aggregated(spark):
+    """The per-row (streaming-safe) MinHash form returns bit-identical
+    signatures to the batch explode+groupBy form on the fixture corpus."""
+    from amundsendatabuilder_spark.operators.dedup import (
+        minhash_signatures, minhash_signatures_projected)
+    from amundsendatabuilder_spark.session import load_tables
+    docs = load_tables(spark, "/root/testdata/sf0.001", ("documents",))["documents"]
+    agg = {tuple(r) for r in minhash_signatures(docs, num_hashes=16).collect()}
+    proj = {tuple(r) for r in
+            minhash_signatures_projected(docs, num_hashes=16).collect()}
+    assert proj == agg and len(agg) > 0
+
+
+def test_stream_near_dup_candidates(spark, tmp_path):
+    """Near-dups are caught ACROSS micro-batches: a doc arriving in batch 2
+    pairs with the bucket keeper persisted from batch 1."""
+    from amundsendatabuilder_spark.streaming.dedup_stream import (
+        near_dup_candidates)
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = "completely different content about spark adaptive execution plans"
+    src = tmp_path / "nd_in"
+    src.mkdir()
+    chk = str(tmp_path / "nd_chk")
+    spark.createDataFrame([(1, text_a), (2, text_b)],
+                          "doc_id long, text string") \
+        .coalesce(1).write.parquet(str(src / "b1"))
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("pathGlobFilter", "*.parquet")
+              .parquet(str(src) + "/*"))
+    out = near_dup_candidates(stream)
+
+    def run_once():
+        rows = []
+        q = (out.writeStream
+             .foreachBatch(lambda df, _: rows.extend(df.collect()))
+             .outputMode("update").option("checkpointLocation", chk)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return rows
+
+    assert run_once() == []  # two dissimilar docs: no shared bucket
+    # batch 2: an exact copy of doc 1 -> pairs with the batch-1 keeper
+    spark.createDataFrame([(7, text_a)], "doc_id long, text string") \
+        .coalesce(1).write.parquet(str(src / "b2"))
+    pairs = {(r.doc_a, r.doc_b) for r in run_once()}
+    assert pairs == {(1, 7)}  # all 4 bands collapse to the one distinct pair
+
+
 def test_commit_on_success_contract(spark, tmp_path):
     """The reference's Kafka contract (offsets committed ONLY after the
     downstream publish succeeds, kafka_source_extractor.py:116-130) mapped
