@@ -284,6 +284,52 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
                     .alias("chunk_md5")))
 
 
+def strip_boilerplate(docs: DataFrame, chunk_tokens: int = 8,
+                      max_df: int = 3, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Boilerplate PASSAGE removal — the repeated-span cleaner between
+    exact dedup (whole docs) and near-dedup (whole docs): chunk each
+    document into non-overlapping ``chunk_tokens``-token spans, drop every
+    span whose corpus-wide occurrence count exceeds ``max_df`` (nav bars,
+    license footers, cookie banners), and reassemble the survivors in
+    order. Returns (doc_id, clean_text, n_chunks_kept, n_chunks_dropped);
+    clean_text is token-normalized (single spaces). A doc whose spans are
+    ALL boilerplate survives with clean_text = '' (auditable, not
+    silently lost); df is the occurrence count — equal to document
+    frequency when a span appears at most once per doc.
+
+    Scale shape: two shuffles — a window count over the span partition
+    (spillable; the same guard pattern as the shingle DF cap) and the
+    per-doc reassembly groupBy. Chunks shuffle as (id, idx, text-span)
+    rows; span text must travel for reassembly, but only once, and the
+    window dedupes nothing so no state grows with the corpus.
+    """
+    toks_df = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")) \
+        .where(F.size("_toks") > 0)
+    idx = F.sequence(
+        F.lit(0), F.floor((F.size("_toks") - 1) / chunk_tokens).cast("int"))
+    chunks = F.transform(idx, lambda i: F.struct(
+        i.cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", F.slice(F.col("_toks"),
+                                 (i * chunk_tokens + 1).cast("int"),
+                                 chunk_tokens)).alias("chunk")))
+    c = (toks_df.select(F.col(id_col), F.explode(chunks).alias("c"))
+         .select(F.col(id_col), F.col("c.chunk_idx"), F.col("c.chunk")))
+    w = Window.partitionBy("chunk")
+    flagged = c.withColumn("_df", F.count("*").over(w))
+    keep = F.col("_df") <= max_df
+    return (flagged.groupBy(id_col)
+            .agg(F.concat_ws(" ", F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(keep, F.struct("chunk_idx", "chunk")))),
+                lambda s: s["chunk"])).alias("clean_text"),
+                F.sum(F.when(keep, 1).otherwise(0)).cast("long")
+                .alias("n_chunks_kept"),
+                F.sum(F.when(keep, 0).otherwise(1)).cast("long")
+                .alias("n_chunks_dropped")))
+
+
 def cross_source_overlap(docs: DataFrame, n: int = 5,
                          source_col: str = "source",
                          text_col: str = "text") -> DataFrame:

@@ -2719,6 +2719,35 @@ def boilerplate_chunks_query(spark, sf_dir):
     return textops.boilerplate_chunk_stats(docs, chunk_tokens=16)
 
 
+@query("strip_boilerplate", r"""
+WITH t AS (SELECT doc_id, """ + _TOKS_SQL + r""" AS tk FROM documents),
+c AS (SELECT doc_id, i AS chunk_idx,
+             array_to_string(tk[(i*8+1):((i+1)*8)], ' ') AS chunk
+      FROM (SELECT doc_id, tk,
+                   unnest(range(0, CAST(floor((len(tk)-1)/8) AS INT) + 1)) AS i
+            FROM t WHERE len(tk) > 0)),
+f AS (SELECT doc_id, chunk_idx, chunk,
+             count(*) OVER (PARTITION BY chunk) AS df
+      FROM c)
+SELECT doc_id,
+       coalesce(array_to_string(list(chunk ORDER BY chunk_idx)
+                                FILTER (WHERE df <= 3), ' '), '') AS clean_text,
+       CAST(count(*) FILTER (WHERE df <= 3) AS BIGINT) AS n_chunks_kept,
+       CAST(count(*) FILTER (WHERE df > 3) AS BIGINT) AS n_chunks_dropped
+FROM f GROUP BY doc_id
+""")
+def strip_boilerplate_query(spark, sf_dir):
+    """Boilerplate PASSAGE removal (textops.strip_boilerplate): 8-token
+    spans occurring more than 3× corpus-wide are dropped and the
+    survivors reassembled in order — the repeated-span cleaner between
+    exact and near dedup (detection profile above; this is the cleaner).
+    The fixture exercises the drop path (3 spans exceed the cap at
+    sf0.01); the DuckDB twin recomputes chunking, windowed occurrence
+    counts, and ordered reassembly."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return textops.strip_boilerplate(docs, chunk_tokens=8, max_df=3)
+
+
 @query("token_count_histogram", r"""
 WITH d AS (SELECT lang AS stratum,
                   CAST(len(""" + _TOKS_SQL + r""") AS BIGINT) AS n

@@ -293,6 +293,30 @@ def test_max_df_caps_boilerplate_shingle_fanout(spark):
     assert got == {(100, 101)}  # only the true twins survive the cap
 
 
+def test_strip_boilerplate_drops_shared_footer(spark):
+    """An 8-token footer shared by every doc is removed; unique bodies
+    survive in order; an all-boilerplate doc yields clean_text='' rather
+    than disappearing."""
+    from amundsendatabuilder_spark.operators.textops import strip_boilerplate
+    footer = "copyright two thousand twenty four all rights reserved"  # 8 tokens
+    rows = [(i, f"unique body {i} alpha beta gamma delta eps {footer}")
+            for i in range(5)]
+    rows.append((99, footer))  # nothing but boilerplate
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           strip_boilerplate(docs, chunk_tokens=8, max_df=3).collect()}
+    assert len(out) == 6
+    assert out[0].clean_text == "unique body 0 alpha beta gamma delta eps"
+    assert out[0].n_chunks_kept == 1 and out[0].n_chunks_dropped == 1
+    assert out[99].clean_text == "" and out[99].n_chunks_kept == 0
+    # chunk order preserved across multi-chunk docs
+    long_doc = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l m n o p q r")],
+        "doc_id long, text string")
+    row = strip_boilerplate(long_doc, chunk_tokens=8, max_df=3).collect()[0]
+    assert row.clean_text == "a b c d e f g h i j k l m n o p q r"
+
+
 def test_simhash_hamming_matches_bruteforce(spark):
     """Pigeonhole completeness: the block-bucketed pairs equal an all-pairs
     Hamming filter over the same signatures, for every k."""
