@@ -26,7 +26,8 @@ from amundsendatabuilder_spark.plans.oracle_suite import ORACLES, QUERIES  # noq
 # the driver's 50-query window; the remainder follows registration order.
 _PRIORITY = [
     # never driver-sampled (26) — verified locally via check_correctness
-    "dedup_embedding_cosine_bucketed", "dedup_ngram_jaccard_capped",
+    "dedup_embedding_cosine_bucketed", "dedup_embedding_clusters",
+    "dedup_ngram_jaccard_capped",
     "dedup_simhash_hamming", "publish_diff", "centroid_assignment",
     "skew_salted_join", "skew_salted_collect", "embedding_label_centroids",
     "event_interarrival", "fuzzy_name_match", "pivot_status_by_priority",

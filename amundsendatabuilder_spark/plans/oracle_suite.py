@@ -1557,6 +1557,44 @@ def dedup_clusters(spark, sf_dir):
                      lambda x: x.cast("string"))).alias("members")))
 
 
+@query("dedup_embedding_clusters", r"""
+WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+          WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (SELECT a, b FROM sym
+          UNION
+          SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b
+          WHERE s.b <> r.a),
+comp AS (SELECT a AS node, least(a, min(b)) AS component
+         FROM reach GROUP BY a)
+SELECT component AS keeper, CAST(count(*) AS BIGINT) AS n_vectors,
+       array_to_string(list_sort(list(node)), ',') AS members
+FROM comp GROUP BY component
+""")
+def dedup_embedding_clusters(spark, sf_dir):
+    """The embedding-side dedup endpoint: RHP-BUCKETED near-dup pairs
+    (the default embedding_near_duplicates path) fused into duplicate
+    groups by the same adaptive connected components as the text
+    pipeline. Oracle = transitive closure (recursive CTE) over ALL-PAIRS
+    cosine — a hash match therefore re-proves bucketed recall 1.0 AND the
+    component fusion in one gate."""
+    from amundsendatabuilder_spark.operators.dedup import (
+        embedding_near_duplicates)
+    from amundsendatabuilder_spark.operators.graph_algo import (
+        connected_components)
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_duplicates(emb, threshold=0.40, dim=64)
+    comps = connected_components(pairs, src_col="id_a", dst_col="id_b")
+    return (comps.groupBy(F.col("component").alias("keeper"))
+            .agg(F.count("*").alias("n_vectors"),
+                 F.concat_ws(",", F.transform(
+                     F.array_sort(F.collect_list("node")),
+                     lambda x: x.cast("string"))).alias("members")))
+
+
 @query("lineage_reachability", """
 WITH RECURSIVE keys AS (SELECT DISTINCT o_orderkey AS k FROM orders),
 edges AS (
