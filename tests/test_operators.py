@@ -293,6 +293,35 @@ def test_max_df_caps_boilerplate_shingle_fanout(spark):
     assert got == {(100, 101)}  # only the true twins survive the cap
 
 
+def test_new_operators_empty_and_degenerate_inputs(spark):
+    """Empty tables and degenerate parameters return empty/identity
+    results instead of failing — the shapes a driver hits on an empty
+    partition or a trivial config."""
+    from amundsendatabuilder_spark.functions.vectors import random_planes
+    from amundsendatabuilder_spark.operators.dedup import (
+        embedding_near_duplicates, ngram_jaccard_pairs, simhash_hamming_pairs)
+    from amundsendatabuilder_spark.operators.similarity import rhp_topk
+    from amundsendatabuilder_spark.operators.textops import strip_boilerplate
+    no_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert simhash_hamming_pairs(no_docs, k=1).count() == 0
+    assert ngram_jaccard_pairs(no_docs, max_df=5).count() == 0
+    assert strip_boilerplate(no_docs).count() == 0
+    no_emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    planes = random_planes(4, 8, seed=3)
+    assert embedding_near_duplicates(no_emb, planes=planes, bands=8).count() == 0
+    some = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    # empty QUERY side against a non-empty corpus
+    assert rhp_topk(some, no_emb, planes=planes, bands=8).count() == 0
+    # k=0 Hamming: single block == identical-signature pairing only
+    twins = spark.createDataFrame(
+        [(1, "aa bb cc dd"), (2, "aa bb cc dd"), (3, "zz yy xx ww")],
+        "doc_id long, text string")
+    rows = simhash_hamming_pairs(twins, k=0).collect()
+    assert {(r.doc_a, r.doc_b, r.hamming) for r in rows} == {(1, 2, 0)}
+
+
 def test_strip_boilerplate_drops_shared_footer(spark):
     """An 8-token footer shared by every doc is removed; unique bodies
     survive in order; an all-boilerplate doc yields clean_text='' rather
