@@ -1,0 +1,77 @@
+"""Text ranking over the document corpus.
+
+The reference engine BUILDS search documents and ships them to
+Elasticsearch (plans/search_documents.py, sinks/es_json.py); this module
+adds the query-side scorer so the corpus itself is searchable in-engine —
+Okapi BM25, the default ranking function of the search engines the
+reference feeds (reference capability context:
+databuilder/publisher/elasticsearch_publisher.py ships documents into an
+index whose default similarity IS BM25).
+
+Determinism: per-term partial scores are rounded, sorted by term, and
+folded left-to-right (F.aggregate), so double addition order is fixed and
+the DuckDB oracle (list_sum over an ORDER BY term list) reproduces the
+exact bits; final scores round to 6 decimals with id tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from amundsendatabuilder_spark.functions.scalars import round_half_away
+from amundsendatabuilder_spark.functions.text import tokens
+
+
+def bm25_topk(docs: DataFrame, query: str, k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Okapi BM25 top-k for one query string: (doc_id, score, rank).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl)),
+    idf(t) = ln(1 + (N−df+0.5)/(df+0.5)) — the Robertson/Sparck-Jones
+    form with the +1 that keeps idf positive.
+
+    Scale shape: the exploded token stream is filtered to the query's
+    terms BEFORE any aggregation, so the tf shuffle carries at most
+    |query terms| rows per document — the corpus-sized token explosion
+    never shuffles. N/avgdl are one scalar aggregate broadcast onto the
+    scored rows (no driver collect); df is a |terms|-row aggregate. The
+    final top-k is a rank window over documents that matched at least one
+    term, ordered by (rounded score desc, id).
+    """
+    terms = sorted({t for t in query.lower().split() if t})
+    assert terms, "query must contain at least one term"
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       tokens(F.lower(F.col(text_col))).alias("_toks"))
+    lengths = base.select("doc_id", F.size("_toks").cast("double").alias("dl"))
+    stats = lengths.agg(F.count("*").cast("double").alias("n_docs"),
+                        F.avg("dl").alias("avgdl"))
+    hits = (base.select("doc_id", F.explode("_toks").alias("term"))
+            .where(F.col("term").isin(terms)))
+    tf = hits.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    scored = (tf.join(F.broadcast(df_), "term")
+              .join(lengths, "doc_id")
+              .crossJoin(F.broadcast(stats)))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    part = idf * (F.col("tf") * (k1 + 1)) / \
+        (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    per_term = scored.select("doc_id", "term",
+                             round_half_away(part, 9).alias("part"))
+    # fold per-term partials in term order: double addition order is then
+    # identical on both engines (DuckDB twin: list_sum(list(part ORDER BY
+    # term))), making the summed score bit-reproducible
+    summed = (per_term.groupBy("doc_id")
+              .agg(F.aggregate(
+                  F.array_sort(F.collect_list(F.struct("term", "part"))),
+                  F.lit(0.0), lambda acc, s: acc + s["part"]).alias("raw")))
+    # distributed top-k (TakeOrderedAndProject), NOT a global rank window
+    # over the whole scored corpus; the rank window then runs on k rows
+    topk = (summed.select("doc_id",
+                          round_half_away(F.col("raw"), 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k))
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (topk.withColumn("rank", F.row_number().over(w))
+            .select("doc_id", "score", "rank"))

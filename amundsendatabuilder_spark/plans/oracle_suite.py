@@ -2786,6 +2786,45 @@ def strip_boilerplate_query(spark, sf_dir):
     return textops.strip_boilerplate(docs, chunk_tokens=8, max_df=3)
 
 
+@query("bm25_topk", r"""
+WITH base AS (SELECT doc_id,
+                     list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                 x -> x <> '') AS tk
+              FROM documents),
+len AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM len),
+hits AS (SELECT doc_id, unnest(tk) AS term FROM base),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       FROM hits WHERE term IN ('hash', 'join', 'merge', 'sort')
+       GROUP BY 1, 2),
+dfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+part AS (SELECT tf.doc_id, tf.term,
+                round(ln(1 + (s.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+                      * (tf.tf * 2.2)
+                      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)),
+                      9) AS part
+         FROM tf JOIN dfx USING (term)
+         JOIN len l ON tf.doc_id = l.doc_id
+         CROSS JOIN stats s),
+summed AS (SELECT doc_id, round(list_sum(list(part ORDER BY term)), 6) AS score
+           FROM part GROUP BY doc_id)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+FROM summed ORDER BY score DESC, doc_id LIMIT 10
+""")
+def bm25_topk_query(spark, sf_dir):
+    """In-engine BM25 ranking (operators/ranking.bm25_topk) — the
+    query-side complement of the search-document builds the reference
+    ships to Elasticsearch (whose default similarity IS BM25). Token
+    stream filtered to query terms BEFORE aggregation (the corpus token
+    explosion never shuffles); N/avgdl broadcast as a scalar aggregate;
+    per-term partials rounded then folded in term order so the double sum
+    is bit-reproducible cross-engine; distributed top-k."""
+    from amundsendatabuilder_spark.operators.ranking import bm25_topk
+    (docs,) = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, "hash join merge sort", k=10)
+
+
 @query("token_count_histogram", r"""
 WITH d AS (SELECT lang AS stratum,
                   CAST(len(""" + _TOKS_SQL + r""") AS BIGINT) AS n

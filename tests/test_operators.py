@@ -293,6 +293,25 @@ def test_max_df_caps_boilerplate_shingle_fanout(spark):
     assert got == {(100, 101)}  # only the true twins survive the cap
 
 
+def test_bm25_ranks_by_term_frequency_and_length(spark):
+    """BM25 contract on a hand-built corpus: more query-term occurrences
+    rank higher; at equal tf the shorter document wins (length
+    normalization); docs with no query terms don't appear."""
+    from amundsendatabuilder_spark.operators.ranking import bm25_topk
+    docs = spark.createDataFrame([
+        (1, "hash join hash join hash"),                    # tf=5, short
+        (2, "hash join plus many other filler words here"),  # tf=2, longer
+        (3, "hash join " + "filler " * 20),                  # tf=2, longest
+        (4, "nothing relevant at all"),
+    ], "doc_id long, text string")
+    rows = bm25_topk(docs, "hash join", k=10).collect()
+    order = [r.doc_id for r in sorted(rows, key=lambda r: r.rank)]
+    assert order == [1, 2, 3]           # 4 never matches
+    assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == [1, 2, 3]
+    scores = {r.doc_id: r.score for r in rows}
+    assert scores[1] > scores[2] > scores[3] > 0
+
+
 def test_new_operators_empty_and_degenerate_inputs(spark):
     """Empty tables and degenerate parameters return empty/identity
     results instead of failing — the shapes a driver hits on an empty
