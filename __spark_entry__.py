@@ -36,7 +36,7 @@ _PRIORITY = [
     "stat_aggregates", "cohort_retention", "sliding_window_counts",
     "multimodal_frame_plan", "incremental_ingest_anti_join", "doc_chunking",
     "cross_source_overlap", "split_assign", "dedup_rate_by_source",
-    "boilerplate_chunks", "strip_boilerplate", "bm25_topk",
+    "boilerplate_chunks", "strip_boilerplate", "bm25_topk", "langid_nb",
     "token_count_histogram",
     "quantize_embeddings", "ann_ivf_kmeans_full_probe",
     # twice-verified family anchors (22) round out the 50-slot window

@@ -14,8 +14,8 @@ from pyspark.sql import functions as F
 from amundsendatabuilder_spark.functions.scalars import round_half_away
 
 from amundsendatabuilder_spark.functions.text import (
-    STOPWORDS, fingerprint_md5, punct_ratio, quality_score, stopword_ratio,
-    token_count_bpe, token_count_ws, tokens,
+    STOPWORDS, char_ngrams, fingerprint_md5, punct_ratio, quality_score,
+    stopword_ratio, token_count_bpe, token_count_ws, tokens,
 )
 
 
@@ -41,6 +41,95 @@ def language_id(docs: DataFrame, id_col: str = "doc_id",
         pred.alias("predicted_lang"),
         round_half_away(best, 6).alias("confidence"),
     )
+
+
+def langid_nb_fit(docs: DataFrame, lang_col: str = "lang",
+                  text_col: str = "text", n: int = 3) -> DataFrame:
+    """Multinomial Naive Bayes language model over character n-grams —
+    the REAL algorithm behind `language_id`'s documented heuristic
+    stand-in (CLD3-lineage). Returns one row per (lang, gram) with
+    add-one-smoothed ln P(gram|lang), plus per-lang aggregates every
+    scorer needs: ln prior, the default log-prob for grams unseen in
+    that language, and the language's total gram mass.
+
+    Two shuffles: the (lang, gram) count groupBy (map-side combinable)
+    and the per-lang totals; V (corpus vocab size) is a scalar aggregate.
+    All log-probs round to 9 decimals so downstream folds are
+    bit-reproducible cross-engine.
+    """
+    grams = docs.select(F.col(lang_col).alias("lang"),
+                        F.explode(char_ngrams(F.lower(F.col(text_col)), n))
+                        .alias("gram"))
+    counts = grams.groupBy("lang", "gram").agg(
+        F.count("*").cast("double").alias("c"))
+    totals = counts.groupBy("lang").agg(F.sum("c").alias("total"))
+    vocab = counts.select("gram").distinct().agg(
+        F.count("*").cast("double").alias("v"))
+    priors = docs.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count("*").cast("double").alias("n_docs"))
+    n_total = docs.agg(F.count("*").cast("double").alias("n_all"))
+    return (counts.join(totals, "lang")
+            .crossJoin(F.broadcast(vocab))
+            .join(priors, "lang")
+            .crossJoin(F.broadcast(n_total))
+            .select(
+                "lang", "gram",
+                round_half_away(F.log((F.col("c") + 1.0)
+                                      / (F.col("total") + F.col("v"))), 9)
+                .alias("logp"),
+                round_half_away(F.log(1.0 / (F.col("total") + F.col("v"))), 9)
+                .alias("default_logp"),
+                round_half_away(F.log(F.col("n_docs") / F.col("n_all")), 9)
+                .alias("log_prior")))
+
+
+def langid_nb_predict(docs: DataFrame, model: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      n: int = 3) -> DataFrame:
+    """Score every document against every language in the fitted model
+    and return the argmax: (doc_id, predicted_lang, score).
+
+    score(d, l) = ln prior_l + Σ_g m_dg·lnP(g|l) + (|d| − matched_l)·
+    default_l, with the matched-gram fold ordered by gram so double
+    addition is deterministic (the same cross-engine trick as BM25).
+    The model broadcasts (langs × vocab rows — MBs); per-doc gram counts
+    are one shuffle; the scoring join fans each doc gram out to the
+    languages that contain it, bounded by |langs|.
+    """
+    doc_grams = (docs.select(F.col(id_col).alias("doc_id"),
+                             F.explode(char_ngrams(F.lower(F.col(text_col)), n))
+                             .alias("gram"))
+                 .groupBy("doc_id", "gram")
+                 .agg(F.count("*").cast("double").alias("m")))
+    doc_sizes = doc_grams.groupBy("doc_id").agg(
+        F.sum("m").alias("g_total"))
+    lang_stats = model.select("lang", "default_logp", "log_prior").distinct()
+    matched = (doc_grams.join(F.broadcast(model), "gram")
+               .select("doc_id", "lang",
+                       F.col("m"),
+                       round_half_away(F.col("m") * F.col("logp"), 9)
+                       .alias("part"),
+                       "gram")
+               .groupBy("doc_id", "lang")
+               .agg(F.aggregate(
+                   F.array_sort(F.collect_list(F.struct("gram", "part"))),
+                   F.lit(0.0), lambda acc, s: acc + s["part"]).alias("hit_sum"),
+                   F.sum("m").alias("matched_m")))
+    scored = (doc_sizes.crossJoin(F.broadcast(lang_stats))
+              .join(matched, ["doc_id", "lang"], "left")
+              .select("doc_id", "lang",
+                      (F.col("log_prior")
+                       + F.coalesce(F.col("hit_sum"), F.lit(0.0))
+                       + round_half_away(
+                           (F.col("g_total")
+                            - F.coalesce(F.col("matched_m"), F.lit(0.0)))
+                           * F.col("default_logp"), 9)).alias("raw")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("raw").desc(),
+                                             F.col("lang").asc())
+    return (scored.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") == 1)
+            .select("doc_id", F.col("lang").alias("predicted_lang"),
+                    round_half_away(F.col("raw"), 6).alias("score")))
 
 
 def quality_metrics(docs: DataFrame, id_col: str = "doc_id",

@@ -2786,6 +2786,61 @@ def strip_boilerplate_query(spark, sf_dir):
     return textops.strip_boilerplate(docs, chunk_tokens=8, max_df=3)
 
 
+@query("langid_nb", r"""
+WITH d AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+grams AS (SELECT doc_id, lang, substr(t, i, 3) AS gram
+          FROM (SELECT doc_id, lang, t, unnest(range(1, len(t) - 1)) AS i
+                FROM d WHERE len(t) >= 3)),
+counts AS (SELECT lang, gram, CAST(count(*) AS DOUBLE) AS c
+           FROM grams GROUP BY 1, 2),
+totals AS (SELECT lang, sum(c) AS total FROM counts GROUP BY 1),
+vocab AS (SELECT CAST(count(DISTINCT gram) AS DOUBLE) AS v FROM counts),
+priors AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n_docs FROM d GROUP BY 1),
+n_all AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
+model AS (SELECT c.lang, c.gram,
+                 round(ln((c.c + 1) / (t.total + v.v)), 9) AS logp,
+                 round(ln(1 / (t.total + v.v)), 9) AS default_logp,
+                 round(ln(p.n_docs / n_all.n), 9) AS log_prior
+          FROM counts c JOIN totals t ON c.lang = t.lang CROSS JOIN vocab v
+          JOIN priors p ON c.lang = p.lang CROSS JOIN n_all),
+doc_grams AS (SELECT doc_id, gram, CAST(count(*) AS DOUBLE) AS m
+              FROM grams GROUP BY 1, 2),
+doc_sizes AS (SELECT doc_id, sum(m) AS g_total FROM doc_grams GROUP BY 1),
+lang_stats AS (SELECT DISTINCT lang, default_logp, log_prior FROM model),
+matched AS (SELECT g.doc_id, mo.lang,
+                   list_sum(list(round(g.m * mo.logp, 9) ORDER BY g.gram))
+                       AS hit_sum,
+                   sum(g.m) AS matched_m
+            FROM doc_grams g JOIN model mo ON g.gram = mo.gram
+            GROUP BY 1, 2),
+scored AS (SELECT s.doc_id, ls.lang,
+                  ls.log_prior + coalesce(ma.hit_sum, 0)
+                  + round((s.g_total - coalesce(ma.matched_m, 0))
+                          * ls.default_logp, 9) AS raw
+           FROM doc_sizes s CROSS JOIN lang_stats ls
+           LEFT JOIN matched ma ON ma.doc_id = s.doc_id AND ma.lang = ls.lang),
+ranked AS (SELECT doc_id, lang, raw,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY raw DESC, lang) AS r
+           FROM scored)
+SELECT doc_id, lang AS predicted_lang, round(raw, 6) AS score
+FROM ranked WHERE r = 1
+""")
+def langid_nb_query(spark, sf_dir):
+    """Char-trigram multinomial Naive Bayes language ID, trained on the
+    corpus's own labels and applied back to it (textops.langid_nb_fit +
+    langid_nb_predict) — the REAL algorithm language_id's heuristic
+    documents itself as standing in for. Log-probs and per-gram partials
+    round to 9 decimals and the matched-gram sum folds in gram order, so
+    the DuckDB twin (identical arithmetic via list_sum ORDER BY)
+    hash-matches the full train+score pipeline."""
+    from amundsendatabuilder_spark.operators.textops import (
+        langid_nb_fit, langid_nb_predict)
+    (docs,) = _t(spark, sf_dir, "documents")
+    model = langid_nb_fit(docs, n=3)
+    return langid_nb_predict(docs, model, n=3)
+
+
 @query("bm25_topk", r"""
 WITH base AS (SELECT doc_id,
                      list_filter(string_split_regex(trim(lower(text)), '\s+'),
