@@ -141,6 +141,13 @@ def band_sig_rows(sigs: DataFrame, num_hashes: int = 16,
     [b*rpb, (b+1)*rpb). One explode instead of a bands-way union, so the
     upstream signature pipeline runs exactly once; works on batch AND
     streaming inputs (pure projection + generator)."""
+    assert bands <= num_hashes, (
+        f"bands ({bands}) must be <= num_hashes ({num_hashes}): more bands "
+        "than hashes yields empty band signatures that funnel every doc "
+        "into one bucket")
+    assert num_hashes % bands == 0, (
+        f"bands ({bands}) must divide num_hashes ({num_hashes}): a "
+        "non-divisor silently ignores the trailing hash columns")
     rows_per_band = num_hashes // bands
     band_structs = F.array(*[
         F.struct(F.lit(b).alias("band"),
@@ -162,6 +169,14 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     LSH band. bands × rows layout: band b holds hashes
     [b*rows_per_band, (b+1)*rows_per_band); band signature = ordered
     concat of the band's minhashes.
+
+    WARNING: the in-bucket pair stage materializes each bucket's O(sz²)
+    pairs as ONE array value in a single row before explode (~500k structs
+    at the default max_bucket_size=1000). Raising ``max_bucket_size``
+    beyond ~10⁴ re-introduces the executor OOM this guard exists to
+    prevent. Pairs inside over-size buckets are dropped, not sampled —
+    audit what was dropped with ``lsh_dropped_buckets`` (same signature
+    pipeline, returns the offending (band, band_sig, bucket_size) rows).
     """
     from pyspark.sql import Window
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_size,
@@ -192,6 +207,28 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     return (buckets.select(F.explode(pair).alias("p"))
             .select("p.doc_a", "p.doc_b")
             .distinct())
+
+
+def lsh_dropped_buckets(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", num_hashes: int = 16,
+                        bands: int = 4, shingle_size: int = 3,
+                        max_bucket_size: int = 1000,
+                        shingles: DataFrame | None = None) -> DataFrame:
+    """Audit twin of ``minhash_lsh_pairs``' max_bucket_size guard — the
+    'no silent caps' escape hatch: (band, band_sig, bucket_size) for every
+    bucket the candidate stage DROPPED because it exceeded
+    ``max_bucket_size``. Empty result == the cap was a no-op. Run it (or
+    count it) next to any production lsh run whose recall matters; a
+    non-empty result usually means boilerplate/empty docs that
+    ``max_df`` shingle capping or an upstream empty-doc filter should
+    remove. One groupBy shuffle over (band, band_sig) sketch rows — text
+    never moves."""
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes,
+                              shingle_size, shingles=shingles)
+    return (band_sig_rows(sigs, num_hashes, bands)
+            .groupBy("band", "band_sig")
+            .agg(F.count("*").cast("long").alias("bucket_size"))
+            .where(F.col("bucket_size") > max_bucket_size))
 
 
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
@@ -356,8 +393,13 @@ def lsh_verified_pairs(docs: DataFrame, id_col: str = "doc_id",
 
     ``max_bucket_size`` (default 1000, same as minhash_lsh_pairs) is a real
     guard here: the in-bucket pair stage materializes a bucket's O(sz²)
-    pairs as one array value, so a degenerate bucket (empty/boilerplate
-    docs sharing a band signature) must be dropped, not expanded.
+    pairs as ONE array value in a single row, so a degenerate bucket
+    (empty/boilerplate docs sharing a band signature) must be dropped, not
+    expanded — raising the cap beyond ~10⁴ re-introduces the executor OOM
+    it prevents. NOTE (changed in round 3): the default used to be
+    effectively unbounded (1e9); corpora with legitimate >1000-doc buckets
+    now silently lose those buckets' pairs — audit with
+    ``lsh_dropped_buckets`` before trusting recall on such corpora.
     ``max_df`` additionally drops boilerplate shingles before BOTH the
     signature and the verify join (capped-DF Jaccard semantics).
     """
@@ -436,7 +478,12 @@ def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
                 .select("id_a", "id_b", "cos"))
     if planes is None:
         if dim is None:
-            dim = emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+            row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+            if row is None:  # empty input: no dim to infer, trivially no pairs
+                return (a.join(b, F.col("id_a") < F.col("id_b"))
+                        .withColumn("cos", cos)
+                        .select("id_a", "id_b", "cos"))
+            dim = row["d"]
         # 16 bands × 1 plane works down to threshold ~0.3 (miss prob
         # (θ/π)^16 per pair); high-threshold callers pass tighter planes
         planes = random_planes(dim, n=16, seed=7)

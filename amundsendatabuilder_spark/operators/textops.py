@@ -101,8 +101,14 @@ def langid_nb_predict(docs: DataFrame, model: DataFrame,
                              .alias("gram"))
                  .groupBy("doc_id", "gram")
                  .agg(F.count("*").cast("double").alias("m")))
-    doc_sizes = doc_grams.groupBy("doc_id").agg(
-        F.sum("m").alias("g_total"))
+    # Anchor on docs, not doc_grams: a doc shorter than n chars has no
+    # grams at all, but must still be scored (prior-only argmax), per the
+    # "score every document" contract.
+    doc_sizes = (docs.select(F.col(id_col).alias("doc_id"))
+                 .join(doc_grams.groupBy("doc_id")
+                       .agg(F.sum("m").alias("g_total")),
+                       "doc_id", "left")
+                 .withColumn("g_total", F.coalesce("g_total", F.lit(0.0))))
     lang_stats = model.select("lang", "default_logp", "log_prior").distinct()
     matched = (doc_grams.join(F.broadcast(model), "gram")
                .select("doc_id", "lang",
@@ -383,9 +389,10 @@ def strip_boilerplate(docs: DataFrame, chunk_tokens: int = 8,
     license footers, cookie banners), and reassemble the survivors in
     order. Returns (doc_id, clean_text, n_chunks_kept, n_chunks_dropped);
     clean_text is token-normalized (single spaces). A doc whose spans are
-    ALL boilerplate survives with clean_text = '' (auditable, not
-    silently lost); df is the occurrence count — equal to document
-    frequency when a span appears at most once per doc.
+    ALL boilerplate — or whose text tokenizes to ZERO tokens — survives
+    with clean_text = '' and zero counts (auditable, not silently lost);
+    df is the occurrence count — equal to document frequency when a span
+    appears at most once per doc.
 
     Scale shape: two shuffles — a window count over the span partition
     (spillable; the same guard pattern as the shingle DF cap) and the
@@ -393,6 +400,9 @@ def strip_boilerplate(docs: DataFrame, chunk_tokens: int = 8,
     rows; span text must travel for reassembly, but only once, and the
     window dedupes nothing so no state grows with the corpus.
     """
+    assert chunk_tokens >= 1, (
+        f"chunk_tokens must be >= 1 (got {chunk_tokens}): a zero span "
+        "width makes the chunk-index sequence NULL and drops every row")
     toks_df = docs.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_toks")) \
         .where(F.size("_toks") > 0)
@@ -408,15 +418,26 @@ def strip_boilerplate(docs: DataFrame, chunk_tokens: int = 8,
     w = Window.partitionBy("chunk")
     flagged = c.withColumn("_df", F.count("*").over(w))
     keep = F.col("_df") <= max_df
-    return (flagged.groupBy(id_col)
-            .agg(F.concat_ws(" ", F.transform(
-                F.array_sort(F.collect_list(
-                    F.when(keep, F.struct("chunk_idx", "chunk")))),
-                lambda s: s["chunk"])).alias("clean_text"),
-                F.sum(F.when(keep, 1).otherwise(0)).cast("long")
-                .alias("n_chunks_kept"),
-                F.sum(F.when(keep, 0).otherwise(1)).cast("long")
-                .alias("n_chunks_dropped")))
+    cleaned = (flagged.groupBy(id_col)
+               .agg(F.concat_ws(" ", F.transform(
+                   F.array_sort(F.collect_list(
+                       F.when(keep, F.struct("chunk_idx", "chunk")))),
+                   lambda s: s["chunk"])).alias("clean_text"),
+                   F.sum(F.when(keep, 1).otherwise(0)).cast("long")
+                   .alias("n_chunks_kept"),
+                   F.sum(F.when(keep, 0).otherwise(1)).cast("long")
+                   .alias("n_chunks_dropped")))
+    # Anchor on docs so token-less docs come back as ('', 0, 0) rows
+    # instead of vanishing — the same auditability contract as the
+    # all-boilerplate case.
+    return (docs.select(F.col(id_col))
+            .join(cleaned, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.coalesce("n_chunks_kept", F.lit(0)).cast("long")
+                    .alias("n_chunks_kept"),
+                    F.coalesce("n_chunks_dropped", F.lit(0)).cast("long")
+                    .alias("n_chunks_dropped")))
 
 
 def cross_source_overlap(docs: DataFrame, n: int = 5,

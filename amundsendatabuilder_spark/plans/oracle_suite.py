@@ -2766,13 +2766,19 @@ c AS (SELECT doc_id, i AS chunk_idx,
             FROM t WHERE len(tk) > 0)),
 f AS (SELECT doc_id, chunk_idx, chunk,
              count(*) OVER (PARTITION BY chunk) AS df
-      FROM c)
-SELECT doc_id,
-       coalesce(array_to_string(list(chunk ORDER BY chunk_idx)
-                                FILTER (WHERE df <= 3), ' '), '') AS clean_text,
-       CAST(count(*) FILTER (WHERE df <= 3) AS BIGINT) AS n_chunks_kept,
-       CAST(count(*) FILTER (WHERE df > 3) AS BIGINT) AS n_chunks_dropped
-FROM f GROUP BY doc_id
+      FROM c),
+r AS (SELECT doc_id,
+             coalesce(array_to_string(list(chunk ORDER BY chunk_idx)
+                                      FILTER (WHERE df <= 3), ' '), '')
+                 AS clean_text,
+             CAST(count(*) FILTER (WHERE df <= 3) AS BIGINT) AS n_chunks_kept,
+             CAST(count(*) FILTER (WHERE df > 3) AS BIGINT) AS n_chunks_dropped
+      FROM f GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       CAST(coalesce(r.n_chunks_kept, 0) AS BIGINT) AS n_chunks_kept,
+       CAST(coalesce(r.n_chunks_dropped, 0) AS BIGINT) AS n_chunks_dropped
+FROM documents d LEFT JOIN r USING (doc_id)
 """)
 def strip_boilerplate_query(spark, sf_dir):
     """Boilerplate PASSAGE removal (textops.strip_boilerplate): 8-token
@@ -2805,7 +2811,8 @@ model AS (SELECT c.lang, c.gram,
           JOIN priors p ON c.lang = p.lang CROSS JOIN n_all),
 doc_grams AS (SELECT doc_id, gram, CAST(count(*) AS DOUBLE) AS m
               FROM grams GROUP BY 1, 2),
-doc_sizes AS (SELECT doc_id, sum(m) AS g_total FROM doc_grams GROUP BY 1),
+doc_sizes AS (SELECT d.doc_id, coalesce(sum(g.m), 0) AS g_total
+              FROM d LEFT JOIN doc_grams g USING (doc_id) GROUP BY 1),
 lang_stats AS (SELECT DISTINCT lang, default_logp, log_prior FROM model),
 matched AS (SELECT g.doc_id, mo.lang,
                    list_sum(list(round(g.m * mo.logp, 9) ORDER BY g.gram))
