@@ -96,6 +96,15 @@ def load_tables(spark: SparkSession, sf_dir: str,
                     # integer division — nanos exceed double's 2^53 mantissa
                     df = df.withColumn(
                         c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+        # Parquet TIMESTAMP(isAdjustedToUTC=false) infers as TIMESTAMP_NTZ in
+        # Spark 4, which unix_micros()/epoch math reject. The session tz is
+        # pinned to UTC above, so casting NTZ -> TIMESTAMP preserves every
+        # value while restoring the full temporal function surface (and
+        # DuckDB oracles, which read the same parquet as naive timestamps,
+        # stay in agreement).
+        for c, dtype in df.dtypes:
+            if dtype == "timestamp_ntz":
+                df = df.withColumn(c, F.col(c).cast("timestamp"))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
