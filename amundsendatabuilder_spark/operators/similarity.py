@@ -197,8 +197,12 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     cents = F.broadcast(cents)
 
     def assign(df: DataFrame, idc: str, vecc: str, topn: int, out: str) -> DataFrame:
+        # rounded to 6dp like every other similarity in this module so the
+        # LIST ROUTING itself (not just the final scores) is reproducible
+        # across engines/partitionings — required for the partial-probe
+        # DuckDB oracle, where which lists a query probes decides the rows
         scored = df.crossJoin(cents).withColumn(
-            "d", cosine_similarity(vecc, "c_vec"))
+            "d", round_half_away(cosine_similarity(vecc, "c_vec"), 6))
         w = Window.partitionBy(idc).orderBy(F.col("d").desc(), F.col("list_id"))
         return (scored.withColumn("r", F.row_number().over(w))
                 .where(F.col("r") <= topn)

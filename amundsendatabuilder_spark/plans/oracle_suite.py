@@ -2394,11 +2394,40 @@ def ann_ivf_full_probe(spark, sf_dir):
                     nlist=16, nprobe=16)
 
 
-@query("ann_ivf_topk")
+@query("ann_ivf_topk", r"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent0 AS (SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h FROM c ORDER BY h LIMIT 16),
+cents AS (SELECT CAST(row_number() OVER (ORDER BY h) AS INT) - 1 AS list_id,
+                 v AS cv
+          FROM cent0),
+ca AS (SELECT vec_id AS neighbor_id, v, list_id FROM (
+         SELECT c.vec_id, c.v, k.list_id,
+                row_number() OVER (PARTITION BY c.vec_id
+                  ORDER BY round(list_cosine_similarity(c.v, k.cv), 6) DESC,
+                           k.list_id) AS r
+         FROM c CROSS JOIN cents k) WHERE r = 1),
+qp AS (SELECT vec_id AS query_id, v AS qv, list_id FROM (
+         SELECT c.vec_id, c.v, k.list_id,
+                row_number() OVER (PARTITION BY c.vec_id
+                  ORDER BY round(list_cosine_similarity(c.v, k.cv), 6) DESC,
+                           k.list_id) AS r
+         FROM c CROSS JOIN cents k WHERE c.vec_id < 8) WHERE r <= 4),
+sc AS (SELECT query_id, neighbor_id,
+              round(list_cosine_similarity(qv, v), 6) AS cos
+       FROM qp JOIN ca USING (list_id)
+       WHERE query_id <> neighbor_id),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+      FROM sc)
+SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 10
+""")
 def ann_ivf_topk(spark, sf_dir):
     """IVF approximate top-k (operators/similarity.ivf_topk): probe-limited
-    scan. Rows-only check — recall vs the exact oracle is probe-dependent
-    by design; tests assert structure."""
+    scan, nprobe=4 of nlist=16. Hash-verified against a DuckDB twin that
+    replays the FULL index mechanics — md5-ordered centroid sample, rounded
+    argmax list assignment, nprobe routing, in-list exact rank — so the
+    approximate result set itself (not just its shape) is pinned.
+    Recall-vs-exact is parameter-dependent by design; tests pin the floor."""
     from amundsendatabuilder_spark.operators.similarity import ivf_topk
     (emb,) = _t(spark, sf_dir, "embeddings")
     return ivf_topk(emb, emb.where(F.col("vec_id") < 8), k=10,
@@ -2431,13 +2460,59 @@ def ann_ivf_kmeans_full_probe(spark, sf_dir):
                     nlist=10, nprobe=10, centroids=cents)
 
 
-@query("ann_rhp_topk")
+def _rhp_topk_oracle(dim: int = 64, n_planes: int = 24, seed: int = 5,
+                     bands: int = 8, k: int = 10) -> str:
+    """DuckDB twin for rhp_topk with the SAME seeded hyperplanes baked in
+    as double literals (repr() round-trips float64 exactly, and DuckDB
+    parses decimal literals to the nearest double, so both engines test
+    sign(v·p) against bit-identical planes). The SQL replays the full
+    bucketing mechanics: per-band sign-bit signatures, multi-band OR
+    candidate union, exact cosine rank over candidates only."""
+    from amundsendatabuilder_spark.functions.vectors import random_planes
+    planes = random_planes(dim, n_planes, seed=seed)
+    per_band = n_planes // bands
+
+    def lit(p):
+        return "CAST([" + ",".join(repr(x) for x in p) + "] AS DOUBLE[])"
+
+    bit = [f"CASE WHEN list_dot_product(v, {lit(p)}) >= 0 "
+           "THEN '1' ELSE '0' END" for p in planes]
+    band_cols = ",\n       ".join(
+        "concat(" + ", ".join(bit[g * per_band:(g + 1) * per_band]) + f") AS s{g}"
+        for g in range(bands))
+    sig_union = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {g} AS band, s{g} AS sig FROM bits"
+        for g in range(bands))
+    return f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bits AS (SELECT vec_id,
+       {band_cols}
+       FROM c),
+sigs AS (
+  {sig_union}),
+cand AS (SELECT DISTINCT q.vec_id AS query_id, s.vec_id AS neighbor_id
+         FROM sigs s JOIN sigs q
+           ON s.band = q.band AND s.sig = q.sig AND s.vec_id <> q.vec_id
+         WHERE q.vec_id < 8),
+sc AS (SELECT cand.query_id, cand.neighbor_id,
+              round(list_cosine_similarity(qc.v, cc.v), 6) AS cos
+       FROM cand JOIN c qc ON qc.vec_id = cand.query_id
+                 JOIN c cc ON cc.vec_id = cand.neighbor_id),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+      FROM sc)
+SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= {k}
+"""
+
+
+@query("ann_rhp_topk", _rhp_topk_oracle())
 def ann_rhp_topk(spark, sf_dir):
     """LSH-bucketed approximate top-k (operators/similarity.rhp_topk):
     random-hyperplane band buckets gate the candidate scan — the
-    training-free bucketed scale path beside IVF. Rows-only check (recall
-    is parameter-dependent by design); tests pin a measured recall floor
-    vs exact search."""
+    training-free bucketed scale path beside IVF. Hash-verified against a
+    DuckDB twin with the identical seeded planes baked in as literals, so
+    the bucket membership AND the approximate result set are pinned
+    cross-engine (recall floor vs exact search stays pinned in tests)."""
     from amundsendatabuilder_spark.functions.vectors import random_planes
     from amundsendatabuilder_spark.operators.similarity import rhp_topk
     (emb,) = _t(spark, sf_dir, "embeddings")
@@ -2639,13 +2714,57 @@ def multimodal_resize(spark, sf_dir):
     return resize_images(synthetic_media(spark, n=96))
 
 
-@query("kmeans_centroids")
+def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """DuckDB twin for kmeans_fit: Lloyd's loop UNROLLED into ``iters``
+    assignment+update CTE pairs plus the final counting assignment —
+    iterative only in the driver loop, each iteration is pure relational
+    algebra, so a fixed iteration count is SQL-expressible. Mirrors
+    kmeans_fit exactly: md5-ordered init, argmax of round(cos, 6) with
+    cent_id tie-break, per-dimension AVG rebuild, empty clusters keep the
+    previous centroid (LEFT JOIN + COALESCE), members counted against the
+    RETURNED centroids."""
+    sql = [f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+init AS (SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h FROM c ORDER BY h LIMIT {k}),
+cents0 AS (SELECT CAST(row_number() OVER (ORDER BY h) AS INT) - 1 AS cent_id,
+                  v AS cv
+           FROM init)"""]
+    for i in range(1, iters + 1):
+        sql.append(f""",
+asg{i} AS (SELECT vec_id, cent_id FROM (
+    SELECT c.vec_id, kk.cent_id,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY round(list_cosine_similarity(c.v, kk.cv), 6) DESC,
+                      kk.cent_id) AS r
+    FROM c CROSS JOIN cents{i - 1} kk) WHERE r = 1),
+new{i} AS (SELECT cent_id, list(m ORDER BY pos) AS cv FROM (
+    SELECT a.cent_id, t.i AS pos, avg(c.v[t.i]) AS m
+    FROM asg{i} a JOIN c USING (vec_id) CROSS JOIN range(1, {dim + 1}) t(i)
+    GROUP BY a.cent_id, t.i) GROUP BY cent_id),
+cents{i} AS (SELECT kk.cent_id, COALESCE(n.cv, kk.cv) AS cv
+             FROM cents{i - 1} kk LEFT JOIN new{i} n USING (cent_id))""")
+    sql.append(f""",
+asgF AS (SELECT vec_id, cent_id FROM (
+    SELECT c.vec_id, kk.cent_id,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY round(list_cosine_similarity(c.v, kk.cv), 6) DESC,
+                      kk.cent_id) AS r
+    FROM c CROSS JOIN cents{iters} kk) WHERE r = 1),
+cnt AS (SELECT cent_id, count(*) AS n FROM asgF GROUP BY cent_id)
+SELECT kk.cent_id, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_members,
+       CAST({dim} AS INT) AS dims
+FROM cents{iters} kk LEFT JOIN cnt USING (cent_id)""")
+    return "".join(sql)
+
+
+@query("kmeans_centroids", _kmeans_oracle())
 def kmeans_centroids(spark, sf_dir):
     """Lloyd k-means fit over the embeddings table
     (similarity.kmeans_fit): per-iteration broadcast assignment + k×dim
-    mean aggregation, driver-side k×dim state only. Rows-only check
-    (iterative, not SQL-expressible); cluster-recovery invariants in
-    tests/test_operators.py."""
+    mean aggregation, driver-side k×dim state only. Hash-verified against
+    a DuckDB twin with the 3 Lloyd iterations unrolled into SQL (seeding
+    and tie-breaks are deterministic, so member counts must agree
+    exactly); cluster-recovery invariants in tests/test_operators.py."""
     from amundsendatabuilder_spark.operators.similarity import kmeans_fit
     (emb,) = _t(spark, sf_dir, "embeddings")
     fitted = kmeans_fit(emb, k=8, max_iters=3)
