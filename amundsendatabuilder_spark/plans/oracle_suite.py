@@ -738,11 +738,13 @@ s AS (SELECT DISTINCT doc_id,
 """
 
 
-def _minhash_sql(num_hashes: int = 16, bands: int = 4) -> str:
+def _minhash_bands_cte(num_hashes: int = 16, bands: int = 4) -> str:
     # mirror dedup.minhash_signatures: ONE md5 per shingle -> four 32-bit
     # chunks; hash j = (chunk_{j%4} * A_j + B_j) mod 2^32 with the exact
     # constants from functions.hashing.minhash_constants; band b = hashes
-    # [b*rpb, (b+1)*rpb)
+    # [b*rpb, (b+1)*rpb). Returns the WITH-body through the ``bands``
+    # CTE — (doc_id, band, band_sig) — shared by the batch LSH oracle and
+    # the streaming near-dup oracle.
     from amundsendatabuilder_spark.functions.hashing import minhash_constants
     a_tab, b_tab = minhash_constants(num_hashes)
     chunks = ",\n             ".join(
@@ -753,13 +755,12 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 4) -> str:
         for j in range(num_hashes))
     rpb = num_hashes // bands
     band_selects = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, {b} AS band, "
+        f"  SELECT doc_id, CAST({b} AS INT) AS band, "
         + " || '|' || ".join(f"CAST(mh{j} AS VARCHAR)"
                              for j in range(b * rpb, (b + 1) * rpb))
         + " AS band_sig FROM mh"
         for b in range(bands))
-    return f"""
-WITH {_SHINGLES_SQL},
+    return f"""{_SHINGLES_SQL},
 hx AS (SELECT doc_id,
              {chunks}
        FROM s),
@@ -768,7 +769,12 @@ mh AS (SELECT doc_id,
        FROM hx GROUP BY doc_id),
 bands AS (
 {band_selects}
-)
+)"""
+
+
+def _minhash_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    return f"""
+WITH {_minhash_bands_cte(num_hashes, bands)}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
@@ -2238,13 +2244,20 @@ def sliding_window_counts(spark, sf_dir):
 # --- rows-only entries (no SQL-expressible oracle) -------------------------
 
 
-@query("stream_dedup_first_seen")
+@query("stream_dedup_first_seen", r"""
+SELECT md5(array_to_string(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                       x -> x <> ''), ' ')) AS fingerprint,
+       min(doc_id) AS doc_id, CAST(0 AS BIGINT) AS dup_rank
+FROM documents GROUP BY 1
+""")
 def stream_dedup_first_seen(spark, sf_dir):
     """Online first-seen dedup (streaming/dedup_stream.first_seen_filter):
     applyInPandasWithState keeps one (fingerprint -> count) state entry and
     emits each distinct document once, in the micro-batch where it first
-    appears. Rows-only check (stateful streaming has no SQL twin); the
-    cross-batch state semantics are asserted in
+    appears. Hash-verified for the AvailableNow drain: one micro-batch
+    means every fingerprint group emits its min doc_id at rank 0, which IS
+    the SQL group-by — the oracle pins the emission set and the keeper
+    choice; CROSS-batch state semantics stay pinned in
     tests/test_streaming.py::test_stream_first_seen_dedup."""
     import tempfile
 
@@ -2268,15 +2281,25 @@ def stream_dedup_first_seen(spark, sf_dir):
         if rows else spark.createDataFrame([], "fingerprint string, doc_id long, dup_rank long")
 
 
-@query("stream_near_dup")
+@query("stream_near_dup", f"""
+WITH {_minhash_bands_cte(16, 4)},
+k AS (SELECT band, band_sig, min(doc_id) AS doc_a
+      FROM bands GROUP BY band, band_sig)
+SELECT s.band, s.band_sig, k.doc_a, s.doc_id AS doc_b
+FROM bands s JOIN k USING (band, band_sig)
+WHERE s.doc_id <> k.doc_a
+""")
 def stream_near_dup(spark, sf_dir):
     """Online NEAR-dup candidates (streaming/dedup_stream.
     near_dup_candidates): per-row MinHash band signatures (no pre-state
     aggregation) key one keeper doc_id of state per LSH bucket; documents
     landing in a seen bucket emit (keeper, doc) pairs as they arrive —
-    the streaming twin of dedup.minhash_lsh_pairs. Rows-only check; batch
-    parity of the signature projection and cross-batch state are pinned in
-    tests/test_streaming.py."""
+    the streaming twin of dedup.minhash_lsh_pairs. Hash-verified for the
+    AvailableNow drain: ids are sorted within the stateful group, so one
+    micro-batch makes the keeper min(doc_id) per bucket and every other
+    member a (keeper, doc) pair — exactly the SQL twin built on the SAME
+    banded-minhash CTE that pins dedup_minhash_lsh. Cross-batch state is
+    pinned in tests/test_streaming.py."""
     import tempfile
 
     from amundsendatabuilder_spark.streaming.dedup_stream import (
@@ -2328,22 +2351,53 @@ def multimodal_frame_plan(spark, sf_dir):
         frame_sample_plan, synthetic_media)
     return frame_sample_plan(synthetic_media(spark, n=64), every_ms=500)
 
-@query("stream_windowed_counts")
+def _event_stream(spark, sf_dir):
+    """File-source stream over the driver's events.parquet with the ts
+    encoding normalized to TIMESTAMP, whatever the file actually stores.
+    The driver's on-disk format has changed twice (TIMESTAMP(NANOS) read
+    as raw int64, then TIMESTAMP(micros, isAdjustedToUTC=false)), and a
+    user-supplied readStream schema silently reinterprets the physical
+    int64 — reading micros as nanos skews every event time 1000x — so the
+    footer is sniffed with pyarrow and the matching conversion applied."""
+    import pyarrow.parquet as pq
+    ts_type = str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type)
+    if ts_type.startswith("timestamp"):
+        # micros (NTZ or tz-adjusted): declared TIMESTAMP reads values
+        # directly under the UTC session, matching load_tables' batch path
+        return (spark.readStream
+                .schema("event_id long, ts timestamp, user_id long,"
+                        " event_type string, value double, props string")
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir))
+    # legacy TIMESTAMP(NANOS): surfaces as int64 nanos under nanosAsLong
+    return (spark.readStream
+            .schema("event_id long, ts long, user_id long, event_type string,"
+                    " value double, props string")
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))))
+
+
+@query("stream_windowed_counts", """
+WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events),
+g AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2)
+SELECT window_start, event_type, n_events
+FROM g, wm WHERE g.window_start + INTERVAL 1 HOUR <= wm.w
+""")
 def stream_windowed_counts(spark, sf_dir):
     """Structured Streaming tumbling-window counts over the events table
-    (streaming/events.py), drained with Trigger.AvailableNow. Rows-only
-    check: streaming semantics (watermark/append emission) are asserted
-    in tests/test_streaming.py against the batch twin windowed_event_agg."""
+    (streaming/events.py), drained with Trigger.AvailableNow. Hash-verified:
+    append mode emits exactly the windows whose end has passed the final
+    watermark (max event time - 2h), so the oracle is the batch hourly
+    aggregate RESTRICTED to that emission frontier — pinning both the agg
+    values and the watermark semantics."""
     import tempfile
 
     from amundsendatabuilder_spark.streaming.events import run_to_memory
-    stream = (spark.readStream
-              .schema("event_id long, ts long, user_id long, event_type string,"
-                      " value double, props string")
-              .option("pathGlobFilter", "events.parquet")
-              .parquet(sf_dir)
-              .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))))
-    agg = (stream.withWatermark("ts", "2 hours")
+    agg = (_event_stream(spark, sf_dir)
+           .withWatermark("ts", "2 hours")
            .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
            .agg(F.count("*").alias("n_events"))
            .select(F.col("w.start").alias("window_start"), "event_type", "n_events"))
@@ -2351,22 +2405,40 @@ def stream_windowed_counts(spark, sf_dir):
     return run_to_memory(agg, spark, name, tempfile.mkdtemp())
 
 
-@query("stream_sessionize")
+@query("stream_sessionize", """
+WITH o AS (SELECT user_id, ts, value, event_id,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o),
+agg AS (SELECT user_id, min(ts) AS window_start, max(ts) AS session_end,
+               count(*) AS n_events, round(sum(value), 2) AS total_value
+        FROM s GROUP BY user_id, sid),
+wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events)
+SELECT user_id, window_start, n_events, total_value
+FROM agg, wm WHERE agg.session_end + INTERVAL 30 MINUTE <= wm.w
+""")
 def stream_sessionize(spark, sf_dir):
     """Gap-based session windows per user over the event stream
-    (streaming/events.py sessionize). Rows-only check."""
+    (streaming/events.py sessionize). Hash-verified: the oracle rebuilds
+    the sessions via gaps-and-islands (the same SQL already pinning
+    sessionize_batch) and keeps only sessions whose window end
+    (last event + gap) has passed the final watermark — the exact
+    append-mode emission set."""
     import tempfile
 
     from amundsendatabuilder_spark.streaming.events import run_to_memory, sessionize
-    stream = (spark.readStream
-              .schema("event_id long, ts long, user_id long, event_type string,"
-                      " value double, props string")
-              .option("pathGlobFilter", "events.parquet")
-              .parquet(sf_dir)
-              .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))))
     name = "ssn_" + next(tempfile._get_candidate_names())
-    return run_to_memory(sessionize(stream, gap="30 minutes"), spark, name,
-                         tempfile.mkdtemp())
+    out = run_to_memory(sessionize(_event_stream(spark, sf_dir),
+                                   gap="30 minutes"),
+                        spark, name, tempfile.mkdtemp())
+    return out.select("user_id", "window_start", "n_events",
+                      round_half_away(F.col("total_value"), 2).alias("total_value"))
 
 
 @query("ann_ivf_full_probe", r"""
@@ -2649,24 +2721,26 @@ def token_shard_packing(spark, sf_dir):
     return textops.pack_shards(docs, budget_tokens=20_000)
 
 
-@query("stream_attribution")
+@query("stream_attribution", """
+SELECT p.event_id, p.user_id, p.ts AS purchase_ts, v.ts AS view_ts
+FROM events p JOIN events v
+  ON v.user_id = p.user_id
+ AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 60 MINUTE
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+""")
 def stream_attribution(spark, sf_dir):
     """Watermarked stream-stream interval join (streaming/events.py
     stream_stream_attribution): purchases joined to same-user views in the
     preceding hour, both sides state-bounded by watermark + time-bound
-    join condition. Rows-only check: the batch twin conversion_attribution
-    is the oracle-verified semantics; the interval-join emission contract
-    is asserted in tests/test_streaming.py."""
+    join condition. Hash-verified: inner-join matches emit as soon as both
+    sides are buffered (no watermark holdback for emission, only for state
+    eviction), so an AvailableNow drain over a bounded source must produce
+    EXACTLY the batch interval join — the oracle is that join verbatim."""
     import tempfile
 
     from amundsendatabuilder_spark.streaming.events import (
         run_to_memory, stream_stream_attribution)
-    stream = (spark.readStream
-              .schema("event_id long, ts long, user_id long, event_type string,"
-                      " value double, props string")
-              .option("pathGlobFilter", "events.parquet")
-              .parquet(sf_dir)
-              .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))))
+    stream = _event_stream(spark, sf_dir)
     joined = stream_stream_attribution(
         stream.where(F.col("event_type") == "view"),
         stream.where(F.col("event_type") == "purchase"),
