@@ -2,11 +2,14 @@
 
 Media payloads are opaque ``binary`` columns + typed metadata structs; all
 Spark-side plumbing (schemas, batching, partition sizing) is real and
-tested, while the codec step itself is stubbed: the container has no
-image/audio libraries, so ``decode_image``/``extract_audio_features`` use a
-deterministic fake (documented below) and raise ``NotImplementedError`` when
-``strict=True``. Swapping in Pillow/torchaudio later only changes the body
-of the per-batch function — the Spark contract is already exercised.
+tested. The codec kernels are real pixel/sample math for the formats that
+need no external library — uncompressed BMP / PPM images and raw PCM16
+audio (operators/media_codecs.py, pure NumPy) — with Pillow picked up
+automatically for compressed formats when installed. Payloads in no
+recognizable container fall back to a deterministic fake under the default
+policy (keeps arbitrary-bytes fixtures exercisable) or yield NULL features
+under ``strict=True`` (honest corrupt-input semantics, never a job
+failure).
 
 Scale notes: decode runs via ``mapInPandas`` so each Arrow batch of binary
 blobs is decoded in one Python call; ``spark.sql.execution.arrow
@@ -66,6 +69,24 @@ def _pil_available() -> bool:
         return False
 
 
+def _numpy_decode(payload: bytes) -> dict | None:
+    """Real decode for BMP/PPM payloads via the pure-NumPy codecs: actual
+    dimensions, ITU-R 601 mean luma, 8x8 average-hash. None when the
+    payload is no container the codecs understand. Preferred over Pillow
+    even when Pillow is present, because the kernel (nearest-neighbor
+    thumb, floor index map) is spec'd exactly for oracle reproducibility;
+    Pillow's default resampling filter would produce a different phash."""
+    from amundsendatabuilder_spark.operators.media_codecs import (
+        avg_hash, sniff_decode, to_gray)
+    rgb = sniff_decode(payload)
+    if rgb is None:
+        return None
+    gray = to_gray(rgb)
+    return {"width": int(rgb.shape[1]), "height": int(rgb.shape[0]),
+            "mean_luma": float(gray.mean() / 255.0),
+            "phash": avg_hash(gray)}
+
+
 def _pil_decode(payload: bytes) -> dict:
     """Real decode via Pillow when the library is present: dimensions,
     grayscale mean luma, and an 8×8 average-hash perceptual hash.
@@ -89,21 +110,30 @@ def _pil_decode(payload: bytes) -> dict:
         return {"width": None, "height": None, "mean_luma": None, "phash": None}
 
 
+_NULL_FEATURES = {"width": None, "height": None, "mean_luma": None,
+                  "phash": None}
+
+
 def decode_image_features(media: DataFrame, strict: bool = False) -> DataFrame:
     """binary image column -> feature rows via mapInPandas (Arrow-batched).
 
-    The codec kernel is chosen at plan time: Pillow when importable (the
-    production path — this container lacks it, but the operator is real
-    the moment the environment has the lib), else the deterministic fake.
-    strict=True raises NotImplementedError only when no real codec is
-    available.
+    Codec chain per payload: NumPy BMP/PPM codec (real pixel math,
+    dependency-free, oracle-reproducible) -> Pillow when importable
+    (compressed formats) -> policy fallback. ``strict=False`` (default)
+    falls back to the deterministic fake for unrecognizable payloads so
+    arbitrary-bytes fixtures stay exercisable; ``strict=True`` yields
+    all-NULL features for them instead — honest corrupt-input semantics,
+    not a job failure.
     """
-    use_real = _pil_available()
-    if strict and not use_real:
-        raise NotImplementedError(
-            "real image decode requires Pillow; the Spark plumbing "
-            "(schema/batching) is final and picks it up when installed")
-    decode = _pil_decode if use_real else _fake_decode
+    use_pil = _pil_available()
+
+    def decode(b: bytes) -> dict:
+        feats = _numpy_decode(b)
+        if feats is not None:
+            return feats
+        if use_pil:
+            return _pil_decode(b)
+        return dict(_NULL_FEATURES) if strict else _fake_decode(b)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -148,19 +178,20 @@ AUDIO_CHUNKS_SCHEMA = T.StructType([
 def audio_chunk_features(media: DataFrame, chunk_ms: int = 1000,
                          strict: bool = False) -> DataFrame:
     """Audio path: chunk boundaries expand JVM-side (sequence + explode on
-    duration metadata — same shape as frame_sample_plan), then a per-chunk
-    feature (RMS energy) is computed over the payload slice via
-    mapInPandas. The codec (resample/decode) is the stubbed step: the
-    deterministic fake derives energy from the chunk's byte window so the
-    full Spark contract — metadata fan-out, Arrow batching, per-chunk
-    feature schema — is real and testable without torchaudio."""
-    if strict:
-        raise NotImplementedError(
-            "real audio decode requires torchaudio/librosa; replace the "
-            "fake energy body — the Spark plumbing is final")
+    duration metadata — same shape as frame_sample_plan), then per-chunk
+    RMS energy is computed over the payload's sample window via
+    mapInPandas. The kernel is REAL DSP for raw PCM16 (the codec-free
+    format: payload = little-endian int16 mono at meta.sample_rate):
+    rms = sqrt(mean(sample^2)) / 32768 over [start_ms, end_ms) — windows
+    outside the payload yield NULL. Payloads whose ``meta.codec`` is some
+    compressed format keep the legacy deterministic byte-hash energy under
+    the default policy (torchaudio/librosa would plug in here), or NULL
+    under ``strict=True``."""
     chunks = (
         media.where(F.col("kind") == "audio")
         .select("media_id", "payload",
+                F.coalesce(F.col("meta.sample_rate"), F.lit(16000)).alias("sr"),
+                F.coalesce(F.col("meta.codec"), F.lit("pcm16")).alias("codec"),
                 F.posexplode(F.sequence(
                     F.lit(0),
                     F.greatest(F.coalesce(F.col("meta.duration_ms"), F.lit(0))
@@ -170,9 +201,17 @@ def audio_chunk_features(media: DataFrame, chunk_ms: int = 1000,
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+
+        from amundsendatabuilder_spark.operators.media_codecs import pcm16_rms
         for pdf in it:
             def energy(row):
                 b = bytes(row["payload"] or b"")
+                if row["codec"] == "pcm16":
+                    sr = int(row["sr"])
+                    return pcm16_rms(b, int(row["start_ms"]) * sr // 1000,
+                                     int(row["end_ms"]) * sr // 1000)
+                if strict:
+                    return None
                 lo = int(row["chunk_idx"]) % max(1, len(b))
                 window = b[lo:lo + 16] or b"\0"
                 h = hashlib.md5(window).hexdigest()
@@ -190,22 +229,52 @@ def audio_chunk_features(media: DataFrame, chunk_ms: int = 1000,
 
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for tests (payload = md5-derived
-    bytes). Stands in for `spark.read.format('binaryFile')` ingestion."""
+    """Deterministic synthetic media table with REAL payloads — stands in
+    for ``spark.read.format('binaryFile')`` ingestion and feeds the codec
+    oracles. Content is patterned so every feature has a closed form a
+    SQL oracle can recompute:
+
+    - image (i % 3 == 0): 24-bit BMP, w = 200 + (i%5)*30,
+      h = 150 + (i%4)*40, every pixel of column x is the gray value
+      ``(x * 255) // (w - 1)`` (horizontal ramp, rows identical);
+    - audio (i % 3 == 1): raw PCM16 mono, 16 kHz, 5000 ms; sample j =
+      ``((j * 9973 + i * 31) % 65536) - 32768`` (deterministic
+      pseudo-noise spanning the full int16 range);
+    - video (i % 3 == 2): opaque md5-derived bytes (only the duration
+      metadata drives the frame-sampling plan).
+    """
     import hashlib
+
+    import numpy as np
+
+    from amundsendatabuilder_spark.operators.media_codecs import encode_bmp
     rows = []
     for i in range(n):
-        payload = hashlib.md5(f"media-{i}".encode()).digest() * 4
         kind = ("image", "audio", "video")[i % 3]
-        rows.append((i, kind, bytearray(payload),
-                     (64, 48, 16000, 5000, "fake")))
+        if kind == "image":
+            w, h = 200 + (i % 5) * 30, 150 + (i % 4) * 40
+            ramp = (np.arange(w) * 255) // (w - 1)
+            rgb = np.broadcast_to(ramp.astype(np.uint8)[None, :, None],
+                                  (h, w, 3))
+            rows.append((i, kind, bytearray(encode_bmp(np.ascontiguousarray(rgb))),
+                         (w, h, None, None, "bmp")))
+        elif kind == "audio":
+            j = np.arange(5000 * 16000 // 1000, dtype=np.int64)
+            samples = ((j * 9973 + i * 31) % 65536) - 32768
+            rows.append((i, kind, bytearray(samples.astype("<i2").tobytes()),
+                         (None, None, 16000, 5000, "pcm16")))
+        else:
+            payload = hashlib.md5(f"media-{i}".encode()).digest() * 4
+            rows.append((i, kind, bytearray(payload),
+                         (None, None, None, 5000, "fake")))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
-    T.StructField("target_w", T.IntegerType(), False),
-    T.StructField("target_h", T.IntegerType(), False),
+    # nullable: strict mode reports undecodable payloads as NULL rows
+    T.StructField("target_w", T.IntegerType(), True),
+    T.StructField("target_h", T.IntegerType(), True),
     T.StructField("resized_digest", T.StringType(), True),
 ])
 
@@ -229,35 +298,49 @@ def resize_spec(features: DataFrame, max_w: int = 224,
 
 def resize_images(media: DataFrame, max_w: int = 224, max_h: int = 224,
                   strict: bool = False) -> DataFrame:
-    """binary image column -> resized payload digests via mapInPandas.
+    """binary image column -> resized-content digests via mapInPandas.
 
-    The resample kernel is STUBBED (no image libs in this container): the
-    output digest is a deterministic function of (payload md5, target
-    dims), while everything Spark-side — column pruning to (media_id,
-    payload), Arrow batching, target-dimension math shared with
-    ``resize_spec`` — is the real production plumbing. strict=True raises
-    NotImplementedError at plan time, marking where Pillow plugs in.
+    For BMP/PPM payloads the kernel is REAL: decode, aspect-preserving
+    target dims (same math as ``resize_spec``: scale = min(max/w, max/h,
+    1), floor, never upscale), nearest-neighbor resample of the grayscale
+    plane, digest = md5 of the canonical row-joined pixel string
+    (media_codecs.gray_digest_string — a text form a SQL oracle can
+    rebuild byte-for-byte). Unrecognizable payloads keep the legacy
+    deterministic digest stub under the default policy, or yield NULL
+    dims/digest under ``strict=True``.
     """
-    if strict:
-        raise NotImplementedError(
-            "real resampling requires Pillow; replace the digest stub — "
-            "the Spark plumbing (pruning/batching/dim math) is final")
-
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+
+        from amundsendatabuilder_spark.operators.media_codecs import (
+            gray_digest_string, resize_nearest, sniff_decode, to_gray)
         for pdf in it:
             rows = []
             for rec in pdf.itertuples():
-                f = _fake_decode(bytes(rec.payload) if rec.payload is not None
-                                 else b"")
-                s = min(max_w / f["width"], max_h / f["height"], 1.0)
-                tw = max(int(f["width"] * s), 1)
-                th = max(int(f["height"] * s), 1)
-                digest = hashlib.md5(
-                    f"{f['phash']}:{tw}x{th}".encode()).hexdigest()
+                payload = bytes(rec.payload) if rec.payload is not None else b""
+                rgb = sniff_decode(payload)
+                if rgb is not None:
+                    h, w = rgb.shape[:2]
+                    s = min(max_w / w, max_h / h, 1.0)
+                    tw, th = max(int(w * s), 1), max(int(h * s), 1)
+                    resized = resize_nearest(to_gray(rgb), tw, th)
+                    digest = hashlib.md5(
+                        gray_digest_string(resized).encode()).hexdigest()
+                elif strict:
+                    tw = th = digest = None
+                else:
+                    f = _fake_decode(payload)
+                    s = min(max_w / f["width"], max_h / f["height"], 1.0)
+                    tw = max(int(f["width"] * s), 1)
+                    th = max(int(f["height"] * s), 1)
+                    digest = hashlib.md5(
+                        f"{f['phash']}:{tw}x{th}".encode()).hexdigest()
                 rows.append((rec.media_id, tw, th, digest))
-            yield pd.DataFrame(rows, columns=["media_id", "target_w",
+            out = pd.DataFrame(rows, columns=["media_id", "target_w",
                                               "target_h", "resized_digest"])
+            out["target_w"] = out["target_w"].astype("Int32")
+            out["target_h"] = out["target_h"].astype("Int32")
+            yield out
 
     pruned = media.where(F.col("kind") == "image").select("media_id", "payload")
     return pruned.mapInPandas(batches, RESIZED_SCHEMA)

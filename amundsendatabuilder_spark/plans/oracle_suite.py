@@ -2323,15 +2323,35 @@ def stream_near_dup(spark, sf_dir):
         else spark.createDataFrame([], schema)
 
 
-@query("multimodal_audio_chunks")
+@query("multimodal_audio_chunks", """
+WITH m AS (SELECT i AS media_id FROM (SELECT unnest(range(0, 96)) AS i)
+           WHERE i % 3 = 1),
+ch AS (SELECT media_id, unnest(range(0, 10)) AS chunk_idx FROM m),
+r AS (SELECT media_id, chunk_idx,
+             (SELECT sqrt(avg(pow(((chunk_idx * 8000 + jj) * 9973
+                                   + media_id * 31) % 65536 - 32768, 2)))
+                     / 32768.0
+              FROM range(0, 8000) t(jj)) AS rms
+      FROM ch)
+SELECT media_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(chunk_idx * 500 AS BIGINT) AS start_ms,
+       CAST(chunk_idx * 500 + 500 AS BIGINT) AS end_ms,
+       round(rms, 6) AS rms_energy
+FROM r
+""")
 def multimodal_audio_chunks(spark, sf_dir):
-    """Audio chunking + per-chunk feature extraction
+    """Audio chunking + per-chunk RMS energy
     (operators/multimodal.audio_chunk_features): JVM-side chunk fan-out
-    from duration metadata, Arrow-batched per-chunk energy (stub codec).
-    Rows-only check."""
+    from duration metadata, Arrow-batched REAL DSP over raw PCM16 sample
+    windows (media_codecs.pcm16_rms). Hash-verified: the synthetic
+    pseudo-noise samples have a closed form, so the SQL twin recomputes
+    every chunk's sqrt-mean-square exactly (integer squares sum exactly
+    in doubles on both engines)."""
     from amundsendatabuilder_spark.operators.multimodal import (
         audio_chunk_features, synthetic_media)
-    return audio_chunk_features(synthetic_media(spark, n=96), chunk_ms=500)
+    return (audio_chunk_features(synthetic_media(spark, n=96), chunk_ms=500)
+            .select("media_id", "chunk_idx", "start_ms", "end_ms",
+                    round_half_away(F.col("rms_energy"), 6).alias("rms_energy")))
 
 
 @query("multimodal_frame_plan", """
@@ -2592,15 +2612,39 @@ def ann_rhp_topk(spark, sf_dir):
                     planes=random_planes(64, 24, seed=5), bands=8, k=10)
 
 
-@query("multimodal_image_features")
+@query("multimodal_image_features", """
+WITH m AS (SELECT i AS media_id, 200 + (i % 5) * 30 AS w, 150 + (i % 4) * 40 AS h
+           FROM (SELECT unnest(range(0, 96)) AS i) WHERE i % 3 = 0),
+xs AS (SELECT unnest(range(0, 320)) AS x),
+lum AS (SELECT media_id, w, h, avg((x * 255) // (w - 1)) AS ml
+        FROM m JOIN xs ON xs.x < m.w GROUP BY media_id, w, h),
+tt AS (SELECT media_id, w, tx, ((tx * w) // 8 * 255) // (w - 1) AS tv
+       FROM m CROSS JOIN (SELECT unnest(range(0, 8)) AS tx)),
+ta AS (SELECT media_id, avg(tv) AS tavg FROM tt GROUP BY media_id),
+ph AS (SELECT tt.media_id,
+              CAST(sum(CASE WHEN tv >= tavg
+                            THEN 1 << (7 - CAST(tx AS INT)) ELSE 0 END)
+                   AS BIGINT) AS rowbits
+       FROM tt JOIN ta USING (media_id) GROUP BY tt.media_id)
+SELECT lum.media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       round(ml / 255.0, 6) AS mean_luma,
+       repeat(lower(lpad(to_hex(rowbits), 2, '0')), 8) AS phash
+FROM lum JOIN ph ON lum.media_id = ph.media_id
+""")
 def multimodal_image_features(spark, sf_dir):
-    """Multimodal binary-column plumbing (operators/multimodal): Arrow-
-    batched mapInPandas decode of image payloads (deterministic stub codec
-    — the container ships no image libs; the Spark contract is real).
-    Rows-only check."""
+    """Multimodal image decode (operators/multimodal + media_codecs):
+    Arrow-batched mapInPandas over REAL 24-bit BMP payloads — header
+    parse, row unpadding, ITU-R 601 luma, 8x8 nearest-neighbor avg-hash
+    are all real pixel math (pure NumPy; no image libs needed for BMP).
+    Hash-verified: the synthetic ramp images give every feature a closed
+    form the SQL twin recomputes — mean luma as the ramp average, phash
+    as the per-row sign-bit byte repeated 8 times (rows are identical)."""
     from amundsendatabuilder_spark.operators.multimodal import (
         decode_image_features, synthetic_media)
-    return decode_image_features(synthetic_media(spark, n=96))
+    return (decode_image_features(synthetic_media(spark, n=96))
+            .select("media_id", "width", "height",
+                    round_half_away(F.col("mean_luma"), 6).alias("mean_luma"),
+                    "phash"))
 
 
 # ---------------------------------------------------------------------------
@@ -2778,11 +2822,35 @@ def incremental_ingest_anti_join(spark, sf_dir):
         .select("doc_id", "fingerprint")
 
 
-@query("multimodal_resize")
+@query("multimodal_resize", """
+WITH m AS (SELECT i AS media_id, 200 + (i % 5) * 30 AS w, 150 + (i % 4) * 40 AS h
+           FROM (SELECT unnest(range(0, 96)) AS i) WHERE i % 3 = 0),
+d AS (SELECT media_id, w, h,
+             least(224.0 / w, 224.0 / h, 1.0) AS sc
+      FROM m),
+t AS (SELECT media_id, w, h,
+             greatest(CAST(floor(w * sc) AS INT), 1) AS tw,
+             greatest(CAST(floor(h * sc) AS INT), 1) AS th
+      FROM d),
+rowstr AS (SELECT media_id, w, h, tw, th,
+                  string_agg(CAST(((tx * w) // tw * 255) // (w - 1)
+                                  AS VARCHAR), ',' ORDER BY tx) AS row_str
+           FROM t JOIN (SELECT unnest(range(0, 320)) AS tx) xs
+             ON xs.tx < t.tw
+           GROUP BY media_id, w, h, tw, th)
+SELECT media_id, tw AS target_w, th AS target_h,
+       md5(array_to_string(list_transform(range(0, th), yy -> row_str), ';'))
+           AS resized_digest
+FROM rowstr
+""")
 def multimodal_resize(spark, sf_dir):
-    """Aspect-preserving image resize plumbing (operators/multimodal
-    resize_images): stub resample kernel, real pruning/batching/dim math.
-    Rows-only check; spec-vs-stub dim agreement asserted in tests."""
+    """Aspect-preserving image resize (operators/multimodal resize_images):
+    real BMP decode + nearest-neighbor resample of the grayscale plane;
+    digest = md5 of the canonical row-joined pixel string. Hash-verified:
+    ramp rows are y-invariant, so the SQL twin rebuilds the EXACT resized
+    pixel string (one row formula repeated target_h times) and must match
+    the md5 byte-for-byte — pinning decode, dim math, resample index map,
+    and digest canonicalization in one check."""
     from amundsendatabuilder_spark.operators.multimodal import (
         resize_images, synthetic_media)
     return resize_images(synthetic_media(spark, n=96))

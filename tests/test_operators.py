@@ -102,15 +102,18 @@ def test_multimodal_plumbing(spark):
     media = synthetic_media(spark, n=9)
     feats = decode_image_features(media).collect()
     assert len(feats) == 3  # every third row is an image
-    assert all(f["width"] >= 64 and f["phash"] for f in feats)
+    # real BMP decode: dimensions come from the actual pixel grid
+    assert {(f["width"], f["height"]) for f in feats} == {
+        (200 + (i % 5) * 30, 150 + (i % 4) * 40) for i in (0, 3, 6)}
+    assert all(f["phash"] and 0.0 <= f["mean_luma"] <= 1.0 for f in feats)
     # deterministic: same payload -> same features
     feats2 = decode_image_features(synthetic_media(spark, n=9)).collect()
     assert sorted(map(str, feats)) == sorted(map(str, feats2))
     frames = frame_sample_plan(media, every_ms=1000).collect()
     assert len(frames) == 3 * 6  # 3 videos x (0..5000 step 1000)
-    import pytest as _pytest
-    with _pytest.raises(NotImplementedError):
-        decode_image_features(media, strict=True)
+    # strict mode decodes BMP payloads identically (no fake fallback used)
+    strict = decode_image_features(media, strict=True).collect()
+    assert sorted(map(str, strict)) == sorted(map(str, feats))
 
 
 def test_pii_scrub_redacts_and_counts(spark):
@@ -253,25 +256,24 @@ def test_ivf_recall_vs_exact(spark):
 
 
 def test_image_codec_contract_either_path(spark):
-    """decode_image_features honors the same contract whichever codec
-    kernel is active: real Pillow decode when importable (NULL features
-    for undecodable payloads), deterministic fake otherwise (strict=True
-    then raises)."""
-    import pytest as _pytest
+    """decode_image_features codec-chain policy: BMP payloads decode with
+    real pixel math regardless of Pillow; unrecognizable payloads get the
+    deterministic fake by default and all-NULL features under strict."""
+    from pyspark.sql import functions as F
+
     from amundsendatabuilder_spark.operators import multimodal as mm
     media = mm.synthetic_media(spark, n=6)
-    out = mm.decode_image_features(media).collect()
+    out = {r.media_id: r for r in mm.decode_image_features(media).collect()}
     expect_ids = {r.media_id for r in media.where("kind = 'image'").collect()}
-    assert {r.media_id for r in out} == expect_ids
-    if mm._pil_available():
-        # synthetic payloads are not valid images: the real codec reports
-        # NULL features instead of failing the job
-        assert all(r.width is None and r.phash is None for r in out)
-        mm.decode_image_features(media, strict=True)  # must not raise
-    else:
-        assert all(r.width is not None and r.phash for r in out)
-        with _pytest.raises(NotImplementedError):
-            mm.decode_image_features(media, strict=True)
+    assert set(out) == expect_ids
+    assert all(r.width is not None and r.phash for r in out.values())
+    # garbage payload: fake features by default, NULLs under strict
+    garbage = media.withColumn("payload",
+                               F.lit(bytearray(b"not an image at all")))
+    fake = mm.decode_image_features(garbage).collect()
+    assert all(r.width is not None for r in fake)  # deterministic fake
+    nulls = mm.decode_image_features(garbage, strict=True).collect()
+    assert all(r.width is None and r.phash is None for r in nulls)
 
 
 def test_max_df_caps_boilerplate_shingle_fanout(spark):
@@ -496,9 +498,10 @@ def test_rhp_topk_recall_vs_exact(spark):
 
 
 def test_audio_chunk_features(spark):
+    import math
+
     from amundsendatabuilder_spark.operators.multimodal import (
         audio_chunk_features, synthetic_media)
-    import pytest as _pytest
     media = synthetic_media(spark, n=9)  # 3 audio rows (kind cycle)
     out = audio_chunk_features(media, chunk_ms=1000).collect()
     # duration 5000ms -> chunks at 0,1000,2000,3000,4000 per audio asset
@@ -509,11 +512,18 @@ def test_audio_chunk_features(spark):
         assert 0.0 <= r.rms_energy <= 1.0
     assert all(len(v) == 5 for v in per_asset.values())
     assert len(per_asset) == 3
+    # REAL DSP: chunk 0 of media 1 equals the closed-form PCM16 RMS
+    want = math.sqrt(sum((((j * 9973 + 31) % 65536) - 32768) ** 2
+                         for j in range(16000)) / 16000) / 32768
+    got = next(r.rms_energy for r in out
+               if r.media_id == 1 and r.chunk_idx == 0)
+    assert abs(got - want) < 1e-12
     # determinism: same payload bytes -> same energies
     again = audio_chunk_features(media, chunk_ms=1000).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
-    with _pytest.raises(NotImplementedError):
-        audio_chunk_features(media, strict=True)
+    # strict == default for pcm16 payloads (no fallback engaged)
+    strict = audio_chunk_features(media, chunk_ms=1000, strict=True).collect()
+    assert sorted(map(tuple, strict)) == sorted(map(tuple, out))
 
 
 def test_asof_join_matches_pandas_merge_asof(spark):
