@@ -2105,8 +2105,21 @@ def graph_match_2hop(spark, sf_dir):
     ONE sources/graph.match_path call over the engine's own graph
     expansion. The oracle recomputes the expected (table, column, badge)
     paths from first principles."""
-    from amundsendatabuilder_spark.models.table_metadata import expand_tables
     from amundsendatabuilder_spark.sources.graph import match_path
+    out = _badge_graph(spark, sf_dir)
+    paths = match_path(out.nodes, out.rels, start_label="Table",
+                       hops=[("COLUMN", "Column"), ("HAS_BADGE", "Badge")])
+    return paths.select(
+        F.col("n0_key").alias("table_key"),
+        F.col("n1_props").getItem("name").alias("col_name"),
+        F.col("n2_key").alias("badge"))
+
+
+def _badge_graph(spark, sf_dir):
+    """Supplier-derived Table/Column/Badge graph shared by the
+    graph_match_* queries: 2 columns per table, badges keyed off
+    s_suppkey residues so the oracle can recompute membership."""
+    from amundsendatabuilder_spark.models.table_metadata import expand_tables
     (sup,) = _t(spark, sf_dir, "supplier")
     sk = F.col("s_suppkey")
     no_badges = F.array().cast("array<string>")
@@ -2127,13 +2140,59 @@ def graph_match_2hop(spark, sf_dir):
                      F.lit("int").alias("col_type"), F.lit(2).alias("sort_order"),
                      F.when(sk % 3 == 0, F.array(F.lit("golden")))
                      .otherwise(no_badges).alias("badges"))).alias("columns"))
-    out = expand_tables(tables)
+    return expand_tables(tables)
+
+
+@query("graph_match_hop_predicate", """
+WITH t AS (
+  SELECT 'tpch://gold.s' || CAST(s_nationkey AS VARCHAR) || '/' || s_name AS table_key,
+         s_suppkey
+  FROM supplier)
+SELECT table_key, 'c1' AS col_name, 'pk' AS badge FROM t WHERE s_suppkey % 5 = 0
+UNION ALL
+SELECT table_key, 'c1', 'iceberg' FROM t WHERE s_suppkey % 5 = 0
+""")
+def graph_match_hop_predicate(spark, sf_dir):
+    """Per-hop property predicate — Cypher's
+    MATCH (t:Table)-[:COLUMN]->(c:Column {name:'c1'})-[:HAS_BADGE]->(b)
+    (the inline-property surface of the reference's arbitrary Cypher,
+    neo4j_extractor.py:79-113): the middle hop carries {"name": "c1"}, so
+    only c1's badge paths survive. The predicate prunes the node set
+    BEFORE the hop join; the oracle keeps exactly the c1 badge rows."""
+    from amundsendatabuilder_spark.sources.graph import match_path
+    out = _badge_graph(spark, sf_dir)
     paths = match_path(out.nodes, out.rels, start_label="Table",
-                       hops=[("COLUMN", "Column"), ("HAS_BADGE", "Badge")])
+                       hops=[("COLUMN", "Column", {"name": "c1"}),
+                             ("HAS_BADGE", "Badge")])
     return paths.select(
         F.col("n0_key").alias("table_key"),
         F.col("n1_props").getItem("name").alias("col_name"),
         F.col("n2_key").alias("badge"))
+
+
+@query("graph_match_varlen", """
+WITH t AS (
+  SELECT 'tpch://gold.s' || CAST(s_nationkey AS VARCHAR) || '/' || s_name AS table_key,
+         s_suppkey
+  FROM supplier)
+SELECT table_key, table_key || '/c1' AS n_key, 1 AS depth FROM t
+UNION ALL SELECT table_key, table_key || '/c2', 1 FROM t
+UNION ALL SELECT table_key, table_key || '/_description', 1 FROM t
+UNION ALL SELECT table_key, 'pk', 2 FROM t WHERE s_suppkey % 5 = 0
+UNION ALL SELECT table_key, 'iceberg', 2 FROM t WHERE s_suppkey % 5 = 0
+UNION ALL SELECT table_key, 'golden', 2 FROM t WHERE s_suppkey % 3 = 0
+""")
+def graph_match_varlen(spark, sf_dir):
+    """Bounded variable-length hops — Cypher's
+    MATCH (t:Table)-[*1..2]->(n) RETURN DISTINCT t, n
+    (sources/graph.match_var_path): frontier expansion over the untyped
+    edge set, depth-1 endpoints are the columns, depth-2 the badges. The
+    oracle enumerates both levels from the construction residues."""
+    from amundsendatabuilder_spark.sources.graph import match_var_path
+    out = _badge_graph(spark, sf_dir)
+    paths = match_var_path(out.nodes, out.rels, start_label="Table",
+                           rel_type=None, min_hops=1, max_hops=2)
+    return paths.select(F.col("n0_key").alias("table_key"), "n_key", "depth")
 
 
 @query("column_profile", """

@@ -49,14 +49,17 @@ def read_staged_graph(spark: SparkSession, staged_dir: str) -> GraphOutput:
 
 
 def match_path(nodes: DataFrame, rels: DataFrame, *,
-               start_label: str, hops: list[tuple[str, str]],
+               start_label: str, hops: list[tuple],
                optional: bool = False,
                publish_tag: str | None = None) -> DataFrame:
     """MATCH (n0:start)-[:t1]->(n1:l1)-[:t2]->(n2:l2)-...: the multi-hop
     pattern surface of the reference's Neo4jExtractor (arbitrary Cypher,
-    neo4j_extractor.py:79-113) as a chain of (rel_type, node_label) hops —
+    neo4j_extractor.py:79-113) as a chain of hops —
     e.g. ``hops=[("COLUMN", "Column"), ("HAS_BADGE", "Badge")]`` walks
-    Table→Column→Badge in one call.
+    Table→Column→Badge in one call. A hop may also carry a per-hop node
+    property predicate — ``("COLUMN", "Column", {"name": "c1"})`` is
+    Cypher's ``(n1:Column {name: 'c1'})`` — applied to the hop's node set
+    BEFORE the join, so it prunes the scan exactly like the label filter.
 
     Returns (n0_key, n0_props) then per hop i≥1: (r{i}_props, n{i}_key,
     n{i}_props). ``optional=True`` left-joins every hop, so partial paths
@@ -69,7 +72,9 @@ def match_path(nodes: DataFrame, rels: DataFrame, *,
     out = nodes.where(F.col("LABEL") == start_label).select(
         F.col("KEY").alias("n0_key"), F.col("props").alias("n0_props"))
     prev_label = start_label
-    for i, (rel_type, node_label) in enumerate(hops, start=1):
+    for i, hop in enumerate(hops, start=1):
+        rel_type, node_label, *rest = hop
+        node_pred: dict | None = rest[0] if rest else None
         r = rels.where((F.col("TYPE") == rel_type)
                        & (F.col("START_LABEL") == prev_label)
                        & (F.col("END_LABEL") == node_label))
@@ -78,13 +83,75 @@ def match_path(nodes: DataFrame, rels: DataFrame, *,
         r = r.select(F.col("START_KEY").alias(f"_start{i}"),
                      F.col("END_KEY").alias(f"_end{i}"),
                      F.col("props").alias(f"r{i}_props"))
-        n = nodes.where(F.col("LABEL") == node_label).select(
-            F.col("KEY").alias(f"n{i}_key"), F.col("props").alias(f"n{i}_props"))
+        n = nodes.where(F.col("LABEL") == node_label)
+        if node_pred:
+            for k, v in node_pred.items():
+                n = n.where(F.col("props").getItem(k) == v)
+        n = n.select(F.col("KEY").alias(f"n{i}_key"),
+                     F.col("props").alias(f"n{i}_props"))
         out = (out.join(r, out[f"n{i - 1}_key"] == r[f"_start{i}"], how)
                .join(n, F.col(f"_end{i}") == n[f"n{i}_key"], how)
                .drop(f"_start{i}", f"_end{i}"))
         prev_label = node_label
     return out
+
+
+def match_var_path(nodes: DataFrame, rels: DataFrame, *,
+                   start_label: str, rel_type: str | None = None,
+                   min_hops: int = 1, max_hops: int = 3,
+                   publish_tag: str | None = None) -> DataFrame:
+    """Bounded variable-length match — Cypher's
+    ``MATCH (n0:start)-[:T*min..max]->(n) RETURN DISTINCT n0, n`` surface
+    of the reference's arbitrary-Cypher extractor
+    (neo4j_extractor.py:79-113). ``rel_type=None`` matches any
+    relationship type (``-[*min..max]->``).
+
+    Implementation is a frontier expansion: depth d's endpoints are
+    depth d-1's endpoints joined once against the (pre-filtered) edge
+    set, unioned across min..max and deduped per (start, end, depth) —
+    Cypher's DISTINCT path-endpoint semantics. max_hops joins total; the
+    frontier is only (n0_key, cur_key, cur_label) triples, never props,
+    so each expansion shuffles keys, not payloads — props join on once at
+    the end. Cycles cannot loop forever (depth is bounded) and revisits
+    collapse in the per-depth dedup.
+
+    Returns (n0_key, n_key, n_label, n_props, depth).
+    """
+    assert 1 <= min_hops <= max_hops, "need 1 <= min_hops <= max_hops"
+    edges = rels
+    if rel_type is not None:
+        edges = edges.where(F.col("TYPE") == rel_type)
+    if publish_tag is not None:
+        edges = edges.where(
+            F.col("props").getItem("published_tag") == publish_tag)
+    edges = edges.select(F.col("START_KEY").alias("_src"),
+                         F.col("START_LABEL").alias("_src_l"),
+                         F.col("END_KEY").alias("_dst"),
+                         F.col("END_LABEL").alias("_dst_l"))
+    frontier = nodes.where(F.col("LABEL") == start_label).select(
+        F.col("KEY").alias("n0_key"),
+        F.col("KEY").alias("_cur"),
+        F.col("LABEL").alias("_cur_l"))
+    levels = []
+    for depth in range(1, max_hops + 1):
+        frontier = (frontier.join(
+            edges, (frontier["_cur"] == edges["_src"])
+            & (frontier["_cur_l"] == edges["_src_l"]))
+            .select("n0_key", F.col("_dst").alias("_cur"),
+                    F.col("_dst_l").alias("_cur_l"))
+            .distinct())
+        if depth >= min_hops:
+            levels.append(frontier.withColumn("depth", F.lit(depth)))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    n = nodes.select(F.col("KEY").alias("_cur"),
+                     F.col("LABEL").alias("_cur_l"),
+                     F.col("props").alias("n_props"))
+    return (out.join(n, ["_cur", "_cur_l"], "left")
+            .select("n0_key", F.col("_cur").alias("n_key"),
+                    F.col("_cur_l").alias("n_label"), "n_props",
+                    F.col("depth").cast("int").alias("depth")))
 
 
 def match(nodes: DataFrame, rels: DataFrame, *,

@@ -146,3 +146,48 @@ def test_badge_key_validation(spark):
     dash = spark.createDataFrame(
         [("mode_dashboard://gold.grp/d1",)], "start_key string")
     assert validate_badge_keys(dash, "Dashboard").count() == 1
+
+
+def test_match_path_hop_predicate(tables_df):
+    """A hop may carry an inline node-property predicate — Cypher's
+    (c:Column {name: 'col1'}) — pruning that hop before the join; with
+    optional=True the predicate narrows which tails survive, not which
+    start rows appear."""
+    from amundsendatabuilder_spark.models.table_metadata import expand_tables
+    from amundsendatabuilder_spark.sources.graph import match_path
+    out = expand_tables(tables_df)
+    hops = [("COLUMN", "Column", {"name": "col1"}), ("HAS_BADGE", "Badge")]
+    got = match_path(out.nodes, out.rels, start_label="Table",
+                     hops=hops).collect()
+    assert all(r.n1_props["name"] == "col1" for r in got)
+    assert {r.n2_key for r in got} <= {"pk", "partition column"}
+    # unfiltered superset sanity: predicate only removes rows
+    all_rows = match_path(out.nodes, out.rels, start_label="Table",
+                          hops=[("COLUMN", "Column"),
+                                ("HAS_BADGE", "Badge")]).collect()
+    assert len(got) <= len(all_rows)
+
+
+def test_match_var_path_depths_and_dedup(tables_df):
+    """match_var_path unions bounded fixed-depth expansions with DISTINCT
+    endpoint semantics: depth-1 reaches columns/descriptions, depth-2 the
+    badges; min_hops trims the shallow levels."""
+    from amundsendatabuilder_spark.models.table_metadata import expand_tables
+    from amundsendatabuilder_spark.sources.graph import match_var_path
+    out = expand_tables(tables_df)
+    both = match_var_path(out.nodes, out.rels, start_label="Table",
+                          rel_type=None, min_hops=1, max_hops=2).collect()
+    by_depth = {}
+    for r in both:
+        by_depth.setdefault(r.depth, set()).add(r.n_key)
+    assert {"pk", "partition column"} <= by_depth.get(2, set())
+    assert any("/col" in k for k in by_depth.get(1, set()))
+    # endpoint rows are distinct per (start, end, depth)
+    assert len(both) == len({(r.n0_key, r.n_key, r.depth) for r in both})
+    deep_only = match_var_path(out.nodes, out.rels, start_label="Table",
+                               rel_type=None, min_hops=2, max_hops=2).collect()
+    assert {r.depth for r in deep_only} == {2}
+    # typed restriction: only COLUMN edges -> badges unreachable
+    typed = match_var_path(out.nodes, out.rels, start_label="Table",
+                           rel_type="COLUMN", min_hops=1, max_hops=2).collect()
+    assert all(r.n_label == "Column" for r in typed)
