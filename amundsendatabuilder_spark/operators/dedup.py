@@ -452,10 +452,18 @@ def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
     sized to the vector dim (one scan-of-first-row peek unless ``dim`` is
     given).
 
-    Recall tuning: a plane agrees on a pair with prob 1 - θ/π. For
-    near-dup thresholds (≥0.9, θ≤26°) use several planes per band; for low
-    thresholds use 1 plane per band and more bands. The oracle entry
-    verifies bucketed == all-pairs on the test fixture.
+    Recall tuning: a plane agrees on a pair with prob 1 - θ/π. The
+    default is 4 planes per band (16 planes -> 4 bands): 4-bit signatures
+    split each band into up to 16 buckets, so candidate volume shrinks
+    ~16x per band versus 1-bit bands — the property that keeps this
+    sub-quadratic at corpus scale. Exact duplicates (θ=0) land in every
+    shared bucket with probability 1 at ANY banding, so dedup recall on
+    true copies is exact; probabilistic recall on merely-similar pairs is
+    parameter-dependent (≥0.9-threshold pairs: miss prob (1-0.857⁴)⁴ ≈
+    4.5%; add bands to shrink it). Callers needing provable recall at low
+    thresholds must pass ``bands=len(planes)`` (1-bit bands — O(n²/2)
+    candidates by construction, the exhaustive-verification configuration,
+    never the scale path) or ``all_pairs=True``.
 
     ``all_pairs=True`` is the explicit O(n²) escape hatch
     (BroadcastNestedLoopJoin) for small candidate sets — never the scale
@@ -484,10 +492,10 @@ def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
                         .withColumn("cos", cos)
                         .select("id_a", "id_b", "cos"))
             dim = row["d"]
-        # 16 bands × 1 plane works down to threshold ~0.3 (miss prob
-        # (θ/π)^16 per pair); high-threshold callers pass tighter planes
         planes = random_planes(dim, n=16, seed=7)
-    bands = bands if bands is not None else len(planes)
+    # default 4 planes/band: bounded buckets (scale path); see docstring
+    # for the recall trade and the exhaustive bands=len(planes) override
+    bands = bands if bands is not None else max(1, len(planes) // 4)
     from amundsendatabuilder_spark.operators.similarity import rhp_band_sigs
     sigs = rhp_band_sigs(base, planes, bands, id_col="id", vec_col="vec")
     cands = (sigs.alias("x").join(

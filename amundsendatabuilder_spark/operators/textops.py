@@ -60,14 +60,21 @@ def langid_nb_fit(docs: DataFrame, lang_col: str = "lang",
     grams = docs.select(F.col(lang_col).alias("lang"),
                         F.explode(char_ngrams(F.lower(F.col(text_col)), n))
                         .alias("gram"))
+    # counts feeds THREE consumers (totals, vocab, the final join);
+    # materialize it once — it is langs x vocab rows (MBs even for a
+    # 100-language model), while its lineage is the full corpus explode,
+    # which would otherwise run three times
     counts = grams.groupBy("lang", "gram").agg(
-        F.count("*").cast("double").alias("c"))
+        F.count("*").cast("double").alias("c")).localCheckpoint()
     totals = counts.groupBy("lang").agg(F.sum("c").alias("total"))
     vocab = counts.select("gram").distinct().agg(
         F.count("*").cast("double").alias("v"))
     priors = docs.groupBy(F.col(lang_col).alias("lang")).agg(
         F.count("*").cast("double").alias("n_docs"))
     n_total = docs.agg(F.count("*").cast("double").alias("n_all"))
+    # model is the same bounded size; checkpointing the RESULT means
+    # callers (predict uses it twice: broadcast scorer + lang_stats) never
+    # re-run the fit pipeline per consumer
     return (counts.join(totals, "lang")
             .crossJoin(F.broadcast(vocab))
             .join(priors, "lang")
@@ -80,7 +87,8 @@ def langid_nb_fit(docs: DataFrame, lang_col: str = "lang",
                 round_half_away(F.log(1.0 / (F.col("total") + F.col("v"))), 9)
                 .alias("default_logp"),
                 round_half_away(F.log(F.col("n_docs") / F.col("n_all")), 9)
-                .alias("log_prior")))
+                .alias("log_prior"))
+            .localCheckpoint())
 
 
 def langid_nb_predict(docs: DataFrame, model: DataFrame,
@@ -103,24 +111,28 @@ def langid_nb_predict(docs: DataFrame, model: DataFrame,
                  .agg(F.count("*").cast("double").alias("m")))
     # Anchor on docs, not doc_grams: a doc shorter than n chars has no
     # grams at all, but must still be scored (prior-only argmax), per the
-    # "score every document" contract.
-    doc_sizes = (docs.select(F.col(id_col).alias("doc_id"))
-                 .join(doc_grams.groupBy("doc_id")
-                       .agg(F.sum("m").alias("g_total")),
-                       "doc_id", "left")
-                 .withColumn("g_total", F.coalesce("g_total", F.lit(0.0))))
+    # "score every document" contract. The total gram count has a closed
+    # form — max(len - n + 1, 0) — so no join back to the exploded grams
+    # is needed (that join re-ran the whole explode lineage a second time).
+    doc_sizes = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.greatest(F.length(F.lower(F.col(text_col))) - (n - 1), F.lit(0))
+        .cast("double").alias("g_total"))
     lang_stats = model.select("lang", "default_logp", "log_prior").distinct()
+    # Deterministic summation WITHOUT a per-group collect+sort: each
+    # 9-dp-rounded partial is exactly a multiple of 1e-9, so scaling to
+    # int64 nano-units and summing integers is exact and order-independent
+    # (collect_list + array_sort folded the same value, but materialized
+    # every (doc, lang) group's gram structs — the predict stage's hotspot
+    # at corpus scale). Magnitudes: |part| < 1e5 -> < 1e14 nano-units,
+    # x ~1e3 grams/group, far inside int64.
     matched = (doc_grams.join(F.broadcast(model), "gram")
-               .select("doc_id", "lang",
-                       F.col("m"),
-                       round_half_away(F.col("m") * F.col("logp"), 9)
-                       .alias("part"),
-                       "gram")
+               .select("doc_id", "lang", "m",
+                       F.round(round_half_away(F.col("m") * F.col("logp"), 9)
+                               * 1e9).cast("long").alias("part_fp"))
                .groupBy("doc_id", "lang")
-               .agg(F.aggregate(
-                   F.array_sort(F.collect_list(F.struct("gram", "part"))),
-                   F.lit(0.0), lambda acc, s: acc + s["part"]).alias("hit_sum"),
-                   F.sum("m").alias("matched_m")))
+               .agg((F.sum("part_fp") / F.lit(1e9)).alias("hit_sum"),
+                    F.sum("m").alias("matched_m")))
     scored = (doc_sizes.crossJoin(F.broadcast(lang_stats))
               .join(matched, ["doc_id", "lang"], "left")
               .select("doc_id", "lang",

@@ -891,23 +891,101 @@ def dedup_embedding_cosine(spark, sf_dir):
         emb.where(F.col("vec_id") % 5 == 0), threshold=0.30, all_pairs=True)
 
 
-@query("dedup_embedding_cosine_bucketed", r"""
+def _rhp_sigs_cte(planes: list[list[float]], bands: int) -> str:
+    """``bits AS (...), sigs AS (...)`` CTE text reproducing
+    similarity.rhp_band_sigs over a prior CTE ``e(vec_id, v)`` — planes
+    baked in as exact double literals (repr round-trip), band g's
+    signature = its planes' sign bits concatenated. Shared by the
+    embedding near-dup replay oracles."""
+    per_band = len(planes) // bands
+
+    def lit(p):
+        return "CAST([" + ",".join(repr(x) for x in p) + "] AS DOUBLE[])"
+
+    bit = [f"CASE WHEN list_dot_product(v, {lit(p)}) >= 0 "
+           "THEN '1' ELSE '0' END" for p in planes]
+    band_cols = ",\n       ".join(
+        "concat(" + ", ".join(bit[g * per_band:(g + 1) * per_band]) + f") AS s{g}"
+        for g in range(bands))
+    union = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {g} AS band, s{g} AS sig FROM bits"
+        for g in range(bands))
+    return f"""bits AS (SELECT vec_id, v,
+       {band_cols}
+       FROM e),
+sigs AS (
+  {union})"""
+
+
+def _embedding_bucketed_oracle(threshold: float = 0.40, bands: int = 4,
+                               recursive: bool = False) -> str:
+    """Replay oracle for the DEFAULT (scale-banded) embedding near-dup
+    path: same seeded planes, same banding, candidate join on shared band
+    signatures, exact-cosine verify — so the hash pins the bucketed
+    result itself. With ``recursive=True``, appends the transitive-closure
+    CC over the replayed pairs (for the clusters entry)."""
+    from amundsendatabuilder_spark.functions.vectors import random_planes
+    planes = random_planes(64, 16, seed=7)
+    head = "WITH RECURSIVE" if recursive else "WITH"
+    base = f"""{head} e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_rhp_sigs_cte(planes, bands)},
+cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         FROM sigs x JOIN sigs y
+           ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id),
+pairs AS (SELECT id_a, id_b,
+                 round(list_cosine_similarity(a.v, b.v), 6) AS cos
+          FROM cand JOIN e a ON a.vec_id = cand.id_a
+                    JOIN e b ON b.vec_id = cand.id_b
+          WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold})"""
+    if not recursive:
+        return base + "\nSELECT id_a, id_b, cos FROM pairs"
+    return base + """,
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (SELECT a, b FROM sym
+          UNION
+          SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b
+          WHERE s.b <> r.a),
+comp AS (SELECT a AS node, least(a, min(b)) AS component
+         FROM reach GROUP BY a)
+SELECT component AS keeper, CAST(count(*) AS BIGINT) AS n_vectors,
+       array_to_string(list_sort(list(node)), ',') AS members
+FROM comp GROUP BY component"""
+
+
+@query("dedup_embedding_cosine_bucketed", _embedding_bucketed_oracle())
+def dedup_embedding_cosine_bucketed(spark, sf_dir):
+    """The DEFAULT (scale) embedding near-dup path: random-hyperplane band
+    signatures bucket both sides (16 seeded planes, 4 per band — 4-bit
+    signatures bound bucket sizes, the property that keeps candidate
+    volume sub-quadratic at corpus scale), exact cosine verified on
+    candidates only. Hash-verified against a DuckDB replay of the same
+    planes/banding/verify, pinning the bucketed result itself; the
+    bucketed==all-pairs recall proof lives in
+    dedup_embedding_exhaustive_recall (the explicitly-quadratic
+    verification configuration). At scale only (id, band, sig) rows
+    shuffle; vectors join back just for the surviving candidates."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_duplicates(emb, threshold=0.40, dim=64)
+
+
+@query("dedup_embedding_exhaustive_recall", r"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.v, b.v), 6) AS cos
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
 """)
-def dedup_embedding_cosine_bucketed(spark, sf_dir):
-    """The DEFAULT (scale) embedding near-dup path: random-hyperplane band
-    signatures bucket both sides (16 seeded planes, 1 per band — multi-band
-    OR), exact cosine verified on candidates only. The oracle twin is the
-    ALL-PAIRS SQL over the full table, so a hash match proves the bucketed
-    path achieves recall 1.0 on the fixture — bucketed == all-pairs.
-    At scale only (id, band, sig) rows shuffle; vectors join back just for
-    the surviving candidates."""
+def dedup_embedding_exhaustive_recall(spark, sf_dir):
+    """Recall proof for the banding machinery: with ``bands=len(planes)``
+    (1-bit bands, the documented exhaustive-verification override — O(n²/2)
+    candidates by construction, NEVER the scale path) the bucketed
+    pipeline must reproduce the ALL-PAIRS SQL exactly at threshold 0.4.
+    Pins that the bucket/verify mechanics lose nothing; the scale-banded
+    default is pinned separately by its replay oracle."""
     (emb,) = _t(spark, sf_dir, "embeddings")
-    return dedup.embedding_near_duplicates(emb, threshold=0.40, dim=64)
+    return dedup.embedding_near_duplicates(emb, threshold=0.40, dim=64,
+                                           bands=16)
 
 
 # ---------------------------------------------------------------------------
@@ -1563,30 +1641,14 @@ def dedup_clusters(spark, sf_dir):
                      lambda x: x.cast("string"))).alias("members")))
 
 
-@query("dedup_embedding_clusters", r"""
-WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-          FROM e a JOIN e b ON a.vec_id < b.vec_id
-          WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4),
-sym AS (SELECT id_a AS a, id_b AS b FROM pairs
-        UNION ALL SELECT id_b, id_a FROM pairs),
-reach AS (SELECT a, b FROM sym
-          UNION
-          SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b
-          WHERE s.b <> r.a),
-comp AS (SELECT a AS node, least(a, min(b)) AS component
-         FROM reach GROUP BY a)
-SELECT component AS keeper, CAST(count(*) AS BIGINT) AS n_vectors,
-       array_to_string(list_sort(list(node)), ',') AS members
-FROM comp GROUP BY component
-""")
+@query("dedup_embedding_clusters", _embedding_bucketed_oracle(recursive=True))
 def dedup_embedding_clusters(spark, sf_dir):
     """The embedding-side dedup endpoint: RHP-BUCKETED near-dup pairs
-    (the default embedding_near_duplicates path) fused into duplicate
-    groups by the same adaptive connected components as the text
-    pipeline. Oracle = transitive closure (recursive CTE) over ALL-PAIRS
-    cosine — a hash match therefore re-proves bucketed recall 1.0 AND the
-    component fusion in one gate."""
+    (the default scale-banded embedding_near_duplicates path) fused into
+    duplicate groups by the same adaptive connected components as the
+    text pipeline. Oracle = transitive closure (recursive CTE) over the
+    REPLAYED bucketed pair set — a hash match pins both the bucketed
+    candidate generation and the component fusion."""
     from amundsendatabuilder_spark.operators.dedup import (
         embedding_near_duplicates)
     from amundsendatabuilder_spark.operators.graph_algo import (
@@ -3131,12 +3193,11 @@ model AS (SELECT c.lang, c.gram,
           JOIN priors p ON c.lang = p.lang CROSS JOIN n_all),
 doc_grams AS (SELECT doc_id, gram, CAST(count(*) AS DOUBLE) AS m
               FROM grams GROUP BY 1, 2),
-doc_sizes AS (SELECT d.doc_id, coalesce(sum(g.m), 0) AS g_total
-              FROM d LEFT JOIN doc_grams g USING (doc_id) GROUP BY 1),
+doc_sizes AS (SELECT doc_id, greatest(len(t) - 2, 0) AS g_total FROM d),
 lang_stats AS (SELECT DISTINCT lang, default_logp, log_prior FROM model),
 matched AS (SELECT g.doc_id, mo.lang,
-                   list_sum(list(round(g.m * mo.logp, 9) ORDER BY g.gram))
-                       AS hit_sum,
+                   sum(CAST(round(round(g.m * mo.logp, 9) * 1e9) AS BIGINT))
+                       / 1e9 AS hit_sum,
                    sum(g.m) AS matched_m
             FROM doc_grams g JOIN model mo ON g.gram = mo.gram
             GROUP BY 1, 2),

@@ -407,18 +407,36 @@ def test_simhash_hamming_matches_bruteforce(spark):
 
 
 def test_embedding_bucketed_equals_all_pairs(spark):
-    """The RHP-bucketed default path returns exactly the all-pairs result
-    on the fixture (recall 1.0 with 16 single-plane bands at t=0.4)."""
+    """bands=len(planes) (1-bit bands, the exhaustive-verification
+    override) reproduces the all-pairs result exactly at t=0.4; the
+    scale-banded DEFAULT returns a subset (bounded buckets trade recall
+    on low-threshold pairs) but NEVER misses exact duplicates, whose
+    identical signatures share every band."""
+    from pyspark.sql import functions as F
+
     from amundsendatabuilder_spark.operators.dedup import embedding_near_duplicates
     from amundsendatabuilder_spark.session import load_tables
     emb = load_tables(spark, "/root/testdata/sf0.001", ("embeddings",))["embeddings"]
     exact = {(r.id_a, r.id_b, r.cos)
              for r in embedding_near_duplicates(
                  emb, threshold=0.4, all_pairs=True).collect()}
-    bucketed = {(r.id_a, r.id_b, r.cos)
-                for r in embedding_near_duplicates(
-                    emb, threshold=0.4, dim=64).collect()}
-    assert bucketed == exact and len(exact) > 0
+    exhaustive = {(r.id_a, r.id_b, r.cos)
+                  for r in embedding_near_duplicates(
+                      emb, threshold=0.4, dim=64, bands=16).collect()}
+    assert exhaustive == exact and len(exact) > 0
+    scale_banded = {(r.id_a, r.id_b, r.cos)
+                    for r in embedding_near_duplicates(
+                        emb, threshold=0.4, dim=64).collect()}
+    assert scale_banded <= exact
+    # exact duplicates are always found by the scale default: clone a
+    # vector under a fresh id and require the (orig, clone) pair
+    clone = emb.where(F.col("vec_id") == 0).withColumn(
+        "vec_id", F.lit(100000).cast("long"))
+    with_dup = emb.unionByName(clone)
+    dup_pairs = {(r.id_a, r.id_b)
+                 for r in embedding_near_duplicates(
+                     with_dup, threshold=0.99, dim=64).collect()}
+    assert (0, 100000) in dup_pairs
 
 
 def test_kmeans_returns_exactly_k_centroids(spark):
