@@ -291,8 +291,14 @@ def simhash_hamming_pairs(docs: DataFrame, id_col: str = "doc_id",
     verified with bit_count(sig_a XOR sig_b) ≤ k.
 
     Scale shape: identical to MinHash banding — only (doc_id, block bits)
-    rows shuffle; candidate fan-out is bounded by block-bucket sizes
-    (wider signatures at scale, e.g. 64-bit, keep blocks discriminative).
+    rows shuffle; candidate fan-out is bounded by block-bucket sizes.
+
+    SIZING RULE (measured, BENCH_HEADROOM.md): the signature space must
+    dwarf the corpus or Hamming neighborhoods blanket it — 16-bit sigs
+    (65k values) emitted 11.7M pairs at 50k docs in the sf1 headroom run,
+    pure birthday saturation. Production corpora need ``bits=64`` (the
+    Manku et al. configuration); keep blocks ≥ log2(n_docs) bits so
+    block buckets stay discriminative.
     """
     sigs = simhash_signatures(docs, id_col, text_col, bits)
     n_blocks = k + 1
