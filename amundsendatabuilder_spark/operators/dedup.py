@@ -266,6 +266,72 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def simhash_hamming_pairs_wide(docs: DataFrame, id_col: str = "doc_id",
+                               text_col: str = "text", bits: int = 64,
+                               k: int = 3) -> DataFrame:
+    """SimHash near-dup pairs at PRODUCTION signature width — the
+    64-bit configuration of Manku/Jain/Sarma (WWW'07) the 16-bit
+    ``simhash_hamming_pairs`` docstring's sizing rule calls for (the sf1
+    headroom run measured 16-bit signatures birthday-saturating at 50k
+    docs: 11.7M pairs; 64-bit spaces stay discriminative to billions).
+
+    The signature is stored as ``k+1`` WORDS of ``bits/(k+1)`` bits, each
+    a small positive long — sidestepping int64 sign overflow at bit 63 in
+    BOTH engines — and the words double as the pigeonhole blocks: any
+    pair within Hamming distance k agrees exactly on ≥1 word, so the
+    candidate join buckets on (word_idx, word). Verification sums
+    per-word ``bit_count(xor)``. Same scale shape as every banding
+    operator here: only (doc_id, word) rows shuffle; text stays put.
+
+    Returns (doc_a, doc_b, hamming), doc_a < doc_b, hamming <= k.
+    """
+    assert bits % (k + 1) == 0, "k+1 blocks must divide the signature width"
+    word_bits = bits // (k + 1)
+    assert word_bits <= 32, "words must stay positive in a signed 64-bit int"
+    nibbles = bits // 4
+    from amundsendatabuilder_spark.session import ensure_parallelism
+    toks = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).withColumn("h", F.md5(F.col("tok")).substr(1, nibbles))
+    bit_idx = F.explode(F.array(*[F.lit(i) for i in range(bits)])).alias("bit")
+    votes = (
+        toks.select("doc_id", "h", bit_idx)
+        .withColumn("nib_char", F.expr("substring(h, CAST(bit / 4 AS INT) + 1, 1)"))
+        .withColumn("nib_val", F.expr("instr('0123456789abcdef', nib_char) - 1"))
+        .withColumn("bit_set", F.expr("shiftright(nib_val, CAST(3 - bit % 4 AS INT)) & 1"))
+        .withColumn("vote", F.when(F.col("bit_set") == 1, 1).otherwise(-1))
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("votes"))
+    )
+    sigs = (
+        votes.withColumn("w", F.expr(f"CAST(bit DIV {word_bits} AS INT)"))
+        .withColumn("bitval",
+                    F.when(F.col("votes") > 0,
+                           F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                                  f"CAST({word_bits - 1} - bit % {word_bits} AS INT))"))
+                    .otherwise(F.lit(0).cast("long")))
+        .groupBy("doc_id", "w")
+        .agg(F.sum("bitval").cast("long").alias("word"))
+    )
+    cands = (sigs.alias("a").join(
+        sigs.alias("b"),
+        (F.col("a.w") == F.col("b.w")) & (F.col("a.word") == F.col("b.word"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct())
+    x = sigs.select(F.col("doc_id").alias("doc_a"), "w",
+                    F.col("word").alias("word_a"))
+    y = sigs.select(F.col("doc_id").alias("doc_b"), "w",
+                    F.col("word").alias("word_b"))
+    return (cands.join(x, "doc_a").join(y, ["doc_b", "w"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.bit_count(F.col("word_a").bitwiseXOR(F.col("word_b"))))
+                 .cast("int").alias("hamming"))
+            .where(F.col("hamming") <= k))
+
+
 def simhash_buckets(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", bits: int = 16) -> DataFrame:
     """Duplicate-candidate buckets: documents sharing an identical SimHash —

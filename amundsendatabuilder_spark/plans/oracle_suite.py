@@ -841,6 +841,43 @@ def dedup_simhash_hamming(spark, sf_dir):
     return dedup.simhash_hamming_pairs(docs, bits=16, k=1)
 
 
+@query("dedup_simhash64_hamming", r"""
+WITH tok AS (SELECT doc_id, unnest(""" + _TOKS_SQL + r""") AS tok
+             FROM documents),
+h AS (SELECT doc_id, substr(md5(tok), 1, 16) AS h FROM tok),
+bs AS (SELECT doc_id, h, unnest(range(0, 64)) AS bit FROM h),
+votes AS (SELECT doc_id, bit,
+                 sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, CAST(bit // 4 AS INT) + 1, 1)) - 1)
+                                >> CAST(3 - bit % 4 AS INT)) & 1 = 1
+                          THEN 1 ELSE -1 END) AS v
+          FROM bs GROUP BY doc_id, bit),
+sigs AS (SELECT doc_id, CAST(bit // 16 AS INT) AS w,
+                CAST(sum(CASE WHEN v > 0 THEN 1 << CAST(15 - bit % 16 AS INT)
+                              ELSE 0 END) AS BIGINT) AS word
+         FROM votes GROUP BY doc_id, bit // 16),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM sigs a JOIN sigs b
+           ON a.w = b.w AND a.word = b.word AND a.doc_id < b.doc_id),
+ham AS (SELECT c.doc_a, c.doc_b,
+               CAST(sum(bit_count(xor(x.word, y.word))) AS INT) AS hamming
+        FROM cand c JOIN sigs x ON x.doc_id = c.doc_a
+                    JOIN sigs y ON y.doc_id = c.doc_b AND y.w = x.w
+        GROUP BY c.doc_a, c.doc_b)
+SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
+""")
+def dedup_simhash64_hamming(spark, sf_dir):
+    """PRODUCTION-width SimHash near-dup (dedup.simhash_hamming_pairs_wide):
+    64-bit signatures as four positive 16-bit words that double as the
+    Manku pigeonhole blocks (k=3), verified by summed per-word
+    bit_count(XOR). This is the configuration the 16-bit entry's sizing
+    rule prescribes — the headroom run measured 16-bit signatures
+    saturating at 50k docs while this space stays discriminative to
+    billions. The oracle replays words, block-bucket candidates and the
+    Hamming verify in SQL, so the pair set is hash-pinned end-to-end."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return dedup.simhash_hamming_pairs_wide(docs, bits=64, k=3)
+
+
 _NGRAM_JACCARD_SQL = r"""
 WITH """ + _SHINGLES_SQL + r""",
 sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),

@@ -55,6 +55,7 @@ EXTENDED = [
     "strip_boilerplate",
     "dedup_embedding_cosine_bucketed",
     "dedup_simhash_hamming",
+    "dedup_simhash64_hamming",
     "ann_rhp_topk",
     "ann_ivf_topk",
 ]

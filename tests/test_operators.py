@@ -798,3 +798,30 @@ def test_token_count_histogram_buckets(spark):
             for r in token_count_histogram(docs, bucket_width=16).collect()}
     assert rows[("en", 0)] == 1   # 5 tokens
     assert rows[("en", 16)] == 2  # 16 and 17 tokens share the bucket
+
+
+def test_simhash64_wide_finds_dups_not_noise(spark):
+    """64-bit SimHash (4x16-bit words, k=3 blocks): exact-duplicate texts
+    land at Hamming 0, near-identical texts within k, and unrelated texts
+    produce no pairs — the discriminative behavior the 16-bit sizing rule
+    promises at corpus scale."""
+    from amundsendatabuilder_spark.operators.dedup import (
+        simhash_hamming_pairs_wide)
+    # a LONG base doc: simhash bit flips scale with the angle between
+    # token multisets, so a 1-token edit in ~110 tokens keeps the pair
+    # within a small Hamming distance (in a 20-token doc the same edit
+    # flips many low-margin bits — that's the expected behavior, not a bug)
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "cat watches from a warm windowsill nearby every day ") * 10
+    rows = [(1, base), (2, base),                               # exact dup
+            (3, base.replace("warm", "cold", 1)),              # near dup
+            (4, "completely unrelated legal boilerplate concerning "
+                "maritime insurance claims and arbitration procedure"),
+            (5, "a third subject entirely: spectral decomposition of "
+                "symmetric operators on finite dimensional spaces")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in simhash_hamming_pairs_wide(docs, bits=64, k=3).collect()}
+    assert got[(1, 2)] == 0
+    assert (1, 3) in got and got[(1, 3)] <= 3
+    assert all(4 not in p and 5 not in p for p in got)
