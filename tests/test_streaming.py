@@ -263,3 +263,70 @@ def test_stream_stream_attribution_interval_join(spark, tmp_path):
     got = run_to_memory(joined, spark, "attr_test", str(tmp_path / "ckpt_attr"))
     pairs = sorted((r["event_id"], str(r["view_ts"])) for r in got.collect())
     assert pairs == [(10, "2024-01-01 11:50:00")]
+
+
+def test_sessionize_merges_across_micro_batches(spark, tmp_path):
+    """Session-window STATE must merge fragments that arrive in different
+    micro-batches: user 1's three events straddle two files processed as
+    separate batches (maxFilesPerTrigger=1), yet append-mode emission
+    after the watermark passes shows ONE merged session of 3 events —
+    the cross-batch semantics the single-batch drain oracles can't pin."""
+    import datetime as dt
+
+    from amundsendatabuilder_spark.streaming.events import (
+        run_to_memory, sessionize)
+    schema = ("event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string")
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    b1 = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0, 0), 1, "click", 1.0, "{}"),
+         (2, dt.datetime(2024, 1, 1, 0, 10), 1, "click", 1.0, "{}")], schema)
+    b1.coalesce(1).write.parquet(str(src / "a_batch1"))
+    b2 = spark.createDataFrame(
+        [(3, dt.datetime(2024, 1, 1, 0, 20), 1, "click", 1.0, "{}"),
+         # far-future sentinel advances the watermark past the session
+         (4, dt.datetime(2024, 1, 2, 0, 0), 9, "view", 0.0, "{}")], schema)
+    b2.coalesce(1).write.parquet(str(src / "b_batch2"))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false")
+              .parquet(str(src) + "/*"))
+    got = run_to_memory(sessionize(stream, gap="30 minutes"), spark,
+                        "merge_sessions_test", str(tmp_path / "ckpt"))
+    user1 = [(str(r["window_start"]), r["n_events"])
+             for r in got.collect() if r["user_id"] == 1]
+    # one MERGED session: fragments from batch 1 and batch 2 fused in state
+    assert user1 == [("2024-01-01 00:00:00", 3)]
+
+
+def test_windowed_counts_accumulate_across_micro_batches(spark, tmp_path):
+    """Tumbling-window state accumulates across micro-batches: the same
+    hour arriving in two files sums to one row once emitted."""
+    import datetime as dt
+
+    from amundsendatabuilder_spark.streaming.events import (
+        run_to_memory, windowed_counts)
+    schema = ("event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string")
+    src = tmp_path / "win_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 5, 1), 1, "click", 1.0, "{}"),
+         (2, dt.datetime(2024, 1, 1, 5, 2), 2, "click", 2.0, "{}")],
+        schema).coalesce(1).write.parquet(str(src / "a_b1"))
+    spark.createDataFrame(
+        [(3, dt.datetime(2024, 1, 1, 5, 50), 3, "click", 4.0, "{}"),
+         (4, dt.datetime(2024, 1, 2, 0, 0), 9, "view", 0.0, "{}")],
+        schema).coalesce(1).write.parquet(str(src / "b_b2"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false")
+              .parquet(str(src) + "/*"))
+    got = run_to_memory(windowed_counts(stream, window="1 hour",
+                                        watermark="2 hours"),
+                        spark, "merge_windows_test", str(tmp_path / "ckpt"))
+    clicks = {str(r["window_start"]): (r["n_events"], r["total_value"])
+              for r in got.collect() if r["event_type"] == "click"}
+    assert clicks["2024-01-01 05:00:00"] == (3, 7.0)
