@@ -150,6 +150,56 @@ def langid_nb_predict(docs: DataFrame, model: DataFrame,
                     round_half_away(F.col("raw"), 6).alias("score")))
 
 
+def lm_fluency_score(docs: DataFrame, model: DataFrame,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     lang_col: str = "lang", n: int = 3) -> DataFrame:
+    """CCNet-style language-model quality signal: each document's average
+    per-gram log-probability under ITS OWN language's fitted char-n-gram
+    model (langid_nb_fit) — the in-engine stand-in for the KenLM
+    perplexity filter real pretraining pipelines gate on (low avg log-prob
+    = boilerplate/garble/mixed-language, the docs a quality gate drops).
+
+    avg_logp(d) = (Σ_matched m·lnP(g|lang_d) + (|d| − matched)·default) /
+    |d|; docs with no grams (shorter than n chars) score NULL. Same scale
+    shape as predict, but each doc joins only its own language's model
+    rows — fan-out 1, not |langs| — and partial sums use the exact
+    int64 nano-unit trick shared with langid_nb_predict.
+
+    Returns (doc_id, lang, avg_logp). Spearman-correlates with true LM
+    perplexity on the char level; thresholding is the caller's policy
+    (quality_quantile_filter composes directly).
+    """
+    doc_grams = (docs.select(F.col(id_col).alias("doc_id"),
+                             F.col(lang_col).alias("lang"),
+                             F.explode(char_ngrams(F.lower(F.col(text_col)), n))
+                             .alias("gram"))
+                 .groupBy("doc_id", "lang", "gram")
+                 .agg(F.count("*").cast("double").alias("m")))
+    matched = (doc_grams.join(F.broadcast(model), ["lang", "gram"])
+               .select("doc_id", "lang",
+                       F.round(round_half_away(F.col("m") * F.col("logp"), 9)
+                               * 1e9).cast("long").alias("part_fp"),
+                       "m")
+               .groupBy("doc_id", "lang")
+               .agg((F.sum("part_fp") / F.lit(1e9)).alias("hit_sum"),
+                    F.sum("m").alias("matched_m")))
+    lang_stats = model.select("lang", "default_logp").distinct()
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang"),
+        F.greatest(F.length(F.lower(F.col(text_col))) - (n - 1), F.lit(0))
+        .cast("double").alias("g_total"))
+    return (base.join(F.broadcast(lang_stats), "lang")
+            .join(matched, ["doc_id", "lang"], "left")
+            .select("doc_id", "lang",
+                    F.when(F.col("g_total") > 0, round_half_away(
+                        (F.coalesce(F.col("hit_sum"), F.lit(0.0))
+                         + round_half_away(
+                             (F.col("g_total")
+                              - F.coalesce(F.col("matched_m"), F.lit(0.0)))
+                             * F.col("default_logp"), 9))
+                        / F.col("g_total"), 6)).alias("avg_logp")))
+
+
 def quality_metrics(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, n_tokens_bpe, punct_ratio, quality) — C4/Gopher

@@ -3211,8 +3211,7 @@ def strip_boilerplate_query(spark, sf_dir):
     return textops.strip_boilerplate(docs, chunk_tokens=8, max_df=3)
 
 
-@query("langid_nb", r"""
-WITH d AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+_NB_MODEL_CTES = r"""WITH d AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
 grams AS (SELECT doc_id, lang, substr(t, i, 3) AS gram
           FROM (SELECT doc_id, lang, t, unnest(range(1, len(t) - 1)) AS i
                 FROM d WHERE len(t) >= 3)),
@@ -3227,7 +3226,10 @@ model AS (SELECT c.lang, c.gram,
                  round(ln(1 / (t.total + v.v)), 9) AS default_logp,
                  round(ln(p.n_docs / n_all.n), 9) AS log_prior
           FROM counts c JOIN totals t ON c.lang = t.lang CROSS JOIN vocab v
-          JOIN priors p ON c.lang = p.lang CROSS JOIN n_all),
+          JOIN priors p ON c.lang = p.lang CROSS JOIN n_all),"""
+
+
+@query("langid_nb", _NB_MODEL_CTES + r"""
 doc_grams AS (SELECT doc_id, gram, CAST(count(*) AS DOUBLE) AS m
               FROM grams GROUP BY 1, 2),
 doc_sizes AS (SELECT doc_id, greatest(len(t) - 2, 0) AS g_total FROM d),
@@ -3264,6 +3266,41 @@ def langid_nb_query(spark, sf_dir):
     (docs,) = _t(spark, sf_dir, "documents")
     model = langid_nb_fit(docs, n=3)
     return langid_nb_predict(docs, model, n=3)
+
+
+@query("lm_fluency", _NB_MODEL_CTES + r"""
+doc_grams AS (SELECT doc_id, lang, gram, CAST(count(*) AS DOUBLE) AS m
+              FROM grams GROUP BY 1, 2, 3),
+matched AS (SELECT g.doc_id, g.lang,
+                   sum(CAST(round(round(g.m * mo.logp, 9) * 1e9) AS BIGINT))
+                       / 1e9 AS hit_sum,
+                   sum(g.m) AS matched_m
+            FROM doc_grams g JOIN model mo
+              ON g.gram = mo.gram AND g.lang = mo.lang
+            GROUP BY 1, 2),
+lang_stats AS (SELECT DISTINCT lang, default_logp FROM model),
+base AS (SELECT doc_id, lang, greatest(len(t) - 2, 0) AS g_total FROM d)
+SELECT b.doc_id, b.lang,
+       CASE WHEN b.g_total > 0 THEN
+         round((coalesce(ma.hit_sum, 0)
+                + round((b.g_total - coalesce(ma.matched_m, 0))
+                        * ls.default_logp, 9)) / b.g_total, 6)
+       END AS avg_logp
+FROM base b JOIN lang_stats ls ON ls.lang = b.lang
+LEFT JOIN matched ma ON ma.doc_id = b.doc_id AND ma.lang = b.lang
+""")
+def lm_fluency(spark, sf_dir):
+    """CCNet-style LM fluency scoring (textops.lm_fluency_score): each
+    document's average per-char-trigram log-prob under its own language's
+    fitted NB model — the in-engine perplexity-filter signal pretraining
+    pipelines gate corpora on. Hash-verified: the oracle rebuilds the
+    model (shared CTEs with langid_nb) and the per-doc exact nano-unit
+    partial sums."""
+    from amundsendatabuilder_spark.operators.textops import (
+        langid_nb_fit, lm_fluency_score)
+    (docs,) = _t(spark, sf_dir, "documents")
+    model = langid_nb_fit(docs, n=3)
+    return lm_fluency_score(docs, model, n=3)
 
 
 @query("bm25_topk", r"""

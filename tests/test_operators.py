@@ -825,3 +825,23 @@ def test_simhash64_wide_finds_dups_not_noise(spark):
     assert got[(1, 2)] == 0
     assert (1, 3) in got and got[(1, 3)] <= 3
     assert all(4 not in p and 5 not in p for p in got)
+
+
+def test_lm_fluency_ranks_fluent_above_garble(spark):
+    """The NB fluency score separates in-distribution text from garble:
+    a doc made of corpus-typical trigrams scores higher avg log-prob than
+    one full of grams the language model never saw; gram-less docs are
+    NULL."""
+    from amundsendatabuilder_spark.operators.textops import (
+        langid_nb_fit, lm_fluency_score)
+    train = [(i, "en", "the cat sat on the mat near the door and slept")
+             for i in range(8)]
+    docs = train + [(100, "en", "the cat sat on the mat"),   # fluent
+                    (101, "en", "zxqj vwpk qqzx jjwv xxkq"),  # garble
+                    (102, "en", "ab")]                        # no trigrams
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    model = langid_nb_fit(df)
+    got = {r.doc_id: r.avg_logp for r in lm_fluency_score(df, model).collect()}
+    assert got[100] > got[101]
+    assert got[102] is None
+    assert got[0] > got[101]  # training docs are in-distribution too
