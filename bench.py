@@ -52,6 +52,7 @@ HEADLINE = [
 EXTENDED = [
     "bm25_topk",
     "langid_nb",
+    "lm_fluency",
     "strip_boilerplate",
     "dedup_embedding_cosine_bucketed",
     "dedup_simhash_hamming",
