@@ -36,6 +36,8 @@ _PRIORITY = [
     "ann_ivf_topk", "ann_rhp_topk", "kmeans_centroids",
     "graph_match_hop_predicate", "graph_match_varlen",
     "dedup_embedding_exhaustive_recall",
+    # (a2) new round-5 operators (2)
+    "dedup_simhash64_hamming", "lm_fluency",
     # (b) implementation changed this round (6)
     "dedup_embedding_cosine_bucketed", "dedup_embedding_clusters",
     "langid_nb", "fuzzy_name_match",
