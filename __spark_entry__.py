@@ -18,43 +18,51 @@ sys.path.insert(0, "/root/repo")
 
 from amundsendatabuilder_spark.plans.oracle_suite import ORACLES, QUERIES  # noqa: E402
 
-# Dict iteration order = presentation order. Round-5 front-loads (a) the
-# 14 entries that flipped rows-only -> hash-verified this round (streams,
-# multimodal codecs, ANN partial-probe, kmeans, new graph surfaces), (b)
-# every query whose implementation changed this round (embedding banding,
-# langid fixed-point + char_ngrams rewrite, IVF routing rounding), and
-# (c) the four temporal queries that regressed in round 4 on the
-# TIMESTAMP_NTZ testdata and are restored — so CORRECTNESS_r05 certifies
-# exactly the round's claims. Family anchors fill the remaining slots of
-# the driver's 50-query window; the rest follows registration order.
+# Dict iteration order = presentation order. Round-6 rotates the driver's
+# 50-query sample window for evidence freshness (VERDICT r5 item #1): the
+# 59 queries whose last driver certification is rounds 1-4 are front-loaded
+# oldest-first, after (a) the queries that are new this round and (b) the
+# r5-certified queries whose implementation changed this round (plan
+# rewrites / codec policy), which need re-certification against current
+# code. Overlap with the r5 sample window is the 6 changed-impl entries
+# (< 10, per the rotation criterion); everything r5-certified and unchanged
+# follows in registration order. Names not yet registered are skipped by
+# ``_ordered``.
 _PRIORITY = [
-    # (a) newly hash-verified this round (14)
-    "stream_windowed_counts", "stream_sessionize", "stream_attribution",
-    "stream_dedup_first_seen", "stream_near_dup",
-    "multimodal_image_features", "multimodal_resize",
-    "multimodal_audio_chunks",
-    "ann_ivf_topk", "ann_rhp_topk", "kmeans_centroids",
-    "graph_match_hop_predicate", "graph_match_varlen",
-    "dedup_embedding_exhaustive_recall",
-    # (a2) new round-5 operators (2)
-    "dedup_simhash64_hamming", "lm_fluency",
-    # (b) implementation changed this round (6)
-    "dedup_embedding_cosine_bucketed", "dedup_embedding_clusters",
-    "langid_nb", "fuzzy_name_match",
-    "ann_ivf_full_probe", "ann_ivf_kmeans_full_probe",
-    # (c) round-4 regressions restored by the NTZ ingestion fix (4)
-    "sessionize_batch", "asof_view_before_purchase",
-    "conversion_attribution", "event_interarrival",
-    # family anchors round out the 50-slot window (26)
-    "search_doc_flagship", "q1_pricing_summary", "q3_top_revenue",
-    "q5_region_volume", "group_nest_columns", "key_templates",
-    "presto_view_decode", "hive_union_nest", "sharded_table_grouping",
-    "staleness_anti_join", "semi_join_exists", "union_dedup",
-    "latest_execution_window", "cond_agg_subqueries", "windowed_event_agg",
-    "search_doc_user", "search_doc_dashboard", "lineage_reachability",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_lsh_verified",
-    "dedup_simhash_hamming", "ann_brute_force_topk", "centroid_assignment",
-    "bm25_topk", "strip_boilerplate",
+    # (a) new round-6 queries (certify on first driver run)
+    "stream_attribution_outer", "multimodal_png_features",
+    # (b) r5-certified but implementation changed in round 6 (6 — the
+    # only overlap with the r5 window)
+    "graph_match_varlen", "langid_nb", "ann_rhp_topk",
+    "multimodal_audio_chunks", "dedup_simhash_hamming",
+    "dedup_simhash64_hamming",
+    # (c) stale queries, oldest driver certification first: round 1
+    "scan_filter_project", "lang_id", "quality_metrics",
+    "doc_fingerprint", "embedding_norms", "char_ngram_profile",
+    "pii_scrub", "repetition_metrics", "hash_sample_stratified",
+    "vocab_topk", "corpus_length_stats",
+    # round 2
+    "epoch_transform", "literal_replace_transform",
+    "template_substitution", "tag_normalize_explode",
+    "json_props_extract", "usage_hash_count", "last_updated_max",
+    "watermark_min_max", "staleness_guard_ratio", "right_join_tables",
+    "self_join_same_region", "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_embedding_cosine", "shard_watermarks",
+    "top_customer_per_segment", "rollup_orders", "revenue_share",
+    "graph_expand_tables", "dedup_clusters",
+    "decontam_benchmark_overlap", "quality_quantile_filter",
+    "mixture_rates", "token_shard_packing",
+    # round 4 (oldest of the rest; fills the 50-slot window)
+    "dedup_ngram_jaccard_capped", "publish_diff", "skew_salted_join",
+    "skew_salted_collect", "embedding_label_centroids",
+    "pivot_status_by_priority", "search_doc_table_built",
+    # remaining round-4 stale — next in line beyond the 50-slot window
+    "graph_match_pattern", "graph_match_2hop", "column_profile",
+    "stat_aggregates", "cohort_retention", "sliding_window_counts",
+    "multimodal_frame_plan", "incremental_ingest_anti_join",
+    "doc_chunking", "cross_source_overlap", "split_assign",
+    "dedup_rate_by_source", "boilerplate_chunks", "strip_boilerplate",
+    "bm25_topk", "token_count_histogram", "quantize_embeddings",
 ]
 
 
