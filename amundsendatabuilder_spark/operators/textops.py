@@ -75,9 +75,12 @@ def langid_nb_fit(docs: DataFrame, lang_col: str = "lang",
     # model is the same bounded size; checkpointing the RESULT means
     # callers (predict uses it twice: broadcast scorer + lang_stats) never
     # re-run the fit pipeline per consumer
-    return (counts.join(totals, "lang")
+    # totals/priors are |langs| rows but sit behind the localCheckpoint,
+    # which hides size stats from AQE — without the explicit hint Spark
+    # falls back to sort-merge for both (the suite's only small-side SMJs)
+    return (counts.join(F.broadcast(totals), "lang")
             .crossJoin(F.broadcast(vocab))
-            .join(priors, "lang")
+            .join(F.broadcast(priors), "lang")
             .crossJoin(F.broadcast(n_total))
             .select(
                 "lang", "gram",

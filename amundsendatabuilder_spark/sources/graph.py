@@ -115,6 +115,15 @@ def match_var_path(nodes: DataFrame, rels: DataFrame, *,
     the end. Cycles cannot loop forever (depth is bounded) and revisits
     collapse in the per-depth dedup.
 
+    Each depth's frontier is ``localCheckpoint``ed (the kmeans_fit
+    pattern, operators/similarity.py) so depth d's plan starts from the
+    materialized depth d-1 rows instead of carrying every earlier
+    frontier's join lineage — without it the closing union re-evaluates
+    each prefix, O(hops²) join work and a plan of ~34 exchanges at
+    hops=4; with it the plan is one join + one dedup per depth. The
+    checkpointed frontier is bounded by distinct (start, endpoint) pairs
+    of the metadata graph, small at any corpus scale.
+
     Returns (n0_key, n_key, n_label, n_props, depth).
     """
     assert 1 <= min_hops <= max_hops, "need 1 <= min_hops <= max_hops"
@@ -139,7 +148,8 @@ def match_var_path(nodes: DataFrame, rels: DataFrame, *,
             & (frontier["_cur_l"] == edges["_src_l"]))
             .select("n0_key", F.col("_dst").alias("_cur"),
                     F.col("_dst_l").alias("_cur_l"))
-            .distinct())
+            .distinct()
+            .localCheckpoint())
         if depth >= min_hops:
             levels.append(frontier.withColumn("depth", F.lit(depth)))
     out = levels[0]
