@@ -313,6 +313,11 @@ def simhash_hamming_pairs_wide(docs: DataFrame, id_col: str = "doc_id",
                     .otherwise(F.lit(0).cast("long")))
         .groupBy("doc_id", "w")
         .agg(F.sum("bitval").cast("long").alias("word"))
+        # sigs feeds THREE consumers (the candidate self-join's two sides
+        # plus x/y verification); without materialization the full
+        # tokenize -> 64-way bit explode -> vote lineage runs three times.
+        # n_docs x (k+1) small rows — same treatment as langid_nb_fit.
+        .localCheckpoint()
     )
     cands = (sigs.alias("a").join(
         sigs.alias("b"),
@@ -512,7 +517,8 @@ def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
                               planes: list[list[float]] | None = None,
                               bands: int | None = None,
                               all_pairs: bool = False,
-                              dim: int | None = None) -> DataFrame:
+                              dim: int | None = None,
+                              recall_mode: str = "scale") -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ t).
 
     Default path: bucket both sides by random-hyperplane band signatures
@@ -533,14 +539,22 @@ def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
     true copies is exact; probabilistic recall on merely-similar pairs is
     parameter-dependent (≥0.9-threshold pairs: miss prob (1-0.857⁴)⁴ ≈
     4.5%; add bands to shrink it). Callers needing provable recall at low
-    thresholds must pass ``bands=len(planes)`` (1-bit bands — O(n²/2)
-    candidates by construction, the exhaustive-verification configuration,
-    never the scale path) or ``all_pairs=True``.
+    thresholds must pass ``recall_mode="exhaustive"`` (equivalently
+    ``bands=len(planes)``: 1-bit bands — O(n²/2) candidates by
+    construction, the exhaustive-verification configuration, never the
+    scale path) or ``all_pairs=True``.
+
+    COMPAT NOTE: before the sf1 headroom fix the *default* was the
+    exhaustive 1-bit banding (recall 1.0, quadratic candidates); the
+    default is now the 4-planes-per-band scale path. Callers that
+    omitted ``bands`` and relied on the old recall guarantee should pass
+    ``recall_mode="exhaustive"`` explicitly.
 
     ``all_pairs=True`` is the explicit O(n²) escape hatch
     (BroadcastNestedLoopJoin) for small candidate sets — never the scale
     path.
     """
+    assert recall_mode in ("scale", "exhaustive"), recall_mode
     from amundsendatabuilder_spark.functions.vectors import l2_norm, random_planes
     base = emb.select(F.col(id_col).alias("id"),
                       F.col(vec_col).cast("array<double>").alias("vec")) \
@@ -566,8 +580,10 @@ def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
             dim = row["d"]
         planes = random_planes(dim, n=16, seed=7)
     # default 4 planes/band: bounded buckets (scale path); see docstring
-    # for the recall trade and the exhaustive bands=len(planes) override
-    bands = bands if bands is not None else max(1, len(planes) // 4)
+    # for the recall trade and the exhaustive recall_mode override
+    if bands is None:
+        bands = (len(planes) if recall_mode == "exhaustive"
+                 else max(1, len(planes) // 4))
     from amundsendatabuilder_spark.operators.similarity import rhp_band_sigs
     sigs = rhp_band_sigs(base, planes, bands, id_col="id", vec_col="vec")
     cands = (sigs.alias("x").join(

@@ -184,14 +184,17 @@ def audio_chunk_features(media: DataFrame, chunk_ms: int = 1000,
     format: payload = little-endian int16 mono at meta.sample_rate):
     rms = sqrt(mean(sample^2)) / 32768 over [start_ms, end_ms) — windows
     outside the payload yield NULL. Payloads whose ``meta.codec`` is some
-    compressed format keep the legacy deterministic byte-hash energy under
-    the default policy (torchaudio/librosa would plug in here), or NULL
-    under ``strict=True``."""
+    compressed format — or missing entirely — keep the legacy
+    deterministic byte-hash energy under the default policy
+    (torchaudio/librosa would plug in here), or NULL under
+    ``strict=True``. The PCM16 kernel is reserved for rows that
+    explicitly declare ``codec='pcm16'``: interpreting unlabeled bytes
+    as raw int16 would produce meaningless-but-plausible RMS values."""
     chunks = (
         media.where(F.col("kind") == "audio")
         .select("media_id", "payload",
                 F.coalesce(F.col("meta.sample_rate"), F.lit(16000)).alias("sr"),
-                F.coalesce(F.col("meta.codec"), F.lit("pcm16")).alias("codec"),
+                F.coalesce(F.col("meta.codec"), F.lit("unknown")).alias("codec"),
                 F.posexplode(F.sequence(
                     F.lit(0),
                     F.greatest(F.coalesce(F.col("meta.duration_ms"), F.lit(0))

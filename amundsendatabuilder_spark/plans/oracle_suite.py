@@ -2539,15 +2539,20 @@ def _event_stream(spark, sf_dir):
     footer is sniffed with pyarrow and the matching conversion applied."""
     import pyarrow.parquet as pq
     ts_type = str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type)
-    if ts_type.startswith("timestamp"):
-        # micros (NTZ or tz-adjusted): declared TIMESTAMP reads values
-        # directly under the UTC session, matching load_tables' batch path
+    if ts_type.startswith("timestamp") and not ts_type.startswith("timestamp[ns"):
+        # micros/millis (NTZ or tz-adjusted): declared TIMESTAMP reads
+        # values directly under the UTC session, matching load_tables'
+        # batch path. TIMESTAMP(NANOS) must NOT take this branch: pyarrow
+        # reports it as 'timestamp[ns...]' but Spark surfaces it as raw
+        # int64 under nanosAsLong, so a declared-TIMESTAMP schema would
+        # fail the read (or skew event times 1000x if coerced).
         return (spark.readStream
                 .schema("event_id long, ts timestamp, user_id long,"
                         " event_type string, value double, props string")
                 .option("pathGlobFilter", "events.parquet")
                 .parquet(sf_dir))
-    # legacy TIMESTAMP(NANOS): surfaces as int64 nanos under nanosAsLong
+    # TIMESTAMP(NANOS) ('timestamp[ns...]') or raw int64 nanos: surfaces
+    # as int64 under nanosAsLong — convert explicitly
     return (spark.readStream
             .schema("event_id long, ts long, user_id long, event_type string,"
                     " value double, props string")

@@ -544,6 +544,53 @@ def test_audio_chunk_features(spark):
     assert sorted(map(tuple, strict)) == sorted(map(tuple, out))
 
 
+def test_audio_null_codec_takes_fallback(spark):
+    """A payload with NO declared codec must NOT be interpreted as raw
+    PCM16 (arbitrary bytes would yield plausible-but-meaningless RMS):
+    default policy gives the deterministic hash stub, strict gives NULL."""
+    from amundsendatabuilder_spark.operators.multimodal import (
+        MEDIA_SCHEMA, audio_chunk_features)
+    media = spark.createDataFrame(
+        [(0, "audio", bytearray(b"\x01\x02" * 1000),
+          (None, None, 16000, 1000, None))], MEDIA_SCHEMA)
+    out = audio_chunk_features(media, chunk_ms=1000).collect()
+    assert len(out) == 1
+    # hash-stub energy, not the PCM16 RMS of the raw bytes
+    from amundsendatabuilder_spark.operators.media_codecs import pcm16_rms
+    pcm_rms = pcm16_rms(b"\x01\x02" * 1000, 0, 16000)
+    assert out[0].rms_energy is not None
+    assert abs(out[0].rms_energy - pcm_rms) > 1e-9
+    strict = audio_chunk_features(media, chunk_ms=1000, strict=True).collect()
+    assert strict[0].rms_energy is None
+
+
+def test_embedding_near_dup_recall_mode(spark):
+    """recall_mode='exhaustive' restores the pre-flip bands=len(planes)
+    default (recall 1.0 on the fixture); 'scale' is the banded default;
+    anything else is rejected."""
+    import pytest
+
+    from amundsendatabuilder_spark.functions.vectors import random_planes
+    from amundsendatabuilder_spark.operators.dedup import (
+        embedding_near_duplicates)
+    rows = [(i, [float((i * 7 + j * 3) % 5) - 2.0 for j in range(8)])
+            for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = random_planes(8, n=16, seed=7)
+    exhaustive = embedding_near_duplicates(
+        emb, threshold=0.9, planes=planes, recall_mode="exhaustive")
+    explicit = embedding_near_duplicates(
+        emb, threshold=0.9, planes=planes, bands=len(planes))
+    assert (sorted(map(tuple, exhaustive.collect()))
+            == sorted(map(tuple, explicit.collect())))
+    all_pairs = embedding_near_duplicates(emb, threshold=0.9, all_pairs=True)
+    assert (sorted(map(tuple, exhaustive.collect()))
+            == sorted(map(tuple, all_pairs.collect())))
+    with pytest.raises(AssertionError):
+        embedding_near_duplicates(emb, threshold=0.9, planes=planes,
+                                  recall_mode="typo")
+
+
 def test_asof_join_matches_pandas_merge_asof(spark):
     """Cross-implementation check: on seeded random data, asof_join must
     agree with pandas.merge_asof (direction='backward'), an independent
