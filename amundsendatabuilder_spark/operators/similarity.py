@@ -75,17 +75,31 @@ def rhp_band_sigs(df: DataFrame, planes: list[list[float]], bands: int,
     groups, sig = the group's sign bits concatenated — the banding
     primitive under both embedding near-dup (multi-band OR candidate
     generation) and rhp_topk. One narrow projection + a bands-way
-    explode; the vectors themselves never leave their partitions."""
+    explode; the vectors themselves never leave their partitions.
+
+    The plane matrix is ONE array-of-arrays literal folded with a single
+    ``transform`` lambda, not len(planes) unrolled dot expressions —
+    per-plane unrolling made the analyzed plan carry n_planes × dim
+    literal terms, and plan analysis + codegen (not arithmetic) dominated
+    the signature pass. The inner left-fold matches
+    functions.vectors.dot's order exactly, so signatures are
+    bit-identical to the unrolled form."""
     per_band = len(planes) // bands
     assert per_band * bands == len(planes), "bands must divide len(planes)"
-    bits = []
-    for p in planes:
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bits.append(F.when(dot(F.col(vec_col), plane) >= 0,
-                           F.lit("1")).otherwise(F.lit("0")))
+    planes_lit = F.array(*[F.array(*[F.lit(float(x)) for x in p])
+                           for p in planes])
+    bits = F.transform(
+        planes_lit,
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(F.col(vec_col), p,
+                           lambda x, y: x.cast("double") * y.cast("double")),
+                F.lit(0.0), lambda acc, v: acc + v) >= 0,
+            F.lit("1")).otherwise(F.lit("0")))
     band_structs = F.array(*[
         F.struct(F.lit(g).alias("band"),
-                 F.concat(*bits[g * per_band:(g + 1) * per_band]).alias("sig"))
+                 F.array_join(F.slice(bits, g * per_band + 1, per_band), "")
+                 .alias("sig"))
         for g in range(bands)])
     return (df.select(F.col(id_col).alias("id"),
                       F.explode(band_structs).alias("bs"))
@@ -102,7 +116,12 @@ def rhp_topk(corpus: DataFrame, queries: DataFrame,
     candidates by exact cosine.
 
     Scale shape: the candidate join shuffles (id, band, sig) rows — never
-    vectors; vectors join back for candidates only. More planes per band
+    vectors; vectors join back for candidates only. The candidate set
+    (bounded by the broadcast-small query batch × bucket sizes, never the
+    corpus) is materialized once, so the full corpus signature pass runs
+    exactly once, and the corpus vector frame is pruned to candidate ids
+    with a broadcast semi-join BEFORE the scoring join — the corpus never
+    shuffles by id; only candidate vectors do. More planes per band
     shrink buckets (higher precision / lower recall); more bands recover
     recall. Returns (query_id, neighbor_id, cos, rank≤k) — approximate:
     neighbors in no shared bucket are unseen, so recall is
@@ -110,21 +129,29 @@ def rhp_topk(corpus: DataFrame, queries: DataFrame,
     """
     from amundsendatabuilder_spark.functions.vectors import l2_norm
     from amundsendatabuilder_spark.session import ensure_parallelism
-    corpus = ensure_parallelism(corpus)
-    c_sigs = rhp_band_sigs(corpus, planes, bands, id_col, vec_col)
+    # parallelism boost only for the CPU-heavy plane-dot pass; the vector
+    # frame below is read from the raw input so the broadcast semi-join
+    # prunes it map-side without a prior full-vector repartition shuffle
+    c_sigs = rhp_band_sigs(ensure_parallelism(corpus), planes, bands,
+                           id_col, vec_col)
     q_sigs = rhp_band_sigs(queries, planes, bands, id_col, vec_col)
     cands = (c_sigs.alias("c").join(
         F.broadcast(q_sigs.alias("q")),
         (F.col("c.band") == F.col("q.band")) & (F.col("c.sig") == F.col("q.sig"))
         & (F.col("c.id") != F.col("q.id")))
         .select(F.col("q.id").alias("query_id"), F.col("c.id").alias("neighbor_id"))
-        .distinct())
+        .distinct()
+        # two consumers (the id-prune below + the scoring join) — without
+        # materialization each would re-run the corpus plane-dot pass
+        .localCheckpoint())
     qv = queries.select(F.col(id_col).alias("query_id"),
                         F.col(vec_col).cast("array<double>").alias("q_vec")) \
         .withColumn("q_norm", l2_norm("q_vec"))
-    cv = corpus.select(F.col(id_col).alias("neighbor_id"),
-                       F.col(vec_col).cast("array<double>").alias("c_vec")) \
-        .withColumn("c_norm", l2_norm("c_vec"))
+    cand_ids = cands.select("neighbor_id").distinct()
+    cv = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                        F.col(vec_col).cast("array<double>").alias("c_vec"))
+          .join(F.broadcast(cand_ids), "neighbor_id", "left_semi")
+          .withColumn("c_norm", l2_norm("c_vec")))
     scored = (cands.join(cv, "neighbor_id").join(F.broadcast(qv), "query_id")
               .withColumn("cos", round_half_away(cosine_similarity(
                   "q_vec", "c_vec", norm_a=F.col("q_norm"),
