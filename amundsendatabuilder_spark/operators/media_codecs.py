@@ -1,11 +1,13 @@
 """Pure-NumPy media codecs for the multimodal operators.
 
-The container ships no image/audio libraries, but two container formats
+The container ships no image/audio libraries, but three container formats
 need none: uncompressed 24-bit BMP and binary PPM (P6) are plain headers
-over raw pixel rows, and raw PCM16 is just little-endian samples. These
-codecs make the decode/resize/feature kernels REAL pixel/sample math
-(replacing the earlier deterministic stubs) while staying dependency-free;
-Pillow, when present, is only needed for compressed formats (JPEG/PNG).
+over raw pixel rows, raw PCM16 is just little-endian samples — and PNG is
+stdlib ``zlib`` inflate plus per-row unfiltering (None/Sub/Up/Average/
+Paeth), all NumPy byte math. These codecs make the decode/resize/feature
+kernels REAL pixel/sample math (replacing the earlier deterministic
+stubs) while staying dependency-free; Pillow, when present, is only
+needed for JPEG.
 
 All kernels are deterministic and spec'd exactly so a SQL oracle can
 reproduce their outputs in closed form on patterned synthetic inputs:
@@ -125,6 +127,153 @@ def decode_ppm(data: bytes) -> np.ndarray | None:
         return None
 
 
+# ---------------------------------------------------------------------------
+# PNG (8-bit depth, non-interlaced; gray / gray+alpha / RGB / RGBA)
+#
+# Container spec: RFC 2083 / W3C PNG — 8-byte signature, then chunks of
+# (length BE32, type, data, CRC32 over type+data). Pixel data is the zlib
+# stream of per-row (filter_type byte + filtered bytes); the five filters
+# predict each byte from its left / up / up-left reconstructed neighbors.
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, payload: bytes) -> bytes:
+    import zlib
+    return (struct.pack(">I", len(payload)) + typ + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF))
+
+
+def _paeth_predict(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (filter 4): pick whichever of left/up/up-left is
+    closest to a+b-c, ties resolved left, up, up-left — the spec's order."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(rgb: np.ndarray, filter_type: int = 0) -> bytes:
+    """(H, W, 3) uint8 RGB -> PNG bytes (color type 2, depth 8, zlib
+    level 9). ``filter_type`` applies one filter to every row — the test
+    fixtures use all five so round-trips exercise every unfilter path."""
+    import zlib
+    assert filter_type in range(5), filter_type
+    h, w, _ = rgb.shape
+    prev = np.zeros(w * 3, np.int64)
+    out = bytearray()
+    for y in range(h):
+        row = rgb[y].reshape(-1).astype(np.int64)
+        left = np.concatenate([np.zeros(3, np.int64), row[:-3]])
+        ul = np.concatenate([np.zeros(3, np.int64), prev[:-3]])
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:
+            filt = row - left
+        elif filter_type == 2:
+            filt = row - prev
+        elif filter_type == 3:
+            filt = row - (left + prev) // 2
+        else:
+            filt = row - _paeth_predict(left, prev, ul)
+        out += bytes([filter_type]) + (filt % 256).astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(out), 9))
+            + _png_chunk(b"IEND", b""))
+
+
+def _unfilter_row(f: int, line: np.ndarray, prev: np.ndarray,
+                  bpp: int) -> np.ndarray | None:
+    """Reconstruct one scanline (int64 lane math, mod 256). Sub is a
+    cumulative sum per byte lane; Up is fully vectorized; Average/Paeth
+    carry a true left-to-right dependency, so they walk pixels with the
+    channel lanes vectorized."""
+    if f == 0:
+        return line
+    if f == 1:  # recon[x] = line[x] + recon[x-bpp]: prefix sum per lane
+        return np.cumsum(line.reshape(-1, bpp), axis=0).reshape(-1) % 256
+    if f == 2:
+        return (line + prev) % 256
+    if f not in (3, 4):
+        return None
+    ln = line.reshape(-1, bpp)
+    pv = prev.reshape(-1, bpp)
+    out = np.zeros_like(ln)
+    left = np.zeros(bpp, np.int64)
+    ul = np.zeros(bpp, np.int64)
+    for x in range(ln.shape[0]):
+        if f == 3:
+            left = (ln[x] + (left + pv[x]) // 2) % 256
+        else:
+            left = (ln[x] + _paeth_predict(left, pv[x], ul)) % 256
+            ul = pv[x]
+        out[x] = left
+    return out.reshape(-1)
+
+
+def decode_png(data: bytes) -> np.ndarray | None:
+    """PNG bytes -> (H, W, 3) uint8 RGB, or None for anything this
+    decoder does not cover (depth != 8, palette, interlaced) or any
+    corruption (bad CRC, truncated chunk, short pixel stream). Alpha is
+    dropped; gray replicates across channels."""
+    import zlib
+    if not data.startswith(PNG_SIG):
+        return None
+    pos, ihdr, idat = len(PNG_SIG), None, bytearray()
+    try:
+        while pos + 12 <= len(data):
+            ln, typ = struct.unpack_from(">I4s", data, pos)
+            if pos + 12 + ln > len(data):
+                return None
+            chunk = data[pos + 8:pos + 8 + ln]
+            crc = struct.unpack_from(">I", data, pos + 8 + ln)[0]
+            if zlib.crc32(typ + chunk) & 0xFFFFFFFF != crc:
+                return None
+            if typ == b"IHDR":
+                ihdr = chunk
+            elif typ == b"IDAT":
+                idat += chunk
+            elif typ == b"IEND":
+                break
+            pos += 12 + ln
+        if ihdr is None or len(ihdr) != 13 or not idat:
+            return None
+        w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+            ">IIBBBBB", ihdr)
+        nchan = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+        if (depth != 8 or comp != 0 or filt != 0 or interlace != 0
+                or nchan is None or w == 0 or h == 0):
+            return None
+        raw = zlib.decompress(bytes(idat))
+    except (struct.error, zlib.error):
+        return None
+    stride = w * nchan
+    if len(raw) < h * (stride + 1):
+        return None
+    rows = np.zeros((h, stride), np.int64)
+    prev = np.zeros(stride, np.int64)
+    at = 0
+    for y in range(h):
+        f = raw[at]
+        line = np.frombuffer(raw, np.uint8, stride, at + 1).astype(np.int64)
+        at += 1 + stride
+        recon = _unfilter_row(f, line, prev, nchan)
+        if recon is None:
+            return None
+        rows[y] = recon
+        prev = recon
+    px = rows.astype(np.uint8).reshape(h, w, nchan)
+    if ctype == 2:
+        rgb = px
+    elif ctype == 6:
+        rgb = px[:, :, :3]
+    else:  # gray / gray+alpha
+        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+    return np.ascontiguousarray(rgb)
+
+
 def sniff_decode(data: bytes) -> np.ndarray | None:
     """Magic-byte dispatch to the matching decoder; None when the payload
     is no container this module understands (caller then falls back to
@@ -133,6 +282,8 @@ def sniff_decode(data: bytes) -> np.ndarray | None:
         return decode_bmp(data)
     if data[:2] == b"P6":
         return decode_ppm(data)
+    if data[:8] == PNG_SIG:
+        return decode_png(data)
     return None
 
 

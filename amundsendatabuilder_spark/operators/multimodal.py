@@ -3,9 +3,10 @@
 Media payloads are opaque ``binary`` columns + typed metadata structs; all
 Spark-side plumbing (schemas, batching, partition sizing) is real and
 tested. The codec kernels are real pixel/sample math for the formats that
-need no external library — uncompressed BMP / PPM images and raw PCM16
-audio (operators/media_codecs.py, pure NumPy) — with Pillow picked up
-automatically for compressed formats when installed. Payloads in no
+need no external library — uncompressed BMP / PPM images, PNG (stdlib
+zlib inflate + NumPy unfiltering) and raw PCM16 audio
+(operators/media_codecs.py) — with Pillow picked up automatically for
+JPEG when installed. Payloads in no
 recognizable container fall back to a deterministic fake under the default
 policy (keeps arbitrary-bytes fixtures exercisable) or yield NULL features
 under ``strict=True`` (honest corrupt-input semantics, never a job
@@ -270,6 +271,28 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
             payload = hashlib.md5(f"media-{i}".encode()).digest() * 4
             rows.append((i, kind, bytearray(payload),
                          (None, None, None, 5000, "fake")))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synthetic_png_media(spark, n: int = 32) -> DataFrame:
+    """Deterministic synthetic PNG image table — same horizontal-ramp
+    pattern as ``synthetic_media``'s BMP assets (every pixel of column x
+    is gray ``(x * 255) // (w - 1)``, rows identical, so mean luma and
+    avg-hash have closed forms a SQL oracle recomputes), but encoded
+    through the stdlib-zlib PNG codec with the row filter rotating
+    ``i % 5`` — every asset batch exercises all five unfilter paths
+    (None/Sub/Up/Average/Paeth) under the oracle's eyes."""
+    import numpy as np
+
+    from amundsendatabuilder_spark.operators.media_codecs import encode_png
+    rows = []
+    for i in range(n):
+        w, h = 200 + (i % 5) * 30, 150 + (i % 4) * 40
+        ramp = (np.arange(w) * 255) // (w - 1)
+        rgb = np.ascontiguousarray(np.broadcast_to(
+            ramp.astype(np.uint8)[None, :, None], (h, w, 3)))
+        rows.append((i, "image", bytearray(encode_png(rgb, filter_type=i % 5)),
+                     (w, h, None, None, "png")))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 

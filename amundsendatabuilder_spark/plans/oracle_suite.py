@@ -2810,6 +2810,40 @@ def multimodal_image_features(spark, sf_dir):
                     "phash"))
 
 
+@query("multimodal_png_features", """
+WITH m AS (SELECT i AS media_id, 200 + (i % 5) * 30 AS w, 150 + (i % 4) * 40 AS h
+           FROM (SELECT unnest(range(0, 32)) AS i)),
+xs AS (SELECT unnest(range(0, 320)) AS x),
+lum AS (SELECT media_id, w, h, avg((x * 255) // (w - 1)) AS ml
+        FROM m JOIN xs ON xs.x < m.w GROUP BY media_id, w, h),
+tt AS (SELECT media_id, w, tx, ((tx * w) // 8 * 255) // (w - 1) AS tv
+       FROM m CROSS JOIN (SELECT unnest(range(0, 8)) AS tx)),
+ta AS (SELECT media_id, avg(tv) AS tavg FROM tt GROUP BY media_id),
+ph AS (SELECT tt.media_id,
+              CAST(sum(CASE WHEN tv >= tavg
+                            THEN 1 << (7 - CAST(tx AS INT)) ELSE 0 END)
+                   AS BIGINT) AS rowbits
+       FROM tt JOIN ta USING (media_id) GROUP BY tt.media_id)
+SELECT lum.media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       round(ml / 255.0, 6) AS mean_luma,
+       repeat(lower(lpad(to_hex(rowbits), 2, '0')), 8) AS phash
+FROM lum JOIN ph ON lum.media_id = ph.media_id
+""")
+def multimodal_png_features(spark, sf_dir):
+    """PNG decode through the stdlib-zlib codec (media_codecs.decode_png):
+    chunk walk with CRC verification, zlib inflate, per-row unfiltering —
+    the fixture rotates the row filter over all five spec filters
+    (None/Sub/Up/Average/Paeth, synthetic_png_media), so a wrong
+    unfilter path breaks the hash. Features share the BMP ramp's closed
+    forms: same luma/phash SQL twin, every id an image (no kind cycle)."""
+    from amundsendatabuilder_spark.operators.multimodal import (
+        decode_image_features, synthetic_png_media)
+    return (decode_image_features(synthetic_png_media(spark, n=32))
+            .select("media_id", "width", "height",
+                    round_half_away(F.col("mean_luma"), 6).alias("mean_luma"),
+                    "phash"))
+
+
 # ---------------------------------------------------------------------------
 # 9. Round-2 training-pipeline additions: decontamination, mixing,
 #    quantile filtering, conversion attribution

@@ -10,8 +10,9 @@ import numpy as np
 import pytest
 
 from amundsendatabuilder_spark.operators.media_codecs import (
-    avg_hash, decode_bmp, decode_ppm, encode_bmp, encode_ppm,
-    gray_digest_string, pcm16_rms, resize_nearest, sniff_decode, to_gray,
+    PNG_SIG, _png_chunk, avg_hash, decode_bmp, decode_png, decode_ppm,
+    encode_bmp, encode_png, encode_ppm, gray_digest_string, pcm16_rms,
+    resize_nearest, sniff_decode, to_gray,
 )
 
 
@@ -113,3 +114,68 @@ def test_pcm16_rms():
     assert pcm16_rms(b"", 0, 10) is None
     # trailing odd byte dropped, window clipped to available samples
     assert pcm16_rms(full.tobytes() + b"\x01", 0, 100) == pytest.approx(0.5)
+
+
+def test_png_round_trip_every_filter():
+    rgb = _asym_image()
+    for ft in range(5):
+        data = encode_png(rgb, filter_type=ft)
+        back = decode_png(data)
+        assert back is not None and np.array_equal(back, rgb), f"filter {ft}"
+        assert np.array_equal(sniff_decode(data), rgb)
+
+
+def test_png_gray_and_rgba_color_types():
+    import struct
+    import zlib
+    rng = np.random.default_rng(11)
+    # color type 0 (grayscale): replicated across channels
+    g = rng.integers(0, 256, (9, 12), dtype=np.uint8)
+    raw = b"".join(bytes([0]) + g[y].tobytes() for y in range(9))
+    png = (PNG_SIG
+           + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 12, 9, 8, 0, 0, 0, 0))
+           + _png_chunk(b"IDAT", zlib.compress(raw))
+           + _png_chunk(b"IEND", b""))
+    back = decode_png(png)
+    assert back.shape == (9, 12, 3)
+    assert all(np.array_equal(back[:, :, c], g) for c in range(3))
+    # color type 6 (RGBA): alpha dropped
+    a4 = rng.integers(0, 256, (5, 6, 4), dtype=np.uint8)
+    raw = b"".join(bytes([0]) + a4[y].tobytes() for y in range(5))
+    png = (PNG_SIG
+           + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 5, 8, 6, 0, 0, 0))
+           + _png_chunk(b"IDAT", zlib.compress(raw))
+           + _png_chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(png), a4[:, :, :3])
+
+
+def test_png_rejects_corruption_and_unsupported():
+    rgb = _asym_image()
+    good = encode_png(rgb, filter_type=1)
+    # flipped IDAT byte -> CRC mismatch -> None (not garbage pixels)
+    bad = bytearray(good)
+    bad[50] ^= 0xFF
+    assert decode_png(bytes(bad)) is None
+    # truncation mid-chunk
+    assert decode_png(good[: len(good) // 2]) is None
+    # wrong magic entirely
+    assert decode_png(b"JFIF not a png") is None
+    assert sniff_decode(b"JFIF not a png") is None
+    # 16-bit depth unsupported -> None, never misdecoded
+    import struct
+    import zlib
+    raw = bytes([0]) + bytes(12)
+    png16 = (PNG_SIG
+             + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 16, 2, 0, 0, 0))
+             + _png_chunk(b"IDAT", zlib.compress(raw))
+             + _png_chunk(b"IEND", b""))
+    assert decode_png(png16) is None
+
+
+def test_png_decode_matches_bmp_decode_same_pixels():
+    """The two real codecs must agree: the same RGB content encoded as
+    BMP and as PNG decodes to identical pixel arrays (so every downstream
+    feature — luma, phash, resize digest — is container-independent)."""
+    rgb = _asym_image(h=21, w=10)
+    assert np.array_equal(decode_bmp(encode_bmp(rgb)),
+                          decode_png(encode_png(rgb, filter_type=4)))
