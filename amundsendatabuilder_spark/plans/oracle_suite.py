@@ -2992,6 +2992,47 @@ def stream_attribution(spark, sf_dir):
                          os.path.join(tempfile.mkdtemp(), "ckpt"))
 
 
+@query("stream_attribution_outer", """
+WITH p AS (SELECT event_id, user_id, ts AS purchase_ts FROM events
+           WHERE event_type = 'purchase'),
+v AS (SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'),
+wm AS (SELECT least((SELECT max(ts) FROM events WHERE event_type = 'view'),
+                    (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+              - INTERVAL 2 HOUR AS w),
+j AS (SELECT p.event_id, p.user_id, p.purchase_ts, v.view_ts
+      FROM p LEFT JOIN v
+        ON v.user_id = p.user_id
+       AND v.view_ts <= p.purchase_ts
+       AND v.view_ts > p.purchase_ts - INTERVAL 60 MINUTE)
+SELECT j.event_id, j.user_id, j.purchase_ts, j.view_ts
+FROM j, wm WHERE j.view_ts IS NOT NULL OR j.purchase_ts < wm.w
+""")
+def stream_attribution_outer(spark, sf_dir):
+    """Left-outer watermarked stream-stream interval join (streaming/
+    events.stream_stream_attribution_outer): zero-view purchases emit
+    NULL view_ts, completing parity with the batch twin's left join.
+    Hash-verified with the emission frontier pinned in SQL: matches emit
+    unconditionally; a null-extended row emits once the global watermark
+    (MIN of both streams' max event time — Spark's default
+    multipleWatermarkPolicy — minus the 2h delay) passes the purchase's
+    event time, because only then can the engine prove no matching view
+    is still in flight. Purchases above the frontier stay in state —
+    verified exactly (not approximately) against the drained output."""
+    import tempfile
+
+    from amundsendatabuilder_spark.streaming.events import (
+        run_to_memory, stream_stream_attribution_outer)
+    stream = _event_stream(spark, sf_dir)
+    joined = stream_stream_attribution_outer(
+        stream.where(F.col("event_type") == "view"),
+        stream.where(F.col("event_type") == "purchase"),
+        lookback_minutes=60)
+    name = "sattro_" + next(tempfile._get_candidate_names())
+    import os
+    return run_to_memory(joined, spark, name,
+                         os.path.join(tempfile.mkdtemp(), "ckpt"))
+
+
 @query("incremental_ingest_anti_join", r"""
 WITH fp AS (SELECT doc_id,
                    md5(array_to_string(list_filter(

@@ -128,3 +128,31 @@ def stream_stream_attribution(views: DataFrame, purchases: DataFrame,
                - F.expr(f"INTERVAL {lookback_minutes} MINUTES")))
     return (p.join(v, cond, "inner")
             .select("event_id", "user_id", "purchase_ts", "view_ts"))
+
+
+def stream_stream_attribution_outer(views: DataFrame, purchases: DataFrame,
+                                    lookback_minutes: int = 60,
+                                    watermark: str = "2 hours") -> DataFrame:
+    """Left-outer twin of ``stream_stream_attribution``: purchases with
+    ZERO prior views emit too (NULL view_ts), completing parity with the
+    batch twin's left join (operators/attribution.conversion_attribution).
+
+    Matched pairs emit as soon as both sides are buffered, exactly like
+    the inner variant. A null-extended row for an unmatched purchase is
+    held back until the watermark proves no matching view can still
+    arrive (view_ts <= purchase_ts and late views are bounded by the
+    watermark), then emitted by the engine's no-data micro-batch on state
+    eviction — so on a drained bounded source the output is the batch
+    left join restricted to purchases whose holdback has expired; later
+    purchases stay in state, never silently dropped."""
+    v = (views.withWatermark("ts", watermark)
+         .select(F.col("user_id").alias("v_user"),
+                 F.col("ts").alias("view_ts")))
+    p = (purchases.withWatermark("ts", watermark)
+         .select("event_id", "user_id", F.col("ts").alias("purchase_ts")))
+    cond = ((p["user_id"] == v["v_user"])
+            & (v["view_ts"] <= p["purchase_ts"])
+            & (v["view_ts"] > p["purchase_ts"]
+               - F.expr(f"INTERVAL {lookback_minutes} MINUTES")))
+    return (p.join(v, cond, "leftOuter")
+            .select("event_id", "user_id", "purchase_ts", "view_ts"))

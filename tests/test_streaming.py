@@ -265,6 +265,45 @@ def test_stream_stream_attribution_interval_join(spark, tmp_path):
     assert pairs == [(10, "2024-01-01 11:50:00")]
 
 
+def test_stream_stream_attribution_outer_emits_null_rows(spark, tmp_path):
+    """Left-outer twin: a purchase with zero in-window views emits a
+    NULL-view row once the watermark passes it; matches emit identically
+    to the inner variant; purchases above the frontier stay in state."""
+    import datetime
+    from amundsendatabuilder_spark.streaming.events import (
+        read_event_stream, run_to_memory, stream_stream_attribution_outer)
+    t0 = datetime.datetime(2024, 1, 1, 12, 0)
+    m = datetime.timedelta(minutes=1)
+    rows = [
+        (1, t0 - 10 * m, 1, "view", 1.0, "{}"),        # in window
+        (4, t0 - 5 * m, 2, "view", 1.0, "{}"),         # other user
+        (10, t0, 1, "purchase", 9.0, "{}"),            # matched
+        (11, t0, 3, "purchase", 9.0, "{}"),            # no views -> NULL row
+        # sentinels push both watermarks (min policy) past t0 + 2h
+        (90, t0 + 150 * m, 9, "view", 1.0, "{}"),
+        (91, t0 + 150 * m, 9, "purchase", 1.0, "{}"),  # above frontier: held
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string")
+    src = str(tmp_path / "attro_src")
+    df.write.mode("overwrite").parquet(src)
+    stream = read_event_stream(spark, src)
+    joined = stream_stream_attribution_outer(
+        stream.where("event_type = 'view'"),
+        stream.where("event_type = 'purchase'"),
+        lookback_minutes=60)
+    got = run_to_memory(joined, spark, "attro_test",
+                        str(tmp_path / "ckpt_attro"))
+    pairs = sorted((r["event_id"], str(r["view_ts"])) for r in got.collect())
+    # 10 matched, 11 null-extended; 91 held in state (watermark frontier),
+    # sentinel 90's view matches purchase 91 only if within window — it is
+    # (same ts), but 91 itself is above the frontier so the match DOES emit
+    # (matches never wait for the watermark)
+    assert pairs == [(10, "2024-01-01 11:50:00"), (11, "None"),
+                     (91, "2024-01-01 14:30:00")]
+
+
 def test_sessionize_merges_across_micro_batches(spark, tmp_path):
     """Session-window STATE must merge fragments that arrive in different
     micro-batches: user 1's three events straddle two files processed as
