@@ -45,6 +45,17 @@ SUITE = [
     "bm25_topk", "langid_nb", "strip_boilerplate",
     "ann_brute_force_topk", "ann_ivf_topk", "ann_rhp_topk",
     "centroid_assignment",
+    # round-5/6 operators the round-5 verdict asked to see at sf1:
+    # 64-bit simhash, LM fluency, graph pattern surfaces, kmeans, the
+    # five streaming entries plus the round-6 left-outer attribution,
+    # and the PNG decode family
+    "dedup_simhash64_hamming", "lm_fluency",
+    "graph_match_hop_predicate", "graph_match_varlen",
+    "kmeans_centroids",
+    "stream_windowed_counts", "stream_sessionize", "stream_attribution",
+    "stream_attribution_outer", "stream_dedup_first_seen",
+    "stream_near_dup",
+    "multimodal_png_features",
 ]
 
 
