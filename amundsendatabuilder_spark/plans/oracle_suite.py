@@ -2294,6 +2294,54 @@ def graph_match_varlen(spark, sf_dir):
     return paths.select(F.col("n0_key").alias("table_key"), "n_key", "depth")
 
 
+@query("graph_shortest_path", """
+WITH RECURSIVE keys AS (SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderkey <= 400),
+edges AS (
+  SELECT a.k AS src, b.k AS dst FROM keys a JOIN keys b ON b.k = a.k + 1
+  UNION ALL
+  SELECT a.k AS src, b.k AS dst FROM keys a JOIN keys b ON b.k = a.k * 2),
+r AS (
+  SELECT k AS root, k AS node, 0 AS depth FROM keys
+  UNION
+  SELECT r.root, e.dst AS node, r.depth + 1 AS depth
+  FROM r JOIN edges e ON e.src = r.node WHERE r.depth < 4)
+SELECT CAST(root AS VARCHAR) AS n0_key, CAST(node AS VARCHAR) AS n_key,
+       'Node' AS n_label, min(depth) AS distance
+FROM r WHERE depth > 0 GROUP BY root, node
+""")
+def graph_shortest_path(spark, sf_dir):
+    """Cypher shortestPath (sources/graph.match_shortest): min hop count
+    per (start, endpoint) pair over a graph with genuinely different-
+    length routes to the same node — chain (k -> k+1) plus skip (k -> 2k)
+    edges over order keys, so e.g. 2k is reachable in 1 hop (skip) or k
+    hops (chain) and ONLY min-collapse produces the right distance. The
+    oracle is the recursive-CTE BFS with the same 4-hop bound."""
+    from amundsendatabuilder_spark.sources.graph import match_shortest
+    (orders,) = _t(spark, sf_dir, "orders")
+    keys = (orders.where(F.col("o_orderkey") <= 400)
+            .select(F.col("o_orderkey").alias("k")).distinct())
+    nodes = keys.select(
+        F.col("k").cast("string").alias("KEY"), F.lit("Node").alias("LABEL"),
+        F.create_map().cast("map<string,string>").alias("props"))
+    a, b = keys.alias("a"), keys.alias("b")
+    empty_props = F.create_map().cast("map<string,string>")
+
+    def edge(cond):
+        return (a.join(b, cond)
+                .select(F.col("a.k").cast("string").alias("START_KEY"),
+                        F.lit("Node").alias("START_LABEL"),
+                        F.col("b.k").cast("string").alias("END_KEY"),
+                        F.lit("Node").alias("END_LABEL"),
+                        F.lit("FLOWS").alias("TYPE"),
+                        F.lit("FLOWED").alias("REVERSE_TYPE"),
+                        empty_props.alias("props")))
+    rels = edge(F.col("b.k") == F.col("a.k") + 1).unionByName(
+        edge(F.col("b.k") == F.col("a.k") * 2))
+    return (match_shortest(nodes, rels, start_label="Node",
+                           rel_type="FLOWS", max_hops=4)
+            .select("n0_key", "n_key", "n_label", "distance"))
+
+
 @query("column_profile", """
 SELECT col_name, n_rows, n_nulls, n_distinct, min_value, max_value, stddev
 FROM (
@@ -2537,27 +2585,51 @@ def _event_stream(spark, sf_dir):
     user-supplied readStream schema silently reinterprets the physical
     int64 — reading micros as nanos skews every event time 1000x — so the
     footer is sniffed with pyarrow and the matching conversion applied."""
+    import glob
+    import os
+
     import pyarrow.parquet as pq
-    ts_type = str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type)
-    if ts_type.startswith("timestamp") and not ts_type.startswith("timestamp[ns"):
-        # micros/millis (NTZ or tz-adjusted): declared TIMESTAMP reads
-        # values directly under the UTC session, matching load_tables'
-        # batch path. TIMESTAMP(NANOS) must NOT take this branch: pyarrow
-        # reports it as 'timestamp[ns...]' but Spark surfaces it as raw
-        # int64 under nanosAsLong, so a declared-TIMESTAMP schema would
-        # fail the read (or skew event times 1000x if coerced).
-        return (spark.readStream
-                .schema("event_id long, ts timestamp, user_id long,"
-                        " event_type string, value double, props string")
-                .option("pathGlobFilter", "events.parquet")
-                .parquet(sf_dir))
-    # TIMESTAMP(NANOS) ('timestamp[ns...]') or raw int64 nanos: surfaces
-    # as int64 under nanosAsLong — convert explicitly
-    return (spark.readStream
-            .schema("event_id long, ts long, user_id long, event_type string,"
-                    " value double, props string")
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
+    path = f"{sf_dir}/events.parquet"
+    # driver testdata ships a single file; Spark-written copies (e.g. the
+    # sf1 headroom replication) are directories of part files — sniff any
+    # one part (unit is uniform across parts of one write)
+    sniff = path
+    is_dir = os.path.isdir(path)
+    if is_dir:
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        assert parts, f"no parquet parts under {path}"
+        sniff = parts[0]
+
+    def _read(schema: str):
+        rs = spark.readStream.schema(schema)
+        if is_dir:
+            return rs.parquet(path)
+        # the file source requires a directory path; watch sf_dir and
+        # glob-filter down to the single events file
+        return rs.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+
+    # Dispatch needs the PHYSICAL type, not the arrow-reported one:
+    # pyarrow reports both TIMESTAMP(NANOS)/INT64 and legacy INT96 as
+    # 'timestamp[ns...]', but Spark reads INT96 natively as TIMESTAMP
+    # while INT64-nanos surfaces as raw int64 under nanosAsLong — a
+    # declared-TIMESTAMP schema on the latter fails the read (or skews
+    # event times 1000x if coerced).
+    sch = pq.ParquetFile(sniff).schema
+    col = next(sch.column(i) for i in range(len(sch))
+               if sch.column(i).name == "ts")
+    int64_nanos_or_raw = col.physical_type == "INT64" and (
+        "nanoseconds" in str(col.logical_type).lower()
+        or "timestamp" not in str(col.logical_type).lower())
+    if not int64_nanos_or_raw:
+        # INT96, or INT64 micros/millis (NTZ or tz-adjusted): declared
+        # TIMESTAMP reads values directly under the UTC session, matching
+        # load_tables' batch path
+        return _read("event_id long, ts timestamp, user_id long,"
+                     " event_type string, value double, props string")
+    # TIMESTAMP(NANOS) over INT64, or a raw int64-nanos column: read as
+    # long and convert explicitly
+    return (_read("event_id long, ts long, user_id long, event_type string,"
+                  " value double, props string")
             .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))))
 
 

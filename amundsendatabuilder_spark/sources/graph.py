@@ -164,6 +164,33 @@ def match_var_path(nodes: DataFrame, rels: DataFrame, *,
                     F.col("depth").cast("int").alias("depth")))
 
 
+def match_shortest(nodes: DataFrame, rels: DataFrame, *,
+                   start_label: str, rel_type: str | None = None,
+                   max_hops: int = 4,
+                   publish_tag: str | None = None) -> DataFrame:
+    """Cypher ``shortestPath((a:start)-[:T*..max]->(b))`` — the minimum
+    hop count per DISTINCT (start, endpoint) pair within the bound; the
+    shortest-path slice of the reference's arbitrary-Cypher surface
+    (reference: databuilder/extractor/neo4j_extractor.py:79-113).
+
+    Same bounded frontier expansion as ``match_var_path`` (per-depth
+    localCheckpoint, keys-only shuffles), collapsed by a groupBy-min over
+    the per-depth levels. BFS optimality needs no special handling: every
+    depth's endpoint set is enumerated, so min(depth) IS the shortest
+    distance; multiple routes of different lengths to the same endpoint
+    collapse to the shortest. Endpoint props re-join via ``nodes`` on
+    (n_key, n_label) when a caller needs them — the distance table itself
+    stays narrow.
+
+    Returns (n0_key, n_key, n_label, distance).
+    """
+    vp = match_var_path(nodes, rels, start_label=start_label,
+                        rel_type=rel_type, min_hops=1, max_hops=max_hops,
+                        publish_tag=publish_tag)
+    return (vp.groupBy("n0_key", "n_key", "n_label")
+            .agg(F.min("depth").alias("distance")))
+
+
 def match(nodes: DataFrame, rels: DataFrame, *,
           start_label: str, rel_type: str, end_label: str,
           optional: bool = False, publish_tag: str | None = None) -> DataFrame:

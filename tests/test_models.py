@@ -191,3 +191,44 @@ def test_match_var_path_depths_and_dedup(tables_df):
     typed = match_var_path(out.nodes, out.rels, start_label="Table",
                            rel_type="COLUMN", min_hops=1, max_hops=2).collect()
     assert all(r.n_label == "Column" for r in typed)
+
+
+def test_match_shortest_collapses_multi_route(spark):
+    """match_shortest = min hop distance per (start, endpoint): on a
+    chain (k -> k+1) plus skip (k -> 2k) graph, node 4 is reachable from
+    1 via 1->2->4 (2 hops) AND 1->2->3->4 (3 hops); only the min
+    survives."""
+    from pyspark.sql import functions as F
+
+    from amundsendatabuilder_spark.sources.graph import match_shortest
+    ks = spark.createDataFrame([(k,) for k in range(1, 9)], "k long")
+    nodes = ks.select(F.col("k").cast("string").alias("KEY"),
+                      F.lit("Node").alias("LABEL"),
+                      F.create_map().cast("map<string,string>").alias("props"))
+    a, b = ks.alias("a"), ks.alias("b")
+
+    def edge(cond):
+        return (a.join(b, cond)
+                .select(F.col("a.k").cast("string").alias("START_KEY"),
+                        F.lit("Node").alias("START_LABEL"),
+                        F.col("b.k").cast("string").alias("END_KEY"),
+                        F.lit("Node").alias("END_LABEL"),
+                        F.lit("FLOWS").alias("TYPE"),
+                        F.lit("FLOWED").alias("REVERSE_TYPE"),
+                        F.create_map().cast("map<string,string>")
+                        .alias("props")))
+    rels = edge(F.col("b.k") == F.col("a.k") + 1).unionByName(
+        edge(F.col("b.k") == F.col("a.k") * 2))
+    got = {(r.n0_key, r.n_key): r.distance
+           for r in match_shortest(nodes, rels, start_label="Node",
+                                   rel_type="FLOWS", max_hops=4).collect()}
+    assert got[("1", "2")] == 1      # chain and skip tie at 1
+    assert got[("1", "4")] == 2      # 1->2->4 beats 1->2->3->4
+    assert got[("1", "8")] == 3      # 1->2->4->8
+    assert got[("1", "5")] == 3      # 1->2->4->5 beats the 4-hop chain
+    assert got[("2", "8")] == 2      # 2->4->8
+    assert ("1", "1") not in got     # no self rows (DAG, min_hops=1)
+    # one row per pair — the min actually collapsed the routes
+    rows = match_shortest(nodes, rels, start_label="Node",
+                          rel_type="FLOWS", max_hops=4).collect()
+    assert len(rows) == len({(r.n0_key, r.n_key) for r in rows})
