@@ -31,7 +31,7 @@ from amundsendatabuilder_spark.plans.oracle_suite import ORACLES, QUERIES  # noq
 _PRIORITY = [
     # (a) new round-6 queries (certify on first driver run)
     "stream_attribution_outer", "multimodal_png_features",
-    "graph_shortest_path",
+    "graph_shortest_path", "multimodal_jpeg_features",
     # (b) r5-certified but implementation changed in round 6 (6 — the
     # only overlap with the r5 window)
     "graph_match_varlen", "langid_nb", "ann_rhp_topk",

@@ -284,7 +284,556 @@ def sniff_decode(data: bytes) -> np.ndarray | None:
         return decode_ppm(data)
     if data[:8] == PNG_SIG:
         return decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        return decode_jpeg(data)
     return None
+
+
+# ---------------------------------------------------------------------------
+# JPEG (ITU T.81 baseline sequential DCT, 8-bit; 4:4:4 / 4:2:2 / 4:2:0 /
+# grayscale). Pure NumPy: FDCT/IDCT as orthogonal matrix products,
+# canonical Huffman built from DHT, byte-stuffed entropy stream, DRI/RSTn
+# restart handling. Progressive (SOF2), arithmetic coding, 12-bit
+# precision, and hierarchical modes are out of scope and return None.
+#
+# The encoder exists to make fixtures: it writes real interleaved
+# baseline streams (standard Annex K Huffman table layout via DHT, so the
+# decoder exercises its generic table builder). With a DC quant step of 8,
+# an image made of flat 8x8 gray blocks round-trips EXACTLY (flat block
+# -> DC-only spectrum 8*(v-128), quantized /8 losslessly; chroma of a
+# gray pixel is exactly 128 -> all-zero blocks), which is what lets a SQL
+# oracle reproduce decoded-pixel features in closed form.
+# ---------------------------------------------------------------------------
+
+def _zigzag() -> list[tuple[int, int]]:
+    """The spec's zigzag scan as (row, col) pairs: diagonals by r+c, even
+    diagonals walked bottom-left -> top-right, odd ones top-right ->
+    bottom-left (generated, not transcribed, to keep typos impossible)."""
+    return sorted(((r, c) for r in range(8) for c in range(8)),
+                  key=lambda rc: (rc[0] + rc[1],
+                                  rc[1] if (rc[0] + rc[1]) % 2 == 0 else rc[0]))
+
+
+_ZZ = _zigzag()
+_ZZ_ROWS = np.array([r for r, _ in _ZZ])
+_ZZ_COLS = np.array([c for _, c in _ZZ])
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthogonal 8-point DCT-II matrix M with M[u,x] = c(u)/2 *
+    cos((2x+1)u*pi/16); 2-D FDCT = M f M^T, IDCT = M^T F M."""
+    u = np.arange(8)[:, None]
+    x = np.arange(8)[None, :]
+    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+_DCT_M = _dct_matrix()
+
+# Annex K.1/K.2 example quantization tables, with the DC steps forced to 8
+# so flat blocks survive exactly (see module comment). Stored in natural
+# (row-major) order; DQT serializes them in zigzag order as the spec asks.
+_QUANT_LUMA = np.array([
+    [8, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99]], np.int64)
+_QUANT_CHROMA = np.array([
+    [8, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99]], np.int64)
+
+# Annex K.3 typical Huffman tables as (BITS counts for lengths 1..16,
+# HUFFVAL symbol list) — written into DHT verbatim; both sides of the
+# round trip derive their codes from these bytes, so a transcription slip
+# here cannot silently corrupt pixels (it would fail loudly as a missing
+# symbol during encoding).
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the spec's canonical construction:
+    codes of each length are consecutive, starting from twice the previous
+    length's end."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, the shape the bit-at-a-time reader probes."""
+    return {(ln, cd): sym for sym, (cd, ln) in _canonical_codes(bits, vals).items()}
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude category: (size, appended bits) for a signed value;
+    negative values store value + 2^size - 1 (one's-complement style)."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    return size, v if v > 0 else v + (1 << size) - 1
+
+
+def _fdct_quant(block: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    coef = _DCT_M @ (block.astype(np.float64) - 128.0) @ _DCT_M.T
+    return np.rint(coef / quant).astype(np.int64)
+
+
+def _encode_block(zz: np.ndarray, pred: int, dc_codes, ac_codes,
+                  bw: _BitWriter) -> int:
+    size, extra = _magnitude(int(zz[0]) - pred)
+    code, ln = dc_codes[size]
+    bw.put(code, ln)
+    if size:
+        bw.put(extra, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        if k > last_nz:
+            code, ln = ac_codes[0x00]  # EOB
+            bw.put(code, ln)
+            break
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.put(code, ln)
+            run -= 16
+        size, extra = _magnitude(v)
+        code, ln = ac_codes[(run << 4) | size]
+        bw.put(code, ln)
+        bw.put(extra, size)
+        run = 0
+    return int(zz[0])
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r = rgb[:, :, 0].astype(np.float64)
+    g = rgb[:, :, 1].astype(np.float64)
+    b = rgb[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.clip(np.rint(np.stack([y, cb, cr], axis=2)), 0, 255)
+
+
+def _pad_to(plane: np.ndarray, mult: int) -> np.ndarray:
+    h, w = plane.shape
+    ph = (mult - h % mult) % mult
+    pw = (mult - w % mult) % mult
+    if ph or pw:  # edge replication, the conventional pad
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def encode_jpeg(rgb: np.ndarray, subsampling: str = "444",
+                gray: bool = False, restart_interval: int = 0) -> bytes:
+    """(H, W, 3) uint8 RGB -> baseline JFIF bytes. ``subsampling``:
+    '444' (no chroma subsampling) or '420' (2x2 box-averaged chroma,
+    the dominant real-world layout); ``gray=True`` writes a
+    single-component (luma-only) frame; ``restart_interval`` > 0 writes
+    DRI + RSTn markers every N MCUs (the error-resilience layout real
+    encoders emit). Interleaved single scan, standard Huffman tables,
+    quant tables above (DC step 8)."""
+    assert subsampling in ("444", "420"), subsampling
+    h, w, _ = rgb.shape
+    ycc = _rgb_to_ycbcr(rgb)
+    if gray:
+        hv = [(1, 1)]
+        planes = [ycc[:, :, 0]]
+    elif subsampling == "444":
+        hv = [(1, 1), (1, 1), (1, 1)]
+        planes = [ycc[:, :, 0], ycc[:, :, 1], ycc[:, :, 2]]
+    else:
+        hv = [(2, 2), (1, 1), (1, 1)]
+        yp = _pad_to(ycc[:, :, 0], 2)
+        cb = _pad_to(ycc[:, :, 1], 2)
+        cr = _pad_to(ycc[:, :, 2], 2)
+        # 2x2 box average, rounded — flat regions stay exact
+        cb = np.rint((cb[0::2, 0::2] + cb[0::2, 1::2]
+                      + cb[1::2, 0::2] + cb[1::2, 1::2]) / 4.0)
+        cr = np.rint((cr[0::2, 0::2] + cr[0::2, 1::2]
+                      + cr[1::2, 0::2] + cr[1::2, 1::2]) / 4.0)
+        planes = [yp, cb, cr]
+    quants = [_QUANT_LUMA, _QUANT_CHROMA, _QUANT_CHROMA]
+    hmax = max(x for x, _ in hv)
+    vmax = max(x for _, x in hv)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    padded = []
+    for (chs, cvs), p in zip(hv, planes):
+        # each component's block grid is (mcus_x*ch) x (mcus_y*cv) blocks
+        tw, th = 8 * mcus_x * chs, 8 * mcus_y * cvs
+        padded.append(np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+                             mode="edge"))
+
+    enc_dc = [_canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
+              _canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)]
+    enc_ac = [_canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS),
+              _canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)]
+
+    entropy = bytearray()
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if (restart_interval and mcu_count
+                    and mcu_count % restart_interval == 0):
+                entropy += bw.flush()
+                entropy += bytes([0xFF, 0xD0 + (mcu_count // restart_interval
+                                                - 1) % 8])
+                bw = _BitWriter()
+                preds = [0, 0, 0]
+            for ci, (chs, cvs) in enumerate(hv):
+                tsel = 0 if ci == 0 else 1
+                for by in range(cvs):
+                    for bx in range(chs):
+                        y0 = (my * cvs + by) * 8
+                        x0 = (mx * chs + bx) * 8
+                        block = padded[ci][y0:y0 + 8, x0:x0 + 8]
+                        q = _fdct_quant(block, quants[ci])
+                        zz = q[_ZZ_ROWS, _ZZ_COLS]
+                        preds[ci] = _encode_block(
+                            zz, preds[ci], enc_dc[tsel], enc_ac[tsel], bw)
+            mcu_count += 1
+    entropy += bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    def dqt(tid: int, table: np.ndarray) -> bytes:
+        return seg(0xDB, bytes([tid]) + bytes(
+            int(table[r, c]) for r, c in _ZZ))
+
+    def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    nc = len(hv)
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, nc) + b"".join(
+        struct.pack(">BBB", cid + 1, (hv[cid][0] << 4) | hv[cid][1],
+                    0 if cid == 0 else 1) for cid in range(nc)))
+    sos = seg(0xDA, bytes([nc]) + b"".join(
+        bytes([cid + 1, (0 if cid == 0 else 1) * 0x11]) for cid in range(nc))
+        + bytes([0, 63, 0]))
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) \
+        if restart_interval else b""
+    return (b"\xff\xd8" + app0 + dqt(0, _QUANT_LUMA) + dqt(1, _QUANT_CHROMA)
+            + dht(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+            + dht(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+            + dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+            + dht(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
+            + dri + sof + sos + bytes(entropy) + b"\xff\xd9")
+
+
+class _BitReader:
+    """MSB-first reader over a de-stuffed entropy segment."""
+
+    def __init__(self, data: bytes) -> None:
+        self.bits = np.unpackbits(np.frombuffer(data, np.uint8))
+        self.pos = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= self.bits.size:
+            raise EOFError
+        b = int(self.bits[self.pos])
+        self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.pos + n > self.bits.size:
+            raise EOFError
+        chunk = self.bits[self.pos:self.pos + n]
+        self.pos += n
+        v = 0
+        for b in chunk:
+            v = (v << 1) | int(b)
+        return v
+
+
+def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("bad huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _decode_block(br: _BitReader, dc_tab, ac_tab, quant: np.ndarray,
+                  pred: int) -> tuple[np.ndarray, int]:
+    zz = np.zeros(64, np.int64)
+    size = _read_symbol(br, dc_tab)
+    dc = pred + _extend(br.read_bits(size), size)
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        rs = _read_symbol(br, ac_tab)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("AC run past block end")
+        zz[k] = _extend(br.read_bits(size), size)
+        k += 1
+    coef = np.zeros((8, 8), np.float64)
+    coef[_ZZ_ROWS, _ZZ_COLS] = zz * quant[_ZZ_ROWS, _ZZ_COLS]
+    pix = _DCT_M.T @ coef @ _DCT_M + 128.0
+    return np.clip(np.rint(pix), 0, 255), dc
+
+
+def decode_jpeg(data: bytes) -> np.ndarray | None:
+    """Baseline JPEG bytes -> (H, W, 3) uint8 RGB, or None for anything
+    outside baseline sequential 8-bit Huffman (progressive, arithmetic,
+    hierarchical, 12-bit) or any malformed stream. Handles 1- and
+    3-component frames, sampling factors 1-2 per axis (4:4:4 / 4:2:2 /
+    4:2:0), DRI/RSTn restarts, and FF00 byte unstuffing."""
+    if data[:2] != b"\xff\xd8":
+        return None
+    try:
+        pos = 2
+        qt: dict[int, np.ndarray] = {}
+        huff: dict[tuple[int, int], dict] = {}
+        frame = None
+        restart_interval = 0
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                return None
+            marker = data[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            if marker == 0xD9:
+                return None  # EOI before any scan decoded
+            ln = struct.unpack_from(">H", data, pos + 2)[0]
+            payload = data[pos + 4:pos + 2 + ln]
+            if marker == 0xDB:
+                at = 0
+                while at < len(payload):
+                    pq, tq = payload[at] >> 4, payload[at] & 0x0F
+                    at += 1
+                    if pq == 0:
+                        vals = np.frombuffer(payload, np.uint8, 64, at)
+                        at += 64
+                    else:
+                        vals = np.frombuffer(payload, ">u2", 64, at)
+                        at += 128
+                    tbl = np.zeros((8, 8), np.int64)
+                    tbl[_ZZ_ROWS, _ZZ_COLS] = vals
+                    qt[tq] = tbl
+            elif marker == 0xC4:
+                at = 0
+                while at < len(payload):
+                    tc, th = payload[at] >> 4, payload[at] & 0x0F
+                    bits = list(payload[at + 1:at + 17])
+                    n = sum(bits)
+                    vals = list(payload[at + 17:at + 17 + n])
+                    huff[(tc, th)] = _decode_table(bits, vals)
+                    at += 17 + n
+            elif marker in (0xC0, 0xC1):
+                prec, fh, fw, nc = struct.unpack_from(">BHHB", payload, 0)
+                if prec != 8 or nc not in (1, 3):
+                    return None
+                comps = []
+                for i in range(nc):
+                    cid, hvb, tq = struct.unpack_from(">BBB", payload, 6 + 3 * i)
+                    comps.append((cid, hvb >> 4, hvb & 0x0F, tq))
+                frame = (fh, fw, comps)
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                            0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # non-baseline frame types
+            elif marker == 0xDD:
+                restart_interval = struct.unpack_from(">H", payload, 0)[0]
+            elif marker == 0xDA:
+                if frame is None:
+                    return None
+                return _decode_scan(data, pos + 2 + ln, payload, frame, qt,
+                                    huff, restart_interval)
+            pos += 2 + ln
+        return None
+    except (struct.error, ValueError, EOFError, IndexError, KeyError):
+        return None
+
+
+def _decode_scan(data: bytes, entropy_start: int, sos: bytes, frame,
+                 qt, huff, restart_interval: int) -> np.ndarray | None:
+    fh, fw, comps = frame
+    ns = sos[0]
+    if ns != len(comps):
+        return None  # only single interleaved scans (baseline norm)
+    scan_tabs = {}
+    for i in range(ns):
+        cs, tt = sos[1 + 2 * i], sos[2 + 2 * i]
+        scan_tabs[cs] = (tt >> 4, tt & 0x0F)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if not all(1 <= c[1] <= 2 and 1 <= c[2] <= 2 for c in comps):
+        return None
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+
+    # split the entropy stream on markers, de-stuffing FF00 as we go
+    segments: list[bytes] = []
+    cur = bytearray()
+    p = entropy_start
+    while p < len(data):
+        b = data[p]
+        if b == 0xFF and p + 1 < len(data):
+            nxt = data[p + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                p += 2
+                continue
+            break  # EOI or next real marker
+        cur.append(b)
+        p += 1
+    segments.append(bytes(cur))
+
+    planes = []
+    for _, ch, cv, _tq in comps:
+        planes.append(np.zeros((mcus_y * cv * 8, mcus_x * ch * 8), np.uint8))
+    preds = [0] * len(comps)
+    seg_i = 0
+    br = _BitReader(segments[0])
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if (restart_interval and mcu_count
+                    and mcu_count % restart_interval == 0):
+                seg_i += 1
+                if seg_i >= len(segments):
+                    return None
+                br = _BitReader(segments[seg_i])
+                preds = [0] * len(comps)
+            for ci, (cid, ch, cv, tq) in enumerate(comps):
+                td, ta = scan_tabs[cid]
+                dc_tab, ac_tab = huff.get((0, td)), huff.get((1, ta))
+                if dc_tab is None or ac_tab is None or tq not in qt:
+                    return None
+                for by in range(cv):
+                    for bx in range(ch):
+                        pix, preds[ci] = _decode_block(
+                            br, dc_tab, ac_tab, qt[tq], preds[ci])
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
+            mcu_count += 1
+
+    if len(comps) == 1:
+        gray = planes[0][:fh, :fw]
+        return np.ascontiguousarray(np.repeat(gray[:, :, None], 3, axis=2))
+    full = []
+    ys = np.arange(fh)
+    xs = np.arange(fw)
+    for pi, (_, ch, cv, _tq) in enumerate(comps):
+        # nearest upsample from the component grid to frame resolution
+        full.append(planes[pi][np.ix_(ys * cv // vmax, xs * ch // hmax)]
+                    .astype(np.float64))
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------

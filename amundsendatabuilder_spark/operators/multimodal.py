@@ -296,6 +296,42 @@ def synthetic_png_media(spark, n: int = 32) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synthetic_jpeg_media(spark, n: int = 32) -> DataFrame:
+    """Deterministic synthetic JPEG image table for the baseline-JPEG
+    codec oracle. Each image is a grid of flat 8x8 gray blocks with value
+    ``(bx*29 + by*53 + i*11) % 256`` — content chosen so the lossy format
+    round-trips EXACTLY (flat block -> DC-only spectrum, quantized by the
+    codec's DC step of 8 losslessly; gray pixels -> chroma exactly 128),
+    giving mean luma and avg-hash closed forms the SQL twin recomputes
+    from the block formula alone. The encoding rotates over the four
+    real-world stream layouts (i % 4): 4:4:4, 4:2:0 subsampled,
+    single-component grayscale, and 4:4:4 with DRI/RST3 restart markers —
+    all four decode to identical pixels, so a broken subsampling,
+    component-interleave, or restart path breaks the hash."""
+    import numpy as np
+
+    from amundsendatabuilder_spark.operators.media_codecs import encode_jpeg
+    rows = []
+    for i in range(n):
+        w, h = 96 + (i % 5) * 16, 80 + (i % 4) * 16
+        bx = np.arange(w) // 8
+        by = np.arange(h) // 8
+        v = ((bx[None, :] * 29 + by[:, None] * 53 + i * 11) % 256).astype(np.uint8)
+        rgb = np.ascontiguousarray(np.repeat(v[:, :, None], 3, axis=2))
+        variant = i % 4
+        if variant == 0:
+            payload = encode_jpeg(rgb, "444")
+        elif variant == 1:
+            payload = encode_jpeg(rgb, "420")
+        elif variant == 2:
+            payload = encode_jpeg(rgb, gray=True)
+        else:
+            payload = encode_jpeg(rgb, "444", restart_interval=3)
+        rows.append((i, "image", bytearray(payload),
+                     (w, h, None, None, "jpeg")))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 RESIZED_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     # nullable: strict mode reports undecodable payloads as NULL rows

@@ -2916,6 +2916,55 @@ def multimodal_png_features(spark, sf_dir):
                     "phash"))
 
 
+@query("multimodal_jpeg_features", """
+WITH m AS (SELECT i AS media_id, 96 + (i % 5) * 16 AS w, 80 + (i % 4) * 16 AS h
+           FROM (SELECT unnest(range(0, 32)) AS i)),
+bb AS (SELECT media_id, w, h,
+              (bx * 29 + by * 53 + media_id * 11) % 256 AS v
+       FROM m CROSS JOIN (SELECT unnest(range(0, 20)) AS bx)
+              CROSS JOIN (SELECT unnest(range(0, 16)) AS by)
+       WHERE bx < w // 8 AND by < h // 8),
+lum AS (SELECT media_id, w, h, avg(v) AS ml FROM bb GROUP BY 1, 2, 3),
+tt AS (SELECT media_id, ty, tx,
+              (((tx * w) // 64) * 29 + ((ty * h) // 64) * 53
+               + media_id * 11) % 256 AS tv
+       FROM m CROSS JOIN (SELECT unnest(range(0, 8)) AS tx)
+              CROSS JOIN (SELECT unnest(range(0, 8)) AS ty)),
+ta AS (SELECT media_id, avg(tv) AS tavg FROM tt GROUP BY media_id),
+rowbits AS (SELECT tt.media_id, ty,
+                   CAST(sum(CASE WHEN tv >= tavg
+                                 THEN 1 << (7 - CAST(tx AS INT)) ELSE 0 END)
+                        AS BIGINT) AS rb
+            FROM tt JOIN ta USING (media_id) GROUP BY tt.media_id, ty),
+ph AS (SELECT media_id,
+              string_agg(lpad(lower(to_hex(rb)), 2, '0'), '' ORDER BY ty) AS phash
+       FROM rowbits GROUP BY media_id)
+SELECT lum.media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       round(ml / 255.0, 6) AS mean_luma, phash
+FROM lum JOIN ph ON lum.media_id = ph.media_id
+""")
+def multimodal_jpeg_features(spark, sf_dir):
+    """Baseline-JPEG decode through the pure-NumPy codec
+    (media_codecs.decode_jpeg): generic DHT canonical-Huffman build,
+    byte-unstuffed entropy decode, dequant + IDCT, chroma upsample,
+    YCbCr->RGB — the full ITU T.81 baseline path with no image library.
+    The fixture rotates 4:4:4 / 4:2:0 / grayscale / restart-marker
+    streams (synthetic_jpeg_media) over flat-block images whose lossy
+    round trip is exact by construction, so every layout's decoded
+    pixels — and therefore mean luma and the 8x8 avg-hash — have closed
+    forms the SQL twin rebuilds from the block-value formula. Covers the
+    dominant real-corpus image format; parity target:
+    /root/reference/databuilder/transformer/base_transformer.py generic
+    per-record transform surface (the reference has no media decode at
+    all — this family is the beyond-reference training-data extension)."""
+    from amundsendatabuilder_spark.operators.multimodal import (
+        decode_image_features, synthetic_jpeg_media)
+    return (decode_image_features(synthetic_jpeg_media(spark, n=32))
+            .select("media_id", "width", "height",
+                    round_half_away(F.col("mean_luma"), 6).alias("mean_luma"),
+                    "phash"))
+
+
 # ---------------------------------------------------------------------------
 # 9. Round-2 training-pipeline additions: decontamination, mixing,
 #    quantile filtering, conversion attribution

@@ -179,3 +179,82 @@ def test_png_decode_matches_bmp_decode_same_pixels():
     rgb = _asym_image(h=21, w=10)
     assert np.array_equal(decode_bmp(encode_bmp(rgb)),
                           decode_png(encode_png(rgb, filter_type=4)))
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential, ITU T.81)
+# ---------------------------------------------------------------------------
+
+def _flat_block_image(w=96, h=80, seed=11):
+    """Grid of flat 8x8 gray blocks — content whose lossy JPEG round trip
+    is exact by construction (DC-only spectrum, DC quant step 8)."""
+    bx = np.arange(w) // 8
+    by = np.arange(h) // 8
+    v = ((bx[None, :] * 29 + by[:, None] * 53 + seed) % 256).astype(np.uint8)
+    return np.ascontiguousarray(np.repeat(v[:, :, None], 3, axis=2))
+
+
+def test_jpeg_flat_blocks_exact_all_layouts():
+    from amundsendatabuilder_spark.operators.media_codecs import (
+        decode_jpeg, encode_jpeg)
+    img = _flat_block_image()
+    for kwargs in (dict(subsampling="444"), dict(subsampling="420"),
+                   dict(gray=True),
+                   dict(subsampling="444", restart_interval=4),
+                   dict(subsampling="420", restart_interval=3),
+                   dict(gray=True, restart_interval=7)):
+        out = decode_jpeg(encode_jpeg(img, **kwargs))
+        assert out is not None and out.shape == img.shape, kwargs
+        assert np.array_equal(out, img), kwargs
+
+
+def test_jpeg_non_multiple_of_8_dims():
+    from amundsendatabuilder_spark.operators.media_codecs import (
+        decode_jpeg, encode_jpeg)
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (37, 53, 3), dtype=np.uint8)
+    for kwargs in (dict(subsampling="444"),
+                   dict(subsampling="420", restart_interval=2),
+                   dict(gray=True)):
+        out = decode_jpeg(encode_jpeg(img, **kwargs))
+        assert out is not None and out.shape == img.shape, kwargs
+
+
+def test_jpeg_smooth_content_close():
+    # quantization noise only: a smooth gradient must survive with small
+    # mean error (a Huffman/zigzag/IDCT bug produces garbage, not ~1 LSB)
+    from amundsendatabuilder_spark.operators.media_codecs import (
+        decode_jpeg, encode_jpeg)
+    xx = np.linspace(0, 255, 90)
+    yy = np.linspace(0, 255, 70)
+    g = np.clip(np.rint((xx[None, :] + yy[:, None]) / 2), 0, 255).astype(np.uint8)
+    img = np.stack([g, g, g], axis=2)
+    out = decode_jpeg(encode_jpeg(img, "444"))
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 2.0
+
+
+def test_jpeg_rejects_corrupt_and_non_baseline():
+    from amundsendatabuilder_spark.operators.media_codecs import (
+        decode_jpeg, encode_jpeg)
+    img = _flat_block_image(48, 16)
+    good = encode_jpeg(img)
+    assert decode_jpeg(good[: len(good) // 2]) is None  # truncated scan
+    assert decode_jpeg(b"\xff\xd8garbage") is None
+    assert decode_jpeg(b"not a jpeg") is None
+    # progressive (SOF2) flagged unsupported, not misdecoded: rewrite the
+    # SOF0 marker byte in place
+    prog = bytearray(good)
+    at = prog.find(b"\xff\xc0")
+    prog[at + 1] = 0xC2
+    assert decode_jpeg(bytes(prog)) is None
+
+
+def test_jpeg_sniff_and_cross_codec_pixel_parity():
+    # same content through BMP and JPEG (flat blocks -> exact) must give
+    # identical pixels, keeping features container-independent
+    from amundsendatabuilder_spark.operators.media_codecs import (
+        decode_jpeg, encode_jpeg)
+    img = _flat_block_image(64, 32, seed=5)
+    assert np.array_equal(sniff_decode(encode_jpeg(img, "420")),
+                          decode_bmp(encode_bmp(img)))
+    assert sniff_decode(encode_jpeg(img)).shape == img.shape
