@@ -2970,6 +2970,62 @@ def multimodal_jpeg_features(spark, sf_dir):
 #    quantile filtering, conversion attribution
 # ---------------------------------------------------------------------------
 
+def _hll_oracle() -> str:
+    from amundsendatabuilder_spark.operators.sketches import hll_oracle_sql
+    orders_twin = hll_oracle_sql(
+        "SELECT o_orderpriority, o_custkey FROM orders",
+        "o_custkey", "o_orderpriority")
+    events_twin = hll_oracle_sql(
+        "SELECT event_type, user_id FROM events", "user_id", "event_type")
+    return f"""
+WITH oe AS (SELECT o_orderpriority AS grp,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+            FROM orders GROUP BY 1),
+ee AS (SELECT event_type AS grp,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+       FROM events GROUP BY 1)
+SELECT a.grp, round(a.approx_distinct, 6) AS approx_distinct, oe.exact_distinct
+FROM ({orders_twin}) a JOIN oe USING (grp)
+UNION ALL
+SELECT b.grp, round(b.approx_distinct, 6) AS approx_distinct, ee.exact_distinct
+FROM ({events_twin}) b JOIN ee USING (grp)"""
+
+
+@query("hll_distinct_sketch", _hll_oracle())
+def hll_distinct_sketch(spark, sf_dir):
+    """HyperLogLog distinct-count sketch (operators/sketches.py): the
+    scale answer to COUNT(DISTINCT) — md5-bucketed 2^8 registers,
+    map-side-combinable max, scaled-integer 2^-R fold, linear-counting
+    fallback. Two real branches under the hash: orders custkeys per
+    priority (~1300 distinct -> raw estimator) and events users per type
+    (150 distinct -> linear counting), each beside its exact count so the
+    certified artifact shows calibration, not just determinism. All
+    built-in expressions (no UDF); register state is m rows per group, so
+    at 100 TB the shuffle carries registers, never values. Beyond-
+    reference training-pipeline operator (the reference's closest surface
+    is per-table COUNT aggregation in
+    databuilder/extractor/table_column_usage_aggregate_extractor.py)."""
+    from amundsendatabuilder_spark.operators import sketches
+    orders, events = _t(spark, sf_dir, "orders", "events")
+    oa = sketches.hll_distinct(
+        orders.select(F.col("o_orderpriority").alias("grp"),
+                      F.col("o_custkey").alias("v")), "v", ("grp",))
+    ob = sketches.hll_distinct(
+        events.select(F.col("event_type").alias("grp"),
+                      F.col("user_id").alias("v")), "v", ("grp",))
+    oe = (orders.groupBy(F.col("o_orderpriority").alias("grp"))
+          .agg(F.countDistinct("o_custkey").alias("exact_distinct")))
+    ee = (events.groupBy(F.col("event_type").alias("grp"))
+          .agg(F.countDistinct("user_id").alias("exact_distinct")))
+    out_a = oa.join(oe, "grp").select(
+        "grp", round_half_away(F.col("approx_distinct"), 6)
+        .alias("approx_distinct"), "exact_distinct")
+    out_b = ob.join(ee, "grp").select(
+        "grp", round_half_away(F.col("approx_distinct"), 6)
+        .alias("approx_distinct"), "exact_distinct")
+    return out_a.unionByName(out_b)
+
+
 @query("decontam_benchmark_overlap", r"""
 WITH t AS (SELECT doc_id, """ + _TOKS_SQL + r""" AS toks FROM documents),
 g AS (SELECT DISTINCT doc_id,

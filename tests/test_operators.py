@@ -892,3 +892,54 @@ def test_lm_fluency_ranks_fluent_above_garble(spark):
     assert got[100] > got[101]
     assert got[102] is None
     assert got[0] > got[101]  # training docs are in-distribution too
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog sketch (operators/sketches)
+# ---------------------------------------------------------------------------
+
+def test_hll_accuracy_within_standard_error(spark):
+    from amundsendatabuilder_spark.operators import sketches
+    n = 5000
+    df = spark.range(n).select((F.col("id") * 7919 + 13).alias("v"))
+    est = sketches.hll_distinct(df, "v").collect()[0]["approx_distinct"]
+    # m=256 -> sigma ~ 1.04/16 = 6.5%; allow 3 sigma
+    assert abs(est - n) / n < 0.20, est
+
+
+def test_hll_linear_counting_small_cardinality(spark):
+    from amundsendatabuilder_spark.operators import sketches
+    # 40 distinct values: far below 2.5*m, must take the m*ln(m/V) branch
+    # and be near-exact there
+    df = spark.range(400).select((F.col("id") % 40).alias("v"))
+    est = sketches.hll_distinct(df, "v").collect()[0]["approx_distinct"]
+    assert abs(est - 40) < 3, est
+
+
+def test_hll_registers_merge_equals_whole(spark):
+    """Sketch mergeability — the property that makes HLL the 100 TB
+    answer: max-merging independently built register tables must give
+    exactly the registers (and therefore estimate) of the full data."""
+    from amundsendatabuilder_spark.operators import sketches
+    df = spark.range(2000).select((F.col("id") * 31 % 977).alias("v"))
+    half_a = df.where(F.col("v") % 2 == 0)
+    half_b = df.where(F.col("v") % 2 == 1)
+    whole = sketches.hll_registers(df, "v")
+    merged = (sketches.hll_registers(half_a, "v")
+              .unionByName(sketches.hll_registers(half_b, "v"))
+              .groupBy("bucket").agg(F.max("r").alias("r")))
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+    est_w = sketches.hll_estimate(whole).collect()[0]["approx_distinct"]
+    est_m = sketches.hll_estimate(merged).collect()[0]["approx_distinct"]
+    assert est_w == est_m
+
+
+def test_hll_grouped_independent_of_other_groups(spark):
+    from amundsendatabuilder_spark.operators import sketches
+    df = spark.range(300).select(
+        (F.col("id") % 3).cast("string").alias("g"), F.col("id").alias("v"))
+    solo = sketches.hll_distinct(
+        df.where(F.col("g") == "1"), "v").collect()[0]["approx_distinct"]
+    grouped = {r["g"]: r["approx_distinct"]
+               for r in sketches.hll_distinct(df, "v", ("g",)).collect()}
+    assert grouped["1"] == solo

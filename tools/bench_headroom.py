@@ -55,7 +55,7 @@ SUITE = [
     "stream_windowed_counts", "stream_sessionize", "stream_attribution",
     "stream_attribution_outer", "stream_dedup_first_seen",
     "stream_near_dup",
-    "multimodal_png_features",
+    "multimodal_png_features", "multimodal_jpeg_features",
 ]
 
 
