@@ -59,6 +59,10 @@ EXTENDED = [
     "dedup_simhash64_hamming",
     "ann_rhp_topk",
     "ann_ivf_topk",
+    # round-6: HLL sketch (the COUNT-DISTINCT scale path) and the
+    # shortest-path graph surface
+    "hll_distinct_sketch",
+    "graph_shortest_path",
 ]
 
 
