@@ -28,6 +28,17 @@ def l2_norm(a) -> Column:
     return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v))
 
 
+def l2_distance(a, b) -> Column:
+    """Euclidean distance in double precision. Left-to-right ``aggregate``
+    fold over the squared differences, then sqrt — the same accumulation
+    order DuckDB's ``list_distance`` uses, which keeps rounded values
+    engine-identical (verified by the PQ oracle's hash gate)."""
+    sq = F.zip_with(_c(a), _c(b),
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v))
+
+
 def random_planes(dim: int, n: int, seed: int = 7) -> list[list[float]]:
     """``n`` Gaussian random hyperplanes of dimension ``dim`` for
     random-hyperplane (sign-of-dot) LSH. Seeded NumPy PCG64 so the planes

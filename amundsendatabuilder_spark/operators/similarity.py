@@ -165,24 +165,35 @@ def rhp_topk(corpus: DataFrame, queries: DataFrame,
 
 def assign_centroids(corpus: DataFrame, centroids: DataFrame,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     cent_id_col: str = "cent_id") -> DataFrame:
+                     cent_id_col: str = "cent_id",
+                     metric: str = "cos") -> DataFrame:
     """Nearest-centroid assignment — the IVF index-BUILD step (and one
     k-means iteration) exposed as its own verified operator: broadcast the
     centroid set, score each corpus vector against all centroids JVM-side,
-    keep the argmax-cosine centroid (ties broken by centroid id).
-    Exactly one pass over the corpus, no shuffle beyond the broadcast."""
-    from amundsendatabuilder_spark.functions.vectors import l2_norm
+    keep the argmax-cosine (or argmin-L2 with ``metric='l2'``) centroid,
+    ties broken by centroid id. Exactly one pass over the corpus, no
+    shuffle beyond the broadcast. Scores round to 6dp BEFORE the argmin so
+    the assignment itself is engine-reproducible (cos matches DuckDB's
+    list_cosine_similarity, l2 matches list_distance — fold order
+    verified identical)."""
+    from amundsendatabuilder_spark.functions.vectors import l2_distance, l2_norm
     from amundsendatabuilder_spark.session import ensure_parallelism
+    assert metric in ("cos", "l2"), metric
     c = ensure_parallelism(corpus).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")) \
         .withColumn("_vn", l2_norm("_v"))
     cents = F.broadcast(centroids.select(
         F.col(cent_id_col), F.col(vec_col).cast("array<double>").alias("_c"))
         .withColumn("_cn", l2_norm("_c")))
-    scored = c.join(cents).withColumn(
-        "cos", round_half_away(cosine_similarity(
-            "_v", "_c", norm_a=F.col("_vn"), norm_b=F.col("_cn")), 6))
-    w = Window.partitionBy(id_col).orderBy(F.col("cos").desc(), F.col(cent_id_col))
+    if metric == "cos":
+        score = round_half_away(cosine_similarity(
+            "_v", "_c", norm_a=F.col("_vn"), norm_b=F.col("_cn")), 6)
+        order = F.col("cos").desc()
+    else:
+        score = round_half_away(l2_distance("_v", "_c"), 6)
+        order = F.col("cos").asc()
+    scored = c.join(cents).withColumn("cos", score)
+    w = Window.partitionBy(id_col).orderBy(order, F.col(cent_id_col))
     return (scored.withColumn("_r", F.row_number().over(w))
             .where(F.col("_r") == 1)
             .select(F.col(id_col), F.col(cent_id_col), F.col("cos")))
@@ -252,7 +263,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
 
 def kmeans_fit(corpus: DataFrame, k: int = 16, max_iters: int = 5,
-               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               metric: str = "cos") -> DataFrame:
     """Lloyd's k-means over an embedding column — the real centroid
     trainer behind an IVF index (ivf_topk's md5-sample centroids are the
     dependency-light stand-in; this is the production path).
@@ -277,7 +289,7 @@ def kmeans_fit(corpus: DataFrame, k: int = 16, max_iters: int = 5,
              .select("cent_id", "embedding"))
     for _ in range(max_iters):
         assigned = assign_centroids(corpus, cents, id_col=id_col,
-                                    vec_col=vec_col)
+                                    vec_col=vec_col, metric=metric)
         joined = assigned.join(
             corpus.select(F.col(id_col),
                           F.col(vec_col).cast("array<double>").alias("_v")),
@@ -300,7 +312,7 @@ def kmeans_fit(corpus: DataFrame, k: int = 16, max_iters: int = 5,
         # broadcast doesn't drag the whole previous lineage along
         cents = cents.localCheckpoint()
     final_counts = (assign_centroids(corpus, cents, id_col=id_col,
-                                     vec_col=vec_col)
+                                     vec_col=vec_col, metric=metric)
                     .groupBy("cent_id")
                     .agg(F.count("*").cast("long").alias("n_members")))
     return cents.join(final_counts, "cent_id", "left") \
@@ -333,3 +345,154 @@ def quantize_embeddings(emb: DataFrame, id_col: str = "vec_id",
         scale.alias("scale"),
         F.concat_ws(",", F.transform(q, lambda x: x.cast("string")))
         .alias("q"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011) — the memory-compression scale path: a
+# D-dim float vector becomes M subspace code bytes (here 64 dims -> 4
+# codes, a 64x size reduction), and query-time scoring is M table lookups
+# per candidate instead of D multiplies (ADC: asymmetric distance
+# computation).
+# ---------------------------------------------------------------------------
+
+def pq_train(corpus: DataFrame, m: int = 4, ksub: int = 16, dim: int = 64,
+             iters: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Per-subspace L2 k-means codebooks: (sub_id, cent_id, embedding)
+    with embedding of length dim/m.
+
+    GROUPED Lloyd: all M subspaces train in the SAME passes — the corpus
+    explodes once into (id, sub_id, slice) rows (narrow: dim/m doubles),
+    assignment joins the broadcast (sub_id, cent_id) codebook on sub_id,
+    and the per-dim mean rebuild groups by (sub_id, cent_id, pos). One
+    localCheckpoint per iteration TOTAL (not per subspace), so the job
+    count is independent of M. Iteration state is m*ksub*(dim/m) =
+    ksub*dim doubles — kilobytes at any corpus size. Init matches
+    kmeans_fit: the ksub md5-smallest ids seed every subspace (their
+    slices), empty clusters keep their previous centroid.
+    """
+    assert dim % m == 0, (dim, m)
+    from amundsendatabuilder_spark.functions.vectors import l2_distance
+    dsub = dim // m
+    subs = F.explode(F.array(*[F.lit(s) for s in range(m)])).alias("sub_id")
+    sliced = (corpus.select(F.col(id_col),
+                            F.col(vec_col).cast("array<double>").alias("_v"))
+              .select(id_col, subs, "_v")
+              .select(id_col, "sub_id",
+                      F.slice("_v", F.col("sub_id") * dsub + 1, dsub)
+                      .alias("sv"))
+              .localCheckpoint())
+
+    init_ids = (corpus.select(
+        F.md5(F.col(id_col).cast("string")).alias("_h"), F.col(id_col))
+        .orderBy("_h").limit(ksub))
+    w0 = Window.partitionBy("sub_id").orderBy("_h")
+    cents = (init_ids.join(sliced, id_col)
+             .withColumn("cent_id", F.row_number().over(w0) - 1)
+             .select("sub_id", "cent_id", F.col("sv").alias("cv"))
+             .localCheckpoint())
+
+    def assign(cs: DataFrame) -> DataFrame:
+        scored = sliced.join(F.broadcast(cs), "sub_id").withColumn(
+            "d", round_half_away(l2_distance("sv", "cv"), 6))
+        w = Window.partitionBy(id_col, "sub_id").orderBy("d", "cent_id")
+        return (scored.withColumn("_r", F.row_number().over(w))
+                .where(F.col("_r") == 1)
+                .select(id_col, "sub_id", "cent_id", "sv"))
+
+    for _ in range(iters):
+        asg = assign(cents)
+        per_dim = (asg.select("sub_id", "cent_id",
+                              F.posexplode("sv").alias("pos", "x"))
+                   .groupBy("sub_id", "cent_id", "pos")
+                   .agg(F.avg("x").alias("mu")))
+        new_cents = (per_dim.groupBy("sub_id", "cent_id")
+                     .agg(F.transform(
+                         F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+                         lambda s: s["mu"]).alias("cv")))
+        cents = (cents.alias("old")
+                 .join(new_cents.alias("new"), ["sub_id", "cent_id"], "left")
+                 .select("sub_id", "cent_id",
+                         F.coalesce(F.col("new.cv"), F.col("old.cv"))
+                         .alias("cv"))
+                 .localCheckpoint())
+    return cents.select("sub_id", "cent_id", F.col("cv").alias("embedding"))
+
+
+def pq_encode(corpus: DataFrame, codebooks: DataFrame, m: int = 4,
+              dim: int = 64, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(id, codes array<int>): nearest codebook entry per subspace
+    (round-6 L2, cent_id tie-break — the same determinism contract as
+    assign_centroids). One broadcast of the m*ksub codebook rows, one
+    n*m-row argmin window, one groupBy(id) to collapse codes — the
+    corpus vectors never shuffle; only (id, sub_id, code) rows do."""
+    from amundsendatabuilder_spark.functions.vectors import l2_distance
+    dsub = dim // m
+    cb = F.broadcast(codebooks.select(
+        "sub_id", "cent_id",
+        F.col("embedding").cast("array<double>").alias("_c")))
+    c = corpus.select(F.col(id_col),
+                      F.col(vec_col).cast("array<double>").alias("_v"))
+    scored = c.join(cb).withColumn(
+        "d", round_half_away(l2_distance(
+            F.slice("_v", F.col("sub_id") * dsub + 1, dsub), "_c"), 6))
+    w = Window.partitionBy(id_col, "sub_id").orderBy("d", "cent_id")
+    best = (scored.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") == 1)
+            .select(id_col, "sub_id", "cent_id"))
+    return (best.groupBy(id_col)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("sub_id", "cent_id"))),
+                lambda s: s["cent_id"]).alias("codes")))
+
+
+def pq_adc_topk(encoded: DataFrame, codebooks: DataFrame,
+                queries: DataFrame, k: int = 10, m: int = 4, dim: int = 64,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """ADC top-k inner-product search over PQ codes: each query
+    precomputes its m x ksub partial-dot table against the codebooks
+    (driver-free: a tiny broadcast frame), then every candidate's score
+    is an ordered fold of m table lookups — aggregate(zip_with(codes,
+    tabs)), left-to-right, so the float sum is engine-reproducible.
+    Returns (query_id, neighbor_id, score, rank<=k), approximate by
+    construction (quantization error); recall floor pinned in tests.
+
+    Scale shape: the code table (M small ints per vector) is the ONLY
+    per-corpus-row state scanned at query time; the scan is linear like
+    brute force but touches 64x less data and does M lookups instead of
+    D multiplies per pair. Compose with IVF list routing for the
+    sub-linear variant."""
+    from amundsendatabuilder_spark.functions.vectors import dot
+    dsub = dim // m
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("_q"))
+    cb = codebooks.select(
+        "sub_id", "cent_id",
+        F.col("embedding").cast("array<double>").alias("_c"))
+    # (query, sub, cent) -> raw partial dot; nested into tabs[sub][cent]
+    dt = q.crossJoin(F.broadcast(cb)).select(
+        "query_id", "sub_id", "cent_id",
+        dot(F.slice("_q", F.col("sub_id") * dsub + 1, dsub), "_c").alias("pd"))
+    per_sub = (dt.groupBy("query_id", "sub_id")
+               .agg(F.transform(
+                   F.array_sort(F.collect_list(F.struct("cent_id", "pd"))),
+                   lambda s: s["pd"]).alias("tab")))
+    qtabs = (per_sub.groupBy("query_id")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("sub_id", "tab"))),
+                 lambda s: s["tab"]).alias("tabs")))
+    pairs = (encoded.select(F.col(id_col).alias("neighbor_id"), "codes")
+             .crossJoin(F.broadcast(qtabs))
+             .where(F.col("neighbor_id") != F.col("query_id")))
+    looked = F.zip_with(F.col("codes"), F.col("tabs"),
+                        lambda c, t: F.element_at(t, c + 1))
+    score = F.aggregate(looked, F.lit(0.0), lambda acc, v: acc + v)
+    scored = pairs.withColumn("score", round_half_away(score, 6))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "score", "rank"))

@@ -3314,6 +3314,98 @@ FROM cents{iters} kk LEFT JOIN cnt USING (cent_id)""")
     return "".join(sql)
 
 
+def _pq_oracle(m: int = 4, ksub: int = 16, dim: int = 64, iters: int = 2,
+               k: int = 10, nq: int = 8) -> str:
+    """DuckDB twin for pq_train -> pq_encode -> pq_adc_topk: the grouped
+    Lloyd loop unrolls ONCE with sub_id as a grouping column (not m
+    copies), then encode pivots codes to per-subspace columns and ADC
+    scores via explicit left-associated addition — the same fold order as
+    Spark's aggregate(zip_with(...)), so the rounded score is
+    engine-identical."""
+    dsub = dim // m
+    assert dsub * m == dim
+    sql = [f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sl AS (SELECT vec_id, t.s AS sub_id,
+              v[t.s * {dsub} + 1 : t.s * {dsub} + {dsub}] AS sv
+       FROM c CROSS JOIN range(0, {m}) t(s)),
+ii AS (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h
+       FROM c ORDER BY h LIMIT {ksub}),
+cents0 AS (SELECT sl.sub_id,
+                  CAST(row_number() OVER (PARTITION BY sl.sub_id
+                                          ORDER BY ii.h) AS INT) - 1 AS cent_id,
+                  sl.sv AS cv
+           FROM ii JOIN sl USING (vec_id))"""]
+    for i in range(1, iters + 1):
+        sql.append(f""",
+asg{i} AS (SELECT vec_id, sub_id, cent_id, sv FROM (
+    SELECT sl.vec_id, sl.sub_id, kk.cent_id, sl.sv,
+           row_number() OVER (PARTITION BY sl.vec_id, sl.sub_id
+             ORDER BY round(list_distance(sl.sv, kk.cv), 6), kk.cent_id) AS r
+    FROM sl JOIN cents{i - 1} kk USING (sub_id)) WHERE r = 1),
+new{i} AS (SELECT sub_id, cent_id, list(mu ORDER BY pos) AS cv FROM (
+    SELECT a.sub_id, a.cent_id, t.i AS pos, avg(a.sv[t.i]) AS mu
+    FROM asg{i} a CROSS JOIN range(1, {dsub + 1}) t(i)
+    GROUP BY a.sub_id, a.cent_id, t.i) GROUP BY sub_id, cent_id),
+cents{i} AS (SELECT kk.sub_id, kk.cent_id, COALESCE(n.cv, kk.cv) AS cv
+             FROM cents{i - 1} kk
+             LEFT JOIN new{i} n USING (sub_id, cent_id))""")
+    code_cols = ", ".join(
+        f"max(CASE WHEN sub_id = {s} THEN cent_id END) AS c{s}"
+        for s in range(m))
+    joins = "\n".join(
+        f"           JOIN dt d{s} ON d{s}.sub_id = {s} AND d{s}.cent_id = ep.c{s}"
+        + ("" if s == 0 else " AND d{0}.query_id = d0.query_id".format(s))
+        for s in range(m))
+    add = "d0.pd"
+    for s in range(1, m):
+        add = f"({add} + d{s}.pd)"
+    sql.append(f""",
+encf AS (SELECT vec_id, sub_id, cent_id FROM (
+    SELECT sl.vec_id, sl.sub_id, kk.cent_id,
+           row_number() OVER (PARTITION BY sl.vec_id, sl.sub_id
+             ORDER BY round(list_distance(sl.sv, kk.cv), 6), kk.cent_id) AS r
+    FROM sl JOIN cents{iters} kk USING (sub_id)) WHERE r = 1),
+ep AS (SELECT vec_id, {code_cols} FROM encf GROUP BY vec_id),
+dt AS (SELECT q.vec_id AS query_id, kk.sub_id, kk.cent_id,
+              list_inner_product(
+                q.v[kk.sub_id * {dsub} + 1 : kk.sub_id * {dsub} + {dsub}],
+                kk.cv) AS pd
+       FROM c q CROSS JOIN cents{iters} kk WHERE q.vec_id < {nq}),
+scored AS (SELECT d0.query_id, ep.vec_id AS neighbor_id,
+                  round({add}, 6) AS score
+           FROM ep
+{joins}
+           WHERE ep.vec_id <> d0.query_id),
+r AS (SELECT query_id, neighbor_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, neighbor_id) AS INT) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= {k}""")
+    return "".join(sql)
+
+
+@query("ann_pq_adc_topk", _pq_oracle())
+def ann_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ANN (similarity.pq_train/pq_encode/
+    pq_adc_topk): per-subspace L2 codebooks trained by a grouped Lloyd
+    pass (all M subspaces in the same jobs), corpus compressed to M code
+    bytes per vector, ADC top-k via per-query partial-dot tables — the
+    memory-bandwidth scale path beside IVF routing and RHP bucketing.
+    Hash-verified end to end: the DuckDB twin replays init, both Lloyd
+    iterations, encoding, and the left-associated ADC fold, so a drift
+    anywhere in train/encode/search breaks the hash. Quality floors
+    (recall on clustered data, reconstruction error) are pinned in
+    tests/test_operators.py."""
+    from amundsendatabuilder_spark.operators.similarity import (
+        pq_adc_topk, pq_encode, pq_train)
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=4, ksub=16, dim=64, iters=2)
+    enc = pq_encode(emb, books)
+    return pq_adc_topk(enc, books, emb.where(F.col("vec_id") < 8),
+                       k=10, m=4, dim=64)
+
+
 @query("kmeans_centroids", _kmeans_oracle())
 def kmeans_centroids(spark, sf_dir):
     """Lloyd k-means fit over the embeddings table

@@ -943,3 +943,70 @@ def test_hll_grouped_independent_of_other_groups(spark):
     grouped = {r["g"]: r["approx_distinct"]
                for r in sketches.hll_distinct(df, "v", ("g",)).collect()}
     assert grouped["1"] == solo
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (operators/similarity.pq_*)
+# ---------------------------------------------------------------------------
+
+def _clustered_vectors(spark, n=240, dim=32, n_clusters=8, noise=0.05):
+    """Deterministic clustered corpus: PQ's intended regime (structured
+    embeddings). Random-sphere data is its worst case, so quality floors
+    are pinned here, determinism on the driver fixture."""
+    import numpy as np
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(n):
+        v = centers[i % n_clusters] + noise * rng.normal(size=dim)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_codebook_shape_and_code_range(spark):
+    from amundsendatabuilder_spark.operators.similarity import pq_encode, pq_train
+    df = _clustered_vectors(spark)
+    books = pq_train(df, m=4, ksub=8, dim=32, iters=2)
+    rows = books.collect()
+    assert len(rows) == 4 * 8
+    assert all(len(r["embedding"]) == 8 for r in rows)
+    enc = pq_encode(df, books, m=4, dim=32).collect()
+    assert len(enc) == 240
+    assert all(len(r["codes"]) == 4 for r in enc)
+    assert all(0 <= c < 8 for r in enc for c in r["codes"])
+
+
+def test_pq_adc_recall_on_clustered_data(spark):
+    from amundsendatabuilder_spark.operators.similarity import (
+        brute_force_topk, pq_adc_topk, pq_encode, pq_train)
+    df = _clustered_vectors(spark)
+    books = pq_train(df, m=4, ksub=8, dim=32, iters=2)
+    enc = pq_encode(df, books, m=4, dim=32)
+    queries = df.where(F.col("vec_id") < 6)
+    approx = pq_adc_topk(enc, books, queries, k=10, m=4, dim=32)
+    exact = brute_force_topk(df, queries, k=10)
+    # At this code budget PQ collapses same-cluster vectors onto (near-)
+    # identical codes, so WITHIN-cluster ordering is quantized away — the
+    # honest quality contract is cluster-level retrieval: every returned
+    # neighbor comes from the query's true cluster (8 clusters, so a
+    # broken quantizer would pull ~7/8 of results from other clusters),
+    # plus agreement with exact search above chance.
+    a_rows = approx.collect()
+    assert all(r["neighbor_id"] % 8 == r["query_id"] % 8 for r in a_rows), \
+        [(r["query_id"], r["neighbor_id"]) for r in a_rows
+         if r["neighbor_id"] % 8 != r["query_id"] % 8][:5]
+    a = {(r["query_id"], r["neighbor_id"]) for r in a_rows}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    # expected overlap for in-cluster tie-broken top-10 of a 30-member
+    # cluster is ~1/3; require comfortably above the 10/239 chance level
+    assert len(a & e) / len(e) >= 0.2, len(a & e) / len(e)
+
+
+def test_pq_train_deterministic_across_runs(spark):
+    from amundsendatabuilder_spark.operators.similarity import pq_train
+    df = _clustered_vectors(spark, n=120)
+    b1 = sorted(map(repr, pq_train(df, m=4, ksub=8, dim=32, iters=2).collect()))
+    b2 = sorted(map(repr, pq_train(df, m=4, ksub=8, dim=32, iters=2).collect()))
+    assert b1 == b2
