@@ -58,24 +58,28 @@ ELSE {4 * rest} - 4 * length({hex_col})
             ELSE 0 END + 1 END"""
 
 
+def hll_terms(df: DataFrame, col: str, p: int = 8) -> DataFrame:
+    """Append the per-row sketch terms (bucket, rho) for ``col`` — the
+    stateless stage shared by batch ``hll_registers`` and the streaming
+    windowed sketch (it composes with any watermark/window grouping)."""
+    assert p % 4 == 0 and 4 <= p <= 16, "p must be a multiple of 4 in [4,16]"
+    nbhex = p // 4
+    rest = 16 - nbhex
+    d = df.withColumn(
+        "_h", F.md5(F.col(col).cast("string").cast("binary")))
+    d = d.withColumn("bucket", F.substring("_h", 1, nbhex)).withColumn(
+        "_s2",
+        F.expr(f"trim(LEADING '0' FROM substring(_h, {nbhex + 1}, {rest}))"))
+    return (d.withColumn("rho", F.expr(_rho_expr("_s2", rest)).cast("int"))
+            .drop("_h", "_s2"))
+
+
 def hll_registers(df: DataFrame, col: str, group_cols: tuple[str, ...] = (),
                   p: int = 8) -> DataFrame:
     """(group..., bucket, r): the sketch itself — at most 2^p rows per
     group, partial-aggregated map-side. Store it, union it with another
     day's registers and ``max`` again, or feed it to ``hll_estimate``."""
-    assert p % 4 == 0 and 4 <= p <= 16, "p must be a multiple of 4 in [4,16]"
-    nbhex = p // 4
-    rest = 16 - nbhex
-    d = df.select(
-        *group_cols,
-        F.md5(F.col(col).cast("string").cast("binary")).alias("h"))
-    d = d.select(
-        *group_cols,
-        F.substring("h", 1, nbhex).alias("bucket"),
-        F.expr(f"trim(LEADING '0' FROM substring(h, {nbhex + 1}, {rest}))")
-        .alias("s2"))
-    d = d.select(*group_cols, "bucket",
-                 F.expr(_rho_expr("s2", rest)).cast("int").alias("rho"))
+    d = hll_terms(df.select(*group_cols, col), col, p)
     return d.groupBy(*group_cols, "bucket").agg(F.max("rho").alias("r"))
 
 
@@ -108,31 +112,35 @@ def hll_distinct(df: DataFrame, col: str, group_cols: tuple[str, ...] = (),
     return hll_estimate(hll_registers(df, col, group_cols, p), group_cols, p)
 
 
-def hll_oracle_sql(source_sql: str, col: str, group_col: str,
+def hll_oracle_sql(source_sql: str, col: str,
+                   group_cols: tuple[str, ...] = ("grp",),
                    p: int = 8) -> str:
     """DuckDB twin of ``hll_distinct`` over ``source_sql`` (a FROM-able
     subquery aliased internally) — identical hash layout, register fold,
-    scaled-integer sum, and inlined estimator literals."""
+    scaled-integer sum, and inlined estimator literals. ``group_cols``
+    are passed through by name (alias them in ``source_sql``)."""
     m = 1 << p
     nbhex = p // 4
     rest = 16 - nbhex
     alpha = 0.7213 / (1 + 1.079 / m)
     num = alpha * m * m * float(1 << 50)
+    gc = ", ".join(group_cols)
+    gsel = f"{gc}, " if gc else ""
+    gby = f"GROUP BY {gc}" if gc else ""
     return f"""
 WITH src AS ({source_sql}),
-hx AS (SELECT {group_col} AS grp,
-              md5(CAST({col} AS VARCHAR)) AS h FROM src),
-st AS (SELECT grp, substring(h, 1, {nbhex}) AS bucket,
+hx AS (SELECT {gsel}md5(CAST({col} AS VARCHAR)) AS h FROM src),
+st AS (SELECT {gsel}substring(h, 1, {nbhex}) AS bucket,
               trim(LEADING '0' FROM substring(h, {nbhex + 1}, {rest})) AS s2
        FROM hx),
-rh AS (SELECT grp, bucket, CAST({_rho_expr('s2', rest)} AS INT) AS rho FROM st),
-regs AS (SELECT grp, bucket, max(rho) AS r FROM rh GROUP BY grp, bucket),
-fold AS (SELECT grp,
+rh AS (SELECT {gsel}bucket, CAST({_rho_expr('s2', rest)} AS INT) AS rho FROM st),
+regs AS (SELECT {gsel}bucket, max(rho) AS r FROM rh GROUP BY {gsel}bucket),
+fold AS (SELECT {gsel}
                 sum(CASE WHEN r <= 50 THEN CAST(1 AS BIGINT) << (50 - r)
                          ELSE CAST(0 AS BIGINT) END) AS s_present,
                 count(*) AS n_present
-         FROM regs GROUP BY grp)
-SELECT grp,
+         FROM regs {gby})
+SELECT {gsel}
        CASE WHEN ({num!r} / CAST(s_present + ({m} - n_present)
                                  * (CAST(1 AS BIGINT) << 50) AS DOUBLE))
                  <= {2.5 * m!r}

@@ -2660,6 +2660,44 @@ def stream_windowed_counts(spark, sf_dir):
     return run_to_memory(agg, spark, name, tempfile.mkdtemp())
 
 
+def _stream_hll_oracle() -> str:
+    from amundsendatabuilder_spark.operators.sketches import hll_oracle_sql
+    inner = hll_oracle_sql(
+        "SELECT date_trunc('hour', ts) AS window_start, event_type, user_id"
+        " FROM events",
+        "user_id", ("window_start", "event_type"))
+    return f"""
+WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events)
+SELECT e.window_start, e.event_type,
+       round(e.approx_distinct, 6) AS approx_distinct
+FROM ({inner}) e, wm WHERE e.window_start + INTERVAL 1 HOUR <= wm.w"""
+
+
+@query("stream_windowed_distinct", _stream_hll_oracle())
+def stream_windowed_distinct(spark, sf_dir):
+    """Streaming approximate COUNT(DISTINCT user) per tumbling window
+    (streaming/events.windowed_distinct_registers): HLL register rows are
+    the streaming aggregation state — 2^8 max-merged registers per
+    (window, type) instead of an unbounded distinct-user set — drained
+    append-mode, then folded to estimates batch-side
+    (sketches.hll_estimate). Hash-verified: the oracle recomputes the
+    registers and the estimator from the same md5 layout, restricted to
+    windows past the final watermark (the append emission frontier), so
+    both the sketch math AND the watermark semantics are pinned."""
+    import tempfile
+
+    from amundsendatabuilder_spark.operators import sketches
+    from amundsendatabuilder_spark.streaming.events import (
+        run_to_memory, windowed_distinct_registers)
+    regs = windowed_distinct_registers(_event_stream(spark, sf_dir))
+    name = "swd_" + next(tempfile._get_candidate_names())
+    batch = run_to_memory(regs, spark, name, tempfile.mkdtemp())
+    est = sketches.hll_estimate(batch, ("window_start", "event_type"))
+    return est.select(
+        "window_start", "event_type",
+        round_half_away(F.col("approx_distinct"), 6).alias("approx_distinct"))
+
+
 @query("stream_sessionize", """
 WITH o AS (SELECT user_id, ts, value, event_id,
                   CASE WHEN lag(ts) OVER w IS NULL
@@ -2973,10 +3011,10 @@ def multimodal_jpeg_features(spark, sf_dir):
 def _hll_oracle() -> str:
     from amundsendatabuilder_spark.operators.sketches import hll_oracle_sql
     orders_twin = hll_oracle_sql(
-        "SELECT o_orderpriority, o_custkey FROM orders",
-        "o_custkey", "o_orderpriority")
+        "SELECT o_orderpriority AS grp, o_custkey FROM orders",
+        "o_custkey", ("grp",))
     events_twin = hll_oracle_sql(
-        "SELECT event_type, user_id FROM events", "user_id", "event_type")
+        "SELECT event_type AS grp, user_id FROM events", "user_id", ("grp",))
     return f"""
 WITH oe AS (SELECT o_orderpriority AS grp,
                    CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct

@@ -61,6 +61,34 @@ def sessionize(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def windowed_distinct_registers(events: DataFrame, window: str = "1 hour",
+                                watermark: str = "2 hours",
+                                p: int = 8) -> DataFrame:
+    """Streaming approximate COUNT(DISTINCT user_id) per tumbling window,
+    as HLL registers: (window_start, event_type, bucket, r).
+
+    Exact streaming distinct would hold every distinct user per open
+    window in the state store — unbounded. The sketch caps state at 2^p
+    registers per (window, type) group, and ``max`` is idempotent under
+    replay, so the aggregation is also exactly-once-friendly. Registers
+    (not estimates) are the streaming product: they append to a sink,
+    merge across days/jobs with another max, and fold to an estimate at
+    read time (sketches.hll_estimate) — chaining the estimate fold into
+    the stream itself would need a second stateful aggregation, which
+    append-mode streaming rightly refuses."""
+    from amundsendatabuilder_spark.operators.sketches import hll_terms
+    terms = hll_terms(events.select("ts", "event_type", "user_id"),
+                      "user_id", p)
+    return (
+        terms.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"),
+                 F.col("bucket"))
+        .agg(F.max("rho").alias("r"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "bucket", "r")
+    )
+
+
 def run_to_memory(stream_df: DataFrame, spark: SparkSession,
                   name: str, checkpoint_dir: str,
                   output_mode: str = "append") -> DataFrame:

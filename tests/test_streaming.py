@@ -369,3 +369,43 @@ def test_windowed_counts_accumulate_across_micro_batches(spark, tmp_path):
     clicks = {str(r["window_start"]): (r["n_events"], r["total_value"])
               for r in got.collect() if r["event_type"] == "click"}
     assert clicks["2024-01-01 05:00:00"] == (3, 7.0)
+
+
+def test_windowed_distinct_registers_match_batch_sketch(spark, tmp_path):
+    """Streaming HLL registers drained append-mode must equal the batch
+    sketch of the same events restricted to emitted windows — including
+    when the stream arrives as TWO files (cross-batch max-merge in the
+    state store)."""
+    from pyspark.sql import functions as F
+
+    from amundsendatabuilder_spark.operators import sketches
+    from amundsendatabuilder_spark.session import load_tables
+    from amundsendatabuilder_spark.streaming.events import (
+        read_event_stream, run_to_memory, windowed_distinct_registers)
+    events = load_tables(spark, "/root/testdata/sf0.001", ("events",))["events"]
+    src = str(tmp_path / "events_src")
+    # two files: maxFilesPerTrigger=1 forces two micro-batches, so
+    # same-window registers must merge across batches
+    events.where(F.col("event_id") % 2 == 0).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    events.where(F.col("event_id") % 2 == 1).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+        .option("maxFilesPerTrigger", "1").parquet(src))
+    regs = windowed_distinct_registers(stream)
+    got = run_to_memory(regs, spark, "wdr_test", str(tmp_path / "ckpt"))
+    got_m = {(str(r["window_start"]), r["event_type"], r["bucket"]): r["r"]
+             for r in got.collect()}
+    assert got_m, "no windows emitted"
+
+    batch = sketches.hll_registers(
+        events.select(F.date_trunc("hour", "ts").alias("window_start"),
+                      "event_type", "user_id"),
+        "user_id", ("window_start", "event_type"))
+    want_m = {(str(r["window_start"]), r["event_type"], r["bucket"]): r["r"]
+              for r in batch.collect()}
+    # every emitted register matches the batch register exactly
+    assert all(want_m[k] == v for k, v in got_m.items())
