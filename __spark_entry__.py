@@ -33,7 +33,7 @@ _PRIORITY = [
     "stream_attribution_outer", "multimodal_png_features",
     "graph_shortest_path", "multimodal_jpeg_features",
     "hll_distinct_sketch", "ann_pq_adc_topk",
-    "stream_windowed_distinct",
+    "stream_windowed_distinct", "multimodal_gif_frames",
     # (b) r5-certified but implementation changed in round 6 (6 — the
     # only overlap with the r5 window)
     "graph_match_varlen", "langid_nb", "ann_rhp_topk",

@@ -286,6 +286,8 @@ def sniff_decode(data: bytes) -> np.ndarray | None:
         return decode_png(data)
     if data[:2] == b"\xff\xd8":
         return decode_jpeg(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(data)
     return None
 
 
@@ -895,3 +897,220 @@ def pcm16_rms(payload: bytes, start_sample: int, end_sample: int) -> float | Non
     if win.size == 0:
         return None
     return float(np.sqrt(np.mean(win ** 2)) / 32768.0)
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a): palette-indexed frames under variable-width LZW. The one
+# mainstream container where multi-frame ("video") decode needs no codec
+# library — so the frame-extraction surface (frame_sample_plan's decode
+# step) can be REAL here, not a plan-only stub. Scope: global/local color
+# tables, GCE blocks (skipped), multiple full- or sub-frame images
+# composited onto the logical screen, interlace supported; transparency
+# and disposal modes beyond 'draw over' are out of scope and simply
+# composite as opaque draws.
+# ---------------------------------------------------------------------------
+
+def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """Standard GIF LZW: codes start at min_code_size+1 bits, dictionary
+    grows to 4096 then emits CLEAR and resets. LSB-first bit packing."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+
+    def reset():
+        return {(i,): i for i in range(clear)}, eoi + 1, min_code_size + 1
+
+    table, next_code, width = reset()
+    out_bits.append((clear, width))
+    prefix: tuple[int, ...] = ()
+    for px in indices:
+        cand = prefix + (int(px),)
+        if cand in table:
+            prefix = cand
+            continue
+        out_bits.append((table[prefix], width))
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        elif next_code > 4095:
+            out_bits.append((clear, width))
+            table, next_code, width = reset()
+        prefix = (int(px),)
+    if prefix:
+        out_bits.append((table[prefix], width))
+    out_bits.append((eoi, width))
+
+    acc = 0
+    nbits = 0
+    data = bytearray()
+    for code, w in out_bits:
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, npix: int) -> np.ndarray | None:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    acc = 0
+    nbits = 0
+    pos = 0
+    out = np.empty(npix, np.uint8)
+    at = 0
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev: bytes | None = None
+
+    def reset_table():
+        return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    while at < npix:
+        while nbits < width:
+            if pos >= len(data):
+                return None
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = reset_table()
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            return None
+        n = min(len(entry), npix - at)
+        out[at:at + n] = np.frombuffer(entry[:n], np.uint8)
+        at += n
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return out if at == npix else None
+
+
+_GRAY_PALETTE = bytes(v for i in range(256) for v in (i, i, i))
+
+
+def encode_gif(frames: list[np.ndarray], palette: bytes = _GRAY_PALETTE,
+               interlace: bool = False) -> bytes:
+    """List of (H, W) uint8 palette-index frames -> GIF89a bytes with a
+    256-entry global color table (default: identity grayscale, so index
+    == gray value — the property the SQL oracles lean on). Multi-frame
+    inputs become an animated stream (one image block per frame, no
+    GCE/delays — timing is not this codec's concern); ``interlace``
+    stores rows in the 4-pass interlaced order."""
+    h, w = frames[0].shape
+    assert all(f.shape == (h, w) for f in frames)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # global table, 256 entries
+    out += palette
+    order = ([*range(0, h, 8)] + [*range(4, h, 8)]
+             + [*range(2, h, 4)] + [*range(1, h, 2)])
+    for fr in frames:
+        if interlace:
+            fr = fr[order]
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h,
+                                     0x40 if interlace else 0)
+        out += bytes([8])  # LZW min code size
+        lzw = _lzw_encode(fr.reshape(-1), 8)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _deinterlace(rows: np.ndarray) -> np.ndarray:
+    h = rows.shape[0]
+    order = ([*range(0, h, 8)] + [*range(4, h, 8)]
+             + [*range(2, h, 4)] + [*range(1, h, 2)])
+    out = np.empty_like(rows)
+    out[order] = rows
+    return out
+
+
+def decode_gif_frames(data: bytes) -> list[np.ndarray] | None:
+    """GIF bytes -> list of (H, W, 3) uint8 RGB frames (each the full
+    logical screen, sub-frames composited over the previous frame), or
+    None for malformed streams."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+        pos = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 << (flags & 0x07)
+            gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        canvas = np.zeros((h, w, 3), np.uint8)
+        frames: list[np.ndarray] = []
+        while pos < len(data):
+            b = data[pos]
+            if b == 0x3B:  # trailer
+                break
+            if b == 0x21:  # extension: label + sub-blocks, skip
+                pos += 2
+                while data[pos] != 0:
+                    pos += 1 + data[pos]
+                pos += 1
+                continue
+            if b != 0x2C:
+                return None
+            fx, fy, fw, fh, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
+            pos += 10
+            table = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                table = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if table is None:
+                return None
+            mcs = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                lzw += data[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(bytes(lzw), mcs, fw * fh)
+            if idx is None or int(idx.max()) >= table.shape[0]:
+                return None
+            rows = idx.reshape(fh, fw)
+            if iflags & 0x40:
+                rows = _deinterlace(rows)
+            canvas = canvas.copy()
+            canvas[fy:fy + fh, fx:fx + fw] = table[rows]
+            frames.append(canvas)
+        return frames if frames else None
+    except (struct.error, ValueError, IndexError):
+        return None
+
+
+def decode_gif(data: bytes) -> np.ndarray | None:
+    """First frame of a GIF as (H, W, 3) RGB — the still-image view."""
+    frames = decode_gif_frames(data)
+    return frames[0] if frames else None

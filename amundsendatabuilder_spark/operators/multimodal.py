@@ -296,6 +296,84 @@ def synthetic_png_media(spark, n: int = 32) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+FRAME_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("mean_luma", T.DoubleType(), True),
+    T.StructField("phash", T.StringType(), True),
+])
+
+
+def decode_frame_features(media: DataFrame) -> DataFrame:
+    """Multi-frame (video-side) decode: each ``kind='video'`` payload that
+    the GIF codec understands expands to one feature row PER FRAME —
+    the real decode step behind frame_sample_plan's timestamp plan.
+    Arrow-batched mapInPandas; a row whose payload is no multi-frame
+    container this codec reads yields a single all-NULL frame row
+    (honest corrupt-input semantics). Same luma/phash kernels as the
+    still-image path, so features are container- and frame-position-
+    comparable."""
+    from amundsendatabuilder_spark.operators.media_codecs import (
+        avg_hash, decode_gif_frames, to_gray)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "frame_idx": [], "width": [],
+                   "height": [], "mean_luma": [], "phash": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = decode_gif_frames(
+                    bytes(payload) if payload is not None else b"")
+                if not frames:
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(0)
+                    for k in ("width", "height", "mean_luma", "phash"):
+                        out[k].append(None)
+                    continue
+                for fi, rgb in enumerate(frames):
+                    gray = to_gray(rgb)
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(fi)
+                    out["width"].append(rgb.shape[1])
+                    out["height"].append(rgb.shape[0])
+                    out["mean_luma"].append(float(gray.mean() / 255.0))
+                    out["phash"].append(avg_hash(gray))
+            pdf_out = pd.DataFrame(out)
+            pdf_out["width"] = pdf_out["width"].astype("Int32")
+            pdf_out["height"] = pdf_out["height"].astype("Int32")
+            pdf_out["frame_idx"] = pdf_out["frame_idx"].astype("int32")
+            yield pdf_out
+
+    pruned = media.where(F.col("kind") == "video").select("media_id", "payload")
+    return pruned.mapInPandas(batches, FRAME_FEATURES_SCHEMA)
+
+
+def synthetic_gif_media(spark, n: int = 24, n_frames: int = 3) -> DataFrame:
+    """Deterministic animated-GIF table: every asset is ``n_frames`` flat-
+    8x8-block grayscale frames under the identity gray palette (index ==
+    gray value), block value ``(bx*29 + by*53 + i*11 + f*17) % 256`` —
+    LZW is lossless, so decoded pixels (and the per-frame luma/avg-hash
+    closed forms) follow from the formula alone. Encoding rotates
+    progressive/interlaced row order (i % 2) so both scan paths sit
+    under the oracle hash."""
+    import numpy as np
+
+    from amundsendatabuilder_spark.operators.media_codecs import encode_gif
+    rows = []
+    for i in range(n):
+        w, h = 96 + (i % 5) * 16, 80 + (i % 4) * 16
+        bx = np.arange(w) // 8
+        by = np.arange(h) // 8
+        frames = [
+            ((bx[None, :] * 29 + by[:, None] * 53 + i * 11 + f * 17) % 256)
+            .astype(np.uint8) for f in range(n_frames)]
+        rows.append((i, "video", bytearray(encode_gif(frames,
+                                                      interlace=bool(i % 2))),
+                     (w, h, None, n_frames * 100, "gif")))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def synthetic_jpeg_media(spark, n: int = 32) -> DataFrame:
     """Deterministic synthetic JPEG image table for the baseline-JPEG
     codec oracle. Each image is a grid of flat 8x8 gray blocks with value

@@ -2954,6 +2954,60 @@ def multimodal_png_features(spark, sf_dir):
                     "phash"))
 
 
+@query("multimodal_gif_frames", """
+WITH m AS (SELECT i AS media_id, f AS frame_idx,
+                  96 + (i % 5) * 16 AS w, 80 + (i % 4) * 16 AS h
+           FROM (SELECT unnest(range(0, 24)) AS i)
+                CROSS JOIN (SELECT unnest(range(0, 3)) AS f)),
+bb AS (SELECT media_id, frame_idx, w, h,
+              (bx * 29 + by * 53 + media_id * 11 + frame_idx * 17) % 256 AS v
+       FROM m CROSS JOIN (SELECT unnest(range(0, 20)) AS bx)
+              CROSS JOIN (SELECT unnest(range(0, 16)) AS by)
+       WHERE bx < w // 8 AND by < h // 8),
+lum AS (SELECT media_id, frame_idx, w, h, avg(v) AS ml
+        FROM bb GROUP BY 1, 2, 3, 4),
+tt AS (SELECT media_id, frame_idx, ty, tx,
+              (((tx * w) // 64) * 29 + ((ty * h) // 64) * 53
+               + media_id * 11 + frame_idx * 17) % 256 AS tv
+       FROM m CROSS JOIN (SELECT unnest(range(0, 8)) AS tx)
+              CROSS JOIN (SELECT unnest(range(0, 8)) AS ty)),
+ta AS (SELECT media_id, frame_idx, avg(tv) AS tavg
+       FROM tt GROUP BY media_id, frame_idx),
+rowbits AS (SELECT tt.media_id, tt.frame_idx, ty,
+                   CAST(sum(CASE WHEN tv >= tavg
+                                 THEN 1 << (7 - CAST(tx AS INT)) ELSE 0 END)
+                        AS BIGINT) AS rb
+            FROM tt JOIN ta USING (media_id, frame_idx)
+            GROUP BY tt.media_id, tt.frame_idx, ty),
+ph AS (SELECT media_id, frame_idx,
+              string_agg(lpad(lower(to_hex(rb)), 2, '0'), '' ORDER BY ty) AS phash
+       FROM rowbits GROUP BY media_id, frame_idx)
+SELECT lum.media_id, CAST(lum.frame_idx AS INT) AS frame_idx,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       round(ml / 255.0, 6) AS mean_luma, phash
+FROM lum JOIN ph ON lum.media_id = ph.media_id
+               AND lum.frame_idx = ph.frame_idx
+""")
+def multimodal_gif_frames(spark, sf_dir):
+    """Animated-GIF frame extraction (multimodal.decode_frame_features +
+    media_codecs GIF/LZW): variable-width LZW decode, palette mapping,
+    interlace handling, per-frame compositing — the video-side decode
+    made REAL for the one mainstream multi-frame container that needs no
+    codec library. The fixture rotates progressive/interlaced streams
+    over flat-block frames (LZW is lossless), so each frame's mean luma
+    and avg-hash have closed forms the SQL twin rebuilds per (media,
+    frame). Complements frame_sample_plan (timestamp planning) with the
+    actual decode step."""
+    from amundsendatabuilder_spark.operators.multimodal import (
+        decode_frame_features, synthetic_gif_media)
+    return (decode_frame_features(synthetic_gif_media(spark, n=24, n_frames=3))
+            .select("media_id", "frame_idx", "width", "height",
+                    round_half_away(F.col("mean_luma"), 6).alias("mean_luma"),
+                    "phash"))
+
+
+
+
 @query("multimodal_jpeg_features", """
 WITH m AS (SELECT i AS media_id, 96 + (i % 5) * 16 AS w, 80 + (i % 4) * 16 AS h
            FROM (SELECT unnest(range(0, 32)) AS i)),

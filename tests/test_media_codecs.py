@@ -258,3 +258,55 @@ def test_jpeg_sniff_and_cross_codec_pixel_parity():
     assert np.array_equal(sniff_decode(encode_jpeg(img, "420")),
                           decode_bmp(encode_bmp(img)))
     assert sniff_decode(encode_jpeg(img)).shape == img.shape
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a, LZW)
+# ---------------------------------------------------------------------------
+
+def test_gif_lzw_round_trip_and_kwkwk():
+    from amundsendatabuilder_spark.operators.media_codecs import (
+        _lzw_decode, _lzw_encode)
+    rng = np.random.default_rng(5)
+    for n in (1, 10, 5000, 20000):  # 20k forces dict growth past 12 bits
+        idx = rng.integers(0, 256, n).astype(np.uint8)
+        assert np.array_equal(_lzw_decode(_lzw_encode(idx, 8), 8, n), idx), n
+    runs = np.array([3, 3, 3, 3, 3, 3, 3, 3] * 100, np.uint8)  # KwKwK codes
+    assert np.array_equal(
+        _lzw_decode(_lzw_encode(runs, 8), 8, len(runs)), runs)
+
+
+def test_gif_single_frame_and_interlace_round_trip():
+    from amundsendatabuilder_spark.operators.media_codecs import (
+        decode_gif, encode_gif)
+    v = ((np.arange(40)[:, None] * 7 + np.arange(56)[None, :] * 3) % 256) \
+        .astype(np.uint8)
+    for il in (False, True):
+        out = decode_gif(encode_gif([v], interlace=il))
+        assert out.shape == (40, 56, 3), il
+        # identity gray palette: every channel equals the index plane
+        assert all(np.array_equal(out[:, :, c], v) for c in range(3)), il
+
+
+def test_gif_animated_frames_in_order():
+    from amundsendatabuilder_spark.operators.media_codecs import (
+        decode_gif_frames, encode_gif)
+    base = ((np.arange(24)[:, None] * 5 + np.arange(32)[None, :]) % 256) \
+        .astype(np.uint8)
+    frames = [((base.astype(int) + 13 * f) % 256).astype(np.uint8)
+              for f in range(4)]
+    got = decode_gif_frames(encode_gif(frames))
+    assert len(got) == 4
+    for f in range(4):
+        assert np.array_equal(got[f][:, :, 0], frames[f]), f
+
+
+def test_gif_rejects_corruption():
+    from amundsendatabuilder_spark.operators.media_codecs import (
+        decode_gif, encode_gif)
+    v = np.zeros((16, 16), np.uint8)
+    g = encode_gif([v])
+    assert decode_gif(g[:30]) is None
+    assert decode_gif(b"GIF89a garbage") is None
+    assert decode_gif(b"nope") is None
+    assert sniff_decode(g).shape == (16, 16, 3)

@@ -56,7 +56,7 @@ SUITE = [
     "stream_attribution_outer", "stream_dedup_first_seen",
     "stream_near_dup",
     "multimodal_png_features", "multimodal_jpeg_features",
-    "hll_distinct_sketch", "ann_pq_adc_topk", "stream_windowed_distinct",
+    "hll_distinct_sketch", "ann_pq_adc_topk", "stream_windowed_distinct", "multimodal_gif_frames",
 ]
 
 
