@@ -34,6 +34,7 @@ _PRIORITY = [
     "graph_shortest_path", "multimodal_jpeg_features",
     "hll_distinct_sketch", "ann_pq_adc_topk",
     "stream_windowed_distinct", "multimodal_gif_frames",
+    "graph_path_rel_props",
     # (b) r5-certified but implementation changed in round 6 (6 — the
     # only overlap with the r5 window)
     "graph_match_varlen", "langid_nb", "ann_rhp_topk",

@@ -2342,6 +2342,75 @@ def graph_shortest_path(spark, sf_dir):
             .select("n0_key", "n_key", "n_label", "distance"))
 
 
+@query("graph_path_rel_props", """
+WITH RECURSIVE keys AS (SELECT DISTINCT o_orderkey AS k FROM orders
+                        WHERE o_orderkey <= 300),
+edges AS (
+  SELECT a.k AS src, b.k AS dst, (a.k % 7) + 1 AS w
+  FROM keys a JOIN keys b ON b.k = a.k + 1
+  UNION ALL
+  SELECT a.k AS src, b.k AS dst, (a.k % 5) + 10 AS w
+  FROM keys a JOIN keys b ON b.k = a.k * 2),
+p AS (
+  SELECT k AS root, k AS node, 0 AS depth, CAST([] AS VARCHAR[]) AS ws
+  FROM keys
+  UNION ALL
+  SELECT p.root, e.dst, p.depth + 1, list_append(p.ws, CAST(e.w AS VARCHAR))
+  FROM p JOIN edges e ON e.src = p.node
+  WHERE p.depth < 3 AND e.w < 12)
+SELECT CAST(root AS VARCHAR) AS n0_key, CAST(node AS VARCHAR) AS n_key,
+       CAST(depth AS INT) AS depth,
+       array_to_string(ws, ',') AS path_weights,
+       CAST(list_aggregate(list_transform(ws, x -> CAST(x AS INT)), 'sum')
+            AS BIGINT) AS total_weight
+FROM p WHERE depth >= 1
+""")
+def graph_path_rel_props(spark, sf_dir):
+    """Path enumeration with rel-property returns and an ALL-hops path
+    predicate (sources/graph.match_var_path_rels) — Cypher
+    MATCH p=(a)-[*1..3]->(b) WHERE ALL(r IN relationships(p)
+    WHERE r.weight < 12) RETURN a, b, length(p),
+    [r IN relationships(p) | r.weight]. The chain+skip graph over order
+    keys yields genuinely multiple paths per (a, b) pair (one row each —
+    path, not endpoint, semantics), chain hops carry weight (k%7)+1 and
+    skip hops (k%5)+10, so the predicate prunes exactly the skip edges
+    with weight >= 12 and the accumulated lists pin hop ORDER. Oracle is
+    the recursive CTE with the same accumulation and in-recursion
+    pruning."""
+    from amundsendatabuilder_spark.sources.graph import match_var_path_rels
+    (orders,) = _t(spark, sf_dir, "orders")
+    keys = (orders.where(F.col("o_orderkey") <= 300)
+            .select(F.col("o_orderkey").alias("k")).distinct())
+    nodes = keys.select(
+        F.col("k").cast("string").alias("KEY"), F.lit("Node").alias("LABEL"),
+        F.create_map().cast("map<string,string>").alias("props"))
+    a, b = keys.alias("a"), keys.alias("b")
+
+    def edge(cond, w):
+        return (a.join(b, cond)
+                .select(F.col("a.k").cast("string").alias("START_KEY"),
+                        F.lit("Node").alias("START_LABEL"),
+                        F.col("b.k").cast("string").alias("END_KEY"),
+                        F.lit("Node").alias("END_LABEL"),
+                        F.lit("FLOWS").alias("TYPE"),
+                        F.lit("FLOWED").alias("REVERSE_TYPE"),
+                        F.create_map(F.lit("weight"),
+                                     w.cast("string")).alias("props")))
+    rels = edge(F.col("b.k") == F.col("a.k") + 1,
+                F.col("a.k") % 7 + 1).unionByName(
+        edge(F.col("b.k") == F.col("a.k") * 2, F.col("a.k") % 5 + 10))
+    paths = match_var_path_rels(
+        nodes, rels, start_label="Node", rel_type="FLOWS",
+        min_hops=1, max_hops=3, rel_prop="weight",
+        rel_pred=F.col("props").getItem("weight").cast("int") < 12)
+    return paths.select(
+        "n0_key", "n_key", "depth",
+        F.array_join("rel_props", ",").alias("path_weights"),
+        F.aggregate(F.transform("rel_props", lambda x: x.cast("long")),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v).alias("total_weight"))
+
+
 @query("column_profile", """
 SELECT col_name, n_rows, n_nulls, n_distinct, min_value, max_value, stddev
 FROM (

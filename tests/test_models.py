@@ -232,3 +232,38 @@ def test_match_shortest_collapses_multi_route(spark):
     rows = match_shortest(nodes, rels, start_label="Node",
                           rel_type="FLOWS", max_hops=4).collect()
     assert len(rows) == len({(r.n0_key, r.n_key) for r in rows})
+
+
+def test_match_var_path_rels_paths_and_pruning(spark):
+    """Path (not endpoint) semantics with in-expansion ALL-hops pruning:
+    diamond graph a->b->d, a->c->d — two 2-hop paths to d with different
+    weight lists; a predicate killing one edge removes exactly the paths
+    through it."""
+    from pyspark.sql import functions as F
+
+    from amundsendatabuilder_spark.sources.graph import match_var_path_rels
+    nodes = spark.createDataFrame(
+        [(k, "N", {}) for k in "abcd"],
+        "KEY string, LABEL string, props map<string,string>")
+    rels = spark.createDataFrame(
+        [("a", "N", "b", "N", "T", "R", {"weight": "1"}),
+         ("a", "N", "c", "N", "T", "R", {"weight": "5"}),
+         ("b", "N", "d", "N", "T", "R", {"weight": "2"}),
+         ("c", "N", "d", "N", "T", "R", {"weight": "6"})],
+        "START_KEY string, START_LABEL string, END_KEY string, "
+        "END_LABEL string, TYPE string, REVERSE_TYPE string, "
+        "props map<string,string>")
+    out = match_var_path_rels(nodes, rels, start_label="N", rel_type="T",
+                              min_hops=1, max_hops=2)
+    got = {(r["n0_key"], r["n_key"], r["depth"], tuple(r["rel_props"]))
+           for r in out.collect()}
+    # both 2-hop a->d paths present, each with its ordered weight list
+    assert ("a", "d", 2, ("1", "2")) in got
+    assert ("a", "d", 2, ("5", "6")) in got
+    pruned = match_var_path_rels(
+        nodes, rels, start_label="N", rel_type="T", min_hops=1, max_hops=2,
+        rel_pred=F.col("props").getItem("weight").cast("int") < 5)
+    got_p = {(r["n0_key"], r["n_key"], r["depth"], tuple(r["rel_props"]))
+             for r in pruned.collect()}
+    assert ("a", "d", 2, ("1", "2")) in got_p
+    assert all(all(int(w) < 5 for w in ws) for _, _, _, ws in got_p)
