@@ -55,3 +55,33 @@ def nibble_value(char_col) -> Column:
     """Hex char -> 0..15 via position lookup (codegen-friendly, no UDF,
     and expressible identically in ANSI SQL as instr('0123..f', c)-1)."""
     return (F.instr(F.lit("0123456789abcdef"), _c(char_col)) - 1).cast("int")
+
+
+MERSENNE_31 = (1 << 31) - 1
+
+
+def udh_positions(col, n: int, width: int) -> list[Column]:
+    """n independent hash positions in [0, width) from ONE md5 — the
+    bucket/bit coordinates for count-min rows and Bloom probes.
+
+    Row j draws from md5 chunk j%4 (independent 32-bit values), passed
+    through h_j = (chunk * A_j + B_j) mod (2^31 - 1) mod width. The
+    PRIME modulus matters: reducing mod 2^32 and then mod a power-of-two
+    width would keep only the low bits of the chunk, making every row's
+    bucket a function of chunk mod width — perfectly correlated rows,
+    which silently turns a depth-d sketch into a depth-1 one. All math
+    stays under 2^63, exact in signed 64-bit on both engines."""
+    a, b = minhash_constants(n)
+    chunks = md5_chunks(col)
+    return [((chunks[j % 4] * F.lit(a[j]) + F.lit(b[j]))
+             % F.lit(MERSENNE_31) % F.lit(width)) for j in range(n)]
+
+
+def udh_positions_sql(col: str, n: int, width: int) -> list[str]:
+    """ANSI twin of ``udh_positions``: one SQL expression per row j,
+    referencing column ``col`` (DuckDB hex cast idiom)."""
+    a, b = minhash_constants(n)
+    return [
+        f"(CAST('0x' || substr(md5({col}), {(j % 4) * 8 + 1}, 8) AS BIGINT)"
+        f" * {a[j]} + {b[j]}) % {MERSENNE_31} % {width}"
+        for j in range(n)]

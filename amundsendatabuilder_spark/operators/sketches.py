@@ -151,3 +151,123 @@ SELECT {gsel}
                                 * (CAST(1 AS BIGINT) << 50) AS DOUBLE)
        END AS approx_distinct
 FROM fold"""
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — mergeable frequency registers
+# ---------------------------------------------------------------------------
+#
+# The frequency twin of the HLL above: exact per-token counts over 100 TB
+# of text shuffle one row per distinct token; the count-min sketch replaces
+# that with a fixed depth x width counter grid that partial-aggregates
+# map-side (SUM is commutative), merges across shards/days with another
+# SUM, and answers point queries with one-sided error
+# (est >= true, est <= true + eps*N w.h.p.). Register state per group is
+# at most depth*width rows, so the shuffle payload is bounded by the
+# sketch size times the partition count — never by the token stream.
+#
+# Hashing: ONE md5 per value; row j draws from md5 chunk j%4 through a
+# prime-modulus universal hash (hashing.udh_positions — the prime keeps
+# power-of-two widths from collapsing every row to the same low bits) —
+# exact signed-64-bit integer math that an ANSI twin reproduces
+# term-for-term.
+
+def cms_registers(df: DataFrame, col: str, group_cols: tuple[str, ...] = (),
+                  depth: int = 4, width: int = 512) -> DataFrame:
+    """(group..., j, bucket, cnt): the sketch — at most depth*width rows
+    per group, partial-aggregated map-side. Store it, UNION another
+    shard's registers and SUM again, or feed it to ``cms_lookup``."""
+    from amundsendatabuilder_spark.functions.hashing import udh_positions
+    pos = udh_positions(F.col(col), depth, width)
+    hb = F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"), pos[j].alias("bucket"))
+        for j in range(depth)])).alias("hb")
+    d = df.select(*group_cols, hb).select(*group_cols, "hb.j", "hb.bucket")
+    return d.groupBy(*group_cols, "j", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_lookup(registers: DataFrame, probes: DataFrame, col: str,
+               group_cols: tuple[str, ...] = (), depth: int = 4,
+               width: int = 512) -> DataFrame:
+    """Point-query the sketch for every row of ``probes``: recompute the
+    depth (j, bucket) coordinates for ``col``, join the register grid
+    (broadcast — it is at most depth*width rows per group), and take the
+    min count across rows. Missing buckets count 0 (value never seen)."""
+    from amundsendatabuilder_spark.functions.hashing import udh_positions
+    pos = udh_positions(F.col(col), depth, width)
+    hb = F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"), pos[j].alias("bucket"))
+        for j in range(depth)])).alias("hb")
+    p = probes.select(*group_cols, col, hb).select(
+        *group_cols, col, "hb.j", "hb.bucket")
+    joined = p.join(F.broadcast(registers), [*group_cols, "j", "bucket"],
+                    "left")
+    return joined.groupBy(*group_cols, col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_cnt"))
+
+
+def cms_oracle_fragment(tok_cte: str, col: str, depth: int = 4,
+                        width: int = 512) -> str:
+    """DuckDB CTE text replaying ``cms_registers`` over ``tok_cte`` (a CTE
+    name holding one row per occurrence with column ``col``): produces
+    CTEs ``cms_hb`` (exploded coordinates) and ``cms_regs``."""
+    from amundsendatabuilder_spark.functions.hashing import (
+        udh_positions_sql)
+    pos = udh_positions_sql(col, depth, width)
+    branches = "\nUNION ALL\n".join(
+        f"SELECT {col}, {j} AS j, {pos[j]} AS bucket FROM {tok_cte}"
+        for j in range(depth))
+    return (f"cms_hb AS ({branches}),\n"
+            f"cms_regs AS (SELECT j, bucket, count(*) AS cnt "
+            f"FROM cms_hb GROUP BY j, bucket)")
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — mergeable membership bitmap
+# ---------------------------------------------------------------------------
+#
+# Membership at corpus scale (decontamination: "was this fingerprint /
+# n-gram seen in the benchmark set?") without shipping the reference set
+# to every executor as raw values. The filter is m bits stored as
+# ceil(m/63) BIGINT words of 63 bits each (the sign bit stays clear so
+# checked ANSI left-shifts never overflow) built with bit_or aggregation
+# (commutative -> map-side partial, mergeable across builds with another
+# bit_or). Probing
+# broadcasts the word table (m/64 rows — a few KiB) and checks the k bit
+# positions per probe; no false negatives, false-positive rate
+# ~ (1 - e^{-kn/m})^k. Same one-md5 universal-hash family as the CMS.
+
+def bloom_build(df: DataFrame, col: str, m_bits: int = 8192,
+                k: int = 4) -> DataFrame:
+    """(word_idx, bits): the filter packed 63 bits per BIGINT word; at
+    most ceil(m_bits/63) rows, one map-side-combined bit_or aggregation."""
+    from amundsendatabuilder_spark.functions.hashing import udh_positions
+    pos = F.explode(F.array(
+        *udh_positions(F.col(col), k, m_bits))).alias("pos")
+    d = df.select(pos)
+    return (d.select((F.col("pos") / 63).cast("long").alias("word_idx"),
+                     F.expr("shiftleft(CAST(1 AS BIGINT), "
+                            "CAST(pos % 63 AS INT))").alias("w"))
+            .groupBy("word_idx").agg(F.bit_or("w").alias("bits")))
+
+
+def bloom_probe(probes: DataFrame, bloom: DataFrame, col: str,
+                m_bits: int = 8192, k: int = 4) -> DataFrame:
+    """Append ``maybe_member`` (true iff all k bits set — no false
+    negatives) to ``probes``. The filter word table is broadcast; the
+    probe side never shuffles."""
+    from amundsendatabuilder_spark.functions.hashing import udh_positions
+    pos = F.explode(F.array(
+        *udh_positions(F.col(col), k, m_bits))).alias("pos")
+    p = probes.select("*", pos).withColumn(
+        "word_idx", (F.col("pos") / 63).cast("long")).withColumn(
+        "mask", F.expr("shiftleft(CAST(1 AS BIGINT), "
+                       "CAST(pos % 63 AS INT))"))
+    j = p.join(F.broadcast(bloom), "word_idx", "left")
+    hit = F.when((F.col("bits").isNotNull())
+                 & (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask")),
+                 F.lit(1)).otherwise(F.lit(0))
+    keys = [c for c in probes.columns]
+    return (j.groupBy(*keys).agg(
+        (F.min(hit) == 1).alias("maybe_member")))

@@ -3890,3 +3890,134 @@ def quantize_embeddings_query(spark, sf_dir):
     from amundsendatabuilder_spark.operators.similarity import (
         quantize_embeddings)
     return quantize_embeddings(emb)
+
+
+# ---------------------------------------------------------------------------
+# Frequency / membership sketches (count-min, Bloom)
+# ---------------------------------------------------------------------------
+
+def _cms_oracle() -> str:
+    from amundsendatabuilder_spark.operators.sketches import (
+        cms_oracle_fragment)
+    frag = cms_oracle_fragment("tok", "tok", depth=4, width=512)
+    return (r"""
+WITH tok AS (SELECT unnest(""" + _LTOKS_SQL + r""") AS tok FROM documents),
+""" + frag + r""",
+exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt
+          FROM tok GROUP BY 1
+          ORDER BY exact_cnt DESC, tok LIMIT 20),
+probe_hb AS (SELECT DISTINCT tok, j, bucket FROM cms_hb
+             WHERE tok IN (SELECT tok FROM exact)),
+est AS (SELECT p.tok, min(coalesce(r.cnt, 0)) AS cms_cnt
+        FROM probe_hb p LEFT JOIN cms_regs r USING (j, bucket)
+        GROUP BY p.tok)
+SELECT e.tok, e.exact_cnt, CAST(est.cms_cnt AS BIGINT) AS cms_cnt
+FROM exact e JOIN est USING (tok)
+ORDER BY e.exact_cnt DESC, e.tok
+""")
+
+
+@query("cms_heavy_hitters", _cms_oracle())
+def cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch point queries for the corpus's top-20 tokens
+    (operators/sketches.cms_registers/cms_lookup) — the mergeable
+    frequency twin of the HLL entry. At 100 TB the register grid
+    (depth 4 x width 512 counter rows) partial-aggregates map-side and is
+    the ONLY thing that shuffles; daily/shard sketches merge with a
+    further SUM. Estimates are one-sided (cms_cnt >= exact_cnt), which
+    the paired exact column makes visible. Hash-verified: the DuckDB twin
+    replays the one-md5 universal-hash family (hashing.minhash_constants)
+    coordinate-for-coordinate, the register SUM grid, and the min-over-
+    depth lookup in exact BIGINT arithmetic. Heavy-hitter candidates come
+    from an exact pass here so the sketch error itself is pinned by the
+    oracle; in production the candidate set comes from per-partition
+    heads, keeping the whole pipeline one scan."""
+    from amundsendatabuilder_spark.functions.text import tokens
+    from amundsendatabuilder_spark.operators import sketches
+    (docs,) = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+    regs = sketches.cms_registers(tok, "tok", depth=4, width=512)
+    exact = (tok.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+             .orderBy(F.col("exact_cnt").desc(), "tok").limit(20))
+    est = sketches.cms_lookup(regs, exact.select("tok"), "tok",
+                              depth=4, width=512)
+    return (exact.join(est, "tok")
+            .select("tok", "exact_cnt", F.col("cms_cnt").cast("long"))
+            .orderBy(F.col("exact_cnt").desc(), "tok"))
+
+
+def _bloom_oracle() -> str:
+    from amundsendatabuilder_spark.functions.hashing import (
+        udh_positions_sql)
+    pos_exprs = udh_positions_sql("tok", 4, 131072)
+
+    def pos_cte(src: str) -> str:
+        return "\nUNION ALL\n".join(
+            f"SELECT tok, {pos_exprs[j]} AS pos FROM {src}"
+            for j in range(4))
+
+    return (r"""
+WITH t AS (SELECT source, """ + _TOKS_SQL + r""" AS toks FROM documents),
+tok AS (SELECT source,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS tok
+        FROM (SELECT source, toks, unnest(range(1, len(toks) - 1)) AS i
+              FROM t)),
+bench AS (SELECT DISTINCT tok FROM tok
+          WHERE source IN ('src0','src1','src2','src3')),
+probes AS (SELECT DISTINCT tok FROM tok
+           WHERE source NOT IN ('src0','src1','src2','src3')),
+bpos AS (""" + pos_cte("bench") + r"""),
+words AS (SELECT pos // 63 AS word_idx,
+                 bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS bits
+          FROM bpos GROUP BY 1),
+ppos AS (""" + pos_cte("probes") + r"""),
+hits AS (SELECT p.tok,
+                min(CASE WHEN w.bits IS NOT NULL
+                          AND (w.bits & (CAST(1 AS BIGINT)
+                                         << CAST(p.pos % 63 AS INT)))
+                              = (CAST(1 AS BIGINT)
+                                 << CAST(p.pos % 63 AS INT))
+                         THEN 1 ELSE 0 END) AS hit
+         FROM ppos p LEFT JOIN words w ON p.pos // 63 = w.word_idx
+         GROUP BY p.tok),
+flags AS (SELECT h.tok, h.hit = 1 AS maybe_member,
+                 h.tok IN (SELECT tok FROM bench) AS is_present
+          FROM hits h)
+SELECT maybe_member, is_present, CAST(count(*) AS BIGINT) AS n_tokens
+FROM flags GROUP BY 1, 2 ORDER BY 1, 2
+""")
+
+
+@query("bloom_decontam_membership", _bloom_oracle())
+def bloom_decontam_membership(spark, sf_dir):
+    """Bloom-filter membership probe for decontamination
+    (operators/sketches.bloom_build/bloom_probe): the benchmark sources'
+    distinct word-3-gram shingles are packed into a 2^17-bit filter
+    (~16 bits/element at this corpus -> ~0.2% theoretical fp)
+    (63 bits per BIGINT word — sign bit clear so checked ANSI shifts
+    never overflow — built by one map-side-combined bit_or), and every
+    other source's shingle is probed against the broadcast word table — the at-scale alternative to
+    semi-joining a 100 TB corpus against a reference set. Output is the
+    (maybe_member, is_present) contingency: no-false-negatives shows as
+    an empty (false, true) cell; the (true, false) cell counts the
+    filter's false positives at this m/n. Hash-verified: the twin replays
+    bit positions, packed words, and probe tests in exact integer math."""
+    from amundsendatabuilder_spark.functions.text import word_shingles
+    from amundsendatabuilder_spark.operators import sketches
+    (docs,) = _t(spark, sf_dir, "documents")
+    bench_srcs = ["src0", "src1", "src2", "src3"]
+    tok = docs.select(
+        "source", F.explode(word_shingles(F.col("text"), 3)).alias("tok"))
+    bench = (tok.where(F.col("source").isin(bench_srcs))
+             .select("tok").distinct())
+    probes = (tok.where(~F.col("source").isin(bench_srcs))
+              .select("tok").distinct())
+    bloom = sketches.bloom_build(bench, "tok", m_bits=131072, k=4)
+    flagged = sketches.bloom_probe(probes, bloom, "tok",
+                                   m_bits=131072, k=4)
+    exact = flagged.join(bench.withColumn("is_present", F.lit(True)),
+                         "tok", "left").fillna({"is_present": False})
+    return (exact.groupBy("maybe_member", "is_present")
+            .agg(F.count(F.lit(1)).alias("n_tokens"))
+            .orderBy("maybe_member", "is_present"))

@@ -1010,3 +1010,79 @@ def test_pq_train_deterministic_across_runs(spark):
     b1 = sorted(map(repr, pq_train(df, m=4, ksub=8, dim=32, iters=2).collect()))
     b2 = sorted(map(repr, pq_train(df, m=4, ksub=8, dim=32, iters=2).collect()))
     assert b1 == b2
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch / Bloom filter (operators/sketches)
+# ---------------------------------------------------------------------------
+
+def test_cms_estimate_one_sided_and_tight(spark):
+    """CMS guarantees est >= exact; with depth 4 x width 512 over a few
+    hundred distinct values the estimate should also be exact for the
+    heavy values (collisions add at most a handful of counts)."""
+    from amundsendatabuilder_spark.operators import sketches
+    df = spark.range(3000).select(
+        (F.col("id") % 100).cast("string").alias("v"))
+    regs = sketches.cms_registers(df, "v")
+    probes = df.select("v").distinct()
+    est = {r.v: r.cms_cnt for r in
+           sketches.cms_lookup(regs, probes, "v").collect()}
+    assert all(est[str(k)] >= 30 for k in range(100))
+    # majority of values should see zero collisions in at least one row
+    assert sum(1 for v in est.values() if v == 30) >= 60
+    assert sum(est.values()) <= 3000 * 2
+
+
+def test_cms_registers_merge_equals_whole(spark):
+    """SUM-mergeability: shard sketches summed == whole-data sketch."""
+    from amundsendatabuilder_spark.operators import sketches
+    df = spark.range(1000).select((F.col("id") % 37).cast("string").alias("v"))
+    whole = sketches.cms_registers(df, "v")
+    merged = (sketches.cms_registers(df.where(F.col("id") < 400), "v")
+              .unionByName(sketches.cms_registers(df.where(F.col("id") >= 400), "v"))
+              .groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt")))
+    assert (sorted(map(tuple, whole.collect()))
+            == sorted(map(tuple, merged.collect())))
+
+
+def test_cms_unseen_value_estimates_zero_or_collision(spark):
+    from amundsendatabuilder_spark.operators import sketches
+    df = spark.range(50).select(F.col("id").cast("string").alias("v"))
+    regs = sketches.cms_registers(df, "v")
+    probes = spark.createDataFrame([("zzz-never-seen",)], "v string")
+    est = sketches.cms_lookup(regs, probes, "v").collect()[0]["cms_cnt"]
+    assert 0 <= est <= 2  # tiny chance of collision in all 4 rows
+
+
+def test_bloom_no_false_negatives(spark):
+    from amundsendatabuilder_spark.operators import sketches
+    members = spark.range(200).select(
+        F.concat(F.lit("m"), F.col("id")).alias("v"))
+    bloom = sketches.bloom_build(members, "v")
+    got = {r.v: r.maybe_member for r in
+           sketches.bloom_probe(members, bloom, "v").collect()}
+    assert all(got.values()) and len(got) == 200
+
+
+def test_bloom_false_positive_rate_bounded(spark):
+    from amundsendatabuilder_spark.operators import sketches
+    members = spark.range(500).select(
+        F.concat(F.lit("m"), F.col("id")).alias("v"))
+    others = spark.range(500).select(
+        F.concat(F.lit("x"), F.col("id")).alias("v"))
+    bloom = sketches.bloom_build(members, "v", m_bits=8192, k=4)
+    got = sketches.bloom_probe(others, bloom, "v", m_bits=8192, k=4)
+    fp = got.where(F.col("maybe_member")).count()
+    # n=500, m=8192, k=4 -> theoretical fp ~ 0.24%; allow well above
+    assert fp <= 25, fp
+
+
+def test_bloom_merge_is_bitor(spark):
+    from amundsendatabuilder_spark.operators import sketches
+    a = spark.range(100).select(F.concat(F.lit("a"), F.col("id")).alias("v"))
+    b = spark.range(100).select(F.concat(F.lit("b"), F.col("id")).alias("v"))
+    whole = sketches.bloom_build(a.unionByName(b), "v")
+    merged = (sketches.bloom_build(a, "v").unionByName(sketches.bloom_build(b, "v"))
+              .groupBy("word_idx").agg(F.bit_or("bits").alias("bits")))
+    assert (sorted(map(tuple, whole.collect()))
+            == sorted(map(tuple, merged.collect())))
