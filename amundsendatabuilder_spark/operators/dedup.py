@@ -619,3 +619,66 @@ def benchmark_overlap(train: DataFrame, benchmark: DataFrame,
     return (train_grams.join(F.broadcast(bench_grams), "shingle")
             .groupBy("doc_id")
             .agg(F.count("*").cast("long").alias("n_overlap")))
+
+
+def duplicate_spans(docs: DataFrame, gram_len: int = 20, stride: int = 1,
+                    min_count: int = 2, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Exact substring-duplicate spans: maximal character ranges of each
+    document whose every ``gram_len``-char window occurs at least
+    ``min_count`` times in the whole corpus (including self-repeats).
+
+    The Spark-native replacement for the suffix-array pass of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al. 2022): instead of a monolithic suffix array over the corpus, every
+    sliding window is fingerprinted (16-hex md5 prefix — 64 bits), windows
+    whose fingerprint repeats corpus-wide are kept via a left-semi join,
+    and per-document gaps-and-islands merges overlapping/adjacent
+    duplicated windows into maximal spans. Output:
+    (doc_id, span_start, span_end, span_len, n_windows), 1-based
+    inclusive character offsets.
+
+    Scale shape: the window table is one row per character, but the rows
+    are generated and filtered map-side and the shuffle payload is
+    (id, pos, hash16) — never text; both aggregations are map-side
+    combinable. A boilerplate window shared by 10^6 docs costs one row
+    per occurrence (linear), not occurrence² — the semi-join never
+    multiplies rows. ``stride`` > 1 subsamples windows CONTENT-keyed
+    (keep iff hash % stride == 0 — the winnowing/MOD-fingerprint trick):
+    identical text keeps identical windows regardless of its character
+    offset in each document, so cross-doc duplicates still align (a
+    positional stride would only match spans whose offsets agree mod
+    stride). The shuffle shrinks by ~stride; span boundaries coarsen to
+    ~stride chars and a span is detected iff it contains a selected
+    window (probability 1-(1-1/stride)^w over its w windows)."""
+    from pyspark.sql import Window
+    L, S = gram_len, stride
+    n = F.length(F.col(text_col))
+    pos = docs.select(
+        F.col(id_col),
+        F.explode(F.when(n >= L, F.sequence(F.lit(1), n - L + 1))
+                  .otherwise(F.array().cast("array<int>"))).alias("pos"),
+        F.col(text_col))
+    grams = pos.select(
+        id_col, F.col("pos").cast("long").alias("pos"),
+        F.expr(f"substr(md5(substring({text_col}, pos, {L})), 1, 16)")
+         .alias("gh"))
+    if S > 1:
+        grams = grams.where(
+            F.expr(f"conv(substr(gh, 1, 8), 16, 10) % {S} = 0"))
+    dup = (grams.groupBy("gh").agg(F.count(F.lit(1)).alias("c"))
+           .where(F.col("c") >= min_count).select("gh"))
+    hits = grams.join(dup, "gh", "left_semi").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    flagged = hits.withColumn(
+        "brk", F.when(F.lag("pos").over(w).isNull()
+                      | (F.col("pos") - F.lag("pos").over(w) > L + S - 1),
+                      F.lit(1)).otherwise(F.lit(0)))
+    isl = flagged.withColumn(
+        "isl", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (isl.groupBy(id_col, "isl")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + L - 1).alias("span_end"),
+                 (F.max("pos") + L - F.min("pos")).alias("span_len"),
+                 F.count(F.lit(1)).alias("n_windows"))
+            .drop("isl"))

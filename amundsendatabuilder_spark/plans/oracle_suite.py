@@ -4021,3 +4021,46 @@ def bloom_decontam_membership(spark, sf_dir):
     return (exact.groupBy("maybe_member", "is_present")
             .agg(F.count(F.lit(1)).alias("n_tokens"))
             .orderBy("maybe_member", "is_present"))
+
+
+@query("duplicate_substring_spans", r"""
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             substr(md5(substring(text, CAST(pos AS INT), 20)), 1, 16) AS gh
+      FROM (SELECT doc_id, text, unnest(range(1, n - 20 + 2)) AS pos
+            FROM d WHERE n >= 20)),
+dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM g WHERE gh IN (SELECT gh FROM dup)),
+w AS (SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       IS NULL
+                   OR pos - lag(pos) OVER (PARTITION BY doc_id
+                                           ORDER BY pos) > 20
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits),
+i AS (SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS isl
+      FROM w)
+SELECT doc_id, min(pos) AS span_start, max(pos) + 19 AS span_end,
+       max(pos) + 20 - min(pos) AS span_len,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM i GROUP BY doc_id, isl
+ORDER BY doc_id, span_start
+""")
+def duplicate_substring_spans(spark, sf_dir):
+    """Exact substring-duplicate spans (operators/dedup.duplicate_spans):
+    maximal character ranges whose every 20-char window repeats somewhere
+    in the corpus — the Spark-native form of the suffix-array dedup pass
+    of Lee et al. 2022 (window fingerprints + corpus-frequency semi-join
+    + per-doc gaps-and-islands instead of one monolithic suffix array).
+    One row per character scans map-side; only (id, pos, hash16) tuples
+    shuffle, and the semi-join keeps boilerplate windows linear in their
+    occurrence count. Hash-verified: the DuckDB twin replays window
+    positions, 64-bit md5-prefix fingerprints, the >=2 frequency cut, and
+    the island merge row-for-row."""
+    from amundsendatabuilder_spark.operators.dedup import duplicate_spans
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (duplicate_spans(docs, gram_len=20)
+            .orderBy("doc_id", "span_start"))

@@ -1086,3 +1086,57 @@ def test_bloom_merge_is_bitor(spark):
               .groupBy("word_idx").agg(F.bit_or("bits").alias("bits")))
     assert (sorted(map(tuple, whole.collect()))
             == sorted(map(tuple, merged.collect())))
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-duplicate spans (operators/dedup.duplicate_spans)
+# ---------------------------------------------------------------------------
+
+def test_duplicate_spans_merges_overlapping_windows(spark):
+    from amundsendatabuilder_spark.operators.dedup import duplicate_spans
+    df = spark.createDataFrame(
+        [(1, "abcdefghij KLMNOP abcdefghij xyz"),
+         (2, "zz abcdefghij yy"),
+         (3, "totally unique text here ok")],
+        "doc_id long, text string")
+    got = {(r.doc_id, r.span_start, r.span_end)
+           for r in duplicate_spans(df, gram_len=10).collect()}
+    # doc 3 shares nothing; docs 1/2 share ' abcdefghij' context windows;
+    # doc 1 additionally repeats its own prefix
+    assert (1, 1, 11) in got
+    assert not any(d == 3 for d, _, _ in got)
+    assert all(e - s + 1 >= 10 for _, s, e in got)
+
+
+def test_duplicate_spans_short_docs_and_min_count(spark):
+    from amundsendatabuilder_spark.operators.dedup import duplicate_spans
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, "0123456789AB"), (3, "0123456789AB"),
+         (4, "0123456789AB")],
+        "doc_id long, text string")
+    # len-4 doc never explodes (sequence guard); triple dup found by all
+    out2 = duplicate_spans(df, gram_len=10, min_count=2).collect()
+    assert {r.doc_id for r in out2} == {2, 3, 4}
+    # min_count=4 excludes the 3-way duplicate
+    out4 = duplicate_spans(df, gram_len=10, min_count=4).collect()
+    assert out4 == []
+
+
+def test_duplicate_spans_stride_detects_long_spans(spark):
+    from amundsendatabuilder_spark.operators.dedup import duplicate_spans
+    shared = "The quick brown fox jumps over the lazy dog repeatedly!"
+    df = spark.createDataFrame(
+        [(1, "A" * 7 + shared + "B" * 9), (2, "C" * 3 + shared + "D" * 5)],
+        "doc_id long, text string")
+    full = duplicate_spans(df, gram_len=10, stride=1).collect()
+    strided = duplicate_spans(df, gram_len=10, stride=3).collect()
+    assert {r.doc_id for r in full} == {1, 2}
+    # content-keyed sampling: identical text selects identical windows in
+    # both docs even though its offset differs (7 vs 3), so the strided
+    # pass still finds the span in BOTH docs
+    assert {r.doc_id for r in strided} == {1, 2}
+    # strided span nests inside the exact one, boundaries within ~stride
+    f1 = next(r for r in full if r.doc_id == 1)
+    s1 = next(r for r in strided if r.doc_id == 1)
+    assert f1.span_start <= s1.span_start <= f1.span_start + 3 * 3
+    assert f1.span_end - 3 * 3 <= s1.span_end <= f1.span_end
