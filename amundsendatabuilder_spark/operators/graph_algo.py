@@ -175,3 +175,61 @@ def connected_components_small(edges: DataFrame,
             break
     sym.unpersist()  # labels is checkpoint-materialized; sym is done
     return labels.select("node", "component")
+
+
+def pagerank(edges: DataFrame, iters: int = 3,
+             damping_num: int = 17, damping_den: int = 20,
+             unit: int = 10 ** 15,
+             src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """PageRank over an edge DataFrame in EXACT integer arithmetic —
+    (node, r) where r is the rank in fixed-point units (total mass
+    ``unit`` truncated to N * (unit DIV N)).
+
+    Why integers: float PageRank sums contributions in whatever order the
+    shuffle delivers them, so two runs (or two engines) disagree in the
+    last bits and a value-hash oracle can never pin it. Here damping is
+    the rational damping_num/damping_den (default 17/20 = 0.85), every
+    per-edge contribution is floor(r * num / (den * outdeg)), and the
+    dangling + teleport mass is floored per node — all closed under
+    signed 64-bit (r <= unit = 10^15, * 17 < 2^63), so any ANSI engine
+    reproduces the result bit-for-bit.
+
+    Scale shape per iteration: one join of the rank table against edges
+    partitioned by src (rank rows are (node, long) — 16 bytes), one
+    map-side-combinable sum by dst, and a 1-row dangling aggregate
+    crossJoin-broadcast back (no driver collect). localCheckpoint per
+    iteration truncates the growing lineage exactly like kmeans_fit.
+    Dangling nodes (outdeg 0) donate their damped mass uniformly, so
+    total mass is conserved up to the deterministic floor losses."""
+    edges = edges.select(F.col(src_col).alias("src"),
+                         F.col(dst_col).alias("dst")).cache()
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint())
+    outdeg = (edges.groupBy(F.col("src").alias("node"))
+              .agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint())
+    n = nodes.count()
+    r0 = unit // n
+    total = n * r0
+    base = (total * (damping_den - damping_num)) // (damping_den * n)
+    state = nodes.select("node", F.lit(r0).cast("long").alias("r"))
+    for _ in range(iters):
+        ranked = state.join(outdeg, "node", "left")
+        contribs = (ranked.where(F.col("outdeg").isNotNull())
+                    .join(edges, ranked["node"] == edges["src"])
+                    .select(F.col("dst").alias("node"),
+                            F.expr(f"(r * {damping_num}) DIV "
+                                   f"({damping_den} * outdeg)").alias("c"))
+                    .groupBy("node").agg(F.sum("c").alias("in_mass")))
+        dangling = (ranked.where(F.col("outdeg").isNull())
+                    .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("dsum")))
+        share = F.expr(f"(dsum * {damping_num}) DIV ({damping_den} * {n})")
+        state = (nodes.join(contribs, "node", "left")
+                 .crossJoin(F.broadcast(dangling))
+                 .select("node",
+                         (F.lit(base) + share
+                          + F.coalesce(F.col("in_mass"), F.lit(0)))
+                         .cast("long").alias("r"))
+                 .localCheckpoint())
+    edges.unpersist()
+    return state

@@ -4064,3 +4064,64 @@ def duplicate_substring_spans(spark, sf_dir):
     (docs,) = _t(spark, sf_dir, "documents")
     return (duplicate_spans(docs, gram_len=20)
             .orderBy("doc_id", "span_start"))
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    unit, num, den = 10 ** 15, 17, 20
+    head = f"""
+WITH keys AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+edges AS (
+  SELECT a.k AS src, b.k AS dst FROM keys a JOIN keys b ON b.k = a.k * 2
+  UNION ALL
+  SELECT a.k AS src, b.k AS dst FROM keys a JOIN keys b ON b.k = a.k * 2 + 1
+  UNION ALL
+  SELECT a.k AS src, b.k AS dst FROM keys a JOIN keys b ON b.k = a.k * 3),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+consts AS (SELECT n, {unit} // n AS r0,
+                  ((n * ({unit} // n)) * {den - num}) // ({den} * n) AS base
+           FROM (SELECT count(*) AS n FROM nodes)),
+outdeg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY 1),
+r0 AS (SELECT node, (SELECT r0 FROM consts) AS r FROM nodes)"""
+    its = []
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        its.append(f"""
+c{i} AS (SELECT e.dst AS node, sum((r.r * {num}) // ({den} * o.outdeg)) AS in_mass
+       FROM edges e JOIN {p} r ON r.node = e.src
+       JOIN outdeg o ON o.node = e.src
+       GROUP BY 1),
+d{i} AS (SELECT coalesce(sum(r.r), 0) AS dsum
+       FROM {p} r LEFT JOIN outdeg o ON r.node = o.node
+       WHERE o.outdeg IS NULL),
+r{i} AS (SELECT n.node,
+              cs.base + (d.dsum * {num}) // ({den} * cs.n)
+              + coalesce(c.in_mass, 0) AS r
+       FROM nodes n CROSS JOIN consts cs CROSS JOIN d{i} d
+       LEFT JOIN c{i} c ON n.node = c.node)""")
+    return (head + "," + ",".join(its)
+            + f"\nSELECT node, r FROM r{iters} ORDER BY node")
+
+
+@query("graph_pagerank", _pagerank_oracle())
+def graph_pagerank(spark, sf_dir):
+    """PageRank over the synthesized lineage DAG (k -> 2k, 2k+1, 3k over
+    order keys) in exact integer arithmetic
+    (operators/graph_algo.pagerank) — the importance ranking a catalog
+    would run over its own table-lineage graph (the reference stores the
+    edges, models/table_lineage.py, and leaves any analytics to the graph
+    DB). Rational damping 17/20, per-edge floor division, dangling mass
+    redistributed through a 1-row broadcast aggregate — no floats
+    anywhere, so the DuckDB twin (3 unrolled iterations) matches
+    bit-for-bit. Per iteration: one (node, long) join against edges + one
+    map-side-combinable sum — rank state never exceeds 16 bytes/node."""
+    from amundsendatabuilder_spark.operators.graph_algo import pagerank
+    (orders,) = _t(spark, sf_dir, "orders")
+    keys_df = orders.select(F.col("o_orderkey").alias("k")).distinct().cache()
+    a, b = keys_df.alias("a"), keys_df.alias("b")
+
+    def em(mult: int, add: int = 0):
+        return (a.join(b, F.col("b.k") == F.col("a.k") * mult + add)
+                .select(F.col("a.k").alias("src"), F.col("b.k").alias("dst")))
+
+    edges = em(2).unionByName(em(2, 1)).unionByName(em(3))
+    return pagerank(edges, iters=3).orderBy("node")

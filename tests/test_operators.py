@@ -1140,3 +1140,36 @@ def test_duplicate_spans_stride_detects_long_spans(spark):
     s1 = next(r for r in strided if r.doc_id == 1)
     assert f1.span_start <= s1.span_start <= f1.span_start + 3 * 3
     assert f1.span_end - 3 * 3 <= s1.span_end <= f1.span_end
+
+
+# ---------------------------------------------------------------------------
+# Integer PageRank (operators/graph_algo.pagerank)
+# ---------------------------------------------------------------------------
+
+def test_pagerank_orders_hub_highest(spark):
+    from amundsendatabuilder_spark.operators.graph_algo import pagerank
+    # star into 9: every other node points at it
+    e = spark.createDataFrame([(i, 9) for i in range(1, 9)],
+                              "src long, dst long")
+    out = {r.node: r.r for r in pagerank(e, iters=3).collect()}
+    assert out[9] == max(out.values())
+    assert all(out[i] == out[1] for i in range(2, 9))  # symmetric sources
+
+
+def test_pagerank_mass_conserved_within_floor_loss(spark):
+    from amundsendatabuilder_spark.operators.graph_algo import pagerank
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 1), (3, 4)],
+                              "src long, dst long")
+    out = pagerank(e, iters=4).collect()
+    total = sum(r.r for r in out)
+    # floor losses: < 1 unit per node per floor site per iteration
+    assert 10 ** 15 - 100 <= total <= 10 ** 15
+
+
+def test_pagerank_deterministic_across_runs(spark):
+    from amundsendatabuilder_spark.operators.graph_algo import pagerank
+    e = spark.createDataFrame(
+        [(i, (i * 7) % 23) for i in range(23)], "src long, dst long")
+    a = sorted(map(tuple, pagerank(e, iters=3).collect()))
+    b = sorted(map(tuple, pagerank(e, iters=3).collect()))
+    assert a == b
