@@ -49,3 +49,53 @@ def conversion_attribution(events: DataFrame,
             .agg(F.count(F.when(in_window, 1)).cast("long").alias("n_touches"),
                  F.max(F.when(in_window, F.col("touch_us")))
                  .alias("last_touch_us")))
+
+
+def funnel_stages(events: DataFrame, stages: list[str],
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type") -> DataFrame:
+    """Strictly-ordered funnel: how many users reach each stage, where
+    stage i counts only events AFTER the user's stage-(i-1) instant —
+    the product-analytics sequence query (signup -> view -> click ->
+    purchase) the events table exists for.
+
+    Per user, stage 0 anchors at min ts of stages[0]; stage i anchors at
+    min ts of stages[i] strictly after the stage-(i-1) anchor. Returns
+    (stage_idx, stage, n_users, avg_delay_sec) where avg_delay_sec is
+    the mean seconds from the previous anchor (NULL for stage 0),
+    computed from exact integer epoch sums and rounded to 4dp.
+
+    Scale shape: one filtered min-aggregation plus one equi-join on
+    user_id per stage — no windows over the whole event stream, no
+    cross products; every join key is the user, so bucketing both sides
+    by user_id makes the entire chain co-located at 100 TB."""
+    from amundsendatabuilder_spark.functions.scalars import round_half_away
+    ep = F.unix_timestamp(F.col(ts_col))
+    anchors = (events.where(F.col(type_col) == stages[0])
+               .groupBy(user_col).agg(F.min(ep).alias("a0")))
+    per_stage = [anchors.select(user_col, F.col("a0").alias("anchor"))]
+    for i, stage in enumerate(stages[1:], start=1):
+        prev = per_stage[-1]
+        nxt = (events.where(F.col(type_col) == stage)
+               .select(user_col, ep.alias("e"))
+               .join(prev, user_col)
+               .where(F.col("e") > F.col("anchor"))
+               .groupBy(user_col)
+               .agg(F.min("e").alias("nxt"), F.first("anchor").alias("prv"))
+               .select(user_col, F.col("nxt").alias("anchor"),
+                       (F.col("nxt") - F.col("prv")).alias("delay")))
+        per_stage.append(nxt)
+    rows = []
+    for i, (stage, df) in enumerate(zip(stages, per_stage)):
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n_users"),
+            (round_half_away(F.sum("delay").cast("double")
+                             / F.count(F.lit(1)), 4)
+             if i else F.lit(None).cast("double")).alias("avg_delay_sec"))
+        rows.append(agg.select(F.lit(i).alias("stage_idx"),
+                               F.lit(stage).alias("stage"),
+                               "n_users", "avg_delay_sec"))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

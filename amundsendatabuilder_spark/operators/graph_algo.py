@@ -233,3 +233,45 @@ def pagerank(edges: DataFrame, iters: int = 3,
                  .localCheckpoint())
     edges.unpersist()
     return state
+
+
+def triangle_counts(edges: DataFrame,
+                    src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph —
+    (node, n_triangles) for every node in at least one triangle.
+
+    Compact-forward orientation: every undirected edge is directed from
+    its (degree, id)-smaller endpoint to the larger, so each triangle
+    materializes exactly once and the candidate-wedge join is bounded by
+    sum_e min(deg(u), deg(v)) — the classic bound that keeps one
+    celebrity node with 10^6 neighbors from generating 10^12 wedges (its
+    edges all point INTO it, so it never fans out). Wedges (a->b->c)
+    are closed by a semi-join against the oriented edge set; shuffle
+    payload is id pairs throughout."""
+    und = (edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+           .where(F.col("u") != F.col("v"))
+           .select(F.least("u", "v").alias("u"),
+                   F.greatest("u", "v").alias("v"))
+           .distinct().cache())
+    deg = (und.select(F.col("u").alias("n"))
+           .unionByName(und.select(F.col("v").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    lab = und.join(du, "u").join(dv, "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    o = lab.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"))
+    o = o.cache()
+    w = (o.alias("e1")
+         .join(o.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+         .select(F.col("e1.a").alias("a"), F.col("e1.b").alias("b"),
+                 F.col("e2.b").alias("c")))
+    closing = o.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tri = w.join(closing, (F.col("a") == F.col("x")) &
+                 (F.col("c") == F.col("y")), "left_semi")
+    per_node = (tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+                .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles")))
+    return per_node

@@ -11,7 +11,7 @@ driver's compare hashes values after sorting columns by name.
 Cross-engine determinism rules used throughout:
 - double aggregates rounded (2dp money, 4dp ratios, 6dp similarities);
 - integer SUMs cast to BIGINT (DuckDB sums to HUGEINT otherwise);
-- epoch via ``unix_timestamp`` (UTC session) == ``CAST(epoch(ts) AS BIGINT)``;
+- epoch via ``unix_timestamp`` (UTC session) == ``CAST(floor(epoch(ts)) AS BIGINT)``;
 - arrays emitted as sorted joined strings (engine array hashing differs);
 - all content hashing via md5 (identical hex in both engines);
 - top-k ranks ordered by (rounded measure, id) so ties break identically.
@@ -4125,3 +4125,91 @@ def graph_pagerank(spark, sf_dir):
 
     edges = em(2).unionByName(em(2, 1)).unionByName(em(3))
     return pagerank(edges, iters=3).orderBy("node")
+
+
+@query("triangle_cooccurrence", """
+WITH e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+deg AS (SELECT n, count(*) AS d
+        FROM (SELECT u AS n FROM e0 UNION ALL SELECT v AS n FROM e0)
+        GROUP BY 1),
+o AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                  THEN u ELSE v END AS a,
+             CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                  THEN v ELSE u END AS b
+      FROM e0 JOIN deg du ON du.n = e0.u JOIN deg dv ON dv.n = e0.v),
+w AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+      FROM o e1 JOIN o e2 ON e1.b = e2.a),
+tri AS (SELECT a, b, c FROM w
+        WHERE EXISTS (SELECT 1 FROM o WHERE o.a = w.a AND o.b = w.c)),
+pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+       FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+             UNION ALL SELECT c FROM tri)
+       GROUP BY 1)
+SELECT node, n_triangles FROM pn ORDER BY n_triangles DESC, node LIMIT 10
+""")
+def triangle_cooccurrence(spark, sf_dir):
+    """Top-10 parts by triangle participation in the order-co-occurrence
+    graph (operators/graph_algo.triangle_counts) — the cohesion/community
+    signal of graph analytics, run with compact-forward degree
+    orientation so one hub part co-ordered with everything cannot fan
+    out 10^12 wedges (its edges all point inward). Each triangle counted
+    once; wedges closed by a semi-join; shuffle payload is id pairs.
+    Hash-verified: the twin replays the distinct edge set, exact degree
+    table, (degree, id) orientation, wedge join and closure."""
+    from amundsendatabuilder_spark.operators.graph_algo import (
+        triangle_counts)
+    (li,) = _t(spark, sf_dir, "lineitem")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .select(F.col("a.l_partkey").alias("src"),
+                     F.col("b.l_partkey").alias("dst")))
+    return (triangle_counts(edges)
+            .orderBy(F.col("n_triangles").desc(), "node").limit(10))
+
+
+@query("funnel_stages", """
+WITH a0 AS (SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS anchor
+            FROM events WHERE event_type = 'signup' GROUP BY 1),
+a1 AS (SELECT e.user_id, min(CAST(floor(epoch(e.ts)) AS BIGINT)) AS anchor,
+              min(CAST(floor(epoch(e.ts)) AS BIGINT)) - min(p.anchor) AS delay
+       FROM events e JOIN a0 p USING (user_id)
+       WHERE e.event_type = 'view'
+         AND CAST(floor(epoch(e.ts)) AS BIGINT) > p.anchor
+       GROUP BY e.user_id),
+a2 AS (SELECT e.user_id, min(CAST(floor(epoch(e.ts)) AS BIGINT)) AS anchor,
+              min(CAST(floor(epoch(e.ts)) AS BIGINT)) - min(p.anchor) AS delay
+       FROM events e JOIN a1 p USING (user_id)
+       WHERE e.event_type = 'click'
+         AND CAST(floor(epoch(e.ts)) AS BIGINT) > p.anchor
+       GROUP BY e.user_id),
+a3 AS (SELECT e.user_id, min(CAST(floor(epoch(e.ts)) AS BIGINT)) AS anchor,
+              min(CAST(floor(epoch(e.ts)) AS BIGINT)) - min(p.anchor) AS delay
+       FROM events e JOIN a2 p USING (user_id)
+       WHERE e.event_type = 'purchase'
+         AND CAST(floor(epoch(e.ts)) AS BIGINT) > p.anchor
+       GROUP BY e.user_id)
+SELECT 0 AS stage_idx, 'signup' AS stage, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(NULL AS DOUBLE) AS avg_delay_sec FROM a0
+UNION ALL SELECT 1, 'view', count(*),
+       round(CAST(sum(delay) AS DOUBLE) / count(*), 4) FROM a1
+UNION ALL SELECT 2, 'click', count(*),
+       round(CAST(sum(delay) AS DOUBLE) / count(*), 4) FROM a2
+UNION ALL SELECT 3, 'purchase', count(*),
+       round(CAST(sum(delay) AS DOUBLE) / count(*), 4) FROM a3
+ORDER BY stage_idx
+""")
+def funnel_stages_query(spark, sf_dir):
+    """Strictly-ordered conversion funnel signup -> view -> click ->
+    purchase (operators/attribution.funnel_stages): per user, each stage
+    anchors at the earliest qualifying event AFTER the previous stage's
+    anchor; output is users-reaching-stage plus mean seconds from the
+    previous anchor (exact integer epoch sums, 4dp). One filtered
+    min-agg + one user-key equi-join per stage — no global windows, so
+    the chain co-locates end-to-end when bucketed by user_id."""
+    from amundsendatabuilder_spark.operators.attribution import (
+        funnel_stages)
+    (events,) = _t(spark, sf_dir, "events")
+    return funnel_stages(events, ["signup", "view", "click", "purchase"])

@@ -1173,3 +1173,56 @@ def test_pagerank_deterministic_across_runs(spark):
     a = sorted(map(tuple, pagerank(e, iters=3).collect()))
     b = sorted(map(tuple, pagerank(e, iters=3).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Funnel + triangle analytics
+# ---------------------------------------------------------------------------
+
+def test_funnel_strict_ordering(spark):
+    from amundsendatabuilder_spark.operators.attribution import funnel_stages
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+
+    def e(u, typ, secs):
+        return (u, typ, t0 + dt.timedelta(seconds=secs))
+    rows = [
+        e(1, "signup", 0), e(1, "view", 10), e(1, "click", 20),
+        # user 2: view BEFORE signup must not count; later view does
+        e(2, "view", 0), e(2, "signup", 5), e(2, "view", 30),
+        # user 3: click before view -> never reaches click stage
+        e(3, "signup", 0), e(3, "click", 5), e(3, "view", 10),
+        # user 4: never signed up
+        e(4, "view", 0), e(4, "click", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp")
+    got = {r.stage: (r.n_users, r.avg_delay_sec)
+           for r in funnel_stages(df, ["signup", "view", "click"]).collect()}
+    assert got["signup"] == (3, None)
+    assert got["view"] == (3, (10 + 25 + 10) / 3)
+    assert got["click"] == (1, 10.0)
+
+
+def test_triangle_counts_no_triangle_graph_empty(spark):
+    from amundsendatabuilder_spark.operators.graph_algo import triangle_counts
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)],
+                                 "src long, dst long")
+    assert triangle_counts(path).collect() == []
+
+
+def test_triangle_counts_hub_oriented_inward(spark):
+    from amundsendatabuilder_spark.operators.graph_algo import triangle_counts
+    # hub 0 connected to 1..10, plus one chord 1-2: single triangle 0-1-2
+    e = [(0, i) for i in range(1, 11)] + [(1, 2)]
+    df = spark.createDataFrame(e, "src long, dst long")
+    got = sorted(map(tuple, triangle_counts(df).collect()))
+    assert got == [(0, 1), (1, 1), (2, 1)]
+
+
+def test_triangle_counts_duplicate_and_reversed_edges(spark):
+    from amundsendatabuilder_spark.operators.graph_algo import triangle_counts
+    e = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3)]  # one triangle, noisy input
+    df = spark.createDataFrame(e, "src long, dst long")
+    got = sorted(map(tuple, triangle_counts(df).collect()))
+    assert got == [(1, 1), (2, 1), (3, 1)]
