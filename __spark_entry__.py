@@ -34,7 +34,9 @@ _PRIORITY = [
     "graph_shortest_path", "multimodal_jpeg_features",
     "hll_distinct_sketch", "ann_pq_adc_topk",
     "stream_windowed_distinct", "multimodal_gif_frames",
-    "graph_path_rel_props",
+    "graph_path_rel_props", "cms_heavy_hitters",
+    "bloom_decontam_membership", "duplicate_substring_spans",
+    "graph_pagerank", "triangle_cooccurrence", "funnel_stages",
     # (b) r5-certified but implementation changed in round 6 (6 — the
     # only overlap with the r5 window)
     "graph_match_varlen", "langid_nb", "ann_rhp_topk",

@@ -63,6 +63,14 @@ EXTENDED = [
     # shortest-path graph surface
     "hll_distinct_sketch",
     "graph_shortest_path",
+    # round-6 second wave: frequency/membership sketches, substring-dedup
+    # spans, and the graph-analytics pair
+    "cms_heavy_hitters",
+    "bloom_decontam_membership",
+    "duplicate_substring_spans",
+    "graph_pagerank",
+    "triangle_cooccurrence",
+    "funnel_stages",
 ]
 
 
