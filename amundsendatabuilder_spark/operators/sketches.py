@@ -172,17 +172,26 @@ FROM fold"""
 # exact signed-64-bit integer math that an ANSI twin reproduces
 # term-for-term.
 
-def cms_registers(df: DataFrame, col: str, group_cols: tuple[str, ...] = (),
-                  depth: int = 4, width: int = 512) -> DataFrame:
-    """(group..., j, bucket, cnt): the sketch — at most depth*width rows
-    per group, partial-aggregated map-side. Store it, UNION another
-    shard's registers and SUM again, or feed it to ``cms_lookup``."""
+def cms_terms(df: DataFrame, col: str, depth: int = 4,
+              width: int = 512) -> DataFrame:
+    """Append the per-row sketch coordinates (j, bucket) for ``col`` —
+    the stateless stage shared by batch ``cms_registers`` and the
+    streaming windowed sketch (it composes with any watermark/window
+    grouping). Fans each row out depth ways."""
     from amundsendatabuilder_spark.functions.hashing import udh_positions
     pos = udh_positions(F.col(col), depth, width)
     hb = F.explode(F.array(*[
         F.struct(F.lit(j).alias("j"), pos[j].alias("bucket"))
         for j in range(depth)])).alias("hb")
-    d = df.select(*group_cols, hb).select(*group_cols, "hb.j", "hb.bucket")
+    return df.select("*", hb).select(*df.columns, "hb.j", "hb.bucket")
+
+
+def cms_registers(df: DataFrame, col: str, group_cols: tuple[str, ...] = (),
+                  depth: int = 4, width: int = 512) -> DataFrame:
+    """(group..., j, bucket, cnt): the sketch — at most depth*width rows
+    per group, partial-aggregated map-side. Store it, UNION another
+    shard's registers and SUM again, or feed it to ``cms_lookup``."""
+    d = cms_terms(df.select(*group_cols, col), col, depth, width)
     return d.groupBy(*group_cols, "j", "bucket").agg(
         F.count(F.lit(1)).alias("cnt"))
 

@@ -4213,3 +4213,70 @@ def funnel_stages_query(spark, sf_dir):
         funnel_stages)
     (events,) = _t(spark, sf_dir, "events")
     return funnel_stages(events, ["signup", "view", "click", "purchase"])
+
+
+def _stream_cms_oracle() -> str:
+    from amundsendatabuilder_spark.functions.hashing import (
+        udh_positions_sql)
+    pos = udh_positions_sql("v", 4, 512)
+    hb = "\nUNION ALL\n".join(
+        f"SELECT window_start, v, {j} AS j, {pos[j]} AS bucket FROM src"
+        for j in range(4))
+    phb = "\nUNION ALL\n".join(
+        f"SELECT v, user_id, {j} AS j, {pos[j]} AS bucket FROM users"
+        for j in range(4))
+    return f"""
+WITH src AS (SELECT date_trunc('hour', ts) AS window_start,
+                    CAST(user_id AS VARCHAR) AS v FROM events),
+hb AS ({hb}),
+regs AS (SELECT window_start, j, bucket, count(*) AS cnt
+         FROM hb GROUP BY 1, 2, 3),
+wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events),
+ew AS (SELECT DISTINCT window_start FROM regs, wm
+       WHERE window_start + INTERVAL 1 HOUR <= wm.w),
+users AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS v, user_id
+          FROM events WHERE user_id < 10),
+phb AS ({phb}),
+est AS (SELECT e.window_start, p.user_id,
+               min(coalesce(r.cnt, 0)) AS cms_cnt
+        FROM ew e CROSS JOIN phb p
+        LEFT JOIN regs r ON r.window_start = e.window_start
+                        AND r.j = p.j AND r.bucket = p.bucket
+        GROUP BY 1, 2)
+SELECT window_start, user_id, cms_cnt FROM est ORDER BY 1, 2"""
+
+
+@query("stream_windowed_heavy_hitters", _stream_cms_oracle())
+def stream_windowed_heavy_hitters(spark, sf_dir):
+    """Streaming per-window count-min registers
+    (streaming/events.windowed_frequency_registers): the heavy-hitter
+    twin of stream_windowed_distinct — state is capped at depth*width
+    counter rows per window instead of one row per distinct user, COUNT
+    merges map-side and across jobs with SUM. Registers drain
+    append-mode; point estimates for a fixed probe panel (users 0-9) are
+    folded batch-side via sketches.cms_lookup. Hash-verified: the twin
+    replays the per-window register grid from the same md5 coordinates
+    and restricts to windows past the final watermark, pinning sketch
+    math AND append emission semantics."""
+    import tempfile
+
+    from amundsendatabuilder_spark.operators import sketches
+    from amundsendatabuilder_spark.streaming.events import (
+        run_to_memory, windowed_frequency_registers)
+    regs = windowed_frequency_registers(_event_stream(spark, sf_dir))
+    name = "swhh_" + next(tempfile._get_candidate_names())
+    batch = run_to_memory(regs, spark, name, tempfile.mkdtemp())
+    (events,) = _t(spark, sf_dir, "events")
+    users = (events.where(F.col("user_id") < 10)
+             .select(F.col("user_id").cast("string").alias("v")).distinct())
+    # probes re-derive window_start from the same memory sink the register
+    # join reads — round-trip through a rename to mint fresh attribute ids
+    # (checkpoint alone keeps the exprId and trips self-join resolution)
+    wins = (batch.select(F.col("window_start").alias("_ws")).distinct()
+            .select(F.col("_ws").alias("window_start")))
+    probes = wins.crossJoin(users)
+    est = sketches.cms_lookup(batch, probes, "v",
+                              group_cols=("window_start",))
+    return (est.select("window_start",
+                       F.col("v").cast("long").alias("user_id"), "cms_cnt")
+            .orderBy("window_start", "user_id"))

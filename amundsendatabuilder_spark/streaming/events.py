@@ -184,3 +184,33 @@ def stream_stream_attribution_outer(views: DataFrame, purchases: DataFrame,
                - F.expr(f"INTERVAL {lookback_minutes} MINUTES")))
     return (p.join(v, cond, "leftOuter")
             .select("event_id", "user_id", "purchase_ts", "view_ts"))
+
+
+def windowed_frequency_registers(events: DataFrame, col: str = "user_id",
+                                 window: str = "1 hour",
+                                 watermark: str = "2 hours",
+                                 depth: int = 4,
+                                 width: int = 512) -> DataFrame:
+    """Streaming per-window count-min sketch over ``col`` — heavy-hitter
+    registers (window_start, j, bucket, cnt) as the streaming product.
+
+    Exact per-value streaming counts hold every distinct value per open
+    window in the state store — unbounded under adversarial cardinality
+    (the exact failure HLL solves for distinct). The CMS caps state at
+    depth*width counter rows per window, COUNT partial-aggregates
+    map-side, and register tables from different jobs/days merge with a
+    further SUM. Point estimates (min over depth rows) are folded
+    batch-side via sketches.cms_lookup — chaining the fold in-stream
+    would need a second stateful aggregation, which append mode rightly
+    refuses."""
+    from amundsendatabuilder_spark.operators.sketches import cms_terms
+    terms = cms_terms(
+        events.select("ts", F.col(col).cast("string").alias("v")),
+        "v", depth, width)
+    return (
+        terms.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "j", "bucket",
+                "cnt")
+    )

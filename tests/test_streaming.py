@@ -409,3 +409,42 @@ def test_windowed_distinct_registers_match_batch_sketch(spark, tmp_path):
               for r in batch.collect()}
     # every emitted register matches the batch register exactly
     assert all(want_m[k] == v for k, v in got_m.items())
+
+
+def test_windowed_frequency_registers_match_batch_sketch(spark, tmp_path):
+    """Streaming CMS registers drained append-mode must equal the batch
+    count-min sketch of the same events per window — including when the
+    stream arrives as TWO files (cross-batch SUM-merge in the state
+    store)."""
+    from pyspark.sql import functions as F
+
+    from amundsendatabuilder_spark.operators import sketches
+    from amundsendatabuilder_spark.session import load_tables
+    from amundsendatabuilder_spark.streaming.events import (
+        run_to_memory, windowed_frequency_registers)
+    events = load_tables(spark, "/root/testdata/sf0.001",
+                         ("events",))["events"]
+    src = str(tmp_path / "events_src")
+    events.where(F.col("event_id") % 2 == 0).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    events.where(F.col("event_id") % 2 == 1).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+        .option("maxFilesPerTrigger", "1").parquet(src))
+    regs = windowed_frequency_registers(stream)
+    got = run_to_memory(regs, spark, "wfr_test", str(tmp_path / "ckpt"))
+    got_m = {(str(r["window_start"]), r["j"], r["bucket"]): r["cnt"]
+             for r in got.collect()}
+    assert got_m, "no windows emitted"
+
+    batch = sketches.cms_registers(
+        events.select(F.date_trunc("hour", "ts").alias("window_start"),
+                      F.col("user_id").cast("string").alias("v")),
+        "v", ("window_start",))
+    want_m = {(str(r["window_start"]), r["j"], r["bucket"]): r["cnt"]
+              for r in batch.collect()}
+    # every emitted register must carry the full cross-batch-merged count
+    assert all(want_m[k] == v for k, v in got_m.items())
