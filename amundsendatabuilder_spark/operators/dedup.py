@@ -682,3 +682,66 @@ def duplicate_spans(docs: DataFrame, gram_len: int = 20, stride: int = 1,
                  (F.max("pos") + L - F.min("pos")).alias("span_len"),
                  F.count(F.lit(1)).alias("n_windows"))
             .drop("isl"))
+
+
+def jaccard_prefix_join(docs: DataFrame, threshold_num: int = 3,
+                        threshold_den: int = 5, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """EXACT token-set Jaccard-similarity join (sim >= num/den) via
+    prefix filtering (PPJoin family, Xiao et al. 2008) — the lossless
+    alternative to MinHash-LSH when a recall guarantee must be 1.0.
+
+    Candidate pruning, all exact integer math:
+    - tokens are globally ordered rarest-first (document frequency,
+      then token) so prefixes carry the most selective tokens;
+    - a doc of size s only needs its first s - ceil(t*s) + 1 ordered
+      tokens in the candidate index: two sets with Jaccard >= t MUST
+      share a token within these prefixes (pigeonhole), so joining
+      prefixes loses nothing;
+    - the size filter |b| in [ceil(t*|a|), floor(|a|/t)] prunes pairs no
+      token overlap could save.
+    Survivors are verified with an exact intersection count and the
+    integer cross-multiplied test inter*den >= num*(|a|+|b|-inter).
+    Returns (doc_a, doc_b, jaccard) with jaccard rounded 6dp.
+
+    Scale shape: the candidate join shuffles (token, doc_id, size)
+    prefix rows only — boilerplate tokens sort LAST and rarely enter any
+    prefix, which is the skew protection LSH gets from banding; the
+    verify join shuffles token ids for candidate pairs only. At 100 TB
+    the prefix index is a fraction (1 - t) of the distinct (doc, token)
+    pairs."""
+    from pyspark.sql import Window
+    tn, td = threshold_num, threshold_den
+    toks = (docs.select(id_col, F.explode(tokens(F.lower(F.col(text_col))))
+                        .alias("tok")).distinct())
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    df_rank = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (toks.join(df_rank, "tok").join(sizes, id_col)
+               .withColumn("i", F.row_number().over(
+                   Window.partitionBy(id_col).orderBy("df", "tok"))))
+    # prefix length p = sz - ceil(t*sz) + 1 = sz - (tn*sz + td - 1) DIV td + 1
+    prefix = ordered.where(
+        F.col("i") <= F.col("sz")
+        - F.expr(f"({tn} * sz + {td} - 1) DIV {td}") + 1)
+    a = prefix.select(F.col(id_col).alias("doc_a"), "tok",
+                      F.col("sz").alias("sza"))
+    b = prefix.select(F.col(id_col).alias("doc_b"), "tok",
+                      F.col("sz").alias("szb"))
+    cands = (a.join(b, "tok")
+             .where((F.col("doc_a") < F.col("doc_b"))
+                    & (F.col("szb") * td >= F.col("sza") * tn)
+                    & (F.col("szb") * tn <= F.col("sza") * td))
+             .select("doc_a", "doc_b", "sza", "szb").distinct())
+    ta = toks.select(F.col(id_col).alias("doc_a"), "tok")
+    tb = toks.select(F.col(id_col).alias("doc_b"), "tok")
+    inter = (cands.join(ta, "doc_a").join(tb, ["doc_b", "tok"])
+             .groupBy("doc_a", "doc_b", "sza", "szb")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    verified = inter.where(
+        F.col("inter") * td
+        >= (F.col("sza") + F.col("szb") - F.col("inter")) * tn)
+    return verified.select(
+        "doc_a", "doc_b",
+        round_half_away(F.col("inter").cast("double")
+                        / (F.col("sza") + F.col("szb") - F.col("inter")), 6)
+        .alias("jaccard"))

@@ -4280,3 +4280,33 @@ def stream_windowed_heavy_hitters(spark, sf_dir):
     return (est.select("window_start",
                        F.col("v").cast("long").alias("user_id"), "cms_cnt")
             .orderBy("window_start", "user_id"))
+
+
+@query("jaccard_prefix_join", r"""
+WITH tok AS (SELECT DISTINCT doc_id, unnest(""" + _LTOKS_SQL + r""") AS tok
+             FROM documents),
+sz AS (SELECT doc_id, count(*) AS s FROM tok GROUP BY 1),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT p.doc_a, p.doc_b,
+       round(CAST(p.inter AS DOUBLE) / (sa.s + sb.s - p.inter), 6)
+           AS jaccard
+FROM pairs p JOIN sz sa ON sa.doc_id = p.doc_a
+JOIN sz sb ON sb.doc_id = p.doc_b
+WHERE p.inter * 10 >= (sa.s + sb.s - p.inter) * 9
+ORDER BY p.doc_a, p.doc_b
+""")
+def jaccard_prefix_join_query(spark, sf_dir):
+    """Exact set-similarity join at Jaccard >= 9/10
+    (operators/dedup.jaccard_prefix_join): prefix filtering over the
+    rarest-first global token order plus the size filter — the PPJoin
+    pruning family — then exact integer cross-multiplied verification.
+    The oracle is the BRUTE-FORCE all-pairs join: a hash match proves
+    the pruning is lossless (recall exactly 1.0), which is the property
+    that separates this operator from the LSH entries."""
+    from amundsendatabuilder_spark.operators.dedup import (
+        jaccard_prefix_join)
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (jaccard_prefix_join(docs, 9, 10)
+            .orderBy("doc_a", "doc_b"))

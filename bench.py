@@ -71,6 +71,7 @@ EXTENDED = [
     "graph_pagerank",
     "triangle_cooccurrence",
     "funnel_stages",
+    "jaccard_prefix_join",
 ]
 
 

@@ -1226,3 +1226,45 @@ def test_triangle_counts_duplicate_and_reversed_edges(spark):
     df = spark.createDataFrame(e, "src long, dst long")
     got = sorted(map(tuple, triangle_counts(df).collect()))
     assert got == [(1, 1), (2, 1), (3, 1)]
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact Jaccard join (operators/dedup.jaccard_prefix_join)
+# ---------------------------------------------------------------------------
+
+def test_jaccard_prefix_join_equals_brute_force(spark):
+    from amundsendatabuilder_spark.operators.dedup import (
+        jaccard_prefix_join, ngram_jaccard_pairs)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "alpha beta gamma delta zeta"),
+         (3, "alpha beta gamma delta epsilon"),
+         (4, "one two three four five"),
+         (5, "something else entirely here now")],
+        "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in jaccard_prefix_join(docs, 3, 5).collect()}
+    # brute force on token sets
+    import itertools
+    sets = {i: set(t.split()) for i, t in [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta zeta"),
+        (3, "alpha beta gamma delta epsilon"),
+        (4, "one two three four five"),
+        (5, "something else entirely here now")]}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        j = inter / len(sets[a] | sets[b])
+        if j >= 0.6:
+            want[(a, b)] = round(j, 6)
+    assert got == want and (1, 3) in got and got[(1, 3)] == 1.0
+
+
+def test_jaccard_prefix_join_threshold_is_inclusive(spark):
+    from amundsendatabuilder_spark.operators.dedup import jaccard_prefix_join
+    # exactly 3 shared of 5-union -> jaccard 0.6 == threshold, must be kept
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string")
+    got = jaccard_prefix_join(docs, 3, 5).collect()
+    assert len(got) == 1 and got[0].jaccard == 0.6
