@@ -75,3 +75,37 @@ def bm25_topk(docs: DataFrame, query: str, k: int = 10,
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return (topk.withColumn("rank", F.row_number().over(w))
             .select("doc_id", "score", "rank"))
+
+
+def build_postings(docs: DataFrame, min_df: int = 1,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Inverted-index construction: one row per index term with its
+    document frequency, collection frequency, and the posting list
+    "doc:tf" ordered by doc id — the index-build pass behind the
+    reference's Elasticsearch publisher (the engine it ships documents
+    to runs exactly this structure; here the build itself is a Spark
+    job so a 100 TB corpus can be indexed without a search cluster
+    ingesting raw text).
+
+    Scale shape: tokenize + per-(term, doc) count is one
+    map-side-combinable aggregation; the posting-list assembly groups by
+    term only — terms are Zipf-distributed, and the one giant stopword
+    posting list per language is exactly what ``min_df``'s complement
+    (a max_df cut upstream, cf. dedup._cap_shingle_df) or AQE skew
+    handling absorbs; the list is built with sort_array so output is
+    deterministic. Postings emit as strings for portability (and the
+    oracle); a production sink would write the struct array."""
+    tf = (docs.select(id_col,
+                      F.explode(tokens(F.lower(F.col(text_col))))
+                      .alias("term"))
+          .groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf")))
+    return (tf.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"),
+                 F.sum("tf").alias("cf"),
+                 F.concat_ws(",", F.transform(
+                     F.sort_array(F.collect_list(F.struct(id_col, "tf"))),
+                     lambda s: F.concat_ws(":", s[id_col].cast("string"),
+                                           s["tf"].cast("string"))))
+                 .alias("postings"))
+            .where(F.col("df") >= min_df))

@@ -4310,3 +4310,26 @@ def jaccard_prefix_join_query(spark, sf_dir):
     (docs,) = _t(spark, sf_dir, "documents")
     return (jaccard_prefix_join(docs, 9, 10)
             .orderBy("doc_a", "doc_b"))
+
+
+@query("inverted_index_postings", r"""
+WITH tok AS (SELECT doc_id, unnest(""" + _LTOKS_SQL + r""") AS term
+             FROM documents),
+tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY 1, 2)
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+       string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+                  ',' ORDER BY doc_id) AS postings
+FROM tf GROUP BY term HAVING count(*) >= 25
+ORDER BY term
+""")
+def inverted_index_postings(spark, sf_dir):
+    """Inverted-index build (operators/ranking.build_postings): per-term
+    document frequency, collection frequency, and the doc-ordered
+    "doc:tf" posting list — the index structure the reference delegates
+    to Elasticsearch, built as a Spark job. min_df=25 keeps the output
+    to real index terms. Hash-verified: the twin reassembles every
+    posting list in the same doc order."""
+    from amundsendatabuilder_spark.operators.ranking import build_postings
+    (docs,) = _t(spark, sf_dir, "documents")
+    return build_postings(docs, min_df=25).orderBy("term")

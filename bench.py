@@ -72,6 +72,7 @@ EXTENDED = [
     "triangle_cooccurrence",
     "funnel_stages",
     "jaccard_prefix_join",
+    "inverted_index_postings",
 ]
 
 

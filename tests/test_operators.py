@@ -1268,3 +1268,16 @@ def test_jaccard_prefix_join_threshold_is_inclusive(spark):
         [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string")
     got = jaccard_prefix_join(docs, 3, 5).collect()
     assert len(got) == 1 and got[0].jaccard == 0.6
+
+
+def test_build_postings_structure(spark):
+    from amundsendatabuilder_spark.operators.ranking import build_postings
+    docs = spark.createDataFrame(
+        [(2, "b a a"), (1, "a b c"), (3, "c c c")],
+        "doc_id long, text string")
+    rows = {r.term: r for r in build_postings(docs).collect()}
+    assert rows["a"].df == 2 and rows["a"].cf == 3
+    assert rows["a"].postings == "1:1,2:2"   # doc-ordered
+    assert rows["c"].postings == "1:1,3:3"
+    assert "b" in rows and rows["b"].df == 2
+    assert build_postings(docs, min_df=3).count() == 0

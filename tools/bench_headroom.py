@@ -57,6 +57,13 @@ SUITE = [
     "stream_near_dup",
     "multimodal_png_features", "multimodal_jpeg_features",
     "hll_distinct_sketch", "ann_pq_adc_topk", "stream_windowed_distinct", "multimodal_gif_frames",
+    # round-6 second wave: frequency/membership sketches, substring-dedup
+    # spans, exact similarity join, graph analytics, funnel, streaming CMS
+    "cms_heavy_hitters", "bloom_decontam_membership",
+    "duplicate_substring_spans", "jaccard_prefix_join",
+    "graph_pagerank", "triangle_cooccurrence", "funnel_stages",
+    "stream_windowed_heavy_hitters",
+    "inverted_index_postings",
 ]
 
 
