@@ -4333,3 +4333,43 @@ def inverted_index_postings(spark, sf_dir):
     from amundsendatabuilder_spark.operators.ranking import build_postings
     (docs,) = _t(spark, sf_dir, "documents")
     return build_postings(docs, min_df=25).orderBy("term")
+
+
+def _zorder_oracle() -> str:
+    from amundsendatabuilder_spark.sinks.compaction import zorder_expr
+    z = zorder_expr("l_partkey", "l_suppkey", 16, idiv="//")
+    return f"""
+WITH z AS (SELECT l_partkey, l_suppkey, {z} AS zval FROM lineitem),
+zm AS (SELECT max(zval) AS zmax FROM z)
+SELECT (zval * 64) // (zmax + 1) AS zbucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+       min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+FROM z, zm GROUP BY 1 ORDER BY 1"""
+
+
+@query("zorder_layout_stats", _zorder_oracle())
+def zorder_layout_stats(spark, sf_dir):
+    """Z-order (Morton) clustering key for two-dimensional data layout
+    (sinks/compaction.zorder_expr): per Z-range bucket (64 equal key
+    ranges of the observed Z domain), the row count
+    and the min/max bounding box of BOTH key columns — exactly the
+    parquet footer stats a file written from that bucket would carry.
+    Tight boxes in both dimensions are what let a 100 TB scan filtered
+    on EITHER l_partkey or l_suppkey prune most files, where a plain
+    (partkey, suppkey) sort only prunes on the leading column. Pure
+    integer bit arithmetic, bit-identical in the DuckDB twin."""
+    from amundsendatabuilder_spark.sinks.compaction import zorder_expr
+    (li,) = _t(spark, sf_dir, "lineitem")
+    z = li.select("l_partkey", "l_suppkey",
+                  F.expr(zorder_expr("l_partkey", "l_suppkey", 16))
+                  .alias("zval"))
+    zm = z.agg(F.max("zval").alias("zmax"))
+    z = z.crossJoin(F.broadcast(zm))
+    return (z.groupBy((F.expr("(zval * 64) DIV (zmax + 1)")).alias("zbucket"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("l_partkey").alias("min_part"),
+                 F.max("l_partkey").alias("max_part"),
+                 F.min("l_suppkey").alias("min_supp"),
+                 F.max("l_suppkey").alias("max_supp"))
+            .orderBy("zbucket"))

@@ -42,3 +42,24 @@ def write_sized(df: DataFrame, path: str, target_mb: int = 256,
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
     return n
+
+
+def zorder_expr(col_a: str, col_b: str, bits: int = 16,
+                idiv: str = "DIV") -> str:
+    """SQL text for the Morton (Z-order) interleave of two non-negative
+    integer columns — bit i of ``col_a`` lands at position 2i, bit i of
+    ``col_b`` at 2i+1. Pure integer arithmetic (((c DIV 2^i) % 2) *
+    2^(2i)), so Spark (idiv='DIV') and any ANSI engine (DuckDB
+    idiv='//') evaluate it identically.
+
+    Z-ordering is the multi-dimensional layout tool for 100 TB scans:
+    sorting/range-partitioning output files by the interleaved key gives
+    every file a tight bounding box in BOTH dimensions, so parquet
+    min/max footer stats prune scans filtered on EITHER column — a plain
+    sort on (a, b) only ever prunes on ``a``. Use with write_sized:
+    df.repartitionByRange(n, F.expr(zorder_expr(...)))."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({col_a} {idiv} {1 << i}) % 2) * {1 << (2 * i)})")
+        terms.append(f"((({col_b} {idiv} {1 << i}) % 2) * {1 << (2 * i + 1)})")
+    return "(" + " + ".join(terms) + ")"

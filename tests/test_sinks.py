@@ -243,3 +243,42 @@ def test_write_sized_controls_file_count(spark, tmp_path):
     assert nm > 1
     assert len(glob.glob(many + "/part-*.parquet")) == nm
     assert small_target_files >= 1
+
+
+def test_zorder_expr_interleaves_bits(spark):
+    from pyspark.sql import functions as F
+
+    from amundsendatabuilder_spark.sinks.compaction import zorder_expr
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)], "a long, b long")
+    got = [r.z for r in df.select(
+        F.expr(zorder_expr("a", "b")).alias("z")).collect()]
+
+    def morton(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i) | ((b >> i) & 1) << (2 * i + 1)
+        return z
+    assert got == [morton(a, b) for a, b in
+                   [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)]]
+    assert got[-1] == (1 << 32) - 1
+
+
+def test_zorder_buckets_bound_both_dimensions(spark):
+    """The property Z-order exists for: consecutive Z ranges have tight
+    bounding boxes in BOTH dimensions (a lexicographic sort would leave
+    the second dimension's range unbounded in every bucket)."""
+    from pyspark.sql import functions as F
+
+    from amundsendatabuilder_spark.sinks.compaction import zorder_expr
+    rows = [(a, b) for a in range(64) for b in range(64)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    z = df.select("a", "b", F.expr(zorder_expr("a", "b", 6)).alias("z"))
+    stats = (z.groupBy(F.expr("z DIV 256").alias("bucket"))
+             .agg(F.max("a").alias("xa"), F.min("a").alias("na"),
+                  F.max("b").alias("xb"), F.min("b").alias("nb"))
+             .collect())
+    # 4096 points / 16 buckets of 256; each Z bucket of size 256 = a
+    # 16x16 tile: both spans are 15, not 63
+    assert len(stats) == 16
+    assert all(r.xa - r.na == 15 and r.xb - r.nb == 15 for r in stats)

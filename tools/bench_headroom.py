@@ -63,7 +63,7 @@ SUITE = [
     "duplicate_substring_spans", "jaccard_prefix_join",
     "graph_pagerank", "triangle_cooccurrence", "funnel_stages",
     "stream_windowed_heavy_hitters",
-    "inverted_index_postings",
+    "inverted_index_postings", "zorder_layout_stats",
 ]
 
 
