@@ -38,7 +38,7 @@ _PRIORITY = [
     "bloom_decontam_membership", "duplicate_substring_spans",
     "graph_pagerank", "triangle_cooccurrence", "funnel_stages",
     "stream_windowed_heavy_hitters", "jaccard_prefix_join",
-    "inverted_index_postings", "zorder_layout_stats",
+    "inverted_index_postings", "zorder_layout_stats", "scd2_intervals",
     # (b) r5-certified but implementation changed in round 6 (6 — the
     # only overlap with the r5 window)
     "graph_match_varlen", "langid_nb", "ann_rhp_topk",

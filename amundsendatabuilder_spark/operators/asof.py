@@ -59,3 +59,43 @@ def asof_join(left: DataFrame, right: DataFrame, *,
     payload = [F.col(f"_last_r.{c}").alias(f"asof_{c}") for c in rcols]
     keep = [c for c in left.columns]
     return out.select(*keep, *payload)
+
+
+def scd2_intervals(changes: DataFrame, key_col: str = "user_id",
+                   value_col: str = "event_type", ts_col: str = "ts",
+                   tie_col: str = "event_id") -> DataFrame:
+    """Build a slowly-changing-dimension (SCD type 2) history from a
+    change stream: one validity interval per (key, value) run —
+    (key, value, eff_from, eff_to, is_current), eff_to = next change's
+    instant (NULL while current).
+
+    The lakehouse pattern for dimension history: the reference's
+    publishers replace state wholesale (MERGE everything, then
+    staleness-sweep); interval-building keeps every historical value
+    queryable with an as-of predicate (``eff_from <= t < eff_to`` —
+    composing with operators/asof.asof_join for point-in-time joins).
+
+    Consecutive duplicate values collapse into one interval (a change
+    record that does not change the value is not a new version). All
+    windows partition by the dimension key, so the build spreads across
+    the key space with no global sort; ties at the same timestamp order
+    by ``tie_col`` for determinism.
+
+    Reference: the Neo4j publisher's publish-tag generations
+    (publisher/neo4j_csv_publisher.py:120-150) are the degenerate
+    current-state-only form of this."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    runs = (changes.select(key_col, value_col, ts_col, tie_col)
+            .withColumn("_new_run",
+                        F.when(F.lag(value_col).over(w).isNull()
+                               | (F.col(value_col)
+                                  != F.lag(value_col).over(w)),
+                               F.lit(1)).otherwise(F.lit(0)))
+            .where(F.col("_new_run") == 1))
+    w2 = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    return (runs.select(
+        key_col, value_col,
+        F.col(ts_col).alias("eff_from"),
+        F.lead(ts_col).over(w2).alias("eff_to"))
+        .withColumn("is_current", F.col("eff_to").isNull()))

@@ -4373,3 +4373,28 @@ def zorder_layout_stats(spark, sf_dir):
                  F.min("l_suppkey").alias("min_supp"),
                  F.max("l_suppkey").alias("max_supp"))
             .orderBy("zbucket"))
+
+
+@query("scd2_intervals", """
+WITH o AS (SELECT user_id, event_type, ts, event_id,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+           FROM events),
+runs AS (SELECT user_id, event_type, ts, event_id FROM o
+         WHERE prev IS NULL OR event_type <> prev),
+iv AS (SELECT user_id, event_type, ts AS eff_from,
+              lead(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS eff_to
+       FROM runs)
+SELECT user_id, event_type, eff_from, eff_to, eff_to IS NULL AS is_current
+FROM iv ORDER BY user_id, eff_from
+""")
+def scd2_intervals_query(spark, sf_dir):
+    """SCD type-2 dimension history from the event change stream
+    (operators/asof.scd2_intervals): per user, one validity interval per
+    value run (consecutive duplicates collapse), eff_to = next change,
+    NULL while current. All windows partition by the dimension key —
+    no global sort at any scale. Hash-verified row-for-row."""
+    from amundsendatabuilder_spark.operators.asof import scd2_intervals
+    (events,) = _t(spark, sf_dir, "events")
+    return scd2_intervals(events).orderBy("user_id", "eff_from")

@@ -1281,3 +1281,28 @@ def test_build_postings_structure(spark):
     assert rows["c"].postings == "1:1,3:3"
     assert "b" in rows and rows["b"].df == 2
     assert build_postings(docs, min_df=3).count() == 0
+
+
+def test_scd2_intervals_collapse_and_current(spark):
+    from amundsendatabuilder_spark.operators.asof import scd2_intervals
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, "a", t0),
+        (2, 1, "a", t0 + dt.timedelta(hours=1)),   # duplicate -> collapses
+        (3, 1, "b", t0 + dt.timedelta(hours=2)),
+        (4, 1, "a", t0 + dt.timedelta(hours=3)),   # back to a -> NEW interval
+        (5, 2, "x", t0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp")
+    got = sorted(((r.user_id, r.event_type, r.eff_from, r.eff_to,
+                   r.is_current)
+                  for r in scd2_intervals(df).collect()))
+    assert got == [
+        (1, "a", t0, t0 + dt.timedelta(hours=2), False),
+        (1, "a", t0 + dt.timedelta(hours=3), None, True),
+        (1, "b", t0 + dt.timedelta(hours=2), t0 + dt.timedelta(hours=3),
+         False),
+        (2, "x", t0, None, True),
+    ]
