@@ -39,6 +39,7 @@ _PRIORITY = [
     "graph_pagerank", "triangle_cooccurrence", "funnel_stages",
     "stream_windowed_heavy_hitters", "jaccard_prefix_join",
     "inverted_index_postings", "zorder_layout_stats", "scd2_intervals",
+    "linear_touch_credit", "bloom_prejoin_reduction",
     # (b) r5-certified but implementation changed in round 6 (6 — the
     # only overlap with the r5 window)
     "graph_match_varlen", "langid_nb", "ann_rhp_topk",

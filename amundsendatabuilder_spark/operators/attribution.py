@@ -99,3 +99,52 @@ def funnel_stages(events: DataFrame, stages: list[str],
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def linear_touch_credit(events: DataFrame,
+                        conversion_type: str = "purchase",
+                        touch_type: str = "view",
+                        lookback_minutes: int = 60,
+                        user_col: str = "user_id",
+                        ts_col: str = "ts",
+                        id_col: str = "event_id") -> DataFrame:
+    """Multi-touch LINEAR attribution: each conversion's value splits
+    equally across its in-window touches, in exact integer micro-units —
+    credit = value_micros DIV n, with the division remainder assigned to
+    the LAST touch so per-conversion credit sums exactly to the
+    conversion value (no float leakage, any engine reproduces it).
+
+    Returns one row per (conversion, touch):
+    (conv_id, user_id, touch_us, credit_micros). Conversions with zero
+    in-window touches emit nothing here — conversion_attribution is the
+    count-keeping surface. Same join shape as conversion_attribution
+    (user-key hash join, time bound as residual), one extra window
+    ranked by touch recency per conversion to find the remainder
+    carrier; the window partitions by conversion id, so state is
+    per-conversion touch counts, never the stream."""
+    from pyspark.sql import Window
+    lookback_us = lookback_minutes * 60 * 1_000_000
+    conv = (events.where(F.col("event_type") == conversion_type)
+            .select(F.col(id_col).alias("conv_id"), F.col(user_col),
+                    F.unix_micros(F.col(ts_col)).alias("conversion_us"),
+                    F.round(F.col("value") * 1_000_000, 0).cast("long")
+                    .alias("value_micros")))
+    touch = (events.where(F.col("event_type") == touch_type)
+             .select(F.col(user_col).alias("_tu"),
+                     F.unix_micros(F.col(ts_col)).alias("touch_us")))
+    pairs = (conv.join(touch, (conv[user_col] == touch["_tu"])
+                       & (F.col("touch_us") <= F.col("conversion_us"))
+                       & (F.col("touch_us") > F.col("conversion_us")
+                          - lookback_us))
+             .select("conv_id", user_col, "conversion_us", "value_micros",
+                     "touch_us"))
+    w = Window.partitionBy("conv_id")
+    wr = Window.partitionBy("conv_id").orderBy(F.col("touch_us").desc())
+    ranked = (pairs.withColumn("n", F.count(F.lit(1)).over(w))
+              .withColumn("rk", F.row_number().over(wr)))
+    base = F.expr("value_micros DIV n")
+    rem = F.col("value_micros") - base * F.col("n")
+    return ranked.select(
+        "conv_id", user_col, "touch_us",
+        (base + F.when(F.col("rk") == 1, rem).otherwise(F.lit(0)))
+        .cast("long").alias("credit_micros"))

@@ -280,3 +280,39 @@ def bloom_probe(probes: DataFrame, bloom: DataFrame, col: str,
     keys = [c for c in probes.columns]
     return (j.groupBy(*keys).agg(
         (F.min(hit) == 1).alias("maybe_member")))
+
+
+def bloom_prefilter(df: DataFrame, bloom: DataFrame, col: str,
+                    m_bits: int = 8192, k: int = 4) -> DataFrame:
+    """Row-preserving Bloom pre-filter: keep only rows whose ``col``
+    MIGHT be in the filter — the semi-join reduction that shrinks a
+    fact-table shuffle before an equi-join when the dim side's raw key
+    set is too large to broadcast but its bit filter (m/63 BIGINT words)
+    is a few KB.
+
+    No explode/regroup (that would merge duplicate fact rows): the k bit
+    tests run as k broadcast word-lookups appended per row; survivors
+    are exactly the true matches plus the filter's false positives,
+    which the real join then discards — the reduction is lossless by the
+    no-false-negative guarantee. Probe column is hashed via its string
+    form (cast once here)."""
+    from amundsendatabuilder_spark.functions.hashing import udh_positions
+    pos = udh_positions(F.col(col).cast("string"), k, m_bits)
+    out = df
+    keep = None
+    for j in range(k):
+        w = bloom.select(F.col("word_idx").alias(f"_wi{j}"),
+                         F.col("bits").alias(f"_bits{j}"))
+        out = (out.withColumn(f"_p{j}", pos[j])
+               .join(F.broadcast(w),
+                     (F.col(f"_p{j}") / 63).cast("long")
+                     == F.col(f"_wi{j}"), "left"))
+        hit = (F.col(f"_bits{j}").isNotNull()
+               & (F.col(f"_bits{j}").bitwiseAND(
+                   F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                          f"CAST(_p{j} % 63 AS INT))"))
+                  != 0))
+        keep = hit if keep is None else (keep & hit)
+    return (out.where(keep)
+            .drop(*[c for j in range(k)
+                    for c in (f"_p{j}", f"_wi{j}", f"_bits{j}")]))

@@ -4398,3 +4398,71 @@ def scd2_intervals_query(spark, sf_dir):
     from amundsendatabuilder_spark.operators.asof import scd2_intervals
     (events,) = _t(spark, sf_dir, "events")
     return scd2_intervals(events).orderBy("user_id", "eff_from")
+
+
+@query("linear_touch_credit", """
+WITH conv AS (SELECT event_id AS conv_id, user_id,
+                     CAST(floor(epoch(ts) * 1000000) AS BIGINT) AS cus,
+                     CAST(round(value * 1000000, 0) AS BIGINT) AS vm
+              FROM events WHERE event_type = 'purchase'),
+touch AS (SELECT user_id AS tu,
+                 CAST(floor(epoch(ts) * 1000000) AS BIGINT) AS tus
+          FROM events WHERE event_type = 'view'),
+pairs AS (SELECT c.conv_id, c.user_id, c.cus, c.vm, t.tus
+          FROM conv c JOIN touch t ON c.user_id = t.tu
+          WHERE t.tus <= c.cus AND t.tus > c.cus - 3600000000),
+ranked AS (SELECT conv_id, user_id, tus, vm,
+                  count(*) OVER (PARTITION BY conv_id) AS n,
+                  row_number() OVER (PARTITION BY conv_id
+                                     ORDER BY tus DESC) AS rk
+           FROM pairs)
+SELECT conv_id, user_id, tus AS touch_us,
+       (vm // n) + CASE WHEN rk = 1 THEN vm - (vm // n) * n ELSE 0 END
+           AS credit_micros
+FROM ranked ORDER BY conv_id, touch_us
+""")
+def linear_touch_credit_query(spark, sf_dir):
+    """Linear multi-touch attribution in exact integer micro-units
+    (operators/attribution.linear_touch_credit): value DIV n per touch,
+    remainder to the most recent touch so each conversion's credits sum
+    exactly to its value — float credit splitting can never be
+    hash-pinned. Same user-key interval join as conversion_attribution;
+    the rank window partitions by conversion id only."""
+    from amundsendatabuilder_spark.operators.attribution import (
+        linear_touch_credit)
+    (events,) = _t(spark, sf_dir, "events")
+    return (linear_touch_credit(events)
+            .orderBy("conv_id", "touch_us"))
+
+
+@query("bloom_prejoin_reduction", """
+SELECT l.l_suppkey, CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE s.s_nationkey = 5
+GROUP BY 1 ORDER BY 1
+""")
+def bloom_prejoin_reduction(spark, sf_dir):
+    """Bloom-filter join reduction (sketches.bloom_build +
+    bloom_prefilter): the dim side's join keys are packed into a bit
+    filter, the fact side is pre-filtered map-side BEFORE its shuffle,
+    and the real join then discards the false positives — so the result
+    is EXACTLY the plain join, which is what the oracle runs. At 100 TB
+    this is the reduction for dims too large to broadcast raw (the
+    filter is m/63 BIGINT words regardless of dim cardinality); Spark's
+    own runtime row-group filters cover only the broadcastable case.
+    Exercises no-false-negatives end-to-end: a single dropped true row
+    would break the hash."""
+    from amundsendatabuilder_spark.operators import sketches
+    li, sup = _t(spark, sf_dir, "lineitem", "supplier")
+    dim = sup.where(F.col("s_nationkey") == 5)
+    bloom = sketches.bloom_build(
+        dim.select(F.col("s_suppkey").cast("string").alias("key")), "key")
+    pre = sketches.bloom_prefilter(li, bloom, "l_suppkey")
+    joined = pre.join(dim, pre["l_suppkey"] == dim["s_suppkey"])
+    return (joined.groupBy("l_suppkey")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 round_half_away(F.sum(
+                     F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                     2).alias("revenue"))
+            .orderBy("l_suppkey"))

@@ -1306,3 +1306,49 @@ def test_scd2_intervals_collapse_and_current(spark):
          False),
         (2, "x", t0, None, True),
     ]
+
+
+def test_linear_touch_credit_sums_to_value(spark):
+    from amundsendatabuilder_spark.operators.attribution import (
+        linear_touch_credit)
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 7, "view", t0 - dt.timedelta(minutes=50), 0.0),
+        (2, 7, "view", t0 - dt.timedelta(minutes=10), 0.0),
+        (3, 7, "view", t0 - dt.timedelta(minutes=5), 0.0),
+        (4, 7, "purchase", t0, 10.0),                      # 10/3 split
+        (5, 8, "purchase", t0, 5.0),                       # no touches
+        (6, 9, "view", t0 - dt.timedelta(minutes=90), 0.0),  # out of window
+        (7, 9, "purchase", t0, 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp, "
+        "value double")
+    out = linear_touch_credit(df).collect()
+    by_conv = {}
+    for r in out:
+        by_conv.setdefault(r.conv_id, []).append(r.credit_micros)
+    assert set(by_conv) == {4}          # 5 has no touches, 7's is stale
+    credits = sorted(by_conv[4])
+    assert sum(credits) == 10_000_000   # remainder assigned, exact
+    assert credits == [3333333, 3333333, 3333334]
+
+
+def test_bloom_prefilter_is_lossless_superset(spark):
+    from pyspark.sql import functions as F
+
+    from amundsendatabuilder_spark.operators import sketches
+    fact = spark.range(2000).select(
+        F.col("id").alias("rowid"), (F.col("id") % 100).alias("key"))
+    dim_keys = spark.range(10).select((F.col("id") * 7).alias("key"))
+    bloom = sketches.bloom_build(
+        dim_keys.select(F.col("key").cast("string").alias("k")), "k")
+    pre = sketches.bloom_prefilter(fact, bloom, "key")
+    kept = {(r.rowid, r.key) for r in pre.collect()}
+    truth = {(r.rowid, r.key) for r in
+             fact.join(dim_keys, "key").select("rowid", "key").collect()}
+    assert truth <= kept               # no false negatives, rows preserved
+    assert len(kept) <= fact.count()   # and it actually filters
+    assert len(kept) < 2000

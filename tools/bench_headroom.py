@@ -64,7 +64,7 @@ SUITE = [
     "graph_pagerank", "triangle_cooccurrence", "funnel_stages",
     "stream_windowed_heavy_hitters",
     "inverted_index_postings", "zorder_layout_stats",
-    "scd2_intervals",
+    "scd2_intervals", "linear_touch_credit", "bloom_prejoin_reduction",
 ]
 
 
