@@ -99,3 +99,61 @@ def scd2_intervals(changes: DataFrame, key_col: str = "user_id",
         F.col(ts_col).alias("eff_from"),
         F.lead(ts_col).over(w2).alias("eff_to"))
         .withColumn("is_current", F.col("eff_to").isNull()))
+
+
+def densify_daily(events: DataFrame, user_col: str = "user_id",
+                  ts_col: str = "ts",
+                  value_col: str = "value") -> DataFrame:
+    """Per-user daily time series with gaps zero-filled: one row per
+    (user, day) from each user's first to last active day — the
+    densification step every per-entity trend/forecast feature pipeline
+    needs (a groupBy alone silently drops quiet days, skewing any
+    moving average computed downstream).
+
+    Value sums are exact integer micro-units. Scale shape: the day
+    calendar explodes from each user's OWN [min, max] span (bounded by
+    user lifetime, not the global calendar), and the fill join is a
+    per-user equi-join — co-located end-to-end when bucketed by user."""
+    day = F.date_trunc("day", F.col(ts_col))
+    vm = F.round(F.col(value_col) * 1_000_000, 0).cast("long")
+    daily = (events.groupBy(F.col(user_col), day.alias("day"))
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.sum(vm).alias("value_micros")))
+    span = (events.groupBy(user_col)
+            .agg(F.date_trunc("day", F.min(ts_col)).alias("d0"),
+                 F.date_trunc("day", F.max(ts_col)).alias("d1")))
+    cal = span.select(
+        user_col,
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"))
+    return (cal.join(daily, [user_col, "day"], "left")
+            .select(user_col, "day",
+                    F.coalesce("n_events", F.lit(0)).cast("long")
+                    .alias("n_events"),
+                    F.coalesce("value_micros", F.lit(0)).cast("long")
+                    .alias("value_micros")))
+
+
+def rolling_trailing_sum(events: DataFrame, hours: int = 24,
+                         user_col: str = "user_id", ts_col: str = "ts",
+                         value_col: str = "value",
+                         id_col: str = "event_id") -> DataFrame:
+    """Per-event trailing-window aggregate: for every event, the count
+    and exact micro-unit value sum of the same user's events in the
+    preceding ``hours`` (inclusive) — the feature-engineering primitive
+    behind velocity/fraud features ("spend in the last 24h").
+
+    RANGE frame over integer epoch micros, so frame membership is exact
+    and tie rows (same timestamp) are peers on both engines; sums are
+    BIGINT (order-free). Windows partition by user — no global sort."""
+    from pyspark.sql import Window
+    span_us = hours * 3600 * 1_000_000
+    vm = F.round(F.col(value_col) * 1_000_000, 0).cast("long")
+    base = events.select(F.col(id_col), F.col(user_col),
+                         F.unix_micros(F.col(ts_col)).alias("eus"),
+                         vm.alias("vm"))
+    w = (Window.partitionBy(user_col).orderBy("eus")
+         .rangeBetween(-span_us, 0))
+    return base.select(
+        id_col, user_col, "eus",
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.sum("vm").over(w).alias("trailing_micros"))

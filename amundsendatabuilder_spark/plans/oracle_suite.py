@@ -4466,3 +4466,60 @@ def bloom_prejoin_reduction(spark, sf_dir):
                      F.col("l_extendedprice") * (1 - F.col("l_discount"))),
                      2).alias("revenue"))
             .orderBy("l_suppkey"))
+
+
+@query("densify_daily", """
+WITH vm AS (SELECT user_id, date_trunc('day', ts) AS day,
+                   CAST(round(value * 1000000, 0) AS BIGINT) AS v
+            FROM events),
+daily AS (SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(sum(v) AS BIGINT) AS value_micros
+          FROM vm GROUP BY 1, 2),
+span AS (SELECT user_id, date_trunc('day', min(ts)) AS d0,
+                date_trunc('day', max(ts)) AS d1
+         FROM events GROUP BY 1),
+cal AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+               AS day
+        FROM span)
+SELECT c.user_id, c.day,
+       coalesce(d.n_events, 0) AS n_events,
+       coalesce(d.value_micros, 0) AS value_micros
+FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+ORDER BY c.user_id, c.day
+""")
+def densify_daily_query(spark, sf_dir):
+    """Per-user daily densification with zero-filled gaps
+    (operators/asof.densify_daily): the calendar explodes from each
+    user's own active span and the fill join is user-keyed — the
+    trend-feature prerequisite a bare groupBy gets wrong by dropping
+    quiet days. Exact integer micro-unit sums; hash-verified
+    row-for-row against generate_series."""
+    from amundsendatabuilder_spark.operators.asof import densify_daily
+    (events,) = _t(spark, sf_dir, "events")
+    return densify_daily(events).orderBy("user_id", "day")
+
+
+@query("rolling_trailing_sum", """
+WITH base AS (SELECT event_id, user_id,
+                     CAST(floor(epoch(ts) * 1000000) AS BIGINT) AS eus,
+                     CAST(round(value * 1000000, 0) AS BIGINT) AS vm
+              FROM events)
+SELECT event_id, user_id, eus,
+       CAST(count(*) OVER w AS BIGINT) AS n_trailing,
+       CAST(sum(vm) OVER w AS BIGINT) AS trailing_micros
+FROM base
+WINDOW w AS (PARTITION BY user_id ORDER BY eus
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, eus, event_id
+""")
+def rolling_trailing_sum_query(spark, sf_dir):
+    """Per-event 24h trailing count/value sum
+    (operators/asof.rolling_trailing_sum): the velocity-feature
+    primitive, as a RANGE frame over integer epoch micros so frame
+    membership and tie-peer handling are engine-exact; BIGINT sums are
+    order-free. User-partitioned windows only."""
+    from amundsendatabuilder_spark.operators.asof import (
+        rolling_trailing_sum)
+    (events,) = _t(spark, sf_dir, "events")
+    return (rolling_trailing_sum(events)
+            .orderBy("user_id", "eus", "event_id"))

@@ -1352,3 +1352,43 @@ def test_bloom_prefilter_is_lossless_superset(spark):
     assert truth <= kept               # no false negatives, rows preserved
     assert len(kept) <= fact.count()   # and it actually filters
     assert len(kept) < 2000
+
+
+def test_densify_daily_fills_gaps_with_zero(spark):
+    from amundsendatabuilder_spark.operators.asof import densify_daily
+    import datetime as dt
+    rows = [
+        (1, 1, dt.datetime(2024, 1, 1, 8), 2.5),
+        (2, 1, dt.datetime(2024, 1, 4, 9), 1.5),   # 3-day gap -> 2 zero days
+        (3, 2, dt.datetime(2024, 1, 2, 0), 1.0),   # single-day user
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    got = {(r.user_id, str(r.day.date())): (r.n_events, r.value_micros)
+           for r in densify_daily(df).collect()}
+    assert got[(1, "2024-01-01")] == (1, 2_500_000)
+    assert got[(1, "2024-01-02")] == (0, 0)
+    assert got[(1, "2024-01-03")] == (0, 0)
+    assert got[(1, "2024-01-04")] == (1, 1_500_000)
+    assert got[(2, "2024-01-02")] == (1, 1_000_000)
+    assert len(got) == 5
+
+
+def test_rolling_trailing_sum_window_membership(spark):
+    from amundsendatabuilder_spark.operators.asof import rolling_trailing_sum
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 2, 0, 0, 0)
+    rows = [
+        (1, 1, t0, 1.0),
+        (2, 1, t0 + dt.timedelta(hours=23), 2.0),   # within 24h of e1
+        (3, 1, t0 + dt.timedelta(hours=25), 4.0),   # e1 aged out, e2 in
+        (4, 2, t0 + dt.timedelta(hours=1), 8.0),    # other user isolated
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    got = {r.event_id: (r.n_trailing, r.trailing_micros)
+           for r in rolling_trailing_sum(df, hours=24).collect()}
+    assert got[1] == (1, 1_000_000)
+    assert got[2] == (2, 3_000_000)
+    assert got[3] == (2, 6_000_000)
+    assert got[4] == (1, 8_000_000)
