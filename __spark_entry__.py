@@ -40,7 +40,7 @@ _PRIORITY = [
     "stream_windowed_heavy_hitters", "jaccard_prefix_join",
     "inverted_index_postings", "zorder_layout_stats", "scd2_intervals",
     "linear_touch_credit", "bloom_prejoin_reduction",
-    "densify_daily", "rolling_trailing_sum",
+    "densify_daily", "rolling_trailing_sum", "bigram_pmi_topk",
     # (b) r5-certified but implementation changed in round 6 (6 — the
     # only overlap with the r5 window)
     "graph_match_varlen", "langid_nb", "ann_rhp_topk",

@@ -626,3 +626,56 @@ def token_count_histogram(docs: DataFrame, bucket_width: int = 16,
                         .alias("bucket_lo"))
             .groupBy("stratum", "bucket_lo")
             .agg(F.count("*").cast("long").alias("n_docs")))
+
+
+def bigram_pmi_topk(docs: DataFrame, k: int = 20, min_count: int = 10,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Top-k token-bigram collocations by pointwise mutual information —
+    the phrase-mining pass (word2vec-style phrase joining, tokenizer
+    merge candidates) over a corpus.
+
+    PMI = ln((c_ab/M) / ((c_a/N)(c_b/N))) with every count exact; the
+    ratio is evaluated in a FIXED multiplication order on doubles so any
+    IEEE engine (same libm ln) reproduces it, then rounded to 6dp, with
+    ordering ties broken by the bigram itself. ``min_count`` suppresses
+    the degenerate hapax pairs that dominate raw PMI.
+
+    Scale shape: bigram and unigram counts are map-side-combinable
+    aggregations over the token stream; N and M are 1-row aggregates
+    broadcast by crossJoin; the top-k runs distributed
+    (TakeOrderedAndProject) over bigrams already cut to >= min_count."""
+    from pyspark.sql import Window
+
+    from amundsendatabuilder_spark.functions.scalars import round_half_away
+    from amundsendatabuilder_spark.functions.text import tokens
+    toks = docs.select(F.col(id_col).alias("_rid"),
+                       F.posexplode(tokens(F.lower(F.col(text_col))))
+                       .alias("pos", "tok"))
+    # adjacent pairs WITHIN a doc: join on (doc, pos+1); cheaper than the
+    # join at scale would be a transform over the token array — but the
+    # array form cannot reuse the unigram explode, and the join is
+    # doc-co-partitioned anyway
+    a = toks.select("_rid", "pos", F.col("tok").alias("w1"))
+    b = toks.select("_rid", (F.col("pos") - 1).alias("pos"),
+                    F.col("tok").alias("w2"))
+    bi = (a.join(b, ["_rid", "pos"])
+          .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab")))
+    uni = (docs.select(F.explode(tokens(F.lower(F.col(text_col))))
+                       .alias("tok"))
+           .groupBy("tok").agg(F.count(F.lit(1)).alias("c")))
+    totals = (bi.agg(F.sum("c_ab").alias("m"))
+              .crossJoin(uni.agg(F.sum("c").alias("n"))))
+    ua = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_b"))
+    scored = (bi.where(F.col("c_ab") >= min_count)
+              .join(F.broadcast(ua), "w1").join(F.broadcast(ub), "w2")
+              .crossJoin(F.broadcast(totals))
+              .select("w1", "w2", "c_ab", round_half_away(F.expr(
+                  "ln(((CAST(c_ab AS DOUBLE) / CAST(m AS DOUBLE)) "
+                  "/ CAST(c_a AS DOUBLE)) * CAST(n AS DOUBLE) "
+                  "/ CAST(c_b AS DOUBLE) * CAST(n AS DOUBLE))"), 6)
+                  .alias("pmi")))
+    top = scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(k)
+    w = Window.orderBy(F.col("pmi").desc(), "w1", "w2")
+    return top.withColumn("rank", F.row_number().over(w))

@@ -4523,3 +4523,38 @@ def rolling_trailing_sum_query(spark, sf_dir):
     (events,) = _t(spark, sf_dir, "events")
     return (rolling_trailing_sum(events)
             .orderBy("user_id", "eus", "event_id"))
+
+
+@query("bigram_pmi_topk", r"""
+WITH t AS (SELECT doc_id, """ + _LTOKS_SQL + r""" AS toks FROM documents),
+tk AS (SELECT doc_id, i, toks[i] AS tok
+       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+             FROM t)),
+bi AS (SELECT a.tok AS w1, b.tok AS w2, CAST(count(*) AS BIGINT) AS c_ab
+       FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+       GROUP BY 1, 2),
+uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1),
+tot AS (SELECT (SELECT sum(c_ab) FROM bi) AS m,
+               (SELECT sum(c) FROM uni) AS n),
+scored AS (SELECT w1, w2, c_ab,
+                  round(ln(((CAST(c_ab AS DOUBLE) / CAST(m AS DOUBLE))
+                            / CAST(ca.c AS DOUBLE)) * CAST(n AS DOUBLE)
+                           / CAST(cb.c AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+                      AS pmi
+           FROM bi JOIN uni ca ON ca.tok = bi.w1
+           JOIN uni cb ON cb.tok = bi.w2 CROSS JOIN tot
+           WHERE c_ab >= 10)
+SELECT w1, w2, c_ab, pmi,
+       CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS INT) AS rank
+FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 20
+""")
+def bigram_pmi_topk_query(spark, sf_dir):
+    """Top-20 bigram collocations by PMI
+    (operators/textops.bigram_pmi_topk) — phrase mining / tokenizer
+    merge candidates. Counts exact; the PMI ratio evaluates in one fixed
+    left-associated double expression (same libm ln both engines) then
+    rounds to 6dp with bigram tie-breaks; distributed top-k over the
+    min_count survivors."""
+    from amundsendatabuilder_spark.operators.textops import bigram_pmi_topk
+    (docs,) = _t(spark, sf_dir, "documents")
+    return bigram_pmi_topk(docs, k=20, min_count=10)

@@ -1392,3 +1392,14 @@ def test_rolling_trailing_sum_window_membership(spark):
     assert got[2] == (2, 3_000_000)
     assert got[3] == (2, 6_000_000)
     assert got[4] == (1, 8_000_000)
+
+
+def test_bigram_pmi_collocation_ranks_highest(spark):
+    from amundsendatabuilder_spark.operators.textops import bigram_pmi_topk
+    # 'zig zag' always co-occur exclusively; filler words are everywhere
+    docs = spark.createDataFrame(
+        [(i, "zig zag on the and the on and on the") for i in range(6)],
+        "doc_id long, text string")
+    rows = bigram_pmi_topk(docs, k=3, min_count=6).collect()
+    assert (rows[0].w1, rows[0].w2) == ("zig", "zag")
+    assert rows[0].rank == 1 and rows[0].pmi > rows[-1].pmi

@@ -65,7 +65,7 @@ SUITE = [
     "stream_windowed_heavy_hitters",
     "inverted_index_postings", "zorder_layout_stats",
     "scd2_intervals", "linear_touch_credit", "bloom_prejoin_reduction",
-    "densify_daily", "rolling_trailing_sum",
+    "densify_daily", "rolling_trailing_sum", "bigram_pmi_topk",
 ]
 
 
