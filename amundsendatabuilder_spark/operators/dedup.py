@@ -712,8 +712,11 @@ def jaccard_prefix_join(docs: DataFrame, threshold_num: int = 3,
     pairs."""
     from pyspark.sql import Window
     tn, td = threshold_num, threshold_den
+    # toks feeds four consumers (sizes, df ranks, the ordered prefix, and
+    # both verify sides) — checkpoint materializes the tokenize+distinct
+    # once instead of five re-scans of the corpus
     toks = (docs.select(id_col, F.explode(tokens(F.lower(F.col(text_col))))
-                        .alias("tok")).distinct())
+                        .alias("tok")).distinct().localCheckpoint())
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     df_rank = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     ordered = (toks.join(df_rank, "tok").join(sizes, id_col)
@@ -722,7 +725,7 @@ def jaccard_prefix_join(docs: DataFrame, threshold_num: int = 3,
     # prefix length p = sz - ceil(t*sz) + 1 = sz - (tn*sz + td - 1) DIV td + 1
     prefix = ordered.where(
         F.col("i") <= F.col("sz")
-        - F.expr(f"({tn} * sz + {td} - 1) DIV {td}") + 1)
+        - F.expr(f"({tn} * sz + {td} - 1) DIV {td}") + 1).localCheckpoint()
     a = prefix.select(F.col(id_col).alias("doc_a"), "tok",
                       F.col("sz").alias("sza"))
     b = prefix.select(F.col(id_col).alias("doc_b"), "tok",

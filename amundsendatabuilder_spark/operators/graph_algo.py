@@ -248,11 +248,15 @@ def triangle_counts(edges: DataFrame,
     edges all point INTO it, so it never fans out). Wedges (a->b->c)
     are closed by a semi-join against the oriented edge set; shuffle
     payload is id pairs throughout."""
+    # localCheckpoint (not cache): und/o are each referenced 2-3 times,
+    # and a cache leaves the full self-join lineage in every branch of the
+    # first-run plan (audited at 79 exchanges); checkpointing materializes
+    # once and every consumer reads the RDD — the kmeans/pagerank pattern
     und = (edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
            .where(F.col("u") != F.col("v"))
            .select(F.least("u", "v").alias("u"),
                    F.greatest("u", "v").alias("v"))
-           .distinct().cache())
+           .distinct().localCheckpoint())
     deg = (und.select(F.col("u").alias("n"))
            .unionByName(und.select(F.col("v").alias("n")))
            .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
@@ -264,7 +268,7 @@ def triangle_counts(edges: DataFrame,
     o = lab.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"))
-    o = o.cache()
+    o = o.localCheckpoint()
     w = (o.alias("e1")
          .join(o.alias("e2"), F.col("e1.b") == F.col("e2.a"))
          .select(F.col("e1.a").alias("a"), F.col("e1.b").alias("b"),
