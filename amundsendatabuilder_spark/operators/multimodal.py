@@ -484,3 +484,78 @@ def resize_images(media: DataFrame, max_w: int = 224, max_h: int = 224,
 
     pruned = media.where(F.col("kind") == "image").select("media_id", "payload")
     return pruned.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+def synthetic_tones(spark, n: int = 32) -> DataFrame:
+    """Pure-tone PCM16 fixtures for the spectral kernel: asset i is a
+    2000 ms mono sine at 8 kHz, frequency 200 + (i % 16) * 100 Hz,
+    amplitude 12000. Integer frequencies over exactly-1s analysis
+    windows put all energy in one DFT bin (no leakage), so the dominant
+    bin has the closed form ``freq_hz`` itself — which is what makes a
+    real FFT kernel oracle-verifiable."""
+    import numpy as np
+    rows = []
+    sr, dur_ms = 8000, 2000
+    j = np.arange(sr * dur_ms // 1000, dtype=np.float64)
+    for i in range(n):
+        f = 200 + (i % 16) * 100
+        samples = np.round(12000.0 * np.sin(2 * np.pi * f * j / sr))
+        rows.append((i, "audio", bytearray(samples.astype("<i2").tobytes()),
+                     (None, None, sr, dur_ms, "pcm16")))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def audio_spectral_peak(media: DataFrame, chunk_ms: int = 1000) -> DataFrame:
+    """Dominant-frequency extraction per audio chunk: real FFT over each
+    PCM16 sample window, arg-max magnitude bin above DC —
+    (media_id, chunk_idx, n_samples, peak_bin). peak_hz = peak_bin *
+    sample_rate / n_samples; emitting the integer bin keeps the output
+    engine-exact (magnitudes are floats, the arg-max index is not).
+
+    Same shape as audio_chunk_features: chunk fan-out is JVM-side from
+    duration metadata, the kernel is Arrow-batched NumPy rfft —
+    the feature-extraction stage of an audio training pipeline (VAD,
+    language/music tagging all start from spectral frames). Rows without
+    an explicit pcm16 codec yield NULL (strict semantics: guessing a
+    codec would produce plausible nonsense)."""
+    chunks = (
+        media.where(F.col("kind") == "audio")
+        .select("media_id", "payload",
+                F.coalesce(F.col("meta.sample_rate"), F.lit(16000))
+                .alias("sr"),
+                F.coalesce(F.col("meta.codec"), F.lit("unknown"))
+                .alias("codec"),
+                F.posexplode(F.sequence(
+                    F.lit(0),
+                    F.greatest(F.coalesce(F.col("meta.duration_ms"),
+                                          F.lit(0)) - 1, F.lit(0)),
+                    F.lit(chunk_ms))).alias("chunk_idx", "start_ms")))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in it:
+            out = {"media_id": [], "chunk_idx": [], "n_samples": [],
+                   "peak_bin": []}
+            for _, row in pdf.iterrows():
+                b = bytes(row["payload"] or b"")
+                sr = int(row["sr"])
+                lo = int(row["start_ms"]) * sr // 1000
+                hi = lo + int(chunk_ms) * sr // 1000
+                peak = None
+                nsamp = 0
+                if row["codec"] == "pcm16" and hi * 2 <= len(b):
+                    x = np.frombuffer(b[lo * 2: hi * 2], dtype="<i2")
+                    nsamp = len(x)
+                    if nsamp:
+                        mag = np.abs(np.fft.rfft(x.astype(np.float64)))
+                        if len(mag) > 1:
+                            peak = int(np.argmax(mag[1:])) + 1
+                out["media_id"].append(row["media_id"])
+                out["chunk_idx"].append(row["chunk_idx"])
+                out["n_samples"].append(nsamp)
+                out["peak_bin"].append(peak)
+            yield pd.DataFrame(out)
+
+    return chunks.mapInPandas(
+        batches,
+        "media_id long, chunk_idx int, n_samples long, peak_bin int")

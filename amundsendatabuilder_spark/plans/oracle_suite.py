@@ -4558,3 +4558,26 @@ def bigram_pmi_topk_query(spark, sf_dir):
     from amundsendatabuilder_spark.operators.textops import bigram_pmi_topk
     (docs,) = _t(spark, sf_dir, "documents")
     return bigram_pmi_topk(docs, k=20, min_count=10)
+
+
+@query("multimodal_spectral_peak", """
+SELECT i AS media_id, CAST(c AS INT) AS chunk_idx,
+       CAST(8000 AS BIGINT) AS n_samples,
+       CAST(200 + (i % 16) * 100 AS INT) AS peak_bin
+FROM (SELECT unnest(range(0, 32)) AS i) t,
+     (SELECT unnest(range(0, 2)) AS c) u
+ORDER BY media_id, chunk_idx
+""")
+def multimodal_spectral_peak(spark, sf_dir):
+    """Dominant-frequency bin per audio chunk
+    (operators/multimodal.audio_spectral_peak): REAL NumPy rfft over
+    PCM16 windows, arg-max bin above DC. The pure-tone fixtures
+    (synthetic_tones: integer Hz over exactly-1s windows) concentrate
+    all energy in one bin, so the peak has the closed form
+    200 + (i%16)*100 — a hash match proves the FFT kernel, the sample
+    windowing, and the chunk fan-out all land on the right bin for
+    every chunk of every asset."""
+    from amundsendatabuilder_spark.operators.multimodal import (
+        audio_spectral_peak, synthetic_tones)
+    return (audio_spectral_peak(synthetic_tones(spark, n=32), chunk_ms=1000)
+            .orderBy("media_id", "chunk_idx"))

@@ -1403,3 +1403,24 @@ def test_bigram_pmi_collocation_ranks_highest(spark):
     rows = bigram_pmi_topk(docs, k=3, min_count=6).collect()
     assert (rows[0].w1, rows[0].w2) == ("zig", "zag")
     assert rows[0].rank == 1 and rows[0].pmi > rows[-1].pmi
+
+
+def test_audio_spectral_peak_finds_tone(spark):
+    from amundsendatabuilder_spark.operators.multimodal import (
+        audio_spectral_peak, synthetic_tones)
+    out = audio_spectral_peak(synthetic_tones(spark, n=4),
+                              chunk_ms=1000).collect()
+    got = {(r.media_id, r.chunk_idx): r.peak_bin for r in out}
+    assert len(got) == 8                      # 4 assets x 2 chunks
+    for (mid, _), bin_ in got.items():
+        assert bin_ == 200 + (mid % 16) * 100
+
+
+def test_audio_spectral_peak_strict_null_for_unknown_codec(spark):
+    from amundsendatabuilder_spark.operators.multimodal import (
+        MEDIA_SCHEMA, audio_spectral_peak)
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(b"\x00" * 4000),
+          (None, None, 1000, 1000, None))], MEDIA_SCHEMA)
+    rows = audio_spectral_peak(df, chunk_ms=1000).collect()
+    assert len(rows) == 1 and rows[0].peak_bin is None
