@@ -4581,3 +4581,37 @@ def multimodal_spectral_peak(spark, sf_dir):
         audio_spectral_peak, synthetic_tones)
     return (audio_spectral_peak(synthetic_tones(spark, n=32), chunk_ms=1000)
             .orderBy("media_id", "chunk_idx"))
+
+
+@query("decayed_popularity", """
+WITH mx AS (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS mts FROM events),
+w AS (SELECT user_id,
+             least((mts - CAST(floor(epoch(ts)) AS BIGINT)) // 86400, 62)
+                 AS age_days
+      FROM events, mx)
+SELECT user_id,
+       CAST(sum(1000000 >> CAST(age_days AS INT)) AS BIGINT)
+           AS popularity_units
+FROM w GROUP BY user_id ORDER BY user_id
+""")
+def decayed_popularity(spark, sf_dir):
+    """Time-decayed usage popularity — the ranking signal the reference
+    feeds Elasticsearch as total_usage (neo4j_search_data_extractor's
+    SearchData, models/usage/*) upgraded with recency: each event is
+    worth 2^(-age_days), computed as an integer bit shift
+    (1e6 >> age_days, age capped at 62) so the decay sum is EXACT and
+    order-free — the float exp() formulation can never be hash-pinned.
+    One map-side-combinable aggregation; the corpus max-ts anchor is a
+    1-row broadcast."""
+    (events,) = _t(spark, sf_dir, "events")
+    ep = F.unix_timestamp(F.col("ts"))
+    mx = events.agg(F.max(ep).alias("mts"))
+    aged = (events.select("user_id", ep.alias("es"))
+            .crossJoin(F.broadcast(mx))
+            .select("user_id",
+                    F.least(F.expr("(mts - es) DIV 86400"), F.lit(62))
+                    .cast("int").alias("age_days")))
+    return (aged.groupBy("user_id")
+            .agg(F.sum(F.expr("shiftright(1000000, age_days)"))
+                 .alias("popularity_units"))
+            .orderBy("user_id"))

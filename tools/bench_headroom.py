@@ -66,7 +66,7 @@ SUITE = [
     "inverted_index_postings", "zorder_layout_stats",
     "scd2_intervals", "linear_touch_credit", "bloom_prejoin_reduction",
     "densify_daily", "rolling_trailing_sum", "bigram_pmi_topk",
-    "multimodal_spectral_peak",
+    "multimodal_spectral_peak", "decayed_popularity",
 ]
 
 
