@@ -652,7 +652,10 @@ def duplicate_spans(docs: DataFrame, gram_len: int = 20, stride: int = 1,
     ~stride chars and a span is detected iff it contains a selected
     window (probability 1-(1-1/stride)^w over its w windows)."""
     from pyspark.sql import Window
+
+    from amundsendatabuilder_spark.session import ensure_parallelism
     L, S = gram_len, stride
+    docs = ensure_parallelism(docs)
     n = F.length(F.col(text_col))
     pos = docs.select(
         F.col(id_col),
@@ -666,6 +669,10 @@ def duplicate_spans(docs: DataFrame, gram_len: int = 20, stride: int = 1,
     if S > 1:
         grams = grams.where(
             F.expr(f"conv(substr(gh, 1, 8), 16, 10) % {S} = 0"))
+    # grams feeds both the frequency cut and the position join — the
+    # explode+md5 over every character is the dominant cost, so pay it
+    # once (measured 9.7s -> fix at sf0.1; same kmeans/pagerank pattern)
+    grams = grams.localCheckpoint()
     dup = (grams.groupBy("gh").agg(F.count(F.lit(1)).alias("c"))
            .where(F.col("c") >= min_count).select("gh"))
     hits = grams.join(dup, "gh", "left_semi").select(id_col, "pos")
@@ -711,12 +718,14 @@ def jaccard_prefix_join(docs: DataFrame, threshold_num: int = 3,
     the prefix index is a fraction (1 - t) of the distinct (doc, token)
     pairs."""
     from pyspark.sql import Window
+    from amundsendatabuilder_spark.session import ensure_parallelism
     tn, td = threshold_num, threshold_den
     # toks feeds four consumers (sizes, df ranks, the ordered prefix, and
     # both verify sides) — checkpoint materializes the tokenize+distinct
     # once instead of five re-scans of the corpus
-    toks = (docs.select(id_col, F.explode(tokens(F.lower(F.col(text_col))))
-                        .alias("tok")).distinct().localCheckpoint())
+    toks = (ensure_parallelism(docs)
+            .select(id_col, F.explode(tokens(F.lower(F.col(text_col))))
+                    .alias("tok")).distinct().localCheckpoint())
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     df_rank = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     ordered = (toks.join(df_rank, "tok").join(sizes, id_col)

@@ -96,9 +96,10 @@ def build_postings(docs: DataFrame, min_df: int = 1,
     handling absorbs; the list is built with sort_array so output is
     deterministic. Postings emit as strings for portability (and the
     oracle); a production sink would write the struct array."""
-    tf = (docs.select(id_col,
-                      F.explode(tokens(F.lower(F.col(text_col))))
-                      .alias("term"))
+    from amundsendatabuilder_spark.session import ensure_parallelism
+    tf = (ensure_parallelism(docs)
+          .select(id_col,
+                  F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
           .groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf")))
     return (tf.groupBy("term")
             .agg(F.count(F.lit(1)).alias("df"),

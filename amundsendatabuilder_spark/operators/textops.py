@@ -649,6 +649,8 @@ def bigram_pmi_topk(docs: DataFrame, k: int = 20, min_count: int = 10,
 
     from amundsendatabuilder_spark.functions.scalars import round_half_away
     from amundsendatabuilder_spark.functions.text import tokens
+    from amundsendatabuilder_spark.session import ensure_parallelism
+    docs = ensure_parallelism(docs)
     toks = docs.select(F.col(id_col).alias("_rid"),
                        F.posexplode(tokens(F.lower(F.col(text_col))))
                        .alias("pos", "tok"))
@@ -679,3 +681,25 @@ def bigram_pmi_topk(docs: DataFrame, k: int = 20, min_count: int = 10,
     top = scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(k)
     w = Window.orderBy(F.col("pmi").desc(), "w1", "w2")
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def stratified_fixed_k(docs: DataFrame, k: int = 10,
+                       strata_col: str = "lang",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample: rank rows inside each
+    stratum by md5 of the id (a content-independent uniform order) and
+    keep the first k — the eval-set / human-review draw where every
+    stratum must contribute a FIXED count, vs hash_sample's fixed RATE
+    (which leaves small strata empty and big strata oversized).
+
+    Re-running on the same data returns the same rows (seedless md5
+    order); adding documents only displaces rows whose hash falls below
+    the new arrivals'. Scale shape: one window per stratum — the sort
+    spreads across the stratum key space; no global order."""
+    from pyspark.sql import Window
+    h = F.md5(F.concat(F.lit("sfk:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col))
+    return (docs.select(strata_col, id_col, h.alias("h"))
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select(strata_col, id_col, F.col("rk").cast("int").alias("rk")))

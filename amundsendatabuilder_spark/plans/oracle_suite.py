@@ -3934,8 +3934,9 @@ def cms_heavy_hitters(spark, sf_dir):
     heads, keeping the whole pipeline one scan."""
     from amundsendatabuilder_spark.functions.text import tokens
     from amundsendatabuilder_spark.operators import sketches
+    from amundsendatabuilder_spark.session import ensure_parallelism
     (docs,) = _t(spark, sf_dir, "documents")
-    tok = docs.select(
+    tok = ensure_parallelism(docs).select(
         F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
     regs = sketches.cms_registers(tok, "tok", depth=4, width=512)
     exact = (tok.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
@@ -4007,8 +4008,11 @@ def bloom_decontam_membership(spark, sf_dir):
     from amundsendatabuilder_spark.operators import sketches
     (docs,) = _t(spark, sf_dir, "documents")
     bench_srcs = ["src0", "src1", "src2", "src3"]
-    tok = docs.select(
+    from amundsendatabuilder_spark.session import ensure_parallelism
+    tok = ensure_parallelism(docs).select(
         "source", F.explode(word_shingles(F.col("text"), 3)).alias("tok"))
+    # the explode feeds both bench and probes — materialize it once
+    tok = tok.localCheckpoint()
     bench = (tok.where(F.col("source").isin(bench_srcs))
              .select("tok").distinct())
     probes = (tok.where(~F.col("source").isin(bench_srcs))
@@ -4615,3 +4619,24 @@ def decayed_popularity(spark, sf_dir):
             .agg(F.sum(F.expr("shiftright(1000000, age_days)"))
                  .alias("popularity_units"))
             .orderBy("user_id"))
+
+
+@query("stratified_fixed_k", """
+WITH h AS (SELECT lang, doc_id,
+                  md5('sfk:' || CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+r AS (SELECT lang, doc_id,
+             CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+                  AS INT) AS rk
+      FROM h)
+SELECT lang, doc_id, rk FROM r WHERE rk <= 10 ORDER BY lang, rk
+""")
+def stratified_fixed_k_query(spark, sf_dir):
+    """Exactly-10-per-language deterministic sample
+    (operators/textops.stratified_fixed_k): md5-ordered rank inside each
+    stratum — fixed COUNT per stratum where hash_sample fixes the RATE.
+    Seedless and re-runnable; per-stratum windows only."""
+    from amundsendatabuilder_spark.operators.textops import (
+        stratified_fixed_k)
+    (docs,) = _t(spark, sf_dir, "documents")
+    return stratified_fixed_k(docs, k=10).orderBy("lang", "rk")

@@ -1424,3 +1424,21 @@ def test_audio_spectral_peak_strict_null_for_unknown_codec(spark):
           (None, None, 1000, 1000, None))], MEDIA_SCHEMA)
     rows = audio_spectral_peak(df, chunk_ms=1000).collect()
     assert len(rows) == 1 and rows[0].peak_bin is None
+
+
+def test_stratified_fixed_k_exact_counts_and_stability(spark):
+    from amundsendatabuilder_spark.operators.textops import stratified_fixed_k
+    docs = spark.createDataFrame(
+        [(i, "t", "en" if i < 40 else "fr") for i in range(50)],
+        "doc_id long, text string, lang string")
+    a = stratified_fixed_k(docs, k=5).collect()
+    by = {}
+    for r in a:
+        by.setdefault(r.lang, []).append(r.doc_id)
+    assert len(by["en"]) == 5 and len(by["fr"]) == 5
+    b = stratified_fixed_k(docs, k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # small stratum with fewer than k rows yields all of them
+    tiny = docs.where((F.col("doc_id") >= 48) | (F.col("doc_id") < 2))
+    c = stratified_fixed_k(tiny, k=5).collect()
+    assert sum(1 for r in c if r.lang == "fr") == 2

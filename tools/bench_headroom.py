@@ -67,6 +67,7 @@ SUITE = [
     "scd2_intervals", "linear_touch_credit", "bloom_prejoin_reduction",
     "densify_daily", "rolling_trailing_sum", "bigram_pmi_topk",
     "multimodal_spectral_peak", "decayed_popularity",
+    "stratified_fixed_k",
 ]
 
 
