@@ -157,3 +157,36 @@ def rolling_trailing_sum(events: DataFrame, hours: int = 24,
         id_col, user_col, "eus",
         F.count(F.lit(1)).over(w).alias("n_trailing"),
         F.sum("vm").over(w).alias("trailing_micros"))
+
+
+def burst_windows(events: DataFrame, trailing: int = 6, factor: int = 3,
+                  type_col: str = "event_type",
+                  ts_col: str = "ts") -> DataFrame:
+    """Burst detection over hourly event-type series: flag windows whose
+    count exceeds ``factor``x the mean of the previous ``trailing``
+    fully-observed windows — the monitoring primitive behind "error
+    spike" / trending detection on an event stream.
+
+    The comparison is the integer cross-multiplication
+    n * trailing > factor * sum(previous), so no float mean ever
+    enters; windows with fewer than ``trailing`` predecessors are never
+    flagged (a series' first hours are not comparable). Returns
+    (event_type, window_start, n_events, prev_sum, is_burst).
+    Scale shape: one hourly pre-aggregation (map-side combinable), then
+    a per-type ROWS window over the already-tiny hourly series."""
+    from pyspark.sql import Window
+    hourly = (events.groupBy(F.col(type_col),
+                             F.date_trunc("hour", F.col(ts_col))
+                             .alias("window_start"))
+              .agg(F.count(F.lit(1)).alias("n_events")))
+    w = (Window.partitionBy(type_col).orderBy("window_start")
+         .rowsBetween(-trailing, -1))
+    return (hourly
+            .withColumn("prev_sum", F.coalesce(F.sum("n_events").over(w),
+                                               F.lit(0)).cast("long"))
+            .withColumn("prev_n", F.count("n_events").over(w))
+            .withColumn("is_burst",
+                        (F.col("prev_n") == trailing)
+                        & (F.col("n_events") * trailing
+                           > factor * F.col("prev_sum")))
+            .drop("prev_n"))

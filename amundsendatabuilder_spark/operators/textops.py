@@ -703,3 +703,40 @@ def stratified_fixed_k(docs: DataFrame, k: int = 10,
             .withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= k)
             .select(strata_col, id_col, F.col("rk").cast("int").alias("rk")))
+
+
+def mixture_epochs(docs: DataFrame, budget_tokens: int,
+                   weights_ppm: dict[str, int],
+                   source_col: str = "source",
+                   text_col: str = "text") -> DataFrame:
+    """Training-mixture epoch accounting: given per-source mixture
+    weights (parts-per-million) and a total token budget, how many
+    tokens each source must contribute and how many passes (epochs)
+    over its available tokens that implies — the planning table behind
+    a data recipe (weights from mixture_sampling_rates, shards from
+    pack_shards).
+
+    All integer arithmetic: needed = budget * ppm DIV 1e6, epochs_x100 =
+    ceil(100 * needed / available) — the 2dp fixed-point epoch count an
+    engineer actually reads (203 -> 2.03 passes, the over-1 signal that
+    a source will repeat). Sources absent from ``weights_ppm`` get
+    weight 0. One aggregation over the corpus; the weight table is a
+    literal map."""
+    from amundsendatabuilder_spark.functions.text import tokens
+    from amundsendatabuilder_spark.session import ensure_parallelism
+    avail = (ensure_parallelism(docs)
+             .groupBy(source_col)
+             .agg(F.sum(F.size(tokens(F.lower(F.col(text_col)))))
+                  .cast("long").alias("avail_tokens")))
+    wmap = F.create_map(*[F.lit(x) for kv in weights_ppm.items()
+                          for x in kv])
+    needed = F.expr(f"CAST({budget_tokens} AS BIGINT) * ppm DIV 1000000")
+    return (avail
+            .withColumn("ppm", F.coalesce(wmap[F.col(source_col)], F.lit(0))
+                        .cast("long"))
+            .withColumn("needed_tokens", needed)
+            .withColumn("epochs_x100",
+                        F.expr("CASE WHEN needed_tokens = 0 THEN 0 "
+                               "ELSE (100 * needed_tokens "
+                               "+ avail_tokens - 1) DIV avail_tokens END")
+                        .cast("long")))

@@ -4640,3 +4640,64 @@ def stratified_fixed_k_query(spark, sf_dir):
         stratified_fixed_k)
     (docs,) = _t(spark, sf_dir, "documents")
     return stratified_fixed_k(docs, k=10).orderBy("lang", "rk")
+
+
+@query("burst_windows", """
+WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS window_start,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY 1, 2),
+w AS (SELECT event_type, window_start, n_events,
+             CAST(coalesce(sum(n_events) OVER tw, 0) AS BIGINT) AS prev_sum,
+             count(n_events) OVER tw AS prev_n
+      FROM hourly
+      WINDOW tw AS (PARTITION BY event_type ORDER BY window_start
+                    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+SELECT event_type, window_start, n_events, prev_sum,
+       prev_n = 6 AND n_events * 6 > 3 * prev_sum AS is_burst
+FROM w ORDER BY event_type, window_start
+""")
+def burst_windows_query(spark, sf_dir):
+    """Hourly burst detection per event type
+    (operators/asof.burst_windows): count > 3x the trailing-6-window
+    mean, tested as the integer cross-multiplication n*6 > 3*sum so no
+    float mean enters; under-observed window heads never flag. One
+    map-side hourly pre-agg, then a ROWS window over the tiny series."""
+    from amundsendatabuilder_spark.operators.asof import burst_windows
+    (events,) = _t(spark, sf_dir, "events")
+    return (burst_windows(events, trailing=6, factor=3)
+            .orderBy("event_type", "window_start"))
+
+
+@query("mixture_epochs", r"""
+WITH avail AS (SELECT source,
+                      CAST(sum(len(""" + _LTOKS_SQL + r""")) AS BIGINT)
+                          AS avail_tokens
+               FROM documents GROUP BY 1),
+wt AS (SELECT * FROM (VALUES ('src0', 400000), ('src1', 300000),
+                             ('src2', 200000), ('src3', 100000))
+       t(source, ppm))
+SELECT a.source, a.avail_tokens,
+       CAST(coalesce(wt.ppm, 0) AS BIGINT) AS ppm,
+       CAST(10000000 AS BIGINT) * coalesce(wt.ppm, 0) // 1000000
+           AS needed_tokens,
+       CASE WHEN CAST(10000000 AS BIGINT) * coalesce(wt.ppm, 0) // 1000000
+                 = 0 THEN 0
+            ELSE (100 * (CAST(10000000 AS BIGINT) * coalesce(wt.ppm, 0)
+                         // 1000000)
+                  + a.avail_tokens - 1) // a.avail_tokens END
+           AS epochs_x100
+FROM avail a LEFT JOIN wt ON a.source = wt.source
+ORDER BY a.source
+""")
+def mixture_epochs_query(spark, sf_dir):
+    """Mixture token-budget planning (operators/textops.mixture_epochs):
+    per-source needed tokens under ppm weights for a 10M-token budget
+    and the implied 2dp fixed-point epoch count (epochs_x100 > 100 =
+    this source will repeat) — all integer ceil-division, no floats.
+    The recipe table a data-mixing run is configured from."""
+    from amundsendatabuilder_spark.operators.textops import mixture_epochs
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (mixture_epochs(docs, 10_000_000,
+                           {"src0": 400_000, "src1": 300_000,
+                            "src2": 200_000, "src3": 100_000})
+            .orderBy("source"))

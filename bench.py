@@ -73,6 +73,19 @@ EXTENDED = [
     "funnel_stages",
     "jaccard_prefix_join",
     "inverted_index_postings",
+    # round-6 third/fourth wave (all sub-second to ~3s at sf0.1)
+    "zorder_layout_stats",
+    "scd2_intervals",
+    "linear_touch_credit",
+    "bloom_prejoin_reduction",
+    "densify_daily",
+    "rolling_trailing_sum",
+    "bigram_pmi_topk",
+    "multimodal_spectral_peak",
+    "decayed_popularity",
+    "stratified_fixed_k",
+    "burst_windows",
+    "mixture_epochs",
 ]
 
 

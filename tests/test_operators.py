@@ -1442,3 +1442,37 @@ def test_stratified_fixed_k_exact_counts_and_stability(spark):
     tiny = docs.where((F.col("doc_id") >= 48) | (F.col("doc_id") < 2))
     c = stratified_fixed_k(tiny, k=5).collect()
     assert sum(1 for r in c if r.lang == "fr") == 2
+
+
+def test_burst_windows_flags_spike_only_with_full_history(spark):
+    from amundsendatabuilder_spark.operators.asof import burst_windows
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 7 calm hours of 2 events, then an hour with 30 (burst)
+    for h in range(7):
+        for _ in range(2):
+            rows.append((eid, "err", t0 + dt.timedelta(hours=h))); eid += 1
+    for _ in range(30):
+        rows.append((eid, "err", t0 + dt.timedelta(hours=7))); eid += 1
+    df = spark.createDataFrame(rows,
+                               "event_id long, event_type string, "
+                               "ts timestamp")
+    got = {r.window_start.hour: r.is_burst
+           for r in burst_windows(df, trailing=6, factor=3).collect()}
+    assert got[7] is True
+    # early hours can never flag (no full trailing history), calm ones don't
+    assert not any(v for h, v in got.items() if h != 7)
+
+
+def test_mixture_epochs_integer_ceil(spark):
+    from amundsendatabuilder_spark.operators.textops import mixture_epochs
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "s1"), (2, "a b", "s2")],
+        "doc_id long, text string, source string")
+    got = {r.source: r for r in
+           mixture_epochs(docs, 12, {"s1": 500_000}).collect()}
+    # s1: needed = 12*0.5 = 6 of 4 available -> 1.5 epochs -> 150
+    assert got["s1"].needed_tokens == 6 and got["s1"].epochs_x100 == 150
+    assert got["s2"].ppm == 0 and got["s2"].epochs_x100 == 0
