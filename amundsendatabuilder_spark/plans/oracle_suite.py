@@ -4701,3 +4701,61 @@ def mixture_epochs_query(spark, sf_dir):
                            {"src0": 400_000, "src1": 300_000,
                             "src2": 200_000, "src3": 100_000})
             .orderBy("source"))
+
+
+@query("interval_overlap_join", """
+WITH s AS (SELECT user_id, ts, value, event_id,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                          > 1800000000
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (SELECT user_id, sid,
+                CAST(floor(epoch(min(ts)) * 1000000) AS BIGINT) AS l_start,
+                CAST(floor(epoch(max(ts)) * 1000000) AS BIGINT) AS l_end
+         FROM (SELECT user_id, ts,
+                      sum(new_s) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+               FROM s)
+         GROUP BY user_id, sid),
+inc AS (SELECT event_id AS r_id,
+               CAST(floor(epoch(ts) * 1000000) AS BIGINT) - 900000000
+                   AS r_start,
+               CAST(floor(epoch(ts) * 1000000) AS BIGINT) + 900000000
+                   AS r_end
+        FROM events WHERE event_type = 'error' AND user_id < 5)
+SELECT s.user_id * 1000000 + s.sid AS l_id, i.r_id,
+       least(s.l_end, i.r_end) - greatest(s.l_start, i.r_start)
+           AS overlap_us
+FROM sess s JOIN inc i
+  ON s.l_start <= i.r_end AND i.r_start <= s.l_end
+ORDER BY l_id, r_id
+""")
+def interval_overlap_join_query(spark, sf_dir):
+    """Bin-bucketed interval-overlap join
+    (operators/asof.interval_overlap_join): user sessions x global
+    error-incident windows (+-15 min around errors of users 0-4). The
+    oracle is the BRUTE-FORCE overlap-predicate join — a hash match
+    proves the hourly bucketing loses no overlapping pair and
+    double-counts none, which is the whole claim of the bin strategy
+    (candidates = bin co-residents, never |L| x |R|)."""
+    from amundsendatabuilder_spark.operators.asof import (
+        interval_overlap_join)
+    from amundsendatabuilder_spark.streaming.events import sessionize_batch
+    (events,) = _t(spark, sf_dir, "events")
+    sess = (sessionize_batch(events)
+            .select((F.col("user_id") * 1_000_000 + F.col("session_id"))
+                    .alias("l_id"),
+                    F.col("session_start_us").alias("l_start"),
+                    F.col("session_end_us").alias("l_end")))
+    inc = (events.where((F.col("event_type") == "error")
+                        & (F.col("user_id") < 5))
+           .select(F.col("event_id").alias("r_id"),
+                   (F.unix_micros(F.col("ts")) - 900_000_000)
+                   .alias("r_start"),
+                   (F.unix_micros(F.col("ts")) + 900_000_000)
+                   .alias("r_end")))
+    return (interval_overlap_join(sess, inc)
+            .orderBy("l_id", "r_id"))

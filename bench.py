@@ -86,6 +86,7 @@ EXTENDED = [
     "stratified_fixed_k",
     "burst_windows",
     "mixture_epochs",
+    "interval_overlap_join",
 ]
 
 

@@ -1476,3 +1476,24 @@ def test_mixture_epochs_integer_ceil(spark):
     # s1: needed = 12*0.5 = 6 of 4 available -> 1.5 epochs -> 150
     assert got["s1"].needed_tokens == 6 and got["s1"].epochs_x100 == 150
     assert got["s2"].ppm == 0 and got["s2"].epochs_x100 == 0
+
+
+def test_interval_overlap_join_matches_brute_force(spark):
+    from amundsendatabuilder_spark.operators.asof import (
+        interval_overlap_join)
+    import itertools
+    import random
+    rng = random.Random(11)
+    L = [(i, s := rng.randrange(0, 10**7), s + rng.randrange(1, 4 * 10**6))
+         for i in range(40)]
+    R = [(i, s := rng.randrange(0, 10**7), s + rng.randrange(1, 4 * 10**6))
+         for i in range(30)]
+    ldf = spark.createDataFrame(L, "l_id long, l_start long, l_end long")
+    rdf = spark.createDataFrame(R, "r_id long, r_start long, r_end long")
+    # tiny bin width forces intervals across MANY bins (dedup must hold)
+    got = {(r.l_id, r.r_id, r.overlap_us) for r in
+           interval_overlap_join(ldf, rdf, bin_us=1_000_000).collect()}
+    want = {(a, b, min(ae, be) - max(as_, bs))
+            for (a, as_, ae), (b, bs, be) in itertools.product(L, R)
+            if as_ <= be and bs <= ae}
+    assert got == want and len(want) > 0

@@ -74,6 +74,7 @@ SUITE = [
     "densify_daily", "rolling_trailing_sum", "bigram_pmi_topk",
     "multimodal_spectral_peak", "decayed_popularity",
     "stratified_fixed_k", "burst_windows", "mixture_epochs",
+    "interval_overlap_join",
 ]
 
 
