@@ -71,9 +71,15 @@ def funnel_stages(events: DataFrame, stages: list[str],
     by user_id makes the entire chain co-located at 100 TB."""
     from amundsendatabuilder_spark.functions.scalars import round_half_away
     ep = F.unix_timestamp(F.col(ts_col))
+    # each stage's anchor table is at most |users| rows but its LAZY plan
+    # contains every earlier stage — and the final per-stage aggregates
+    # evaluate each branch separately, re-running stage i's chain i times
+    # (O(k²) stage executions; measured 29s at the sf1 headroom run).
+    # localCheckpoint caps every branch at one execution.
     anchors = (events.where(F.col(type_col) == stages[0])
                .groupBy(user_col).agg(F.min(ep).alias("a0")))
-    per_stage = [anchors.select(user_col, F.col("a0").alias("anchor"))]
+    per_stage = [anchors.select(user_col, F.col("a0").alias("anchor"))
+                 .localCheckpoint()]
     for i, stage in enumerate(stages[1:], start=1):
         prev = per_stage[-1]
         nxt = (events.where(F.col(type_col) == stage)
@@ -83,7 +89,8 @@ def funnel_stages(events: DataFrame, stages: list[str],
                .groupBy(user_col)
                .agg(F.min("e").alias("nxt"), F.first("anchor").alias("prv"))
                .select(user_col, F.col("nxt").alias("anchor"),
-                       (F.col("nxt") - F.col("prv")).alias("delay")))
+                       (F.col("nxt") - F.col("prv")).alias("delay"))
+               .localCheckpoint())
         per_stage.append(nxt)
     rows = []
     for i, (stage, df) in enumerate(zip(stages, per_stage)):
