@@ -651,9 +651,11 @@ def bigram_pmi_topk(docs: DataFrame, k: int = 20, min_count: int = 10,
     from amundsendatabuilder_spark.functions.text import tokens
     from amundsendatabuilder_spark.session import ensure_parallelism
     docs = ensure_parallelism(docs)
+    # the position table feeds both bigram sides and the unigram counts —
+    # one materialization instead of four tokenize scans
     toks = docs.select(F.col(id_col).alias("_rid"),
                        F.posexplode(tokens(F.lower(F.col(text_col))))
-                       .alias("pos", "tok"))
+                       .alias("pos", "tok")).localCheckpoint()
     # adjacent pairs WITHIN a doc: join on (doc, pos+1); cheaper than the
     # join at scale would be a transform over the token array — but the
     # array form cannot reuse the unigram explode, and the join is
@@ -663,9 +665,8 @@ def bigram_pmi_topk(docs: DataFrame, k: int = 20, min_count: int = 10,
                     F.col("tok").alias("w2"))
     bi = (a.join(b, ["_rid", "pos"])
           .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab")))
-    uni = (docs.select(F.explode(tokens(F.lower(F.col(text_col))))
-                       .alias("tok"))
-           .groupBy("tok").agg(F.count(F.lit(1)).alias("c")))
+    uni = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+           .localCheckpoint())
     totals = (bi.agg(F.sum("c_ab").alias("m"))
               .crossJoin(uni.agg(F.sum("c").alias("n"))))
     ua = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_a"))
