@@ -43,7 +43,7 @@ _PRIORITY = [
     "densify_daily", "rolling_trailing_sum", "bigram_pmi_topk",
     "multimodal_spectral_peak", "decayed_popularity",
     "stratified_fixed_k", "burst_windows", "mixture_epochs",
-    "interval_overlap_join",
+    "interval_overlap_join", "containment_join", "journey_trigrams",
     # (b) r5-certified but implementation changed in round 6 (6 — the
     # only overlap with the r5 window)
     "graph_match_varlen", "langid_nb", "ann_rhp_topk",

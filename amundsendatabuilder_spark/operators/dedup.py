@@ -757,3 +757,54 @@ def jaccard_prefix_join(docs: DataFrame, threshold_num: int = 3,
         round_half_away(F.col("inter").cast("double")
                         / (F.col("sza") + F.col("szb") - F.col("inter")), 6)
         .alias("jaccard"))
+
+
+def containment_join(docs: DataFrame, threshold_num: int = 9,
+                     threshold_den: int = 10, min_tokens: int = 10,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """EXACT token-set containment join: pairs where at least
+    num/den of A's distinct tokens also appear in B (|A∩B|/|A| >= t,
+    A != B, |A| >= min_tokens) — the asymmetric complement of
+    jaccard_prefix_join that catches a short document quoted/embedded
+    inside a longer one, which symmetric Jaccard structurally misses
+    (|A∩B|/|A∪B| is dragged down by the big doc's extra tokens).
+
+    Asymmetric prefix filter (pigeonhole): A must share >= ceil(t*|A|)
+    tokens with B, so A can miss at most |A| - ceil(t*|A|) of them —
+    its first |A| - ceil(t*|A|) + 1 rarest-ordered tokens MUST hit B.
+    Only A-side prefixes enter the candidate index; the B side probes
+    with its full token set. Verification is the exact intersection
+    count with the integer cross-multiplied test. Returns
+    (doc_a, doc_b, containment) — doc_a is the contained side."""
+    from pyspark.sql import Window
+
+    from amundsendatabuilder_spark.session import ensure_parallelism
+    tn, td = threshold_num, threshold_den
+    toks = (ensure_parallelism(docs)
+            .select(id_col, F.explode(tokens(F.lower(F.col(text_col))))
+                    .alias("tok")).distinct().localCheckpoint())
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    df_rank = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (toks.join(df_rank, "tok").join(sizes, id_col)
+               .where(F.col("sz") >= min_tokens)
+               .withColumn("i", F.row_number().over(
+                   Window.partitionBy(id_col).orderBy("df", "tok"))))
+    prefix = ordered.where(
+        F.col("i") <= F.col("sz")
+        - F.expr(f"({tn} * sz + {td} - 1) DIV {td}") + 1)
+    a = prefix.select(F.col(id_col).alias("doc_a"), "tok",
+                      F.col("sz").alias("sza"))
+    b = toks.select(F.col(id_col).alias("doc_b"), "tok")
+    cands = (a.join(b, "tok")
+             .where(F.col("doc_a") != F.col("doc_b"))
+             .select("doc_a", "doc_b", "sza").distinct())
+    ta = toks.select(F.col(id_col).alias("doc_a"), "tok")
+    tb = toks.select(F.col(id_col).alias("doc_b"), "tok")
+    inter = (cands.join(ta, "doc_a").join(tb, ["doc_b", "tok"])
+             .groupBy("doc_a", "doc_b", "sza")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    return (inter.where(F.col("inter") * td >= F.col("sza") * tn)
+            .select("doc_a", "doc_b",
+                    round_half_away(F.col("inter").cast("double")
+                                    / F.col("sza"), 6).alias("containment")))

@@ -4759,3 +4759,59 @@ def interval_overlap_join_query(spark, sf_dir):
                    .alias("r_end")))
     return (interval_overlap_join(sess, inc)
             .orderBy("l_id", "r_id"))
+
+
+@query("containment_join", r"""
+WITH tok AS (SELECT DISTINCT doc_id, unnest(""" + _LTOKS_SQL + r""") AS tok
+             FROM documents),
+sz AS (SELECT doc_id, count(*) AS s FROM tok GROUP BY 1),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2)
+SELECT p.doc_a, p.doc_b,
+       round(CAST(p.inter AS DOUBLE) / sa.s, 6) AS containment
+FROM pairs p JOIN sz sa ON sa.doc_id = p.doc_a
+WHERE sa.s >= 10 AND p.inter * 10 >= sa.s * 9
+ORDER BY p.doc_a, p.doc_b
+""")
+def containment_join_query(spark, sf_dir):
+    """Asymmetric containment join at |A∩B|/|A| >= 9/10
+    (operators/dedup.containment_join): the quote/subset detector
+    symmetric Jaccard structurally misses. A-side-only pigeonhole
+    prefix filter, full-set B probe, exact integer verify. Oracle =
+    brute-force all-pairs — the hash match proves the asymmetric
+    pruning is lossless."""
+    from amundsendatabuilder_spark.operators.dedup import containment_join
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (containment_join(docs, 9, 10, min_tokens=10)
+            .orderBy("doc_a", "doc_b"))
+
+
+@query("journey_trigrams", """
+WITH seq AS (SELECT user_id, event_type, ts, event_id,
+                    lead(event_type, 1) OVER w AS e2,
+                    lead(event_type, 2) OVER w AS e3
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_type AS e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE e3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n DESC, e1, e2, e3 LIMIT 20
+""")
+def journey_trigrams_query(spark, sf_dir):
+    """Top-20 three-step user journeys (consecutive event-type
+    trigrams per user ordered by time) — the path-mining pass behind
+    funnel design: which sequences actually happen, before committing
+    to one funnel definition. One per-user window pass + a tiny
+    count; deterministic (count desc, lexicographic) top-k."""
+    from pyspark.sql import Window
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"))
+    counts = (seq.where(F.col("e3").isNotNull())
+              .groupBy("e1", "e2", "e3")
+              .agg(F.count(F.lit(1)).alias("n")))
+    return counts.orderBy(F.col("n").desc(), "e1", "e2", "e3").limit(20)

@@ -87,6 +87,7 @@ EXTENDED = [
     "burst_windows",
     "mixture_epochs",
     "interval_overlap_join",
+    "journey_trigrams",
 ]
 
 

@@ -1497,3 +1497,20 @@ def test_interval_overlap_join_matches_brute_force(spark):
             for (a, as_, ae), (b, bs, be) in itertools.product(L, R)
             if as_ <= be and bs <= ae}
     assert got == want and len(want) > 0
+
+
+def test_containment_join_catches_subset_jaccard_misses(spark):
+    from amundsendatabuilder_spark.operators.dedup import (
+        containment_join, jaccard_prefix_join)
+    docs = spark.createDataFrame(
+        [(1, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"),
+         (2, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 " + " ".join(
+             f"x{i}" for i in range(15))),
+         (3, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10")],
+        "doc_id long, text string")
+    cont = {(r.doc_a, r.doc_b): r.containment
+            for r in containment_join(docs, 9, 10).collect()}
+    assert cont == {(1, 2): 1.0}
+    # symmetric jaccard at the same corpus misses it entirely
+    jac = jaccard_prefix_join(docs, 9, 10).collect()
+    assert jac == []

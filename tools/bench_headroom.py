@@ -74,7 +74,7 @@ SUITE = [
     "densify_daily", "rolling_trailing_sum", "bigram_pmi_topk",
     "multimodal_spectral_peak", "decayed_popularity",
     "stratified_fixed_k", "burst_windows", "mixture_epochs",
-    "interval_overlap_join",
+    "interval_overlap_join", "journey_trigrams",
 ]
 
 
