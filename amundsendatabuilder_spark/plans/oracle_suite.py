@@ -4815,3 +4815,54 @@ def journey_trigrams_query(spark, sf_dir):
               .groupBy("e1", "e2", "e3")
               .agg(F.count(F.lit(1)).alias("n")))
     return counts.orderBy(F.col("n").desc(), "e1", "e2", "e3").limit(20)
+
+
+def _active_users_oracle() -> str:
+    from amundsendatabuilder_spark.operators.sketches import hll_oracle_sql
+    daily = hll_oracle_sql(
+        "SELECT date_trunc('day', ts) AS grp, user_id FROM events",
+        "user_id", ("grp",))
+    weekly = hll_oracle_sql(
+        "SELECT date_trunc('week', ts) AS grp, user_id FROM events",
+        "user_id", ("grp",))
+    return f"""
+WITH d AS ({daily}), w AS ({weekly})
+SELECT 'day' AS granularity, CAST(grp AS TIMESTAMP) AS period_start,
+       round(approx_distinct, 6) AS active_users
+FROM d
+UNION ALL
+SELECT 'week', CAST(grp AS TIMESTAMP), round(approx_distinct, 6) FROM w
+ORDER BY granularity, period_start"""
+
+
+@query("active_users_rollup", _active_users_oracle())
+def active_users_rollup(spark, sf_dir):
+    """DAU/WAU from ONE pass of per-day HLL registers
+    (operators/sketches): daily active-user sketches are max-merged up
+    to weeks WITHOUT re-reading events — the mergeability property that
+    makes sketch tables the 100 TB answer to distinct-user rollups
+    (store day registers once; any coarser period is a register max).
+    Hash-verified: weekly estimates from merged day registers equal the
+    oracle's direct weekly sketch because max-merge is exact, not
+    approximate — the registers are identical by construction."""
+    from amundsendatabuilder_spark.operators import sketches
+    (events,) = _t(spark, sf_dir, "events")
+    day_regs = sketches.hll_registers(
+        events.select(F.date_trunc("day", "ts").alias("day"),
+                      F.date_trunc("week", "ts").alias("week"), "user_id"),
+        "user_id", ("day", "week")).localCheckpoint()
+    daily = sketches.hll_estimate(
+        day_regs.select(F.col("day").alias("grp"), "bucket", "r"), ("grp",))
+    week_regs = (day_regs.groupBy(F.col("week").alias("grp"), "bucket")
+                 .agg(F.max("r").alias("r")))
+    weekly = sketches.hll_estimate(week_regs, ("grp",))
+    out = (daily.select(F.lit("day").alias("granularity"),
+                        F.col("grp").alias("period_start"),
+                        round_half_away(F.col("approx_distinct"), 6)
+                        .alias("active_users"))
+           .unionByName(weekly.select(
+               F.lit("week").alias("granularity"),
+               F.col("grp").alias("period_start"),
+               round_half_away(F.col("approx_distinct"), 6)
+               .alias("active_users"))))
+    return out.orderBy("granularity", "period_start")

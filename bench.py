@@ -88,6 +88,7 @@ EXTENDED = [
     "mixture_epochs",
     "interval_overlap_join",
     "journey_trigrams",
+    "active_users_rollup",
 ]
 
 
