@@ -44,7 +44,7 @@ _PRIORITY = [
     "multimodal_spectral_peak", "decayed_popularity",
     "stratified_fixed_k", "burst_windows", "mixture_epochs",
     "interval_overlap_join", "containment_join", "journey_trigrams",
-    "active_users_rollup",
+    "active_users_rollup", "cumulative_active_users",
     # (b) r5-certified but implementation changed in round 6 (6 — the
     # only overlap with the r5 window)
     "graph_match_varlen", "langid_nb", "ann_rhp_topk",

@@ -4866,3 +4866,50 @@ def active_users_rollup(spark, sf_dir):
                round_half_away(F.col("approx_distinct"), 6)
                .alias("active_users"))))
     return out.orderBy("granularity", "period_start")
+
+
+def _cumulative_users_oracle() -> str:
+    from amundsendatabuilder_spark.operators.sketches import hll_oracle_sql
+    # direct sketch of each prefix [min_day .. day] — what the running
+    # register max must equal exactly
+    return """
+WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
+pref AS (SELECT d.day AS grp, e.user_id
+         FROM days d JOIN events e ON date_trunc('day', e.ts) <= d.day)
+SELECT CAST(x.grp AS TIMESTAMP) AS day,
+       round(x.approx_distinct, 6) AS cumulative_users
+FROM (%s) x ORDER BY day""" % hll_oracle_sql(
+        "SELECT grp, user_id FROM pref", "user_id", ("grp",))
+
+
+@query("cumulative_active_users", _cumulative_users_oracle())
+def cumulative_active_users(spark, sf_dir):
+    """Running distinct-user curve from the stored day-register table
+    (operators/sketches): per (bucket, day) running MAX over day order
+    — a cumulative sketch for EVERY day from one register scan, where
+    the naive form re-reads the whole event prefix per day (O(days x
+    events)). The bucket/day grid is filled so silent days inherit the
+    previous registers. Hash-verified against direct per-prefix
+    sketches: running max-merge is exact, so every day's estimate
+    matches the from-scratch sketch bit-for-bit."""
+    from pyspark.sql import Window
+
+    from amundsendatabuilder_spark.operators import sketches
+    (events,) = _t(spark, sf_dir, "events")
+    day_regs = sketches.hll_registers(
+        events.select(F.date_trunc("day", "ts").alias("day"), "user_id"),
+        "user_id", ("day",)).localCheckpoint()
+    days = day_regs.select("day").distinct()
+    buckets = day_regs.select("bucket").distinct()
+    grid = days.crossJoin(buckets)
+    filled = grid.join(day_regs, ["day", "bucket"], "left")
+    w = (Window.partitionBy("bucket").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (filled.withColumn("r", F.max("r").over(w))
+           .where(F.col("r").isNotNull()))
+    est = sketches.hll_estimate(
+        cum.select(F.col("day").alias("grp"), "bucket", "r"), ("grp",))
+    return (est.select(F.col("grp").alias("day"),
+                       round_half_away(F.col("approx_distinct"), 6)
+                       .alias("cumulative_users"))
+            .orderBy("day"))

@@ -89,6 +89,7 @@ EXTENDED = [
     "interval_overlap_join",
     "journey_trigrams",
     "active_users_rollup",
+    "cumulative_active_users",
 ]
 
 

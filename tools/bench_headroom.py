@@ -75,7 +75,7 @@ SUITE = [
     "multimodal_spectral_peak", "decayed_popularity",
     "stratified_fixed_k", "burst_windows", "mixture_epochs",
     "interval_overlap_join", "journey_trigrams",
-    "active_users_rollup",
+    "active_users_rollup", "cumulative_active_users",
 ]
 
 
