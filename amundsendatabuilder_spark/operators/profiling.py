@@ -43,3 +43,49 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     return wide.select(F.expr(
         f"stack({len(cols)}, {stack_args}) AS "
         "(col_name, n_rows, n_nulls, n_distinct, min_value, max_value, stddev)"))
+
+
+def joinability_discovery(columns: "dict[str, DataFrame]",
+                          threshold_num: int = 95,
+                          threshold_den: int = 100) -> DataFrame:
+    """Joinable-column discovery over a catalog: for every ordered pair
+    of profiled columns, the value-set containment |A∩B|/|A| — pairs
+    above ``threshold`` are join/FK candidates (A's values nearly all
+    appear in B ⇒ A plausibly references B). The data-discovery feature
+    a metadata catalog builds ON TOP of the metadata the reference only
+    stores (column names/types — amundsen's frontend suggests joins from
+    exactly this signal when available).
+
+    ``columns`` maps "table.column" ids to single-column DataFrames.
+    Distinct value sets are stacked into one (col_id, v) table; one
+    self-join on value + integer cross-multiplied threshold. At catalog
+    scale the stack is |columns| x distinct-values and the same
+    pigeonhole prefix filter as dedup.containment_join applies; the
+    exact form here IS the verification path. Returns
+    (col_a, col_b, n_a, n_b, containment)."""
+    from pyspark.sql import functions as F
+
+    from amundsendatabuilder_spark.functions.scalars import round_half_away
+    stacked = None
+    for cid, df in sorted(columns.items()):
+        c = df.columns[0]
+        part = (df.select(F.col(c).cast("string").alias("v")).distinct()
+                .select(F.lit(cid).alias("col_id"), "v"))
+        stacked = part if stacked is None else stacked.unionByName(part)
+    stacked = stacked.localCheckpoint()
+    sizes = stacked.groupBy("col_id").agg(F.count(F.lit(1)).alias("n"))
+    a = stacked.select(F.col("col_id").alias("col_a"), "v")
+    b = stacked.select(F.col("col_id").alias("col_b"), "v")
+    inter = (a.join(b, "v")
+             .where(F.col("col_a") != F.col("col_b"))
+             .groupBy("col_a", "col_b")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col("col_id").alias("col_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("col_id").alias("col_b"), F.col("n").alias("n_b"))
+    tn, td = threshold_num, threshold_den
+    return (inter.join(F.broadcast(sa), "col_a")
+            .join(F.broadcast(sb), "col_b")
+            .where(F.col("inter") * td >= F.col("n_a") * tn)
+            .select("col_a", "col_b", "n_a", "n_b",
+                    round_half_away(F.col("inter").cast("double")
+                                    / F.col("n_a"), 6).alias("containment")))

@@ -4913,3 +4913,75 @@ def cumulative_active_users(spark, sf_dir):
                        round_half_away(F.col("approx_distinct"), 6)
                        .alias("cumulative_users"))
             .orderBy("day"))
+
+
+@query("joinability_discovery", """
+WITH stacked AS (
+  SELECT 'customer.c_custkey' AS col_id,
+         CAST(c_custkey AS VARCHAR) AS v FROM customer
+  UNION SELECT 'customer.c_nationkey', CAST(c_nationkey AS VARCHAR)
+        FROM customer
+  UNION SELECT 'lineitem.l_orderkey', CAST(l_orderkey AS VARCHAR)
+        FROM lineitem
+  UNION SELECT 'lineitem.l_partkey', CAST(l_partkey AS VARCHAR)
+        FROM lineitem
+  UNION SELECT 'lineitem.l_suppkey', CAST(l_suppkey AS VARCHAR)
+        FROM lineitem
+  UNION SELECT 'nation.n_nationkey', CAST(n_nationkey AS VARCHAR)
+        FROM nation
+  UNION SELECT 'nation.n_regionkey', CAST(n_regionkey AS VARCHAR)
+        FROM nation
+  UNION SELECT 'orders.o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+  UNION SELECT 'orders.o_orderkey', CAST(o_orderkey AS VARCHAR)
+        FROM orders
+  UNION SELECT 'part.p_partkey', CAST(p_partkey AS VARCHAR) FROM part
+  UNION SELECT 'region.r_regionkey', CAST(r_regionkey AS VARCHAR)
+        FROM region
+  UNION SELECT 'supplier.s_nationkey', CAST(s_nationkey AS VARCHAR)
+        FROM supplier
+  UNION SELECT 'supplier.s_suppkey', CAST(s_suppkey AS VARCHAR)
+        FROM supplier),
+sizes AS (SELECT col_id, count(*) AS n FROM stacked GROUP BY 1),
+inter AS (SELECT a.col_id AS col_a, b.col_id AS col_b, count(*) AS i
+          FROM stacked a JOIN stacked b
+            ON a.v = b.v AND a.col_id <> b.col_id
+          GROUP BY 1, 2)
+SELECT i.col_a, i.col_b,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       round(CAST(i.i AS DOUBLE) / sa.n, 6) AS containment
+FROM inter i JOIN sizes sa ON sa.col_id = i.col_a
+JOIN sizes sb ON sb.col_id = i.col_b
+WHERE i.i * 100 >= sa.n * 95
+ORDER BY i.col_a, i.col_b
+""")
+def joinability_discovery_query(spark, sf_dir):
+    """Joinable-column discovery over the TPC-H catalog
+    (operators/profiling.joinability_discovery): value-set containment
+    >= 95% between every ordered column pair — the join/FK-suggestion
+    signal a data catalog derives from profiles (the reference stores
+    the columns; this computes the discovery feature on top). Finds the
+    real FK edges (c_nationkey -> n_nationkey, o_custkey -> c_custkey,
+    l_partkey -> p_partkey, ...) with no schema hints. Hash-verified
+    against the brute-force stack-and-join oracle."""
+    from amundsendatabuilder_spark.operators.profiling import (
+        joinability_discovery)
+    t = load_tables(spark, sf_dir,
+                    ("customer", "lineitem", "nation", "orders", "part",
+                     "region", "supplier"))
+    cols = {
+        "customer.c_custkey": t["customer"].select("c_custkey"),
+        "customer.c_nationkey": t["customer"].select("c_nationkey"),
+        "lineitem.l_orderkey": t["lineitem"].select("l_orderkey"),
+        "lineitem.l_partkey": t["lineitem"].select("l_partkey"),
+        "lineitem.l_suppkey": t["lineitem"].select("l_suppkey"),
+        "nation.n_nationkey": t["nation"].select("n_nationkey"),
+        "nation.n_regionkey": t["nation"].select("n_regionkey"),
+        "orders.o_custkey": t["orders"].select("o_custkey"),
+        "orders.o_orderkey": t["orders"].select("o_orderkey"),
+        "part.p_partkey": t["part"].select("p_partkey"),
+        "region.r_regionkey": t["region"].select("r_regionkey"),
+        "supplier.s_nationkey": t["supplier"].select("s_nationkey"),
+        "supplier.s_suppkey": t["supplier"].select("s_suppkey"),
+    }
+    return (joinability_discovery(cols, 95, 100)
+            .orderBy("col_a", "col_b"))

@@ -90,6 +90,7 @@ EXTENDED = [
     "journey_trigrams",
     "active_users_rollup",
     "cumulative_active_users",
+    "joinability_discovery",
 ]
 
 

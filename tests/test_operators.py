@@ -1514,3 +1514,16 @@ def test_containment_join_catches_subset_jaccard_misses(spark):
     # symmetric jaccard at the same corpus misses it entirely
     jac = jaccard_prefix_join(docs, 9, 10).collect()
     assert jac == []
+
+
+def test_joinability_discovery_finds_fk_direction(spark):
+    from amundsendatabuilder_spark.operators.profiling import (
+        joinability_discovery)
+    fk = spark.createDataFrame([(i % 5,) for i in range(50)], "k long")
+    pk = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    other = spark.createDataFrame([(i + 100,) for i in range(10)], "k long")
+    got = {(r.col_a, r.col_b): r.containment for r in joinability_discovery(
+        {"t.fk": fk, "t.pk": pk, "t.other": other}, 95, 100).collect()}
+    # fk's 5 distinct values are all inside pk (containment 1.0);
+    # pk -> fk is only 0.5 so the DIRECTION is resolved; other matches none
+    assert got == {("t.fk", "t.pk"): 1.0}
