@@ -298,6 +298,9 @@ def bloom_prefilter(df: DataFrame, bloom: DataFrame, col: str,
     form (cast once here)."""
     from amundsendatabuilder_spark.functions.hashing import udh_positions
     pos = udh_positions(F.col(col).cast("string"), k, m_bits)
+    # the word table is referenced k times — materialize once or every
+    # broadcast branch re-runs the build aggregation
+    bloom = bloom.localCheckpoint()
     out = df
     keep = None
     for j in range(k):

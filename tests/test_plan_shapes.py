@@ -62,3 +62,47 @@ def test_search_doc_flagship_no_cartesian_or_smj(spark):
     plan = _plan(QUERIES["search_doc_flagship"](spark, "/root/testdata/sf0.001"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_prefilter_broadcasts_words_no_prejoin_shuffle(spark):
+    """The Bloom pre-filter's k word lookups run as broadcast joins —
+    the fact side must reach its bit tests without any hash exchange
+    (the whole point: filter BEFORE the shuffle)."""
+    from pyspark.sql import functions as F
+
+    from amundsendatabuilder_spark.operators import sketches
+    fact = spark.range(10_000).select(
+        F.col("id").alias("rowid"), (F.col("id") % 97).alias("key"))
+    keys = spark.range(20).select((F.col("id") * 5).alias("key"))
+    bloom = sketches.bloom_build(
+        keys.select(F.col("key").cast("string").alias("k")), "k")
+    pre = sketches.bloom_prefilter(fact, bloom, "key")
+    pre.count()
+    plan = _plan(pre)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_cms_registers_bounded_rows(spark):
+    """The sketch contract: register cardinality is depth*width no
+    matter how many distinct values stream in."""
+    from pyspark.sql import functions as F
+
+    from amundsendatabuilder_spark.operators import sketches
+    df = spark.range(200_000).select(F.col("id").cast("string").alias("v"))
+    regs = sketches.cms_registers(df, "v", depth=4, width=64)
+    assert regs.count() == 4 * 64
+
+
+def test_pagerank_iteration_plan_is_truncated(spark):
+    """Each PageRank iteration must start from the checkpointed previous
+    state, not re-derive iteration 1..k-1 — the final plan may not
+    contain the edge-derivation join more than once per iteration."""
+    from amundsendatabuilder_spark.operators.graph_algo import pagerank
+    e = spark.createDataFrame(
+        [(i, (i * 3) % 50) for i in range(50)], "src long, dst long")
+    out = pagerank(e, iters=4)
+    plan = _plan(out)
+    # state is a checkpointed RDD scan + one contribution join's worth of
+    # operators; a lineage blow-up would show multiple nested joins
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 3
