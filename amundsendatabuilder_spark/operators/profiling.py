@@ -89,3 +89,37 @@ def joinability_discovery(columns: "dict[str, DataFrame]",
             .select("col_a", "col_b", "n_a", "n_b",
                     round_half_away(F.col("inter").cast("double")
                                     / F.col("n_a"), 6).alias("containment")))
+
+
+def k_anonymity_audit(df: DataFrame, quasi_cols: "list[str]",
+                      k: int = 5) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination: every
+    equivalence class with fewer than ``k`` rows, i.e. the attribute
+    combinations that could single out individuals — the privacy screen
+    a training-data release runs before shipping tabular or
+    user-derived data.
+
+    One map-side-combinable groupBy; the report is only the failing
+    classes (the k-anonymous bulk never leaves the executors). Returns
+    (quasi..., class_size)."""
+    from pyspark.sql import functions as F
+    return (df.groupBy(*quasi_cols)
+            .agg(F.count(F.lit(1)).alias("class_size"))
+            .where(F.col("class_size") < k))
+
+
+def referential_integrity_audit(fact: DataFrame, fk_col: str,
+                                dim: DataFrame,
+                                pk_col: str) -> DataFrame:
+    """Referential-integrity audit: fact rows whose foreign key has no
+    match in the dimension, aggregated per orphan key — the
+    data-quality check behind every FK edge joinability_discovery
+    suggests (discovery proposes the edge; this verifies it holds).
+
+    left_anti against the dimension key set (broadcast when small), so
+    the clean bulk never shuffles; returns (fk, n_orphans)."""
+    from pyspark.sql import functions as F
+    keys = dim.select(F.col(pk_col).alias(fk_col)).distinct()
+    return (fact.join(keys, fk_col, "left_anti")
+            .groupBy(fk_col)
+            .agg(F.count(F.lit(1)).alias("n_orphans")))

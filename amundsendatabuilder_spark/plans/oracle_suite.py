@@ -4985,3 +4985,47 @@ def joinability_discovery_query(spark, sf_dir):
     }
     return (joinability_discovery(cols, 95, 100)
             .orderBy("col_a", "col_b"))
+
+
+@query("k_anonymity_audit", """
+SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS class_size
+FROM customer
+GROUP BY 1, 2 HAVING count(*) < 9
+ORDER BY c_nationkey, c_mktsegment
+""")
+def k_anonymity_audit_query(spark, sf_dir):
+    """k-anonymity screen over customer quasi-identifiers
+    (operators/profiling.k_anonymity_audit): equivalence classes of
+    (nation, market segment) smaller than k=9 — the combinations that
+    could re-identify; only failing classes are emitted, the anonymous
+    bulk never leaves the executors."""
+    from amundsendatabuilder_spark.operators.profiling import (
+        k_anonymity_audit)
+    (cust,) = _t(spark, sf_dir, "customer")
+    return (k_anonymity_audit(cust, ["c_nationkey", "c_mktsegment"], k=9)
+            .orderBy("c_nationkey", "c_mktsegment"))
+
+
+@query("ri_violations", """
+WITH dim AS (SELECT p_partkey FROM part WHERE p_partkey % 10 <> 0),
+orphan AS (SELECT l.l_partkey FROM lineitem l
+           LEFT JOIN dim p ON l.l_partkey = p.p_partkey
+           WHERE p.p_partkey IS NULL)
+SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_orphans
+FROM orphan GROUP BY 1 ORDER BY 1
+""")
+def ri_violations_query(spark, sf_dir):
+    """Referential-integrity audit lineitem.l_partkey -> part.p_partkey
+    (operators/profiling.referential_integrity_audit): orphan counts
+    via left_anti against the dimension key set — the verification pass
+    for every FK edge joinability_discovery proposes. The dimension is
+    read as a STALE snapshot (every 10th part dropped) so the audit has
+    real violations to surface; on the intact dim it returns empty,
+    which the unit test pins."""
+    from amundsendatabuilder_spark.operators.profiling import (
+        referential_integrity_audit)
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    stale_dim = part.where(F.col("p_partkey") % 10 != 0)
+    return (referential_integrity_audit(li, "l_partkey", stale_dim,
+                                        "p_partkey")
+            .orderBy("l_partkey"))

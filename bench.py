@@ -91,6 +91,8 @@ EXTENDED = [
     "active_users_rollup",
     "cumulative_active_users",
     "joinability_discovery",
+    "k_anonymity_audit",
+    "ri_violations",
 ]
 
 

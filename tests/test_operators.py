@@ -1527,3 +1527,28 @@ def test_joinability_discovery_finds_fk_direction(spark):
     # fk's 5 distinct values are all inside pk (containment 1.0);
     # pk -> fk is only 0.5 so the DIRECTION is resolved; other matches none
     assert got == {("t.fk", "t.pk"): 1.0}
+
+
+def test_k_anonymity_audit_flags_small_classes_only(spark):
+    from amundsendatabuilder_spark.operators.profiling import (
+        k_anonymity_audit)
+    rows = [(i, "a", "x") for i in range(10)] + [(100, "b", "y")] \
+        + [(i, "c", "z") for i in range(200, 203)]
+    df = spark.createDataFrame(rows, "id long, q1 string, q2 string")
+    got = {(r.q1, r.q2): r.class_size
+           for r in k_anonymity_audit(df, ["q1", "q2"], k=5).collect()}
+    assert got == {("b", "y"): 1, ("c", "z"): 3}
+
+
+def test_referential_integrity_audit_empty_on_intact_fk(spark):
+    from amundsendatabuilder_spark.operators.profiling import (
+        referential_integrity_audit)
+    from amundsendatabuilder_spark.session import load_tables
+    t = load_tables(spark, "/root/testdata/sf0.001", ("lineitem", "part"))
+    assert referential_integrity_audit(
+        t["lineitem"], "l_partkey", t["part"], "p_partkey").count() == 0
+    stale = t["part"].where(F.col("p_partkey") % 2 == 0)
+    orphans = referential_integrity_audit(
+        t["lineitem"], "l_partkey", stale, "p_partkey")
+    assert orphans.where(F.col("l_partkey") % 2 == 0).count() == 0
+    assert orphans.count() > 0

@@ -76,7 +76,7 @@ SUITE = [
     "stratified_fixed_k", "burst_windows", "mixture_epochs",
     "interval_overlap_join", "journey_trigrams",
     "active_users_rollup", "cumulative_active_users",
-    "joinability_discovery",
+    "joinability_discovery", "k_anonymity_audit", "ri_violations",
 ]
 
 
