@@ -5029,3 +5029,57 @@ def ri_violations_query(spark, sf_dir):
     return (referential_integrity_audit(li, "l_partkey", stale_dim,
                                         "p_partkey")
             .orderBy("l_partkey"))
+
+
+@query("lineage_asof_diff", """
+WITH RECURSIVE keys AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+edges AS (
+  SELECT a.k AS src, b.k AS dst, a.k % 20 AS valid_from_day
+  FROM keys a JOIN keys b ON b.k = a.k * 2
+  UNION ALL
+  SELECT a.k, b.k, (a.k + 7) % 20
+  FROM keys a JOIN keys b ON b.k = a.k * 2 + 1),
+r1 AS (SELECT k AS root, k AS node, 0 AS depth FROM keys WHERE k <= 8
+       UNION
+       SELECT r1.root, e.dst, r1.depth + 1 FROM r1
+       JOIN edges e ON e.src = r1.node AND e.valid_from_day <= 5
+       WHERE r1.depth < 4),
+r2 AS (SELECT k AS root, k AS node, 0 AS depth FROM keys WHERE k <= 8
+       UNION
+       SELECT r2.root, e.dst, r2.depth + 1 FROM r2
+       JOIN edges e ON e.src = r2.node AND e.valid_from_day <= 15
+       WHERE r2.depth < 4),
+s1 AS (SELECT root, node FROM r1 WHERE depth > 0 AND node <> root),
+s2 AS (SELECT root, node FROM r2 WHERE depth > 0 AND node <> root)
+SELECT root, node FROM s2 EXCEPT SELECT root, node FROM s1
+ORDER BY root, node
+""")
+def lineage_asof_diff(spark, sf_dir):
+    """Time-travel lineage impact diff: reachable sets computed over
+    the edge graph AS OF day 5 and day 15 (edges carry validity start
+    days, the SCD2 pattern applied to lineage), then the day-15 \\ day-5
+    difference — "which downstream dependencies appeared since the last
+    audit", the question a catalog's change review asks. Pure
+    composition: validity filter -> graph_algo.reachability twice ->
+    left_anti diff; the oracle runs both recursive closures and EXCEPTs
+    them."""
+    from amundsendatabuilder_spark.operators.graph_algo import reachability
+    (orders,) = _t(spark, sf_dir, "orders")
+    keys_df = orders.select(F.col("o_orderkey").alias("k")).distinct().cache()
+    a, b = keys_df.alias("a"), keys_df.alias("b")
+    e1 = (a.join(b, F.col("b.k") == F.col("a.k") * 2)
+          .select(F.col("a.k").alias("src"), F.col("b.k").alias("dst"),
+                  (F.col("a.k") % 20).alias("valid_from_day")))
+    e2 = (a.join(b, F.col("b.k") == F.col("a.k") * 2 + 1)
+          .select(F.col("a.k").alias("src"), F.col("b.k").alias("dst"),
+                  ((F.col("a.k") + 7) % 20).alias("valid_from_day")))
+    edges = e1.unionByName(e2)
+    sources = keys_df.where(F.col("k") <= 8).select(F.col("k").alias("src"))
+
+    def snap(day):
+        return (reachability(edges.where(F.col("valid_from_day") <= day)
+                             .select("src", "dst"), sources, max_depth=4)
+                .select("root", "node"))
+
+    return (snap(15).join(snap(5), ["root", "node"], "left_anti")
+            .orderBy("root", "node"))
