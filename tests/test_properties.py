@@ -122,3 +122,62 @@ def test_chunk_documents_invariants(spark):
             assert r.n_tokens == 64 or r.chunk_idx * step + r.n_tokens == n
         last = rows[-1]
         assert last.chunk_idx * step + last.n_tokens == n  # tail reaches end
+
+
+# ---------------------------------------------------------------------------
+# Universal-hash position properties (functions/hashing.udh_positions)
+# ---------------------------------------------------------------------------
+
+@given(st.integers(min_value=2, max_value=12).map(lambda p: 1 << p),
+       st.lists(st.text(alphabet="abcdefgh0123", min_size=1, max_size=12),
+                min_size=8, max_size=8, unique=True))
+@settings(max_examples=15, deadline=None)
+def test_udh_rows_not_collapsed_for_pow2_widths(width, values):
+    """Regression for the depth-collapse bug: with a power-of-two width,
+    reducing mod 2^32 then mod width made every row's bucket a function
+    of the same low bits, so ALL rows collided together whenever two
+    values shared them. With the prime intermediate, two values that
+    collide in one row must usually disagree in another (rows draw from
+    independent md5 chunks)."""
+    import hashlib
+
+    from amundsendatabuilder_spark.functions.hashing import (
+        MERSENNE_31, minhash_constants)
+    a, b = minhash_constants(4)
+
+    def positions(v):
+        h = hashlib.md5(v.encode()).hexdigest()
+        return tuple((int(h[(j % 4) * 8:(j % 4) * 8 + 8], 16) * a[j] + b[j])
+                     % MERSENNE_31 % width for j in range(4))
+    pos = [positions(v) for v in values]
+    full_collisions = sum(
+        1 for i in range(len(pos)) for j in range(i + 1, len(pos))
+        if pos[i] == pos[j])
+    # 28 pairs, 4 independent rows: P(all-rows collision) ~ (1/width)^4;
+    # even at width 4 that is ~0.4% per pair — more than one full
+    # collision across 28 pairs means the rows are correlated
+    assert full_collisions <= 1
+
+
+def test_udh_positions_match_sql_text(spark):
+    """The Python/Spark expression and the generated SQL text must
+    produce identical coordinates — the cross-engine contract every
+    sketch oracle relies on."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from amundsendatabuilder_spark.functions.hashing import (
+        udh_positions, udh_positions_sql)
+    vals = [("tok%d" % i,) for i in range(50)]
+    df = spark.createDataFrame(vals, "v string")
+    got = df.select("v", *[p.alias(f"p{j}") for j, p in
+                           enumerate(udh_positions(F.col("v"), 4, 512))]
+                    ).collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(v VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", vals)
+    exprs = udh_positions_sql("v", 4, 512)
+    want = {row[0]: tuple(row[1:]) for row in con.execute(
+        "SELECT v, " + ", ".join(exprs) + " FROM t").fetchall()}
+    for r in got:
+        assert (r.p0, r.p1, r.p2, r.p3) == want[r.v]
