@@ -46,9 +46,13 @@ def reachability(edges: DataFrame, sources: DataFrame,
                 .distinct())
         fresh = step.join(visited, ["root", "node"], "left_anti") \
                     .withColumn("depth", F.lit(depth))
-        # local-mode iteration materializes each frontier once; on a
-        # cluster add .checkpoint() every ~3 hops to truncate plan growth
-        fresh = fresh.cache()
+        # localCheckpoint (not cache): visited/out re-reference every
+        # earlier frontier, and cache() keeps the full logical subtree
+        # under each reference — at depth d the union plan carries O(d²)
+        # copies (audited at 10k plan nodes when two BFS snapshots met
+        # in a diff). Checkpointing truncates each frontier to an RDD
+        # scan; execution cost is identical (one materialization).
+        fresh = fresh.localCheckpoint()
         if fresh.isEmpty():
             break
         visited = visited.unionByName(fresh)

@@ -5079,7 +5079,7 @@ def lineage_asof_diff(spark, sf_dir):
     def snap(day):
         return (reachability(edges.where(F.col("valid_from_day") <= day)
                              .select("src", "dst"), sources, max_depth=4)
-                .select("root", "node"))
+                .select("root", "node").localCheckpoint())
 
     return (snap(15).join(snap(5), ["root", "node"], "left_anti")
             .orderBy("root", "node"))
