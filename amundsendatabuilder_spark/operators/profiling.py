@@ -123,3 +123,50 @@ def referential_integrity_audit(fact: DataFrame, fk_col: str,
     return (fact.join(keys, fk_col, "left_anti")
             .groupBy(fk_col)
             .agg(F.count(F.lit(1)).alias("n_orphans")))
+
+
+def numeric_corr_matrix(df: DataFrame, cols: "list[str]",
+                        scale: int = 100) -> DataFrame:
+    """Pairwise Pearson correlations from EXACT sufficient statistics:
+    values are integer-scaled (``scale``), the five sums (n, Sx, Sy,
+    Sxy, Sxx, Syy) accumulate as DECIMAL(38,0) — exact and
+    order-independent where a float corr() depends on shuffle order and
+    can never be value-hash verified — and only the final
+    (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2)(n*Syy - Sy^2)) evaluates in
+    doubles, in one fixed expression tree. One wide map-side-combinable
+    aggregation for the whole matrix; rows are the (x < y) pairs."""
+    from pyspark.sql import functions as F
+
+    from amundsendatabuilder_spark.functions.scalars import round_half_away
+    ints = {c: F.round(F.col(c) * scale, 0).cast("long") for c in cols}
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(ints[c].cast("decimal(38,0)")).alias(f"s_{c}"))
+        aggs.append(F.sum((ints[c] * ints[c]).cast("decimal(38,0)"))
+                    .alias(f"ss_{c}"))
+    for i, cx in enumerate(cols):
+        for cy in cols[i + 1:]:
+            aggs.append(F.sum((ints[cx] * ints[cy]).cast("decimal(38,0)"))
+                        .alias(f"sp_{cx}_{cy}"))
+    wide = df.agg(*aggs)
+    out = None
+    for i, cx in enumerate(cols):
+        for cy in cols[i + 1:]:
+            corr = (
+                (F.col("n").cast("double")
+                 * F.col(f"sp_{cx}_{cy}").cast("double")
+                 - F.col(f"s_{cx}").cast("double")
+                 * F.col(f"s_{cy}").cast("double"))
+                / F.sqrt((F.col("n").cast("double")
+                          * F.col(f"ss_{cx}").cast("double")
+                          - F.col(f"s_{cx}").cast("double")
+                          * F.col(f"s_{cx}").cast("double"))
+                         * (F.col("n").cast("double")
+                            * F.col(f"ss_{cy}").cast("double")
+                            - F.col(f"s_{cy}").cast("double")
+                            * F.col(f"s_{cy}").cast("double"))))
+            row = wide.select(F.lit(cx).alias("col_x"),
+                              F.lit(cy).alias("col_y"),
+                              round_half_away(corr, 6).alias("corr"))
+            out = row if out is None else out.unionByName(row)
+    return out

@@ -5083,3 +5083,50 @@ def lineage_asof_diff(spark, sf_dir):
 
     return (snap(15).join(snap(5), ["root", "node"], "left_anti")
             .orderBy("root", "node"))
+
+
+def _corr_oracle() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    sums = ["count(*)::DECIMAL(38,0) AS n"]
+    for c in cols:
+        sums.append(f"sum(CAST(round({c} * 100, 0) AS BIGINT)"
+                    f"::DECIMAL(38,0)) AS s_{c}")
+        sums.append(f"sum((CAST(round({c} * 100, 0) AS BIGINT)"
+                    f" * CAST(round({c} * 100, 0) AS BIGINT))"
+                    f"::DECIMAL(38,0)) AS ss_{c}")
+    pairs = []
+    for i, cx in enumerate(cols):
+        for cy in cols[i + 1:]:
+            sums.append(
+                f"sum((CAST(round({cx} * 100, 0) AS BIGINT)"
+                f" * CAST(round({cy} * 100, 0) AS BIGINT))"
+                f"::DECIMAL(38,0)) AS sp_{cx}_{cy}")
+            pairs.append((cx, cy))
+    rows = "\nUNION ALL\n".join(
+        f"SELECT '{cx}' AS col_x, '{cy}' AS col_y, "
+        f"round((CAST(n AS DOUBLE) * CAST(sp_{cx}_{cy} AS DOUBLE)"
+        f" - CAST(s_{cx} AS DOUBLE) * CAST(s_{cy} AS DOUBLE))"
+        f" / sqrt((CAST(n AS DOUBLE) * CAST(ss_{cx} AS DOUBLE)"
+        f" - CAST(s_{cx} AS DOUBLE) * CAST(s_{cx} AS DOUBLE))"
+        f" * (CAST(n AS DOUBLE) * CAST(ss_{cy} AS DOUBLE)"
+        f" - CAST(s_{cy} AS DOUBLE) * CAST(s_{cy} AS DOUBLE))), 6)"
+        f" AS corr FROM wide"
+        for cx, cy in pairs)
+    return ("WITH wide AS (SELECT " + ", ".join(sums)
+            + " FROM lineitem)\n" + rows + "\nORDER BY col_x, col_y")
+
+
+@query("numeric_corr_matrix", _corr_oracle())
+def numeric_corr_matrix_query(spark, sf_dir):
+    """Pairwise Pearson correlation over lineitem measures
+    (operators/profiling.numeric_corr_matrix): exact DECIMAL(38)
+    sufficient statistics — order-independent where float corr() is
+    shuffle-order-dependent and unverifiable — with the final ratio in
+    one fixed double expression. One wide map-side aggregation for the
+    whole matrix."""
+    from amundsendatabuilder_spark.operators.profiling import (
+        numeric_corr_matrix)
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (numeric_corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount"], scale=100)
+        .orderBy("col_x", "col_y"))

@@ -93,6 +93,7 @@ EXTENDED = [
     "joinability_discovery",
     "k_anonymity_audit",
     "ri_violations",
+    "numeric_corr_matrix",
 ]
 
 

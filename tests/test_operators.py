@@ -1552,3 +1552,15 @@ def test_referential_integrity_audit_empty_on_intact_fk(spark):
         t["lineitem"], "l_partkey", stale, "p_partkey")
     assert orphans.where(F.col("l_partkey") % 2 == 0).count() == 0
     assert orphans.count() > 0
+
+
+def test_numeric_corr_matrix_known_values(spark):
+    from amundsendatabuilder_spark.operators.profiling import (
+        numeric_corr_matrix)
+    rows = [(float(i), float(2 * i + 3), float(10 - i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    got = {(r.col_x, r.col_y): r.corr
+           for r in numeric_corr_matrix(df, ["x", "y", "z"]).collect()}
+    assert got[("x", "y")] == 1.0     # perfectly linear
+    assert got[("x", "z")] == -1.0    # perfectly anti-linear
+    assert got[("y", "z")] == -1.0
