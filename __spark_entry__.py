@@ -46,7 +46,7 @@ _PRIORITY = [
     "interval_overlap_join", "containment_join", "journey_trigrams",
     "active_users_rollup", "cumulative_active_users",
     "joinability_discovery", "k_anonymity_audit", "ri_violations", "lineage_asof_diff",
-    "numeric_corr_matrix",
+    "numeric_corr_matrix", "class_keywords",
     # (b) r5-certified but implementation changed in round 6 (6 — the
     # only overlap with the r5 window)
     "graph_match_varlen", "langid_nb", "ann_rhp_topk",

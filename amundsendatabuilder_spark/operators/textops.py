@@ -741,3 +741,46 @@ def mixture_epochs(docs: DataFrame, budget_tokens: int,
                                "ELSE (100 * needed_tokens "
                                "+ avail_tokens - 1) DIV avail_tokens END")
                         .cast("long")))
+
+
+def class_keywords(docs: DataFrame, class_col: str = "lang", k: int = 5,
+                   min_count: int = 5,
+                   text_col: str = "text") -> DataFrame:
+    """Top-k distinctive tokens per class (c-TF-IDF): token frequency
+    within the class, damped by how many classes the token appears in —
+    the corpus-insight pass behind "what characterizes each source /
+    language / cluster" reports (BERTopic's class-based TF-IDF applied
+    to corpus strata).
+
+    score = (c_tc / total_c) * ln(n_classes / df_t), every input an
+    exact integer, the ratio one fixed double expression rounded 6dp,
+    ties broken by token. Per-class counts are map-side combinable; the
+    rank window runs only over tokens that survived min_count, and the
+    class-df table is tiny (distinct tokens x classes)."""
+    from pyspark.sql import Window
+
+    from amundsendatabuilder_spark.functions.scalars import round_half_away
+    from amundsendatabuilder_spark.functions.text import tokens
+    from amundsendatabuilder_spark.session import ensure_parallelism
+    tok = (ensure_parallelism(docs)
+           .select(F.col(class_col).alias("cls"),
+                   F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")))
+    counts = (tok.groupBy("cls", "tok")
+              .agg(F.count(F.lit(1)).alias("c")).localCheckpoint())
+    totals = counts.groupBy("cls").agg(F.sum("c").alias("total"))
+    dfreq = counts.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_classes = counts.select("cls").distinct().count()
+    scored = (counts.where(F.col("c") >= min_count)
+              .join(F.broadcast(totals), "cls")
+              .join(F.broadcast(dfreq), "tok")
+              .select("cls", "tok", "c",
+                      round_half_away(
+                          F.expr(f"(CAST(c AS DOUBLE) / CAST(total AS "
+                                 f"DOUBLE)) * ln(CAST({n_classes} AS "
+                                 f"DOUBLE) / CAST(df AS DOUBLE))"), 6)
+                      .alias("score")))
+    w = Window.partitionBy("cls").orderBy(F.col("score").desc(), "tok")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("cls", "tok", "c", "score",
+                    F.col("rank").cast("int").alias("rank")))

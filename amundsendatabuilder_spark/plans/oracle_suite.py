@@ -5130,3 +5130,38 @@ def numeric_corr_matrix_query(spark, sf_dir):
     return (numeric_corr_matrix(
         li, ["l_quantity", "l_extendedprice", "l_discount"], scale=100)
         .orderBy("col_x", "col_y"))
+
+
+@query("class_keywords", r"""
+WITH tok AS (SELECT lang AS cls, unnest(""" + _LTOKS_SQL + r""") AS tok
+             FROM documents),
+counts AS (SELECT cls, tok, CAST(count(*) AS BIGINT) AS c
+           FROM tok GROUP BY 1, 2),
+totals AS (SELECT cls, sum(c) AS total FROM counts GROUP BY 1),
+dfreq AS (SELECT tok, count(*) AS df FROM counts GROUP BY 1),
+nc AS (SELECT count(DISTINCT cls) AS n FROM counts),
+scored AS (SELECT c.cls, c.tok, c.c,
+                  round((CAST(c.c AS DOUBLE) / CAST(t.total AS DOUBLE))
+                        * ln(CAST(nc.n AS DOUBLE) / CAST(d.df AS DOUBLE)),
+                        6) AS score
+           FROM counts c JOIN totals t ON c.cls = t.cls
+           JOIN dfreq d ON c.tok = d.tok CROSS JOIN nc
+           WHERE c.c >= 5),
+r AS (SELECT cls, tok, c, score,
+             CAST(row_number() OVER (PARTITION BY cls
+                                     ORDER BY score DESC, tok) AS INT)
+                 AS rank
+      FROM scored)
+SELECT cls, tok, c, score, rank FROM r WHERE rank <= 5
+ORDER BY cls, rank
+""")
+def class_keywords_query(spark, sf_dir):
+    """Top-5 distinctive tokens per language (c-TF-IDF,
+    operators/textops.class_keywords): within-class frequency damped by
+    cross-class document frequency — "what characterizes each stratum".
+    Exact integer counts, one fixed double expression, token
+    tie-breaks; rank windows only over min_count survivors."""
+    from amundsendatabuilder_spark.operators.textops import class_keywords
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (class_keywords(docs, "lang", k=5, min_count=5)
+            .orderBy("cls", "rank"))

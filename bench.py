@@ -94,6 +94,7 @@ EXTENDED = [
     "k_anonymity_audit",
     "ri_violations",
     "numeric_corr_matrix",
+    "class_keywords",
 ]
 
 

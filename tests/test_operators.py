@@ -1564,3 +1564,18 @@ def test_numeric_corr_matrix_known_values(spark):
     assert got[("x", "y")] == 1.0     # perfectly linear
     assert got[("x", "z")] == -1.0    # perfectly anti-linear
     assert got[("y", "z")] == -1.0
+
+
+def test_class_keywords_distinctive_tokens_win(spark):
+    from amundsendatabuilder_spark.operators.textops import class_keywords
+    rows = ([(i, "aaa bbb shared shared shared", "c1") for i in range(5)]
+            + [(i + 10, "xxx yyy shared shared shared", "c2")
+               for i in range(5)])
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {}
+    for r in class_keywords(df, "lang", k=2, min_count=3).collect():
+        got.setdefault(r.cls, []).append(r.tok)
+    # class-exclusive tokens outrank the cross-class 'shared' despite
+    # 'shared' having 3x the in-class frequency (ln(2/2) = 0 kills it)
+    assert got["c1"] == ["aaa", "bbb"]
+    assert got["c2"] == ["xxx", "yyy"]

@@ -77,7 +77,7 @@ SUITE = [
     "interval_overlap_join", "journey_trigrams",
     "active_users_rollup", "cumulative_active_users",
     "joinability_discovery", "k_anonymity_audit", "ri_violations",
-    "lineage_asof_diff", "numeric_corr_matrix",
+    "lineage_asof_diff", "numeric_corr_matrix", "class_keywords",
 ]
 
 
