@@ -47,6 +47,7 @@ _PRIORITY = [
     "active_users_rollup", "cumulative_active_users",
     "joinability_discovery", "k_anonymity_audit", "ri_violations", "lineage_asof_diff",
     "numeric_corr_matrix", "class_keywords",
+    "markov_transitions_ppm", "session_bounce_rate",
     # (b) r5-certified but implementation changed in round 6 (6 — the
     # only overlap with the r5 window)
     "graph_match_varlen", "langid_nb", "ann_rhp_topk",

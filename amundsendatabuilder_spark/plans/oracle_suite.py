@@ -5165,3 +5165,75 @@ def class_keywords_query(spark, sf_dir):
     (docs,) = _t(spark, sf_dir, "documents")
     return (class_keywords(docs, "lang", k=5, min_count=5)
             .orderBy("cls", "rank"))
+
+
+@query("markov_transitions_ppm", """
+WITH seq AS (SELECT user_id, event_type AS e1,
+                    lead(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS e2
+             FROM events),
+c2 AS (SELECT e1, e2, CAST(count(*) AS BIGINT) AS n
+       FROM seq WHERE e2 IS NOT NULL GROUP BY 1, 2),
+c1 AS (SELECT e1, sum(n) AS total FROM c2 GROUP BY 1)
+SELECT c2.e1, c2.e2, c2.n,
+       c2.n * 1000000 // c1.total AS p_ppm
+FROM c2 JOIN c1 ON c2.e1 = c1.e1
+ORDER BY c2.e1, c2.e2
+""")
+def markov_transitions_ppm(spark, sf_dir):
+    """First-order event-type transition matrix with probabilities in
+    exact parts-per-million (n * 1e6 DIV row_total — no float division)
+    — the Markov summary of user behavior that journey_trigrams samples
+    paths from. One per-user lead window + two tiny aggregations."""
+    from pyspark.sql import Window
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(F.col("event_type").alias("e1"),
+                        F.lead("event_type").over(w).alias("e2"))
+    c2 = (seq.where(F.col("e2").isNotNull())
+          .groupBy("e1", "e2").agg(F.count(F.lit(1)).alias("n")))
+    c1 = c2.groupBy("e1").agg(F.sum("n").alias("total"))
+    return (c2.join(F.broadcast(c1), "e1")
+            .select("e1", "e2", "n",
+                    F.expr("n * 1000000 DIV total").alias("p_ppm"))
+            .orderBy("e1", "e2"))
+
+
+@query("session_bounce_rate", """
+WITH o AS (SELECT user_id, ts, event_id,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                          > 1800000000
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT user_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o),
+sess AS (SELECT user_id, sid, count(*) AS n_events
+         FROM s GROUP BY 1, 2)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bounces,
+       sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+           AS bounce_ppm,
+       CAST(max(n_events) AS BIGINT) AS max_session_events
+FROM sess
+""")
+def session_bounce_rate(spark, sf_dir):
+    """Session bounce summary over the gap-sessionized event stream
+    (streaming/events.sessionize_batch): single-event sessions as exact
+    ppm of all sessions — the engagement KPI computed on the SAME
+    session definition the streaming sessionizer uses, so batch and
+    stream reports agree by construction."""
+    from amundsendatabuilder_spark.streaming.events import sessionize_batch
+    (events,) = _t(spark, sf_dir, "events")
+    sess = sessionize_batch(events)
+    return sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .alias("n_bounces"),
+        F.expr("sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) "
+               "* 1000000 DIV count(*)").alias("bounce_ppm"),
+        F.max("n_events").alias("max_session_events"))

@@ -95,6 +95,8 @@ EXTENDED = [
     "ri_violations",
     "numeric_corr_matrix",
     "class_keywords",
+    "markov_transitions_ppm",
+    "session_bounce_rate",
 ]
 
 

@@ -78,6 +78,7 @@ SUITE = [
     "active_users_rollup", "cumulative_active_users",
     "joinability_discovery", "k_anonymity_audit", "ri_violations",
     "lineage_asof_diff", "numeric_corr_matrix", "class_keywords",
+    "markov_transitions_ppm", "session_bounce_rate",
 ]
 
 
