@@ -52,6 +52,12 @@ def zorder_expr(col_a: str, col_b: str, bits: int = 16,
     2^(2i)), so Spark (idiv='DIV') and any ANSI engine (DuckDB
     idiv='//') evaluate it identically.
 
+    Only the low ``bits`` bits of each column participate (values are
+    effectively taken mod 2^bits) — size ``bits`` to the key domain, or
+    rank/bucketize wider keys first; both engines drop the same high
+    bits, so verification is unaffected, but layout quality degrades
+    silently past the domain.
+
     Z-ordering is the multi-dimensional layout tool for 100 TB scans:
     sorting/range-partitioning output files by the interleaved key gives
     every file a tight bounding box in BOTH dimensions, so parquet
