@@ -1579,3 +1579,22 @@ def test_class_keywords_distinctive_tokens_win(spark):
     # 'shared' having 3x the in-class frequency (ln(2/2) = 0 kills it)
     assert got["c1"] == ["aaa", "bbb"]
     assert got["c2"] == ["xxx", "yyy"]
+
+
+def test_markov_and_bounce_suite_entries_semantics(spark):
+    """The suite-inline analytics entries: transition ppm rows sum to
+    <= 1e6 per source state (floor division loses at most |dests|-1
+    ppm), and the bounce summary counts gap-sessions exactly."""
+    from amundsendatabuilder_spark.plans.oracle_suite import QUERIES
+    trans = QUERIES["markov_transitions_ppm"](
+        spark, "/root/testdata/sf0.001").collect()
+    by_src = {}
+    for r in trans:
+        by_src.setdefault(r.e1, []).append(r.p_ppm)
+    for src, ppms in by_src.items():
+        assert 1_000_000 - len(ppms) < sum(ppms) <= 1_000_000, src
+    (b,) = QUERIES["session_bounce_rate"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert 0 < b.n_bounces <= b.n_sessions
+    assert b.bounce_ppm == b.n_bounces * 1_000_000 // b.n_sessions
+    assert b.max_session_events >= 1
