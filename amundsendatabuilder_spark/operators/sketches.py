@@ -200,9 +200,12 @@ def cms_lookup(registers: DataFrame, probes: DataFrame, col: str,
                group_cols: tuple[str, ...] = (), depth: int = 4,
                width: int = 512) -> DataFrame:
     """Point-query the sketch for every row of ``probes``: recompute the
-    depth (j, bucket) coordinates for ``col``, join the register grid
-    (broadcast — it is at most depth*width rows per group), and take the
-    min count across rows. Missing buckets count 0 (value never seen)."""
+    depth (j, bucket) coordinates for ``col``, join the register grid,
+    and take the min count across rows. Missing buckets count 0 (value
+    never seen). An UNGROUPED grid is depth*width rows and broadcasts;
+    a grouped grid (e.g. one sketch per window) grows with the group
+    count, so it joins hash-partitioned on (group, j, bucket) — both
+    sides shuffle only coordinate rows."""
     from amundsendatabuilder_spark.functions.hashing import udh_positions
     pos = udh_positions(F.col(col), depth, width)
     hb = F.explode(F.array(*[
@@ -210,8 +213,8 @@ def cms_lookup(registers: DataFrame, probes: DataFrame, col: str,
         for j in range(depth)])).alias("hb")
     p = probes.select(*group_cols, col, hb).select(
         *group_cols, col, "hb.j", "hb.bucket")
-    joined = p.join(F.broadcast(registers), [*group_cols, "j", "bucket"],
-                    "left")
+    reg = F.broadcast(registers) if not group_cols else registers
+    joined = p.join(reg, [*group_cols, "j", "bucket"], "left")
     return joined.groupBy(*group_cols, col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_cnt"))
 
