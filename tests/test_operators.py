@@ -1598,3 +1598,16 @@ def test_markov_and_bounce_suite_entries_semantics(spark):
     assert 0 < b.n_bounces <= b.n_sessions
     assert b.bounce_ppm == b.n_bounces * 1_000_000 // b.n_sessions
     assert b.max_session_events >= 1
+
+
+def test_bloom_probe_and_prefilter_against_empty_filter(spark):
+    from pyspark.sql import functions as F
+
+    from amundsendatabuilder_spark.operators import sketches
+    empty = spark.createDataFrame([], "word_idx long, bits long")
+    probes = spark.range(20).select(F.col("id").cast("string").alias("v"))
+    got = sketches.bloom_probe(probes, empty, "v").collect()
+    assert len(got) == 20 and not any(r.maybe_member for r in got)
+    fact = spark.range(20).select(F.col("id").alias("key"))
+    pre = sketches.bloom_prefilter(fact, empty, "key")
+    assert pre.count() == 0
