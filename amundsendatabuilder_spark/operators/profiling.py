@@ -139,32 +139,36 @@ def numeric_corr_matrix(df: DataFrame, cols: "list[str]",
 
     from amundsendatabuilder_spark.functions.scalars import round_half_away
     ints = {c: F.round(F.col(c) * scale, 0).cast("long") for c in cols}
+    # Products multiply DECIMAL(19,0) factors, not LONGs: a long*long
+    # product overflows (and wraps silently in non-ANSI mode) once
+    # |value*scale| exceeds ~3.03e9; decimal factors keep the products —
+    # and therefore the sufficient statistics — exact for any long input.
+    decs = {c: ints[c].cast("decimal(19,0)") for c in cols}
     aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
     for c in cols:
         aggs.append(F.sum(ints[c].cast("decimal(38,0)")).alias(f"s_{c}"))
-        aggs.append(F.sum((ints[c] * ints[c]).cast("decimal(38,0)"))
+        aggs.append(F.sum((decs[c] * decs[c]).cast("decimal(38,0)"))
                     .alias(f"ss_{c}"))
     for i, cx in enumerate(cols):
         for cy in cols[i + 1:]:
-            aggs.append(F.sum((ints[cx] * ints[cy]).cast("decimal(38,0)"))
+            aggs.append(F.sum((decs[cx] * decs[cy]).cast("decimal(38,0)"))
                         .alias(f"sp_{cx}_{cy}"))
     wide = df.agg(*aggs)
     out = None
     for i, cx in enumerate(cols):
         for cy in cols[i + 1:]:
-            corr = (
-                (F.col("n").cast("double")
-                 * F.col(f"sp_{cx}_{cy}").cast("double")
-                 - F.col(f"s_{cx}").cast("double")
-                 * F.col(f"s_{cy}").cast("double"))
-                / F.sqrt((F.col("n").cast("double")
-                          * F.col(f"ss_{cx}").cast("double")
-                          - F.col(f"s_{cx}").cast("double")
-                          * F.col(f"s_{cx}").cast("double"))
-                         * (F.col("n").cast("double")
-                            * F.col(f"ss_{cy}").cast("double")
-                            - F.col(f"s_{cy}").cast("double")
-                            * F.col(f"s_{cy}").cast("double"))))
+            # The three moment differences cancel catastrophically in
+            # double once the raw sums dwarf the centered variance
+            # (n*Sxx ~ 1e24 vs n*Sxx - Sx^2 ~ 1e8 wipes out every
+            # significant bit), so subtract in DECIMAL(38,0) exactly and
+            # only cast the already-centered differences to double.
+            cov = (F.col("n") * F.col(f"sp_{cx}_{cy}")
+                   - F.col(f"s_{cx}") * F.col(f"s_{cy}")).cast("double")
+            vx = (F.col("n") * F.col(f"ss_{cx}")
+                  - F.col(f"s_{cx}") * F.col(f"s_{cx}")).cast("double")
+            vy = (F.col("n") * F.col(f"ss_{cy}")
+                  - F.col(f"s_{cy}") * F.col(f"s_{cy}")).cast("double")
+            corr = cov / F.sqrt(vx * vy)
             row = wide.select(F.lit(cx).alias("col_x"),
                               F.lit(cy).alias("col_y"),
                               round_half_away(corr, 6).alias("corr"))

@@ -1804,7 +1804,7 @@ WITH o AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 s AS (SELECT user_id, ts, event_id,
              CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM o)
 SELECT user_id, session_id, count(*) AS n_events,
        CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
@@ -3414,7 +3414,7 @@ rowstr AS (SELECT media_id, w, h, tw, th,
            FROM t JOIN (SELECT unnest(range(0, 320)) AS tx) xs
              ON xs.tx < t.tw
            GROUP BY media_id, w, h, tw, th)
-SELECT media_id, tw AS target_w, th AS target_h,
+SELECT media_id, CAST(tw AS INTEGER) AS target_w, CAST(th AS INTEGER) AS target_h,
        md5(array_to_string(list_transform(range(0, th), yy -> row_str), ';'))
            AS resized_digest
 FROM rowstr
@@ -4103,7 +4103,7 @@ r{i} AS (SELECT n.node,
        FROM nodes n CROSS JOIN consts cs CROSS JOIN d{i} d
        LEFT JOIN c{i} c ON n.node = c.node)""")
     return (head + "," + ",".join(its)
-            + f"\nSELECT node, r FROM r{iters} ORDER BY node")
+            + f"\nSELECT node, CAST(r AS BIGINT) AS r FROM r{iters} ORDER BY node")
 
 
 @query("graph_pagerank", _pagerank_oracle())
@@ -4594,7 +4594,7 @@ w AS (SELECT user_id,
                  AS age_days
       FROM events, mx)
 SELECT user_id,
-       CAST(sum(1000000 >> CAST(age_days AS INT)) AS BIGINT)
+       CAST(sum(CAST(1000000 AS BIGINT) >> age_days) AS BIGINT)
            AS popularity_units
 FROM w GROUP BY user_id ORDER BY user_id
 """)
@@ -4615,8 +4615,12 @@ def decayed_popularity(spark, sf_dir):
             .select("user_id",
                     F.least(F.expr("(mts - es) DIV 86400"), F.lit(62))
                     .cast("int").alias("age_days")))
+    # 64-bit base: Java's shift masks the count mod the operand width, so
+    # an INT literal here would turn age_days in [32, 62] into large
+    # nonzero weights (33 -> 500000) instead of ~0. A BIGINT base masks
+    # mod 64, so the least(..., 62) cap behaves as intended.
     return (aged.groupBy("user_id")
-            .agg(F.sum(F.expr("shiftright(1000000, age_days)"))
+            .agg(F.sum(F.expr("shiftright(CAST(1000000 AS BIGINT), age_days)"))
                  .alias("popularity_units"))
             .orderBy("user_id"))
 
@@ -4726,7 +4730,7 @@ inc AS (SELECT event_id AS r_id,
                CAST(floor(epoch(ts) * 1000000) AS BIGINT) + 900000000
                    AS r_end
         FROM events WHERE event_type = 'error' AND user_id < 5)
-SELECT s.user_id * 1000000 + s.sid AS l_id, i.r_id,
+SELECT CAST(s.user_id * 1000000 + s.sid AS BIGINT) AS l_id, i.r_id,
        least(s.l_end, i.r_end) - greatest(s.l_start, i.r_start)
            AS overlap_us
 FROM sess s JOIN inc i
@@ -5102,14 +5106,21 @@ def _corr_oracle() -> str:
                 f" * CAST(round({cy} * 100, 0) AS BIGINT))"
                 f"::DECIMAL(38,0)) AS sp_{cx}_{cy}")
             pairs.append((cx, cy))
+    # Mirror the Spark plan's evaluation order exactly: the three moment
+    # differences are computed in exact integer arithmetic (HUGEINT here,
+    # DECIMAL(38,0) on the Spark side — same exact values) and only the
+    # centered differences are cast to DOUBLE, avoiding the catastrophic
+    # cancellation of the subtract-two-huge-doubles formulation.
+    def _h(e):
+        return f"CAST({e} AS HUGEINT)"
     rows = "\nUNION ALL\n".join(
         f"SELECT '{cx}' AS col_x, '{cy}' AS col_y, "
-        f"round((CAST(n AS DOUBLE) * CAST(sp_{cx}_{cy} AS DOUBLE)"
-        f" - CAST(s_{cx} AS DOUBLE) * CAST(s_{cy} AS DOUBLE))"
-        f" / sqrt((CAST(n AS DOUBLE) * CAST(ss_{cx} AS DOUBLE)"
-        f" - CAST(s_{cx} AS DOUBLE) * CAST(s_{cx} AS DOUBLE))"
-        f" * (CAST(n AS DOUBLE) * CAST(ss_{cy} AS DOUBLE)"
-        f" - CAST(s_{cy} AS DOUBLE) * CAST(s_{cy} AS DOUBLE))), 6)"
+        f"round(CAST({_h('n')} * {_h(f'sp_{cx}_{cy}')}"
+        f" - {_h(f's_{cx}')} * {_h(f's_{cy}')} AS DOUBLE)"
+        f" / sqrt(CAST({_h('n')} * {_h(f'ss_{cx}')}"
+        f" - {_h(f's_{cx}')} * {_h(f's_{cx}')} AS DOUBLE)"
+        f" * CAST({_h('n')} * {_h(f'ss_{cy}')}"
+        f" - {_h(f's_{cy}')} * {_h(f's_{cy}')} AS DOUBLE)), 6)"
         f" AS corr FROM wide"
         for cx, cy in pairs)
     return ("WITH wide AS (SELECT " + ", ".join(sums)
@@ -5176,7 +5187,7 @@ c2 AS (SELECT e1, e2, CAST(count(*) AS BIGINT) AS n
        FROM seq WHERE e2 IS NOT NULL GROUP BY 1, 2),
 c1 AS (SELECT e1, sum(n) AS total FROM c2 GROUP BY 1)
 SELECT c2.e1, c2.e2, c2.n,
-       c2.n * 1000000 // c1.total AS p_ppm
+       CAST(c2.n * 1000000 // c1.total AS BIGINT) AS p_ppm
 FROM c2 JOIN c1 ON c2.e1 = c1.e1
 ORDER BY c2.e1, c2.e2
 """)
@@ -5216,8 +5227,8 @@ sess AS (SELECT user_id, sid, count(*) AS n_events
 SELECT CAST(count(*) AS BIGINT) AS n_sessions,
        CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
            AS n_bounces,
-       sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
-           AS bounce_ppm,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS bounce_ppm,
        CAST(max(n_events) AS BIGINT) AS max_session_events
 FROM sess
 """)

@@ -146,14 +146,25 @@ def main() -> None:
 
     total = round(sum(timings[q] for q in HEADLINE), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Per-query detail first; compact headline LAST. The driver reads the
+    # tail of stdout, and round 6 proved the detail dict (68 entries) can
+    # outgrow that window and truncate the headline mid-line — so the
+    # machine-readable summary must be the final, short line.
+    print(json.dumps({
+        "metric": "headline_suite_seconds_detail",
+        "queries": timings,
+        "sf": sf_val,
+    }))
     print(json.dumps({
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
         "n": n_runs,
-        "queries": timings,
+        "n_queries": len(HEADLINE),
         "extended_total": round(sum(timings[q] for q in EXTENDED), 3),
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_extended": len(EXTENDED),
+        "sf": sf_val,
     }))
 
 

@@ -1566,6 +1566,46 @@ def test_numeric_corr_matrix_known_values(spark):
     assert got[("y", "z")] == -1.0
 
 
+def test_numeric_corr_matrix_no_long_overflow(spark):
+    """Values past the |v*scale| ~ 3.03e9 long-product ceiling must still
+    produce exact correlations: the products multiply decimal factors, so
+    a perfectly linear relation stays corr == 1.0 instead of silently
+    wrapping in 64-bit arithmetic."""
+    from amundsendatabuilder_spark.operators.profiling import (
+        numeric_corr_matrix)
+    big = 5.0e9  # v*scale = 5e11; (5e11)^2 >> 2^63
+    rows = [(big + i, 2 * (big + i) + 7.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = {(r.col_x, r.col_y): r.corr
+           for r in numeric_corr_matrix(df, ["x", "y"]).collect()}
+    assert got[("x", "y")] == 1.0
+
+
+def test_decayed_popularity_zero_weight_past_31_days(spark):
+    """A >31-day-old event must contribute ~0, not 1e6 >> (age % 32):
+    the shift base is BIGINT so Java's mod-64 masking honors the 62 cap.
+    The driver fixture spans only ~30 days, so this is the only guard."""
+    from pyspark.sql import functions as F
+    rows = [(1, "2024-01-01 00:00:00"),   # age 40 days vs anchor
+            (1, "2024-02-10 00:00:00")]   # the anchor (age 0)
+    df = (spark.createDataFrame(rows, "user_id int, ts_s string")
+          .select("user_id", F.col("ts_s").cast("timestamp").alias("ts")))
+    ep = F.unix_timestamp(F.col("ts"))
+    mx = df.agg(F.max(ep).alias("mts"))
+    aged = (df.select("user_id", ep.alias("es"))
+            .crossJoin(F.broadcast(mx))
+            .select("user_id",
+                    F.least(F.expr("(mts - es) DIV 86400"), F.lit(62))
+                    .cast("int").alias("age_days")))
+    out = (aged.groupBy("user_id")
+           .agg(F.sum(F.expr(
+               "shiftright(CAST(1000000 AS BIGINT), age_days)"))
+               .alias("popularity_units"))).collect()
+    # age-40 event: 1e6 >> 40 == 0 (an INT base would give 1e6 >> 8 ==
+    # 3906); only the age-0 anchor contributes its full 1e6.
+    assert out[0].popularity_units == 1000000
+
+
 def test_class_keywords_distinctive_tokens_win(spark):
     from amundsendatabuilder_spark.operators.textops import class_keywords
     rows = ([(i, "aaa bbb shared shared shared", "c1") for i in range(5)]

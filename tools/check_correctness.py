@@ -20,6 +20,58 @@ TABLES = ("region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings")
 
 
+_DUCK_TO_SPARK = {
+    "TINYINT": "tinyint", "SMALLINT": "smallint", "INTEGER": "int",
+    "BIGINT": "bigint", "DOUBLE": "double", "FLOAT": "float",
+    "VARCHAR": "string", "BOOLEAN": "boolean", "DATE": "date",
+    "TIMESTAMP": "timestamp", "TIMESTAMP WITH TIME ZONE": "timestamp",
+    "TIMESTAMP_NS": "timestamp", "BLOB": "binary",
+}
+# Types DuckDB widens to silently (sum() -> HUGEINT, '/' -> DOUBLE is fine,
+# '//'-on-sum -> HUGEINT, avg of decimals -> DECIMAL). The driver's value
+# hash is dtype-sensitive, so any of these leaving an oracle is a shipped
+# red row even when the values are identical (round-6 lesson).
+_DUCK_REJECT = ("HUGEINT", "UHUGEINT", "DECIMAL", "UBIGINT", "UINTEGER")
+
+
+def duck_type_to_spark(duck: str) -> str:
+    """Map a DuckDB column type string to the Spark simpleString it must
+    pair with, or 'REJECT:<t>' for types the oracle must never emit."""
+    duck = duck.strip()
+    if duck.endswith("[]"):
+        inner = duck_type_to_spark(duck[:-2])
+        if inner.startswith("REJECT"):
+            return inner
+        return f"array<{inner}>"
+    for bad in _DUCK_REJECT:
+        if duck.upper().startswith(bad):
+            return f"REJECT:{duck}"
+    return _DUCK_TO_SPARK.get(duck.upper(), f"UNKNOWN:{duck}")
+
+
+def dtype_problems(scols, sdtypes, dcols, dtypes_duck):
+    """Compare Spark dtypes to mapped DuckDB types after name-sort.
+    Returns a list of human-readable problems (empty == compatible)."""
+    out = []
+    smap = dict(zip(scols, sdtypes))
+    for col, dt in sorted(zip(dcols, dtypes_duck)):
+        want = duck_type_to_spark(str(dt))
+        if want.startswith("REJECT"):
+            out.append(f"oracle col '{col}' has widened DuckDB type {dt} "
+                       "(cast it in the oracle SQL)")
+            continue
+        got = smap.get(col)
+        if got is None:
+            continue  # column-name mismatch reported separately
+        got_n = "timestamp" if got.startswith("timestamp") else got
+        if want.startswith("UNKNOWN"):
+            out.append(f"col '{col}': unmapped DuckDB type {dt} "
+                       f"(spark={got}) — extend _DUCK_TO_SPARK")
+        elif got_n != want:
+            out.append(f"col '{col}': dtype spark={got} vs duck={dt}->{want}")
+    return out
+
+
 def canon(v):
     import datetime
     import math
@@ -62,6 +114,7 @@ def main():
         try:
             sdf = qs[name](spark, SF_DIR)
             scols = sdf.columns
+            sdtypes = [t for _, t in sdf.dtypes]
             srows = [tuple(r) for r in sdf.collect()]
         except Exception:
             print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
@@ -72,9 +125,10 @@ def main():
                   f"[{time.time()-t0:.1f}s]")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            dtypes_duck = [str(t) for t in rel.types]
+            drows = rel.fetchall()
         except Exception:
             print(f"FAIL {name}: duckdb error\n{traceback.format_exc()}")
             failures.append(name)
@@ -82,6 +136,7 @@ def main():
         problems = []
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        problems += dtype_problems(scols, sdtypes, dcols, dtypes_duck)
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if not problems:
