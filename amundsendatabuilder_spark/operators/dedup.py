@@ -691,9 +691,43 @@ def duplicate_spans(docs: DataFrame, gram_len: int = 20, stride: int = 1,
             .drop("isl"))
 
 
+def collapse_exact_texts(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Collapse byte-identical texts to their min-id representative.
+
+    The production front-door for any exact similarity join: a corpus
+    with mass-duplicated texts (mirrors, boilerplate pages) makes the
+    TRUE pair set quadratic in cluster size, but identical texts carry
+    zero information for a similarity join — `dedup_exact` already owns
+    intra-cluster pairs. One hash-groupBy shuffle; representatives keep
+    their original id so downstream joins stay valid."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    return (docs.withColumn("_rep", F.min(id_col).over(w))
+            .where(F.col(id_col) == F.col("_rep"))
+            .drop("_rep"))
+
+
+def _cap_pairs_per_doc(pairs: DataFrame, sim_col: str,
+                       max_pairs: int) -> DataFrame:
+    """Deterministic top-K partners per doc_a: highest similarity first,
+    doc_b ascending as the total-order tie-break. Bounds the output at
+    K * |docs| — for the dedup decision ("does this doc have a
+    duplicate?") any K >= 1 is lossless, and the dropped tail is the
+    inside of mass-duplicate clusters."""
+    from pyspark.sql import Window
+    w = (Window.partitionBy("doc_a")
+         .orderBy(F.desc(sim_col), F.asc("doc_b")))
+    return (pairs.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= max_pairs).drop("_rk"))
+
+
 def jaccard_prefix_join(docs: DataFrame, threshold_num: int = 3,
                         threshold_den: int = 5, id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        collapse_exact: bool = False,
+                        max_token_df: "int | None" = None,
+                        max_pairs_per_doc: "int | None" = None) -> DataFrame:
     """EXACT token-set Jaccard-similarity join (sim >= num/den) via
     prefix filtering (PPJoin family, Xiao et al. 2008) — the lossless
     alternative to MinHash-LSH when a recall guarantee must be 1.0.
@@ -716,9 +750,29 @@ def jaccard_prefix_join(docs: DataFrame, threshold_num: int = 3,
     prefix, which is the skew protection LSH gets from banding; the
     verify join shuffles token ids for candidate pairs only. At 100 TB
     the prefix index is a fraction (1 - t) of the distinct (doc, token)
-    pairs."""
+    pairs.
+
+    Production guards (all off by default so the oracle-pinned exact
+    entry stays byte-stable):
+    - ``collapse_exact``: pre-collapse byte-identical texts to their
+      min-id representative (see collapse_exact_texts) — mass-duplicate
+      clusters stop squaring the candidate set.
+    - ``max_token_df``: prefix-index tokens with corpus document
+      frequency above the cap never enter candidate generation,
+      bounding per-token join fan-out at cap². RECALL CONTRACT: a
+      qualifying pair is reported iff the two docs share at least one
+      sub-cap prefix token; a doc whose every prefix token exceeds the
+      cap (pure-boilerplate text) is unreportable here and belongs to
+      exact-collapse / LSH instead. Audit the cap's bite with
+      ``similarity_cap_report`` — no silent drops.
+    - ``max_pairs_per_doc``: deterministic top-K partners per doc_a
+      (similarity desc, doc_b asc), bounding the OUTPUT at K·|docs|
+      where the true pair set is quadratic in duplicate-cluster size.
+    """
     from pyspark.sql import Window
     from amundsendatabuilder_spark.session import ensure_parallelism
+    if collapse_exact:
+        docs = collapse_exact_texts(docs, id_col, text_col)
     tn, td = threshold_num, threshold_den
     # toks feeds four consumers (sizes, df ranks, the ordered prefix, and
     # both verify sides) — checkpoint materializes the tokenize+distinct
@@ -734,7 +788,10 @@ def jaccard_prefix_join(docs: DataFrame, threshold_num: int = 3,
     # prefix length p = sz - ceil(t*sz) + 1 = sz - (tn*sz + td - 1) DIV td + 1
     prefix = ordered.where(
         F.col("i") <= F.col("sz")
-        - F.expr(f"({tn} * sz + {td} - 1) DIV {td}") + 1).localCheckpoint()
+        - F.expr(f"({tn} * sz + {td} - 1) DIV {td}") + 1)
+    if max_token_df is not None:
+        prefix = prefix.where(F.col("df") <= max_token_df)
+    prefix = prefix.localCheckpoint()
     a = prefix.select(F.col(id_col).alias("doc_a"), "tok",
                       F.col("sz").alias("sza"))
     b = prefix.select(F.col(id_col).alias("doc_b"), "tok",
@@ -752,17 +809,71 @@ def jaccard_prefix_join(docs: DataFrame, threshold_num: int = 3,
     verified = inter.where(
         F.col("inter") * td
         >= (F.col("sza") + F.col("szb") - F.col("inter")) * tn)
-    return verified.select(
+    out = verified.select(
         "doc_a", "doc_b",
         round_half_away(F.col("inter").cast("double")
                         / (F.col("sza") + F.col("szb") - F.col("inter")), 6)
         .alias("jaccard"))
+    if max_pairs_per_doc is not None:
+        out = _cap_pairs_per_doc(out, "jaccard", max_pairs_per_doc)
+    return out
+
+
+def similarity_cap_report(docs: DataFrame, max_token_df: int,
+                          threshold_num: int = 9, threshold_den: int = 10,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Audit the bite of ``max_token_df`` before trusting a capped
+    similarity join — the no-silent-caps companion to
+    jaccard_prefix_join/containment_join. One row:
+    (n_tokens_over_cap, n_prefix_rows_dropped, n_docs_unreportable,
+    n_docs_total). ``n_docs_unreportable`` counts docs whose ENTIRE
+    prefix exceeds the cap — the docs the capped join can never report
+    and that must be routed to exact-collapse/LSH instead."""
+    from pyspark.sql import Window
+    from amundsendatabuilder_spark.session import ensure_parallelism
+    tn, td = threshold_num, threshold_den
+    toks = (ensure_parallelism(docs)
+            .select(id_col, F.explode(tokens(F.lower(F.col(text_col))))
+                    .alias("tok")).distinct().localCheckpoint())
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    df_rank = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (toks.join(df_rank, "tok").join(sizes, id_col)
+               .withColumn("i", F.row_number().over(
+                   Window.partitionBy(id_col).orderBy("df", "tok"))))
+    prefix = ordered.where(
+        F.col("i") <= F.col("sz")
+        - F.expr(f"({tn} * sz + {td} - 1) DIV {td}") + 1)
+    over = F.when(F.col("df") > max_token_df, F.lit(1)).otherwise(F.lit(0))
+    per_doc = (prefix.groupBy(id_col)
+               .agg(F.sum(over).alias("n_over"),
+                    F.count(F.lit(1)).alias("n_prefix")))
+    tok_stats = (prefix.select("tok", "df").distinct()
+                 .agg(F.coalesce(F.sum(F.when(F.col("df") > max_token_df,
+                                              F.lit(1))), F.lit(0))
+                      .alias("n_tokens_over_cap")))
+    doc_stats = per_doc.agg(
+        F.sum("n_over").alias("n_prefix_rows_dropped"),
+        F.coalesce(F.sum(F.when(F.col("n_over") == F.col("n_prefix"),
+                                F.lit(1))), F.lit(0))
+        .alias("n_docs_unreportable"),
+        F.count(F.lit(1)).alias("n_docs_total"))
+    return tok_stats.crossJoin(doc_stats).select(
+        F.col("n_tokens_over_cap").cast("long").alias("n_tokens_over_cap"),
+        F.col("n_prefix_rows_dropped").cast("long")
+        .alias("n_prefix_rows_dropped"),
+        F.col("n_docs_unreportable").cast("long")
+        .alias("n_docs_unreportable"),
+        F.col("n_docs_total").cast("long").alias("n_docs_total"))
 
 
 def containment_join(docs: DataFrame, threshold_num: int = 9,
                      threshold_den: int = 10, min_tokens: int = 10,
                      id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     collapse_exact: bool = False,
+                     max_token_df: "int | None" = None,
+                     max_pairs_per_doc: "int | None" = None) -> DataFrame:
     """EXACT token-set containment join: pairs where at least
     num/den of A's distinct tokens also appear in B (|A∩B|/|A| >= t,
     A != B, |A| >= min_tokens) — the asymmetric complement of
@@ -776,10 +887,18 @@ def containment_join(docs: DataFrame, threshold_num: int = 9,
     Only A-side prefixes enter the candidate index; the B side probes
     with its full token set. Verification is the exact intersection
     count with the integer cross-multiplied test. Returns
-    (doc_a, doc_b, containment) — doc_a is the contained side."""
+    (doc_a, doc_b, containment) — doc_a is the contained side.
+
+    ``collapse_exact`` / ``max_token_df`` / ``max_pairs_per_doc`` carry
+    the same production-guard semantics as jaccard_prefix_join (see its
+    docstring); the token-DF cap here filters BOTH the A-side prefix
+    index and the B-side probe, since a boilerplate token's fan-out is
+    df_prefix(t) * df_full(t)."""
     from pyspark.sql import Window
 
     from amundsendatabuilder_spark.session import ensure_parallelism
+    if collapse_exact:
+        docs = collapse_exact_texts(docs, id_col, text_col)
     tn, td = threshold_num, threshold_den
     toks = (ensure_parallelism(docs)
             .select(id_col, F.explode(tokens(F.lower(F.col(text_col))))
@@ -793,9 +912,14 @@ def containment_join(docs: DataFrame, threshold_num: int = 9,
     prefix = ordered.where(
         F.col("i") <= F.col("sz")
         - F.expr(f"({tn} * sz + {td} - 1) DIV {td}") + 1)
+    if max_token_df is not None:
+        prefix = prefix.where(F.col("df") <= max_token_df)
     a = prefix.select(F.col(id_col).alias("doc_a"), "tok",
                       F.col("sz").alias("sza"))
     b = toks.select(F.col(id_col).alias("doc_b"), "tok")
+    if max_token_df is not None:
+        b = b.join(df_rank.where(F.col("df") <= max_token_df)
+                   .select("tok"), "tok")
     cands = (a.join(b, "tok")
              .where(F.col("doc_a") != F.col("doc_b"))
              .select("doc_a", "doc_b", "sza").distinct())
@@ -804,7 +928,10 @@ def containment_join(docs: DataFrame, threshold_num: int = 9,
     inter = (cands.join(ta, "doc_a").join(tb, ["doc_b", "tok"])
              .groupBy("doc_a", "doc_b", "sza")
              .agg(F.count(F.lit(1)).alias("inter")))
-    return (inter.where(F.col("inter") * td >= F.col("sza") * tn)
-            .select("doc_a", "doc_b",
-                    round_half_away(F.col("inter").cast("double")
-                                    / F.col("sza"), 6).alias("containment")))
+    out = (inter.where(F.col("inter") * td >= F.col("sza") * tn)
+           .select("doc_a", "doc_b",
+                   round_half_away(F.col("inter").cast("double")
+                                   / F.col("sza"), 6).alias("containment")))
+    if max_pairs_per_doc is not None:
+        out = _cap_pairs_per_doc(out, "containment", max_pairs_per_doc)
+    return out

@@ -166,7 +166,8 @@ def rhp_topk(corpus: DataFrame, queries: DataFrame,
 def assign_centroids(corpus: DataFrame, centroids: DataFrame,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      cent_id_col: str = "cent_id",
-                     metric: str = "cos") -> DataFrame:
+                     metric: str = "cos",
+                     keep_vec: bool = False) -> DataFrame:
     """Nearest-centroid assignment — the IVF index-BUILD step (and one
     k-means iteration) exposed as its own verified operator: broadcast the
     centroid set, score each corpus vector against all centroids JVM-side,
@@ -175,7 +176,12 @@ def assign_centroids(corpus: DataFrame, centroids: DataFrame,
     shuffle beyond the broadcast. Scores round to 6dp BEFORE the argmin so
     the assignment itself is engine-reproducible (cos matches DuckDB's
     list_cosine_similarity, l2 matches list_distance — fold order
-    verified identical)."""
+    verified identical).
+
+    ``keep_vec=True`` carries the corpus vector through as ``_v`` so a
+    consumer that needs both the assignment and the vector (the k-means
+    mean step) avoids a corpus-sized join back — the difference between
+    a broadcast-only pass and a sort-merge join per Lloyd iteration."""
     from amundsendatabuilder_spark.functions.vectors import l2_distance, l2_norm
     from amundsendatabuilder_spark.session import ensure_parallelism
     assert metric in ("cos", "l2"), metric
@@ -194,9 +200,12 @@ def assign_centroids(corpus: DataFrame, centroids: DataFrame,
         order = F.col("cos").asc()
     scored = c.join(cents).withColumn("cos", score)
     w = Window.partitionBy(id_col).orderBy(order, F.col(cent_id_col))
+    out_cols = [F.col(id_col), F.col(cent_id_col), F.col("cos")]
+    if keep_vec:
+        out_cols.append(F.col("_v"))
     return (scored.withColumn("_r", F.row_number().over(w))
             .where(F.col("_r") == 1)
-            .select(F.col(id_col), F.col(cent_id_col), F.col("cos")))
+            .select(*out_cols))
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -288,13 +297,14 @@ def kmeans_fit(corpus: DataFrame, k: int = 16, max_iters: int = 5,
     cents = (init.withColumn("cent_id", F.row_number().over(w0) - 1)
              .select("cent_id", "embedding"))
     for _ in range(max_iters):
+        # keep_vec: the mean step reads the vector straight off the
+        # assignment pass — no corpus-sized join back (was the one SMJ
+        # in this plan), so each Lloyd iteration is broadcast-assign +
+        # one k×dim aggregation only
         assigned = assign_centroids(corpus, cents, id_col=id_col,
-                                    vec_col=vec_col, metric=metric)
-        joined = assigned.join(
-            corpus.select(F.col(id_col),
-                          F.col(vec_col).cast("array<double>").alias("_v")),
-            id_col)
-        per_dim = (joined
+                                    vec_col=vec_col, metric=metric,
+                                    keep_vec=True)
+        per_dim = (assigned
                    .select("cent_id", F.posexplode("_v").alias("pos", "x"))
                    .groupBy("cent_id", "pos").agg(F.avg("x").alias("m")))
         new_cents = (per_dim.groupBy("cent_id")
@@ -304,7 +314,7 @@ def kmeans_fit(corpus: DataFrame, k: int = 16, max_iters: int = 5,
         # empty clusters produce no per_dim rows — keep their previous
         # centroid so exactly k rows always come back
         cents = (cents.alias("old")
-                 .join(new_cents.alias("new"), "cent_id", "left")
+                 .join(F.broadcast(new_cents.alias("new")), "cent_id", "left")
                  .select("cent_id",
                          F.coalesce(F.col("new.embedding"),
                                     F.col("old.embedding")).alias("embedding")))
@@ -315,7 +325,7 @@ def kmeans_fit(corpus: DataFrame, k: int = 16, max_iters: int = 5,
                                      vec_col=vec_col, metric=metric)
                     .groupBy("cent_id")
                     .agg(F.count("*").cast("long").alias("n_members")))
-    return cents.join(final_counts, "cent_id", "left") \
+    return cents.join(F.broadcast(final_counts), "cent_id", "left") \
         .select("cent_id", "embedding",
                 F.coalesce("n_members", F.lit(0)).alias("n_members"))
 

@@ -4791,6 +4791,121 @@ def containment_join_query(spark, sf_dir):
             .orderBy("doc_a", "doc_b"))
 
 
+_COLLAPSE_SQL = r"""
+reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+cdocs AS (SELECT d.doc_id, d.text FROM documents d
+          JOIN reps USING (doc_id))"""
+
+
+@query("jaccard_prefix_join_capped", r"""
+WITH """ + _COLLAPSE_SQL + r""",
+tok AS (SELECT DISTINCT doc_id, unnest(""" + _LTOKS_SQL + r""") AS tok
+        FROM cdocs),
+sz AS (SELECT doc_id, count(*) AS s FROM tok GROUP BY 1),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+q AS (SELECT p.doc_a, p.doc_b,
+             round(CAST(p.inter AS DOUBLE) / (sa.s + sb.s - p.inter), 6)
+                 AS jaccard
+      FROM pairs p JOIN sz sa ON sa.doc_id = p.doc_a
+      JOIN sz sb ON sb.doc_id = p.doc_b
+      WHERE p.inter * 10 >= (sa.s + sb.s - p.inter) * 9)
+SELECT doc_a, doc_b, jaccard FROM q
+QUALIFY row_number() OVER (PARTITION BY doc_a
+                           ORDER BY jaccard DESC, doc_b) <= 25
+ORDER BY doc_a, doc_b
+""")
+def jaccard_prefix_join_capped(spark, sf_dir):
+    """jaccard_prefix_join with ALL THREE production guards engaged
+    (operators/dedup.py): exact-text collapse (no-op on this fixture —
+    zero identical texts — but the sf1 replica corpus has mass
+    exact-dup clusters), max_token_df=450 (non-binding here, max fixture
+    DF 402: the oracle proves the guard plumbing costs no recall, the
+    standard dedup_ngram_jaccard_capped pattern), and the BINDING
+    max_pairs_per_doc=25 output guard — the fixture's worst doc has 173
+    partners, so the oracle's QUALIFY window must agree row-for-row on
+    the deterministic (jaccard desc, doc_b) top-25. This is the
+    configuration the sf1 headroom suite runs: output bounded at
+    25·|docs| where the true pair set is quadratic in cluster size."""
+    from amundsendatabuilder_spark.operators.dedup import (
+        jaccard_prefix_join)
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (jaccard_prefix_join(docs, 9, 10, collapse_exact=True,
+                                max_token_df=450, max_pairs_per_doc=25)
+            .orderBy("doc_a", "doc_b"))
+
+
+@query("containment_join_capped", r"""
+WITH """ + _COLLAPSE_SQL + r""",
+tok AS (SELECT DISTINCT doc_id, unnest(""" + _LTOKS_SQL + r""") AS tok
+        FROM cdocs),
+sz AS (SELECT doc_id, count(*) AS s FROM tok GROUP BY 1),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2),
+q AS (SELECT p.doc_a, p.doc_b,
+             round(CAST(p.inter AS DOUBLE) / sa.s, 6) AS containment
+      FROM pairs p JOIN sz sa ON sa.doc_id = p.doc_a
+      WHERE sa.s >= 10 AND p.inter * 10 >= sa.s * 9)
+SELECT doc_a, doc_b, containment FROM q
+QUALIFY row_number() OVER (PARTITION BY doc_a
+                           ORDER BY containment DESC, doc_b) <= 25
+ORDER BY doc_a, doc_b
+""")
+def containment_join_capped(spark, sf_dir):
+    """containment_join with the same three production guards
+    (collapse_exact + max_token_df=450 non-binding + BINDING
+    max_pairs_per_doc=25; worst fixture doc has 245 containers). Runs
+    in the sf1 headroom suite in place of the excluded uncapped form."""
+    from amundsendatabuilder_spark.operators.dedup import containment_join
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (containment_join(docs, 9, 10, min_tokens=10,
+                             collapse_exact=True, max_token_df=450,
+                             max_pairs_per_doc=25)
+            .orderBy("doc_a", "doc_b"))
+
+
+@query("similarity_cap_report", r"""
+WITH tok AS (SELECT DISTINCT doc_id, unnest(""" + _LTOKS_SQL + r""") AS tok
+             FROM documents),
+sz AS (SELECT doc_id, count(*) AS s FROM tok GROUP BY 1),
+dfr AS (SELECT tok, count(*) AS df FROM tok GROUP BY 1),
+ordered AS (SELECT t.doc_id, t.tok, f.df, s.s,
+                   row_number() OVER (PARTITION BY t.doc_id
+                                      ORDER BY f.df, t.tok) AS i
+            FROM tok t JOIN dfr f USING (tok) JOIN sz s USING (doc_id)),
+prefix AS (SELECT * FROM ordered
+           WHERE i <= s - (9 * s + 10 - 1) // 10 + 1),
+ts AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS n_tokens_over_cap
+       FROM prefix WHERE df > 100),
+ds AS (SELECT CAST(sum(n_over) AS BIGINT) AS n_prefix_rows_dropped,
+              CAST(sum(CASE WHEN n_over = n_pref THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_docs_unreportable,
+              CAST(count(*) AS BIGINT) AS n_docs_total
+       FROM (SELECT doc_id,
+                    count(*) FILTER (WHERE df > 100) AS n_over,
+                    count(*) AS n_pref
+             FROM prefix GROUP BY 1))
+SELECT ts.n_tokens_over_cap, ds.n_prefix_rows_dropped,
+       ds.n_docs_unreportable, ds.n_docs_total
+FROM ts, ds
+""")
+def similarity_cap_report_query(spark, sf_dir):
+    """The no-silent-caps audit for max_token_df
+    (operators/dedup.similarity_cap_report): with cap=100 on this
+    fixture the cap BITES (the 31-token synthetic vocabulary has 30
+    tokens over DF 100), and the report surfaces exactly how many
+    prefix tokens/rows a capped join would drop and how many docs
+    become unreportable — run it before trusting any capped similarity
+    join on a new corpus."""
+    from amundsendatabuilder_spark.operators.dedup import (
+        similarity_cap_report)
+    (docs,) = _t(spark, sf_dir, "documents")
+    return similarity_cap_report(docs, max_token_df=100,
+                                 threshold_num=9, threshold_den=10)
+
+
 @query("journey_trigrams", """
 WITH seq AS (SELECT user_id, event_type, ts, event_id,
                     lead(event_type, 1) OVER w AS e2,
@@ -5085,7 +5200,11 @@ def lineage_asof_diff(spark, sf_dir):
                              .select("src", "dst"), sources, max_depth=4)
                 .select("root", "node").localCheckpoint())
 
-    return (snap(15).join(snap(5), ["root", "node"], "left_anti")
+    # the AS-OF-day-5 snapshot is the bounded side (reachable set of 8
+    # roots within 4 hops) — broadcast it so the diff is a map-side
+    # anti-join instead of shuffling both closures into an SMJ
+    return (snap(15).join(F.broadcast(snap(5)), ["root", "node"],
+                          "left_anti")
             .orderBy("root", "node"))
 
 

@@ -1261,6 +1261,76 @@ def test_jaccard_prefix_join_equals_brute_force(spark):
     assert got == want and (1, 3) in got and got[(1, 3)] == 1.0
 
 
+def test_jaccard_prefix_join_guards_nonbinding_is_identity(spark):
+    """With generous caps and no identical texts the guarded join must
+    return exactly the unguarded result — the guard plumbing itself
+    costs no recall."""
+    from amundsendatabuilder_spark.operators.dedup import jaccard_prefix_join
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "alpha beta gamma delta zeta"),
+         (4, "one two three four five"),
+         (5, "something else entirely here now")],
+        "doc_id long, text string")
+    plain = sorted(map(tuple, jaccard_prefix_join(docs, 3, 5).collect()))
+    capped = sorted(map(tuple, jaccard_prefix_join(
+        docs, 3, 5, collapse_exact=True, max_token_df=1000,
+        max_pairs_per_doc=100).collect()))
+    assert plain == capped and plain
+
+
+def test_collapse_exact_keeps_min_id_representative(spark):
+    from amundsendatabuilder_spark.operators.dedup import (
+        collapse_exact_texts)
+    docs = spark.createDataFrame(
+        [(3, "same text"), (1, "same text"), (2, "other text")],
+        "doc_id long, text string")
+    got = sorted(r.doc_id for r in collapse_exact_texts(docs).collect())
+    assert got == [1, 2]
+
+
+def test_max_pairs_per_doc_keeps_best_partner_deterministically(spark):
+    from amundsendatabuilder_spark.operators.dedup import jaccard_prefix_join
+    # doc 1 qualifies against 2, 3 and 4; cap at 1 keeps the highest
+    # jaccard (the identical doc 2), not an arbitrary survivor
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"),
+         (3, "a b c d f"), (4, "a b c d g")],
+        "doc_id long, text string")
+    got = jaccard_prefix_join(docs, 3, 5, max_pairs_per_doc=1).collect()
+    by_a = {r.doc_a: (r.doc_b, r.jaccard) for r in got}
+    assert by_a[1] == (2, 1.0)
+    assert all(r.doc_a not in (2, 3) or r.doc_b for r in got)
+    assert len([r for r in got if r.doc_a == 1]) == 1
+
+
+def test_max_token_df_drops_boilerplate_only_pairs_and_report_counts(spark):
+    from amundsendatabuilder_spark.operators.dedup import (
+        containment_join, similarity_cap_report)
+    # 12 docs all contain boilerplate tokens x0..x9; docs 1 & 2 also
+    # share rare tokens. Cap at 5: the boilerplate-only pair set is
+    # dropped, 1-in-2 containment survives via its rare prefix tokens.
+    boiler = " ".join(f"x{i}" for i in range(10))
+    rows = [(i, boiler) for i in range(3, 13)]
+    rows.append((1, boiler + " rare1 neat2"))
+    rows.append((2, boiler + " rare1 neat2 extra3 other4 more5 yet6"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = containment_join(docs, 5, 6, min_tokens=10,
+                           max_token_df=5).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in got}
+    assert (1, 2) in pairs                       # rare-prefix pair kept
+    assert all(a in (1, 2) or b in (1, 2) for a, b in pairs)
+    rep = similarity_cap_report(docs, max_token_df=5,
+                                threshold_num=5, threshold_den=6).collect()[0]
+    # prefixes are short (s - ceil(t*s) + 1 = 2 for the pure-boilerplate
+    # docs), so only x0/x1 ever enter a prefix — the report counts
+    # PREFIX tokens over cap, the ones a capped join actually drops
+    assert rep.n_tokens_over_cap == 2
+    assert rep.n_prefix_rows_dropped == 21       # 10 docs x 2 + doc 1's x0
+    assert rep.n_docs_unreportable == 10         # boilerplate-only docs
+    assert rep.n_docs_total == 12
+
+
 def test_jaccard_prefix_join_threshold_is_inclusive(spark):
     from amundsendatabuilder_spark.operators.dedup import jaccard_prefix_join
     # exactly 3 shared of 5-union -> jaccard 0.6 == threshold, must be kept

@@ -61,12 +61,16 @@ SUITE = [
     # spans, exact similarity join, graph analytics, funnel, streaming CMS
     "cms_heavy_hitters", "bloom_decontam_membership",
     "duplicate_substring_spans",
-    # jaccard_prefix_join is EXCLUDED by design: its output is the TRUE
-    # pair set, which is quadratic in duplicate-cluster size — the 10x
-    # replica fixture multiplies every cluster by 10 and therefore the
-    # pair count by ~100 (>>10^8 pairs). That is the semantics of an
-    # exact similarity join on a pathological corpus, not a plan defect;
-    # the sf0.1 bench (964k pairs, ~16s) is its scale evidence.
+    # The UNCAPPED jaccard_prefix_join/containment_join remain excluded:
+    # their output is the TRUE pair set, quadratic in duplicate-cluster
+    # size, and the 10x replica fixture squares every cluster (>>10^8
+    # pairs — corpus semantics, not a plan defect). The CAPPED forms ARE
+    # the production configuration (exact-text collapse + token-DF cap +
+    # deterministic top-25 partners per doc) and run here; their recall
+    # contract is documented on the operators and oracle-verified at
+    # sf0.01 (jaccard_prefix_join_capped / containment_join_capped).
+    "jaccard_prefix_join_capped", "containment_join_capped",
+    "similarity_cap_report",
     "graph_pagerank", "triangle_cooccurrence", "funnel_stages",
     "stream_windowed_heavy_hitters",
     "inverted_index_postings", "zorder_layout_stats",
