@@ -127,6 +127,90 @@ def apply_field_mapping(spark: SparkSession, entities: list[dict],
     return spark.createDataFrame(rows)  # type: ignore[arg-type]
 
 
+def _atlas_map_entity(data: dict, spec: list[FieldSpec]) -> dict | None:
+    """Reference field-mapping semantics
+    (extractor/atlas_search_data_extractor.py:298-316), exactly:
+    dotted-path dig where a missing segment yields {} (so the reference's
+    ``reduce(...) or default`` replaces ANY falsy value — 0, '', [], {} —
+    with the default, a documented quirk we preserve), then the optional
+    transform; any exception while building the row skips the whole
+    entity (reference logs-and-continues)."""
+    from functools import reduce
+    row: dict[str, Any] = {}
+    try:
+        for target, path, transform, default in spec:
+            val = reduce(lambda x, y: x.get(y, dict())
+                         if isinstance(x, dict) else dict(),
+                         path.split("."), data) or default
+            row[target] = transform(val) if transform is not None else val
+        return row
+    except Exception:
+        return None
+
+
+def atlas_search_chain(spark: SparkSession,
+                       entity_count: Callable[[], int],
+                       guid_page: Callable[[int, int], list[str]],
+                       entity_details: Callable[[list[str]], list[dict]],
+                       spec: list[FieldSpec], schema: str,
+                       search_chunk_size: int = 250,
+                       details_chunk_size: int = 25) -> DataFrame:
+    """AtlasSearchDataExtractor's full extraction chain (reference:
+    extractor/atlas_search_data_extractor.py:217-296), Spark-shaped:
+
+    1. ``entity_count()`` — the admin-metrics active-entity count that
+       sizes the pagination (reference ``_get_count_of_active_entities``).
+    2. Driver-paged guid seed fetch: offsets ``0, c, 2c, ...`` with
+       ``count // c + 1`` pages — one trailing page even when the count
+       divides evenly, mirroring the reference's off-by-design; a page
+       that raises contributes [] and the sweep continues (:226-236).
+       Seed guids are metadata-sized, so the driver holds them — the
+       reference's ThreadPool adds nothing a paged loop doesn't.
+    3. Executor-parallel detail fetch: guids split into
+       ``details_chunk_size`` chunks (:257-259), one chunk per task via
+       ``parallelize(...).flatMap`` — the Spark-native form of the
+       reference's process pool; a chunk whose fetch raises contributes
+       [] (:243-255). Field mapping runs in the same task.
+
+    ``schema`` is the DDL for the mapped rows (the reference gets this
+    from the model class; explicit DDL keeps the engine model-free)."""
+    try:
+        count = int(entity_count())
+    except Exception:
+        count = 0
+    offsets = ([i * search_chunk_size
+                for i in range(count // search_chunk_size + 1)]
+               if count > 0 else [])
+    guids: list[str] = []
+    for off in offsets:
+        try:
+            guids.extend(guid_page(off, search_chunk_size))
+        except Exception:
+            continue
+    chunks = [guids[i:i + details_chunk_size]
+              for i in range(0, len(guids), details_chunk_size)]
+    if not chunks:
+        return spark.createDataFrame([], schema)
+
+    def fetch_and_map(chunk: list[str]) -> list[tuple]:
+        try:
+            entities = entity_details(chunk)
+        except Exception:
+            return []
+        fields = [s[0] for s in spec]
+        out = []
+        for e in entities:
+            row = _atlas_map_entity(e, spec)
+            if row is not None:
+                out.append(tuple(row.get(f) for f in fields))
+        return out
+
+    rdd = (spark.sparkContext
+           .parallelize(chunks, numSlices=len(chunks))
+           .flatMap(fetch_and_map))
+    return spark.createDataFrame(rdd, schema)
+
+
 def delta_lake_tables(spark: SparkSession,
                       databases: list[str] | None = None) -> DataFrame:
     """Delta/Spark-catalog metadata (reference:

@@ -62,6 +62,10 @@ def _extract(payload, json_path: str) -> list[dict]:
             return walk(obj[head], rest)
         return []
 
+    if json_path in (".", ""):
+        # root-object extraction (reference json_path '[state,completed_at]'
+        # on a single-entity payload, e.g. a Mode report-run resource)
+        return [payload] if isinstance(payload, dict) else []
     parts: list[str] = []
     for chunk in json_path.split("."):
         if chunk.endswith("[*]"):
@@ -72,21 +76,43 @@ def _extract(payload, json_path: str) -> list[dict]:
     return [x for x in found if isinstance(x, dict)]
 
 
+def _dig_field(item: dict, path: str):
+    """Dotted lookup inside one extracted record — the reference reaches
+    through '_links.last_run.href'-style sub-paths in its OR json_paths."""
+    cur = item
+    for part in path.split("."):
+        if not isinstance(cur, dict) or part not in cur:
+            return None
+        cur = cur[part]
+    return cur
+
+
 def rest_api_join(seeds: DataFrame, url_template: str, json_path: str,
-                  field_names: list[str], fetch: JsonFetch,
+                  field_names: "list[str] | dict[str, str]", fetch: JsonFetch,
                   skip_no_result: bool = False, fail_no_result: bool = False,
-                  attempts: int = 5) -> DataFrame:
+                  attempts: int = 5, skip_on_error: bool = False) -> DataFrame:
     """outer ⨝ REST(inner): one HTTP call per outer row, executed
     executor-side per partition via mapInPandas (Arrow-batched).
 
-    Returns seeds' columns plus ``field_names`` (string-typed, as the
-    reference treats extracted fields)."""
+    ``field_names`` is either a list of top-level item keys, or a dict
+    of output column -> dotted path inside the item (the reference's
+    '(_embedded.reports[*]._links.last_run.href)' OR-paths become
+    ``{"last_run_resource_path": "_links.last_run.href"}`` here).
+    ``skip_on_error=True`` treats a fetch that still fails after retries
+    as an empty result (the reference's HttpFailureSkipOnStatus 404
+    handler on user-resource hops) instead of failing the job.
+
+    Returns seeds' columns plus the extracted fields (string-typed, as
+    the reference treats extracted fields)."""
     import pandas as pd
 
+    fields = (dict(field_names) if isinstance(field_names, dict)
+              else {f: f for f in field_names})
+    out_names = list(fields)
     seed_fields = seeds.schema.fields
     out_schema = T.StructType(
         list(seed_fields)
-        + [T.StructField(f, T.StringType(), True) for f in field_names])
+        + [T.StructField(f, T.StringType(), True) for f in out_names])
     seed_cols = [f.name for f in seed_fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -94,21 +120,26 @@ def rest_api_join(seeds: DataFrame, url_template: str, json_path: str,
             rows = []
             for rec in pdf.to_dict("records"):
                 url = url_template.format(**rec)
-                payload = _retry_fetch(fetch, url, attempts)
+                try:
+                    payload = _retry_fetch(fetch, url, attempts)
+                except Exception:
+                    if not skip_on_error:
+                        raise
+                    payload = None
                 inner = _extract(payload, json_path) if payload is not None else []
                 if not inner:
                     if fail_no_result:
                         raise RuntimeError(f"no result for {url}")
                     if skip_no_result:
                         continue  # inner-join semantics
-                    rows.append({**rec, **{f: None for f in field_names}})
+                    rows.append({**rec, **{f: None for f in out_names}})
                     continue
                 for item in inner:  # 1:N fan-out (reference :168-185)
-                    rows.append({**rec, **{f: None if item.get(f) is None
-                                           else str(item.get(f))
-                                           for f in field_names}})
-            yield pd.DataFrame(rows, columns=seed_cols + field_names) if rows \
-                else pd.DataFrame(columns=seed_cols + field_names)
+                    vals = {f: _dig_field(item, p) for f, p in fields.items()}
+                    rows.append({**rec, **{f: None if v is None else str(v)
+                                           for f, v in vals.items()}})
+            yield pd.DataFrame(rows, columns=seed_cols + out_names) if rows \
+                else pd.DataFrame(columns=seed_cols + out_names)
 
     return seeds.mapInPandas(run, out_schema)
 

@@ -55,6 +55,256 @@ def test_atlas_field_mapping_spec(spark):
     assert rows["tbl2"]["popularity"] == 0  # default applied
 
 
+def _atlas_fixture():
+    """60 entities, search_chunk_size 25 -> offsets [0, 25, 50],
+    details_chunk_size 10 -> 6 detail chunks."""
+    guids = [f"g{i:03d}" for i in range(60)]
+    details = {g: {"attributes": {"qualifiedName": f"db.t{i}@prod",
+                                  "name": f"t{i}"},
+                   "updateTime": 1000 * (i + 1)}
+               for i, g in enumerate(guids)}
+    spec = [("key", "attributes.qualifiedName", None, None),
+            ("name", "attributes.name", None, None),
+            ("cluster", "attributes.qualifiedName",
+             lambda x: x.split("@")[-1], None),
+            ("last_updated_timestamp", "updateTime",
+             lambda x: int(x) // 1000, 0)]
+    schema = ("key string, name string, cluster string, "
+              "last_updated_timestamp long")
+    return guids, details, spec, schema
+
+
+def test_atlas_search_chain_pagination_and_chunking(spark):
+    from amundsendatabuilder_spark.sources.catalog_apis import (
+        atlas_search_chain)
+    guids, details, spec, schema = _atlas_fixture()
+    page_calls = []
+
+    def guid_page(off, limit):
+        page_calls.append((off, limit))
+        return guids[off:off + limit]
+
+    def entity_details(chunk):
+        # runs on executors: assert the chunking contract in-place (a
+        # violation raises, dropping rows and failing the count below)
+        assert 0 < len(chunk) <= 10
+        return [details[g] for g in chunk]
+
+    df = atlas_search_chain(spark, lambda: 60, guid_page, entity_details,
+                            spec, schema, search_chunk_size=25,
+                            details_chunk_size=10)
+    rows = sorted(df.collect(), key=lambda r: r.key)
+    assert len(rows) == 60
+    # reference pagination: count // chunk + 1 pages, even offsets
+    assert page_calls == [(0, 25), (25, 25), (50, 25)]
+    assert rows[0].cluster == "prod"
+    assert rows[0].last_updated_timestamp == 1
+
+
+def test_atlas_search_chain_failure_isolation(spark):
+    """A failing guid page and a failing detail chunk each drop only
+    their own slice (reference logs-and-continues at both stages)."""
+    from amundsendatabuilder_spark.sources.catalog_apis import (
+        atlas_search_chain)
+    guids, details, spec, schema = _atlas_fixture()
+
+    def guid_page(off, limit):
+        if off == 25:
+            raise RuntimeError("atlas 500")
+        return guids[off:off + limit]
+
+    def entity_details(chunk):
+        if "g000" in chunk:
+            raise RuntimeError("bulk fetch failed")
+        return [details[g] for g in chunk]
+
+    df = atlas_search_chain(spark, lambda: 60, guid_page, entity_details,
+                            spec, schema, search_chunk_size=25,
+                            details_chunk_size=10)
+    keys = {r.name for r in df.collect()}
+    # page [25,50) gone, chunk g000..g009 gone -> 60 - 25 - 10 = 25 left
+    assert len(keys) == 25
+    assert "t0" not in keys and "t30" not in keys and "t50" in keys
+
+
+def test_atlas_search_chain_falsy_default_quirk_and_bad_entity(spark):
+    """The reference replaces ANY falsy value (0, '', []) with the
+    default via ``reduce(...) or default``; an entity whose transform
+    raises is skipped whole."""
+    from amundsendatabuilder_spark.sources.catalog_apis import (
+        atlas_search_chain)
+    spec = [("name", "attributes.name", None, "unnamed"),
+            ("usage", "attributes.popularityScore", lambda x: int(x), 7)]
+    schema = "name string, usage long"
+    ents = [{"attributes": {"name": "", "popularityScore": 0}},
+            {"attributes": {"name": "ok", "popularityScore": "boom"}},
+            {"attributes": {"name": "good", "popularityScore": 3}}]
+    df = atlas_search_chain(spark, lambda: 3, lambda o, l: ["a", "b", "c"],
+                            lambda chunk: ents, spec, schema,
+                            search_chunk_size=10, details_chunk_size=10)
+    rows = {r.name: r.usage for r in df.collect()}
+    # falsy '' -> 'unnamed', falsy 0 -> default 7; int('boom') skips row
+    assert rows == {"unnamed": 7, "good": 3}
+
+
+def test_atlas_search_chain_zero_count_is_empty(spark):
+    from amundsendatabuilder_spark.sources.catalog_apis import (
+        atlas_search_chain)
+    df = atlas_search_chain(spark, lambda: 0,
+                            lambda o, l: (_ for _ in ()).throw(
+                                AssertionError("no pages expected")),
+                            lambda c: [], [("k", "k", None, None)],
+                            "k string")
+    assert df.count() == 0
+
+
+def _mode_responses():
+    org = "org1"
+    return {
+        f"https://app.mode.com/api/{org}/spaces?filter=all": {
+            "_embedded": {"spaces": [
+                {"token": "sp1", "name": "Space One", "description": "d1"}]}},
+        f"https://app.mode.com/api/{org}/spaces/sp1/reports": {
+            "_embedded": {"reports": [
+                {"token": "r1", "name": "Report 1", "description": None,
+                 "created_at": "2021-02-05T10:00:00Z",
+                 "edited_at": "2021-03-01T00:00:00Z",
+                 "last_successfully_run_at": "2021-03-02T00:00:00Z",
+                 "view_count": 42,
+                 "_links": {"last_run": {"href": "/api/org1/reports/r1/runs/run9"},
+                            "creator": {"href": "/api/org1/users/u7"}}}]}},
+        f"https://app.mode.com/api/{org}/reports/r1/queries": {
+            "_embedded": {"queries": [
+                {"token": "q1", "name": "Q One",
+                 "raw_query": "SELECT 1"}]}},
+        f"https://app.mode.com/api/{org}/reports/r1/queries/q1/charts": {
+            "_embedded": {"charts": [
+                {"token": "c1", "_links": {"report_viz_web": {
+                    "href": "https://app.mode.com/org1/reports/r1/viz/c1"}}}]}},
+        "https://app.mode.com/api/org1/reports/r1/runs/run9": {
+            "state": "succeeded", "completed_at": "2021-03-02T01:00:00Z"},
+        "https://app.mode.com/api/org1/users/u7": {"email": "own@x.com"},
+        f"https://app.mode.com/api/{org}/memberships": {
+            "_embedded": {"memberships": [
+                {"member_username": "u7",
+                 "_links": {"user": {"href": "/api/org1/users/u7"}}},
+                {"member_username": "gone",
+                 "_links": {"user": {"href": "/api/org1/users/gone"}}}]}},
+    }
+
+
+def test_mode_variant_chains_cover_every_reference_class(spark):
+    from amundsendatabuilder_spark.sources.dashboards import (
+        MODE_CHAINS, mode_extract)
+    responses = _mode_responses()
+
+    def fetch(url):
+        if url.endswith("/users/gone"):
+            raise RuntimeError("404")
+        return responses[url]
+
+    assert set(MODE_CHAINS) == {
+        "mode_dashboard", "mode_dashboard_chart", "mode_dashboard_execution",
+        "mode_dashboard_last_modified",
+        "mode_dashboard_last_successful_execution", "mode_dashboard_owner",
+        "mode_dashboard_query", "mode_dashboard_usage",
+        "mode_dashboard_user"}
+
+    got = {v: mode_extract(spark, fetch, "org1", v).collect()
+           for v in MODE_CHAINS}
+    chart = got["mode_dashboard_chart"][0]
+    assert (chart.dashboard_id, chart.query_id, chart.chart_id) == \
+        ("r1", "q1", "c1")
+    assert chart.chart_url.endswith("/viz/c1")
+    ex = got["mode_dashboard_execution"][0]
+    assert (ex.execution_state, ex.execution_timestamp) == \
+        ("succeeded", "2021-03-02T01:00:00Z")
+    assert got["mode_dashboard_last_modified"][0].last_modified_timestamp \
+        == "2021-03-01T00:00:00Z"
+    assert got["mode_dashboard_last_successful_execution"][0] \
+        .execution_timestamp == "2021-03-02T00:00:00Z"
+    assert got["mode_dashboard_owner"][0].email == "own@x.com"
+    q = got["mode_dashboard_query"][0]
+    assert (q.query_name, q.query_text) == ("Q One", "SELECT 1")
+    assert got["mode_dashboard_usage"][0].accumulated_view_count == "42"
+    # user chain: failing user resource is skipped (404 handler), the
+    # healthy one survives
+    users = got["mode_dashboard_user"]
+    assert [u.email for u in users] == ["own@x.com"]
+    assert got["mode_dashboard"][0].dashboard_id == "r1"
+
+
+def test_tableau_variants_reshape_like_reference(spark):
+    from amundsendatabuilder_spark.sources.dashboards import (
+        TABLEAU_QUERIES, tableau_extract)
+    payloads = {
+        TABLEAU_QUERIES["tableau_dashboard"]: {"data": {"workbooks": [
+            {"name": "W/B's 1", "projectName": "Proj", "createdAt": "T1",
+             "description": None, "projectVizportalUrlId": "p1",
+             "vizportalUrlId": "w1"},
+            {"name": None, "projectName": "Proj",
+             "projectVizportalUrlId": "p1", "vizportalUrlId": "w2"},
+            {"name": "Skip", "projectName": "Internal",
+             "projectVizportalUrlId": "p2", "vizportalUrlId": "w3"}]}},
+        TABLEAU_QUERIES["tableau_dashboard_last_modified"]: {
+            "data": {"workbooks": [
+                {"name": "WB", "projectName": "Proj", "updatedAt": "T9",
+                 "projectVizportalUrlId": "p1", "vizportalUrlId": "w1"}]}},
+        TABLEAU_QUERIES["tableau_dashboard_query"]: {
+            "data": {"customSQLTables": [
+                {"id": "q1", "name": "Custom", "query": "SELECT 2",
+                 "downstreamWorkbooks": [
+                     {"name": "WB", "projectName": "Proj"},
+                     {"name": "X", "projectName": "Internal"}]}]}},
+        TABLEAU_QUERIES["tableau_dashboard_table"]: {
+            "data": {"workbooks": [
+                {"name": "WB", "projectName": "Proj", "upstreamTables": [
+                    {"name": "real_schema.real_table", "schema": "wrong",
+                     "database": {"name": "db", "connectionType": "hive"}},
+                    {"name": "Sheet 1", "schema": "",
+                     "database": {"name": "My Sheet (v2)",
+                                  "connectionType": "google-sheets"}}]}]}},
+        TABLEAU_QUERIES["tableau_external_table"]: {
+            "data": {"databases": [
+                {"name": "Growth & Region", "connectionType": "google-sheets",
+                 "description": "gs", "tables": [{"name": "FY19 Report"}]},
+                {"name": "data.csv", "connectionType": "textfile",
+                 "description": "csv", "tables": []}]}},
+    }
+
+    def post(q):
+        return payloads[q]
+
+    d = tableau_extract(spark, post, "tableau_dashboard",
+                        base_url="https://tab", site_name="main",
+                        excluded_projects=["Internal"]).collect()
+    # permission-null and excluded-project workbooks are dropped; the
+    # quote/slash sanitization applies to the workbook name
+    assert len(d) == 1 and d[0].dashboard_name == "WBs 1"
+    assert d[0].dashboard_url == "https://tab/#/site/main/workbooks/w1/views"
+
+    lm = tableau_extract(spark, post,
+                         "tableau_dashboard_last_modified").collect()
+    assert lm[0].last_modified_timestamp == "T9"
+
+    q = tableau_extract(spark, post, "tableau_dashboard_query",
+                        excluded_projects=["Internal"]).collect()
+    assert len(q) == 1 and q[0].query_text == "SELECT 2"
+
+    t = tableau_extract(spark, post, "tableau_dashboard_table",
+                        database="hive").collect()
+    # inner-schema correction + external google-sheets table id
+    assert t[0].table_ids == [
+        "hive://gold.real_schema/real_table",
+        "googlesheets://external.My_Sheet_v2/Sheet 1"]
+
+    ext = tableau_extract(spark, post, "tableau_external_table").collect()
+    by_name = {r.name: r for r in ext}
+    assert by_name["FY19 Report"].schema == "Growth__Region"
+    assert by_name["data.csv"].database == "textfile"
+    assert by_name["data.csv"].schema == "external"
+
+
 def test_mode_dashboard_chain(spark):
     from amundsendatabuilder_spark.sources.dashboards import mode_dashboard_chain
     responses = {
