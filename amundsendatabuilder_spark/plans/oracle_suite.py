@@ -2269,6 +2269,41 @@ def graph_match_hop_predicate(spark, sf_dir):
         F.col("n2_key").alias("badge"))
 
 
+@query("graph_match_mixed_direction", """
+WITH t AS (
+  SELECT 'tpch://gold.s' || CAST(s_nationkey AS VARCHAR) || '/' || s_name
+             AS table_key
+  FROM supplier),
+cols AS (SELECT table_key, 'c1' AS col_name FROM t
+         UNION ALL SELECT table_key, 'c2' FROM t)
+SELECT c.col_name AS start_col, c.table_key,
+       'c1' AS low_sort_col
+FROM cols c
+ORDER BY table_key, start_col
+""")
+def graph_match_mixed_direction(spark, sf_dir):
+    """Mixed-direction pattern with an inequality hop predicate —
+    Cypher's MATCH (c:Column)<-[:COLUMN]-(t:Table)-[:COLUMN]->(s:Column)
+    WHERE s.sort_order < 2 (the remaining generality gap of the
+    reference's arbitrary-Cypher Neo4jExtractor,
+    extractor/neo4j_extractor.py:79-113): hop 1 traverses the COLUMN
+    relationship AGAINST its direction ("in"), hop 2 forward with a
+    numeric < predicate on the string-typed sort_order prop. Every
+    column reaches its table and the table's sort_order-1 column, so
+    the oracle enumerates (c1,t,c1) and (c2,t,c1) per supplier table."""
+    from amundsendatabuilder_spark.sources.graph import match_path
+    out = _badge_graph(spark, sf_dir)
+    paths = match_path(
+        out.nodes, out.rels, start_label="Column",
+        hops=[("COLUMN", "Table", None, "in"),
+              ("COLUMN", "Column", {"sort_order": ("<", 2)}, "out")])
+    return (paths.select(
+        F.col("n0_props").getItem("name").alias("start_col"),
+        F.col("n1_key").alias("table_key"),
+        F.col("n2_props").getItem("name").alias("low_sort_col"))
+        .orderBy("table_key", "start_col"))
+
+
 @query("graph_match_varlen", """
 WITH t AS (
   SELECT 'tpch://gold.s' || CAST(s_nationkey AS VARCHAR) || '/' || s_name AS table_key,

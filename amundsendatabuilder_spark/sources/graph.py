@@ -48,6 +48,24 @@ def read_staged_graph(spark: SparkSession, staged_dir: str) -> GraphOutput:
     return GraphOutput(nodes, rels)
 
 
+def _prop_condition(props_col, key: str, spec):
+    """One property predicate: a scalar means equality; a ('op', value)
+    tuple is Cypher's inequality surface (n.prop < v etc.). Numeric
+    comparison values cast the (string-typed) prop to double so
+    '10' > '9' compares numerically, as Cypher would."""
+    c = props_col.getItem(key)
+    if not isinstance(spec, tuple):
+        return c == spec
+    op, val = spec
+    if isinstance(val, (int, float)) and not isinstance(val, bool):
+        c = c.cast("double")
+    ops = {"<": c < val, "<=": c <= val, ">": c > val, ">=": c >= val,
+           "!=": c != val, "=": c == val}
+    if op not in ops:
+        raise ValueError(f"unknown predicate op: {op!r}")
+    return ops[op]
+
+
 def match_path(nodes: DataFrame, rels: DataFrame, *,
                start_label: str, hops: list[tuple],
                optional: bool = False,
@@ -60,6 +78,14 @@ def match_path(nodes: DataFrame, rels: DataFrame, *,
     property predicate — ``("COLUMN", "Column", {"name": "c1"})`` is
     Cypher's ``(n1:Column {name: 'c1'})`` — applied to the hop's node set
     BEFORE the join, so it prunes the scan exactly like the label filter.
+    Predicate values may be ``("op", value)`` tuples for Cypher's WHERE
+    inequalities (op in < <= > >= != =; numeric values compare
+    numerically), and a fourth hop element gives the direction:
+    ``("COLUMN", "Table", None, "in")`` is ``(prev)<-[:COLUMN]-(n:Table)``
+    — the reverse traversal — so mixed-direction patterns like
+    ``(c:Column)<-[:COLUMN]-(t:Table)-[:COLUMN]->(c2:Column)`` compose
+    hop by hop (the arbitrary-Cypher generality of the reference's
+    Neo4jExtractor, extractor/neo4j_extractor.py:79-113).
 
     Returns (n0_key, n0_props) then per hop i≥1: (r{i}_props, n{i}_key,
     n{i}_props). ``optional=True`` left-joins every hop, so partial paths
@@ -75,18 +101,29 @@ def match_path(nodes: DataFrame, rels: DataFrame, *,
     for i, hop in enumerate(hops, start=1):
         rel_type, node_label, *rest = hop
         node_pred: dict | None = rest[0] if rest else None
+        direction: str = rest[1] if len(rest) > 1 else "out"
+        assert direction in ("out", "in"), direction
+        # "out": (prev)-[:T]->(n) stores prev as START; "in":
+        # (prev)<-[:T]-(n) stores n as START — swap which rel key joins
+        # the accumulated path and which lands the new node
+        if direction == "out":
+            from_label, to_label = prev_label, node_label
+            join_key, node_key = "START_KEY", "END_KEY"
+        else:
+            from_label, to_label = node_label, prev_label
+            join_key, node_key = "END_KEY", "START_KEY"
         r = rels.where((F.col("TYPE") == rel_type)
-                       & (F.col("START_LABEL") == prev_label)
-                       & (F.col("END_LABEL") == node_label))
+                       & (F.col("START_LABEL") == from_label)
+                       & (F.col("END_LABEL") == to_label))
         if publish_tag is not None:
             r = r.where(F.col("props").getItem("published_tag") == publish_tag)
-        r = r.select(F.col("START_KEY").alias(f"_start{i}"),
-                     F.col("END_KEY").alias(f"_end{i}"),
+        r = r.select(F.col(join_key).alias(f"_start{i}"),
+                     F.col(node_key).alias(f"_end{i}"),
                      F.col("props").alias(f"r{i}_props"))
         n = nodes.where(F.col("LABEL") == node_label)
         if node_pred:
             for k, v in node_pred.items():
-                n = n.where(F.col("props").getItem(k) == v)
+                n = n.where(_prop_condition(F.col("props"), k, v))
         n = n.select(F.col("KEY").alias(f"n{i}_key"),
                      F.col("props").alias(f"n{i}_props"))
         out = (out.join(r, out[f"n{i - 1}_key"] == r[f"_start{i}"], how)

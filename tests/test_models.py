@@ -82,6 +82,42 @@ def test_match_path_two_hop_and_optional(tables_df):
     assert any(r.n2_key is None for r in opt)
 
 
+def test_match_path_mixed_direction_and_inequality(tables_df):
+    """(c:Column)<-[:COLUMN]-(t:Table)-[:COLUMN]->(s) WHERE
+    s.sort_order > 1: the 'in' hop traverses COLUMN against its stored
+    direction; the numeric '>' predicate compares the string prop
+    numerically."""
+    from amundsendatabuilder_spark.models.table_metadata import expand_tables
+    from amundsendatabuilder_spark.sources.graph import match_path
+    out = expand_tables(tables_df)
+    got = match_path(
+        out.nodes, out.rels, start_label="Column",
+        hops=[("COLUMN", "Table", None, "in"),
+              ("COLUMN", "Column", {"sort_order": (">", 1)}, "out")]
+    ).collect()
+    # table1 has col1 (sort 1) + col2 (sort 2): both columns reach the
+    # table, only col2 qualifies as the end node; table2's single colA
+    # (sort 1) yields nothing
+    ends = {(r.n0_props["name"], r.n2_props["name"]) for r in got}
+    assert ends == {("col1", "col2"), ("col2", "col2")}
+    assert all(r.n1_key.endswith("test_table1") for r in got)
+
+
+def test_match_path_string_inequality_and_bad_op(tables_df):
+    from amundsendatabuilder_spark.models.table_metadata import expand_tables
+    from amundsendatabuilder_spark.sources.graph import match_path
+    import pytest
+    out = expand_tables(tables_df)
+    # string != predicate on the first hop's node set
+    got = match_path(out.nodes, out.rels, start_label="Table",
+                     hops=[("COLUMN", "Column", {"name": ("!=", "col1")})]
+                     ).collect()
+    assert {r.n1_props["name"] for r in got} == {"col2", "colA"}
+    with pytest.raises(ValueError, match="unknown predicate op"):
+        match_path(out.nodes, out.rels, start_label="Table",
+                   hops=[("COLUMN", "Column", {"name": ("~", "x")})])
+
+
 def test_graph_validation(tables_df):
     from amundsendatabuilder_spark.models.base import validate_graph
     from amundsendatabuilder_spark.models.table_metadata import expand_tables
