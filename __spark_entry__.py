@@ -18,46 +18,32 @@ sys.path.insert(0, "/root/repo")
 
 from amundsendatabuilder_spark.plans.oracle_suite import ORACLES, QUERIES  # noqa: E402
 
-# Dict iteration order = presentation order. Round-6 rotates the driver's
-# 50-query sample window for evidence freshness (VERDICT r5 item #1): the
-# 59 queries whose last driver certification is rounds 1-4 are front-loaded
-# oldest-first, after (a) the queries that are new this round and (b) the
-# r5-certified queries whose implementation changed this round (plan
-# rewrites / codec policy), which need re-certification against current
-# code. Overlap with the r5 sample window is the 6 changed-impl entries
-# (< 10, per the rotation criterion); everything r5-certified and unchanged
-# follows in registration order. Names not yet registered are skipped by
+# Dict iteration order = presentation order. Round-7 rotates the driver's
+# 50-query sample window for evidence freshness (VERDICT r6 item #4):
+# (a) the four round-6 hash-fails (oracle dtype artifacts, now CAST to
+# BIGINT) plus every query whose oracle or plan changed this round —
+# these need re-certification against current code; (b) the queries new
+# this round; (c) the stale round-1/2/4-certified cohort, oldest first
+# (all green in the local 152-query dtype-aware gate this round).
+# Overlap with the r6 window is the 7 re-certification entries (< 10,
+# per the rotation criterion). Names not yet registered are skipped by
 # ``_ordered``.
 _PRIORITY = [
-    # (a) new round-6 queries (certify on first driver run)
-    "stream_attribution_outer", "multimodal_png_features",
-    "graph_shortest_path", "multimodal_jpeg_features",
-    "hll_distinct_sketch", "ann_pq_adc_topk",
-    "stream_windowed_distinct", "multimodal_gif_frames",
-    "graph_path_rel_props", "cms_heavy_hitters",
-    "bloom_decontam_membership", "duplicate_substring_spans",
-    "graph_pagerank", "triangle_cooccurrence", "funnel_stages",
-    "stream_windowed_heavy_hitters", "jaccard_prefix_join",
-    "inverted_index_postings", "zorder_layout_stats", "scd2_intervals",
-    "linear_touch_credit", "bloom_prejoin_reduction",
-    "densify_daily", "rolling_trailing_sum", "bigram_pmi_topk",
-    "multimodal_spectral_peak", "decayed_popularity",
-    "stratified_fixed_k", "burst_windows", "mixture_epochs",
-    "interval_overlap_join", "containment_join", "journey_trigrams",
-    "active_users_rollup", "cumulative_active_users",
-    "joinability_discovery", "k_anonymity_audit", "ri_violations", "lineage_asof_diff",
-    "numeric_corr_matrix", "class_keywords",
-    "markov_transitions_ppm", "session_bounce_rate",
-    # (b) r5-certified but implementation changed in round 6 (6 — the
-    # only overlap with the r5 window)
-    "graph_match_varlen", "langid_nb", "ann_rhp_topk",
-    "multimodal_audio_chunks", "dedup_simhash_hamming",
-    "dedup_simhash64_hamming",
+    # (a) round-6 hash-fails with oracle dtype fixed, + oracle/plan
+    # changes this round (sessionize/resize oracle dtypes, decay shift
+    # base, corr decimal-centered moments, kmeans keep_vec plan,
+    # lineage broadcast anti-join)
+    "graph_pagerank", "interval_overlap_join", "markov_transitions_ppm",
+    "session_bounce_rate", "sessionize_batch", "multimodal_resize",
+    "decayed_popularity", "numeric_corr_matrix", "kmeans_centroids",
+    "lineage_asof_diff",
+    # (b) new round-7 queries (certify on first driver run)
+    "jaccard_prefix_join_capped", "containment_join_capped",
+    "similarity_cap_report", "graph_match_mixed_direction",
     # (c) stale queries, oldest driver certification first: round 1
-    "scan_filter_project", "lang_id", "quality_metrics",
-    "doc_fingerprint", "embedding_norms", "char_ngram_profile",
-    "pii_scrub", "repetition_metrics", "hash_sample_stratified",
-    "vocab_topk", "corpus_length_stats",
+    "lang_id", "quality_metrics", "doc_fingerprint", "embedding_norms",
+    "char_ngram_profile", "pii_scrub", "repetition_metrics",
+    "hash_sample_stratified", "vocab_topk", "corpus_length_stats",
     # round 2
     "epoch_transform", "literal_replace_transform",
     "template_substitution", "tag_normalize_explode",
@@ -69,11 +55,11 @@ _PRIORITY = [
     "graph_expand_tables", "dedup_clusters",
     "decontam_benchmark_overlap", "quality_quantile_filter",
     "mixture_rates", "token_shard_packing",
-    # round 4 (oldest of the rest; fills the 50-slot window)
-    "dedup_ngram_jaccard_capped", "publish_diff", "skew_salted_join",
-    "skew_salted_collect", "embedding_label_centroids",
-    "pivot_status_by_priority", "search_doc_table_built",
+    # round 4 (fills the 50-slot window)
+    "dedup_ngram_jaccard_capped", "publish_diff",
     # remaining round-4 stale — next in line beyond the 50-slot window
+    "skew_salted_join", "skew_salted_collect", "embedding_label_centroids",
+    "pivot_status_by_priority", "search_doc_table_built",
     "graph_match_pattern", "graph_match_2hop", "column_profile",
     "stat_aggregates", "cohort_retention", "sliding_window_counts",
     "multimodal_frame_plan", "incremental_ingest_anti_join",
