@@ -97,6 +97,13 @@ EXTENDED = [
     "class_keywords",
     "markov_transitions_ppm",
     "session_bounce_rate",
+    # round-7: the capped production forms of the exact similarity joins
+    # (collapse + token-DF cap + top-25 partners), their no-silent-caps
+    # audit, and the mixed-direction graph pattern
+    "jaccard_prefix_join_capped",
+    "containment_join_capped",
+    "similarity_cap_report",
+    "graph_match_mixed_direction",
 ]
 
 

@@ -305,6 +305,28 @@ def test_tableau_variants_reshape_like_reference(spark):
     assert by_name["data.csv"].schema == "external"
 
 
+def test_redash_dashboards(spark):
+    from amundsendatabuilder_spark.sources.dashboards import (
+        redash_dashboards)
+    # the injected transport unwraps redash's {"results": [...]} envelope
+    # — paginated_fetch consumes bare record lists and stops on the
+    # first partial page
+    pages = {
+        "https://redash.example/api/dashboards?page=1": [
+            {"id": 7, "name": "Sales",
+             "created_at": "2021-01-01T00:00:00"}],
+    }
+
+    def fetch(url):
+        return pages.get(url, [])
+
+    rows = redash_dashboards(spark, fetch, "https://redash.example").collect()
+    assert len(rows) == 1
+    assert rows[0].dashboard_id == "7"
+    assert rows[0].dashboard_name == "Sales"
+    assert rows[0].created_timestamp == 1609459200
+
+
 def test_mode_dashboard_chain(spark):
     from amundsendatabuilder_spark.sources.dashboards import mode_dashboard_chain
     responses = {
