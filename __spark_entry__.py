@@ -40,6 +40,7 @@ _PRIORITY = [
     # (b) new round-7 queries (certify on first driver run)
     "jaccard_prefix_join_capped", "containment_join_capped",
     "similarity_cap_report", "graph_match_mixed_direction",
+    "budget_selection", "content_defined_chunks", "dedup_quality_winner",
     # (c) stale queries, oldest driver certification first: round 1
     "lang_id", "quality_metrics", "doc_fingerprint", "embedding_norms",
     "char_ngram_profile", "pii_scrub", "repetition_metrics",
@@ -54,10 +55,9 @@ _PRIORITY = [
     "top_customer_per_segment", "rollup_orders", "revenue_share",
     "graph_expand_tables", "dedup_clusters",
     "decontam_benchmark_overlap", "quality_quantile_filter",
-    "mixture_rates", "token_shard_packing",
-    # round 4 (fills the 50-slot window)
-    "dedup_ngram_jaccard_capped", "publish_diff",
-    # remaining round-4 stale — next in line beyond the 50-slot window
+    "mixture_rates",
+    # round-2/4 stale — next in line beyond the 50-slot window
+    "token_shard_packing", "dedup_ngram_jaccard_capped", "publish_diff",
     "skew_salted_join", "skew_salted_collect", "embedding_label_centroids",
     "pivot_status_by_priority", "search_doc_table_built",
     "graph_match_pattern", "graph_match_2hop", "column_profile",

@@ -691,6 +691,43 @@ def duplicate_spans(docs: DataFrame, gram_len: int = 20, stride: int = 1,
             .drop("isl"))
 
 
+def quality_winner_clusters(docs: DataFrame, threshold: float = 0.7,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Near-dup clusters with the KEEPER chosen by quality, not id —
+    the selection policy a production dedup actually wants: among the
+    members of each duplicate group, keep the highest-quality document
+    (functions/text.quality_score; ties broken by doc_id) rather than
+    an arbitrary min-id survivor. Composition: lsh_verified_pairs ->
+    adaptive connected components -> per-component quality argmax.
+    Returns (component, winner, winner_quality, n_docs); `component`
+    stays the min-id label so outputs join against dedup_clusters.
+
+    The argmax is one window over the COMPONENT MEMBERS (the pair
+    graph's nodes — tiny relative to the corpus), and the quality join
+    touches only those members, so the added cost rides on the pair
+    set, not |docs|."""
+    from pyspark.sql import Window
+    from amundsendatabuilder_spark.functions.text import quality_score
+    from amundsendatabuilder_spark.operators.graph_algo import (
+        connected_components)
+    pairs = lsh_verified_pairs(docs, id_col=id_col, text_col=text_col,
+                               threshold=threshold)
+    comps = connected_components(pairs, src_col="doc_a", dst_col="doc_b")
+    q = docs.select(F.col(id_col).alias("node"),
+                    quality_score(F.col(text_col)).alias("q"))
+    members = comps.join(q, "node")
+    w = Window.partitionBy("component").orderBy(F.desc("q"), F.asc("node"))
+    return (members
+            .withColumn("_rk", F.row_number().over(w))
+            .withColumn("n_docs", F.count(F.lit(1)).over(
+                Window.partitionBy("component")))
+            .where(F.col("_rk") == 1)
+            .select(F.col("component"), F.col("node").alias("winner"),
+                    F.col("q").alias("winner_quality"),
+                    F.col("n_docs").cast("long").alias("n_docs")))
+
+
 def collapse_exact_texts(docs: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text") -> DataFrame:
     """Collapse byte-identical texts to their min-id representative.

@@ -409,6 +409,84 @@ def pack_shards(docs: DataFrame, budget_tokens: int = 20_000,
         F.floor((cum - F.col("n_tokens")) / budget_tokens).cast("long"))
 
 
+def budget_selection(docs: DataFrame, budget_tokens: int,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Select the best documents that fit a global token budget — the
+    data-selection step of a training run ("take the highest-quality
+    ~N-token subset"): docs ordered by (quality desc, doc_id), kept
+    while the running token total stays within ``budget_tokens``.
+    Returns (doc_id, n_tokens, quality, cum_tokens) for the selected
+    set.
+
+    The global prefix sum is DISTRIBUTED, not a single-partition window:
+    quality has exactly 4 decimals, so ``round(quality*10000)`` is an
+    exact integer band; per-band token totals (≤10⁴ rows) take a tiny
+    driver-side window to become per-band offsets, broadcast back, and
+    each band computes its own (doc_id-ordered) cumulative sum in
+    parallel — offset + intra-band sum == the global (quality desc,
+    doc_id) running total. The same two-phase prefix-sum shape holds at
+    any corpus size; only the band table (bounded by the score's
+    resolution, not the corpus) ever converges to one place."""
+    scored = docs.select(
+        F.col(id_col),
+        token_count_ws(F.col(text_col)).alias("n_tokens"),
+        quality_score(F.col(text_col)).alias("quality"),
+        F.round(quality_score(F.col(text_col)) * 10000)
+        .cast("long").alias("_band"))
+    band_tot = scored.groupBy("_band").agg(
+        F.sum("n_tokens").alias("_bt"))
+    w_off = (Window.orderBy(F.desc("_band"))
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = band_tot.select(
+        "_band", F.coalesce(F.sum("_bt").over(w_off), F.lit(0))
+        .alias("_band_offset"))
+    w_in = (Window.partitionBy("_band").orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (scored.join(F.broadcast(offsets), "_band")
+            .withColumn("cum_tokens",
+                        (F.sum("n_tokens").over(w_in)
+                         + F.col("_band_offset")).cast("long"))
+            .where(F.col("cum_tokens") <= budget_tokens)
+            .select(id_col, "n_tokens", "quality", "cum_tokens"))
+
+
+def content_defined_chunks(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           boundary_hex: str = "0") -> DataFrame:
+    """Content-defined chunking: a chunk boundary opens BEFORE token i
+    whenever md5(token_{i-1} + ' ' + token_i) starts with
+    ``boundary_hex`` (1/16 probability per position → ~16-token mean
+    chunks). Unlike fixed-width ``chunk_documents``, boundaries depend
+    only on local content, so an insertion near the head of a document
+    shifts ONE chunk instead of re-cutting every downstream chunk — the
+    property that makes chunk-level dedup stable across corpus versions
+    (the rolling-hash cut rule of CDC storage systems, applied to token
+    streams). Returns (doc_id, chunk_idx, n_tokens, chunk_md5).
+
+    One shuffle, partitioned by document (the natural unit): posexplode
+    -> per-doc lag + running boundary count -> per-chunk re-agg with a
+    position-sorted join hash."""
+    t = docs.select(F.col(id_col),
+                    F.posexplode(tokens(F.lower(F.col(text_col))))
+                    .alias("pos", "tok"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    boundary = F.when(
+        (F.col("pos") > 0)
+        & (F.substring(F.md5(F.concat_ws(" ", F.lag("tok").over(w),
+                                         F.col("tok"))), 1, 1)
+           == boundary_hex), F.lit(1)).otherwise(F.lit(0))
+    cut = t.withColumn("_b", boundary)
+    chunk = F.sum("_b").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (cut.withColumn("chunk_idx", chunk.cast("int"))
+            .groupBy(id_col, "chunk_idx")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.md5(F.concat_ws(" ", F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                     lambda s: s["tok"]))).alias("chunk_md5")))
+
+
 def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
                     overlap_tokens: int = 16, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:

@@ -5402,3 +5402,121 @@ def session_bounce_rate(spark, sf_dir):
         F.expr("sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) "
                "* 1000000 DIV count(*)").alias("bounce_ppm"),
         F.max("n_events").alias("max_session_events"))
+
+
+# ---------------------------------------------------------------------------
+# Round 7: corpus-selection + chunking + cluster-keeper policies
+# ---------------------------------------------------------------------------
+
+_QUALITY_CTE = r"""
+qt AS (SELECT doc_id, text, """ + _TOKS_SQL + r""" AS toks FROM documents),
+qm AS (SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(text)
+                        - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g'))
+                   AS DOUBLE) / length(text) ELSE 0.0 END AS praw,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS diversity
+       FROM qt),
+q AS (SELECT doc_id, n_tokens,
+             round(least(n_tokens / 100.0, 1.0) * 0.4 + diversity * 0.4
+                   + (1 - praw) * 0.2, 4) AS quality
+      FROM qm)"""
+
+
+@query("budget_selection", r"""
+WITH """ + _QUALITY_CTE + r""",
+c AS (SELECT doc_id, n_tokens, quality,
+             CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS cum_tokens
+      FROM q)
+SELECT doc_id, n_tokens, quality, cum_tokens
+FROM c WHERE cum_tokens <= 8000 ORDER BY doc_id
+""")
+def budget_selection_query(spark, sf_dir):
+    """Token-budget corpus selection (textops.budget_selection): the
+    highest-quality documents whose running token total fits an 8k
+    budget, ordered (quality desc, doc_id). The Spark plan computes the
+    global prefix sum DISTRIBUTED — quality is exactly 4dp, so integer
+    quality bands partition the cumsum: per-band totals (≤10^4 rows)
+    window into offsets, broadcast back, bands cumsum in parallel. The
+    oracle is the naive single-window cumulative sum — a hash match
+    proves the banded decomposition equals the global running total."""
+    from amundsendatabuilder_spark.operators.textops import budget_selection
+    (docs,) = _t(spark, sf_dir, "documents")
+    return budget_selection(docs, budget_tokens=8000).orderBy("doc_id")
+
+
+@query("content_defined_chunks", r"""
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS tok,
+             unnest(range(0, len(toks))) AS pos
+      FROM t),
+b AS (SELECT doc_id, tok, pos,
+             CASE WHEN pos > 0
+                   AND substr(md5(lag(tok) OVER w || ' ' || tok), 1, 1) = '0'
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+c AS (SELECT doc_id, tok, pos,
+             CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS INT)
+                 AS chunk_idx
+      FROM b)
+SELECT doc_id, chunk_idx, CAST(count(*) AS BIGINT) AS n_tokens,
+       md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+FROM c GROUP BY doc_id, chunk_idx ORDER BY doc_id, chunk_idx
+""")
+def content_defined_chunks_query(spark, sf_dir):
+    """Content-defined chunking (textops.content_defined_chunks): chunk
+    boundaries cut where md5(prev_token + ' ' + token) starts with '0'
+    (1/16 per position, ~16-token mean chunks) — boundaries depend only
+    on local content, so edits shift ONE chunk instead of re-cutting
+    the tail, which is what makes chunk-level dedup stable across
+    corpus versions. The oracle replays the rolling cut rule with
+    window functions; the hash pins both the boundary rule and the
+    position-ordered chunk digests."""
+    from amundsendatabuilder_spark.operators.textops import (
+        content_defined_chunks)
+    (docs,) = _t(spark, sf_dir, "documents")
+    return content_defined_chunks(docs).orderBy("doc_id", "chunk_idx")
+
+
+@query("dedup_quality_winner", f"""
+WITH RECURSIVE pairs AS ({_lsh_verified_sql()}),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach AS (SELECT a, b FROM sym
+          UNION
+          SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b
+          WHERE s.b <> r.a),
+comp AS (SELECT a AS node, least(a, min(b)) AS component
+         FROM reach GROUP BY a),
+""" + _QUALITY_CTE + """,
+ranked AS (SELECT c.component, c.node, q.quality,
+                  row_number() OVER (PARTITION BY c.component
+                                     ORDER BY q.quality DESC, c.node)
+                      AS rk,
+                  count(*) OVER (PARTITION BY c.component) AS n_docs
+           FROM comp c JOIN q ON q.doc_id = c.node)
+SELECT component, node AS winner, quality AS winner_quality,
+       CAST(n_docs AS BIGINT) AS n_docs
+FROM ranked WHERE rk = 1 ORDER BY component
+""")
+def dedup_quality_winner(spark, sf_dir):
+    """Quality-keeper dedup clusters (dedup.quality_winner_clusters):
+    the same LSH-verified near-dup groups as dedup_clusters, but each
+    group's survivor is its highest-quality member (quality_score,
+    doc_id tie-break) instead of the arbitrary min id — the keeper
+    policy a production dedup actually ships. Oracle = recursive-CTE
+    closure over the replayed verified pairs joined to the replayed
+    quality scores, argmax per component."""
+    from amundsendatabuilder_spark.operators.dedup import (
+        quality_winner_clusters)
+    (docs,) = _t(spark, sf_dir, "documents")
+    return quality_winner_clusters(docs, threshold=0.7).orderBy("component")

@@ -104,6 +104,9 @@ EXTENDED = [
     "containment_join_capped",
     "similarity_cap_report",
     "graph_match_mixed_direction",
+    "budget_selection",
+    "content_defined_chunks",
+    "dedup_quality_winner",
 ]
 
 

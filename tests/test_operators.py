@@ -1636,6 +1636,76 @@ def test_numeric_corr_matrix_known_values(spark):
     assert got[("y", "z")] == -1.0
 
 
+def test_budget_selection_greedy_quality_order(spark):
+    """Docs enter by quality desc (doc_id tie-break) until the running
+    token total exceeds the budget; the banded distributed prefix sum
+    must equal the naive global one."""
+    from amundsendatabuilder_spark.operators.textops import budget_selection
+    rows = [
+        (1, "alpha beta gamma delta " * 10),       # 40 tokens, diverse-ish
+        (2, "a a a a a a a a a a " * 4),           # low diversity
+        (3, "one two three four five six " * 8),   # 48 tokens
+        (4, "x " * 200),                           # long but low quality
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           budget_selection(docs, budget_tokens=10**9).collect()}
+    # unlimited budget: everything selected, cum_tokens strictly follows
+    # (quality desc, doc_id) order
+    order = sorted(got.values(), key=lambda r: r.cum_tokens)
+    qualities = [r.quality for r in order]
+    assert qualities == sorted(qualities, reverse=True) or all(
+        (a > b) or (a == b) for a, b in zip(qualities, qualities[1:]))
+    running = 0
+    for r in order:
+        running += r.n_tokens
+        assert r.cum_tokens == running
+    # tight budget: only the best doc fits
+    best = order[0].doc_id
+    small = budget_selection(docs, budget_tokens=order[0].n_tokens).collect()
+    assert [r.doc_id for r in small] == [best]
+
+
+def test_content_defined_chunks_stable_under_prefix_edit(spark):
+    """The CDC property: prepending tokens to a doc re-cuts only the
+    chunks up to the first shared boundary — the tail chunks keep their
+    digests (fixed-width chunking would shift every one)."""
+    from amundsendatabuilder_spark.operators.textops import (
+        content_defined_chunks)
+    text = " ".join(f"w{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "zz yy " + text)], "doc_id long, text string")
+    out = content_defined_chunks(docs).collect()
+    d1 = {r.chunk_md5 for r in out if r.doc_id == 1}
+    d2 = {r.chunk_md5 for r in out if r.doc_id == 2}
+    shared = d1 & d2
+    # all but the head chunk(s) survive the prefix edit
+    assert len(shared) >= len(d1) - 2 and len(shared) > 0
+    # chunks tile the token stream exactly
+    n1 = sum(r.n_tokens for r in out if r.doc_id == 1)
+    assert n1 == 200
+
+
+def test_quality_winner_clusters_picks_best_not_min(spark):
+    from amundsendatabuilder_spark.operators.dedup import (
+        quality_winner_clusters)
+    # docs 1..3 are near-identical (one cluster); doc 3 has the most
+    # diverse (highest-quality) text yet the highest id — it must win
+    # while the component label stays the min id
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    docs = spark.createDataFrame(
+        [(1, base + "alpha alpha alpha alpha"),
+         (2, base + "beta beta beta beta"),
+         (3, base + "lambda lambda lambda lambda"),  # 1 extra distinct tok
+         (9, "totally different text with nothing shared here at all")],
+        "doc_id long, text string")
+    got = quality_winner_clusters(docs, threshold=0.5).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert row.component == 1 and row.n_docs == 3
+    assert row.winner == 3  # diversity bonus beats lower ids
+
+
 def test_numeric_corr_matrix_no_long_overflow(spark):
     """Values past the |v*scale| ~ 3.03e9 long-product ceiling must still
     produce exact correlations: the products multiply decimal factors, so
