@@ -432,8 +432,8 @@ def budget_selection(docs: DataFrame, budget_tokens: int,
         F.col(id_col),
         token_count_ws(F.col(text_col)).alias("n_tokens"),
         quality_score(F.col(text_col)).alias("quality"),
-        F.round(quality_score(F.col(text_col)) * 10000)
-        .cast("long").alias("_band"))
+    ).withColumn("_band",
+                 F.round(F.col("quality") * 10000).cast("long"))
     band_tot = scored.groupBy("_band").agg(
         F.sum("n_tokens").alias("_bt"))
     w_off = (Window.orderBy(F.desc("_band"))

@@ -71,6 +71,8 @@ SUITE = [
     # sf0.01 (jaccard_prefix_join_capped / containment_join_capped).
     "jaccard_prefix_join_capped", "containment_join_capped",
     "similarity_cap_report",
+    # round-7 corpus-curation wave
+    "budget_selection", "content_defined_chunks", "dedup_quality_winner",
     "graph_pagerank", "triangle_cooccurrence", "funnel_stages",
     "stream_windowed_heavy_hitters",
     "inverted_index_postings", "zorder_layout_stats",
