@@ -5520,3 +5520,60 @@ def dedup_quality_winner(spark, sf_dir):
         quality_winner_clusters)
     (docs,) = _t(spark, sf_dir, "documents")
     return quality_winner_clusters(docs, threshold=0.7).orderBy("component")
+
+
+@query("cdc_chunk_dedup_rate", r"""
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS tok,
+             unnest(range(0, len(toks))) AS pos
+      FROM t),
+b AS (SELECT doc_id, tok, pos,
+             CASE WHEN pos > 0
+                   AND substr(md5(lag(tok) OVER w || ' ' || tok), 1, 1) = '0'
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+c AS (SELECT doc_id, tok, pos,
+             CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS INT)
+                 AS chunk_idx
+      FROM b),
+ch AS (SELECT doc_id, chunk_idx,
+              md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+       FROM c GROUP BY doc_id, chunk_idx),
+freq AS (SELECT chunk_md5, count(*) AS n FROM ch GROUP BY chunk_md5),
+j AS (SELECT d.source, ch.chunk_md5, f.n
+      FROM ch JOIN documents d USING (doc_id) JOIN freq f USING (chunk_md5))
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(*) FILTER (WHERE n > 1) AS BIGINT) AS dup_chunks,
+       CAST(count(*) FILTER (WHERE n > 1) * 1000000 // count(*) AS BIGINT)
+           AS dup_ppm
+FROM j GROUP BY source ORDER BY source
+""")
+def cdc_chunk_dedup_rate(spark, sf_dir):
+    """Chunk-granularity duplication audit per source — what fraction of
+    each source's CONTENT-DEFINED chunks also appear elsewhere in the
+    corpus (exact chunk-hash collision, the statistic CDC chunking
+    exists to make stable across corpus versions). Composition:
+    content_defined_chunks -> corpus-wide chunk-hash frequencies ->
+    per-source duplicated-chunk ppm, all exact integer arithmetic.
+    The doc->source join and the frequency join both ride on the chunk
+    table (rows ~ tokens/16), never the raw text."""
+    from amundsendatabuilder_spark.operators.textops import (
+        content_defined_chunks)
+    (docs,) = _t(spark, sf_dir, "documents")
+    chunks = content_defined_chunks(docs).select("doc_id", "chunk_md5")
+    freq = (chunks.groupBy("chunk_md5")
+            .agg(F.count(F.lit(1)).alias("n")))
+    src = docs.select("doc_id", "source")
+    j = chunks.join(freq, "chunk_md5").join(src, "doc_id")
+    dup = F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+    return (j.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 dup.alias("dup_chunks"),
+                 F.expr("sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) "
+                        "* 1000000 DIV count(*)").alias("dup_ppm"))
+            .orderBy("source"))

@@ -107,6 +107,7 @@ EXTENDED = [
     "budget_selection",
     "content_defined_chunks",
     "dedup_quality_winner",
+    "cdc_chunk_dedup_rate",
 ]
 
 
