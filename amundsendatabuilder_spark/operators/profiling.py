@@ -45,6 +45,36 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         "(col_name, n_rows, n_nulls, n_distinct, min_value, max_value, stddev)"))
 
 
+def fd_violations(df: DataFrame,
+                  pairs: "list[tuple[str, str]]") -> DataFrame:
+    """Approximate-functional-dependency discovery: for each candidate
+    (lhs -> rhs) column pair, how many lhs values map to MORE than one
+    distinct rhs value — the per-pair violation count and ppm that tell
+    a catalog which dependencies actually hold in the data (the g3-style
+    error of FD-mining literature, as exact counts).
+
+    ONE shuffle for every pair: each row explodes into |pairs| tagged
+    (pair, lhs_val, rhs_val) rows and a single two-level aggregation
+    (pair+lhs -> distinct rhs, then pair) scores all candidates
+    simultaneously — no per-pair job, so profiling 50 candidate FDs
+    costs the same passes as profiling one. Returns
+    (lhs, rhs, n_lhs_values, n_violating, violation_ppm)."""
+    tagged = F.explode(F.array(*[
+        F.struct(F.lit(l).alias("lhs"), F.lit(r).alias("rhs"),
+                 F.col(l).cast("string").alias("lv"),
+                 F.col(r).cast("string").alias("rv"))
+        for l, r in pairs])).alias("t")
+    rows = df.select(tagged).select("t.lhs", "t.rhs", "t.lv", "t.rv")
+    per_lhs = (rows.groupBy("lhs", "rhs", "lv")
+               .agg(F.countDistinct("rv").alias("n_rhs")))
+    return (per_lhs.groupBy("lhs", "rhs")
+            .agg(F.count(F.lit(1)).alias("n_lhs_values"),
+                 F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+                 .alias("n_violating"),
+                 F.expr("sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) "
+                        "* 1000000 DIV count(*)").alias("violation_ppm")))
+
+
 def joinability_discovery(columns: "dict[str, DataFrame]",
                           threshold_num: int = 95,
                           threshold_den: int = 100) -> DataFrame:

@@ -5577,3 +5577,46 @@ def cdc_chunk_dedup_rate(spark, sf_dir):
                  F.expr("sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) "
                         "* 1000000 DIV count(*)").alias("dup_ppm"))
             .orderBy("source"))
+
+
+@query("fd_violations", r"""
+WITH pairs(lhs, rhs) AS (VALUES
+    ('o_orderkey', 'o_orderstatus'),
+    ('o_custkey', 'o_orderpriority'),
+    ('o_orderpriority', 'o_orderstatus'),
+    ('o_orderstatus', 'o_orderpriority')),
+tagged AS (
+  SELECT p.lhs, p.rhs,
+         CASE p.lhs WHEN 'o_orderkey' THEN CAST(o_orderkey AS VARCHAR)
+                    WHEN 'o_custkey' THEN CAST(o_custkey AS VARCHAR)
+                    WHEN 'o_orderpriority' THEN o_orderpriority
+                    WHEN 'o_orderstatus' THEN o_orderstatus END AS lv,
+         CASE p.rhs WHEN 'o_orderstatus' THEN o_orderstatus
+                    WHEN 'o_orderpriority' THEN o_orderpriority
+                    END AS rv
+  FROM orders CROSS JOIN pairs p),
+per_lhs AS (SELECT lhs, rhs, lv, count(DISTINCT rv) AS n_rhs
+            FROM tagged GROUP BY 1, 2, 3)
+SELECT lhs, rhs, CAST(count(*) AS BIGINT) AS n_lhs_values,
+       CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating,
+       CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS violation_ppm
+FROM per_lhs GROUP BY lhs, rhs ORDER BY lhs, rhs
+""")
+def fd_violations_query(spark, sf_dir):
+    """Approximate-FD discovery over orders
+    (operators/profiling.fd_violations): four candidate dependencies
+    scored in ONE shuffle via per-row pair explosion — o_orderkey ->
+    o_orderstatus holds exactly (keys are unique), the custkey/priority/
+    status candidates measure their true violation ppm.
+    The catalog-profiling surface the reference's stats models feed
+    from, generalized to dependencies."""
+    from amundsendatabuilder_spark.operators.profiling import fd_violations
+    (orders,) = _t(spark, sf_dir, "orders")
+    return fd_violations(orders, [
+        ("o_orderkey", "o_orderstatus"),
+        ("o_custkey", "o_orderpriority"),
+        ("o_orderpriority", "o_orderstatus"),
+        ("o_orderstatus", "o_orderpriority"),
+    ]).orderBy("lhs", "rhs")

@@ -108,6 +108,7 @@ EXTENDED = [
     "content_defined_chunks",
     "dedup_quality_winner",
     "cdc_chunk_dedup_rate",
+    "fd_violations",
 ]
 
 

@@ -1791,3 +1791,19 @@ def test_bloom_probe_and_prefilter_against_empty_filter(spark):
     fact = spark.range(20).select(F.col("id").alias("key"))
     pre = sketches.bloom_prefilter(fact, empty, "key")
     assert pre.count() == 0
+
+
+def test_fd_violations_exact_and_violating(spark):
+    from amundsendatabuilder_spark.operators.profiling import fd_violations
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "x"), (3, "a", "y"), (4, "b", "z")],
+        "k long, g string, v string")
+    got = {(r.lhs, r.rhs): r for r in
+           fd_violations(df, [("k", "g"), ("g", "v")]).collect()}
+    # k is unique -> k->g holds exactly
+    assert got[("k", "g")].n_violating == 0
+    assert got[("k", "g")].n_lhs_values == 4
+    # g='a' maps to {x, y} -> 1 of 2 groups violates -> 500000 ppm
+    assert got[("g", "v")].n_lhs_values == 2
+    assert got[("g", "v")].n_violating == 1
+    assert got[("g", "v")].violation_ppm == 500000
