@@ -75,6 +75,40 @@ def fd_violations(df: DataFrame,
                         "* 1000000 DIV count(*)").alias("violation_ppm")))
 
 
+def distribution_drift(df: DataFrame, category_col: str,
+                       ts_col: str = "ts") -> DataFrame:
+    """Category-distribution drift between the first and second half of
+    a table's time range — per-category shares in exact ppm and their
+    absolute delta (summing delta_ppm and halving gives total-variation
+    distance ×1e6), the drift monitor a data pipeline runs between
+    corpus versions or event windows. All integer arithmetic (counts,
+    DIV-ppm), so the result is order-free and hash-verifiable — the
+    classic PSI needs ln() and can never be.
+
+    Plan: one 1-row min/max anchor (broadcast), one (category, half)
+    count aggregation, a pivot-style conditional sum — two shuffles
+    total, counts only on the wire. Returns (category, ppm_first,
+    ppm_second, abs_delta_ppm)."""
+    ep = F.unix_micros(F.col(ts_col))
+    anchor = df.agg(F.min(ep).alias("_mn"), F.max(ep).alias("_mx"))
+    halved = (df.crossJoin(F.broadcast(anchor))
+              .select(F.col(category_col).alias("category"),
+                      (ep >= F.expr("(_mn + _mx) DIV 2"))
+                      .cast("int").alias("_second")))
+    counts = (halved.groupBy("category")
+              .agg(F.sum(F.lit(1) - F.col("_second")).alias("n_first"),
+                   F.sum("_second").alias("n_second")))
+    tot = counts.agg(F.sum("n_first").alias("_tf"),
+                     F.sum("n_second").alias("_ts"))
+    out = (counts.crossJoin(F.broadcast(tot))
+           .select("category",
+                   F.expr("n_first * 1000000 DIV _tf").alias("ppm_first"),
+                   F.expr("n_second * 1000000 DIV _ts").alias("ppm_second")))
+    return out.withColumn(
+        "abs_delta_ppm",
+        F.abs(F.col("ppm_first") - F.col("ppm_second")).cast("long"))
+
+
 def joinability_discovery(columns: "dict[str, DataFrame]",
                           threshold_num: int = 95,
                           threshold_den: int = 100) -> DataFrame:

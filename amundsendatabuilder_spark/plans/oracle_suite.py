@@ -5620,3 +5620,35 @@ def fd_violations_query(spark, sf_dir):
         ("o_orderpriority", "o_orderstatus"),
         ("o_orderstatus", "o_orderpriority"),
     ]).orderBy("lhs", "rhs")
+
+
+@query("distribution_drift", r"""
+WITH a AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+           FROM events),
+h AS (SELECT e.event_type AS category,
+             CASE WHEN epoch_us(e.ts) >= (a.mn + a.mx) // 2
+                  THEN 1 ELSE 0 END AS second_half
+      FROM events e CROSS JOIN a),
+c AS (SELECT category,
+             CAST(sum(1 - second_half) AS BIGINT) AS n_first,
+             CAST(sum(second_half) AS BIGINT) AS n_second
+      FROM h GROUP BY category),
+t AS (SELECT CAST(sum(n_first) AS BIGINT) AS tf,
+             CAST(sum(n_second) AS BIGINT) AS ts FROM c)
+SELECT category,
+       CAST(n_first * 1000000 // tf AS BIGINT) AS ppm_first,
+       CAST(n_second * 1000000 // t.ts AS BIGINT) AS ppm_second,
+       CAST(abs(n_first * 1000000 // tf - n_second * 1000000 // t.ts)
+            AS BIGINT) AS abs_delta_ppm
+FROM c CROSS JOIN t ORDER BY category
+""")
+def distribution_drift_query(spark, sf_dir):
+    """Event-type distribution drift between the first and second half
+    of the event window (profiling.distribution_drift): per-category
+    shares in exact ppm + absolute deltas (sum/2 = total-variation
+    distance ×1e6) — the hash-verifiable integer alternative to PSI.
+    Two count-only shuffles; the time anchor is a 1-row broadcast."""
+    from amundsendatabuilder_spark.operators.profiling import (
+        distribution_drift)
+    (events,) = _t(spark, sf_dir, "events")
+    return distribution_drift(events, "event_type").orderBy("category")

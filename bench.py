@@ -109,6 +109,7 @@ EXTENDED = [
     "dedup_quality_winner",
     "cdc_chunk_dedup_rate",
     "fd_violations",
+    "distribution_drift",
 ]
 
 

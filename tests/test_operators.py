@@ -1807,3 +1807,23 @@ def test_fd_violations_exact_and_violating(spark):
     assert got[("g", "v")].n_lhs_values == 2
     assert got[("g", "v")].n_violating == 1
     assert got[("g", "v")].violation_ppm == 500000
+
+
+def test_distribution_drift_detects_shifted_category(spark):
+    from pyspark.sql import functions as F
+    from amundsendatabuilder_spark.operators.profiling import (
+        distribution_drift)
+    # first half: all 'a'; second half: all 'b' -> both categories move
+    # by a full 1e6 ppm; a category present in both halves equally
+    # contributes ~0
+    rows = ([("a", 1000 + i) for i in range(50)]
+            + [("b", 9000 + i) for i in range(50)]
+            + [("c", 1000 + i) for i in range(25)]
+            + [("c", 9000 + i) for i in range(25)])
+    df = spark.createDataFrame(rows, "event_type string, sec long") \
+        .select("event_type", F.col("sec").cast("timestamp").alias("ts"))
+    got = {r.category: r for r in
+           distribution_drift(df, "event_type").collect()}
+    assert got["a"].ppm_second == 0 and got["a"].ppm_first > 600000
+    assert got["b"].ppm_first == 0 and got["b"].ppm_second > 600000
+    assert got["c"].abs_delta_ppm < 10000

@@ -73,7 +73,7 @@ SUITE = [
     "similarity_cap_report",
     # round-7 corpus-curation wave
     "budget_selection", "content_defined_chunks", "dedup_quality_winner",
-    "cdc_chunk_dedup_rate", "fd_violations",
+    "cdc_chunk_dedup_rate", "fd_violations", "distribution_drift",
     "graph_pagerank", "triangle_cooccurrence", "funnel_stages",
     "stream_windowed_heavy_hitters",
     "inverted_index_postings", "zorder_layout_stats",
