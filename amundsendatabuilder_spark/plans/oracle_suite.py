@@ -5652,3 +5652,35 @@ def distribution_drift_query(spark, sf_dir):
         distribution_drift)
     (events,) = _t(spark, sf_dir, "events")
     return distribution_drift(events, "event_type").orderBy("category")
+
+
+@query("lateness_profile", r"""
+WITH l AS (SELECT event_type,
+                  max(epoch_us(ts)) OVER (ORDER BY event_id
+                                          ROWS UNBOUNDED PRECEDING)
+                  - epoch_us(ts) AS lateness
+           FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (WHERE lateness > 1000000) AS BIGINT)
+           AS n_late_1000000us,
+       CAST(count(*) FILTER (WHERE lateness > 60000000) AS BIGINT)
+           AS n_late_60000000us,
+       CAST(count(*) FILTER (WHERE lateness > 3600000000) AS BIGINT)
+           AS n_late_3600000000us,
+       CAST(count(*) FILTER (WHERE lateness > 7200000000) AS BIGINT)
+           AS n_late_7200000000us,
+       CAST(max(lateness) AS BIGINT) AS max_lateness_us
+FROM l GROUP BY event_type ORDER BY event_type
+""")
+def lateness_profile_query(spark, sf_dir):
+    """Watermark-sizing lateness audit (streaming/events.
+    lateness_profile): per event type, how many events arrive more than
+    1s/1m/1h/2h behind the running max event time in ingestion order —
+    exactly the rows a streaming watermark of that delay would DROP.
+    The companion analytic to the stream_* entries' 2h watermark:
+    run it before choosing the delay, re-run when numDroppedRows climbs.
+    Exact integer microseconds; oracle replays the running-max window."""
+    from amundsendatabuilder_spark.streaming.events import lateness_profile
+    (events,) = _t(spark, sf_dir, "events")
+    return lateness_profile(events).orderBy("event_type")

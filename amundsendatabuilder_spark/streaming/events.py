@@ -214,3 +214,42 @@ def windowed_frequency_registers(events: DataFrame, col: str = "user_id",
         .select(F.col("w.start").alias("window_start"), "j", "bucket",
                 "cnt")
     )
+
+
+def lateness_profile(events: DataFrame,
+                     thresholds_us: "tuple[int, ...]" = (
+                         1_000_000, 60_000_000, 3_600_000_000,
+                         7_200_000_000),
+                     order_col: str = "event_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """Watermark-sizing audit: how late do events actually arrive?
+
+    Lateness of an event = (max event time seen so far in arrival order)
+    - (its own event time); a streaming job with watermark delay D
+    silently DROPS every event whose lateness exceeds D, so this batch
+    profile — per event_type: total events, counts later than each
+    candidate threshold, and the max observed lateness — is how you
+    choose D before the stream ever runs, and the re-audit you run when
+    `numDroppedRows` starts climbing. Arrival order is ``order_col``
+    (ingestion ids here; substitute a kafka offset column in
+    production). Exact integer microseconds throughout.
+
+    One global-ordering window computes the running max: at scale,
+    partition this by the stream's actual parallel unit (kafka
+    partition) — lateness is only defined within an ordered stream, and
+    a partitioned stream bounds each partition's window the same way.
+    """
+    from pyspark.sql import Window
+    ep = F.unix_micros(F.col(ts_col))
+    w = (Window.orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    lat = (events
+           .select(F.col("event_type"), ep.alias("_ep"),
+                   F.col(order_col))
+           .withColumn("_lateness", F.max("_ep").over(w) - F.col("_ep")))
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    for t in thresholds_us:
+        aggs.append(F.sum(F.when(F.col("_lateness") > t, 1).otherwise(0))
+                    .alias(f"n_late_{t}us"))
+    aggs.append(F.max("_lateness").alias("max_lateness_us"))
+    return lat.groupBy("event_type").agg(*aggs)

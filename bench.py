@@ -110,6 +110,7 @@ EXTENDED = [
     "cdc_chunk_dedup_rate",
     "fd_violations",
     "distribution_drift",
+    "lateness_profile",
 ]
 
 

@@ -448,3 +448,20 @@ def test_windowed_frequency_registers_match_batch_sketch(spark, tmp_path):
               for r in batch.collect()}
     # every emitted register must carry the full cross-batch-merged count
     assert all(want_m[k] == v for k, v in got_m.items())
+
+
+def test_lateness_profile_counts_thresholds(spark):
+    from pyspark.sql import functions as F
+    from amundsendatabuilder_spark.streaming.events import lateness_profile
+    # arrival order 1..4; event 3 is 90s behind the running max, event 4
+    # in order
+    rows = [(1, "a", 1000), (2, "a", 1100), (3, "a", 1010), (4, "a", 1200)]
+    df = (spark.createDataFrame(rows, "event_id long, event_type string, sec long")
+          .select("event_id", "event_type",
+                  F.col("sec").cast("timestamp").alias("ts")))
+    got = lateness_profile(df, thresholds_us=(1_000_000, 60_000_000)).collect()
+    r = got[0]
+    assert r.n_events == 4
+    assert r.n_late_1000000us == 1     # the 90s-late event
+    assert r.n_late_60000000us == 1
+    assert r.max_lateness_us == 90_000_000
