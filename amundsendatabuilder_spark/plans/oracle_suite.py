@@ -5684,3 +5684,73 @@ def lateness_profile_query(spark, sf_dir):
     from amundsendatabuilder_spark.streaming.events import lateness_profile
     (events,) = _t(spark, sf_dir, "events")
     return lateness_profile(events).orderBy("event_type")
+
+
+def _pipeline_e2e_oracle() -> str:
+    lsh = _lsh_verified_sql(threshold=0.7)
+    # run the LSH stage over the filtered+collapsed corpus: the generated
+    # body reads `documents` exactly once (its t CTE) — point it at kept
+    body = lsh.strip().removeprefix("WITH ").replace(
+        "FROM documents)", "FROM kept)", 1)
+    return ("WITH RECURSIVE " + _QUALITY_CTE + r""",
+fil AS (SELECT d.doc_id, d.text, d.lang
+        FROM documents d JOIN q USING (doc_id) WHERE q.quality >= 0.58),
+reps AS (SELECT min(doc_id) AS doc_id FROM fil GROUP BY md5(text)),
+kept AS (SELECT f.doc_id, f.text, f.lang FROM fil f JOIN reps USING (doc_id)),
+""" + body.rsplit("SELECT i.doc_a", 1)[0].rstrip().rstrip(",")
+            + r""",
+pairs AS (SELECT i.doc_a, i.doc_b
+          FROM inter i JOIN sz za ON i.doc_a = za.doc_id
+          JOIN sz zb ON i.doc_b = zb.doc_id
+          WHERE CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i) >= 0.7),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach AS (SELECT a, b FROM sym
+          UNION
+          SELECT r.a, s2.b FROM reach r JOIN sym s2 ON s2.a = r.b
+          WHERE s2.b <> r.a),
+comp AS (SELECT a AS node, least(a, min(b)) AS component
+         FROM reach GROUP BY a),
+surv AS (SELECT k.doc_id, k.lang FROM kept k
+         LEFT JOIN comp c ON c.node = k.doc_id
+         WHERE c.node IS NULL OR c.component = k.doc_id),
+sized AS (SELECT s.doc_id, s.lang AS stratum, q.n_tokens
+          FROM surv s JOIN q ON q.doc_id = s.doc_id)
+SELECT doc_id, stratum, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY stratum ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING)
+                   - n_tokens) / 2000.0) AS BIGINT) AS shard_id
+FROM sized ORDER BY doc_id
+""")
+
+
+@query("pipeline_end_to_end", _pipeline_e2e_oracle())
+def pipeline_end_to_end(spark, sf_dir):
+    """The whole training-data pipeline as ONE composed plan — the
+    proof that the curation operators chain: quality filter (score >=
+    0.58) -> exact-text collapse -> LSH-verified near-dup clusters with
+    min-id winner -> per-language token-budget shard packing. A user of
+    the reference migrating a corpus build runs exactly this shape; the
+    oracle replays every stage (quality SQL, md5 collapse, the full
+    MinHash/band/verify pipeline over the FILTERED corpus, recursive-CTE
+    components, windowed packing), so the hash pins all four stage
+    boundaries at once — a drift anywhere in the chain breaks it.
+    Returns (doc_id, stratum, n_tokens, shard_id) for the curated set."""
+    from amundsendatabuilder_spark.operators.dedup import (
+        collapse_exact_texts, lsh_verified_pairs)
+    from amundsendatabuilder_spark.operators.graph_algo import (
+        connected_components)
+    from amundsendatabuilder_spark.operators.textops import (
+        pack_shards, quality_metrics)
+    (docs,) = _t(spark, sf_dir, "documents")
+    q = quality_metrics(docs).select("doc_id", "quality")
+    fil = docs.join(q.where(F.col("quality") >= 0.58).select("doc_id"),
+                    "doc_id")
+    kept = collapse_exact_texts(fil)
+    pairs = lsh_verified_pairs(kept, threshold=0.7)
+    comps = connected_components(pairs, src_col="doc_a", dst_col="doc_b")
+    surv = (kept.join(comps, kept["doc_id"] == comps["node"], "left")
+            .where(F.col("node").isNull()
+                   | (F.col("component") == F.col("doc_id")))
+            .select(kept["doc_id"], "text", "lang"))
+    return pack_shards(surv, budget_tokens=2000).orderBy("doc_id")

@@ -111,6 +111,7 @@ EXTENDED = [
     "fd_violations",
     "distribution_drift",
     "lateness_profile",
+    "pipeline_end_to_end",
 ]
 
 
