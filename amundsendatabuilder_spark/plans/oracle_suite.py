@@ -5754,3 +5754,43 @@ def pipeline_end_to_end(spark, sf_dir):
                    | (F.col("component") == F.col("doc_id")))
             .select(kept["doc_id"], "text", "lang"))
     return pack_shards(surv, budget_tokens=2000).orderBy("doc_id")
+
+
+@query("graph_match_varlen_undirected", """
+WITH t AS (SELECT 'tpch://gold.s' || CAST(s_nationkey AS VARCHAR)
+                  || '/' || s_name AS tk, s_suppkey AS sk
+           FROM supplier),
+t5 AS (SELECT tk FROM t WHERE sk % 5 = 0),
+t3 AS (SELECT tk FROM t WHERE sk % 3 = 0)
+SELECT 'pk' AS badge, tk || '/c1' AS n_key, 1 AS depth FROM t5
+UNION SELECT 'iceberg', tk || '/c1', 1 FROM t5
+UNION SELECT 'golden', tk || '/c2', 1 FROM t3
+UNION SELECT 'pk', tk, 2 FROM t5
+UNION SELECT 'iceberg', tk, 2 FROM t5
+UNION SELECT 'golden', tk, 2 FROM t3
+UNION SELECT 'pk', 'pk', 2 WHERE EXISTS (SELECT 1 FROM t5)
+UNION SELECT 'pk', 'iceberg', 2 WHERE EXISTS (SELECT 1 FROM t5)
+UNION SELECT 'iceberg', 'pk', 2 WHERE EXISTS (SELECT 1 FROM t5)
+UNION SELECT 'iceberg', 'iceberg', 2 WHERE EXISTS (SELECT 1 FROM t5)
+UNION SELECT 'golden', 'golden', 2 WHERE EXISTS (SELECT 1 FROM t3)
+ORDER BY badge, depth, n_key
+""")
+def graph_match_varlen_undirected(spark, sf_dir):
+    """Undirected variable-length match with type alternation —
+    Cypher's ``MATCH (b:Badge)-[:COLUMN|HAS_BADGE*1..2]-(n)`` (the
+    either-direction + multi-type surface of the reference's
+    arbitrary-Cypher Neo4jExtractor, extractor/neo4j_extractor.py:
+    79-113): from every badge, one undirected hop reaches its columns
+    (HAS_BADGE reversed), two reach their tables (COLUMN reversed) AND
+    the sibling badges sharing a column (HAS_BADGE forward again —
+    pk<->iceberg co-occur on c1). The rel_types filter excludes
+    TABLE/DESCRIPTION edges, so schemas stay unreachable — the oracle
+    enumerates exactly the {columns, tables, co-badges} closure from
+    the construction residues."""
+    from amundsendatabuilder_spark.sources.graph import match_var_path
+    out = _badge_graph(spark, sf_dir)
+    vp = match_var_path(out.nodes, out.rels, start_label="Badge",
+                        rel_types=["COLUMN", "HAS_BADGE"],
+                        direction="both", min_hops=1, max_hops=2)
+    return (vp.select(F.col("n0_key").alias("badge"), "n_key", "depth")
+            .orderBy("badge", "depth", "n_key"))

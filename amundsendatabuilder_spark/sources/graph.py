@@ -136,12 +136,19 @@ def match_path(nodes: DataFrame, rels: DataFrame, *,
 def match_var_path(nodes: DataFrame, rels: DataFrame, *,
                    start_label: str, rel_type: str | None = None,
                    min_hops: int = 1, max_hops: int = 3,
-                   publish_tag: str | None = None) -> DataFrame:
+                   publish_tag: str | None = None,
+                   rel_types: "list[str] | None" = None,
+                   direction: str = "out") -> DataFrame:
     """Bounded variable-length match — Cypher's
     ``MATCH (n0:start)-[:T*min..max]->(n) RETURN DISTINCT n0, n`` surface
     of the reference's arbitrary-Cypher extractor
     (neo4j_extractor.py:79-113). ``rel_type=None`` matches any
-    relationship type (``-[*min..max]->``).
+    relationship type (``-[*min..max]->``); ``rel_types=[...]`` is
+    Cypher's type alternation ``-[:A|B*min..max]->``; ``direction`` is
+    "out" (default), "in" (``<-[*..]-``, every hop reversed), or "both"
+    (``-[*..]-``, each hop may traverse either way — the edge set is
+    symmetrized once up front, so the expansion cost per depth is
+    unchanged).
 
     Implementation is a frontier expansion: depth d's endpoints are
     depth d-1's endpoints joined once against the (pre-filtered) edge
@@ -164,16 +171,25 @@ def match_var_path(nodes: DataFrame, rels: DataFrame, *,
     Returns (n0_key, n_key, n_label, n_props, depth).
     """
     assert 1 <= min_hops <= max_hops, "need 1 <= min_hops <= max_hops"
+    assert direction in ("out", "in", "both"), direction
     edges = rels
-    if rel_type is not None:
+    if rel_types is not None:
+        edges = edges.where(F.col("TYPE").isin(list(rel_types)))
+    elif rel_type is not None:
         edges = edges.where(F.col("TYPE") == rel_type)
     if publish_tag is not None:
         edges = edges.where(
             F.col("props").getItem("published_tag") == publish_tag)
-    edges = edges.select(F.col("START_KEY").alias("_src"),
-                         F.col("START_LABEL").alias("_src_l"),
-                         F.col("END_KEY").alias("_dst"),
-                         F.col("END_LABEL").alias("_dst_l"))
+    fwd = edges.select(F.col("START_KEY").alias("_src"),
+                       F.col("START_LABEL").alias("_src_l"),
+                       F.col("END_KEY").alias("_dst"),
+                       F.col("END_LABEL").alias("_dst_l"))
+    rev = edges.select(F.col("END_KEY").alias("_src"),
+                       F.col("END_LABEL").alias("_src_l"),
+                       F.col("START_KEY").alias("_dst"),
+                       F.col("START_LABEL").alias("_dst_l"))
+    edges = (fwd if direction == "out" else rev if direction == "in"
+             else fwd.unionByName(rev).distinct())
     frontier = nodes.where(F.col("LABEL") == start_label).select(
         F.col("KEY").alias("n0_key"),
         F.col("KEY").alias("_cur"),

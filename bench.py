@@ -112,6 +112,7 @@ EXTENDED = [
     "distribution_drift",
     "lateness_profile",
     "pipeline_end_to_end",
+    "graph_match_varlen_undirected",
 ]
 
 

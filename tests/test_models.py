@@ -118,6 +118,30 @@ def test_match_path_string_inequality_and_bad_op(tables_df):
                    hops=[("COLUMN", "Column", {"name": ("~", "x")})])
 
 
+def test_match_var_path_undirected_and_type_alternation(tables_df):
+    """-[:COLUMN|HAS_BADGE*1..2]- from a badge: 1 hop reaches its
+    column (HAS_BADGE reversed), 2 hops its table (COLUMN reversed) and
+    co-located badges; TABLE/DESCRIPTION edges are excluded by the type
+    alternation, so nothing deeper leaks in."""
+    from amundsendatabuilder_spark.models.table_metadata import expand_tables
+    from amundsendatabuilder_spark.sources.graph import match_var_path
+    out = expand_tables(tables_df)
+    vp = match_var_path(out.nodes, out.rels, start_label="Badge",
+                        rel_types=["COLUMN", "HAS_BADGE"],
+                        direction="both", min_hops=1, max_hops=2)
+    rows = {(r.n0_key, r.n_key, r.depth) for r in vp.collect()}
+    # 'pk' badge sits on table1/col2 (fixture): column at depth 1,
+    # its table + itself (back along HAS_BADGE) at depth 2
+    col2 = "hive://gold.test_schema/test_table1/col2"
+    assert ("pk", col2, 1) in rows
+    assert ("pk", "hive://gold.test_schema/test_table1", 2) in rows
+    assert ("pk", "pk", 2) in rows
+    # no schema nodes: TABLE edges are outside the alternation
+    keys = {k for _, k, _ in rows}
+    assert "hive://gold.test_schema" not in keys
+    assert "dynamo://gold.test_schema" not in keys
+
+
 def test_graph_validation(tables_df):
     from amundsendatabuilder_spark.models.base import validate_graph
     from amundsendatabuilder_spark.models.table_metadata import expand_tables
