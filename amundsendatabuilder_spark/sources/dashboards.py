@@ -161,6 +161,20 @@ MODE_CHAINS: "dict[str, list[dict]]" = {
          "fields": {"dashboard_id": "token",
                     "accumulated_view_count": "view_count"}},
     ],
+    # batch/mode_dashboard_charts_batch_extractor.py:55-86: the Mode
+    # DISCOVERY endpoint — one paginated hop listing every chart in the
+    # org (pagination belongs to the injected transport, as with the
+    # Tableau GraphQL transport)
+    "mode_dashboard_charts_batch": [
+        {"url": "https://app.mode.com/batch/{organization}/charts",
+         "json_path": "charts.[*]",
+         "fields": {"dashboard_group_id": "space_token",
+                    "dashboard_id": "report_token",
+                    "query_id": "query_token",
+                    "chart_id": "token",
+                    "chart_name": "chart_title",
+                    "chart_type": "chart_type"}},
+    ],
     # mode_dashboard_user_extractor.py:69-107: org memberships -> user
     # resource (404s skipped)
     "mode_dashboard_user": [

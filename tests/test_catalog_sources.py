@@ -184,6 +184,10 @@ def _mode_responses():
         "https://app.mode.com/api/org1/reports/r1/runs/run9": {
             "state": "succeeded", "completed_at": "2021-03-02T01:00:00Z"},
         "https://app.mode.com/api/org1/users/u7": {"email": "own@x.com"},
+        f"https://app.mode.com/batch/{org}/charts": {
+            "charts": [{"space_token": "sp1", "report_token": "r1",
+                        "query_token": "q1", "token": "c1",
+                        "chart_title": "Chart One", "chart_type": "bar"}]},
         f"https://app.mode.com/api/{org}/memberships": {
             "_embedded": {"memberships": [
                 {"member_username": "u7",
@@ -208,7 +212,7 @@ def test_mode_variant_chains_cover_every_reference_class(spark):
         "mode_dashboard_last_modified",
         "mode_dashboard_last_successful_execution", "mode_dashboard_owner",
         "mode_dashboard_query", "mode_dashboard_usage",
-        "mode_dashboard_user"}
+        "mode_dashboard_user", "mode_dashboard_charts_batch"}
 
     got = {v: mode_extract(spark, fetch, "org1", v).collect()
            for v in MODE_CHAINS}
@@ -232,6 +236,9 @@ def test_mode_variant_chains_cover_every_reference_class(spark):
     users = got["mode_dashboard_user"]
     assert [u.email for u in users] == ["own@x.com"]
     assert got["mode_dashboard"][0].dashboard_id == "r1"
+    cb = got["mode_dashboard_charts_batch"][0]
+    assert (cb.dashboard_group_id, cb.dashboard_id, cb.chart_id,
+            cb.chart_type) == ("sp1", "r1", "c1", "bar")
 
 
 def test_tableau_variants_reshape_like_reference(spark):
