@@ -27,3 +27,26 @@ def test_generic_records(spark):
     df = from_records(spark, [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}])
     assert df.count() == 2
     assert set(df.columns) == {"a", "b"}
+
+
+def test_read_csv_with_quarantine_splits_bad_rows(spark, tmp_path):
+    from amundsendatabuilder_spark.sources.csv_source import (
+        read_csv_with_quarantine)
+    p = tmp_path / "in.csv"
+    p.write_text("id,n\n1,10\n2,notanint\n3,30\n")
+    good, bad = read_csv_with_quarantine(spark, str(p), "id int, n int")
+    assert sorted((r.id, r.n) for r in good.collect()) == [(1, 10), (3, 30)]
+    brows = bad.collect()
+    assert len(brows) == 1
+    assert brows[0].raw_line == "2,notanint"
+    assert brows[0].source_file.endswith("in.csv")
+
+
+def test_read_csv_with_quarantine_clean_file_empty_side_channel(
+        spark, tmp_path):
+    from amundsendatabuilder_spark.sources.csv_source import (
+        read_csv_with_quarantine)
+    p = tmp_path / "clean.csv"
+    p.write_text("id,n\n1,10\n2,20\n")
+    good, bad = read_csv_with_quarantine(spark, str(p), "id int, n int")
+    assert good.count() == 2 and bad.count() == 0
