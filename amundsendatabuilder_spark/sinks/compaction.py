@@ -69,3 +69,34 @@ def zorder_expr(col_a: str, col_b: str, bits: int = 16,
         terms.append(f"((({col_a} {idiv} {1 << i}) % 2) * {1 << (2 * i)})")
         terms.append(f"((({col_b} {idiv} {1 << i}) % 2) * {1 << (2 * i + 1)})")
     return "(" + " + ".join(terms) + ")"
+
+
+def write_bucketed(df: DataFrame, table_name: str, bucket_col: str,
+                   n_buckets: int = 32, path: "str | None" = None,
+                   mode: str = "overwrite") -> None:
+    """Bucketed parquet table write — the co-located-join layout: rows
+    hash-partition into ``n_buckets`` files by ``bucket_col`` and sort
+    within each bucket, so ANY later equi-join or aggregation on that
+    column between tables bucketed the same way runs with ZERO shuffle
+    exchanges (Spark reads the bucket spec from the catalog and aligns
+    partitions). This is the 100 TB answer for a fact table joined on
+    the same key every day: pay the shuffle once at write time, never
+    at read time. Requires saveAsTable (bucket metadata lives in the
+    catalog, not the files)."""
+    writer = (df.write.format("parquet").mode(mode)
+              .bucketBy(n_buckets, bucket_col).sortBy(bucket_col))
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
+def bucketed_join(spark, left_table: str, right_table: str,
+                  on: str, how: str = "inner") -> DataFrame:
+    """Join two same-bucketed catalog tables on their bucket column.
+    With matching bucket specs the physical plan contains no Exchange —
+    each task sort-merges bucket i of both sides locally. The exchange-
+    free property is asserted by tests/test_sinks.py (plan inspection),
+    which is the point: a layout claim you can't verify in the plan is
+    a layout claim you don't have."""
+    lt, rt = spark.table(left_table), spark.table(right_table)
+    return lt.join(rt, on, how)

@@ -282,3 +282,36 @@ def test_zorder_buckets_bound_both_dimensions(spark):
     # 16x16 tile: both spans are 15, not 63
     assert len(stats) == 16
     assert all(r.xa - r.na == 15 and r.xb - r.nb == 15 for r in stats)
+
+
+def test_bucketed_join_runs_without_exchange(spark, tmp_path):
+    """The co-located-join contract: two tables bucketed the same way on
+    the join key sort-merge join with ZERO shuffle exchanges in the
+    executed plan — the pay-shuffle-once-at-write-time layout."""
+    from pyspark.sql import functions as F
+    from amundsendatabuilder_spark.sinks.compaction import (
+        bucketed_join, write_bucketed)
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("a"))
+    right = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 11).alias("b"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed(left, "bkt_left", "k", n_buckets=8,
+                       path=str(tmp_path / "l"))
+        write_bucketed(right, "bkt_right", "k", n_buckets=8,
+                       path=str(tmp_path / "r"))
+        # the fixture is tiny enough to broadcast, which would bypass the
+        # bucket layout being tested — force the large-large strategy a
+        # real fact-fact join takes
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "bkt_left", "bkt_right", "k")
+        assert joined.count() == 1000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
