@@ -43,7 +43,7 @@ _PRIORITY = [
     "budget_selection", "content_defined_chunks", "dedup_quality_winner",
     "cdc_chunk_dedup_rate", "fd_violations", "distribution_drift",
     "lateness_profile", "pipeline_end_to_end",
-    "graph_match_varlen_undirected",
+    "graph_match_varlen_undirected", "fuzzy_entity_match",
     # (c) stale queries, oldest driver certification first: round 1
     "lang_id", "quality_metrics", "doc_fingerprint", "embedding_norms",
     "char_ngram_profile", "pii_scrub", "repetition_metrics",

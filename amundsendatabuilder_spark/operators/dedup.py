@@ -972,3 +972,55 @@ def containment_join(docs: DataFrame, threshold_num: int = 9,
     if max_pairs_per_doc is not None:
         out = _cap_pairs_per_doc(out, "containment", max_pairs_per_doc)
     return out
+
+
+def fuzzy_match_pairs(df: DataFrame, id_col: str, text_col: str,
+                      max_variant_df: "int | None" = None) -> DataFrame:
+    """Entity-resolution join: pairs whose strings are within edit
+    distance 1 (one substitution, insertion, or deletion) — the user /
+    owner / table-name reconciliation step a catalog runs when two
+    sources spell the same entity slightly differently.
+
+    Scale shape is deletion-neighborhood blocking (the SymSpell
+    construction): every string emits its |s|+1 single-deletion variants
+    (plus itself), candidates are pairs sharing a variant, and the
+    verify stage computes true ``levenshtein`` (JVM built-in) on the
+    candidates only. Completeness for distance <= 1 is exact: a
+    substitution at position i collides after both sides delete i; an
+    insertion/deletion collides with the shorter string's identity
+    variant — so recall is 1.0 with candidates bounded by
+    variant-bucket sizes, never |df|^2. ``max_variant_df`` caps a
+    variant's bucket (mass near-identical names) with the same
+    no-silent-caps contract as the token-DF caps; audit with a
+    variant-frequency count before trusting it. Returns
+    (id_a, id_b, distance) over normalized (lower/trim) strings.
+    """
+    norm = F.lower(F.trim(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("_id"), norm.alias("_s"))
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length("_s")),
+        lambda i: F.concat(
+            F.col("_s").substr(F.lit(1), (i - 1).cast("int")),
+            F.col("_s").substr((i + 1).cast("int"), F.length("_s"))))
+    # array_union dedups (identical deletions from repeated chars) and
+    # appends the identity variant
+    variants = base.select(
+        "_id", "_s",
+        F.explode(F.array_union(F.array(F.col("_s")), dels)).alias("_v"))
+    if max_variant_df is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy("_v")
+        variants = (variants.withColumn("_df", F.count("*").over(w))
+                    .where(F.col("_df") <= max_variant_df).drop("_df"))
+    a = variants.select(F.col("_id").alias("id_a"),
+                        F.col("_s").alias("_sa"), "_v")
+    b = variants.select(F.col("_id").alias("id_b"),
+                        F.col("_s").alias("_sb"), "_v")
+    cands = (a.join(b, "_v")
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "_sa", "_sb").distinct())
+    return (cands
+            .withColumn("distance", F.levenshtein("_sa", "_sb"))
+            .where(F.col("distance") <= 1)
+            .select("id_a", "id_b", F.col("distance").cast("int")
+                    .alias("distance")))

@@ -113,6 +113,7 @@ EXTENDED = [
     "lateness_profile",
     "pipeline_end_to_end",
     "graph_match_varlen_undirected",
+    "fuzzy_entity_match",
 ]
 
 

@@ -1827,3 +1827,28 @@ def test_distribution_drift_detects_shifted_category(spark):
     assert got["a"].ppm_second == 0 and got["a"].ppm_first > 600000
     assert got["b"].ppm_first == 0 and got["b"].ppm_second > 600000
     assert got["c"].abs_delta_ppm < 10000
+
+
+def test_fuzzy_match_pairs_distance_semantics(spark):
+    from amundsendatabuilder_spark.operators.dedup import fuzzy_match_pairs
+    df = spark.createDataFrame(
+        [(1, "alice"), (2, "alise"), (3, "alicee"), (4, "bob"),
+         (5, "Alice ")], "id long, name string")
+    got = {(r.id_a, r.id_b): r.distance
+           for r in fuzzy_match_pairs(df, "id", "name").collect()}
+    assert got[(1, 2)] == 1          # substitution
+    assert got[(1, 3)] == 1          # insertion
+    assert got[(1, 5)] == 0          # identical after lower/trim
+    assert (2, 3) not in got         # distance 2 correctly absent
+    assert not any(4 in p for p in got)
+
+
+def test_fuzzy_match_pairs_variant_cap_drops_mass_bucket(spark):
+    from amundsendatabuilder_spark.operators.dedup import fuzzy_match_pairs
+    # 20 ids share the exact same name -> its identity-variant bucket
+    # explodes; cap 5 drops it, the distinct pair elsewhere survives
+    rows = [(i, "common name") for i in range(20)]
+    rows += [(100, "rare"), (101, "raze")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = fuzzy_match_pairs(df, "id", "name", max_variant_df=5).collect()
+    assert {(r.id_a, r.id_b) for r in got} == {(100, 101)}

@@ -75,7 +75,7 @@ SUITE = [
     "budget_selection", "content_defined_chunks", "dedup_quality_winner",
     "cdc_chunk_dedup_rate", "fd_violations", "distribution_drift",
     "lateness_profile", "pipeline_end_to_end",
-    "graph_match_varlen_undirected",
+    "graph_match_varlen_undirected", "fuzzy_entity_match",
     "graph_pagerank", "triangle_cooccurrence", "funnel_stages",
     "stream_windowed_heavy_hitters",
     "inverted_index_postings", "zorder_layout_stats",
