@@ -181,3 +181,58 @@ def test_udh_positions_match_sql_text(spark):
         "SELECT v, " + ", ".join(exprs) + " FROM t").fetchall()}
     for r in got:
         assert (r.p0, r.p1, r.p2, r.p3) == want[r.v]
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(alphabet="abc", min_size=1, max_size=6),
+                min_size=2, max_size=12, unique=True))
+def test_fuzzy_match_recall_equals_brute_force(sp, names):
+    """SymSpell deletion blocking must find EVERY distance<=1 pair the
+    brute-force levenshtein join finds — recall exactly 1.0, on
+    adversarially small alphabets where collisions abound."""
+    from amundsendatabuilder_spark.operators.dedup import fuzzy_match_pairs
+    df = sp.createDataFrame(list(enumerate(names)), "id long, name string")
+    got = {(r.id_a, r.id_b, r.distance)
+           for r in fuzzy_match_pairs(df, "id", "name").collect()}
+
+    def lev(a, b):
+        import functools
+
+        @functools.lru_cache(maxsize=None)
+        def d(i, j):
+            if i == 0:
+                return j
+            if j == 0:
+                return i
+            return min(d(i - 1, j) + 1, d(i, j - 1) + 1,
+                       d(i - 1, j - 1) + (a[i - 1] != b[j - 1]))
+        return d(len(a), len(b))
+
+    want = set()
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            dd = lev(names[i], names[j])
+            if dd <= 1:
+                want.add((i, j, dd))
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=50),
+                min_size=1, max_size=20))
+def test_budget_selection_prefix_sum_matches_naive(sp, lens):
+    """The banded distributed prefix sum must equal the naive global
+    (quality desc, doc_id) running total for any corpus shape."""
+    from amundsendatabuilder_spark.operators.textops import budget_selection
+    rows = [(i, " ".join(f"w{i}x{j % (1 + i % 5)}" for j in range(n)))
+            for i, n in enumerate(lens)]
+    df = sp.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(budget_selection(df, budget_tokens=10**9).collect(),
+                 key=lambda r: r.cum_tokens)
+    # reconstruct the naive order: quality desc, doc_id asc
+    order = sorted(got, key=lambda r: (-r.quality, r.doc_id))
+    assert [r.doc_id for r in got] == [r.doc_id for r in order]
+    run = 0
+    for r in order:
+        run += r.n_tokens
+        assert r.cum_tokens == run
