@@ -44,6 +44,7 @@ _PRIORITY = [
     "cdc_chunk_dedup_rate", "fd_violations", "distribution_drift",
     "lateness_profile", "pipeline_end_to_end",
     "graph_match_varlen_undirected", "fuzzy_entity_match",
+    "skew_report", "split_exact_counts",
     # (c) stale queries, oldest driver certification first: round 1
     "lang_id", "quality_metrics", "doc_fingerprint", "embedding_norms",
     "char_ngram_profile", "pii_scrub", "repetition_metrics",

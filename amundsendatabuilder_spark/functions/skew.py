@@ -57,3 +57,25 @@ def salted_two_stage_collect(df: DataFrame, group_col: str, value_col: str,
     return (stage1.groupBy(group_col)
             .agg(F.array_sort(F.flatten(F.collect_list("_part")))
                  .alias("values")))
+
+
+def skew_report(df: DataFrame, key_col: str, top_n: int = 5) -> DataFrame:
+    """Join/aggregation-key skew pre-flight — the audit you run BEFORE
+    deciding whether a key needs ``salted_join``/AQE skew handling: the
+    ``top_n`` heaviest key values with their exact row counts and
+    parts-per-million share of the table, plus each key's rank. A top-1
+    share near 1e6/n_partitions means one reducer owns that key's whole
+    partition; anything above ~1e6/32 on a 32-way shuffle is the signal
+    to salt. One count aggregation + a top-n over the (tiny) per-key
+    count table; exact integer arithmetic throughout, so the report is
+    oracle-verifiable like the cap/lateness audits."""
+    from pyspark.sql import Window
+    counts = (df.groupBy(F.col(key_col).cast("string").alias("key_value"))
+              .agg(F.count(F.lit(1)).alias("n_rows")))
+    tot = counts.agg(F.sum("n_rows").alias("_tot"))
+    w = Window.orderBy(F.desc("n_rows"), F.asc("key_value"))
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_n)
+            .crossJoin(F.broadcast(tot))
+            .select("rank", "key_value", "n_rows",
+                    F.expr("n_rows * 1000000 DIV _tot").alias("share_ppm")))

@@ -634,6 +634,68 @@ def split_assign(docs: DataFrame,
     return docs.select(F.col(id_col), expr.alias("split"))
 
 
+def split_exact_counts(docs: DataFrame,
+                       weights: tuple[tuple[str, int], ...] = (
+                           ("train", 8), ("val", 1), ("test", 1)),
+                       strata_col: str = "lang",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Count-exact stratified split — the complement of hash-based
+    ``split_assign`` (rate-exact in expectation) for when the split
+    sizes must be EXACT per stratum (a 1000-doc eval set means 1000,
+    not ~1000): docs rank inside each stratum by md5 (seedless,
+    engine-stable), and integer weight shares cut the ranks by the
+    largest-remainder method, so per-stratum counts are exactly
+    floor/ceil of n*w/W with the remainder seats going to the largest
+    fractional parts (ties by declaration order). Returns
+    (doc_id, stratum, split).
+
+    Per-stratum windows only — no global ordering; the rank shuffle is
+    (id, stratum, 16-byte hash) rows. The trade vs split_assign: adding
+    one document can shift which doc sits at a boundary (counts stay
+    exact), while hash-split never migrates a doc but only hits the
+    ratio in expectation. Pick per use case; both are deterministic."""
+    from pyspark.sql import Window
+    total_w = sum(w for _n, w in weights)
+    ranked = (docs.select(
+        F.col(id_col), F.col(strata_col).alias("stratum"),
+        F.md5(F.concat(F.lit("split:"), F.col(id_col).cast("string")))
+        .alias("_h"))
+        .withColumn("_rk", F.row_number().over(
+            Window.partitionBy("stratum").orderBy("_h", id_col)))
+        .withColumn("_n", F.count(F.lit(1)).over(
+            Window.partitionBy("stratum"))))
+    # largest-remainder seat allocation, computed per row in exact
+    # integer arithmetic: quota_i = n*w_i DIV W; the r = n - sum(quotas)
+    # remainder seats go to the weights with the largest n*w_i mod W
+    # (ties broken by declaration order). The boundary for split k is
+    # then sum of allocated seats of splits 0..k-1 — all expressible as
+    # a closed-form CASE over _n, so no second pass over the strata.
+    names = [n for n, _ in weights]
+    ws = [w for _, w in weights]
+    quota = [F.expr(f"_n * {w} DIV {total_w}") for w in ws]
+    rem = [F.expr(f"(_n * {w}) % {total_w}") for w in ws]
+    # seats_i = quota_i + (1 if i among top-r remainders)
+    # rank of weight i among remainders (desc, ties by index): count of
+    # j with (rem_j > rem_i) or (rem_j == rem_i and j < i)
+    r_total = F.expr(f"_n - ({' + '.join(f'_n * {w} DIV {total_w}' for w in ws)})")
+    seats = []
+    for i in range(len(ws)):
+        better = [F.when((rem[j] > rem[i]) if j > i else
+                         (rem[j] >= rem[i]), 1).otherwise(0)
+                  for j in range(len(ws)) if j != i]
+        pos = sum(better[1:], better[0]) if better else F.lit(0)
+        seats.append(quota[i] + F.when(pos < r_total, 1).otherwise(0))
+    expr = F.lit(names[-1])
+    bound = seats[0]
+    conds = [(names[0], bound)]
+    for i in range(1, len(ws) - 1):
+        bound = bound + seats[i]
+        conds.append((names[i], bound))
+    for name, cut in reversed(conds):
+        expr = F.when(F.col("_rk") <= cut, name).otherwise(expr)
+    return ranked.select(id_col, "stratum", expr.alias("split"))
+
+
 def dedup_rate_by_source(docs: DataFrame, source_col: str = "source",
                          text_col: str = "text") -> DataFrame:
     """Per-source duplication report: (source, n_docs, n_unique,

@@ -5817,3 +5817,69 @@ def fuzzy_entity_match(spark, sf_dir):
     (sup,) = _t(spark, sf_dir, "supplier")
     return (fuzzy_match_pairs(sup, "s_suppkey", "s_name")
             .orderBy("id_a", "id_b"))
+
+
+@query("skew_report", r"""
+WITH c AS (SELECT CAST(l_suppkey % 10 AS VARCHAR) AS key_value,
+                  CAST(count(*) AS BIGINT) AS n_rows
+           FROM lineitem GROUP BY 1),
+t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS tot FROM c),
+r AS (SELECT key_value, n_rows,
+             CAST(row_number() OVER (ORDER BY n_rows DESC, key_value)
+                  AS INT) AS rank
+      FROM c)
+SELECT rank, key_value, n_rows,
+       CAST(n_rows * 1000000 // tot AS BIGINT) AS share_ppm
+FROM r, t WHERE rank <= 5 ORDER BY rank
+""")
+def skew_report_query(spark, sf_dir):
+    """Join-key skew pre-flight (functions/skew.skew_report): the top-5
+    heaviest values of a deliberately low-cardinality key
+    (l_suppkey % 10) with exact counts and ppm shares — the audit that
+    decides whether salted_join/AQE skew handling is needed, in the
+    same oracle-verifiable audit family as similarity_cap_report and
+    lateness_profile."""
+    from amundsendatabuilder_spark.functions.skew import skew_report
+    (li,) = _t(spark, sf_dir, "lineitem")
+    keyed = li.select((F.col("l_suppkey") % 10).alias("k"))
+    return skew_report(keyed, "k", top_n=5).orderBy("rank")
+
+
+@query("split_exact_counts", r"""
+WITH h AS (SELECT doc_id, lang AS stratum,
+                  md5('split:' || CAST(doc_id AS VARCHAR)) AS hh
+           FROM documents),
+r AS (SELECT doc_id, stratum,
+             row_number() OVER (PARTITION BY stratum ORDER BY hh, doc_id)
+                 AS rk,
+             count(*) OVER (PARTITION BY stratum) AS n
+      FROM h),
+s AS (SELECT doc_id, stratum, rk, n,
+             n * 8 // 10 AS q0, n // 10 AS q1,
+             (n * 8) % 10 AS m0, n % 10 AS m1, n % 10 AS m2,
+             n - (n * 8 // 10 + 2 * (n // 10)) AS rem
+      FROM r),
+b AS (SELECT doc_id, stratum, rk,
+             q0 + CASE WHEN CAST(m1 > m0 AS INT) + CAST(m2 > m0 AS INT)
+                            < rem THEN 1 ELSE 0 END AS seats0,
+             q1 + CASE WHEN CAST(m0 >= m1 AS INT) + CAST(m2 > m1 AS INT)
+                            < rem THEN 1 ELSE 0 END AS seats1
+      FROM s)
+SELECT doc_id, stratum,
+       CASE WHEN rk <= seats0 THEN 'train'
+            WHEN rk <= seats0 + seats1 THEN 'val'
+            ELSE 'test' END AS split
+FROM b ORDER BY stratum, doc_id
+""")
+def split_exact_counts_query(spark, sf_dir):
+    """Count-exact stratified train/val/test split
+    (textops.split_exact_counts): md5-ranked docs cut by
+    largest-remainder seat allocation inside each language stratum, so
+    per-stratum split sizes are EXACTLY floor/ceil of n*w/W — the
+    complement of hash-based split_assign (rate-exact in expectation).
+    The oracle replays rank, quotas, remainders, and the seat
+    tie-break in closed form."""
+    from amundsendatabuilder_spark.operators.textops import (
+        split_exact_counts)
+    (docs,) = _t(spark, sf_dir, "documents")
+    return split_exact_counts(docs).orderBy("stratum", "doc_id")

@@ -114,6 +114,8 @@ EXTENDED = [
     "pipeline_end_to_end",
     "graph_match_varlen_undirected",
     "fuzzy_entity_match",
+    "skew_report",
+    "split_exact_counts",
 ]
 
 

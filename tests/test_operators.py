@@ -1852,3 +1852,35 @@ def test_fuzzy_match_pairs_variant_cap_drops_mass_bucket(spark):
     df = spark.createDataFrame(rows, "id long, name string")
     got = fuzzy_match_pairs(df, "id", "name", max_variant_df=5).collect()
     assert {(r.id_a, r.id_b) for r in got} == {(100, 101)}
+
+
+def test_split_exact_counts_largest_remainder(spark):
+    from amundsendatabuilder_spark.operators.textops import (
+        split_exact_counts)
+    # 12 docs in one stratum: 8/1/1 weights -> quotas 9/1/1, one
+    # remainder seat; train's fractional part (0.6) wins -> 10/1/1
+    rows = [(i, "en") for i in range(12)] + [(100 + i, "de")
+                                             for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = split_exact_counts(df).collect()
+    from collections import Counter
+    en = Counter(r.split for r in got if r.stratum == "en")
+    de = Counter(r.split for r in got if r.stratum == "de")
+    assert en == {"train": 10, "val": 1, "test": 1}
+    # 5 docs: quotas 4/0/0, remainder 1 -> train fractional 0 beats? 
+    # 5*8/10=4 rem 0; 5%10=5 for val and test; seats: val wins the one
+    # remainder seat over test by declaration order
+    assert de == {"train": 4, "val": 1}
+    # determinism: same input -> same assignment
+    again = split_exact_counts(df).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_skew_report_shares(spark):
+    from amundsendatabuilder_spark.functions.skew import skew_report
+    rows = [("hot",)] * 70 + [("warm",)] * 20 + [("cold",)] * 10
+    df = spark.createDataFrame(rows, "k string")
+    got = {r.key_value: r for r in skew_report(df, "k", top_n=2).collect()}
+    assert set(got) == {"hot", "warm"}
+    assert got["hot"].rank == 1 and got["hot"].share_ppm == 700000
+    assert got["warm"].share_ppm == 200000
