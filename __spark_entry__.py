@@ -18,16 +18,17 @@ sys.path.insert(0, "/root/repo")
 
 from amundsendatabuilder_spark.plans.oracle_suite import ORACLES, QUERIES  # noqa: E402
 
-# Dict iteration order = presentation order. Round-7 rotates the driver's
-# 50-query sample window for evidence freshness (VERDICT r6 item #4):
-# (a) the four round-6 hash-fails (oracle dtype artifacts, now CAST to
-# BIGINT) plus every query whose oracle or plan changed this round —
-# these need re-certification against current code; (b) the queries new
-# this round; (c) the stale round-1/2/4-certified cohort, oldest first
-# (all green in the local 152-query dtype-aware gate this round).
-# Overlap with the r6 window is the 7 re-certification entries (< 10,
-# per the rotation criterion). Names not yet registered are skipped by
-# ``_ordered``.
+# Dict iteration order = presentation order. Round-7 window (50 slots,
+# VERDICT r6 item #4: >= 40 stale-certified entries, <= 10 overlap with
+# the r6 window): (a) the 10 re-certifications — the four round-6
+# hash-fails (oracle dtype artifacts, now CAST to BIGINT) plus every
+# query whose oracle or plan changed this round; (c) 40 stale
+# round-1/2/4-certified queries, oldest first. The 21 queries NEW this
+# round sit immediately beyond the 50-slot window: they are green in
+# this round's full local dtype-aware gate (168/168) and queue for
+# driver certification next round — the r6 verdict's lesson was to stop
+# burning the sample window on new entries while certified evidence
+# ages. Names not yet registered are skipped by ``_ordered``.
 _PRIORITY = [
     # (a) round-6 hash-fails with oracle dtype fixed, + oracle/plan
     # changes this round (sessionize/resize oracle dtypes, decay shift
@@ -37,14 +38,6 @@ _PRIORITY = [
     "session_bounce_rate", "sessionize_batch", "multimodal_resize",
     "decayed_popularity", "numeric_corr_matrix", "kmeans_centroids",
     "lineage_asof_diff",
-    # (b) new round-7 queries (certify on first driver run)
-    "jaccard_prefix_join_capped", "containment_join_capped",
-    "similarity_cap_report", "graph_match_mixed_direction",
-    "budget_selection", "content_defined_chunks", "dedup_quality_winner",
-    "cdc_chunk_dedup_rate", "fd_violations", "distribution_drift",
-    "lateness_profile", "pipeline_end_to_end",
-    "graph_match_varlen_undirected", "fuzzy_entity_match",
-    "skew_report", "split_exact_counts",
     # (c) stale queries, oldest driver certification first: round 1
     "lang_id", "quality_metrics", "doc_fingerprint", "embedding_norms",
     "char_ngram_profile", "pii_scrub", "repetition_metrics",
@@ -59,11 +52,22 @@ _PRIORITY = [
     "top_customer_per_segment", "rollup_orders", "revenue_share",
     "graph_expand_tables", "dedup_clusters",
     "decontam_benchmark_overlap", "quality_quantile_filter",
-    "mixture_rates",
-    # round-2/4 stale — next in line beyond the 50-slot window
-    "token_shard_packing", "dedup_ngram_jaccard_capped", "publish_diff",
-    "skew_salted_join", "skew_salted_collect", "embedding_label_centroids",
-    "pivot_status_by_priority", "search_doc_table_built",
+    "mixture_rates", "token_shard_packing",
+    # round 4 (fills the 50-slot window: 10 + 10 + 24 + 6)
+    "dedup_ngram_jaccard_capped", "publish_diff", "skew_salted_join",
+    "skew_salted_collect", "embedding_label_centroids",
+    "pivot_status_by_priority",
+    # (b) NEW round-7 queries — beyond the window, first in line for
+    # the next rotation (all green in the local 168/168 gate this round)
+    "jaccard_prefix_join_capped", "containment_join_capped",
+    "similarity_cap_report", "graph_match_mixed_direction",
+    "budget_selection", "content_defined_chunks", "dedup_quality_winner",
+    "cdc_chunk_dedup_rate", "fd_violations", "distribution_drift",
+    "lateness_profile", "pipeline_end_to_end",
+    "graph_match_varlen_undirected", "fuzzy_entity_match",
+    "skew_report", "split_exact_counts",
+    # remaining round-4 stale
+    "search_doc_table_built",
     "graph_match_pattern", "graph_match_2hop", "column_profile",
     "stat_aggregates", "cohort_retention", "sliding_window_counts",
     "multimodal_frame_plan", "incremental_ingest_anti_join",
