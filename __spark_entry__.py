@@ -65,7 +65,7 @@ _PRIORITY = [
     "cdc_chunk_dedup_rate", "fd_violations", "distribution_drift",
     "lateness_profile", "pipeline_end_to_end",
     "graph_match_varlen_undirected", "fuzzy_entity_match",
-    "skew_report", "split_exact_counts",
+    "skew_report", "split_exact_counts", "equi_depth_histogram",
     # remaining round-4 stale
     "search_doc_table_built",
     "graph_match_pattern", "graph_match_2hop", "column_profile",

@@ -238,3 +238,26 @@ def numeric_corr_matrix(df: DataFrame, cols: "list[str]",
                               round_half_away(corr, 6).alias("corr"))
             out = row if out is None else out.unionByName(row)
     return out
+
+
+def equi_depth_histogram(df: DataFrame, value_col: str,
+                         group_cols: "tuple[str, ...]" = (),
+                         n_buckets: int = 10,
+                         order_cols: "tuple[str, ...]" = ()) -> DataFrame:
+    """Equi-depth (quantile) histogram per group — the column statistic
+    query optimizers and data-profiling UIs actually want (equal ROW
+    counts per bucket, so dense regions get resolution), as opposed to
+    the equi-width token_count_histogram. Exact, not sampled: ntile
+    over a TOTAL order (``order_cols`` break value ties — required for
+    cross-engine determinism; pass the table's key columns). Returns
+    (group..., bucket, n_rows, low, high). One window + one aggregation;
+    the window partitions by group, so strata compute in parallel."""
+    from pyspark.sql import Window
+    order = [F.col(value_col)] + [F.col(c) for c in order_cols]
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(*order)
+    return (df
+            .withColumn("_b", F.ntile(n_buckets).over(w))
+            .groupBy(*group_cols, F.col("_b").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min(value_col).alias("low"),
+                 F.max(value_col).alias("high")))

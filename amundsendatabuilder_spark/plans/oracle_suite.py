@@ -5883,3 +5883,32 @@ def split_exact_counts_query(spark, sf_dir):
         split_exact_counts)
     (docs,) = _t(spark, sf_dir, "documents")
     return split_exact_counts(docs).orderBy("stratum", "doc_id")
+
+
+@query("equi_depth_histogram", r"""
+WITH b AS (SELECT l_returnflag,
+                  ntile(10) OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice, l_orderkey,
+                                           l_linenumber) AS bucket,
+                  l_extendedprice
+           FROM lineitem)
+SELECT l_returnflag, CAST(bucket AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(l_extendedprice) AS low, max(l_extendedprice) AS high
+FROM b GROUP BY 1, 2 ORDER BY l_returnflag, bucket
+""")
+def equi_depth_histogram_query(spark, sf_dir):
+    """Equi-depth price histogram per return flag
+    (profiling.equi_depth_histogram): 10 equal-count buckets with exact
+    bounds — the quantile statistic an optimizer/profiler keeps per
+    column, computed exactly via ntile over a TOTAL order (orderkey +
+    linenumber break price ties, which is what makes the bucket
+    assignment engine-reproducible and therefore hash-verifiable)."""
+    from amundsendatabuilder_spark.operators.profiling import (
+        equi_depth_histogram)
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (equi_depth_histogram(
+        li, "l_extendedprice", group_cols=("l_returnflag",),
+        n_buckets=10, order_cols=("l_orderkey", "l_linenumber"))
+        .withColumn("bucket", F.col("bucket").cast("int"))
+        .orderBy("l_returnflag", "bucket"))

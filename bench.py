@@ -116,6 +116,7 @@ EXTENDED = [
     "fuzzy_entity_match",
     "skew_report",
     "split_exact_counts",
+    "equi_depth_histogram",
 ]
 
 

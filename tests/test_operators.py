@@ -1884,3 +1884,18 @@ def test_skew_report_shares(spark):
     assert set(got) == {"hot", "warm"}
     assert got["hot"].rank == 1 and got["hot"].share_ppm == 700000
     assert got["warm"].share_ppm == 200000
+
+
+def test_equi_depth_histogram_equal_counts_and_tight_bounds(spark):
+    from amundsendatabuilder_spark.operators.profiling import (
+        equi_depth_histogram)
+    rows = [(i, float(i * i)) for i in range(40)]  # skewed density
+    df = spark.createDataFrame(rows, "k long, v double")
+    got = sorted(equi_depth_histogram(df, "v", n_buckets=4,
+                                      order_cols=("k",)).collect(),
+                 key=lambda r: r.bucket)
+    assert [r.n_rows for r in got] == [10, 10, 10, 10]
+    # buckets tile the value range in order with non-overlapping bounds
+    for a, b in zip(got, got[1:]):
+        assert a.high <= b.low
+    assert got[0].low == 0.0 and got[-1].high == 39.0 * 39.0

@@ -76,7 +76,7 @@ SUITE = [
     "cdc_chunk_dedup_rate", "fd_violations", "distribution_drift",
     "lateness_profile", "pipeline_end_to_end",
     "graph_match_varlen_undirected", "fuzzy_entity_match",
-    "skew_report", "split_exact_counts",
+    "skew_report", "split_exact_counts", "equi_depth_histogram",
     "graph_pagerank", "triangle_cooccurrence", "funnel_stages",
     "stream_windowed_heavy_hitters",
     "inverted_index_postings", "zorder_layout_stats",
