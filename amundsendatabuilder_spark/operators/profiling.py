@@ -251,7 +251,11 @@ def equi_depth_histogram(df: DataFrame, value_col: str,
     over a TOTAL order (``order_cols`` break value ties — required for
     cross-engine determinism; pass the table's key columns). Returns
     (group..., bucket, n_rows, low, high). One window + one aggregation;
-    the window partitions by group, so strata compute in parallel."""
+    the window partitions by group, so strata compute in parallel — the
+    cost is one sort per group partition. At extreme per-group
+    cardinality swap ntile for two-pass sampled boundaries
+    (approx_percentile then a bucket-assign scan); the exact form here
+    is the verification path the sampled variant is checked against."""
     from pyspark.sql import Window
     order = [F.col(value_col)] + [F.col(c) for c in order_cols]
     w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(*order)
