@@ -106,3 +106,42 @@ def test_pagerank_iteration_plan_is_truncated(spark):
     # state is a checkpointed RDD scan + one contribution join's worth of
     # operators; a lineage blow-up would show multiple nested joins
     assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 3
+
+
+def test_kmeans_has_no_sort_merge_join(spark):
+    """Round-7 invariant: kmeans_fit's assignment pass carries vectors
+    through (keep_vec), so no Lloyd iteration re-joins the corpus — the
+    final plan must be SMJ-free (the removal was worth 3.2x at sf1)."""
+    from amundsendatabuilder_spark.plans.oracle_suite import QUERIES
+    plan = _plan(QUERIES["kmeans_centroids"](spark, "/root/testdata/sf0.001"))
+    assert "SortMergeJoin" not in plan
+
+
+def test_lineage_asof_diff_broadcasts_snapshot(spark):
+    """The AS-OF-day-5 closure (bounded side) must broadcast into the
+    anti-join, not shuffle both closures into an SMJ."""
+    from amundsendatabuilder_spark.plans.oracle_suite import QUERIES
+    plan = _plan(QUERIES["lineage_asof_diff"](spark, "/root/testdata/sf0.001"))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_budget_selection_prefix_sum_is_banded(spark):
+    """The global running total must come from the banded decomposition:
+    at most ONE single-partition exchange (the <=10^4-row band-offset
+    table), never the whole corpus through one partition."""
+    from amundsendatabuilder_spark.plans.oracle_suite import QUERIES
+    plan = _plan(QUERIES["budget_selection"](spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_capped_jaccard_keeps_prefix_shape(spark):
+    """The capped exact join must stay candidate-driven: no cartesian
+    product / nested-loop fallback, and the output cap's window adds no
+    global ordering (rank partitions by doc_a)."""
+    from amundsendatabuilder_spark.plans.oracle_suite import QUERIES
+    plan = _plan(QUERIES["jaccard_prefix_join_capped"](
+        spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
