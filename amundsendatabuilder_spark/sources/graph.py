@@ -82,7 +82,10 @@ def match_path(nodes: DataFrame, rels: DataFrame, *,
     inequalities (op in < <= > >= != =; numeric values compare
     numerically), and a fourth hop element gives the direction:
     ``("COLUMN", "Table", None, "in")`` is ``(prev)<-[:COLUMN]-(n:Table)``
-    — the reverse traversal — so mixed-direction patterns like
+    — the reverse traversal — and a fifth element carries relationship
+    property predicates (``("READ", "User", None, "out",
+    {"read_count": (">", 10)})`` is Cypher's ``-[r:READ]->`` ... ``WHERE
+    r.read_count > 10``), so mixed-direction patterns like
     ``(c:Column)<-[:COLUMN]-(t:Table)-[:COLUMN]->(c2:Column)`` compose
     hop by hop (the arbitrary-Cypher generality of the reference's
     Neo4jExtractor, extractor/neo4j_extractor.py:79-113).
@@ -102,6 +105,7 @@ def match_path(nodes: DataFrame, rels: DataFrame, *,
         rel_type, node_label, *rest = hop
         node_pred: dict | None = rest[0] if rest else None
         direction: str = rest[1] if len(rest) > 1 else "out"
+        rel_pred: dict | None = rest[2] if len(rest) > 2 else None
         assert direction in ("out", "in"), direction
         # "out": (prev)-[:T]->(n) stores prev as START; "in":
         # (prev)<-[:T]-(n) stores n as START — swap which rel key joins
@@ -117,6 +121,12 @@ def match_path(nodes: DataFrame, rels: DataFrame, *,
                        & (F.col("END_LABEL") == to_label))
         if publish_tag is not None:
             r = r.where(F.col("props").getItem("published_tag") == publish_tag)
+        if rel_pred:
+            # Cypher's WHERE on relationship properties — same scalar /
+            # ('op', value) spec as node predicates, pruning the rel set
+            # BEFORE the join
+            for k, v in rel_pred.items():
+                r = r.where(_prop_condition(F.col("props"), k, v))
         r = r.select(F.col(join_key).alias(f"_start{i}"),
                      F.col(node_key).alias(f"_end{i}"),
                      F.col("props").alias(f"r{i}_props"))

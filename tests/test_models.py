@@ -327,3 +327,28 @@ def test_match_var_path_rels_paths_and_pruning(spark):
              for r in pruned.collect()}
     assert ("a", "d", 2, ("1", "2")) in got_p
     assert all(all(int(w) < 5 for w in ws) for _, _, _, ws in got_p)
+
+
+def test_match_path_rel_property_predicate(tables_df):
+    """WHERE on relationship properties: HAS_BADGE rels carry no props
+    in the fixture, but COLUMN-hop rel predicates on published_tag-like
+    props must prune. Build a tiny graph with rel props directly."""
+    from pyspark.sql import functions as F
+    from amundsendatabuilder_spark.sources.graph import match_path
+    spark = tables_df.sparkSession
+    nodes = spark.createDataFrame(
+        [("t1", "Table"), ("u1", "User"), ("u2", "User")],
+        "KEY string, LABEL string").withColumn(
+        "props", F.create_map().cast("map<string,string>"))
+    rels = spark.createDataFrame(
+        [("t1", "Table", "u1", "User", "READ_BY", "5"),
+         ("t1", "Table", "u2", "User", "READ_BY", "50")],
+        "START_KEY string, START_LABEL string, END_KEY string, "
+        "END_LABEL string, TYPE string, n string").withColumn(
+        "props", F.map_from_arrays(F.array(F.lit("read_count")),
+                                   F.array(F.col("n")))).drop("n")
+    got = match_path(nodes, rels, start_label="Table",
+                     hops=[("READ_BY", "User", None, "out",
+                            {"read_count": (">", 10)})]).collect()
+    assert [r.n1_key for r in got] == ["u2"]
+    assert got[0].r1_props["read_count"] == "50"
