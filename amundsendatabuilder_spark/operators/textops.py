@@ -300,6 +300,76 @@ def vocab_topk(docs: DataFrame, k: int = 100,
     return top.withColumn("rank", F.row_number().over(w))
 
 
+def bpe_merges(docs: DataFrame, iters: int = 3, vocab_size: int = 200,
+               text_col: str = "text") -> DataFrame:
+    """Byte-pair-encoding tokenizer training — the greedy merge loop of
+    Sennrich et al. 2016, run entirely as DataFrame algebra. Returns the
+    learned merge table: (it, sym_a, sym_b, pair_count), one row per
+    iteration, in merge order.
+
+    The reference pipeline ships text to external tokenizers; training the
+    merges in-engine is the missing tokenizer-side operator of a training-
+    data pipeline. Shape per iteration over the word-frequency table (the
+    classic BPE trick — merge counts are over the DISTINCT-word table
+    weighted by frequency, never the raw corpus, so the iteration cost is
+    O(vocab) regardless of corpus size):
+      1. adjacent symbol pairs via one array transform (no shuffle),
+      2. weighted pair counts (map-side-combinable sum),
+      3. the argmax pair as a 1-row aggregate, crossJoin-broadcast back
+         (no driver collect),
+      4. merge applied with a single string replace.
+    Symbols are kept as a chr(1)-delimited string with sentinel padding,
+    so the merge is an unambiguous non-overlapping left-to-right
+    ``replace`` — byte-identical semantics in Spark and ANSI engines
+    (multi-char symbols can never false-match across a delimiter).
+    Determinism contract: pair-count ties break toward the
+    lexicographically LARGEST (a, b) (max of the (count, a, b) struct).
+
+    At 100 TB only step 0 (the word-frequency count) sees the corpus; the
+    loop itself runs on the vocab_size-row word table — executor-local
+    work after one broadcast per iteration. localCheckpoint per iteration
+    truncates the growing replace lineage (the kmeans/pagerank pattern).
+    """
+    sep = "\x01"
+    tok = docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
+    wf = (tok.groupBy("tok").agg(F.count("*").alias("freq"))
+          .orderBy(F.col("freq").desc(), F.col("tok")).limit(vocab_size))
+    words = wf.select(
+        "tok", "freq",
+        F.concat(F.lit(sep),
+                 F.regexp_replace(F.col("tok"), "(.)", "$1" + sep))
+        .alias("seq")).localCheckpoint()
+    merge_rows = []
+    for it in range(1, iters + 1):
+        syms = F.filter(F.split(F.col("seq"), sep), lambda t: t != "")
+        pairs_df = (words.select(F.col("freq"), syms.alias("syms"))
+                    .where(F.size("syms") >= 2)
+                    .select("freq", F.explode(F.expr(
+                        "transform(sequence(0, size(syms)-2), "
+                        "i -> struct(syms[i] AS a, syms[i+1] AS b))"))
+                        .alias("p")))
+        counts = (pairs_df.groupBy(F.col("p.a").alias("a"),
+                                   F.col("p.b").alias("b"))
+                  .agg(F.sum("freq").alias("cnt")))
+        best = (counts.agg(F.max(F.struct("cnt", "a", "b")).alias("m"))
+                .select(F.col("m.a").alias("a"), F.col("m.b").alias("b"),
+                        F.col("m.cnt").cast("long").alias("cnt")))
+        merge_rows.append(best.select(
+            F.lit(it).alias("it"), F.col("a").alias("sym_a"),
+            F.col("b").alias("sym_b"), F.col("cnt").alias("pair_count")))
+        pat = F.concat(F.lit(sep), F.col("a"), F.lit(sep), F.col("b"),
+                       F.lit(sep))
+        rep = F.concat(F.lit(sep), F.col("a"), F.col("b"), F.lit(sep))
+        words = (words.crossJoin(F.broadcast(best))
+                 .select("tok", "freq",
+                         F.replace(F.col("seq"), pat, rep).alias("seq"))
+                 .localCheckpoint())
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out
+
+
 def length_stats(docs: DataFrame, strata_col: str = "lang",
                  text_col: str = "text") -> DataFrame:
     """Per-stratum document-length distribution (exact linear-interpolation

@@ -5912,3 +5912,54 @@ def equi_depth_histogram_query(spark, sf_dir):
         n_buckets=10, order_cols=("l_orderkey", "l_linenumber"))
         .withColumn("bucket", F.col("bucket").cast("int"))
         .orderBy("l_returnflag", "bucket"))
+
+
+# ---------------------------------------------------------------------------
+# Round-7 continuation wave: tokenizer training, hybrid retrieval,
+# robust outliers, community detection
+# ---------------------------------------------------------------------------
+
+def _bpe_oracle(iters: int = 3, vocab_size: int = 200) -> str:
+    head = r"""
+WITH tok AS (SELECT unnest(""" + _LTOKS_SQL + r""") AS tok FROM documents),
+wf AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY 1
+       ORDER BY freq DESC, tok LIMIT """ + str(vocab_size) + r"""),
+w0 AS (SELECT tok, freq,
+              chr(1) || regexp_replace(tok, '(.)', '\1' || chr(1), 'g') AS seq
+       FROM wf)"""
+    its = []
+    for i in range(1, iters + 1):
+        p = f"w{i - 1}"
+        its.append(f"""
+l{i} AS (SELECT freq, list_filter(string_split(seq, chr(1)), x -> x <> '') AS l
+       FROM {p}),
+p{i} AS (SELECT l[j] AS a, l[j + 1] AS b, freq
+       FROM l{i}, unnest(range(1, len(l))) AS u(j)),
+c{i} AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM p{i} GROUP BY 1, 2),
+b{i} AS (SELECT a, b, cnt FROM c{i} ORDER BY cnt DESC, a DESC, b DESC LIMIT 1),
+w{i} AS (SELECT tok, freq,
+              replace(seq, chr(1) || b.a || chr(1) || b.b || chr(1),
+                           chr(1) || b.a || b.b || chr(1)) AS seq
+       FROM {p} CROSS JOIN b{i} b)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INT) AS it, a AS sym_a, b AS sym_b,"
+        f" cnt AS pair_count FROM b{i}" for i in range(1, iters + 1))
+    return head + "," + ",".join(its) + "\n" + union + "\nORDER BY it"
+
+
+@query("bpe_merge_training", _bpe_oracle())
+def bpe_merge_training(spark, sf_dir):
+    """BPE tokenizer merge training (textops.bpe_merges) — the greedy
+    pair-merge loop of Sennrich et al. 2016 as pure DataFrame algebra,
+    the tokenizer-side operator an LLM training-data pipeline needs
+    beyond the reference's metadata scope. The corpus is touched once
+    (word-frequency count); each of the 3 unrolled iterations then runs
+    on the 200-row word table: adjacent-pair transform (no shuffle),
+    map-side-combinable weighted count, 1-row argmax broadcast back, and
+    a delimiter-unambiguous string replace. Exact integers end to end;
+    the DuckDB twin replays delimiter encoding, pair extraction, the
+    (cnt DESC, a DESC, b DESC) tie-break, and the non-overlapping
+    left-to-right replace bit-for-bit."""
+    from amundsendatabuilder_spark.operators.textops import bpe_merges
+    (docs,) = _t(spark, sf_dir, "documents")
+    return bpe_merges(docs, iters=3, vocab_size=200).orderBy("it")

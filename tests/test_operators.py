@@ -1899,3 +1899,27 @@ def test_equi_depth_histogram_equal_counts_and_tight_bounds(spark):
     for a, b in zip(got, got[1:]):
         assert a.high <= b.low
     assert got[0].low == 0.0 and got[-1].high == 39.0 * 39.0
+
+
+def test_bpe_merges_greedy_order_and_overlap_semantics(spark):
+    from amundsendatabuilder_spark.operators.textops import bpe_merges
+    # 'aaab' x3 + 'ab' x2: iter1 best pair = (a,a) weighted 2*3=6 over
+    # (a,b) 3+2=5. Non-overlapping left-to-right merge turns 'a a a b'
+    # into 'aa a b' (NOT 'aa aa b'), so iter2 counts (aa,a)=3 and
+    # (a,b)=5 -> (a,b) wins.
+    rows = [(1, "aaab aaab aaab ab ab")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(bpe_merges(df, iters=2, vocab_size=10).collect(),
+                 key=lambda r: r.it)
+    assert (got[0].sym_a, got[0].sym_b, got[0].pair_count) == ("a", "a", 6)
+    assert (got[1].sym_a, got[1].sym_b, got[1].pair_count) == ("a", "b", 5)
+
+
+def test_bpe_merges_tie_breaks_to_largest_pair(spark):
+    from amundsendatabuilder_spark.operators.textops import bpe_merges
+    # 'xy' and 'ab' each occur twice -> counts tie at 2; contract says
+    # the lexicographically largest (a, b) struct wins: (x, y).
+    df = spark.createDataFrame([(1, "xy ab xy ab")],
+                               "doc_id long, text string")
+    got = bpe_merges(df, iters=1, vocab_size=10).collect()[0]
+    assert (got.sym_a, got.sym_b, got.pair_count) == ("x", "y", 2)
