@@ -110,3 +110,40 @@ def build_postings(docs: DataFrame, min_df: int = 1,
                                            s["tf"].cast("string"))))
                  .alias("postings"))
             .where(F.col("df") >= min_df))
+
+
+def rrf_fuse(ranked: dict[str, DataFrame], id_col: str = "doc_id",
+             rank_col: str = "rank", k0: int = 60, k: int = 10) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack & Clarke 2009) of named rank lists
+    — the hybrid-retrieval combiner for BM25 + vector search: score(d) =
+    Σ_systems 1e6 DIV (k0 + rank_s(d)) in exact integer micro-units, so
+    the fusion is order-free and hash-reproducible cross-engine (float
+    RRF sums would depend on join order).
+
+    Input: {system_name: DataFrame with (id_col, rank_col)} — each a
+    top-k list, so every side is k rows and the outer-join chain is a
+    broadcast cascade regardless of corpus size (the expensive part of
+    hybrid search is the per-system retrieval, not the fusion). Output:
+    (doc_id, <system>_rank ... nullable, rrf_score, fused_rank), top-k
+    by (rrf_score DESC, doc_id).
+    """
+    assert ranked, "need at least one ranked list"
+    out = None
+    names = list(ranked)
+    for name in names:
+        side = ranked[name].select(
+            F.col(id_col).alias("doc_id"),
+            F.col(rank_col).cast("int").alias(f"{name}_rank"))
+        out = side if out is None else out.join(
+            F.broadcast(side), "doc_id", "full_outer")
+    score = None
+    for name in names:
+        part = F.coalesce(
+            F.expr(f"CAST(1000000 DIV (CAST({k0} AS BIGINT) + {name}_rank)"
+                   f" AS BIGINT)"),
+            F.lit(0).cast("long"))
+        score = part if score is None else score + part
+    fused = out.withColumn("rrf_score", score.cast("long"))
+    topk = fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id")).limit(k)
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+    return topk.withColumn("fused_rank", F.row_number().over(w))

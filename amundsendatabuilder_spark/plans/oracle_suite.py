@@ -5963,3 +5963,68 @@ def bpe_merge_training(spark, sf_dir):
     from amundsendatabuilder_spark.operators.textops import bpe_merges
     (docs,) = _t(spark, sf_dir, "documents")
     return bpe_merges(docs, iters=3, vocab_size=200).orderBy("it")
+
+
+@query("hybrid_rrf_fusion", r"""
+WITH base AS (SELECT doc_id,
+                     list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                 x -> x <> '') AS tk
+              FROM documents),
+len AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM len),
+hits AS (SELECT doc_id, unnest(tk) AS term FROM base),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       FROM hits WHERE term IN ('hash', 'join', 'merge', 'sort')
+       GROUP BY 1, 2),
+dfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+part AS (SELECT tf.doc_id, tf.term,
+                round(ln(1 + (s.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+                      * (tf.tf * 2.2)
+                      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)),
+                      9) AS part
+         FROM tf JOIN dfx USING (term)
+         JOIN len l ON tf.doc_id = l.doc_id
+         CROSS JOIN stats s),
+summed AS (SELECT doc_id, round(list_sum(list(part ORDER BY term)), 6) AS score
+           FROM part GROUP BY doc_id),
+bm AS (SELECT doc_id,
+              CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+                  AS bm25_rank
+       FROM summed ORDER BY score DESC, doc_id LIMIT 20),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+      WHERE vec_id <> 0),
+sc AS (SELECT vec_id AS doc_id,
+              round(list_cosine_similarity(qv, cv), 6) AS cos
+       FROM c CROSS JOIN q),
+cr AS (SELECT doc_id,
+              CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT)
+                  AS cos_rank
+       FROM sc ORDER BY cos DESC, doc_id LIMIT 20),
+f AS (SELECT coalesce(bm.doc_id, cr.doc_id) AS doc_id,
+             bm.bm25_rank, cr.cos_rank,
+             CAST(coalesce(1000000 // (60 + bm.bm25_rank), 0)
+                + coalesce(1000000 // (60 + cr.cos_rank), 0) AS BIGINT)
+                 AS rrf_score
+      FROM bm FULL OUTER JOIN cr ON bm.doc_id = cr.doc_id)
+SELECT doc_id, bm25_rank, cos_rank, rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT)
+           AS fused_rank
+FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10
+""")
+def hybrid_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval: BM25 top-20 fused with embedding-cosine top-20
+    by reciprocal-rank fusion (operators/ranking.rrf_fuse) — the standard
+    lexical+vector combiner (Cormack & Clarke 2009), with the fixture
+    contract doc_id == vec_id. RRF scores are exact integer micro-units
+    (1e6 DIV (60 + rank)) so the fusion is order-free; each fused side is
+    a k-row list, so the outer-join cascade broadcasts regardless of
+    corpus size. The expensive retrieval legs reuse the suite's verified
+    bm25_topk and brute_force_topk plans."""
+    from amundsendatabuilder_spark.operators.ranking import bm25_topk, rrf_fuse
+    docs, emb = _t(spark, sf_dir, "documents", "embeddings")
+    bm = bm25_topk(docs, "hash join merge sort", k=20).select("doc_id", "rank")
+    cos = (similarity.brute_force_topk(
+        emb, emb.where(F.col("vec_id") == 0), k=20)
+        .select(F.col("neighbor_id").alias("doc_id"), "rank"))
+    return rrf_fuse({"bm25": bm, "cos": cos}, k0=60, k=10)

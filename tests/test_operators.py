@@ -1923,3 +1923,18 @@ def test_bpe_merges_tie_breaks_to_largest_pair(spark):
                                "doc_id long, text string")
     got = bpe_merges(df, iters=1, vocab_size=10).collect()[0]
     assert (got.sym_a, got.sym_b, got.pair_count) == ("x", "y", 2)
+
+
+def test_rrf_fuse_integer_scores_and_missing_ranks(spark):
+    from amundsendatabuilder_spark.operators.ranking import rrf_fuse
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank int")
+    b = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, rank int")
+    got = {r.doc_id: r for r in
+           rrf_fuse({"sys_a": a, "sys_b": b}, k0=60, k=10).collect()}
+    # doc 2 is in both lists: 1e6//62 + 1e6//61
+    assert got[2].rrf_score == 1_000_000 // 62 + 1_000_000 // 61
+    assert got[2].fused_rank == 1
+    # docs 1 and 3 each appear once; doc 1 (rank 1) beats doc 3 (rank 2)
+    assert got[1].rrf_score == 1_000_000 // 61 and got[1].sys_b_rank is None
+    assert got[3].rrf_score == 1_000_000 // 62 and got[3].sys_a_rank is None
+    assert (got[1].fused_rank, got[3].fused_rank) == (2, 3)
