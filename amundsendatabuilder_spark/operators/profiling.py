@@ -265,3 +265,49 @@ def equi_depth_histogram(df: DataFrame, value_col: str,
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.min(value_col).alias("low"),
                  F.max(value_col).alias("high")))
+
+
+def mad_outliers(df: DataFrame, value_col: str, group_col: str,
+                 order_col: str, k_times_10: int = 30) -> DataFrame:
+    """Robust per-group outlier profile via median / MAD (median absolute
+    deviation) — the outlier statistic that, unlike mean/stddev z-scores,
+    a single corrupt row cannot drag (50% breakdown point). Flags values
+    with |x − median| · 10 > k_times_10 · MAD, i.e. the classic
+    |z_robust| > k rule with k in tenths so the comparison stays in exact
+    integer cross-multiplication (no float division to disagree across
+    engines).
+
+    Medians are DISCRETE — the value at row ⌈n/2⌉ of the total order
+    (value_col, order_col) — not interpolated, so they exist in the data
+    and stay integers. Output: (group, n_rows, med, mad, n_outliers).
+
+    Scale shape: two rank windows partitioned by group (value rank, then
+    deviation rank) + one final group-by — all shuffles are on group_col,
+    and each window carries only (group, long, long) rows. Skewed group
+    sizes are AQE-splittable; there is no global sort.
+    """
+    from pyspark.sql import Window
+    g, v = F.col(group_col), F.col(value_col).cast("long")
+    ranked = df.select(g.alias("grp"), v.alias("v"),
+                       F.col(order_col).alias("o")) \
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("grp").orderBy("v", "o"))) \
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("grp")))
+    med = (ranked.where(F.col("rn") == F.expr("(n + 1) DIV 2"))
+           .groupBy("grp").agg(F.min("v").alias("med")))
+    dev = (ranked.join(med, "grp")
+           .select("grp", "v", "o", "med",
+                   F.abs(F.col("v") - F.col("med")).alias("dev")))
+    dev_ranked = dev.withColumn("rn", F.row_number().over(
+        Window.partitionBy("grp").orderBy("dev", "o"))) \
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("grp")))
+    mad = (dev_ranked.where(F.col("rn") == F.expr("(n + 1) DIV 2"))
+           .groupBy("grp").agg(F.min("dev").alias("mad")))
+    return (dev.join(mad, "grp")
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("med").alias("med"), F.min("mad").alias("mad"),
+                 F.sum(F.when(F.col("dev") * 10 > k_times_10 * F.col("mad"),
+                              1).otherwise(0)).cast("long")
+                 .alias("n_outliers"))
+            .withColumnRenamed("grp", group_col))

@@ -6028,3 +6028,41 @@ def hybrid_rrf_fusion(spark, sf_dir):
         emb, emb.where(F.col("vec_id") == 0), k=20)
         .select(F.col("neighbor_id").alias("doc_id"), "rank"))
     return rrf_fuse({"bm25": bm, "cos": cos}, k0=60, k=10)
+
+
+@query("mad_outliers", r"""
+WITH r AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS v, doc_id AS o,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY n_chars, doc_id) AS rn,
+                  count(*) OVER (PARTITION BY source) AS n
+           FROM documents),
+med AS (SELECT grp, min(v) AS med FROM r WHERE rn = (n + 1) // 2 GROUP BY grp),
+dev AS (SELECT r.grp, r.v, r.o, m.med, abs(r.v - m.med) AS dev
+        FROM r JOIN med m ON r.grp = m.grp),
+dr AS (SELECT grp, dev, o,
+              row_number() OVER (PARTITION BY grp ORDER BY dev, o) AS rn,
+              count(*) OVER (PARTITION BY grp) AS n
+       FROM dev),
+mad AS (SELECT grp, min(dev) AS mad FROM dr WHERE rn = (n + 1) // 2
+        GROUP BY grp)
+SELECT d.grp AS source, CAST(count(*) AS BIGINT) AS n_rows,
+       min(d.med) AS med, min(m.mad) AS mad,
+       CAST(sum(CASE WHEN d.dev * 10 > 30 * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON d.grp = m.grp
+GROUP BY d.grp ORDER BY source
+""")
+def mad_outliers_query(spark, sf_dir):
+    """Robust per-source document-length outliers
+    (profiling.mad_outliers): discrete median + MAD with the
+    |x − med|·10 > 30·MAD integer cross-multiplied rule (k = 3.0 in
+    tenths) — the data-quality screen mean/stddev z-scores fail on
+    (one corrupt row drags a mean; the median has a 50% breakdown
+    point). Two group-partitioned rank windows + one aggregate; only
+    (group, long) rows shuffle. Hash-verified: the twin replays rank
+    selection, deviations, and the cross-multiplied flag exactly."""
+    from amundsendatabuilder_spark.operators.profiling import mad_outliers
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (mad_outliers(docs, "n_chars", "source", "doc_id",
+                         k_times_10=30)
+            .orderBy("source"))

@@ -1938,3 +1938,29 @@ def test_rrf_fuse_integer_scores_and_missing_ranks(spark):
     assert got[1].rrf_score == 1_000_000 // 61 and got[1].sys_b_rank is None
     assert got[3].rrf_score == 1_000_000 // 62 and got[3].sys_a_rank is None
     assert (got[1].fused_rank, got[3].fused_rank) == (2, 3)
+
+
+def test_mad_outliers_median_mad_and_flags(spark):
+    from amundsendatabuilder_spark.operators.profiling import mad_outliers
+    # values 1..9 plus a wild 1000: med of 10 values = 5 (row 5 of the
+    # sorted order), deviations sorted = [0,1,1,2,2,3,3,4,995] + |5-5|=0
+    # -> MAD = discrete median of deviations; 1000 must be flagged.
+    rows = [("g", v, i) for i, v in enumerate([1,2,3,4,5,6,7,8,9,1000])]
+    df = spark.createDataFrame(rows, "grp string, v long, o long")
+    got = mad_outliers(df, "v", "grp", "o", k_times_10=30).collect()[0]
+    assert got.n_rows == 10 and got.med == 5
+    # deviations: [4,3,2,1,0,1,2,3,4,995] sorted -> row 5 (=(10+1)//2) = 2
+    assert got.mad == 2
+    # outliers: dev*10 > 30*2=60 -> dev > 6 -> only 995
+    assert got.n_outliers == 1
+
+
+def test_mad_outliers_robust_where_zscore_is_not(spark):
+    from amundsendatabuilder_spark.operators.profiling import mad_outliers
+    # two wild points inflate a stddev-based screen's sigma; MAD still
+    # flags both because the median statistics ignore them
+    vals = list(range(100, 121)) + [10_000, 20_000]
+    rows = [("g", v, i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "grp string, v long, o long")
+    got = mad_outliers(df, "v", "grp", "o", k_times_10=30).collect()[0]
+    assert got.n_outliers == 2
