@@ -283,3 +283,43 @@ def triangle_counts(edges: DataFrame,
     per_node = (tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
                 .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles")))
     return per_node
+
+
+def label_propagation(edges: DataFrame, iters: int = 3,
+                      src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) — community
+    detection over an undirected graph, returning (node, label) after
+    ``iters`` full-graph sweeps. Deterministic variant: every node starts
+    labeled with its own id; each sweep relabels every node with its
+    neighbors' most frequent label, ties broken toward the SMALLEST
+    label — so unlike the randomized textbook version, two runs (and two
+    engines) produce identical labelings and the result is
+    hash-verifiable.
+
+    Per sweep: one (node, long) join of labels against the symmetrized
+    edge list partitioned by src, then a (node, label) count whose argmax
+    is a min-of-struct aggregate ((−cnt, label) — map-side combinable,
+    no rank window over the full adjacency). Shuffle payload is id pairs
+    throughout; label state is 16 bytes/node. localCheckpoint per sweep
+    truncates the iterative lineage (the pagerank/kmeans pattern).
+    """
+    sym = (edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+           .where(F.col("u") != F.col("v")))
+    sym = (sym.unionByName(sym.select(F.col("v").alias("u"),
+                                      F.col("u").alias("v")))
+           .distinct().localCheckpoint())
+    labels = (sym.select(F.col("u").alias("node")).distinct()
+              .select("node", F.col("node").alias("label")))
+    for _ in range(iters):
+        nbr = (sym.join(labels, sym["v"] == labels["node"])
+               .select(F.col("u").alias("n"), "label"))
+        counts = (nbr.groupBy("n", "label")
+                  .agg(F.count(F.lit(1)).alias("cnt")))
+        labels = (counts.groupBy("n")
+                  .agg(F.min(F.struct((-F.col("cnt")).alias("nc"),
+                                      F.col("label"))).alias("m"))
+                  .select(F.col("n").alias("node"),
+                          F.col("m.label").alias("label"))
+                  .localCheckpoint())
+    sym.unpersist()
+    return labels

@@ -6066,3 +6066,47 @@ def mad_outliers_query(spark, sf_dir):
     return (mad_outliers(docs, "n_chars", "source", "doc_id",
                          k_times_10=30)
             .orderBy("source"))
+
+
+def _lpa_oracle(iters: int = 3) -> str:
+    head = r"""
+WITH keys AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+e0 AS (SELECT b.k AS src, a.k AS dst
+       FROM keys a JOIN keys b ON b.k = a.k - (a.k % 10)
+       WHERE a.k % 10 <> 0),
+sym AS (SELECT src AS u, dst AS v FROM e0
+        UNION SELECT dst AS u, src AS v FROM e0),
+l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym)"""
+    its = []
+    for i in range(1, iters + 1):
+        its.append(f"""
+n{i} AS (SELECT s.u AS node, l.label, count(*) AS cnt
+       FROM sym s JOIN l{i - 1} l ON l.node = s.v GROUP BY 1, 2),
+l{i} AS (SELECT node, label FROM (
+         SELECT node, label,
+                row_number() OVER (PARTITION BY node
+                                   ORDER BY cnt DESC, label) AS rn
+         FROM n{i}) WHERE rn = 1)""")
+    return (head + "," + ",".join(its)
+            + f"\nSELECT node, label FROM l{iters} ORDER BY node")
+
+
+@query("graph_label_propagation", _lpa_oracle())
+def graph_label_propagation(spark, sf_dir):
+    """Community detection by deterministic synchronous label propagation
+    (graph_algo.label_propagation) over a star graph synthesized from
+    order keys (hub k−k%10 ← spokes) — the communities a catalog would
+    mine from its table-affinity graph (co-usage, co-lineage). Ties break
+    (count DESC, label ASC) via a min-of-struct aggregate, so the
+    labeling is engine-reproducible; the DuckDB twin unrolls the same 3
+    sweeps. Per sweep: one id-pair join + one map-side-combinable argmax
+    — no rank window over the adjacency, 16-byte label state per node."""
+    from amundsendatabuilder_spark.operators.graph_algo import (
+        label_propagation)
+    (orders,) = _t(spark, sf_dir, "orders")
+    keys_df = orders.select(F.col("o_orderkey").alias("k")).distinct()
+    a, b = keys_df.alias("a"), keys_df.alias("b")
+    edges = (a.where(F.col("a.k") % 10 != 0)
+             .join(b, F.col("b.k") == F.col("a.k") - (F.col("a.k") % 10))
+             .select(F.col("b.k").alias("src"), F.col("a.k").alias("dst")))
+    return label_propagation(edges, iters=3).orderBy("node")

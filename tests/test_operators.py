@@ -1964,3 +1964,26 @@ def test_mad_outliers_robust_where_zscore_is_not(spark):
     df = spark.createDataFrame(rows, "grp string, v long, o long")
     got = mad_outliers(df, "v", "grp", "o", k_times_10=30).collect()[0]
     assert got.n_outliers == 2
+
+
+def test_label_propagation_converges_on_two_cliques(spark):
+    from amundsendatabuilder_spark.operators.graph_algo import (
+        label_propagation)
+    # two triangles bridged by one edge: after convergence each triangle
+    # carries ONE label and the two communities stay distinct (the bridge
+    # is outvoted by the 2 in-clique neighbors). With the min-label
+    # tie-break, iteration-1 ties pull small labels across the bridge, so
+    # the second community converges to label 3 — deterministic, but not
+    # its own min member id; the community PARTITION is the contract.
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(10, 11), (11, 12), (10, 12)]
+    bridge = [(3, 10)]
+    df = spark.createDataFrame(tri1 + tri2 + bridge, "src long, dst long")
+    got = {r.node: r.label for r in label_propagation(df, iters=4).collect()}
+    assert got[1] == got[2] == got[3]
+    assert got[10] == got[11] == got[12]
+    assert got[1] != got[10]
+    # deterministic across runs
+    again = {r.node: r.label
+             for r in label_propagation(df, iters=4).collect()}
+    assert got == again
