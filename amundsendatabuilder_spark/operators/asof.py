@@ -233,3 +233,36 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
                     .alias("overlap_us"))
             .distinct())
     return cand
+
+
+def cdc_apply(snapshot: DataFrame, changelog: DataFrame, *,
+              key_col: str, seq_col: str = "seq", op_col: str = "op",
+              payload_cols: "list[str]") -> DataFrame:
+    """Apply a change-data-capture log to a base snapshot — the MERGE /
+    upsert compaction every incremental ingestion pipeline runs before a
+    table is queryable. ``changelog`` rows are (key, seq, op, payload...)
+    with op 'U' (upsert) or 'D' (delete); higher ``seq`` wins per key,
+    ties broken toward the changelog over the base and then by op 'U' <
+    'D' (a same-seq delete beats the upsert, the usual debezium-compaction
+    contract). The snapshot participates as seq = −1 upserts, so one
+    (key)-partitioned rank window resolves everything: keep rn = 1, drop
+    rows whose winner is a delete.
+
+    Scale shape: ONE shuffle on the key for union+window — no join, no
+    per-key iteration; the payload rides the shuffle once. Skewed hot
+    keys (one key updated millions of times) are bounded by AQE skew
+    split; state never accumulates because rn = 1 prunes per partition.
+    """
+    base = snapshot.select(
+        F.col(key_col).alias("k"), F.lit(-1).cast("long").alias("s"),
+        F.lit("U").alias("o"), *[F.col(c) for c in payload_cols])
+    log = changelog.select(
+        F.col(key_col).alias("k"), F.col(seq_col).cast("long").alias("s"),
+        F.col(op_col).alias("o"), *[F.col(c) for c in payload_cols])
+    unioned = base.unionByName(log)
+    # o ASC puts 'D' before 'U', so a same-seq delete wins the tie
+    w = Window.partitionBy("k").orderBy(F.col("s").desc(), F.col("o").asc())
+    resolved = (unioned.withColumn("rn", F.row_number().over(w))
+                .where((F.col("rn") == 1) & (F.col("o") == "U")))
+    return resolved.select(F.col("k").alias(key_col),
+                           *[F.col(c) for c in payload_cols])

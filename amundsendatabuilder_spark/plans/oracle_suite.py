@@ -6110,3 +6110,52 @@ def graph_label_propagation(spark, sf_dir):
              .join(b, F.col("b.k") == F.col("a.k") - (F.col("a.k") % 10))
              .select(F.col("b.k").alias("src"), F.col("a.k").alias("dst")))
     return label_propagation(edges, iters=3).orderBy("node")
+
+
+@query("cdc_upsert_apply", r"""
+WITH base AS (SELECT c_custkey AS k, CAST(-1 AS BIGINT) AS s, 'U' AS o,
+                     c_name, c_acctbal
+              FROM customer),
+ups AS (SELECT o_custkey AS k, CAST(o_orderkey AS BIGINT) AS s, 'U' AS o,
+               'updated-' || CAST(o_custkey AS VARCHAR) AS c_name,
+               o_totalprice AS c_acctbal
+        FROM orders WHERE o_orderkey % 5 = 0),
+dels AS (SELECT o_custkey AS k, CAST(o_orderkey AS BIGINT) AS s, 'D' AS o,
+                CAST(NULL AS VARCHAR) AS c_name,
+                CAST(NULL AS DOUBLE) AS c_acctbal
+         FROM orders WHERE o_orderkey % 7 = 0),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM ups
+      UNION ALL SELECT * FROM dels),
+r AS (SELECT *, row_number() OVER (PARTITION BY k
+                                   ORDER BY s DESC, o ASC) AS rn FROM u)
+SELECT k AS c_custkey, c_name, c_acctbal
+FROM r WHERE rn = 1 AND o = 'U' ORDER BY c_custkey
+""")
+def cdc_upsert_apply(spark, sf_dir):
+    """Change-data-capture MERGE compaction (operators/asof.cdc_apply):
+    a customer snapshot plus an upsert/delete changelog synthesized from
+    orders (orderkey%5 → upsert at seq orderkey, %7 → delete; %35 rows
+    exercise the same-seq delete-beats-upsert tie). ONE key-partitioned
+    union+rank window resolves last-writer-wins — no join, payload rides
+    the shuffle once; hot keys split by AQE. The post-apply snapshot is
+    hash-verified against the twin's identical rank formulation."""
+    from amundsendatabuilder_spark.operators.asof import cdc_apply
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    snap = cust.select("c_custkey", "c_name", "c_acctbal")
+    ups = (orders.where(F.col("o_orderkey") % 5 == 0)
+           .select(F.col("o_custkey").alias("c_custkey"),
+                   F.col("o_orderkey").alias("seq"), F.lit("U").alias("op"),
+                   F.concat(F.lit("updated-"),
+                            F.col("o_custkey").cast("string"))
+                   .alias("c_name"),
+                   F.col("o_totalprice").alias("c_acctbal")))
+    dels = (orders.where(F.col("o_orderkey") % 7 == 0)
+            .select(F.col("o_custkey").alias("c_custkey"),
+                    F.col("o_orderkey").alias("seq"),
+                    F.lit("D").alias("op"),
+                    F.lit(None).cast("string").alias("c_name"),
+                    F.lit(None).cast("double").alias("c_acctbal")))
+    log = ups.unionByName(dels)
+    return (cdc_apply(snap, log, key_col="c_custkey",
+                      payload_cols=["c_name", "c_acctbal"])
+            .orderBy("c_custkey"))

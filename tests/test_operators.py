@@ -1987,3 +1987,28 @@ def test_label_propagation_converges_on_two_cliques(spark):
     again = {r.node: r.label
              for r in label_propagation(df, iters=4).collect()}
     assert got == again
+
+
+def test_cdc_apply_upsert_delete_and_tie_semantics(spark):
+    from amundsendatabuilder_spark.operators.asof import cdc_apply
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, val string")
+    log = spark.createDataFrame(
+        [(1, 5, "U", "a2"),     # plain update
+         (2, 5, "D", None),     # delete
+         (3, 5, "U", "c2"), (3, 5, "D", None),  # same-seq tie -> D wins
+         (3, 6, "U", "c3"),     # later upsert resurrects the key
+         (4, 1, "U", "new")],   # insert of an unseen key
+        "k long, seq long, op string, val string")
+    got = {r.k: r.val for r in cdc_apply(
+        snap, log, key_col="k", payload_cols=["val"]).collect()}
+    assert got == {1: "a2", 3: "c3", 4: "new"}
+
+
+def test_cdc_apply_untouched_rows_survive(spark):
+    from amundsendatabuilder_spark.operators.asof import cdc_apply
+    snap = spark.createDataFrame([(1, "a"), (2, "b")], "k long, val string")
+    log = spark.createDataFrame([], "k long, seq long, op string, val string")
+    got = {r.k: r.val for r in cdc_apply(
+        snap, log, key_col="k", payload_cols=["val"]).collect()}
+    assert got == {1: "a", 2: "b"}
