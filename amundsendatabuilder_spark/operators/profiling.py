@@ -311,3 +311,35 @@ def mad_outliers(df: DataFrame, value_col: str, group_col: str,
                               1).otherwise(0)).cast("long")
                  .alias("n_outliers"))
             .withColumnRenamed("grp", group_col))
+
+
+def expectation_audit(df: DataFrame,
+                      checks: "list[tuple[str, str]]") -> DataFrame:
+    """Declarative data-contract audit — run a list of named boolean
+    expectations (SQL expression strings) over a table in ONE pass and
+    report per-check failure counts: (check_name, n_rows, n_failed,
+    fail_ppm). A row fails a check when the expression is false OR null
+    (an expectation that cannot be evaluated is not met) — the
+    great-expectations-style validation gate a pipeline runs before
+    publishing a table version.
+
+    All checks compile into a single wide aggregate (every counter is
+    map-side combinable) and `stack` unpivots to one row per check, so
+    auditing 50 expectations over 100 TB costs one scan — the same
+    one-pass shape as profile_columns. fail_ppm is exact integer DIV —
+    order-free, hash-verifiable.
+    """
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for name, expr in checks:
+        ok = F.expr(expr)
+        aggs.append(F.sum(F.when(ok.isNull() | ~ok, 1).otherwise(0))
+                    .alias(f"{name}__failed"))
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(f"'{name}', `{name}__failed`"
+                           for name, _ in checks)
+    return (wide.select(
+        F.col("__rows").alias("n_rows"),
+        F.expr(f"stack({len(checks)}, {stack_args}) "
+               "AS (check_name, n_failed)"))
+        .select("check_name", "n_rows", "n_failed",
+                F.expr("n_failed * 1000000 DIV n_rows").alias("fail_ppm")))

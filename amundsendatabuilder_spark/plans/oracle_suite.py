@@ -6159,3 +6159,53 @@ def cdc_upsert_apply(spark, sf_dir):
     return (cdc_apply(snap, log, key_col="c_custkey",
                       payload_cols=["c_name", "c_acctbal"])
             .orderBy("c_custkey"))
+
+
+@query("expectation_audit", r"""
+WITH c AS (SELECT
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE)
+            THEN 1 ELSE 0 END) AS BIGINT) AS f_pos,
+  CAST(sum(CASE WHEN NOT coalesce(o_totalprice < 200000, FALSE)
+            THEN 1 ELSE 0 END) AS BIGINT) AS f_cap,
+  CAST(sum(CASE WHEN NOT coalesce(o_orderstatus IN ('O','F','P'), FALSE)
+            THEN 1 ELSE 0 END) AS BIGINT) AS f_status,
+  CAST(sum(CASE WHEN NOT coalesce(regexp_matches(o_orderpriority, '^[1-5]-'),
+                                  FALSE)
+            THEN 1 ELSE 0 END) AS BIGINT) AS f_prio,
+  CAST(sum(CASE WHEN NOT coalesce(
+               o_orderdate >= TIMESTAMP '1992-01-01 00:00:00'
+               AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00', FALSE)
+            THEN 1 ELSE 0 END) AS BIGINT) AS f_date
+  FROM orders)
+SELECT check_name, n_rows, n_failed,
+       n_failed * 1000000 // n_rows AS fail_ppm
+FROM (SELECT 'totalprice_positive' AS check_name, n_rows, f_pos AS n_failed
+      FROM c
+      UNION ALL SELECT 'totalprice_under_cap', n_rows, f_cap FROM c
+      UNION ALL SELECT 'status_known', n_rows, f_status FROM c
+      UNION ALL SELECT 'priority_format', n_rows, f_prio FROM c
+      UNION ALL SELECT 'date_in_range', n_rows, f_date FROM c)
+ORDER BY check_name
+""")
+def expectation_audit_query(spark, sf_dir):
+    """Declarative data-contract audit (profiling.expectation_audit):
+    five named expectations — positivity, range cap, set membership,
+    regex format, timestamp window — compiled into ONE wide aggregate
+    over orders and unpivoted to (check_name, n_rows, n_failed,
+    fail_ppm). Null-result expectations count as failures. One scan
+    regardless of check count; every counter map-side combinable; exact
+    integer ppm."""
+    from amundsendatabuilder_spark.operators.profiling import (
+        expectation_audit)
+    (orders,) = _t(spark, sf_dir, "orders")
+    checks = [
+        ("totalprice_positive", "o_totalprice > 0"),
+        ("totalprice_under_cap", "o_totalprice < 200000"),
+        ("status_known", "o_orderstatus IN ('O','F','P')"),
+        ("priority_format", "o_orderpriority RLIKE '^[1-5]-'"),
+        ("date_in_range",
+         "o_orderdate >= TIMESTAMP'1992-01-01 00:00:00' AND "
+         "o_orderdate < TIMESTAMP'1999-01-01 00:00:00'"),
+    ]
+    return expectation_audit(orders, checks).orderBy("check_name")

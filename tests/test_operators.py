@@ -2012,3 +2012,20 @@ def test_cdc_apply_untouched_rows_survive(spark):
     got = {r.k: r.val for r in cdc_apply(
         snap, log, key_col="k", payload_cols=["val"]).collect()}
     assert got == {1: "a", 2: "b"}
+
+
+def test_expectation_audit_null_counts_as_failure(spark):
+    from amundsendatabuilder_spark.operators.profiling import (
+        expectation_audit)
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (-5, None)], "v long, s string")
+    got = {r.check_name: r for r in expectation_audit(df, [
+        ("v_positive", "v > 0"),
+        ("s_not_null", "s IS NOT NULL"),
+    ]).collect()}
+    # v > 0: row2 null -> failed, row3 -5 -> failed
+    assert got["v_positive"].n_failed == 2
+    assert got["v_positive"].n_rows == 3
+    # IS NOT NULL never returns null; one failure
+    assert got["s_not_null"].n_failed == 1
+    assert got["s_not_null"].fail_ppm == 333333
