@@ -6209,3 +6209,35 @@ def expectation_audit_query(spark, sf_dir):
          "o_orderdate < TIMESTAMP'1999-01-01 00:00:00'"),
     ]
     return expectation_audit(orders, checks).orderBy("check_name")
+
+
+@query("stream_static_enrich", """
+WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events),
+g AS (SELECT date_trunc('hour', e.ts) AS window_start,
+             c.c_mktsegment AS segment,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT)
+                 AS value_cents
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY 1, 2)
+SELECT window_start, segment, n_events, value_cents
+FROM g, wm WHERE g.window_start + INTERVAL 1 HOUR <= wm.w
+""")
+def stream_static_enrich_query(spark, sf_dir):
+    """Stream-static dimension enrichment
+    (streaming/events.stream_static_enrich): the event stream joins the
+    broadcast customer dimension (STATELESS in Structured Streaming —
+    only the windowed rollup holds state, bounded by the watermark),
+    then aggregates n_events + exact integer value_cents per
+    (hour, market segment). Hash-verified: the oracle is the batch
+    join+rollup restricted to the append-mode emission frontier
+    (window end ≤ max event time − 2h), pinning join, rollup, and
+    watermark semantics together."""
+    import tempfile
+
+    from amundsendatabuilder_spark.streaming.events import (
+        run_to_memory, stream_static_enrich)
+    (cust,) = _t(spark, sf_dir, "customer")
+    enriched = stream_static_enrich(_event_stream(spark, sf_dir), cust)
+    name = "sse_" + next(tempfile._get_candidate_names())
+    return run_to_memory(enriched, spark, name, tempfile.mkdtemp())

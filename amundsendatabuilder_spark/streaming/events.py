@@ -253,3 +253,35 @@ def lateness_profile(events: DataFrame,
                     .alias(f"n_late_{t}us"))
     aggs.append(F.max("_lateness").alias("max_lateness_us"))
     return lat.groupBy("event_type").agg(*aggs)
+
+
+def stream_static_enrich(events: DataFrame, dim: DataFrame,
+                         key_col: str = "user_id",
+                         dim_key: str = "c_custkey",
+                         attr_col: str = "c_mktsegment",
+                         window: str = "1 hour",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Stream-static enrichment join + windowed rollup — the standard
+    "enrich events with a dimension, aggregate by its attribute" shape.
+    The static side is broadcast (stream-static equi-joins are STATELESS
+    in Structured Streaming: each micro-batch probes the dimension,
+    nothing accumulates in the state store), so at 100 TB/day of events
+    the only stateful operator remains the windowed aggregation, whose
+    state is bounded by the watermark as usual.
+
+    Output per (window_start, segment): n_events and value_cents —
+    Σ floor(value·100) as exact integers, so the rollup is order-free
+    under shuffle and micro-batch replay (a float Σ value would not be).
+    """
+    d = dim.select(F.col(dim_key).alias(key_col),
+                   F.col(attr_col).alias("segment"))
+    return (
+        events.withWatermark("ts", watermark)
+        .join(F.broadcast(d), key_col)
+        .groupBy(F.window("ts", window).alias("w"), F.col("segment"))
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.floor(F.col("value") * 100).cast("long"))
+             .alias("value_cents"))
+        .select(F.col("w.start").alias("window_start"), "segment",
+                "n_events", "value_cents")
+    )

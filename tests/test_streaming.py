@@ -465,3 +465,33 @@ def test_lateness_profile_counts_thresholds(spark):
     assert r.n_late_1000000us == 1     # the 90s-late event
     assert r.n_late_60000000us == 1
     assert r.max_lateness_us == 90_000_000
+
+
+def test_stream_static_enrich_join_is_stateless_and_exact(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from amundsendatabuilder_spark.session import load_tables
+    from amundsendatabuilder_spark.streaming.events import (
+        read_event_stream, run_to_memory, stream_static_enrich)
+    tbls = load_tables(spark, "/root/testdata/sf0.001",
+                       ("events", "customer"))
+    events, cust = tbls["events"], tbls["customer"]
+    src = str(tmp_path / "events_src")
+    events.write.mode("overwrite").parquet(src)
+
+    stream = read_event_stream(spark, src)
+    got = run_to_memory(
+        stream_static_enrich(stream, cust), spark,
+        "sse_test", str(tmp_path / "ckpt"), output_mode="append")
+    want = (events.join(
+        cust.select(F.col("c_custkey").alias("user_id"),
+                    F.col("c_mktsegment").alias("segment")), "user_id")
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "segment")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.floor(F.col("value") * 100).cast("long"))
+             .alias("value_cents")))
+    got_m = {(str(r["window_start"]), r["segment"]):
+             (r["n_events"], r["value_cents"]) for r in got.collect()}
+    want_m = {(str(r["window_start"]), r["segment"]):
+              (r["n_events"], r["value_cents"]) for r in want.collect()}
+    assert got_m  # append frontier emitted something
+    assert all(want_m[k] == v for k, v in got_m.items())
