@@ -66,6 +66,9 @@ _PRIORITY = [
     "lateness_profile", "pipeline_end_to_end",
     "graph_match_varlen_undirected", "fuzzy_entity_match",
     "skew_report", "split_exact_counts", "equi_depth_histogram",
+    "bpe_merge_training", "hybrid_rrf_fusion", "mad_outliers",
+    "graph_label_propagation", "cdc_upsert_apply", "expectation_audit",
+    "stream_static_enrich",
     # remaining round-4 stale
     "search_doc_table_built",
     "graph_match_pattern", "graph_match_2hop", "column_profile",
