@@ -343,3 +343,53 @@ def expectation_audit(df: DataFrame,
                "AS (check_name, n_failed)"))
         .select("check_name", "n_rows", "n_failed",
                 F.expr("n_failed * 1000000 DIV n_rows").alias("fail_ppm")))
+
+
+def trend_slopes(df: DataFrame, group_col: str, ts_col: str = "ts",
+                 scale: int = 1_000_000) -> DataFrame:
+    """Per-group daily-volume trend: the least-squares slope of (day
+    index, daily count) in exact integer micro-units — the "is this
+    event type growing or decaying" monitor a pipeline runs per source /
+    type / tenant. slope_ppm = scale·(n·Σxy − Σx·Σy) DIV (n·Σx² − (Σx)²)
+    with x = days since the table's first day, so every sufficient
+    statistic is a small BIGINT and the result is order-free and
+    engine-exact (float regression sums are neither).
+
+    Plan: one (group, day) count aggregation, a 1-row min-day anchor
+    broadcast, then one per-group fold over the daily rows — two
+    shuffles total, counts only on the wire. Groups with < 2 distinct
+    days (or zero x-variance) emit NULL slope rather than divide-by-zero.
+    Output: (group, n_days, total_events, slope_ppm).
+    """
+    day = F.to_date(F.col(ts_col))
+    daily = (df.select(F.col(group_col).alias("grp"), day.alias("d"))
+             .groupBy("grp", "d").agg(F.count(F.lit(1)).alias("y")))
+    anchor = daily.agg(F.min("d").alias("_d0"))
+    xy = (daily.crossJoin(F.broadcast(anchor))
+          .select("grp", "y",
+                  F.datediff(F.col("d"), F.col("_d0")).cast("long")
+                  .alias("x")))
+    sums = (xy.groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                 F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                 F.sum(F.col("x") * F.col("x")).alias("sxx")))
+    # sign-separated integer division: |num|·scale DIV den truncates
+    # toward zero in every engine; a raw negative DIV does not (Spark
+    # truncates, DuckDB floors), and float '/' is not order-exact.
+    # Domain: n·Σxy must fit signed 64-bit — holds for daily rollups
+    # (n ≤ 10^4 days) up to ~10^9 events/day; beyond that, lift the
+    # sufficient statistics to DECIMAL(38,0) as numeric_corr_matrix does.
+    withnd = (sums
+              .withColumn("num", F.col("n") * F.col("sxy")
+                          - F.col("sx") * F.col("sy"))
+              .withColumn("den", F.col("n") * F.col("sxx")
+                          - F.col("sx") * F.col("sx")))
+    return (withnd.select(
+        F.col("grp").alias(group_col),
+        F.col("n").alias("n_days"),
+        F.col("sy").alias("total_events"),
+        F.when(F.col("den") > 0,
+               F.expr(f"CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END"
+                      f" * (({scale} * abs(num)) DIV den) AS BIGINT)"))
+        .alias("slope_ppm")))

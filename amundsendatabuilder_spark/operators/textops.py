@@ -994,3 +994,37 @@ def class_keywords(docs: DataFrame, class_col: str = "lang", k: int = 5,
             .where(F.col("rank") <= k)
             .select("cls", "tok", "c", "score",
                     F.col("rank").cast("int").alias("rank")))
+
+
+def corpus_digest(docs: DataFrame, group_col: str = "source",
+                  id_col: str = "doc_id", text_col: str = "text",
+                  buckets: int = 64) -> DataFrame:
+    """Order-free content digest per corpus partition — a two-level
+    Merkle fold that certifies "these two corpus versions are
+    byte-identical" (or pinpoints which source changed) without moving
+    any text: per-doc md5 → per-bucket digest of the SORTED doc hashes →
+    per-group digest of the bucket digests.
+
+    Two levels, not one giant string_agg: at 100 TB a single
+    concat-of-all-hashes per source would funnel each source's hashes
+    through one reducer row; bucketing by doc_id % buckets bounds every
+    concatenated string to n/buckets·32 chars and the second level folds
+    only ``buckets`` rows per group. Sorting the hashes (not arrival
+    order) is what makes the digest insensitive to partitioning/shuffle
+    order. Output: (group, n_docs, digest).
+    """
+    h = (docs.select(
+        F.col(group_col).alias("grp"),
+        (F.col(id_col) % buckets).alias("bucket"),
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":"),
+                       F.md5(F.col(text_col)))).alias("h")))
+    b = (h.groupBy("grp", "bucket")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.md5(F.concat_ws("", F.array_sort(F.collect_list("h"))))
+              .alias("bh")))
+    return (b.groupBy("grp")
+            .agg(F.sum("n").alias("n_docs"),
+                 F.md5(F.concat_ws("", F.transform(
+                     F.array_sort(F.collect_list(F.struct("bucket", "bh"))),
+                     lambda s: s["bh"]))).alias("digest"))
+            .withColumnRenamed("grp", group_col))

@@ -6241,3 +6241,59 @@ def stream_static_enrich_query(spark, sf_dir):
     enriched = stream_static_enrich(_event_stream(spark, sf_dir), cust)
     name = "sse_" + next(tempfile._get_candidate_names())
     return run_to_memory(enriched, spark, name, tempfile.mkdtemp())
+
+
+@query("trend_slopes", r"""
+WITH daily AS (SELECT event_type AS grp, CAST(ts AS DATE) AS d,
+                      CAST(count(*) AS BIGINT) AS y
+               FROM events GROUP BY 1, 2),
+a AS (SELECT min(d) AS d0 FROM daily),
+xy AS (SELECT grp, y, CAST(d - a.d0 AS BIGINT) AS x FROM daily, a),
+s AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM xy GROUP BY 1),
+nd AS (SELECT grp, n, sy, n * sxy - sx * sy AS num,
+              n * sxx - sx * sx AS den FROM s)
+SELECT grp AS event_type, n AS n_days, sy AS total_events,
+       CASE WHEN den > 0
+            THEN CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                      * ((1000000 * abs(num)) // den) AS BIGINT)
+       END AS slope_ppm
+FROM nd ORDER BY event_type
+""")
+def trend_slopes_query(spark, sf_dir):
+    """Per-event-type daily-volume trend (profiling.trend_slopes):
+    least-squares slope over (day index, daily count) in exact integer
+    micro-units — sign-separated DIV so truncation agrees across engines
+    (raw negative integer division does not: Spark truncates, DuckDB
+    floors). Two count-only shuffles + a 1-row anchor broadcast; the
+    monitor that catches a decaying source before it silently vanishes
+    from a corpus."""
+    from amundsendatabuilder_spark.operators.profiling import trend_slopes
+    (events,) = _t(spark, sf_dir, "events")
+    return trend_slopes(events, "event_type").orderBy("event_type")
+
+
+@query("corpus_merkle_digest", r"""
+WITH h AS (SELECT source, doc_id % 64 AS bucket,
+                  md5(CAST(doc_id AS VARCHAR) || ':' || md5(text)) AS h
+           FROM documents),
+b AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS n,
+             md5(string_agg(h, '' ORDER BY h)) AS bh
+      FROM h GROUP BY 1, 2)
+SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+       md5(string_agg(bh, '' ORDER BY bucket)) AS digest
+FROM b GROUP BY source ORDER BY source
+""")
+def corpus_merkle_digest(spark, sf_dir):
+    """Two-level Merkle content digest per source
+    (textops.corpus_digest): certifies corpus-version identity without
+    moving text — per-doc md5, per-bucket digest of SORTED hashes (order
+    insensitivity under shuffle), then a digest of the 64 bucket
+    digests. Only 32-char hashes shuffle; each reducer row is bounded by
+    n/64 hashes. The DuckDB twin replays both fold levels exactly."""
+    from amundsendatabuilder_spark.operators.textops import corpus_digest
+    (docs,) = _t(spark, sf_dir, "documents")
+    return corpus_digest(docs).orderBy("source")

@@ -2029,3 +2029,47 @@ def test_expectation_audit_null_counts_as_failure(spark):
     # IS NOT NULL never returns null; one failure
     assert got["s_not_null"].n_failed == 1
     assert got["s_not_null"].fail_ppm == 333333
+
+
+def test_trend_slopes_exact_line_and_degenerate_group(spark):
+    from pyspark.sql import functions as F
+    from amundsendatabuilder_spark.operators.profiling import trend_slopes
+    rows = []
+    # 'up': 1,2,3,4 events on days 0..3 -> slope exactly 1.0/day
+    for day, k in [(0, 1), (1, 2), (2, 3), (3, 4)]:
+        rows += [("up", 86400 * day + i) for i in range(k)]
+    # 'one': a single day -> zero x-variance -> NULL slope
+    rows += [("one", 0), ("one", 10)]
+    df = (spark.createDataFrame(rows, "event_type string, sec long")
+          .select("event_type", F.col("sec").cast("timestamp").alias("ts")))
+    got = {r.event_type: r for r in
+           trend_slopes(df, "event_type").collect()}
+    assert got["up"].slope_ppm == 1_000_000
+    assert got["up"].n_days == 4 and got["up"].total_events == 10
+    assert got["one"].slope_ppm is None
+
+
+def test_trend_slopes_negative_slope_truncates_toward_zero(spark):
+    from pyspark.sql import functions as F
+    from amundsendatabuilder_spark.operators.profiling import trend_slopes
+    # counts 3,1 on days 0,1 -> slope exactly -2/day
+    rows = [("down", 0)] * 3 + [("down", 86400)]
+    df = (spark.createDataFrame(rows, "event_type string, sec long")
+          .select("event_type", F.col("sec").cast("timestamp").alias("ts")))
+    got = trend_slopes(df, "event_type").collect()[0]
+    assert got.slope_ppm == -2_000_000
+
+
+def test_corpus_digest_order_insensitive_and_change_sensitive(spark):
+    from amundsendatabuilder_spark.operators.textops import corpus_digest
+    rows = [(i, f"doc {i}", "s") for i in range(10)]
+    df1 = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    df2 = spark.createDataFrame(rows[::-1],
+                                "doc_id long, text string, source string")
+    d1 = corpus_digest(df1).collect()[0]
+    d2 = corpus_digest(df2.repartition(7)).collect()[0]
+    assert d1.digest == d2.digest and d1.n_docs == 10
+    # flipping one byte in one doc must change the digest
+    rows3 = rows[:5] + [(5, "doc 5!", "s")] + rows[6:]
+    df3 = spark.createDataFrame(rows3, "doc_id long, text string, source string")
+    assert corpus_digest(df3).collect()[0].digest != d1.digest
