@@ -68,7 +68,8 @@ _PRIORITY = [
     "skew_report", "split_exact_counts", "equi_depth_histogram",
     "bpe_merge_training", "hybrid_rrf_fusion", "mad_outliers",
     "graph_label_propagation", "cdc_upsert_apply", "expectation_audit",
-    "stream_static_enrich",
+    "stream_static_enrich", "trend_slopes", "corpus_merkle_digest",
+    "q7_nation_volume", "q10_returned_items",
     # remaining round-4 stale
     "search_doc_table_built",
     "graph_match_pattern", "graph_match_2hop", "column_profile",

@@ -6297,3 +6297,89 @@ def corpus_merkle_digest(spark, sf_dir):
     from amundsendatabuilder_spark.operators.textops import corpus_digest
     (docs,) = _t(spark, sf_dir, "documents")
     return corpus_digest(docs).orderBy("source")
+
+
+@query("q7_nation_volume", """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+""")
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape — bilateral shipping volume between two nations by
+    year: the 6-way star join whose small sides (nation ×2, the
+    nation-filtered supplier and customer) all broadcast, so lineitem —
+    the only big table — is joined without ever shuffling on a dimension
+    key. The nation filter pushes THROUGH the broadcast joins into the
+    supplier/customer scans (semi-join pushdown by construction: filter
+    first, then join)."""
+    sup, li, orders, cust, nat = _t(
+        spark, sf_dir, "supplier", "lineitem", "orders", "customer",
+        "nation")
+    pair = ("NATION_1", "NATION_2")
+    n1 = (nat.where(F.col("n_name").isin(*pair))
+          .select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation")))
+    n2 = (nat.where(F.col("n_name").isin(*pair))
+          .select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_name").alias("cust_nation")))
+    s = sup.join(F.broadcast(n1), sup["s_nationkey"] == n1["s_nk"]) \
+        .select("s_suppkey", "supp_nation")
+    c = cust.join(F.broadcast(n2), cust["c_nationkey"] == n2["c_nk"]) \
+        .select("c_custkey", "cust_nation")
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(c), orders["o_custkey"] == c["c_custkey"])
+        .where((F.col("supp_nation") != F.col("cust_nation")))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(round_half_away(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+@query("q10_returned_items", """
+SELECT c_custkey, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""")
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape — top customers by returned-item revenue: the
+    returnflag filter pushes into the lineitem scan, customer+nation
+    broadcast, and the final top-20 is a distributed
+    TakeOrderedAndProject (ties broken by custkey), not a global sort."""
+    cust, orders, li, nat = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    cn = (cust.join(F.broadcast(nat),
+                    cust["c_nationkey"] == nat["n_nationkey"])
+          .select("c_custkey", "n_name"))
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cn), orders["o_custkey"] == cn["c_custkey"])
+        .groupBy("c_custkey", "n_name")
+        .agg(round_half_away(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20))

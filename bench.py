@@ -117,6 +117,21 @@ EXTENDED = [
     "skew_report",
     "split_exact_counts",
     "equi_depth_histogram",
+    # round-7 continuation: tokenizer training, hybrid retrieval, robust
+    # profiling, communities, CDC compaction, data contracts, trends,
+    # corpus digests (stream_static_enrich is gate-only like the other
+    # stream_* entries — streaming drains measure trigger latency, not
+    # plan cost)
+    "bpe_merge_training",
+    "hybrid_rrf_fusion",
+    "mad_outliers",
+    "graph_label_propagation",
+    "cdc_upsert_apply",
+    "expectation_audit",
+    "trend_slopes",
+    "corpus_merkle_digest",
+    "q7_nation_volume",
+    "q10_returned_items",
 ]
 
 
