@@ -6383,3 +6383,87 @@ def q10_returned_items(spark, sf_dir):
             F.count(F.lit(1)).alias("n_items"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20))
+
+
+@query("grouping_sets_volume", """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT)
+           AS gid,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY gid, l_returnflag, l_linestatus
+""")
+def grouping_sets_volume(spark, sf_dir):
+    """GROUPING SETS aggregate (detail + per-flag subtotal + grand
+    total in one pass) — the multi-granularity rollup shape BI layers
+    emit, exercising Catalyst's Expand operator: each input row fans out
+    once per grouping set BEFORE the single shuffle, so three
+    granularities cost one aggregation, not three scans. grouping_id
+    disambiguates NULL-as-grouped-out from NULL data; integer sums are
+    engine-exact."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag", "l_linestatus")
+        .agg(F.grouping_id().cast("int").alias("gid"),
+             F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .orderBy("gid", "l_returnflag", "l_linestatus"))
+
+
+@query("embedding_label_outliers", r"""
+WITH u AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+                  unnest(embedding::DOUBLE[]) AS x
+           FROM embeddings),
+m AS (SELECT label, pos, round(avg(x), 9) AS mean_x
+      FROM u GROUP BY label, pos),
+cent AS (SELECT label, list(mean_x ORDER BY pos) AS cv FROM m GROUP BY label),
+sc AS (SELECT e.label, e.vec_id,
+              round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6)
+                  AS cos
+       FROM embeddings e JOIN cent c ON e.label = c.label),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY label
+                                        ORDER BY cos ASC, vec_id) AS INT)
+                 AS rank
+      FROM sc)
+SELECT label, vec_id, cos, rank FROM r WHERE rank <= 5
+ORDER BY label, rank
+""")
+def embedding_label_outliers(spark, sf_dir):
+    """Noisy-label detection in embedding space: each label's centroid
+    (posexplode mean — scalars shuffle, never vectors), then every
+    vector's cosine to its OWN label centroid, flagging the 5 least
+    central per label — the mislabeled-data screen a training-data
+    pipeline runs before fitting on curated classes. Centroid components
+    round to 9dp before the cosine so the broadcast-joined fold is
+    bit-reproducible; rank ties break by vec_id."""
+    from amundsendatabuilder_spark.functions.vectors import l2_norm
+    from amundsendatabuilder_spark.operators.similarity import (
+        cosine_similarity)
+    from amundsendatabuilder_spark.session import ensure_parallelism
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    u = (ensure_parallelism(emb)
+         .select("label",
+                 F.posexplode(F.col("embedding").cast("array<double>"))
+                 .alias("pos", "x")))
+    m = (u.groupBy("label", "pos")
+         .agg(round_half_away(F.avg("x"), 9).alias("mean_x")))
+    cent = (m.groupBy("label")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mean_x"))),
+                lambda s: s["mean_x"]).alias("cv")))
+    scored = (emb.select("label", "vec_id",
+                         F.col("embedding").cast("array<double>").alias("v"))
+              .join(F.broadcast(cent), "label")
+              .select("label", "vec_id",
+                      round_half_away(cosine_similarity(
+                          "v", "cv", norm_a=l2_norm("v"),
+                          norm_b=l2_norm("cv")), 6).alias("cos")))
+    w = Window.partitionBy("label").orderBy(F.col("cos").asc(),
+                                            F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= 5)
+            .select("label", "vec_id", "cos", "rank")
+            .orderBy("label", "rank"))

@@ -132,6 +132,8 @@ EXTENDED = [
     "corpus_merkle_digest",
     "q7_nation_volume",
     "q10_returned_items",
+    "grouping_sets_volume",
+    "embedding_label_outliers",
 ]
 
 
