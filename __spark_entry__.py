@@ -23,9 +23,11 @@ from amundsendatabuilder_spark.plans.oracle_suite import ORACLES, QUERIES  # noq
 # the r6 window): (a) the 10 re-certifications — the four round-6
 # hash-fails (oracle dtype artifacts, now CAST to BIGINT) plus every
 # query whose oracle or plan changed this round; (c) 40 stale
-# round-1/2/4-certified queries, oldest first. The 21 queries NEW this
+# round-1/2/4-certified queries, oldest first. The 36 queries NEW this
 # round sit immediately beyond the 50-slot window: they are green in
-# this round's full local dtype-aware gate (168/168) and queue for
+# this round's full local dtype-aware gate (latest complete sweep
+# 178/178 plus per-entry passes for the final additions; suite =
+# 182) and queue for
 # driver certification next round — the r6 verdict's lesson was to stop
 # burning the sample window on new entries while certified evidence
 # ages. Names not yet registered are skipped by ``_ordered``.
