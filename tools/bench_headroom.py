@@ -89,6 +89,12 @@ SUITE = [
     "joinability_discovery", "k_anonymity_audit", "ri_violations",
     "lineage_asof_diff", "numeric_corr_matrix", "class_keywords",
     "markov_transitions_ppm", "session_bounce_rate",
+    # round-7 continuation wave
+    "bpe_merge_training", "hybrid_rrf_fusion", "mad_outliers",
+    "graph_label_propagation", "cdc_upsert_apply", "expectation_audit",
+    "stream_static_enrich", "trend_slopes", "corpus_merkle_digest",
+    "q7_nation_volume", "q10_returned_items", "grouping_sets_volume",
+    "embedding_label_outliers",
 ]
 
 
