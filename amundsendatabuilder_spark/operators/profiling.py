@@ -393,3 +393,21 @@ def trend_slopes(df: DataFrame, group_col: str, ts_col: str = "ts",
                F.expr(f"CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END"
                       f" * (({scale} * abs(num)) DIV den) AS BIGINT)"))
         .alias("slope_ppm")))
+
+
+def l_diversity_audit(df: DataFrame, quasi_cols: "list[str]",
+                      sensitive_col: str, l: int = 2) -> DataFrame:
+    """l-diversity audit — the privacy screen k-anonymity misses: an
+    equivalence class can be large (k-anonymous) yet expose everyone in
+    it when all rows share ONE sensitive value. Reports every
+    quasi-identifier class whose count of DISTINCT sensitive values is
+    below ``l``: (quasi..., class_size, n_sensitive).
+
+    One groupBy with an exact COUNT DISTINCT (two-level aggregation
+    under the hood — map-side partial by (quasi, sensitive), then the
+    class rollup); only failing classes leave the executors, like
+    k_anonymity_audit."""
+    return (df.groupBy(*quasi_cols)
+            .agg(F.count(F.lit(1)).alias("class_size"),
+                 F.countDistinct(sensitive_col).alias("n_sensitive"))
+            .where(F.col("n_sensitive") < l))

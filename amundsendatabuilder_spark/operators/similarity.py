@@ -506,3 +506,52 @@ def pq_adc_topk(encoded: DataFrame, codebooks: DataFrame,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "score", "rank"))
+
+
+def embedding_covariance(emb: DataFrame, vec_col: str = "embedding",
+                         scale: int = 1_000_000) -> DataFrame:
+    """Exact population covariance matrix of the embedding column — the
+    distributed half of PCA (once the d×d covariance exists, the
+    eigensolve is a driver-side O(d³) afterthought): (dim_i, dim_j, cov)
+    for i ≤ j.
+
+    Components are integer-quantized (floor(x·scale) — exact and
+    engine-identical where float sums are shuffle-order noise), the
+    sufficient statistics Σqᵢ, Σqᵢqⱼ accumulate as DECIMAL(38,0) via
+    DECIMAL(19,0) factors (the numeric_corr_matrix overflow discipline),
+    and only the centered difference n·Σqᵢqⱼ − Σqᵢ·Σqⱼ casts to double —
+    avoiding the catastrophic cancellation of the naive two-huge-doubles
+    form. No self-join: each vector emits its d(d+1)/2 upper-triangle
+    products from ONE map-side expression, so the only shuffle carries
+    ((i,j), decimal partial) pairs and is map-side combinable. For
+    d ≥ ~1k, block the pair fan-out (i-stripes) instead; at d = 64 the
+    2080-row fan-out per vector is the right trade."""
+    d = F.size(F.col(vec_col))
+    q = F.transform(F.col(vec_col).cast("array<double>"),
+                    lambda x: F.floor(x * scale).cast("long"))
+    v = emb.select(q.alias("q"))
+    pairs = F.expr(
+        "flatten(transform(sequence(0, size(q)-1), i -> "
+        "transform(sequence(i, size(q)-1), j -> struct("
+        "CAST(i AS INT) AS i, CAST(j AS INT) AS j, "
+        "CAST(q[i] AS DECIMAL(19,0)) * CAST(q[j] AS DECIMAL(19,0)) "
+        "AS prod))))")
+    p = (v.select(F.explode(pairs).alias("p"))
+         .select("p.i", "p.j", "p.prod")
+         .groupBy("i", "j")
+         .agg(F.sum(F.col("prod").cast("decimal(38,0)")).alias("sxy")))
+    u = (v.select(F.posexplode("q").alias("i", "qi"))
+         .groupBy("i")
+         .agg(F.sum(F.col("qi").cast("decimal(38,0)")).alias("s")))
+    n = v.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+    si = u.select(F.col("i").alias("_i"), F.col("s").alias("s_i"))
+    sj = u.select(F.col("i").alias("_j"), F.col("s").alias("s_j"))
+    from amundsendatabuilder_spark.functions.scalars import round_half_away
+    num = (F.col("n") * F.col("sxy")
+           - F.col("s_i") * F.col("s_j")).cast("double")
+    den = (F.col("n") * F.col("n")).cast("double") * float(scale) ** 2
+    return (p.join(F.broadcast(si), p["i"] == si["_i"])
+            .join(F.broadcast(sj), p["j"] == sj["_j"])
+            .crossJoin(F.broadcast(n))
+            .select(F.col("i").alias("dim_i"), F.col("j").alias("dim_j"),
+                    round_half_away(num / den, 9).alias("cov")))

@@ -6467,3 +6467,62 @@ def embedding_label_outliers(spark, sf_dir):
             .where(F.col("rank") <= 5)
             .select("label", "vec_id", "cos", "rank")
             .orderBy("label", "rank"))
+
+
+@query("embedding_covariance", r"""
+WITH v AS (SELECT list_transform(embedding::DOUBLE[],
+                                 x -> CAST(floor(x * 1000000) AS BIGINT))
+               AS q
+           FROM embeddings),
+w AS (SELECT row_number() OVER () AS rid, q FROM v),
+u AS (SELECT rid, CAST(generate_subscripts(q, 1) - 1 AS INT) AS i,
+             unnest(q) AS qi
+      FROM w),
+nn AS (SELECT count(*)::HUGEINT AS n FROM v),
+s AS (SELECT i, CAST(sum(qi) AS HUGEINT) AS s FROM u GROUP BY i),
+p AS (SELECT a.i AS i, b.i AS j,
+             CAST(sum(a.qi::HUGEINT * b.qi::HUGEINT) AS HUGEINT) AS sxy
+      FROM u a JOIN u b ON a.rid = b.rid AND b.i >= a.i
+      GROUP BY 1, 2)
+SELECT p.i AS dim_i, p.j AS dim_j,
+       round(CAST(nn.n * p.sxy - si.s * sj.s AS DOUBLE)
+             / CAST(nn.n * nn.n AS DOUBLE) / 1e12, 9) AS cov
+FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j CROSS JOIN nn
+ORDER BY dim_i, dim_j
+""")
+def embedding_covariance_query(spark, sf_dir):
+    """Exact population covariance of the embedding matrix
+    (similarity.embedding_covariance) — the distributed half of PCA.
+    Integer-quantized components, DECIMAL(38,0) sufficient statistics
+    (HUGEINT in the twin — same exact values), centered difference cast
+    to double only at the end. No self-join on the Spark side: each
+    vector emits its 2080 upper-triangle products map-side; the single
+    shuffle carries ((i,j), decimal partial) rows."""
+    from amundsendatabuilder_spark.operators.similarity import (
+        embedding_covariance)
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return embedding_covariance(emb).orderBy("dim_i", "dim_j")
+
+
+@query("l_diversity_audit", """
+SELECT c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS class_size,
+       CAST(count(DISTINCT c_acctbal > 0) AS BIGINT) AS n_sensitive
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+HAVING count(DISTINCT c_acctbal > 0) < 2
+ORDER BY c_nationkey, c_mktsegment
+""")
+def l_diversity_audit_query(spark, sf_dir):
+    """l-diversity audit (profiling.l_diversity_audit) — the privacy
+    screen k-anonymity misses: classes where every member shares one
+    sensitive value (here the acctbal sign as a binary sensitive
+    attribute) are exposed regardless of class size. Exact two-level
+    COUNT DISTINCT; only failing classes leave the executors."""
+    from amundsendatabuilder_spark.operators.profiling import (
+        l_diversity_audit)
+    (cust,) = _t(spark, sf_dir, "customer")
+    sens = cust.withColumn("acct_positive", F.col("c_acctbal") > 0)
+    return (l_diversity_audit(sens, ["c_nationkey", "c_mktsegment"],
+                              "acct_positive", l=2)
+            .orderBy("c_nationkey", "c_mktsegment"))

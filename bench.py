@@ -134,6 +134,8 @@ EXTENDED = [
     "q10_returned_items",
     "grouping_sets_volume",
     "embedding_label_outliers",
+    "embedding_covariance",
+    "l_diversity_audit",
 ]
 
 

@@ -2073,3 +2073,31 @@ def test_corpus_digest_order_insensitive_and_change_sensitive(spark):
     rows3 = rows[:5] + [(5, "doc 5!", "s")] + rows[6:]
     df3 = spark.createDataFrame(rows3, "doc_id long, text string, source string")
     assert corpus_digest(df3).collect()[0].digest != d1.digest
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+    from amundsendatabuilder_spark.operators.similarity import (
+        embedding_covariance)
+    rng = [[0.5, -0.25, 0.125], [0.1, 0.2, -0.3],
+           [-0.4, 0.0, 0.6], [0.9, -0.1, 0.05]]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(rng)],
+                               "vec_id long, embedding array<double>")
+    got = {(r.dim_i, r.dim_j): r.cov
+           for r in embedding_covariance(df).collect()}
+    q = np.floor(np.array(rng) * 1e6)
+    want = np.cov(q.T, bias=True) / 1e12  # population covariance
+    for (i, j), v in got.items():
+        assert abs(v - want[i][j]) < 1e-8, (i, j, v, want[i][j])
+    assert len(got) == 6  # upper triangle of 3x3
+
+
+def test_l_diversity_flags_homogeneous_classes_only(spark):
+    from amundsendatabuilder_spark.operators.profiling import (
+        l_diversity_audit)
+    rows = [("a", 1, "x"), ("a", 1, "x"), ("a", 1, "x"),   # homogeneous
+            ("b", 2, "x"), ("b", 2, "y")]                  # diverse
+    df = spark.createDataFrame(rows, "q1 string, q2 long, s string")
+    got = l_diversity_audit(df, ["q1", "q2"], "s", l=2).collect()
+    assert len(got) == 1
+    assert (got[0].q1, got[0].class_size, got[0].n_sensitive) == ("a", 3, 1)

@@ -94,7 +94,8 @@ SUITE = [
     "graph_label_propagation", "cdc_upsert_apply", "expectation_audit",
     "stream_static_enrich", "trend_slopes", "corpus_merkle_digest",
     "q7_nation_volume", "q10_returned_items", "grouping_sets_volume",
-    "embedding_label_outliers",
+    "embedding_label_outliers", "embedding_covariance",
+    "l_diversity_audit",
 ]
 
 
