@@ -161,8 +161,9 @@ def main() -> None:
     QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001").collect()
     QUERIES["dedup_minhash_lsh"](spark, "/root/testdata/sf0.001").collect()
 
+    only = [a for a in sys.argv[1:] if not a.startswith("--")]
     timings: dict[str, float] = {}
-    for name in SUITE:
+    for name in (only or SUITE):
         t0 = time.time()
         rows = QUERIES[name](spark, DST).count()
         timings[name] = round(time.time() - t0, 3)
