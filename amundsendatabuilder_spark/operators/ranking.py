@@ -121,29 +121,77 @@ def rrf_fuse(ranked: dict[str, DataFrame], id_col: str = "doc_id",
     RRF sums would depend on join order).
 
     Input: {system_name: DataFrame with (id_col, rank_col)} — each a
-    top-k list, so every side is k rows and the outer-join chain is a
-    broadcast cascade regardless of corpus size (the expensive part of
-    hybrid search is the per-system retrieval, not the fusion). Output:
-    (doc_id, <system>_rank ... nullable, rrf_score, fused_rank), top-k
-    by (rrf_score DESC, doc_id).
+    top-k list. The fusion is JOIN-FREE: the tagged lists union into one
+    (doc_id, system, rank) stream and a single map-side-combinable
+    aggregate pivots per-system ranks and sums the integer RRF parts —
+    a full-outer join of the lists cannot broadcast (Spark falls back to
+    sort-merge even for 20-row sides) and the union+pivot shape carries
+    only Σk rows through one shuffle. Output: (doc_id, <system>_rank ...
+    nullable, rrf_score, fused_rank), top-k by (rrf_score DESC, doc_id).
     """
     assert ranked, "need at least one ranked list"
-    out = None
     names = list(ranked)
+    u = None
     for name in names:
-        side = ranked[name].select(
-            F.col(id_col).alias("doc_id"),
-            F.col(rank_col).cast("int").alias(f"{name}_rank"))
-        out = side if out is None else out.join(
-            F.broadcast(side), "doc_id", "full_outer")
-    score = None
-    for name in names:
-        part = F.coalesce(
-            F.expr(f"CAST(1000000 DIV (CAST({k0} AS BIGINT) + {name}_rank)"
-                   f" AS BIGINT)"),
-            F.lit(0).cast("long"))
-        score = part if score is None else score + part
-    fused = out.withColumn("rrf_score", score.cast("long"))
+        part = ranked[name].select(
+            F.col(id_col).alias("doc_id"), F.lit(name).alias("sys"),
+            F.col(rank_col).cast("int").alias("rank"))
+        u = part if u is None else u.unionByName(part)
+    rrf_part = F.expr(f"CAST(1000000 DIV (CAST({k0} AS BIGINT) + rank)"
+                      " AS BIGINT)")
+    aggs = [F.max(F.when(F.col("sys") == name, F.col("rank")))
+            .alias(f"{name}_rank") for name in names]
+    fused = (u.groupBy("doc_id")
+             .agg(*aggs, F.sum(rrf_part).cast("long").alias("rrf_score")))
     topk = fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id")).limit(k)
     w = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
     return topk.withColumn("fused_rank", F.row_number().over(w))
+
+
+def association_rules(baskets: DataFrame, basket_col: str = "basket_id",
+                      item_col: str = "item", min_support: int = 5,
+                      min_pair_support: int | None = None,
+                      k: int = 20) -> DataFrame:
+    """Market-basket association rules over (basket, item) rows — the
+    A-priori pair pass with exact integer metrics: for every ordered
+    item pair (a → b) co-occurring in ≥ min_support baskets,
+    support/confidence in ppm and lift in milli-units, top-k by
+    (confidence desc, a, b).
+
+    Scale shape: the pair generation is a self-join ON THE BASKET KEY,
+    so fan-out is bounded by Σ basket_size² — bounded baskets (retail
+    orders, sessions) keep it linear in baskets; one giant basket is the
+    skew case and min_support pre-filtering of items (the A-priori
+    downward-closure step) prunes the long tail BEFORE the self-join.
+    All metrics are integer cross-multiplications over counts: lift > 1
+    becomes n·n(a,b) > n(a)·n(b) exactly, no float ratios to disagree
+    across engines (lift_milli = 1000·n·n_ab DIV (n_a·n_b)).
+    """
+    if min_pair_support is None:
+        min_pair_support = min_support
+    b = (baskets.select(F.col(basket_col).alias("bid"),
+                        F.col(item_col).alias("item")).distinct()
+         .localCheckpoint())
+    n_baskets = b.agg(F.countDistinct("bid").alias("n"))
+    item_counts = b.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    frequent = item_counts.where(F.col("n_item") >= min_support)
+    fb = (b.join(F.broadcast(frequent.select("item")), "item")
+          .select("bid", "item"))
+    left = fb.select("bid", F.col("item").alias("a"))
+    right = fb.select("bid", F.col("item").alias("b"))
+    pairs = (left.join(right, "bid")
+             .where(F.col("a") != F.col("b"))
+             .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+             .where(F.col("n_ab") >= min_pair_support))
+    na = frequent.select(F.col("item").alias("a"), F.col("n_item").alias("n_a"))
+    nb = frequent.select(F.col("item").alias("b"), F.col("n_item").alias("n_b"))
+    scored = (pairs.join(F.broadcast(na), "a").join(F.broadcast(nb), "b")
+              .crossJoin(F.broadcast(n_baskets))
+              .select("a", "b", "n_ab",
+                      F.expr("n_ab * 1000000 DIV n").alias("support_ppm"),
+                      F.expr("n_ab * 1000000 DIV n_a")
+                      .alias("confidence_ppm"),
+                      F.expr("1000 * n * n_ab DIV (n_a * n_b)")
+                      .alias("lift_milli")))
+    return (scored.orderBy(F.col("confidence_ppm").desc(), "a", "b")
+            .limit(k))

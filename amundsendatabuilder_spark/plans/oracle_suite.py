@@ -6526,3 +6526,39 @@ def l_diversity_audit_query(spark, sf_dir):
     return (l_diversity_audit(sens, ["c_nationkey", "c_mktsegment"],
                               "acct_positive", l=2)
             .orderBy("c_nationkey", "c_mktsegment"))
+
+
+@query("basket_association_rules", """
+WITH bk AS (SELECT DISTINCT l_orderkey AS bid, l_partkey AS item
+            FROM lineitem),
+nb AS (SELECT CAST(count(DISTINCT bid) AS BIGINT) AS n FROM bk),
+ic AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item FROM bk GROUP BY 1),
+f AS (SELECT item, n_item FROM ic WHERE n_item >= 5),
+fb AS (SELECT bid, item FROM bk WHERE item IN (SELECT item FROM f)),
+p AS (SELECT l.item AS a, r.item AS b, CAST(count(*) AS BIGINT) AS n_ab
+      FROM fb l JOIN fb r USING (bid) WHERE l.item <> r.item
+      GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT p.a, p.b, p.n_ab,
+       p.n_ab * 1000000 // nn.n AS support_ppm,
+       p.n_ab * 1000000 // fa.n_item AS confidence_ppm,
+       1000 * nn.n * p.n_ab // (fa.n_item * fb2.n_item) AS lift_milli
+FROM p JOIN f fa ON fa.item = p.a JOIN f fb2 ON fb2.item = p.b
+CROSS JOIN nb nn
+ORDER BY confidence_ppm DESC, a, b LIMIT 20
+""")
+def basket_association_rules(spark, sf_dir):
+    """Market-basket association rules over order line items
+    (ranking.association_rules) — the A-priori pair pass: item-frequency
+    pruning (downward closure) BEFORE the basket self-join, pair
+    support/confidence/lift as exact integer cross-multiplications
+    (lift_milli = 1000·n·n_ab DIV (n_a·n_b) — no float ratios). Fan-out
+    is bounded by Σ basket_size² (orders have ≤7 lines), the skew case a
+    giant basket would pose is pre-pruned by min_support. Top-20 by
+    (confidence, a, b)."""
+    from amundsendatabuilder_spark.operators.ranking import (
+        association_rules)
+    (li,) = _t(spark, sf_dir, "lineitem")
+    baskets = li.select(F.col("l_orderkey").alias("basket_id"),
+                        F.col("l_partkey").alias("item"))
+    return association_rules(baskets, min_support=5, min_pair_support=2,
+                             k=20)

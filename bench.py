@@ -136,6 +136,7 @@ EXTENDED = [
     "embedding_label_outliers",
     "embedding_covariance",
     "l_diversity_audit",
+    "basket_association_rules",
 ]
 
 

@@ -2101,3 +2101,23 @@ def test_l_diversity_flags_homogeneous_classes_only(spark):
     got = l_diversity_audit(df, ["q1", "q2"], "s", l=2).collect()
     assert len(got) == 1
     assert (got[0].q1, got[0].class_size, got[0].n_sensitive) == ("a", 3, 1)
+
+
+def test_association_rules_metrics_exact(spark):
+    from amundsendatabuilder_spark.operators.ranking import (
+        association_rules)
+    # 4 baskets; x and y co-occur in 2; x in baskets {1,2,3}, y in {1,2,4}
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (4, "z"),
+            (4, "y")]
+    df = spark.createDataFrame(rows, "basket_id long, item string")
+    got = {(r.a, r.b): r for r in association_rules(
+        df, min_support=1, min_pair_support=2, k=10).collect()}
+    r = got[("x", "y")]
+    assert r.n_ab == 2
+    assert r.support_ppm == 2 * 1_000_000 // 4
+    assert r.confidence_ppm == 2 * 1_000_000 // 3   # P(y|x), n_x = 3
+    assert r.lift_milli == 1000 * 4 * 2 // (3 * 3)  # 8/9 -> 888 (negative assoc)
+    r2 = got[("y", "x")]
+    assert r2.confidence_ppm == 2 * 1_000_000 // 3  # P(x|y), n_y = 3
+    # the z->y rule is below min_pair_support (1 co-occurrence) -> absent
+    assert ("z", "y") not in got
