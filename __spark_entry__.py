@@ -74,7 +74,8 @@ _PRIORITY = [
     "q7_nation_volume", "q10_returned_items",
     "grouping_sets_volume", "embedding_label_outliers",
     "embedding_covariance", "l_diversity_audit",
-    "basket_association_rules",
+    "basket_association_rules", "graph_link_prediction",
+    "feature_hashing",
     # remaining round-4 stale
     "search_doc_table_built",
     "graph_match_pattern", "graph_match_2hop", "column_profile",

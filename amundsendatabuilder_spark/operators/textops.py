@@ -1028,3 +1028,33 @@ def corpus_digest(docs: DataFrame, group_col: str = "source",
                      F.array_sort(F.collect_list(F.struct("bucket", "bh"))),
                      lambda s: s["bh"]))).alias("digest"))
             .withColumnRenamed("grp", group_col))
+
+
+def feature_hashing(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", hex_chars: int = 2) -> DataFrame:
+    """Hashing-trick featurizer (Weinberger et al. 2009): each token
+    hashes into one of 16^hex_chars buckets with a ±1 sign drawn from
+    the next hash character, and a document's sparse feature vector is
+    the signed count per bucket — the fixed-width, vocabulary-free text
+    featurization that needs NO fitted dictionary, so it parallelizes
+    embarrassingly at 100 TB (one tokenize + one (doc, bucket)
+    map-side-combinable aggregation; the unsigned-collision bias the
+    sign trick cancels in expectation).
+
+    md5-based (engine-identical hex in Spark/DuckDB/Trino), buckets kept
+    AS hex prefixes — a string key shuffles the same bytes an int would
+    and skips a base conversion on both engines. Output: sparse
+    (doc_id, bucket, val) rows with val ≠ 0.
+    """
+    h = F.md5(F.col("tok").cast("binary"))
+    rows = (docs.select(F.col(id_col).alias("doc_id"),
+                        F.explode(tokens(F.lower(F.col(text_col))))
+                        .alias("tok"))
+            .select("doc_id",
+                    F.substring(h, 1, hex_chars).alias("bucket"),
+                    F.when(F.substring(h, hex_chars + 1, 1)
+                           .isin(*"01234567"), 1).otherwise(-1)
+                    .alias("sign")))
+    return (rows.groupBy("doc_id", "bucket")
+            .agg(F.sum("sign").cast("long").alias("val"))
+            .where(F.col("val") != 0))

@@ -6562,3 +6562,70 @@ def basket_association_rules(spark, sf_dir):
                         F.col("l_partkey").alias("item"))
     return association_rules(baskets, min_support=5, min_pair_support=2,
                              k=20)
+
+
+@query("graph_link_prediction", """
+WITH keys AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+e0 AS (
+  SELECT a.k AS src, b.k AS dst FROM keys a JOIN keys b ON b.k = a.k * 2
+  UNION ALL
+  SELECT a.k, b.k FROM keys a JOIN keys b ON b.k = a.k * 2 + 1
+  UNION ALL
+  SELECT a.k, b.k FROM keys a JOIN keys b ON b.k = a.k * 3),
+und AS (SELECT src AS u, dst AS v FROM e0 WHERE src <> dst),
+sym AS (SELECT u, v FROM und UNION SELECT v AS u, u AS v FROM und),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+cand AS (SELECT n1.v AS a, n2.v AS b, CAST(count(*) AS BIGINT) AS common
+         FROM sym n1 JOIN sym n2 ON n1.u = n2.u AND n1.v < n2.v
+         GROUP BY 1, 2 HAVING count(*) >= 2),
+ne AS (SELECT c.a, c.b, c.common FROM cand c
+       WHERE NOT EXISTS (SELECT 1 FROM sym s
+                         WHERE s.u = c.a AND s.v = c.b))
+SELECT ne.a, ne.b, ne.common, da.deg AS deg_a, db.deg AS deg_b,
+       ne.common * 1000000 // (da.deg + db.deg - ne.common) AS jaccard_ppm
+FROM ne JOIN deg da ON da.u = ne.a JOIN deg db ON db.u = ne.b
+ORDER BY common DESC, jaccard_ppm DESC, a, b LIMIT 50
+""")
+def graph_link_prediction(spark, sf_dir):
+    """Common-neighbor link prediction over the synthesized lineage DAG
+    (graph_algo.link_prediction_scores) — the related-datasets signal a
+    catalog mines from co-usage: non-adjacent node pairs ranked by
+    shared neighbors + integer neighborhood-Jaccard. Candidates come
+    from the triangle-bounded wedge join (Σ deg² with hub-cap
+    prunability); the adjacency anti-join and degree joins shuffle id
+    pairs only."""
+    from amundsendatabuilder_spark.operators.graph_algo import (
+        link_prediction_scores)
+    (orders,) = _t(spark, sf_dir, "orders")
+    keys_df = orders.select(F.col("o_orderkey").alias("k")).distinct().cache()
+    a, b = keys_df.alias("a"), keys_df.alias("b")
+
+    def em(mult: int, add: int = 0):
+        return (a.join(b, F.col("b.k") == F.col("a.k") * mult + add)
+                .select(F.col("a.k").alias("src"), F.col("b.k").alias("dst")))
+
+    edges = em(2).unionByName(em(2, 1)).unionByName(em(3))
+    return link_prediction_scores(edges, min_common=2, k=50)
+
+
+@query("feature_hashing", r"""
+WITH t AS (SELECT doc_id, unnest(""" + _LTOKS_SQL + r""") AS tok
+           FROM documents),
+h AS (SELECT doc_id, substr(md5(tok), 1, 2) AS bucket,
+             CASE WHEN substr(md5(tok), 3, 1) IN
+                  ('0','1','2','3','4','5','6','7')
+                  THEN 1 ELSE -1 END AS sign
+      FROM t)
+SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS val
+FROM h GROUP BY doc_id, bucket HAVING sum(sign) <> 0
+""")
+def feature_hashing_query(spark, sf_dir):
+    """Hashing-trick text featurization (textops.feature_hashing):
+    vocabulary-free signed bucket counts — 256 md5-hex buckets, ±1 sign
+    from the next hash char (collision bias cancels in expectation).
+    One tokenize + one map-side-combinable aggregate; no fitted state,
+    so the featurizer shards perfectly at corpus scale. The twin replays
+    bucket prefix, sign char, and signed sums exactly."""
+    from amundsendatabuilder_spark.operators.textops import feature_hashing
+    (docs,) = _t(spark, sf_dir, "documents")
+    return feature_hashing(docs)

@@ -137,6 +137,8 @@ EXTENDED = [
     "embedding_covariance",
     "l_diversity_audit",
     "basket_association_rules",
+    "graph_link_prediction",
+    "feature_hashing",
 ]
 
 

@@ -2121,3 +2121,38 @@ def test_association_rules_metrics_exact(spark):
     assert r2.confidence_ppm == 2 * 1_000_000 // 3  # P(x|y), n_y = 3
     # the z->y rule is below min_pair_support (1 co-occurrence) -> absent
     assert ("z", "y") not in got
+
+
+def test_feature_hashing_sign_cancellation_and_determinism(spark):
+    import hashlib
+    from amundsendatabuilder_spark.operators.textops import feature_hashing
+    df = spark.createDataFrame([(1, "alpha alpha beta")],
+                               "doc_id long, text string")
+    got = {(r.doc_id, r.bucket): r.val
+           for r in feature_hashing(df).collect()}
+    ha = hashlib.md5(b"alpha").hexdigest()
+    hb = hashlib.md5(b"beta").hexdigest()
+    sa = 1 if ha[2] in "01234567" else -1
+    sb = 1 if hb[2] in "01234567" else -1
+    if ha[:2] == hb[:2]:  # improbable collision: combined bucket
+        assert got[(1, ha[:2])] == 2 * sa + sb
+    else:
+        assert got[(1, ha[:2])] == 2 * sa
+        assert got[(1, hb[:2])] == sb
+
+
+def test_link_prediction_wedge_and_anti_join(spark):
+    from amundsendatabuilder_spark.operators.graph_algo import (
+        link_prediction_scores)
+    # star: hub 0 with leaves 1,2,3; plus existing edge (1,2).
+    # leaves share 1 common neighbor (hub); min_common=1 keeps them;
+    # (1,2) is adjacent -> excluded; (1,3) and (2,3) predicted.
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.a, r.b): r for r in
+           link_prediction_scores(df, min_common=1, k=10).collect()}
+    assert (1, 2) not in got
+    assert (1, 3) in got and (2, 3) in got
+    r = got[(1, 3)]
+    # deg(1)=2 (hub+2), deg(3)=1, common=1 -> jaccard 1/2
+    assert r.common == 1 and r.jaccard_ppm == 500000

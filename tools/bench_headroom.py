@@ -95,7 +95,8 @@ SUITE = [
     "stream_static_enrich", "trend_slopes", "corpus_merkle_digest",
     "q7_nation_volume", "q10_returned_items", "grouping_sets_volume",
     "embedding_label_outliers", "embedding_covariance",
-    "l_diversity_audit", "basket_association_rules",
+    "l_diversity_audit", "basket_association_rules", "graph_link_prediction",
+    "feature_hashing",
 ]
 
 
