@@ -6629,3 +6629,40 @@ def feature_hashing_query(spark, sf_dir):
     from amundsendatabuilder_spark.operators.textops import feature_hashing
     (docs,) = _t(spark, sf_dir, "documents")
     return feature_hashing(docs)
+
+
+@query("stream_last_writer_upsert", """
+SELECT user_id AS k, CAST(event_id AS BIGINT) AS seq, value AS val
+FROM (SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events) t
+WHERE rn = 1 ORDER BY k
+""")
+def stream_last_writer_upsert(spark, sf_dir):
+    """Streaming last-writer-wins upsert view
+    (streaming/dedup_stream.last_writer_filter) — the online form of
+    cdc_upsert_apply: one long of state per key (the winning sequence);
+    a key emits only in micro-batches where its winner advances, giving
+    a MERGE-able change feed instead of a history rescan. Hash-verified:
+    folding the drained change feed to each key's final winner must
+    equal the batch argmax (max event_id per user) — late/replayed rows
+    are absorbed by the seq guard. Cross-batch advancement is pinned in
+    tests/test_streaming.py."""
+    import tempfile
+
+    from amundsendatabuilder_spark.streaming.dedup_stream import (
+        last_writer_filter)
+    from amundsendatabuilder_spark.streaming.events import run_to_memory
+    stream = (_event_stream(spark, sf_dir)
+              .select(F.col("user_id").alias("k"),
+                      F.col("event_id").alias("seq"),
+                      F.col("value").alias("val")))
+    out = last_writer_filter(stream)
+    name = "slw_" + next(tempfile._get_candidate_names())
+    drained = run_to_memory(out, spark, name, tempfile.mkdtemp(),
+                            output_mode="update")
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+    return (drained.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("k", "seq", "val").orderBy("k"))

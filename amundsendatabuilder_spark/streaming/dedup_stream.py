@@ -129,3 +129,55 @@ def first_seen_filter(docs: DataFrame, key_col: str = "fingerprint") -> DataFram
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+LAST_WRITER_OUTPUT = "k long, seq long, val double"
+_LW_STATE_SCHEMA = "seq long"
+
+
+def _last_writer_fn(key, pdf_iter, state: GroupState):
+    """Per key: track the highest sequence ever seen (state = one long);
+    emit a row only in micro-batches where the winner ADVANCES — the
+    change-feed of a last-writer-wins materialized view. Within a batch
+    the winner is the max-seq row, deterministic regardless of Arrow
+    chunking."""
+    import pandas as pd
+
+    best = state.get[0] if state.exists else None
+    new_seq, new_val = None, None
+    for pdf in pdf_iter:
+        if len(pdf) == 0:
+            continue
+        i = pdf["seq"].idxmax()
+        s = int(pdf["seq"][i])
+        if (new_seq is None) or s > new_seq:
+            new_seq, new_val = s, float(pdf["val"][i])
+    if new_seq is not None and (best is None or new_seq > best):
+        state.update((new_seq,))
+        yield pd.DataFrame({"k": [key[0]], "seq": [new_seq],
+                            "val": [new_val]})
+
+
+def last_writer_filter(rows: DataFrame) -> DataFrame:
+    """Streaming last-writer-wins upsert view — the online form of
+    asof.cdc_apply: input (k, seq, val) change rows; output one row per
+    key per micro-batch IN WHICH ITS WINNER ADVANCES, carrying the new
+    winning (seq, val). Downstream sinks apply the change feed as an
+    upsert (foreachBatch MERGE), giving a continuously-maintained
+    snapshot without ever rescanning history.
+
+    State is ONE long (the winning seq) per key — values don't live in
+    the state store, so arbitrarily wide payloads cost state nothing
+    beyond the emitted rows; the stateful shuffle carries (k, seq, val)
+    only. Late or replayed rows with seq ≤ the stored winner are
+    absorbed silently (idempotent under at-least-once delivery)."""
+    return (
+        rows.groupBy("k")
+        .applyInPandasWithState(
+            _last_writer_fn,
+            outputStructType=LAST_WRITER_OUTPUT,
+            stateStructType=_LW_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -495,3 +495,34 @@ def test_stream_static_enrich_join_is_stateless_and_exact(spark, tmp_path):
               (r["n_events"], r["value_cents"]) for r in want.collect()}
     assert got_m  # append frontier emitted something
     assert all(want_m[k] == v for k, v in got_m.items())
+
+
+def test_last_writer_advances_across_micro_batches(spark, tmp_path):
+    from amundsendatabuilder_spark.streaming.dedup_stream import (
+        last_writer_filter)
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    chk = str(tmp_path / "ckpt")
+    spark.createDataFrame([(1, 5, 50.0), (2, 3, 30.0)],
+                          "k long, seq long, val double") \
+        .coalesce(1).write.parquet(str(src / "b1"))
+    stream = (spark.readStream.schema("k long, seq long, val double")
+              .option("pathGlobFilter", "*.parquet")
+              .parquet(str(src) + "/*"))
+    out = last_writer_filter(stream)
+
+    def run_once():
+        rows = []
+        q = (out.writeStream
+             .foreachBatch(lambda df, _: rows.extend(df.collect()))
+             .outputMode("update").option("checkpointLocation", chk)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {r.k: (r.seq, r.val) for r in rows}
+
+    assert run_once() == {1: (5, 50.0), 2: (3, 30.0)}
+    # batch 2: key 1 regresses (seq 4 -> absorbed), key 2 advances (seq 7)
+    spark.createDataFrame([(1, 4, 40.0), (2, 7, 70.0)],
+                          "k long, seq long, val double") \
+        .coalesce(1).write.parquet(str(src / "b2"))
+    assert run_once() == {2: (7, 70.0)}
