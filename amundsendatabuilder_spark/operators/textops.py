@@ -317,32 +317,43 @@ def bpe_merges(docs: DataFrame, iters: int = 3, vocab_size: int = 200,
       2. weighted pair counts (map-side-combinable sum),
       3. the argmax pair as a 1-row aggregate, crossJoin-broadcast back
          (no driver collect),
-      4. merge applied with a single string replace.
-    Symbols are kept as a chr(1)-delimited string with sentinel padding,
-    so the merge is an unambiguous non-overlapping left-to-right
-    ``replace`` — byte-identical semantics in Spark and ANSI engines
-    (multi-char symbols can never false-match across a delimiter).
+      4. merge applied as a pure-expression greedy fold over the symbol
+         array (canonical BPE pass semantics: non-overlapping,
+         left-to-right — property-tested against a pure-Python reference;
+         a delimiter-string ``replace`` is NOT equivalent, because
+         consecutive matches in a symbol run share the delimiter and get
+         skipped: 'a a a a' merged on (a,a) must give [aa, aa]).
     Determinism contract: pair-count ties break toward the
-    lexicographically LARGEST (a, b) (max of the (count, a, b) struct).
+    lexicographically LARGEST (a, b) (max of the (count, a, b) struct);
+    the SQL twin expresses the same greedy pass as gaps-and-islands over
+    match positions.
 
     At 100 TB only step 0 (the word-frequency count) sees the corpus; the
     loop itself runs on the vocab_size-row word table — executor-local
     work after one broadcast per iteration. localCheckpoint per iteration
-    truncates the growing replace lineage (the kmeans/pagerank pattern).
+    truncates the growing lineage (the kmeans/pagerank pattern).
     """
-    sep = "\x01"
     tok = docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
     wf = (tok.groupBy("tok").agg(F.count("*").alias("freq"))
           .orderBy(F.col("freq").desc(), F.col("tok")).limit(vocab_size))
     words = wf.select(
         "tok", "freq",
-        F.concat(F.lit(sep),
-                 F.regexp_replace(F.col("tok"), "(.)", "$1" + sep))
-        .alias("seq")).localCheckpoint()
+        F.filter(F.split(F.col("tok"), ""), lambda t: t != "")
+        .alias("syms")).localCheckpoint()
     merge_rows = []
+    # greedy non-overlapping left-to-right merge as a pure-expression
+    # fold: the last accumulated symbol merges with the incoming one iff
+    # they equal the chosen pair. This IS canonical BPE pass semantics —
+    # a delimiter-string replace() is NOT (consecutive matches in a
+    # symbol run share the delimiter, so 'a a a a' merged on (a,a) would
+    # yield [aa, a, a] instead of [aa, aa]).
+    merge_fold = (
+        "aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, x) -> "
+        "IF(size(acc) > 0 AND element_at(acc, -1) = a AND x = b, "
+        "concat(slice(acc, 1, size(acc) - 1), array(concat(a, b))), "
+        "concat(acc, array(x))))")
     for it in range(1, iters + 1):
-        syms = F.filter(F.split(F.col("seq"), sep), lambda t: t != "")
-        pairs_df = (words.select(F.col("freq"), syms.alias("syms"))
+        pairs_df = (words.select(F.col("freq"), F.col("syms"))
                     .where(F.size("syms") >= 2)
                     .select("freq", F.explode(F.expr(
                         "transform(sequence(0, size(syms)-2), "
@@ -357,17 +368,20 @@ def bpe_merges(docs: DataFrame, iters: int = 3, vocab_size: int = 200,
         merge_rows.append(best.select(
             F.lit(it).alias("it"), F.col("a").alias("sym_a"),
             F.col("b").alias("sym_b"), F.col("cnt").alias("pair_count")))
-        pat = F.concat(F.lit(sep), F.col("a"), F.lit(sep), F.col("b"),
-                       F.lit(sep))
-        rep = F.concat(F.lit(sep), F.col("a"), F.col("b"), F.lit(sep))
         words = (words.crossJoin(F.broadcast(best))
                  .select("tok", "freq",
-                         F.replace(F.col("seq"), pat, rep).alias("seq"))
+                         F.when(F.col("a").isNotNull(),
+                                F.expr(merge_fold))
+                         .otherwise(F.col("syms")).alias("syms"))
                  .localCheckpoint())
     out = merge_rows[0]
     for m in merge_rows[1:]:
         out = out.unionByName(m)
-    return out
+    # a corpus whose words are all single symbols has no pairs: the 1-row
+    # argmax aggregate is then a null struct — emit nothing for that
+    # iteration (the SQL twin's LIMIT 1 over an empty count set likewise
+    # yields no row)
+    return out.where(F.col("pair_count").isNotNull())
 
 
 def length_stats(docs: DataFrame, strata_col: str = "lang",

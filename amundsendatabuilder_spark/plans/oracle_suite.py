@@ -5920,27 +5920,51 @@ def equi_depth_histogram_query(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def _bpe_oracle(iters: int = 3, vocab_size: int = 200) -> str:
+    """Unrolled BPE twin. The merge pass is the greedy non-overlapping
+    left-to-right pair merge expressed as gaps-and-islands: match
+    positions grouped into consecutive runs, every other position from
+    each run start selected (exactly what the Spark-side fold computes),
+    merged symbols substituted and successor positions dropped."""
     head = r"""
 WITH tok AS (SELECT unnest(""" + _LTOKS_SQL + r""") AS tok FROM documents),
 wf AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY 1
        ORDER BY freq DESC, tok LIMIT """ + str(vocab_size) + r"""),
 w0 AS (SELECT tok, freq,
-              chr(1) || regexp_replace(tok, '(.)', '\1' || chr(1), 'g') AS seq
+              list_filter(string_split(tok, ''), x -> x <> '') AS l
        FROM wf)"""
     its = []
     for i in range(1, iters + 1):
         p = f"w{i - 1}"
         its.append(f"""
-l{i} AS (SELECT freq, list_filter(string_split(seq, chr(1)), x -> x <> '') AS l
-       FROM {p}),
 p{i} AS (SELECT l[j] AS a, l[j + 1] AS b, freq
-       FROM l{i}, unnest(range(1, len(l))) AS u(j)),
-c{i} AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM p{i} GROUP BY 1, 2),
-b{i} AS (SELECT a, b, cnt FROM c{i} ORDER BY cnt DESC, a DESC, b DESC LIMIT 1),
-w{i} AS (SELECT tok, freq,
-              replace(seq, chr(1) || b.a || chr(1) || b.b || chr(1),
-                           chr(1) || b.a || b.b || chr(1)) AS seq
-       FROM {p} CROSS JOIN b{i} b)""")
+       FROM {p}, unnest(range(1, len(l))) AS u(j)),
+c{i} AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM p{i}
+       GROUP BY 1, 2),
+b{i} AS (SELECT a, b, cnt FROM c{i} ORDER BY cnt DESC, a DESC, b DESC
+       LIMIT 1),
+m{i} AS (SELECT w.tok, u.j AS pos
+       FROM {p} w CROSS JOIN b{i} bb,
+            unnest(range(1, len(w.l))) AS u(j)
+       WHERE w.l[u.j] = bb.a AND w.l[u.j + 1] = bb.b),
+g{i} AS (SELECT tok, pos,
+              pos - row_number() OVER (PARTITION BY tok ORDER BY pos)
+                  AS grp
+       FROM m{i}),
+sel{i} AS (SELECT tok, pos FROM (
+         SELECT tok, pos, min(pos) OVER (PARTITION BY tok, grp) AS p0
+         FROM g{i}) WHERE (pos - p0) % 2 = 0),
+e{i} AS (SELECT tok, freq,
+              CAST(generate_subscripts(l, 1) AS BIGINT) AS pos,
+              unnest(l) AS sym
+       FROM {p}),
+w{i} AS (SELECT e.tok, e.freq,
+              list(CASE WHEN s.pos IS NOT NULL THEN bb.a || bb.b
+                        ELSE e.sym END ORDER BY e.pos) AS l
+       FROM e{i} e CROSS JOIN b{i} bb
+       LEFT JOIN sel{i} s ON s.tok = e.tok AND s.pos = e.pos
+       LEFT JOIN sel{i} s2 ON s2.tok = e.tok AND s2.pos = e.pos - 1
+       WHERE s2.pos IS NULL
+       GROUP BY e.tok, e.freq)""")
     union = "\nUNION ALL\n".join(
         f"SELECT CAST({i} AS INT) AS it, a AS sym_a, b AS sym_b,"
         f" cnt AS pair_count FROM b{i}" for i in range(1, iters + 1))

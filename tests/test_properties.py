@@ -236,3 +236,46 @@ def test_budget_selection_prefix_sum_matches_naive(sp, lens):
     for r in order:
         run += r.n_tokens
         assert r.cum_tokens == run
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.text(alphabet="abcd", min_size=1, max_size=6),
+                min_size=1, max_size=12))
+def test_bpe_merges_match_pure_python_reference(sp, words):
+    """bpe_merges == a straightforward pure-Python BPE on the same
+    word-frequency table (greedy max pair, ties to the LARGEST (a,b),
+    non-overlapping left-to-right merge)."""
+    from collections import Counter
+    from amundsendatabuilder_spark.operators.textops import bpe_merges
+
+    text = " ".join(words)
+    df = sp.createDataFrame([(1, text)], "doc_id long, text string")
+    iters = 2
+    got = [(r.sym_a, r.sym_b, r.pair_count)
+           for r in bpe_merges(df, iters=iters, vocab_size=50)
+           .orderBy("it").collect()]
+
+    freq = Counter(w.lower() for w in text.split() if w)
+    seqs = {w: list(w) for w in freq}
+    want = []
+    for _ in range(iters):
+        counts = Counter()
+        for w, syms in seqs.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += freq[w]
+        if not counts:
+            break
+        best = max(counts, key=lambda p: (counts[p], p[0], p[1]))
+        want.append((best[0], best[1], counts[best]))
+        a, b = best
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    assert got == want
