@@ -370,3 +370,58 @@ def link_prediction_scores(edges: DataFrame, min_common: int = 2,
     return (scored.orderBy(F.col("common").desc(),
                            F.col("jaccard_ppm").desc(), "a", "b")
             .limit(k))
+
+
+def hash_walks(edges: DataFrame, walk_len: int = 3,
+               walks_per_node: int = 2, starts: DataFrame | None = None,
+               src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Deterministic random-walk sampling over an undirected graph — the
+    corpus-generation pass of DeepWalk/node2vec-style graph embedding,
+    with the RNG replaced by a seeded hash so walks are REPRODUCIBLE
+    across runs, engines, and partitionings (a property the sampled-walk
+    literature gives up, and the one that makes the operator
+    oracle-verifiable): step t of walk w from node v moves to
+    neighbors(cur)[ md5(cur:w:t) mod deg(cur) ], neighbors sorted.
+
+    Output: (start, walk, step, node) rows, steps 0..walk_len.
+
+    Scale shape: the adjacency table holds each node's SORTED neighbor
+    array once; each of the walk_len steps is ONE equi-join of the
+    (start, walk, cur) frontier — 24 bytes/row — against adjacency on
+    cur, map-side hash arithmetic picking the successor. Total work is
+    O(walks · walk_len) frontier rows regardless of graph size; hub
+    nodes cost nothing extra (their array is large but the lookup is
+    O(1)). ``starts`` defaults to every node.
+    """
+    und = (edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+           .where(F.col("u") != F.col("v")))
+    sym = (und.unionByName(und.select(F.col("v").alias("u"),
+                                      F.col("u").alias("v")))
+           .distinct())
+    adj = (sym.groupBy("u")
+           .agg(F.sort_array(F.collect_list("v")).alias("nbrs"),
+                F.count(F.lit(1)).alias("deg")).localCheckpoint())
+    start_df = (starts if starts is not None
+                else adj.select(F.col("u").alias("start")))
+    frontier = (start_df.select(
+        "start",
+        F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1)))
+        .alias("walk"))
+        .select("start", F.col("walk").cast("long").alias("walk"),
+                F.col("start").alias("cur")))
+    out = frontier.select("start", "walk", F.lit(0).alias("step"),
+                          F.col("cur").alias("node"))
+    for t in range(1, walk_len + 1):
+        h = F.conv(F.substring(F.md5(F.concat(
+            F.col("cur").cast("string"), F.lit(":"),
+            F.col("walk").cast("string"), F.lit(":"), F.lit(str(t)))),
+            1, 8), 16, 10).cast("long")
+        frontier = (frontier.join(adj, frontier["cur"] == adj["u"])
+                    .select("start", "walk",
+                            F.element_at(F.col("nbrs"),
+                                         ((h % F.col("deg")) + 1)
+                                         .cast("int")).alias("cur")))
+        out = out.unionByName(frontier.select(
+            "start", "walk", F.lit(t).alias("step"),
+            F.col("cur").alias("node")))
+    return out.withColumn("step", F.col("step").cast("int"))

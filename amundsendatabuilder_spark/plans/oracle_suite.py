@@ -6690,3 +6690,65 @@ def stream_last_writer_upsert(spark, sf_dir):
     return (drained.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
             .select("k", "seq", "val").orderBy("k"))
+
+
+def _walks_oracle(walk_len: int = 3, walks: int = 2) -> str:
+    head = """
+WITH keys AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+e0 AS (
+  SELECT a.k AS src, b.k AS dst FROM keys a JOIN keys b ON b.k = a.k * 2
+  UNION ALL
+  SELECT a.k, b.k FROM keys a JOIN keys b ON b.k = a.k * 2 + 1
+  UNION ALL
+  SELECT a.k, b.k FROM keys a JOIN keys b ON b.k = a.k * 3),
+und AS (SELECT src AS u, dst AS v FROM e0 WHERE src <> dst),
+sym AS (SELECT u, v FROM und UNION SELECT v AS u, u AS v FROM und),
+adj AS (SELECT u, list(v ORDER BY v) AS nbrs,
+               CAST(count(*) AS BIGINT) AS deg
+        FROM sym GROUP BY u),
+st AS (SELECT u AS start FROM adj WHERE u % 20 = 0),
+f0 AS (SELECT start, CAST(w AS BIGINT) AS walk, start AS cur
+       FROM st, unnest(range(0, """ + str(walks) + """)) AS uw(w))"""
+    its = []
+    for t in range(1, walk_len + 1):
+        p = f"f{t - 1}"
+        its.append(f"""
+f{t} AS (SELECT f.start, f.walk,
+              a.nbrs[CAST((CAST('0x' || substr(md5(
+                  CAST(f.cur AS VARCHAR) || ':' ||
+                  CAST(f.walk AS VARCHAR) || ':{t}'), 1, 8) AS BIGINT)
+                  % a.deg) + 1 AS INT)] AS cur
+       FROM {p} f JOIN adj a ON a.u = f.cur)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT start, walk, CAST({t} AS INT) AS step, cur AS node"
+        f" FROM f{t}" for t in range(0, walk_len + 1))
+    return (head + "," + ",".join(its) + "\n" + union
+            + "\nORDER BY start, walk, step")
+
+
+@query("graph_hash_walks", _walks_oracle())
+def graph_hash_walks(spark, sf_dir):
+    """Deterministic random-walk corpus over the synthesized lineage
+    graph (graph_algo.hash_walks) — the DeepWalk/node2vec sampling pass
+    with a seeded md5 in place of the RNG, so the walk corpus is
+    reproducible and hash-verifiable. Each step is one id-only frontier
+    join against the sorted-adjacency table; cost is O(walks·len)
+    regardless of graph size. Starts restricted to every 20th node (750
+    walk origins, 2 walks each, 3 steps)."""
+    from amundsendatabuilder_spark.operators.graph_algo import hash_walks
+    (orders,) = _t(spark, sf_dir, "orders")
+    keys_df = orders.select(F.col("o_orderkey").alias("k")).distinct().cache()
+    a, b = keys_df.alias("a"), keys_df.alias("b")
+
+    def em(mult: int, add: int = 0):
+        return (a.join(b, F.col("b.k") == F.col("a.k") * mult + add)
+                .select(F.col("a.k").alias("src"), F.col("b.k").alias("dst")))
+
+    edges = em(2).unionByName(em(2, 1)).unionByName(em(3))
+    und = (edges.select("src", "dst").where(F.col("src") != F.col("dst")))
+    sym = (und.unionByName(und.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst"))))
+    nodes = sym.select(F.col("src").alias("start")).distinct()
+    starts = nodes.where(F.col("start") % 20 == 0)
+    return (hash_walks(edges, walk_len=3, walks_per_node=2, starts=starts)
+            .orderBy("start", "walk", "step"))

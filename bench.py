@@ -139,6 +139,7 @@ EXTENDED = [
     "basket_association_rules",
     "graph_link_prediction",
     "feature_hashing",
+    "graph_hash_walks",
 ]
 
 

@@ -2156,3 +2156,26 @@ def test_link_prediction_wedge_and_anti_join(spark):
     r = got[(1, 3)]
     # deg(1)=2 (hub+2), deg(3)=1, common=1 -> jaccard 1/2
     assert r.common == 1 and r.jaccard_ppm == 500000
+
+
+def test_hash_walks_are_valid_and_deterministic(spark):
+    from amundsendatabuilder_spark.operators.graph_algo import hash_walks
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = hash_walks(df, walk_len=4, walks_per_node=3).collect()
+    sym = set()
+    for a, b in edges:
+        sym.add((a, b)); sym.add((b, a))
+    walks = {}
+    for r in out:
+        walks.setdefault((r.start, r.walk), {})[r.step] = r.node
+    assert len(walks) == 4 * 3  # every (node, walk) pair present
+    for (start, _), steps in walks.items():
+        assert steps[0] == start and len(steps) == 5
+        for t in range(4):
+            assert (steps[t], steps[t + 1]) in sym  # every hop is an edge
+    # determinism across runs
+    again = {(r.start, r.walk, r.step): r.node
+             for r in hash_walks(df, walk_len=4, walks_per_node=3).collect()}
+    for r in out:
+        assert again[(r.start, r.walk, r.step)] == r.node

@@ -96,7 +96,7 @@ SUITE = [
     "q7_nation_volume", "q10_returned_items", "grouping_sets_volume",
     "embedding_label_outliers", "embedding_covariance",
     "l_diversity_audit", "basket_association_rules", "graph_link_prediction",
-    "feature_hashing", "stream_last_writer_upsert",
+    "feature_hashing", "stream_last_writer_upsert", "graph_hash_walks",
 ]
 
 
