@@ -1072,3 +1072,48 @@ def feature_hashing(docs: DataFrame, id_col: str = "doc_id",
     return (rows.groupBy("doc_id", "bucket")
             .agg(F.sum("sign").cast("long").alias("val"))
             .where(F.col("val") != 0))
+
+
+def dataset_card(docs: DataFrame, group_col: str = "source",
+                 id_col: str = "doc_id", text_col: str = "text",
+                 lang_col: str = "lang") -> DataFrame:
+    """Per-source dataset card — the one-table corpus summary a data
+    release ships: (source, n_docs, total_tokens, dup_ppm, p50_tokens,
+    top_lang). Every statistic is exact and order-free: token counts are
+    whitespace counts, duplication is 1 − distinct-fingerprint ratio in
+    integer ppm, the median is discrete (value at row ⌈n/2⌉), and the
+    dominant language is a (count DESC, lang ASC) argmax via
+    min-of-struct — no float, no sampling, so two corpus builds produce
+    byte-identical cards iff the corpora match.
+
+    Plan: one scan derives (tokens, fingerprint); one group aggregate
+    per statistic family (counts+distinct, rank-window median, language
+    argmax), joined back on the group key — shuffles carry (group,
+    scalar) rows only."""
+    d = docs.select(
+        F.col(group_col).alias("grp"), F.col(lang_col).alias("lang"),
+        F.col(id_col).alias("o"),
+        token_count_ws(F.col(text_col)).alias("n_tok"),
+        fingerprint_md5(F.col(text_col)).alias("fp"))
+    base = (d.groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").alias("total_tokens"),
+                 F.countDistinct("fp").alias("n_distinct")))
+    ranked = (d.select("grp", "n_tok", "o")
+              .withColumn("rn", F.row_number().over(
+                  Window.partitionBy("grp").orderBy("n_tok", "o")))
+              .withColumn("n", F.count(F.lit(1)).over(
+                  Window.partitionBy("grp"))))
+    med = (ranked.where(F.col("rn") == F.expr("(n + 1) DIV 2"))
+           .groupBy("grp").agg(F.min("n_tok").alias("p50_tokens")))
+    lng = (d.groupBy("grp", "lang").agg(F.count(F.lit(1)).alias("c"))
+           .groupBy("grp")
+           .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("lang")))
+                .alias("m"))
+           .select("grp", F.col("m.lang").alias("top_lang")))
+    return (base.join(med, "grp").join(lng, "grp")
+            .select(F.col("grp").alias(group_col), "n_docs",
+                    "total_tokens",
+                    F.expr("(n_docs - n_distinct) * 1000000 DIV n_docs")
+                    .alias("dup_ppm"),
+                    "p50_tokens", "top_lang"))

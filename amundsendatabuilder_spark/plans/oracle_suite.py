@@ -6752,3 +6752,43 @@ def graph_hash_walks(spark, sf_dir):
     starts = nodes.where(F.col("start") % 20 == 0)
     return (hash_walks(edges, walk_len=3, walks_per_node=2, starts=starts)
             .orderBy("start", "walk", "step"))
+
+
+@query("dataset_card", r"""
+WITH d AS (SELECT source AS grp, lang, doc_id AS o,
+                  CAST(len(""" + _LTOKS_SQL + r""") AS BIGINT) AS n_tok,
+                  md5(array_to_string(
+                      list_filter(string_split_regex(trim(lower(text)),
+                                                     '\s+'),
+                                  x -> x <> ''), ' ')) AS fp
+           FROM documents),
+base AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct
+         FROM d GROUP BY 1),
+r AS (SELECT grp, n_tok,
+             row_number() OVER (PARTITION BY grp ORDER BY n_tok, o) AS rn,
+             count(*) OVER (PARTITION BY grp) AS n
+      FROM d),
+med AS (SELECT grp, min(n_tok) AS p50_tokens FROM r
+        WHERE rn = (n + 1) // 2 GROUP BY grp),
+lng AS (SELECT grp, lang AS top_lang FROM (
+        SELECT grp, lang,
+               row_number() OVER (PARTITION BY grp
+                                  ORDER BY count(*) DESC, lang) AS rn
+        FROM d GROUP BY grp, lang) WHERE rn = 1)
+SELECT b.grp AS source, b.n_docs, b.total_tokens,
+       (b.n_docs - b.n_distinct) * 1000000 // b.n_docs AS dup_ppm,
+       m.p50_tokens, l.top_lang
+FROM base b JOIN med m ON m.grp = b.grp JOIN lng l ON l.grp = b.grp
+ORDER BY source
+""")
+def dataset_card_query(spark, sf_dir):
+    """Per-source dataset card (textops.dataset_card): docs, tokens,
+    exact duplication ppm, discrete median length, dominant language —
+    the release-notes table of a corpus build, every statistic exact so
+    two builds produce byte-identical cards iff the corpora match. One
+    derive scan + three (group, scalar) aggregates."""
+    from amundsendatabuilder_spark.operators.textops import dataset_card
+    (docs,) = _t(spark, sf_dir, "documents")
+    return dataset_card(docs).orderBy("source")

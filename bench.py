@@ -140,6 +140,7 @@ EXTENDED = [
     "graph_link_prediction",
     "feature_hashing",
     "graph_hash_walks",
+    "dataset_card",
 ]
 
 

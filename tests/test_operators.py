@@ -2179,3 +2179,21 @@ def test_hash_walks_are_valid_and_deterministic(spark):
              for r in hash_walks(df, walk_len=4, walks_per_node=3).collect()}
     for r in out:
         assert again[(r.start, r.walk, r.step)] == r.node
+
+
+def test_dataset_card_stats(spark):
+    from amundsendatabuilder_spark.operators.textops import dataset_card
+    rows = [
+        (1, "a b c", "en", "s1"), (2, "a b c", "en", "s1"),  # exact dup pair
+        (3, "d e", "fr", "s1"), (4, "x", "fr", "s2"),
+    ]
+    df = spark.createDataFrame(rows,
+                               "doc_id long, text string, lang string,"
+                               " source string")
+    got = {r.source: r for r in dataset_card(df).collect()}
+    s1 = got["s1"]
+    assert s1.n_docs == 3 and s1.total_tokens == 8
+    assert s1.dup_ppm == 1 * 1_000_000 // 3    # 3 docs, 2 distinct
+    assert s1.p50_tokens == 3                  # lengths [2,3,3] -> row 2
+    assert s1.top_lang == "en"                 # 2 en vs 1 fr
+    assert got["s2"].dup_ppm == 0 and got["s2"].p50_tokens == 1
