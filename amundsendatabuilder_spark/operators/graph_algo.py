@@ -408,7 +408,8 @@ def hash_walks(edges: DataFrame, walk_len: int = 3,
         F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1)))
         .alias("walk"))
         .select("start", F.col("walk").cast("long").alias("walk"),
-                F.col("start").alias("cur")))
+                F.col("start").alias("cur"))
+        .localCheckpoint())
     out = frontier.select("start", "walk", F.lit(0).alias("step"),
                           F.col("cur").alias("node"))
     for t in range(1, walk_len + 1):
@@ -420,7 +421,11 @@ def hash_walks(edges: DataFrame, walk_len: int = 3,
                     .select("start", "walk",
                             F.element_at(F.col("nbrs"),
                                          ((h % F.col("deg")) + 1)
-                                         .cast("int")).alias("cur")))
+                                         .cast("int")).alias("cur"))
+                    # materialize each level: the final union otherwise
+                    # re-evaluates every prefix of the join chain
+                    # (O(len²) joins — the match_var_path lesson)
+                    .localCheckpoint())
         out = out.unionByName(frontier.select(
             "start", "walk", F.lit(t).alias("step"),
             F.col("cur").alias("node")))

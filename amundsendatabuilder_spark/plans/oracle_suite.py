@@ -6745,11 +6745,11 @@ def graph_hash_walks(spark, sf_dir):
                 .select(F.col("a.k").alias("src"), F.col("b.k").alias("dst")))
 
     edges = em(2).unionByName(em(2, 1)).unionByName(em(3))
-    und = (edges.select("src", "dst").where(F.col("src") != F.col("dst")))
-    sym = (und.unionByName(und.select(F.col("dst").alias("src"),
-                                      F.col("src").alias("dst"))))
-    nodes = sym.select(F.col("src").alias("start")).distinct()
-    starts = nodes.where(F.col("start") % 20 == 0)
+    # every key is a graph node (k >= 2 has parent k DIV 2; k = 1 has
+    # children), so starts come straight off the key table instead of
+    # re-deriving the symmetrized node set (saves a full graph rebuild)
+    starts = keys_df.select(F.col("k").alias("start")) \
+        .where(F.col("start") % 20 == 0)
     return (hash_walks(edges, walk_len=3, walks_per_node=2, starts=starts)
             .orderBy("start", "walk", "step"))
 
