@@ -1117,3 +1117,43 @@ def dataset_card(docs: DataFrame, group_col: str = "source",
                     F.expr("(n_docs - n_distinct) * 1000000 DIV n_docs")
                     .alias("dup_ppm"),
                     "p50_tokens", "top_lang"))
+
+
+def bpe_apply(docs: DataFrame, merges: DataFrame, iters: int,
+              text_col: str = "text") -> DataFrame:
+    """Apply a learned BPE merge table to a corpus and report subword
+    compression per document: (doc_id, n_words, n_subwords) — the encode
+    side of the tokenizer whose training pass is ``bpe_merges``
+    (together they close the train→encode loop in-engine).
+
+    The corpus text is never folded row-by-row: encoding factors through
+    the DISTINCT-token vocabulary (identical words encode identically),
+    so the merge folds run once per distinct word and a broadcast join
+    carries (word → subword count) back onto the exploded token stream —
+    at 100 TB the vocabulary is 10^7 rows while the corpus is 10^11, a
+    four-orders-of-magnitude saving over per-occurrence encoding.
+    ``merges`` must hold one row per iteration 1..iters (the shape
+    ``bpe_merges`` emits); each fold is the same greedy non-overlapping
+    pass as training, applied in merge order.
+    """
+    tok_stream = docs.select(
+        F.col("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
+    words = (tok_stream.select("tok").distinct()
+             .select("tok", F.filter(F.split(F.col("tok"), ""),
+                                     lambda t: t != "").alias("syms")))
+    merge_fold = (
+        "aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, x) -> "
+        "IF(size(acc) > 0 AND element_at(acc, -1) = a AND x = b, "
+        "concat(slice(acc, 1, size(acc) - 1), array(concat(a, b))), "
+        "concat(acc, array(x))))")
+    for i in range(1, iters + 1):
+        m = (merges.where(F.col("it") == i)
+             .select(F.col("sym_a").alias("a"), F.col("sym_b").alias("b")))
+        words = (words.crossJoin(F.broadcast(m))
+                 .select("tok", F.expr(merge_fold).alias("syms")))
+    encoded = words.select("tok", F.size("syms").cast("long").alias("n_sub"))
+    return (tok_stream.join(F.broadcast(encoded), "tok")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum("n_sub").alias("n_subwords")))

@@ -6792,3 +6792,71 @@ def dataset_card_query(spark, sf_dir):
     from amundsendatabuilder_spark.operators.textops import dataset_card
     (docs,) = _t(spark, sf_dir, "documents")
     return dataset_card(docs).orderBy("source")
+
+
+def _bpe_islands_merge(src: str, pair: str, out: str, i: str) -> str:
+    """One greedy merge pass (gaps-and-islands) from word CTE ``src`` to
+    ``out`` using the 1-row pair CTE ``pair``; ``i`` uniquifies CTE
+    names."""
+    return f"""
+am{i} AS (SELECT w.tok, u.j AS pos
+       FROM {src} w CROSS JOIN {pair} bb,
+            unnest(range(1, len(w.l))) AS u(j)
+       WHERE w.l[u.j] = bb.a AND w.l[u.j + 1] = bb.b),
+ag{i} AS (SELECT tok, pos,
+              pos - row_number() OVER (PARTITION BY tok ORDER BY pos)
+                  AS grp
+       FROM am{i}),
+asel{i} AS (SELECT tok, pos FROM (
+         SELECT tok, pos, min(pos) OVER (PARTITION BY tok, grp) AS p0
+         FROM ag{i}) WHERE (pos - p0) % 2 = 0),
+ae{i} AS (SELECT tok,
+              CAST(generate_subscripts(l, 1) AS BIGINT) AS pos,
+              unnest(l) AS sym
+       FROM {src}),
+{out} AS (SELECT e.tok,
+              list(CASE WHEN s.pos IS NOT NULL THEN bb.a || bb.b
+                        ELSE e.sym END ORDER BY e.pos) AS l
+       FROM ae{i} e CROSS JOIN {pair} bb
+       LEFT JOIN asel{i} s ON s.tok = e.tok AND s.pos = e.pos
+       LEFT JOIN asel{i} s2 ON s2.tok = e.tok AND s2.pos = e.pos - 1
+       WHERE s2.pos IS NULL
+       GROUP BY e.tok)"""
+
+
+def _bpe_apply_oracle(iters: int = 3, vocab_size: int = 200) -> str:
+    train = _bpe_oracle(iters, vocab_size)
+    # keep the training CTE chain, drop its final UNION/select
+    body = train[: train.index("\nSELECT CAST(1 AS INT)")]
+    parts = [body]
+    parts.append(""",
+allw AS (SELECT DISTINCT unnest(""" + _LTOKS_SQL + """) AS tok
+         FROM documents),
+v0 AS (SELECT tok, list_filter(string_split(tok, ''), x -> x <> '') AS l
+       FROM allw)""")
+    for i in range(1, iters + 1):
+        parts.append("," + _bpe_islands_merge(f"v{i - 1}", f"b{i}",
+                                              f"v{i}", str(i)))
+    parts.append(f""",
+ts AS (SELECT doc_id, unnest({_LTOKS_SQL}) AS tok FROM documents),
+enc AS (SELECT tok, CAST(len(l) AS BIGINT) AS n_sub FROM v{iters})
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_sub) AS BIGINT) AS n_subwords
+FROM ts JOIN enc USING (tok) GROUP BY doc_id ORDER BY doc_id""")
+    return "".join(parts)
+
+
+@query("bpe_encode_counts", _bpe_apply_oracle())
+def bpe_encode_counts(spark, sf_dir):
+    """BPE encode pass (textops.bpe_apply) — the learned 3-merge table
+    from bpe_merge_training applied back to the corpus, reporting
+    per-document word and subword counts. Encoding factors through the
+    DISTINCT-token vocabulary (broadcast word→count map), so the merge
+    folds run once per distinct word, not per occurrence — the
+    train→encode tokenizer loop closed entirely in-engine, and the twin
+    replays training AND application gaps-and-islands pass for pass."""
+    from amundsendatabuilder_spark.operators.textops import (
+        bpe_apply, bpe_merges)
+    (docs,) = _t(spark, sf_dir, "documents")
+    merges = bpe_merges(docs, iters=3, vocab_size=200)
+    return bpe_apply(docs, merges, iters=3).orderBy("doc_id")

@@ -141,6 +141,7 @@ EXTENDED = [
     "feature_hashing",
     "graph_hash_walks",
     "dataset_card",
+    "bpe_encode_counts",
 ]
 
 

@@ -2197,3 +2197,18 @@ def test_dataset_card_stats(spark):
     assert s1.p50_tokens == 3                  # lengths [2,3,3] -> row 2
     assert s1.top_lang == "en"                 # 2 en vs 1 fr
     assert got["s2"].dup_ppm == 0 and got["s2"].p50_tokens == 1
+
+
+def test_bpe_apply_counts_subwords_with_learned_merges(spark):
+    from amundsendatabuilder_spark.operators.textops import (
+        bpe_apply, bpe_merges)
+    # corpus: 'abab abab ab' -> merge1 (a,b) everywhere; merge2 (ab,ab)
+    df = spark.createDataFrame([(1, "abab abab ab"), (2, "ba")],
+                               "doc_id long, text string")
+    merges = bpe_merges(df, iters=2, vocab_size=10)
+    got = {r.doc_id: (r.n_words, r.n_subwords)
+           for r in bpe_apply(df, merges, iters=2).collect()}
+    # doc 1: 'abab' -> [ab, ab] -> [abab] (1 subword) x2, 'ab' -> [ab]
+    assert got[1] == (3, 3)
+    # doc 2: 'ba' has no merge -> 2 chars stay 2 subwords
+    assert got[2] == (1, 2)
