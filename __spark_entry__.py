@@ -75,7 +75,7 @@ _PRIORITY = [
     "grouping_sets_volume", "embedding_label_outliers",
     "embedding_covariance", "l_diversity_audit",
     "basket_association_rules", "graph_link_prediction",
-    "feature_hashing", "stream_last_writer_upsert", "graph_hash_walks", "dataset_card", "bpe_encode_counts",
+    "feature_hashing", "stream_last_writer_upsert", "graph_hash_walks", "dataset_card", "bpe_encode_counts", "interval_union_coverage",
     # remaining round-4 stale
     "search_doc_table_built",
     "graph_match_pattern", "graph_match_2hop", "column_profile",

@@ -266,3 +266,36 @@ def cdc_apply(snapshot: DataFrame, changelog: DataFrame, *,
                 .where((F.col("rn") == 1) & (F.col("o") == "U")))
     return resolved.select(F.col("k").alias(key_col),
                            *[F.col(c) for c in payload_cols])
+
+
+def interval_union(intervals: DataFrame, key_col: str = "user_id",
+                   start_col: str = "start_us",
+                   end_col: str = "end_us") -> DataFrame:
+    """Per-key union length of (possibly overlapping) intervals — total
+    covered time with double-counting removed: the session-coverage /
+    SLA-uptime / sensor-active-time statistic. Classic sweep as
+    gaps-and-islands: an interval starts a new island when its start
+    exceeds the running max end of everything before it; island bounds
+    then aggregate exactly (integer microseconds).
+
+    Output: (key, n_intervals, n_islands, covered_us). One shuffle on
+    the key + two key-partitioned windows; rows carry three longs. Same
+    scale shape as sessionize_batch — AQE splits skewed keys."""
+    w_order = Window.partitionBy(key_col).orderBy(start_col, end_col)
+    prev_max = F.max(F.col(end_col)).over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1))
+    marked = intervals.withColumn(
+        "_new", F.when(prev_max.isNull()
+                       | (F.col(start_col) > prev_max), 1).otherwise(0))
+    isl = marked.withColumn(
+        "_isl", F.sum("_new").over(
+            w_order.rowsBetween(Window.unboundedPreceding, 0)))
+    per_island = (isl.groupBy(key_col, "_isl")
+                  .agg(F.min(start_col).alias("_s"),
+                       F.max(end_col).alias("_e"),
+                       F.count(F.lit(1)).alias("_n")))
+    return (per_island.groupBy(key_col)
+            .agg(F.sum("_n").alias("n_intervals"),
+                 F.count(F.lit(1)).alias("n_islands"),
+                 F.sum(F.col("_e") - F.col("_s")).cast("long")
+                 .alias("covered_us")))

@@ -6860,3 +6860,49 @@ def bpe_encode_counts(spark, sf_dir):
     (docs,) = _t(spark, sf_dir, "documents")
     merges = bpe_merges(docs, iters=3, vocab_size=200)
     return bpe_apply(docs, merges, iters=3).orderBy("doc_id")
+
+
+@query("interval_union_coverage", """
+WITH iv AS (SELECT user_id,
+                   CAST(floor(epoch(ts) * 1000000) AS BIGINT) AS start_us,
+                   CAST(floor(epoch(ts) * 1000000) AS BIGINT)
+                       + 600000000 + (event_id % 7) * 60000000 AS end_us
+            FROM events),
+m AS (SELECT user_id, start_us, end_us,
+             CASE WHEN max(end_us) OVER (
+                      PARTITION BY user_id ORDER BY start_us, end_us
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+                OR start_us > max(end_us) OVER (
+                      PARTITION BY user_id ORDER BY start_us, end_us
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS newi
+      FROM iv),
+i AS (SELECT user_id, start_us, end_us,
+             sum(newi) OVER (PARTITION BY user_id ORDER BY start_us, end_us
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS isl
+      FROM m),
+p AS (SELECT user_id, isl, min(start_us) AS s, max(end_us) AS e,
+             CAST(count(*) AS BIGINT) AS n
+      FROM i GROUP BY 1, 2)
+SELECT user_id, CAST(sum(n) AS BIGINT) AS n_intervals,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(e - s) AS BIGINT) AS covered_us
+FROM p GROUP BY user_id ORDER BY user_id
+""")
+def interval_union_coverage(spark, sf_dir):
+    """Per-user union length of overlapping activity intervals
+    (asof.interval_union) — events extended into 10-16-minute intervals
+    (deterministic per-event length), overlaps merged by the
+    gaps-and-islands sweep, total covered time in exact microseconds.
+    The de-double-counted coverage statistic behind SLA uptime and
+    active-time billing; one key shuffle + two windows."""
+    from amundsendatabuilder_spark.operators.asof import interval_union
+    (events,) = _t(spark, sf_dir, "events")
+    iv = events.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("start_us"),
+        (F.unix_micros(F.col("ts")) + 600_000_000
+         + (F.col("event_id") % 7) * 60_000_000).alias("end_us"))
+    return interval_union(iv).orderBy("user_id")

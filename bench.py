@@ -142,6 +142,7 @@ EXTENDED = [
     "graph_hash_walks",
     "dataset_card",
     "bpe_encode_counts",
+    "interval_union_coverage",
 ]
 
 

@@ -2212,3 +2212,40 @@ def test_bpe_apply_counts_subwords_with_learned_merges(spark):
     assert got[1] == (3, 3)
     # doc 2: 'ba' has no merge -> 2 chars stay 2 subwords
     assert got[2] == (1, 2)
+
+
+def test_interval_union_merges_overlaps_exactly(spark):
+    from amundsendatabuilder_spark.operators.asof import interval_union
+    rows = [
+        (1, 0, 10), (1, 5, 20), (1, 30, 40),   # [0,20] + [30,40] = 30
+        (2, 0, 10), (2, 10, 20),               # touching -> one island, 20
+        (3, 0, 100), (3, 10, 20),              # contained -> 100
+    ]
+    df = spark.createDataFrame(rows, "user_id long, start_us long, end_us long")
+    got = {r.user_id: r for r in interval_union(df).collect()}
+    assert (got[1].covered_us, got[1].n_islands) == (30, 2)
+    assert (got[2].covered_us, got[2].n_islands) == (20, 1)
+    assert (got[3].covered_us, got[3].n_islands) == (100, 1)
+
+
+def test_cdc_apply_matches_dict_replay_property(spark):
+    import random
+    from amundsendatabuilder_spark.operators.asof import cdc_apply
+    rng = random.Random(7)
+    snap_rows = [(k, f"s{k}") for k in range(20)]
+    log_rows = []
+    for seq in range(1, 120):
+        k = rng.randrange(30)
+        op = "D" if rng.random() < 0.3 else "U"
+        log_rows.append((k, seq, op, f"v{seq}" if op == "U" else None))
+    snap = spark.createDataFrame(snap_rows, "k long, val string")
+    log = spark.createDataFrame(log_rows, "k long, seq long, op string, val string")
+    got = {r.k: r.val for r in cdc_apply(
+        snap, log, key_col="k", payload_cols=["val"]).collect()}
+    state = {k: v for k, v in snap_rows}
+    for k, seq, op, val in log_rows:       # seq strictly increasing
+        if op == "U":
+            state[k] = val
+        else:
+            state.pop(k, None)
+    assert got == state

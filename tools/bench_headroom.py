@@ -97,7 +97,7 @@ SUITE = [
     "embedding_label_outliers", "embedding_covariance",
     "l_diversity_audit", "basket_association_rules", "graph_link_prediction",
     "feature_hashing", "stream_last_writer_upsert", "graph_hash_walks",
-    "dataset_card", "bpe_encode_counts",
+    "dataset_card", "bpe_encode_counts", "interval_union_coverage",
 ]
 
 
