@@ -430,3 +430,49 @@ def hash_walks(edges: DataFrame, walk_len: int = 3,
             "start", "walk", F.lit(t).alias("step"),
             F.col("cur").alias("node")))
     return out.withColumn("step", F.col("step").cast("int"))
+
+
+def feature_propagation(edges: DataFrame, feats: DataFrame,
+                        iters: int = 2, feat_col: str = "f",
+                        node_col: str = "node",
+                        src_col: str = "src", dst_col: str = "dst"
+                        ) -> DataFrame:
+    """Neighborhood feature smoothing — the message-passing aggregation
+    at the heart of GraphSAGE/GCN-style pipelines, run as exact integer
+    DataFrame algebra: per sweep, f(v) ← (f(v) + Σ_{u∈N(v)} f(u)) DIV
+    (1 + deg(v)) over the symmetrized graph (mean aggregate with a
+    self-loop, truncating division so every engine agrees bit-for-bit).
+    After k sweeps each node's feature summarizes its k-hop
+    neighborhood — the classic "propagate labels/features to sparsely
+    labeled nodes" primitive. Features must be NON-NEGATIVE (truncating
+    integer division differs between engines below zero — the
+    trend_slopes sign lesson).
+
+    Per sweep: ONE join of the (node, long) feature table against edges
+    partitioned by src + one map-side-combinable sum — identical scale
+    shape to pagerank (16-byte state rows, localCheckpoint truncating
+    the iterative lineage)."""
+    und = (edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+           .where(F.col("u") != F.col("v")))
+    sym = (und.unionByName(und.select(F.col("v").alias("u"),
+                                      F.col("u").alias("v")))
+           .distinct().localCheckpoint())
+    deg = sym.groupBy(F.col("u").alias(node_col)).agg(
+        F.count(F.lit(1)).alias("deg"))
+    state = feats.select(F.col(node_col),
+                         F.col(feat_col).cast("long").alias("f"))
+    for _ in range(iters):
+        nbr_sum = (sym.join(state, sym["v"] == state[node_col])
+                   .groupBy(F.col("u").alias(node_col))
+                   .agg(F.sum("f").alias("nsum")))
+        # deg joins WITHOUT a broadcast hint: the degree table is
+        # node-count-sized, so at graph scale it must shuffle-join (AQE
+        # still broadcasts it when it fits)
+        state = (state.join(nbr_sum, node_col, "left")
+                 .join(deg, node_col, "left")
+                 .select(node_col,
+                         F.expr("(f + coalesce(nsum, CAST(0 AS BIGINT)))"
+                                " DIV (1 + coalesce(deg,"
+                                " CAST(0 AS BIGINT)))").alias("f"))
+                 .localCheckpoint())
+    return state

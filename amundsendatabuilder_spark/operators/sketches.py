@@ -322,3 +322,53 @@ def bloom_prefilter(df: DataFrame, bloom: DataFrame, col: str,
     return (out.where(keep)
             .drop(*[c for j in range(k)
                     for c in (f"_p{j}", f"_wi{j}", f"_bits{j}")]))
+
+
+def histogram_registers(df: DataFrame, col, lo: int, width: int,
+                        n_buckets: int) -> DataFrame:
+    """Mergeable equi-width histogram registers over an integer column:
+    (bucket, cnt) with bucket = clamp((v − lo) DIV width, 0,
+    n_buckets−1). SUM-mergeable across shards/days like the HLL/CMS
+    registers — the quantile-sketch register family: store these, merge
+    with another SUM, and answer any quantile at read time via
+    ``histogram_quantile``. Deterministic by construction (exact counts,
+    integer bucket edges), unlike t-digest/GK whose state depends on
+    arrival order."""
+    from pyspark.sql import functions as F
+    v = (F.col(col) if isinstance(col, str) else col).cast("long")
+    # integer DIV (not float '/'): bucket edges must be exact at any
+    # magnitude; negatives clamp to bucket 0 before the division matters
+    q = F.expr(f"GREATEST(CAST(0 AS BIGINT), v_ - {lo}) DIV {width}")
+    b = F.least(F.lit(n_buckets - 1).cast("long"), q)
+    return (df.select(v.alias("v_")).select(b.alias("bucket"))
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def histogram_quantile(regs: DataFrame, qs: "list[int]", lo: int,
+                       width: int) -> DataFrame:
+    """Quantile estimates from histogram registers, in exact integer
+    arithmetic: for each q (ppm), find the first bucket where the
+    cumulative count reaches ceil(q·N/1e6) and return the bucket's
+    upper edge — a deterministic, conservative (≤ one bucket width
+    high) estimate any engine reproduces bit-for-bit. Error is bounded
+    by the bucket width; at 100 TB the register table is n_buckets rows
+    regardless of input size."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+    total = regs.agg(F.sum("cnt").alias("n"))
+    cum = regs.withColumn(
+        "cum", F.sum("cnt").over(
+            Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+    out = None
+    for q in qs:
+        need = F.expr(f"CAST(-((-{q} * n) DIV 1000000) AS BIGINT)")  # ceil
+        row = (cum.crossJoin(F.broadcast(total))
+               .where(F.col("cum") >= need)
+               .orderBy("bucket").limit(1)
+               .select(F.lit(q).alias("q_ppm"),
+                       (F.lit(lo) + (F.col("bucket") + 1) * F.lit(width))
+                       .cast("long").alias("upper_edge"),
+                       F.col("cum").cast("long").alias("cum_count")))
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -6906,3 +6906,111 @@ def interval_union_coverage(spark, sf_dir):
         (F.unix_micros(F.col("ts")) + 600_000_000
          + (F.col("event_id") % 7) * 60_000_000).alias("end_us"))
     return interval_union(iv).orderBy("user_id")
+
+
+@query("histogram_quantile_sketch", """
+WITH v AS (SELECT CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+regs AS (SELECT LEAST(63, GREATEST(CAST(0 AS BIGINT), cents - 0) // 200)
+                AS bucket,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM v GROUP BY 1),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM regs),
+cum AS (SELECT bucket, cnt,
+               CAST(sum(cnt) OVER (ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+        FROM regs)
+SELECT q_ppm, upper_edge, cum_count FROM (
+  SELECT 500000 AS q_ppm,
+         CAST(0 + (bucket + 1) * 200 AS BIGINT) AS upper_edge,
+         cum AS cum_count,
+         row_number() OVER (ORDER BY bucket) AS rn
+  FROM cum, tot WHERE cum >= -((-500000 * n) // 1000000)) WHERE rn = 1
+UNION ALL
+SELECT q_ppm, upper_edge, cum_count FROM (
+  SELECT 900000 AS q_ppm,
+         CAST(0 + (bucket + 1) * 200 AS BIGINT) AS upper_edge,
+         cum AS cum_count,
+         row_number() OVER (ORDER BY bucket) AS rn
+  FROM cum, tot WHERE cum >= -((-900000 * n) // 1000000)) WHERE rn = 1
+UNION ALL
+SELECT q_ppm, upper_edge, cum_count FROM (
+  SELECT 990000 AS q_ppm,
+         CAST(0 + (bucket + 1) * 200 AS BIGINT) AS upper_edge,
+         cum AS cum_count,
+         row_number() OVER (ORDER BY bucket) AS rn
+  FROM cum, tot WHERE cum >= -((-990000 * n) // 1000000)) WHERE rn = 1
+ORDER BY q_ppm
+""")
+def histogram_quantile_sketch(spark, sf_dir):
+    """Mergeable quantile registers (sketches.histogram_registers /
+    histogram_quantile) — the quantile member of the sketch family
+    (HLL distinct, CMS frequency, Bloom membership): a 64-bucket
+    equi-width histogram over event value cents, SUM-mergeable across
+    shards/days, folded to deterministic p50/p90/p99 upper-edge
+    estimates with integer ceil arithmetic. Unlike t-digest/GK the
+    register state is arrival-order-free, which is what makes it
+    hash-verifiable — and the register table is 64 rows at any input
+    scale."""
+    from amundsendatabuilder_spark.operators.sketches import (
+        histogram_quantile, histogram_registers)
+    (events,) = _t(spark, sf_dir, "events")
+    v = events.select(F.floor(F.col("value") * 100).cast("long")
+                      .alias("cents"))
+    regs = histogram_registers(v, "cents", lo=0, width=200, n_buckets=64)
+    return (histogram_quantile(regs, [500000, 900000, 990000],
+                               lo=0, width=200)
+            .orderBy("q_ppm"))
+
+
+def _featprop_oracle(iters: int = 2) -> str:
+    head = """
+WITH keys AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+e0 AS (SELECT b.k AS src, a.k AS dst
+       FROM keys a JOIN keys b ON b.k = a.k - (a.k % 10)
+       WHERE a.k % 10 <> 0),
+und AS (SELECT src AS u, dst AS v FROM e0 WHERE src <> dst),
+sym AS (SELECT u, v FROM und UNION SELECT v AS u, u AS v FROM und),
+deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM sym GROUP BY 1),
+feat AS (SELECT o_orderkey AS node,
+                CAST(floor(o_totalprice * 100) AS BIGINT) AS f
+         FROM orders),
+f0 AS (SELECT node, f FROM feat)"""
+    its = []
+    for i in range(1, iters + 1):
+        p = f"f{i - 1}"
+        its.append(f"""
+n{i} AS (SELECT s.u AS node, CAST(sum(f.f) AS BIGINT) AS nsum
+       FROM sym s JOIN {p} f ON f.node = s.v GROUP BY 1),
+f{i} AS (SELECT f.node,
+              (f.f + coalesce(n.nsum, 0)) //
+              (1 + coalesce(d.deg, 0)) AS f
+       FROM {p} f LEFT JOIN n{i} n ON n.node = f.node
+       LEFT JOIN deg d ON d.node = f.node)""")
+    return (head + "," + ",".join(its)
+            + f"\nSELECT node, CAST(f AS BIGINT) AS f FROM f{iters}"
+            + " ORDER BY node")
+
+
+@query("graph_feature_propagation", _featprop_oracle())
+def graph_feature_propagation(spark, sf_dir):
+    """GraphSAGE-style neighborhood feature smoothing
+    (graph_algo.feature_propagation): order-price cents propagated 2
+    sweeps over the star graph — f(v) ← (f(v) + Σ neighbors) DIV
+    (1 + deg), exact non-negative integers so both engines agree
+    bit-for-bit. Pagerank's scale shape: one id-long join + one
+    combinable sum per sweep."""
+    from amundsendatabuilder_spark.operators.graph_algo import (
+        feature_propagation)
+    (orders,) = _t(spark, sf_dir, "orders")
+    keys_df = orders.select(F.col("o_orderkey").alias("k")).distinct()
+    a, b = keys_df.alias("a"), keys_df.alias("b")
+    edges = (a.where(F.col("a.k") % 10 != 0)
+             .join(b, F.col("b.k") == F.col("a.k") - (F.col("a.k") % 10))
+             .select(F.col("b.k").alias("src"), F.col("a.k").alias("dst")))
+    feats = orders.select(
+        F.col("o_orderkey").alias("node"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("f"))
+    return (feature_propagation(edges, feats, iters=2)
+            .orderBy("node"))

@@ -143,6 +143,8 @@ EXTENDED = [
     "dataset_card",
     "bpe_encode_counts",
     "interval_union_coverage",
+    "histogram_quantile_sketch",
+    "graph_feature_propagation",
 ]
 
 

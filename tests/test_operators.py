@@ -2249,3 +2249,39 @@ def test_cdc_apply_matches_dict_replay_property(spark):
         else:
             state.pop(k, None)
     assert got == state
+
+
+def test_histogram_quantile_bounded_error_and_mergeable(spark):
+    from pyspark.sql import functions as F
+    from amundsendatabuilder_spark.operators.sketches import (
+        histogram_quantile, histogram_registers)
+    vals = list(range(1000))  # uniform 0..999
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    regs = histogram_registers(df, "v", lo=0, width=10, n_buckets=100)
+    got = {r.q_ppm: r.upper_edge for r in histogram_quantile(
+        regs, [500000, 990000], lo=0, width=10).collect()}
+    # p50 of 0..999 = 499.5; conservative upper edge within one width
+    assert 500 <= got[500000] <= 510
+    assert 990 <= got[990000] <= 1000
+    # mergeability: registers of two halves SUM to the whole
+    h1 = histogram_registers(df.where(F.col("v") < 500), "v", 0, 10, 100)
+    h2 = histogram_registers(df.where(F.col("v") >= 500), "v", 0, 10, 100)
+    merged = (h1.unionByName(h2).groupBy("bucket")
+              .agg(F.sum("cnt").alias("cnt")))
+    whole = {r.bucket: r.cnt for r in regs.collect()}
+    assert {r.bucket: r.cnt for r in merged.collect()} == whole
+
+
+def test_feature_propagation_mean_with_self_loop(spark):
+    from amundsendatabuilder_spark.operators.graph_algo import (
+        feature_propagation)
+    # path 1-2-3 with features 0, 30, 90; isolated node 9 keeps f
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    feats = spark.createDataFrame(
+        [(1, 0), (2, 30), (3, 90), (9, 7)], "node long, f long")
+    got = {r.node: r.f for r in
+           feature_propagation(edges, feats, iters=1).collect()}
+    assert got[1] == (0 + 30) // 2        # deg 1
+    assert got[2] == (30 + 0 + 90) // 3   # deg 2
+    assert got[3] == (90 + 30) // 2
+    assert got[9] == 7                    # no edges -> unchanged

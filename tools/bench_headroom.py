@@ -98,6 +98,7 @@ SUITE = [
     "l_diversity_audit", "basket_association_rules", "graph_link_prediction",
     "feature_hashing", "stream_last_writer_upsert", "graph_hash_walks",
     "dataset_card", "bpe_encode_counts", "interval_union_coverage",
+    "histogram_quantile_sketch", "graph_feature_propagation",
 ]
 
 
