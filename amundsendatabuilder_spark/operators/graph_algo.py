@@ -476,3 +476,41 @@ def feature_propagation(edges: DataFrame, feats: DataFrame,
                                 " CAST(0 AS BIGINT)))").alias("f"))
                  .localCheckpoint())
     return state
+
+
+def temporal_reachability(edges: DataFrame, sources: DataFrame,
+                          rounds: int = 3, src_col: str = "src",
+                          dst_col: str = "dst",
+                          ts_col: str = "t") -> DataFrame:
+    """Time-respecting reachability over a temporal graph: node v is
+    reachable from a source iff a path exists whose edge timestamps are
+    NON-DECREASING (you cannot ride an edge that departed before you
+    arrived) — the semantics of information/contagion flow, incident
+    forensics ("what could this leaked credential have touched, given
+    WHEN each system talked"), and event-driven lineage, where plain
+    reachability over-approximates badly.
+
+    Bellman-Ford-style relaxation on earliest-arrival times:
+    arrival(v) = min over edges (u→v, t ≥ arrival(u)) of t, sources at
+    −∞ (represented as 0 with timestamps > 0), ``rounds`` sweeps
+    (earliest-arrival paths need ≤ |V| sweeps; bounded hops is the
+    catalog-practical form, like match_var_path). Output: (node,
+    arrival) for every reached node, arrival = 0 for the sources.
+
+    Per sweep: one (node, long) join against the edge list + one min
+    aggregate — min is idempotent/commutative, so sweeps are also
+    replay-safe. The pagerank scale shape: 16-byte state rows, edges
+    cached once, localCheckpoint per sweep."""
+    e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"),
+                     F.col(ts_col).cast("long").alias("t")).localCheckpoint()
+    state = sources.select(F.col("node"),
+                           F.lit(0).cast("long").alias("arrival"))
+    for _ in range(rounds):
+        relaxed = (e.join(state, e["u"] == state["node"])
+                   .where(F.col("t") >= F.col("arrival"))
+                   .select(F.col("v").alias("node"),
+                           F.col("t").alias("arrival")))
+        state = (state.unionByName(relaxed)
+                 .groupBy("node").agg(F.min("arrival").alias("arrival"))
+                 .localCheckpoint())
+    return state

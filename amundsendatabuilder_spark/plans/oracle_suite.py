@@ -7014,3 +7014,61 @@ def graph_feature_propagation(spark, sf_dir):
         F.floor(F.col("o_totalprice") * 100).cast("long").alias("f"))
     return (feature_propagation(edges, feats, iters=2)
             .orderBy("node"))
+
+
+def _temporal_reach_oracle(rounds: int = 3) -> str:
+    head = """
+WITH keys AS (SELECT o_orderkey AS k,
+                     CAST(floor(epoch(o_orderdate)) AS BIGINT) AS te
+              FROM orders),
+e AS (
+  SELECT a.k AS u, b.k AS v, a.te AS t
+  FROM keys a JOIN keys b ON b.k = a.k * 2
+  UNION ALL
+  SELECT a.k, b.k, a.te FROM keys a JOIN keys b ON b.k = a.k * 2 + 1
+  UNION ALL
+  SELECT a.k, b.k, a.te FROM keys a JOIN keys b ON b.k = a.k * 3),
+r0 AS (SELECT k AS node, CAST(0 AS BIGINT) AS arrival
+       FROM keys WHERE k < 21)"""
+    its = []
+    for i in range(1, rounds + 1):
+        p = f"r{i - 1}"
+        its.append(f"""
+r{i} AS (SELECT node, min(arrival) AS arrival FROM (
+       SELECT node, arrival FROM {p}
+       UNION ALL
+       SELECT e.v AS node, e.t AS arrival
+       FROM e JOIN {p} s ON s.node = e.u WHERE e.t >= s.arrival)
+       GROUP BY node)""")
+    return (head + "," + ",".join(its)
+            + f"\nSELECT node, CAST(arrival AS BIGINT) AS arrival"
+            + f" FROM r{rounds} ORDER BY node")
+
+
+@query("temporal_reachability", _temporal_reach_oracle())
+def temporal_reachability_query(spark, sf_dir):
+    """Time-respecting reachability (graph_algo.temporal_reachability):
+    earliest-arrival relaxation over the order DAG with edge departure
+    times = the source order's date — nodes reachable only along
+    non-decreasing-timestamp paths, the semantics of contagion /
+    leaked-credential forensics where plain reachability
+    over-approximates. 3 idempotent min-relaxation sweeps (replay-safe),
+    pagerank's (node, long) scale shape."""
+    from amundsendatabuilder_spark.operators.graph_algo import (
+        temporal_reachability)
+    (orders,) = _t(spark, sf_dir, "orders")
+    keys_df = (orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.unix_timestamp(F.col("o_orderdate")).cast("long").alias("te"))
+        .distinct().cache())
+    a, b = keys_df.alias("a"), keys_df.alias("b")
+
+    def em(mult: int, add: int = 0):
+        return (a.join(b, F.col("b.k") == F.col("a.k") * mult + add)
+                .select(F.col("a.k").alias("src"), F.col("b.k").alias("dst"),
+                        F.col("a.te").alias("t")))
+
+    edges = em(2).unionByName(em(2, 1)).unionByName(em(3))
+    sources = keys_df.where(F.col("k") < 21).select(F.col("k").alias("node"))
+    return (temporal_reachability(edges, sources, rounds=3)
+            .orderBy("node"))

@@ -145,6 +145,7 @@ EXTENDED = [
     "interval_union_coverage",
     "histogram_quantile_sketch",
     "graph_feature_propagation",
+    "temporal_reachability",
 ]
 
 

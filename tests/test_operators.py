@@ -2285,3 +2285,51 @@ def test_feature_propagation_mean_with_self_loop(spark):
     assert got[2] == (30 + 0 + 90) // 3   # deg 2
     assert got[3] == (90 + 30) // 2
     assert got[9] == 7                    # no edges -> unchanged
+
+
+def test_temporal_reachability_respects_time_order(spark):
+    from amundsendatabuilder_spark.operators.graph_algo import (
+        temporal_reachability)
+    # 1 -(t=5)-> 2 -(t=3)-> 3: 3 is NOT time-reachable (3 < 5);
+    # 1 -(t=5)-> 2 -(t=9)-> 4 IS; direct 1 -(t=1)-> 5 trivially is.
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 3), (2, 4, 9), (1, 5, 1)],
+        "src long, dst long, t long")
+    src = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.arrival for r in
+           temporal_reachability(edges, src, rounds=3).collect()}
+    assert got == {1: 0, 2: 5, 4: 9, 5: 1}  # node 3 absent
+
+
+def test_association_rules_match_brute_force(spark):
+    import itertools
+    import random
+    from collections import Counter
+    from amundsendatabuilder_spark.operators.ranking import (
+        association_rules)
+    rng = random.Random(11)
+    rows = []
+    for bid in range(30):
+        items = rng.sample("abcdefgh", rng.randint(1, 4))
+        rows += [(bid, it) for it in items]
+    df = spark.createDataFrame(rows, "basket_id long, item string")
+    got = {(r.a, r.b): (r.n_ab, r.support_ppm, r.confidence_ppm,
+                        r.lift_milli)
+           for r in association_rules(df, min_support=2,
+                                      min_pair_support=2, k=1000).collect()}
+    baskets = {}
+    for bid, it in rows:
+        baskets.setdefault(bid, set()).add(it)
+    n = len(baskets)
+    item_n = Counter(it for s in baskets.values() for it in s)
+    pair_n = Counter()
+    for s in baskets.values():
+        for a, b in itertools.permutations(sorted(s), 2):
+            pair_n[(a, b)] += 1
+    want = {}
+    for (a, b), nab in pair_n.items():
+        if nab >= 2 and item_n[a] >= 2 and item_n[b] >= 2:
+            want[(a, b)] = (nab, nab * 1_000_000 // n,
+                            nab * 1_000_000 // item_n[a],
+                            1000 * n * nab // (item_n[a] * item_n[b]))
+    assert got == want
