@@ -7072,3 +7072,32 @@ def temporal_reachability_query(spark, sf_dir):
     sources = keys_df.where(F.col("k") < 21).select(F.col("k").alias("node"))
     return (temporal_reachability(edges, sources, rounds=3)
             .orderBy("node"))
+
+
+@query("stream_histogram_registers", """
+WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events),
+v AS (SELECT date_trunc('hour', ts) AS window_start,
+             LEAST(63, GREATEST(CAST(0 AS BIGINT),
+                                CAST(floor(value * 100) AS BIGINT) - 0)
+                       // 200) AS bucket
+      FROM events),
+g AS (SELECT window_start, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM v GROUP BY 1, 2)
+SELECT window_start, bucket, cnt
+FROM g, wm WHERE g.window_start + INTERVAL 1 HOUR <= wm.w
+""")
+def stream_histogram_registers_query(spark, sf_dir):
+    """Streaming per-window quantile registers
+    (streaming/events.windowed_histogram_registers): 64 SUM-mergeable
+    equi-width counters per tumbling hour — the quantile member of the
+    streaming sketch family beside the HLL and CMS register streams;
+    state is 64 longs per open window instead of every value.
+    Hash-verified against the batch register build restricted to the
+    append-mode emission frontier."""
+    import tempfile
+
+    from amundsendatabuilder_spark.streaming.events import (
+        run_to_memory, windowed_histogram_registers)
+    regs = windowed_histogram_registers(_event_stream(spark, sf_dir))
+    name = "shr_" + next(tempfile._get_candidate_names())
+    return run_to_memory(regs, spark, name, tempfile.mkdtemp())

@@ -285,3 +285,29 @@ def stream_static_enrich(events: DataFrame, dim: DataFrame,
         .select(F.col("w.start").alias("window_start"), "segment",
                 "n_events", "value_cents")
     )
+
+
+def windowed_histogram_registers(events: DataFrame, window: str = "1 hour",
+                                 watermark: str = "2 hours", lo: int = 0,
+                                 width: int = 200,
+                                 n_buckets: int = 64) -> DataFrame:
+    """Streaming quantile registers per tumbling window: the histogram
+    member of the streaming sketch family (HLL distinct / CMS frequency
+    already stream) — (window_start, bucket, cnt) rows whose state is at
+    most n_buckets counters per open window, SUM-mergeable downstream
+    exactly like the batch registers (sketches.histogram_registers), so
+    per-window p50/p90/p99 fold at read time via histogram_quantile.
+    Exact per-window quantiles would hold every value in state; the
+    register grid caps state at n_buckets longs per window."""
+    cents = F.floor(F.col("value") * 100).cast("long")
+    b = F.least(F.lit(n_buckets - 1).cast("long"),
+                F.expr(f"GREATEST(CAST(0 AS BIGINT), _c - {lo})"
+                       f" DIV {width}"))
+    return (
+        events.select("ts", cents.alias("_c"))
+        .select("ts", b.alias("bucket"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "bucket", "cnt")
+    )

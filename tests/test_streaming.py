@@ -526,3 +526,28 @@ def test_last_writer_advances_across_micro_batches(spark, tmp_path):
                           "k long, seq long, val double") \
         .coalesce(1).write.parquet(str(src / "b2"))
     assert run_once() == {2: (7, 70.0)}
+
+
+def test_windowed_histogram_registers_match_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from amundsendatabuilder_spark.session import load_tables
+    from amundsendatabuilder_spark.streaming.events import (
+        read_event_stream, run_to_memory, windowed_histogram_registers)
+    events = load_tables(spark, "/root/testdata/sf0.001", ("events",))["events"]
+    src = str(tmp_path / "events_src")
+    events.write.mode("overwrite").parquet(src)
+    got = run_to_memory(
+        windowed_histogram_registers(read_event_stream(spark, src)),
+        spark, "shr_test", str(tmp_path / "ckpt"), output_mode="append")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    b = F.least(F.lit(63).cast("long"),
+                F.greatest(F.lit(0).cast("long"), cents)
+                .cast("long") / F.lit(200)).cast("long")
+    want = (events.select(F.date_trunc("hour", "ts").alias("window_start"),
+                          F.floor(b).cast("long").alias("bucket"))
+            .groupBy("window_start", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    got_m = {(str(r.window_start), r.bucket): r.cnt for r in got.collect()}
+    want_m = {(str(r.window_start), r.bucket): r.cnt for r in want.collect()}
+    assert got_m
+    assert all(want_m[k] == v for k, v in got_m.items())

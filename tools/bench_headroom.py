@@ -99,7 +99,7 @@ SUITE = [
     "feature_hashing", "stream_last_writer_upsert", "graph_hash_walks",
     "dataset_card", "bpe_encode_counts", "interval_union_coverage",
     "histogram_quantile_sketch", "graph_feature_propagation",
-    "temporal_reachability",
+    "temporal_reachability", "stream_histogram_registers",
 ]
 
 
