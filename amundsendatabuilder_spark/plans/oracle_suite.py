@@ -7101,3 +7101,49 @@ def stream_histogram_registers_query(spark, sf_dir):
     regs = windowed_histogram_registers(_event_stream(spark, sf_dir))
     name = "shr_" + next(tempfile._get_candidate_names())
     return run_to_memory(regs, spark, name, tempfile.mkdtemp())
+
+
+@query("quality_decile_profile", r"""
+WITH t AS (SELECT doc_id AS o, text,
+                  list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '') AS tk,
+                  md5(array_to_string(
+                      list_filter(string_split_regex(trim(lower(text)),
+                                                     '\s+'),
+                                  x -> x <> ''), ' ')) AS fp
+           FROM documents),
+d AS (SELECT o, fp, CAST(len(tk) AS BIGINT) AS n_tok,
+             round(LEAST(len(tk) / 100.0, 1.0) * 0.4
+                   + CASE WHEN len(tk) > 0
+                          THEN len(list_distinct(list_transform(
+                                   tk, x -> x))) / CAST(len(tk) AS DOUBLE)
+                          ELSE 0 END * 0.4
+                   + (1 - CASE WHEN length(text) > 0
+                               THEN (length(text) - length(
+                                     regexp_replace(text,
+                                         '[.,;:!?''"()]', '', 'g')))
+                                    / CAST(length(text) AS DOUBLE)
+                               ELSE 0 END) * 0.2, 4) AS q
+      FROM t),
+b AS (SELECT o, fp, n_tok,
+             ntile(10) OVER (ORDER BY q, o) AS decile
+      FROM d)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct,
+       (count(*) - count(DISTINCT fp)) * 1000000 // count(*) AS dup_ppm,
+       CAST(sum(n_tok) AS BIGINT) // count(*) AS avg_tokens
+FROM b GROUP BY decile ORDER BY decile
+""")
+def quality_decile_profile_query(spark, sf_dir):
+    """Curation lift curve (textops.quality_decile_profile): exact
+    quality-score deciles (total-order ntile, ties broken by id)
+    profiled with token mass, duplicate ppm, and mean length — the
+    table a quality-threshold decision reads. The twin recomputes the
+    composite quality score (length/diversity/punctuation mix) and the
+    decile assignment closed-form."""
+    from amundsendatabuilder_spark.operators.textops import (
+        quality_decile_profile)
+    (docs,) = _t(spark, sf_dir, "documents")
+    return quality_decile_profile(docs).orderBy("decile")

@@ -146,6 +146,7 @@ EXTENDED = [
     "histogram_quantile_sketch",
     "graph_feature_propagation",
     "temporal_reachability",
+    "quality_decile_profile",
 ]
 
 
