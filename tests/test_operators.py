@@ -2338,15 +2338,16 @@ def test_association_rules_match_brute_force(spark):
 def test_quality_decile_profile_partitions_and_orders(spark):
     from amundsendatabuilder_spark.operators.textops import (
         quality_decile_profile)
-    rows = [(i, ("w " * (10 + i * 7)).strip()) for i in range(20)]
+    # distinct-token docs: diversity stays 1, punctuation 0, so quality
+    # is monotone non-decreasing in length (len term saturates at 100
+    # tokens; ties then break by doc id, which also increases)
+    rows = [(i, " ".join(f"w{j}" for j in range(10 + i * 7)))
+            for i in range(20)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = sorted(quality_decile_profile(df, n_deciles=5).collect(),
                  key=lambda r: r.decile)
     assert [r.n_docs for r in got] == [4] * 5       # exact equal deciles
-    # quality is monotone in length here (all-dup tokens cancel via the
-    # diversity term, but length dominates for short docs): token mass
-    # must be non-decreasing across deciles
     masses = [r.total_tokens for r in got]
     assert masses == sorted(masses)
-    # 'w w w...' docs are all distinct strings -> no dups
-    assert all(r.dup_ppm == 0 for r in got)
+    assert sum(masses) == sum(10 + i * 7 for i in range(20))
+    assert all(r.dup_ppm == 0 for r in got)  # all docs distinct
