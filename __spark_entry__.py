@@ -78,7 +78,7 @@ _PRIORITY = [
     "feature_hashing", "stream_last_writer_upsert", "graph_hash_walks", "dataset_card", "bpe_encode_counts", "interval_union_coverage",
     "histogram_quantile_sketch", "graph_feature_propagation",
     "temporal_reachability", "stream_histogram_registers",
-    "quality_decile_profile",
+    "quality_decile_profile", "event_seasonality_heatmap",
     # remaining round-4 stale
     "search_doc_table_built",
     "graph_match_pattern", "graph_match_2hop", "column_profile",

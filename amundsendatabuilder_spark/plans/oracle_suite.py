@@ -7147,3 +7147,34 @@ def quality_decile_profile_query(spark, sf_dir):
         quality_decile_profile)
     (docs,) = _t(spark, sf_dir, "documents")
     return quality_decile_profile(docs).orderBy("decile")
+
+
+@query("event_seasonality_heatmap", """
+WITH d AS (SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+                  CAST(hour(ts) AS INT) AS hod
+           FROM events),
+c AS (SELECT dow, hod, CAST(count(*) AS BIGINT) AS n_events
+      FROM d GROUP BY 1, 2),
+t AS (SELECT CAST(sum(n_events) AS BIGINT) AS total FROM c)
+SELECT dow, hod, n_events,
+       n_events * 1000000 // t.total AS share_ppm
+FROM c, t ORDER BY dow, hod
+""")
+def event_seasonality_heatmap(spark, sf_dir):
+    """Day-of-week × hour-of-day traffic heatmap in exact integer ppm —
+    the seasonality profile that sizes streaming capacity and flags
+    anomalous quiet periods (the calendar complement of trend_slopes'
+    secular drift). One count aggregation + a 1-row total broadcast.
+    Engine trap pinned by the oracle: Spark dayofweek is 1-based
+    (Sunday=1), DuckDB's 0-based — the twin adds 1."""
+    (events,) = _t(spark, sf_dir, "events")
+    c = (events.select(F.dayofweek("ts").cast("int").alias("dow"),
+                       F.hour("ts").cast("int").alias("hod"))
+         .groupBy("dow", "hod")
+         .agg(F.count(F.lit(1)).alias("n_events")))
+    t = c.agg(F.sum("n_events").alias("total"))
+    return (c.crossJoin(F.broadcast(t))
+            .select("dow", "hod", "n_events",
+                    F.expr("n_events * 1000000 DIV total")
+                    .alias("share_ppm"))
+            .orderBy("dow", "hod"))

@@ -147,6 +147,7 @@ EXTENDED = [
     "graph_feature_propagation",
     "temporal_reachability",
     "quality_decile_profile",
+    "event_seasonality_heatmap",
 ]
 
 

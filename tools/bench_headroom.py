@@ -100,7 +100,7 @@ SUITE = [
     "dataset_card", "bpe_encode_counts", "interval_union_coverage",
     "histogram_quantile_sketch", "graph_feature_propagation",
     "temporal_reachability", "stream_histogram_registers",
-    "quality_decile_profile",
+    "quality_decile_profile", "event_seasonality_heatmap",
 ]
 
 
