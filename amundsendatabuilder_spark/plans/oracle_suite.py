@@ -7178,3 +7178,58 @@ def event_seasonality_heatmap(spark, sf_dir):
                     F.expr("n_events * 1000000 DIV total")
                     .alias("share_ppm"))
             .orderBy("dow", "hod"))
+
+
+@query("q4_order_priority", """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape — orders with at least one late-shipped line,
+    counted per priority: the correlated-EXISTS as a LEFT SEMI join with
+    a non-equi conjunct (shipdate > orderdate), date filter pushed into
+    the orders scan. At scale the semi join shuffles only
+    (orderkey, date) pairs and short-circuits on first match — the
+    reason EXISTS beats a join+distinct formulation."""
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    hit = o.join(li, (o["o_orderkey"] == li["l_orderkey"])
+                 & (li["l_shipdate"] > o["o_orderdate"]), "left_semi")
+    return (hit.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+@query("q6_forecast_revenue", """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape — the pure scan-efficiency query: every predicate
+    pushes into the parquet scan (PushedFilters on shipdate/discount/
+    quantity), projection prunes to 2 columns, and the whole plan is one
+    WholeStageCodegen span over a map-side-combinable aggregate — the
+    query that measures raw scan throughput and nothing else."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+        .agg(round_half_away(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines")))

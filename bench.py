@@ -148,6 +148,8 @@ EXTENDED = [
     "temporal_reachability",
     "quality_decile_profile",
     "event_seasonality_heatmap",
+    "q4_order_priority",
+    "q6_forecast_revenue",
 ]
 
 
