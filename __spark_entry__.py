@@ -79,7 +79,7 @@ _PRIORITY = [
     "histogram_quantile_sketch", "graph_feature_propagation",
     "temporal_reachability", "stream_histogram_registers",
     "quality_decile_profile", "event_seasonality_heatmap",
-    "q4_order_priority", "q6_forecast_revenue",
+    "q4_order_priority", "q6_forecast_revenue", "q12_shipmode_priority",
     # remaining round-4 stale
     "search_doc_table_built",
     "graph_match_pattern", "graph_match_2hop", "column_profile",

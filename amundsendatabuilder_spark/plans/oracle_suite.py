@@ -7233,3 +7233,36 @@ def q6_forecast_revenue(spark, sf_dir):
             F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
             .alias("revenue"),
             F.count(F.lit(1)).alias("n_lines")))
+
+
+@query("q12_shipmode_priority", """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus ORDER BY l_linestatus
+""")
+def q12_shipmode_priority(spark, sf_dir):
+    """TPC-H Q12 shape — priority-split line counts per line status:
+    the conditional-aggregation pattern (two CASE sums in one pass,
+    never two scans), shipdate filter pushed into the lineitem scan, and
+    the orders join carrying only (orderkey, priority) — at 100 TB the
+    fact-fact join shuffles two narrow columns, everything else prunes
+    at the reader."""
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+        .join(orders.select("o_orderkey", "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(F.sum(F.when(hi, 1).otherwise(0)).cast("long")
+             .alias("high_line_count"),
+             F.sum(F.when(~hi, 1).otherwise(0)).cast("long")
+             .alias("low_line_count"))
+        .orderBy("l_linestatus"))

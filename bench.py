@@ -150,6 +150,7 @@ EXTENDED = [
     "event_seasonality_heatmap",
     "q4_order_priority",
     "q6_forecast_revenue",
+    "q12_shipmode_priority",
 ]
 
 

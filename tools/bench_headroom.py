@@ -101,7 +101,7 @@ SUITE = [
     "histogram_quantile_sketch", "graph_feature_propagation",
     "temporal_reachability", "stream_histogram_registers",
     "quality_decile_profile", "event_seasonality_heatmap",
-    "q4_order_priority", "q6_forecast_revenue",
+    "q4_order_priority", "q6_forecast_revenue", "q12_shipmode_priority",
 ]
 
 
