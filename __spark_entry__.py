@@ -18,49 +18,16 @@ sys.path.insert(0, "/root/repo")
 
 from amundsendatabuilder_spark.plans.oracle_suite import ORACLES, QUERIES  # noqa: E402
 
-# Dict iteration order = presentation order. Round-7 window (50 slots,
-# VERDICT r6 item #4: >= 40 stale-certified entries, <= 10 overlap with
-# the r6 window): (a) the 10 re-certifications — the four round-6
-# hash-fails (oracle dtype artifacts, now CAST to BIGINT) plus every
-# query whose oracle or plan changed this round; (c) 40 stale
-# round-1/2/4-certified queries, oldest first. The 36 queries NEW this
-# round sit immediately beyond the 50-slot window: they are green in
-# this round's full local dtype-aware gate (latest complete sweep
-# 178/178 plus per-entry passes for the final additions; suite =
-# 182) and queue for
-# driver certification next round — the r6 verdict's lesson was to stop
-# burning the sample window on new entries while certified evidence
-# ages. Names not yet registered are skipped by ``_ordered``.
+# Dict iteration order = presentation order. Round-8 window (50 slots,
+# r7 VERDICT item #1): (a) the 49 queries NEW in round 7 — all green in
+# the round-7 independent 201/201 local gate but never driver-certified
+# (they queued beyond the r7 window by the adopted discipline); (b) one
+# re-certification slot for the flagship. Queries NEW in round 8 sit
+# immediately beyond the window with local-gate + unit-test evidence
+# and queue for the r9 rotation. Names not yet registered are skipped
+# by ``_ordered``.
 _PRIORITY = [
-    # (a) round-6 hash-fails with oracle dtype fixed, + oracle/plan
-    # changes this round (sessionize/resize oracle dtypes, decay shift
-    # base, corr decimal-centered moments, kmeans keep_vec plan,
-    # lineage broadcast anti-join)
-    "graph_pagerank", "interval_overlap_join", "markov_transitions_ppm",
-    "session_bounce_rate", "sessionize_batch", "multimodal_resize",
-    "decayed_popularity", "numeric_corr_matrix", "kmeans_centroids",
-    "lineage_asof_diff",
-    # (c) stale queries, oldest driver certification first: round 1
-    "lang_id", "quality_metrics", "doc_fingerprint", "embedding_norms",
-    "char_ngram_profile", "pii_scrub", "repetition_metrics",
-    "hash_sample_stratified", "vocab_topk", "corpus_length_stats",
-    # round 2
-    "epoch_transform", "literal_replace_transform",
-    "template_substitution", "tag_normalize_explode",
-    "json_props_extract", "usage_hash_count", "last_updated_max",
-    "watermark_min_max", "staleness_guard_ratio", "right_join_tables",
-    "self_join_same_region", "dedup_simhash", "dedup_ngram_jaccard",
-    "dedup_embedding_cosine", "shard_watermarks",
-    "top_customer_per_segment", "rollup_orders", "revenue_share",
-    "graph_expand_tables", "dedup_clusters",
-    "decontam_benchmark_overlap", "quality_quantile_filter",
-    "mixture_rates", "token_shard_packing",
-    # round 4 (fills the 50-slot window: 10 + 10 + 24 + 6)
-    "dedup_ngram_jaccard_capped", "publish_diff", "skew_salted_join",
-    "skew_salted_collect", "embedding_label_centroids",
-    "pivot_status_by_priority",
-    # (b) NEW round-7 queries — beyond the window, first in line for
-    # the next rotation (all green in the local 168/168 gate this round)
+    # (a) the 49 round-7 queries awaiting first driver certification
     "jaccard_prefix_join_capped", "containment_join_capped",
     "similarity_cap_report", "graph_match_mixed_direction",
     "budget_selection", "content_defined_chunks", "dedup_quality_winner",
@@ -75,12 +42,36 @@ _PRIORITY = [
     "grouping_sets_volume", "embedding_label_outliers",
     "embedding_covariance", "l_diversity_audit",
     "basket_association_rules", "graph_link_prediction",
-    "feature_hashing", "stream_last_writer_upsert", "graph_hash_walks", "dataset_card", "bpe_encode_counts", "interval_union_coverage",
+    "feature_hashing", "stream_last_writer_upsert", "graph_hash_walks",
+    "dataset_card", "bpe_encode_counts", "interval_union_coverage",
     "histogram_quantile_sketch", "graph_feature_propagation",
     "temporal_reachability", "stream_histogram_registers",
     "quality_decile_profile", "event_seasonality_heatmap",
     "q4_order_priority", "q6_forecast_revenue", "q12_shipmode_priority",
-    # remaining round-4 stale
+    # (b) re-certification slot (fills the 50-slot window: 49 + 1)
+    "search_doc_flagship",
+    # --- beyond the window: round-8 additions queue here ---
+    # (stale-certified entries follow, oldest certification first)
+    "lang_id", "quality_metrics", "doc_fingerprint", "embedding_norms",
+    "char_ngram_profile", "pii_scrub", "repetition_metrics",
+    "hash_sample_stratified", "vocab_topk", "corpus_length_stats",
+    "epoch_transform", "literal_replace_transform",
+    "template_substitution", "tag_normalize_explode",
+    "json_props_extract", "usage_hash_count", "last_updated_max",
+    "watermark_min_max", "staleness_guard_ratio", "right_join_tables",
+    "self_join_same_region", "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_embedding_cosine", "shard_watermarks",
+    "top_customer_per_segment", "rollup_orders", "revenue_share",
+    "graph_expand_tables", "dedup_clusters",
+    "decontam_benchmark_overlap", "quality_quantile_filter",
+    "mixture_rates", "token_shard_packing",
+    "dedup_ngram_jaccard_capped", "publish_diff", "skew_salted_join",
+    "skew_salted_collect", "embedding_label_centroids",
+    "pivot_status_by_priority",
+    "graph_pagerank", "interval_overlap_join", "markov_transitions_ppm",
+    "session_bounce_rate", "sessionize_batch", "multimodal_resize",
+    "decayed_popularity", "numeric_corr_matrix", "kmeans_centroids",
+    "lineage_asof_diff",
     "search_doc_table_built",
     "graph_match_pattern", "graph_match_2hop", "column_profile",
     "stat_aggregates", "cohort_retention", "sliding_window_counts",
