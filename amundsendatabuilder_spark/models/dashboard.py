@@ -107,6 +107,36 @@ def expand_dashboard_queries(df: DataFrame) -> GraphOutput:
     return GraphOutput(nodes, rels)
 
 
+def expand_dashboard_charts(df: DataFrame) -> GraphOutput:
+    """DashboardChart (reference: models/dashboard/dashboard_chart.py:21-120
+    — Chart nodes keyed
+    '{product}_dashboard://{cluster}.{group_id}/{dashboard_id}/query/{query_id}/chart/{chart_id}',
+    HAS_CHART from the owning Query node, CHART_OF back). Input: product,
+    cluster, dashboard_group_id, dashboard_id, query_id, chart_id,
+    chart_name, chart_type, chart_url. The reference falls back to
+    chart_name when chart_id is empty (:47); mirrored here. Optional
+    attributes (name/type/url) are emitted as-is — the ragged-label CSV
+    sink drops nulls per shard, matching the reference's conditional
+    attribute dict (:63-75)."""
+    d = _dash_keys(df).withColumn(
+        "_chart_id", F.coalesce(
+            F.when(F.col("chart_id") != "", F.col("chart_id")),
+            F.col("chart_name")))
+    d = d.withColumn(
+        "_query_key", F.format_string("%s/query/%s", F.col("_dash_key"),
+                                      F.col("query_id"))
+    ).withColumn(
+        "_chart_key", F.format_string("%s/chart/%s", F.col("_query_key"),
+                                      F.col("_chart_id")))
+    nodes = make_nodes(
+        d, "Chart", F.col("_chart_key"),
+        {"id": F.col("_chart_id"), "name": F.col("chart_name"),
+         "type": F.col("chart_type"), "url": F.col("chart_url")})
+    rels = make_rels(d, "Query", "Chart", F.col("_query_key"),
+                     F.col("_chart_key"), "HAS_CHART", "CHART_OF")
+    return GraphOutput(nodes, rels)
+
+
 def expand_dashboard_executions(df: DataFrame) -> GraphOutput:
     """DashboardExecution (reference:
     models/dashboard/dashboard_execution.py:20-80; sentinel execution ids

@@ -1322,14 +1322,19 @@ reads AS (SELECT 'u' || CAST(user_id + 1 AS VARCHAR) AS email,
                  CAST(count(*) AS BIGINT) AS total_read
           FROM events GROUP BY 1),
 own AS (SELECT 'u' || CAST(o_custkey AS VARCHAR) AS email,
-               CAST(count(*) AS BIGINT) AS total_own
-        FROM orders WHERE o_custkey <= 150 GROUP BY 1)
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS total_own
+        FROM orders WHERE o_custkey <= 150 GROUP BY 1),
+follow AS (SELECT 'u' || CAST(user_id + 1 AS VARCHAR) AS email,
+                  CAST(count(DISTINCT event_type) AS BIGINT) AS total_follow
+           FROM events GROUP BY 1)
 SELECT u.email, first_name, last_name, name, github_username, team_name,
        employee_type, manager_email, slack_id, role_name,
        coalesce(r.total_read, 0) AS total_read,
-       coalesce(o.total_own, 0) AS total_own
+       coalesce(o.total_own, 0) AS total_own,
+       coalesce(f.total_follow, 0) AS total_follow
 FROM users u LEFT JOIN reads r ON u.email = r.email
              LEFT JOIN own o ON u.email = o.email
+             LEFT JOIN follow f ON u.email = f.email
 """)
 def search_doc_user(spark, sf_dir):
     """User search documents (reference:
@@ -1337,7 +1342,11 @@ def search_doc_user(spark, sf_dir):
     twin mysql_search_data_extractor.py:320-390) through
     plans.search_documents.build_user_documents. Users mapped onto
     customers, read events onto table usage, orders onto table ownership;
-    manager_email exercises the self-referential edge (models/user.py:207-212)."""
+    manager_email exercises the self-referential edge (models/user.py:207-212).
+    total_own = COUNT(DISTINCT OWNER_OF) over (user, order) pairs;
+    total_follow = COUNT(DISTINCT FOLLOWED_BY) over (user, event_type)
+    pairs — the reference's count(distinct b)/count(distinct c)
+    (neo4j_search_data_extractor.py:80-82)."""
     from amundsendatabuilder_spark.plans.search_documents import build_user_documents
     customer, orders, events = _t(spark, sf_dir, "customer", "orders", "events")
     users = customer.where(F.col("c_custkey") <= 150).select(
@@ -1358,8 +1367,12 @@ def search_doc_user(spark, sf_dir):
         F.lit("app").alias("database"), F.lit("prod").alias("cluster"),
         F.lit("events").alias("schema"), F.col("event_type").alias("table_name"))
     owned = orders.where(F.col("o_custkey") <= 150).select(
-        F.concat(F.lit("u"), F.col("o_custkey").cast("string")).alias("owners"))
-    return build_user_documents(users, usage, owned)
+        F.concat(F.lit("u"), F.col("o_custkey").cast("string")).alias("email"),
+        F.col("o_orderkey").cast("string").alias("table_key"))
+    followed = events.select(
+        F.concat(F.lit("u"), (F.col("user_id") + 1).cast("string")).alias("email"),
+        F.col("event_type").alias("entity_key"))
+    return build_user_documents(users, usage, owned, followed)
 
 
 @query("search_doc_dashboard", r"""
@@ -1369,6 +1382,7 @@ WITH d AS (
          CAST(p_partkey AS VARCHAR) AS did,
          'group ' || CAST(p_partkey % 10 AS VARCHAR) AS group_name,
          p_name AS name, p_type AS description,
+         'about group ' || CAST(p_partkey % 10 AS VARCHAR) AS group_description,
          'https://app/g' || CAST(p_partkey % 10 AS VARCHAR) AS group_url,
          'https://app/d/' || CAST(p_partkey AS VARCHAR) AS url
   FROM part),
@@ -1378,17 +1392,35 @@ q AS (SELECT l_partkey,
              array_to_string(list_sort(list(DISTINCT 'q' || CAST(l_linenumber AS VARCHAR))), ',')
                  AS query_names
       FROM lineitem GROUP BY 1),
+c AS (SELECT l_partkey,
+             array_to_string(list_sort(list(DISTINCT 'c' || CAST(l_suppkey % 5 AS VARCHAR))), ',')
+                 AS chart_names
+      FROM lineitem GROUP BY 1),
+tg AS (SELECT l_partkey,
+              array_to_string(list_sort(list(DISTINCT 'tag' || CAST(l_linenumber % 3 AS VARCHAR))), ',')
+                  AS tags
+       FROM lineitem WHERE l_linenumber % 2 = 0 GROUP BY 1),
+b AS (SELECT l_partkey,
+             array_to_string(list_sort(list(DISTINCT 'b' || l_returnflag)), ',') AS badges
+      FROM lineitem GROUP BY 1),
 e AS (SELECT l_partkey,
              CAST(floor(epoch(max(l_shipdate))) AS BIGINT) AS last_successful_run_timestamp
       FROM lineitem GROUP BY 1)
 SELECT 'mode_dashboard://gold.' || gid || '/' || d.did AS key,
        'mode' AS product, 'gold' AS cluster,
-       group_name, name, description, group_url, url,
+       group_name, name, description, group_description, group_url, url,
+       'mode_dashboard://gold.' || gid || '/' || d.did AS uri,
        coalesce(u.total_usage, 0) AS total_usage,
        coalesce(q.query_names, '') AS query_names,
+       coalesce(c.chart_names, '') AS chart_names,
+       coalesce(tg.tags, '') AS tags,
+       coalesce(b.badges, '') AS badges,
        e.last_successful_run_timestamp
 FROM d LEFT JOIN u ON d.p_partkey = u.l_partkey
        LEFT JOIN q ON d.p_partkey = q.l_partkey
+       LEFT JOIN c ON d.p_partkey = c.l_partkey
+       LEFT JOIN tg ON d.p_partkey = tg.l_partkey
+       LEFT JOIN b ON d.p_partkey = b.l_partkey
        LEFT JOIN e ON d.p_partkey = e.l_partkey
 """)
 def search_doc_dashboard(spark, sf_dir):
@@ -1396,9 +1428,14 @@ def search_doc_dashboard(spark, sf_dir):
     extractor/neo4j_search_data_extractor.py:85-115, incl. the
     '_last_successful_execution' first-match rule at
     mysql_search_data_extractor.py:284-286) through
-    build_dashboard_documents. Dashboards mapped onto parts, usage/queries/
-    executions onto their lineitems; query_names re-emitted as a sorted
-    joined string because engine array hashing differs."""
+    build_dashboard_documents. Full reference field parity
+    (models/dashboard_elasticsearch_document.py:16-47): chart_names via
+    the HAS_QUERY->HAS_CHART hop (:97-99), tags with the
+    tag_type='default' filter (:101-103), badges (:104-106),
+    group_description and uri (:107-115). Dashboards mapped onto parts,
+    usage/queries/charts/tags/badges/executions onto their lineitems;
+    array columns re-emitted as sorted joined strings because engine
+    array hashing differs."""
     from amundsendatabuilder_spark.plans.search_documents import (
         build_dashboard_documents)
     part, li = _t(spark, sf_dir, "part", "lineitem")
@@ -1411,6 +1448,8 @@ def search_doc_dashboard(spark, sf_dir):
         .alias("dashboard_group"),
         F.col("p_name").alias("dashboard_name"),
         F.col("p_type").alias("description"),
+        F.concat(F.lit("about group "), (F.col("p_partkey") % 10).cast("string"))
+        .alias("dashboard_group_description"),
         F.concat(F.lit("https://app/g"), (F.col("p_partkey") % 10).cast("string"))
         .alias("dashboard_group_url"),
         F.concat(F.lit("https://app/d/"), F.col("p_partkey").cast("string"))
@@ -1426,6 +1465,27 @@ def search_doc_dashboard(spark, sf_dir):
         lgid.alias("dashboard_group_id"),
         F.col("l_partkey").cast("string").alias("dashboard_id"),
         F.concat(F.lit("q"), F.col("l_linenumber").cast("string")).alias("query_name"))
+    charts_df = li.select(
+        F.lit("mode").alias("product"), F.lit("gold").alias("cluster"),
+        lgid.alias("dashboard_group_id"),
+        F.col("l_partkey").cast("string").alias("dashboard_id"),
+        F.concat(F.lit("c"), (F.col("l_suppkey") % 5).cast("string"))
+        .alias("chart_name"))
+    tags_df = li.select(
+        F.lit("mode").alias("product"), F.lit("gold").alias("cluster"),
+        lgid.alias("dashboard_group_id"),
+        F.col("l_partkey").cast("string").alias("dashboard_id"),
+        F.concat(F.lit("tag"), (F.col("l_linenumber") % 3).cast("string"))
+        .alias("tag"),
+        # odd linenumbers carry a non-default tag_type: exercises the
+        # reference's WHERE tags.tag_type='default' filter
+        F.when(F.col("l_linenumber") % 2 == 0, F.lit("default"))
+        .otherwise(F.lit("badge")).alias("tag_type"))
+    badges_df = li.select(
+        F.lit("mode").alias("product"), F.lit("gold").alias("cluster"),
+        lgid.alias("dashboard_group_id"),
+        F.col("l_partkey").cast("string").alias("dashboard_id"),
+        F.concat(F.lit("b"), F.col("l_returnflag")).alias("badge"))
     last_exec = (
         li.groupBy("l_partkey")
         .agg(F.max(F.unix_timestamp("l_shipdate")).alias("execution_timestamp"))
@@ -1435,8 +1495,14 @@ def search_doc_dashboard(spark, sf_dir):
                 F.col("l_partkey").cast("string").alias("dashboard_id"),
                 F.lit("_last_successful_execution").alias("execution_id"),
                 "execution_timestamp"))
-    docs = build_dashboard_documents(dashboards, usage, queries_df, last_exec)
-    return docs.withColumn("query_names", F.concat_ws(",", "query_names"))
+    docs = build_dashboard_documents(dashboards, usage, queries_df, last_exec,
+                                     charts=charts_df, tags=tags_df,
+                                     badges=badges_df)
+    return (docs
+            .withColumn("query_names", F.concat_ws(",", "query_names"))
+            .withColumn("chart_names", F.concat_ws(",", "chart_names"))
+            .withColumn("tags", F.concat_ws(",", "tags"))
+            .withColumn("badges", F.concat_ws(",", "badges")))
 
 
 @query("graph_expand_tables", """

@@ -148,10 +148,22 @@ def build_table_documents(tables: DataFrame,
 
 def build_user_documents(users: DataFrame,
                          table_usage: DataFrame | None = None,
-                         owned_tables: DataFrame | None = None) -> DataFrame:
+                         owned_tables: DataFrame | None = None,
+                         followed: DataFrame | None = None) -> DataFrame:
     """User search documents (reference :64-83; the 6-grouped-subquery SQL
     twin mysql_search_data_extractor.py:320-390): per-relation grouped
-    aggregates inner-joined back to the user spine."""
+    aggregates LEFT-joined back to the user spine.
+
+    total_read = SUM(read_count) over READ relations (reference's REDUCE
+    over COLLECT(DISTINCT read)). total_own = COUNT(DISTINCT owned table)
+    over OWNER_OF relations — ``owned_tables`` carries either a
+    ``table_key`` column (one row per (table, owner), distinct-counted) or
+    the raw comma-separated ``owners`` string per table row, which is
+    exploded; rows are per-table so the count is distinct tables either
+    way. total_follow = COUNT(DISTINCT followed entity) over FOLLOWED_BY
+    relations (``followed``: email + entity_key)
+    (models/user_elasticsearch_document.py:40-41).
+    """
     spine = users.select(
         F.col("email"), F.col("first_name"), F.col("last_name"),
         F.col("full_name").alias("name"),
@@ -160,48 +172,82 @@ def build_user_documents(users: DataFrame,
     )
     if table_usage is not None:
         u = (table_usage.groupBy("user_email")
-             .agg(F.sum("read_count").cast("long").alias("total_read"),
-                  F.countDistinct("database", "cluster", "schema", "table_name")
-                  .cast("long").alias("total_own")))  # placeholder count of touched tables
+             .agg(F.sum("read_count").cast("long").alias("total_read")))
         spine = spine.join(
-            u.select(F.col("user_email").alias("email"),
-                     F.col("total_read"),
-                     F.col("total_own").alias("_touched")),
-            "email", "left").drop("_touched")
+            u.select(F.col("user_email").alias("email"), "total_read"),
+            "email", "left")
     else:
         spine = spine.withColumn("total_read", F.lit(None).cast("long"))
     if owned_tables is not None:
-        o = (owned_tables
-             .select(F.explode(F.split(F.col("owners"), ",")).alias("email"))
-             .select(F.lower(F.trim("email")).alias("email"))
-             .where(F.col("email") != "")
-             .groupBy("email").agg(F.count("*").cast("long").alias("total_own")))
+        if "table_key" in owned_tables.columns:
+            pairs = owned_tables.select(
+                F.lower(F.trim(F.col("email"))).alias("email"), "table_key")
+        else:
+            pairs = (owned_tables
+                     .withColumn("table_key",
+                                 F.monotonically_increasing_id().cast("string"))
+                     .select(F.explode(F.split(F.col("owners"), ",")).alias("email"),
+                             "table_key")
+                     .select(F.lower(F.trim("email")).alias("email"), "table_key"))
+        o = (pairs.where(F.col("email") != "")
+             .groupBy("email")
+             .agg(F.countDistinct("table_key").cast("long").alias("total_own")))
         spine = spine.join(F.broadcast(o), "email", "left")
     else:
         spine = spine.withColumn("total_own", F.lit(None).cast("long"))
+    if followed is not None:
+        fo = (followed
+              .select(F.lower(F.trim(F.col("email"))).alias("email"), "entity_key")
+              .where(F.col("email") != "")
+              .groupBy("email")
+              .agg(F.countDistinct("entity_key").cast("long").alias("total_follow")))
+        spine = spine.join(F.broadcast(fo), "email", "left")
+    else:
+        spine = spine.withColumn("total_follow", F.lit(None).cast("long"))
     return (spine
             .withColumn("total_read", F.coalesce("total_read", F.lit(0)))
             .withColumn("total_own", F.coalesce("total_own", F.lit(0)))
+            .withColumn("total_follow", F.coalesce("total_follow", F.lit(0)))
             .orderBy("email"))
 
 
 def build_dashboard_documents(dashboards: DataFrame,
                               usage: DataFrame | None = None,
                               queries: DataFrame | None = None,
-                              last_exec: DataFrame | None = None) -> DataFrame:
-    """Dashboard search documents (reference :85-115): group/dashboard
+                              last_exec: DataFrame | None = None,
+                              charts: DataFrame | None = None,
+                              tags: DataFrame | None = None,
+                              badges: DataFrame | None = None) -> DataFrame:
+    """Dashboard search documents (reference :85-115,
+    models/dashboard_elasticsearch_document.py:16-47): group/dashboard
     names + aggregated usage + query names + last successful run, with the
     '_last_successful_execution' first-match rule
-    (mysql_search_data_extractor.py:284-286)."""
+    (mysql_search_data_extractor.py:284-286); plus the reference's
+    chart_names (via HAS_QUERY->HAS_CHART, neo4j query :97-99), tags
+    (tag_type='default' filter, :101-103), badges (:104-106),
+    group_description and uri (:107-115).
+
+    ``charts``: dashboard key parts + chart_name. ``tags``: dashboard key
+    parts + tag (+ optional tag_type, filtered to 'default' as the
+    reference does). ``badges``: dashboard key parts + badge. Each 1:N
+    relation pre-aggregates to one sorted-distinct array per dashboard
+    key before the broadcast LEFT join — no row explosion on the spine.
+    """
     d = dashboards.withColumn("key", keys.dashboard_key(
         F.col("product"), F.col("cluster"), F.col("dashboard_group_id"),
         F.col("dashboard_id")))
+    group_desc = (F.col("dashboard_group_description")
+                  if "dashboard_group_description" in dashboards.columns
+                  else F.lit(None).cast("string"))
     spine = d.select(
         "key", "product", "cluster",
         F.col("dashboard_group").alias("group_name"),
         F.col("dashboard_name").alias("name"),
-        F.col("description"), F.col("dashboard_group_url").alias("group_url"),
-        F.col("dashboard_url").alias("url"))
+        F.col("description"),
+        F.coalesce(group_desc, F.lit("")).alias("group_description"),
+        F.col("dashboard_group_url").alias("group_url"),
+        F.col("dashboard_url").alias("url"),
+        F.col("key").alias("uri"))
     if usage is not None:
         u = usage.withColumn("key", keys.dashboard_key(
             F.col("product"), F.col("cluster"), F.col("dashboard_group_id"),
@@ -221,6 +267,41 @@ def build_dashboard_documents(dashboards: DataFrame,
             "key", "left")
     else:
         spine = spine.withColumn("query_names", F.array().cast("array<string>"))
+    if charts is not None:
+        c = charts.withColumn("key", keys.dashboard_key(
+            F.col("product"), F.col("cluster"), F.col("dashboard_group_id"),
+            F.col("dashboard_id")))
+        spine = spine.join(
+            F.broadcast(c.where(F.col("chart_name").isNotNull())
+                        .groupBy("key").agg(
+                            F.array_sort(F.collect_set("chart_name"))
+                            .alias("chart_names"))),
+            "key", "left")
+    else:
+        spine = spine.withColumn("chart_names", F.array().cast("array<string>"))
+    if tags is not None:
+        tg = tags
+        if "tag_type" in tg.columns:  # reference: WHERE tags.tag_type='default'
+            tg = tg.where(F.col("tag_type") == "default")
+        tg = tg.withColumn("key", keys.dashboard_key(
+            F.col("product"), F.col("cluster"), F.col("dashboard_group_id"),
+            F.col("dashboard_id")))
+        spine = spine.join(
+            F.broadcast(tg.groupBy("key").agg(
+                F.array_sort(F.collect_set("tag")).alias("tags"))),
+            "key", "left")
+    else:
+        spine = spine.withColumn("tags", F.array().cast("array<string>"))
+    if badges is not None:
+        b = badges.withColumn("key", keys.dashboard_key(
+            F.col("product"), F.col("cluster"), F.col("dashboard_group_id"),
+            F.col("dashboard_id")))
+        spine = spine.join(
+            F.broadcast(b.groupBy("key").agg(
+                F.array_sort(F.collect_set("badge")).alias("badges"))),
+            "key", "left")
+    else:
+        spine = spine.withColumn("badges", F.array().cast("array<string>"))
     if last_exec is not None:
         le = (last_exec
               .where(F.col("execution_id") == "_last_successful_execution")
@@ -233,8 +314,11 @@ def build_dashboard_documents(dashboards: DataFrame,
     else:
         spine = spine.withColumn("last_successful_run_timestamp",
                                  F.lit(None).cast("long"))
+    empty = F.array().cast("array<string>")
     return (spine
             .withColumn("total_usage", F.coalesce("total_usage", F.lit(0)))
-            .withColumn("query_names", F.coalesce(
-                "query_names", F.array().cast("array<string>")))
+            .withColumn("query_names", F.coalesce("query_names", empty))
+            .withColumn("chart_names", F.coalesce("chart_names", empty))
+            .withColumn("tags", F.coalesce("tags", empty))
+            .withColumn("badges", F.coalesce("badges", empty))
             .orderBy("name"))

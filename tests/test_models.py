@@ -186,6 +186,33 @@ def test_expand_dashboard_executions_sentinels(spark):
         "mode_dashboard://gold.grp1/d1/execution/_last_successful_execution"]
 
 
+def test_expand_dashboard_charts(spark):
+    # reference models/dashboard/dashboard_chart.py:25-28 key format +
+    # :47 chart_id-falls-back-to-name rule + HAS_CHART/CHART_OF edges
+    from amundsendatabuilder_spark.models.dashboard import expand_dashboard_charts
+    df = spark.createDataFrame(
+        [("mode", "gold", "grp1", "d1", "q1", "c1", "Revenue", "line",
+          "https://m/c1"),
+         ("mode", "gold", "grp1", "d1", "q1", "", "Orders", "bar", None)],
+        "product string, cluster string, dashboard_group_id string, "
+        "dashboard_id string, query_id string, chart_id string, "
+        "chart_name string, chart_type string, chart_url string")
+    out = expand_dashboard_charts(df)
+    nodes = {r["KEY"]: r for r in out.nodes.collect()}
+    assert set(nodes) == {
+        "mode_dashboard://gold.grp1/d1/query/q1/chart/c1",
+        "mode_dashboard://gold.grp1/d1/query/q1/chart/Orders"}  # id<-name fallback
+    assert nodes["mode_dashboard://gold.grp1/d1/query/q1/chart/c1"][
+        "props"]["name"] == "Revenue"
+    rels = {(r["START_KEY"], r["END_KEY"], r["TYPE"], r["REVERSE_TYPE"])
+            for r in out.rels.collect()}
+    assert ("mode_dashboard://gold.grp1/d1/query/q1",
+            "mode_dashboard://gold.grp1/d1/query/q1/chart/c1",
+            "HAS_CHART", "CHART_OF") in rels
+    assert all(r["START_LABEL"] == "Query" and r["END_LABEL"] == "Chart"
+               for r in out.rels.collect())
+
+
 def test_badge_key_validation(spark):
     import pytest as _pytest
     from amundsendatabuilder_spark.models.misc import validate_badge_keys

@@ -44,23 +44,68 @@ def test_table_documents(spark, tables_df):
 
 def test_user_documents(spark):
     from amundsendatabuilder_spark.plans.search_documents import build_user_documents
+    # total_own = COUNT(DISTINCT owned table), total_follow =
+    # COUNT(DISTINCT followed entity) — reference count(distinct b)/(c)
+    # (neo4j_search_data_extractor.py:80-82)
+    owned = spark.createDataFrame(
+        [("alice@example.com", "hive://gold.s/t1"),
+         ("alice@example.com", "hive://gold.s/t1"),   # duplicate relation
+         ("Alice@Example.com ", "hive://gold.s/t2"),  # case/space-normalized
+         ("bob@example.com", "hive://gold.s/t1")],
+        "email string, table_key string")
+    followed = spark.createDataFrame(
+        [("alice@example.com", "hive://gold.s/t3"),
+         ("carol@example.com", "hive://gold.s/t1"),
+         ("carol@example.com", "hive://gold.s/t2")],
+        "email string, entity_key string")
     docs = build_user_documents(
         _csv(spark, "sample_user.csv"),
-        table_usage=_csv(spark, "sample_column_usage.csv"))
+        table_usage=_csv(spark, "sample_column_usage.csv"),
+        owned_tables=owned, followed=followed)
     rows = {r["email"]: r for r in docs.collect()}
     assert rows["alice@example.com"]["total_read"] == 17
     assert rows["bob@example.com"]["total_read"] == 5
     assert rows["carol@example.com"]["total_read"] == 0
+    assert rows["alice@example.com"]["total_own"] == 2
+    assert rows["bob@example.com"]["total_own"] == 1
+    assert rows["carol@example.com"]["total_own"] == 0
+    assert rows["alice@example.com"]["total_follow"] == 1
+    assert rows["carol@example.com"]["total_follow"] == 2
+    assert rows["bob@example.com"]["total_follow"] == 0
 
 
 def test_dashboard_documents(spark):
     from amundsendatabuilder_spark.plans.search_documents import build_dashboard_documents
+    keyparts = ("product string, cluster string, dashboard_group_id string, "
+                "dashboard_id string, ")
+    charts = spark.createDataFrame(
+        [("mode", "gold", "grp1", "d1", "Revenue"),
+         ("mode", "gold", "grp1", "d1", "Orders"),
+         ("mode", "gold", "grp1", "d1", "Revenue")],  # distinct-collected
+        keyparts + "chart_name string")
+    tags = spark.createDataFrame(
+        [("mode", "gold", "grp1", "d1", "finance", "default"),
+         ("mode", "gold", "grp1", "d1", "hidden", "badge")],  # filtered out
+        keyparts + "tag string, tag_type string")
+    badges = spark.createDataFrame(
+        [("mode", "gold", "grp1", "d2", "golden")],
+        keyparts + "badge string")
     docs = build_dashboard_documents(
         _csv(spark, "sample_dashboard_base.csv"),
-        last_exec=_csv(spark, "sample_dashboard_last_execution.csv"))
+        last_exec=_csv(spark, "sample_dashboard_last_execution.csv"),
+        charts=charts, tags=tags, badges=badges)
     rows = {r["key"]: r for r in docs.collect()}
     d1 = rows["mode_dashboard://gold.grp1/d1"]
     # picks _last_successful_execution, not _last_execution (reference
     # mysql_search_data_extractor.py:284-286)
     assert d1["last_successful_run_timestamp"] == 1600000500
     assert rows["mode_dashboard://gold.grp1/d2"]["last_successful_run_timestamp"] is None
+    # reference field parity (models/dashboard_elasticsearch_document.py:16-47)
+    assert d1["uri"] == "mode_dashboard://gold.grp1/d1"
+    assert d1["group_description"] == "group a desc"
+    assert d1["chart_names"] == ["Orders", "Revenue"]
+    assert d1["tags"] == ["finance"]  # tag_type='default' only
+    assert d1["badges"] == []
+    d2 = rows["mode_dashboard://gold.grp1/d2"]
+    assert d2["chart_names"] == [] and d2["tags"] == []
+    assert d2["badges"] == ["golden"]
