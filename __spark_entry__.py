@@ -51,6 +51,7 @@ _PRIORITY = [
     # (b) re-certification slot (fills the 50-slot window: 49 + 1)
     "search_doc_flagship",
     # --- beyond the window: round-8 additions queue here ---
+    "quality_decile_table", "equi_depth_boundaries",
     # (stale-certified entries follow, oldest certification first)
     "lang_id", "quality_metrics", "doc_fingerprint", "embedding_norms",
     "char_ngram_profile", "pii_scrub", "repetition_metrics",

@@ -267,6 +267,53 @@ def equi_depth_histogram(df: DataFrame, value_col: str,
                  F.max(value_col).alias("high")))
 
 
+def equi_depth_boundaries(df: DataFrame, value_col: str,
+                          n_buckets: int = 10,
+                          width: int = 1) -> DataFrame:
+    """Ungrouped equi-depth boundary table with NO global sort — the
+    two-pass register form the ``equi_depth_histogram`` docstring
+    promises for the ungrouped path (that exact-ntile form degenerates
+    to a single-partition corpus window when ``group_cols`` is empty;
+    this one never does).
+
+    Pass 1 aggregates per-value registers (``width`` > 1 quantizes the
+    domain first, bounding the register table for continuous/unbounded
+    columns — the histogram_registers family, sketches.py:327). Pass 2
+    takes cumulative counts over the REGISTER table (bounded rows, not
+    corpus rows) and returns, per bucket k, the smallest value whose
+    cumulative count reaches ⌈k·N/n_buckets⌉ — identical to the value
+    at that row of the exact total order when width=1 on an integer
+    column, conservative to one quantum otherwise.
+
+    Output: (bucket, cut_value, n_rows_le, pct_rows_ppm). With
+    ``width`` > 1, values must be non-negative (integer DIV truncates
+    toward zero while SQL ``//`` floors, so negative quanta diverge
+    across engines — the trend_slopes lesson).
+    """
+    # integer DIV, not float '/': exact at any magnitude (corr-matrix
+    # lesson — doubles lose integer precision past 2^53)
+    base = df.select(F.expr(
+        f"(CAST({value_col} AS BIGINT) DIV {width}) * {width}").alias("qv"))
+    regs = base.groupBy("qv").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+    wq = Window.orderBy("qv").rowsBetween(Window.unboundedPreceding, 0)
+    cum = regs.select("qv", F.sum("c").over(wq).alias("cc"))
+    ks = (base.agg(F.count(F.lit(1)).alias("n"))
+          .select(F.explode(F.sequence(F.lit(1), F.lit(n_buckets)))
+                  .alias("bucket"), "n")
+          .withColumn("need", F.expr(
+              f"CAST(-((-bucket * n) DIV {n_buckets}) AS BIGINT)")))
+    bounds = (cum.join(F.broadcast(ks), F.col("cc") >= F.col("need"))
+              .groupBy("bucket", "n").agg(F.min("qv").alias("cut_value")))
+    return (bounds.join(F.broadcast(cum),
+                        bounds.cut_value == cum.qv)
+            .select(F.col("bucket").cast("int").alias("bucket"),
+                    F.col("cut_value").cast("long").alias("cut_value"),
+                    F.col("cc").cast("long").alias("n_rows_le"),
+                    F.expr("cc * 1000000 DIV n").cast("long")
+                    .alias("pct_rows_ppm")))
+
+
 def mad_outliers(df: DataFrame, value_col: str, group_col: str,
                  order_col: str, k_times_10: int = 30) -> DataFrame:
     """Robust per-group outlier profile via median / MAD (median absolute

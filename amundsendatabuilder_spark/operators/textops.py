@@ -1159,6 +1159,81 @@ def bpe_apply(docs: DataFrame, merges: DataFrame, iters: int,
                  F.sum("n_sub").alias("n_subwords")))
 
 
+def quality_decile_table(docs: DataFrame, n_deciles: int = 10,
+                         text_col: str = "text") -> DataFrame:
+    """Production decile/threshold table — the register-sketch twin of
+    ``quality_decile_profile`` with NO corpus-wide window (the exact
+    ntile formulation is its verification oracle; this is the form that
+    runs at 100 TB).
+
+    The quality score is 4-dp-quantized, so score×10⁴ has at most 10001
+    distinct values: per-score registers are EXACT and SUM-mergeable
+    across shards/days (the ``histogram_registers`` family,
+    sketches.py:327, with width=1 over the quantized domain). Decile
+    boundary k = min score whose cumulative register count reaches
+    ⌈k·N/10⌉ — provably the same value that sits at row ⌈k·N/10⌉ of the
+    exact (score, id) total order, which is what the DuckDB twin
+    computes by sorting.
+
+    Output, one row per decile k: ``cut_q`` (boundary score ×10⁴) and
+    the cumulative lift stats at that cut — docs / tokens / distinct
+    fingerprints at-or-below it, plus ppm shares — read as "cutting the
+    corpus at decile k's score keeps X docs, Y tokens, Z of the
+    duplicate mass".
+
+    Plan shape: one derive scan (persisted projection: three longs +
+    one hash per doc), two register aggregations (score, and min-score
+    per fingerprint for the cumulative-distinct curve), then ONE window
+    over the ≤10001-row register table — bounded cardinality regardless
+    of corpus size, never a corpus sort — and a 10-row boundary join.
+    """
+    from pyspark import StorageLevel
+    d = docs.select(
+        round_half_away(quality_score(F.col(text_col)) * 10000, 0)
+        .cast("long").alias("qi"),
+        token_count_ws(F.col(text_col)).alias("n_tok"),
+        fingerprint_md5(F.col(text_col)).alias("fp"))
+    d = d.persist(StorageLevel.MEMORY_AND_DISK)
+    regs = d.groupBy("qi").agg(F.count(F.lit(1)).alias("c"),
+                               F.sum("n_tok").alias("tk"))
+    # cumulative-distinct curve: each fingerprint counts once, at its
+    # minimum score — count(DISTINCT fp | qi <= cut) = #fps with q0 <= cut
+    fp_regs = (d.groupBy("fp").agg(F.min("qi").alias("qi"))
+               .groupBy("qi").agg(F.count(F.lit(1)).alias("fc")))
+    merged = regs.join(fp_regs, "qi", "left").na.fill({"fc": 0})
+    # window over the register table: <= 10001 rows by construction
+    # (score domain), NOT a corpus window
+    wq = Window.orderBy("qi").rowsBetween(Window.unboundedPreceding, 0)
+    cum = merged.select(
+        "qi",
+        F.sum("c").over(wq).alias("cc"),
+        F.sum("tk").over(wq).alias("ct"),
+        F.sum("fc").over(wq).alias("cf"))
+    totals = d.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("n_tok").alias("tok_n"))
+    ks = (totals.select(
+        F.explode(F.sequence(F.lit(1), F.lit(n_deciles))).alias("decile"),
+        "n", "tok_n")
+        .withColumn("need", F.expr(
+            f"CAST(-((-decile * n) DIV {n_deciles}) AS BIGINT)")))  # ceil
+    bounds = (cum.join(F.broadcast(ks), F.col("cc") >= F.col("need"))
+              .groupBy("decile", "n", "tok_n")
+              .agg(F.min("qi").alias("cut_q")))
+    out = (bounds.join(F.broadcast(cum), bounds.cut_q == cum.qi)
+           .select(
+               F.col("decile").cast("int").alias("decile"),
+               F.col("cut_q").cast("long").alias("cut_q"),
+               F.col("cc").cast("long").alias("n_docs_le"),
+               F.expr("cc * 1000000 DIV n").cast("long").alias("pct_docs_ppm"),
+               F.col("ct").cast("long").alias("total_tokens_le"),
+               F.expr("ct * 1000000 DIV tok_n").cast("long")
+               .alias("pct_tokens_ppm"),
+               F.col("cf").cast("long").alias("n_distinct_le"),
+               F.expr("(cc - cf) * 1000000 DIV cc").cast("long")
+               .alias("dup_ppm_le")))
+    return out
+
+
 def quality_decile_profile(docs: DataFrame, n_deciles: int = 10,
                            id_col: str = "doc_id",
                            text_col: str = "text") -> DataFrame:
@@ -1172,7 +1247,11 @@ def quality_decile_profile(docs: DataFrame, n_deciles: int = 10,
     behind every quality-threshold choice in corpus curation.
 
     One derive scan + one ntile window + one decile aggregate; only
-    (decile, scalar) rows shuffle after the window."""
+    (decile, scalar) rows shuffle after the window. The ntile is a
+    corpus-wide single-partition sort: this form is the VERIFICATION
+    oracle — the production path at scale is ``quality_decile_table``,
+    which derives the same boundaries from bounded per-score registers
+    with no corpus window."""
     d = docs.select(
         F.col(id_col).alias("o"),
         quality_score(F.col(text_col)).alias("q"),

@@ -7332,3 +7332,98 @@ def q12_shipmode_priority(spark, sf_dir):
              F.sum(F.when(~hi, 1).otherwise(0)).cast("long")
              .alias("low_line_count"))
         .orderBy("l_linestatus"))
+
+
+@query("quality_decile_table", r"""
+WITH t AS (SELECT doc_id AS o, text,
+                  list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '') AS tk,
+                  md5(array_to_string(
+                      list_filter(string_split_regex(trim(lower(text)),
+                                                     '\s+'),
+                                  x -> x <> ''), ' ')) AS fp
+           FROM documents),
+d AS (SELECT o, fp, CAST(len(tk) AS BIGINT) AS n_tok,
+             CAST(round(round(LEAST(len(tk) / 100.0, 1.0) * 0.4
+                   + CASE WHEN len(tk) > 0
+                          THEN len(list_distinct(list_transform(
+                                   tk, x -> x))) / CAST(len(tk) AS DOUBLE)
+                          ELSE 0 END * 0.4
+                   + (1 - CASE WHEN length(text) > 0
+                               THEN (length(text) - length(
+                                     regexp_replace(text,
+                                         '[.,;:!?''"()]', '', 'g')))
+                                    / CAST(length(text) AS DOUBLE)
+                               ELSE 0 END) * 0.2, 4) * 10000, 0)
+                  AS BIGINT) AS qi
+      FROM t),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_tok) AS BIGINT) AS tok_n FROM d),
+ks AS (SELECT CAST(unnest(generate_series(1, 10)) AS INT) AS decile),
+needs AS (SELECT decile, -((-decile * n) // 10) AS need, n, tok_n
+          FROM ks, tot),
+ord AS (SELECT qi, row_number() OVER (ORDER BY qi, o) AS rn FROM d),
+bounds AS (SELECT decile, n, tok_n,
+                  (SELECT qi FROM ord WHERE rn = needs.need) AS cut_q
+           FROM needs)
+SELECT decile, CAST(cut_q AS BIGINT) AS cut_q,
+       (SELECT CAST(count(*) AS BIGINT) FROM d
+        WHERE qi <= b.cut_q) AS n_docs_le,
+       (SELECT CAST(count(*) * 1000000 // b.n AS BIGINT) FROM d
+        WHERE qi <= b.cut_q) AS pct_docs_ppm,
+       (SELECT CAST(sum(n_tok) AS BIGINT) FROM d
+        WHERE qi <= b.cut_q) AS total_tokens_le,
+       (SELECT CAST(sum(n_tok) * 1000000 // b.tok_n AS BIGINT) FROM d
+        WHERE qi <= b.cut_q) AS pct_tokens_ppm,
+       (SELECT CAST(count(DISTINCT fp) AS BIGINT) FROM d
+        WHERE qi <= b.cut_q) AS n_distinct_le,
+       (SELECT CAST((count(*) - count(DISTINCT fp)) * 1000000 // count(*)
+             AS BIGINT)
+        FROM d WHERE qi <= b.cut_q) AS dup_ppm_le
+FROM bounds b ORDER BY decile
+""")
+def quality_decile_table_query(spark, sf_dir):
+    """Production decile table (textops.quality_decile_table): decile
+    boundaries + cumulative lift stats from bounded per-score registers
+    — NO corpus-wide window (the r7-verdict weak item; the exact-ntile
+    quality_decile_profile stays as the verification formulation). The
+    DuckDB twin derives the same boundaries by SORTING (row_number over
+    the exact total order), so a hash match here proves the register
+    derivation equals the exact one."""
+    from amundsendatabuilder_spark.operators.textops import quality_decile_table
+    (docs,) = _t(spark, sf_dir, "documents")
+    return quality_decile_table(docs).orderBy("decile")
+
+
+@query("equi_depth_boundaries", """
+WITH d AS (SELECT (CAST(round(o_totalprice * 100, 0) AS BIGINT) // 1000)
+                  * 1000 AS qv
+           FROM orders),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+ks AS (SELECT CAST(unnest(generate_series(1, 10)) AS INT) AS bucket),
+needs AS (SELECT bucket, -((-bucket * n) // 10) AS need, n FROM ks, tot),
+regs AS (SELECT qv, count(*) AS c FROM d GROUP BY qv),
+cum AS (SELECT qv, sum(c) OVER (ORDER BY qv) AS cc FROM regs),
+bounds AS (SELECT bucket, n, min(qv) AS cut_value
+           FROM needs JOIN cum ON cc >= need GROUP BY bucket, n)
+SELECT b.bucket, CAST(b.cut_value AS BIGINT) AS cut_value,
+       CAST(c.cc AS BIGINT) AS n_rows_le,
+       CAST(c.cc * 1000000 // b.n AS BIGINT) AS pct_rows_ppm
+FROM bounds b JOIN cum c ON b.cut_value = c.qv
+ORDER BY b.bucket
+""")
+def equi_depth_boundaries_query(spark, sf_dir):
+    """Ungrouped equi-depth boundaries over order value cents, $10
+    quanta (profiling.equi_depth_boundaries): the two-pass register
+    form that replaces the single-partition ntile window the ungrouped
+    equi_depth_histogram call would degenerate to — cumulative counts
+    run over the bounded register table, never the corpus."""
+    from amundsendatabuilder_spark.functions.scalars import round_half_away
+    from amundsendatabuilder_spark.operators.profiling import (
+        equi_depth_boundaries)
+    (orders,) = _t(spark, sf_dir, "orders")
+    cents = orders.select(
+        round_half_away(F.col("o_totalprice") * 100, 0).cast("long")
+        .alias("cents"))
+    return (equi_depth_boundaries(cents, "cents", n_buckets=10, width=1000)
+            .orderBy("bucket"))

@@ -151,6 +151,8 @@ EXTENDED = [
     "q4_order_priority",
     "q6_forecast_revenue",
     "q12_shipmode_priority",
+    "quality_decile_table",
+    "equi_depth_boundaries",
 ]
 
 

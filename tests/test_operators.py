@@ -2351,3 +2351,55 @@ def test_quality_decile_profile_partitions_and_orders(spark):
     assert masses == sorted(masses)
     assert sum(masses) == sum(10 + i * 7 for i in range(20))
     assert all(r.dup_ppm == 0 for r in got)  # all docs distinct
+
+
+def test_quality_decile_table_matches_exact_sort_derivation(spark):
+    from amundsendatabuilder_spark.operators.textops import quality_decile_table
+    # 20 distinct-token docs, monotone quality in length (same fixture
+    # as the profile test) — boundaries from registers must equal the
+    # value at rank ceil(k*N/10) of the exact sorted order
+    rows = [(i, " ".join(f"w{j}" for j in range(10 + i * 7)))
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(quality_decile_table(df).collect(), key=lambda r: r.decile)
+    assert len(got) == 10
+    # exact sort-based twin computed in python
+    from amundsendatabuilder_spark.functions.text import quality_score
+    from pyspark.sql import functions as F
+    qi = sorted(r.q for r in df.select(
+        (quality_score(F.col("text")) * 10000).cast("long").alias("q")
+    ).collect())
+    n = len(qi)
+    for r in got:
+        need = -((-r.decile * n) // 10)   # ceil
+        assert r.cut_q == qi[need - 1]
+        assert r.n_docs_le == sum(1 for v in qi if v <= r.cut_q)
+    # cumulative curves are monotone; decile 10 covers the full corpus
+    assert got[-1].n_docs_le == n and got[-1].pct_docs_ppm == 1000000
+    assert got[-1].dup_ppm_le == 0  # all docs distinct
+    curves = [(r.n_docs_le, r.total_tokens_le, r.n_distinct_le) for r in got]
+    assert curves == sorted(curves)
+
+
+def test_equi_depth_boundaries_matches_sorted_ranks(spark):
+    from amundsendatabuilder_spark.operators.profiling import (
+        equi_depth_boundaries)
+    vals = [i * i for i in range(40)]  # skewed density
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = sorted(equi_depth_boundaries(df, "v", n_buckets=4).collect(),
+                 key=lambda r: r.bucket)
+    s = sorted(vals)
+    for r in got:
+        need = -((-r.bucket * 40) // 4)
+        assert r.cut_value == s[need - 1]
+        assert r.n_rows_le == sum(1 for v in s if v <= r.cut_value)
+    assert got[-1].pct_rows_ppm == 1000000
+    # width quantization: boundaries snap to the quantum grid,
+    # cumulative counts stay exact for the quantized values
+    gotw = sorted(equi_depth_boundaries(df, "v", n_buckets=4,
+                                        width=100).collect(),
+                  key=lambda r: r.bucket)
+    for r in gotw:
+        assert r.cut_value % 100 == 0
+        assert r.n_rows_le == sum(1 for v in s if (v // 100) * 100
+                                  <= r.cut_value)

@@ -102,6 +102,7 @@ SUITE = [
     "temporal_reachability", "stream_histogram_registers",
     "quality_decile_profile", "event_seasonality_heatmap",
     "q4_order_priority", "q6_forecast_revenue", "q12_shipmode_priority",
+    "quality_decile_table", "equi_depth_boundaries",
 ]
 
 
