@@ -18,41 +18,25 @@ sys.path.insert(0, "/root/repo")
 
 from amundsendatabuilder_spark.plans.oracle_suite import ORACLES, QUERIES  # noqa: E402
 
-# Dict iteration order = presentation order. Round-8 window (50 slots,
-# r7 VERDICT item #1): (a) the 49 queries NEW in round 7 — all green in
-# the round-7 independent 201/201 local gate but never driver-certified
-# (they queued beyond the r7 window by the adopted discipline); (b) one
-# re-certification slot for the flagship. Queries NEW in round 8 sit
-# immediately beyond the window with local-gate + unit-test evidence
-# and queue for the r9 rotation. Names not yet registered are skipped
-# by ``_ordered``.
+# Dict iteration order = presentation order. Round-9 window (50 slots,
+# r8 VERDICT item #1): (a) the 4 certification-debt queries —
+# quality_decile_table / equi_depth_boundaries have never seen a driver
+# window; search_doc_user / search_doc_dashboard had their oracles
+# extended (commit 406d9ff) after their last certification, so the
+# existing green rows attest the old schema (and search_doc_user gains
+# is_active/full_name parity this round); (b)
+# graph_match_varlen_undirected, whose semantics changed this round
+# (Cypher relationship-uniqueness fix), needs re-certification; (c) the
+# oldest-certified entries (r1–r4 era), oldest first, to keep every
+# cert fresh under the rotation discipline. Names not yet registered
+# are skipped by ``_ordered``.
 _PRIORITY = [
-    # (a) the 49 round-7 queries awaiting first driver certification
-    "jaccard_prefix_join_capped", "containment_join_capped",
-    "similarity_cap_report", "graph_match_mixed_direction",
-    "budget_selection", "content_defined_chunks", "dedup_quality_winner",
-    "cdc_chunk_dedup_rate", "fd_violations", "distribution_drift",
-    "lateness_profile", "pipeline_end_to_end",
-    "graph_match_varlen_undirected", "fuzzy_entity_match",
-    "skew_report", "split_exact_counts", "equi_depth_histogram",
-    "bpe_merge_training", "hybrid_rrf_fusion", "mad_outliers",
-    "graph_label_propagation", "cdc_upsert_apply", "expectation_audit",
-    "stream_static_enrich", "trend_slopes", "corpus_merkle_digest",
-    "q7_nation_volume", "q10_returned_items",
-    "grouping_sets_volume", "embedding_label_outliers",
-    "embedding_covariance", "l_diversity_audit",
-    "basket_association_rules", "graph_link_prediction",
-    "feature_hashing", "stream_last_writer_upsert", "graph_hash_walks",
-    "dataset_card", "bpe_encode_counts", "interval_union_coverage",
-    "histogram_quantile_sketch", "graph_feature_propagation",
-    "temporal_reachability", "stream_histogram_registers",
-    "quality_decile_profile", "event_seasonality_heatmap",
-    "q4_order_priority", "q6_forecast_revenue", "q12_shipmode_priority",
-    # (b) re-certification slot (fills the 50-slot window: 49 + 1)
-    "search_doc_flagship",
-    # --- beyond the window: round-8 additions queue here ---
+    # (a) certification debt — never certified, or oracle changed post-cert
     "quality_decile_table", "equi_depth_boundaries",
-    # (stale-certified entries follow, oldest certification first)
+    "search_doc_user", "search_doc_dashboard",
+    # (b) semantics changed in round 9 — prior cert attests old behavior
+    "graph_match_varlen_undirected",
+    # (c) oldest-certified entries, oldest certification first
     "lang_id", "quality_metrics", "doc_fingerprint", "embedding_norms",
     "char_ngram_profile", "pii_scrub", "repetition_metrics",
     "hash_sample_stratified", "vocab_topk", "corpus_length_stats",
@@ -70,7 +54,9 @@ _PRIORITY = [
     "skew_salted_collect", "embedding_label_centroids",
     "pivot_status_by_priority",
     "graph_pagerank", "interval_overlap_join", "markov_transitions_ppm",
-    "session_bounce_rate", "sessionize_batch", "multimodal_resize",
+    "session_bounce_rate", "sessionize_batch",
+    # --- beyond the 50-slot window: next-oldest continue the rotation ---
+    "multimodal_resize",
     "decayed_popularity", "numeric_corr_matrix", "kmeans_centroids",
     "lineage_asof_diff",
     "search_doc_table_built",
@@ -80,6 +66,7 @@ _PRIORITY = [
     "doc_chunking", "cross_source_overlap", "split_assign",
     "dedup_rate_by_source", "boilerplate_chunks", "strip_boilerplate",
     "bm25_topk", "token_count_histogram", "quantize_embeddings",
+    "search_doc_flagship",
 ]
 
 

@@ -289,6 +289,14 @@ def equi_depth_boundaries(df: DataFrame, value_col: str,
     ``width`` > 1, values must be non-negative (integer DIV truncates
     toward zero while SQL ``//`` floors, so negative quanta diverge
     across engines — the trend_slopes lesson).
+
+    Scale contract: ``width`` must bound the REGISTER domain
+    (distinct-quantum count ≲ 10^5–10^6), because the cumulative window
+    and the final probe both run over the register table — on a
+    high-cardinality column at width=1 that table approaches corpus
+    cardinality and the design degenerates; pick width so
+    (max−min)/width stays register-sized. Only the ≤n_buckets-row
+    ``bounds`` side is ever broadcast.
     """
     # integer DIV, not float '/': exact at any magnitude (corr-matrix
     # lesson — doubles lose integer precision past 2^53)
@@ -305,8 +313,11 @@ def equi_depth_boundaries(df: DataFrame, value_col: str,
               f"CAST(-((-bucket * n) DIV {n_buckets}) AS BIGINT)")))
     bounds = (cum.join(F.broadcast(ks), F.col("cc") >= F.col("need"))
               .groupBy("bucket", "n").agg(F.min("qv").alias("cut_value")))
-    return (bounds.join(F.broadcast(cum),
-                        bounds.cut_value == cum.qv)
+    # broadcast the ≤n_buckets-row bounds side, never the register table
+    # (whose cardinality is the distinct-quantum count — unbounded at
+    # width=1 on a high-cardinality column)
+    return (F.broadcast(bounds).join(cum,
+                                     bounds.cut_value == cum.qv)
             .select(F.col("bucket").cast("int").alias("bucket"),
                     F.col("cut_value").cast("long").alias("cut_value"),
                     F.col("cc").cast("long").alias("n_rows_le"),

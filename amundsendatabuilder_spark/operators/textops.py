@@ -1132,9 +1132,14 @@ def bpe_apply(docs: DataFrame, merges: DataFrame, iters: int,
     carries (word → subword count) back onto the exploded token stream —
     at 100 TB the vocabulary is 10^7 rows while the corpus is 10^11, a
     four-orders-of-magnitude saving over per-occurrence encoding.
-    ``merges`` must hold one row per iteration 1..iters (the shape
-    ``bpe_merges`` emits); each fold is the same greedy non-overlapping
-    pass as training, applied in merge order.
+    ``merges`` holds at most one row per iteration 1..iters (the shape
+    ``bpe_merges`` emits — degenerate corpora legitimately skip
+    iterations, so absent rows are identity passes, mirroring
+    training's null-struct guard: each iteration's merge frame is
+    max-aggregated to exactly one possibly-null row, so an empty
+    iteration can never crossJoin the vocabulary away); each fold is
+    the same greedy non-overlapping pass as training, applied in merge
+    order.
     """
     tok_stream = docs.select(
         F.col("doc_id"),
@@ -1148,10 +1153,15 @@ def bpe_apply(docs: DataFrame, merges: DataFrame, iters: int,
         "concat(slice(acc, 1, size(acc) - 1), array(concat(a, b))), "
         "concat(acc, array(x))))")
     for i in range(1, iters + 1):
+        # 1-row aggregate (null struct when the iteration is absent) —
+        # never an empty frame, so the crossJoin preserves every word
         m = (merges.where(F.col("it") == i)
-             .select(F.col("sym_a").alias("a"), F.col("sym_b").alias("b")))
+             .agg(F.max(F.struct("sym_a", "sym_b")).alias("m"))
+             .select(F.col("m.sym_a").alias("a"), F.col("m.sym_b").alias("b")))
         words = (words.crossJoin(F.broadcast(m))
-                 .select("tok", F.expr(merge_fold).alias("syms")))
+                 .select("tok",
+                         F.when(F.col("a").isNotNull(), F.expr(merge_fold))
+                         .otherwise(F.col("syms")).alias("syms")))
     encoded = words.select("tok", F.size("syms").cast("long").alias("n_sub"))
     return (tok_stream.join(F.broadcast(encoded), "tok")
             .groupBy("doc_id")
@@ -1181,11 +1191,16 @@ def quality_decile_table(docs: DataFrame, n_deciles: int = 10,
     corpus at decile k's score keeps X docs, Y tokens, Z of the
     duplicate mass".
 
-    Plan shape: one derive scan (persisted projection: three longs +
-    one hash per doc), two register aggregations (score, and min-score
-    per fingerprint for the cumulative-distinct curve), then ONE window
-    over the ≤10001-row register table — bounded cardinality regardless
-    of corpus size, never a corpus sort — and a 10-row boundary join.
+    Plan shape: one derive scan (cached projection: three longs + one
+    hash per doc, released before return), two register aggregations
+    (score, and min-score per fingerprint for the cumulative-distinct
+    curve), then ONE window over the ≤10001-row register table —
+    bounded cardinality regardless of corpus size, never a corpus sort
+    — and a 10-row boundary join. The register table is eagerly
+    localCheckpointed (the graph_algo persist-then-release convention),
+    so the per-doc cache is unpersisted before return and the returned
+    plan references only the bounded registers; corpus totals read off
+    the registers' own sums rather than a third corpus scan.
     """
     from pyspark import StorageLevel
     d = docs.select(
@@ -1200,7 +1215,12 @@ def quality_decile_table(docs: DataFrame, n_deciles: int = 10,
     # minimum score — count(DISTINCT fp | qi <= cut) = #fps with q0 <= cut
     fp_regs = (d.groupBy("fp").agg(F.min("qi").alias("qi"))
                .groupBy("qi").agg(F.count(F.lit(1)).alias("fc")))
-    merged = regs.join(fp_regs, "qi", "left").na.fill({"fc": 0})
+    # eager checkpoint materializes both register aggregations (the two
+    # scans share the cached d), then the per-doc cache is released — the
+    # returned plan holds only the ≤10001-row register snapshot
+    merged = (regs.join(fp_regs, "qi", "left").na.fill({"fc": 0})
+              .localCheckpoint())
+    d.unpersist()
     # window over the register table: <= 10001 rows by construction
     # (score domain), NOT a corpus window
     wq = Window.orderBy("qi").rowsBetween(Window.unboundedPreceding, 0)
@@ -1209,8 +1229,8 @@ def quality_decile_table(docs: DataFrame, n_deciles: int = 10,
         F.sum("c").over(wq).alias("cc"),
         F.sum("tk").over(wq).alias("ct"),
         F.sum("fc").over(wq).alias("cf"))
-    totals = d.agg(F.count(F.lit(1)).alias("n"),
-                   F.sum("n_tok").alias("tok_n"))
+    # corpus totals = the registers' own sums (no third corpus scan)
+    totals = merged.agg(F.sum("c").alias("n"), F.sum("tk").alias("tok_n"))
     ks = (totals.select(
         F.explode(F.sequence(F.lit(1), F.lit(n_deciles))).alias("decile"),
         "n", "tok_n")

@@ -1311,12 +1311,13 @@ def dedup_lsh_verified(spark, sf_dir):
 @query("search_doc_user", """
 WITH users AS (
   SELECT 'u' || CAST(c_custkey AS VARCHAR) AS email,
-         c_mktsegment AS first_name, c_name AS last_name, c_name AS name,
+         c_mktsegment AS first_name, c_name AS last_name, c_name AS full_name,
          'gh' || CAST(c_custkey AS VARCHAR) AS github_username,
          c_mktsegment AS team_name,
          'fte' AS employee_type,
          'u' || CAST((c_custkey % 150) + 1 AS VARCHAR) AS manager_email,
-         '@u' || CAST(c_custkey AS VARCHAR) AS slack_id, 'analyst' AS role_name
+         '@u' || CAST(c_custkey AS VARCHAR) AS slack_id,
+         (c_custkey % 7) <> 0 AS is_active, 'analyst' AS role_name
   FROM customer WHERE c_custkey <= 150),
 reads AS (SELECT 'u' || CAST(user_id + 1 AS VARCHAR) AS email,
                  CAST(count(*) AS BIGINT) AS total_read
@@ -1327,8 +1328,8 @@ own AS (SELECT 'u' || CAST(o_custkey AS VARCHAR) AS email,
 follow AS (SELECT 'u' || CAST(user_id + 1 AS VARCHAR) AS email,
                   CAST(count(DISTINCT event_type) AS BIGINT) AS total_follow
            FROM events GROUP BY 1)
-SELECT u.email, first_name, last_name, name, github_username, team_name,
-       employee_type, manager_email, slack_id, role_name,
+SELECT u.email, first_name, last_name, full_name, github_username, team_name,
+       employee_type, manager_email, slack_id, is_active, role_name,
        coalesce(r.total_read, 0) AS total_read,
        coalesce(o.total_own, 0) AS total_own,
        coalesce(f.total_follow, 0) AS total_follow
@@ -1346,7 +1347,10 @@ def search_doc_user(spark, sf_dir):
     total_own = COUNT(DISTINCT OWNER_OF) over (user, order) pairs;
     total_follow = COUNT(DISTINCT FOLLOWED_BY) over (user, event_type)
     pairs — the reference's count(distinct b)/count(distinct c)
-    (neo4j_search_data_extractor.py:80-82)."""
+    (neo4j_search_data_extractor.py:80-82). Full document field parity:
+    ``full_name`` keeps the reference's name and ``is_active``
+    (user.is_active, :77) is exercised with both truth values via
+    c_custkey % 7."""
     from amundsendatabuilder_spark.plans.search_documents import build_user_documents
     customer, orders, events = _t(spark, sf_dir, "customer", "orders", "events")
     users = customer.where(F.col("c_custkey") <= 150).select(
@@ -1360,6 +1364,7 @@ def search_doc_user(spark, sf_dir):
         F.concat(F.lit("u"),
                  ((F.col("c_custkey") % 150) + 1).cast("string")).alias("manager_email"),
         F.concat(F.lit("@u"), F.col("c_custkey").cast("string")).alias("slack_id"),
+        ((F.col("c_custkey") % 7) != 0).alias("is_active"),
         F.lit("analyst").alias("role_name"))
     usage = events.select(
         F.concat(F.lit("u"), (F.col("user_id") + 1).cast("string")).alias("user_email"),

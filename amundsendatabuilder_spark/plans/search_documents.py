@@ -163,12 +163,25 @@ def build_user_documents(users: DataFrame,
     way. total_follow = COUNT(DISTINCT followed entity) over FOLLOWED_BY
     relations (``followed``: email + entity_key)
     (models/user_elasticsearch_document.py:40-41).
+
+    Field parity with the reference document
+    (models/user_elasticsearch_document.py:16-38): ``full_name`` keeps
+    the reference's name (not renamed), ``is_active`` is carried from
+    the spine when present and defaults to true otherwise (the
+    reference cypher reads ``user.is_active``,
+    neo4j_search_data_extractor.py:77), and users with a null
+    ``full_name`` are dropped per the reference's
+    ``where user.full_name is not null`` (:73).
     """
-    spine = users.select(
+    is_active = (F.col("is_active").cast("boolean")
+                 if "is_active" in users.columns
+                 else F.lit(True))
+    spine = users.where(F.col("full_name").isNotNull()).select(
         F.col("email"), F.col("first_name"), F.col("last_name"),
-        F.col("full_name").alias("name"),
+        F.col("full_name"),
         F.col("github_username"), F.col("team_name"), F.col("employee_type"),
-        F.col("manager_email"), F.col("slack_id"), F.col("role_name"),
+        F.col("manager_email"), F.col("slack_id"),
+        is_active.alias("is_active"), F.col("role_name"),
     )
     if table_usage is not None:
         u = (table_usage.groupBy("user_email")

@@ -2214,6 +2214,29 @@ def test_bpe_apply_counts_subwords_with_learned_merges(spark):
     assert got[2] == (1, 2)
 
 
+def test_bpe_apply_survives_absent_merge_iterations(spark):
+    from amundsendatabuilder_spark.operators.textops import (
+        bpe_apply, bpe_merges)
+    # degenerate corpus: after merge 1 every word is a single symbol, so
+    # iterations 2..3 emit NO merge row — bpe_apply must treat absent
+    # iterations as identity passes, not crossJoin the vocabulary away
+    df = spark.createDataFrame([(1, "aa aa b"), (2, "c")],
+                               "doc_id long, text string")
+    merges = bpe_merges(df, iters=3, vocab_size=10)
+    assert merges.count() == 1  # fewer rows than iters, legitimately
+    got = {r.doc_id: (r.n_words, r.n_subwords)
+           for r in bpe_apply(df, merges, iters=3).collect()}
+    assert got[1] == (3, 3)  # 'aa'->[aa] x2, 'b'->[b]
+    assert got[2] == (1, 1)
+    # fully merge-less corpus: empty merge table, vocabulary intact
+    single = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    m0 = bpe_merges(single, iters=2, vocab_size=10)
+    assert m0.count() == 0
+    got0 = {r.doc_id: (r.n_words, r.n_subwords)
+            for r in bpe_apply(single, m0, iters=2).collect()}
+    assert got0[1] == (3, 3)
+
+
 def test_interval_union_merges_overlaps_exactly(spark):
     from amundsendatabuilder_spark.operators.asof import interval_union
     rows = [
@@ -2363,11 +2386,16 @@ def test_quality_decile_table_matches_exact_sort_derivation(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = sorted(quality_decile_table(df).collect(), key=lambda r: r.decile)
     assert len(got) == 10
-    # exact sort-based twin computed in python
+    # exact sort-based twin — quantized IDENTICALLY to the operator
+    # (round-half-away, not a truncating cast: a truncated 6959 vs the
+    # operator's 6960 only passes while that rank misses every decile
+    # boundary, so any fixture change could fail spuriously)
     from amundsendatabuilder_spark.functions.text import quality_score
+    from amundsendatabuilder_spark.functions.scalars import round_half_away
     from pyspark.sql import functions as F
     qi = sorted(r.q for r in df.select(
-        (quality_score(F.col("text")) * 10000).cast("long").alias("q")
+        round_half_away(quality_score(F.col("text")) * 10000, 0)
+        .cast("long").alias("q")
     ).collect())
     n = len(qi)
     for r in got:
