@@ -248,6 +248,13 @@ def cdc_apply(snapshot: DataFrame, changelog: DataFrame, *,
     (key)-partitioned rank window resolves everything: keep rn = 1, drop
     rows whose winner is a delete.
 
+    Determinism: a well-formed changelog has at most one payload per
+    (key, seq, op) — that is the CDC producer's contract. This operator
+    does NOT rely on it: a final tiebreak on the JSON-rendered payload
+    makes the winner shuffle-order-independent even when a malformed log
+    carries two different payloads at the same (key, seq, op), so the
+    repo's hash-reproducibility contract holds on any input.
+
     Scale shape: ONE shuffle on the key for union+window — no join, no
     per-key iteration; the payload rides the shuffle once. Skewed hot
     keys (one key updated millions of times) are bounded by AQE skew
@@ -260,8 +267,13 @@ def cdc_apply(snapshot: DataFrame, changelog: DataFrame, *,
         F.col(key_col).alias("k"), F.col(seq_col).cast("long").alias("s"),
         F.col(op_col).alias("o"), *[F.col(c) for c in payload_cols])
     unioned = base.unionByName(log)
-    # o ASC puts 'D' before 'U', so a same-seq delete wins the tie
-    w = Window.partitionBy("k").orderBy(F.col("s").desc(), F.col("o").asc())
+    # o ASC puts 'D' before 'U', so a same-seq delete wins the tie; the
+    # JSON-payload tiebreak makes same-(key,seq,op) duplicates resolve
+    # deterministically (smallest rendering wins) instead of by shuffle
+    # order
+    w = Window.partitionBy("k").orderBy(
+        F.col("s").desc(), F.col("o").asc(),
+        F.to_json(F.struct(*[F.col(c) for c in payload_cols])).asc())
     resolved = (unioned.withColumn("rn", F.row_number().over(w))
                 .where((F.col("rn") == 1) & (F.col("o") == "U")))
     return resolved.select(F.col("k").alias(key_col),

@@ -205,8 +205,13 @@ def numeric_corr_matrix(df: DataFrame, cols: "list[str]",
     ints = {c: F.round(F.col(c) * scale, 0).cast("long") for c in cols}
     # Products multiply DECIMAL(19,0) factors, not LONGs: a long*long
     # product overflows (and wraps silently in non-ANSI mode) once
-    # |value*scale| exceeds ~3.03e9; decimal factors keep the products —
-    # and therefore the sufficient statistics — exact for any long input.
+    # |value*scale| exceeds ~3.03e9; decimal factors keep each PRODUCT
+    # exact for any long input. Domain bound on the SUMS: DECIMAL(38,0)
+    # holds < 10^38, so the accumulated Σx·y stays exact while
+    # n · max|x·scale|² < 10^38 — e.g. 10^12 rows of values up to ~10^13
+    # after scaling. Past that, non-ANSI Spark returns NULL for the sum
+    # (not a wrong number) and the correlation degrades visibly, not
+    # silently wrong.
     decs = {c: ints[c].cast("decimal(19,0)") for c in cols}
     aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
     for c in cols:

@@ -525,7 +525,13 @@ def embedding_covariance(emb: DataFrame, vec_col: str = "embedding",
     products from ONE map-side expression, so the only shuffle carries
     ((i,j), decimal partial) pairs and is map-side combinable. For
     d ≥ ~1k, block the pair fan-out (i-stripes) instead; at d = 64 the
-    2080-row fan-out per vector is the right trade."""
+    2080-row fan-out per vector is the right trade.
+
+    Domain bound (the numeric_corr_matrix one): DECIMAL(38,0) keeps
+    Σqᵢqⱼ exact while n · max|x·scale|² < 10^38 — ample for unit-norm
+    embeddings at scale=10^6 (~10^26 headroom at a trillion rows); past
+    it, non-ANSI Spark yields NULL sums (visible), never a silently
+    wrong number."""
     d = F.size(F.col(vec_col))
     q = F.transform(F.col(vec_col).cast("array<double>"),
                     lambda x: F.floor(x * scale).cast("long"))

@@ -5839,11 +5839,8 @@ UNION SELECT 'golden', tk || '/c2', 1 FROM t3
 UNION SELECT 'pk', tk, 2 FROM t5
 UNION SELECT 'iceberg', tk, 2 FROM t5
 UNION SELECT 'golden', tk, 2 FROM t3
-UNION SELECT 'pk', 'pk', 2 WHERE EXISTS (SELECT 1 FROM t5)
 UNION SELECT 'pk', 'iceberg', 2 WHERE EXISTS (SELECT 1 FROM t5)
 UNION SELECT 'iceberg', 'pk', 2 WHERE EXISTS (SELECT 1 FROM t5)
-UNION SELECT 'iceberg', 'iceberg', 2 WHERE EXISTS (SELECT 1 FROM t5)
-UNION SELECT 'golden', 'golden', 2 WHERE EXISTS (SELECT 1 FROM t3)
 ORDER BY badge, depth, n_key
 """)
 def graph_match_varlen_undirected(spark, sf_dir):
@@ -5853,11 +5850,14 @@ def graph_match_varlen_undirected(spark, sf_dir):
     arbitrary-Cypher Neo4jExtractor, extractor/neo4j_extractor.py:
     79-113): from every badge, one undirected hop reaches its columns
     (HAS_BADGE reversed), two reach their tables (COLUMN reversed) AND
-    the sibling badges sharing a column (HAS_BADGE forward again —
-    pk<->iceberg co-occur on c1). The rel_types filter excludes
-    TABLE/DESCRIPTION edges, so schemas stay unreachable — the oracle
-    enumerates exactly the {columns, tables, co-badges} closure from
-    the construction residues."""
+    the sibling badges sharing a column (HAS_BADGE forward again along
+    a DIFFERENT relationship — pk<->iceberg co-occur on c1). Cypher
+    relationship-uniqueness holds: no badge reaches itself at depth 2,
+    because the only depth-2 route back bounces off the SAME HAS_BADGE
+    edge it arrived on, which Neo4j forbids within a path. The
+    rel_types filter excludes TABLE/DESCRIPTION edges, so schemas stay
+    unreachable — the oracle enumerates exactly the {columns, tables,
+    co-badges} closure from the construction residues."""
     from amundsendatabuilder_spark.sources.graph import match_var_path
     out = _badge_graph(spark, sf_dir)
     vp = match_var_path(out.nodes, out.rels, start_label="Badge",
@@ -7407,22 +7407,27 @@ WITH d AS (SELECT (CAST(round(o_totalprice * 100, 0) AS BIGINT) // 1000)
 tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
 ks AS (SELECT CAST(unnest(generate_series(1, 10)) AS INT) AS bucket),
 needs AS (SELECT bucket, -((-bucket * n) // 10) AS need, n FROM ks, tot),
-regs AS (SELECT qv, count(*) AS c FROM d GROUP BY qv),
-cum AS (SELECT qv, sum(c) OVER (ORDER BY qv) AS cc FROM regs),
-bounds AS (SELECT bucket, n, min(qv) AS cut_value
-           FROM needs JOIN cum ON cc >= need GROUP BY bucket, n)
-SELECT b.bucket, CAST(b.cut_value AS BIGINT) AS cut_value,
-       CAST(c.cc AS BIGINT) AS n_rows_le,
-       CAST(c.cc * 1000000 // b.n AS BIGINT) AS pct_rows_ppm
-FROM bounds b JOIN cum c ON b.cut_value = c.qv
-ORDER BY b.bucket
+ord AS (SELECT qv, row_number() OVER (ORDER BY qv) AS rn FROM d),
+bounds AS (SELECT bucket, n,
+                  (SELECT qv FROM ord WHERE rn = needs.need) AS cut_value
+           FROM needs)
+SELECT bucket, CAST(cut_value AS BIGINT) AS cut_value,
+       (SELECT CAST(count(*) AS BIGINT) FROM d
+        WHERE qv <= b.cut_value) AS n_rows_le,
+       (SELECT CAST(count(*) * 1000000 // b.n AS BIGINT) FROM d
+        WHERE qv <= b.cut_value) AS pct_rows_ppm
+FROM bounds b ORDER BY bucket
 """)
 def equi_depth_boundaries_query(spark, sf_dir):
     """Ungrouped equi-depth boundaries over order value cents, $10
     quanta (profiling.equi_depth_boundaries): the two-pass register
     form that replaces the single-partition ntile window the ungrouped
     equi_depth_histogram call would degenerate to — cumulative counts
-    run over the bounded register table, never the corpus."""
+    run over the bounded register table, never the corpus. The DuckDB
+    twin is genuinely INDEPENDENT: it derives each boundary by SORTING
+    (row_number over the exact quantized order — the value at rank
+    ⌈k·N/n⌉), not by mirroring the register cumulative, so a hash match
+    proves the register derivation equals the exact sort's answer."""
     from amundsendatabuilder_spark.functions.scalars import round_half_away
     from amundsendatabuilder_spark.operators.profiling import (
         equi_depth_boundaries)

@@ -9,6 +9,7 @@ sources are testable offline and the engine has no cloud SDK dependency.
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Callable, Iterable
 from typing import Any
 
@@ -173,20 +174,37 @@ def atlas_search_chain(spark: SparkSession,
        [] (:243-255). Field mapping runs in the same task.
 
     ``schema`` is the DDL for the mapped rows (the reference gets this
-    from the model class; explicit DDL keeps the engine model-free)."""
+    from the model class; explicit DDL keeps the engine model-free).
+
+    Failure visibility (the reference logs-and-continues,
+    :243-255): every skipped page/chunk is WARN-logged with its
+    offset/size — driver log for guid pages, executor log for detail
+    chunks — and a skipped-page summary is logged after the sweep, so a
+    mostly-failed extraction is distinguishable from a small catalog
+    instead of silently looking like one."""
+    log = logging.getLogger(__name__)
     try:
         count = int(entity_count())
     except Exception:
+        log.warning("atlas entity_count failed; extracting nothing",
+                    exc_info=True)
         count = 0
     offsets = ([i * search_chunk_size
                 for i in range(count // search_chunk_size + 1)]
                if count > 0 else [])
     guids: list[str] = []
+    skipped_pages = 0
     for off in offsets:
         try:
             guids.extend(guid_page(off, search_chunk_size))
         except Exception:
-            continue
+            skipped_pages += 1
+            log.warning("atlas guid page at offset %d failed; skipping",
+                        off, exc_info=True)
+    if skipped_pages:
+        log.warning("atlas guid sweep: %d/%d pages failed; continuing "
+                    "with %d guids", skipped_pages, len(offsets),
+                    len(guids))
     chunks = [guids[i:i + details_chunk_size]
               for i in range(0, len(guids), details_chunk_size)]
     if not chunks:
@@ -196,6 +214,9 @@ def atlas_search_chain(spark: SparkSession,
         try:
             entities = entity_details(chunk)
         except Exception:
+            logging.getLogger(__name__).warning(
+                "atlas detail fetch failed for %d-guid chunk; skipping",
+                len(chunk), exc_info=True)
             return []
         fields = [s[0] for s in spec]
         out = []

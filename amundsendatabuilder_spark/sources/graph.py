@@ -158,7 +158,16 @@ def match_var_path(nodes: DataFrame, rels: DataFrame, *,
     "out" (default), "in" (``<-[*..]-``, every hop reversed), or "both"
     (``-[*..]-``, each hop may traverse either way — the edge set is
     symmetrized once up front, so the expansion cost per depth is
-    unchanged).
+    unchanged). For "both", Cypher's relationship-uniqueness is
+    honored at the hop level: the frontier carries the arriving edge's
+    content id and the next hop excludes re-traversing that same edge,
+    so a node never reaches itself at depth 2 by bouncing off one
+    relationship (Neo4j forbids reusing a relationship within a path).
+    Remaining documented divergence: re-using an edge from ≥2 hops
+    earlier in a CYCLIC graph at depth ≥3 is still allowed — full
+    per-path edge-set tracking would turn the bounded
+    (start, endpoint, in-edge) frontier into path enumeration, which
+    is the wrong trade at scale for DISTINCT-endpoint semantics.
 
     Implementation is a frontier expansion: depth d's endpoints are
     depth d-1's endpoints joined once against the (pre-filtered) edge
@@ -190,31 +199,60 @@ def match_var_path(nodes: DataFrame, rels: DataFrame, *,
     if publish_tag is not None:
         edges = edges.where(
             F.col("props").getItem("published_tag") == publish_tag)
+    # Content-hash edge identity (stable under recomputation, shared by
+    # both traversal directions of one physical edge) — carried through
+    # the undirected frontier so a hop can never immediately re-traverse
+    # the edge it arrived on: Cypher's relationship-uniqueness is what
+    # stops (b)-[e]-(c)-[e]-(b) from reaching b "at depth 2" via the
+    # same relationship. Parallel same-type edges between the same
+    # endpoints collapse to one id (the symmetrized .distinct() already
+    # collapses them); remaining divergence from full Cypher uniqueness:
+    # a non-IMMEDIATE re-use of an edge ≥2 hops back in a cyclic graph
+    # is still allowed here (tracking the whole edge set per path would
+    # turn bounded frontier state into path enumeration).
+    eid = F.xxhash64("START_KEY", "START_LABEL", "END_KEY", "END_LABEL",
+                     "TYPE")
     fwd = edges.select(F.col("START_KEY").alias("_src"),
                        F.col("START_LABEL").alias("_src_l"),
                        F.col("END_KEY").alias("_dst"),
-                       F.col("END_LABEL").alias("_dst_l"))
+                       F.col("END_LABEL").alias("_dst_l"),
+                       eid.alias("_eid"))
     rev = edges.select(F.col("END_KEY").alias("_src"),
                        F.col("END_LABEL").alias("_src_l"),
                        F.col("START_KEY").alias("_dst"),
-                       F.col("START_LABEL").alias("_dst_l"))
+                       F.col("START_LABEL").alias("_dst_l"),
+                       eid.alias("_eid"))
     edges = (fwd if direction == "out" else rev if direction == "in"
              else fwd.unionByName(rev).distinct())
+    track_eid = direction == "both"
     frontier = nodes.where(F.col("LABEL") == start_label).select(
         F.col("KEY").alias("n0_key"),
         F.col("KEY").alias("_cur"),
-        F.col("LABEL").alias("_cur_l"))
+        F.col("LABEL").alias("_cur_l"),
+        F.lit(None).cast("long").alias("_in_eid"))
     levels = []
     for depth in range(1, max_hops + 1):
-        frontier = (frontier.join(
-            edges, (frontier["_cur"] == edges["_src"])
-            & (frontier["_cur_l"] == edges["_src_l"]))
-            .select("n0_key", F.col("_dst").alias("_cur"),
-                    F.col("_dst_l").alias("_cur_l"))
-            .distinct()
-            .localCheckpoint())
+        cond = ((frontier["_cur"] == edges["_src"])
+                & (frontier["_cur_l"] == edges["_src_l"]))
+        if track_eid:
+            # exclude the arriving edge; null _in_eid (depth 0) excludes
+            # nothing
+            cond = cond & (frontier["_in_eid"].isNull()
+                           | (frontier["_in_eid"] != edges["_eid"]))
+        frontier = (frontier.join(edges, cond)
+                    .select("n0_key", F.col("_dst").alias("_cur"),
+                            F.col("_dst_l").alias("_cur_l"),
+                            (edges["_eid"] if track_eid
+                             else F.lit(None).cast("long")).alias("_in_eid"))
+                    .distinct()
+                    .localCheckpoint())
         if depth >= min_hops:
-            levels.append(frontier.withColumn("depth", F.lit(depth)))
+            lv = frontier.select("n0_key", "_cur", "_cur_l")
+            if track_eid:
+                # frontier rows are distinct per (endpoint, arriving
+                # edge); collapse to Cypher's DISTINCT endpoints
+                lv = lv.distinct()
+            levels.append(lv.withColumn("depth", F.lit(depth)))
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)

@@ -122,7 +122,9 @@ def test_match_var_path_undirected_and_type_alternation(tables_df):
     """-[:COLUMN|HAS_BADGE*1..2]- from a badge: 1 hop reaches its
     column (HAS_BADGE reversed), 2 hops its table (COLUMN reversed) and
     co-located badges; TABLE/DESCRIPTION edges are excluded by the type
-    alternation, so nothing deeper leaks in."""
+    alternation, so nothing deeper leaks in. Cypher relationship-
+    uniqueness: the badge does NOT reach itself at depth 2, because the
+    only route back re-traverses the HAS_BADGE edge it arrived on."""
     from amundsendatabuilder_spark.models.table_metadata import expand_tables
     from amundsendatabuilder_spark.sources.graph import match_var_path
     out = expand_tables(tables_df)
@@ -131,11 +133,11 @@ def test_match_var_path_undirected_and_type_alternation(tables_df):
                         direction="both", min_hops=1, max_hops=2)
     rows = {(r.n0_key, r.n_key, r.depth) for r in vp.collect()}
     # 'pk' badge sits on table1/col2 (fixture): column at depth 1,
-    # its table + itself (back along HAS_BADGE) at depth 2
+    # its table at depth 2 — NOT itself (same-edge backtrack forbidden)
     col2 = "hive://gold.test_schema/test_table1/col2"
     assert ("pk", col2, 1) in rows
     assert ("pk", "hive://gold.test_schema/test_table1", 2) in rows
-    assert ("pk", "pk", 2) in rows
+    assert ("pk", "pk", 2) not in rows
     # no schema nodes: TABLE edges are outside the alternation
     keys = {k for _, k, _ in rows}
     assert "hive://gold.test_schema" not in keys

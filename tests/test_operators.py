@@ -2274,7 +2274,19 @@ def test_cdc_apply_matches_dict_replay_property(spark):
     assert got == state
 
 
-def test_histogram_quantile_bounded_error_and_mergeable(spark):
+def test_cdc_apply_duplicate_same_seq_payload_is_deterministic(spark):
+    from amundsendatabuilder_spark.operators.asof import cdc_apply
+    # malformed log: two 'U' rows at the same (key, seq) with different
+    # payloads — the JSON-payload tiebreak must pick the same winner
+    # (lexicographically smallest rendering) regardless of row order
+    snap = spark.createDataFrame([(1, "base")], "k long, val string")
+    for rows in ([(1, 5, "U", "zz"), (1, 5, "U", "aa")],
+                 [(1, 5, "U", "aa"), (1, 5, "U", "zz")]):
+        log = spark.createDataFrame(
+            rows, "k long, seq long, op string, val string")
+        got = cdc_apply(snap, log, key_col="k",
+                        payload_cols=["val"]).collect()
+        assert [(r.k, r.val) for r in got] == [(1, "aa")]
     from pyspark.sql import functions as F
     from amundsendatabuilder_spark.operators.sketches import (
         histogram_quantile, histogram_registers)
