@@ -332,6 +332,11 @@ def bpe_merges(docs: DataFrame, iters: int = 3, vocab_size: int = 200,
     loop itself runs on the vocab_size-row word table — executor-local
     work after one broadcast per iteration. localCheckpoint per iteration
     truncates the growing lineage (the kmeans/pagerank pattern).
+
+    This strict one-merge-per-job form is the VERIFICATION oracle and
+    the small-iters path; a production 30k-merge vocabulary runs
+    ``bpe_merges_batched`` (O(n_merges/batch) jobs, property-tested
+    equal to its pure-Python twin, batch=1 ≡ this function).
     """
     tok = docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
     wf = (tok.groupBy("tok").agg(F.count("*").alias("freq"))
@@ -382,6 +387,113 @@ def bpe_merges(docs: DataFrame, iters: int = 3, vocab_size: int = 200,
     # iteration (the SQL twin's LIMIT 1 over an empty count set likewise
     # yields no row)
     return out.where(F.col("pair_count").isNotNull())
+
+
+def bpe_merges_batched(docs: DataFrame, n_merges: int = 1000,
+                       batch: int = 64, vocab_size: int = 200,
+                       text_col: str = "text") -> DataFrame:
+    """Batched BPE training — the production-vocabulary form of
+    ``bpe_merges``: instead of one Spark job per merge (30k jobs for a
+    30k-merge vocabulary — the driver-loop scale killer the sequential
+    form documents), each sweep selects up to ``batch`` NON-INTERACTING
+    top pairs and applies them in one fold pass, so the job count is
+    O(n_merges / batch) (~2 jobs per sweep: the kept-pair count and the
+    checkpointed fold), e.g. ~500 sweeps for a 30k vocabulary at
+    batch=64 instead of 30k sequential jobs.
+
+    Batch selection rule (deterministic, DataFrame-algebraic): rank the
+    weighted pair counts by (count DESC, a DESC, b DESC) — the same
+    largest-(cnt,a,b) tie-break as ``bpe_merges`` — take the top
+    ``batch`` candidates, and drop any candidate that INTERACTS with a
+    higher-ranked candidate: shares a symbol with it, or one's symbol
+    equals the other's concatenation (the ``(a,a)→aa`` vs ``(aa,b)``
+    trap — those two merges do not commute). Surviving pairs are
+    pairwise independent, so applying them in ONE left-to-right greedy
+    fold equals applying them sequentially in rank order — the
+    property the pure-Python twin test pins. Batched selection is the
+    standard fast-BPE-trainer approximation of strict
+    one-at-a-time greedy (pair counts shift slightly between batch
+    boundaries vs the sequential schedule); batch=1 reproduces
+    ``bpe_merges`` exactly.
+
+    Returns (it, sym_a, sym_b, pair_count) in application order, it
+    consecutive from 1. Stops early when a sweep finds no pair
+    (converged). Per-sweep state is the ≤vocab_size-row word table,
+    localCheckpointed (the kmeans/pagerank pattern); only step 0's
+    word-frequency count ever sees the corpus.
+    """
+    tok = docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
+    wf = (tok.groupBy("tok").agg(F.count("*").alias("freq"))
+          .orderBy(F.col("freq").desc(), F.col("tok")).limit(vocab_size))
+    words = wf.select(
+        "tok", "freq",
+        F.filter(F.split(F.col("tok"), ""), lambda t: t != "")
+        .alias("syms")).localCheckpoint()
+    # greedy fold with SET membership: at a boundary at most one kept
+    # pair matches exactly (pairs are distinct), and independence makes
+    # the single pass equal to sequential application
+    batch_fold = (
+        "aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, x) -> "
+        "IF(size(acc) > 0 AND exists(ms, p -> "
+        "p.a = element_at(acc, -1) AND p.b = x), "
+        "concat(slice(acc, 1, size(acc) - 1), "
+        "array(concat(element_at(acc, -1), x))), "
+        "concat(acc, array(x))))")
+    merge_rows = []
+    done = 0
+    while done < n_merges:
+        k = min(batch, n_merges - done)
+        pairs_df = (words.where(F.size("syms") >= 2)
+                    .select("freq", F.explode(F.expr(
+                        "transform(sequence(0, size(syms)-2), "
+                        "i -> struct(syms[i] AS a, syms[i+1] AS b))"))
+                        .alias("p")))
+        counts = (pairs_df.groupBy(F.col("p.a").alias("a"),
+                                   F.col("p.b").alias("b"))
+                  .agg(F.sum("freq").alias("cnt")))
+        # distributed top-k first (TakeOrderedAndProject), THEN the rank
+        # window over only k rows — never a global window over the full
+        # pair table (the vocab_topk discipline)
+        top = counts.orderBy(F.col("cnt").desc(), F.col("a").desc(),
+                             F.col("b").desc()).limit(k)
+        cand = top.withColumn("rk", F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), F.col("a").desc(),
+                           F.col("b").desc())))
+        x, y = cand.alias("x"), cand.alias("y")
+        interacts = (
+            (F.col("y.rk") < F.col("x.rk"))
+            & ((F.col("x.a") == F.col("y.a")) | (F.col("x.a") == F.col("y.b"))
+               | (F.col("x.b") == F.col("y.a")) | (F.col("x.b") == F.col("y.b"))
+               | (F.col("x.a") == F.concat(F.col("y.a"), F.col("y.b")))
+               | (F.col("x.b") == F.concat(F.col("y.a"), F.col("y.b")))
+               | (F.col("y.a") == F.concat(F.col("x.a"), F.col("x.b")))
+               | (F.col("y.b") == F.concat(F.col("x.a"), F.col("x.b")))))
+        kept = (x.join(y, interacts, "left_anti")
+                .select(F.col("rk"), F.col("a"), F.col("b"),
+                        F.col("cnt").cast("long").alias("cnt"))
+                .localCheckpoint())
+        n_kept = kept.count()
+        if n_kept == 0:
+            break  # converged: no adjacent pair remains
+        merge_rows.append(kept.select(
+            (F.lit(done) + F.row_number().over(Window.orderBy("rk")))
+            .cast("int").alias("it"),
+            F.col("a").alias("sym_a"), F.col("b").alias("sym_b"),
+            F.col("cnt").alias("pair_count")))
+        ms_row = kept.agg(F.sort_array(F.collect_list(
+            F.struct("rk", "a", "b"))).alias("ms"))
+        words = (words.crossJoin(F.broadcast(ms_row))
+                 .select("tok", "freq",
+                         F.expr(batch_fold).alias("syms"))
+                 .localCheckpoint())
+        done += n_kept
+    if not merge_rows:
+        schema = "it int, sym_a string, sym_b string, pair_count long"
+        return docs.sparkSession.createDataFrame([], schema)
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out
 
 
 def length_stats(docs: DataFrame, strata_col: str = "lang",

@@ -200,28 +200,38 @@ def main() -> None:
     for name in HEADLINE + EXTENDED:
         timings[name] = bench(name)
 
+    for line in summary_lines(timings, sf_dir, n_runs):
+        print(line)
+
+
+def summary_lines(timings: "dict[str, float]", sf_dir: str,
+                  n_runs: int) -> "list[str]":
+    """The machine-readable stdout contract, pinned by
+    tests/test_bench_format.py: per-query detail first, compact headline
+    LAST. The driver reads the tail of stdout, and round 6 proved the
+    detail dict (68+ entries) can outgrow that window and truncate the
+    headline mid-line — so the final line must be the short summary with
+    metric/value/unit/sf, parseable on its own."""
     total = round(sum(timings[q] for q in HEADLINE), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    # Per-query detail first; compact headline LAST. The driver reads the
-    # tail of stdout, and round 6 proved the detail dict (68 entries) can
-    # outgrow that window and truncate the headline mid-line — so the
-    # machine-readable summary must be the final, short line.
-    print(json.dumps({
-        "metric": "headline_suite_seconds_detail",
-        "queries": timings,
-        "sf": sf_val,
-    }))
-    print(json.dumps({
-        "metric": "headline_suite_seconds",
-        "value": total,
-        "unit": "sec",
-        "n": n_runs,
-        "n_queries": len(HEADLINE),
-        "extended_total": round(sum(timings[q] for q in EXTENDED), 3),
-        "n_extended": len(EXTENDED),
-        "sf": sf_val,
-    }))
+    return [
+        json.dumps({
+            "metric": "headline_suite_seconds_detail",
+            "queries": timings,
+            "sf": sf_val,
+        }),
+        json.dumps({
+            "metric": "headline_suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "n": n_runs,
+            "n_queries": len(HEADLINE),
+            "extended_total": round(sum(timings[q] for q in EXTENDED), 3),
+            "n_extended": len(EXTENDED),
+            "sf": sf_val,
+        }),
+    ]
 
 
 if __name__ == "__main__":

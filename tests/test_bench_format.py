@@ -1,0 +1,44 @@
+"""Pins bench.py's machine-readable stdout contract (the driver parses
+the LAST stdout line as the headline JSON record — r7/r8 verdict item:
+a silent format drift would null the driver's `parsed` field and drop
+the round's benchmark evidence without any visible failure)."""
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import bench  # noqa: E402
+
+
+def _fake_timings():
+    return {q: 0.1 for q in bench.HEADLINE + bench.EXTENDED}
+
+
+def test_headline_is_last_line_and_parses_standalone():
+    lines = bench.summary_lines(_fake_timings(), "/root/testdata/sf0.1", 3)
+    assert len(lines) == 2
+    head = json.loads(lines[-1])  # the driver's tail-of-stdout read
+    assert head["metric"] == "headline_suite_seconds"
+    assert isinstance(head["value"], (int, float))
+    assert head["unit"] == "sec"
+    assert head["sf"] == 0.1
+    assert head["n_queries"] == len(bench.HEADLINE)
+    # the headline must never outgrow a tail-read window: it carries no
+    # per-query dict (that is the first line's job)
+    assert "queries" not in head
+    assert len(lines[-1]) < 500
+
+
+def test_detail_line_carries_every_query():
+    lines = bench.summary_lines(_fake_timings(), "/root/testdata/sf0.01", 1)
+    detail = json.loads(lines[0])
+    assert detail["metric"] == "headline_suite_seconds_detail"
+    assert set(detail["queries"]) == set(bench.HEADLINE + bench.EXTENDED)
+    assert detail["sf"] == 0.01
+
+
+def test_each_line_is_single_line_json():
+    for line in bench.summary_lines(_fake_timings(), "/root/testdata/sf1", 3):
+        assert "\n" not in line
+        json.loads(line)  # must round-trip

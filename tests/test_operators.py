@@ -2214,6 +2214,107 @@ def test_bpe_apply_counts_subwords_with_learned_merges(spark):
     assert got[2] == (1, 2)
 
 
+def _py_bpe_batched(word_freqs, n_merges, batch):
+    """Pure-Python twin of bpe_merges_batched: identical candidate
+    ranking (cnt desc, then (a, b) descending), identical interaction
+    exclusion vs ALL higher-ranked candidates, identical one-pass
+    set-fold application."""
+    words = {w: [c for c in w] for w in word_freqs}
+    merges = []
+    while len(merges) < n_merges:
+        counts = {}
+        for w, f in word_freqs.items():
+            s = words[w]
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        k = min(batch, n_merges - len(merges))
+        cand = sorted(counts.items(),
+                      key=lambda kv: (kv[1], kv[0]), reverse=True)[:k]
+        kept = []
+        for i, ((a, b), cnt) in enumerate(cand):
+            hit = False
+            for (a2, b2), _ in cand[:i]:
+                if ({a, b} & {a2, b2} or a == a2 + b2 or b == a2 + b2
+                        or a2 == a + b or b2 == a + b):
+                    hit = True
+                    break
+            if not hit:
+                kept.append((a, b, cnt))
+        if not kept:
+            break
+        mset = {(a, b) for a, b, _ in kept}
+        for w in words:
+            out = []
+            for x in words[w]:
+                if out and (out[-1], x) in mset:
+                    out[-1] = out[-1] + x
+                else:
+                    out.append(x)
+            words[w] = out
+        merges.extend(kept)
+    return merges
+
+
+def test_bpe_merges_batched_matches_python_twin(spark):
+    import random
+    from amundsendatabuilder_spark.operators.textops import (
+        bpe_merges_batched)
+    rng = random.Random(11)
+    for trial in range(3):
+        vocab = ["".join(rng.choice("abcd") for _ in range(rng.randrange(2, 9)))
+                 for _ in range(12)]
+        text = " ".join(rng.choice(vocab) for _ in range(60))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        freqs = {}
+        for w in text.split():
+            freqs[w] = freqs.get(w, 0) + 1
+        want = _py_bpe_batched(freqs, n_merges=12, batch=4)
+        got = [(r.sym_a, r.sym_b, r.pair_count)
+               for r in bpe_merges_batched(df, n_merges=12, batch=4,
+                                           vocab_size=50)
+               .orderBy("it").collect()]
+        assert got == want, f"trial {trial}"
+
+
+def test_bpe_merges_batched_batch1_equals_sequential(spark):
+    from amundsendatabuilder_spark.operators.textops import (
+        bpe_merges, bpe_merges_batched)
+    df = spark.createDataFrame([(1, "abab abab ab cdcd cd"), (2, "ba dc")],
+                               "doc_id long, text string")
+    seq = [(r.it, r.sym_a, r.sym_b, r.pair_count)
+           for r in bpe_merges(df, iters=4, vocab_size=20)
+           .orderBy("it").collect()]
+    bat = [(r.it, r.sym_a, r.sym_b, r.pair_count)
+           for r in bpe_merges_batched(df, n_merges=4, batch=1,
+                                       vocab_size=20)
+           .orderBy("it").collect()]
+    assert bat == seq
+
+
+def test_bpe_merges_batched_thousand_merges_bounded_sweeps(spark):
+    import random
+    from amundsendatabuilder_spark.operators.textops import (
+        bpe_merges_batched)
+    # production-vocab shape: ~1.3k learnable merges in a handful of
+    # sweeps (job count O(n/batch), NOT one job per merge — the
+    # sequential form would need >1000 driver-loop jobs here)
+    rng = random.Random(3)
+    vocab = ["".join(rng.choice("abcdefghijklmnop") for _ in range(40))
+             for _ in range(48)]
+    text = " ".join(vocab)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = (bpe_merges_batched(df, n_merges=1200, batch=128, vocab_size=64)
+           .orderBy("it").collect())
+    freqs = {w: 1 for w in vocab}
+    want = _py_bpe_batched(freqs, n_merges=1200, batch=128)
+    assert [(r.sym_a, r.sym_b, r.pair_count) for r in got] == want
+    assert len(got) >= 1000
+    assert [r.it for r in got] == list(range(1, len(got) + 1))
+
+
 def test_bpe_apply_survives_absent_merge_iterations(spark):
     from amundsendatabuilder_spark.operators.textops import (
         bpe_apply, bpe_merges)
