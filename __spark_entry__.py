@@ -55,7 +55,9 @@ _PRIORITY = [
     "pivot_status_by_priority",
     "graph_pagerank", "interval_overlap_join", "markov_transitions_ppm",
     "session_bounce_rate", "sessionize_batch",
-    # --- beyond the 50-slot window: next-oldest continue the rotation ---
+    # --- beyond the 50-slot window: round-9 additions queue here with
+    # local-gate + unit-test evidence, then next-oldest continue ---
+    "equi_depth_boundaries_grouped", "dedup_incremental_lsh",
     "multimodal_resize",
     "decayed_popularity", "numeric_corr_matrix", "kmeans_centroids",
     "lineage_asof_diff",

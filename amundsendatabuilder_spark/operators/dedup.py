@@ -231,6 +231,47 @@ def lsh_dropped_buckets(docs: DataFrame, id_col: str = "doc_id",
             .where(F.col("bucket_size") > max_bucket_size))
 
 
+def minhash_lsh_incremental(new_docs: DataFrame, corpus: DataFrame,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            num_hashes: int = 16, bands: int = 4,
+                            shingle_size: int = 3,
+                            max_bucket_size: int = 1000) -> DataFrame:
+    """Batch-vs-corpus LSH near-dup candidates — the daily-increment
+    production pattern: pair each NEW document against the existing
+    corpus only. At 100 TB you never re-pair corpus×corpus for an
+    arriving batch (that cost was already paid when those docs arrived);
+    the increment needs exactly the new×corpus cross-band matches, and
+    new×new pairs belong to the batch's own ``minhash_lsh_pairs`` run.
+
+    Same signature pipeline as ``minhash_lsh_pairs`` (word-shingle →
+    minhash → banding; signatures are per-doc pure, so signing the split
+    inputs equals signing the union). The join keys on (band, band_sig):
+    only (doc_id, band_sig) sketch rows shuffle — text never moves — and
+    the batch side is typically small enough that AQE broadcasts it.
+    ``max_bucket_size`` guards the CORPUS side per band bucket (a 10M-doc
+    boilerplate bucket would fan every matching new doc into 10M pairs);
+    dropped buckets are auditable with ``lsh_dropped_buckets`` on the
+    corpus, the usual no-silent-caps escape hatch.
+
+    Returns DISTINCT (new_id, corpus_id).
+    """
+    from pyspark.sql import Window
+    sig_new = minhash_signatures(new_docs, id_col, text_col, num_hashes,
+                                 shingle_size)
+    sig_cor = minhash_signatures(corpus, id_col, text_col, num_hashes,
+                                 shingle_size)
+    bn = (band_sig_rows(sig_new, num_hashes, bands)
+          .select(F.col("doc_id").alias("new_id"), "band", "band_sig"))
+    w = Window.partitionBy("band", "band_sig")
+    bc = (band_sig_rows(sig_cor, num_hashes, bands)
+          .withColumn("_sz", F.count("*").over(w))
+          .where(F.col("_sz") <= max_bucket_size)
+          .select(F.col("doc_id").alias("corpus_id"), "band", "band_sig"))
+    return (bn.join(bc, ["band", "band_sig"])
+            .select("new_id", "corpus_id")
+            .distinct())
+
+
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", bits: int = 16) -> DataFrame:
     """(doc_id, simhash) — Charikar SimHash over whitespace tokens.

@@ -330,6 +330,60 @@ def equi_depth_boundaries(df: DataFrame, value_col: str,
                     .alias("pct_rows_ppm")))
 
 
+def equi_depth_boundaries_grouped(df: DataFrame, value_col: str,
+                                  group_cols: "tuple[str, ...]",
+                                  n_buckets: int = 10,
+                                  width: int = 1) -> DataFrame:
+    """Per-group equi-depth boundary table from registers — the grouped
+    twin of ``equi_depth_boundaries`` and the scale path the
+    ``equi_depth_histogram`` docstring promises for extreme per-group
+    cardinality: where the exact-ntile form sorts every group's rows
+    inside one window partition, this derives each group's boundaries
+    from its bounded per-quantum register table, so a single giant group
+    (the skew case) costs a register aggregation instead of a
+    full-partition sort.
+
+    Same contract as the ungrouped form: boundary k = smallest quantum
+    whose cumulative register count reaches ⌈k·N_g/n_buckets⌉ —
+    identical to the value at that rank of the group's exact sorted
+    order at width=1, conservative to one quantum otherwise; values
+    must be non-negative when ``width`` > 1 (DIV truncation vs ``//``
+    floor); ``width`` must bound each group's register domain.
+
+    Output: (group..., bucket, cut_value, n_rows_le, pct_rows_ppm).
+    Every shuffle keys on the group columns (register agg, cumulative
+    window over registers, probe join), so groups compute in parallel
+    and AQE can split a skewed group's register aggregation.
+    """
+    from pyspark.sql import Window
+    gcols = [F.col(c) for c in group_cols]
+    base = df.select(*gcols, F.expr(
+        f"(CAST({value_col} AS BIGINT) DIV {width}) * {width}").alias("qv"))
+    regs = base.groupBy(*group_cols, "qv").agg(
+        F.count(F.lit(1)).alias("c"))
+    wq = (Window.partitionBy(*group_cols).orderBy("qv")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    cum = regs.select(*group_cols, "qv", F.sum("c").over(wq).alias("cc"))
+    totals = regs.groupBy(*group_cols).agg(F.sum("c").alias("n"))
+    ks = (totals.select(
+        *group_cols, "n",
+        F.explode(F.sequence(F.lit(1), F.lit(n_buckets))).alias("bucket"))
+        .withColumn("need", F.expr(
+            f"CAST(-((-bucket * n) DIV {n_buckets}) AS BIGINT)")))
+    probe = (cum.join(ks, list(group_cols))
+             .where(F.col("cc") >= F.col("need"))
+             .groupBy(*group_cols, "bucket", "n")
+             .agg(F.min("qv").alias("cut_value")))
+    return (probe.join(cum.withColumnRenamed("qv", "cut_value"),
+                       [*group_cols, "cut_value"])
+            .select(*group_cols,
+                    F.col("bucket").cast("int").alias("bucket"),
+                    F.col("cut_value").cast("long").alias("cut_value"),
+                    F.col("cc").cast("long").alias("n_rows_le"),
+                    F.expr("cc * 1000000 DIV n").cast("long")
+                    .alias("pct_rows_ppm")))
+
+
 def mad_outliers(df: DataFrame, value_col: str, group_col: str,
                  order_col: str, k_times_10: int = 30) -> DataFrame:
     """Robust per-group outlier profile via median / MAD (median absolute

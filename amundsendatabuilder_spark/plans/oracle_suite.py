@@ -796,6 +796,31 @@ def dedup_minhash_lsh(spark, sf_dir):
                                    shingle_size=3)
 
 
+@query("dedup_incremental_lsh", f"""
+WITH {_minhash_bands_cte(16, 4)}
+SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_sig = b.band_sig
+WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+""")
+def dedup_incremental_lsh(spark, sf_dir):
+    """Batch-vs-corpus LSH (dedup.minhash_lsh_incremental): every 10th
+    document plays the arriving daily batch, the rest the standing
+    corpus; candidates pair new×corpus only — never corpus×corpus (paid
+    when those docs arrived) or new×new (the batch's own pairs run).
+    Signatures are per-doc pure, so the twin bands the WHOLE table once
+    and splits by the same residue predicate — a hash match proves the
+    split-signature pipeline equals banding the union. The corpus-side
+    max_bucket_size guard is engaged but provably a no-op on this
+    fixture (max band bucket ≪ 1000), mirroring dedup_minhash_lsh."""
+    from amundsendatabuilder_spark.operators import dedup
+    (docs,) = _t(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    return dedup.minhash_lsh_incremental(new, corpus, num_hashes=16,
+                                         bands=4, shingle_size=3)
+
+
 _SIMHASH_SIG_SQL = r"""tok AS (SELECT doc_id,
                     unnest(""" + _TOKS_SQL + r""") AS tok
              FROM documents),
@@ -7437,3 +7462,56 @@ def equi_depth_boundaries_query(spark, sf_dir):
         .alias("cents"))
     return (equi_depth_boundaries(cents, "cents", n_buckets=10, width=1000)
             .orderBy("bucket"))
+
+
+@query("equi_depth_boundaries_grouped", """
+WITH d AS (SELECT o_orderpriority,
+                  (CAST(round(o_totalprice * 100, 0) AS BIGINT) // 1000)
+                  * 1000 AS qv
+           FROM orders),
+tot AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        FROM d GROUP BY 1),
+ks AS (SELECT o_orderpriority, n,
+              CAST(unnest(generate_series(1, 10)) AS INT) AS bucket
+       FROM tot),
+needs AS (SELECT o_orderpriority, bucket, n,
+                 -((-bucket * n) // 10) AS need FROM ks),
+ord AS (SELECT o_orderpriority, qv,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY qv) AS rn
+        FROM d),
+bounds AS (SELECT needs.o_orderpriority, bucket, n,
+                  (SELECT qv FROM ord
+                   WHERE ord.o_orderpriority = needs.o_orderpriority
+                     AND rn = needs.need) AS cut_value
+           FROM needs)
+SELECT b.o_orderpriority, b.bucket,
+       CAST(b.cut_value AS BIGINT) AS cut_value,
+       (SELECT CAST(count(*) AS BIGINT) FROM d
+        WHERE d.o_orderpriority = b.o_orderpriority
+          AND qv <= b.cut_value) AS n_rows_le,
+       (SELECT CAST(count(*) * 1000000 // b.n AS BIGINT) FROM d
+        WHERE d.o_orderpriority = b.o_orderpriority
+          AND qv <= b.cut_value) AS pct_rows_ppm
+FROM bounds b ORDER BY b.o_orderpriority, b.bucket
+""")
+def equi_depth_boundaries_grouped_query(spark, sf_dir):
+    """Per-priority equi-depth boundaries of order value ($10 quanta,
+    profiling.equi_depth_boundaries_grouped): each group's decile cuts
+    derived from its bounded per-quantum registers — the skew-safe
+    grouped path where exact-ntile would sort a giant group inside one
+    window partition. The DuckDB twin derives every group's cuts
+    independently by SORTING (row_number per group), so a hash match
+    proves the grouped register derivation equals the exact per-group
+    sorted ranks."""
+    from amundsendatabuilder_spark.functions.scalars import round_half_away
+    from amundsendatabuilder_spark.operators.profiling import (
+        equi_depth_boundaries_grouped)
+    (orders,) = _t(spark, sf_dir, "orders")
+    cents = orders.select(
+        "o_orderpriority",
+        round_half_away(F.col("o_totalprice") * 100, 0).cast("long")
+        .alias("cents"))
+    return (equi_depth_boundaries_grouped(
+        cents, "cents", ("o_orderpriority",), n_buckets=10, width=1000)
+        .orderBy("o_orderpriority", "bucket"))

@@ -153,6 +153,8 @@ EXTENDED = [
     "q12_shipmode_priority",
     "quality_decile_table",
     "equi_depth_boundaries",
+    "equi_depth_boundaries_grouped",
+    "dedup_incremental_lsh",
 ]
 
 

@@ -2375,6 +2375,32 @@ def test_cdc_apply_matches_dict_replay_property(spark):
     assert got == state
 
 
+def test_minhash_lsh_incremental_pairs_new_vs_corpus_only(spark):
+    from amundsendatabuilder_spark.operators.dedup import (
+        minhash_lsh_incremental, minhash_lsh_pairs)
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(1, dup), (2, "completely different corpus text body here"),
+         (3, "completely different corpus text body here")],  # corpus dup
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(100, dup), (101, "a fresh unique document unlike the others")],
+        "doc_id long, text string")
+    got = {(r.new_id, r.corpus_id)
+           for r in minhash_lsh_incremental(new, corpus).collect()}
+    assert (100, 1) in got            # new dup of a corpus doc
+    assert all(n in (100, 101) for n, _ in got)   # left side always new
+    assert all(c in (1, 2, 3) for _, c in got)    # right side always corpus
+    assert (2, 3) not in got and (3, 2) not in got  # corpus x corpus absent
+    # consistency with the full self-join run over the union: the
+    # incremental set equals the union run's cross pairs
+    full = {(min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b))
+            for r in minhash_lsh_pairs(corpus.unionByName(new)).collect()}
+    cross = {(min(n, c), max(n, c)) for n, c in got}
+    assert cross == {(a, b) for a, b in full
+                     if (a >= 100) != (b >= 100)}
+
+
 def test_cdc_apply_duplicate_same_seq_payload_is_deterministic(spark):
     from amundsendatabuilder_spark.operators.asof import cdc_apply
     # malformed log: two 'U' rows at the same (key, seq) with different
@@ -2544,3 +2570,24 @@ def test_equi_depth_boundaries_matches_sorted_ranks(spark):
         assert r.cut_value % 100 == 0
         assert r.n_rows_le == sum(1 for v in s if (v // 100) * 100
                                   <= r.cut_value)
+
+
+def test_equi_depth_boundaries_grouped_matches_per_group_sort(spark):
+    from amundsendatabuilder_spark.operators.profiling import (
+        equi_depth_boundaries_grouped)
+    # two groups with different sizes and distributions (one skewed)
+    rows = ([("a", i * i) for i in range(30)]
+            + [("b", 1000 + (i % 7)) for i in range(50)])
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {(r.g, r.bucket): r for r in equi_depth_boundaries_grouped(
+        df, "v", ("g",), n_buckets=5).collect()}
+    assert len(got) == 10
+    by_g = {"a": sorted(v for g, v in rows if g == "a"),
+            "b": sorted(v for g, v in rows if g == "b")}
+    for (g, k), r in got.items():
+        s = by_g[g]
+        need = -((-k * len(s)) // 5)
+        assert r.cut_value == s[need - 1], (g, k)
+        assert r.n_rows_le == sum(1 for v in s if v <= r.cut_value)
+    assert got[("a", 5)].pct_rows_ppm == 1000000
+    assert got[("b", 5)].pct_rows_ppm == 1000000

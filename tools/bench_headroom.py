@@ -103,6 +103,9 @@ SUITE = [
     "quality_decile_profile", "event_seasonality_heatmap",
     "q4_order_priority", "q6_forecast_revenue", "q12_shipmode_priority",
     "quality_decile_table", "equi_depth_boundaries",
+    # round-9 additions
+    "equi_depth_boundaries_grouped",
+    "dedup_incremental_lsh",
 ]
 
 

@@ -3,10 +3,15 @@ entry on Spark and its oracle_sql() twin on DuckDB over the same parquet,
 compares row count, column names, and exact canonicalized values.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
+
+Set SPARK_GRAFT_GATE_JSON=<path> to also write a machine-readable record
+(per-query pass/fail + row counts + elapsed) — the committed local-gate
+evidence the round reviews ask for (CORRECTNESS_LOCAL_r{N}.json).
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 import traceback
@@ -109,6 +114,7 @@ def main():
     qs, oracles = queries(), oracle_sql()
     names = [n for n in qs if not ONLY or n in ONLY]
     failures = []
+    record: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
         try:
@@ -119,10 +125,13 @@ def main():
         except Exception:
             print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
             failures.append(name)
+            record[name] = {"status": "fail", "err": "spark error"}
             continue
         if name not in oracles:
             print(f"ok?  {name}: rows-only (no oracle) rows={len(srows)} "
                   f"[{time.time()-t0:.1f}s]")
+            record[name] = {"status": "rows_only", "rows": len(srows),
+                            "sec": round(time.time() - t0, 2)}
             continue
         try:
             rel = con.sql(oracles[name])
@@ -132,6 +141,7 @@ def main():
         except Exception:
             print(f"FAIL {name}: duckdb error\n{traceback.format_exc()}")
             failures.append(name)
+            record[name] = {"status": "fail", "err": "duckdb error"}
             continue
         problems = []
         if sorted(scols) != sorted(dcols):
@@ -150,10 +160,23 @@ def main():
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             failures.append(name)
+            record[name] = {"status": "fail",
+                            "problems": problems[:3],
+                            "rows": len(srows)}
         else:
             print(f"PASS {name}: rows={len(srows)} [{time.time()-t0:.1f}s]")
+            record[name] = {"status": "pass", "rows": len(srows),
+                            "sec": round(time.time() - t0, 2)}
     print(f"\n{len(names)-len(failures)}/{len(names)} passed"
           + (f"; FAILED: {failures}" if failures else ""))
+    gate_json = os.environ.get("SPARK_GRAFT_GATE_JSON")
+    if gate_json:
+        import json
+        with open(gate_json, "w") as f:
+            json.dump({"sf_dir": SF_DIR, "n": len(names),
+                       "n_passed": len(names) - len(failures),
+                       "failed": failures, "queries": record}, f, indent=1)
+        print(f"wrote {gate_json}")
     sys.exit(1 if failures else 0)
 
 
