@@ -58,6 +58,8 @@ _PRIORITY = [
     # --- beyond the 50-slot window: round-9 additions queue here with
     # local-gate + unit-test evidence, then next-oldest continue ---
     "equi_depth_boundaries_grouped", "dedup_incremental_lsh",
+    "leakage_safe_split", "epoch_shuffle_shards",
+    "ngram_novelty", "filter_funnel_report",
     "multimodal_resize",
     "decayed_popularity", "numeric_corr_matrix", "kmeans_centroids",
     "lineage_asof_diff",

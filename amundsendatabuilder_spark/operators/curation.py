@@ -1,0 +1,191 @@
+"""Corpus-curation operators a large-scale training-data pipeline runs
+between dedup and shard-writing: leakage-safe split assignment, epoch
+shuffle planning, n-gram novelty scoring, and filter-funnel accounting.
+
+These extend the reference's data-building surface (the reference stops
+at metadata extraction/publish — databuilder/ has no corpus curation) in
+the same Spark-first style as operators/textops.py: deterministic
+hash-based decisions (never ``rand()``), map-side-combinable
+aggregations, and no corpus-wide windows or driver loops.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from amundsendatabuilder_spark.functions.scalars import round_half_away
+from amundsendatabuilder_spark.functions.text import tokens
+
+
+def _md5_bucket16(col) -> F.Column:
+    """First 4 hex chars of md5 -> integer in [0, 65536): the same
+    16-bit hash bucket textops.split_assign cuts, DuckDB-reproducible
+    (``CAST('0x' || substr(md5(x), 1, 4) AS BIGINT)``)."""
+    return F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("long")
+
+
+def leakage_safe_split(docs: DataFrame, pairs: DataFrame,
+                       weights: tuple[tuple[str, float], ...] = (
+                           ("train", 0.8), ("val", 0.1), ("test", 0.1)),
+                       id_col: str = "doc_id",
+                       pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
+                       ) -> DataFrame:
+    """Cluster-atomic train/val/test assignment: near-duplicate groups
+    never straddle a split boundary.
+
+    A per-document hash split (textops.split_assign) leaks evaluation
+    data when near-duplicates of a test doc land in train — the standard
+    contamination path dedup pipelines exist to close. Here the verified
+    near-dup ``pairs`` are fused into connected components and the split
+    is decided by the md5 bucket of the GROUP key (component min-id for
+    clustered docs, own id for singletons), so every member of a
+    duplicate cluster lands in the same split. Returns
+    (doc_id, group_key, split).
+
+    Scale shape: components run on the pair set only (tiny relative to
+    the corpus — it contains actual near-duplicates, not all docs); the
+    membership map joins back broadcast, so the corpus side never
+    shuffles and the assignment itself is a map-side projection. The
+    expected split RATE is preserved because group keys hash uniformly,
+    though realized sizes now move in whole clusters.
+    """
+    from amundsendatabuilder_spark.operators.graph_algo import (
+        connected_components)
+    assert abs(sum(w for _n, w in weights) - 1.0) < 1e-9
+    comps = connected_components(pairs, src_col=pair_cols[0],
+                                 dst_col=pair_cols[1])
+    joined = docs.select(F.col(id_col)).join(
+        F.broadcast(comps.withColumnRenamed("node", id_col)), id_col, "left")
+    group_key = F.coalesce(F.col("component"), F.col(id_col))
+    bucket = _md5_bucket16(F.concat(F.lit("grp:"), group_key.cast("string")))
+    expr = F.lit(weights[-1][0])
+    acc, cuts = 0.0, []
+    for name, w in weights[:-1]:
+        acc += w
+        cuts.append((name, int(acc * 65536)))
+    for name, cut in reversed(cuts):
+        expr = F.when(bucket < cut, name).otherwise(expr)
+    return joined.select(F.col(id_col), group_key.alias("group_key"),
+                         expr.alias("split"))
+
+
+def epoch_shuffle_shards(docs: DataFrame, epochs: int = 2,
+                         n_shards: int = 16,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-epoch shuffle plan: for each epoch, every doc
+    gets a shard and a position inside it, as if the corpus had been
+    globally permuted by md5('ep{e}:{id}') — without ever sorting the
+    corpus globally.
+
+    The trick that makes this scale: the 16-bit hash space is
+    range-partitioned into ``n_shards`` contiguous shards (shard =
+    bucket * n_shards / 65536), so shard assignment is a pure map-side
+    projection and the only ordering work is a row_number window
+    PARTITIONED by (epoch, shard) — bounded by corpus/n_shards rows, the
+    unit a training loader consumes, never a corpus-wide sort. Different
+    epochs use different hash salts, so each epoch is an independent
+    permutation (the "reshuffle every epoch" contract), yet the whole
+    plan is seedless and reproducible across runs/engines/cluster sizes.
+    Returns (epoch, shard_id, doc_id, pos_in_shard).
+    """
+    assert epochs >= 1 and n_shards >= 1
+    e = docs.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(epochs - 1))).alias("epoch"))
+    h = F.md5(F.concat(F.lit("ep"), F.col("epoch").cast("string"),
+                       F.lit(":"), F.col(id_col).cast("string")))
+    bucket = F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
+    shard = (bucket * n_shards / F.lit(65536)).cast("int")
+    w = Window.partitionBy("epoch", "shard_id").orderBy("h", id_col)
+    return (e.select("epoch", F.col(id_col), h.alias("h"),
+                     shard.alias("shard_id"))
+            .withColumn("pos_in_shard", F.row_number().over(w))
+            .select("epoch", "shard_id", id_col, "pos_in_shard"))
+
+
+def ngram_novelty(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    word n-grams whose FIRST corpus occurrence (min doc_id) is this doc.
+
+    The memorization/curation signal dedup thresholds miss: a doc can be
+    under every pairwise-similarity threshold yet contribute almost no
+    n-grams the corpus hasn't already seen (novelty -> 0 flags it for
+    down-weighting; novelty 1.0 = entirely fresh text). Docs with fewer
+    than ``n`` tokens have no shingles and are absent from the output.
+
+    Scale shape: ONE shuffle of (doc_id, shingle) rows — an unbounded
+    min() window partitioned by shingle annotates every row with its
+    shingle's first doc in the same exchange a groupBy+join-back would
+    need twice (and without re-exploding the shingle side for the join)
+    — then one map-side-combinable count aggregation by doc. Text never
+    shuffles; per-shingle partitions are bounded by document frequency.
+    Returns (doc_id, n_shingles, n_novel, novelty).
+    """
+    from amundsendatabuilder_spark.functions.text import exploded_shingles
+    sh = exploded_shingles(docs, id_col, text_col, n=n)
+    first_doc = F.min("doc_id").over(Window.partitionBy("shingle"))
+    return (sh.withColumn("first_doc", first_doc)
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_shingles"),
+                 F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+                 .cast("long").alias("n_novel"))
+            .withColumn("novelty", round_half_away(
+                F.col("n_novel") / F.col("n_shingles"), 6)))
+
+
+FUNNEL_RULES = (
+    # (stage, rule name) — evaluation order IS the funnel order
+    (1, "min_chars"), (2, "lang_allowed"), (3, "min_tokens"),
+    (4, "max_repetition"),
+)
+
+
+def filter_funnel(docs: DataFrame, min_chars: int = 100,
+                  allowed_langs: tuple[str, ...] = ("en", "de", "fr", "es"),
+                  min_tokens: int = 20,
+                  min_distinct_ratio: float = 0.45) -> DataFrame:
+    """Sequential quality-filter cascade with per-rule drop accounting —
+    the report a curation run publishes so "we dropped 38% of src7" is
+    attributable to a specific rule, not a diff.
+
+    Each doc is charged to the FIRST rule it fails (the cascade
+    semantics of a real pipeline, where later filters never see earlier
+    drops): (1) n_chars >= min_chars, (2) lang in allowed set,
+    (3) token count >= min_tokens, (4) distinct-token ratio >=
+    min_distinct_ratio (the cheap repetition screen). Returns one row
+    per rule — (stage, rule, n_in, n_dropped, n_out) — with n_in/n_out
+    chaining so the funnel reads top-to-bottom; rules that drop nothing
+    still appear (n_dropped = 0).
+
+    Scale shape: the verdict is a single map-side CASE projection (the
+    token array is computed once per row), the shuffle carries only
+    (first_fail_stage, partial count) pairs, and the funnel arithmetic
+    runs on the <= len(rules)-row stage table (a bounded cumulative
+    window, never the corpus).
+    """
+    toks = tokens(F.col("text"))
+    distinct_ratio = F.size(F.array_distinct(toks)) / F.size(toks)
+    first_fail = (
+        F.when(F.col("n_chars") < min_chars, 1)
+        .when(~F.col("lang").isin(*allowed_langs), 2)
+        .when(F.size(toks) < min_tokens, 3)
+        .when(distinct_ratio < min_distinct_ratio, 4)
+        .otherwise(0))
+    drops = (docs.select(first_fail.alias("stage"))
+             .where(F.col("stage") > 0)
+             .groupBy("stage").agg(F.count("*").alias("n_dropped")))
+    total = docs.select(F.count("*").alias("n_total"))
+    rules = docs.sparkSession.createDataFrame(
+        list(FUNNEL_RULES), "stage INT, rule STRING")
+    w = (Window.orderBy("stage")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (rules.join(drops, "stage", "left")
+            .withColumn("n_dropped",
+                        F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long"))
+            .crossJoin(F.broadcast(total))
+            .withColumn("n_in", (F.col("n_total") - F.coalesce(
+                F.sum("n_dropped").over(w), F.lit(0))).cast("long"))
+            .withColumn("n_out",
+                        (F.col("n_in") - F.col("n_dropped")).cast("long"))
+            .select("stage", "rule", "n_in", "n_dropped", "n_out"))

@@ -7515,3 +7515,139 @@ def equi_depth_boundaries_grouped_query(spark, sf_dir):
     return (equi_depth_boundaries_grouped(
         cents, "cents", ("o_orderpriority",), n_buckets=10, width=1000)
         .orderBy("o_orderpriority", "bucket"))
+
+
+# ---------------------------------------------------------------------------
+# Round-9 additions: corpus curation (operators/curation.py) — leakage-safe
+# split, epoch shuffle plan, n-gram novelty, filter funnel
+# ---------------------------------------------------------------------------
+
+@query("leakage_safe_split", f"""
+WITH RECURSIVE pairs AS ({_lsh_verified_sql()}),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach AS (SELECT a, b FROM sym
+          UNION
+          SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b
+          WHERE s.b <> r.a),
+comp AS (SELECT a AS node, least(a, min(b)) AS component
+         FROM reach GROUP BY a),
+g AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS group_key
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+b AS (SELECT doc_id, group_key,
+             CAST('0x' || substr(md5('grp:' || CAST(group_key AS VARCHAR)),
+                                 1, 4) AS BIGINT) AS bucket
+      FROM g)
+SELECT doc_id, group_key,
+       CASE WHEN bucket < 52428 THEN 'train'
+            WHEN bucket < 58982 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+""")
+def leakage_safe_split_query(spark, sf_dir):
+    """Cluster-atomic 80/10/10 split (curation.leakage_safe_split):
+    near-duplicate components (the dedup_clusters pair set, LSH-verified
+    at 0.7) are assigned to train/val/test as whole groups via the md5
+    bucket of the component key, so no near-dup of an eval doc can sit
+    in train — the leakage path a per-doc hash split leaves open. Oracle
+    = recursive-CTE transitive closure over the same verified pairs +
+    the same md5 bucketing, so a hash match pins both the grouping and
+    the boundary cuts."""
+    from amundsendatabuilder_spark.operators.curation import (
+        leakage_safe_split)
+    from amundsendatabuilder_spark.operators.dedup import lsh_verified_pairs
+    (docs,) = _t(spark, sf_dir, "documents")
+    return leakage_safe_split(docs, lsh_verified_pairs(docs, threshold=0.7))
+
+
+@query("epoch_shuffle_shards", """
+WITH e AS (SELECT doc_id, CAST(unnest(range(0, 2)) AS INT) AS epoch
+           FROM documents),
+h AS (SELECT epoch, doc_id,
+             md5('ep' || CAST(epoch AS VARCHAR) || ':'
+                 || CAST(doc_id AS VARCHAR)) AS h
+      FROM e),
+s AS (SELECT epoch, doc_id, h,
+             CAST(floor(CAST('0x' || substr(h, 1, 4) AS BIGINT)
+                        * 16 / 65536.0) AS INT) AS shard_id
+      FROM h)
+SELECT epoch, shard_id, doc_id,
+       CAST(row_number() OVER (PARTITION BY epoch, shard_id
+                               ORDER BY h, doc_id) AS INT) AS pos_in_shard
+FROM s
+""")
+def epoch_shuffle_shards_query(spark, sf_dir):
+    """Deterministic 2-epoch 16-shard shuffle plan
+    (curation.epoch_shuffle_shards): each epoch is an independent
+    md5-salted permutation, realized as hash-RANGE shard assignment
+    (map-side) + row_number windows partitioned per (epoch, shard) —
+    bounded by corpus/n_shards rows, never a corpus-wide sort. The
+    seedless reshuffle-every-epoch contract a training loader needs."""
+    from amundsendatabuilder_spark.operators.curation import (
+        epoch_shuffle_shards)
+    (docs,) = _t(spark, sf_dir, "documents")
+    return epoch_shuffle_shards(docs, epochs=2, n_shards=16)
+
+
+@query("ngram_novelty", f"""
+WITH {_SHINGLES_SQL},
+firsts AS (SELECT shingle, min(doc_id) AS first_doc FROM s GROUP BY shingle)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       round(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 6) AS novelty
+FROM s JOIN firsts f ON f.shingle = s.shingle
+GROUP BY s.doc_id
+""")
+def ngram_novelty_query(spark, sf_dir):
+    """Per-doc 3-gram novelty (curation.ngram_novelty): fraction of a
+    doc's distinct shingles first seen (min doc_id) in that doc — the
+    redundancy signal pairwise dedup thresholds miss. One map-side
+    min() per shingle, one shingle join, one count agg; text never
+    shuffles."""
+    from amundsendatabuilder_spark.operators.curation import ngram_novelty
+    (docs,) = _t(spark, sf_dir, "documents")
+    return ngram_novelty(docs, n=3)
+
+
+@query("filter_funnel_report", r"""
+WITH t AS (SELECT n_chars, lang, """ + _TOKS_SQL + r""" AS toks
+           FROM documents),
+v AS (SELECT CASE WHEN n_chars < 100 THEN 1
+                  WHEN lang NOT IN ('en', 'de', 'fr', 'es') THEN 2
+                  WHEN len(toks) < 20 THEN 3
+                  WHEN len(list_distinct(toks)) * 1.0 / len(toks) < 0.45
+                       THEN 4
+                  ELSE 0 END AS stage
+      FROM t),
+d AS (SELECT stage, count(*) AS n_dropped FROM v WHERE stage > 0
+      GROUP BY stage),
+tot AS (SELECT count(*) AS n_total FROM v),
+r AS (SELECT * FROM (VALUES (1, 'min_chars'), (2, 'lang_allowed'),
+                            (3, 'min_tokens'), (4, 'max_repetition'))
+      AS rules(stage, rule)),
+j AS (SELECT r.stage, r.rule,
+             CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped
+      FROM r LEFT JOIN d ON d.stage = r.stage),
+f AS (SELECT stage, rule, n_dropped,
+             CAST(n_total - coalesce(sum(n_dropped) OVER (
+                 ORDER BY stage
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_in
+      FROM j CROSS JOIN tot)
+SELECT CAST(stage AS INT) AS stage, rule, n_in, n_dropped,
+       CAST(n_in - n_dropped AS BIGINT) AS n_out
+FROM f
+""")
+def filter_funnel_report_query(spark, sf_dir):
+    """Quality-filter cascade accounting (curation.filter_funnel): every
+    doc charged to the FIRST rule it fails (min_chars -> lang ->
+    min_tokens -> repetition), reported as a chained funnel
+    (stage, rule, n_in, n_dropped, n_out) including zero-drop rules.
+    One map-side CASE projection; the shuffle carries <= 4 stage
+    counts; funnel arithmetic runs on the 4-row rule table."""
+    from amundsendatabuilder_spark.operators.curation import filter_funnel
+    (docs,) = _t(spark, sf_dir, "documents")
+    return filter_funnel(docs)

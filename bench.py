@@ -155,6 +155,11 @@ EXTENDED = [
     "equi_depth_boundaries",
     "equi_depth_boundaries_grouped",
     "dedup_incremental_lsh",
+    # round-9: corpus curation (operators/curation.py)
+    "leakage_safe_split",
+    "epoch_shuffle_shards",
+    "ngram_novelty",
+    "filter_funnel_report",
 ]
 
 

@@ -2591,3 +2591,98 @@ def test_equi_depth_boundaries_grouped_matches_per_group_sort(spark):
         assert r.n_rows_le == sum(1 for v in s if v <= r.cut_value)
     assert got[("a", 5)].pct_rows_ppm == 1000000
     assert got[("b", 5)].pct_rows_ppm == 1000000
+
+
+def test_leakage_safe_split_clusters_atomic(spark):
+    from amundsendatabuilder_spark.operators.curation import (
+        leakage_safe_split)
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 11)], "doc_id long, text string")
+    # near-dup graph: {1,2,3} one cluster, {7,8} another, rest singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "doc_a long, doc_b long")
+    out = {r.doc_id: r for r in leakage_safe_split(docs, pairs).collect()}
+    assert len(out) == 10
+    # whole cluster shares group_key AND split
+    assert out[1].group_key == out[2].group_key == out[3].group_key == 1
+    assert out[1].split == out[2].split == out[3].split
+    assert out[7].group_key == out[8].group_key == 7
+    assert out[7].split == out[8].split
+    # singleton group key is its own id
+    assert out[5].group_key == 5
+    assert {r.split for r in out.values()} <= {"train", "val", "test"}
+
+
+def test_leakage_safe_split_is_deterministic_and_rate_shaped(spark):
+    from amundsendatabuilder_spark.operators.curation import (
+        leakage_safe_split)
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(500)], "doc_id long, text string")
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    a = sorted(leakage_safe_split(docs, pairs).collect())
+    b = sorted(leakage_safe_split(docs, pairs).collect())
+    assert a == b
+    n_train = sum(1 for r in a if r.split == "train")
+    assert 300 < n_train < 480  # ~80% of 500, generous band
+
+
+def test_epoch_shuffle_shards_is_a_permutation_per_epoch(spark):
+    from amundsendatabuilder_spark.operators.curation import (
+        epoch_shuffle_shards)
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(200)], "doc_id long, text string")
+    rows = epoch_shuffle_shards(docs, epochs=3, n_shards=4).collect()
+    assert len(rows) == 600
+    for e in range(3):
+        ep = [r for r in rows if r.epoch == e]
+        # every doc appears exactly once per epoch
+        assert sorted(r.doc_id for r in ep) == list(range(200))
+        # positions within each shard are 1..len(shard) (dense)
+        for s in range(4):
+            pos = sorted(r.pos_in_shard for r in ep if r.shard_id == s)
+            assert pos == list(range(1, len(pos) + 1))
+    # epochs are DIFFERENT permutations (salted hash): shard assignment
+    # of at least one doc differs between epoch 0 and 1
+    by = {(r.epoch, r.doc_id): r.shard_id for r in rows}
+    assert any(by[(0, i)] != by[(1, i)] for i in range(200))
+
+
+def test_ngram_novelty_first_doc_wins(spark):
+    from amundsendatabuilder_spark.operators.curation import ngram_novelty
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"),          # all shingles first seen here
+         (2, "a b c d e"),          # exact copy: zero novelty
+         (3, "a b c x y z")],       # shares 'a b c' with doc 1 only
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in ngram_novelty(docs, n=3).collect()}
+    assert out[1].novelty == 1.0 and out[1].n_shingles == 3
+    assert out[2].novelty == 0.0 and out[2].n_novel == 0
+    # doc 3: shingles {a b c, b c x, c x y, x y z}; 'a b c' seen in doc 1
+    assert out[3].n_shingles == 4 and out[3].n_novel == 3
+    assert abs(out[3].novelty - 0.75) < 1e-9
+    # doc under n tokens has no shingles and is absent
+    short = spark.createDataFrame([(9, "a b")], "doc_id long, text string")
+    assert ngram_novelty(short, n=3).count() == 0
+
+
+def test_filter_funnel_first_fail_accounting(spark):
+    from amundsendatabuilder_spark.operators.curation import filter_funnel
+    mk = lambda i, text, lang, nc: (i, text, lang, nc)
+    long_ok = " ".join(f"w{i}" for i in range(30))        # 30 distinct toks
+    repet = " ".join(["rep"] * 30)                         # ratio 1/30
+    docs = spark.createDataFrame(
+        [mk(1, long_ok, "en", 200),      # survives all
+         mk(2, long_ok, "en", 50),       # fails min_chars (stage 1)
+         mk(3, long_ok, "zh", 200),      # fails lang (stage 2)
+         mk(4, "a b c", "en", 200),      # fails min_tokens (stage 3)
+         mk(5, repet, "zh", 50),         # fails stage 1 FIRST (cascade)
+         mk(6, repet, "en", 200)],       # fails repetition (stage 4)
+        "doc_id long, text string, lang string, n_chars long")
+    out = {r.stage: r for r in filter_funnel(docs).collect()}
+    assert [out[s].rule for s in (1, 2, 3, 4)] == [
+        "min_chars", "lang_allowed", "min_tokens", "max_repetition"]
+    assert out[1].n_in == 6 and out[1].n_dropped == 2   # docs 2 and 5
+    assert out[2].n_in == 4 and out[2].n_dropped == 1   # doc 3
+    assert out[3].n_in == 3 and out[3].n_dropped == 1   # doc 4
+    assert out[4].n_in == 2 and out[4].n_dropped == 1   # doc 6
+    assert out[4].n_out == 1                             # doc 1 survives

@@ -279,3 +279,27 @@ def test_bpe_merges_match_pure_python_reference(sp, words):
                     i += 1
             seqs[w] = out
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 60), st.integers(0, 60))
+                .filter(lambda p: p[0] != p[1]),
+                min_size=0, max_size=40))
+def test_leakage_safe_split_never_splits_an_edge(sp, edges):
+    """Every near-dup edge's endpoints land in the same split, and the
+    assignment is a total function over the doc set — for ANY pair
+    graph (self-loops excluded by construction)."""
+    from amundsendatabuilder_spark.operators.curation import (
+        leakage_safe_split)
+    docs = sp.createDataFrame([(i, "t") for i in range(61)],
+                              "doc_id long, text string")
+    pairs = sp.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges] or [(0, 0)],
+        "doc_a long, doc_b long")
+    if not edges:
+        pairs = pairs.where(F.col("doc_a") != F.col("doc_b"))
+    out = {r.doc_id: r for r in leakage_safe_split(docs, pairs).collect()}
+    assert sorted(out) == list(range(61))
+    for a, b in edges:
+        assert out[a].split == out[b].split, (a, b)
+        assert out[a].group_key == out[b].group_key

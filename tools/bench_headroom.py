@@ -106,6 +106,8 @@ SUITE = [
     # round-9 additions
     "equi_depth_boundaries_grouped",
     "dedup_incremental_lsh",
+    "leakage_safe_split", "epoch_shuffle_shards",
+    "ngram_novelty", "filter_funnel_report",
 ]
 
 
