@@ -59,7 +59,13 @@ _PRIORITY = [
     # local-gate + unit-test evidence, then next-oldest continue ---
     "equi_depth_boundaries_grouped", "dedup_incremental_lsh",
     "leakage_safe_split", "epoch_shuffle_shards",
-    "ngram_novelty", "filter_funnel_report",
+    "ngram_novelty", "filter_funnel_report", "hll_source_overlap",
+    "q2_min_acctbal_supplier", "q8_market_share",
+    "q9_profit_by_nation_year", "q11_part_value_share", "q13_custdist",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_count_by_part",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q19_disjunctive_revenue", "q20_excess_shippers",
+    "q21_waiting_suppliers", "q22_idle_customer_balance",
     "multimodal_resize",
     "decayed_popularity", "numeric_corr_matrix", "kmeans_centroids",
     "lineage_asof_diff",

@@ -153,6 +153,129 @@ SELECT {gsel}
 FROM fold"""
 
 
+def hll_pairwise_overlap(df: DataFrame, col: str,
+                         group_col: str = "source",
+                         p: int = 8) -> DataFrame:
+    """Pairwise distinct-overlap estimates between groups via HLL set
+    algebra: |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B), where est(A ∪ B)
+    comes from max-MERGING the two groups' register tables — the sketch
+    operation exact COUNT(DISTINCT) joins cannot match at scale.
+
+    The sketch-scale twin of the exact ``cross_source_overlap``: at
+    100 TB the exact version shuffles every (source, shingle) pair,
+    while this one reduces each source to 2^p registers ONCE (one pass
+    over the data), after which all O(k²) pairwise union/intersection
+    estimates are register-table arithmetic — k·2^p rows total,
+    broadcastable, zero further corpus scans. Inclusion-exclusion
+    amplifies the base estimator's error (clamped at 0 below), so this
+    ranks overlaps rather than certifying small ones — the screening
+    pass before an exact join on the few pairs that matter.
+
+    Returns (source_a, source_b, approx_a, approx_b, approx_union,
+    approx_intersection, overlap) with overlap = intersection /
+    min(approx_a, approx_b), i.e. estimated containment of the smaller
+    set. Deterministic (md5-based) and engine-reproducible.
+    """
+    g = F.col(group_col)
+    # one corpus pass -> k*2^p register rows; localCheckpoint so the
+    # three downstream consumers (single estimates, both pair joins)
+    # reread the tiny materialized table, not the token scan
+    regs = hll_registers(df, col, (group_col,), p).localCheckpoint()
+    singles = hll_estimate(regs, (group_col,), p)
+    srcs = regs.select(group_col).distinct()
+    pairs = (srcs.select(g.alias("source_a"))
+             .join(srcs.select(g.alias("source_b")),
+                   F.col("source_a") < F.col("source_b")))
+    ra = (F.broadcast(pairs)
+          .join(regs, g == F.col("source_a"))
+          .select("source_a", "source_b", "bucket", "r"))
+    rb = (F.broadcast(pairs)
+          .join(regs, g == F.col("source_b"))
+          .select("source_a", "source_b", "bucket", "r"))
+    merged = (ra.unionByName(rb)
+              .groupBy("source_a", "source_b", "bucket")
+              .agg(F.max("r").alias("r")))
+    est_ab = hll_estimate(merged, ("source_a", "source_b"), p) \
+        .withColumnRenamed("approx_distinct", "est_ab")
+    ea = singles.select(g.alias("source_a"),
+                        F.col("approx_distinct").alias("est_a"))
+    eb = singles.select(g.alias("source_b"),
+                        F.col("approx_distinct").alias("est_b"))
+    inter = F.greatest(F.col("est_a") + F.col("est_b") - F.col("est_ab"),
+                       F.lit(0.0))
+    from amundsendatabuilder_spark.functions.scalars import round_half_away
+    return (est_ab.join(F.broadcast(ea), "source_a")
+            .join(F.broadcast(eb), "source_b")
+            .select("source_a", "source_b",
+                    round_half_away(F.col("est_a"), 3).alias("approx_a"),
+                    round_half_away(F.col("est_b"), 3).alias("approx_b"),
+                    round_half_away(F.col("est_ab"), 3).alias("approx_union"),
+                    round_half_away(inter, 3).alias("approx_intersection"),
+                    round_half_away(
+                        inter / F.least(F.col("est_a"), F.col("est_b")),
+                        6).alias("overlap")))
+
+
+def hll_pairwise_overlap_oracle_sql(source_sql: str, col: str,
+                                    group_col: str = "source",
+                                    p: int = 8) -> str:
+    """DuckDB twin of ``hll_pairwise_overlap`` — identical hash layout,
+    register fold, pair-union max-merge, and inlined estimator
+    literals, so the inclusion-exclusion floats match bit-for-bit."""
+    m = 1 << p
+    nbhex = p // 4
+    rest = 16 - nbhex
+    alpha = 0.7213 / (1 + 1.079 / m)
+    num = alpha * m * m * float(1 << 50)
+    gc = group_col
+    est = f"""CASE WHEN ({num!r} / CAST(s_present + ({m} - n_present)
+                                 * (CAST(1 AS BIGINT) << 50) AS DOUBLE))
+                 <= {2.5 * m!r}
+             AND ({m} - n_present) > 0
+            THEN {float(m)!r} * ln({float(m)!r}
+                                   / CAST({m} - n_present AS DOUBLE))
+            ELSE {num!r} / CAST(s_present + ({m} - n_present)
+                                * (CAST(1 AS BIGINT) << 50) AS DOUBLE)
+       END"""
+    fold = ("sum(CASE WHEN r <= 50 THEN CAST(1 AS BIGINT) << (50 - r) "
+            "ELSE CAST(0 AS BIGINT) END) AS s_present, "
+            "count(*) AS n_present")
+    return f"""
+WITH src AS ({source_sql}),
+hx AS (SELECT {gc}, md5(CAST({col} AS VARCHAR)) AS h FROM src),
+st AS (SELECT {gc}, substring(h, 1, {nbhex}) AS bucket,
+              trim(LEADING '0' FROM substring(h, {nbhex + 1}, {rest})) AS s2
+       FROM hx),
+rh AS (SELECT {gc}, bucket, CAST({_rho_expr('s2', rest)} AS INT) AS rho
+       FROM st),
+regs AS (SELECT {gc}, bucket, max(rho) AS r FROM rh GROUP BY {gc}, bucket),
+srcs AS (SELECT DISTINCT {gc} FROM regs),
+prs AS (SELECT a.{gc} AS source_a, b.{gc} AS source_b
+        FROM srcs a JOIN srcs b ON a.{gc} < b.{gc}),
+pregs AS (SELECT source_a, source_b, bucket, max(r) AS r FROM (
+            SELECT pr.source_a, pr.source_b, rg.bucket, rg.r
+            FROM prs pr JOIN regs rg ON rg.{gc} = pr.source_a
+            UNION ALL
+            SELECT pr.source_a, pr.source_b, rg.bucket, rg.r
+            FROM prs pr JOIN regs rg ON rg.{gc} = pr.source_b)
+          GROUP BY 1, 2, 3),
+foldp AS (SELECT source_a, source_b, {fold} FROM pregs GROUP BY 1, 2),
+estp AS (SELECT source_a, source_b, {est} AS est_ab FROM foldp),
+folds AS (SELECT {gc}, {fold} FROM regs GROUP BY {gc}),
+ests AS (SELECT {gc}, {est} AS est FROM folds)
+SELECT p.source_a, p.source_b,
+       round(a.est, 3) AS approx_a,
+       round(b.est, 3) AS approx_b,
+       round(p.est_ab, 3) AS approx_union,
+       round(greatest(a.est + b.est - p.est_ab, 0), 3)
+           AS approx_intersection,
+       round(greatest(a.est + b.est - p.est_ab, 0)
+             / least(a.est, b.est), 6) AS overlap
+FROM estp p JOIN ests a ON a.{gc} = p.source_a
+JOIN ests b ON b.{gc} = p.source_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # Count-min sketch — mergeable frequency registers
 # ---------------------------------------------------------------------------

@@ -7651,3 +7651,536 @@ def filter_funnel_report_query(spark, sf_dir):
     from amundsendatabuilder_spark.operators.curation import filter_funnel
     (docs,) = _t(spark, sf_dir, "documents")
     return filter_funnel(docs)
+
+
+def _hll_overlap_oracle() -> str:
+    from amundsendatabuilder_spark.operators.sketches import (
+        hll_pairwise_overlap_oracle_sql)
+    return hll_pairwise_overlap_oracle_sql(
+        "SELECT source, unnest(" + _TOKS_SQL + ") AS tok FROM documents",
+        "tok", "source")
+
+
+@query("hll_source_overlap", _hll_overlap_oracle())
+def hll_source_overlap(spark, sf_dir):
+    """HLL set algebra (sketches.hll_pairwise_overlap): pairwise
+    distinct-token overlap between all 20 sources by
+    inclusion-exclusion over max-merged registers — ONE corpus pass to
+    k*2^8 register rows, then all 190 union/intersection estimates are
+    broadcast register arithmetic. The sketch-scale screening twin of
+    the exact cross_source_overlap (which shuffles every (source,
+    shingle) pair). Oracle replays hash/registers/merge/estimator with
+    identical inlined literals, pinning the float math bit-for-bit."""
+    from amundsendatabuilder_spark.functions.text import tokens
+    from amundsendatabuilder_spark.operators.sketches import (
+        hll_pairwise_overlap)
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    return hll_pairwise_overlap(toks, "tok", "source")
+
+
+# ---------------------------------------------------------------------------
+# Round-9: TPC-H shape completion — the remaining 14 of the 22 classic
+# query shapes, adapted to the synthetic schema (no partsupp/phone/
+# commitdate columns; substitutions noted per query). With these every
+# TPC-H query pattern has a suite twin.
+# ---------------------------------------------------------------------------
+
+@query("q13_custdist", """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN (SELECT * FROM orders
+                 WHERE o_orderpriority <> '1-URGENT') o
+        ON o.o_custkey = c.c_custkey
+      GROUP BY 1)
+GROUP BY 1
+""")
+def q13_custdist(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution): LEFT JOIN so
+    zero-order customers survive into the c_count=0 bucket (the
+    classic outer-join-then-histogram trap — an inner join silently
+    drops them). Priority filter stands in for the comment NOT LIKE.
+    Scale: join shuffles on custkey; both aggregations map-side
+    combinable; final histogram is tiny."""
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    o = orders.where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (cust.join(o, cust.c_custkey == o.o_custkey, "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("custdist")))
+
+
+@query("q14_promo_revenue", """
+SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4)
+           AS promo_revenue_pct
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate < TIMESTAMP '1997-10-01'
+""")
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): conditional-aggregation ratio over
+    one shipdate month. Part is the broadcast dim; the date filter is
+    pushed to the lineitem scan, so at 100 TB one partition-pruned
+    month streams through a single map-side agg producing one row."""
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0)
+    return (li.where((F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+                     & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp")))
+            .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .agg(round_half_away(100.0 * F.sum(promo) / F.sum(rev), 4)
+                 .alias("promo_revenue_pct")))
+
+
+@query("q15_top_supplier", """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY 1)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON r.supplier_no = s.s_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+""")
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 (top supplier): quarterly revenue view + scalar-max
+    subquery. The revenue view is one map-side-combinable groupBy of
+    the pruned quarter; the max is a 1-row broadcast back onto the
+    tiny per-supplier table — never a global sort. Revenue rounds to
+    2dp INSIDE the view (both engines) so the equality join compares
+    identical grids."""
+    li, supp = _t(spark, sf_dir, "lineitem", "supplier")
+    rev = (li.where((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+                    & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
+           .groupBy(F.col("l_suppkey").alias("supplier_no"))
+           .agg(round_half_away(
+               F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+               .alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (rev.crossJoin(F.broadcast(mx))
+            .where(F.col("total_revenue") == F.col("mx"))
+            .join(F.broadcast(supp),
+                  F.col("supplier_no") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name", "total_revenue"))
+
+
+@query("q18_large_volume_customers", """
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       round(t.total_qty, 2) AS total_qty
+FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 180) t
+JOIN orders o ON o.o_orderkey = t.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+""")
+def q18_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 (large-volume orders): HAVING on a per-order quantity
+    sum (>180 ~ p90 here), then joins back to orders + customer. The
+    heavy side reduces FIRST (groupBy before any join), so the join
+    probes carry only the few big orders — the ordering that matters
+    at 100 TB where joining lineitem to orders before aggregating
+    would shuffle the whole fact table twice."""
+    li, orders, cust = _t(spark, sf_dir, "lineitem", "orders", "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("tq"))
+           .where(F.col("tq") > 180))
+    return (big.join(orders, big.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                    "o_totalprice",
+                    round_half_away(F.col("tq"), 2).alias("total_qty")))
+
+
+@query("q19_disjunctive_revenue", """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 40)
+""")
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 (disjunctive predicates): three OR'd brand/size/
+    quantity bands that straddle the join — the shape that defeats
+    naive pushdown. Spark pushes the per-side residuals (quantity
+    bands to the lineitem scan via the OR-union bound, brand/size to
+    the broadcast part side) and evaluates the disjunction post-join
+    in one codegen stage; one row out."""
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    b = lambda br, smax, qlo, qhi: (
+        (F.col("p_brand") == br) & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi))
+    return (j.where(b("Brand#1", 10, 1, 15) | b("Brand#2", 20, 10, 30)
+                    | b("Brand#3", 35, 20, 40))
+            .agg(round_half_away(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2).alias("revenue")))
+
+
+@query("q2_min_acctbal_supplier", """
+WITH eu AS (SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+            FROM supplier s
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = 'EUROPE'),
+shipped AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+cand AS (SELECT p.p_partkey, p.p_name, e.s_suppkey, e.s_name,
+                e.s_acctbal, e.n_name
+         FROM part p
+         JOIN shipped sh ON sh.l_partkey = p.p_partkey
+         JOIN eu e ON e.s_suppkey = sh.l_suppkey
+         WHERE p.p_size = 15),
+mn AS (SELECT p_partkey, min(s_acctbal) AS min_bal FROM cand GROUP BY 1)
+SELECT c.s_acctbal, c.s_name, c.n_name, c.p_partkey, c.p_name
+FROM cand c JOIN mn ON mn.p_partkey = c.p_partkey
+                   AND c.s_acctbal = mn.min_bal
+""")
+def q2_min_acctbal_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (min-cost supplier per part): the correlated-MIN
+    subquery re-join, adapted to the synthetic schema — partsupp is
+    emulated by DISTINCT (l_partkey, l_suppkey) shipping facts and
+    ps_supplycost by s_acctbal (no arithmetic, so the equality re-join
+    compares raw stored doubles). Region-filtered suppliers broadcast;
+    the min re-join is the standard decorrelation Spark and DuckDB
+    both plan (aggregate once, join back on the min)."""
+    part, li, supp, nat, reg = _t(spark, sf_dir, "part", "lineitem",
+                                  "supplier", "nation", "region")
+    eu = (supp.join(F.broadcast(nat),
+                    supp.s_nationkey == nat.n_nationkey)
+          .join(F.broadcast(reg.where(F.col("r_name") == "EUROPE")),
+                nat.n_regionkey == F.col("r_regionkey"))
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    shipped = li.select("l_partkey", "l_suppkey").distinct()
+    cand = (part.where(F.col("p_size") == 15)
+            .join(shipped, part.p_partkey == shipped.l_partkey)
+            .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("p_partkey", "p_name", "s_suppkey", "s_name",
+                    "s_acctbal", "n_name"))
+    mn = cand.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("s_acctbal").alias("min_bal"))
+    return (cand.join(F.broadcast(mn),
+                      (cand.p_partkey == F.col("mk"))
+                      & (cand.s_acctbal == F.col("min_bal")))
+            .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name"))
+
+
+@query("q8_market_share", """
+WITH vol AS (
+  SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n1.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o.o_orderdate < TIMESTAMP '1997-01-01')
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                      ELSE 0 END) / sum(volume), 6) AS mkt_share
+FROM vol GROUP BY o_year
+""")
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 (national market share): the two-role nation join —
+    nation appears once for the customer side (region filter) and once
+    for the supplier side (share numerator) — plus a conditional-
+    aggregation ratio per order year. All dims broadcast; the only
+    shuffle is the 2-group year aggregation. The classic test that an
+    engine aliases one table into two join roles without confusing the
+    keys."""
+    li, part, orders, cust, nat, reg, supp = _t(
+        spark, sf_dir, "lineitem", "part", "orders", "customer",
+        "nation", "region", "supplier")
+    n1 = nat.alias("n1")
+    n2 = nat.alias("n2")
+    vol = (li.join(F.broadcast(part.where(F.col("p_type") == "ECONOMY")),
+                   li.l_partkey == part.p_partkey)
+           .join(orders.where(
+               (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+               & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))),
+               li.l_orderkey == orders.o_orderkey)
+           .join(cust, orders.o_custkey == cust.c_custkey)
+           .join(F.broadcast(n1), cust.c_nationkey == F.col("n1.n_nationkey"))
+           .join(F.broadcast(reg.where(F.col("r_name") == "AMERICA")),
+                 F.col("n1.n_regionkey") == F.col("r_regionkey"))
+           .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+           .join(F.broadcast(n2), supp.s_nationkey == F.col("n2.n_nationkey"))
+           .select(F.year("o_orderdate").cast("int").alias("o_year"),
+                   (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                   .alias("volume"),
+                   F.col("n2.n_name").alias("supp_nation")))
+    share = (F.sum(F.when(F.col("supp_nation") == "NATION_5",
+                          F.col("volume")).otherwise(0.0))
+             / F.sum("volume"))
+    return (vol.groupBy("o_year")
+            .agg(round_half_away(share, 6).alias("mkt_share")))
+
+
+@query("q9_profit_by_nation_year", """
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)
+                 - 0.1 * p.p_retailprice * l.l_quantity), 2) AS sum_profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY 1, 2
+""")
+def q9_profit_by_nation_year(spark, sf_dir):
+    """TPC-H Q9 shape (product-line profit by nation and year):
+    revenue minus cost aggregated over a 5-table star; ps_supplycost
+    is emulated by 0.1 * p_retailprice per unit (no partsupp table).
+    The p_name LIKE filter prunes the broadcast part dim BEFORE the
+    fact join — at 100 TB the join discards non-matching lineitems
+    map-side; the only shuffle carries (nation, year) partials."""
+    li, part, supp, nat, orders = _t(spark, sf_dir, "lineitem", "part",
+                                     "supplier", "nation", "orders")
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - 0.1 * F.col("p_retailprice") * F.col("l_quantity"))
+    return (li.join(F.broadcast(part.where(F.col("p_name").like("%red%"))),
+                    li.l_partkey == part.p_partkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").cast("int").alias("o_year"))
+            .agg(round_half_away(F.sum(profit), 2).alias("sum_profit")))
+
+
+@query("q11_part_value_share", """
+WITH val AS (SELECT l.l_partkey,
+                    sum(l.l_extendedprice) AS value
+             FROM lineitem l
+             JOIN supplier s ON s.s_suppkey = l.l_suppkey
+             JOIN nation n ON n.n_nationkey = s.s_nationkey
+             WHERE n.n_name = 'NATION_3'
+             GROUP BY 1)
+SELECT l_partkey, round(value, 2) AS value
+FROM val
+WHERE value > (SELECT sum(value) * 0.001 FROM val)
+""")
+def q11_part_value_share(spark, sf_dir):
+    """TPC-H Q11 shape (important stock): per-part value for one
+    nation's suppliers, HAVING > fraction of the grand total (a scalar
+    subquery over the same aggregate) — ps_supplycost*availqty is
+    emulated by shipped extendedprice. The per-part table aggregates
+    once and is reused for both the threshold and the filter (one
+    1-row broadcast, no second scan)."""
+    li, supp, nat = _t(spark, sf_dir, "lineitem", "supplier", "nation")
+    val = (li.join(F.broadcast(
+        supp.join(F.broadcast(nat.where(F.col("n_name") == "NATION_3")),
+                  supp.s_nationkey == nat.n_nationkey)
+        .select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("value")))
+    thr = val.agg((F.sum("value") * 0.001).alias("thr"))
+    return (val.crossJoin(F.broadcast(thr))
+            .where(F.col("value") > F.col("thr"))
+            .select("l_partkey",
+                    round_half_away(F.col("value"), 2).alias("value")))
+
+
+@query("q16_supplier_count_by_part", """
+WITH bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0),
+shipped AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            WHERE l_suppkey NOT IN (SELECT s_suppkey FROM bad))
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT sh.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part p JOIN shipped sh ON sh.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#5' AND p.p_type <> 'STANDARD'
+  AND p.p_size IN (1, 14, 23, 45, 19, 3, 36, 9)
+GROUP BY 1, 2, 3
+""")
+def q16_supplier_count_by_part(spark, sf_dir):
+    """TPC-H Q16 shape (supplier count by part attributes): COUNT
+    DISTINCT suppliers per (brand, type, size) over negated part
+    predicates, excluding a NOT-IN supplier list (negative acctbal
+    stands in for the complaints comment scan). The exclusion list is
+    a broadcast anti-join — never a shuffled NOT IN; partsupp is
+    emulated by DISTINCT shipping facts."""
+    li, part, supp = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    bad = supp.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    shipped = (li.select("l_partkey", "l_suppkey").distinct()
+               .join(F.broadcast(bad),
+                     F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"))
+    pf = part.where((F.col("p_brand") != "Brand#5")
+                    & (F.col("p_type") != "STANDARD")
+                    & F.col("p_size").isin(1, 14, 23, 45, 19, 3, 36, 9))
+    return (shipped.join(F.broadcast(pf),
+                         shipped.l_partkey == pf.p_partkey)
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.count_distinct("l_suppkey").alias("supplier_cnt")))
+
+
+@query("q17_small_quantity_revenue", """
+WITH pq AS (SELECT l_partkey, 0.2 * avg(l_quantity) AS qlim
+            FROM lineitem GROUP BY 1)
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN pq ON pq.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#4' AND p.p_size < 10
+  AND l.l_quantity < pq.qlim
+""")
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): the correlated
+    per-part AVG decorrelated into an aggregate-once-join-back (the
+    rewrite every optimizer applies); p_size<10 stands in for the
+    container predicate. At 100 TB the per-part limit table is
+    partkey-partitioned like the fact side, and the brand filter
+    prunes via the broadcast dim before the limit join."""
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    pq = (li.groupBy(F.col("l_partkey").alias("pk"))
+          .agg((0.2 * F.avg("l_quantity")).alias("qlim")))
+    pf = part.where((F.col("p_brand") == "Brand#4") & (F.col("p_size") < 10))
+    return (li.join(F.broadcast(pf), li.l_partkey == pf.p_partkey)
+            .join(pq, li.l_partkey == pq.pk)
+            .where(F.col("l_quantity") < F.col("qlim"))
+            .agg(round_half_away(F.sum("l_extendedprice") / 7.0, 2)
+                 .alias("avg_yearly")))
+
+
+@query("q20_excess_shippers", """
+WITH pk AS (SELECT p_partkey FROM part WHERE p_name LIKE '%blue%'),
+hv AS (SELECT l_suppkey
+       FROM lineitem
+       WHERE l_partkey IN (SELECT p_partkey FROM pk)
+         AND l_shipdate >= TIMESTAMP '1997-01-01'
+         AND l_shipdate < TIMESTAMP '1998-01-01'
+       GROUP BY l_suppkey, l_partkey
+       HAVING sum(l_quantity) > 45)
+SELECT s.s_name, s.s_acctbal
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name = 'NATION_7'
+  AND s.s_suppkey IN (SELECT l_suppkey FROM hv)
+""")
+def q20_excess_shippers(spark, sf_dir):
+    """TPC-H Q20 shape (suppliers with excess stock): the nested
+    IN-subquery chain — parts by name pattern, (supplier, part) pairs
+    over a year's shipped quantity threshold, suppliers of one nation
+    — each IN realized as a semi-join (part keys broadcast into the
+    pruned-year lineitem scan; the surviving supplier keys broadcast
+    into the nation-filtered dim). availqty is emulated by shipped
+    quantity (threshold 45 ~ the p90 of per-(supplier, part) annual
+    volume, so rows survive at every sf)."""
+    li, part, supp, nat = _t(spark, sf_dir, "lineitem", "part",
+                             "supplier", "nation")
+    pk = part.where(F.col("p_name").like("%blue%")).select("p_partkey")
+    hv = (li.where((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+                   & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+          .join(F.broadcast(pk), li.l_partkey == F.col("p_partkey"), "left_semi")
+          .groupBy("l_suppkey", "l_partkey")
+          .agg(F.sum("l_quantity").alias("q"))
+          .where(F.col("q") > 45)
+          .select("l_suppkey").distinct())
+    return (supp.join(F.broadcast(nat.where(F.col("n_name") == "NATION_7")),
+                      supp.s_nationkey == nat.n_nationkey)
+            .join(F.broadcast(hv),
+                  supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+            .select("s_name", "s_acctbal"))
+
+
+@query("q21_waiting_suppliers", """
+WITH l1 AS (SELECT l.l_orderkey, l.l_suppkey
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderstatus = 'F'
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY),
+late AS (SELECT DISTINCT l_orderkey, l_suppkey FROM l1),
+all_sup AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM late w
+JOIN supplier s ON s.s_suppkey = w.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name = 'NATION_2'
+  AND EXISTS (SELECT 1 FROM all_sup a
+              WHERE a.l_orderkey = w.l_orderkey
+                AND a.l_suppkey <> w.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late x
+                  WHERE x.l_orderkey = w.l_orderkey
+                    AND x.l_suppkey <> w.l_suppkey)
+GROUP BY s.s_name
+""")
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    EXISTS + NOT EXISTS double-correlation — the sole-late supplier in
+    a multi-supplier finished order. "Late" is l_shipdate > 60 days
+    after o_orderdate (no commit/receipt dates in the synthetic
+    schema). EXISTS = left-semi on (same order, other supplier);
+    NOT EXISTS = left-anti against the late set — both realized as
+    key joins with an inequality residual, never a per-row subquery."""
+    li, orders, supp, nat = _t(spark, sf_dir, "lineitem", "orders",
+                               "supplier", "nation")
+    late = (li.join(orders.where(F.col("o_orderstatus") == "F"),
+                    li.l_orderkey == orders.o_orderkey)
+            .where(F.col("l_shipdate")
+                   > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+            .select("l_orderkey", "l_suppkey").distinct())
+    all_sup = li.select("l_orderkey", "l_suppkey").distinct()
+    w = late.alias("w")
+    a = all_sup.alias("a")
+    x = late.alias("x")
+    cand = (w.join(a, (F.col("a.l_orderkey") == F.col("w.l_orderkey"))
+                   & (F.col("a.l_suppkey") != F.col("w.l_suppkey")),
+                   "left_semi")
+            .join(x, (F.col("x.l_orderkey") == F.col("w.l_orderkey"))
+                  & (F.col("x.l_suppkey") != F.col("w.l_suppkey")),
+                  "left_anti"))
+    return (cand.join(F.broadcast(supp), F.col("w.l_suppkey") == supp.s_suppkey)
+            .join(F.broadcast(nat.where(F.col("n_name") == "NATION_2")),
+                  supp.s_nationkey == nat.n_nationkey)
+            .groupBy("s_name")
+            .agg(F.count("*").alias("numwait")))
+
+
+@query("q22_idle_customer_balance", """
+WITH avgbal AS (SELECT avg(c_acctbal) AS ab FROM customer
+                WHERE c_acctbal > 0.0)
+SELECT c_custkey % 7 AS cntrycode,
+       CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (SELECT ab FROM avgbal)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY 1
+""")
+def q22_idle_customer_balance(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity): above-average-
+    balance customers with no RECENT orders (none since 1999 — every
+    synthetic customer has some order, so the pure no-orders form
+    returns an evidence-free empty set), grouped by a synthetic
+    country code (custkey mod 7 — the schema has no phone column).
+    Scalar AVG subquery = 1-row broadcast; NOT EXISTS = left-anti on
+    custkey against the date-pruned distinct order custkeys, so the
+    fact side reduces before it moves."""
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    ab = (cust.where(F.col("c_acctbal") > 0.0)
+          .agg(F.avg("c_acctbal").alias("ab")))
+    return (cust.crossJoin(F.broadcast(ab))
+            .where(F.col("c_acctbal") > F.col("ab"))
+            .join(orders.where(F.col("o_orderdate")
+                                     >= F.lit("1999-01-01").cast("timestamp"))
+                  .select("o_custkey").distinct(),
+                  cust.c_custkey == F.col("o_custkey"), "left_anti")
+            .groupBy((F.col("c_custkey") % 7).alias("cntrycode"))
+            .agg(F.count("*").alias("numcust"),
+                 round_half_away(F.sum("c_acctbal"), 2).alias("totacctbal")))

@@ -2686,3 +2686,33 @@ def test_filter_funnel_first_fail_accounting(spark):
     assert out[3].n_in == 3 and out[3].n_dropped == 1   # doc 4
     assert out[4].n_in == 2 and out[4].n_dropped == 1   # doc 6
     assert out[4].n_out == 1                             # doc 1 survives
+
+
+def test_hll_pairwise_overlap_set_algebra(spark):
+    from pyspark.sql import functions as F
+
+    from amundsendatabuilder_spark.operators.sketches import (
+        hll_distinct, hll_pairwise_overlap)
+    # A and B identical, C disjoint from both
+    rows = ([("A", f"tok{i}") for i in range(300)]
+            + [("B", f"tok{i}") for i in range(300)]
+            + [("C", f"other{i}") for i in range(300)])
+    df = spark.createDataFrame(rows, "source string, tok string")
+    out = {(r.source_a, r.source_b): r
+           for r in hll_pairwise_overlap(df, "tok", "source").collect()}
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = out[("A", "B")]
+    # identical register tables: union estimate == single estimates,
+    # intersection == estimate, overlap exactly 1
+    assert ab.approx_union == ab.approx_a == ab.approx_b
+    assert ab.approx_intersection == ab.approx_a
+    assert ab.overlap == 1.0
+    # disjoint: intersection estimate stays small relative to set size
+    for k in (("A", "C"), ("B", "C")):
+        assert out[k].overlap < 0.25, out[k]
+    # merged-register union estimate equals sketching the concatenation
+    # (the mergeability contract the 100 TB design rests on)
+    ac = df.where(F.col("source").isin("A", "C")).select("tok")
+    direct = hll_distinct(ac, "tok").collect()[0].approx_distinct
+    # approx_union is rounded to 3dp in the report; direct is not
+    assert abs(out[("A", "C")].approx_union - direct) < 1e-3
