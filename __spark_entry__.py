@@ -27,6 +27,7 @@ from amundsendatabuilder_spark.plans.oracle_suite import ORACLES, QUERIES  # noq
 # is_active/full_name parity this round); (b)
 # graph_match_varlen_undirected, whose semantics changed this round
 # (Cypher relationship-uniqueness fix), needs re-certification; (c) the
+# 24 round-9 additions, never driver-certified; (d) the
 # oldest-certified entries (r1–r4 era), oldest first, to keep every
 # cert fresh under the rotation discipline. Names not yet registered
 # are skipped by ``_ordered``.
@@ -36,7 +37,21 @@ _PRIORITY = [
     "search_doc_user", "search_doc_dashboard",
     # (b) semantics changed in round 9 — prior cert attests old behavior
     "graph_match_varlen_undirected",
-    # (c) oldest-certified entries, oldest certification first
+    # (c) round-9 additions — never driver-certified; local-gate +
+    # unit-test evidence committed (CORRECTNESS_LOCAL_r09.json), the
+    # driver window provides the hard signal
+    "equi_depth_boundaries_grouped", "dedup_incremental_lsh",
+    "leakage_safe_split", "epoch_shuffle_shards",
+    "ngram_novelty", "filter_funnel_report", "hll_source_overlap",
+    "q2_min_acctbal_supplier", "q8_market_share",
+    "q9_profit_by_nation_year", "q11_part_value_share", "q13_custdist",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_count_by_part",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q19_disjunctive_revenue", "q20_excess_shippers",
+    "q21_waiting_suppliers", "q22_idle_customer_balance",
+    "weighted_sample_wor", "temperature_mixture_plan",
+    "graph_k_core",
+    # (d) oldest-certified entries, oldest certification first
     "lang_id", "quality_metrics", "doc_fingerprint", "embedding_norms",
     "char_ngram_profile", "pii_scrub", "repetition_metrics",
     "hash_sample_stratified", "vocab_topk", "corpus_length_stats",
@@ -55,17 +70,7 @@ _PRIORITY = [
     "pivot_status_by_priority",
     "graph_pagerank", "interval_overlap_join", "markov_transitions_ppm",
     "session_bounce_rate", "sessionize_batch",
-    # --- beyond the 50-slot window: round-9 additions queue here with
-    # local-gate + unit-test evidence, then next-oldest continue ---
-    "equi_depth_boundaries_grouped", "dedup_incremental_lsh",
-    "leakage_safe_split", "epoch_shuffle_shards",
-    "ngram_novelty", "filter_funnel_report", "hll_source_overlap",
-    "q2_min_acctbal_supplier", "q8_market_share",
-    "q9_profit_by_nation_year", "q11_part_value_share", "q13_custdist",
-    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_count_by_part",
-    "q17_small_quantity_revenue", "q18_large_volume_customers",
-    "q19_disjunctive_revenue", "q20_excess_shippers",
-    "q21_waiting_suppliers", "q22_idle_customer_balance",
+    # --- beyond the 50-slot window: next-oldest re-certs continue ---
     "multimodal_resize",
     "decayed_popularity", "numeric_corr_matrix", "kmeans_centroids",
     "lineage_asof_diff",

@@ -134,6 +134,97 @@ def ngram_novelty(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
                 F.col("n_novel") / F.col("n_shingles"), 6)))
 
 
+def weighted_sample_wor(docs: DataFrame, k: int = 100,
+                        weight_col: str = "n_chars",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): select ``k`` docs where each doc's inclusion odds are
+    proportional to ``weight_col`` — the quality-weighted subcorpus draw
+    ("sample 10M docs, favoring high quality") that uniform hash
+    sampling (textops.hash_sample) cannot express.
+
+    A-ES reduces WOR sampling to a top-k: give every row the key
+    u^(1/w) (equivalently ln(u)/w, monotone) with u uniform in (0,1),
+    and the k largest keys ARE a weighted sample without replacement.
+    u derives from md5 of the id (seedless, engine-reproducible): the
+    first 52 hash bits v give u = (v + 0.5) / 2^52, never 0 or 1. The
+    key is rounded to 12 decimals with HALF_UP and ties broken by id so
+    last-ulp ``ln`` differences across engines cannot flip membership
+    at the boundary.
+
+    Scale shape: one map-side projection computes the key, then
+    ``ORDER BY key LIMIT k`` — Catalyst's TakeOrderedAndProject keeps a
+    k-row heap per partition and merges k×partitions rows, never a
+    global sort. Contract: k must be driver-small (≲10^6); for
+    shard-sized samples run per-stratum (stratified_fixed_k's shape)
+    instead. Rows with weight <= 0 are excluded (zero odds).
+    Returns (id, weight, skey) — skey kept so the draw is auditable.
+    """
+    w = F.col(weight_col).cast("double")
+    v = F.conv(F.substring(
+        F.md5(F.concat(F.lit("wsw:"), F.col(id_col).cast("string"))),
+        1, 13), 16, 10).cast("long")
+    u = (v.cast("double") + F.lit(0.5)) / F.lit(float(1 << 52))
+    skey = round_half_away(F.log(u) / w, 12)
+    return (docs.where(w > 0)
+            .select(F.col(id_col), w.alias("weight"), skey.alias("skey"))
+            .orderBy(F.desc("skey"), id_col).limit(k))
+
+
+def temperature_mixture(docs: DataFrame, domain_col: str = "lang",
+                        alpha: float = 0.5,
+                        budget: int = 200) -> DataFrame:
+    """Temperature-scaled domain-mixture plan: apportion a ``budget`` of
+    training slots across domains proportionally to n_d^alpha — the
+    standard multilingual/domain rebalancing knob (alpha = 1 keeps the
+    natural distribution, alpha -> 0 approaches uniform, 0.3–0.7 is the
+    usual up-sampling band for low-resource domains).
+
+    Seats are integer and exact: the real weight n_d^alpha is quantized
+    ONCE to a 1e6-scaled integer (the only float step, HALF_UP-rounded
+    so both engines quantize identically), after which the largest-
+    remainder apportionment runs in pure BIGINT arithmetic — quota =
+    (budget * w) DIV W, remainder seats to the largest (budget * w) %
+    W, ties by domain name. No float accumulates, so partition
+    summation order cannot perturb a seat. Targets are then capped at
+    the domain's actual supply (sampling is without replacement
+    downstream); the shortfall is reported as ``deficit`` rather than
+    silently redistributed — re-apportioning would change every other
+    domain's target, a decision the pipeline owner makes.
+
+    Scale shape: one map-side-combinable count per domain; everything
+    after runs on the <= #domains-row table (bounded windows + one
+    1-row total broadcast). Returns (domain, n_docs, weight_ppm,
+    target, capped_target, deficit) ordered only by the gate's sort.
+    """
+    counts = (docs.groupBy(F.col(domain_col).alias("domain"))
+              .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+    wd = round_half_away(
+        F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+        * F.lit(1e6), 0).cast("long")
+    weighted = counts.withColumn("_w", wd)
+    tot = weighted.agg(F.sum("_w").alias("_tw"))
+    d = weighted.crossJoin(F.broadcast(tot))
+    d = (d.withColumn("_q", F.expr(f"{budget} * _w DIV _tw"))
+         .withColumn("_rem", F.expr(f"({budget} * _w) % _tw")))
+    wsum = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    wrank = Window.orderBy(F.desc("_rem"), "domain")
+    d = (d.withColumn("_left", F.lit(budget) - F.sum("_q").over(wsum))
+         .withColumn("_pos", F.row_number().over(wrank)))
+    target = F.col("_q") + F.when(F.col("_pos") <= F.col("_left"),
+                                  1).otherwise(0)
+    return (d.select(
+        "domain", "n_docs",
+        round_half_away(F.lit(1e6) * F.col("_w") / F.col("_tw"), 0)
+        .cast("long").alias("weight_ppm"),
+        target.cast("long").alias("target"),
+        F.least(target, F.col("n_docs")).cast("long")
+        .alias("capped_target"),
+        F.greatest(target - F.col("n_docs"), F.lit(0)).cast("long")
+        .alias("deficit")))
+
+
 FUNNEL_RULES = (
     # (stage, rule name) — evaluation order IS the funnel order
     (1, "min_chars"), (2, "lang_allowed"), (3, "min_tokens"),

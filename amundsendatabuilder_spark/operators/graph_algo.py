@@ -514,3 +514,50 @@ def temporal_reachability(edges: DataFrame, sources: DataFrame,
                  .groupBy("node").agg(F.min("arrival").alias("arrival"))
                  .localCheckpoint())
     return state
+
+
+def k_core(edges: DataFrame, k: int = 3, rounds: int = 5,
+           src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """k-core by simultaneous peeling: repeatedly delete every node
+    whose degree (in the surviving subgraph) is below ``k``; what
+    survives a fixpoint is the classic k-core — the densely-knit
+    backbone that degree thresholds on the RAW graph cannot find (a
+    degree-100 spam hub whose neighbors are all leaves has 2-core
+    membership of exactly nothing).
+
+    Catalog/curation uses: trimming crawl/link graphs to their cohesive
+    nucleus before community detection, and separating structurally-
+    embedded catalog entities from incidental spokes in a co-usage
+    graph (pagerank ranks them; k-core MEMBERSHIP thresholds them).
+
+    Semantics contract: the output is the subgraph after exactly
+    ``rounds`` SIMULTANEOUS peel sweeps (every sub-k node of a sweep
+    leaves at once), which equals the true k-core whenever peeling has
+    converged by then — peeling cascades (removing leaves exposes new
+    sub-k nodes), and a pathological chain can need ~|V| sweeps, so
+    callers wanting the certified fixpoint check that one more round is
+    a no-op (the unit test does; bounded-rounds is the same
+    catalog-practical form as match_var_path / temporal_reachability).
+    Input edges are undirected pairs; both orientations are
+    symmetrized, self-loops dropped, parallel edges deduped (degree =
+    distinct neighbors). Returns (node, core_degree) for survivors.
+
+    Scale shape per sweep: one map-side-combinable degree count + two
+    semi-joins of the edge list against the (node)-only survivor set —
+    edge payloads never widen, survivor state is one id per node, and
+    localCheckpoint truncates the per-sweep lineage like every
+    iterative operator here. No windows, no driver collect.
+    """
+    e = (edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+         .where(F.col("u") != F.col("v")))
+    sym = (e.unionByName(e.select(F.col("v").alias("u"),
+                                  F.col("u").alias("v")))
+           .distinct().localCheckpoint())
+    for _ in range(rounds):
+        keep = (sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+                .where(F.col("deg") >= k).select("u"))
+        sym = (sym.join(keep, "u", "left_semi")
+               .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+               .select("u", "v").localCheckpoint())
+    return (sym.groupBy(F.col("u").alias("node"))
+            .agg(F.count(F.lit(1)).cast("long").alias("core_degree")))

@@ -8184,3 +8184,148 @@ def q22_idle_customer_balance(spark, sf_dir):
             .groupBy((F.col("c_custkey") % 7).alias("cntrycode"))
             .agg(F.count("*").alias("numcust"),
                  round_half_away(F.sum("c_acctbal"), 2).alias("totacctbal")))
+
+
+@query("weighted_sample_wor", """
+WITH keyed AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+         round(ln((CAST(CAST('0x' || substr(
+                       md5('wsw:' || CAST(doc_id AS VARCHAR)), 1, 13)
+                     AS BIGINT) AS DOUBLE) + 0.5) / 4503599627370496.0)
+               / CAST(n_chars AS DOUBLE), 12) AS skey
+  FROM documents WHERE n_chars > 0)
+SELECT doc_id, weight, skey FROM keyed
+ORDER BY skey DESC, doc_id LIMIT 120
+""")
+def weighted_sample_wor_query(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (curation.weighted_sample_wor, Efraimidis-Spirakis A-ES): top-120
+    docs by the key ln(u)/w with u md5-derived and w = n_chars —
+    inclusion odds proportional to length, no replacement, no seed.
+    The plan is one map-side key projection + TakeOrderedAndProject
+    (per-partition k-row heaps), never a global sort."""
+    from amundsendatabuilder_spark.operators.curation import (
+        weighted_sample_wor)
+    (docs,) = _t(spark, sf_dir, "documents")
+    return weighted_sample_wor(docs, k=120, weight_col="n_chars")
+
+
+@query("temperature_mixture_plan", """
+WITH counts AS (SELECT lang AS domain, CAST(count(*) AS BIGINT) AS n_docs
+                FROM documents GROUP BY 1),
+w AS (SELECT domain, n_docs,
+             CAST(round(pow(CAST(n_docs AS DOUBLE), 0.5) * 1e6, 0)
+                  AS BIGINT) AS wv
+      FROM counts),
+t AS (SELECT sum(wv) AS tw FROM w),
+q AS (SELECT domain, n_docs, wv, tw,
+             200 * wv // tw AS quota,
+             (200 * wv) % tw AS rem
+      FROM w CROSS JOIN t),
+r AS (SELECT *, 200 - sum(quota) OVER () AS leftover,
+             row_number() OVER (ORDER BY rem DESC, domain) AS pos
+      FROM q),
+s AS (SELECT domain, n_docs, wv, tw,
+             quota + CASE WHEN pos <= leftover THEN 1 ELSE 0 END AS target
+      FROM r)
+SELECT domain, n_docs,
+       CAST(round(1e6 * wv / tw, 0) AS BIGINT) AS weight_ppm,
+       CAST(target AS BIGINT) AS target,
+       CAST(least(target, n_docs) AS BIGINT) AS capped_target,
+       CAST(greatest(target - n_docs, 0) AS BIGINT) AS deficit
+FROM s
+""")
+def temperature_mixture_plan(spark, sf_dir):
+    """Temperature-scaled language-mixture plan
+    (curation.temperature_mixture, alpha=0.5, budget=200): seats
+    apportioned to n_lang^0.5 by largest remainder in exact BIGINT
+    arithmetic (the n^alpha weight is quantized once to a 1e6-scaled
+    integer), capped at supply with the shortfall reported as deficit.
+    One combinable count per language; all seat math runs on the
+    5-row domain table."""
+    from amundsendatabuilder_spark.operators.curation import (
+        temperature_mixture)
+    (docs,) = _t(spark, sf_dir, "documents")
+    return temperature_mixture(docs, domain_col="lang", alpha=0.5,
+                               budget=200)
+
+
+def _kcore_oracle(k: int = 4, rounds: int = 6) -> str:
+    head = """
+WITH keys AS MATERIALIZED (SELECT DISTINCT o_orderkey AS k FROM orders),
+nv AS (SELECT ((max(k) // 10) * 10 + 10) AS n FROM keys),
+raw AS (
+  SELECT a.k AS u, b.k AS v FROM keys a
+  JOIN keys b ON b.k = a.k - (a.k % 10) WHERE a.k % 10 <> 0
+  UNION ALL
+  SELECT a.k AS u, b.k AS v FROM keys a
+  JOIN keys b ON b.k = a.k + 1 WHERE a.k % 10 <> 9
+  UNION ALL
+  SELECT a.k AS u, b.k AS v FROM keys a
+  JOIN keys b ON b.k = a.k + 2 WHERE a.k % 10 <= 7
+  UNION ALL
+  SELECT a.k AS u, b.k AS v FROM keys a CROSS JOIN nv
+  JOIN keys b ON b.k = (a.k + 10) % nv.n WHERE a.k % 10 = 0
+  UNION ALL
+  SELECT a.k AS u, b.k AS v FROM keys a CROSS JOIN nv
+  JOIN keys b ON b.k = (a.k + 20) % nv.n WHERE a.k % 10 = 0
+  UNION ALL
+  SELECT a.k AS u, b.k AS v FROM keys a CROSS JOIN nv
+  JOIN keys b ON b.k = (a.k + 30) % nv.n WHERE a.k % 10 = 0),
+e0 AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+         SELECT u, v FROM raw WHERE u <> v
+         UNION ALL SELECT v AS u, u AS v FROM raw WHERE u <> v))"""
+    its = []
+    for i in range(1, rounds + 1):
+        p = f"e{i - 1}"
+        its.append(f"""
+d{i} AS (SELECT u, count(*) AS c FROM {p} GROUP BY u),
+k{i} AS MATERIALIZED (SELECT u FROM d{i} WHERE c >= {k}),
+e{i} AS MATERIALIZED (SELECT s.u, s.v FROM {p} s
+       JOIN k{i} a ON a.u = s.u JOIN k{i} b ON b.u = s.v)""")
+    return (head + "," + ",".join(its)
+            + f"""
+SELECT u AS node, CAST(count(*) AS BIGINT) AS core_degree
+FROM e{rounds} GROUP BY u""")
+
+
+@query("graph_k_core", _kcore_oracle())
+def graph_k_core(spark, sf_dir):
+    """4-core of a decade-structured graph over order keys via
+    graph_algo.k_core: per decade a hub (k-k%10) with 9 spokes, a spoke
+    ring (k..k+1) and chords (k..k+2), plus a wraparound hub backbone
+    (hub..hub+10/20/30 mod keyspace). The spokes cascade-peel over 4
+    sweeps (degree-3 ring ends first, each removal exposing the next
+    pair) while the 6-regular hub backbone survives as the 4-core - the
+    shape degree thresholds on the raw graph cannot find, since spokes
+    and hubs BOTH start with degree >= 4 everywhere except the two ring
+    ends. 6 sweeps = cascade depth + 1 no-op, so the result IS the
+    fixpoint here; the DuckDB twin unrolls the same 6 sweeps, exact
+    either way. Per sweep: one combinable degree count + two id-only
+    semi-joins; no windows, no driver collect."""
+    from amundsendatabuilder_spark.operators.graph_algo import k_core
+    (orders,) = _t(spark, sf_dir, "orders")
+    keys_df = orders.select(F.col("o_orderkey").alias("k")).distinct()
+    nv = keys_df.agg(
+        (F.expr("(max(k) DIV 10) * 10 + 10")).alias("n"))
+    a, b = keys_df.alias("a"), keys_df.alias("b")
+
+    def em(cond, flt):
+        return (a.where(flt).join(b, cond)
+                .select(F.col("a.k").alias("src"), F.col("b.k").alias("dst")))
+
+    def hub(off):
+        return (a.where(F.col("a.k") % 10 == 0)
+                .crossJoin(F.broadcast(nv))
+                .join(b, F.col("b.k") == (F.col("a.k") + off) % F.col("n"))
+                .select(F.col("a.k").alias("src"), F.col("b.k").alias("dst")))
+
+    edges = (em(F.col("b.k") == F.col("a.k") - (F.col("a.k") % 10),
+                F.col("a.k") % 10 != 0)
+             .unionByName(em(F.col("b.k") == F.col("a.k") + 1,
+                             F.col("a.k") % 10 != 9))
+             .unionByName(em(F.col("b.k") == F.col("a.k") + 2,
+                             F.col("a.k") % 10 <= 7))
+             .unionByName(hub(10)).unionByName(hub(20))
+             .unionByName(hub(30)))
+    return k_core(edges, k=4, rounds=6)

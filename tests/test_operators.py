@@ -2716,3 +2716,81 @@ def test_hll_pairwise_overlap_set_algebra(spark):
     direct = hll_distinct(ac, "tok").collect()[0].approx_distinct
     # approx_union is rounded to 3dp in the report; direct is not
     assert abs(out[("A", "C")].approx_union - direct) < 1e-3
+
+
+def test_weighted_sample_wor_bias_and_contract(spark):
+    from pyspark.sql import functions as F
+
+    from amundsendatabuilder_spark.operators.curation import (
+        weighted_sample_wor)
+    # 200 light docs (w=1) vs 200 heavy docs (w=100): a weighted WOR
+    # draw of 100 must be dominated by the heavy class (each heavy doc
+    # has ~100x the inclusion odds of a light one)
+    rows = ([(i, 1) for i in range(200)]
+            + [(1000 + i, 100) for i in range(200)])
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = weighted_sample_wor(df, k=100, weight_col="w").collect()
+    assert len(out) == 100
+    ids = [r.doc_id for r in out]
+    assert len(set(ids)) == 100                      # without replacement
+    heavy = sum(1 for i in ids if i >= 1000)
+    assert heavy > 85, heavy
+    # zero/negative weights are excluded outright, and k > n truncates
+    z = spark.createDataFrame([(1, 0), (2, -5), (3, 7)],
+                              "doc_id long, w long")
+    zo = weighted_sample_wor(z, k=10, weight_col="w").collect()
+    assert [r.doc_id for r in zo] == [3]
+    # determinism: same input -> identical selection and keys
+    out2 = weighted_sample_wor(df, k=100, weight_col="w").collect()
+    assert sorted((r.doc_id, r.skey) for r in out) == \
+        sorted((r.doc_id, r.skey) for r in out2)
+
+
+def test_temperature_mixture_seats_caps_and_limits(spark):
+    from amundsendatabuilder_spark.operators.curation import (
+        temperature_mixture)
+    rows = ([(i, "big") for i in range(400)]
+            + [(1000 + i, "mid") for i in range(100)]
+            + [(2000 + i, "tiny") for i in range(4)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    # alpha=1: natural distribution — seats proportional to counts
+    nat = {r.domain: r for r in temperature_mixture(
+        df, "lang", alpha=1.0, budget=100).collect()}
+    assert sum(r.target for r in nat.values()) == 100
+    # weights 400/100/4 of 504: quotas 79/19/0, remainders .365/.841/.794
+    # -> the 2 leftover seats go to mid and tiny
+    assert nat["big"].target == 79 and nat["mid"].target == 20
+    assert nat["tiny"].target == 1 and nat["tiny"].deficit == 0
+    # alpha=0: uniform — every domain gets budget/n_domains seats, and
+    # the tiny domain's supply cap binds (4 docs < 33 seats)
+    uni = {r.domain: r for r in temperature_mixture(
+        df, "lang", alpha=0.0, budget=99).collect()}
+    assert [uni[d].target for d in ("big", "mid", "tiny")] == [33, 33, 33]
+    assert uni["tiny"].capped_target == 4 and uni["tiny"].deficit == 29
+    # alpha=0.5 sits strictly between: tiny up-weighted vs natural,
+    # big down-weighted vs natural; seats still sum to budget
+    mid = {r.domain: r for r in temperature_mixture(
+        df, "lang", alpha=0.5, budget=100).collect()}
+    assert sum(r.target for r in mid.values()) == 100
+    assert nat["big"].target > mid["big"].target > uni["big"].target
+    assert nat["tiny"].target < mid["tiny"].target
+
+
+def test_k_core_fixpoint_and_hygiene(spark):
+    from amundsendatabuilder_spark.operators.graph_algo import k_core
+    # 5-clique (0-4) + a tail 4-5-6-7; plus a self-loop and a parallel
+    # edge that must not inflate any degree
+    clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    tail = [(4, 5), (5, 6), (6, 7)]
+    noise = [(3, 3), (0, 1), (1, 0)]
+    df = spark.createDataFrame(clique + tail + noise, "src long, dst long")
+    out = {r.node: r.core_degree for r in k_core(df, k=3, rounds=5).collect()}
+    # the 3-core is exactly the clique; the tail cascade-peels (7 -> 6
+    # -> 5 each expose the next); node 4's degree drops back to 4
+    assert out == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4}
+    # one more round is a no-op: rounds=5 already reached the fixpoint
+    again = {r.node: r.core_degree
+             for r in k_core(df, k=3, rounds=6).collect()}
+    assert again == out
+    # k above the clique degree empties the graph
+    assert k_core(df, k=6, rounds=5).count() == 0

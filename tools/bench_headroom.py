@@ -116,6 +116,8 @@ SUITE = [
     "q17_small_quantity_revenue", "q18_large_volume_customers",
     "q19_disjunctive_revenue", "q20_excess_shippers",
     "q21_waiting_suppliers", "q22_idle_customer_balance",
+    "weighted_sample_wor", "temperature_mixture_plan",
+    "graph_k_core",
 ]
 
 
