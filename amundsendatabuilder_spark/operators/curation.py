@@ -280,3 +280,48 @@ def filter_funnel(docs: DataFrame, min_chars: int = 100,
             .withColumn("n_out",
                         (F.col("n_in") - F.col("n_dropped")).cast("long"))
             .select("stage", "rule", "n_in", "n_dropped", "n_out"))
+
+
+def mixture_interleave(docs: DataFrame, domain_col: str = "lang",
+                       alpha: float = 0.5,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Stride-scheduled domain interleave: the deterministic READ ORDER
+    that realizes a temperature mixture — reading rows by ascending
+    ``vt`` yields domains interleaved proportionally to n_d^alpha at
+    every prefix (a 10%-weight domain appears ~once per 10 docs, not in
+    a block), which is what a training loader actually needs from a
+    mixture: proportional at every step, not just in aggregate.
+
+    Classic stride scheduling (deficit round-robin): doc r of domain d
+    gets virtual time vt = r * STRIDE / w_d with w_d the 1e6-quantized
+    n_d^alpha weight of ``temperature_mixture`` and STRIDE = 1e12 —
+    pure BIGINT arithmetic (no float ever accumulates), ties broken by
+    (domain, id) at read time. Per-domain ranks come from the md5 order
+    (seedless; independent of the mixture, so truncating the schedule
+    at any budget is itself an unbiased weighted sample of each
+    domain).
+
+    Scale shape: one combinable count per domain, per-DOMAIN rank
+    windows (bounded by domain size — the epoch_shuffle_shards trick of
+    sub-sharding applies if one domain dominates), then map-side
+    arithmetic against the broadcast ≤#domains-row weight table; no
+    global sort — consumers merge shards by vt streamingly. Returns
+    (doc_id, domain, rk, vt).
+    """
+    counts = (docs.groupBy(F.col(domain_col).alias("domain"))
+              .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+    wv = round_half_away(
+        F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+        * F.lit(1e6), 0).cast("long")
+    weights = counts.select("domain", wv.alias("_w"))
+    rk = F.row_number().over(
+        Window.partitionBy(domain_col).orderBy(
+            F.md5(F.concat(F.lit("ilv:"), F.col(id_col).cast("string"))),
+            id_col))
+    ranked = docs.select(F.col(id_col),
+                         F.col(domain_col).alias("domain"),
+                         rk.alias("rk"))
+    return (ranked.join(F.broadcast(weights), "domain")
+            .select(id_col, "domain", F.col("rk").cast("long").alias("rk"),
+                    F.expr("rk * CAST(1000000000000 AS BIGINT) DIV _w")
+                    .alias("vt")))

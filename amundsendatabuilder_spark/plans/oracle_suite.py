@@ -8329,3 +8329,35 @@ def graph_k_core(spark, sf_dir):
              .unionByName(hub(10)).unionByName(hub(20))
              .unionByName(hub(30)))
     return k_core(edges, k=4, rounds=6)
+
+
+@query("mixture_interleave_schedule", """
+WITH counts AS (SELECT lang AS domain, count(*) AS n_docs
+                FROM documents GROUP BY 1),
+w AS (SELECT domain,
+             CAST(round(pow(CAST(n_docs AS DOUBLE), 0.5) * 1e6, 0)
+                  AS BIGINT) AS wv
+      FROM counts),
+r AS (SELECT doc_id, lang AS domain,
+             row_number() OVER (
+                 PARTITION BY lang
+                 ORDER BY md5('ilv:' || CAST(doc_id AS VARCHAR)), doc_id)
+             AS rk
+      FROM documents)
+SELECT r.doc_id, r.domain, CAST(rk AS BIGINT) AS rk,
+       (rk * CAST(1000000000000 AS BIGINT)) // wv AS vt
+FROM r JOIN w ON w.domain = r.domain
+""")
+def mixture_interleave_schedule(spark, sf_dir):
+    """Stride-scheduled language interleave
+    (curation.mixture_interleave, alpha=0.5): doc r of domain d reads
+    at virtual time r * 1e12 DIV w_d, so ascending-vt order realizes
+    the temperature mixture proportionally at EVERY prefix — the
+    training-loader read plan that composes temperature_mixture's
+    weights with per-domain md5 ranks. Pure BIGINT stride arithmetic;
+    per-domain rank windows + a broadcast 5-row weight join, no global
+    sort (consumers merge shards by vt)."""
+    from amundsendatabuilder_spark.operators.curation import (
+        mixture_interleave)
+    (docs,) = _t(spark, sf_dir, "documents")
+    return mixture_interleave(docs, domain_col="lang", alpha=0.5)

@@ -2794,3 +2794,28 @@ def test_k_core_fixpoint_and_hygiene(spark):
     assert again == out
     # k above the clique degree empties the graph
     assert k_core(df, k=6, rounds=5).count() == 0
+
+
+def test_mixture_interleave_proportional_prefixes(spark):
+    from amundsendatabuilder_spark.operators.curation import (
+        mixture_interleave)
+    rows = ([(i, "big") for i in range(900)]
+            + [(10_000 + i, "small") for i in range(100)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = mixture_interleave(df, "lang", alpha=1.0).collect()
+    assert len(out) == 1000
+    order = sorted(out, key=lambda r: (r.vt, r.domain, r.doc_id))
+    # alpha=1 strides are proportional to counts: every prefix holds
+    # close to the 9:1 ratio (within one stride of exact)
+    for n in (100, 300, 500):
+        small = sum(1 for r in order[:n] if r.domain == "small")
+        assert abs(small - n / 10) <= 2, (n, small)
+    # vt is exact integer stride arithmetic: doc r of domain d sits at
+    # r * 1e12 // w_d
+    w_big = round((900 ** 1.0) * 1e6)
+    big_r1 = min(r.vt for r in out if r.domain == "big")
+    assert big_r1 == 10 ** 12 * 1 // w_big
+    # determinism
+    out2 = mixture_interleave(df, "lang", alpha=1.0).collect()
+    assert sorted((r.doc_id, r.vt) for r in out) == \
+        sorted((r.doc_id, r.vt) for r in out2)

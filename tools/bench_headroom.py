@@ -118,6 +118,7 @@ SUITE = [
     "q21_waiting_suppliers", "q22_idle_customer_balance",
     "weighted_sample_wor", "temperature_mixture_plan",
     "graph_k_core",
+    "mixture_interleave_schedule",
 ]
 
 
