@@ -52,6 +52,7 @@ _PRIORITY = [
     "weighted_sample_wor", "temperature_mixture_plan",
     "graph_k_core",
     "mixture_interleave_schedule",
+    "embedding_decontam_audit",
     # (d) oldest-certified entries, oldest certification first
     "lang_id", "quality_metrics", "doc_fingerprint", "embedding_norms",
     "char_ngram_profile", "pii_scrub", "repetition_metrics",

@@ -1065,3 +1065,50 @@ def fuzzy_match_pairs(df: DataFrame, id_col: str, text_col: str,
             .where(F.col("distance") <= 1)
             .select("id_a", "id_b", F.col("distance").cast("int")
                     .alias("distance")))
+
+
+def embedding_decontam(train: DataFrame, benchmark: DataFrame,
+                       threshold: float = 0.6, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Semantic (embedding-space) test-set decontamination: every training
+    vector within cosine ``threshold`` of ANY benchmark vector, with the
+    hit count, max cosine, and nearest benchmark id (cosine ties break to
+    the smallest benchmark id so the result is hash-reproducible).
+
+    The embedding-space complement of ``benchmark_overlap``: lexical
+    n-gram overlap misses paraphrased/translated eval leakage, which is
+    exactly what embedding similarity catches (the decontamination step
+    of SemDeDup-style curation pipelines). Returns
+    (vec_id, n_bench_hits, max_cos, nearest_bench).
+
+    Scale shape mirrors ``benchmark_overlap``: benchmark sets are tiny
+    (an eval suite is MBs) next to the corpus (TBs), so the benchmark
+    side broadcasts and the 100 TB train side never shuffles vectors —
+    each train partition scores |bench| dot products map-side with
+    pre-computed norms, and only (id, bench_id, cos) survivor rows reach
+    the one map-side-combinable count/max aggregation. Exact by
+    construction — no LSH recall gap — which is what a contamination
+    AUDIT needs (an approximate audit that misses leaked eval rows is
+    worse than none).
+    """
+    from amundsendatabuilder_spark.functions.vectors import l2_norm
+    from amundsendatabuilder_spark.session import ensure_parallelism
+    t = (ensure_parallelism(train)
+         .select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+         .withColumn("_vn", l2_norm("_v")))
+    b = (benchmark
+         .select(F.col(id_col).alias("bench_id"),
+                 F.col(vec_col).cast("array<double>").alias("_bv"))
+         .withColumn("_bn", l2_norm("_bv")))
+    hits = (t.crossJoin(F.broadcast(b))
+            .withColumn("cos", round_half_away(cosine_similarity(
+                "_v", "_bv", norm_a=F.col("_vn"), norm_b=F.col("_bn")), 6))
+            .where(F.col("cos") >= threshold))
+    # one-pass argmax: struct max orders by (cos, -bench_id), so the max
+    # struct carries the smallest bench_id among the max-cosine hits
+    pick = F.max(F.struct(F.col("cos").alias("c"),
+                          (-F.col("bench_id")).cast("long").alias("nb")))
+    return (hits.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
+                 F.max("cos").alias("max_cos"),
+                 (-pick.getField("nb")).cast("long").alias("nearest_bench")))

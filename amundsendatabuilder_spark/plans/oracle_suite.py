@@ -8361,3 +8361,34 @@ def mixture_interleave_schedule(spark, sf_dir):
         mixture_interleave)
     (docs,) = _t(spark, sf_dir, "documents")
     return mixture_interleave(docs, domain_col="lang", alpha=0.5)
+
+
+@query("embedding_decontam_audit", """
+WITH b AS (SELECT vec_id AS bench_id, embedding::DOUBLE[] AS bv
+           FROM embeddings WHERE vec_id % 20 = 0),
+t AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id % 20 <> 0),
+hits AS (SELECT t.vec_id, b.bench_id,
+                round(list_cosine_similarity(t.v, b.bv), 6) AS cos
+         FROM t CROSS JOIN b
+         WHERE round(list_cosine_similarity(t.v, b.bv), 6) >= 0.3),
+agg AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
+               max(cos) AS max_cos
+        FROM hits GROUP BY 1)
+SELECT a.vec_id, a.n_bench_hits, a.max_cos,
+       CAST(min(h.bench_id) AS BIGINT) AS nearest_bench
+FROM agg a JOIN hits h ON h.vec_id = a.vec_id AND h.cos = a.max_cos
+GROUP BY 1, 2, 3
+""")
+def embedding_decontam_audit(spark, sf_dir):
+    """Semantic decontamination audit (dedup.embedding_decontam):
+    benchmark = every 20th vector, train = the rest; exact broadcast
+    cosine scan flags train vectors within 0.3 of any benchmark vector
+    with hit count, max cosine, and deterministic nearest benchmark id.
+    The embedding-space complement of bloom_decontam_membership /
+    benchmark_overlap (lexical n-grams miss paraphrases). The oracle
+    re-derives the argmax independently via a max-cos re-join + min."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") % 20 == 0)
+    train = emb.where(F.col("vec_id") % 20 != 0)
+    return dedup.embedding_decontam(train, bench, threshold=0.30)

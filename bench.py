@@ -171,6 +171,7 @@ EXTENDED = [
     "weighted_sample_wor", "temperature_mixture_plan",
     "graph_k_core",
     "mixture_interleave_schedule",
+    "embedding_decontam_audit",
 ]
 
 

@@ -2819,3 +2819,23 @@ def test_mixture_interleave_proportional_prefixes(spark):
     out2 = mixture_interleave(df, "lang", alpha=1.0).collect()
     assert sorted((r.doc_id, r.vt) for r in out) == \
         sorted((r.doc_id, r.vt) for r in out2)
+
+
+def test_embedding_decontam_exact_and_ties(spark):
+    from amundsendatabuilder_spark.operators.dedup import embedding_decontam
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (200, [0.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    train = spark.createDataFrame(
+        [(1, [2.0, 0.0]),     # cos 1.0 vs bench 100, 0.0 vs 200
+         (2, [1.0, 1.0]),     # cos ~0.7071 vs BOTH -> tie, nearest=min id
+         (3, [-1.0, 0.0])],   # cos -1 / 0 -> no hits at 0.5
+        "vec_id long, embedding array<float>")
+    out = {r.vec_id: r
+           for r in embedding_decontam(train, bench, threshold=0.5).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_bench_hits == 1
+    assert out[1].max_cos == 1.0 and out[1].nearest_bench == 100
+    assert out[2].n_bench_hits == 2
+    assert abs(out[2].max_cos - 0.707107) < 1e-12
+    assert out[2].nearest_bench == 100  # tie broken to smallest bench id
