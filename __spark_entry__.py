@@ -53,6 +53,7 @@ _PRIORITY = [
     "graph_k_core",
     "mixture_interleave_schedule",
     "embedding_decontam_audit",
+    "dsir_importance_weights",
     # (d) oldest-certified entries, oldest certification first
     "lang_id", "quality_metrics", "doc_fingerprint", "embedding_norms",
     "char_ngram_profile", "pii_scrub", "repetition_metrics",

@@ -325,3 +325,86 @@ def mixture_interleave(docs: DataFrame, domain_col: str = "lang",
             .select(id_col, "domain", F.col("rk").cast("long").alias("rk"),
                     F.expr("rk * CAST(1000000000000 AS BIGINT) DIV _w")
                     .alias("vt")))
+
+
+def dsir_importance_weights(docs: DataFrame, target: DataFrame,
+                            n_buckets: int = 1024,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): score every raw-pool document by the
+    log-likelihood ratio of its hashed n-gram features (unigrams +
+    adjacent bigrams, md5-hashed into ``n_buckets`` buckets) under
+    add-1-smoothed bag-of-buckets models of the TARGET domain vs the raw
+    pool:
+
+        logw(d) = sum_b c_db * ( ln (tc_b+1)/(T+B) - ln (rc_b+1)/(R+B) )
+
+    High ``logw`` means "looks like the target domain"; the resampling
+    step is a downstream compose — feed logw into
+    ``weighted_sample_wor`` with exp(logw/tau) weights. Docs with no
+    tokens score 0 with n_feats 0 (every doc is scored). Returns
+    (doc_id, n_feats, logw).
+
+    Scale shape: the bucket LLR table is at most ``n_buckets`` rows
+    REGARDLESS of corpus size — it broadcasts; per-doc bucket counts are
+    one map-side-combinable shuffle of (id, bucket) ints (never text);
+    raw-pool bucket totals are derived from the per-doc counts (no
+    second corpus scan), and the target pass aggregates the small target
+    sample. Doubles follow the repo's fixed-point contract: per-bucket
+    LLR rounds to 9dp, per-doc sums ride int64 nano-units
+    (order-independent), final logw rounds to 6dp.
+    """
+    B = float(n_buckets)
+
+    def feat_buckets(df: DataFrame) -> DataFrame:
+        # unigrams + adjacent bigrams from ONE posexplode materialization
+        toks = (df.select(F.col(id_col).alias("_rid"),
+                          F.posexplode(tokens(F.lower(F.col(text_col))))
+                          .alias("pos", "tok"))
+                .localCheckpoint())
+        a = toks.select("_rid", "pos", F.col("tok").alias("w1"))
+        b = toks.select("_rid", (F.col("pos") - 1).alias("pos"),
+                        F.col("tok").alias("w2"))
+        bi = (a.join(b, ["_rid", "pos"])
+              .select("_rid", F.concat_ws(" ", "w1", "w2").alias("feat")))
+        feats = toks.select("_rid", F.col("tok").alias("feat")) \
+                    .unionByName(bi)
+        bucket = (F.conv(F.substring(
+            F.md5(F.concat(F.lit("dsir:"), F.col("feat"))), 1, 15), 16, 10)
+            .cast("long") % n_buckets)
+        return feats.select("_rid", bucket.alias("bucket"))
+
+    from amundsendatabuilder_spark.session import ensure_parallelism
+    doc_b = (feat_buckets(ensure_parallelism(docs))
+             .groupBy("_rid", "bucket")
+             .agg(F.count(F.lit(1)).cast("long").alias("c"))
+             .localCheckpoint())
+    raw_b = doc_b.groupBy("bucket").agg(F.sum("c").alias("rc"))
+    tgt_b = (feat_buckets(target).groupBy("bucket")
+             .agg(F.count(F.lit(1)).cast("long").alias("tc")))
+    tot = (raw_b.agg(F.sum("rc").cast("double").alias("R"))
+           .crossJoin(tgt_b.agg(
+               F.coalesce(F.sum("tc"), F.lit(0)).cast("double").alias("T"))))
+    llr = (raw_b.join(tgt_b, "bucket", "left")
+           .crossJoin(F.broadcast(tot))
+           .select("bucket", round_half_away(
+               F.log((F.coalesce(F.col("tc"), F.lit(0)) + F.lit(1.0))
+                     / (F.col("T") + F.lit(B)))
+               - F.log((F.col("rc") + F.lit(1.0))
+                       / (F.col("R") + F.lit(B))), 9).alias("llr")))
+    scored = (doc_b.join(F.broadcast(llr), "bucket")
+              .select("_rid", "c",
+                      F.round(round_half_away(
+                          F.col("c") * F.col("llr"), 9) * 1e9)
+                      .cast("long").alias("part_fp"))
+              .groupBy("_rid")
+              .agg(F.sum("c").cast("long").alias("n_feats"),
+                   round_half_away(F.sum("part_fp") / F.lit(1e9), 6)
+                   .alias("logw")))
+    return (docs.select(F.col(id_col))
+            .join(scored.withColumnRenamed("_rid", id_col), id_col, "left")
+            .select(id_col,
+                    F.coalesce(F.col("n_feats"), F.lit(0).cast("long"))
+                    .alias("n_feats"),
+                    F.coalesce(F.col("logw"), F.lit(0.0)).alias("logw")))

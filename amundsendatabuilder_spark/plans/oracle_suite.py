@@ -8392,3 +8392,52 @@ def embedding_decontam_audit(spark, sf_dir):
     bench = emb.where(F.col("vec_id") % 20 == 0)
     train = emb.where(F.col("vec_id") % 20 != 0)
     return dedup.embedding_decontam(train, bench, threshold=0.30)
+
+
+@query("dsir_importance_weights", r"""
+WITH t AS (SELECT doc_id, """ + _LTOKS_SQL + r""" AS toks FROM documents),
+tk AS (SELECT doc_id, i, toks[i] AS tok
+       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+             FROM t)),
+f AS (SELECT doc_id,
+             CAST('0x' || substr(md5('dsir:' || feat), 1, 15) AS BIGINT)
+             % 1024 AS bucket
+      FROM (SELECT doc_id, tok AS feat FROM tk
+            UNION ALL
+            SELECT a.doc_id, a.tok || ' ' || b.tok AS feat
+            FROM tk a JOIN tk b
+              ON a.doc_id = b.doc_id AND b.i = a.i + 1)),
+db AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c
+       FROM f GROUP BY 1, 2),
+rb AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS rc FROM db GROUP BY 1),
+tb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS tc
+       FROM f JOIN documents USING (doc_id)
+       WHERE lang = 'en' GROUP BY 1),
+tot AS (SELECT (SELECT CAST(sum(rc) AS DOUBLE) FROM rb) AS R,
+               (SELECT CAST(coalesce(sum(tc), 0) AS DOUBLE) FROM tb) AS T),
+llr AS (SELECT rb.bucket,
+               round(ln((CAST(coalesce(tc, 0) AS DOUBLE) + 1.0)
+                        / (T + 1024.0))
+                     - ln((CAST(rc AS DOUBLE) + 1.0) / (R + 1024.0)), 9)
+               AS llr
+        FROM rb LEFT JOIN tb ON tb.bucket = rb.bucket CROSS JOIN tot),
+agg AS (SELECT db.doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+               round(sum(CAST(round(round(CAST(c AS DOUBLE) * llr, 9)
+                                    * 1e9) AS BIGINT)) / 1e9, 6) AS logw
+        FROM db JOIN llr ON llr.bucket = db.bucket GROUP BY 1)
+SELECT d.doc_id, coalesce(n_feats, CAST(0 AS BIGINT)) AS n_feats,
+       coalesce(logw, 0.0) AS logw
+FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+""")
+def dsir_importance_weights_query(spark, sf_dir):
+    """DSIR data selection (curation.dsir_importance_weights): hashed
+    unigram+bigram bag-of-buckets log-likelihood ratio of the lang='en'
+    target domain vs the whole raw pool, per document — the published
+    importance-resampling scoring pass (Xie et al. 2023), exact in 1024
+    hash buckets. Bucket LLRs round to 9dp and per-doc sums ride int64
+    nano-units so the double fold is order-independent cross-engine."""
+    from amundsendatabuilder_spark.operators.curation import (
+        dsir_importance_weights)
+    (docs,) = _t(spark, sf_dir, "documents")
+    return dsir_importance_weights(docs, docs.where(F.col("lang") == "en"),
+                                   n_buckets=1024)

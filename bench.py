@@ -172,6 +172,7 @@ EXTENDED = [
     "graph_k_core",
     "mixture_interleave_schedule",
     "embedding_decontam_audit",
+    "dsir_importance_weights",
 ]
 
 

@@ -2839,3 +2839,58 @@ def test_embedding_decontam_exact_and_ties(spark):
     assert out[2].n_bench_hits == 2
     assert abs(out[2].max_cos - 0.707107) < 1e-12
     assert out[2].nearest_bench == 100  # tie broken to smallest bench id
+
+
+def test_dsir_importance_weights_matches_python_twin(spark):
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from amundsendatabuilder_spark.operators.curation import (
+        dsir_importance_weights)
+    B = 64
+    corpus = {1: "alpha alpha beta", 2: "alpha beta", 3: "gamma delta",
+              4: ""}
+    docs = spark.createDataFrame(list(corpus.items()),
+                                 "doc_id long, text string")
+    target_ids = {1, 2}
+    out = {r.doc_id: r for r in dsir_importance_weights(
+        docs, docs.where(F.col("doc_id").isin(1, 2)),
+        n_buckets=B).collect()}
+
+    def rha(x, nd):  # round half away from zero, like the operator
+        return float(Decimal(repr(x)).quantize(
+            Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP))
+
+    def feats(text):
+        toks = text.split()
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(feat):
+        h = hashlib.md5(f"dsir:{feat}".encode()).hexdigest()
+        return int(h[:15], 16) % B
+
+    db, tb = {}, {}
+    for did, text in corpus.items():
+        for f_ in feats(text):
+            b = bucket(f_)
+            db.setdefault(did, {})[b] = db.get(did, {}).get(b, 0) + 1
+            if did in target_ids:
+                tb[b] = tb.get(b, 0) + 1
+    rb = {}
+    for cs in db.values():
+        for b, c in cs.items():
+            rb[b] = rb.get(b, 0) + c
+    R, T = float(sum(rb.values())), float(sum(tb.values()))
+    llr = {b: rha(math.log((tb.get(b, 0) + 1.0) / (T + B))
+                  - math.log((rc + 1.0) / (R + B)), 9)
+           for b, rc in rb.items()}
+    for did, text in corpus.items():
+        n_feats = len(feats(text))
+        fp = sum(round(rha(c * llr[b], 9) * 1e9)
+                 for b, c in db.get(did, {}).items())
+        assert out[did].n_feats == n_feats, did
+        assert out[did].logw == rha(fp / 1e9, 6), did
+    assert out[4].n_feats == 0 and out[4].logw == 0.0
+    # target-like docs outscore the out-of-domain doc
+    assert min(out[1].logw, out[2].logw) > out[3].logw

@@ -120,6 +120,7 @@ SUITE = [
     "graph_k_core",
     "mixture_interleave_schedule",
     "embedding_decontam_audit",
+    "dsir_importance_weights",
 ]
 
 
