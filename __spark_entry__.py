@@ -54,6 +54,7 @@ _PRIORITY = [
     "mixture_interleave_schedule",
     "embedding_decontam_audit",
     "dsir_importance_weights",
+    "padding_waste_report",
     # (d) oldest-certified entries, oldest certification first
     "lang_id", "quality_metrics", "doc_fingerprint", "embedding_norms",
     "char_ngram_profile", "pii_scrub", "repetition_metrics",

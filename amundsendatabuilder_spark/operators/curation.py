@@ -408,3 +408,62 @@ def dsir_importance_weights(docs: DataFrame, target: DataFrame,
                     F.coalesce(F.col("n_feats"), F.lit(0).cast("long"))
                     .alias("n_feats"),
                     F.coalesce(F.col("logw"), F.lit(0.0)).alias("logw")))
+
+
+def padding_waste_report(docs: DataFrame, batch_size: int = 8,
+                         n_shards: int = 16, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Batch-planning diagnostic: how many padding tokens a fixed-size
+    training batcher wastes under (a) 'naive' md5-shuffled order vs (b)
+    'bucketed' length-sorted order, batching WITHIN md5 shards the way a
+    real loader does (shard -> shuffle/sort -> consecutive batches of
+    ``batch_size``; every sequence in a batch pads to the batch max).
+
+    One row per strategy: (strategy, n_batches, real_tokens,
+    slot_tokens, waste_tokens, waste_ppm) — slot_tokens = sum over
+    batches of max_len x rows, waste = slot - real, ppm in exact BIGINT
+    arithmetic (no floats anywhere, so the report is hash-stable by
+    construction). Length-bucketed batching is the standard padding-
+    efficiency trick; this measures the win on YOUR corpus before you
+    commit to it.
+
+    Scale shape: the ranking windows partition by (strategy, shard) —
+    bounded by shard size, never corpus-wide (shards are how loaders
+    consume corpora; ``n_shards`` scales with data volume like
+    epoch_shuffle_shards). The windowed frame carries only
+    (id, n_tok, shard, keys) ints; both aggregations are map-side
+    combinable.
+    """
+    rnd = F.md5(F.concat(F.lit("pad:"), F.col(id_col).cast("string")))
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.size(tokens(F.lower(F.col(text_col)))).cast("long").alias("n_tok"),
+        (_md5_bucket16(F.concat(F.lit("shard:"),
+                                F.col(id_col).cast("string")))
+         % n_shards).alias("shard"),
+        rnd.alias("rnd"))
+    stacked = (base.withColumn("strategy", F.lit("naive"))
+               .withColumn("key0", F.lit(0).cast("long"))
+               .unionByName(
+                   base.withColumn("strategy", F.lit("bucketed"))
+                   .withColumn("key0", F.col("n_tok"))))
+    w = Window.partitionBy("strategy", "shard").orderBy(
+        "key0", "rnd", "_id")
+    batched = (stacked.withColumn("_rn", F.row_number().over(w))
+               .withColumn("batch",
+                           F.expr(f"(_rn - 1) DIV {int(batch_size)}")))
+    per_batch = (batched.groupBy("strategy", "shard", "batch")
+                 .agg(F.max("n_tok").alias("mx"),
+                      F.sum("n_tok").alias("real"),
+                      F.count(F.lit(1)).cast("long").alias("rows")))
+    return (per_batch.groupBy("strategy")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_batches"),
+                 F.sum("real").cast("long").alias("real_tokens"),
+                 F.sum(F.col("mx") * F.col("rows")).cast("long")
+                 .alias("slot_tokens"))
+            .withColumn("waste_tokens",
+                        F.col("slot_tokens") - F.col("real_tokens"))
+            .withColumn("waste_ppm", F.expr(
+                "waste_tokens * CAST(1000000 AS BIGINT) DIV slot_tokens"))
+            .select("strategy", "n_batches", "real_tokens", "slot_tokens",
+                    "waste_tokens", "waste_ppm"))

@@ -8441,3 +8441,47 @@ def dsir_importance_weights_query(spark, sf_dir):
     (docs,) = _t(spark, sf_dir, "documents")
     return dsir_importance_weights(docs, docs.where(F.col("lang") == "en"),
                                    n_buckets=1024)
+
+
+@query("padding_waste_report", r"""
+WITH base AS (
+  SELECT doc_id AS _id,
+         CAST(len(""" + _LTOKS_SQL + r""") AS BIGINT) AS n_tok,
+         CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 4)
+              AS BIGINT) % 16 AS shard,
+         md5('pad:' || CAST(doc_id AS VARCHAR)) AS rnd
+  FROM documents),
+stacked AS (
+  SELECT 'naive' AS strategy, CAST(0 AS BIGINT) AS key0, * FROM base
+  UNION ALL
+  SELECT 'bucketed', n_tok, * FROM base),
+rn AS (SELECT strategy, shard, n_tok,
+              row_number() OVER (PARTITION BY strategy, shard
+                                 ORDER BY key0, rnd, _id) AS _rn
+       FROM stacked),
+pb AS (SELECT strategy, shard, (_rn - 1) // 8 AS batch,
+              max(n_tok) AS mx, sum(n_tok) AS real,
+              CAST(count(*) AS BIGINT) AS rows_
+       FROM rn GROUP BY 1, 2, 3),
+agg AS (SELECT strategy, CAST(count(*) AS BIGINT) AS n_batches,
+               CAST(sum(real) AS BIGINT) AS real_tokens,
+               CAST(sum(mx * rows_) AS BIGINT) AS slot_tokens
+        FROM pb GROUP BY 1)
+SELECT strategy, n_batches, real_tokens, slot_tokens,
+       slot_tokens - real_tokens AS waste_tokens,
+       (slot_tokens - real_tokens) * CAST(1000000 AS BIGINT) // slot_tokens
+       AS waste_ppm
+FROM agg
+""")
+def padding_waste_report_query(spark, sf_dir):
+    """Padding-waste batch-planning report
+    (curation.padding_waste_report): naive md5-shuffled vs
+    length-bucketed batching within 16 md5 shards, batches of 8, every
+    sequence padded to its batch max — exact BIGINT token accounting
+    (no floats), windows bounded by shard size. Measures the
+    length-bucketing win on this corpus before committing the loader to
+    it."""
+    from amundsendatabuilder_spark.operators.curation import (
+        padding_waste_report)
+    (docs,) = _t(spark, sf_dir, "documents")
+    return padding_waste_report(docs, batch_size=8, n_shards=16)

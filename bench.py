@@ -173,6 +173,7 @@ EXTENDED = [
     "mixture_interleave_schedule",
     "embedding_decontam_audit",
     "dsir_importance_weights",
+    "padding_waste_report",
 ]
 
 

@@ -2894,3 +2894,24 @@ def test_dsir_importance_weights_matches_python_twin(spark):
     assert out[4].n_feats == 0 and out[4].logw == 0.0
     # target-like docs outscore the out-of-domain doc
     assert min(out[1].logw, out[2].logw) > out[3].logw
+
+
+def test_padding_waste_bucketed_beats_naive(spark):
+    from amundsendatabuilder_spark.operators.curation import (
+        padding_waste_report)
+    # bimodal lengths: naive mixes them per batch (max dominates),
+    # bucketed groups like with like
+    rows = [(i, "w " * (4 if i % 2 == 0 else 64)) for i in range(64)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.strategy: r for r in
+           padding_waste_report(docs, batch_size=4, n_shards=1).collect()}
+    assert set(out) == {"naive", "bucketed"}
+    for r in out.values():
+        assert r.real_tokens == 32 * 4 + 32 * 64
+        assert r.n_batches == 16
+        assert r.slot_tokens == r.real_tokens + r.waste_tokens
+        assert r.waste_ppm == r.waste_tokens * 10**6 // r.slot_tokens
+    # single shard + perfect bimodality: bucketed batches are pure ->
+    # zero waste; naive almost surely mixes -> strictly worse
+    assert out["bucketed"].waste_tokens == 0
+    assert out["naive"].waste_tokens > 0

@@ -121,6 +121,7 @@ SUITE = [
     "mixture_interleave_schedule",
     "embedding_decontam_audit",
     "dsir_importance_weights",
+    "padding_waste_report",
 ]
 
 
