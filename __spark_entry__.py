@@ -55,6 +55,7 @@ _PRIORITY = [
     "embedding_decontam_audit",
     "dsir_importance_weights",
     "padding_waste_report",
+    "ngram_diversity",
     # (d) oldest-certified entries, oldest certification first
     "lang_id", "quality_metrics", "doc_fingerprint", "embedding_norms",
     "char_ngram_profile", "pii_scrub", "repetition_metrics",

@@ -41,7 +41,14 @@ def word_shingles(col, n: int = 3) -> Column:
     shingle[i] = tokens[i..i+n-1] joined by single spaces; standard MinHash
     preprocessing (Broder '97 resemblance sketches).
     """
-    toks = tokens(col)
+    return shingles_from_tokens(tokens(col), n)
+
+
+def shingles_from_tokens(toks, n: int = 3) -> Column:
+    """``word_shingles`` over an already-tokenized array column — lets a
+    caller tokenize once and derive shingles for several ``n`` from the
+    same materialized array (one text scan instead of one per n)."""
+    toks = _c(toks)
     idx = F.sequence(F.lit(0), F.size(toks) - n)  # empty when size < n
     return F.when(F.size(toks) >= n,
                   F.transform(idx, lambda i: F.concat_ws(

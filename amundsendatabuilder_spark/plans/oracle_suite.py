@@ -8485,3 +8485,32 @@ def padding_waste_report_query(spark, sf_dir):
         padding_waste_report)
     (docs,) = _t(spark, sf_dir, "documents")
     return padding_waste_report(docs, batch_size=8, n_shards=16)
+
+
+@query("ngram_diversity", r"""
+WITH t AS (SELECT source, """ + _LTOKS_SQL + r""" AS toks FROM documents),
+g AS (
+  SELECT source, 1 AS n, toks[i] AS gram
+  FROM (SELECT source, toks, unnest(range(1, len(toks) + 1)) AS i FROM t)
+  UNION ALL
+  SELECT source, 2, toks[i] || ' ' || toks[i+1]
+  FROM (SELECT source, toks, unnest(range(1, len(toks))) AS i FROM t)
+  UNION ALL
+  SELECT source, 3, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+  FROM (SELECT source, toks, unnest(range(1, len(toks) - 1)) AS i FROM t)),
+c AS (SELECT source, n, gram, CAST(count(*) AS BIGINT) AS c
+      FROM g GROUP BY 1, 2, 3)
+SELECT source, CAST(n AS INT) AS n,
+       CAST(count(*) AS BIGINT) AS distinct_ngrams,
+       CAST(sum(c) AS BIGINT) AS total_ngrams,
+       CAST(count(*) AS BIGINT) * CAST(1000000 AS BIGINT)
+       // CAST(sum(c) AS BIGINT) AS distinct_ppm
+FROM c GROUP BY 1, 2
+""")
+def ngram_diversity_query(spark, sf_dir):
+    """Distinct-1/2/3 diversity per source (textops.ngram_diversity) —
+    the corpus-diversity rows of a dataset card, exact integer ppm; one
+    tokenize scan feeds all three shingle widths through a single
+    struct explode."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return textops.ngram_diversity(docs, ns=(1, 2, 3))

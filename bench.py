@@ -174,6 +174,7 @@ EXTENDED = [
     "embedding_decontam_audit",
     "dsir_importance_weights",
     "padding_waste_report",
+    "ngram_diversity",
 ]
 
 

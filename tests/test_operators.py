@@ -2915,3 +2915,24 @@ def test_padding_waste_bucketed_beats_naive(spark):
     # zero waste; naive almost surely mixes -> strictly worse
     assert out["bucketed"].waste_tokens == 0
     assert out["naive"].waste_tokens > 0
+
+
+def test_ngram_diversity_exact_counts(spark):
+    from amundsendatabuilder_spark.operators.textops import ngram_diversity
+    docs = spark.createDataFrame(
+        [(1, "a b a b", "s1"), (2, "a a a", "s1"), (3, "x y", "s2")],
+        "doc_id long, text string, source string")
+    out = {(r.source, r.n): r for r in ngram_diversity(docs).collect()}
+    # s1 unigrams: a b a b a a a -> total 7, distinct {a, b} = 2
+    assert out[("s1", 1)].total_ngrams == 7
+    assert out[("s1", 1)].distinct_ngrams == 2
+    assert out[("s1", 1)].distinct_ppm == 2 * 10**6 // 7
+    # s1 bigrams: "a b","b a","a b" + "a a","a a" -> total 5, distinct 3
+    assert out[("s1", 2)].total_ngrams == 5
+    assert out[("s1", 2)].distinct_ngrams == 3
+    # s1 trigrams: "a b a","b a b" + "a a a" -> total 3, distinct 3
+    assert out[("s1", 3)].total_ngrams == 3
+    assert out[("s1", 3)].distinct_ngrams == 3
+    # s2 is too short for trigrams: no row
+    assert ("s2", 3) not in out
+    assert out[("s2", 2)].total_ngrams == 1

@@ -122,6 +122,7 @@ SUITE = [
     "embedding_decontam_audit",
     "dsir_importance_weights",
     "padding_waste_report",
+    "ngram_diversity",
 ]
 
 
