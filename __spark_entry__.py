@@ -56,6 +56,7 @@ _PRIORITY = [
     "dsir_importance_weights",
     "padding_waste_report",
     "ngram_diversity",
+    "hard_negative_mining",
     # (d) oldest-certified entries, oldest certification first
     "lang_id", "quality_metrics", "doc_fingerprint", "embedding_norms",
     "char_ngram_profile", "pii_scrub", "repetition_metrics",

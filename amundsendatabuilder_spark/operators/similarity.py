@@ -561,3 +561,46 @@ def embedding_covariance(emb: DataFrame, vec_col: str = "embedding",
             .crossJoin(F.broadcast(n))
             .select(F.col("i").alias("dim_i"), F.col("j").alias("dim_j"),
                     round_half_away(num / den, 9).alias("cov")))
+
+
+def hard_negative_mining(corpus: DataFrame, anchors: DataFrame, k: int = 3,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         label_col: str = "label") -> DataFrame:
+    """Contrastive-training hard negatives: for each anchor vector, the
+    ``k`` most-cosine-similar corpus vectors with a DIFFERENT label —
+    the "looks alike but isn't" examples a contrastive/embedding
+    fine-tune mines between epochs (highest-loss negatives). Returns
+    (query_id, query_label, neighbor_id, neighbor_label, cos, rank),
+    rank ties broken by neighbor id.
+
+    Scale shape mirrors ``brute_force_topk``: mining runs in anchor
+    BATCHES (a few thousand anchors per pass), so the anchor side
+    broadcasts and the 100 TB corpus side never shuffles vectors — each
+    corpus partition scores |anchors| dots map-side with precomputed
+    norms, and the per-anchor top-k window sees at most |corpus| rows
+    per anchor AFTER the different-label filter, reduced map-side by
+    the rank window's underlying partial top-k. For billion-vector
+    corpora compose with ``ivf_topk``'s routing to cut the scan.
+    """
+    from amundsendatabuilder_spark.functions.vectors import l2_norm
+    from amundsendatabuilder_spark.session import ensure_parallelism
+    q = (anchors.select(F.col(id_col).alias("query_id"),
+                        F.col(label_col).alias("query_label"),
+                        F.col(vec_col).cast("array<double>").alias("_qv"))
+         .withColumn("_qn", l2_norm("_qv")))
+    c = (ensure_parallelism(corpus)
+         .select(F.col(id_col).alias("neighbor_id"),
+                 F.col(label_col).alias("neighbor_label"),
+                 F.col(vec_col).cast("array<double>").alias("_cv"))
+         .withColumn("_cn", l2_norm("_cv")))
+    scored = (c.crossJoin(F.broadcast(q))
+              .where(F.col("neighbor_label") != F.col("query_label"))
+              .withColumn("cos", round_half_away(cosine_similarity(
+                  "_qv", "_cv", norm_a=F.col("_qn"),
+                  norm_b=F.col("_cn")), 6)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "query_label", "neighbor_id",
+                    "neighbor_label", "cos", "rank"))

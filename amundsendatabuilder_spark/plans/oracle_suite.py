@@ -8514,3 +8514,32 @@ def ngram_diversity_query(spark, sf_dir):
     struct explode."""
     (docs,) = _t(spark, sf_dir, "documents")
     return textops.ngram_diversity(docs, ns=(1, 2, 3))
+
+
+@query("hard_negative_mining", r"""
+WITH a AS (SELECT vec_id AS query_id, label AS query_label,
+                  embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id % 10 = 0),
+sc AS (SELECT a.query_id, a.query_label,
+              e.vec_id AS neighbor_id, e.label AS neighbor_label,
+              round(list_cosine_similarity(a.qv, e.embedding::DOUBLE[]), 6)
+              AS cos
+       FROM a JOIN embeddings e ON e.label <> a.query_label),
+r AS (SELECT *, CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT)
+          AS rank
+      FROM sc)
+SELECT query_id, query_label, neighbor_id, neighbor_label, cos, rank
+FROM r WHERE rank <= 3
+""")
+def hard_negative_mining_query(spark, sf_dir):
+    """Contrastive hard-negative mining
+    (similarity.hard_negative_mining): every 10th vector anchors a
+    batch; top-3 most-similar DIFFERENT-label corpus vectors per anchor
+    (broadcast anchors, corpus never shuffles vectors), ties by
+    neighbor id."""
+    from amundsendatabuilder_spark.operators.similarity import (
+        hard_negative_mining)
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return hard_negative_mining(emb, emb.where(F.col("vec_id") % 10 == 0),
+                                k=3)

@@ -175,6 +175,7 @@ EXTENDED = [
     "dsir_importance_weights",
     "padding_waste_report",
     "ngram_diversity",
+    "hard_negative_mining",
 ]
 
 

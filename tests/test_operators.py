@@ -2936,3 +2936,18 @@ def test_ngram_diversity_exact_counts(spark):
     # s2 is too short for trigrams: no row
     assert ("s2", 3) not in out
     assert out[("s2", 2)].total_ngrams == 1
+
+
+def test_hard_negative_mining_excludes_same_label(spark):
+    from amundsendatabuilder_spark.operators.similarity import (
+        hard_negative_mining)
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.99, 0.1], 0),   # same-label near-dup
+         (3, [0.9, 0.4], 1), (4, [0.0, 1.0], 1),
+         (5, [-1.0, 0.0], 2)],
+        "vec_id long, embedding array<float>, label int")
+    out = hard_negative_mining(emb, emb.where("vec_id = 1"), k=2).collect()
+    assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)] == \
+        [3, 4]  # vec 2 (same label) excluded despite cos~1; 5 beyond k
+    assert all(r.query_label == 0 and r.neighbor_label != 0 for r in out)
+    assert out[0].query_id == 1

@@ -123,6 +123,7 @@ SUITE = [
     "dsir_importance_weights",
     "padding_waste_report",
     "ngram_diversity",
+    "hard_negative_mining",
 ]
 
 
