@@ -57,6 +57,7 @@ _PRIORITY = [
     "padding_waste_report",
     "ngram_diversity",
     "hard_negative_mining",
+    "concat_window_packing",
     # (d) oldest-certified entries, oldest certification first
     "lang_id", "quality_metrics", "doc_fingerprint", "embedding_norms",
     "char_ngram_profile", "pii_scrub", "repetition_metrics",

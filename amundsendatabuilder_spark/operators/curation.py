@@ -467,3 +467,62 @@ def padding_waste_report(docs: DataFrame, batch_size: int = 8,
                 "waste_tokens * CAST(1000000 AS BIGINT) DIV slot_tokens"))
             .select("strategy", "n_batches", "real_tokens", "slot_tokens",
                     "waste_tokens", "waste_ppm"))
+
+
+def concat_window_packing(docs: DataFrame, window_tokens: int = 256,
+                          n_shards: int = 16, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Concat-and-chunk packing audit (the GPT-style loader: concatenate
+    documents in deterministic md5 order within each shard, cut fixed
+    ``window_tokens`` windows): one summary row with exact BIGINT
+    accounting of what that loader would produce —
+
+      (total_docs, total_tokens, n_windows, docs_split, split_ppm,
+       tail_tokens, fill_ppm)
+
+    where docs_split counts documents cut by a window boundary (the
+    attention-contamination cost of concat packing), tail_tokens is the
+    unfilled remainder of each shard's last window, and fill_ppm =
+    total_tokens / (n_windows x window_tokens). Pairs with
+    ``padding_waste_report``: concat packing wastes ~0 slots but splits
+    documents; padded batching never splits but wastes slots — these two
+    reports quantify the trade on YOUR corpus.
+
+    Scale shape: cumulative token offsets come from a window partitioned
+    by shard (bounded — shards are the loader's consumption unit, as in
+    ``epoch_shuffle_shards``), carrying only (id, n_tok, shard, rnd)
+    ints; everything downstream is one map-side-combinable aggregation.
+    """
+    W = int(window_tokens)
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.size(tokens(F.lower(F.col(text_col)))).cast("long").alias("n_tok"),
+        (_md5_bucket16(F.concat(F.lit("shard:"),
+                                F.col(id_col).cast("string")))
+         % n_shards).alias("shard"),
+        F.md5(F.concat(F.lit("pack:"), F.col(id_col).cast("string")))
+        .alias("rnd"))
+    w = (Window.partitionBy("shard").orderBy("rnd", "_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (base.withColumn("cum_end", F.sum("n_tok").over(w))
+           .withColumn("start", F.col("cum_end") - F.col("n_tok"))
+           .withColumn("split", (F.col("n_tok") > 0)
+                       & (F.expr(f"start DIV {W}")
+                          != F.expr(f"(cum_end - 1) DIV {W}"))))
+    per_shard = (cum.groupBy("shard")
+                 .agg(F.count(F.lit(1)).cast("long").alias("docs"),
+                      F.max("cum_end").alias("tot"),
+                      F.sum(F.col("split").cast("long")).alias("nsplit"))
+                 .withColumn("n_win", F.expr(f"(tot + {W} - 1) DIV {W}")))
+    return (per_shard.agg(
+        F.sum("docs").cast("long").alias("total_docs"),
+        F.sum("tot").cast("long").alias("total_tokens"),
+        F.sum("n_win").cast("long").alias("n_windows"),
+        F.sum("nsplit").cast("long").alias("docs_split"))
+        .withColumn("split_ppm", F.expr(
+            "docs_split * CAST(1000000 AS BIGINT) DIV total_docs"))
+        .withColumn("tail_tokens", F.expr(
+            f"n_windows * CAST({W} AS BIGINT) - total_tokens"))
+        .withColumn("fill_ppm", F.expr(
+            f"total_tokens * CAST(1000000 AS BIGINT) "
+            f"DIV (n_windows * CAST({W} AS BIGINT))")))

@@ -8543,3 +8543,50 @@ def hard_negative_mining_query(spark, sf_dir):
     (emb,) = _t(spark, sf_dir, "embeddings")
     return hard_negative_mining(emb, emb.where(F.col("vec_id") % 10 == 0),
                                 k=3)
+
+
+@query("concat_window_packing", r"""
+WITH base AS (
+  SELECT doc_id AS _id,
+         CAST(len(""" + _LTOKS_SQL + r""") AS BIGINT) AS n_tok,
+         CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 4)
+              AS BIGINT) % 16 AS shard,
+         md5('pack:' || CAST(doc_id AS VARCHAR)) AS rnd
+  FROM documents),
+cum AS (SELECT shard, n_tok,
+               sum(n_tok) OVER (PARTITION BY shard ORDER BY rnd, _id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_end
+        FROM base),
+sp AS (SELECT shard, n_tok, cum_end,
+              CASE WHEN n_tok > 0
+                   AND (cum_end - n_tok) // 256 <> (cum_end - 1) // 256
+                   THEN 1 ELSE 0 END AS split
+       FROM cum),
+per_shard AS (SELECT shard, CAST(count(*) AS BIGINT) AS docs,
+                     max(cum_end) AS tot,
+                     CAST(sum(split) AS BIGINT) AS nsplit,
+                     (max(cum_end) + 255) // 256 AS n_win
+              FROM sp GROUP BY 1),
+agg AS (SELECT CAST(sum(docs) AS BIGINT) AS total_docs,
+               CAST(sum(tot) AS BIGINT) AS total_tokens,
+               CAST(sum(n_win) AS BIGINT) AS n_windows,
+               CAST(sum(nsplit) AS BIGINT) AS docs_split
+        FROM per_shard)
+SELECT total_docs, total_tokens, n_windows, docs_split,
+       docs_split * CAST(1000000 AS BIGINT) // total_docs AS split_ppm,
+       n_windows * CAST(256 AS BIGINT) - total_tokens AS tail_tokens,
+       total_tokens * CAST(1000000 AS BIGINT)
+       // (n_windows * CAST(256 AS BIGINT)) AS fill_ppm
+FROM agg
+""")
+def concat_window_packing_query(spark, sf_dir):
+    """Concat-and-chunk packing audit (curation.concat_window_packing):
+    256-token windows over md5-ordered concatenation within 16 shards —
+    exact BIGINT counts of boundary-split documents and window fill, the
+    trade-off twin of padding_waste_report (concat wastes ~no slots but
+    splits docs; padded batching never splits but wastes slots)."""
+    from amundsendatabuilder_spark.operators.curation import (
+        concat_window_packing)
+    (docs,) = _t(spark, sf_dir, "documents")
+    return concat_window_packing(docs, window_tokens=256, n_shards=16)

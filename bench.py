@@ -176,6 +176,7 @@ EXTENDED = [
     "padding_waste_report",
     "ngram_diversity",
     "hard_negative_mining",
+    "concat_window_packing",
 ]
 
 

@@ -2951,3 +2951,36 @@ def test_hard_negative_mining_excludes_same_label(spark):
         [3, 4]  # vec 2 (same label) excluded despite cos~1; 5 beyond k
     assert all(r.query_label == 0 and r.neighbor_label != 0 for r in out)
     assert out[0].query_id == 1
+
+
+def test_concat_window_packing_hand_case(spark):
+    from amundsendatabuilder_spark.operators.curation import (
+        concat_window_packing)
+    # single shard, window of 5 tokens; docs of 3/4/2/0 tokens
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f g"), (3, "h i"), (4, "")],
+        "doc_id long, text string")
+    out = concat_window_packing(docs, window_tokens=5, n_shards=1) \
+        .collect()[0]
+    assert out.total_docs == 4 and out.total_tokens == 9
+    assert out.n_windows == 2          # ceil(9 / 5)
+    assert out.tail_tokens == 1        # 2*5 - 9
+    assert out.fill_ppm == 9 * 10**6 // 10
+    # python twin replicates the md5 consumption order exactly
+    import hashlib
+    toks = {1: 3, 2: 4, 3: 2, 4: 0}
+    order = sorted(toks, key=lambda i: (
+        hashlib.md5(f"pack:{i}".encode()).hexdigest(), i))
+    cum, splits = 0, 0
+    for i in order:
+        start, cum = cum, cum + toks[i]
+        if toks[i] > 0 and start // 5 != (cum - 1) // 5:
+            splits += 1
+    assert out.docs_split == splits
+    assert out.split_ppm == splits * 10**6 // 4
+    # a 7-token doc in a 5-token window ALWAYS splits
+    alone = concat_window_packing(
+        spark.createDataFrame([(9, "a b c d e f g")],
+                              "doc_id long, text string"),
+        window_tokens=5, n_shards=1).collect()[0]
+    assert alone.docs_split == 1 and alone.n_windows == 2

@@ -124,6 +124,7 @@ SUITE = [
     "padding_waste_report",
     "ngram_diversity",
     "hard_negative_mining",
+    "concat_window_packing",
 ]
 
 
