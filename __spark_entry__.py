@@ -58,6 +58,7 @@ _PRIORITY = [
     "ngram_diversity",
     "hard_negative_mining",
     "concat_window_packing",
+    "split_leak_audit",
     # (d) oldest-certified entries, oldest certification first
     "lang_id", "quality_metrics", "doc_fingerprint", "embedding_norms",
     "char_ngram_profile", "pii_scrub", "repetition_metrics",

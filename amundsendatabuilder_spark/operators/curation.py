@@ -526,3 +526,37 @@ def concat_window_packing(docs: DataFrame, window_tokens: int = 256,
         .withColumn("fill_ppm", F.expr(
             f"total_tokens * CAST(1000000 AS BIGINT) "
             f"DIV (n_windows * CAST({W} AS BIGINT))")))
+
+
+def split_leak_audit(pairs: DataFrame, splits: DataFrame,
+                     id_col: str = "doc_id",
+                     pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
+                     ) -> DataFrame:
+    """Contamination matrix of a per-document split: joins a verified
+    near-duplicate pair set against a split assignment and counts pairs
+    per unordered split-class — every cross-split row is leaked
+    evaluation data (a test doc whose near-duplicate trains). This is
+    the measurement that motivates ``leakage_safe_split``: run it on the
+    naive ``textops.split_assign`` output to see the leak, and on the
+    cluster-atomic assignment to verify it reads zero. Returns
+    (split_a, split_b, n_pairs, leak) with split_a <= split_b
+    lexicographically and leak = split_a <> split_b.
+
+    Scale shape: the pair set is tiny relative to the corpus (it holds
+    actual near-duplicates, not all docs), so it BROADCASTS through two
+    map-side joins against the corpus-sized split map — the corpus side
+    never shuffles; the final count groups <= |splits|^2 classes,
+    map-side combinable.
+    """
+    pa, pb = pair_cols
+    sa = splits.select(F.col(id_col).alias(pa), F.col("split").alias("_sa"))
+    sb = splits.select(F.col(id_col).alias(pb), F.col("split").alias("_sb"))
+    # each join broadcasts the pair-sized side; the corpus-sized split
+    # map is only ever scanned, never shuffled
+    half = sa.join(F.broadcast(pairs.select(pa, pb)), pa)
+    tagged = sb.join(F.broadcast(half), pb)
+    return (tagged.groupBy(
+        F.least("_sa", "_sb").alias("split_a"),
+        F.greatest("_sa", "_sb").alias("split_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .withColumn("leak", F.col("split_a") != F.col("split_b")))

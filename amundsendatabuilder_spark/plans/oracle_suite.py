@@ -8590,3 +8590,41 @@ def concat_window_packing_query(spark, sf_dir):
         concat_window_packing)
     (docs,) = _t(spark, sf_dir, "documents")
     return concat_window_packing(docs, window_tokens=256, n_shards=16)
+
+
+@query("split_leak_audit", f"""
+WITH {_minhash_bands_cte(16, 4)},
+pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_sig = b.band_sig
+           AND a.doc_id < b.doc_id),
+sp AS (SELECT doc_id,
+              CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 4) AS BIGINT) < 52428
+                   THEN 'train'
+                   WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 4) AS BIGINT) < 58982
+                   THEN 'val'
+                   ELSE 'test' END AS split
+       FROM documents),
+tagged AS (SELECT least(x.split, y.split) AS split_a,
+                  greatest(x.split, y.split) AS split_b
+           FROM pairs JOIN sp x ON x.doc_id = pairs.doc_a
+                      JOIN sp y ON y.doc_id = pairs.doc_b)
+SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
+       split_a <> split_b AS leak
+FROM tagged GROUP BY 1, 2
+""")
+def split_leak_audit_query(spark, sf_dir):
+    """Split-contamination matrix (curation.split_leak_audit): the
+    MinHash-LSH near-dup pair set joined against the naive per-doc hash
+    split (textops.split_assign) — cross-split rows are leaked eval
+    data, the measured motivation for leakage_safe_split. Pair set
+    broadcasts through both endpoint joins; the corpus-sized split map
+    never shuffles."""
+    from amundsendatabuilder_spark.operators.curation import (
+        split_leak_audit)
+    from amundsendatabuilder_spark.operators.dedup import minhash_lsh_pairs
+    (docs,) = _t(spark, sf_dir, "documents")
+    return split_leak_audit(minhash_lsh_pairs(docs),
+                            textops.split_assign(docs))

@@ -177,6 +177,7 @@ EXTENDED = [
     "ngram_diversity",
     "hard_negative_mining",
     "concat_window_packing",
+    "split_leak_audit",
 ]
 
 

@@ -2984,3 +2984,26 @@ def test_concat_window_packing_hand_case(spark):
                               "doc_id long, text string"),
         window_tokens=5, n_shards=1).collect()[0]
     assert alone.docs_split == 1 and alone.n_windows == 2
+
+
+def test_split_leak_audit_cluster_atomic_reads_zero(spark):
+    from amundsendatabuilder_spark.operators.curation import (
+        leakage_safe_split, split_leak_audit)
+    from amundsendatabuilder_spark.operators.textops import split_assign
+    docs = spark.createDataFrame([(i,) for i in range(1, 101)],
+                                 "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 50) for i in range(1, 31)], "doc_a long, doc_b long")
+    # cluster-atomic assignment: every pair co-splits -> zero leak rows
+    safe = leakage_safe_split(docs, pairs).select("doc_id", "split")
+    out_safe = split_leak_audit(pairs, safe).collect()
+    assert sum(r.n_pairs for r in out_safe) == 30
+    assert all(not r.leak for r in out_safe)
+    assert all(r.split_a == r.split_b for r in out_safe)
+    # naive per-doc hash split: endpoints hash independently, so with 30
+    # pairs across an 80/10/10 cut some pair leaks (P[none] ~ 0.66^30)
+    naive = split_assign(docs)
+    out_naive = split_leak_audit(pairs, naive).collect()
+    assert sum(r.n_pairs for r in out_naive) == 30
+    assert any(r.leak for r in out_naive)
+    assert all((r.split_a <= r.split_b) for r in out_naive)

@@ -125,6 +125,7 @@ SUITE = [
     "ngram_diversity",
     "hard_negative_mining",
     "concat_window_packing",
+    "split_leak_audit",
 ]
 
 
