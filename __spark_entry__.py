@@ -59,6 +59,7 @@ _PRIORITY = [
     "hard_negative_mining",
     "concat_window_packing",
     "split_leak_audit",
+    "oov_rate_report",
     # (d) oldest-certified entries, oldest certification first
     "lang_id", "quality_metrics", "doc_fingerprint", "embedding_norms",
     "char_ngram_profile", "pii_scrub", "repetition_metrics",

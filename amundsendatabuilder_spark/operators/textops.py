@@ -1446,3 +1446,42 @@ def ngram_diversity(docs: DataFrame, ns: tuple[int, ...] = (1, 2, 3),
                 "distinct_ngrams * CAST(1000000 AS BIGINT) DIV total_ngrams"))
             .select(F.col("grp").alias(group_col), "n", "distinct_ngrams",
                     "total_ngrams", "distinct_ppm"))
+
+
+def oov_rate_report(docs: DataFrame, vocab_size: int = 1000,
+                    group_col: str = "source",
+                    text_col: str = "text") -> DataFrame:
+    """Out-of-vocabulary rate per group against a corpus-trained top-V
+    vocabulary (count DESC, token ties): the coverage check run after a
+    tokenizer/vocab build — a source with high oov_ppm will fragment
+    into byte-fallbacks and waste context length. Returns
+    (source, total_tokens, oov_tokens, oov_ppm), exact integer ppm.
+
+    Scale shape: tokens collapse to (group, token) counts FIRST
+    (map-side combinable; rows bounded by groups x vocab, not corpus
+    tokens); the global vocabulary cut is a distributed top-V
+    (TakeOrderedAndProject over the token-count table — never a global
+    sort of the corpus) that then broadcasts into a map-side membership
+    join.
+    """
+    from amundsendatabuilder_spark.functions.text import tokens
+    from amundsendatabuilder_spark.session import ensure_parallelism
+    st = (ensure_parallelism(docs)
+          .select(F.col(group_col).alias("grp"),
+                  F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
+          .groupBy("grp", "tok")
+          .agg(F.count(F.lit(1)).cast("long").alias("c"))
+          .localCheckpoint())
+    vocab = (st.groupBy("tok").agg(F.sum("c").alias("n"))
+             .orderBy(F.col("n").desc(), "tok").limit(vocab_size)
+             .select("tok", F.lit(True).alias("_in_vocab")))
+    return (st.join(F.broadcast(vocab), "tok", "left")
+            .groupBy("grp")
+            .agg(F.sum("c").cast("long").alias("total_tokens"),
+                 F.sum(F.when(F.col("_in_vocab").isNull(), F.col("c"))
+                       .otherwise(F.lit(0))).cast("long")
+                 .alias("oov_tokens"))
+            .withColumn("oov_ppm", F.expr(
+                "oov_tokens * CAST(1000000 AS BIGINT) DIV total_tokens"))
+            .select(F.col("grp").alias(group_col), "total_tokens",
+                    "oov_tokens", "oov_ppm"))

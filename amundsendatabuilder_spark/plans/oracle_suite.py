@@ -8628,3 +8628,27 @@ def split_leak_audit_query(spark, sf_dir):
     (docs,) = _t(spark, sf_dir, "documents")
     return split_leak_audit(minhash_lsh_pairs(docs),
                             textops.split_assign(docs))
+
+
+@query("oov_rate_report", r"""
+WITH tok AS (SELECT source, unnest(""" + _LTOKS_SQL + r""") AS tok
+             FROM documents),
+st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+       FROM tok GROUP BY 1, 2),
+v AS (SELECT tok FROM (SELECT tok, sum(c) AS n FROM st GROUP BY 1)
+      ORDER BY n DESC, tok LIMIT 16)
+SELECT source, CAST(sum(c) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN c ELSE 0 END) AS BIGINT)
+       AS oov_tokens,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN c ELSE 0 END) AS BIGINT)
+       * CAST(1000000 AS BIGINT) // CAST(sum(c) AS BIGINT) AS oov_ppm
+FROM st LEFT JOIN v ON v.tok = st.tok
+GROUP BY 1
+""")
+def oov_rate_report_query(spark, sf_dir):
+    """OOV coverage per source against the corpus top-16 vocabulary
+    (textops.oov_rate_report) — tokens collapse to (source, token)
+    counts before anything global; the vocab cut is a distributed
+    top-V then a broadcast membership join."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return textops.oov_rate_report(docs, vocab_size=16)

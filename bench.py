@@ -178,6 +178,7 @@ EXTENDED = [
     "hard_negative_mining",
     "concat_window_packing",
     "split_leak_audit",
+    "oov_rate_report",
 ]
 
 

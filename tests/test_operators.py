@@ -3007,3 +3007,20 @@ def test_split_leak_audit_cluster_atomic_reads_zero(spark):
     assert sum(r.n_pairs for r in out_naive) == 30
     assert any(r.leak for r in out_naive)
     assert all((r.split_a <= r.split_b) for r in out_naive)
+
+
+def test_oov_rate_report_counts(spark):
+    from amundsendatabuilder_spark.operators.textops import oov_rate_report
+    docs = spark.createDataFrame(
+        [(1, "a a a b rare1", "s1"), (2, "a b b rare2 rare2", "s2")],
+        "doc_id long, text string, source string")
+    # vocab_size=2 -> vocab {a, b} (a:4, b:3); rare1/rare2 are OOV
+    out = {r.source: r for r in
+           oov_rate_report(docs, vocab_size=2).collect()}
+    assert out["s1"].total_tokens == 5 and out["s1"].oov_tokens == 1
+    assert out["s1"].oov_ppm == 10**6 // 5
+    assert out["s2"].total_tokens == 5 and out["s2"].oov_tokens == 2
+    assert out["s2"].oov_ppm == 2 * 10**6 // 5
+    # vocab large enough -> zero OOV everywhere
+    full = oov_rate_report(docs, vocab_size=10).collect()
+    assert all(r.oov_tokens == 0 for r in full)

@@ -126,6 +126,7 @@ SUITE = [
     "hard_negative_mining",
     "concat_window_packing",
     "split_leak_audit",
+    "oov_rate_report",
 ]
 
 
