@@ -60,6 +60,7 @@ _PRIORITY = [
     "concat_window_packing",
     "split_leak_audit",
     "oov_rate_report",
+    "zipf_alpha_report",
     # (d) oldest-certified entries, oldest certification first
     "lang_id", "quality_metrics", "doc_fingerprint", "embedding_norms",
     "char_ngram_profile", "pii_scrub", "repetition_metrics",

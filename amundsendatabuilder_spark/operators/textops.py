@@ -1485,3 +1485,57 @@ def oov_rate_report(docs: DataFrame, vocab_size: int = 1000,
                 "oov_tokens * CAST(1000000 AS BIGINT) DIV total_tokens"))
             .select(F.col("grp").alias(group_col), "total_tokens",
                     "oov_tokens", "oov_ppm"))
+
+
+def zipf_alpha_report(docs: DataFrame, top_r: int = 20,
+                      group_col: str = "source",
+                      text_col: str = "text") -> DataFrame:
+    """Zipf exponent per group: least-squares slope of ln(frequency) on
+    ln(rank) over the group's top ``top_r`` tokens — natural corpora sit
+    near alpha ~= 1; a source whose alpha collapses toward 0 is
+    templated/synthetic (flat frequencies), one far above 1 is
+    degenerate repetition. The distribution-shape complement of
+    ``ngram_diversity`` on a dataset card. Returns
+    (source, n_points, top_count, zipf_alpha), alpha NULL when fewer
+    than 2 points or zero x-variance.
+
+    Determinism/scale shape: token counts collapse map-side; the rank
+    window partitions by GROUP over the (group, token) count table
+    (bounded by per-source vocabulary, never corpus tokens); ln values
+    are quantized ONCE to 1e6-scaled BIGINT so every regression
+    sufficient statistic is an exact, order-free integer sum
+    (trend_slopes' contract), and the single double division rounds to
+    6dp. Domain: |X| <= ln(top_r)*1e6, |Y| <= ln(total_tokens)*1e6 —
+    n*SXY stays far inside int64 for any real corpus.
+    """
+    from amundsendatabuilder_spark.functions.scalars import round_half_away
+    from amundsendatabuilder_spark.functions.text import tokens
+    from amundsendatabuilder_spark.session import ensure_parallelism
+    st = (ensure_parallelism(docs)
+          .select(F.col(group_col).alias("grp"),
+                  F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
+          .groupBy("grp", "tok")
+          .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    w = Window.partitionBy("grp").orderBy(F.col("c").desc(), "tok")
+    ranked = (st.withColumn("rank", F.row_number().over(w))
+              .where(F.col("rank") <= top_r))
+    q = (ranked.select(
+        "grp", "c",
+        round_half_away(F.log(F.col("rank").cast("double")) * 1e6, 0)
+        .cast("long").alias("x"),
+        round_half_away(F.log(F.col("c").cast("double")) * 1e6, 0)
+        .cast("long").alias("y")))
+    sums = (q.groupBy("grp")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.max("c").alias("top_count"),
+                 F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                 F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                 F.sum(F.col("x") * F.col("x")).alias("sxx")))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (sums.select(
+        F.col("grp").alias(group_col),
+        F.col("n").alias("n_points"), "top_count",
+        F.when(den > 0, round_half_away(
+            -(num.cast("double") / den.cast("double")), 6))
+        .alias("zipf_alpha")))

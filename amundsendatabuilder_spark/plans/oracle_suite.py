@@ -8652,3 +8652,39 @@ def oov_rate_report_query(spark, sf_dir):
     top-V then a broadcast membership join."""
     (docs,) = _t(spark, sf_dir, "documents")
     return textops.oov_rate_report(docs, vocab_size=16)
+
+
+@query("zipf_alpha_report", r"""
+WITH tok AS (SELECT source, unnest(""" + _LTOKS_SQL + r""") AS tok
+             FROM documents),
+st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+       FROM tok GROUP BY 1, 2),
+rk AS (SELECT source, c,
+              row_number() OVER (PARTITION BY source
+                                 ORDER BY c DESC, tok) AS rank
+       FROM st),
+q AS (SELECT source, c,
+             CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6, 0) AS BIGINT) AS x,
+             CAST(round(ln(CAST(c AS DOUBLE)) * 1e6, 0) AS BIGINT) AS y
+      FROM rk WHERE rank <= 20),
+s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_points,
+             max(c) AS top_count,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM q GROUP BY 1)
+SELECT source, n_points, top_count,
+       CASE WHEN n_points * sxx - sx * sx > 0
+            THEN round(-(CAST(n_points * sxy - sx * sy AS DOUBLE)
+                         / CAST(n_points * sxx - sx * sx AS DOUBLE)), 6)
+            END AS zipf_alpha
+FROM s
+""")
+def zipf_alpha_report_query(spark, sf_dir):
+    """Zipf exponent per source (textops.zipf_alpha_report): ln-rank vs
+    ln-frequency least squares over each source's top-20 tokens, every
+    sufficient statistic an exact 1e6-quantized integer sum
+    (trend_slopes' determinism contract), one double division at the
+    end — the distribution-shape row of a dataset card."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return textops.zipf_alpha_report(docs, top_r=20)

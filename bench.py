@@ -179,6 +179,7 @@ EXTENDED = [
     "concat_window_packing",
     "split_leak_audit",
     "oov_rate_report",
+    "zipf_alpha_report",
 ]
 
 

@@ -3024,3 +3024,35 @@ def test_oov_rate_report_counts(spark):
     # vocab large enough -> zero OOV everywhere
     full = oov_rate_report(docs, vocab_size=10).collect()
     assert all(r.oov_tokens == 0 for r in full)
+
+
+def test_zipf_alpha_known_slope(spark):
+    import math
+
+    from amundsendatabuilder_spark.operators.textops import zipf_alpha_report
+    # counts 8/4/2/1 over ranks 1..4: ln c = ln 8 - ln2 * ln r / ... not
+    # exactly linear in ln r; compute the expected LS slope on the
+    # quantized grid the operator uses
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    docs = spark.createDataFrame([(1, text, "s1")],
+                                 "doc_id long, text string, source string")
+    out = zipf_alpha_report(docs, top_r=20).collect()[0]
+    assert out.n_points == 4 and out.top_count == 8
+    xs = [round(math.log(r) * 1e6) for r in (1, 2, 3, 4)]
+    ys = [round(math.log(c) * 1e6) for c in (8, 4, 2, 1)]
+    n = 4
+    num = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+    den = n * sum(x * x for x in xs) - sum(xs) ** 2
+    assert abs(out.zipf_alpha - round(-num / den, 6)) <= 1e-6
+    # flat distribution: zero slope
+    flat = zipf_alpha_report(
+        spark.createDataFrame([(1, "a b c d", "s1")],
+                              "doc_id long, text string, source string"),
+        top_r=20).collect()[0]
+    assert flat.zipf_alpha == 0.0
+    # single token: no variance -> NULL
+    one = zipf_alpha_report(
+        spark.createDataFrame([(1, "a a a", "s1")],
+                              "doc_id long, text string, source string"),
+        top_r=20).collect()[0]
+    assert one.zipf_alpha is None and one.n_points == 1

@@ -127,6 +127,7 @@ SUITE = [
     "concat_window_packing",
     "split_leak_audit",
     "oov_rate_report",
+    "zipf_alpha_report",
 ]
 
 
