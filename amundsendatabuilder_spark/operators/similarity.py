@@ -604,3 +604,60 @@ def hard_negative_mining(corpus: DataFrame, anchors: DataFrame, k: int = 3,
             .where(F.col("rank") <= k)
             .select("query_id", "query_label", "neighbor_id",
                     "neighbor_label", "cos", "rank"))
+
+
+def jl_project(df: DataFrame, planes: list[list[float]],
+               vec_col: str = "embedding",
+               out_col: str = "proj") -> DataFrame:
+    """Johnson-Lindenstrauss random projection: append
+    ``out_col = [v . p_1, ..., v . p_k]`` for the (seeded, driver-side,
+    kilobyte-sized) Gaussian ``planes`` — the dimensionality-reduction
+    prefilter that lets ANN scans fold k doubles per pair instead of the
+    full dimension. Pure map-side projection: the plan stays
+    whole-stage-codegen, nothing shuffles, and the fold order is the
+    array order so the doubles are bit-reproducible cross-engine."""
+    vec = F.col(vec_col).cast("array<double>")
+    comps = [dot(vec, F.array(*[F.lit(float(x)) for x in p]))
+             for p in planes]
+    return df.withColumn(out_col, F.array(*comps))
+
+
+def jl_distortion_audit(emb: DataFrame, planes: list[list[float]],
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        sample_mod_a: int = 10,
+                        sample_mod_b: int = 13) -> DataFrame:
+    """Measures what a JL projection to len(planes) dims does to cosine
+    similarity BEFORE the ANN pipeline trusts it: over a deterministic
+    id-hashed pair sample, |cos(proj a, proj b) - cos(a, b)| in exact
+    ppm — one row: (k_dims, n_pairs, mean_err_ppm, max_err_ppm). Run it
+    once per corpus snapshot; if max_err exceeds the ANN margin, raise
+    k before scanning 100 TB with a lossy prefilter.
+
+    Scale shape: both sample sides are tiny (mod-hash cuts), one side
+    broadcasts; per-pair errors quantize to integer ppm so the
+    aggregation is an exact, order-free integer sum.
+    """
+    from amundsendatabuilder_spark.functions.vectors import l2_norm
+    p = jl_project(
+        emb.select(F.col(id_col), F.col(vec_col).cast("array<double>")
+                   .alias("_v")), planes, vec_col="_v")
+    a = (p.where(F.col(id_col) % sample_mod_a == 0)
+         .select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"),
+                 F.col("proj").alias("_pa")))
+    b = (p.where(F.col(id_col) % sample_mod_b == 0)
+         .select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"),
+                 F.col("proj").alias("_pb")))
+    pairs = (a.crossJoin(F.broadcast(b))
+             .where(F.col("id_a") < F.col("id_b")))
+    err = F.abs(
+        round_half_away(cosine_similarity("_pa", "_pb"), 6)
+        - round_half_away(cosine_similarity("_va", "_vb"), 6))
+    scored = pairs.select(
+        (round_half_away(err * 1e6, 0)).cast("long").alias("err_ppm"))
+    return (scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("sum(err_ppm) DIV count(*)").alias("mean_err_ppm"),
+        F.max("err_ppm").alias("max_err_ppm"))
+        .select(F.lit(len(planes)).cast("int").alias("k_dims"),
+                "n_pairs", "mean_err_ppm", "max_err_ppm"))

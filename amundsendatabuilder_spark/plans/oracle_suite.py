@@ -8688,3 +8688,45 @@ def zipf_alpha_report_query(spark, sf_dir):
     end — the distribution-shape row of a dataset card."""
     (docs,) = _t(spark, sf_dir, "documents")
     return textops.zipf_alpha_report(docs, top_r=20)
+
+
+def _jl_distortion_oracle(k: int = 16, seed: int = 11) -> str:
+    """Replay oracle for jl_distortion_audit: same seeded planes baked
+    as exact double literals; projections, cosines, and the ppm
+    quantization mirror the Spark fold order exactly."""
+    from amundsendatabuilder_spark.functions.vectors import random_planes
+    planes = random_planes(64, k, seed=seed)
+
+    def lit(p):
+        return "CAST([" + ",".join(repr(x) for x in p) + "] AS DOUBLE[])"
+
+    proj = "[" + ",\n       ".join(
+        f"list_dot_product(v, {lit(p)})" for p in planes) + "]"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT vec_id, v,
+      {proj} AS pr FROM e),
+pairs AS (SELECT CAST(round(abs(
+                 round(list_cosine_similarity(a.pr, b.pr), 6)
+                 - round(list_cosine_similarity(a.v, b.v), 6)) * 1e6, 0)
+                 AS BIGINT) AS err_ppm
+          FROM p a JOIN p b ON a.vec_id < b.vec_id
+          WHERE a.vec_id % 10 = 0 AND b.vec_id % 13 = 0)
+SELECT CAST({k} AS INT) AS k_dims, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(err_ppm) // count(*) AS BIGINT) AS mean_err_ppm,
+       max(err_ppm) AS max_err_ppm
+FROM pairs
+"""
+
+
+@query("jl_distortion_audit", _jl_distortion_oracle())
+def jl_distortion_audit_query(spark, sf_dir):
+    """JL projection distortion audit (similarity.jl_distortion_audit):
+    64-dim embeddings projected to 16 seeded Gaussian dims; cosine
+    error over a mod-hashed pair sample in exact integer ppm — the
+    go/no-go check before an ANN pipeline trusts the projected space."""
+    from amundsendatabuilder_spark.functions.vectors import random_planes
+    from amundsendatabuilder_spark.operators.similarity import (
+        jl_distortion_audit)
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return jl_distortion_audit(emb, random_planes(64, 16, seed=11))

@@ -180,6 +180,7 @@ EXTENDED = [
     "split_leak_audit",
     "oov_rate_report",
     "zipf_alpha_report",
+    "jl_distortion_audit",
 ]
 
 

@@ -3056,3 +3056,27 @@ def test_zipf_alpha_known_slope(spark):
                               "doc_id long, text string, source string"),
         top_r=20).collect()[0]
     assert one.zipf_alpha is None and one.n_points == 1
+
+
+def test_jl_projection_identity_planes_zero_distortion(spark):
+    from amundsendatabuilder_spark.operators.similarity import (
+        jl_distortion_audit, jl_project)
+    # identity "planes" preserve the vector exactly -> zero error
+    dim = 4
+    eye = [[1.0 if i == j else 0.0 for j in range(dim)]
+           for i in range(dim)]
+    emb = spark.createDataFrame(
+        [(i * 10, [float(i + j) for j in range(dim)]) for i in range(6)],
+        "vec_id long, embedding array<float>")
+    out = jl_distortion_audit(emb, eye, sample_mod_a=10,
+                              sample_mod_b=20).collect()[0]
+    assert out.k_dims == dim and out.n_pairs > 0
+    assert out.mean_err_ppm == 0 and out.max_err_ppm == 0
+    # a rank-1 projection destroys cosine structure -> nonzero error
+    rank1 = [[1.0, 1.0, 1.0, 1.0]] * 2
+    bad = jl_distortion_audit(emb, rank1, sample_mod_a=10,
+                              sample_mod_b=20).collect()[0]
+    assert bad.max_err_ppm > 0
+    # jl_project output shape
+    p = jl_project(emb, eye).collect()[0]
+    assert p.proj == [float(x) for x in p.embedding]

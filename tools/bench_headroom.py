@@ -128,6 +128,7 @@ SUITE = [
     "split_leak_audit",
     "oov_rate_report",
     "zipf_alpha_report",
+    "jl_distortion_audit",
 ]
 
 
