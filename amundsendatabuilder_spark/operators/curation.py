@@ -560,3 +560,74 @@ def split_leak_audit(pairs: DataFrame, splits: DataFrame,
         F.greatest("_sa", "_sb").alias("split_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         .withColumn("leak", F.col("split_a") != F.col("split_b")))
+
+
+def quality_rank_blend(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Ensemble quality ranking: each document's corpus-rank under THREE
+    independent signals — the composite heuristic ``quality_score``,
+    token count, and token diversity — blended by rank average, the
+    standard way to fuse filter signals whose scales don't compare
+    (rank fusion makes a 0-100 score and a 0-1 ratio commensurable).
+    rank_ppm = (#docs with a strictly smaller signal value) x 1e6 / N;
+    blend_ppm = the integer mean of the three. Returns (doc_id,
+    quality_rank_ppm, length_rank_ppm, diversity_rank_ppm, blend_ppm).
+
+    Scale shape (the quality_decile_table register discipline): signals
+    quantize map-side to integers, ranks come from CUMULATIVE REGISTER
+    tables — one bounded window per signal over (signal, value) counts
+    (<= 10001 rows for the 1e4-quantized ratios; distinct lengths for
+    the count signal), never a corpus-wide sort — then broadcast-join
+    back. Every number after quantization is an exact integer, so the
+    result is hash-stable by construction.
+    """
+    from amundsendatabuilder_spark.functions.text import quality_score
+    from amundsendatabuilder_spark.session import ensure_parallelism
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks).cast("long")
+    diversity = F.when(
+        n_tok > 0,
+        F.size(F.array_distinct(toks)).cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
+    base = ensure_parallelism(docs).select(
+        F.col(id_col),
+        round_half_away(quality_score(F.col(text_col)) * 1e4, 0)
+        .cast("long").alias("_q"),
+        n_tok.alias("_len"),
+        round_half_away(diversity * 1e4, 0).cast("long").alias("_div"))
+    stacked = (base.select(
+        F.col(id_col),
+        F.explode(F.array(
+            F.struct(F.lit("quality").alias("signal"),
+                     F.col("_q").alias("v")),
+            F.struct(F.lit("length").alias("signal"),
+                     F.col("_len").alias("v")),
+            F.struct(F.lit("diversity").alias("signal"),
+                     F.col("_div").alias("v")))).alias("s"))
+        .select(id_col, F.col("s.signal").alias("signal"),
+                F.col("s.v").alias("v")))
+    reg = (stacked.groupBy("signal", "v")
+           .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    w = (Window.partitionBy("signal").orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum = reg.select("signal", "v",
+                     F.coalesce(F.sum("c").over(w), F.lit(0))
+                     .cast("long").alias("cum_lt"))
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("_N"))
+    ranks = (stacked.join(F.broadcast(cum), ["signal", "v"])
+             .crossJoin(F.broadcast(n))
+             .select(id_col, "signal", F.expr(
+                 "cum_lt * CAST(1000000 AS BIGINT) DIV _N")
+                 .alias("rank_ppm")))
+
+    def pick(sig: str) -> F.Column:
+        return F.max(F.when(F.col("signal") == sig,
+                            F.col("rank_ppm"))).cast("long")
+
+    return (ranks.groupBy(id_col)
+            .agg(pick("quality").alias("quality_rank_ppm"),
+                 pick("length").alias("length_rank_ppm"),
+                 pick("diversity").alias("diversity_rank_ppm"))
+            .withColumn("blend_ppm", F.expr(
+                "(quality_rank_ppm + length_rank_ppm + diversity_rank_ppm)"
+                " DIV 3")))

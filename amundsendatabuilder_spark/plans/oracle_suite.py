@@ -8730,3 +8730,64 @@ def jl_distortion_audit_query(spark, sf_dir):
         jl_distortion_audit)
     (emb,) = _t(spark, sf_dir, "embeddings")
     return jl_distortion_audit(emb, random_planes(64, 16, seed=11))
+
+
+@query("quality_rank_blend", r"""
+WITH t AS (SELECT doc_id, text, """ + _TOKS_SQL + r""" AS toks
+           FROM documents),
+m AS (SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tok,
+        CASE WHEN length(text) > 0
+             THEN CAST(length(text)
+                       - length(regexp_replace(text, '[.,;:!?''"()]', '',
+                                               'g')) AS DOUBLE)
+                  / length(text) ELSE 0.0 END AS praw,
+        CASE WHEN len(toks) > 0
+             THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+             ELSE 0.0 END AS diversity
+      FROM t),
+sig AS (
+  SELECT doc_id, 'quality' AS signal,
+         CAST(round(round(least(n_tok / 100.0, 1.0) * 0.4
+                          + diversity * 0.4 + (1 - praw) * 0.2, 4)
+                    * 1e4, 0) AS BIGINT) AS v
+  FROM m
+  UNION ALL SELECT doc_id, 'length', n_tok FROM m
+  UNION ALL SELECT doc_id, 'diversity',
+                   CAST(round(diversity * 1e4, 0) AS BIGINT) FROM m),
+reg AS (SELECT signal, v, CAST(count(*) AS BIGINT) AS c
+        FROM sig GROUP BY 1, 2),
+cum AS (SELECT signal, v,
+               CAST(coalesce(sum(c) OVER (
+                   PARTITION BY signal ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum_lt
+        FROM reg),
+n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+r AS (SELECT doc_id, signal,
+             CAST(cum_lt * CAST(1000000 AS BIGINT) // nn AS BIGINT)
+             AS rank_ppm
+      FROM sig JOIN cum USING (signal, v) CROSS JOIN n),
+p AS (SELECT doc_id,
+             max(CASE WHEN signal = 'quality' THEN rank_ppm END)
+                 AS quality_rank_ppm,
+             max(CASE WHEN signal = 'length' THEN rank_ppm END)
+                 AS length_rank_ppm,
+             max(CASE WHEN signal = 'diversity' THEN rank_ppm END)
+                 AS diversity_rank_ppm
+      FROM r GROUP BY 1)
+SELECT doc_id, quality_rank_ppm, length_rank_ppm, diversity_rank_ppm,
+       (quality_rank_ppm + length_rank_ppm + diversity_rank_ppm) // 3
+       AS blend_ppm
+FROM p
+""")
+def quality_rank_blend_query(spark, sf_dir):
+    """Rank-fusion quality ensemble (curation.quality_rank_blend):
+    corpus rank under quality_score, token count, and token diversity,
+    each from a bounded cumulative-register table (never a corpus sort),
+    blended by integer rank average — the scale-commensurable way to
+    fuse filter signals."""
+    from amundsendatabuilder_spark.operators.curation import (
+        quality_rank_blend)
+    (docs,) = _t(spark, sf_dir, "documents")
+    return quality_rank_blend(docs)

@@ -181,6 +181,7 @@ EXTENDED = [
     "oov_rate_report",
     "zipf_alpha_report",
     "jl_distortion_audit",
+    "quality_rank_blend",
 ]
 
 

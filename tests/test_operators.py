@@ -3080,3 +3080,29 @@ def test_jl_projection_identity_planes_zero_distortion(spark):
     # jl_project output shape
     p = jl_project(emb, eye).collect()[0]
     assert p.proj == [float(x) for x in p.embedding]
+
+
+def test_quality_rank_blend_rank_semantics(spark):
+    from amundsendatabuilder_spark.operators.curation import (
+        quality_rank_blend)
+    # 4 docs with strictly increasing token counts and diversity
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a b"), (3, "a b c"), (4, "a b c d e")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in quality_rank_blend(docs).collect()}
+    # length ranks: strictly increasing -> cum_lt = 0,1,2,3 of N=4
+    for i, expect in zip((1, 2, 3, 4), (0, 1, 2, 3)):
+        assert out[i].length_rank_ppm == expect * 10**6 // 4, i
+    # all docs have diversity 1.0 -> identical value -> rank 0 for all
+    assert all(out[i].diversity_rank_ppm == 0 for i in out)
+    # blend is the integer mean
+    for r in out.values():
+        assert r.blend_ppm == (r.quality_rank_ppm + r.length_rank_ppm
+                               + r.diversity_rank_ppm) // 3
+    # ties share a rank: duplicate-length docs
+    docs2 = spark.createDataFrame(
+        [(1, "x y"), (2, "p q"), (3, "a b c")],
+        "doc_id long, text string")
+    out2 = {r.doc_id: r for r in quality_rank_blend(docs2).collect()}
+    assert out2[1].length_rank_ppm == out2[2].length_rank_ppm == 0
+    assert out2[3].length_rank_ppm == 2 * 10**6 // 3

@@ -129,6 +129,7 @@ SUITE = [
     "oov_rate_report",
     "zipf_alpha_report",
     "jl_distortion_audit",
+    "quality_rank_blend",
 ]
 
 
