@@ -63,6 +63,7 @@ _PRIORITY = [
     "zipf_alpha_report",
     "jl_distortion_audit",
     "quality_rank_blend",
+    "winnowing_fingerprints",
     # (d) oldest-certified entries, oldest certification first
     "lang_id", "quality_metrics", "doc_fingerprint", "embedding_norms",
     "char_ngram_profile", "pii_scrub", "repetition_metrics",

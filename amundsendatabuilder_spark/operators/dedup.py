@@ -1112,3 +1112,60 @@ def embedding_decontam(train: DataFrame, benchmark: DataFrame,
             .agg(F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
                  F.max("cos").alias("max_cos"),
                  (-pick.getField("nb")).cast("long").alias("nearest_bench")))
+
+
+def winnowing_fingerprints(docs: DataFrame, k: int = 8, w: int = 4,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Winnowing fingerprints (Schleimer-Wilkerson-Aiken 2003 — the MOSS
+    local fingerprinting scheme): hash every k-char gram, slide a window
+    of ``w`` consecutive gram hashes, and keep each window's MINIMUM
+    hash; the per-document set of distinct selected hash values is the
+    fingerprint. Winnowing's guarantee: any substring shared by two
+    documents of length >= k + w - 1 contributes at least one common
+    fingerprint (MinHash gives no such local guarantee), at expected
+    density ~2/(w+1). This is the candidate generator for LOCAL overlap
+    (plagiarism / quotation / partial copies) complementing the
+    whole-document resemblance of ``minhash_lsh_pairs``.
+
+    Fingerprints here are the distinct selected VALUES per doc (position
+    metadata dropped — corpus dedup cares which hashes exist, not
+    where), so no rightmost-tie rule is needed and the result is
+    engine-exact. Returns (doc_id, n_fingerprints, n_shared,
+    shared_ppm) where n_shared counts fingerprints appearing in >= 2
+    distinct documents; docs shorter than k chars are absent.
+
+    Scale shape (the duplicate_spans discipline): the gram table is one
+    row per character but is generated and windowed within doc
+    partitions (bounded by doc length, never corpus-wide); only
+    (doc_id, hash16) survivors reach the cross-doc stage, where one
+    count-over-hash window tags sharing in the same exchange a
+    groupBy+join-back would need twice.
+    """
+    from pyspark.sql import Window
+    n = F.length(F.col(text_col))
+    pos = docs.select(
+        F.col(id_col),
+        F.explode(F.when(n >= k, F.sequence(F.lit(1), n - k + 1))
+                  .otherwise(F.array().cast("array<int>"))).alias("p"),
+        F.col(text_col))
+    grams = pos.select(
+        id_col, F.col("p").cast("long").alias("p"),
+        F.expr(f"substr(md5(substring({text_col}, p, {int(k)})), 1, 16)")
+        .alias("gh"))
+    fr = (Window.partitionBy(id_col).orderBy("p")
+          .rowsBetween(Window.currentRow, w - 1))
+    wnd = grams.select(
+        id_col,
+        F.min("gh").over(fr).alias("mngh"),
+        F.count(F.lit(1)).over(fr).alias("cnt"))
+    fp = (wnd.where(F.col("cnt") == w)
+          .select(id_col, F.col("mngh").alias("fp")).distinct())
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    return (fp.withColumn("n_docs", n_docs)
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+                 F.sum((F.col("n_docs") >= 2).cast("long")).cast("long")
+                 .alias("n_shared"))
+            .withColumn("shared_ppm", F.expr(
+                "n_shared * CAST(1000000 AS BIGINT) DIV n_fingerprints")))

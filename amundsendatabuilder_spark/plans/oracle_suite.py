@@ -8791,3 +8791,40 @@ def quality_rank_blend_query(spark, sf_dir):
         quality_rank_blend)
     (docs,) = _t(spark, sf_dir, "documents")
     return quality_rank_blend(docs)
+
+
+@query("winnowing_fingerprints", r"""
+WITH pos AS (SELECT doc_id, text,
+                    unnest(range(1, length(text) - 8 + 2)) AS p
+             FROM documents WHERE length(text) >= 8),
+g AS (SELECT doc_id, p,
+             substr(md5(substr(text, CAST(p AS INT), 8)), 1, 16) AS gh
+      FROM pos),
+wnd AS (SELECT doc_id,
+               min(gh) OVER fr AS mngh,
+               count(*) OVER fr AS cnt
+        FROM g
+        WINDOW fr AS (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
+fp AS (SELECT DISTINCT doc_id, mngh AS fp FROM wnd WHERE cnt = 4),
+sh AS (SELECT doc_id, fp,
+              count(*) OVER (PARTITION BY fp) AS n_docs
+       FROM fp)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
+       CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       AS n_shared,
+       CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       * CAST(1000000 AS BIGINT) // CAST(count(*) AS BIGINT)
+       AS shared_ppm
+FROM sh GROUP BY 1
+""")
+def winnowing_fingerprints_query(spark, sf_dir):
+    """MOSS winnowing fingerprints (dedup.winnowing_fingerprints,
+    k=8, w=4): per-doc distinct window-minimum gram hashes with the
+    shared-across-docs fraction — the LOCAL-overlap candidate
+    generator (any shared substring >= k+w-1 chars shares a
+    fingerprint) complementing MinHash's whole-doc resemblance."""
+    from amundsendatabuilder_spark.operators.dedup import (
+        winnowing_fingerprints)
+    (docs,) = _t(spark, sf_dir, "documents")
+    return winnowing_fingerprints(docs, k=8, w=4)

@@ -182,6 +182,7 @@ EXTENDED = [
     "zipf_alpha_report",
     "jl_distortion_audit",
     "quality_rank_blend",
+    "winnowing_fingerprints",
 ]
 
 

@@ -3106,3 +3106,32 @@ def test_quality_rank_blend_rank_semantics(spark):
     out2 = {r.doc_id: r for r in quality_rank_blend(docs2).collect()}
     assert out2[1].length_rank_ppm == out2[2].length_rank_ppm == 0
     assert out2[3].length_rank_ppm == 2 * 10**6 // 3
+
+
+def test_winnowing_coverage_guarantee(spark):
+    from amundsendatabuilder_spark.operators.dedup import (
+        winnowing_fingerprints)
+    k, w = 4, 3
+    shared = "QWERTYUIOPAS"          # 12 chars >= k + w - 1 = 6
+    docs = spark.createDataFrame(
+        [(1, "aaaa" + shared + "bbbb"),
+         (2, "cccc" + shared + "dddd"),
+         (3, "zzzzzzzzzzzz")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           winnowing_fingerprints(docs, k=k, w=w).collect()}
+    # the winnowing guarantee: docs 1 and 2 share a >= k+w-1 substring,
+    # so each must carry at least one shared fingerprint
+    assert out[1].n_shared >= 1 and out[2].n_shared >= 1
+    # doc 3 shares nothing
+    assert out[3].n_shared == 0 and out[3].shared_ppm == 0
+    for r in out.values():
+        assert 0 < r.n_fingerprints
+        assert r.shared_ppm == r.n_shared * 10**6 // r.n_fingerprints
+    # density: far fewer fingerprints than grams (selection compresses)
+    assert out[3].n_fingerprints < 12 - k + 1
+    # too-short docs are absent
+    tiny = winnowing_fingerprints(
+        spark.createDataFrame([(9, "ab")], "doc_id long, text string"),
+        k=k, w=w).collect()
+    assert tiny == []

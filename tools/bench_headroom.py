@@ -130,6 +130,7 @@ SUITE = [
     "zipf_alpha_report",
     "jl_distortion_audit",
     "quality_rank_blend",
+    "winnowing_fingerprints",
 ]
 
 
