@@ -64,6 +64,7 @@ _PRIORITY = [
     "jl_distortion_audit",
     "quality_rank_blend",
     "winnowing_fingerprints",
+    "embedding_dim_robust_stats",
     # (d) oldest-certified entries, oldest certification first
     "lang_id", "quality_metrics", "doc_fingerprint", "embedding_norms",
     "char_ngram_profile", "pii_scrub", "repetition_metrics",

@@ -528,3 +528,60 @@ def l_diversity_audit(df: DataFrame, quasi_cols: "list[str]",
             .agg(F.count(F.lit(1)).alias("class_size"),
                  F.countDistinct(sensitive_col).alias("n_sensitive"))
             .where(F.col("n_sensitive") < l))
+
+
+def embedding_dim_robust_stats(emb: DataFrame, scale: int = 10_000,
+                               vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension robust location/spread of an embedding column:
+    discrete median and MAD (median absolute deviation) of every
+    coordinate, computed entirely from QUANTIZED REGISTERS — the
+    outlier-resistant complement to ``embedding_covariance`` (one fat
+    vector throws a mean/variance profile; the median/MAD profile it
+    takes to notice that is immune). Median here is the discrete lower
+    median (smallest value whose cumulative count reaches ceil(n/2) —
+    the dataset_card convention), so every statistic is exact integer
+    arithmetic until the final descale. Returns
+    (pos, n, median, mad) with values rounded to 4dp.
+
+    Scale shape: coordinates quantize map-side to 1/scale units, so the
+    register table is bounded by dims x value-range x scale (~1e5 rows
+    per dimension for unit-range embeddings) REGARDLESS of corpus rows;
+    both median passes are cumulative windows over those bounded
+    registers partitioned by dimension — never a sort of the corpus —
+    and the deviation pass reuses the first-pass registers, not the
+    data.
+    """
+    from pyspark.sql import Window
+
+    from amundsendatabuilder_spark.functions.scalars import round_half_away
+    u = emb.select(
+        F.posexplode(F.col(vec_col).cast("array<double>"))
+        .alias("pos", "x"))
+    reg = (u.select("pos", round_half_away(F.col("x") * scale, 0)
+                    .cast("long").alias("q"))
+           .groupBy("pos", "q")
+           .agg(F.count(F.lit(1)).cast("long").alias("c"))
+           .localCheckpoint())
+    wc = Window.partitionBy("pos").orderBy("q") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.partitionBy("pos")
+    cum = (reg.withColumn("cumc", F.sum("c").over(wc))
+           .withColumn("n", F.sum("c").over(wn)))
+    med = (cum.where(F.col("cumc") * 2 >= F.col("n"))
+           .groupBy("pos").agg(F.min("q").alias("medq"),
+                               F.max("n").alias("n")))
+    dev = (reg.join(F.broadcast(med), "pos")
+           .groupBy("pos", F.abs(F.col("q") - F.col("medq")).alias("dq"))
+           .agg(F.sum("c").alias("c")))
+    dcum = (dev.withColumn(
+        "cumc", F.sum("c").over(Window.partitionBy("pos").orderBy("dq")
+                                .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("n", F.sum("c").over(wn)))
+    mad = (dcum.where(F.col("cumc") * 2 >= F.col("n"))
+           .groupBy("pos").agg(F.min("dq").alias("madq")))
+    return (med.join(mad, "pos")
+            .select("pos", F.col("n").cast("long").alias("n"),
+                    round_half_away(F.col("medq") / float(scale), 4)
+                    .alias("median"),
+                    round_half_away(F.col("madq") / float(scale), 4)
+                    .alias("mad")))

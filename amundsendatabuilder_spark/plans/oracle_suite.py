@@ -8828,3 +8828,40 @@ def winnowing_fingerprints_query(spark, sf_dir):
         winnowing_fingerprints)
     (docs,) = _t(spark, sf_dir, "documents")
     return winnowing_fingerprints(docs, k=8, w=4)
+
+
+@query("embedding_dim_robust_stats", r"""
+WITH u AS (SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+                  unnest(embedding::DOUBLE[]) AS x
+           FROM embeddings),
+reg AS (SELECT pos, CAST(round(x * 10000, 0) AS BIGINT) AS q,
+               CAST(count(*) AS BIGINT) AS c
+        FROM u GROUP BY 1, 2),
+cum AS (SELECT pos, q, c,
+               sum(c) OVER (PARTITION BY pos ORDER BY q) AS cumc,
+               sum(c) OVER (PARTITION BY pos) AS n
+        FROM reg),
+med AS (SELECT pos, min(q) AS medq, CAST(max(n) AS BIGINT) AS n
+        FROM cum WHERE cumc * 2 >= n GROUP BY pos),
+dev AS (SELECT reg.pos, abs(q - medq) AS dq, sum(c) AS c
+        FROM reg JOIN med ON med.pos = reg.pos GROUP BY 1, 2),
+dcum AS (SELECT pos, dq,
+                sum(c) OVER (PARTITION BY pos ORDER BY dq) AS cumc,
+                sum(c) OVER (PARTITION BY pos) AS n
+         FROM dev),
+mad AS (SELECT pos, min(dq) AS madq
+        FROM dcum WHERE cumc * 2 >= n GROUP BY pos)
+SELECT CAST(med.pos AS INT) AS pos, med.n,
+       round(medq / 10000.0, 4) AS median,
+       round(madq / 10000.0, 4) AS mad
+FROM med JOIN mad ON mad.pos = med.pos
+""")
+def embedding_dim_robust_stats_query(spark, sf_dir):
+    """Per-dimension discrete median + MAD from quantized registers
+    (profiling.embedding_dim_robust_stats) — the outlier-immune profile
+    of the embedding space; registers bounded by dims x range x scale
+    regardless of corpus rows, cumulative windows only over registers."""
+    from amundsendatabuilder_spark.operators.profiling import (
+        embedding_dim_robust_stats)
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return embedding_dim_robust_stats(emb, scale=10_000)

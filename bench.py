@@ -183,6 +183,7 @@ EXTENDED = [
     "jl_distortion_audit",
     "quality_rank_blend",
     "winnowing_fingerprints",
+    "embedding_dim_robust_stats",
 ]
 
 

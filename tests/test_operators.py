@@ -3135,3 +3135,23 @@ def test_winnowing_coverage_guarantee(spark):
         spark.createDataFrame([(9, "ab")], "doc_id long, text string"),
         k=k, w=w).collect()
     assert tiny == []
+
+
+def test_embedding_dim_robust_stats_outlier_immune(spark):
+    from amundsendatabuilder_spark.operators.profiling import (
+        embedding_dim_robust_stats)
+    # dim 0: values 1..5 (median 3, MAD 1); dim 1: constant 2.0 except
+    # one huge outlier -> median 2, MAD 0 (a mean/std profile would move)
+    rows = [(i, [float(i + 1), 2.0 if i < 4 else 1000.0])
+            for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.pos: r for r in embedding_dim_robust_stats(emb).collect()}
+    assert out[0].n == 5
+    assert out[0].median == 3.0 and out[0].mad == 1.0
+    assert out[1].median == 2.0 and out[1].mad == 0.0
+    # even n: discrete LOWER median (rank n/2)
+    emb2 = spark.createDataFrame(
+        [(i, [float(v)]) for i, v in enumerate((1, 2, 3, 4))],
+        "vec_id long, embedding array<float>")
+    out2 = embedding_dim_robust_stats(emb2).collect()[0]
+    assert out2.median == 2.0  # rank ceil(4/2)=2 -> value 2, not 2.5

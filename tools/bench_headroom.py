@@ -131,6 +131,7 @@ SUITE = [
     "jl_distortion_audit",
     "quality_rank_blend",
     "winnowing_fingerprints",
+    "embedding_dim_robust_stats",
 ]
 
 
