@@ -631,3 +631,91 @@ def quality_rank_blend(docs: DataFrame, id_col: str = "doc_id",
             .withColumn("blend_ppm", F.expr(
                 "(quality_rank_ppm + length_rank_ppm + diversity_rank_ppm)"
                 " DIV 3")))
+
+
+def _poisson1_thresholds_52bit(max_k: int = 8) -> list[int]:
+    """Integer CDF thresholds for a Poisson(1) draw from a 52-bit
+    uniform: t_k = floor(P(X <= k) * 2^52). A hash value v in [0, 2^52)
+    maps to weight w = #{k : v >= t_k} (truncated at max_k + 1; the
+    discarded tail mass is < 1.2e-7). Plain doubles -> exact integer
+    literals, identical in the Spark plan and the DuckDB twin."""
+    import math
+    cdf, term, out = 0.0, math.exp(-1.0), []
+    for k in range(max_k + 1):
+        cdf += term
+        out.append(min(int(cdf * (1 << 52)), (1 << 52) - 1))
+        term /= (k + 1)
+    return out
+
+
+def bootstrap_ci_quality(docs: DataFrame, n_boot: int = 40,
+                         group_col: str = "source",
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Poisson-bootstrap confidence interval for each group's mean
+    quality score: ``n_boot`` deterministic resamples where every doc's
+    multiplicity in resample b is a Poisson(1) draw derived from
+    md5(id, b) — the streaming-friendly bootstrap (Chamandy et al.,
+    "Estimating Uncertainty for Massive Data Streams", Google 2012)
+    that never materializes a resampled corpus. Answers "is source A's
+    quality REALLY above source B's, or is that noise?" before
+    temperature_mixture_plan upweights it.
+
+    Returns (source, n_docs, mean_quality, ci_lo, ci_hi) — the exact
+    mean plus nearest-rank 2.5%/97.5% bootstrap percentiles, 6dp.
+
+    Determinism/scale shape: one doc pass fans out x n_boot map-side
+    (no corpus shuffle beyond the (group, b) aggregation, which is
+    map-side combinable to groups x n_boot rows); quality quantizes to
+    1e6-scaled BIGINT so every weighted sum is an exact, order-free
+    integer; Poisson draws compare 52-bit hash integers against baked
+    integer CDF thresholds (zero float randomness); the percentile
+    window orders the groups x n_boot REGISTER table, never corpus
+    rows. Weights cap at 9 (tail mass < 1.2e-7, identically truncated
+    in both engines).
+    """
+    from amundsendatabuilder_spark.functions.text import quality_score
+    from amundsendatabuilder_spark.session import ensure_parallelism
+    ts = _poisson1_thresholds_52bit()
+    base = ensure_parallelism(docs).select(
+        F.col(group_col).alias("grp"), F.col(id_col).alias("did"),
+        round_half_away(quality_score(F.col(text_col)) * 1e6, 0)
+        .cast("long").alias("qi"))
+    bs = F.explode(F.sequence(F.lit(1), F.lit(int(n_boot)))).alias("b")
+    fan = base.select("grp", "did", "qi", bs)
+    v = F.conv(F.substring(
+        F.md5(F.concat(F.lit("boot:"), F.col("did").cast("string"),
+                       F.lit(":"), F.col("b").cast("string"))),
+        1, 13), 16, 10).cast("long")
+    w = sum(F.when(v >= F.lit(t), 1).otherwise(0) for t in ts)
+    drawn = fan.select("grp", "b", "qi", w.cast("long").alias("w"))
+    per_b = (drawn.groupBy("grp", "b")
+             .agg(F.sum(F.col("w") * F.col("qi")).alias("wq"),
+                  F.sum("w").alias("sw")))
+    mean_b = (per_b.where(F.col("sw") > 0)
+              .select("grp", "b",
+                      (F.col("wq").cast("double")
+                       / F.col("sw").cast("double")).alias("mb")))
+    wnd = Window.partitionBy("grp").orderBy("mb", "b")
+    ranked = (mean_b
+              .withColumn("rn", F.row_number().over(wnd))
+              .withColumn("nb", F.count(F.lit(1)).over(
+                  Window.partitionBy("grp"))))
+    lo_rank = F.greatest(F.ceil(F.col("nb") * 0.025), F.lit(1))
+    hi_rank = F.ceil(F.col("nb") * 0.975)
+    ci = (ranked.groupBy("grp")
+          .agg(F.max(F.when(F.col("rn") == lo_rank, F.col("mb")))
+               .alias("lo"),
+               F.max(F.when(F.col("rn") == hi_rank, F.col("mb")))
+               .alias("hi")))
+    overall = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("qi").alias("sq"))
+    return (overall.join(ci, "grp")
+            .select(F.col("grp").alias(group_col), "n_docs",
+                    round_half_away(F.col("sq").cast("double")
+                                    / F.col("n_docs").cast("double")
+                                    / 1e6, 6).alias("mean_quality"),
+                    round_half_away(F.col("lo") / 1e6, 6).alias("ci_lo"),
+                    round_half_away(F.col("hi") / 1e6, 6)
+                    .alias("ci_hi")))

@@ -585,3 +585,127 @@ def embedding_dim_robust_stats(emb: DataFrame, scale: int = 10_000,
                     .alias("median"),
                     round_half_away(F.col("madq") / float(scale), 4)
                     .alias("mad")))
+
+
+def benford_audit(df: DataFrame, value_col: str,
+                  group_col: str | None = None) -> DataFrame:
+    """Benford's-law first-digit audit of a positive numeric column:
+    compares the observed leading-digit distribution against
+    P(d) = log10(1 + 1/d) and reports the chi-square statistic — the
+    classic fabricated-/synthetic-data tripwire for financial and
+    measurement columns (naturally-occurring multi-magnitude data
+    follows Benford; uniform or hand-typed data does not). Complements
+    ``distribution_drift`` (which needs a reference snapshot) with an
+    absolute, reference-free test.
+
+    Returns one row per group: (group?, n_values, chi_square,
+    max_abs_dev_ppm, worst_digit) — chi_square 6dp, max_abs_dev the
+    largest |observed - expected| probability gap in ppm, worst_digit
+    the digit attaining it (ties -> smallest digit).
+
+    Determinism/scale shape: the leading digit is read from the STRING
+    form of the value quantized to a 1e6-scaled BIGINT — integer
+    rendering is exact and engine-identical, so no float log or
+    scientific-notation rounding sits in the digit path (domain:
+    |value| >= 1e-5; smaller magnitudes lose their leading digit to
+    the quantization and are excluded with the zeros). Counts collapse
+    map-side to a <= groups x 9 REGISTER table; chi-square terms use
+    baked 1e9-quantized Benford probabilities, are themselves
+    1e6-quantized per digit, and sum exactly; worst-digit selection is
+    a struct-max on the register (no window).
+    """
+    import math
+    probs = [(d, int(round(math.log10(1 + 1 / d) * 1e9)))
+             for d in range(1, 10)]
+    gcols = [group_col] if group_col else []
+    v = F.abs(F.col(value_col).cast("double"))
+    m = round_half_away(v * 1e6, 0).cast("long")
+    digit = F.substring(m.cast("string"), 1, 1).cast("int")
+    base = (df.where(F.col(value_col).isNotNull())
+            .select(*gcols, F.when(m > 0, digit).alias("d"))
+            .where(F.col("d").isNotNull()))
+    reg = (base.groupBy(*gcols, "d")
+           .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    tot = (reg.groupBy(*gcols)
+           .agg(F.sum("c").cast("long").alias("n")))
+    pdf = df.sparkSession.createDataFrame(probs, "d int, p_e9 long")
+    full = (tot.crossJoin(F.broadcast(pdf))
+            .join(reg, gcols + ["d"], "left")
+            .select(*gcols, "d", "n", "p_e9",
+                    F.coalesce("c", F.lit(0)).cast("long").alias("c")))
+    # chi^2 = sum (c - n*p)^2 / (n*p); dev_ppm = |c/n - p| * 1e6
+    np_ = F.col("n").cast("double") * F.col("p_e9").cast("double") / 1e9
+    chi_term = (F.col("c").cast("double") - np_) ** 2 / np_
+    dev_ppm = round_half_away(
+        F.abs(F.col("c").cast("double") / F.col("n").cast("double")
+              - F.col("p_e9").cast("double") / 1e9) * 1e6, 0).cast("long")
+    scored = full.select(*gcols, "n",
+                         round_half_away(chi_term * 1e6, 0).cast("long")
+                         .alias("chi_e6"),
+                         dev_ppm.alias("dev"), "d")
+    worst = F.max(F.struct(F.col("dev").alias("dev"),
+                           (-F.col("d")).alias("nd")))
+    agg = (scored.groupBy(*gcols)
+           .agg(F.max("n").alias("n_values"),
+                round_half_away(F.sum("chi_e6").cast("double") / 1e6, 6)
+                .alias("chi_square"),
+                worst.alias("w")))
+    return agg.select(*gcols, "n_values", "chi_square",
+                      F.col("w.dev").alias("max_abs_dev_ppm"),
+                      (-F.col("w.nd")).cast("int").alias("worst_digit"))
+
+
+def chi_square_independence(df: DataFrame, col_a: str,
+                            col_b: str) -> DataFrame:
+    """Chi-square test of independence between two categorical columns
+    plus Cramér's V effect size — the pairwise-dependence row of a data
+    profile ("is order priority independent of status?"), complementing
+    ``fd_violations`` (exact functional dependence) and
+    ``numeric_corr_matrix`` (linear numeric dependence) with the
+    categorical middle ground.
+
+    Returns one row: (n, levels_a, levels_b, chi_square, cramers_v),
+    both statistics 6dp. V in [0,1]: 0 = independent, 1 = one column
+    determines the other.
+
+    Determinism/scale shape: one map-side-combinable pass builds the
+    contingency REGISTER (|A| x |B| cells — bounded by category
+    cardinalities, never rows); marginals and the full grid (including
+    observed-zero cells, which still carry expected mass) derive from
+    it via broadcast joins. Counts are exact integers; each cell's
+    chi-square term is 1e6-quantized before the order-free sum; the
+    closing sqrt is one double op, 6dp. NULL in either column drops
+    the row (no NULL level).
+    """
+    base = (df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+            .select(F.col(col_a).cast("string").alias("a"),
+                    F.col(col_b).cast("string").alias("b")))
+    cells = base.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    ra = cells.groupBy("a").agg(F.sum("c").cast("long").alias("ca"))
+    rb = cells.groupBy("b").agg(F.sum("c").cast("long").alias("cb"))
+    grid = (ra.crossJoin(F.broadcast(rb))
+            .join(cells, ["a", "b"], "left")
+            .select("a", "b", "ca", "cb",
+                    F.coalesce("c", F.lit(0)).cast("long").alias("c")))
+    tot = cells.agg(F.sum("c").cast("long").alias("n"),
+                    F.countDistinct("a").cast("long").alias("la"),
+                    F.countDistinct("b").cast("long").alias("lb"))
+    g = grid.crossJoin(F.broadcast(tot))
+    exp = (F.col("ca").cast("double") * F.col("cb").cast("double")
+           / F.col("n").cast("double"))
+    term = (F.col("c").cast("double") - exp) ** 2 / exp
+    q = g.select("n", "la", "lb",
+                 round_half_away(term * 1e6, 0).cast("long")
+                 .alias("t_e6"))
+    s = q.groupBy("n", "la", "lb").agg(
+        F.sum("t_e6").alias("chi_e6"))
+    chi = F.col("chi_e6").cast("double") / 1e6
+    denom = (F.col("n").cast("double")
+             * (F.least("la", "lb").cast("double") - 1))
+    return s.select(
+        F.col("n"), F.col("la").alias("levels_a"),
+        F.col("lb").alias("levels_b"),
+        round_half_away(chi, 6).alias("chi_square"),
+        F.when(denom > 0, round_half_away(F.sqrt(chi / denom), 6))
+        .alias("cramers_v"))

@@ -1539,3 +1539,244 @@ def zipf_alpha_report(docs: DataFrame, top_r: int = 20,
         F.when(den > 0, round_half_away(
             -(num.cast("double") / den.cast("double")), 6))
         .alias("zipf_alpha")))
+
+
+def heaps_law_fit(docs: DataFrame, n_checkpoints: int = 8,
+                  group_col: str = "source",
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Heaps'-law vocabulary-growth exponent per group: least-squares
+    slope of ln(vocabulary size) on ln(cumulative token count) measured
+    at ``n_checkpoints`` document-id checkpoints — natural corpora grow
+    sublinearly (beta ~= 0.4-0.6); beta near 1 means near-disjoint
+    vocabularies (noise/IDs), beta near 0 means a closed template
+    vocabulary. The growth-curve complement of ``zipf_alpha_report`` on
+    a dataset card (the two exponents are theoretically linked,
+    beta ~= 1/alpha).
+
+    Returns (source, n_points, total_tokens, vocab_total, heaps_beta);
+    beta NULL when fewer than 2 distinct checkpoints or zero x-variance.
+
+    Determinism/scale shape: NO corpus-wide window and NO per-prefix
+    rescan. One token pass yields (group, token, first_doc=min(doc_id))
+    — map-side combinable, bounded by per-group vocabulary — and one
+    doc pass yields per-doc token counts. Checkpoints are fixed integer
+    quantiles of the group's doc-id RANGE (min + ((max-min)*j) DIV C,
+    deduplicated), so both cumulative statistics collapse to a
+    broadcast-join + conditional aggregation: tokens_at(c) =
+    SUM(n_toks WHERE doc_id <= c), vocab_at(c) = COUNT(first_doc <= c).
+    ln values quantize ONCE to 1e6-scaled BIGINT so the regression
+    sufficient statistics are exact, order-free integer sums
+    (trend_slopes' contract); the single double division rounds to 6dp.
+    """
+    from amundsendatabuilder_spark.functions.text import tokens as _toks
+    from amundsendatabuilder_spark.session import ensure_parallelism
+    base = ensure_parallelism(docs).select(
+        F.col(group_col).alias("grp"), F.col(id_col).alias("did"),
+        F.col(text_col).alias("txt"))
+    # Pass 1: per-token first occurrence (by doc id) within each group.
+    first = (base
+             .select("grp", "did",
+                     F.explode(_toks(F.lower(F.col("txt")))).alias("tok"))
+             .groupBy("grp", "tok")
+             .agg(F.min("did").alias("first_doc"),
+                  F.count(F.lit(1)).cast("long").alias("c")))
+    # Pass 2: per-doc token counts (no explode needed — array size).
+    per_doc = base.select(
+        "grp", "did",
+        F.size(_toks(F.lower(F.col("txt")))).cast("long").alias("n_toks"))
+    # Checkpoints: integer quantiles of each group's doc-id range.
+    bounds = per_doc.groupBy("grp").agg(
+        F.min("did").alias("lo"), F.max("did").alias("hi"))
+    js = F.sequence(F.lit(1), F.lit(int(n_checkpoints)))
+    cps = (bounds
+           .select("grp", "lo", "hi", F.explode(js).alias("j"))
+           .select("grp", F.expr(
+               f"lo + ((hi - lo) * j) DIV {int(n_checkpoints)}")
+               .cast("long").alias("cp"))
+           .distinct())
+    # Conditional aggregation against the broadcast checkpoint table.
+    toks_at = (per_doc.join(F.broadcast(cps), "grp")
+               .where(F.col("did") <= F.col("cp"))
+               .groupBy("grp", "cp")
+               .agg(F.sum("n_toks").alias("n_tok")))
+    vocab_at = (first.join(F.broadcast(cps), "grp")
+                .where(F.col("first_doc") <= F.col("cp"))
+                .groupBy("grp", "cp")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_vocab")))
+    pts = (toks_at.join(vocab_at, ["grp", "cp"])
+           .where((F.col("n_tok") > 0) & (F.col("n_vocab") > 0))
+           .select("grp",
+                   round_half_away(F.log(F.col("n_tok").cast("double"))
+                                   * 1e6, 0).cast("long").alias("x"),
+                   round_half_away(F.log(F.col("n_vocab").cast("double"))
+                                   * 1e6, 0).cast("long").alias("y"),
+                   "n_tok", "n_vocab"))
+    sums = (pts.groupBy("grp")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.max("n_tok").alias("total_tokens"),
+                 F.max("n_vocab").alias("vocab_total"),
+                 F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                 F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                 F.sum(F.col("x") * F.col("x")).alias("sxx")))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (sums.select(
+        F.col("grp").alias(group_col),
+        F.col("n").alias("n_points"), "total_tokens", "vocab_total",
+        F.when(den > 0, round_half_away(
+            num.cast("double") / den.cast("double"), 6))
+        .alias("heaps_beta")))
+
+
+def token_js_divergence(docs: DataFrame, group_col: str = "source",
+                        text_col: str = "text") -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (nats) between the unigram
+    token distributions of every group pair — the distributional
+    complement of ``cross_source_overlap`` (which sketches *distinct*
+    vocabulary overlap but is blind to frequency shape). JS = 0 for
+    identical mixtures, ln 2 for disjoint vocabularies; a mixture-design
+    tool pairs it with ``temperature_mixture_plan`` to avoid upweighting
+    near-duplicate sources.
+
+    Returns (source_a, source_b, n_common_tokens, js_divergence) for
+    a < b, js rounded to 6dp.
+
+    Determinism/scale shape: NO full outer join per pair. Token counts
+    collapse map-side to (group, token, c); the vocab-sized self-join on
+    token emits one row per co-occurring (pair, token) — bounded by
+    sources^2 x vocab, hash-partitioned on token, never corpus rows.
+    Tokens private to one side contribute exactly p*ln2, folded in
+    analytically via the pair's co-occurring probability mass (an exact
+    integer sum), so nothing is scanned twice. Per-token KL terms are
+    quantized ONCE to 1e9-scaled BIGINT so the cross-partition sums are
+    exact, order-free integers; the two closing double ops (missing-mass
+    ln2 terms + final 0.5x) round to 6dp.
+    """
+    from amundsendatabuilder_spark.functions.text import tokens as _toks
+    from amundsendatabuilder_spark.session import ensure_parallelism
+    st = (ensure_parallelism(docs)
+          .select(F.col(group_col).alias("grp"),
+                  F.explode(_toks(F.lower(F.col(text_col)))).alias("tok"))
+          .groupBy("grp", "tok")
+          .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    totals = st.groupBy("grp").agg(F.sum("c").cast("long").alias("n"))
+    a = st.select(F.col("grp").alias("ga"), "tok",
+                  F.col("c").alias("ca"))
+    b = st.select(F.col("grp").alias("gb"), F.col("tok").alias("tokb"),
+                  F.col("c").alias("cb"))
+    co = (a.join(b, (F.col("tok") == F.col("tokb"))
+                 & (F.col("ga") < F.col("gb")))
+          .join(F.broadcast(totals.select(F.col("grp").alias("ga"),
+                                          F.col("n").alias("na"))), "ga")
+          .join(F.broadcast(totals.select(F.col("grp").alias("gb"),
+                                          F.col("n").alias("nb"))), "gb"))
+    p = F.col("ca").cast("double") / F.col("na").cast("double")
+    q = F.col("cb").cast("double") / F.col("nb").cast("double")
+    term_a = p * F.log(F.lit(2.0) * p / (p + q))
+    term_b = q * F.log(F.lit(2.0) * q / (p + q))
+    terms = co.select(
+        "ga", "gb", "na", "nb", "ca", "cb",
+        round_half_away(term_a * 1e9, 0).cast("long").alias("qa"),
+        round_half_away(term_b * 1e9, 0).cast("long").alias("qb"))
+    agg = (terms.groupBy("ga", "gb")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_common"),
+                F.sum("ca").cast("long").alias("co_mass_a"),
+                F.sum("cb").cast("long").alias("co_mass_b"),
+                F.sum("qa").alias("sqa"), F.sum("qb").alias("sqb")))
+    # Complete pair frame (|groups|^2 rows, broadcast): pairs sharing no
+    # token still emit a row — their divergence is exactly ln 2.
+    ta = totals.select(F.col("grp").alias("ga"), F.col("n").alias("na"))
+    tb = totals.select(F.col("grp").alias("gb"), F.col("n").alias("nb"))
+    pairs = ta.join(F.broadcast(tb), F.col("ga") < F.col("gb"))
+    sums = (pairs.join(agg, ["ga", "gb"], "left")
+            .select("ga", "gb", "na", "nb",
+                    F.coalesce("n_common", F.lit(0)).cast("long")
+                    .alias("n_common"),
+                    F.coalesce("co_mass_a", F.lit(0)).cast("long")
+                    .alias("co_mass_a"),
+                    F.coalesce("co_mass_b", F.lit(0)).cast("long")
+                    .alias("co_mass_b"),
+                    F.coalesce("sqa", F.lit(0)).cast("long").alias("sqa"),
+                    F.coalesce("sqb", F.lit(0)).cast("long")
+                    .alias("sqb")))
+    ln2 = 0.6931471805599453
+    miss_a = ((F.col("na") - F.col("co_mass_a")).cast("double")
+              / F.col("na").cast("double")) * F.lit(ln2)
+    miss_b = ((F.col("nb") - F.col("co_mass_b")).cast("double")
+              / F.col("nb").cast("double")) * F.lit(ln2)
+    js = F.lit(0.5) * (F.col("sqa").cast("double") / F.lit(1e9) + miss_a
+                       + F.col("sqb").cast("double") / F.lit(1e9)
+                       + miss_b)
+    return (sums.select(
+        F.col("ga").alias("source_a"), F.col("gb").alias("source_b"),
+        F.col("n_common").alias("n_common_tokens"),
+        round_half_away(js, 6).alias("js_divergence")))
+
+
+def vocab_coverage_curve(docs: DataFrame,
+                         ks: tuple[int, ...] = (1, 3, 10, 100, 1000,
+                                                10000),
+                         group_col: str = "source",
+                         text_col: str = "text") -> DataFrame:
+    """Vocabulary coverage curve per group: the fraction of all token
+    OCCURRENCES covered by the group's top-k most frequent tokens, for
+    each k in ``ks`` — the tokenizer-budget planning view (how large a
+    vocab before coverage plateaus) complementing ``oov_rate_report``
+    (which fixes one V) and ``vocab_topk`` (which lists the tokens).
+
+    Returns (source, k, vocab_size, covered_occurrences,
+    total_occurrences, coverage) — coverage 6dp, k capped at the
+    group's vocabulary so k > vocab rows read coverage = 1.
+
+    Determinism/scale shape: NO corpus-vocab sort. Token counts
+    collapse map-side; the count-of-counts REGISTER table (grp,
+    count, tokens-with-count, mass) is bounded by distinct frequency
+    values — O(sqrt(group tokens)) — and the cumulative window runs
+    over it, never over the vocabulary. Top-k mass is
+    mass_above + (k - tokens_above) * boundary_count, exact integers
+    throughout (ties at the boundary all carry the same count, so the
+    value is tiebreak-free); the single coverage division rounds 6dp.
+    The DuckDB oracle derives the same numbers INDEPENDENTLY by
+    sorting tokens and summing the top k — the two derivations agree
+    only if the register algebra is right.
+    """
+    from amundsendatabuilder_spark.functions.text import tokens as _toks
+    from amundsendatabuilder_spark.session import ensure_parallelism
+    st = (ensure_parallelism(docs)
+          .select(F.col(group_col).alias("grp"),
+                  F.explode(_toks(F.lower(F.col(text_col)))).alias("tok"))
+          .groupBy("grp", "tok")
+          .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    reg = (st.groupBy("grp", "c")
+           .agg(F.count(F.lit(1)).cast("long").alias("m"))
+           .withColumn("mass", F.col("c") * F.col("m")))
+    w = (Window.partitionBy("grp").orderBy(F.col("c").desc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum = reg.select(
+        "grp", "c", "m",
+        F.coalesce(F.sum("m").over(w), F.lit(0)).cast("long")
+        .alias("tokens_above"),
+        F.coalesce(F.sum("mass").over(w), F.lit(0)).cast("long")
+        .alias("mass_above"))
+    tot = reg.groupBy("grp").agg(
+        F.sum("m").cast("long").alias("vocab"),
+        F.sum("mass").cast("long").alias("total"))
+    spark = docs.sparkSession
+    ks_df = spark.createDataFrame([(int(k),) for k in sorted(ks)],
+                                  "k long")
+    j = (cum.join(F.broadcast(tot), "grp")
+         .join(F.broadcast(ks_df),
+               F.expr("tokens_above < least(k, vocab) "
+                      "AND least(k, vocab) <= tokens_above + m")))
+    covered = (F.col("mass_above")
+               + (F.least("k", "vocab") - F.col("tokens_above"))
+               * F.col("c"))
+    return (j.select(
+        F.col("grp").alias(group_col), "k",
+        F.col("vocab").alias("vocab_size"),
+        covered.alias("covered_occurrences"),
+        F.col("total").alias("total_occurrences"),
+        round_half_away(covered.cast("double")
+                        / F.col("total").cast("double"), 6)
+        .alias("coverage")))

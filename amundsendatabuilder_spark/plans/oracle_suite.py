@@ -8865,3 +8865,312 @@ def embedding_dim_robust_stats_query(spark, sf_dir):
         embedding_dim_robust_stats)
     (emb,) = _t(spark, sf_dir, "embeddings")
     return embedding_dim_robust_stats(emb, scale=10_000)
+
+
+@query("heaps_law_fit", (r"""
+WITH base AS (SELECT source AS grp, doc_id AS did, text FROM documents),
+tok AS (SELECT grp, did, unnest(""" + """REPLACE_LTOKS""" + r""") AS tok
+        FROM base),
+first AS (SELECT grp, tok, min(did) AS first_doc
+          FROM tok GROUP BY 1, 2),
+per_doc AS (SELECT grp, did,
+                   CAST(len(""" + """REPLACE_LTOKS""" + r""") AS BIGINT)
+                   AS n_toks
+            FROM base),
+bounds AS (SELECT grp, min(did) AS lo, max(did) AS hi
+           FROM per_doc GROUP BY 1),
+cps AS (SELECT DISTINCT grp, lo + ((hi - lo) * j) // 8 AS cp
+        FROM bounds, unnest(range(1, 9)) AS t(j)),
+toks_at AS (SELECT p.grp, c.cp, CAST(sum(p.n_toks) AS BIGINT) AS n_tok
+            FROM per_doc p JOIN cps c ON c.grp = p.grp
+            WHERE p.did <= c.cp GROUP BY 1, 2),
+vocab_at AS (SELECT f.grp, c.cp, CAST(count(*) AS BIGINT) AS n_vocab
+             FROM first f JOIN cps c ON c.grp = f.grp
+             WHERE f.first_doc <= c.cp GROUP BY 1, 2),
+pts AS (SELECT t.grp,
+               CAST(round(ln(CAST(t.n_tok AS DOUBLE)) * 1e6, 0)
+                    AS BIGINT) AS x,
+               CAST(round(ln(CAST(v.n_vocab AS DOUBLE)) * 1e6, 0)
+                    AS BIGINT) AS y,
+               t.n_tok, v.n_vocab
+        FROM toks_at t JOIN vocab_at v
+          ON v.grp = t.grp AND v.cp = t.cp
+        WHERE t.n_tok > 0 AND v.n_vocab > 0),
+s AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_points,
+             max(n_tok) AS total_tokens, max(n_vocab) AS vocab_total,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM pts GROUP BY 1)
+SELECT grp AS source, n_points, total_tokens, vocab_total,
+       CASE WHEN n_points * sxx - sx * sx > 0
+            THEN round(CAST(n_points * sxy - sx * sy AS DOUBLE)
+                       / CAST(n_points * sxx - sx * sx AS DOUBLE), 6)
+            END AS heaps_beta
+FROM s
+""").replace("REPLACE_LTOKS", _LTOKS_SQL))
+def heaps_law_fit_query(spark, sf_dir):
+    """Heaps'-law vocabulary-growth exponent per source
+    (textops.heaps_law_fit): ln(vocab) on ln(cumulative tokens) least
+    squares at 8 integer doc-id checkpoints — first-occurrence
+    registers + conditional aggregation, no corpus window, every
+    regression statistic an exact 1e6-quantized integer sum. The
+    growth-curve complement of zipf_alpha_report on a dataset card."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return textops.heaps_law_fit(docs, n_checkpoints=8)
+
+
+@query("token_js_divergence", (r"""
+WITH tok AS (SELECT source AS grp, unnest(REPLACE_LTOKS) AS tok
+             FROM documents),
+st AS (SELECT grp, tok, CAST(count(*) AS BIGINT) AS c
+       FROM tok GROUP BY 1, 2),
+totals AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n FROM st GROUP BY 1),
+co AS (SELECT a.grp AS ga, b.grp AS gb, a.tok, a.c AS ca, b.c AS cb,
+              na.n AS na, nb.n AS nb
+       FROM st a JOIN st b ON b.tok = a.tok AND a.grp < b.grp
+       JOIN totals na ON na.grp = a.grp
+       JOIN totals nb ON nb.grp = b.grp),
+terms AS (SELECT ga, gb, ca, cb,
+                 CAST(round((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                      * ln(2.0 * (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                           / ((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                              + (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))))
+                      * 1e9, 0) AS BIGINT) AS qa,
+                 CAST(round((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                      * ln(2.0 * (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                           / ((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                              + (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))))
+                      * 1e9, 0) AS BIGINT) AS qb
+          FROM co),
+agg AS (SELECT ga, gb, CAST(count(*) AS BIGINT) AS n_common,
+               CAST(sum(ca) AS BIGINT) AS co_mass_a,
+               CAST(sum(cb) AS BIGINT) AS co_mass_b,
+               CAST(sum(qa) AS BIGINT) AS sqa,
+               CAST(sum(qb) AS BIGINT) AS sqb
+        FROM terms GROUP BY 1, 2),
+pairs AS (SELECT a.grp AS ga, b.grp AS gb, a.n AS na, b.n AS nb
+          FROM totals a JOIN totals b ON a.grp < b.grp),
+s AS (SELECT p.ga, p.gb, p.na, p.nb,
+             coalesce(n_common, 0) AS n_common,
+             coalesce(co_mass_a, 0) AS co_mass_a,
+             coalesce(co_mass_b, 0) AS co_mass_b,
+             coalesce(sqa, 0) AS sqa, coalesce(sqb, 0) AS sqb
+      FROM pairs p LEFT JOIN agg
+        ON agg.ga = p.ga AND agg.gb = p.gb)
+SELECT ga AS source_a, gb AS source_b,
+       CAST(n_common AS BIGINT) AS n_common_tokens,
+       round(0.5 * (CAST(sqa AS DOUBLE) / 1e9
+                    + (CAST(na - co_mass_a AS DOUBLE)
+                       / CAST(na AS DOUBLE)) * 0.6931471805599453
+                    + CAST(sqb AS DOUBLE) / 1e9
+                    + (CAST(nb - co_mass_b AS DOUBLE)
+                       / CAST(nb AS DOUBLE)) * 0.6931471805599453), 6)
+       AS js_divergence
+FROM s
+""").replace("REPLACE_LTOKS", _LTOKS_SQL))
+def token_js_divergence_query(spark, sf_dir):
+    """Pairwise source Jensen-Shannon divergence over unigram token
+    distributions (textops.token_js_divergence): co-occurring-token
+    self-join + exact integer missing-mass correction — no outer join,
+    no corpus window; per-token KL terms quantized to 1e9-scaled BIGINT
+    before the cross-partition sum. Disjoint-vocabulary pairs emit
+    exactly ln 2."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return textops.token_js_divergence(docs)
+
+
+@query("vocab_coverage_curve", (r"""
+WITH tok AS (SELECT source AS grp, unnest(REPLACE_LTOKS) AS tok
+             FROM documents),
+st AS (SELECT grp, tok, CAST(count(*) AS BIGINT) AS c
+       FROM tok GROUP BY 1, 2),
+rk AS (SELECT grp, c,
+              row_number() OVER (PARTITION BY grp
+                                 ORDER BY c DESC, tok) AS rn
+       FROM st),
+tot AS (SELECT grp, CAST(count(*) AS BIGINT) AS vocab,
+               CAST(sum(c) AS BIGINT) AS total
+        FROM st GROUP BY 1),
+ks AS (SELECT CAST(unnest([1, 3, 10, 100, 1000, 10000]) AS BIGINT) AS k)
+SELECT r.grp AS source, k.k, t.vocab AS vocab_size,
+       CAST(sum(r.c) AS BIGINT) AS covered_occurrences,
+       t.total AS total_occurrences,
+       round(CAST(sum(r.c) AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
+       AS coverage
+FROM rk r
+JOIN tot t ON t.grp = r.grp
+JOIN ks k ON r.rn <= least(k.k, t.vocab)
+GROUP BY 1, 2, 3, 5
+""").replace("REPLACE_LTOKS", _LTOKS_SQL))
+def vocab_coverage_curve_query(spark, sf_dir):
+    """Top-k token-occurrence coverage per source
+    (textops.vocab_coverage_curve). The Spark side computes coverage
+    from the count-of-counts register (no vocab sort); this twin
+    derives it INDEPENDENTLY by sorting tokens (row_number) and
+    summing the top k — a genuinely independent oracle in the
+    quality_decile_table tradition."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return textops.vocab_coverage_curve(docs)
+
+
+def _bootstrap_ci_oracle(n_boot: int = 40) -> str:
+    """Replay oracle for bootstrap_ci_quality: same baked 52-bit
+    Poisson(1) CDF thresholds, md5-derived draws, integer weighted
+    sums, and nearest-rank percentile selection."""
+    from amundsendatabuilder_spark.operators.curation import (
+        _poisson1_thresholds_52bit)
+    ts = _poisson1_thresholds_52bit()
+    wexpr = " + ".join(
+        f"(CASE WHEN v >= {t} THEN 1 ELSE 0 END)" for t in ts)
+    return ("WITH " + _QUALITY_CTE + f""",
+src AS (SELECT d.doc_id AS did, d.source AS grp,
+               CAST(round(q.quality * 1e6, 0) AS BIGINT) AS qi
+        FROM documents d JOIN q ON q.doc_id = d.doc_id),
+fan AS (SELECT grp, did, qi, CAST(j AS BIGINT) AS b
+        FROM src, range(1, {n_boot + 1}) t(j)),
+draw AS (SELECT grp, b, qi,
+                CAST('0x' || substr(md5('boot:' || CAST(did AS VARCHAR)
+                     || ':' || CAST(b AS VARCHAR)), 1, 13) AS BIGINT)
+                AS v
+         FROM fan),
+wt AS (SELECT grp, b, qi, CAST({wexpr} AS BIGINT) AS w FROM draw),
+per_b AS (SELECT grp, b, CAST(sum(w * qi) AS BIGINT) AS wq,
+                 CAST(sum(w) AS BIGINT) AS sw
+          FROM wt GROUP BY 1, 2),
+mb AS (SELECT grp, b, CAST(wq AS DOUBLE) / CAST(sw AS DOUBLE) AS mb
+       FROM per_b WHERE sw > 0),
+rk AS (SELECT grp, b, mb,
+              row_number() OVER (PARTITION BY grp ORDER BY mb, b) AS rn,
+              count(*) OVER (PARTITION BY grp) AS nb
+       FROM mb),
+ci AS (SELECT grp,
+              max(CASE WHEN rn = greatest(CAST(ceil(nb * 0.025) AS BIGINT),
+                                          1) THEN mb END) AS lo,
+              max(CASE WHEN rn = CAST(ceil(nb * 0.975) AS BIGINT)
+                       THEN mb END) AS hi
+       FROM rk GROUP BY 1),
+overall AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(qi) AS BIGINT) AS sq
+            FROM src GROUP BY 1)
+SELECT o.grp AS source, o.n_docs,
+       round(CAST(o.sq AS DOUBLE) / CAST(o.n_docs AS DOUBLE) / 1e6, 6)
+       AS mean_quality,
+       round(c.lo / 1e6, 6) AS ci_lo,
+       round(c.hi / 1e6, 6) AS ci_hi
+FROM overall o JOIN ci c ON c.grp = o.grp""")
+
+
+@query("bootstrap_ci_quality", _bootstrap_ci_oracle())
+def bootstrap_ci_quality_query(spark, sf_dir):
+    """Poisson-bootstrap CI for per-source mean quality
+    (curation.bootstrap_ci_quality): 40 deterministic md5-seeded
+    Poisson(1) resamples via baked integer CDF thresholds, exact
+    1e6-quantized weighted sums, nearest-rank percentile over the
+    groups x 40 register table — the uncertainty row of a dataset
+    card."""
+    from amundsendatabuilder_spark.operators.curation import (
+        bootstrap_ci_quality)
+    (docs,) = _t(spark, sf_dir, "documents")
+    return bootstrap_ci_quality(docs, n_boot=40)
+
+
+def _benford_oracle() -> str:
+    """Replay oracle for benford_audit over lineitem extended prices
+    grouped by return flag: same integer-string digit path, baked
+    1e9-quantized Benford probabilities, 1e6-quantized chi-square
+    terms, struct-free worst-digit pick (min digit at max deviation)."""
+    import math
+    rows = ", ".join(
+        f"({d}, {int(round(math.log10(1 + 1 / d) * 1e9))})"
+        for d in range(1, 10))
+    return f"""
+WITH pdf(d, p_e9) AS (VALUES {rows}),
+base AS (SELECT l_returnflag AS grp,
+                CAST(substr(CAST(CAST(round(abs(l_extendedprice) * 1e6, 0)
+                     AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d
+         FROM lineitem
+         WHERE l_extendedprice IS NOT NULL
+           AND CAST(round(abs(l_extendedprice) * 1e6, 0) AS BIGINT) > 0),
+reg AS (SELECT grp, d, CAST(count(*) AS BIGINT) AS c
+        FROM base GROUP BY 1, 2),
+tot AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n FROM reg GROUP BY 1),
+filled AS (SELECT t.grp, p.d, t.n, p.p_e9, coalesce(r.c, 0) AS c
+         FROM tot t CROSS JOIN pdf p
+         LEFT JOIN reg r ON r.grp = t.grp AND r.d = p.d),
+scored AS (SELECT grp, n,
+                  CAST(round(power(CAST(c AS DOUBLE)
+                       - CAST(n AS DOUBLE) * CAST(p_e9 AS DOUBLE) / 1e9, 2)
+                       / (CAST(n AS DOUBLE) * CAST(p_e9 AS DOUBLE) / 1e9)
+                       * 1e6, 0) AS BIGINT) AS chi_e6,
+                  CAST(round(abs(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                       - CAST(p_e9 AS DOUBLE) / 1e9) * 1e6, 0) AS BIGINT)
+                  AS dev,
+                  d
+           FROM filled)
+SELECT grp AS l_returnflag, max(n) AS n_values,
+       round(CAST(sum(chi_e6) AS DOUBLE) / 1e6, 6) AS chi_square,
+       max(dev) AS max_abs_dev_ppm,
+       CAST(min(CASE WHEN dev = (SELECT max(s2.dev) FROM scored s2
+                                 WHERE s2.grp = scored.grp)
+                     THEN d END) AS INT) AS worst_digit
+FROM scored GROUP BY 1"""
+
+
+@query("benford_audit", _benford_oracle())
+def benford_audit_query(spark, sf_dir):
+    """Benford first-digit audit of l_extendedprice per return flag
+    (profiling.benford_audit): leading digit read from the 1e6-quantized
+    integer's string form (no float log / %e rounding in the digit
+    path), chi-square against baked Benford probabilities over a
+    groups x 9 register table."""
+    from amundsendatabuilder_spark.operators.profiling import benford_audit
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return benford_audit(li, "l_extendedprice", group_col="l_returnflag")
+
+
+@query("chi_square_independence", r"""
+WITH base AS (SELECT CAST(o_orderpriority AS VARCHAR) AS a,
+                     CAST(o_orderstatus AS VARCHAR) AS b
+              FROM orders
+              WHERE o_orderpriority IS NOT NULL
+                AND o_orderstatus IS NOT NULL),
+cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
+          FROM base GROUP BY 1, 2),
+ra AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM cells GROUP BY 1),
+rb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(DISTINCT a) AS BIGINT) AS la,
+               CAST(count(DISTINCT b) AS BIGINT) AS lb
+        FROM cells),
+grid AS (SELECT ra.a, rb.b, ra.ca, rb.cb, coalesce(cl.c, 0) AS c
+         FROM ra CROSS JOIN rb
+         LEFT JOIN cells cl ON cl.a = ra.a AND cl.b = rb.b),
+q AS (SELECT t.n, t.la, t.lb,
+             CAST(round(power(CAST(g.c AS DOUBLE)
+                  - CAST(g.ca AS DOUBLE) * CAST(g.cb AS DOUBLE)
+                    / CAST(t.n AS DOUBLE), 2)
+                  / (CAST(g.ca AS DOUBLE) * CAST(g.cb AS DOUBLE)
+                     / CAST(t.n AS DOUBLE)) * 1e6, 0) AS BIGINT) AS t_e6
+      FROM grid g CROSS JOIN tot t),
+s AS (SELECT n, la, lb, CAST(sum(t_e6) AS BIGINT) AS chi_e6
+      FROM q GROUP BY 1, 2, 3)
+SELECT n, la AS levels_a, lb AS levels_b,
+       round(CAST(chi_e6 AS DOUBLE) / 1e6, 6) AS chi_square,
+       CASE WHEN n * (least(la, lb) - 1) > 0
+            THEN round(sqrt((CAST(chi_e6 AS DOUBLE) / 1e6)
+                            / (CAST(n AS DOUBLE)
+                               * (CAST(least(la, lb) AS DOUBLE) - 1))), 6)
+            END AS cramers_v
+FROM s
+""")
+def chi_square_independence_query(spark, sf_dir):
+    """Chi-square independence + Cramér's V between order priority and
+    order status (profiling.chi_square_independence): contingency
+    register bounded by |A| x |B|, observed-zero cells included via the
+    marginal grid, 1e6-quantized cell terms, one closing sqrt."""
+    from amundsendatabuilder_spark.operators.profiling import (
+        chi_square_independence)
+    (orders,) = _t(spark, sf_dir, "orders")
+    return chi_square_independence(orders, "o_orderpriority",
+                                   "o_orderstatus")

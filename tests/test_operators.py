@@ -3155,3 +3155,228 @@ def test_embedding_dim_robust_stats_outlier_immune(spark):
         "vec_id long, embedding array<float>")
     out2 = embedding_dim_robust_stats(emb2).collect()[0]
     assert out2.median == 2.0  # rank ceil(4/2)=2 -> value 2, not 2.5
+
+
+def test_heaps_law_fit_python_twin(spark):
+    import math
+
+    from amundsendatabuilder_spark.operators.textops import heaps_law_fit
+    # vocabulary grows by one new token every doc on top of a repeated
+    # base token -> beta strictly between 0 and 1, checkable exactly
+    rows = []
+    for d in range(1, 9):
+        text = " ".join(["base"] * 3 + [f"tok{i}" for i in range(1, d + 1)])
+        rows.append((d, text, "s1"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    out = heaps_law_fit(docs, n_checkpoints=8).collect()[0]
+    # python twin: checkpoints are lo + ((hi-lo)*j)//8 for j=1..8 -> 2..8
+    toks = {d: ["base"] * 3 + [f"tok{i}" for i in range(1, d + 1)]
+            for d in range(1, 9)}
+    cps = sorted({1 + ((8 - 1) * j) // 8 for j in range(1, 9)})
+    pts = []
+    for cp in cps:
+        n_tok = sum(len(v) for d, v in toks.items() if d <= cp)
+        vocab = len({t for d, v in toks.items() if d <= cp for t in v})
+        pts.append((round(math.log(n_tok) * 1e6),
+                    round(math.log(vocab) * 1e6), n_tok, vocab))
+    n = len(pts)
+    sx = sum(p[0] for p in pts); sy = sum(p[1] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    sxx = sum(p[0] * p[0] for p in pts)
+    beta = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+    assert out.n_points == n
+    assert out.total_tokens == max(p[2] for p in pts)
+    assert out.vocab_total == max(p[3] for p in pts)
+    assert abs(out.heaps_beta - beta) <= 1e-6
+    assert 0.0 < out.heaps_beta < 1.0
+    # closed vocabulary: vocab constant across checkpoints -> beta == 0
+    flat = heaps_law_fit(
+        spark.createDataFrame(
+            [(d, "a b c", "s1") for d in range(1, 5)],
+            "doc_id long, text string, source string"),
+        n_checkpoints=4).collect()[0]
+    assert flat.heaps_beta == 0.0
+    # single doc: one distinct checkpoint -> no variance -> NULL
+    one = heaps_law_fit(
+        spark.createDataFrame([(7, "a b a", "s1")],
+                              "doc_id long, text string, source string"),
+        n_checkpoints=8).collect()[0]
+    assert one.heaps_beta is None and one.n_points == 1
+
+
+def test_token_js_divergence_known_values(spark):
+    import math
+
+    from amundsendatabuilder_spark.operators.textops import (
+        token_js_divergence)
+    docs = spark.createDataFrame(
+        [(1, "x x y", "A"), (2, "x y y", "B"),
+         (3, "x x y", "C"),              # identical distribution to A
+         (4, "z z w", "D")],             # disjoint vocabulary
+        "doc_id long, text string, source string")
+    out = {(r.source_a, r.source_b): r
+           for r in token_js_divergence(docs).collect()}
+    assert len(out) == 6  # 4 choose 2, disjoint pairs included
+    # A vs B: P=(2/3,1/3), Q=(1/3,2/3) -> JS = 2/3 ln(4/3) + 1/3 ln(2/3)
+    expect = (2 / 3) * math.log(4 / 3) + (1 / 3) * math.log(2 / 3)
+    ab = out[("A", "B")]
+    assert ab.n_common_tokens == 2
+    assert abs(ab.js_divergence - expect) <= 2e-6
+    # identical distributions -> 0
+    assert out[("A", "C")].js_divergence == 0.0
+    # disjoint vocabularies -> exactly ln 2, present despite no common tok
+    ad = out[("A", "D")]
+    assert ad.n_common_tokens == 0
+    assert abs(ad.js_divergence - math.log(2)) <= 1e-6
+    # symmetry of construction: pair emitted once with a < b
+    assert ("B", "A") not in out
+
+
+def test_vocab_coverage_curve_boundary_ties(spark):
+    from amundsendatabuilder_spark.operators.textops import (
+        vocab_coverage_curve)
+    # counts: a=5, b=3, c=3 (tie), d=1 -> vocab 4, total 12
+    text = " ".join(["a"] * 5 + ["b"] * 3 + ["c"] * 3 + ["d"])
+    docs = spark.createDataFrame([(1, text, "s1")],
+                                 "doc_id long, text string, source string")
+    out = {r.k: r for r in
+           vocab_coverage_curve(docs, ks=(1, 2, 3, 10)).collect()}
+    assert out[1].covered_occurrences == 5
+    # k=2 lands INSIDE the count-3 tie group: 5 + (2-1)*3 = 8 — the
+    # register-derived value equals the sorted top-2 regardless of b/c order
+    assert out[2].covered_occurrences == 8
+    assert out[3].covered_occurrences == 11
+    # k beyond vocab: capped, full coverage
+    assert out[10].covered_occurrences == 12
+    assert out[10].coverage == 1.0
+    assert out[10].vocab_size == 4 and out[10].total_occurrences == 12
+    assert abs(out[1].coverage - round(5 / 12, 6)) <= 1e-9
+
+
+def test_bootstrap_ci_quality_python_twin(spark):
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from amundsendatabuilder_spark.functions.scalars import round_half_away
+    from amundsendatabuilder_spark.functions.text import quality_score
+    from amundsendatabuilder_spark.operators.curation import (
+        _poisson1_thresholds_52bit, bootstrap_ci_quality)
+    texts = ["alpha beta gamma delta", "alpha alpha alpha",
+             "one two three four five six seven", "x y z",
+             "lorem ipsum dolor sit amet", "short"]
+    docs = spark.createDataFrame(
+        [(i + 1, t, "s1") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string")
+    out = bootstrap_ci_quality(docs, n_boot=40).collect()[0]
+    # python twin over the same quantized qualities
+    qi = {r.doc_id: r.qi for r in docs.select(
+        "doc_id", round_half_away(quality_score(F.col("text")) * 1e6, 0)
+        .cast("long").alias("qi")).collect()}
+    ts = _poisson1_thresholds_52bit()
+    means = []
+    for b in range(1, 41):
+        wq = sw = 0
+        for did, q in qi.items():
+            v = int(hashlib.md5(f"boot:{did}:{b}".encode())
+                    .hexdigest()[:13], 16)
+            w = sum(1 for t in ts if v >= t)
+            wq += w * q
+            sw += w
+        if sw > 0:
+            means.append(wq / sw)
+    means.sort()
+    nb = len(means)
+    lo = means[max(math.ceil(nb * 0.025), 1) - 1]
+    hi = means[math.ceil(nb * 0.975) - 1]
+    assert out.n_docs == 6
+    assert abs(out.mean_quality - round(sum(qi.values()) / 6 / 1e6, 6)) \
+        <= 1e-9
+    assert abs(out.ci_lo - round(lo / 1e6, 6)) <= 1e-9
+    assert abs(out.ci_hi - round(hi / 1e6, 6)) <= 1e-9
+    assert out.ci_lo <= out.mean_quality <= out.ci_hi
+    # constant quality -> zero-width interval at the constant
+    const = bootstrap_ci_quality(
+        spark.createDataFrame([(i, "same text here", "s1")
+                               for i in range(1, 9)],
+                              "doc_id long, text string, source string"),
+        n_boot=40).collect()[0]
+    assert const.ci_lo == const.ci_hi == const.mean_quality
+
+
+def test_benford_audit_python_twin(spark):
+    import math
+
+    from amundsendatabuilder_spark.operators.profiling import benford_audit
+    # magnitudes spanning decades with known leading digits, plus
+    # excluded rows (zero, null, |v| < 1e-5 quantization floor)
+    vals = [1.5, 12.0, 19.9, 2.5, 0.031, 456.0, 7e-3, 8_900.0, 9.1,
+            1e-4, 0.0, None, -3.7, 1_000_000.0]
+    docs = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = benford_audit(docs, "x").collect()[0]
+    kept = [abs(v) for v in vals
+            if v is not None and round(abs(v) * 1e6) > 0]
+    digits = [int(str(round(abs(v) * 1e6))[0]) for v in kept]
+    n = len(digits)
+    assert out.n_values == n == 12
+    chi = 0
+    devs = {}
+    for d in range(1, 10):
+        p = round(math.log10(1 + 1 / d) * 1e9) / 1e9
+        c = digits.count(d)
+        chi += round((c - n * p) ** 2 / (n * p) * 1e6)
+        devs[d] = round(abs(c / n - p) * 1e6)
+    assert abs(out.chi_square - round(chi / 1e6, 6)) <= 1e-9
+    mx = max(devs.values())
+    assert out.max_abs_dev_ppm == mx
+    assert out.worst_digit == min(d for d, v in devs.items() if v == mx)
+    # near-perfect Benford sample scores far below uniform digits
+    benford = [(10 ** (i / 97.0),) for i in range(97)]
+    uniform = [(float(d),) for d in range(1, 10) for _ in range(11)]
+    chi_b = benford_audit(
+        spark.createDataFrame(benford, "x double"), "x").collect()[0]
+    chi_u = benford_audit(
+        spark.createDataFrame(uniform, "x double"), "x").collect()[0]
+    assert chi_b.chi_square < 1.0 < chi_u.chi_square
+
+
+def test_chi_square_independence_known_values(spark):
+    from amundsendatabuilder_spark.operators.profiling import (
+        chi_square_independence)
+    # perfectly dependent: b == a -> V = 1
+    dep = spark.createDataFrame(
+        [("x", "x")] * 5 + [("y", "y")] * 5, "a string, b string")
+    out = chi_square_independence(dep, "a", "b").collect()[0]
+    assert out.n == 10 and out.levels_a == out.levels_b == 2
+    assert out.cramers_v == 1.0
+    # chi^2 == n for a perfect 2x2 dependence
+    assert abs(out.chi_square - 10.0) <= 1e-6
+    # exactly independent margins -> chi^2 = 0, V = 0
+    ind = spark.createDataFrame(
+        [(a, b) for a in ("x", "y") for b in ("p", "q", "r")
+         for _ in range(4)], "a string, b string")
+    out2 = chi_square_independence(ind, "a", "b").collect()[0]
+    assert out2.chi_square == 0.0 and out2.cramers_v == 0.0
+    assert out2.levels_a == 2 and out2.levels_b == 3
+    # observed-zero cell still contributes expected mass: hand-check
+    # 2x2 with cells (x,p)=3, (x,q)=1, (y,p)=0, (y,q)=2
+    z = spark.createDataFrame(
+        [("x", "p")] * 3 + [("x", "q")] + [("y", "q")] * 2,
+        "a string, b string")
+    out3 = chi_square_independence(z, "a", "b").collect()[0]
+    n = 6
+    obs = {("x", "p"): 3, ("x", "q"): 1, ("y", "p"): 0, ("y", "q"): 2}
+    ra = {"x": 4, "y": 2}
+    cb = {"p": 3, "q": 3}
+    chi = sum(round((c - ra[a] * cb[b] / n) ** 2
+                    / (ra[a] * cb[b] / n) * 1e6)
+              for (a, b), c in obs.items()) / 1e6
+    assert abs(out3.chi_square - round(chi, 6)) <= 1e-9
+    # NULLs are dropped, not a level
+    nl = spark.createDataFrame(
+        [("x", "p"), ("x", None), (None, "q"), ("y", "q")],
+        "a string, b string")
+    out4 = chi_square_independence(nl, "a", "b").collect()[0]
+    assert out4.n == 2 and out4.levels_a == 2
