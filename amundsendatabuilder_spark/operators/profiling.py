@@ -709,3 +709,113 @@ def chi_square_independence(df: DataFrame, col_a: str,
         round_half_away(chi, 6).alias("chi_square"),
         F.when(denom > 0, round_half_away(F.sqrt(chi / denom), 6))
         .alias("cramers_v"))
+
+
+def ks_drift_stat(df: DataFrame, value_col: str, group_col: str,
+                  group_a, group_b, scale: int = 100) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the numeric
+    distributions of two groups: D = max_v |ECDF_a(v) - ECDF_b(v)| —
+    the numeric complement of ``distribution_drift`` (categorical TV
+    distance), answering "did this column's SHAPE move between two
+    corpus versions / sources?" without binning choices.
+
+    Returns one row: (n_a, n_b, ks_d, ks_at_value) — ks_d 6dp,
+    ks_at_value the (quantized) value attaining the supremum
+    (ties -> smallest value).
+
+    Determinism/scale shape: values quantize to ``scale``-scaled
+    BIGINT (register width bounds the table: distinct quantized values,
+    never rows — widen ``scale`` only as the domain allows, the
+    equi_depth_boundaries contract); per-value counts collapse
+    map-side; the cumulative window runs over the REGISTER ordered by
+    value. The supremum is computed as max |cum_a * n_b - cum_b * n_a|
+    — EXACT integer arithmetic, no per-row float — and only the final
+    D = num / (n_a * n_b) divides, 6dp.
+    """
+    from pyspark.sql import Window
+    q = round_half_away(F.col(value_col).cast("double") * scale,
+                        0).cast("long")
+    base = (df.where(F.col(group_col).isin([group_a, group_b])
+                     & F.col(value_col).isNotNull())
+            .select(q.alias("q"),
+                    (F.col(group_col) == group_a).cast("int").alias("ia")))
+    reg = (base.groupBy("q")
+           .agg(F.sum("ia").cast("long").alias("ca"),
+                F.sum(F.lit(1) - F.col("ia")).cast("long").alias("cb")))
+    w = (Window.orderBy("q")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = reg.select(
+        "q",
+        F.sum("ca").over(w).cast("long").alias("cum_a"),
+        F.sum("cb").over(w).cast("long").alias("cum_b"))
+    tot = reg.agg(F.sum("ca").cast("long").alias("na"),
+                  F.sum("cb").cast("long").alias("nb"))
+    j = cum.crossJoin(F.broadcast(tot))
+    diff = F.abs(F.col("cum_a") * F.col("nb")
+                 - F.col("cum_b") * F.col("na"))
+    best = (j.select("na", "nb", diff.alias("d"), "q")
+            .groupBy("na", "nb")
+            .agg(F.max(F.struct(F.col("d").alias("d"),
+                                (-F.col("q")).alias("nq"))).alias("w")))
+    return best.select(
+        F.col("na").alias("n_a"), F.col("nb").alias("n_b"),
+        round_half_away(F.col("w.d").cast("double")
+                        / (F.col("na").cast("double")
+                           * F.col("nb").cast("double")), 6)
+        .alias("ks_d"),
+        round_half_away((-F.col("w.nq")).cast("double") / scale, 6)
+        .alias("ks_at_value"))
+
+
+def gini_inequality(df: DataFrame, value_col: str,
+                    group_col: str | None = None,
+                    scale: int = 1) -> DataFrame:
+    """Gini coefficient of a non-negative measure per group — "how
+    unequal are document lengths / source contributions?", the
+    concentration row of a dataset card (a corpus whose token mass
+    Gini approaches 1 is dominated by a few giants; shard planning and
+    mixture weights both care). Complements ``skew_report`` (top-k
+    share) with the full-distribution inequality index.
+
+    Returns (group?, n, total, gini) — gini 6dp in [0, 1), 0 = all
+    equal. NULL and negative values are excluded; gini is NULL when
+    the group total is 0.
+
+    Determinism/scale shape: values quantize to ``scale``-scaled
+    BIGINT registers (value, multiplicity) bounded by the distinct
+    quantized domain; the rank-weighted sum uses the closed form over
+    tie groups — for m copies of value v after a lower-rank mass of a:
+    sum_{i=a+1..a+m} (2i - n - 1) v = v * m * (2a + m - n), needing
+    only the register cumulative window. Everything up to the final
+    G = num / (n * total) division (6dp) is exact integer arithmetic.
+    """
+    from pyspark.sql import Window
+    gcols = [group_col] if group_col else []
+    q = round_half_away(F.col(value_col).cast("double") * scale,
+                        0).cast("long")
+    base = (df.where(F.col(value_col).isNotNull())
+            .select(*gcols, q.alias("v"))
+            .where(F.col("v") >= 0))
+    reg = (base.groupBy(*gcols, "v")
+           .agg(F.count(F.lit(1)).cast("long").alias("m")))
+    w = ((Window.partitionBy(*gcols) if gcols else Window.partitionBy())
+         .orderBy("v").rowsBetween(Window.unboundedPreceding, -1))
+    cum = reg.select(
+        *gcols, "v", "m",
+        F.coalesce(F.sum("m").over(w), F.lit(0)).cast("long").alias("a"))
+    tot = reg.groupBy(*gcols).agg(
+        F.sum("m").cast("long").alias("n"),
+        F.sum(F.col("v") * F.col("m")).cast("long").alias("total"))
+    j = cum.join(F.broadcast(tot), gcols) if gcols else \
+        cum.crossJoin(F.broadcast(tot))
+    # num = sum over tie groups of v * m * (2a + m - n)
+    contrib = (F.col("v") * F.col("m")
+               * (F.lit(2) * F.col("a") + F.col("m") - F.col("n")))
+    s = (j.groupBy(*gcols, "n", "total")
+         .agg(F.sum(contrib).cast("long").alias("num")))
+    return s.select(
+        *gcols, "n", "total",
+        F.when(F.col("total") > 0, round_half_away(
+            F.col("num").cast("double")
+            / (F.col("n").cast("double") * F.col("total").cast("double")),
+            6)).alias("gini"))

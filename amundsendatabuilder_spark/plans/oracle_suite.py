@@ -9174,3 +9174,79 @@ def chi_square_independence_query(spark, sf_dir):
     (orders,) = _t(spark, sf_dir, "orders")
     return chi_square_independence(orders, "o_orderpriority",
                                    "o_orderstatus")
+
+
+@query("ks_drift_stat", r"""
+WITH base AS (SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS q,
+                     CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ia
+              FROM lineitem
+              WHERE l_returnflag IN ('R', 'A')
+                AND l_extendedprice IS NOT NULL),
+reg AS (SELECT q, CAST(sum(ia) AS BIGINT) AS ca,
+               CAST(sum(1 - ia) AS BIGINT) AS cb
+        FROM base GROUP BY 1),
+cum AS (SELECT q,
+               CAST(sum(ca) OVER (ORDER BY q) AS BIGINT) AS cum_a,
+               CAST(sum(cb) OVER (ORDER BY q) AS BIGINT) AS cum_b
+        FROM reg),
+tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+               CAST(sum(cb) AS BIGINT) AS nb
+        FROM reg),
+d AS (SELECT t.na, t.nb, abs(c.cum_a * t.nb - c.cum_b * t.na) AS d, c.q
+      FROM cum c CROSS JOIN tot t),
+best AS (SELECT na, nb, max(d) AS mx FROM d GROUP BY 1, 2)
+SELECT b.na AS n_a, b.nb AS n_b,
+       round(CAST(b.mx AS DOUBLE)
+             / (CAST(b.na AS DOUBLE) * CAST(b.nb AS DOUBLE)), 6) AS ks_d,
+       round(CAST(min(d.q) AS DOUBLE) / 100, 6) AS ks_at_value
+FROM best b JOIN d ON d.na = b.na AND d.nb = b.nb AND d.d = b.mx
+GROUP BY 1, 2, 3
+""")
+def ks_drift_stat_query(spark, sf_dir):
+    """Two-sample KS statistic between returned ('R') and accepted
+    ('A') lineitem price distributions (profiling.ks_drift_stat):
+    100x-quantized value registers, exact integer
+    |cum_a*n_b - cum_b*n_a| supremum, single closing division."""
+    from amundsendatabuilder_spark.operators.profiling import ks_drift_stat
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return ks_drift_stat(li, "l_extendedprice", "l_returnflag",
+                         "R", "A", scale=100)
+
+
+@query("gini_inequality", r"""
+WITH base AS (SELECT source AS grp,
+                     CAST(round(CAST(n_chars AS DOUBLE) * 1, 0) AS BIGINT)
+                     AS v
+              FROM documents
+              WHERE n_chars IS NOT NULL),
+pos AS (SELECT grp, v FROM base WHERE v >= 0),
+reg AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS m
+        FROM pos GROUP BY 1, 2),
+cum AS (SELECT grp, v, m,
+               CAST(coalesce(sum(m) OVER (PARTITION BY grp ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS a
+        FROM reg),
+tot AS (SELECT grp, CAST(sum(m) AS BIGINT) AS n,
+               CAST(sum(v * m) AS BIGINT) AS total
+        FROM reg GROUP BY 1),
+s AS (SELECT c.grp, t.n, t.total,
+             CAST(sum(c.v * c.m * (2 * c.a + c.m - t.n)) AS BIGINT) AS num
+      FROM cum c JOIN tot t ON t.grp = c.grp
+      GROUP BY 1, 2, 3)
+SELECT grp AS source, n, total,
+       CASE WHEN total > 0
+            THEN round(CAST(num AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)), 6)
+            END AS gini
+FROM s
+""")
+def gini_inequality_query(spark, sf_dir):
+    """Gini coefficient of document length per source
+    (profiling.gini_inequality): value-multiplicity registers, closed
+    tie-group form v*m*(2a+m-n) over the register cumulative window —
+    exact integers until the single closing division."""
+    from amundsendatabuilder_spark.operators.profiling import (
+        gini_inequality)
+    (docs,) = _t(spark, sf_dir, "documents")
+    return gini_inequality(docs, "n_chars", group_col="source", scale=1)

@@ -3380,3 +3380,60 @@ def test_chi_square_independence_known_values(spark):
         "a string, b string")
     out4 = chi_square_independence(nl, "a", "b").collect()[0]
     assert out4.n == 2 and out4.levels_a == 2
+
+
+def test_ks_drift_stat_known_values(spark):
+    from amundsendatabuilder_spark.operators.profiling import ks_drift_stat
+    rows = [(float(v), "A") for v in (1, 2, 3, 4)] + \
+           [(float(v), "B") for v in (3, 4, 5, 6)]
+    df = spark.createDataFrame(rows, "x double, g string")
+    out = ks_drift_stat(df, "x", "g", "A", "B", scale=100).collect()[0]
+    # ECDF gap peaks at 0.5, first attained at v=2 (ties -> smallest)
+    assert out.n_a == 4 and out.n_b == 4
+    assert out.ks_d == 0.5
+    assert out.ks_at_value == 2.0
+    # identical distributions -> D = 0
+    same = spark.createDataFrame(
+        [(float(v), g) for g in ("A", "B") for v in (1, 2, 3)],
+        "x double, g string")
+    out2 = ks_drift_stat(same, "x", "g", "A", "B").collect()[0]
+    assert out2.ks_d == 0.0
+    # disjoint supports -> D = 1 at the last value of the lower group
+    dis = spark.createDataFrame(
+        [(1.0, "A"), (2.0, "A"), (5.0, "B"), (6.0, "B")],
+        "x double, g string")
+    out3 = ks_drift_stat(dis, "x", "g", "A", "B").collect()[0]
+    assert out3.ks_d == 1.0 and out3.ks_at_value == 2.0
+
+
+def test_gini_inequality_known_values(spark):
+    from amundsendatabuilder_spark.operators.profiling import (
+        gini_inequality)
+    # all equal -> gini 0
+    eq = spark.createDataFrame([(10.0, "s")] * 5, "x double, g string")
+    out = gini_inequality(eq, "x", group_col="g").collect()[0]
+    assert out.gini == 0.0 and out.n == 5 and out.total == 50
+    # textbook example [1,2,3,4]: G = 2*(1*1+2*2+3*3+4*4)/(4*10)
+    #                                 - (4+1)/4 ... = 0.25
+    vals = spark.createDataFrame([(float(v), "s") for v in (1, 2, 3, 4)],
+                                 "x double, g string")
+    out2 = gini_inequality(vals, "x", group_col="g").collect()[0]
+    assert out2.gini == 0.25
+    # extreme concentration [0,0,0,12]: G = (n-1)/n = 0.75
+    conc = spark.createDataFrame(
+        [(0.0, "s"), (0.0, "s"), (0.0, "s"), (12.0, "s")],
+        "x double, g string")
+    out3 = gini_inequality(conc, "x", group_col="g").collect()[0]
+    assert out3.gini == 0.75
+    # ties use the closed tie-group form: [1,1,3,3] ->
+    # sorted ranks give num = 1*2*(0+2-4)+3*2*(4+2-4) = -4+12 = 8
+    # G = 8 / (4*8) = 0.25
+    ties = spark.createDataFrame([(float(v), "s") for v in (1, 1, 3, 3)],
+                                 "x double, g string")
+    out4 = gini_inequality(ties, "x", group_col="g").collect()[0]
+    assert out4.gini == 0.25
+    # zero total -> NULL gini; negatives excluded
+    z = spark.createDataFrame([(0.0, "s"), (-5.0, "s")],
+                              "x double, g string")
+    out5 = gini_inequality(z, "x", group_col="g").collect()[0]
+    assert out5.gini is None and out5.n == 1
