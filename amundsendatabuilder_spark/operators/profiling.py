@@ -819,3 +819,67 @@ def gini_inequality(df: DataFrame, value_col: str,
             F.col("num").cast("double")
             / (F.col("n").cast("double") * F.col("total").cast("double")),
             6)).alias("gini"))
+
+
+def mutual_information(df: DataFrame, col_a: str,
+                       col_b: str) -> DataFrame:
+    """Mutual information (nats) and sqrt-normalized NMI between two
+    categorical columns — the information-theoretic companion to
+    ``chi_square_independence`` (chi-square scales with n and hides
+    effect size; MI/NMI answer "how many nats does knowing A give
+    about B?" and normalize to [0,1]). The standard external
+    clustering-evaluation metric: run it on (label, cluster_id) to
+    score any clustering against ground truth.
+
+    Returns one row: (n, levels_a, levels_b, entropy_a, entropy_b,
+    mi, nmi), all 6dp nats; nmi = mi / sqrt(H_a * H_b), NULL when
+    either entropy is 0 (a constant column carries no information).
+
+    Determinism/scale shape: same contingency REGISTER as
+    chi_square_independence (|A| x |B| cells, map-side combinable;
+    only OBSERVED cells contribute — 0 ln 0 = 0 so the zero grid is
+    not needed). Each cell's p*ln term quantizes to 1e9-scaled BIGINT
+    before the order-free sum; entropies come from the marginal
+    registers the same way; the closing sqrt/divide rounds 6dp.
+    """
+    base = (df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+            .select(F.col(col_a).cast("string").alias("a"),
+                    F.col(col_b).cast("string").alias("b")))
+    cells = base.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    ra = cells.groupBy("a").agg(F.sum("c").cast("long").alias("ca"))
+    rb = cells.groupBy("b").agg(F.sum("c").cast("long").alias("cb"))
+    tot = cells.agg(F.sum("c").cast("long").alias("n"),
+                    F.countDistinct("a").cast("long").alias("la"),
+                    F.countDistinct("b").cast("long").alias("lb"))
+    g = (cells.join(F.broadcast(ra), "a").join(F.broadcast(rb), "b")
+         .crossJoin(F.broadcast(tot)))
+    nd = F.col("n").cast("double")
+    mi_term = (F.col("c").cast("double") / nd) * F.log(
+        F.col("c").cast("double") * nd
+        / (F.col("ca").cast("double") * F.col("cb").cast("double")))
+    mi_q = (g.select(round_half_away(mi_term * 1e9, 0).cast("long")
+                     .alias("t"))
+            .agg(F.sum("t").alias("mi_e9")))
+
+    def _entropy(marg: DataFrame, cnt: str) -> DataFrame:
+        p = F.col(cnt).cast("double") / F.col("n").cast("double")
+        return (marg.crossJoin(F.broadcast(tot))
+                .select(round_half_away(-p * F.log(p) * 1e9, 0)
+                        .cast("long").alias("t"))
+                .agg(F.sum("t").alias("h_e9")))
+
+    ha = _entropy(ra, "ca").withColumnRenamed("h_e9", "ha_e9")
+    hb = _entropy(rb, "cb").withColumnRenamed("h_e9", "hb_e9")
+    out = tot.crossJoin(F.broadcast(mi_q)).crossJoin(
+        F.broadcast(ha)).crossJoin(F.broadcast(hb))
+    mi = F.col("mi_e9").cast("double") / 1e9
+    h_a = F.col("ha_e9").cast("double") / 1e9
+    h_b = F.col("hb_e9").cast("double") / 1e9
+    return out.select(
+        "n", F.col("la").alias("levels_a"), F.col("lb").alias("levels_b"),
+        round_half_away(h_a, 6).alias("entropy_a"),
+        round_half_away(h_b, 6).alias("entropy_b"),
+        round_half_away(mi, 6).alias("mi"),
+        F.when((F.col("ha_e9") > 0) & (F.col("hb_e9") > 0),
+               round_half_away(mi / F.sqrt(h_a * h_b), 6)).alias("nmi"))

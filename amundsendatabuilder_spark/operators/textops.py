@@ -1780,3 +1780,63 @@ def vocab_coverage_curve(docs: DataFrame,
         round_half_away(covered.cast("double")
                         / F.col("total").cast("double"), 6)
         .alias("coverage")))
+
+
+def readability_report(docs: DataFrame, group_col: str = "source",
+                       text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease profile per group: mean words-per-sentence,
+    syllables-per-word, and the Flesch score
+    206.835 - 1.015*(W/S) - 84.6*(Y/W) — the readability row of a
+    dataset card (very low scores flag legalese/boilerplate, very high
+    ones flag fragment/listing noise; both are curation signals
+    orthogonal to quality_score's length/diversity blend).
+
+    Syllables use the standard regex proxy: maximal [aeiouy]+ runs in
+    the lowercased text (exact syllabification needs a dictionary; the
+    run-count proxy is the classic implementable stand-in and is
+    identical in both engines). Sentences are maximal [.!?]+ runs,
+    floored at 1 per doc. Docs with zero words are excluded.
+
+    Returns (source, n_docs, words_per_sentence, syllables_per_word,
+    flesch_reading_ease), all 4dp.
+
+    Determinism/scale shape: one map-side pass computes per-doc (W, S,
+    Y) as exact integers; each per-doc ratio/score quantizes to
+    1e4-scaled BIGINT before the group sum (order-free), and the three
+    closing mean divisions round 4dp. No shuffle beyond the group
+    aggregation.
+    """
+    from amundsendatabuilder_spark.functions.text import tokens as _toks
+    from amundsendatabuilder_spark.session import ensure_parallelism
+    t = F.col(text_col)
+    wc = F.size(_toks(t)).cast("long")
+    sc = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit(r"[.!?]+"), 0)).cast("long"),
+        F.lit(1))
+    yc = F.size(F.regexp_extract_all(F.lower(t),
+                                     F.lit(r"[aeiouy]+"), 0)).cast("long")
+    per = (ensure_parallelism(docs)
+           .select(F.col(group_col).alias("grp"),
+                   wc.alias("w"), sc.alias("s"), yc.alias("y"))
+           .where(F.col("w") > 0))
+    wps = F.col("w").cast("double") / F.col("s").cast("double")
+    ypw = F.col("y").cast("double") / F.col("w").cast("double")
+    flesch = (F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * ypw)
+    q = per.select(
+        "grp",
+        round_half_away(wps * 1e4, 0).cast("long").alias("q_wps"),
+        round_half_away(ypw * 1e4, 0).cast("long").alias("q_ypw"),
+        round_half_away(flesch * 1e4, 0).cast("long").alias("q_fl"))
+    s = q.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("q_wps").alias("s_wps"), F.sum("q_ypw").alias("s_ypw"),
+        F.sum("q_fl").alias("s_fl"))
+    nd = F.col("n_docs").cast("double") * 1e4
+    return s.select(
+        F.col("grp").alias(group_col), "n_docs",
+        round_half_away(F.col("s_wps").cast("double") / nd, 4)
+        .alias("words_per_sentence"),
+        round_half_away(F.col("s_ypw").cast("double") / nd, 4)
+        .alias("syllables_per_word"),
+        round_half_away(F.col("s_fl").cast("double") / nd, 4)
+        .alias("flesch_reading_ease"))

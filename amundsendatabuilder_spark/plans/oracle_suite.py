@@ -9250,3 +9250,103 @@ def gini_inequality_query(spark, sf_dir):
         gini_inequality)
     (docs,) = _t(spark, sf_dir, "documents")
     return gini_inequality(docs, "n_chars", group_col="source", scale=1)
+
+
+@query("cluster_label_nmi", r"""
+WITH base AS (SELECT CAST(label AS VARCHAR) AS a,
+                     CAST((CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END)
+                        + (CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END)
+                        + (CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END)
+                        + (CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END)
+                     AS VARCHAR) AS b
+              FROM embeddings
+              WHERE label IS NOT NULL AND embedding IS NOT NULL),
+cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
+          FROM base GROUP BY 1, 2),
+ra AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM cells GROUP BY 1),
+rb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(DISTINCT a) AS BIGINT) AS la,
+               CAST(count(DISTINCT b) AS BIGINT) AS lb
+        FROM cells),
+mi AS (SELECT CAST(sum(CAST(round((CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+            * ln(CAST(c.c AS DOUBLE) * CAST(t.n AS DOUBLE)
+                 / (CAST(ra.ca AS DOUBLE) * CAST(rb.cb AS DOUBLE)))
+            * 1e9, 0) AS BIGINT)) AS BIGINT) AS mi_e9
+       FROM cells c JOIN ra ON ra.a = c.a JOIN rb ON rb.b = c.b
+       CROSS JOIN tot t),
+ha AS (SELECT CAST(sum(CAST(round(-(CAST(ca AS DOUBLE) / CAST(t.n AS DOUBLE))
+            * ln(CAST(ca AS DOUBLE) / CAST(t.n AS DOUBLE)) * 1e9, 0)
+            AS BIGINT)) AS BIGINT) AS ha_e9
+       FROM ra CROSS JOIN tot t),
+hb AS (SELECT CAST(sum(CAST(round(-(CAST(cb AS DOUBLE) / CAST(t.n AS DOUBLE))
+            * ln(CAST(cb AS DOUBLE) / CAST(t.n AS DOUBLE)) * 1e9, 0)
+            AS BIGINT)) AS BIGINT) AS hb_e9
+       FROM rb CROSS JOIN tot t)
+SELECT t.n, t.la AS levels_a, t.lb AS levels_b,
+       round(CAST(ha_e9 AS DOUBLE) / 1e9, 6) AS entropy_a,
+       round(CAST(hb_e9 AS DOUBLE) / 1e9, 6) AS entropy_b,
+       round(CAST(mi_e9 AS DOUBLE) / 1e9, 6) AS mi,
+       CASE WHEN ha_e9 > 0 AND hb_e9 > 0
+            THEN round((CAST(mi_e9 AS DOUBLE) / 1e9)
+                       / sqrt((CAST(ha_e9 AS DOUBLE) / 1e9)
+                              * (CAST(hb_e9 AS DOUBLE) / 1e9)), 6)
+            END AS nmi
+FROM tot t CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb
+""")
+def cluster_label_nmi_query(spark, sf_dir):
+    """External clustering evaluation (profiling.mutual_information):
+    NMI between embedding labels and the 4-bit sign-hash bucket of the
+    first four dimensions — exact sign comparisons (no float rounding
+    in the bucket path), contingency-register MI with 1e9-quantized
+    cell terms. The metric a pipeline runs on (label, cluster_id)
+    after kmeans_fit."""
+    from amundsendatabuilder_spark.operators.profiling import (
+        mutual_information)
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    bucket = sum(F.when(e[i] >= 0, 1 << (3 - i)).otherwise(0)
+                 for i in range(4))
+    df = (emb.where(F.col("label").isNotNull() & e.isNotNull())
+          .select(F.col("label"), bucket.alias("bucket")))
+    return mutual_information(df, "label", "bucket")
+
+
+@query("readability_report", (r"""
+WITH per AS (SELECT source AS grp,
+                    CAST(len(REPLACE_LTOKS) AS BIGINT) AS w,
+                    greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                             AS BIGINT), 1) AS s,
+                    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS BIGINT) AS y
+             FROM documents),
+q AS (SELECT grp,
+             CAST(round(CAST(w AS DOUBLE) / CAST(s AS DOUBLE) * 1e4, 0)
+                  AS BIGINT) AS q_wps,
+             CAST(round(CAST(y AS DOUBLE) / CAST(w AS DOUBLE) * 1e4, 0)
+                  AS BIGINT) AS q_ypw,
+             CAST(round((206.835
+                         - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                         - 84.6 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE)))
+                        * 1e4, 0) AS BIGINT) AS q_fl
+      FROM per WHERE w > 0),
+agg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(q_wps) AS BIGINT) AS s_wps,
+               CAST(sum(q_ypw) AS BIGINT) AS s_ypw,
+               CAST(sum(q_fl) AS BIGINT) AS s_fl
+        FROM q GROUP BY 1)
+SELECT grp AS source, n_docs,
+       round(CAST(s_wps AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1e4), 4)
+       AS words_per_sentence,
+       round(CAST(s_ypw AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1e4), 4)
+       AS syllables_per_word,
+       round(CAST(s_fl AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1e4), 4)
+       AS flesch_reading_ease
+FROM agg
+""").replace("REPLACE_LTOKS", _LTOKS_SQL))
+def readability_report_query(spark, sf_dir):
+    """Flesch reading-ease per source (textops.readability_report):
+    vowel-run syllable proxy + [.!?]+ sentence runs, per-doc scores
+    quantized to 1e4 BIGINT before the order-free group mean."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return textops.readability_report(docs)

@@ -3437,3 +3437,69 @@ def test_gini_inequality_known_values(spark):
                               "x double, g string")
     out5 = gini_inequality(z, "x", group_col="g").collect()[0]
     assert out5.gini is None and out5.n == 1
+
+
+def test_mutual_information_known_values(spark):
+    import math
+
+    from amundsendatabuilder_spark.operators.profiling import (
+        mutual_information)
+    # perfect dependence: MI = H(A) = ln 2 for balanced binary, NMI = 1
+    dep = spark.createDataFrame(
+        [("x", "p")] * 4 + [("y", "q")] * 4, "a string, b string")
+    out = mutual_information(dep, "a", "b").collect()[0]
+    assert abs(out.mi - round(math.log(2), 6)) <= 1e-9
+    assert out.entropy_a == out.entropy_b == round(math.log(2), 6)
+    assert out.nmi == 1.0
+    # independence -> MI = 0, NMI = 0
+    ind = spark.createDataFrame(
+        [(a, b) for a in ("x", "y") for b in ("p", "q")
+         for _ in range(3)], "a string, b string")
+    out2 = mutual_information(ind, "a", "b").collect()[0]
+    assert out2.mi == 0.0 and out2.nmi == 0.0
+    # constant column: zero entropy -> NMI NULL, MI 0
+    const = spark.createDataFrame(
+        [("x", "p"), ("x", "q")], "a string, b string")
+    out3 = mutual_information(const, "a", "b").collect()[0]
+    assert out3.entropy_a == 0.0 and out3.nmi is None and out3.mi == 0.0
+    # hand-computed asymmetric case: cells (x,p)=2,(x,q)=1,(y,q)=1
+    asym = spark.createDataFrame(
+        [("x", "p"), ("x", "p"), ("x", "q"), ("y", "q")],
+        "a string, b string")
+    out4 = mutual_information(asym, "a", "b").collect()[0]
+    n = 4
+    cells = {("x", "p"): 2, ("x", "q"): 1, ("y", "q"): 1}
+    ra = {"x": 3, "y": 1}
+    rb = {"p": 2, "q": 2}
+    mi = sum(round((c / n) * math.log(c * n / (ra[a] * rb[b])) * 1e9)
+             for (a, b), c in cells.items()) / 1e9
+    assert abs(out4.mi - round(mi, 6)) <= 1e-9
+    ha = sum(round(-(v / n) * math.log(v / n) * 1e9)
+             for v in ra.values()) / 1e9
+    hb = sum(round(-(v / n) * math.log(v / n) * 1e9)
+             for v in rb.values()) / 1e9
+    assert abs(out4.nmi - round(mi / math.sqrt(ha * hb), 6)) <= 1e-9
+
+
+def test_readability_report_known_values(spark):
+    from amundsendatabuilder_spark.operators.textops import (
+        readability_report)
+    # "the cat sat. it ran!" -> W=5, S=2, Y: e,a,a,i,a -> 5 runs
+    docs = spark.createDataFrame(
+        [(1, "the cat sat. it ran!", "s1"),
+         (2, "", "s1"),                      # zero words -> excluded
+         (3, "beautiful day", "s2")],        # no sentence mark -> S=1
+        "doc_id long, text string, source string")
+    out = {r.source: r for r in readability_report(docs).collect()}
+    s1 = out["s1"]
+    assert s1.n_docs == 1
+    assert s1.words_per_sentence == 2.5
+    assert s1.syllables_per_word == 1.0
+    flesch = 206.835 - 1.015 * 2.5 - 84.6 * 1.0
+    assert abs(s1.flesch_reading_ease - round(flesch, 4)) <= 1e-9
+    # "beautiful day": W=2, S=1 (floored), Y: eau,i,u? -> runs in
+    # "beautiful day" = eau, i, u? letters: b-eau-t-i-f-u-l d-ay ->
+    # runs: 'eau','i','u','ay' = 4
+    s2 = out["s2"]
+    assert s2.words_per_sentence == 2.0
+    assert s2.syllables_per_word == 2.0
