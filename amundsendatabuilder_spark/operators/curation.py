@@ -719,3 +719,42 @@ def bootstrap_ci_quality(docs: DataFrame, n_boot: int = 40,
                     round_half_away(F.col("lo") / 1e6, 6).alias("ci_lo"),
                     round_half_away(F.col("hi") / 1e6, 6)
                     .alias("ci_hi")))
+
+
+def effective_sample_size(df: DataFrame, weight_col: str,
+                          group_col: str | None = None) -> DataFrame:
+    """Kish effective sample size of a weighting scheme per group:
+    ESS = (sum w)^2 / sum w^2 — the diagnostic a pipeline runs on
+    importance weights (dsir_importance_weights) or mixture rates
+    before resampling: ESS/n near 1 means the weights barely matter;
+    near 0 means a handful of rows dominate and the resampled corpus
+    will be tiny in effect. Pairs with ``gini_inequality`` (inequality
+    of the weights) by answering the sampling-variance question
+    directly.
+
+    Returns (group?, n, sum_w, ess, ess_ratio) — ess/ess_ratio 4dp;
+    NULL when all weights are 0. Rows with NULL or negative weights
+    are excluded.
+
+    Determinism/scale shape: one map-side-combinable aggregation;
+    sum w and sum w^2 accumulate as exact BIGINTs (domain: integer
+    weights with sum w^2 inside int64 — at larger magnitudes pre-scale
+    the weights down; the squaring to (sum w)^2 happens once, in a
+    double, after the exact sums).
+    """
+    gcols = [group_col] if group_col else []
+    w = F.col(weight_col).cast("long")
+    base = (df.where(F.col(weight_col).isNotNull() & (w >= 0))
+            .select(*gcols, w.alias("w")))
+    s = base.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("w").cast("long").alias("sum_w"),
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("sum_w2"))
+    sw = F.col("sum_w").cast("double")
+    ess = sw * sw / F.col("sum_w2").cast("double")
+    return s.select(
+        *gcols, "n", "sum_w",
+        F.when(F.col("sum_w2") > 0, round_half_away(ess, 4)).alias("ess"),
+        F.when(F.col("sum_w2") > 0,
+               round_half_away(ess / F.col("n").cast("double"), 4))
+        .alias("ess_ratio"))

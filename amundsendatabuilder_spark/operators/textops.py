@@ -1840,3 +1840,66 @@ def readability_report(docs: DataFrame, group_col: str = "source",
         .alias("syllables_per_word"),
         round_half_away(F.col("s_fl").cast("double") / nd, 4)
         .alias("flesch_reading_ease"))
+
+
+def ngram_entropy_rate(docs: DataFrame, group_col: str = "source",
+                       text_col: str = "text") -> DataFrame:
+    """Token-level entropy rate per group: unigram entropy H(X), bigram
+    joint entropy H(X1,X2), and the conditional entropy rate
+    H(X2|X1) = H(X1,X2) - H(X1) in nats — the frequency-weighted
+    complexity measure ``ngram_diversity`` (distinct-n ratios) cannot
+    see: a source that repeats one sentence has high distinct-1 ratio
+    early but near-zero entropy rate, flagging templated/degenerate
+    text for the dataset card.
+
+    Returns (source, n_unigrams, n_bigrams, unigram_entropy,
+    bigram_entropy, entropy_rate), entropies 6dp nats; groups with no
+    bigram (all docs single-token) emit NULL bigram/rate columns.
+
+    Determinism/scale shape: unigram and within-doc-adjacent bigram
+    counts collapse map-side (the bigram explode is positions-1 per
+    doc, never a self-join); each -p ln p term quantizes to 1e9-scaled
+    BIGINT over the count REGISTERS (bounded by vocab / bigram vocab),
+    summing order-free; the closing subtraction works on the quantized
+    integers so H(X1,X2) - H(X1) is exactly consistent with the
+    reported entropies.
+    """
+    from amundsendatabuilder_spark.functions.text import (
+        shingles_from_tokens, tokens as _toks)
+    from amundsendatabuilder_spark.session import ensure_parallelism
+    base = (ensure_parallelism(docs)
+            .select(F.col(group_col).alias("grp"),
+                    _toks(F.lower(F.col(text_col))).alias("toks")))
+
+    def _entropy(counted: DataFrame, n_name: str, h_name: str):
+        tot = counted.groupBy("grp").agg(
+            F.sum("c").cast("long").alias("nt"))
+        p = F.col("c").cast("double") / F.col("nt").cast("double")
+        return (counted.join(F.broadcast(tot), "grp")
+                .select("grp", "nt",
+                        round_half_away(-p * F.log(p) * 1e9, 0)
+                        .cast("long").alias("t"))
+                .groupBy("grp")
+                .agg(F.max("nt").alias(n_name),
+                     F.sum("t").alias(h_name)))
+
+    uni = (base.select("grp", F.explode("toks").alias("g"))
+           .groupBy("grp", "g")
+           .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    bi = (base.select("grp",
+                      F.explode(shingles_from_tokens(F.col("toks"), 2))
+                      .alias("g"))
+          .groupBy("grp", "g")
+          .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    hu = _entropy(uni, "n_unigrams", "hu_e9")
+    hb = _entropy(bi, "n_bigrams", "hb_e9")
+    j = hu.join(hb, "grp", "left")
+    return j.select(
+        F.col("grp").alias(group_col), "n_unigrams",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        round_half_away(F.col("hu_e9").cast("double") / 1e9, 6)
+        .alias("unigram_entropy"),
+        round_half_away(F.col("hb_e9").cast("double") / 1e9, 6)
+        .alias("bigram_entropy"),
+        round_half_away((F.col("hb_e9") - F.col("hu_e9")).cast("double")
+                        / 1e9, 6).alias("entropy_rate"))

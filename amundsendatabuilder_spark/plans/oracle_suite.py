@@ -9350,3 +9350,77 @@ def readability_report_query(spark, sf_dir):
     quantized to 1e4 BIGINT before the order-free group mean."""
     (docs,) = _t(spark, sf_dir, "documents")
     return textops.readability_report(docs)
+
+
+@query("ngram_entropy_rate", (r"""
+WITH t AS (SELECT source AS grp, REPLACE_LTOKS AS toks FROM documents),
+tk AS (SELECT grp, rowid AS rid, i, toks[i] AS tok
+       FROM (SELECT grp, toks, row_number() OVER () AS rowid,
+                    unnest(range(1, len(toks) + 1)) AS i
+             FROM t)),
+uni AS (SELECT grp, tok AS g, CAST(count(*) AS BIGINT) AS c
+        FROM tk GROUP BY 1, 2),
+bi AS (SELECT a.grp, a.tok || ' ' || b.tok AS g,
+              CAST(count(*) AS BIGINT) AS c
+       FROM tk a JOIN tk b ON a.rid = b.rid AND b.i = a.i + 1
+       GROUP BY 1, 2),
+hu AS (SELECT u.grp, max(t.nt) AS n_unigrams,
+              CAST(sum(CAST(round(-(CAST(u.c AS DOUBLE)
+                   / CAST(t.nt AS DOUBLE))
+                   * ln(CAST(u.c AS DOUBLE) / CAST(t.nt AS DOUBLE))
+                   * 1e9, 0) AS BIGINT)) AS BIGINT) AS hu_e9
+       FROM uni u JOIN (SELECT grp, CAST(sum(c) AS BIGINT) AS nt
+                        FROM uni GROUP BY 1) t ON t.grp = u.grp
+       GROUP BY 1),
+hb AS (SELECT b.grp, max(t.nt) AS n_bigrams,
+              CAST(sum(CAST(round(-(CAST(b.c AS DOUBLE)
+                   / CAST(t.nt AS DOUBLE))
+                   * ln(CAST(b.c AS DOUBLE) / CAST(t.nt AS DOUBLE))
+                   * 1e9, 0) AS BIGINT)) AS BIGINT) AS hb_e9
+       FROM bi b JOIN (SELECT grp, CAST(sum(c) AS BIGINT) AS nt
+                       FROM bi GROUP BY 1) t ON t.grp = b.grp
+       GROUP BY 1)
+SELECT hu.grp AS source, hu.n_unigrams,
+       coalesce(hb.n_bigrams, 0) AS n_bigrams,
+       round(CAST(hu.hu_e9 AS DOUBLE) / 1e9, 6) AS unigram_entropy,
+       round(CAST(hb.hb_e9 AS DOUBLE) / 1e9, 6) AS bigram_entropy,
+       round(CAST(hb.hb_e9 - hu.hu_e9 AS DOUBLE) / 1e9, 6)
+       AS entropy_rate
+FROM hu LEFT JOIN hb ON hb.grp = hu.grp
+""").replace("REPLACE_LTOKS", _LTOKS_SQL))
+def ngram_entropy_rate_query(spark, sf_dir):
+    """Unigram/bigram entropy + conditional entropy rate per source
+    (textops.ngram_entropy_rate): -p ln p terms 1e9-quantized over the
+    n-gram count registers, within-doc adjacent bigrams only, closing
+    subtraction on the quantized integers."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return textops.ngram_entropy_rate(docs)
+
+
+@query("importance_ess", r"""
+WITH base AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS w
+              FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars >= 0),
+s AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(w) AS BIGINT) AS sum_w,
+             CAST(sum(w * w) AS BIGINT) AS sum_w2
+      FROM base GROUP BY 1)
+SELECT grp AS source, n, sum_w,
+       CASE WHEN sum_w2 > 0
+            THEN round(CAST(sum_w AS DOUBLE) * CAST(sum_w AS DOUBLE)
+                       / CAST(sum_w2 AS DOUBLE), 4) END AS ess,
+       CASE WHEN sum_w2 > 0
+            THEN round(CAST(sum_w AS DOUBLE) * CAST(sum_w AS DOUBLE)
+                       / CAST(sum_w2 AS DOUBLE) / CAST(n AS DOUBLE), 4)
+            END AS ess_ratio
+FROM s
+""")
+def importance_ess_query(spark, sf_dir):
+    """Kish effective sample size of length-proportional importance
+    weights per source (curation.effective_sample_size): exact integer
+    sum-w / sum-w2, one closing double squaring — the resampling
+    variance diagnostic run before dsir/temperature reweighting."""
+    from amundsendatabuilder_spark.operators.curation import (
+        effective_sample_size)
+    (docs,) = _t(spark, sf_dir, "documents")
+    return effective_sample_size(docs, "n_chars", group_col="source")

@@ -3503,3 +3503,56 @@ def test_readability_report_known_values(spark):
     s2 = out["s2"]
     assert s2.words_per_sentence == 2.0
     assert s2.syllables_per_word == 2.0
+
+
+def test_ngram_entropy_rate_known_values(spark):
+    import math
+
+    from amundsendatabuilder_spark.operators.textops import (
+        ngram_entropy_rate)
+    # uniform bigram chain "a b a b ...": H(X)=ln2; bigrams 'a b' x3,
+    # 'b a' x2 -> H(bi)=-(3/5)ln(3/5)-(2/5)ln(2/5)
+    docs = spark.createDataFrame([(1, "a b a b a b", "s1")],
+                                 "doc_id long, text string, source string")
+    out = ngram_entropy_rate(docs).collect()[0]
+    assert out.n_unigrams == 6 and out.n_bigrams == 5
+    assert abs(out.unigram_entropy - round(math.log(2), 6)) <= 1e-9
+    hb = (round(-(3 / 5) * math.log(3 / 5) * 1e9)
+          + round(-(2 / 5) * math.log(2 / 5) * 1e9))
+    hu = 6 * round(-(1 / 2) * math.log(1 / 2) * 1e9 / 3) * 3 // 3
+    # recompute hu exactly as two terms of 3/6
+    hu = 2 * round(-(3 / 6) * math.log(3 / 6) * 1e9)
+    assert abs(out.bigram_entropy - round(hb / 1e9, 6)) <= 1e-9
+    assert abs(out.entropy_rate - round((hb - hu) / 1e9, 6)) <= 1e-9
+    # degenerate repetition: single repeated token -> all entropies 0
+    rep = ngram_entropy_rate(
+        spark.createDataFrame([(1, "x x x x", "s1")],
+                              "doc_id long, text string, source string")
+    ).collect()[0]
+    assert rep.unigram_entropy == 0.0 and rep.entropy_rate == 0.0
+    # single-token docs: no bigrams -> NULL bigram/rate
+    single = ngram_entropy_rate(
+        spark.createDataFrame([(1, "x", "s1"), (2, "y", "s1")],
+                              "doc_id long, text string, source string")
+    ).collect()[0]
+    assert single.n_bigrams == 0
+    assert single.bigram_entropy is None and single.entropy_rate is None
+
+
+def test_effective_sample_size_known_values(spark):
+    from amundsendatabuilder_spark.operators.curation import (
+        effective_sample_size)
+    # equal weights -> ESS = n, ratio 1
+    eq = spark.createDataFrame([(5, "s")] * 4, "w long, g string")
+    out = effective_sample_size(eq, "w", group_col="g").collect()[0]
+    assert out.ess == 4.0 and out.ess_ratio == 1.0
+    # one dominant weight [9,1,1,1]: ESS = 144/84
+    dom = spark.createDataFrame([(9, "s"), (1, "s"), (1, "s"), (1, "s")],
+                                "w long, g string")
+    out2 = effective_sample_size(dom, "w", group_col="g").collect()[0]
+    assert out2.ess == round(144 / 84, 4)
+    assert out2.sum_w == 12 and out2.n == 4
+    # all-zero weights -> NULL ess; negatives excluded
+    z = spark.createDataFrame([(0, "s"), (-3, "s")], "w long, g string")
+    out3 = effective_sample_size(z, "w", group_col="g").collect()[0]
+    assert out3.ess is None and out3.n == 1
