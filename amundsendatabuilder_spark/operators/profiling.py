@@ -883,3 +883,65 @@ def mutual_information(df: DataFrame, col_a: str,
         round_half_away(mi, 6).alias("mi"),
         F.when((F.col("ha_e9") > 0) & (F.col("hb_e9") > 0),
                round_half_away(mi / F.sqrt(h_a * h_b), 6)).alias("nmi"))
+
+
+def spearman_correlation(df: DataFrame, col_x: str, col_y: str,
+                         scale: int = 100) -> DataFrame:
+    """Spearman rank correlation with exact tie-corrected (average)
+    ranks — the monotone-dependence profile ``numeric_corr_matrix``
+    (Pearson) cannot see: rho catches any monotone relation and is
+    immune to the outliers that dominate Pearson on heavy-tailed
+    columns. Standard fractional ranking: every member of a tie group
+    gets the group's average rank.
+
+    Returns one row: (n, rho) — rho 6dp, NULL when either column is
+    constant.
+
+    Determinism/scale shape: values quantize to ``scale``-scaled
+    BIGINT; per-column rank REGISTERS (value, multiplicity, lower
+    mass) are bounded by distinct quantized values, and the doubled
+    average rank 2a + m + 1 is an exact INTEGER (no .5 ranks), so rows
+    join their ranks by value and Pearson-on-ranks accumulates the
+    five sufficient statistics as DECIMAL(38,0) — exact and
+    order-free, the numeric_corr_matrix contract, including the
+    centered subtraction in decimal before the single double
+    sqrt/divide. Domain: n * (2n)^2 < 10^38, i.e. any real corpus.
+    """
+    from pyspark.sql import Window
+    qx = round_half_away(F.col(col_x).cast("double") * scale,
+                         0).cast("long")
+    qy = round_half_away(F.col(col_y).cast("double") * scale,
+                         0).cast("long")
+    base = (df.where(F.col(col_x).isNotNull() & F.col(col_y).isNotNull())
+            .select(qx.alias("vx"), qy.alias("vy")))
+
+    def _ranks(col: str) -> DataFrame:
+        reg = base.groupBy(col).agg(
+            F.count(F.lit(1)).cast("long").alias("m"))
+        w = (Window.orderBy(col)
+             .rowsBetween(Window.unboundedPreceding, -1))
+        return reg.select(
+            col,
+            (F.lit(2) * F.coalesce(F.sum("m").over(w), F.lit(0))
+             + F.col("m") + F.lit(1)).cast("long").alias(f"r_{col}"))
+
+    ranked = (base.join(_ranks("vx"), "vx").join(_ranks("vy"), "vy"))
+    rx = F.col("r_vx").cast("decimal(19,0)")
+    ry = F.col("r_vy").cast("decimal(19,0)")
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("r_vx").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("r_vy").cast("decimal(38,0)")).alias("sy"),
+        F.sum((rx * ry).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((rx * rx).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((ry * ry).cast("decimal(38,0)")).alias("syy"))
+    cov = (F.col("n") * F.col("sxy")
+           - F.col("sx") * F.col("sy")).cast("double")
+    vx_ = (F.col("n") * F.col("sxx")
+           - F.col("sx") * F.col("sx")).cast("double")
+    vy_ = (F.col("n") * F.col("syy")
+           - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.when((vx_ > 0) & (vy_ > 0),
+               round_half_away(cov / F.sqrt(vx_ * vy_), 6)).alias("rho"))

@@ -9424,3 +9424,47 @@ def importance_ess_query(spark, sf_dir):
         effective_sample_size)
     (docs,) = _t(spark, sf_dir, "documents")
     return effective_sample_size(docs, "n_chars", group_col="source")
+
+
+@query("spearman_correlation", r"""
+WITH base AS (SELECT CAST(round(l_quantity * 100, 0) AS BIGINT) AS vx,
+                     CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS vy
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL),
+rx AS (SELECT vx, 2 * coalesce(sum(m) OVER (ORDER BY vx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + m + 1 AS r_vx
+       FROM (SELECT vx, CAST(count(*) AS BIGINT) AS m
+             FROM base GROUP BY 1)),
+ry AS (SELECT vy, 2 * coalesce(sum(m) OVER (ORDER BY vy
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + m + 1 AS r_vy
+       FROM (SELECT vy, CAST(count(*) AS BIGINT) AS m
+             FROM base GROUP BY 1)),
+ranked AS (SELECT rx.r_vx, ry.r_vy
+           FROM base b JOIN rx ON rx.vx = b.vx JOIN ry ON ry.vy = b.vy),
+s AS (SELECT count(*) AS n, sum(r_vx) AS sx, sum(r_vy) AS sy,
+             sum(r_vx * r_vy) AS sxy, sum(r_vx * r_vx) AS sxx,
+             sum(r_vy * r_vy) AS syy
+      FROM ranked)
+SELECT CAST(n AS BIGINT) AS n,
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+             AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+            THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+            END AS rho
+FROM s
+""")
+def spearman_correlation_query(spark, sf_dir):
+    """Spearman rho between lineitem quantity and extended price
+    (profiling.spearman_correlation): doubled average ranks 2a+m+1 from
+    value registers (exact integers, no .5 ranks), DECIMAL(38,0)
+    sufficient statistics with decimal centered subtraction —
+    HUGEINT-exact on the DuckDB side — one closing sqrt/divide."""
+    from amundsendatabuilder_spark.operators.profiling import (
+        spearman_correlation)
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return spearman_correlation(li, "l_quantity", "l_extendedprice",
+                                scale=100)

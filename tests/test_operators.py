@@ -3556,3 +3556,47 @@ def test_effective_sample_size_known_values(spark):
     z = spark.createDataFrame([(0, "s"), (-3, "s")], "w long, g string")
     out3 = effective_sample_size(z, "w", group_col="g").collect()[0]
     assert out3.ess is None and out3.n == 1
+
+
+def test_spearman_correlation_known_values(spark):
+    from amundsendatabuilder_spark.operators.profiling import (
+        spearman_correlation)
+    # perfect monotone (nonlinear) relation -> rho = 1 even though
+    # Pearson on raw values would be < 1
+    mono = spark.createDataFrame(
+        [(float(i), float(i ** 3)) for i in range(1, 8)],
+        "x double, y double")
+    out = spearman_correlation(mono, "x", "y").collect()[0]
+    assert out.n == 7 and out.rho == 1.0
+    # perfect inverse -> -1
+    inv = spark.createDataFrame(
+        [(float(i), float(-i)) for i in range(1, 6)],
+        "x double, y double")
+    assert spearman_correlation(inv, "x", "y").collect()[0].rho == -1.0
+    # scipy-checkable tie case: x=[1,2,2,3], y=[10,20,20,40]
+    # fractional ranks x: [1, 2.5, 2.5, 4], y: [1, 2.5, 2.5, 4] -> 1.0
+    ties = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 40.0)],
+        "x double, y double")
+    assert spearman_correlation(ties, "x", "y").collect()[0].rho == 1.0
+    # hand-computed mixed ties: x=[1,1,2,3], y=[4,3,2,1]
+    # ranks x: [1.5,1.5,3,4] (doubled: 3,3,6,8), y: [4,3,2,1] doubled
+    # rho via integer stats on doubled ranks
+    mixed = spark.createDataFrame(
+        [(1.0, 4.0), (1.0, 3.0), (2.0, 2.0), (3.0, 1.0)],
+        "x double, y double")
+    rx = [3, 3, 6, 8]
+    ry = [8, 6, 4, 2]
+    n = 4
+    sx, sy = sum(rx), sum(ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    sxx = sum(a * a for a in rx)
+    syy = sum(b * b for b in ry)
+    exp = (n * sxy - sx * sy) / ((n * sxx - sx ** 2)
+                                 * (n * syy - sy ** 2)) ** 0.5
+    got = spearman_correlation(mixed, "x", "y").collect()[0].rho
+    assert abs(got - round(exp, 6)) <= 1e-9
+    # constant column -> NULL
+    const = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0)], "x double, y double")
+    assert spearman_correlation(const, "x", "y").collect()[0].rho is None

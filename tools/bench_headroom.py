@@ -132,6 +132,19 @@ SUITE = [
     "quality_rank_blend",
     "winnowing_fingerprints",
     "embedding_dim_robust_stats",
+    "heaps_law_fit",
+    "token_js_divergence",
+    "vocab_coverage_curve",
+    "bootstrap_ci_quality",
+    "benford_audit",
+    "chi_square_independence",
+    "ks_drift_stat",
+    "gini_inequality",
+    "cluster_label_nmi",
+    "readability_report",
+    "ngram_entropy_rate",
+    "importance_ess",
+    "spearman_correlation",
 ]
 
 
