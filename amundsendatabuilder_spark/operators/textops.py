@@ -1604,7 +1604,7 @@ def heaps_law_fit(docs: DataFrame, n_checkpoints: int = 8,
                 .where(F.col("first_doc") <= F.col("cp"))
                 .groupBy("grp", "cp")
                 .agg(F.count(F.lit(1)).cast("long").alias("n_vocab")))
-    pts = (toks_at.join(vocab_at, ["grp", "cp"])
+    pts = (toks_at.join(F.broadcast(vocab_at), ["grp", "cp"])
            .where((F.col("n_tok") > 0) & (F.col("n_vocab") > 0))
            .select("grp",
                    round_half_away(F.log(F.col("n_tok").cast("double"))
