@@ -945,3 +945,85 @@ def spearman_correlation(df: DataFrame, col_x: str, col_y: str,
         F.col("n").cast("long").alias("n"),
         F.when((vx_ > 0) & (vy_ > 0),
                round_half_away(cov / F.sqrt(vx_ * vy_), 6)).alias("rho"))
+
+
+def theil_decomposition(df: DataFrame, value_col: str,
+                        group_col: str) -> DataFrame:
+    """Theil-T inequality index with its exact between/within-group
+    decomposition — the property that makes Theil (not Gini) the
+    distributed-pipeline inequality measure: corpus inequality of a
+    measure (tokens, bytes) splits ADDITIVELY into "between sources"
+    and "within sources", telling a mixture designer whether imbalance
+    comes from source sizing (fix with mixture weights) or from
+    within-source giants (fix with length caps). Complements
+    ``gini_inequality`` (per-group, non-decomposable).
+
+    Returns one row: (n, n_groups, theil_total, theil_between,
+    theil_within), 6dp nats; theil_total = between + within up to the
+    1e-9 quantization (the unit test pins the residual).
+
+    Determinism/scale shape: per-value REGISTERS (group, value,
+    multiplicity) collapse map-side — bounded by distinct values per
+    group, never rows; every Theil term m*(v/T)*ln(v*n/T) quantizes to
+    1e9-scaled BIGINT per register row (multiplicity folded in BEFORE
+    rounding) and sums order-free; the group stage runs on a
+    |groups|-row register. Zero/negative values are excluded (x ln x
+    -> 0 continuation for x=0; negatives are outside Theil's domain).
+    """
+    v = F.col(value_col).cast("long")
+    base = (df.where(F.col(value_col).isNotNull() & (v > 0))
+            .select(F.col(group_col).alias("grp"), v.alias("v")))
+    reg = base.groupBy("grp", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("m"))
+    gtot = reg.groupBy("grp").agg(
+        F.sum("m").cast("long").alias("ng"),
+        F.sum(F.col("v") * F.col("m")).cast("long").alias("xg"))
+    tot = gtot.agg(F.sum("ng").cast("long").alias("n"),
+                   F.sum("xg").cast("long").alias("t"),
+                   F.count(F.lit(1)).cast("long").alias("n_groups"))
+
+    def _theil_terms(total_col, count_col):
+        # m * (v/T) * ln(v * n / T), quantized 1e9 per register row
+        vt = F.col("v").cast("double") / total_col.cast("double")
+        return round_half_away(
+            F.col("m").cast("double") * vt
+            * F.log(F.col("v").cast("double") * count_col.cast("double")
+                    / total_col.cast("double")) * 1e9, 0).cast("long")
+
+    # total: terms against corpus (T, n)
+    t_tot = (reg.crossJoin(F.broadcast(tot))
+             .select(_theil_terms(F.col("t"), F.col("n")).alias("q"))
+             .agg(F.sum("q").alias("tt_e9")))
+    # within: per-group Theil against (X_g, n_g), share-weighted X_g/T
+    t_grp = (reg.join(F.broadcast(gtot), "grp")
+             .select("grp", _theil_terms(F.col("xg"), F.col("ng"))
+                     .alias("q"))
+             .groupBy("grp").agg(F.sum("q").alias("tg_e9")))
+    within = (t_grp.join(F.broadcast(gtot), "grp")
+              .crossJoin(F.broadcast(tot))
+              .select(round_half_away(
+                  (F.col("xg").cast("double") / F.col("t").cast("double"))
+                  * F.col("tg_e9").cast("double"), 0)
+                  .cast("long").alias("q"))
+              .agg(F.sum("q").alias("tw_e9")))
+    # between: group-share terms on the |groups|-row register
+    between = (gtot.crossJoin(F.broadcast(tot))
+               .select(round_half_away(
+                   (F.col("xg").cast("double") / F.col("t").cast("double"))
+                   * F.log((F.col("xg").cast("double")
+                            / F.col("t").cast("double"))
+                           / (F.col("ng").cast("double")
+                              / F.col("n").cast("double"))) * 1e9, 0)
+                   .cast("long").alias("q"))
+               .agg(F.sum("q").alias("tb_e9")))
+    out = (tot.crossJoin(F.broadcast(t_tot))
+           .crossJoin(F.broadcast(between))
+           .crossJoin(F.broadcast(within)))
+    return out.select(
+        "n", "n_groups",
+        round_half_away(F.col("tt_e9").cast("double") / 1e9, 6)
+        .alias("theil_total"),
+        round_half_away(F.col("tb_e9").cast("double") / 1e9, 6)
+        .alias("theil_between"),
+        round_half_away(F.col("tw_e9").cast("double") / 1e9, 6)
+        .alias("theil_within"))

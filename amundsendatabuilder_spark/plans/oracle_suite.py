@@ -9468,3 +9468,56 @@ def spearman_correlation_query(spark, sf_dir):
     (li,) = _t(spark, sf_dir, "lineitem")
     return spearman_correlation(li, "l_quantity", "l_extendedprice",
                                 scale=100)
+
+
+@query("theil_decomposition", r"""
+WITH base AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS v
+              FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars > 0),
+reg AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS m
+        FROM base GROUP BY 1, 2),
+gtot AS (SELECT grp, CAST(sum(m) AS BIGINT) AS ng,
+                CAST(sum(v * m) AS BIGINT) AS xg
+         FROM reg GROUP BY 1),
+tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+               CAST(sum(xg) AS BIGINT) AS t,
+               CAST(count(*) AS BIGINT) AS n_groups
+        FROM gtot),
+tt AS (SELECT CAST(sum(CAST(round(CAST(r.m AS DOUBLE)
+            * (CAST(r.v AS DOUBLE) / CAST(t.t AS DOUBLE))
+            * ln(CAST(r.v AS DOUBLE) * CAST(t.n AS DOUBLE)
+                 / CAST(t.t AS DOUBLE)) * 1e9, 0) AS BIGINT)) AS BIGINT)
+            AS tt_e9
+       FROM reg r CROSS JOIN tot t),
+tg AS (SELECT r.grp,
+              CAST(sum(CAST(round(CAST(r.m AS DOUBLE)
+                   * (CAST(r.v AS DOUBLE) / CAST(g.xg AS DOUBLE))
+                   * ln(CAST(r.v AS DOUBLE) * CAST(g.ng AS DOUBLE)
+                        / CAST(g.xg AS DOUBLE)) * 1e9, 0) AS BIGINT))
+                   AS BIGINT) AS tg_e9
+       FROM reg r JOIN gtot g ON g.grp = r.grp GROUP BY 1),
+tw AS (SELECT CAST(sum(CAST(round((CAST(g.xg AS DOUBLE)
+            / CAST(t.t AS DOUBLE)) * CAST(tg.tg_e9 AS DOUBLE), 0)
+            AS BIGINT)) AS BIGINT) AS tw_e9
+       FROM tg JOIN gtot g ON g.grp = tg.grp CROSS JOIN tot t),
+tb AS (SELECT CAST(sum(CAST(round((CAST(g.xg AS DOUBLE)
+            / CAST(t.t AS DOUBLE))
+            * ln((CAST(g.xg AS DOUBLE) / CAST(t.t AS DOUBLE))
+                 / (CAST(g.ng AS DOUBLE) / CAST(t.n AS DOUBLE)))
+            * 1e9, 0) AS BIGINT)) AS BIGINT) AS tb_e9
+       FROM gtot g CROSS JOIN tot t)
+SELECT t.n, t.n_groups,
+       round(CAST(tt.tt_e9 AS DOUBLE) / 1e9, 6) AS theil_total,
+       round(CAST(tb.tb_e9 AS DOUBLE) / 1e9, 6) AS theil_between,
+       round(CAST(tw.tw_e9 AS DOUBLE) / 1e9, 6) AS theil_within
+FROM tot t CROSS JOIN tt CROSS JOIN tb CROSS JOIN tw
+""")
+def theil_decomposition_query(spark, sf_dir):
+    """Theil-T inequality of document length with exact between/within
+    source decomposition (profiling.theil_decomposition): per-value
+    registers, multiplicity folded before the 1e9 quantization, group
+    stage on the |sources|-row register."""
+    from amundsendatabuilder_spark.operators.profiling import (
+        theil_decomposition)
+    (docs,) = _t(spark, sf_dir, "documents")
+    return theil_decomposition(docs, "n_chars", "source")

@@ -197,6 +197,7 @@ EXTENDED = [
     "ngram_entropy_rate",
     "importance_ess",
     "spearman_correlation",
+    "theil_decomposition",
 ]
 
 

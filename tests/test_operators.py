@@ -3600,3 +3600,41 @@ def test_spearman_correlation_known_values(spark):
     const = spark.createDataFrame(
         [(1.0, 5.0), (2.0, 5.0)], "x double, y double")
     assert spearman_correlation(const, "x", "y").collect()[0].rho is None
+
+
+def test_theil_decomposition_known_values(spark):
+    import math
+
+    from amundsendatabuilder_spark.operators.profiling import (
+        theil_decomposition)
+    # all equal -> every component 0
+    eq = spark.createDataFrame([(10, "a")] * 3 + [(10, "b")] * 3,
+                               "v long, g string")
+    out = theil_decomposition(eq, "v", "g").collect()[0]
+    assert out.theil_total == out.theil_between == out.theil_within == 0.0
+    # between-only inequality: groups internally equal, different means
+    # a: [10,10], b: [30,30] -> T_within = 0, T_total = T_between
+    btw = spark.createDataFrame([(10, "a"), (10, "a"),
+                                 (30, "b"), (30, "b")], "v long, g string")
+    o2 = theil_decomposition(btw, "v", "g").collect()[0]
+    assert o2.theil_within == 0.0
+    assert o2.theil_total == o2.theil_between
+    # hand value: shares 20/80 vs pop 1/2:
+    # T_b = .25*ln(.25/.5)*2? no: = sum s_g ln(s_g/p_g)
+    tb = 0.25 * math.log(0.25 / 0.5) + 0.75 * math.log(0.75 / 0.5)
+    assert abs(o2.theil_between - round(tb, 6)) <= 1e-6
+    # additive decomposition on a mixed case (residual only from 1e-9
+    # quantization)
+    mixed = spark.createDataFrame(
+        [(5, "a"), (15, "a"), (10, "b"), (40, "b"), (7, "c")],
+        "v long, g string")
+    o3 = theil_decomposition(mixed, "v", "g").collect()[0]
+    assert o3.n == 5 and o3.n_groups == 3
+    assert abs(o3.theil_total
+               - (o3.theil_between + o3.theil_within)) <= 1e-5
+    # python twin for the total
+    vals = [5, 15, 10, 40, 7]
+    n, t = len(vals), sum(vals)
+    tt = sum(round((v / t) * math.log(v * n / t) * 1e9)
+             for v in vals) / 1e9
+    assert abs(o3.theil_total - round(tt, 6)) <= 1e-9

@@ -145,6 +145,7 @@ SUITE = [
     "ngram_entropy_rate",
     "importance_ess",
     "spearman_correlation",
+    "theil_decomposition",
 ]
 
 
