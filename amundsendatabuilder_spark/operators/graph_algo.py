@@ -561,3 +561,74 @@ def k_core(edges: DataFrame, k: int = 3, rounds: int = 5,
                .select("u", "v").localCheckpoint())
     return (sym.groupBy(F.col("u").alias("node"))
             .agg(F.count(F.lit(1)).cast("long").alias("core_degree")))
+
+
+def hyperball_neighborhood(edges: DataFrame, iters: int = 3, p: int = 4,
+                           src_col: str = "src",
+                           dst_col: str = "dst") -> DataFrame:
+    """HyperBall (Boldi & Vigna, "In-Core Computation of Geometric
+    Centralities with HyperBall", 2013): the neighborhood function
+    N(v, r) = |{u : dist(v, u) <= r}| for every node simultaneously,
+    approximated with per-node HyperLogLog registers that merge by MAX
+    — THE mergeable-register shape for graph analytics at 100 TB:
+    exact BFS keeps per-node visited SETS (quadratic blowup on dense
+    balls); HyperBall's state is exactly nodes x 2^p single-byte
+    registers per radius, and each round is one edge join + register
+    max-merge, the same bit_or/max-merge discipline as
+    sketches.hll_registers (whose hash layout and estimator it reuses
+    verbatim).
+
+    Returns one row per radius 0..iters: (radius, n_nodes,
+    total_reach, avg_reach) — the corpus neighborhood function (sum /
+    mean of per-node ball-size estimates, 6dp). Per-node estimates
+    quantize to 1e6-scaled BIGINT before the cross-node sum
+    (order-free); radius 0 is exactly n_nodes by construction (each
+    register set sketches {v}).
+
+    Determinism/scale shape: registers derive from md5(node) (the
+    sketches.py layout — seedless, engine-reproducible); each round
+    localCheckpoints the nodes x 2^p register table (hash_walks'
+    convention) so lineage stays flat; the per-round join shuffles
+    (node, bucket, rho) tuples only — never neighbor lists. Estimates
+    use hll_estimate's inlined constants so the DuckDB twin replays
+    the float math bit-for-bit.
+    """
+    from amundsendatabuilder_spark.functions.scalars import round_half_away
+    from amundsendatabuilder_spark.operators.sketches import (
+        hll_estimate, hll_terms)
+    nodes = (edges.select(F.col(src_col).alias("node"))
+             .unionByName(edges.select(F.col(dst_col).alias("node")))
+             .distinct())
+    regs = (hll_terms(nodes, "node", p)
+            .groupBy("node", "bucket").agg(F.max("rho").alias("r"))
+            .localCheckpoint())
+    e = edges.select(F.col(src_col).alias("e_src"),
+                     F.col(dst_col).alias("e_dst"))
+
+    def _radius_row(regs_df: DataFrame, radius: int) -> DataFrame:
+        est = hll_estimate(regs_df, ("node",), p)
+        q = est.select(
+            round_half_away(F.col("approx_distinct") * 1e6, 0)
+            .cast("long").alias("e6"))
+        return q.agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("e6").alias("s_e6")).select(
+            F.lit(radius).cast("int").alias("radius"), "n_nodes",
+            round_half_away(F.col("s_e6").cast("double") / 1e6, 6)
+            .alias("total_reach"),
+            round_half_away(F.col("s_e6").cast("double")
+                            / F.col("n_nodes").cast("double") / 1e6, 6)
+            .alias("avg_reach"))
+
+    frames = [_radius_row(regs, 0)]
+    for radius in range(1, iters + 1):
+        nbr = (e.join(regs.withColumnRenamed("node", "e_dst"), "e_dst")
+               .select(F.col("e_src").alias("node"), "bucket", "r"))
+        regs = (regs.unionByName(nbr)
+                .groupBy("node", "bucket").agg(F.max("r").alias("r"))
+                .localCheckpoint())
+        frames.append(_radius_row(regs, radius))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -9521,3 +9521,99 @@ def theil_decomposition_query(spark, sf_dir):
         theil_decomposition)
     (docs,) = _t(spark, sf_dir, "documents")
     return theil_decomposition(docs, "n_chars", "source")
+
+
+def _hyperball_oracle(iters: int = 3, p: int = 4) -> str:
+    """Replay oracle for hyperball_neighborhood over the synthesized
+    lineage DAG: identical md5 register layout (sketches._rho_expr),
+    unrolled MATERIALIZED max-merge rounds, and hll_estimate's inlined
+    constants so the float estimates match bit-for-bit."""
+    from amundsendatabuilder_spark.operators.sketches import _rho_expr
+    m = 1 << p
+    nbhex = p // 4
+    rest = 16 - nbhex
+    alpha = 0.7213 / (1 + 1.079 / m)
+    num = alpha * m * m * float(1 << 50)
+    head = f"""
+WITH keys AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+edges AS MATERIALIZED (
+  SELECT a.k AS src, b.k AS dst FROM keys a JOIN keys b ON b.k = a.k * 2
+  UNION ALL
+  SELECT a.k AS src, b.k AS dst FROM keys a JOIN keys b ON b.k = a.k * 2 + 1
+  UNION ALL
+  SELECT a.k AS src, b.k AS dst FROM keys a JOIN keys b ON b.k = a.k * 3),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+hx AS (SELECT node, md5(CAST(node AS VARCHAR)) AS h FROM nodes),
+r0 AS MATERIALIZED (
+  SELECT node, substring(h, 1, {nbhex}) AS bucket,
+         CAST({_rho_expr(f"trim(LEADING '0' FROM substring(h, {nbhex + 1}, {rest}))", rest)}
+              AS INT) AS r
+  FROM hx)"""
+    rounds = []
+    for i in range(1, iters + 1):
+        prev = f"r{i - 1}"
+        rounds.append(f"""
+r{i} AS MATERIALIZED (
+  SELECT node, bucket, max(r) AS r FROM (
+    SELECT node, bucket, r FROM {prev}
+    UNION ALL
+    SELECT e.src AS node, g.bucket, g.r
+    FROM edges e JOIN {prev} g ON g.node = e.dst)
+  GROUP BY 1, 2)""")
+    ests = []
+    for i in range(iters + 1):
+        ests.append(f"""
+est{i} AS (
+  SELECT CAST({i} AS INT) AS radius,
+         CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(e6) AS BIGINT) AS s_e6
+  FROM (
+    SELECT node,
+           CAST(round((CASE WHEN ({num!r} / CAST(s_present
+                           + ({m} - n_present)
+                           * (CAST(1 AS BIGINT) << 50) AS DOUBLE))
+                           <= {2.5 * m!r}
+                        AND ({m} - n_present) > 0
+                       THEN {float(m)!r}
+                            * ln({float(m)!r}
+                                 / CAST({m} - n_present AS DOUBLE))
+                       ELSE {num!r} / CAST(s_present + ({m} - n_present)
+                            * (CAST(1 AS BIGINT) << 50) AS DOUBLE)
+                       END) * 1e6, 0) AS BIGINT) AS e6
+    FROM (SELECT node,
+                 sum(CASE WHEN r <= 50
+                          THEN CAST(1 AS BIGINT) << (50 - r)
+                          ELSE CAST(0 AS BIGINT) END) AS s_present,
+                 count(*) AS n_present
+          FROM r{i} GROUP BY node)))""")
+    tail = "\nUNION ALL\n".join(
+        f"""SELECT radius, n_nodes,
+       round(CAST(s_e6 AS DOUBLE) / 1e6, 6) AS total_reach,
+       round(CAST(s_e6 AS DOUBLE) / CAST(n_nodes AS DOUBLE) / 1e6, 6)
+       AS avg_reach
+FROM est{i}""" for i in range(iters + 1))
+    return (head + "," + ",".join(rounds) + ","
+            + ",".join(ests) + "\n" + tail)
+
+
+@query("hyperball_reach", _hyperball_oracle())
+def hyperball_reach_query(spark, sf_dir):
+    """HyperBall neighborhood function over the synthesized lineage DAG
+    (graph_algo.hyperball_neighborhood): per-node HLL registers
+    max-merged along edges for 3 rounds — nodes x 2^p bytes of state
+    per radius instead of exact visited sets, the mergeable-register
+    graph-analytics shape (Boldi & Vigna 2013)."""
+    from amundsendatabuilder_spark.operators.graph_algo import (
+        hyperball_neighborhood)
+    (orders,) = _t(spark, sf_dir, "orders")
+    keys_df = (orders.select(F.col("o_orderkey").alias("k"))
+               .distinct().cache())
+    a, b = keys_df.alias("a"), keys_df.alias("b")
+
+    def em(mult: int, add: int = 0):
+        return (a.join(b, F.col("b.k") == F.col("a.k") * mult + add)
+                .select(F.col("a.k").alias("src"),
+                        F.col("b.k").alias("dst")))
+
+    edges = em(2).unionByName(em(2, 1)).unionByName(em(3))
+    return hyperball_neighborhood(edges, iters=3, p=4)

@@ -198,6 +198,7 @@ EXTENDED = [
     "importance_ess",
     "spearman_correlation",
     "theil_decomposition",
+    "hyperball_reach",
 ]
 
 

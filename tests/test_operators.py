@@ -3638,3 +3638,63 @@ def test_theil_decomposition_known_values(spark):
     tt = sum(round((v / t) * math.log(v * n / t) * 1e9)
              for v in vals) / 1e9
     assert abs(o3.theil_total - round(tt, 6)) <= 1e-9
+
+
+def test_hyperball_neighborhood_python_twin(spark):
+    import hashlib
+    import math
+
+    from amundsendatabuilder_spark.operators.graph_algo import (
+        hyperball_neighborhood)
+    # directed line graph 1 -> 2 -> 3 -> 4 -> 5
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 5)], "src long, dst long")
+    out = {r.radius: r
+           for r in hyperball_neighborhood(edges, iters=3, p=4).collect()}
+    assert sorted(out) == [0, 1, 2, 3]
+    # python twin: same md5 layout (1 hex bucket, 15 hex rest), max-merge
+    p, m = 4, 16
+
+    def rho(h):
+        s2 = h[1:16].lstrip("0")
+        if not s2:
+            return 61
+        lead = {"1": 3, "2": 2, "3": 2, "4": 1, "5": 1, "6": 1,
+                "7": 1}.get(s2[0], 0)
+        return 60 - 4 * len(s2) + lead + 1
+
+    regs = {v: {} for v in range(1, 6)}
+    for v in regs:
+        h = hashlib.md5(str(v).encode()).hexdigest()
+        regs[v][h[0]] = max(regs[v].get(h[0], 0), rho(h))
+
+    def estimate(r):
+        s = sum(1 << (50 - x) for x in r.values() if x <= 50)
+        n_present = len(r)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        num = alpha * m * m * float(1 << 50)
+        raw = num / float(s + (m - n_present) * (1 << 50))
+        if raw <= 2.5 * m and (m - n_present) > 0:
+            return float(m) * math.log(float(m) / (m - n_present))
+        return raw
+
+    adj = {i: [i + 1] for i in range(1, 5)}
+    expect = {}
+    cur = {v: dict(r) for v, r in regs.items()}
+    for radius in range(4):
+        if radius:
+            nxt = {v: dict(r) for v, r in cur.items()}
+            for v, ws in adj.items():
+                for w in ws:
+                    for b, x in cur[w].items():
+                        nxt[v][b] = max(nxt[v].get(b, 0), x)
+            cur = nxt
+        s_e6 = sum(round(estimate(r) * 1e6) for r in cur.values())
+        expect[radius] = (round(s_e6 / 1e6, 6), round(s_e6 / 5 / 1e6, 6))
+    for radius, r in out.items():
+        assert r.n_nodes == 5
+        assert abs(r.total_reach - expect[radius][0]) <= 1e-9
+        assert abs(r.avg_reach - expect[radius][1]) <= 1e-9
+    # neighborhood function is monotone in the radius
+    assert (out[0].total_reach <= out[1].total_reach
+            <= out[2].total_reach <= out[3].total_reach)

@@ -146,6 +146,7 @@ SUITE = [
     "importance_ess",
     "spearman_correlation",
     "theil_decomposition",
+    "hyperball_reach",
 ]
 
 
