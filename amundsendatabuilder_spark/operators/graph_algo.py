@@ -632,3 +632,52 @@ def hyperball_neighborhood(edges: DataFrame, iters: int = 3, p: int = 4,
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def degree_assortativity(edges: DataFrame, src_col: str = "src",
+                         dst_col: str = "dst") -> DataFrame:
+    """Directed degree assortativity: the Pearson correlation between
+    source OUT-degree and target IN-degree over all edges (Newman
+    2002) — positive means hubs link to hubs (scale-free cores),
+    negative means hubs fan out to leaves (star/lineage shapes); the
+    one-number structure summary a catalog reports about its lineage
+    graph before choosing traversal strategies.
+
+    Returns one row: (n_edges, assortativity) — 6dp, NULL when either
+    endpoint degree is constant.
+
+    Determinism/scale shape: two map-side-combinable degree
+    aggregations (node-sized registers) hash-join back onto the edge
+    list; the five Pearson sufficient statistics accumulate as
+    DECIMAL(38,0) over exact integer degrees with the centered
+    subtraction in decimal (numeric_corr_matrix's contract) and one
+    closing double sqrt/divide. Domain: n_edges * max_degree^2 < 10^38.
+    """
+    from amundsendatabuilder_spark.functions.scalars import round_half_away
+    out_deg = (edges.groupBy(F.col(src_col).alias("node"))
+               .agg(F.count(F.lit(1)).cast("long").alias("outd")))
+    in_deg = (edges.groupBy(F.col(dst_col).alias("node"))
+              .agg(F.count(F.lit(1)).cast("long").alias("ind")))
+    e = (edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+         .join(out_deg.withColumnRenamed("node", "s"), "s")
+         .join(in_deg.withColumnRenamed("node", "d"), "d"))
+    x = F.col("outd").cast("decimal(19,0)")
+    y = F.col("ind").cast("decimal(19,0)")
+    s = e.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("outd").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("ind").cast("decimal(38,0)")).alias("sy"),
+        F.sum((x * y).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((x * x).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((y * y).cast("decimal(38,0)")).alias("syy"))
+    cov = (F.col("n") * F.col("sxy")
+           - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx")
+          - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy")
+          - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        F.col("n").cast("long").alias("n_edges"),
+        F.when((vx > 0) & (vy > 0),
+               round_half_away(cov / F.sqrt(vx * vy), 6))
+        .alias("assortativity"))

@@ -9617,3 +9617,52 @@ def hyperball_reach_query(spark, sf_dir):
 
     edges = em(2).unionByName(em(2, 1)).unionByName(em(3))
     return hyperball_neighborhood(edges, iters=3, p=4)
+
+
+@query("degree_assortativity", r"""
+WITH keys AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+edges AS (
+  SELECT a.k AS src, b.k AS dst FROM keys a JOIN keys b ON b.k = a.k * 2
+  UNION ALL
+  SELECT a.k AS src, b.k AS dst FROM keys a JOIN keys b ON b.k = a.k * 2 + 1
+  UNION ALL
+  SELECT a.k AS src, b.k AS dst FROM keys a JOIN keys b ON b.k = a.k * 3),
+outd AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outd
+         FROM edges GROUP BY 1),
+ind AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS ind
+        FROM edges GROUP BY 1),
+e AS (SELECT o.outd, i.ind
+      FROM edges ed JOIN outd o ON o.node = ed.src
+      JOIN ind i ON i.node = ed.dst),
+s AS (SELECT count(*) AS n, sum(outd) AS sx, sum(ind) AS sy,
+             sum(outd * ind) AS sxy, sum(outd * outd) AS sxx,
+             sum(ind * ind) AS syy
+      FROM e)
+SELECT CAST(n AS BIGINT) AS n_edges,
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+             AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+            THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+            END AS assortativity
+FROM s
+""")
+def degree_assortativity_query(spark, sf_dir):
+    """Directed degree assortativity of the synthesized lineage DAG
+    (graph_algo.degree_assortativity): out-degree/in-degree Pearson
+    over edges with DECIMAL(38,0) sufficient statistics (HUGEINT-exact
+    in the twin), decimal centered subtraction, one closing sqrt."""
+    from amundsendatabuilder_spark.operators.graph_algo import (
+        degree_assortativity)
+    (orders,) = _t(spark, sf_dir, "orders")
+    keys_df = (orders.select(F.col("o_orderkey").alias("k"))
+               .distinct().cache())
+    a, b = keys_df.alias("a"), keys_df.alias("b")
+
+    def em(mult: int, add: int = 0):
+        return (a.join(b, F.col("b.k") == F.col("a.k") * mult + add)
+                .select(F.col("a.k").alias("src"),
+                        F.col("b.k").alias("dst")))
+
+    edges = em(2).unionByName(em(2, 1)).unionByName(em(3))
+    return degree_assortativity(edges)

@@ -199,6 +199,7 @@ EXTENDED = [
     "spearman_correlation",
     "theil_decomposition",
     "hyperball_reach",
+    "degree_assortativity",
 ]
 
 

@@ -3698,3 +3698,22 @@ def test_hyperball_neighborhood_python_twin(spark):
     # neighborhood function is monotone in the radius
     assert (out[0].total_reach <= out[1].total_reach
             <= out[2].total_reach <= out[3].total_reach)
+
+
+def test_degree_assortativity_known_values(spark):
+    from amundsendatabuilder_spark.operators.graph_algo import (
+        degree_assortativity)
+    # hub fans out to leaves that also receive from leaves: perfectly
+    # disassortative — x=[1,1,3,3,3], y=[2,2,1,1,1] -> r = -1
+    dis = spark.createDataFrame(
+        [(1, 3), (2, 3), (3, 4), (3, 5), (3, 6)], "src long, dst long")
+    out = degree_assortativity(dis).collect()[0]
+    assert out.n_edges == 5 and out.assortativity == -1.0
+    # hand-computed zero-covariance case
+    zero = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "src long, dst long")
+    assert degree_assortativity(zero).collect()[0].assortativity == 0.0
+    # line graph: every degree 1 -> constant -> NULL
+    line = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 5)], "src long, dst long")
+    assert degree_assortativity(line).collect()[0].assortativity is None

@@ -147,6 +147,7 @@ SUITE = [
     "spearman_correlation",
     "theil_decomposition",
     "hyperball_reach",
+    "degree_assortativity",
 ]
 
 
