@@ -9666,3 +9666,107 @@ def degree_assortativity_query(spark, sf_dir):
 
     edges = em(2).unionByName(em(2, 1)).unionByName(em(3))
     return degree_assortativity(edges)
+
+
+def _hyperball_harmonic_oracle(iters: int = 3, p: int = 4,
+                               k: int = 10) -> str:
+    """Replay oracle for hyperball_harmonic: the _hyperball_oracle
+    register rounds, per-node 1e6-quantized estimates per radius, and
+    the telescoped EXACT integer radius weights (6H = 3N1 + N2 + 2N3
+    - 6N0 for iters=3), top-k by (rounded centrality DESC, node)."""
+    import math
+    from amundsendatabuilder_spark.operators.sketches import _rho_expr
+    m = 1 << p
+    nbhex = p // 4
+    rest = 16 - nbhex
+    alpha = 0.7213 / (1 + 1.079 / m)
+    num = alpha * m * m * float(1 << 50)
+    lcm = math.lcm(*range(1, iters + 1))
+    coef = {0: -lcm}
+    for r in range(1, iters):
+        coef[r] = lcm // r - lcm // (r + 1)
+    coef[iters] = lcm // iters
+    head = f"""
+WITH keys AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+edges AS MATERIALIZED (
+  SELECT a.k AS src, b.k AS dst FROM keys a JOIN keys b ON b.k = a.k * 2
+  UNION ALL
+  SELECT a.k AS src, b.k AS dst FROM keys a JOIN keys b ON b.k = a.k * 2 + 1
+  UNION ALL
+  SELECT a.k AS src, b.k AS dst FROM keys a JOIN keys b ON b.k = a.k * 3),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+hx AS (SELECT node, md5(CAST(node AS VARCHAR)) AS h FROM nodes),
+r0 AS MATERIALIZED (
+  SELECT node, substring(h, 1, {nbhex}) AS bucket,
+         CAST({_rho_expr(f"trim(LEADING '0' FROM substring(h, {nbhex + 1}, {rest}))", rest)}
+              AS INT) AS r
+  FROM hx)"""
+    rounds = []
+    for i in range(1, iters + 1):
+        prev = f"r{i - 1}"
+        rounds.append(f"""
+r{i} AS MATERIALIZED (
+  SELECT node, bucket, max(r) AS r FROM (
+    SELECT node, bucket, r FROM {prev}
+    UNION ALL
+    SELECT e.src AS node, g.bucket, g.r
+    FROM edges e JOIN {prev} g ON g.node = e.dst)
+  GROUP BY 1, 2)""")
+    ests = []
+    for i in range(iters + 1):
+        ests.append(f"""
+est{i} AS (
+  SELECT node, CAST({i} AS INT) AS radius,
+         CAST(round((CASE WHEN ({num!r} / CAST(s_present
+                         + ({m} - n_present)
+                         * (CAST(1 AS BIGINT) << 50) AS DOUBLE))
+                         <= {2.5 * m!r}
+                      AND ({m} - n_present) > 0
+                     THEN {float(m)!r}
+                          * ln({float(m)!r}
+                               / CAST({m} - n_present AS DOUBLE))
+                     ELSE {num!r} / CAST(s_present + ({m} - n_present)
+                          * (CAST(1 AS BIGINT) << 50) AS DOUBLE)
+                     END) * 1e6, 0) AS BIGINT) AS e6
+  FROM (SELECT node,
+               sum(CASE WHEN r <= 50
+                        THEN CAST(1 AS BIGINT) << (50 - r)
+                        ELSE CAST(0 AS BIGINT) END) AS s_present,
+               count(*) AS n_present
+        FROM r{i} GROUP BY node))""")
+    wcase = " ".join(
+        f"WHEN radius = {r} THEN {c}" for r, c in sorted(coef.items()))
+    tail = f"""
+allr AS ({" UNION ALL ".join(f"SELECT * FROM est{i}" for i in range(iters + 1))}),
+scored AS (SELECT node,
+                  CAST(sum(e6 * (CASE {wcase} END)) AS BIGINT) AS h6
+           FROM allr GROUP BY 1)
+SELECT node,
+       round(CAST(h6 AS DOUBLE) / {float(lcm * 1e6)!r}, 6)
+       AS harmonic_centrality
+FROM scored
+ORDER BY harmonic_centrality DESC, node
+LIMIT {k}"""
+    return (head + "," + ",".join(rounds) + ","
+            + ",".join(ests) + "," + tail)
+
+
+@query("hyperball_harmonic", _hyperball_harmonic_oracle())
+def hyperball_harmonic_query(spark, sf_dir):
+    """Top-10 harmonic centrality over the synthesized lineage DAG
+    (graph_algo.hyperball_harmonic): HyperBall registers + telescoped
+    exact-integer radius weights, TakeOrderedAndProject top-k."""
+    from amundsendatabuilder_spark.operators.graph_algo import (
+        hyperball_harmonic)
+    (orders,) = _t(spark, sf_dir, "orders")
+    keys_df = (orders.select(F.col("o_orderkey").alias("k"))
+               .distinct().cache())
+    a, b = keys_df.alias("a"), keys_df.alias("b")
+
+    def em(mult: int, add: int = 0):
+        return (a.join(b, F.col("b.k") == F.col("a.k") * mult + add)
+                .select(F.col("a.k").alias("src"),
+                        F.col("b.k").alias("dst")))
+
+    edges = em(2).unionByName(em(2, 1)).unionByName(em(3))
+    return hyperball_harmonic(edges, iters=3, p=4, k=10)

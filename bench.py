@@ -200,6 +200,7 @@ EXTENDED = [
     "theil_decomposition",
     "hyperball_reach",
     "degree_assortativity",
+    "hyperball_harmonic",
 ]
 
 

@@ -3717,3 +3717,63 @@ def test_degree_assortativity_known_values(spark):
     line = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 5)], "src long, dst long")
     assert degree_assortativity(line).collect()[0].assortativity is None
+
+
+def test_hyperball_harmonic_python_twin(spark):
+    import hashlib
+    import math
+
+    from amundsendatabuilder_spark.operators.graph_algo import (
+        hyperball_harmonic)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 5)], "src long, dst long")
+    out = hyperball_harmonic(edges, iters=3, p=4, k=10).collect()
+    assert len(out) == 5
+    # python twin (same register replay as the hyperball test)
+    m = 16
+
+    def rho(h):
+        s2 = h[1:16].lstrip("0")
+        if not s2:
+            return 61
+        lead = {"1": 3, "2": 2, "3": 2, "4": 1, "5": 1, "6": 1,
+                "7": 1}.get(s2[0], 0)
+        return 60 - 4 * len(s2) + lead + 1
+
+    def estimate(r):
+        s = sum(1 << (50 - x) for x in r.values() if x <= 50)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        num = alpha * m * m * float(1 << 50)
+        raw = num / float(s + (m - len(r)) * (1 << 50))
+        if raw <= 2.5 * m and (m - len(r)) > 0:
+            return float(m) * math.log(float(m) / (m - len(r)))
+        return raw
+
+    regs = {}
+    for v in range(1, 6):
+        h = hashlib.md5(str(v).encode()).hexdigest()
+        regs[v] = {h[0]: rho(h)}
+    adj = {i: [i + 1] for i in range(1, 5)}
+    e6 = {v: [round(estimate(regs[v]) * 1e6)] for v in regs}
+    cur = {v: dict(r) for v, r in regs.items()}
+    for _ in range(3):
+        nxt = {v: dict(r) for v, r in cur.items()}
+        for v, ws in adj.items():
+            for w in ws:
+                for bk, x in cur[w].items():
+                    nxt[v][bk] = max(nxt[v].get(bk, 0), x)
+        cur = nxt
+        for v in e6:
+            e6[v].append(round(estimate(cur[v]) * 1e6))
+    # 6H = 3 N1 + N2 + 2 N3 - 6 N0
+    expect = {v: round((3 * n[1] + n[2] + 2 * n[3] - 6 * n[0])
+                       / 6e6, 6) for v, n in e6.items()}
+    got = {r.node: r.harmonic_centrality for r in out}
+    assert got == expect
+    # output order is (centrality DESC, node) over the twin's values —
+    # HLL noise at m=16 may legitimately rank node 2 above node 1, so
+    # assert against the replayed estimates, not topology
+    order = [r.node for r in out]
+    assert order == sorted(expect, key=lambda v: (-expect[v], v))
+    # a never-growing ball telescopes to exactly 0
+    assert got[5] == 0.0

@@ -148,6 +148,7 @@ SUITE = [
     "theil_decomposition",
     "hyperball_reach",
     "degree_assortativity",
+    "hyperball_harmonic",
 ]
 
 
