@@ -758,3 +758,38 @@ def effective_sample_size(df: DataFrame, weight_col: str,
         F.when(F.col("sum_w2") > 0,
                round_half_away(ess / F.col("n").cast("double"), 4))
         .alias("ess_ratio"))
+
+
+def dup_affinity_matrix(pairs: DataFrame, docs: DataFrame,
+                        id_col: str = "doc_id",
+                        group_col: str = "source") -> DataFrame:
+    """Cross-source duplicate affinity: near-dup pairs (from
+    minhash_lsh_pairs / lsh_verified_pairs) tagged with BOTH endpoints'
+    groups and counted per unordered group pair — the mirror-site /
+    cross-source-plagiarism detector (a heavy off-diagonal cell means
+    source B substantially republishes source A; drop one side before
+    mixture weighting). The cross-source complement of
+    ``dedup_rate_by_source`` (within-source rates) and the
+    source-level view of ``split_leak_audit``'s split matrix.
+
+    Returns (source_a, source_b, n_pairs, cross_source) with
+    source_a <= source_b (unordered pair canonicalized by name).
+
+    Determinism/scale shape: the pair set (bounded by near-dup count,
+    not corpus size) joins the corpus id->group map on each endpoint —
+    two hash joins shipping only (id, group); the final count
+    aggregates a pair-set-sized table. No corpus self-join anywhere.
+    """
+    m = docs.select(F.col(id_col).alias("_id"),
+                    F.col(group_col).alias("_g"))
+    tagged = (pairs
+              .join(m.withColumnRenamed("_id", "doc_a")
+                    .withColumnRenamed("_g", "ga"), "doc_a")
+              .join(m.withColumnRenamed("_id", "doc_b")
+                    .withColumnRenamed("_g", "gb"), "doc_b"))
+    return (tagged.select(F.least("ga", "gb").alias("source_a"),
+                          F.greatest("ga", "gb").alias("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+            .withColumn("cross_source",
+                        F.col("source_a") != F.col("source_b")))

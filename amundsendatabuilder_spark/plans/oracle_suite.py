@@ -9770,3 +9770,30 @@ def hyperball_harmonic_query(spark, sf_dir):
 
     edges = em(2).unionByName(em(2, 1)).unionByName(em(3))
     return hyperball_harmonic(edges, iters=3, p=4, k=10)
+
+
+@query("dup_affinity_matrix", f"""
+WITH {_minhash_bands_cte(16, 4)},
+pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_sig = b.band_sig
+           AND a.doc_id < b.doc_id),
+m AS (SELECT doc_id, source FROM documents),
+tagged AS (SELECT least(x.source, y.source) AS source_a,
+                  greatest(x.source, y.source) AS source_b
+           FROM pairs JOIN m x ON x.doc_id = pairs.doc_a
+                      JOIN m y ON y.doc_id = pairs.doc_b)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+       source_a <> source_b AS cross_source
+FROM tagged GROUP BY 1, 2
+""")
+def dup_affinity_matrix_query(spark, sf_dir):
+    """Cross-source duplicate affinity (curation.dup_affinity_matrix):
+    MinHash-LSH near-dup pairs tagged with both endpoints' sources and
+    counted per unordered source pair — the mirror-site detector; pair
+    set joins the id->source map, no corpus self-join."""
+    from amundsendatabuilder_spark.operators.curation import (
+        dup_affinity_matrix)
+    from amundsendatabuilder_spark.operators.dedup import minhash_lsh_pairs
+    (docs,) = _t(spark, sf_dir, "documents")
+    return dup_affinity_matrix(minhash_lsh_pairs(docs), docs)

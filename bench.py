@@ -201,6 +201,7 @@ EXTENDED = [
     "hyperball_reach",
     "degree_assortativity",
     "hyperball_harmonic",
+    "dup_affinity_matrix",
 ]
 
 

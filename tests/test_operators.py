@@ -3777,3 +3777,22 @@ def test_hyperball_harmonic_python_twin(spark):
     assert order == sorted(expect, key=lambda v: (-expect[v], v))
     # a never-growing ball telescopes to exactly 0
     assert got[5] == 0.0
+
+
+def test_dup_affinity_matrix_known_values(spark):
+    from amundsendatabuilder_spark.operators.curation import (
+        dup_affinity_matrix)
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5)], "doc_a long, doc_b long")
+    docs = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B"), (4, "B"), (5, "C")],
+        "doc_id long, source string")
+    out = {(r.source_a, r.source_b): r
+           for r in dup_affinity_matrix(pairs, docs).collect()}
+    # (1,2) within A; (1,3),(2,3) cross A-B; (4,5) cross B-C
+    assert out[("A", "A")].n_pairs == 1
+    assert out[("A", "A")].cross_source is False
+    assert out[("A", "B")].n_pairs == 2
+    assert out[("A", "B")].cross_source is True
+    assert out[("B", "C")].n_pairs == 1
+    assert len(out) == 3

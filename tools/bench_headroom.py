@@ -149,6 +149,7 @@ SUITE = [
     "hyperball_reach",
     "degree_assortativity",
     "hyperball_harmonic",
+    "dup_affinity_matrix",
 ]
 
 
