@@ -1027,3 +1027,65 @@ def theil_decomposition(df: DataFrame, value_col: str,
         .alias("theil_between"),
         round_half_away(F.col("tw_e9").cast("double") / 1e9, 6)
         .alias("theil_within"))
+
+
+def variance_decomposition(df: DataFrame, value_col: str,
+                           group_col: str, scale: int = 100) -> DataFrame:
+    """One-way ANOVA decomposition of a numeric column over groups:
+    SS_total = SS_between + SS_within, the F statistic, and eta-squared
+    (variance explained by group membership) — "does source explain
+    document length?" as a number. The any-sign numeric companion to
+    ``theil_decomposition`` (which needs positive measures) and the
+    categorical-vs-numeric complement of ``chi_square_independence``.
+
+    Returns one row: (n, n_groups, ss_between, ss_within, f_stat,
+    eta_squared) — SS values 4dp in the scaled units, f/eta 6dp; f
+    NULL when within-variance is 0 or dof degenerate.
+
+    Determinism/scale shape: values quantize to ``scale``-scaled
+    BIGINT; per-group (n_g, sum, sum-of-squares) accumulate as
+    DECIMAL(38,0) — exact, order-free, the numeric_corr_matrix
+    contract — in ONE map-side-combinable pass. Group means enter only
+    via X_g^2 / n_g, computed per group in doubles from the exact
+    decimals, quantized to 1e4-scaled BIGINT, and summed over the
+    |groups|-row register (order-free again). Domain: n * (max|x| *
+    scale)^2 < 10^38.
+    """
+    q = round_half_away(F.col(value_col).cast("double") * scale,
+                        0).cast("long")
+    base = (df.where(F.col(value_col).isNotNull())
+            .select(F.col(group_col).alias("grp"), q.alias("v")))
+    dv = F.col("v").cast("decimal(19,0)")
+    g = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("ng"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("sg"),
+        F.sum((dv * dv).cast("decimal(38,0)")).alias("ssg"))
+    # per-group X_g^2/n_g term, 1e4-quantized for the order-free sum
+    term = round_half_away(
+        (F.col("sg").cast("double") * F.col("sg").cast("double"))
+        / F.col("ng").cast("double") / (scale * scale) * 1e4, 0
+    ).cast("long")
+    reg = g.select("grp", "ng", "sg", "ssg", term.alias("t4"))
+    tot = reg.agg(
+        F.sum("ng").alias("n"), F.sum("sg").alias("sx"),
+        F.sum("ssg").alias("sxx"),
+        F.sum("t4").alias("st4"),
+        F.count(F.lit(1)).cast("long").alias("k"))
+    n_d = F.col("n").cast("double")
+    grand = (F.col("sx").cast("double") * F.col("sx").cast("double")
+             / n_d / (scale * scale))
+    ss_tot = F.col("sxx").cast("double") / (scale * scale) - grand
+    ss_b = F.col("st4").cast("double") / 1e4 - grand
+    ss_w = ss_tot - ss_b
+    kd = F.col("k").cast("double")
+    f_stat = (ss_b / (kd - 1)) / (ss_w / (n_d - kd))
+    return tot.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").alias("n_groups"),
+        round_half_away(ss_b, 4).alias("ss_between"),
+        round_half_away(ss_w, 4).alias("ss_within"),
+        F.when((F.col("k") > 1) & (ss_w > 0)
+               & (F.col("n").cast("long") > F.col("k")),
+               round_half_away(f_stat, 6)).alias("f_stat"),
+        F.when(ss_tot > 0, round_half_away(ss_b / ss_tot, 6))
+        .alias("eta_squared"))

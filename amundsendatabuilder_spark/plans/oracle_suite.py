@@ -9797,3 +9797,71 @@ def dup_affinity_matrix_query(spark, sf_dir):
     from amundsendatabuilder_spark.operators.dedup import minhash_lsh_pairs
     (docs,) = _t(spark, sf_dir, "documents")
     return dup_affinity_matrix(minhash_lsh_pairs(docs), docs)
+
+
+@query("variance_decomposition", r"""
+WITH base AS (SELECT source AS grp,
+                     CAST(round(CAST(n_chars AS DOUBLE) * 100, 0)
+                          AS BIGINT) AS v
+              FROM documents WHERE n_chars IS NOT NULL),
+g AS (SELECT grp, count(*) AS ng, sum(v) AS sg, sum(v * v) AS ssg
+      FROM base GROUP BY 1),
+reg AS (SELECT grp, ng, sg, ssg,
+               CAST(round((CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+                    / CAST(ng AS DOUBLE) / 10000.0 * 1e4, 0) AS BIGINT)
+               AS t4
+        FROM g),
+tot AS (SELECT sum(ng) AS n, sum(sg) AS sx, sum(ssg) AS sxx,
+               CAST(sum(t4) AS BIGINT) AS st4,
+               CAST(count(*) AS BIGINT) AS k
+        FROM reg)
+SELECT CAST(n AS BIGINT) AS n, k AS n_groups,
+       round(CAST(st4 AS DOUBLE) / 1e4
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+               / CAST(n AS DOUBLE) / 10000.0, 4) AS ss_between,
+       round((CAST(sxx AS DOUBLE) / 10000.0
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                / CAST(n AS DOUBLE) / 10000.0)
+             - (CAST(st4 AS DOUBLE) / 1e4
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                  / CAST(n AS DOUBLE) / 10000.0), 4) AS ss_within,
+       CASE WHEN k > 1 AND CAST(n AS BIGINT) > k
+             AND ((CAST(sxx AS DOUBLE) / 10000.0
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                     / CAST(n AS DOUBLE) / 10000.0)
+                  - (CAST(st4 AS DOUBLE) / 1e4
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                       / CAST(n AS DOUBLE) / 10000.0)) > 0
+            THEN round(((CAST(st4 AS DOUBLE) / 1e4
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                           / CAST(n AS DOUBLE) / 10000.0)
+                        / (CAST(k AS DOUBLE) - 1))
+                       / (((CAST(sxx AS DOUBLE) / 10000.0
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                              / CAST(n AS DOUBLE) / 10000.0)
+                           - (CAST(st4 AS DOUBLE) / 1e4
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                                / CAST(n AS DOUBLE) / 10000.0))
+                          / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+            END AS f_stat,
+       CASE WHEN (CAST(sxx AS DOUBLE) / 10000.0
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                    / CAST(n AS DOUBLE) / 10000.0) > 0
+            THEN round((CAST(st4 AS DOUBLE) / 1e4
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                          / CAST(n AS DOUBLE) / 10000.0)
+                       / (CAST(sxx AS DOUBLE) / 10000.0
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                            / CAST(n AS DOUBLE) / 10000.0), 6)
+            END AS eta_squared
+FROM tot
+""")
+def variance_decomposition_query(spark, sf_dir):
+    """One-way ANOVA of document length over sources
+    (profiling.variance_decomposition): exact DECIMAL/HUGEINT moment
+    sums, per-group mean terms 1e4-quantized before the register sum,
+    F and eta-squared from one fixed double expression tree."""
+    from amundsendatabuilder_spark.operators.profiling import (
+        variance_decomposition)
+    (docs,) = _t(spark, sf_dir, "documents")
+    return variance_decomposition(docs, "n_chars", "source", scale=100)

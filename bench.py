@@ -202,6 +202,7 @@ EXTENDED = [
     "degree_assortativity",
     "hyperball_harmonic",
     "dup_affinity_matrix",
+    "variance_decomposition",
 ]
 
 

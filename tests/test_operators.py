@@ -3796,3 +3796,32 @@ def test_dup_affinity_matrix_known_values(spark):
     assert out[("A", "B")].cross_source is True
     assert out[("B", "C")].n_pairs == 1
     assert len(out) == 3
+
+
+def test_variance_decomposition_known_values(spark):
+    from amundsendatabuilder_spark.operators.profiling import (
+        variance_decomposition)
+    # identical group means -> SS_between = 0, eta^2 = 0
+    eq = spark.createDataFrame(
+        [(1.0, "a"), (3.0, "a"), (1.0, "b"), (3.0, "b")],
+        "x double, g string")
+    out = variance_decomposition(eq, "x", "g", scale=1).collect()[0]
+    assert out.ss_between == 0.0 and out.eta_squared == 0.0
+    # between-only: constant within groups -> SS_within = 0, F NULL
+    btw = spark.createDataFrame(
+        [(2.0, "a"), (2.0, "a"), (6.0, "b"), (6.0, "b")],
+        "x double, g string")
+    o2 = variance_decomposition(btw, "x", "g", scale=1).collect()[0]
+    assert o2.ss_within == 0.0 and o2.f_stat is None
+    assert o2.eta_squared == 1.0
+    # textbook hand case: a=[1,2,3], b=[4,5,6]
+    # means 2, 5; grand 3.5; SSB = 3*(2-3.5)^2 + 3*(5-3.5)^2 = 13.5
+    # SSW = 2 + 2 = 4; F = (13.5/1)/(4/(6-2)) = 13.5
+    hand = spark.createDataFrame(
+        [(float(v), "a") for v in (1, 2, 3)]
+        + [(float(v), "b") for v in (4, 5, 6)], "x double, g string")
+    o3 = variance_decomposition(hand, "x", "g", scale=1).collect()[0]
+    assert o3.n == 6 and o3.n_groups == 2
+    assert o3.ss_between == 13.5 and o3.ss_within == 4.0
+    assert o3.f_stat == 13.5
+    assert abs(o3.eta_squared - round(13.5 / 17.5, 6)) <= 1e-9

@@ -150,6 +150,7 @@ SUITE = [
     "degree_assortativity",
     "hyperball_harmonic",
     "dup_affinity_matrix",
+    "variance_decomposition",
 ]
 
 
