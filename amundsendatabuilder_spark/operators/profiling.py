@@ -1089,3 +1089,60 @@ def variance_decomposition(df: DataFrame, value_col: str,
                round_half_away(f_stat, 6)).alias("f_stat"),
         F.when(ss_tot > 0, round_half_away(ss_b / ss_tot, 6))
         .alias("eta_squared"))
+
+
+def missingness_matrix(df: DataFrame,
+                       cols: "list[str]") -> DataFrame:
+    """NULL-co-occurrence profile: for every column pair, how often the
+    two are missing TOGETHER versus what independence predicts — the
+    phi coefficient of the 2x2 missingness table. Correlated
+    missingness (rows that lose several fields at once) is an
+    upstream-join/ETL-bug signature that per-column null counts
+    (``profile_columns``) cannot see.
+
+    Returns one row per (col_a < col_b) pair: (col_a, col_b, n,
+    null_a, null_b, null_both, lift_ppm, phi) — lift_ppm the exact
+    integer ratio P(both) / (P(a) P(b)) in ppm (1e6 = independent),
+    NULL when either marginal is 0; phi 6dp, NULL when a marginal is
+    0 or saturated.
+
+    Determinism/scale shape: ONE wide map-side-combinable aggregation
+    computes every pair's counts (no explode, no shuffle of data
+    columns — the |pairs| conditional sums ride one combine tree);
+    everything after is integer arithmetic on a 1-row frame, phi's
+    single double expression at the end. DIV keeps lift exact.
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long"))
+                    .cast("long").alias(f"na_{c}"))
+    for i, ca in enumerate(cols):
+        for cb in cols[i + 1:]:
+            aggs.append(F.sum((F.col(ca).isNull()
+                               & F.col(cb).isNull()).cast("long"))
+                        .cast("long").alias(f"nb_{ca}__{cb}"))
+    wide = df.agg(*aggs)
+    out = None
+    for i, ca in enumerate(cols):
+        for cb in cols[i + 1:]:
+            n = F.col("n")
+            a = F.col(f"na_{ca}")
+            b = F.col(f"na_{cb}")
+            ab = F.col(f"nb_{ca}__{cb}")
+            lift = F.when((a > 0) & (b > 0), F.expr(
+                f"(nb_{ca}__{cb} * n * CAST(1000000 AS BIGINT)) "
+                f"DIV (na_{ca} * na_{cb})")).cast("long")
+            # phi = (n*ab - a*b) / sqrt(a*b*(n-a)*(n-b))
+            num = (n * ab - a * b).cast("double")
+            den = F.sqrt(a.cast("double") * b.cast("double")
+                         * (n - a).cast("double")
+                         * (n - b).cast("double"))
+            phi = F.when((a > 0) & (b > 0) & (a < n) & (b < n),
+                         round_half_away(num / den, 6))
+            row = wide.select(
+                F.lit(ca).alias("col_a"), F.lit(cb).alias("col_b"),
+                n.alias("n"), a.alias("null_a"), b.alias("null_b"),
+                ab.alias("null_both"), lift.alias("lift_ppm"),
+                phi.alias("phi"))
+            out = row if out is None else out.unionByName(row)
+    return out

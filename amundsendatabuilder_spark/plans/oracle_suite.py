@@ -9865,3 +9865,80 @@ def variance_decomposition_query(spark, sf_dir):
         variance_decomposition)
     (docs,) = _t(spark, sf_dir, "documents")
     return variance_decomposition(docs, "n_chars", "source", scale=100)
+
+
+@query("missingness_matrix", r"""
+WITH d AS (SELECT md5(CAST(event_id AS VARCHAR)) AS h, value
+           FROM events),
+base AS (SELECT CASE WHEN substr(h, 1, 1) < '4' THEN NULL
+                     ELSE value END AS a,
+                CASE WHEN substr(h, 1, 1) < '2' THEN NULL
+                     ELSE value END AS b,
+                CASE WHEN substr(h, 2, 1) < '4' THEN NULL
+                     ELSE value END AS c
+         FROM d),
+w AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN a IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS na_a,
+             CAST(sum(CASE WHEN b IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS na_b,
+             CAST(sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS na_c,
+             CAST(sum(CASE WHEN a IS NULL AND b IS NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS nb_ab,
+             CAST(sum(CASE WHEN a IS NULL AND c IS NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS nb_ac,
+             CAST(sum(CASE WHEN b IS NULL AND c IS NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS nb_bc
+      FROM base)
+SELECT 'a' AS col_a, 'b' AS col_b, n, na_a AS null_a, na_b AS null_b,
+       nb_ab AS null_both,
+       CASE WHEN na_a > 0 AND na_b > 0
+            THEN (nb_ab * n * CAST(1000000 AS BIGINT)) // (na_a * na_b)
+            END AS lift_ppm,
+       CASE WHEN na_a > 0 AND na_b > 0 AND na_a < n AND na_b < n
+            THEN round(CAST(n * nb_ab - na_a * na_b AS DOUBLE)
+                       / sqrt(CAST(na_a AS DOUBLE) * CAST(na_b AS DOUBLE)
+                              * CAST(n - na_a AS DOUBLE)
+                              * CAST(n - na_b AS DOUBLE)), 6) END AS phi
+FROM w
+UNION ALL
+SELECT 'a', 'c', n, na_a, na_c, nb_ac,
+       CASE WHEN na_a > 0 AND na_c > 0
+            THEN (nb_ac * n * CAST(1000000 AS BIGINT)) // (na_a * na_c)
+            END,
+       CASE WHEN na_a > 0 AND na_c > 0 AND na_a < n AND na_c < n
+            THEN round(CAST(n * nb_ac - na_a * na_c AS DOUBLE)
+                       / sqrt(CAST(na_a AS DOUBLE) * CAST(na_c AS DOUBLE)
+                              * CAST(n - na_a AS DOUBLE)
+                              * CAST(n - na_c AS DOUBLE)), 6) END
+FROM w
+UNION ALL
+SELECT 'b', 'c', n, na_b, na_c, nb_bc,
+       CASE WHEN na_b > 0 AND na_c > 0
+            THEN (nb_bc * n * CAST(1000000 AS BIGINT)) // (na_b * na_c)
+            END,
+       CASE WHEN na_b > 0 AND na_c > 0 AND na_b < n AND na_c < n
+            THEN round(CAST(n * nb_bc - na_b * na_c AS DOUBLE)
+                       / sqrt(CAST(na_b AS DOUBLE) * CAST(na_c AS DOUBLE)
+                              * CAST(n - na_b AS DOUBLE)
+                              * CAST(n - na_c AS DOUBLE)), 6) END
+FROM w
+""")
+def missingness_matrix_query(spark, sf_dir):
+    """NULL-co-occurrence phi/lift matrix (profiling.missingness_matrix)
+    over three deterministically-punched views of events.value (b's
+    nulls nest inside a's -> strong positive phi; c is independent) —
+    one wide conditional aggregation, no explode, exact integer lift."""
+    from amundsendatabuilder_spark.operators.profiling import (
+        missingness_matrix)
+    (ev,) = _t(spark, sf_dir, "events")
+    h = F.md5(F.col("event_id").cast("string"))
+    d = ev.select(
+        F.when(F.substring(h, 1, 1) < "4", F.lit(None).cast("double"))
+        .otherwise(F.col("value")).alias("a"),
+        F.when(F.substring(h, 1, 1) < "2", F.lit(None).cast("double"))
+        .otherwise(F.col("value")).alias("b"),
+        F.when(F.substring(h, 2, 1) < "4", F.lit(None).cast("double"))
+        .otherwise(F.col("value")).alias("c"))
+    return missingness_matrix(d, ["a", "b", "c"])

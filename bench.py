@@ -203,6 +203,7 @@ EXTENDED = [
     "hyperball_harmonic",
     "dup_affinity_matrix",
     "variance_decomposition",
+    "missingness_matrix",
 ]
 
 

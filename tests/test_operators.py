@@ -3825,3 +3825,29 @@ def test_variance_decomposition_known_values(spark):
     assert o3.ss_between == 13.5 and o3.ss_within == 4.0
     assert o3.f_stat == 13.5
     assert abs(o3.eta_squared - round(13.5 / 17.5, 6)) <= 1e-9
+
+
+def test_missingness_matrix_known_values(spark):
+    from amundsendatabuilder_spark.operators.profiling import (
+        missingness_matrix)
+    # a null on rows 1-2; b null on rows 1-2 (identical -> phi 1);
+    # c null on row 3 only (disjoint from a -> negative phi)
+    rows = [(None, None, 1.0), (None, None, 1.0),
+            (1.0, 1.0, None), (1.0, 1.0, 1.0)]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    out = {(r.col_a, r.col_b): r
+           for r in missingness_matrix(df, ["a", "b", "c"]).collect()}
+    ab = out[("a", "b")]
+    assert ab.null_both == 2 and ab.phi == 1.0
+    # lift = P(both)/(P(a)P(b)) = (2/4)/((2/4)*(2/4)) = 2 -> 2_000_000
+    assert ab.lift_ppm == 2_000_000
+    ac = out[("a", "c")]
+    assert ac.null_both == 0 and ac.lift_ppm == 0
+    # phi for disjoint 2x2: (4*0 - 2*1)/sqrt(2*1*2*3)
+    exp = round((0 - 2) / (2 * 1 * 2 * 3) ** 0.5, 6)
+    assert abs(ac.phi - exp) <= 1e-9
+    # no nulls in a column -> lift/phi NULL
+    none_df = spark.createDataFrame(
+        [(1.0, None), (2.0, None)], "x double, y double")
+    o = missingness_matrix(none_df, ["x", "y"]).collect()[0]
+    assert o.lift_ppm is None and o.phi is None

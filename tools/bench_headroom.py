@@ -151,6 +151,7 @@ SUITE = [
     "hyperball_harmonic",
     "dup_affinity_matrix",
     "variance_decomposition",
+    "missingness_matrix",
 ]
 
 
