@@ -1903,3 +1903,45 @@ def ngram_entropy_rate(docs: DataFrame, group_col: str = "source",
         .alias("bigram_entropy"),
         round_half_away((F.col("hb_e9") - F.col("hu_e9")).cast("double")
                         / 1e9, 6).alias("entropy_rate"))
+
+
+def hapax_report(docs: DataFrame, group_col: str = "source",
+                 text_col: str = "text") -> DataFrame:
+    """Lexical-richness tail profile per group: the share of vocabulary
+    that occurs exactly once (hapax legomena) and the share of total
+    token mass those words carry — the classic corpus-linguistics pair
+    to ``zipf_alpha_report``/``heaps_law_fit``: natural text keeps a
+    fat hapax tail (~40-60% of vocab); templated/synthetic text
+    collapses it, OCR noise inflates it. A tokenizer trainer reads
+    hapax_mass directly as "token mass the vocab cut will shatter".
+
+    Returns (source, vocab_size, total_tokens, hapax_count,
+    hapax_vocab_ppm, hapax_mass_ppm) — exact integer ppm via DIV.
+
+    Determinism/scale shape: token counts collapse map-side; the
+    hapax statistics come entirely from the count-of-counts REGISTER
+    (vocab_coverage_curve's table — bounded by distinct frequencies),
+    so nothing beyond the (group, token) aggregation touches corpus
+    rows and every output is exact integer arithmetic.
+    """
+    from amundsendatabuilder_spark.functions.text import tokens as _toks
+    from amundsendatabuilder_spark.session import ensure_parallelism
+    st = (ensure_parallelism(docs)
+          .select(F.col(group_col).alias("grp"),
+                  F.explode(_toks(F.lower(F.col(text_col)))).alias("tok"))
+          .groupBy("grp", "tok")
+          .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    reg = (st.groupBy("grp", "c")
+           .agg(F.count(F.lit(1)).cast("long").alias("m")))
+    s = reg.groupBy("grp").agg(
+        F.sum("m").cast("long").alias("vocab_size"),
+        F.sum(F.col("c") * F.col("m")).cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("c") == 1, F.col("m")).otherwise(0))
+        .cast("long").alias("hapax_count"))
+    return s.select(
+        F.col("grp").alias(group_col), "vocab_size", "total_tokens",
+        "hapax_count",
+        F.expr("hapax_count * CAST(1000000 AS BIGINT) DIV vocab_size")
+        .alias("hapax_vocab_ppm"),
+        F.expr("hapax_count * CAST(1000000 AS BIGINT) DIV total_tokens")
+        .alias("hapax_mass_ppm"))

@@ -9942,3 +9942,30 @@ def missingness_matrix_query(spark, sf_dir):
         F.when(F.substring(h, 2, 1) < "4", F.lit(None).cast("double"))
         .otherwise(F.col("value")).alias("c"))
     return missingness_matrix(d, ["a", "b", "c"])
+
+
+@query("hapax_report", (r"""
+WITH tok AS (SELECT source AS grp, unnest(REPLACE_LTOKS) AS tok
+             FROM documents),
+st AS (SELECT grp, tok, CAST(count(*) AS BIGINT) AS c
+       FROM tok GROUP BY 1, 2),
+reg AS (SELECT grp, c, CAST(count(*) AS BIGINT) AS m
+        FROM st GROUP BY 1, 2),
+s AS (SELECT grp, CAST(sum(m) AS BIGINT) AS vocab_size,
+             CAST(sum(c * m) AS BIGINT) AS total_tokens,
+             CAST(sum(CASE WHEN c = 1 THEN m ELSE 0 END) AS BIGINT)
+             AS hapax_count
+      FROM reg GROUP BY 1)
+SELECT grp AS source, vocab_size, total_tokens, hapax_count,
+       hapax_count * CAST(1000000 AS BIGINT) // vocab_size
+       AS hapax_vocab_ppm,
+       hapax_count * CAST(1000000 AS BIGINT) // total_tokens
+       AS hapax_mass_ppm
+FROM s
+""").replace("REPLACE_LTOKS", _LTOKS_SQL))
+def hapax_report_query(spark, sf_dir):
+    """Hapax-legomena share per source (textops.hapax_report): vocab
+    and mass shares of once-occurring tokens, entirely from the
+    count-of-counts register — exact integer ppm via DIV."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return textops.hapax_report(docs)

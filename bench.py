@@ -204,6 +204,7 @@ EXTENDED = [
     "dup_affinity_matrix",
     "variance_decomposition",
     "missingness_matrix",
+    "hapax_report",
 ]
 
 

@@ -3851,3 +3851,20 @@ def test_missingness_matrix_known_values(spark):
         [(1.0, None), (2.0, None)], "x double, y double")
     o = missingness_matrix(none_df, ["x", "y"]).collect()[0]
     assert o.lift_ppm is None and o.phi is None
+
+
+def test_hapax_report_known_values(spark):
+    from amundsendatabuilder_spark.operators.textops import hapax_report
+    # counts: a=3, b=1, c=1, d=2 -> vocab 4, hapax {b,c}=2, tokens 7
+    docs = spark.createDataFrame(
+        [(1, "a a a b c d d", "s1"),
+         (2, "x x y y", "s2")],                  # no hapax at all
+        "doc_id long, text string, source string")
+    out = {r.source: r for r in hapax_report(docs).collect()}
+    s1 = out["s1"]
+    assert s1.vocab_size == 4 and s1.total_tokens == 7
+    assert s1.hapax_count == 2
+    assert s1.hapax_vocab_ppm == 2 * 1000000 // 4
+    assert s1.hapax_mass_ppm == 2 * 1000000 // 7
+    s2 = out["s2"]
+    assert s2.hapax_count == 0 and s2.hapax_vocab_ppm == 0

@@ -152,6 +152,7 @@ SUITE = [
     "dup_affinity_matrix",
     "variance_decomposition",
     "missingness_matrix",
+    "hapax_report",
 ]
 
 
