@@ -1169,3 +1169,40 @@ def winnowing_fingerprints(docs: DataFrame, k: int = 8, w: int = 4,
                  .alias("n_shared"))
             .withColumn("shared_ppm", F.expr(
                 "n_shared * CAST(1000000 AS BIGINT) DIV n_fingerprints")))
+
+
+def similarity_histogram(docs: DataFrame, buckets: int = 20,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         num_hashes: int = 16, bands: int = 4,
+                         shingle_size: int = 3,
+                         max_bucket_size: int = 1000) -> DataFrame:
+    """Distribution of EXACT Jaccard scores over the LSH candidate-pair
+    population — the tuning chart for every dedup threshold decision:
+    a clean corpus shows a bimodal histogram (noise hump near 0, dup
+    spike near 1) and the threshold goes in the valley; a flat middle
+    means the (bands, rows) S-curve needs re-planning. Candidates come
+    from the SAME banding as minhash_lsh_pairs, so the histogram
+    describes exactly the population the production dedup would judge.
+
+    Returns (bucket, jaccard_lo, n_pairs) for occupied buckets:
+    bucket = floor(jaccard * ``buckets``), so bucket == ``buckets``
+    holds the exact-duplicate (jaccard = 1.0) spike.
+
+    Determinism/scale shape: lsh_verified_pairs at threshold 0 (its
+    verify join is candidates x shingles with broadcast candidates —
+    cost tracks candidate count, never |docs|^2), then a bucket
+    groupBy over the pair set. The jaccard is the 6dp-rounded exact
+    value, so bucket edges are engine-identical.
+    """
+    from amundsendatabuilder_spark.functions.scalars import round_half_away
+    pairs = lsh_verified_pairs(
+        docs, id_col=id_col, text_col=text_col, num_hashes=num_hashes,
+        bands=bands, shingle_size=shingle_size, threshold=0.0,
+        max_bucket_size=max_bucket_size)
+    b = F.floor(F.col("jaccard") * buckets).cast("long")
+    return (pairs.select(b.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+            .withColumn("jaccard_lo", round_half_away(
+                F.col("bucket").cast("double") / buckets, 4))
+            .select("bucket", "jaccard_lo", "n_pairs"))

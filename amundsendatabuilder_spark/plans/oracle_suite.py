@@ -9969,3 +9969,21 @@ def hapax_report_query(spark, sf_dir):
     count-of-counts register — exact integer ppm via DIV."""
     (docs,) = _t(spark, sf_dir, "documents")
     return textops.hapax_report(docs)
+
+
+@query("similarity_histogram", f"""
+SELECT CAST(floor(jaccard * 20) AS BIGINT) AS bucket,
+       round(CAST(floor(jaccard * 20) AS DOUBLE) / 20, 4) AS jaccard_lo,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM ({_lsh_verified_sql(threshold=0.0)}) v
+GROUP BY 1, 2
+""")
+def similarity_histogram_query(spark, sf_dir):
+    """Exact-Jaccard histogram over the LSH candidate population
+    (dedup.similarity_histogram): the dedup-threshold tuning chart —
+    same banding as production dedup, verify join bounded by candidate
+    count, engine-identical 6dp jaccard bucket edges."""
+    from amundsendatabuilder_spark.operators.dedup import (
+        similarity_histogram)
+    (docs,) = _t(spark, sf_dir, "documents")
+    return similarity_histogram(docs, buckets=20)

@@ -205,6 +205,7 @@ EXTENDED = [
     "variance_decomposition",
     "missingness_matrix",
     "hapax_report",
+    "similarity_histogram",
 ]
 
 

@@ -3868,3 +3868,20 @@ def test_hapax_report_known_values(spark):
     assert s1.hapax_mass_ppm == 2 * 1000000 // 7
     s2 = out["s2"]
     assert s2.hapax_count == 0 and s2.hapax_vocab_ppm == 0
+
+
+def test_similarity_histogram_buckets(spark):
+    from amundsendatabuilder_spark.operators.dedup import (
+        similarity_histogram)
+    # exact duplicates land in bucket == buckets (jaccard 1.0); the
+    # candidate population is LSH-banded, so disjoint docs produce no row
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog", ),
+         (2, "the quick brown fox jumps over the lazy dog", ),
+         (3, "совершенно другой текст без общих шинглов вообще тут", )],
+        "doc_id long, text string")
+    out = {r.bucket: r for r in similarity_histogram(docs).collect()}
+    assert 20 in out
+    assert out[20].n_pairs == 1 and out[20].jaccard_lo == 1.0
+    # only the dup pair is a candidate — no cross bucket rows
+    assert sum(r.n_pairs for r in out.values()) == 1

@@ -153,6 +153,7 @@ SUITE = [
     "variance_decomposition",
     "missingness_matrix",
     "hapax_report",
+    "similarity_histogram",
 ]
 
 
