@@ -1146,3 +1146,53 @@ def missingness_matrix(df: DataFrame,
                 phi.alias("phi"))
             out = row if out is None else out.unionByName(row)
     return out
+
+
+def rank_auc(df: DataFrame, value_col: str, group_col: str,
+             group_a, group_b, scale: int = 10000) -> DataFrame:
+    """Mann-Whitney AUC: the probability that a random ``group_a`` row
+    scores above a random ``group_b`` row (ties count half) — the
+    threshold-free answer to "does this score actually separate these
+    populations?" (AUC 0.5 = no signal, 1.0 = perfect). Run it on
+    (quality_score, source) before trusting a quality cut to filter a
+    source, or on any classifier score against labels.
+
+    Returns one row: (n_a, n_b, u_stat_x2, auc) — auc 6dp; u_stat_x2
+    is the exact integer 2U (kept so the division is auditable).
+
+    Determinism/scale shape: spearman_correlation's doubled-average-
+    rank trick — values quantize to ``scale``-scaled BIGINT, the
+    pooled rank REGISTER (value, multiplicity, lower mass) gives every
+    row the exact integer 2*rank = 2a + m + 1, and
+    2U = sum_a(2r) - n_a(n_a+1) is pure integer arithmetic; AUC = 2U /
+    (2 n_a n_b) is the single closing division. No corpus window —
+    the rank window runs over the register only.
+    """
+    from pyspark.sql import Window
+    q = round_half_away(F.col(value_col).cast("double") * scale,
+                        0).cast("long")
+    base = (df.where(F.col(group_col).isin([group_a, group_b])
+                     & F.col(value_col).isNotNull())
+            .select(q.alias("v"),
+                    (F.col(group_col) == group_a).cast("long")
+                    .alias("ia")))
+    reg = base.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("ia").cast("long").alias("ma"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = reg.select(
+        "v", "m", "ma",
+        F.coalesce(F.sum("m").over(w), F.lit(0)).cast("long").alias("a"))
+    # each of the ma group-a rows at value v carries 2*avg_rank = 2a+m+1
+    s = cum.agg(
+        F.sum("ma").cast("long").alias("n_a"),
+        F.sum(F.col("m") - F.col("ma")).cast("long").alias("n_b"),
+        F.sum(F.col("ma") * (F.lit(2) * F.col("a") + F.col("m")
+                             + F.lit(1))).cast("long").alias("r2a"))
+    u2 = F.col("r2a") - F.col("n_a") * (F.col("n_a") + 1)
+    return s.select(
+        "n_a", "n_b", u2.alias("u_stat_x2"),
+        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), round_half_away(
+            u2.cast("double")
+            / (F.lit(2.0) * F.col("n_a").cast("double")
+               * F.col("n_b").cast("double")), 6)).alias("auc"))

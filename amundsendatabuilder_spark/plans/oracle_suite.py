@@ -9987,3 +9987,40 @@ def similarity_histogram_query(spark, sf_dir):
         similarity_histogram)
     (docs,) = _t(spark, sf_dir, "documents")
     return similarity_histogram(docs, buckets=20)
+
+
+@query("rank_auc", "WITH " + _QUALITY_CTE + r""",
+base AS (SELECT CAST(round(q.quality * 10000, 0) AS BIGINT) AS v,
+                CASE WHEN d.source = 'src0' THEN 1 ELSE 0 END AS ia
+         FROM q JOIN documents d ON d.doc_id = q.doc_id
+         WHERE d.source IN ('src0', 'src1')),
+reg AS (SELECT v, CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(ia) AS BIGINT) AS ma
+        FROM base GROUP BY 1),
+cum AS (SELECT v, m, ma,
+               CAST(coalesce(sum(m) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS a
+        FROM reg),
+s AS (SELECT CAST(sum(ma) AS BIGINT) AS n_a,
+             CAST(sum(m - ma) AS BIGINT) AS n_b,
+             CAST(sum(ma * (2 * a + m + 1)) AS BIGINT) AS r2a
+      FROM cum)
+SELECT n_a, n_b, r2a - n_a * (n_a + 1) AS u_stat_x2,
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN round(CAST(r2a - n_a * (n_a + 1) AS DOUBLE)
+                       / (2.0 * CAST(n_a AS DOUBLE)
+                          * CAST(n_b AS DOUBLE)), 6) END AS auc
+FROM s
+""")
+def rank_auc_query(spark, sf_dir):
+    """Mann-Whitney AUC of quality_score separating src0 from src1
+    (profiling.rank_auc): pooled doubled-rank register, exact integer
+    2U, one closing division — the threshold-free separation check
+    before a quality cut filters a source."""
+    from amundsendatabuilder_spark.functions.text import quality_score
+    from amundsendatabuilder_spark.operators.profiling import rank_auc
+    (docs,) = _t(spark, sf_dir, "documents")
+    d = docs.select("source",
+                    quality_score(F.col("text")).alias("quality"))
+    return rank_auc(d, "quality", "source", "src0", "src1", scale=10000)

@@ -206,6 +206,7 @@ EXTENDED = [
     "missingness_matrix",
     "hapax_report",
     "similarity_histogram",
+    "rank_auc",
 ]
 
 

@@ -3885,3 +3885,30 @@ def test_similarity_histogram_buckets(spark):
     assert out[20].n_pairs == 1 and out[20].jaccard_lo == 1.0
     # only the dup pair is a candidate — no cross bucket rows
     assert sum(r.n_pairs for r in out.values()) == 1
+
+
+def test_rank_auc_known_values(spark):
+    from amundsendatabuilder_spark.operators.profiling import rank_auc
+    # perfect separation: all A above all B -> AUC 1
+    sep = spark.createDataFrame(
+        [(5.0, "A"), (6.0, "A"), (1.0, "B"), (2.0, "B")],
+        "x double, g string")
+    out = rank_auc(sep, "x", "g", "A", "B", scale=1).collect()[0]
+    assert out.n_a == 2 and out.n_b == 2 and out.auc == 1.0
+    # identical distributions -> 0.5 (all ties)
+    tie = spark.createDataFrame(
+        [(3.0, "A"), (3.0, "A"), (3.0, "B"), (3.0, "B")],
+        "x double, g string")
+    assert rank_auc(tie, "x", "g", "A", "B",
+                    scale=1).collect()[0].auc == 0.5
+    # scipy-checkable mixed case: A=[1,3,3], B=[2,3]
+    # pairs: (1,2)L,(1,3)L,(3,2)W,(3,3)T,(3,2)W,(3,3)T -> U=2+2*0.5=3
+    # AUC = 3/6 = 0.5
+    mix = spark.createDataFrame(
+        [(1.0, "A"), (3.0, "A"), (3.0, "A"), (2.0, "B"), (3.0, "B")],
+        "x double, g string")
+    o = rank_auc(mix, "x", "g", "A", "B", scale=1).collect()[0]
+    assert o.u_stat_x2 == 6 and o.auc == 0.5
+    # reversed separation -> 0
+    assert rank_auc(sep, "x", "g", "B", "A",
+                    scale=1).collect()[0].auc == 0.0

@@ -154,6 +154,7 @@ SUITE = [
     "missingness_matrix",
     "hapax_report",
     "similarity_histogram",
+    "rank_auc",
 ]
 
 
