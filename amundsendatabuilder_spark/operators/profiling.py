@@ -1196,3 +1196,51 @@ def rank_auc(df: DataFrame, value_col: str, group_col: str,
             u2.cast("double")
             / (F.lit(2.0) * F.col("n_a").cast("double")
                * F.col("n_b").cast("double")), 6)).alias("auc"))
+
+
+def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cohen's kappa: chance-corrected agreement between two
+    categorical labelings — the honest accuracy for "does my cheap
+    classifier agree with ground truth / the expensive model?"
+    (raw accuracy flatters any classifier on skewed labels; kappa 0 =
+    chance, 1 = perfect). Run it on (predicted_lang, lang) after
+    language_id, or between two dedup winners.
+
+    Returns one row: (n, n_agree, observed_agreement, kappa) — 6dp;
+    kappa NULL when expected agreement is 1 (both columns constant and
+    equal — kappa undefined).
+
+    Determinism/scale shape: kappa reduces to EXACT integers — with
+    contingency register counts, kappa = (n * sum_diag - sum_k ra_k *
+    cb_k) / (n^2 - sum_k ra_k * cb_k); everything up to the single
+    closing division is integer arithmetic over the marginal registers
+    (bounded by label cardinality). Rows with NULL in either column
+    are excluded. Domain: n^2 < 2^63.
+    """
+    base = (df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+            .select(F.col(col_a).cast("string").alias("a"),
+                    F.col(col_b).cast("string").alias("b")))
+    cells = base.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    ra = cells.groupBy("a").agg(F.sum("c").cast("long").alias("ca"))
+    rb = cells.groupBy("b").agg(F.sum("c").cast("long").alias("cb"))
+    pe_num = (ra.join(rb, F.col("a") == F.col("b"))
+              .agg(F.sum(F.col("ca") * F.col("cb")).alias("s"))
+              .select(F.coalesce("s", F.lit(0)).cast("long")
+                      .alias("pe_n")))
+    agree = (cells.where(F.col("a") == F.col("b"))
+             .agg(F.sum("c").alias("s"))
+             .select(F.coalesce("s", F.lit(0)).cast("long")
+                     .alias("n_agree")))
+    tot = cells.agg(F.sum("c").cast("long").alias("n"))
+    j = (tot.crossJoin(F.broadcast(agree))
+         .crossJoin(F.broadcast(pe_num)))
+    num = F.col("n") * F.col("n_agree") - F.col("pe_n")
+    den = F.col("n") * F.col("n") - F.col("pe_n")
+    return j.select(
+        "n", "n_agree",
+        round_half_away(F.col("n_agree").cast("double")
+                        / F.col("n").cast("double"), 6)
+        .alias("observed_agreement"),
+        F.when(den > 0, round_half_away(
+            num.cast("double") / den.cast("double"), 6)).alias("kappa"))

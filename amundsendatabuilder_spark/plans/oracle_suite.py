@@ -10024,3 +10024,40 @@ def rank_auc_query(spark, sf_dir):
     d = docs.select("source",
                     quality_score(F.col("text")).alias("quality"))
     return rank_auc(d, "quality", "source", "src0", "src1", scale=10000)
+
+
+@query("classifier_kappa", f"""
+WITH pred AS ({_lang_id_sql()}),
+pairs AS (SELECT p.predicted_lang AS a, d.lang AS b
+          FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+          WHERE p.predicted_lang IS NOT NULL AND d.lang IS NOT NULL),
+cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
+          FROM pairs GROUP BY 1, 2),
+ra AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM cells GROUP BY 1),
+rb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM cells GROUP BY 1),
+pe AS (SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS pe_n
+       FROM ra JOIN rb ON rb.b = ra.a),
+ag AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_agree
+       FROM cells WHERE a = b),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells)
+SELECT t.n, ag.n_agree,
+       round(CAST(ag.n_agree AS DOUBLE) / CAST(t.n AS DOUBLE), 6)
+       AS observed_agreement,
+       CASE WHEN t.n * t.n - pe.pe_n > 0
+            THEN round(CAST(t.n * ag.n_agree - pe.pe_n AS DOUBLE)
+                       / CAST(t.n * t.n - pe.pe_n AS DOUBLE), 6)
+            END AS kappa
+FROM tot t CROSS JOIN ag CROSS JOIN pe
+""")
+def classifier_kappa_query(spark, sf_dir):
+    """Cohen's kappa between the stopword-heuristic language ID and
+    the ground-truth lang column (profiling.cohens_kappa): exact
+    integer (n*agree - sum ra*cb) / (n^2 - sum ra*cb) over contingency
+    registers — the chance-corrected accuracy of the cheap classifier."""
+    from amundsendatabuilder_spark.operators.profiling import cohens_kappa
+    (docs,) = _t(spark, sf_dir, "documents")
+    pred = textops.language_id(docs).select("doc_id", "predicted_lang")
+    joined = (pred.join(docs.select("doc_id", "lang"), "doc_id")
+              .select(F.col("predicted_lang").alias("a"),
+                      F.col("lang").alias("b")))
+    return cohens_kappa(joined, "a", "b")

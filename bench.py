@@ -207,6 +207,7 @@ EXTENDED = [
     "hapax_report",
     "similarity_histogram",
     "rank_auc",
+    "classifier_kappa",
 ]
 
 

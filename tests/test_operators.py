@@ -3912,3 +3912,33 @@ def test_rank_auc_known_values(spark):
     # reversed separation -> 0
     assert rank_auc(sep, "x", "g", "B", "A",
                     scale=1).collect()[0].auc == 0.0
+
+
+def test_cohens_kappa_known_values(spark):
+    from amundsendatabuilder_spark.operators.profiling import cohens_kappa
+    # perfect agreement over 2 balanced labels -> kappa 1
+    perf = spark.createDataFrame(
+        [("x", "x")] * 3 + [("y", "y")] * 3, "a string, b string")
+    out = cohens_kappa(perf, "a", "b").collect()[0]
+    assert out.kappa == 1.0 and out.observed_agreement == 1.0
+    # independent marginals: agreement exactly at chance -> kappa 0
+    ind = spark.createDataFrame(
+        [(a, b) for a in ("x", "y") for b in ("x", "y")
+         for _ in range(2)], "a string, b string")
+    assert cohens_kappa(ind, "a", "b").collect()[0].kappa == 0.0
+    # textbook 2x2: cells xx=20, xy=5, yx=10, yy=15
+    # po=35/50, pe=(25*30 + 25*20)/2500 = 0.5 -> kappa = 0.4
+    rows = ([("x", "x")] * 20 + [("x", "y")] * 5
+            + [("y", "x")] * 10 + [("y", "y")] * 15)
+    o = cohens_kappa(spark.createDataFrame(rows, "a string, b string"),
+                     "a", "b").collect()[0]
+    assert o.n == 50 and o.n_agree == 35
+    assert o.observed_agreement == 0.7 and o.kappa == 0.4
+    # both constant and equal: expected agreement 1 -> NULL
+    const = spark.createDataFrame([("x", "x")] * 4, "a string, b string")
+    assert cohens_kappa(const, "a", "b").collect()[0].kappa is None
+    # disjoint label sets: no diagonal, pe 0 -> kappa == po == 0
+    dis = spark.createDataFrame(
+        [("x", "p"), ("y", "q")], "a string, b string")
+    d = cohens_kappa(dis, "a", "b").collect()[0]
+    assert d.n_agree == 0 and d.kappa == 0.0

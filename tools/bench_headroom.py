@@ -155,6 +155,7 @@ SUITE = [
     "hapax_report",
     "similarity_histogram",
     "rank_auc",
+    "classifier_kappa",
 ]
 
 
