@@ -10061,3 +10061,45 @@ def classifier_kappa_query(spark, sf_dir):
               .select(F.col("predicted_lang").alias("a"),
                       F.col("lang").alias("b")))
     return cohens_kappa(joined, "a", "b")
+
+
+@query("autocorrelation_report", r"""
+WITH counts AS (SELECT CAST(date_diff('day', DATE '1970-01-01',
+                       CAST(ts AS DATE)) AS BIGINT) AS d,
+                       CAST(count(*) AS BIGINT) AS x
+                FROM events WHERE ts IS NOT NULL GROUP BY 1),
+bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM counts),
+grid AS (SELECT g.d, coalesce(c.x, 0) AS x
+         FROM (SELECT unnest(range(lo, hi + 1)) AS d FROM bounds) g
+         LEFT JOIN counts c ON c.d = g.d),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM grid),
+lags AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS lag),
+mom AS (SELECT l.lag,
+               CAST(sum(a.x * b.x) AS BIGINT) AS sxy,
+               CAST(sum(a.x) AS BIGINT) AS h,
+               CAST(sum(b.x) AS BIGINT) AS t
+        FROM grid a CROSS JOIN lags l
+        JOIN grid b ON b.d = a.d + l.lag
+        GROUP BY 1)
+SELECT CAST(m.lag AS INT) AS lag, t.n AS n_days,
+       CASE WHEN t.n * (t.n * t.sxx - t.s * t.s) > 0
+            THEN round(CAST(t.n * t.n * m.sxy
+                            - t.n * t.s * (m.h + m.t)
+                            + (t.n - m.lag) * t.s * t.s AS DOUBLE)
+                       / CAST(t.n * (t.n * t.sxx - t.s * t.s)
+                              AS DOUBLE), 6)
+            END AS acf
+FROM mom m CROSS JOIN tot t
+""")
+def autocorrelation_report_query(spark, sf_dir):
+    """Daily-volume sample ACF at lags 1..7 (asof.autocorrelation_report):
+    gap-densified day register, per-lag register self-join, exact
+    integer moments to the single closing division — the seasonality
+    TEST beside event_seasonality_heatmap's picture."""
+    from amundsendatabuilder_spark.operators.asof import (
+        autocorrelation_report)
+    (ev,) = _t(spark, sf_dir, "events")
+    return autocorrelation_report(ev, "ts", max_lag=7)

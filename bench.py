@@ -208,6 +208,7 @@ EXTENDED = [
     "similarity_histogram",
     "rank_auc",
     "classifier_kappa",
+    "autocorrelation_report",
 ]
 
 

@@ -3942,3 +3942,45 @@ def test_cohens_kappa_known_values(spark):
         [("x", "p"), ("y", "q")], "a string, b string")
     d = cohens_kappa(dis, "a", "b").collect()[0]
     assert d.n_agree == 0 and d.kappa == 0.0
+
+
+def test_autocorrelation_report_known_values(spark):
+    from amundsendatabuilder_spark.operators.asof import (
+        autocorrelation_report)
+    # perfectly alternating daily volume 3,1,3,1,... -> acf(1) near -1,
+    # acf(2) near +1; verify against a numpy-free python twin
+    rows = []
+    eid = 0
+    for day in range(10):
+        n = 3 if day % 2 == 0 else 1
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, f"2024-01-{day + 1:02d} 12:00:00"))
+    ev = spark.createDataFrame(rows, "event_id long, ts string") \
+        .select("event_id", F.col("ts").cast("timestamp").alias("ts"))
+    out = {r.lag: r for r in
+           autocorrelation_report(ev, "ts", max_lag=3).collect()}
+    xs = [3, 1] * 5
+    n, s = len(xs), sum(xs)
+    sxx = sum(v * v for v in xs)
+
+    def acf(k):
+        sxy = sum(xs[i] * xs[i + k] for i in range(n - k))
+        h = sum(xs[:n - k])
+        t = sum(xs[k:])
+        num = n * n * sxy - n * s * (h + t) + (n - k) * s * s
+        den = n * (n * sxx - s * s)
+        return round(num / den, 6)
+
+    for k in (1, 2, 3):
+        assert out[k].n_days == 10
+        assert abs(out[k].acf - acf(k)) <= 1e-9
+    assert out[1].acf < 0 < out[2].acf
+    # gap densification: missing middle day counts as 0 volume
+    ev2 = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-03 00:00:00")],
+        "event_id long, ts string").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"))
+    o2 = {r.lag: r for r in
+          autocorrelation_report(ev2, "ts", max_lag=1).collect()}
+    assert o2[1].n_days == 3  # day 2 densified in

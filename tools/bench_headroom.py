@@ -156,6 +156,7 @@ SUITE = [
     "similarity_histogram",
     "rank_auc",
     "classifier_kappa",
+    "autocorrelation_report",
 ]
 
 
