@@ -195,3 +195,61 @@ def association_rules(baskets: DataFrame, basket_col: str = "basket_id",
                       .alias("lift_milli")))
     return (scored.orderBy(F.col("confidence_ppm").desc(), "a", "b")
             .limit(k))
+
+
+def ndcg_at_k(ranked: DataFrame, relevance: DataFrame, k: int = 10,
+              id_col: str = "doc_id", rank_col: str = "rank",
+              rel_col: str = "rel") -> DataFrame:
+    """nDCG@k of a ranking against graded relevance — THE IR evaluation
+    metric closing the in-engine search loop (bm25_topk produces the
+    ranking, hybrid_rrf_fusion merges rankings, this scores them):
+    DCG = sum over served positions of (2^rel - 1)/log2(rank+1),
+    normalized by the ideal DCG of the k most relevant docs in the
+    whole relevance table (not just the served page — a ranking that
+    missed the best docs is penalized, as it should be).
+
+    ``ranked``: (id, rank) with rank 1-based; ``relevance``: (id, rel)
+    with small non-negative integer grades. Returns one row:
+    (k, dcg, idcg, ndcg) — 6dp; ndcg NULL when IDCG is 0 (no relevant
+    docs anywhere).
+
+    Determinism/scale shape: gains (2^rel - 1) are exact integers;
+    each position's gain/log2(rank+1) term quantizes to 1e9-scaled
+    BIGINT before the (<= k)-row sums; the ideal top-k is a
+    TakeOrderedAndProject on (rel DESC, id) — never a global sort —
+    and ties beyond the k-cut carry equal rel, so IDCG is
+    tiebreak-insensitive. One closing division.
+    """
+    gain = (F.pow(F.lit(2.0), F.col(rel_col).cast("double"))
+            - F.lit(1.0))
+    served = (ranked.where(F.col(rank_col) <= k)
+              .join(relevance.select(F.col(id_col),
+                                     F.col(rel_col)), id_col, "left")
+              .select(F.col(rank_col).alias("r"),
+                      F.coalesce(F.col(rel_col), F.lit(0)).alias(rel_col)))
+    dcg_t = round_half_away(
+        gain / F.log2(F.col("r").cast("double") + 1) * 1e9, 0
+    ).cast("long")
+    dcg = served.select(dcg_t.alias("t")).agg(
+        F.sum("t").alias("dcg_e9"))
+    ideal = (relevance
+             .orderBy(F.col(rel_col).desc(), id_col).limit(k)
+             .select(F.row_number().over(
+                 Window.orderBy(F.col(rel_col).desc(), id_col))
+                 .alias("r"),
+                 F.col(rel_col)))
+    idcg_t = round_half_away(
+        gain / F.log2(F.col("r").cast("double") + 1) * 1e9, 0
+    ).cast("long")
+    idcg = ideal.select(idcg_t.alias("t")).agg(
+        F.sum("t").alias("idcg_e9"))
+    j = dcg.crossJoin(F.broadcast(idcg))
+    return j.select(
+        F.lit(int(k)).alias("k"),
+        round_half_away(F.col("dcg_e9").cast("double") / 1e9, 6)
+        .alias("dcg"),
+        round_half_away(F.col("idcg_e9").cast("double") / 1e9, 6)
+        .alias("idcg"),
+        F.when(F.col("idcg_e9") > 0, round_half_away(
+            F.col("dcg_e9").cast("double")
+            / F.col("idcg_e9").cast("double"), 6)).alias("ndcg"))

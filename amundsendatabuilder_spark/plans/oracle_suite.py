@@ -10103,3 +10103,72 @@ def autocorrelation_report_query(spark, sf_dir):
         autocorrelation_report)
     (ev,) = _t(spark, sf_dir, "events")
     return autocorrelation_report(ev, "ts", max_lag=7)
+
+
+@query("search_ndcg", r"""
+WITH base AS (SELECT doc_id,
+                     list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                 x -> x <> '') AS tk
+              FROM documents),
+len AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM len),
+hits AS (SELECT doc_id, unnest(tk) AS term FROM base),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       FROM hits WHERE term IN ('hash', 'join', 'merge', 'sort')
+       GROUP BY 1, 2),
+dfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+part AS (SELECT tf.doc_id, tf.term,
+                round(ln(1 + (s.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+                      * (tf.tf * 2.2)
+                      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)),
+                      9) AS part
+         FROM tf JOIN dfx USING (term)
+         JOIN len l ON tf.doc_id = l.doc_id
+         CROSS JOIN stats s),
+summed AS (SELECT doc_id, round(list_sum(list(part ORDER BY term)), 6) AS score
+           FROM part GROUP BY doc_id),
+ranked AS (SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                       AS INT) AS r
+           FROM summed ORDER BY score DESC, doc_id LIMIT 10),
+rel AS (SELECT doc_id,
+               CAST(len(list_filter(['hash', 'join', 'merge', 'sort'],
+                    t -> list_contains(tk, t))) AS BIGINT) AS rel
+        FROM base),
+dcg AS (SELECT CAST(sum(CAST(round((pow(2.0, CAST(coalesce(rl.rel, 0)
+                 AS DOUBLE)) - 1.0)
+                 / log2(CAST(rk.r AS DOUBLE) + 1) * 1e9, 0) AS BIGINT))
+                 AS BIGINT) AS dcg_e9
+        FROM ranked rk LEFT JOIN rel rl ON rl.doc_id = rk.doc_id),
+ideal AS (SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id)
+                 AS r
+          FROM rel ORDER BY rel DESC, doc_id LIMIT 10),
+idcg AS (SELECT CAST(sum(CAST(round((pow(2.0, CAST(rel AS DOUBLE))
+                  - 1.0) / log2(CAST(r AS DOUBLE) + 1) * 1e9, 0)
+                  AS BIGINT)) AS BIGINT) AS idcg_e9
+         FROM ideal)
+SELECT 10 AS k,
+       round(CAST(dcg_e9 AS DOUBLE) / 1e9, 6) AS dcg,
+       round(CAST(idcg_e9 AS DOUBLE) / 1e9, 6) AS idcg,
+       CASE WHEN idcg_e9 > 0
+            THEN round(CAST(dcg_e9 AS DOUBLE) / CAST(idcg_e9 AS DOUBLE),
+                       6) END AS ndcg
+FROM dcg CROSS JOIN idcg
+""")
+def search_ndcg_query(spark, sf_dir):
+    """nDCG@10 of the BM25 ranking against distinct-query-term
+    relevance grades (ranking.ndcg_at_k over ranking.bm25_topk) —
+    closes the in-engine IR loop: rank (bm25), fuse (rrf), EVALUATE
+    (ndcg); IDCG drawn from the whole corpus so missed docs cost."""
+    from amundsendatabuilder_spark.functions.text import tokens as _toks
+    from amundsendatabuilder_spark.operators.ranking import (
+        bm25_topk, ndcg_at_k)
+    (docs,) = _t(spark, sf_dir, "documents")
+    ranked = bm25_topk(docs, "hash join merge sort", k=10)
+    terms = F.array(*[F.lit(t) for t in
+                      ("hash", "join", "merge", "sort")])
+    rel = docs.select(
+        "doc_id",
+        F.size(F.filter(terms, lambda t: F.array_contains(
+            _toks(F.lower(F.col("text"))), t))).cast("long").alias("rel"))
+    return ndcg_at_k(ranked, rel, k=10)

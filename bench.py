@@ -209,6 +209,7 @@ EXTENDED = [
     "rank_auc",
     "classifier_kappa",
     "autocorrelation_report",
+    "search_ndcg",
 ]
 
 

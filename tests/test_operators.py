@@ -3984,3 +3984,41 @@ def test_autocorrelation_report_known_values(spark):
     o2 = {r.lag: r for r in
           autocorrelation_report(ev2, "ts", max_lag=1).collect()}
     assert o2[1].n_days == 3  # day 2 densified in
+
+
+def test_ndcg_at_k_known_values(spark):
+    import math
+
+    from amundsendatabuilder_spark.operators.ranking import ndcg_at_k
+    # perfect ranking == ideal -> ndcg 1
+    ranked = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    rel = spark.createDataFrame(
+        [(1, 3), (2, 2), (3, 1)], "doc_id long, rel long")
+    out = ndcg_at_k(ranked, rel, k=3).collect()[0]
+    assert out.ndcg == 1.0 and out.dcg == out.idcg
+    # worst ordering of the same docs: hand-compute
+    worst = spark.createDataFrame(
+        [(3, 1), (2, 2), (1, 3)], "doc_id long, rank int")
+    o2 = ndcg_at_k(worst, rel, k=3).collect()[0]
+    dcg = sum(round((2 ** g - 1) / math.log2(r + 1) * 1e9)
+              for r, g in [(1, 1), (2, 2), (3, 3)]) / 1e9
+    idcg = sum(round((2 ** g - 1) / math.log2(r + 1) * 1e9)
+               for r, g in [(1, 3), (2, 2), (3, 1)]) / 1e9
+    assert abs(o2.dcg - round(dcg, 6)) <= 1e-9
+    assert abs(o2.ndcg - round(dcg / idcg, 6)) <= 1e-9
+    # ranking that MISSES the best doc is penalized via corpus IDCG
+    missed = spark.createDataFrame(
+        [(2, 1), (3, 2)], "doc_id long, rank int")
+    o3 = ndcg_at_k(missed, rel, k=3).collect()[0]
+    assert o3.ndcg < 1.0 and o3.idcg == out.idcg
+    # no relevant docs anywhere -> NULL
+    zero = spark.createDataFrame([(1, 0), (2, 0)], "doc_id long, rel long")
+    assert ndcg_at_k(ranked, zero, k=3).collect()[0].ndcg is None
+    # served doc absent from relevance table counts rel 0
+    extra = spark.createDataFrame(
+        [(9, 1), (1, 2)], "doc_id long, rank int")
+    o4 = ndcg_at_k(extra, rel, k=3).collect()[0]
+    exp = sum(round((2 ** g - 1) / math.log2(r + 1) * 1e9)
+              for r, g in [(1, 0), (2, 3)]) / 1e9
+    assert abs(o4.dcg - round(exp, 6)) <= 1e-9

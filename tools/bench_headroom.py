@@ -157,6 +157,7 @@ SUITE = [
     "rank_auc",
     "classifier_kappa",
     "autocorrelation_report",
+    "search_ndcg",
 ]
 
 
