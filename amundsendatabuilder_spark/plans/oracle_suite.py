@@ -10172,3 +10172,31 @@ def search_ndcg_query(spark, sf_dir):
         F.size(F.filter(terms, lambda t: F.array_contains(
             _toks(F.lower(F.col("text"))), t))).cast("long").alias("rel"))
     return ndcg_at_k(ranked, rel, k=10)
+
+
+@query("stream_benford_registers", """
+WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events),
+v AS (SELECT date_trunc('hour', ts) AS window_start,
+             CAST(substr(CAST(CAST(round(abs(value) * 1e6, 0) AS BIGINT)
+                  AS VARCHAR), 1, 1) AS INT) AS digit,
+             CAST(round(abs(value) * 1e6, 0) AS BIGINT) AS m
+      FROM events),
+g AS (SELECT window_start, digit, CAST(count(*) AS BIGINT) AS cnt
+      FROM v WHERE m > 0 GROUP BY 1, 2)
+SELECT window_start, digit, cnt
+FROM g, wm WHERE g.window_start + INTERVAL 1 HOUR <= wm.w
+""")
+def stream_benford_registers_query(spark, sf_dir):
+    """Streaming Benford digit registers
+    (streaming/events.windowed_benford_registers): <= 9 SUM-mergeable
+    counters per tumbling hour, digit from the quantized integer's
+    string form — benford_audit as a register stream. Hash-verified
+    against the batch digit build restricted to the append-mode
+    emission frontier."""
+    import tempfile
+
+    from amundsendatabuilder_spark.streaming.events import (
+        run_to_memory, windowed_benford_registers)
+    regs = windowed_benford_registers(_event_stream(spark, sf_dir))
+    name = "sbr_" + next(tempfile._get_candidate_names())
+    return run_to_memory(regs, spark, name, tempfile.mkdtemp())

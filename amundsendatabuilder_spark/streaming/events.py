@@ -311,3 +311,28 @@ def windowed_histogram_registers(events: DataFrame, window: str = "1 hour",
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.col("w.start").alias("window_start"), "bucket", "cnt")
     )
+
+
+def windowed_benford_registers(events: DataFrame, window: str = "1 hour",
+                               watermark: str = "2 hours") -> DataFrame:
+    """Streaming Benford first-digit registers per tumbling window:
+    (window_start, digit, cnt) with at most 9 counters per open window
+    — the fraud/synthetic-data tripwire (profiling.benford_audit) as a
+    continuously-maintained register stream, SUM-mergeable downstream
+    exactly like the histogram/HLL/CMS register streams; a monitor
+    folds chi-square against the baked Benford expectations at read
+    time without touching state. The digit comes from the 1e6-quantized
+    integer's string form (benford_audit's engine-exact digit path);
+    zero/NULL/sub-1e-5 values carry no leading digit and are dropped.
+    """
+    from amundsendatabuilder_spark.functions.scalars import round_half_away
+    m = round_half_away(F.abs(F.col("value")) * 1e6, 0).cast("long")
+    d = F.substring(m.cast("string"), 1, 1).cast("int")
+    return (
+        events.select("ts", F.when(m > 0, d).alias("digit"))
+        .where(F.col("digit").isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("digit"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "digit", "cnt")
+    )

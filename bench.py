@@ -210,6 +210,7 @@ EXTENDED = [
     "classifier_kappa",
     "autocorrelation_report",
     "search_ndcg",
+    "stream_benford_registers",
 ]
 
 

@@ -4022,3 +4022,28 @@ def test_ndcg_at_k_known_values(spark):
     exp = sum(round((2 ** g - 1) / math.log2(r + 1) * 1e9)
               for r, g in [(1, 0), (2, 3)]) / 1e9
     assert abs(o4.dcg - round(exp, 6)) <= 1e-9
+
+
+def test_windowed_benford_registers_stream(spark):
+    import tempfile
+
+    from amundsendatabuilder_spark.streaming.events import (
+        run_to_memory, windowed_benford_registers)
+    # two hourly windows; the second stays open past the watermark
+    rows = [(1, "2024-01-01 00:10:00", 123.0),   # digit 1
+            (2, "2024-01-01 00:20:00", 95.5),    # digit 9
+            (3, "2024-01-01 00:30:00", 150.0),   # digit 1
+            (4, "2024-01-01 00:40:00", 0.0),     # dropped (no digit)
+            (5, "2024-01-01 05:00:00", 7.0)]     # advances watermark
+    src = spark.createDataFrame(
+        rows, "event_id long, ts string, value double").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+    path = tempfile.mkdtemp()
+    src.write.mode("overwrite").parquet(path)
+    stream = (spark.readStream.schema(src.schema).parquet(path))
+    out = run_to_memory(
+        windowed_benford_registers(stream), spark,
+        "benford_test_sink", tempfile.mkdtemp())
+    got = {(r.window_start.hour, r.digit): r.cnt for r in out.collect()}
+    # only the closed 00:00 window is emitted in append mode
+    assert got == {(0, 1): 2, (0, 9): 1}

@@ -158,6 +158,7 @@ SUITE = [
     "classifier_kappa",
     "autocorrelation_report",
     "search_ndcg",
+    "stream_benford_registers",
 ]
 
 
