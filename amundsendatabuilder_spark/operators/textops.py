@@ -1945,3 +1945,69 @@ def hapax_report(docs: DataFrame, group_col: str = "source",
         .alias("hapax_vocab_ppm"),
         F.expr("hapax_count * CAST(1000000 AS BIGINT) DIV total_tokens")
         .alias("hapax_mass_ppm"))
+
+
+def keyness_g2(docs: DataFrame, k: int = 5, group_col: str = "source",
+               text_col: str = "text") -> DataFrame:
+    """Dunning log-likelihood (G²) keyness: for each group, the k
+    tokens whose frequency most significantly deviates from the rest
+    of the corpus — the statistically-grounded "what characterizes
+    this source" (Dunning 1993), robust on rare words where
+    ``class_keywords``' tf-idf flavor over-rewards hapaxes. G² is the
+    2x2 contingency likelihood ratio: token-in-group vs token-in-rest.
+
+    Returns (source, rank, token, g2, overused) — top ``k`` per group
+    by (g2 DESC, token), g2 6dp, overused TRUE when the group uses the
+    token MORE than the corpus rate. Only tokens PRESENT in the group
+    are scored (a completely avoided token would need a groups x
+    corpus-vocab dense grid — at 100 TB that cross product is the
+    wrong default; under-use of present tokens still surfaces).
+
+    Determinism/scale shape: one (group, token) count pass; corpus
+    token totals join back on token (vocab-sized, hash-partitioned);
+    each token's G² is ONE fixed double expression over exact integer
+    cell counts (no cross-partition float sums), rounded 6dp with the
+    token as tiebreak before the per-group top-k window (bounded by
+    per-group vocabulary, never corpus tokens — zipf_alpha_report's
+    window contract).
+    """
+    from amundsendatabuilder_spark.functions.text import tokens as _toks
+    from amundsendatabuilder_spark.session import ensure_parallelism
+    st = (ensure_parallelism(docs)
+          .select(F.col(group_col).alias("grp"),
+                  F.explode(_toks(F.lower(F.col(text_col)))).alias("tok"))
+          .groupBy("grp", "tok")
+          .agg(F.count(F.lit(1)).cast("long").alias("a")))
+    ng = st.groupBy("grp").agg(F.sum("a").cast("long").alias("n_g"))
+    ct = st.groupBy("tok").agg(F.sum("a").cast("long").alias("c_tot"))
+    n = st.agg(F.sum("a").cast("long").alias("n"))
+    j = (st.join(F.broadcast(ng), "grp").join(ct, "tok")
+         .crossJoin(F.broadcast(n)))
+    a = F.col("a").cast("double")
+    b = (F.col("c_tot") - F.col("a")).cast("double")
+    c_ = (F.col("n_g") - F.col("a")).cast("double")
+    d_ = (F.col("n") - F.col("n_g") - F.col("c_tot")
+          + F.col("a")).cast("double")
+    nn = F.col("n").cast("double")
+    ea = F.col("n_g").cast("double") * F.col("c_tot").cast("double") / nn
+    eb = ((nn - F.col("n_g").cast("double"))
+          * F.col("c_tot").cast("double") / nn)
+    ec = (F.col("n_g").cast("double")
+          * (nn - F.col("c_tot").cast("double")) / nn)
+    ed = ((nn - F.col("n_g").cast("double"))
+          * (nn - F.col("c_tot").cast("double")) / nn)
+
+    def term(o, e):
+        return F.when(o > 0, o * F.log(o / e)).otherwise(F.lit(0.0))
+
+    g2 = round_half_away(
+        2.0 * (term(a, ea) + term(b, eb) + term(c_, ec) + term(d_, ed)),
+        6)
+    scored = j.select("grp", "tok", g2.alias("g2"),
+                      (a > ea).alias("overused"))
+    w = Window.partitionBy("grp").orderBy(F.col("g2").desc(), "tok")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col("grp").alias(group_col),
+                    F.col("rank").cast("int").alias("rank"),
+                    F.col("tok").alias("token"), "g2", "overused"))

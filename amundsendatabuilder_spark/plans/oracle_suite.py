@@ -10200,3 +10200,57 @@ def stream_benford_registers_query(spark, sf_dir):
     regs = windowed_benford_registers(_event_stream(spark, sf_dir))
     name = "sbr_" + next(tempfile._get_candidate_names())
     return run_to_memory(regs, spark, name, tempfile.mkdtemp())
+
+
+@query("keyness_g2", (r"""
+WITH tok AS (SELECT source AS grp, unnest(REPLACE_LTOKS) AS tok
+             FROM documents),
+st AS (SELECT grp, tok, CAST(count(*) AS BIGINT) AS a
+       FROM tok GROUP BY 1, 2),
+ng AS (SELECT grp, CAST(sum(a) AS BIGINT) AS n_g FROM st GROUP BY 1),
+ct AS (SELECT tok, CAST(sum(a) AS BIGINT) AS c_tot FROM st GROUP BY 1),
+nn AS (SELECT CAST(sum(a) AS BIGINT) AS n FROM st),
+scored AS (
+  SELECT st.grp, st.tok,
+         round(2.0 * (
+           (CASE WHEN st.a > 0 THEN CAST(st.a AS DOUBLE)
+                 * ln(CAST(st.a AS DOUBLE)
+                      / (CAST(g.n_g AS DOUBLE) * CAST(t.c_tot AS DOUBLE)
+                         / CAST(n.n AS DOUBLE))) ELSE 0 END)
+         + (CASE WHEN t.c_tot - st.a > 0
+                 THEN CAST(t.c_tot - st.a AS DOUBLE)
+                 * ln(CAST(t.c_tot - st.a AS DOUBLE)
+                      / ((CAST(n.n AS DOUBLE) - CAST(g.n_g AS DOUBLE))
+                         * CAST(t.c_tot AS DOUBLE) / CAST(n.n AS DOUBLE)))
+                 ELSE 0 END)
+         + (CASE WHEN g.n_g - st.a > 0
+                 THEN CAST(g.n_g - st.a AS DOUBLE)
+                 * ln(CAST(g.n_g - st.a AS DOUBLE)
+                      / (CAST(g.n_g AS DOUBLE)
+                         * (CAST(n.n AS DOUBLE) - CAST(t.c_tot AS DOUBLE))
+                         / CAST(n.n AS DOUBLE))) ELSE 0 END)
+         + (CASE WHEN n.n - g.n_g - t.c_tot + st.a > 0
+                 THEN CAST(n.n - g.n_g - t.c_tot + st.a AS DOUBLE)
+                 * ln(CAST(n.n - g.n_g - t.c_tot + st.a AS DOUBLE)
+                      / ((CAST(n.n AS DOUBLE) - CAST(g.n_g AS DOUBLE))
+                         * (CAST(n.n AS DOUBLE) - CAST(t.c_tot AS DOUBLE))
+                         / CAST(n.n AS DOUBLE))) ELSE 0 END)), 6) AS g2,
+         CAST(st.a AS DOUBLE) > CAST(g.n_g AS DOUBLE)
+             * CAST(t.c_tot AS DOUBLE) / CAST(n.n AS DOUBLE) AS overused
+  FROM st JOIN ng g ON g.grp = st.grp
+  JOIN ct t ON t.tok = st.tok CROSS JOIN nn n),
+rk AS (SELECT grp, tok, g2, overused,
+              row_number() OVER (PARTITION BY grp
+                                 ORDER BY g2 DESC, tok) AS rank
+       FROM scored)
+SELECT grp AS source, CAST(rank AS INT) AS rank, tok AS token, g2,
+       overused
+FROM rk WHERE rank <= 5
+""").replace("REPLACE_LTOKS", _LTOKS_SQL))
+def keyness_g2_query(spark, sf_dir):
+    """Dunning G² keyness top-5 per source (textops.keyness_g2): 2x2
+    likelihood-ratio over exact integer cell counts, one fixed double
+    expression per token, rounded-key + token tiebreak before the
+    per-group top-k window."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return textops.keyness_g2(docs, k=5)

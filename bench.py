@@ -211,6 +211,7 @@ EXTENDED = [
     "autocorrelation_report",
     "search_ndcg",
     "stream_benford_registers",
+    "keyness_g2",
 ]
 
 

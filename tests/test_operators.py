@@ -4047,3 +4047,40 @@ def test_windowed_benford_registers_stream(spark):
     got = {(r.window_start.hour, r.digit): r.cnt for r in out.collect()}
     # only the closed 00:00 window is emitted in append mode
     assert got == {(0, 1): 2, (0, 9): 1}
+
+
+def test_keyness_g2_known_values(spark):
+    import math
+
+    from amundsendatabuilder_spark.operators.textops import keyness_g2
+    # source A over-uses 'zz'; B never uses it
+    docs = spark.createDataFrame(
+        [(1, "zz zz zz common common", "A"),
+         (2, "common common common common common", "B")],
+        "doc_id long, text string, source string")
+    out = keyness_g2(docs, k=2).collect()
+    byg = {}
+    for r in out:
+        byg.setdefault(r.source, []).append(r)
+    # with only two token types every 2x2 table is symmetric, so
+    # 'common' (under-use) ties 'zz' (over-use) at the same G2 and the
+    # alphabetical tiebreak puts it first — assert on the zz row
+    a_zz = [r for r in byg["A"] if r.token == "zz"][0]
+    assert a_zz.overused is True
+    a_top = a_zz
+    # python twin for the 2x2 G2 of 'zz' in A: a=3,b=0,c=2,d=5, n=10
+    n, ngr, ctot, a = 10, 5, 3, 3
+    cells = [(a, ngr * ctot / n),
+             (ctot - a, (n - ngr) * ctot / n),
+             (ngr - a, ngr * (n - ctot) / n),
+             (n - ngr - ctot + a, (n - ngr) * (n - ctot) / n)]
+    g2 = round(2 * sum(o * math.log(o / e) for o, e in cells if o > 0),
+               6)
+    assert abs(a_top.g2 - g2) <= 1e-9
+    # absent tokens are not scored: B never uses 'zz', so no row —
+    # only present-token keyness is emitted (see docstring)
+    assert all(r.token != "zz" for r in byg["B"])
+    # B's 'common' row shows under-representation awareness via the
+    # symmetric table: same G2 value, overused True (B over-uses it)
+    b_common = [r for r in byg["B"] if r.token == "common"][0]
+    assert b_common.overused is True

@@ -159,6 +159,7 @@ SUITE = [
     "autocorrelation_report",
     "search_ndcg",
     "stream_benford_registers",
+    "keyness_g2",
 ]
 
 
