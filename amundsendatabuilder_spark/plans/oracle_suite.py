@@ -10254,3 +10254,56 @@ def keyness_g2_query(spark, sf_dir):
     per-group top-k window."""
     (docs,) = _t(spark, sf_dir, "documents")
     return textops.keyness_g2(docs, k=5)
+
+
+@query("token_source_mi", (r"""
+WITH tok AS (SELECT source AS a, unnest(REPLACE_LTOKS) AS b
+             FROM documents),
+cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
+          FROM tok GROUP BY 1, 2),
+ra AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM cells GROUP BY 1),
+rb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(DISTINCT a) AS BIGINT) AS la,
+               CAST(count(DISTINCT b) AS BIGINT) AS lb
+        FROM cells),
+mi AS (SELECT CAST(sum(CAST(round((CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+            * ln(CAST(c.c AS DOUBLE) * CAST(t.n AS DOUBLE)
+                 / (CAST(ra.ca AS DOUBLE) * CAST(rb.cb AS DOUBLE)))
+            * 1e9, 0) AS BIGINT)) AS BIGINT) AS mi_e9
+       FROM cells c JOIN ra ON ra.a = c.a JOIN rb ON rb.b = c.b
+       CROSS JOIN tot t),
+ha AS (SELECT CAST(sum(CAST(round(-(CAST(ca AS DOUBLE) / CAST(t.n AS DOUBLE))
+            * ln(CAST(ca AS DOUBLE) / CAST(t.n AS DOUBLE)) * 1e9, 0)
+            AS BIGINT)) AS BIGINT) AS ha_e9
+       FROM ra CROSS JOIN tot t),
+hb AS (SELECT CAST(sum(CAST(round(-(CAST(cb AS DOUBLE) / CAST(t.n AS DOUBLE))
+            * ln(CAST(cb AS DOUBLE) / CAST(t.n AS DOUBLE)) * 1e9, 0)
+            AS BIGINT)) AS BIGINT) AS hb_e9
+       FROM rb CROSS JOIN tot t)
+SELECT t.n, t.la AS levels_a, t.lb AS levels_b,
+       round(CAST(ha_e9 AS DOUBLE) / 1e9, 6) AS entropy_a,
+       round(CAST(hb_e9 AS DOUBLE) / 1e9, 6) AS entropy_b,
+       round(CAST(mi_e9 AS DOUBLE) / 1e9, 6) AS mi,
+       CASE WHEN ha_e9 > 0 AND hb_e9 > 0
+            THEN round((CAST(mi_e9 AS DOUBLE) / 1e9)
+                       / sqrt((CAST(ha_e9 AS DOUBLE) / 1e9)
+                              * (CAST(hb_e9 AS DOUBLE) / 1e9)), 6)
+            END AS nmi
+FROM tot t CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb
+""").replace("REPLACE_LTOKS", _LTOKS_SQL))
+def token_source_mi_query(spark, sf_dir):
+    """Mutual information between token identity and source
+    (profiling.mutual_information over the exploded token stream) —
+    the distributional-fingerprinting number: MI near 0 means sources
+    share one language model (mixture weighting is safe); high MI
+    means tokens betray their source (dedup/leakage checks must be
+    per-source). Same contingency-register engine as
+    cluster_label_nmi, vocab-bounded registers."""
+    from amundsendatabuilder_spark.functions.text import tokens as _toks
+    from amundsendatabuilder_spark.operators.profiling import (
+        mutual_information)
+    (docs,) = _t(spark, sf_dir, "documents")
+    t = docs.select(F.col("source").alias("a"),
+                    F.explode(_toks(F.lower(F.col("text")))).alias("b"))
+    return mutual_information(t, "a", "b")

@@ -212,6 +212,7 @@ EXTENDED = [
     "search_ndcg",
     "stream_benford_registers",
     "keyness_g2",
+    "token_source_mi",
 ]
 
 

@@ -160,6 +160,7 @@ SUITE = [
     "search_ndcg",
     "stream_benford_registers",
     "keyness_g2",
+    "token_source_mi",
 ]
 
 
