@@ -1206,3 +1206,64 @@ def similarity_histogram(docs: DataFrame, buckets: int = 20,
             .withColumn("jaccard_lo", round_half_away(
                 F.col("bucket").cast("double") / buckets, 4))
             .select("bucket", "jaccard_lo", "n_pairs"))
+
+
+def lsh_parameter_plan(spark, num_hashes: int = 16,
+                       threshold: float = 0.7,
+                       grid: int = 20) -> DataFrame:
+    """MinHash-LSH parameter planner: for every (bands b, rows r) split
+    of ``num_hashes``, the S-curve p(s) = 1 - (1 - s^r)^b evaluated on
+    a similarity grid — reporting each split's balance point
+    s50 = (1/b)^(1/r) and its expected false-positive / false-negative
+    mass against ``threshold``. The ANALYTIC half of threshold tuning:
+    ``similarity_histogram`` shows where the corpus's similarity mass
+    sits; this shows which (b, r) puts the S-curve's knee on the
+    valley. (The table is corpus-independent planning math — the value
+    is having it next to the empirical histogram, one JOIN away.)
+
+    Returns (bands, rows_per_band, s50, fp_mass, fn_mass): fp_mass =
+    mean collision probability over grid points below the threshold,
+    fn_mass = mean miss probability at or above it, all 6dp.
+
+    Determinism: grid points and s50 are Python doubles baked as
+    literals into both the plan and the oracle; each grid point's
+    probability quantizes to 1e9-scaled BIGINT before the (grid-sized)
+    sums, so engine pow() ULP drift cannot move the result.
+    """
+    from pyspark.sql import functions as F
+
+    from amundsendatabuilder_spark.functions.scalars import round_half_away
+    pairs = [(b, num_hashes // b)
+             for b in range(1, num_hashes + 1) if num_hashes % b == 0]
+    rows = [(int(b), int(r), float((1.0 / b) ** (1.0 / r)))
+            for b, r in pairs]
+    pdf = spark.createDataFrame(
+        rows, "bands long, rows_per_band long, s50 double")
+    gs = [float(j) / grid for j in range(1, grid)]
+    gdf = spark.createDataFrame([(s,) for s in gs], "s double")
+    j = pdf.crossJoin(F.broadcast(gdf))
+    p = (F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(F.col("s"),
+                                               F.col("rows_per_band")
+                                               .cast("double")),
+                            F.col("bands").cast("double")))
+    below = F.col("s") < F.lit(float(threshold))
+    q = j.select(
+        "bands", "rows_per_band", "s50",
+        F.when(below, round_half_away(p * 1e9, 0).cast("long"))
+        .alias("fp_e9"),
+        F.when(~below, round_half_away((F.lit(1.0) - p) * 1e9, 0)
+               .cast("long")).alias("fn_e9"))
+    agg = (q.groupBy("bands", "rows_per_band", "s50")
+           .agg(F.sum("fp_e9").alias("sfp"),
+                F.count("fp_e9").cast("long").alias("nfp"),
+                F.sum("fn_e9").alias("sfn"),
+                F.count("fn_e9").cast("long").alias("nfn")))
+    return agg.select(
+        "bands", "rows_per_band",
+        round_half_away(F.col("s50"), 6).alias("s50"),
+        F.when(F.col("nfp") > 0, round_half_away(
+            F.col("sfp").cast("double") / F.col("nfp").cast("double")
+            / 1e9, 6)).alias("fp_mass"),
+        F.when(F.col("nfn") > 0, round_half_away(
+            F.col("sfn").cast("double") / F.col("nfn").cast("double")
+            / 1e9, 6)).alias("fn_mass"))

@@ -10307,3 +10307,59 @@ def token_source_mi_query(spark, sf_dir):
     t = docs.select(F.col("source").alias("a"),
                     F.explode(_toks(F.lower(F.col("text")))).alias("b"))
     return mutual_information(t, "a", "b")
+
+
+def _lsh_plan_oracle(num_hashes: int = 16, threshold: float = 0.7,
+                     grid: int = 20) -> str:
+    """Replay oracle for lsh_parameter_plan: identical baked grid and
+    s50 literals, same 1e9 per-point quantization."""
+    pairs = [(b, num_hashes // b)
+             for b in range(1, num_hashes + 1) if num_hashes % b == 0]
+    prow = ", ".join(
+        f"({b}, {num_hashes // b}, {float((1.0 / b) ** (1.0 / (num_hashes // b)))!r})"
+        for b, _ in pairs)
+    grow = ", ".join(f"({float(j) / grid!r})" for j in range(1, grid))
+    return f"""
+WITH pairs(bands, rows_per_band, s50) AS (VALUES {prow}),
+grid(s) AS (VALUES {grow}),
+q AS (SELECT bands, rows_per_band,
+             CAST(s50 AS DOUBLE) AS s50,
+             CASE WHEN CAST(s AS DOUBLE) < {float(threshold)!r}
+                  THEN CAST(round((1.0 - pow(1.0 - pow(CAST(s AS DOUBLE),
+                       CAST(rows_per_band AS DOUBLE)),
+                       CAST(bands AS DOUBLE))) * 1e9, 0) AS BIGINT)
+                  END AS fp_e9,
+             CASE WHEN NOT (CAST(s AS DOUBLE) < {float(threshold)!r})
+                  THEN CAST(round((1.0 - (1.0 - pow(1.0
+                       - pow(CAST(s AS DOUBLE),
+                       CAST(rows_per_band AS DOUBLE)),
+                       CAST(bands AS DOUBLE)))) * 1e9, 0) AS BIGINT)
+                  END AS fn_e9
+      FROM pairs CROSS JOIN grid),
+agg AS (SELECT bands, rows_per_band, s50,
+               CAST(sum(fp_e9) AS BIGINT) AS sfp,
+               CAST(count(fp_e9) AS BIGINT) AS nfp,
+               CAST(sum(fn_e9) AS BIGINT) AS sfn,
+               CAST(count(fn_e9) AS BIGINT) AS nfn
+        FROM q GROUP BY 1, 2, 3)
+SELECT CAST(bands AS BIGINT) AS bands,
+       CAST(rows_per_band AS BIGINT) AS rows_per_band,
+       round(s50, 6) AS s50,
+       CASE WHEN nfp > 0 THEN round(CAST(sfp AS DOUBLE)
+                                    / CAST(nfp AS DOUBLE) / 1e9, 6)
+            END AS fp_mass,
+       CASE WHEN nfn > 0 THEN round(CAST(sfn AS DOUBLE)
+                                    / CAST(nfn AS DOUBLE) / 1e9, 6)
+            END AS fn_mass
+FROM agg"""
+
+
+@query("lsh_parameter_plan", _lsh_plan_oracle())
+def lsh_parameter_plan_query(spark, sf_dir):
+    """MinHash-LSH (bands, rows) planning table
+    (dedup.lsh_parameter_plan): S-curve balance point and grid-averaged
+    FP/FN mass vs the 0.7 production threshold — the analytic half of
+    threshold tuning beside similarity_histogram's empirical half."""
+    from amundsendatabuilder_spark.operators.dedup import (
+        lsh_parameter_plan)
+    return lsh_parameter_plan(spark, num_hashes=16, threshold=0.7)

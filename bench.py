@@ -213,6 +213,7 @@ EXTENDED = [
     "stream_benford_registers",
     "keyness_g2",
     "token_source_mi",
+    "lsh_parameter_plan",
 ]
 
 

@@ -4084,3 +4084,25 @@ def test_keyness_g2_known_values(spark):
     # symmetric table: same G2 value, overused True (B over-uses it)
     b_common = [r for r in byg["B"] if r.token == "common"][0]
     assert b_common.overused is True
+
+
+def test_lsh_parameter_plan_scurve(spark):
+    from amundsendatabuilder_spark.operators.dedup import (
+        lsh_parameter_plan)
+    out = {(r.bands, r.rows_per_band): r
+           for r in lsh_parameter_plan(spark, num_hashes=16,
+                                       threshold=0.7).collect()}
+    # all divisor splits of 16 present
+    assert set(out) == {(1, 16), (2, 8), (4, 4), (8, 2), (16, 1)}
+    # s50 balance point: (1/b)^(1/r)
+    assert abs(out[(4, 4)].s50 - round((1 / 4) ** (1 / 4), 6)) <= 1e-9
+    # b=16,r=1 fires on any shared hash: collision-happy -> high FP,
+    # tiny FN; b=1,r=16 demands all 16 match: high FN, tiny FP
+    assert out[(16, 1)].fp_mass > out[(1, 16)].fp_mass
+    assert out[(1, 16)].fn_mass > out[(16, 1)].fn_mass
+    # python twin for one cell: (4,4) fp mass over grid points < 0.7
+    pts = [j / 20 for j in range(1, 20)]
+    fp = [round((1 - (1 - s ** 4) ** 4) * 1e9)
+          for s in pts if s < 0.7]
+    exp = round(sum(fp) / len(fp) / 1e9, 6)
+    assert abs(out[(4, 4)].fp_mass - exp) <= 1e-9

@@ -161,6 +161,7 @@ SUITE = [
     "stream_benford_registers",
     "keyness_g2",
     "token_source_mi",
+    "lsh_parameter_plan",
 ]
 
 
