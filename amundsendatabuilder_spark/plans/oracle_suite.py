@@ -10363,3 +10363,85 @@ def lsh_parameter_plan_query(spark, sf_dir):
     from amundsendatabuilder_spark.operators.dedup import (
         lsh_parameter_plan)
     return lsh_parameter_plan(spark, num_hashes=16, threshold=0.7)
+
+
+@query("multimodal_phash_dedup", """
+WITH m AS (SELECT i AS media_id, 200 + (i % 5) * 30 AS w
+           FROM (SELECT unnest(range(0, 96)) AS i) WHERE i % 3 = 0),
+tt AS (SELECT media_id, w, tx, ((tx * w) // 8 * 255) // (w - 1) AS tv
+       FROM m CROSS JOIN (SELECT unnest(range(0, 8)) AS tx)),
+ta AS (SELECT media_id, avg(tv) AS tavg FROM tt GROUP BY media_id),
+ph AS (SELECT tt.media_id,
+              repeat(lower(lpad(to_hex(CAST(sum(CASE WHEN tv >= tavg
+                     THEN 1 << (7 - CAST(tx AS INT)) ELSE 0 END)
+                     AS BIGINT)), 2, '0')), 8) AS phash
+       FROM tt JOIN ta USING (media_id) GROUP BY tt.media_id)
+SELECT phash, CAST(count(*) AS BIGINT) AS n_images,
+       CAST(min(media_id) AS BIGINT) AS keeper_id,
+       CAST(count(*) - 1 AS BIGINT) AS n_dropped
+FROM ph GROUP BY 1 HAVING count(*) >= 2
+""")
+def multimodal_phash_dedup_query(spark, sf_dir):
+    """Perceptual-hash image dedup (multimodal.decode_image_features →
+    exact phash grouping): the image-pipeline counterpart of
+    dedup_exact — decode real BMP payloads (Arrow-batched mapInPandas),
+    8x8 average-hash, keep the lowest id per hash group. The synthetic
+    ramp corpus collides images of equal width by construction, giving
+    the twin a closed form."""
+    from amundsendatabuilder_spark.operators.multimodal import (
+        decode_image_features, synthetic_media)
+    feats = decode_image_features(synthetic_media(spark, n=96))
+    return (feats.groupBy("phash")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_images"),
+                 F.min("media_id").cast("long").alias("keeper_id"))
+            .where(F.col("n_images") >= 2)
+            .withColumn("n_dropped",
+                        (F.col("n_images") - 1).cast("long")))
+
+
+@query("ks_time_drift", r"""
+WITH anchor AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+                FROM events),
+base AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS q,
+                CASE WHEN epoch_us(ts) >= (mn + mx) // 2
+                     THEN 0 ELSE 1 END AS ia
+         FROM events CROSS JOIN anchor
+         WHERE value IS NOT NULL),
+reg AS (SELECT q, CAST(sum(ia) AS BIGINT) AS ca,
+               CAST(sum(1 - ia) AS BIGINT) AS cb
+        FROM base GROUP BY 1),
+cum AS (SELECT q,
+               CAST(sum(ca) OVER (ORDER BY q) AS BIGINT) AS cum_a,
+               CAST(sum(cb) OVER (ORDER BY q) AS BIGINT) AS cum_b
+        FROM reg),
+tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+               CAST(sum(cb) AS BIGINT) AS nb
+        FROM reg),
+d AS (SELECT t.na, t.nb, abs(c.cum_a * t.nb - c.cum_b * t.na) AS d, c.q
+      FROM cum c CROSS JOIN tot t),
+best AS (SELECT na, nb, max(d) AS mx FROM d GROUP BY 1, 2)
+SELECT b.na AS n_a, b.nb AS n_b,
+       round(CAST(b.mx AS DOUBLE)
+             / (CAST(b.na AS DOUBLE) * CAST(b.nb AS DOUBLE)), 6) AS ks_d,
+       round(CAST(min(d.q) AS DOUBLE) / 100, 6) AS ks_at_value
+FROM best b JOIN d ON d.na = b.na AND d.nb = b.nb AND d.d = b.mx
+GROUP BY 1, 2, 3
+""")
+def ks_time_drift_query(spark, sf_dir):
+    """Numeric-shape drift between the first and second half of the
+    event stream's time range (profiling.ks_drift_stat over a derived
+    half indicator) — the numeric KS companion to distribution_drift's
+    categorical halves: same exact-rational supremum, same 1-row
+    broadcast time anchor."""
+    from amundsendatabuilder_spark.operators.profiling import ks_drift_stat
+    (ev,) = _t(spark, sf_dir, "events")
+    ep = F.unix_micros(F.col("ts"))
+    anchor = ev.agg(F.min(ep).alias("_mn"), F.max(ep).alias("_mx"))
+    halved = (ev.crossJoin(F.broadcast(anchor))
+              .select("value",
+                      F.when(ep >= F.expr("(_mn + _mx) DIV 2"),
+                             F.lit("second")).otherwise(F.lit("first"))
+                      .alias("half")))
+    # group_a = the EARLIER half (oracle ia=1 <=> epoch below midpoint)
+    return ks_drift_stat(halved, "value", "half", "first", "second",
+                         scale=100)

@@ -214,6 +214,8 @@ EXTENDED = [
     "keyness_g2",
     "token_source_mi",
     "lsh_parameter_plan",
+    "multimodal_phash_dedup",
+    "ks_time_drift",
 ]
 
 

@@ -162,6 +162,8 @@ SUITE = [
     "keyness_g2",
     "token_source_mi",
     "lsh_parameter_plan",
+    "multimodal_phash_dedup",
+    "ks_time_drift",
 ]
 
 
