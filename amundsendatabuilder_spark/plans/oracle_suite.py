@@ -10445,3 +10445,125 @@ def ks_time_drift_query(spark, sf_dir):
     # group_a = the EARLIER half (oracle ia=1 <=> epoch below midpoint)
     return ks_drift_stat(halved, "value", "half", "first", "second",
                          scale=100)
+
+
+@query("multimodal_audio_dedup", """
+WITH pk AS (SELECT i AS media_id, CAST(c AS INT) AS chunk_idx,
+                   CAST(200 + (i % 16) * 100 AS INT) AS peak_bin
+            FROM (SELECT unnest(range(0, 32)) AS i) t,
+                 (SELECT unnest(range(0, 2)) AS c) u),
+fp AS (SELECT media_id,
+              array_to_string(list(CAST(peak_bin AS VARCHAR)
+                                   ORDER BY chunk_idx), ':') AS fingerprint
+       FROM pk GROUP BY 1)
+SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_assets,
+       CAST(min(media_id) AS BIGINT) AS keeper_id,
+       CAST(count(*) - 1 AS BIGINT) AS n_dropped
+FROM fp GROUP BY 1 HAVING count(*) >= 2
+""")
+def multimodal_audio_dedup_query(spark, sf_dir):
+    """Audio fingerprint dedup (multimodal.audio_spectral_peak →
+    chunk-ordered peak-bin fingerprint → exact grouping): the audio
+    counterpart of multimodal_phash_dedup — Shazam-style constellation
+    reduced to its per-chunk dominant bin (the real FFT runs in the
+    decode stage; the pure-tone fixtures collide assets sharing a
+    frequency, giving the twin a closed form)."""
+    from amundsendatabuilder_spark.operators.multimodal import (
+        audio_spectral_peak, synthetic_tones)
+    pk = audio_spectral_peak(synthetic_tones(spark, n=32), chunk_ms=1000)
+    fp = (pk.groupBy("media_id")
+          .agg(F.concat_ws(":", F.transform(
+              F.array_sort(F.collect_list(
+                  F.struct("chunk_idx", "peak_bin"))),
+              lambda s: s["peak_bin"].cast("string")))
+               .alias("fingerprint")))
+    return (fp.groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_assets"),
+                 F.min("media_id").cast("long").alias("keeper_id"))
+            .where(F.col("n_assets") >= 2)
+            .withColumn("n_dropped",
+                        (F.col("n_assets") - 1).cast("long")))
+
+
+def _pca_power_oracle(iters: int = 8) -> str:
+    """Replay oracle for pca_power_iteration: embedding_covariance's
+    HUGEINT-exact 9dp covariance, symmetrized, then ``iters`` unrolled
+    MATERIALIZED rounds of (integer mat-vec, decimal square-sum norm,
+    1e9 re-quantization), closing with the Rayleigh quotient."""
+    head = r"""
+WITH vsrc AS (SELECT list_transform(embedding::DOUBLE[],
+                                    x -> CAST(floor(x * 1000000) AS BIGINT))
+                  AS q
+              FROM embeddings),
+wsrc AS (SELECT row_number() OVER () AS rid, q FROM vsrc),
+u AS (SELECT rid, CAST(generate_subscripts(q, 1) - 1 AS INT) AS i,
+             unnest(q) AS qi
+      FROM wsrc),
+nn AS (SELECT count(*)::HUGEINT AS n FROM vsrc),
+s AS (SELECT i, CAST(sum(qi) AS HUGEINT) AS s FROM u GROUP BY i),
+pp AS (SELECT a.i AS i, b.i AS j,
+              CAST(sum(a.qi::HUGEINT * b.qi::HUGEINT) AS HUGEINT) AS sxy
+       FROM u a JOIN u b ON a.rid = b.rid AND b.i >= a.i
+       GROUP BY 1, 2),
+ctri AS (SELECT pp.i AS dim_i, pp.j AS dim_j,
+                round(CAST(nn.n * pp.sxy - si.s * sj.s AS DOUBLE)
+                      / CAST(nn.n * nn.n AS DOUBLE) / 1e12, 9) AS cov
+         FROM pp JOIN s si ON si.i = pp.i JOIN s sj ON sj.i = pp.j
+         CROSS JOIN nn),
+c AS MATERIALIZED (
+  SELECT dim_i, dim_j, cov FROM ctri
+  UNION ALL
+  SELECT dim_j, dim_i, cov FROM ctri WHERE dim_i <> dim_j),
+v0 AS MATERIALIZED (
+  SELECT dim, CAST(500000000 + CAST('0x' || substr(md5('pca:'
+              || CAST(dim AS VARCHAR)), 1, 4) AS BIGINT) * 10000
+              AS BIGINT) AS vi
+  FROM (SELECT DISTINCT dim_i AS dim FROM c))"""
+    rounds = []
+    for t in range(1, iters + 1):
+        prev = f"v{t - 1}"
+        rounds.append(f"""
+w{t} AS MATERIALIZED (
+  SELECT c.dim_i AS dim,
+         CAST(sum(CAST(round(c.cov * CAST(p.vi AS DOUBLE), 0) AS BIGINT))
+              AS BIGINT) AS wi
+  FROM c JOIN {prev} p ON p.dim = c.dim_j
+  GROUP BY 1),
+n{t} AS (SELECT sqrt(CAST(sum(wi::HUGEINT * wi::HUGEINT) AS DOUBLE))
+                AS nrm
+         FROM w{t}),
+v{t} AS MATERIALIZED (
+  SELECT dim, CASE WHEN nrm > 0
+                   THEN CAST(round(CAST(wi AS DOUBLE) / nrm * 1e9, 0)
+                        AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END AS vi
+  FROM w{t} CROSS JOIN n{t})""")
+    last = f"v{iters}"
+    tail = f"""
+wf AS (SELECT c.dim_i AS dim,
+              CAST(sum(CAST(round(c.cov * CAST(p.vi AS DOUBLE), 0)
+                   AS BIGINT)) AS BIGINT) AS wi
+       FROM c JOIN {last} p ON p.dim = c.dim_j
+       GROUP BY 1),
+q AS (SELECT CAST(sum(v.vi::HUGEINT * wf.wi::HUGEINT) AS HUGEINT) AS vw,
+             CAST(sum(v.vi::HUGEINT * v.vi::HUGEINT) AS HUGEINT) AS vv
+      FROM {last} v JOIN wf ON wf.dim = v.dim)
+SELECT v.dim, round(CAST(v.vi AS DOUBLE) / 1e9, 6) AS loading,
+       CASE WHEN CAST(q.vv AS DOUBLE) > 0
+            THEN round(CAST(q.vw AS DOUBLE) / CAST(q.vv AS DOUBLE), 9)
+            END AS eigenvalue,
+       {iters} AS n_iters
+FROM {last} v CROSS JOIN q"""
+    return head + "," + ",".join(rounds) + "," + tail
+
+
+@query("pca_power_iteration", _pca_power_oracle())
+def pca_power_iteration_query(spark, sf_dir):
+    """Top principal component by in-engine power iteration
+    (similarity.pca_power_iteration): hash-verified 9dp covariance in,
+    1e9-quantized eigenvector register out, Rayleigh-quotient
+    eigenvalue — PCA without collecting the matrix to the driver."""
+    from amundsendatabuilder_spark.operators.similarity import (
+        pca_power_iteration)
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return pca_power_iteration(emb, iters=8)

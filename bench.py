@@ -216,6 +216,8 @@ EXTENDED = [
     "lsh_parameter_plan",
     "multimodal_phash_dedup",
     "ks_time_drift",
+    "multimodal_audio_dedup",
+    "pca_power_iteration",
 ]
 
 

@@ -4106,3 +4106,37 @@ def test_lsh_parameter_plan_scurve(spark):
           for s in pts if s < 0.7]
     exp = round(sum(fp) / len(fp) / 1e9, 6)
     assert abs(out[(4, 4)].fp_mass - exp) <= 1e-9
+
+
+def test_pca_power_iteration_known_direction(spark):
+    from amundsendatabuilder_spark.operators.similarity import (
+        pca_power_iteration)
+    # anisotropic cloud: dim 1 has 10x the variance of dims 0/2 ->
+    # the top component must align with dim 1 and the eigenvalue must
+    # approximate its variance
+    import itertools
+    rows = []
+    vals = [-3.0, -1.0, 1.0, 3.0]
+    i = 0
+    for a, b, c in itertools.product([-0.3, 0.3], vals, [-0.3, 0.3]):
+        i += 1
+        rows.append((i, [a, b, c]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.dim: r for r in pca_power_iteration(emb, iters=12).collect()}
+    assert len(out) == 3
+    # unit norm
+    nrm = sum(r.loading ** 2 for r in out.values()) ** 0.5
+    assert abs(nrm - 1.0) <= 1e-4
+    # dominant loading on dim 1 (sign is convention)
+    assert abs(out[1].loading) > 0.99
+    assert abs(out[0].loading) < 0.1 and abs(out[2].loading) < 0.1
+    # eigenvalue ~ population variance of dim 1 = mean(vals^2) = 5.0
+    lam = out[1].eigenvalue
+    assert abs(lam - 5.0) <= 0.05
+    # isotropic-degenerate guard: constant vectors -> zero covariance,
+    # eigenvalue 0 (norm collapses, loadings all 0)
+    const = spark.createDataFrame(
+        [(i, [1.0, 1.0]) for i in range(1, 6)],
+        "vec_id long, embedding array<float>")
+    oc = pca_power_iteration(const, iters=4).collect()
+    assert all(r.loading == 0.0 for r in oc)

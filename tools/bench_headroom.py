@@ -164,6 +164,8 @@ SUITE = [
     "lsh_parameter_plan",
     "multimodal_phash_dedup",
     "ks_time_drift",
+    "multimodal_audio_dedup",
+    "pca_power_iteration",
 ]
 
 
