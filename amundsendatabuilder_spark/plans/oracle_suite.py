@@ -10567,3 +10567,58 @@ def pca_power_iteration_query(spark, sf_dir):
         pca_power_iteration)
     (emb,) = _t(spark, sf_dir, "embeddings")
     return pca_power_iteration(emb, iters=8)
+
+
+@query("pca_explained_variance", (
+    "WITH pca AS (" + _pca_power_oracle() + r"""),
+lam AS (SELECT max(eigenvalue) AS eigenvalue FROM pca),
+vsrc2 AS (SELECT list_transform(embedding::DOUBLE[],
+                                x -> CAST(floor(x * 1000000) AS BIGINT))
+              AS q
+          FROM embeddings),
+u2 AS (SELECT CAST(generate_subscripts(q, 1) - 1 AS INT) AS i,
+              unnest(q) AS qi
+       FROM vsrc2),
+nn2 AS (SELECT count(*)::HUGEINT AS n FROM vsrc2),
+diag AS (SELECT u2.i,
+                round(CAST(nn2.n * CAST(sum(u2.qi::HUGEINT * u2.qi::HUGEINT)
+                           AS HUGEINT)
+                           - CAST(sum(u2.qi) AS HUGEINT)
+                             * CAST(sum(u2.qi) AS HUGEINT) AS DOUBLE)
+                      / CAST(nn2.n * nn2.n AS DOUBLE) / 1e12, 9) AS cov
+         FROM u2 CROSS JOIN nn2 GROUP BY u2.i, nn2.n),
+tr AS (SELECT CAST(sum(CAST(round(cov * 1e9, 0) AS BIGINT)) AS BIGINT)
+              AS tr_e9
+       FROM diag)
+SELECT lam.eigenvalue,
+       round(CAST(tr.tr_e9 AS DOUBLE) / 1e9, 6) AS trace,
+       CASE WHEN tr.tr_e9 > 0
+            THEN round(lam.eigenvalue
+                       / (CAST(tr.tr_e9 AS DOUBLE) / 1e9), 6)
+            END AS explained_ratio
+FROM lam CROSS JOIN tr
+"""))
+def pca_explained_variance_query(spark, sf_dir):
+    """Explained-variance ratio of the top principal component:
+    lambda_1 / trace(C) — the "is one direction carrying the cloud"
+    number read off pca_power_iteration and the covariance diagonal
+    (diagonal entries 1e9-quantized before the order-free sum)."""
+    from amundsendatabuilder_spark.operators.similarity import (
+        embedding_covariance, pca_power_iteration)
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    lam = (pca_power_iteration(emb, iters=8)
+           .agg(F.max("eigenvalue").alias("eigenvalue")))
+    tr = (embedding_covariance(emb)
+          .where(F.col("dim_i") == F.col("dim_j"))
+          .select(round_half_away(F.col("cov") * 1e9, 0).cast("long")
+                  .alias("c9"))
+          .agg(F.sum("c9").cast("long").alias("tr_e9")))
+    j = lam.crossJoin(F.broadcast(tr))
+    return j.select(
+        "eigenvalue",
+        round_half_away(F.col("tr_e9").cast("double") / 1e9, 6)
+        .alias("trace"),
+        F.when(F.col("tr_e9") > 0, round_half_away(
+            F.col("eigenvalue")
+            / (F.col("tr_e9").cast("double") / 1e9), 6))
+        .alias("explained_ratio"))
