@@ -218,6 +218,7 @@ EXTENDED = [
     "ks_time_drift",
     "multimodal_audio_dedup",
     "pca_power_iteration",
+    "pca_explained_variance",
 ]
 
 

@@ -166,6 +166,7 @@ SUITE = [
     "ks_time_drift",
     "multimodal_audio_dedup",
     "pca_power_iteration",
+    "pca_explained_variance",
 ]
 
 
