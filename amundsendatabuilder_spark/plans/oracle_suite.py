@@ -10622,3 +10622,50 @@ def pca_explained_variance_query(spark, sf_dir):
             F.col("eigenvalue")
             / (F.col("tr_e9").cast("double") / 1e9), 6))
         .alias("explained_ratio"))
+
+
+def _stream_minhash_oracle(num_hashes: int = 16) -> str:
+    """Replay oracle for windowed_minhash_registers: same md5 chunking
+    and universal-hash constants, batch per-hour min, emission
+    frontier pinned at max(ts) - watermark."""
+    from amundsendatabuilder_spark.functions.hashing import (
+        minhash_constants)
+    a_tab, b_tab = minhash_constants(num_hashes)
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT window_start, {j} AS hash_idx,
+       CAST(min((c{j % 4} * {a_tab[j]} + {b_tab[j]}) % 4294967296)
+            AS BIGINT) AS min_hash
+FROM hx GROUP BY 1""" for j in range(num_hashes))
+    return f"""
+WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events),
+hx AS (SELECT date_trunc('hour', ts) AS window_start,
+              CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) AS c0,
+              CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8)
+                   AS BIGINT) AS c1,
+              CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 17, 8)
+                   AS BIGINT) AS c2,
+              CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 25, 8)
+                   AS BIGINT) AS c3
+       FROM events),
+sig AS ({rows})
+SELECT s.window_start, CAST(s.hash_idx AS INT) AS hash_idx, s.min_hash
+FROM sig s, wm WHERE s.window_start + INTERVAL 1 HOUR <= wm.w"""
+
+
+@query("stream_minhash_registers", _stream_minhash_oracle())
+def stream_minhash_registers_query(spark, sf_dir):
+    """Streaming per-window MinHash signatures
+    (streaming/events.windowed_minhash_registers): num_hashes
+    MIN-mergeable registers per tumbling hour over the window's user
+    set — the resemblance member of the streaming sketch family;
+    compare two windows' signatures position-wise for their Jaccard.
+    Hash-verified against the batch per-hour min restricted to the
+    append-mode emission frontier."""
+    import tempfile
+
+    from amundsendatabuilder_spark.streaming.events import (
+        run_to_memory, windowed_minhash_registers)
+    regs = windowed_minhash_registers(_event_stream(spark, sf_dir))
+    name = "smr_" + next(tempfile._get_candidate_names())
+    return run_to_memory(regs, spark, name, tempfile.mkdtemp())

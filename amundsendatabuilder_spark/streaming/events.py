@@ -336,3 +336,45 @@ def windowed_benford_registers(events: DataFrame, window: str = "1 hour",
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.col("w.start").alias("window_start"), "digit", "cnt")
     )
+
+
+def windowed_minhash_registers(events: DataFrame, window: str = "1 hour",
+                               watermark: str = "2 hours",
+                               num_hashes: int = 16,
+                               item_col: str = "user_id") -> DataFrame:
+    """Streaming MinHash signature per tumbling window: for each of
+    ``num_hashes`` universal-hash permutations, the window's MIN hash
+    over its item set — the RESEMBLANCE member of the streaming sketch
+    family (HLL counts distinct, CMS counts frequency, the histogram
+    bins values; MinHash estimates the Jaccard overlap between two
+    windows' audiences at read time by comparing signatures
+    position-wise). State is ``num_hashes`` longs per open window, and
+    MIN is merge-associative, so signatures from two pipelines union
+    and re-min exactly like batch registers
+    (dedup.minhash_signatures' contract).
+
+    Returns (window_start, hash_idx, min_hash). Same hash family as
+    the batch LSH path: h_j(x) = (chunk_{j%4}(md5(x)) * A_j + B_j)
+    mod 2^32 with functions.hashing.minhash_constants' literals.
+    """
+    from amundsendatabuilder_spark.functions.hashing import (
+        minhash_constants)
+    a_tab, b_tab = minhash_constants(num_hashes)
+    h = F.md5(F.col(item_col).cast("string"))
+    chunks = [F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long")
+              for i in range(4)]
+    hashes = F.array(*[
+        F.struct(F.lit(j).alias("hash_idx"),
+                 ((chunks[j % 4] * F.lit(a_tab[j]) + F.lit(b_tab[j]))
+                  % F.lit(4294967296)).alias("hv"))
+        for j in range(num_hashes)])
+    return (
+        events.select("ts", F.explode(hashes).alias("e"))
+        .select("ts", F.col("e.hash_idx").alias("hash_idx"),
+                F.col("e.hv").alias("hv"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("hash_idx"))
+        .agg(F.min("hv").alias("min_hash"))
+        .select(F.col("w.start").alias("window_start"), "hash_idx",
+                "min_hash")
+    )

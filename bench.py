@@ -219,6 +219,7 @@ EXTENDED = [
     "multimodal_audio_dedup",
     "pca_power_iteration",
     "pca_explained_variance",
+    "stream_minhash_registers",
 ]
 
 

@@ -4140,3 +4140,42 @@ def test_pca_power_iteration_known_direction(spark):
         "vec_id long, embedding array<float>")
     oc = pca_power_iteration(const, iters=4).collect()
     assert all(r.loading == 0.0 for r in oc)
+
+
+def test_windowed_minhash_registers_stream(spark):
+    import hashlib
+    import tempfile
+
+    from amundsendatabuilder_spark.functions.hashing import (
+        minhash_constants)
+    from amundsendatabuilder_spark.streaming.events import (
+        run_to_memory, windowed_minhash_registers)
+    rows = [(1, "2024-01-01 00:10:00", 101),
+            (2, "2024-01-01 00:20:00", 202),
+            (3, "2024-01-01 00:30:00", 101),   # repeat: min unchanged
+            (4, "2024-01-01 05:00:00", 999)]   # advances watermark
+    src = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id")
+    path = tempfile.mkdtemp()
+    src.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(src.schema).parquet(path)
+    out = run_to_memory(
+        windowed_minhash_registers(stream, num_hashes=16), spark,
+        "minhash_test_sink", tempfile.mkdtemp())
+    got = {r.hash_idx: r.min_hash for r in out.collect()
+           if r.window_start.hour == 0}
+    assert len(got) == 16
+    # python twin over the closed window's user set {101, 202}
+    a_tab, b_tab = minhash_constants(16)
+    expect = {}
+    for j in range(16):
+        vals = []
+        for u in (101, 202):
+            h = hashlib.md5(str(u).encode()).hexdigest()
+            c = int(h[8 * (j % 4):8 * (j % 4) + 8], 16)
+            vals.append((c * a_tab[j] + b_tab[j]) % 4294967296)
+        expect[j] = min(vals)
+    assert got == expect
+    # only the closed window emitted
+    assert all(r.window_start.hour == 0 for r in out.collect())

@@ -167,6 +167,7 @@ SUITE = [
     "multimodal_audio_dedup",
     "pca_power_iteration",
     "pca_explained_variance",
+    "stream_minhash_registers",
 ]
 
 
