@@ -752,3 +752,107 @@ def pca_power_iteration(emb: DataFrame, iters: int = 8,
                     .alias("loading"),
                     "eigenvalue",
                     F.lit(int(iters)).alias("n_iters")))
+
+
+def _power_iterate(c: DataFrame, iters: int, seed_prefix: str):
+    """Shared power-iteration core over a symmetrized (dim_i, dim_j,
+    cov) register: md5-jittered dense start (prefix-seeded), ``iters``
+    rounds of integer mat-vec + decimal-norm re-quantization. Returns
+    (v, wf): the final 1e9-scaled eigenvector register and one more
+    exact mat-vec against it (for the Rayleigh quotient) — exactly
+    pca_power_iteration's arithmetic, factored for deflation reuse."""
+    from amundsendatabuilder_spark.functions.scalars import round_half_away
+    jitter = F.conv(F.substring(F.md5(F.concat(
+        F.lit(seed_prefix), F.col("dim").cast("string"))), 1, 4), 16, 10
+    ).cast("long")
+    v = (c.select(F.col("dim_i").alias("dim")).distinct()
+         .select("dim", (F.lit(500_000_000) + jitter * F.lit(10_000))
+                 .cast("long").alias("vi"))
+         .localCheckpoint())
+
+    def matvec(vec):
+        vr = (vec.withColumnRenamed("dim", "vdim")
+              .withColumnRenamed("vi", "vj"))
+        return (c.join(F.broadcast(vr), c["dim_j"] == F.col("vdim"))
+                .select(c["dim_i"].alias("dim"),
+                        round_half_away(F.col("cov")
+                                        * F.col("vj").cast("double"), 0)
+                        .cast("long").alias("t"))
+                .groupBy("dim").agg(F.sum("t").cast("long").alias("wi")))
+
+    for _ in range(int(iters)):
+        w = matvec(v).localCheckpoint()
+        nrm = w.agg(F.sqrt(F.sum(
+            (F.col("wi").cast("decimal(19,0)")
+             * F.col("wi").cast("decimal(19,0)")).cast("decimal(38,0)"))
+            .cast("double")).alias("nrm"))
+        v = (w.crossJoin(F.broadcast(nrm))
+             .select("dim", F.when(
+                 F.col("nrm") > 0, round_half_away(
+                     F.col("wi").cast("double") / F.col("nrm") * 1e9, 0))
+                 .otherwise(F.lit(0)).cast("long").alias("vi"))
+             .localCheckpoint())
+    return v, matvec(v)
+
+
+def pca_top_components(emb: DataFrame, n_components: int = 2,
+                       iters: int = 8,
+                       vec_col: str = "embedding") -> DataFrame:
+    """Top ``n_components`` principal components by power iteration
+    with Hotelling deflation — after each component (lambda, v), the
+    register matrix updates to C <- C - lambda v v^T and the iteration
+    reruns, so the whole truncated eigendecomposition stays in-engine
+    on register-sized tables (the covariance never leaves the
+    cluster, whatever d is).
+
+    Returns (component, dim, loading, eigenvalue): 1-based component
+    index, unit loadings 6dp, Rayleigh eigenvalues 9dp (non-increasing
+    across components up to quantization). Deflated entries re-round
+    to the covariance's 9dp grid so every pass replays identically in
+    the twin.
+    """
+    from amundsendatabuilder_spark.functions.scalars import round_half_away
+    cov = embedding_covariance(emb)
+    low = (cov.where(F.col("dim_i") != F.col("dim_j"))
+           .select(F.col("dim_j").alias("dim_i"),
+                   F.col("dim_i").alias("dim_j"), "cov"))
+    c = cov.unionByName(low).localCheckpoint()
+    frames = []
+    for k in range(1, int(n_components) + 1):
+        v, wf = _power_iterate(c, iters, f"pca{k}:")
+        q = (v.join(wf, "dim")
+             .agg(F.sum((F.col("vi").cast("decimal(19,0)")
+                         * F.col("wi").cast("decimal(19,0)"))
+                        .cast("decimal(38,0)")).alias("vw"),
+                  F.sum((F.col("vi").cast("decimal(19,0)")
+                         * F.col("vi").cast("decimal(19,0)"))
+                        .cast("decimal(38,0)")).alias("vv")))
+        lam_col = F.when(F.col("vv").cast("double") > 0,
+                         round_half_away(F.col("vw").cast("double")
+                                         / F.col("vv").cast("double"),
+                                         9)).alias("eigenvalue")
+        lamdf = q.select(lam_col)
+        frames.append(
+            v.crossJoin(F.broadcast(lamdf))
+            .select(F.lit(k).alias("component"), "dim",
+                    round_half_away(F.col("vi").cast("double") / 1e9, 6)
+                    .alias("loading"), "eigenvalue"))
+        if k < n_components:
+            # Hotelling deflation on the 9dp grid: C -= lambda v v^T
+            vi_ = (v.withColumnRenamed("dim", "di")
+                   .withColumnRenamed("vi", "va"))
+            vj_ = (v.withColumnRenamed("dim", "dj")
+                   .withColumnRenamed("vi", "vb"))
+            c = (c.join(F.broadcast(vi_), c["dim_i"] == F.col("di"))
+                 .join(F.broadcast(vj_), c["dim_j"] == F.col("dj"))
+                 .crossJoin(F.broadcast(lamdf))
+                 .select(c["dim_i"], c["dim_j"], round_half_away(
+                     F.col("cov") - F.col("eigenvalue")
+                     * (F.col("va").cast("double") / 1e9)
+                     * (F.col("vb").cast("double") / 1e9), 9)
+                     .alias("cov"))
+                 .localCheckpoint())
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -10669,3 +10669,108 @@ def stream_minhash_registers_query(spark, sf_dir):
     regs = windowed_minhash_registers(_event_stream(spark, sf_dir))
     name = "smr_" + next(tempfile._get_candidate_names())
     return run_to_memory(regs, spark, name, tempfile.mkdtemp())
+
+
+def _pca_top_oracle(n_components: int = 2, iters: int = 8) -> str:
+    """Replay oracle for pca_top_components: the _pca_power_oracle head
+    (HUGEINT covariance, symmetrized), then per component a
+    prefix-jittered start, unrolled MATERIALIZED rounds, Rayleigh
+    quotient, and 9dp-grid Hotelling deflation."""
+    head = r"""
+WITH vsrc AS (SELECT list_transform(embedding::DOUBLE[],
+                                    x -> CAST(floor(x * 1000000) AS BIGINT))
+                  AS q
+              FROM embeddings),
+wsrc AS (SELECT row_number() OVER () AS rid, q FROM vsrc),
+u AS (SELECT rid, CAST(generate_subscripts(q, 1) - 1 AS INT) AS i,
+             unnest(q) AS qi
+      FROM wsrc),
+nn AS (SELECT count(*)::HUGEINT AS n FROM vsrc),
+s AS (SELECT i, CAST(sum(qi) AS HUGEINT) AS s FROM u GROUP BY i),
+pp AS (SELECT a.i AS i, b.i AS j,
+              CAST(sum(a.qi::HUGEINT * b.qi::HUGEINT) AS HUGEINT) AS sxy
+       FROM u a JOIN u b ON a.rid = b.rid AND b.i >= a.i
+       GROUP BY 1, 2),
+ctri AS (SELECT pp.i AS dim_i, pp.j AS dim_j,
+                round(CAST(nn.n * pp.sxy - si.s * sj.s AS DOUBLE)
+                      / CAST(nn.n * nn.n AS DOUBLE) / 1e12, 9) AS cov
+         FROM pp JOIN s si ON si.i = pp.i JOIN s sj ON sj.i = pp.j
+         CROSS JOIN nn),
+c1 AS MATERIALIZED (
+  SELECT dim_i, dim_j, cov FROM ctri
+  UNION ALL
+  SELECT dim_j, dim_i, cov FROM ctri WHERE dim_i <> dim_j)"""
+    parts = [head]
+    finals = []
+    for k in range(1, n_components + 1):
+        parts.append(f""",
+k{k}v0 AS MATERIALIZED (
+  SELECT dim, CAST(500000000 + CAST('0x' || substr(md5('pca{k}:'
+              || CAST(dim AS VARCHAR)), 1, 4) AS BIGINT) * 10000
+              AS BIGINT) AS vi
+  FROM (SELECT DISTINCT dim_i AS dim FROM c{k}))""")
+        for t in range(1, iters + 1):
+            prev = f"k{k}v{t - 1}"
+            parts.append(f""",
+k{k}w{t} AS MATERIALIZED (
+  SELECT c.dim_i AS dim,
+         CAST(sum(CAST(round(c.cov * CAST(p.vi AS DOUBLE), 0) AS BIGINT))
+              AS BIGINT) AS wi
+  FROM c{k} c JOIN {prev} p ON p.dim = c.dim_j
+  GROUP BY 1),
+k{k}n{t} AS (SELECT sqrt(CAST(sum(wi::HUGEINT * wi::HUGEINT) AS DOUBLE))
+                    AS nrm
+             FROM k{k}w{t}),
+k{k}v{t} AS MATERIALIZED (
+  SELECT dim, CASE WHEN nrm > 0
+                   THEN CAST(round(CAST(wi AS DOUBLE) / nrm * 1e9, 0)
+                        AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END AS vi
+  FROM k{k}w{t} CROSS JOIN k{k}n{t})""")
+        last = f"k{k}v{iters}"
+        parts.append(f""",
+k{k}wf AS (SELECT c.dim_i AS dim,
+                  CAST(sum(CAST(round(c.cov * CAST(p.vi AS DOUBLE), 0)
+                       AS BIGINT)) AS BIGINT) AS wi
+           FROM c{k} c JOIN {last} p ON p.dim = c.dim_j
+           GROUP BY 1),
+k{k}q AS (SELECT CAST(sum(v.vi::HUGEINT * w.wi::HUGEINT) AS HUGEINT)
+                 AS vw,
+                 CAST(sum(v.vi::HUGEINT * v.vi::HUGEINT) AS HUGEINT)
+                 AS vv
+          FROM {last} v JOIN k{k}wf w ON w.dim = v.dim),
+k{k}lam AS (SELECT CASE WHEN CAST(vv AS DOUBLE) > 0
+                        THEN round(CAST(vw AS DOUBLE)
+                                   / CAST(vv AS DOUBLE), 9)
+                        END AS eigenvalue
+            FROM k{k}q)""")
+        finals.append(
+            f"""SELECT {k} AS component, v.dim,
+       round(CAST(v.vi AS DOUBLE) / 1e9, 6) AS loading,
+       l.eigenvalue
+FROM {last} v CROSS JOIN k{k}lam l""")
+        if k < n_components:
+            parts.append(f""",
+c{k + 1} AS MATERIALIZED (
+  SELECT c.dim_i, c.dim_j,
+         round(c.cov - l.eigenvalue
+               * (CAST(a.vi AS DOUBLE) / 1e9)
+               * (CAST(b.vi AS DOUBLE) / 1e9), 9) AS cov
+  FROM c{k} c
+  JOIN {last} a ON a.dim = c.dim_i
+  JOIN {last} b ON b.dim = c.dim_j
+  CROSS JOIN k{k}lam l)""")
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+@query("pca_top_components", _pca_top_oracle())
+def pca_top_components_query(spark, sf_dir):
+    """Top-2 principal components by power iteration + Hotelling
+    deflation (similarity.pca_top_components): the truncated
+    eigendecomposition entirely on register-sized tables — deflated
+    entries re-round to the covariance's 9dp grid so both passes
+    replay identically in the unrolled twin."""
+    from amundsendatabuilder_spark.operators.similarity import (
+        pca_top_components)
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return pca_top_components(emb, n_components=2, iters=8)

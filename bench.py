@@ -220,6 +220,7 @@ EXTENDED = [
     "pca_power_iteration",
     "pca_explained_variance",
     "stream_minhash_registers",
+    "pca_top_components",
 ]
 
 

@@ -4179,3 +4179,35 @@ def test_windowed_minhash_registers_stream(spark):
     assert got == expect
     # only the closed window emitted
     assert all(r.window_start.hour == 0 for r in out.collect())
+
+
+def test_pca_top_components_orthogonal(spark):
+    import itertools
+
+    from amundsendatabuilder_spark.operators.similarity import (
+        pca_top_components)
+    # variance ladder: dim1 var 5.0, dim2 var 1.25, dim0 var 0.09 ->
+    # component 1 along dim1, component 2 along dim2
+    rows = []
+    i = 0
+    for a, b, c in itertools.product([-0.3, 0.3],
+                                     [-3.0, -1.0, 1.0, 3.0],
+                                     [-1.5, -0.5, 0.5, 1.5]):
+        i += 1
+        rows.append((i, [a, b, c]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pca_top_components(emb, n_components=2, iters=12).collect()
+    c1 = {r.dim: r for r in out if r.component == 1}
+    c2 = {r.dim: r for r in out if r.component == 2}
+    assert len(c1) == 3 and len(c2) == 3
+    # component 1 along dim 1, component 2 along dim 2
+    assert abs(c1[1].loading) > 0.99
+    assert abs(c2[2].loading) > 0.99
+    # eigenvalues approximate the variances, non-increasing
+    l1 = c1[1].eigenvalue
+    l2 = c2[2].eigenvalue
+    assert abs(l1 - 5.0) <= 0.05 and abs(l2 - 1.25) <= 0.05
+    assert l1 >= l2
+    # orthogonality of the two unit vectors
+    dot = sum(c1[d].loading * c2[d].loading for d in c1)
+    assert abs(dot) <= 1e-3

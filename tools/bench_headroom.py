@@ -168,6 +168,7 @@ SUITE = [
     "pca_power_iteration",
     "pca_explained_variance",
     "stream_minhash_registers",
+    "pca_top_components",
 ]
 
 
