@@ -27,7 +27,7 @@ from amundsendatabuilder_spark.plans.oracle_suite import ORACLES, QUERIES  # noq
 # is_active/full_name parity this round); (b)
 # graph_match_varlen_undirected, whose semantics changed this round
 # (Cypher relationship-uniqueness fix), needs re-certification; (c) the
-# 75 round-9 additions, never driver-certified; (d) the
+# 76 round-9 additions, never driver-certified; (d) the
 # oldest-certified entries (r1–r4 era), oldest first, to keep every
 # cert fresh under the rotation discipline. Names not yet registered
 # are skipped by ``_ordered``.
@@ -102,6 +102,7 @@ _PRIORITY = [
     "pca_explained_variance",
     "stream_minhash_registers",
     "pca_top_components",
+    "graph_effective_diameter",
     # (d) oldest-certified entries, oldest certification first
     "lang_id", "quality_metrics", "doc_fingerprint", "embedding_norms",
     "char_ngram_profile", "pii_scrub", "repetition_metrics",

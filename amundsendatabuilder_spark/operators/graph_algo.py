@@ -748,3 +748,53 @@ def hyperball_harmonic(edges: DataFrame, iters: int = 3, p: int = 4,
     return (scored.select("node", cent.alias("harmonic_centrality"))
             .orderBy(F.col("harmonic_centrality").desc(), "node")
             .limit(k))
+
+
+def hyperball_effective_diameter(edges: DataFrame, iters: int = 3,
+                                 p: int = 4, q: float = 0.9,
+                                 src_col: str = "src",
+                                 dst_col: str = "dst") -> DataFrame:
+    """Effective diameter from the HyperBall neighborhood function:
+    the (interpolated) smallest radius r where the summed reach N(r)
+    covers a ``q`` fraction of N(R_max) — the one-number answer to
+    "how many hops apart is this graph, really" (Boldi-Vigna's
+    headline statistic), robust where the true diameter is a
+    pathological tail. Reuses hyperball_neighborhood's per-radius
+    totals verbatim.
+
+    Returns one row: (n_nodes, max_radius, reach_at_max,
+    effective_diameter) — 6dp; the diameter is exact-linear
+    interpolation between the bracketing radii on the 1e6-quantized
+    reach sums, so both engines replay it bit-for-bit. If even radius
+    0 covers q (degenerate edgeless input) the diameter is 0.
+    """
+    from amundsendatabuilder_spark.functions.scalars import round_half_away
+    nf = hyperball_neighborhood(edges, iters=iters, p=p,
+                                src_col=src_col, dst_col=dst_col)
+    # work on the exact 1e6-scaled totals to keep interpolation replayable
+    reg = nf.select("radius", "n_nodes",
+                    round_half_away(F.col("total_reach") * 1e6, 0)
+                    .cast("long").alias("t6"))
+    from pyspark.sql import Window
+    w = Window.orderBy("radius")
+    mx = reg.agg(F.max("t6").alias("tmax"),
+                 F.max("radius").alias("rmax"),
+                 F.max("n_nodes").alias("nn_total"))
+    j = (reg.withColumn("prev_t6", F.lag("t6").over(w))
+         .crossJoin(F.broadcast(mx)))
+    # target in the same 1e6 units; threshold row = first radius
+    # whose reach crosses q * tmax
+    target = F.col("tmax").cast("double") * F.lit(float(q))
+    crossed = (j.where(F.col("t6").cast("double") >= target)
+               .orderBy("radius").limit(1))
+    interp = F.when(
+        F.col("radius") == 0, F.lit(0.0)).otherwise(
+        (F.col("radius") - 1).cast("double")
+        + (target - F.col("prev_t6").cast("double"))
+        / (F.col("t6") - F.col("prev_t6")).cast("double"))
+    return crossed.select(
+        F.col("nn_total").alias("n_nodes"),
+        F.col("rmax").alias("max_radius"),
+        round_half_away(F.col("tmax").cast("double") / 1e6, 6)
+        .alias("reach_at_max"),
+        round_half_away(interp, 6).alias("effective_diameter"))

@@ -10774,3 +10774,50 @@ def pca_top_components_query(spark, sf_dir):
         pca_top_components)
     (emb,) = _t(spark, sf_dir, "embeddings")
     return pca_top_components(emb, n_components=2, iters=8)
+
+
+@query("graph_effective_diameter", f"""
+WITH nf AS ({_hyperball_oracle()}),
+reg AS (SELECT radius, n_nodes,
+               CAST(round(total_reach * 1e6, 0) AS BIGINT) AS t6
+        FROM nf),
+mx AS (SELECT max(t6) AS tmax, max(radius) AS rmax,
+              max(n_nodes) AS n_nodes
+       FROM reg),
+j AS (SELECT r.radius, r.t6,
+             lag(r.t6) OVER (ORDER BY r.radius) AS prev_t6,
+             m.tmax, m.rmax, m.n_nodes
+      FROM reg r CROSS JOIN mx m),
+crossed AS (SELECT * FROM j
+            WHERE CAST(t6 AS DOUBLE) >= CAST(tmax AS DOUBLE) * 0.9
+            ORDER BY radius LIMIT 1)
+SELECT n_nodes, CAST(rmax AS INT) AS max_radius,
+       round(CAST(tmax AS DOUBLE) / 1e6, 6) AS reach_at_max,
+       round(CASE WHEN radius = 0 THEN 0.0
+                  ELSE CAST(radius - 1 AS DOUBLE)
+                       + (CAST(tmax AS DOUBLE) * 0.9
+                          - CAST(prev_t6 AS DOUBLE))
+                         / CAST(t6 - prev_t6 AS DOUBLE) END, 6)
+       AS effective_diameter
+FROM crossed
+""")
+def graph_effective_diameter_query(spark, sf_dir):
+    """Effective diameter (q=0.9) of the synthesized lineage DAG from
+    HyperBall's neighborhood function
+    (graph_algo.hyperball_effective_diameter): exact-linear
+    interpolation between bracketing radii on the 1e6-quantized reach
+    sums — Boldi-Vigna's headline statistic on register state."""
+    from amundsendatabuilder_spark.operators.graph_algo import (
+        hyperball_effective_diameter)
+    (orders,) = _t(spark, sf_dir, "orders")
+    keys_df = (orders.select(F.col("o_orderkey").alias("k"))
+               .distinct().cache())
+    a, b = keys_df.alias("a"), keys_df.alias("b")
+
+    def em(mult: int, add: int = 0):
+        return (a.join(b, F.col("b.k") == F.col("a.k") * mult + add)
+                .select(F.col("a.k").alias("src"),
+                        F.col("b.k").alias("dst")))
+
+    edges = em(2).unionByName(em(2, 1)).unionByName(em(3))
+    return hyperball_effective_diameter(edges, iters=3, p=4, q=0.9)

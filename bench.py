@@ -221,6 +221,7 @@ EXTENDED = [
     "pca_explained_variance",
     "stream_minhash_registers",
     "pca_top_components",
+    "graph_effective_diameter",
 ]
 
 

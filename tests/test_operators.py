@@ -4211,3 +4211,33 @@ def test_pca_top_components_orthogonal(spark):
     # orthogonality of the two unit vectors
     dot = sum(c1[d].loading * c2[d].loading for d in c1)
     assert abs(dot) <= 1e-3
+
+
+def test_hyperball_effective_diameter_line(spark):
+    from amundsendatabuilder_spark.operators.graph_algo import (
+        hyperball_effective_diameter, hyperball_neighborhood)
+    # line graph: the neighborhood function grows every radius, so the
+    # q=0.9 crossing interpolates between the replayed reach sums
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 5)], "src long, dst long")
+    nf = {r.radius: round(r.total_reach * 1e6)
+          for r in hyperball_neighborhood(edges, iters=3, p=4).collect()}
+    out = hyperball_effective_diameter(edges, iters=3, p=4,
+                                       q=0.9).collect()[0]
+    assert out.n_nodes == 5 and out.max_radius == 3
+    tmax = max(nf.values())
+    target = tmax * 0.9
+    # find bracketing radii in the twin and interpolate identically
+    for r in sorted(nf):
+        if nf[r] >= target:
+            if r == 0:
+                exp = 0.0
+            else:
+                exp = (r - 1) + (target - nf[r - 1]) / (nf[r] - nf[r - 1])
+            break
+    assert abs(out.effective_diameter - round(exp, 6)) <= 1e-9
+    assert 0 < out.effective_diameter <= 3
+    # q tiny: radius 0 already covers it -> diameter 0
+    z = hyperball_effective_diameter(edges, iters=2, p=4,
+                                     q=0.1).collect()[0]
+    assert z.effective_diameter == 0.0

@@ -169,6 +169,7 @@ SUITE = [
     "pca_explained_variance",
     "stream_minhash_registers",
     "pca_top_components",
+    "graph_effective_diameter",
 ]
 
 
