@@ -79,7 +79,8 @@ def epoch_shuffle_shards(docs: DataFrame, epochs: int = 2,
 
     The trick that makes this scale: the 16-bit hash space is
     range-partitioned into ``n_shards`` contiguous shards (shard =
-    bucket * n_shards / 65536), so shard assignment is a pure map-side
+    bucket * n_shards DIV 65536, integer arithmetic), so shard
+    assignment is a pure map-side
     projection and the only ordering work is a row_number window
     PARTITIONED by (epoch, shard) — bounded by corpus/n_shards rows, the
     unit a training loader consumes, never a corpus-wide sort. Different
@@ -95,7 +96,11 @@ def epoch_shuffle_shards(docs: DataFrame, epochs: int = 2,
     h = F.md5(F.concat(F.lit("ep"), F.col("epoch").cast("string"),
                        F.lit(":"), F.col(id_col).cast("string")))
     bucket = F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
-    shard = (bucket * n_shards / F.lit(65536)).cast("int")
+    # integer DIV (shift by 16 = divide by 65536), not float /: exact
+    # either way for a power-of-two divisor, but the integer form keeps
+    # the repo's cross-engine determinism argument uniform (no float in
+    # any bucketing path)
+    shard = F.shiftright((bucket * n_shards).cast("long"), 16).cast("int")
     w = Window.partitionBy("epoch", "shard_id").orderBy("h", id_col)
     return (e.select("epoch", F.col(id_col), h.alias("h"),
                      shard.alias("shard_id"))
@@ -256,12 +261,19 @@ def filter_funnel(docs: DataFrame, min_chars: int = 100,
     window, never the corpus).
     """
     toks = tokens(F.col("text"))
-    distinct_ratio = F.size(F.array_distinct(toks)) / F.size(toks)
+    # try_divide: a zero-token doc's ratio is NULL (0/0) instead of an
+    # ANSI divide-by-zero error; NULL then counts as a rule-4 failure
+    # (the expectation_audit "false OR null = fail" convention) so
+    # min_tokens=0 callers don't silently pass degenerate docs — with
+    # the default min_tokens, rule 3 still charges them first
+    distinct_ratio = F.try_divide(F.size(F.array_distinct(toks)),
+                                  F.size(toks))
     first_fail = (
         F.when(F.col("n_chars") < min_chars, 1)
         .when(~F.col("lang").isin(*allowed_langs), 2)
         .when(F.size(toks) < min_tokens, 3)
-        .when(distinct_ratio < min_distinct_ratio, 4)
+        .when(distinct_ratio.isNull()
+              | (distinct_ratio < min_distinct_ratio), 4)
         .otherwise(0))
     drops = (docs.select(first_fail.alias("stage"))
              .where(F.col("stage") > 0)

@@ -209,7 +209,10 @@ def ndcg_at_k(ranked: DataFrame, relevance: DataFrame, k: int = 10,
     missed the best docs is penalized, as it should be).
 
     ``ranked``: (id, rank) with rank 1-based; ``relevance``: (id, rel)
-    with small non-negative integer grades. Returns one row:
+    with small non-negative integer grades — duplicate ids collapse to
+    max(rel) before anything joins, so a doc graded twice can neither
+    fan out the served-side join (inflating DCG) nor occupy two IDCG
+    slots. Returns one row:
     (k, dcg, idcg, ndcg) — 6dp; ndcg NULL when IDCG is 0 (no relevant
     docs anywhere).
 
@@ -222,6 +225,8 @@ def ndcg_at_k(ranked: DataFrame, relevance: DataFrame, k: int = 10,
     """
     gain = (F.pow(F.lit(2.0), F.col(rel_col).cast("double"))
             - F.lit(1.0))
+    relevance = (relevance.groupBy(id_col)
+                 .agg(F.max(rel_col).alias(rel_col)))
     served = (ranked.where(F.col(rank_col) <= k)
               .join(relevance.select(F.col(id_col),
                                      F.col(rel_col)), id_col, "left")

@@ -634,18 +634,23 @@ def jl_distortion_audit(emb: DataFrame, planes: list[list[float]],
     once per corpus snapshot; if max_err exceeds the ANN margin, raise
     k before scanning 100 TB with a lossy prefilter.
 
-    Scale shape: both sample sides are tiny (mod-hash cuts), one side
-    broadcasts; per-pair errors quantize to integer ppm so the
+    Scale shape: both sample sides are tiny (md5-mod cuts over the id —
+    hashed, not raw, so any id type samples deterministically; ids that
+    land in both cuts contribute only as the id_a < id_b side), one
+    side broadcasts; per-pair errors quantize to integer ppm so the
     aggregation is an exact, order-free integer sum.
     """
     from amundsendatabuilder_spark.functions.vectors import l2_norm
     p = jl_project(
         emb.select(F.col(id_col), F.col(vec_col).cast("array<double>")
                    .alias("_v")), planes, vec_col="_v")
-    a = (p.where(F.col(id_col) % sample_mod_a == 0)
+    hid = F.conv(F.substring(F.md5(F.concat(
+        F.lit("jl:"), F.col(id_col).cast("string"))), 1, 8), 16, 10
+    ).cast("long")
+    a = (p.where(hid % sample_mod_a == 0)
          .select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"),
                  F.col("proj").alias("_pa")))
-    b = (p.where(F.col(id_col) % sample_mod_b == 0)
+    b = (p.where(hid % sample_mod_b == 0)
          .select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"),
                  F.col("proj").alias("_pb")))
     pairs = (a.crossJoin(F.broadcast(b))
@@ -693,49 +698,11 @@ def pca_power_iteration(emb: DataFrame, iters: int = 8,
            .select(F.col("dim_j").alias("dim_i"),
                    F.col("dim_i").alias("dim_j"), "cov"))
     c = cov.unionByName(low).localCheckpoint()
-    # start vector: md5-jittered positive components — a basis vector
-    # (or any fixed sparse start) can be EXACTLY orthogonal to the top
-    # eigenvector on block-structured covariances and then converges
-    # inside the complement; the irregular dense start makes zero
-    # overlap measure-zero, and one round of normalization absorbs it
-    jitter = F.conv(F.substring(F.md5(F.concat(
-        F.lit("pca:"), F.col("dim").cast("string"))), 1, 4), 16, 10
-    ).cast("long")
-    v = (c.select(F.col("dim_i").alias("dim")).distinct()
-         .select("dim", (F.lit(500_000_000) + jitter * F.lit(10_000))
-                 .cast("long").alias("vi"))
-         .localCheckpoint())
-    w = None
-    for _ in range(int(iters)):
-        vr = (v.withColumnRenamed("dim", "vdim")
-              .withColumnRenamed("vi", "vj"))
-        w = (c.join(F.broadcast(vr), c["dim_j"] == F.col("vdim"))
-             .select(c["dim_i"].alias("dim"),
-                     round_half_away(F.col("cov")
-                                     * F.col("vj").cast("double"), 0)
-                     .cast("long").alias("t"))
-             .groupBy("dim").agg(F.sum("t").cast("long").alias("wi"))
-             .localCheckpoint())
-        nrm = w.agg(F.sqrt(F.sum(
-            (F.col("wi").cast("decimal(19,0)")
-             * F.col("wi").cast("decimal(19,0)")).cast("decimal(38,0)"))
-            .cast("double")).alias("nrm"))
-        v = (w.crossJoin(F.broadcast(nrm))
-             .select("dim", F.when(
-                 F.col("nrm") > 0, round_half_away(
-                     F.col("wi").cast("double") / F.col("nrm") * 1e9, 0))
-                 .otherwise(F.lit(0)).cast("long").alias("vi"))
-             .localCheckpoint())
-    # Rayleigh quotient on the final (v, w = C v_prev ~ lambda v) pair:
-    # recompute w once against the FINAL v for an honest quotient
-    vrf = (v.withColumnRenamed("dim", "vdim")
-           .withColumnRenamed("vi", "vj"))
-    wf = (c.join(F.broadcast(vrf), c["dim_j"] == F.col("vdim"))
-          .select(c["dim_i"].alias("dim"),
-                  round_half_away(F.col("cov")
-                                  * F.col("vj").cast("double"), 0)
-                  .cast("long").alias("t"))
-          .groupBy("dim").agg(F.sum("t").cast("long").alias("wi")))
+    # shared jitter-start/mat-vec/renormalize core (bit-identical to the
+    # in-line loop this replaced — one arithmetic path for both the
+    # single-component and the deflation entry points); wf is one more
+    # exact mat-vec against the FINAL v for an honest Rayleigh quotient
+    v, wf = _power_iterate(c, iters, "pca:")
     q = (v.join(wf, "dim")
          .agg(F.sum((F.col("vi").cast("decimal(19,0)")
                      * F.col("wi").cast("decimal(19,0)"))

@@ -7568,8 +7568,8 @@ h AS (SELECT epoch, doc_id,
                  || CAST(doc_id AS VARCHAR)) AS h
       FROM e),
 s AS (SELECT epoch, doc_id, h,
-             CAST(floor(CAST('0x' || substr(h, 1, 4) AS BIGINT)
-                        * 16 / 65536.0) AS INT) AS shard_id
+             CAST((CAST('0x' || substr(h, 1, 4) AS BIGINT) * 16)
+                  // 65536 AS INT) AS shard_id
       FROM h)
 SELECT epoch, shard_id, doc_id,
        CAST(row_number() OVER (PARTITION BY epoch, shard_id
@@ -8711,7 +8711,10 @@ pairs AS (SELECT CAST(round(abs(
                  - round(list_cosine_similarity(a.v, b.v), 6)) * 1e6, 0)
                  AS BIGINT) AS err_ppm
           FROM p a JOIN p b ON a.vec_id < b.vec_id
-          WHERE a.vec_id % 10 = 0 AND b.vec_id % 13 = 0)
+          WHERE CAST('0x' || substr(md5('jl:' || CAST(a.vec_id AS VARCHAR)),
+                                    1, 8) AS BIGINT) % 10 = 0
+            AND CAST('0x' || substr(md5('jl:' || CAST(b.vec_id AS VARCHAR)),
+                                    1, 8) AS BIGINT) % 13 = 0)
 SELECT CAST({k} AS INT) AS k_dims, CAST(count(*) AS BIGINT) AS n_pairs,
        CAST(sum(err_ppm) // count(*) AS BIGINT) AS mean_err_ppm,
        max(err_ppm) AS max_err_ppm

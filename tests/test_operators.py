@@ -2688,6 +2688,20 @@ def test_filter_funnel_first_fail_accounting(spark):
     assert out[4].n_out == 1                             # doc 1 survives
 
 
+def test_filter_funnel_zero_token_doc_fails_rule4_not_null_pass(spark):
+    # min_tokens=0 disables rule 3; a zero-token doc's distinct ratio
+    # is NULL (0/0) and must FAIL rule 4, not slip through the
+    # when(NULL < threshold) hole (round-9 advice fix)
+    from amundsendatabuilder_spark.operators.curation import filter_funnel
+    docs = spark.createDataFrame(
+        [(1, "", "en", 200),                              # zero tokens
+         (2, " ".join(f"w{i}" for i in range(30)), "en", 200)],
+        "doc_id long, text string, lang string, n_chars long")
+    out = {r.stage: r for r in
+           filter_funnel(docs, min_tokens=0).collect()}
+    assert out[4].n_dropped == 1 and out[4].n_out == 1
+
+
 def test_hll_pairwise_overlap_set_algebra(spark):
     from pyspark.sql import functions as F
 
@@ -3068,15 +3082,24 @@ def test_jl_projection_identity_planes_zero_distortion(spark):
     emb = spark.createDataFrame(
         [(i * 10, [float(i + j) for j in range(dim)]) for i in range(6)],
         "vec_id long, embedding array<float>")
-    out = jl_distortion_audit(emb, eye, sample_mod_a=10,
-                              sample_mod_b=20).collect()[0]
-    assert out.k_dims == dim and out.n_pairs > 0
+    # mod 1 keeps every hashed id on both cut sides -> all 15 pairs;
+    # the sampler hashes the id first, so raw-id spacing is irrelevant
+    out = jl_distortion_audit(emb, eye, sample_mod_a=1,
+                              sample_mod_b=1).collect()[0]
+    assert out.k_dims == dim and out.n_pairs == 15
     assert out.mean_err_ppm == 0 and out.max_err_ppm == 0
     # a rank-1 projection destroys cosine structure -> nonzero error
     rank1 = [[1.0, 1.0, 1.0, 1.0]] * 2
-    bad = jl_distortion_audit(emb, rank1, sample_mod_a=10,
-                              sample_mod_b=20).collect()[0]
+    bad = jl_distortion_audit(emb, rank1, sample_mod_a=1,
+                              sample_mod_b=1).collect()[0]
     assert bad.max_err_ppm > 0
+    # string ids sample deterministically too (the hash, not the id,
+    # feeds the mod) — the round-9 advice fix
+    semb = emb.select(F.concat(F.lit("v"), F.col("vec_id").cast("string"))
+                      .alias("vec_id"), "embedding")
+    sout = jl_distortion_audit(semb, eye, sample_mod_a=1,
+                               sample_mod_b=1).collect()[0]
+    assert sout.n_pairs == 15 and sout.max_err_ppm == 0
     # jl_project output shape
     p = jl_project(emb, eye).collect()[0]
     assert p.proj == [float(x) for x in p.embedding]
@@ -4022,6 +4045,12 @@ def test_ndcg_at_k_known_values(spark):
     exp = sum(round((2 ** g - 1) / math.log2(r + 1) * 1e9)
               for r, g in [(1, 0), (2, 3)]) / 1e9
     assert abs(o4.dcg - round(exp, 6)) <= 1e-9
+    # duplicate ids in relevance collapse to max(rel): no served-side
+    # fan-out, no double IDCG slot (round-9 advice fix)
+    dup = spark.createDataFrame(
+        [(1, 3), (1, 1), (2, 2), (3, 1)], "doc_id long, rel long")
+    od = ndcg_at_k(ranked, dup, k=3).collect()[0]
+    assert od.ndcg == 1.0 and od.dcg == out.dcg and od.idcg == out.idcg
 
 
 def test_windowed_benford_registers_stream(spark):
