@@ -42,8 +42,8 @@ _PRIORITY = [
     "spearman_correlation", "stream_benford_registers",
     "stream_minhash_registers", "theil_decomposition", "token_source_mi",
     "variance_decomposition",
-    # (b) sampler semantics changed in round 10 — re-certify
-    "jl_distortion_audit",
+    # (b) new in round 10 / semantics changed in round 10
+    "stream_asof_join", "jl_distortion_audit",
     # (c) oldest-certified (round 4) rotation re-certs
     "bm25_topk", "boilerplate_chunks", "cohort_retention", "column_profile",
     "cross_source_overlap", "dedup_rate_by_source", "doc_chunking",

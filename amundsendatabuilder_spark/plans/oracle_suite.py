@@ -3502,6 +3502,49 @@ def stream_attribution_outer(spark, sf_dir):
                          os.path.join(tempfile.mkdtemp(), "ckpt"))
 
 
+@query("stream_asof_join", """
+WITH p AS (SELECT event_id, user_id, ts AS purchase_ts FROM events
+           WHERE event_type = 'purchase'),
+v AS (SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'),
+wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events
+       WHERE event_type IN ('view', 'purchase')),
+j AS (SELECT p.event_id, p.user_id, p.purchase_ts,
+             max(v.view_ts) AS asof_view_ts
+      FROM p LEFT JOIN v
+        ON v.user_id = p.user_id
+       AND v.view_ts <= p.purchase_ts
+       AND v.view_ts > p.purchase_ts - INTERVAL 60 MINUTE
+      GROUP BY 1, 2, 3)
+SELECT j.event_id, j.user_id, j.purchase_ts, j.asof_view_ts
+FROM j, wm WHERE j.purchase_ts < wm.w
+""")
+def stream_asof_join_query(spark, sf_dir):
+    """Streaming as-of join (streaming/asof_stream.stream_asof_join):
+    each purchase enriched with the same user's most recent view at or
+    before it (60 min lookback), as an applyInPandasWithState custom
+    stateful operator — the streaming twin of operators/asof.asof_join
+    (r9 verdict item #3). Hash-verified with the emission frontier
+    pinned in SQL: a purchase emits only once the single union-stream
+    watermark (max event ts over views+purchases minus the 2h delay)
+    strictly passes its ts — matched rows hold to the same frontier
+    because the most-recent-prior answer can improve until it passes;
+    later purchases stay in state, never silently dropped."""
+    import os
+    import tempfile
+
+    from amundsendatabuilder_spark.streaming.asof_stream import (
+        stream_asof_join)
+    from amundsendatabuilder_spark.streaming.events import run_to_memory
+    stream = _event_stream(spark, sf_dir)
+    joined = stream_asof_join(
+        stream.where(F.col("event_type") == "view"),
+        stream.where(F.col("event_type") == "purchase"),
+        horizon_minutes=60)
+    name = "sasof_" + next(tempfile._get_candidate_names())
+    return run_to_memory(joined, spark, name,
+                         os.path.join(tempfile.mkdtemp(), "ckpt"))
+
+
 @query("incremental_ingest_anti_join", r"""
 WITH fp AS (SELECT doc_id,
                    md5(array_to_string(list_filter(

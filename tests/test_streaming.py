@@ -551,3 +551,92 @@ def test_windowed_histogram_registers_match_batch(spark, tmp_path):
     want_m = {(str(r.window_start), r.bucket): r.cnt for r in want.collect()}
     assert got_m
     assert all(want_m[k] == v for k, v in got_m.items())
+
+
+def test_stream_asof_join_cross_batch_state_and_frontier(spark, tmp_path):
+    """Custom stateful as-of join (streaming/asof_stream.stream_asof_join):
+
+    - MOST-RECENT-prior semantics improve across micro-batches: user 1's
+      purchase arrives in batch 1, a closer prior view arrives in batch 2,
+      and the emitted row must carry the batch-2 view — proof the purchase
+      HELD in state until the frontier passed instead of emitting eagerly.
+    - Emission frontier: only purchases with ts strictly behind the final
+      watermark (max event ts - delay) emit; later ones stay in state.
+    - Left-outer: a purchase with no view in the lookback emits NULL.
+    """
+    import datetime as dt
+
+    from amundsendatabuilder_spark.streaming.asof_stream import (
+        stream_asof_join)
+    from amundsendatabuilder_spark.streaming.events import run_to_memory
+    schema = ("event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string")
+    src = tmp_path / "asof_src"
+    src.mkdir()
+    t = lambda m: dt.datetime(2024, 1, 1, 10, 0) + dt.timedelta(minutes=m)
+    b1 = spark.createDataFrame(
+        [(1, t(0), 1, "view", 0.0, "{}"),
+         (2, t(20), 1, "view", 0.0, "{}"),
+         (100, t(30), 1, "purchase", 9.0, "{}"),    # best prior arrives later
+         (101, t(45), 2, "purchase", 9.0, "{}")],   # no views at all -> NULL
+        schema)
+    b1.coalesce(1).write.parquet(str(src / "a_b1"))
+    b2 = spark.createDataFrame(
+        # batch-2 view BEFORE purchase 100's ts: must become its answer
+        [(3, t(25), 1, "view", 0.0, "{}"),
+         # beyond the final frontier (wm = 13:00 - 2h = 11:00): held back
+         (102, t(125), 1, "purchase", 9.0, "{}"),
+         # sentinel advances the watermark to 11:00
+         (4, t(180), 9, "view", 0.0, "{}")],
+        schema)
+    b2.coalesce(1).write.parquet(str(src / "b_b2"))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false")
+              .parquet(str(src) + "/*"))
+    out = run_to_memory(
+        stream_asof_join(stream.where("event_type = 'view'"),
+                         stream.where("event_type = 'purchase'"),
+                         horizon_minutes=60),
+        spark, "asof_stream_test", str(tmp_path / "ckpt_asof"))
+    rows = {r.event_id: r for r in out.collect()}
+    # purchase 100: answer is the CROSS-BATCH view at 10:25, not 10:20
+    assert set(rows) == {100, 101}
+    assert rows[100].asof_view_ts == t(25)
+    assert rows[100].purchase_ts == t(30)
+    # purchase 101: no prior view -> NULL survives (left-outer)
+    assert rows[101].asof_view_ts is None
+    # purchase 102 (12:05 >= 11:00 frontier) stayed in state
+
+
+def test_stream_asof_join_horizon_excludes_stale_views(spark, tmp_path):
+    """A view OLDER than the lookback horizon must not answer (the
+    bounded-state contract: pruned views are also semantically out)."""
+    import datetime as dt
+
+    from amundsendatabuilder_spark.streaming.asof_stream import (
+        stream_asof_join)
+    from amundsendatabuilder_spark.streaming.events import run_to_memory
+    schema = ("event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string")
+    src = tmp_path / "asof_src2"
+    src.mkdir()
+    t = lambda m: dt.datetime(2024, 1, 1, 10, 0) + dt.timedelta(minutes=m)
+    spark.createDataFrame(
+        [(1, t(0), 1, "view", 0.0, "{}"),          # 70 min before: stale
+         (100, t(70), 1, "purchase", 9.0, "{}"),
+         (2, t(75), 1, "view", 0.0, "{}"),         # tie ts: <= matches
+         (101, t(75), 1, "purchase", 9.0, "{}"),
+         (4, t(300), 9, "view", 0.0, "{}")],       # watermark sentinel
+        schema).coalesce(1).write.parquet(str(src / "one"))
+    stream = (spark.readStream.schema(schema)
+              .parquet(str(src) + "/*"))
+    out = run_to_memory(
+        stream_asof_join(stream.where("event_type = 'view'"),
+                         stream.where("event_type = 'purchase'"),
+                         horizon_minutes=60),
+        spark, "asof_stream_test2", str(tmp_path / "ckpt_asof2"))
+    rows = {r.event_id: r for r in out.collect()}
+    assert rows[100].asof_view_ts is None          # only view is > horizon
+    assert rows[101].asof_view_ts == t(75)         # tie at purchase ts OK
