@@ -16,6 +16,33 @@ from pyspark.sql import functions as F
 
 from amundsendatabuilder_spark.functions.scalars import round_half_away
 
+# the register-width contract, enforced: operators whose cumulative
+# windows run over a per-value REGISTER table document "width/scale must
+# bound the register domain" (a high-cardinality column at width=1
+# degenerates the bounded-register design into a corpus-sized
+# single-partition sort); past this many register rows the plan raises
+# instead of silently degrading (r9 verdict item #7)
+REGISTER_DOMAIN_LIMIT = 1_000_000
+
+
+def guard_register_domain(value, rank, what: str,
+                          limit: "int | None" = None):
+    """Runtime form of the register-domain contract: ``rank`` is a
+    running register-row count inside a cumulative window the operator
+    already pays for, so the check adds NO extra pass and no driver
+    count; the assertion is folded INTO the consumed ``value`` (+0 when
+    healthy) so column pruning cannot elide it. Raises mid-job the
+    moment any window partition's register count passes ``limit``
+    (default: module-level REGISTER_DOMAIN_LIMIT, read at call time so
+    tests can pin a tiny limit)."""
+    limit = REGISTER_DOMAIN_LIMIT if limit is None else limit
+    ok = F.assert_true(
+        rank <= F.lit(limit),
+        F.lit(f"register domain for {what} exceeded {limit} rows — "
+              "widen the quantization (width/scale) so the register "
+              "table stays bounded"))
+    return value + F.coalesce(ok.cast("long"), F.lit(0))
+
 
 def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     """(col_name, n_rows, n_nulls, n_distinct, min_value, max_value,
@@ -295,13 +322,14 @@ def equi_depth_boundaries(df: DataFrame, value_col: str,
     toward zero while SQL ``//`` floors, so negative quanta diverge
     across engines — the trend_slopes lesson).
 
-    Scale contract: ``width`` must bound the REGISTER domain
-    (distinct-quantum count ≲ 10^5–10^6), because the cumulative window
-    and the final probe both run over the register table — on a
-    high-cardinality column at width=1 that table approaches corpus
-    cardinality and the design degenerates; pick width so
-    (max−min)/width stays register-sized. Only the ≤n_buckets-row
-    ``bounds`` side is ever broadcast.
+    Scale contract (ENFORCED at runtime by ``guard_register_domain``):
+    ``width`` must bound the REGISTER domain (distinct-quantum count
+    ≲ 10^6), because the cumulative window and the final probe both run
+    over the register table — on a high-cardinality column at width=1
+    that table approaches corpus cardinality and the design degenerates;
+    pick width so (max−min)/width stays register-sized — the plan raises
+    past REGISTER_DOMAIN_LIMIT rather than silently degrading. Only the
+    ≤n_buckets-row ``bounds`` side is ever broadcast.
     """
     # integer DIV, not float '/': exact at any magnitude (corr-matrix
     # lesson — doubles lose integer precision past 2^53)
@@ -310,7 +338,9 @@ def equi_depth_boundaries(df: DataFrame, value_col: str,
     regs = base.groupBy("qv").agg(F.count(F.lit(1)).alias("c"))
     from pyspark.sql import Window
     wq = Window.orderBy("qv").rowsBetween(Window.unboundedPreceding, 0)
-    cum = regs.select("qv", F.sum("c").over(wq).alias("cc"))
+    cum = regs.select("qv", guard_register_domain(
+        F.sum("c").over(wq), F.count(F.lit(1)).over(wq),
+        "equi_depth_boundaries").alias("cc"))
     ks = (base.agg(F.count(F.lit(1)).alias("n"))
           .select(F.explode(F.sequence(F.lit(1), F.lit(n_buckets)))
                   .alias("bucket"), "n")
@@ -348,7 +378,8 @@ def equi_depth_boundaries_grouped(df: DataFrame, value_col: str,
     identical to the value at that rank of the group's exact sorted
     order at width=1, conservative to one quantum otherwise; values
     must be non-negative when ``width`` > 1 (DIV truncation vs ``//``
-    floor); ``width`` must bound each group's register domain.
+    floor); ``width`` must bound each group's register domain (ENFORCED
+    per group at runtime by ``guard_register_domain``).
 
     Output: (group..., bucket, cut_value, n_rows_le, pct_rows_ppm).
     Every shuffle keys on the group columns (register agg, cumulative
@@ -363,7 +394,9 @@ def equi_depth_boundaries_grouped(df: DataFrame, value_col: str,
         F.count(F.lit(1)).alias("c"))
     wq = (Window.partitionBy(*group_cols).orderBy("qv")
           .rowsBetween(Window.unboundedPreceding, 0))
-    cum = regs.select(*group_cols, "qv", F.sum("c").over(wq).alias("cc"))
+    cum = regs.select(*group_cols, "qv", guard_register_domain(
+        F.sum("c").over(wq), F.count(F.lit(1)).over(wq),
+        "equi_depth_boundaries_grouped (per group)").alias("cc"))
     totals = regs.groupBy(*group_cols).agg(F.sum("c").alias("n"))
     ks = (totals.select(
         *group_cols, "n",
@@ -726,7 +759,8 @@ def ks_drift_stat(df: DataFrame, value_col: str, group_col: str,
     Determinism/scale shape: values quantize to ``scale``-scaled
     BIGINT (register width bounds the table: distinct quantized values,
     never rows — widen ``scale`` only as the domain allows, the
-    equi_depth_boundaries contract); per-value counts collapse
+    equi_depth_boundaries contract, ENFORCED at runtime by
+    ``guard_register_domain``); per-value counts collapse
     map-side; the cumulative window runs over the REGISTER ordered by
     value. The supremum is computed as max |cum_a * n_b - cum_b * n_a|
     — EXACT integer arithmetic, no per-row float — and only the final
@@ -746,7 +780,9 @@ def ks_drift_stat(df: DataFrame, value_col: str, group_col: str,
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = reg.select(
         "q",
-        F.sum("ca").over(w).cast("long").alias("cum_a"),
+        guard_register_domain(
+            F.sum("ca").over(w).cast("long"),
+            F.count(F.lit(1)).over(w), "ks_drift_stat").alias("cum_a"),
         F.sum("cb").over(w).cast("long").alias("cum_b"))
     tot = reg.agg(F.sum("ca").cast("long").alias("na"),
                   F.sum("cb").cast("long").alias("nb"))
@@ -899,7 +935,8 @@ def spearman_correlation(df: DataFrame, col_x: str, col_y: str,
 
     Determinism/scale shape: values quantize to ``scale``-scaled
     BIGINT; per-column rank REGISTERS (value, multiplicity, lower
-    mass) are bounded by distinct quantized values, and the doubled
+    mass) are bounded by distinct quantized values (ENFORCED at
+    runtime by ``guard_register_domain``), and the doubled
     average rank 2a + m + 1 is an exact INTEGER (no .5 ranks), so rows
     join their ranks by value and Pearson-on-ranks accumulates the
     five sufficient statistics as DECIMAL(38,0) — exact and
@@ -920,10 +957,17 @@ def spearman_correlation(df: DataFrame, col_x: str, col_y: str,
             F.count(F.lit(1)).cast("long").alias("m"))
         w = (Window.orderBy(col)
              .rowsBetween(Window.unboundedPreceding, -1))
+        # same sort/partitioning, inclusive frame: the register-row rank
+        # for the domain guard rides the one WindowExec
+        wi = (Window.orderBy(col)
+              .rowsBetween(Window.unboundedPreceding, 0))
         return reg.select(
             col,
-            (F.lit(2) * F.coalesce(F.sum("m").over(w), F.lit(0))
-             + F.col("m") + F.lit(1)).cast("long").alias(f"r_{col}"))
+            guard_register_domain(
+                (F.lit(2) * F.coalesce(F.sum("m").over(w), F.lit(0))
+                 + F.col("m") + F.lit(1)).cast("long"),
+                F.count(F.lit(1)).over(wi),
+                f"spearman_correlation ({col})").alias(f"r_{col}"))
 
     ranked = (base.join(_ranks("vx"), "vx").join(_ranks("vy"), "vy"))
     rx = F.col("r_vx").cast("decimal(19,0)")

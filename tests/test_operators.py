@@ -4270,3 +4270,76 @@ def test_hyperball_effective_diameter_line(spark):
     z = hyperball_effective_diameter(edges, iters=2, p=4,
                                      q=0.1).collect()[0]
     assert z.effective_diameter == 0.0
+
+
+def test_hyperball_precision_knob_tracks_flajolet_bound(spark):
+    """The suite pins p=4 (16 registers) for oracle tractability; the
+    PRODUCTION precision story is the knob: at p=8 and p=10 the
+    neighborhood-function estimate must land within the Flajolet
+    relative-standard-error band (1.04/sqrt(2^p)) of an exact BFS on a
+    fixture graph — 3-sigma asserted, since per-node register errors
+    are hash-correlated and need not cancel in the corpus sum
+    (r9 verdict item #4, graph_algo.hyperball_neighborhood)."""
+    from amundsendatabuilder_spark.operators.graph_algo import (
+        hyperball_neighborhood)
+    n, iters = 300, 3
+    adj = {i: [(i * 3 + 1) % n, (i * 5 + 2) % n] for i in range(n)}
+    edges = spark.createDataFrame(
+        [(i, d) for i, ds in adj.items() for d in ds],
+        "src long, dst long")
+    # exact neighborhood function by per-node BFS (out-reachability)
+    exact = {r: 0 for r in range(iters + 1)}
+    for v in range(n):
+        seen, frontier = {v}, {v}
+        exact[0] += 1
+        for r in range(1, iters + 1):
+            frontier = {d for u in frontier for d in adj[u]} - seen
+            seen |= frontier
+            exact[r] += len(seen)
+    errs = {}
+    for p in (8, 12):  # register layout needs p % 4 == 0
+        got = {r.radius: r.total_reach
+               for r in hyperball_neighborhood(edges, iters=iters,
+                                               p=p).collect()}
+        bound = 3 * 1.04 / (2 ** p) ** 0.5
+        worst = max(abs(got[r] - exact[r]) / exact[r]
+                    for r in range(iters + 1))
+        assert worst <= bound, (p, worst, bound)
+        errs[p] = worst
+    # the knob tightens: 16x the registers must not degrade the
+    # observed worst-case error beyond its own (already-asserted) band
+    assert errs[12] <= 3 * 1.04 / 64.0
+
+
+def test_register_domain_guard_enforces_width_contract(spark, monkeypatch):
+    """The 'width must bound the register domain' docstring contracts are
+    now runtime contracts (r9 verdict item #7): within the limit the
+    guarded operators return exactly their ungated values; past it the
+    job RAISES instead of silently degrading into a corpus-sized
+    single-partition window sort."""
+    import pytest
+
+    from amundsendatabuilder_spark.operators import profiling
+    df = spark.createDataFrame([(i, float(i), "a" if i % 2 else "b")
+                                for i in range(40)],
+                               "id long, v double, g string")
+    # healthy: 40 distinct quanta < default limit — values unchanged
+    ok = {r.bucket: r.cut_value for r in
+          profiling.equi_depth_boundaries(df, "id", n_buckets=4).collect()}
+    assert ok == {1: 9, 2: 19, 3: 29, 4: 39}
+    # pin a tiny limit: every guarded operator must raise mid-job
+    monkeypatch.setattr(profiling, "REGISTER_DOMAIN_LIMIT", 10)
+    with pytest.raises(Exception, match="register domain"):
+        profiling.equi_depth_boundaries(df, "id", n_buckets=4).collect()
+    with pytest.raises(Exception, match="register domain"):
+        profiling.equi_depth_boundaries_grouped(
+            df, "id", ("g",), n_buckets=2).collect()
+    with pytest.raises(Exception, match="register domain"):
+        profiling.ks_drift_stat(df, "v", "g", "a", "b").collect()
+    with pytest.raises(Exception, match="register domain"):
+        profiling.spearman_correlation(df, "id", "v").collect()
+    # per-group domains ≤ limit pass even when the union exceeds it
+    monkeypatch.setattr(profiling, "REGISTER_DOMAIN_LIMIT", 25)
+    got = profiling.equi_depth_boundaries_grouped(
+        df, "id", ("g",), n_buckets=2).collect()
+    assert len(got) == 4  # 2 groups x 2 buckets, each group 20 quanta
