@@ -35,9 +35,9 @@ FIXTURES = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__
                         "tests", "fixtures")
 
 
-def main(out_dir: str) -> None:
+def main(out_dir: str, fixtures_dir: str = FIXTURES) -> dict:
     spark = get_spark("sample_job")
-    fx = FIXTURES
+    fx = fixtures_dir
     tables = read_tables_with_columns(spark, f"{fx}/sample_table.csv",
                                       f"{fx}/sample_col.csv")
     users = read_csv(spark, f"{fx}/sample_user.csv")
@@ -67,10 +67,14 @@ def main(out_dir: str) -> None:
     user_docs = build_user_documents(users, table_usage=usage)
     write_documents(user_docs, os.path.join(out_dir, "es", "user_docs"))
 
-    print({"nodes": summary["nodes"], "rels": summary["rels"],
-           "table_docs": table_docs.count(), "user_docs": user_docs.count(),
-           "status": summary["status"]})
+    result = {"nodes": summary["nodes"], "rels": summary["rels"],
+              "table_docs": table_docs.count(),
+              "user_docs": user_docs.count(),
+              "status": summary["status"]}
+    print(result)
+    return result
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/catalog_out")
+    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/catalog_out",
+         *(sys.argv[2:3]))
