@@ -43,7 +43,8 @@ _PRIORITY = [
     "stream_minhash_registers", "theil_decomposition", "token_source_mi",
     "variance_decomposition",
     # (b) new in round 10 / semantics changed in round 10
-    "stream_asof_join", "jl_distortion_audit",
+    "stream_asof_join", "jl_distortion_audit", "search_pr_at_k",
+    "dedup_minhash_estimate", "curriculum_schedule",
     # (c) oldest-certified (round 4) rotation re-certs
     "bm25_topk", "boilerplate_chunks", "cohort_retention", "column_profile",
     "cross_source_overlap", "dedup_rate_by_source", "doc_chunking",

@@ -805,3 +805,43 @@ def dup_affinity_matrix(pairs: DataFrame, docs: DataFrame,
             .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
             .withColumn("cross_source",
                         F.col("source_a") != F.col("source_b")))
+
+
+def curriculum_schedule(docs: DataFrame, n_phases: int = 4,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Curriculum data ordering (Bengio et al. 2009): stage the corpus
+    into ``n_phases`` equal-depth difficulty phases (easy -> hard, here
+    difficulty = token count — the standard length-as-difficulty proxy;
+    swap the measure upstream by pre-projecting a ``text`` of the same
+    name) with a deterministic md5 shuffle WITHIN each phase — the read
+    order a curriculum loader consumes: phase 1 first, shuffled inside,
+    no global sort anywhere.
+
+    Phase boundaries come from the register form (the
+    profiling.equi_depth_boundaries derivation): phase k's cut is the
+    smallest difficulty whose cumulative count reaches ⌈k·N/n_phases⌉,
+    so phases are equal-depth to the quantum and the assignment join is
+    a broadcast against ≤n_phases rows. Position-in-phase is a
+    row_number window PARTITIONED by phase ordered by
+    (md5('cur:'||id), id) — corpus/n_phases-bounded, seedless,
+    engine-reproducible (the epoch_shuffle_shards discipline).
+
+    Returns (doc_id, difficulty, phase, pos_in_phase).
+    """
+    from amundsendatabuilder_spark.operators.profiling import (
+        equi_depth_boundaries)
+    d = docs.select(F.col(id_col),
+                    F.size(tokens(F.col(text_col))).cast("long")
+                    .alias("difficulty"))
+    bounds = (equi_depth_boundaries(d, "difficulty", n_buckets=n_phases)
+              .select("bucket", "cut_value"))
+    assigned = (d.join(F.broadcast(bounds),
+                       F.col("difficulty") <= F.col("cut_value"))
+                .groupBy(id_col, "difficulty")
+                .agg(F.min("bucket").cast("int").alias("phase")))
+    h = F.md5(F.concat(F.lit("cur:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy("phase").orderBy(h, id_col)
+    return (assigned
+            .select(id_col, "difficulty", "phase",
+                    F.row_number().over(w).alias("pos_in_phase")))

@@ -1267,3 +1267,62 @@ def lsh_parameter_plan(spark, num_hashes: int = 16,
         F.when(F.col("nfn") > 0, round_half_away(
             F.col("sfn").cast("double") / F.col("nfn").cast("double")
             / 1e9, 6)).alias("fn_mass"))
+
+
+def minhash_jaccard_estimate(docs: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text", num_hashes: int = 16,
+                             bands: int = 4, shingle_size: int = 3,
+                             max_bucket_size: int = 1000) -> DataFrame:
+    """Signature-space Jaccard estimate for every LSH candidate pair —
+    the cheap verify tier between banding and ``lsh_verified_pairs``'
+    exact re-shingle confirm: Broder's identity P[mh_j(A) = mh_j(B)] =
+    J(A, B) makes the agreeing-component fraction an unbiased
+    k-component estimate, computed entirely from the signatures the
+    banding pass ALREADY built — the text is never touched again. At
+    100 TB the triage is band -> estimate -> exact-verify survivors
+    only, so the expensive shingle-set intersection runs on a
+    threshold-filtered fraction of candidates instead of all of them.
+
+    Returns (doc_a, doc_b, n_agree, est_jaccard_ppm) — the estimate as
+    exact integer ppm (n_agree * 1e6 DIV num_hashes), no float in the
+    pair path. Estimator grain is 1/num_hashes (62.5k ppm at k=16);
+    callers trading sharper estimates for a wider signature raise
+    ``num_hashes`` (cost: one extra min-agg column each, the banding
+    pass itself is unchanged).
+
+    Scale shape: the one-row-per-doc signature table localCheckpoints
+    so its single computation feeds BOTH the bucket stage and the
+    two-sided estimate join; candidate pairs join signatures by id
+    (hash join, ids only ever shuffle); the component comparison is a
+    pure projection.
+    """
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes,
+                              shingle_size).localCheckpoint()
+    band_sigs = band_sig_rows(sigs, num_hashes, bands)
+    from pyspark.sql import Window
+    w = Window.partitionBy("band", "band_sig")
+    buckets = (band_sigs
+               .withColumn("_sz", F.count("*").over(w))
+               .where((F.col("_sz") >= 2) & (F.col("_sz") <= max_bucket_size))
+               .groupBy("band", "band_sig")
+               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids")))
+    pair = F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")))))
+    cands = (buckets.select(F.explode(pair).alias("p"))
+             .select("p.doc_a", "p.doc_b").distinct())
+    a = sigs.select(F.col("doc_id").alias("doc_a"),
+                    *[F.col(f"mh{j}").alias(f"a{j}")
+                      for j in range(num_hashes)])
+    b = sigs.select(F.col("doc_id").alias("doc_b"),
+                    *[F.col(f"mh{j}").alias(f"b{j}")
+                      for j in range(num_hashes)])
+    n_agree = sum(F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+                  for j in range(num_hashes))
+    return (cands.join(a, "doc_a").join(b, "doc_b")
+            .select("doc_a", "doc_b",
+                    n_agree.cast("int").alias("n_agree"))
+            .withColumn("est_jaccard_ppm", F.expr(
+                f"CAST(n_agree AS BIGINT) * 1000000 DIV {num_hashes}")))

@@ -258,3 +258,50 @@ def ndcg_at_k(ranked: DataFrame, relevance: DataFrame, k: int = 10,
         F.when(F.col("idcg_e9") > 0, round_half_away(
             F.col("dcg_e9").cast("double")
             / F.col("idcg_e9").cast("double"), 6)).alias("ndcg"))
+
+
+def ir_pr_at_k(ranked: DataFrame, relevance: DataFrame, k: int = 10,
+               id_col: str = "doc_id", rank_col: str = "rank",
+               rel_col: str = "rel") -> DataFrame:
+    """Precision/recall/reciprocal-rank@k of a ranking against binary
+    relevance (rel > 0 = relevant) — the set-based IR triple next to
+    ``ndcg_at_k``'s graded gain: precision answers "how much of the
+    page is useful", recall "how much of the useful corpus the page
+    found", RR "how far down is the first hit" (the single-query term
+    of MRR; mean over a query panel by unioning panels upstream).
+
+    Same contracts as ndcg_at_k: duplicate relevance ids collapse to
+    max(rel) before anything joins; recall's denominator is the WHOLE
+    relevance table (a ranking that never surfaces a relevant doc is
+    penalized, not forgiven). Returns one row: (k, n_rel_total,
+    n_rel_at_k, precision, recall, rr) — 6dp; recall/rr NULL when no
+    doc is relevant anywhere.
+
+    Scale shape: one broadcast-sized top-k page joins the relevance
+    table on id (hash join, no window); the firsts/counts are one
+    aggregate. Exact integer numerators; three closing divisions.
+    """
+    relevance = (relevance.groupBy(id_col)
+                 .agg(F.max(rel_col).alias(rel_col)))
+    page = (ranked.where(F.col(rank_col) <= k)
+            .join(relevance, id_col, "left")
+            .select(F.col(rank_col).alias("r"),
+                    (F.coalesce(F.col(rel_col), F.lit(0)) > 0)
+                    .cast("int").alias("hit")))
+    tot = relevance.where(F.col(rel_col) > 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel_total"))
+    agg = page.agg(
+        F.sum("hit").cast("long").alias("n_rel_at_k"),
+        F.min(F.when(F.col("hit") == 1, F.col("r"))).alias("first_r"))
+    return (agg.crossJoin(F.broadcast(tot)).select(
+        F.lit(int(k)).alias("k"),
+        "n_rel_total",
+        F.coalesce(F.col("n_rel_at_k"), F.lit(0)).alias("n_rel_at_k"),
+        round_half_away(F.coalesce(F.col("n_rel_at_k"), F.lit(0))
+                        .cast("double") / k, 6).alias("precision"),
+        F.when(F.col("n_rel_total") > 0, round_half_away(
+            F.coalesce(F.col("n_rel_at_k"), F.lit(0)).cast("double")
+            / F.col("n_rel_total").cast("double"), 6)).alias("recall"),
+        F.when(F.col("first_r").isNotNull(), round_half_away(
+            F.lit(1.0) / F.col("first_r").cast("double"), 6))
+        .alias("rr")))

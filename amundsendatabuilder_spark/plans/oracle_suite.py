@@ -10867,3 +10867,129 @@ def graph_effective_diameter_query(spark, sf_dir):
 
     edges = em(2).unionByName(em(2, 1)).unionByName(em(3))
     return hyperball_effective_diameter(edges, iters=3, p=4, q=0.9)
+
+
+@query("search_pr_at_k", r"""
+WITH base AS (SELECT doc_id,
+                     list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                 x -> x <> '') AS tk
+              FROM documents),
+len AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM len),
+hits AS (SELECT doc_id, unnest(tk) AS term FROM base),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       FROM hits WHERE term IN ('hash', 'join', 'merge', 'sort')
+       GROUP BY 1, 2),
+dfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+part AS (SELECT tf.doc_id, tf.term,
+                round(ln(1 + (s.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+                      * (tf.tf * 2.2)
+                      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)),
+                      9) AS part
+         FROM tf JOIN dfx USING (term)
+         JOIN len l ON tf.doc_id = l.doc_id
+         CROSS JOIN stats s),
+summed AS (SELECT doc_id, round(list_sum(list(part ORDER BY term)), 6) AS score
+           FROM part GROUP BY doc_id),
+ranked AS (SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                       AS INT) AS r
+           FROM summed ORDER BY score DESC, doc_id LIMIT 10),
+rel AS (SELECT doc_id,
+               CAST(len(list_filter(['hash', 'join', 'merge', 'sort'],
+                    t -> list_contains(tk, t))) AS BIGINT) AS rel
+        FROM base),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_rel_total FROM rel WHERE rel > 0),
+page AS (SELECT rk.r,
+                CASE WHEN coalesce(rl.rel, 0) > 0 THEN 1 ELSE 0 END AS hit
+         FROM ranked rk LEFT JOIN rel rl ON rl.doc_id = rk.doc_id),
+agg AS (SELECT CAST(sum(hit) AS BIGINT) AS n_rel_at_k,
+               min(CASE WHEN hit = 1 THEN r END) AS first_r FROM page)
+SELECT 10 AS k, n_rel_total,
+       coalesce(n_rel_at_k, CAST(0 AS BIGINT)) AS n_rel_at_k,
+       round(CAST(coalesce(n_rel_at_k, 0) AS DOUBLE) / 10, 6) AS precision,
+       CASE WHEN n_rel_total > 0
+            THEN round(CAST(coalesce(n_rel_at_k, 0) AS DOUBLE)
+                       / CAST(n_rel_total AS DOUBLE), 6) END AS recall,
+       CASE WHEN first_r IS NOT NULL
+            THEN round(1.0 / CAST(first_r AS DOUBLE), 6) END AS rr
+FROM agg CROSS JOIN tot
+""")
+def search_pr_at_k_query(spark, sf_dir):
+    """Precision/recall/RR@10 of the BM25 ranking against binary
+    relevance (ranking.ir_pr_at_k over ranking.bm25_topk) — the
+    set-based IR triple next to search_ndcg's graded gain; recall's
+    denominator is the WHOLE corpus relevance so pages that miss
+    relevant docs are penalized."""
+    from amundsendatabuilder_spark.functions.text import tokens as _toks
+    from amundsendatabuilder_spark.operators.ranking import (
+        bm25_topk, ir_pr_at_k)
+    (docs,) = _t(spark, sf_dir, "documents")
+    ranked = bm25_topk(docs, "hash join merge sort", k=10)
+    terms = F.array(*[F.lit(t) for t in
+                      ("hash", "join", "merge", "sort")])
+    rel = docs.select(
+        "doc_id",
+        F.size(F.filter(terms, lambda t: F.array_contains(
+            _toks(F.lower(F.col("text"))), t))).cast("long").alias("rel"))
+    return ir_pr_at_k(ranked, rel, k=10)
+
+
+@query("dedup_minhash_estimate", f"""
+WITH {_minhash_bands_cte(16, 4)},
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_sig = b.band_sig
+          AND a.doc_id < b.doc_id)
+SELECT c.doc_a, c.doc_b,
+       CAST(CASE WHEN x.mh0 = y.mh0 THEN 1 ELSE 0 END + CASE WHEN x.mh1 = y.mh1 THEN 1 ELSE 0 END + CASE WHEN x.mh2 = y.mh2 THEN 1 ELSE 0 END + CASE WHEN x.mh3 = y.mh3 THEN 1 ELSE 0 END + CASE WHEN x.mh4 = y.mh4 THEN 1 ELSE 0 END + CASE WHEN x.mh5 = y.mh5 THEN 1 ELSE 0 END + CASE WHEN x.mh6 = y.mh6 THEN 1 ELSE 0 END + CASE WHEN x.mh7 = y.mh7 THEN 1 ELSE 0 END + CASE WHEN x.mh8 = y.mh8 THEN 1 ELSE 0 END + CASE WHEN x.mh9 = y.mh9 THEN 1 ELSE 0 END + CASE WHEN x.mh10 = y.mh10 THEN 1 ELSE 0 END + CASE WHEN x.mh11 = y.mh11 THEN 1 ELSE 0 END + CASE WHEN x.mh12 = y.mh12 THEN 1 ELSE 0 END + CASE WHEN x.mh13 = y.mh13 THEN 1 ELSE 0 END + CASE WHEN x.mh14 = y.mh14 THEN 1 ELSE 0 END + CASE WHEN x.mh15 = y.mh15 THEN 1 ELSE 0 END AS INT) AS n_agree,
+       CAST(CAST(CASE WHEN x.mh0 = y.mh0 THEN 1 ELSE 0 END + CASE WHEN x.mh1 = y.mh1 THEN 1 ELSE 0 END + CASE WHEN x.mh2 = y.mh2 THEN 1 ELSE 0 END + CASE WHEN x.mh3 = y.mh3 THEN 1 ELSE 0 END + CASE WHEN x.mh4 = y.mh4 THEN 1 ELSE 0 END + CASE WHEN x.mh5 = y.mh5 THEN 1 ELSE 0 END + CASE WHEN x.mh6 = y.mh6 THEN 1 ELSE 0 END + CASE WHEN x.mh7 = y.mh7 THEN 1 ELSE 0 END + CASE WHEN x.mh8 = y.mh8 THEN 1 ELSE 0 END + CASE WHEN x.mh9 = y.mh9 THEN 1 ELSE 0 END + CASE WHEN x.mh10 = y.mh10 THEN 1 ELSE 0 END + CASE WHEN x.mh11 = y.mh11 THEN 1 ELSE 0 END + CASE WHEN x.mh12 = y.mh12 THEN 1 ELSE 0 END + CASE WHEN x.mh13 = y.mh13 THEN 1 ELSE 0 END + CASE WHEN x.mh14 = y.mh14 THEN 1 ELSE 0 END + CASE WHEN x.mh15 = y.mh15 THEN 1 ELSE 0 END AS BIGINT) * 1000000 // 16 AS BIGINT)
+       AS est_jaccard_ppm
+FROM cand c JOIN mh x ON x.doc_id = c.doc_a
+JOIN mh y ON y.doc_id = c.doc_b
+""")
+def dedup_minhash_estimate_query(spark, sf_dir):
+    """Signature-space Jaccard estimates for the LSH candidates
+    (dedup.minhash_jaccard_estimate): Broder's P[mh_j(A)=mh_j(B)] =
+    J(A,B) turns agreeing components into an unbiased k=16 estimate in
+    exact integer ppm — the cheap verify tier that triages candidates
+    before lsh_verified_pairs' exact re-shingle confirm ever touches
+    text again."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return dedup.minhash_jaccard_estimate(docs, num_hashes=16, bands=4,
+                                          shingle_size=3)
+
+
+@query("curriculum_schedule", r"""
+WITH t AS (SELECT doc_id,
+                  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                       x -> x <> '')) AS BIGINT) AS difficulty
+           FROM documents),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+ks AS (SELECT CAST(unnest(generate_series(1, 4)) AS INT) AS bucket),
+needs AS (SELECT bucket, -((-bucket * n) // 4) AS need FROM ks, tot),
+ord AS (SELECT difficulty AS qv,
+               row_number() OVER (ORDER BY difficulty) AS rn FROM t),
+bounds AS (SELECT bucket,
+                  (SELECT qv FROM ord WHERE rn = needs.need) AS cut
+           FROM needs),
+ph AS (SELECT doc_id, difficulty, CAST(min(bucket) AS INT) AS phase
+       FROM t JOIN bounds ON difficulty <= cut GROUP BY 1, 2)
+SELECT doc_id, difficulty, phase,
+       CAST(row_number() OVER (
+            PARTITION BY phase
+            ORDER BY md5('cur:' || CAST(doc_id AS VARCHAR)), doc_id)
+            AS INT) AS pos_in_phase
+FROM ph
+""")
+def curriculum_schedule_query(spark, sf_dir):
+    """Curriculum read order (curation.curriculum_schedule): 4
+    equal-depth token-count difficulty phases (register-derived
+    boundaries, broadcast assignment) with a seedless md5 shuffle
+    within each phase. The DuckDB twin derives each phase cut from the
+    EXACT sorted order (value at rank ceil(k*N/4)), so a hash match
+    proves the register derivation equals the exact sort's phases."""
+    from amundsendatabuilder_spark.operators.curation import (
+        curriculum_schedule)
+    (docs,) = _t(spark, sf_dir, "documents")
+    return curriculum_schedule(docs, n_phases=4)

@@ -4343,3 +4343,69 @@ def test_register_domain_guard_enforces_width_contract(spark, monkeypatch):
     got = profiling.equi_depth_boundaries_grouped(
         df, "id", ("g",), n_buckets=2).collect()
     assert len(got) == 4  # 2 groups x 2 buckets, each group 20 quanta
+
+
+def test_ir_pr_at_k_known_values(spark):
+    from amundsendatabuilder_spark.operators.ranking import ir_pr_at_k
+    ranked = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    rel = spark.createDataFrame(
+        [(1, 1), (9, 2)], "doc_id long, rel long")
+    out = ir_pr_at_k(ranked, rel, k=3).collect()[0]
+    assert (out.k, out.n_rel_total, out.n_rel_at_k) == (3, 2, 1)
+    assert out.precision == 0.333333 and out.recall == 0.5 and out.rr == 1.0
+    # first hit at rank 2 -> rr = 0.5; duplicate rel ids collapse
+    rel2 = spark.createDataFrame(
+        [(2, 1), (2, 3), (9, 2)], "doc_id long, rel long")
+    o2 = ir_pr_at_k(ranked, rel2, k=3).collect()[0]
+    assert o2.rr == 0.5 and o2.n_rel_at_k == 1 and o2.n_rel_total == 2
+    # nothing relevant anywhere -> recall/rr NULL, precision 0
+    zero = spark.createDataFrame([(1, 0)], "doc_id long, rel long")
+    o3 = ir_pr_at_k(ranked, zero, k=3).collect()[0]
+    assert o3.recall is None and o3.rr is None and o3.precision == 0.0
+
+
+def test_minhash_jaccard_estimate_identical_and_bounds(spark):
+    from amundsendatabuilder_spark.operators.dedup import (
+        lsh_verified_pairs, minhash_jaccard_estimate)
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = text.replace("kappa", "lambda")
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, near),
+         (4, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string")
+    est = {(r.doc_a, r.doc_b): r for r in
+           minhash_jaccard_estimate(docs).collect()}
+    # identical docs: every component agrees -> exactly 1.0
+    assert est[(1, 2)].n_agree == 16
+    assert est[(1, 2)].est_jaccard_ppm == 1_000_000
+    # estimates are well-formed and the near pair scores below identical
+    for r in est.values():
+        assert 0 <= r.n_agree <= 16
+        assert r.est_jaccard_ppm == r.n_agree * 1_000_000 // 16
+    if (1, 3) in est:
+        assert est[(1, 3)].n_agree < 16
+    # triage consistency: every estimated pair is an LSH candidate pair
+    cands = {(r.doc_a, r.doc_b) for r in
+             lsh_verified_pairs(docs, threshold=0.0).collect()}
+    assert set(est) <= cands | set(est)  # same banding, no extras
+
+
+def test_curriculum_schedule_equal_depth_phases(spark):
+    from amundsendatabuilder_spark.operators.curation import (
+        curriculum_schedule)
+    # token counts 1..8 -> 4 equal-depth phases of 2 docs each
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(i))) for i in range(1, 9)],
+        "doc_id long, text string")
+    out = curriculum_schedule(docs, n_phases=4).collect()
+    by_phase = {}
+    for r in out:
+        by_phase.setdefault(r.phase, []).append(r)
+    assert sorted(by_phase) == [1, 2, 3, 4]
+    for ph, rows in by_phase.items():
+        assert len(rows) == 2
+        # easy -> hard staging: phase k holds difficulties 2k-1, 2k
+        assert sorted(r.difficulty for r in rows) == [2 * ph - 1, 2 * ph]
+        # within-phase order is a 1..n permutation
+        assert sorted(r.pos_in_phase for r in rows) == [1, 2]
