@@ -305,3 +305,50 @@ def ir_pr_at_k(ranked: DataFrame, relevance: DataFrame, k: int = 10,
         F.when(F.col("first_r").isNotNull(), round_half_away(
             F.lit(1.0) / F.col("first_r").cast("double"), 6))
         .alias("rr")))
+
+
+def rank_rbo(list_a: DataFrame, list_b: DataFrame, p: float = 0.9,
+             k: int = 10, id_col: str = "doc_id",
+             rank_col: str = "rank") -> DataFrame:
+    """Truncated rank-biased overlap (Webber, Moffat & Zobel 2010)
+    between two top-k lists: RBO@k = sum_{d=1..k} (1-p) p^(d-1) X_d / d
+    with X_d the overlap of the two depth-d prefixes — the top-weighted
+    list-similarity metric for comparing rankers (BM25 vs fused, this
+    week's index vs last week's) where Kendall/Spearman over-weight the
+    tail and set overlap ignores order entirely. 0 = disjoint pages,
+    1 = identical order (truncated form: the sum of the first k
+    weights, ~1 - p^k mass, is attained at identity).
+
+    A doc ranked ra in A and rb in B joins every prefix depth
+    d >= max(ra, rb), so X_d = |{docs : max(ra, rb) <= d}| — one inner
+    join of the two ≤k-row pages, one ≤k-row explode, no windows.
+    Per-depth terms quantize to 1e12-scaled integers with the weights
+    baked as exact Python-evaluated literals, so the sum is order-free
+    and the oracle replays it bit-for-bit. Returns one row:
+    (k, n_common, rbo) — 6dp.
+    """
+    a = (list_a.where(F.col(rank_col) <= k)
+         .select(F.col(id_col), F.col(rank_col).alias("_ra")))
+    b = (list_b.where(F.col(rank_col) <= k)
+         .select(F.col(id_col), F.col(rank_col).alias("_rb")))
+    m = (a.join(b, id_col)
+         .select(F.greatest("_ra", "_rb").cast("int").alias("m")))
+    # exact per-depth term weights (1-p) p^(d-1) / d, Python floats
+    w = {d: (1.0 - p) * p ** (d - 1) / d for d in range(1, k + 1)}
+    term = F.element_at(
+        F.array(*[F.lit(w[d]) for d in range(1, k + 1)]), F.col("d"))
+    depths = m.select(F.explode(F.sequence(F.col("m"), F.lit(k)))
+                      .alias("d"))
+    per_d = (depths.groupBy("d")
+             .agg(F.count(F.lit(1)).cast("long").alias("xd")))
+    scored = per_d.select(
+        "xd",
+        round_half_away(F.col("xd").cast("double") * term * 1e12, 0)
+        .cast("long").alias("t_e12"))
+    return (scored.agg(F.sum("t_e12").alias("s"))
+            .crossJoin(F.broadcast(
+                m.agg(F.count(F.lit(1)).cast("long").alias("n_common"))))
+            .select(F.lit(int(k)).alias("k"), "n_common",
+                    round_half_away(
+                        F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                        / 1e12, 6).alias("rbo")))

@@ -823,3 +823,63 @@ def pca_top_components(emb: DataFrame, n_components: int = 2,
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def mutual_nn_pairs(emb: DataFrame, planes: list[list[float]],
+                    bands: int = 4, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Reciprocal (mutual) nearest-neighbor pairs over the RHP-banded
+    candidate graph: (a, b) survives only when b is a's top-1 cosine
+    neighbor AND a is b's — the semantic-dedup refinement that kills
+    hub artifacts (a generic centroid-ish vector is the one-way NN of
+    thousands of rows; it is the MUTUAL NN of almost none), leaving the
+    pairs strong enough to merge without a threshold sweep.
+
+    Neighbors are drawn from shared RHP band buckets (the
+    embedding_near_duplicates candidate generation — corpus never joins
+    corpus, only bucket-mates), scored by exact cosine (6dp), ranked
+    per source by (cos DESC, neighbor id ASC) so the top-1 is
+    deterministic under ties, then the rank-1 relation self-joins for
+    mutuality. Returns (id_a, id_b, cos) with id_a < id_b.
+
+    Scale shape: the candidate join shuffles (id, band, sig) rows; the
+    scoring join carries candidate vectors only; the per-source rank
+    window partitions by source id (bounded by bucket-mate counts,
+    never the corpus). Approximate like every banded path: a true
+    mutual-NN pair sharing no band is unseen — more bands recover
+    recall.
+    """
+    from amundsendatabuilder_spark.functions.vectors import l2_norm
+    sigs = rhp_band_sigs(emb, planes, bands, id_col, vec_col)
+    cand = (sigs.alias("x").join(
+        sigs.alias("y"),
+        (F.col("x.band") == F.col("y.band"))
+        & (F.col("x.sig") == F.col("y.sig"))
+        & (F.col("x.id") != F.col("y.id")))
+        .select(F.col("x.id").alias("src"), F.col("y.id").alias("nbr"))
+        .distinct())
+    v = (emb.select(F.col(id_col).alias("_id"),
+                    F.col(vec_col).cast("array<double>").alias("_v"))
+         .withColumn("_n", l2_norm("_v")))
+    scored = (cand
+              .join(v.select(F.col("_id").alias("src"),
+                             F.col("_v").alias("_va"),
+                             F.col("_n").alias("_na")), "src")
+              .join(v.select(F.col("_id").alias("nbr"),
+                             F.col("_v").alias("_vb"),
+                             F.col("_n").alias("_nb")), "nbr")
+              .select("src", "nbr", round_half_away(cosine_similarity(
+                  "_va", "_vb", norm_a=F.col("_na"),
+                  norm_b=F.col("_nb")), 6).alias("cos")))
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(),
+                                          F.col("nbr").asc())
+    top1 = (scored.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1).select("src", "nbr", "cos"))
+    return (top1.alias("a").join(
+        top1.alias("b"),
+        (F.col("a.src") == F.col("b.nbr"))
+        & (F.col("a.nbr") == F.col("b.src"))
+        & (F.col("a.src") < F.col("b.src")))
+        .select(F.col("a.src").alias("id_a"),
+                F.col("a.nbr").alias("id_b"),
+                F.col("a.cos").alias("cos")))

@@ -10993,3 +10993,93 @@ def curriculum_schedule_query(spark, sf_dir):
         curriculum_schedule)
     (docs,) = _t(spark, sf_dir, "documents")
     return curriculum_schedule(docs, n_phases=4)
+
+
+@query("rank_rbo_lists", """
+WITH s AS (SELECT o_custkey AS doc_id,
+                  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                       AS BIGINT) AS v
+           FROM orders GROUP BY 1),
+ra AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY v DESC, doc_id)
+                           AS INT) AS r
+       FROM s ORDER BY v DESC, doc_id LIMIT 10),
+c AS (SELECT o_custkey AS doc_id, CAST(count(*) AS BIGINT) AS v
+      FROM orders GROUP BY 1),
+rb AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY v DESC, doc_id)
+                           AS INT) AS r
+       FROM c ORDER BY v DESC, doc_id LIMIT 10),
+m AS (SELECT greatest(ra.r, rb.r) AS m FROM ra JOIN rb USING (doc_id)),
+d AS (SELECT CAST(unnest(range(m, 11)) AS INT) AS d FROM m),
+xd AS (SELECT d, CAST(count(*) AS BIGINT) AS xd FROM d GROUP BY 1),
+terms AS (SELECT CAST(round(CAST(xd AS DOUBLE)
+                            * ([0.09999999999999998, 0.04499999999999999, 0.026999999999999996, 0.018224999999999998, 0.013121999999999998, 0.0098415, 0.007592014285714285, 0.005978711249999999, 0.004782969000000001, 0.00387420489])[d] * 1e12, 0) AS BIGINT) AS t
+          FROM xd),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_common FROM m)
+SELECT 10 AS k, n_common,
+       round(CAST(coalesce((SELECT CAST(sum(t) AS BIGINT) FROM terms), 0)
+                  AS DOUBLE) / 1e12, 6) AS rbo
+FROM tot
+""")
+def rank_rbo_lists_query(spark, sf_dir):
+    """Rank-biased overlap (ranking.rank_rbo, Webber et al. 2010)
+    between two top-10 customer rankings — by total spend (exact cents)
+    vs by order count: the top-weighted list-similarity metric for
+    comparing rankers, per-depth overlap terms as 1e12-quantized
+    integers with the (1-p)p^(d-1)/d weights baked as identical
+    literals in both engines."""
+    from amundsendatabuilder_spark.operators.ranking import rank_rbo
+    (orders,) = _t(spark, sf_dir, "orders")
+    cents = F.sum(round_half_away(F.col("o_totalprice") * 100, 0)
+                  .cast("long")).cast("long")
+
+    def toplist(val):
+        t = (orders.groupBy(F.col("o_custkey").alias("doc_id"))
+             .agg(val.alias("v")))
+        topk = t.orderBy(F.col("v").desc(), "doc_id").limit(10)
+        w = Window.orderBy(F.col("v").desc(), "doc_id")
+        return (topk.withColumn("rank", F.row_number().over(w))
+                .select("doc_id", "rank"))
+
+    by_spend = toplist(cents)
+    by_count = toplist(F.count(F.lit(1)).cast("long"))
+    return rank_rbo(by_spend, by_count, p=0.9, k=10)
+
+
+def _mutual_nn_oracle(bands: int = 4) -> str:
+    """Replay oracle for mutual_nn_pairs: same seeded planes and banding
+    as the embedding near-dup path, exact-cosine top-1 per source with
+    (cos DESC, nbr ASC) determinism, mutuality by self-join."""
+    from amundsendatabuilder_spark.functions.vectors import random_planes
+    planes = random_planes(64, 16, seed=7)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_rhp_sigs_cte(planes, bands)},
+cand AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS nbr
+         FROM sigs x JOIN sigs y
+           ON x.band = y.band AND x.sig = y.sig
+          AND x.vec_id <> y.vec_id),
+sc AS (SELECT src, nbr, round(list_cosine_similarity(a.v, b.v), 6) AS cos
+       FROM cand JOIN e a ON a.vec_id = cand.src
+                 JOIN e b ON b.vec_id = cand.nbr),
+t1 AS (SELECT src, nbr, cos
+       FROM (SELECT sc.*, row_number() OVER (
+                 PARTITION BY src ORDER BY cos DESC, nbr) AS rk FROM sc)
+       WHERE rk = 1)
+SELECT a.src AS id_a, a.nbr AS id_b, a.cos AS cos
+FROM t1 a JOIN t1 b
+  ON a.src = b.nbr AND a.nbr = b.src AND a.src < b.src
+"""
+
+
+@query("mutual_nn_dedup", _mutual_nn_oracle())
+def mutual_nn_dedup_query(spark, sf_dir):
+    """Reciprocal nearest-neighbor pairs over the RHP-banded candidate
+    graph (similarity.mutual_nn_pairs): (a, b) kept only when each is
+    the other's top-1 cosine neighbor — the hub-killing semantic-dedup
+    refinement; same seeded planes/banding as the embedding near-dup
+    default, so candidate generation never joins corpus to corpus."""
+    from amundsendatabuilder_spark.functions.vectors import random_planes
+    from amundsendatabuilder_spark.operators.similarity import (
+        mutual_nn_pairs)
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return mutual_nn_pairs(emb, random_planes(64, 16, seed=7), bands=4)

@@ -222,6 +222,14 @@ EXTENDED = [
     "stream_minhash_registers",
     "pca_top_components",
     "graph_effective_diameter",
+    # round-10: IR eval triple, signature-space verify tier, curriculum
+    # ordering, streaming as-of join
+    "search_pr_at_k",
+    "dedup_minhash_estimate",
+    "curriculum_schedule",
+    "stream_asof_join",
+    "rank_rbo_lists",
+    "mutual_nn_dedup",
 ]
 
 

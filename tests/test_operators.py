@@ -4409,3 +4409,52 @@ def test_curriculum_schedule_equal_depth_phases(spark):
         assert sorted(r.difficulty for r in rows) == [2 * ph - 1, 2 * ph]
         # within-phase order is a 1..n permutation
         assert sorted(r.pos_in_phase for r in rows) == [1, 2]
+
+
+def test_rank_rbo_identity_disjoint_and_python_twin(spark):
+    from amundsendatabuilder_spark.operators.ranking import rank_rbo
+    a = spark.createDataFrame([(i, i) for i in range(1, 11)],
+                              "doc_id long, rank int")
+    # identical lists: X_d = d at every depth -> rbo = 1 - p^k
+    out = rank_rbo(a, a, p=0.9, k=10).collect()[0]
+    assert out.n_common == 10
+    assert abs(out.rbo - round(1 - 0.9 ** 10, 6)) <= 1e-6
+    # disjoint lists -> 0
+    b = spark.createDataFrame([(100 + i, i) for i in range(1, 11)],
+                              "doc_id long, rank int")
+    o2 = rank_rbo(a, b, p=0.9, k=10).collect()[0]
+    assert o2.n_common == 0 and o2.rbo == 0.0
+    # reversed list: python twin over the same quantization
+    rev = spark.createDataFrame([(i, 11 - i) for i in range(1, 11)],
+                                "doc_id long, rank int")
+    o3 = rank_rbo(a, rev, p=0.9, k=10).collect()[0]
+    xd = {d: sum(1 for i in range(1, 11) if max(i, 11 - i) <= d)
+          for d in range(1, 11)}
+    exp = sum(round(xd[d] * (0.1 * 0.9 ** (d - 1) / d) * 1e12)
+              for d in range(1, 11)) / 1e12
+    assert abs(o3.rbo - round(exp, 6)) <= 1e-9
+    # top-weighting: agreeing at the TOP beats agreeing at the bottom
+    top_half = spark.createDataFrame(
+        [(i, i) for i in range(1, 6)] + [(200 + i, i) for i in range(6, 11)],
+        "doc_id long, rank int")
+    bot_half = spark.createDataFrame(
+        [(300 + i, i) for i in range(1, 6)] + [(i, i) for i in range(6, 11)],
+        "doc_id long, rank int")
+    assert (rank_rbo(a, top_half).collect()[0].rbo
+            > rank_rbo(a, bot_half).collect()[0].rbo)
+
+
+def test_mutual_nn_pairs_kills_one_way_hubs(spark):
+    from amundsendatabuilder_spark.operators.similarity import (
+        mutual_nn_pairs)
+    eye = [[1.0 if i == j else 0.0 for j in range(4)] for i in range(4)]
+    # 1 and 2 are each other's NN; 3 is NEAR 1 (one-way: 3's NN is 1,
+    # but 1's NN is 2) -> only (1, 2) survives mutuality
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.02, 0.0, 0.0]),
+         (2, [1.0, 0.01, 0.0, 0.0]),
+         (3, [1.0, 0.40, 0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    out = mutual_nn_pairs(emb, eye, bands=2).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+    assert out[0].cos > 0.999
