@@ -170,6 +170,13 @@ SUITE = [
     "stream_minhash_registers",
     "pca_top_components",
     "graph_effective_diameter",
+    # round-10 additions
+    "search_pr_at_k",
+    "dedup_minhash_estimate",
+    "curriculum_schedule",
+    "stream_asof_join",
+    "rank_rbo_lists",
+    "mutual_nn_dedup",
 ]
 
 
