@@ -56,7 +56,10 @@ def _asof_fn(horizon_us: int):
             for pdf in pdf_iter:
                 if len(pdf) == 0:
                     continue
-                us = pdf["ts"].astype("int64") // 1000  # ns -> us
+                # pin the unit before the integer view: Arrow->pandas has
+                # shipped both datetime64[ns] and [us] across versions
+                us = pdf["ts"].astype("datetime64[ns]").astype("int64") \
+                    // 1000
                 is_p = pdf["_side"].to_numpy() == 1
                 for t in us[~is_p]:
                     views.append(int(t))
