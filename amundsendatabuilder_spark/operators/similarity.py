@@ -827,7 +827,8 @@ def pca_top_components(emb: DataFrame, n_components: int = 2,
 
 def mutual_nn_pairs(emb: DataFrame, planes: list[list[float]],
                     bands: int = 4, id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> DataFrame:
+                    vec_col: str = "embedding",
+                    max_bucket_size: "int | None" = None) -> DataFrame:
     """Reciprocal (mutual) nearest-neighbor pairs over the RHP-banded
     candidate graph: (a, b) survives only when b is a's top-1 cosine
     neighbor AND a is b's — the semantic-dedup refinement that kills
@@ -848,6 +849,16 @@ def mutual_nn_pairs(emb: DataFrame, planes: list[list[float]],
     never the corpus). Approximate like every banded path: a true
     mutual-NN pair sharing no band is unseen — more bands recover
     recall.
+
+    ``max_bucket_size``: the minhash_lsh_pairs guard for the exact-dup
+    clique case (sf1 headroom measured candidates growing ~quadratic in
+    clique size — cost tracks CANDIDATE output, not a plan defect, but
+    a production corpus with giant duplicate cliques should cap them):
+    buckets above the cap are dropped from candidate generation
+    entirely, not sampled — members of an over-size bucket are near-
+    identical by construction, exactly what exact/minhash dedup
+    upstream removes more cheaply. Default None keeps the uncapped
+    oracle-pinned behavior.
     """
     from amundsendatabuilder_spark.functions.vectors import l2_norm
     # the self-join runs the plane-dot projection on both sides; a
@@ -855,6 +866,11 @@ def mutual_nn_pairs(emb: DataFrame, planes: list[list[float]],
     # the materialization write exceeds the duplicated map-side pass),
     # so the projection is left to run twice, map-side and in parallel
     sigs = rhp_band_sigs(emb, planes, bands, id_col, vec_col)
+    if max_bucket_size is not None:
+        w_b = Window.partitionBy("band", "sig")
+        sigs = (sigs.withColumn("_sz", F.count("*").over(w_b))
+                .where(F.col("_sz") <= max_bucket_size)
+                .drop("_sz"))
     cand = (sigs.alias("x").join(
         sigs.alias("y"),
         (F.col("x.band") == F.col("y.band"))

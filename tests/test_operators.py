@@ -4458,3 +4458,24 @@ def test_mutual_nn_pairs_kills_one_way_hubs(spark):
     out = mutual_nn_pairs(emb, eye, bands=2).collect()
     assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
     assert out[0].cos > 0.999
+
+
+def test_mutual_nn_bucket_cap_drops_giant_cliques(spark):
+    """max_bucket_size: an exact-dup clique bigger than the cap vanishes
+    from candidate generation (the sf1-headroom quadratic case); pairs
+    outside the capped bucket survive untouched."""
+    from amundsendatabuilder_spark.operators.similarity import (
+        mutual_nn_pairs)
+    eye = [[1.0 if i == j else 0.0 for j in range(4)] for i in range(4)]
+    clique = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(1, 7)]  # 6 dups
+    # leading -1 flips the first sign bit so the pair lands in its own
+    # bucket (identity planes make all-nonnegative vectors one bucket)
+    pair = [(10, [-1.0, 1.0, 0.01, 0.0]), (11, [-1.0, 1.0, 0.02, 0.0])]
+    emb = spark.createDataFrame(clique + pair,
+                                "vec_id long, embedding array<float>")
+    uncapped = mutual_nn_pairs(emb, eye, bands=2).collect()
+    capped = mutual_nn_pairs(emb, eye, bands=2,
+                             max_bucket_size=4).collect()
+    assert any(r.id_a < 7 for r in uncapped)          # clique pairs exist
+    assert all(r.id_a >= 10 for r in capped)          # clique dropped
+    assert [(r.id_a, r.id_b) for r in capped] == [(10, 11)]
