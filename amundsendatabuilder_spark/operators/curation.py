@@ -845,3 +845,102 @@ def curriculum_schedule(docs: DataFrame, n_phases: int = 4,
     return (assigned
             .select(id_col, "difficulty", "phase",
                     F.row_number().over(w).alias("pos_in_phase")))
+
+
+def logreg_train(docs: DataFrame, iters: int = 4, lr: float = 0.5,
+                 label=None, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """In-engine quality-classifier training: full-batch logistic
+    regression by gradient descent over hashing-trick text features
+    (textops.feature_hashing's 256 signed md5 buckets) — the
+    fastText-style linear filter modern corpus pipelines train on
+    curated-vs-crawl labels and then sweep across 100 TB, here trained
+    WITHOUT collecting anything to the driver: the weight vector is a
+    256-row register (the pca_power_iteration discipline) and each GD
+    round is two shuffles (per-doc margins, per-bucket gradients).
+
+    ``label``: a boolean Column (default: lang == 'en'); y in {0, 1}.
+
+    Determinism contract (cross-engine replayable, like the PCA loop):
+    weights live as 1e9-scaled BIGINTs starting at 0; margins are exact
+    integer sums of w_e9 * count; sigmoids quantize to 9dp; per-row
+    gradient terms round to exact integers BEFORE the (order-free)
+    per-bucket sum; the update w -= round(lr * g / n) is one identical
+    double expression in both engines. Buckets no token ever hashes to
+    stay absent (their gradient is identically 0). Docs with zero
+    tokens have no feature rows — margin undefined, gradient
+    contribution none, consistently in both engines.
+
+    Returns (bucket, weight, n_iters) — weight 6dp.
+
+    100 TB shape: the corpus-sized work per round is one broadcast join
+    (256-row weights) + two map-side-combinable aggregations; iteration
+    state localCheckpoints so lineage stays flat; n_rounds is a small
+    constant (full-batch GD on a convex loss — each round is one pass,
+    and the pass count does not grow with data).
+    """
+    from amundsendatabuilder_spark.operators.textops import feature_hashing
+    y_expr = (F.col("lang") == "en") if label is None else label
+    feats = feature_hashing(docs, id_col, text_col).localCheckpoint()
+    y = docs.select(F.col(id_col).alias("doc_id"),
+                    y_expr.cast("int").alias("y"))
+    n1 = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = (feats.select("bucket").distinct()
+         .select("bucket", F.lit(0).cast("long").alias("w_e9"))
+         .localCheckpoint())
+    for _ in range(int(iters)):
+        m = (feats.join(F.broadcast(w), "bucket")
+             .groupBy("doc_id")
+             .agg(F.sum(F.col("w_e9") * F.col("val")).cast("long")
+                  .alias("m_e9")))
+        p = round_half_away(
+            F.lit(1.0) / (F.lit(1.0)
+                          + F.exp(-F.col("m_e9").cast("double") / 1e9)), 9)
+        r = (m.join(y, "doc_id")
+             .select("doc_id", (p - F.col("y").cast("double"))
+                     .alias("resid")))
+        g = (feats.join(r, "doc_id")
+             .groupBy("bucket")
+             .agg(F.sum(round_half_away(
+                 F.col("resid") * F.col("val").cast("double") * 1e9, 0)
+                 .cast("long")).cast("long").alias("g_e9")))
+        w = (w.join(g, "bucket", "left").crossJoin(F.broadcast(n1))
+             .select("bucket", (F.col("w_e9") - round_half_away(
+                 F.coalesce(F.col("g_e9"), F.lit(0)).cast("double")
+                 * lr / F.col("n").cast("double"), 0).cast("long"))
+                 .cast("long").alias("w_e9"))
+             .localCheckpoint())
+    return w.select(
+        "bucket",
+        round_half_away(F.col("w_e9").cast("double") / 1e9, 6)
+        .alias("weight"),
+        F.lit(int(iters)).alias("n_iters"))
+
+
+def logreg_score(docs: DataFrame, weights: DataFrame,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Score documents with a ``logreg_train`` weight table: the sweep
+    half of the classifier-filter loop — one feature pass + one
+    broadcast join, embarrassingly parallel at any corpus size. Docs
+    whose tokens hit no weighted bucket (or with zero tokens) score the
+    0.5 prior. Returns (doc_id, score) — sigmoid of the margin, 6dp."""
+    from amundsendatabuilder_spark.operators.textops import feature_hashing
+    feats = feature_hashing(docs, id_col, text_col)
+    # weights are on the 1e-6 grid, so weight*1e6 is an exact integer:
+    # the margin accumulates as an order-free BIGINT sum (a double sum
+    # would be partition-order dependent)
+    w6 = weights.select(
+        "bucket",
+        round_half_away(F.col("weight") * 1e6, 0).cast("long")
+        .alias("w_e6"))
+    m = (feats.join(F.broadcast(w6), "bucket")
+         .groupBy("doc_id")
+         .agg(F.sum(F.col("w_e6") * F.col("val")).cast("long")
+              .alias("m_e6")))
+    return (docs.select(F.col(id_col).alias("doc_id"))
+            .join(m, "doc_id", "left")
+            .select("doc_id", round_half_away(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(
+                    -F.coalesce(F.col("m_e6"), F.lit(0)).cast("double")
+                    / 1e6)), 6).alias("score")))

@@ -11083,3 +11083,63 @@ def mutual_nn_dedup_query(spark, sf_dir):
         mutual_nn_pairs)
     (emb,) = _t(spark, sf_dir, "embeddings")
     return mutual_nn_pairs(emb, random_planes(64, 16, seed=7), bands=4)
+
+
+def _logreg_oracle(iters: int = 4, lr: float = 0.5) -> str:
+    """Replay oracle for logreg_train: feature_hashing's signed bucket
+    counts, then ``iters`` unrolled MATERIALIZED GD rounds — integer
+    margins, 9dp sigmoids, per-row-rounded integer gradients, one
+    identical double update expression."""
+    head = ("WITH t AS (SELECT doc_id, unnest(" + _LTOKS_SQL
+            + """) AS tok FROM documents),
+h AS (SELECT doc_id, substr(md5(tok), 1, 2) AS bucket,
+             CASE WHEN substr(md5(tok), 3, 1) IN
+                  ('0','1','2','3','4','5','6','7')
+                  THEN 1 ELSE -1 END AS sign
+      FROM t),
+x AS MATERIALIZED (SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS val
+                   FROM h GROUP BY 1, 2 HAVING sum(sign) <> 0),
+y AS MATERIALIZED (SELECT doc_id,
+                          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                   FROM documents),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+w0 AS MATERIALIZED (SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS w
+                    FROM x)""")
+    rounds = []
+    for t in range(1, iters + 1):
+        prev = f"w{t - 1}"
+        rounds.append(f"""
+m{t} AS (SELECT x.doc_id, CAST(sum(w.w * x.val) AS BIGINT) AS m_e9
+         FROM x JOIN {prev} w USING (bucket) GROUP BY 1),
+r{t} AS (SELECT m.doc_id,
+                round(1.0 / (1.0 + exp(-CAST(m.m_e9 AS DOUBLE) / 1e9)), 9)
+                - y.y AS resid
+         FROM m{t} m JOIN y USING (doc_id)),
+g{t} AS (SELECT x.bucket,
+                CAST(sum(CAST(round(r.resid * CAST(x.val AS DOUBLE) * 1e9,
+                                    0) AS BIGINT)) AS BIGINT) AS g
+         FROM x JOIN r{t} r USING (doc_id) GROUP BY 1),
+w{t} AS MATERIALIZED (
+  SELECT w.bucket,
+         CAST(w.w - CAST(round(CAST(coalesce(g.g, 0) AS DOUBLE) * {lr}
+                               / CAST(nn.n AS DOUBLE), 0) AS BIGINT)
+              AS BIGINT) AS w
+  FROM {prev} w LEFT JOIN g{t} g USING (bucket) CROSS JOIN nn)""")
+    tail = f"""
+SELECT bucket, round(CAST(w AS DOUBLE) / 1e9, 6) AS weight,
+       {iters} AS n_iters
+FROM w{iters}"""
+    return head + "," + ",".join(rounds) + tail
+
+
+@query("logreg_quality_train", _logreg_oracle())
+def logreg_quality_train_query(spark, sf_dir):
+    """In-engine logistic-regression quality classifier
+    (curation.logreg_train): 4 full-batch GD rounds over
+    feature_hashing's 256 signed md5 buckets, label = (lang == 'en');
+    weight state is a 256-row 1e9-scaled register, every gradient an
+    exact integer sum — the fastText-style filter a corpus pipeline
+    trains once and sweeps across the whole corpus."""
+    from amundsendatabuilder_spark.operators.curation import logreg_train
+    (docs,) = _t(spark, sf_dir, "documents")
+    return logreg_train(docs, iters=4, lr=0.5)

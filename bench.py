@@ -230,6 +230,7 @@ EXTENDED = [
     "stream_asof_join",
     "rank_rbo_lists",
     "mutual_nn_dedup",
+    "logreg_quality_train",
 ]
 
 

@@ -4479,3 +4479,28 @@ def test_mutual_nn_bucket_cap_drops_giant_cliques(spark):
     assert any(r.id_a < 7 for r in uncapped)          # clique pairs exist
     assert all(r.id_a >= 10 for r in capped)          # clique dropped
     assert [(r.id_a, r.id_b) for r in capped] == [(10, 11)]
+
+
+def test_logreg_train_separates_and_score_ranks(spark):
+    """4 GD rounds on a linearly separable corpus must rank every
+    positive above every negative when scored back (train-set AUC 1),
+    and the weight register stays bucket-bounded and 6dp-gridded."""
+    from amundsendatabuilder_spark.operators.curation import (
+        logreg_score, logreg_train)
+    pos = [(i, "alpha beta gamma delta", "en") for i in range(1, 9)]
+    neg = [(10 + i, "omega psi chi phi", "xx") for i in range(1, 9)]
+    docs = spark.createDataFrame(pos + neg,
+                                 "doc_id long, text string, lang string")
+    w = logreg_train(docs, iters=4, lr=0.5)
+    rows = w.collect()
+    assert all(r.n_iters == 4 for r in rows)
+    assert len(rows) <= 8  # <= one bucket per distinct token
+    assert all(abs(r.weight) < 10 for r in rows)
+    scores = {r.doc_id: r.score for r in logreg_score(docs, w).collect()}
+    assert min(scores[i] for i, _, _ in pos) > \
+        max(scores[i] for i, _, _ in neg)
+    # a doc with no trained tokens scores the 0.5 prior
+    blank = spark.createDataFrame([(99, "zzz unseen", "xx")],
+                                  "doc_id long, text string, lang string")
+    s99 = logreg_score(blank, w).collect()[0]
+    assert s99.score == 0.5

@@ -177,6 +177,7 @@ SUITE = [
     "stream_asof_join",
     "rank_rbo_lists",
     "mutual_nn_dedup",
+    "logreg_quality_train",
 ]
 
 
