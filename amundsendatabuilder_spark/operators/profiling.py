@@ -1288,3 +1288,36 @@ def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         .alias("observed_agreement"),
         F.when(den > 0, round_half_away(
             num.cast("double") / den.cast("double"), 6)).alias("kappa"))
+
+
+def calibration_report(scored: DataFrame, score_col: str = "score",
+                       label_col: str = "y",
+                       n_bins: int = 10) -> DataFrame:
+    """Classifier reliability table (the numbers behind a calibration
+    diagram): scores bucket into ``n_bins`` equal-width bins and each
+    bin reports its size, mean predicted score, and empirical positive
+    rate — a well-calibrated filter has mean_score ~ pos_rate per bin,
+    and a corpus pipeline checks this BEFORE trusting classifier scores
+    as sampling weights (an over-confident quality model silently
+    starves whole strata; rank_auc ranks, this calibrates).
+
+    Scores are 6dp-grid doubles (logreg_score's contract); the bin is
+    pure integer arithmetic on the 1e6-scaled score (score 1.0 clamps
+    into the top bin) and both rates are exact integer ppm, so the
+    table is order-free and engine-reproducible. One map-side
+    projection + one n_bins-row aggregation.
+
+    Returns (bin, n, mean_score_ppm, pos_rate_ppm), bin 0-based.
+    """
+    s6 = round_half_away(F.col(score_col) * 1e6, 0).cast("long")
+    b = F.least(F.lit(n_bins - 1).cast("long"),
+                F.expr(f"_s6 * {int(n_bins)} DIV 1000000")).cast("int")
+    return (scored.select(s6.alias("_s6"),
+                          F.col(label_col).cast("long").alias("_y"))
+            .select(b.alias("bin"), "_s6", "_y")
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.expr("CAST(sum(_s6) DIV count(*) AS BIGINT)")
+                 .alias("mean_score_ppm"),
+                 F.expr("CAST(sum(_y) * 1000000 DIV count(*) AS BIGINT)")
+                 .alias("pos_rate_ppm")))

@@ -11085,11 +11085,10 @@ def mutual_nn_dedup_query(spark, sf_dir):
     return mutual_nn_pairs(emb, random_planes(64, 16, seed=7), bands=4)
 
 
-def _logreg_oracle(iters: int = 4, lr: float = 0.5) -> str:
-    """Replay oracle for logreg_train: feature_hashing's signed bucket
-    counts, then ``iters`` unrolled MATERIALIZED GD rounds — integer
-    margins, 9dp sigmoids, per-row-rounded integer gradients, one
-    identical double update expression."""
+def _logreg_cte(iters: int = 4, lr: float = 0.5) -> str:
+    """WITH-body (through ``w{iters}`` plus the shared x/y CTEs) replaying
+    logreg_train's GD rounds — shared by the train oracle, the scoring
+    oracle, and the calibration oracle."""
     head = ("WITH t AS (SELECT doc_id, unnest(" + _LTOKS_SQL
             + """) AS tok FROM documents),
 h AS (SELECT doc_id, substr(md5(tok), 1, 2) AS bucket,
@@ -11125,11 +11124,47 @@ w{t} AS MATERIALIZED (
                                / CAST(nn.n AS DOUBLE), 0) AS BIGINT)
               AS BIGINT) AS w
   FROM {prev} w LEFT JOIN g{t} g USING (bucket) CROSS JOIN nn)""")
-    tail = f"""
+    return head + "," + ",".join(rounds)
+
+
+def _logreg_oracle(iters: int = 4, lr: float = 0.5) -> str:
+    """Replay oracle for logreg_train: integer margins, 9dp sigmoids,
+    per-row-rounded integer gradients, one identical double update."""
+    return _logreg_cte(iters, lr) + f"""
 SELECT bucket, round(CAST(w AS DOUBLE) / 1e9, 6) AS weight,
        {iters} AS n_iters
 FROM w{iters}"""
-    return head + "," + ",".join(rounds) + tail
+
+
+def _logreg_score_cte(iters: int = 4, lr: float = 0.5) -> str:
+    """Extends ``_logreg_cte`` with the scoring tail CTEs (``sc``):
+    1e6-grid integer margins from the 6dp weight table, 0.5 prior for
+    featureless docs — logreg_score's arithmetic verbatim."""
+    return _logreg_cte(iters, lr) + f""",
+w6 AS (SELECT bucket,
+              CAST(round(round(CAST(w AS DOUBLE) / 1e9, 6) * 1e6, 0)
+                   AS BIGINT) AS w_e6
+       FROM w{iters}),
+sm AS (SELECT x.doc_id, CAST(sum(w6.w_e6 * x.val) AS BIGINT) AS m_e6
+       FROM x JOIN w6 USING (bucket) GROUP BY 1),
+sc AS (SELECT d.doc_id,
+              round(1.0 / (1.0 + exp(-CAST(coalesce(sm.m_e6, 0)
+                    AS DOUBLE) / 1e6)), 6) AS score
+       FROM documents d LEFT JOIN sm USING (doc_id))"""
+
+
+@query("logreg_quality_score", _logreg_score_cte() + """
+SELECT doc_id, score FROM sc
+""")
+def logreg_quality_score_query(spark, sf_dir):
+    """The sweep half of the classifier loop (curation.logreg_score over
+    curation.logreg_train's weights): order-free 1e6-grid integer
+    margins -> 6dp sigmoid scores, 0.5 prior for docs hitting no
+    trained bucket. Train and sweep both replayed in the twin."""
+    from amundsendatabuilder_spark.operators.curation import (
+        logreg_score, logreg_train)
+    (docs,) = _t(spark, sf_dir, "documents")
+    return logreg_score(docs, logreg_train(docs, iters=4, lr=0.5))
 
 
 @query("logreg_quality_train", _logreg_oracle())
@@ -11143,3 +11178,33 @@ def logreg_quality_train_query(spark, sf_dir):
     from amundsendatabuilder_spark.operators.curation import logreg_train
     (docs,) = _t(spark, sf_dir, "documents")
     return logreg_train(docs, iters=4, lr=0.5)
+
+
+@query("score_calibration", _logreg_score_cte() + """
+SELECT CAST(least(9, (CAST(round(score * 1e6, 0) AS BIGINT) * 10)
+            // 1000000) AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(score * 1e6, 0) AS BIGINT)) // count(*)
+            AS BIGINT) AS mean_score_ppm,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS pos_rate_ppm
+FROM sc JOIN documents USING (doc_id)
+GROUP BY 1
+""")
+def score_calibration_query(spark, sf_dir):
+    """Reliability table for the in-engine quality classifier
+    (profiling.calibration_report over logreg_train -> logreg_score):
+    10 equal-width score bins, mean predicted score vs empirical
+    positive rate in exact integer ppm — the calibration check a
+    pipeline runs before using classifier scores as sampling weights.
+    Train, sweep, AND calibration all replayed in the twin."""
+    from amundsendatabuilder_spark.operators.curation import (
+        logreg_score, logreg_train)
+    from amundsendatabuilder_spark.operators.profiling import (
+        calibration_report)
+    (docs,) = _t(spark, sf_dir, "documents")
+    scored = logreg_score(docs, logreg_train(docs, iters=4, lr=0.5))
+    labeled = scored.join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("y")),
+        "doc_id")
+    return calibration_report(labeled, "score", "y", n_bins=10)

@@ -4504,3 +4504,21 @@ def test_logreg_train_separates_and_score_ranks(spark):
                                   "doc_id long, text string, lang string")
     s99 = logreg_score(blank, w).collect()[0]
     assert s99.score == 0.5
+
+
+def test_calibration_report_bins_and_rates(spark):
+    from amundsendatabuilder_spark.operators.profiling import (
+        calibration_report)
+    rows = [
+        (0.05, 0), (0.08, 0),            # bin 0: rate 0
+        (0.55, 1), (0.55, 0),            # bin 5: rate 0.5
+        (0.95, 1), (1.0, 1),             # bin 9 (1.0 clamps in)
+    ]
+    df = spark.createDataFrame(rows, "score double, y int")
+    out = {r.bin: r for r in calibration_report(df).collect()}
+    assert sorted(out) == [0, 5, 9]
+    assert out[0].n == 2 and out[0].pos_rate_ppm == 0
+    assert out[0].mean_score_ppm == 65000       # (50000+80000) DIV 2
+    assert out[5].pos_rate_ppm == 500000
+    assert out[9].n == 2 and out[9].pos_rate_ppm == 1000000
+    assert out[9].mean_score_ppm == 975000

@@ -178,6 +178,8 @@ SUITE = [
     "rank_rbo_lists",
     "mutual_nn_dedup",
     "logreg_quality_train",
+    "logreg_quality_score",
+    "score_calibration",
 ]
 
 
