@@ -104,3 +104,72 @@ def test_golden_end_to_end_reference_sample_scenario(spark, tmp_path,
     assert shard_rows("rels", "Table_READ_BY_User") == 15
     assert shard_rows("rels", "Table_HAS_DOWNSTREAM_Table") == 5  # dedup
     assert shard_rows("rels", "Schema_TABLE_Table") == 5
+
+
+def test_golden_dashboard_family_reference_sample_data(spark, tmp_path,
+                                                       fixtures_dir):
+    """Golden scenario #2 over the reference's own sample_data CSVs:
+    the dashboard family plus applications / source / table owners /
+    column lineage — the sample_data_loader jobs the first golden test
+    doesn't reach. Pinned counts trace to the CSVs: 4 dashboards in 3
+    groups, 4 executions, 2 queries, 2 modified timestamps; 3
+    DASHBOARD_WITH_TABLE edges (one row explodes a 2-table list), 3
+    column-lineage edges, 2 owner edges per entity kind (the dynamo
+    owner row is blank and must drop)."""
+    import os
+
+    from amundsendatabuilder_spark.jobs import CatalogJob
+    from amundsendatabuilder_spark.models.dashboard import (
+        expand_dashboard_executions, expand_dashboard_last_modified,
+        expand_dashboard_owners, expand_dashboard_queries,
+        expand_dashboard_tables, expand_dashboard_usage,
+        expand_dashboards)
+    from amundsendatabuilder_spark.models.misc import (
+        expand_applications, expand_column_lineage, expand_table_owners,
+        expand_table_source)
+    from amundsendatabuilder_spark.sources.csv_source import read_csv
+    fx = os.path.join(fixtures_dir, "reference_sample_data")
+    job = CatalogJob(spark, publish_tag="golden2")
+    job.add(expand_dashboards(
+        read_csv(spark, f"{fx}/sample_dashboard_base.csv")))
+    job.add(expand_dashboard_owners(
+        read_csv(spark, f"{fx}/sample_dashboard_owner.csv")))
+    job.add(expand_dashboard_usage(
+        read_csv(spark, f"{fx}/sample_dashboard_usage.csv")))
+    job.add(expand_dashboard_queries(
+        read_csv(spark, f"{fx}/sample_dashboard_query.csv")))
+    job.add(expand_dashboard_executions(
+        read_csv(spark, f"{fx}/sample_dashboard_last_execution.csv")))
+    job.add(expand_dashboard_last_modified(
+        read_csv(spark, f"{fx}/sample_dashboard_last_modified.csv")))
+    job.add(expand_dashboard_tables(
+        read_csv(spark, f"{fx}/sample_dashboard_table.csv"), spark))
+    job.add(expand_applications(
+        read_csv(spark, f"{fx}/sample_application.csv")))
+    job.add(expand_table_source(
+        read_csv(spark, f"{fx}/sample_source.csv")))
+    job.add(expand_table_owners(
+        read_csv(spark, f"{fx}/sample_table_owner.csv")))
+    job.add(expand_column_lineage(
+        read_csv(spark, f"{fx}/sample_column_lineage.csv"), spark))
+    out = str(tmp_path / "golden2")
+    s = job.run(stage_dir=f"{out}/graph")
+    assert (s["nodes"], s["rels"], s["status"]) == (27, 33, "success")
+
+    def shard_rows(kind, prefix):
+        import glob
+        (d,) = glob.glob(f"{out}/graph/{kind}/{prefix}_*")
+        rows = 0
+        for f in glob.glob(f"{d}/part*.csv"):
+            with open(f) as fh:
+                rows += max(0, sum(1 for _ in fh) - 1)
+        return rows
+
+    assert shard_rows("nodes", "Dashboard") == 4
+    assert shard_rows("nodes", "Dashboardgroup") == 3
+    assert shard_rows("nodes", "Execution") == 4
+    assert shard_rows("nodes", "Query") == 2
+    assert shard_rows("rels", "Dashboard_DASHBOARD_WITH_TABLE_Table") == 3
+    assert shard_rows("rels", "Column_HAS_DOWNSTREAM_Column") == 3
+    assert shard_rows("rels", "User_OWNER_Table") == 2
+    assert shard_rows("rels", "User_OWNER_Dashboard") == 2
