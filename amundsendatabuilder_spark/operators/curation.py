@@ -944,3 +944,51 @@ def logreg_score(docs: DataFrame, weights: DataFrame,
                 F.lit(1.0) / (F.lit(1.0) + F.exp(
                     -F.coalesce(F.col("m_e6"), F.lit(0)).cast("double")
                     / 1e6)), 6).alias("score")))
+
+
+def logreg_explain(docs: DataFrame, weights: DataFrame, top_buckets: int = 5,
+                   tokens_per_bucket: int = 3, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Interpretability for the hashed-feature classifier: the
+    ``top_buckets`` largest-|weight| buckets from ``logreg_train``,
+    each mapped BACK to the corpus tokens that hash into it (top
+    ``tokens_per_bucket`` by document frequency) — the "why does the
+    filter score this up/down" table a curation run publishes next to
+    the weights, and the collision audit in the same pass (a strong
+    weight shared by two unrelated frequent tokens is the
+    hashing-trick's known failure mode; this table is where it shows).
+
+    Returns (bucket, weight, top_tokens, n_tokens_in_bucket) with
+    top_tokens a comma-joined (df DESC, token ASC)-ranked list. Scale
+    shape: token->bucket df is one map-side-combinable aggregate; the
+    per-bucket rank window partitions by bucket; the weight join
+    broadcasts the register; the final top-|weight| cut is a
+    distributed TakeOrderedAndProject, never a global sort.
+    """
+    from amundsendatabuilder_spark.functions.text import tokens as _toks
+    tok = (docs.select(F.explode(_toks(F.lower(F.col(text_col))))
+                       .alias("tok"))
+           .select("tok", F.substring(F.md5(F.col("tok").cast("binary")),
+                                      1, 2).alias("bucket")))
+    df_ = (tok.groupBy("bucket", "tok")
+           .agg(F.count(F.lit(1)).cast("long").alias("df")))
+    w_rk = Window.partitionBy("bucket").orderBy(F.col("df").desc(),
+                                                F.col("tok").asc())
+    per_bucket = (df_.withColumn("_rk", F.row_number().over(w_rk))
+                  .groupBy("bucket")
+                  .agg(F.count(F.lit(1)).cast("long")
+                       .alias("n_tokens_in_bucket"),
+                       F.concat_ws(",", F.transform(
+                           F.array_sort(F.collect_list(F.when(
+                               F.col("_rk") <= tokens_per_bucket,
+                               F.struct("_rk", "tok")))),
+                           lambda s: s["tok"])).alias("top_tokens")))
+    ranked = (weights.join(F.broadcast(per_bucket), "bucket", "left")
+              .select("bucket", "weight",
+                      F.coalesce(F.col("top_tokens"), F.lit(""))
+                      .alias("top_tokens"),
+                      F.coalesce(F.col("n_tokens_in_bucket"), F.lit(0))
+                      .cast("long").alias("n_tokens_in_bucket")))
+    return (ranked.orderBy(F.abs(F.col("weight")).desc(),
+                           F.col("bucket").asc())
+            .limit(int(top_buckets)))

@@ -11208,3 +11208,36 @@ def score_calibration_query(spark, sf_dir):
         docs.select("doc_id", (F.col("lang") == "en").alias("y")),
         "doc_id")
     return calibration_report(labeled, "score", "y", n_bins=10)
+
+
+@query("logreg_weight_explain", _logreg_cte() + """,
+tk AS (SELECT tok, substr(md5(tok), 1, 2) AS bucket FROM t),
+dfx AS (SELECT bucket, tok, CAST(count(*) AS BIGINT) AS df
+        FROM tk GROUP BY 1, 2),
+rk AS (SELECT bucket, tok, df,
+              row_number() OVER (PARTITION BY bucket
+                                 ORDER BY df DESC, tok) AS rk
+       FROM dfx),
+pb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens_in_bucket,
+              array_to_string(list(tok ORDER BY rk) FILTER (rk <= 3), ',')
+              AS top_tokens
+       FROM rk GROUP BY bucket),
+wt AS (SELECT w.bucket, round(CAST(w.w AS DOUBLE) / 1e9, 6) AS weight,
+              coalesce(pb.top_tokens, '') AS top_tokens,
+              CAST(coalesce(pb.n_tokens_in_bucket, 0) AS BIGINT)
+              AS n_tokens_in_bucket
+       FROM w4 w LEFT JOIN pb USING (bucket))
+SELECT bucket, weight, top_tokens, n_tokens_in_bucket
+FROM wt ORDER BY abs(weight) DESC, bucket LIMIT 5
+""")
+def logreg_weight_explain_query(spark, sf_dir):
+    """Classifier interpretability (curation.logreg_explain): the 5
+    largest-|weight| hashed buckets mapped back to the tokens that hash
+    into them (top-3 by document frequency) — the why-did-the-filter-
+    score-this table AND the hashing-trick collision audit in one pass;
+    train + token mapping both replayed in the twin."""
+    from amundsendatabuilder_spark.operators.curation import (
+        logreg_explain, logreg_train)
+    (docs,) = _t(spark, sf_dir, "documents")
+    return logreg_explain(docs, logreg_train(docs, iters=4, lr=0.5),
+                          top_buckets=5, tokens_per_bucket=3)

@@ -233,6 +233,7 @@ EXTENDED = [
     "logreg_quality_train",
     "logreg_quality_score",
     "score_calibration",
+    "logreg_weight_explain",
 ]
 
 

@@ -180,6 +180,7 @@ SUITE = [
     "logreg_quality_train",
     "logreg_quality_score",
     "score_calibration",
+    "logreg_weight_explain",
 ]
 
 
