@@ -23,14 +23,15 @@ from amundsendatabuilder_spark.plans.oracle_suite import ORACLES, QUERIES  # noq
 # green + unit-tested but have NEVER seen a driver certification window
 # (the r9 window held 50 slots; the wave added 76) — a green
 # CORRECTNESS_r10 row for each closes out a fully driver-certified
-# suite; (b) the 10 round-10 additions (stream_asof_join, search_pr_at_k,
+# suite; (b) the 11 round-10 additions (stream_asof_join, search_pr_at_k,
 # dedup_minhash_estimate, curriculum_schedule, rank_rbo_lists,
-# mutual_nn_dedup, logreg_quality_train/score, score_calibration, logreg_weight_explain) plus
+# mutual_nn_dedup, logreg_quality_train/score, score_calibration, logreg_weight_explain, mixture_reweight_quality)
+# plus
 # jl_distortion_audit, whose
 # pair sampler changed this round (md5-hashed id mod cuts, the r9 advice
-# fix) so its r9 cert attests the old sampling — 31 + 11 = 42; (c) the
+# fix) so its r9 cert attests the old sampling — 31 + 12 = 43; (c) the
 # oldest-certified entries (r4-era) under the rotation discipline fill
-# the remaining 8 slots; (d) the rest of the r4 set and the next-oldest
+# the remaining 7 slots; (d) the rest of the r4 set and the next-oldest
 # (r5-era) continue beyond the window. Names not registered are skipped
 # by ``_ordered``.
 _PRIORITY = [
@@ -51,6 +52,7 @@ _PRIORITY = [
     "dedup_minhash_estimate", "curriculum_schedule", "rank_rbo_lists",
     "mutual_nn_dedup", "logreg_quality_train",
     "logreg_quality_score", "score_calibration", "logreg_weight_explain",
+    "mixture_reweight_quality",
     # (c) oldest-certified (round 4) rotation re-certs
     "bm25_topk", "boilerplate_chunks", "cohort_retention", "column_profile",
     "cross_source_overlap", "dedup_rate_by_source", "doc_chunking",

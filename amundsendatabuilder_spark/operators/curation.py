@@ -992,3 +992,57 @@ def logreg_explain(docs: DataFrame, weights: DataFrame, top_buckets: int = 5,
     return (ranked.orderBy(F.abs(F.col("weight")).desc(),
                            F.col("bucket").asc())
             .limit(int(top_buckets)))
+
+
+def mixture_reweight(docs: DataFrame, domain_col: str = "source",
+                     eta: float = 2.0,
+                     text_col: str = "text") -> DataFrame:
+    """DoReMi-flavored mixture reweighting (Xie et al. 2023, reduced to
+    its one-shot exponential-tilt step): starting from the size-
+    proportional mixture, each domain's weight tilts by
+    exp(eta * (domain mean quality - corpus mean quality)) and
+    renormalizes — domains whose documents score above the corpus
+    average gain share, below-average domains lose it. The multiplier
+    update a mixture-optimization loop applies per round, exposed as a
+    register operator so the loop (re-score -> retilt) composes outside.
+
+    Determinism contract: per-doc quality is the 4dp
+    functions.text.quality_score, so the per-domain sum is an exact
+    integer on the 1e4 grid; means quantize to integer ppm; the single
+    transcendental (exp) rounds to 9dp; tilted masses are exact
+    integers (round(n_d * exp9 * 1e9)) and the final weights are
+    integer ppm of their sum — one identical arithmetic path in both
+    engines (the logreg_train discipline).
+
+    Returns (domain, n_docs, mean_quality_ppm, base_ppm, weight_ppm).
+    Scale shape: one corpus scan into a per-domain register; everything
+    after is arithmetic on <=|domains| rows with 1-row broadcasts.
+    """
+    from amundsendatabuilder_spark.functions.text import quality_score
+    per = (docs.select(F.col(domain_col).alias("domain"),
+                       round_half_away(quality_score(F.col(text_col))
+                                       * 1e4, 0).cast("long").alias("q4"))
+           .groupBy("domain")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("q4").cast("long").alias("s4")))
+    tot = per.agg(F.sum("n_docs").cast("long").alias("n"),
+                  F.sum("s4").cast("long").alias("s"))
+    j = per.crossJoin(F.broadcast(tot))
+    mean_d = F.expr("s4 * 100 DIV n_docs")        # ppm, exact integer
+    mean_c = F.expr("s * 100 DIV n")
+    exp9 = round_half_away(
+        F.exp(F.lit(eta) * (mean_d - mean_c).cast("double") / 1e6), 9)
+    tilted = (j.select("domain", "n_docs", mean_d.alias("mean_quality_ppm"),
+                       F.expr("n_docs * 1000000 DIV n").alias("base_ppm"),
+                       round_half_away(F.col("n_docs").cast("double")
+                                       * exp9 * 1e9, 0).cast("long")
+                       .alias("t_e9")))
+    z = tilted.agg(F.sum("t_e9").cast("long").alias("z"))
+    # DECIMAL(38) for the ppm scale-up: t_e9 * 1e6 overflows BIGINT once
+    # a domain holds ~1e4+ docs (n_docs * exp9 * 1e15); the integral
+    # divide is positive-operand, so DIV (truncate) == // (floor)
+    return (tilted.crossJoin(F.broadcast(z))
+            .select("domain", "n_docs", "mean_quality_ppm", "base_ppm",
+                    F.expr("CAST((CAST(t_e9 AS DECIMAL(38,0)) * 1000000)"
+                           " DIV CAST(z AS DECIMAL(38,0)) AS BIGINT)")
+                    .alias("weight_ppm")))

@@ -11241,3 +11241,51 @@ def logreg_weight_explain_query(spark, sf_dir):
     (docs,) = _t(spark, sf_dir, "documents")
     return logreg_explain(docs, logreg_train(docs, iters=4, lr=0.5),
                           top_buckets=5, tokens_per_bucket=3)
+
+
+@query("mixture_reweight_quality", r"""
+WITH t AS (SELECT source AS domain, text, """ + _TOKS_SQL + r""" AS toks
+           FROM documents),
+q AS (SELECT domain,
+             CAST(round(round(
+                 least(len(toks) / 100.0, 1.0) * 0.4
+                 + CASE WHEN len(toks) > 0
+                        THEN CAST(len(list_distinct(toks)) AS DOUBLE)
+                             / len(toks) ELSE 0.0 END * 0.4
+                 + (1 - CASE WHEN length(text) > 0
+                        THEN CAST(length(text) - length(regexp_replace(
+                             text, '[.,;:!?''"()]', '', 'g')) AS DOUBLE)
+                             / length(text) ELSE 0.0 END) * 0.2, 4)
+                 * 1e4, 0) AS BIGINT) AS q4
+      FROM t),
+per AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(q4) AS BIGINT) AS s4
+        FROM q GROUP BY 1),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n,
+               CAST(sum(s4) AS BIGINT) AS s FROM per),
+tl AS (SELECT domain, n_docs,
+              s4 * 100 // n_docs AS mean_quality_ppm,
+              n_docs * 1000000 // n AS base_ppm,
+              CAST(round(CAST(n_docs AS DOUBLE)
+                   * round(exp(2.0 * CAST(s4 * 100 // n_docs
+                                          - s * 100 // n AS DOUBLE)
+                               / 1e6), 9) * 1e9, 0) AS BIGINT) AS t_e9
+       FROM per CROSS JOIN tot),
+z AS (SELECT CAST(sum(t_e9) AS BIGINT) AS z FROM tl)
+SELECT domain, n_docs,
+       CAST(mean_quality_ppm AS BIGINT) AS mean_quality_ppm,
+       CAST(base_ppm AS BIGINT) AS base_ppm,
+       CAST((t_e9::HUGEINT * 1000000) // z.z AS BIGINT) AS weight_ppm
+FROM tl CROSS JOIN z
+""")
+def mixture_reweight_quality_query(spark, sf_dir):
+    """One-shot DoReMi-style exponential-tilt mixture reweighting per
+    source (curation.mixture_reweight): size-proportional base weights
+    tilted by exp(eta * quality excess vs the corpus mean) and
+    renormalized — above-average domains gain share. Integer-ppm means,
+    one 9dp transcendental, exact-integer tilted masses; the ppm
+    normalize runs in DECIMAL/HUGEINT to dodge BIGINT overflow."""
+    from amundsendatabuilder_spark.operators.curation import (
+        mixture_reweight)
+    (docs,) = _t(spark, sf_dir, "documents")
+    return mixture_reweight(docs, domain_col="source", eta=2.0)

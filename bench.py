@@ -234,6 +234,7 @@ EXTENDED = [
     "logreg_quality_score",
     "score_calibration",
     "logreg_weight_explain",
+    "mixture_reweight_quality",
 ]
 
 

@@ -4545,3 +4545,24 @@ def test_logreg_explain_maps_buckets_to_tokens(spark):
     for r in out:
         assert r.weight == trained[r.bucket]
         assert r.n_tokens_in_bucket >= 1
+
+
+def test_mixture_reweight_tilts_toward_quality(spark):
+    from amundsendatabuilder_spark.operators.curation import (
+        mixture_reweight)
+    hi = " ".join(f"w{i}" for i in range(120))      # diverse, long
+    lo = " ".join(["rep"] * 5) + " ,,,,;;;;!!!!"     # short, noisy
+    docs = spark.createDataFrame(
+        [(i, hi, "good_src") for i in range(10)]
+        + [(100 + i, lo, "bad_src") for i in range(10)],
+        "doc_id long, text string, source string")
+    out = {r.domain: r for r in mixture_reweight(docs, eta=2.0).collect()}
+    # equal sizes -> equal base; the tilt moves mass to the better source
+    assert out["good_src"].base_ppm == out["bad_src"].base_ppm == 500000
+    assert out["good_src"].weight_ppm > 500000 > out["bad_src"].weight_ppm
+    # weights remain a (floor-rounded) distribution
+    total = sum(r.weight_ppm for r in out.values())
+    assert 999998 <= total <= 1000000
+    # eta=0 is the identity tilt: weights == base
+    flat = {r.domain: r for r in mixture_reweight(docs, eta=0.0).collect()}
+    assert all(r.weight_ppm == r.base_ppm for r in flat.values())

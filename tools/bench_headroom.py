@@ -181,6 +181,7 @@ SUITE = [
     "logreg_quality_score",
     "score_calibration",
     "logreg_weight_explain",
+    "mixture_reweight_quality",
 ]
 
 
