@@ -959,19 +959,25 @@ def logreg_explain(docs: DataFrame, weights: DataFrame, top_buckets: int = 5,
     hashing-trick's known failure mode; this table is where it shows).
 
     Returns (bucket, weight, top_tokens, n_tokens_in_bucket) with
-    top_tokens a comma-joined (df DESC, token ASC)-ranked list. Scale
-    shape: token->bucket df is one map-side-combinable aggregate; the
-    per-bucket rank window partitions by bucket; the weight join
-    broadcasts the register; the final top-|weight| cut is a
-    distributed TakeOrderedAndProject, never a global sort.
+    top_tokens a comma-joined (df DESC, token ASC)-ranked list; df is
+    TRUE document frequency — count(DISTINCT doc) per (bucket, token) —
+    so a token repeated many times inside one document cannot outrank a
+    token appearing once in many (r10 advice: occurrence counting
+    inverted exactly the ranking a collision audit needs). Scale
+    shape: the (doc, token) pairs dedup map-side inside the distinct
+    aggregate; the per-bucket rank window partitions by bucket; the
+    weight join broadcasts the register; the final top-|weight| cut is
+    a distributed TakeOrderedAndProject, never a global sort.
     """
     from amundsendatabuilder_spark.functions.text import tokens as _toks
-    tok = (docs.select(F.explode(_toks(F.lower(F.col(text_col))))
+    tok = (docs.select(F.col(id_col).alias("_doc"),
+                       F.explode(_toks(F.lower(F.col(text_col))))
                        .alias("tok"))
-           .select("tok", F.substring(F.md5(F.col("tok").cast("binary")),
-                                      1, 2).alias("bucket")))
+           .select("_doc", "tok",
+                   F.substring(F.md5(F.col("tok").cast("binary")),
+                               1, 2).alias("bucket")))
     df_ = (tok.groupBy("bucket", "tok")
-           .agg(F.count(F.lit(1)).cast("long").alias("df")))
+           .agg(F.countDistinct("_doc").cast("long").alias("df")))
     w_rk = Window.partitionBy("bucket").orderBy(F.col("df").desc(),
                                                 F.col("tok").asc())
     per_bucket = (df_.withColumn("_rk", F.row_number().over(w_rk))
@@ -1009,10 +1015,14 @@ def mixture_reweight(docs: DataFrame, domain_col: str = "source",
     Determinism contract: per-doc quality is the 4dp
     functions.text.quality_score, so the per-domain sum is an exact
     integer on the 1e4 grid; means quantize to integer ppm; the single
-    transcendental (exp) rounds to 9dp; tilted masses are exact
-    integers (round(n_d * exp9 * 1e9)) and the final weights are
-    integer ppm of their sum — one identical arithmetic path in both
-    engines (the logreg_train discipline).
+    transcendental (exp) rounds to 9dp and then quantizes ONCE to the
+    1e9-scaled integer e9 = round(exp9 * 1e9) (exact while exp9 < ~9e6,
+    i.e. any sane tilt); the tilted mass is the DECIMAL(38,0) integer
+    product n_d * e9 — exact for ANY domain size, unlike the previous
+    double product which left the 2^53 integer grid at ~1.2e6 docs/
+    domain (r10 advice) — and the final weights are integer ppm of
+    their DECIMAL sum. One identical arithmetic path in both engines
+    (the logreg_train discipline).
 
     Returns (domain, n_docs, mean_quality_ppm, base_ppm, weight_ppm).
     Scale shape: one corpus scan into a per-domain register; everything
@@ -1032,17 +1042,20 @@ def mixture_reweight(docs: DataFrame, domain_col: str = "source",
     mean_c = F.expr("s * 100 DIV n")
     exp9 = round_half_away(
         F.exp(F.lit(eta) * (mean_d - mean_c).cast("double") / 1e6), 9)
+    # quantize the transcendental ONCE (round(exp9 * 1e9) is an exact
+    # double while exp9 < ~9e6), then keep the tilt as a pure DECIMAL
+    # integer product so t_e9 is exact for any n_docs — never back
+    # through double where n_docs * exp9 * 1e9 leaves the 2^53 grid
+    e9 = (round_half_away(exp9 * F.lit(1e9), 0)
+          .cast("decimal(19,0)"))
     tilted = (j.select("domain", "n_docs", mean_d.alias("mean_quality_ppm"),
                        F.expr("n_docs * 1000000 DIV n").alias("base_ppm"),
-                       round_half_away(F.col("n_docs").cast("double")
-                                       * exp9 * 1e9, 0).cast("long")
-                       .alias("t_e9")))
-    z = tilted.agg(F.sum("t_e9").cast("long").alias("z"))
-    # DECIMAL(38) for the ppm scale-up: t_e9 * 1e6 overflows BIGINT once
-    # a domain holds ~1e4+ docs (n_docs * exp9 * 1e15); the integral
-    # divide is positive-operand, so DIV (truncate) == // (floor)
+                       (F.col("n_docs").cast("decimal(19,0)") * e9)
+                       .cast("decimal(38,0)").alias("t_e9")))
+    z = tilted.agg(F.sum("t_e9").cast("decimal(38,0)").alias("z"))
+    # DECIMAL(38) throughout the ppm scale-up; the integral divide is
+    # positive-operand, so DIV (truncate) == // (floor)
     return (tilted.crossJoin(F.broadcast(z))
             .select("domain", "n_docs", "mean_quality_ppm", "base_ppm",
-                    F.expr("CAST((CAST(t_e9 AS DECIMAL(38,0)) * 1000000)"
-                           " DIV CAST(z AS DECIMAL(38,0)) AS BIGINT)")
+                    F.expr("CAST((t_e9 * 1000000) DIV z AS BIGINT)")
                     .alias("weight_ppm")))

@@ -7661,7 +7661,13 @@ WITH t AS (SELECT n_chars, lang, """ + _TOKS_SQL + r""" AS toks
 v AS (SELECT CASE WHEN n_chars < 100 THEN 1
                   WHEN lang NOT IN ('en', 'de', 'fr', 'es') THEN 2
                   WHEN len(toks) < 20 THEN 3
-                  WHEN len(list_distinct(toks)) * 1.0 / len(toks) < 0.45
+                  -- NULL-fails convention mirrored from the Spark side
+                  -- (r10 advice): a zero-token doc's 0/0 ratio is NULL in
+                  -- DuckDB and would fall through to ELSE 0 (pass);
+                  -- unreachable at min_tokens=20 but the engines must
+                  -- agree for min_tokens=0 callers too
+                  WHEN len(toks) = 0
+                       OR len(list_distinct(toks)) * 1.0 / len(toks) < 0.45
                        THEN 4
                   ELSE 0 END AS stage
       FROM t),
@@ -10954,7 +10960,13 @@ def dedup_minhash_estimate_query(spark, sf_dir):
     J(A,B) turns agreeing components into an unbiased k=16 estimate in
     exact integer ppm — the cheap verify tier that triages candidates
     before lsh_verified_pairs' exact re-shingle confirm ever touches
-    text again."""
+    text again.
+
+    Guard provenance (the dedup_minhash_lsh convention, r10 advice):
+    the Spark call inherits max_bucket_size=1000 while this SQL twin
+    has no cap — provably a no-op here because the fixture's largest
+    band bucket is far below 1000 members, so the guard drops nothing;
+    a corpus where it BITES must consult the cap-audit report first."""
     (docs,) = _t(spark, sf_dir, "documents")
     return dedup.minhash_jaccard_estimate(docs, num_hashes=16, bands=4,
                                           shingle_size=3)
@@ -11211,8 +11223,8 @@ def score_calibration_query(spark, sf_dir):
 
 
 @query("logreg_weight_explain", _logreg_cte() + """,
-tk AS (SELECT tok, substr(md5(tok), 1, 2) AS bucket FROM t),
-dfx AS (SELECT bucket, tok, CAST(count(*) AS BIGINT) AS df
+tk AS (SELECT doc_id, tok, substr(md5(tok), 1, 2) AS bucket FROM t),
+dfx AS (SELECT bucket, tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
         FROM tk GROUP BY 1, 2),
 rk AS (SELECT bucket, tok, df,
               row_number() OVER (PARTITION BY bucket
@@ -11233,9 +11245,10 @@ FROM wt ORDER BY abs(weight) DESC, bucket LIMIT 5
 def logreg_weight_explain_query(spark, sf_dir):
     """Classifier interpretability (curation.logreg_explain): the 5
     largest-|weight| hashed buckets mapped back to the tokens that hash
-    into them (top-3 by document frequency) — the why-did-the-filter-
-    score-this table AND the hashing-trick collision audit in one pass;
-    train + token mapping both replayed in the twin."""
+    into them (top-3 by TRUE document frequency — count(DISTINCT doc),
+    r11 advice fix) — the why-did-the-filter-score-this table AND the
+    hashing-trick collision audit in one pass; train + token mapping
+    both replayed in the twin."""
     from amundsendatabuilder_spark.operators.curation import (
         logreg_explain, logreg_train)
     (docs,) = _t(spark, sf_dir, "documents")
@@ -11266,16 +11279,20 @@ tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n,
 tl AS (SELECT domain, n_docs,
               s4 * 100 // n_docs AS mean_quality_ppm,
               n_docs * 1000000 // n AS base_ppm,
-              CAST(round(CAST(n_docs AS DOUBLE)
-                   * round(exp(2.0 * CAST(s4 * 100 // n_docs
-                                          - s * 100 // n AS DOUBLE)
-                               / 1e6), 9) * 1e9, 0) AS BIGINT) AS t_e9
+              -- tilt quantized ONCE (e9 = round(exp9 * 1e9)), then a
+              -- pure HUGEINT product — exact for any n_docs (the r11
+              -- DECIMAL-tilt contract, mirrored from the Spark side)
+              n_docs::HUGEINT
+              * CAST(round(round(exp(2.0 * CAST(s4 * 100 // n_docs
+                                                - s * 100 // n AS DOUBLE)
+                                     / 1e6), 9) * 1e9, 0) AS HUGEINT)
+              AS t_e9
        FROM per CROSS JOIN tot),
-z AS (SELECT CAST(sum(t_e9) AS BIGINT) AS z FROM tl)
+z AS (SELECT CAST(sum(t_e9) AS HUGEINT) AS z FROM tl)
 SELECT domain, n_docs,
        CAST(mean_quality_ppm AS BIGINT) AS mean_quality_ppm,
        CAST(base_ppm AS BIGINT) AS base_ppm,
-       CAST((t_e9::HUGEINT * 1000000) // z.z AS BIGINT) AS weight_ppm
+       CAST((t_e9 * 1000000) // z.z AS BIGINT) AS weight_ppm
 FROM tl CROSS JOIN z
 """)
 def mixture_reweight_quality_query(spark, sf_dir):
@@ -11283,8 +11300,10 @@ def mixture_reweight_quality_query(spark, sf_dir):
     source (curation.mixture_reweight): size-proportional base weights
     tilted by exp(eta * quality excess vs the corpus mean) and
     renormalized — above-average domains gain share. Integer-ppm means,
-    one 9dp transcendental, exact-integer tilted masses; the ppm
-    normalize runs in DECIMAL/HUGEINT to dodge BIGINT overflow."""
+    one 9dp transcendental quantized once to a 1e9-scaled integer, then
+    DECIMAL/HUGEINT integer products throughout — tilted masses are
+    exact for ANY domain size (r11: the old double product left the
+    2^53 grid at ~1.2e6 docs/domain)."""
     from amundsendatabuilder_spark.operators.curation import (
         mixture_reweight)
     (docs,) = _t(spark, sf_dir, "documents")

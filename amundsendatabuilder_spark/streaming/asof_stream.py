@@ -108,8 +108,19 @@ def _asof_fn(horizon_us: int):
             if pend_ts:
                 # fire once the watermark passes the earliest pending
                 # purchase (ms floor; must stay > current watermark)
-                state.setTimeoutTimestamp(
-                    max(min(pend_ts) // 1000, wm_us // 1000 + 1))
+                to_us = min(pend_ts)
+            else:
+                # view-only state: a buffered view v can only answer
+                # purchases with ts in (v, v + horizon], and any purchase
+                # still to come has ts >= watermark — so once the
+                # watermark passes max(views) + horizon every view is
+                # dead and the prune above empties the buffer. Arming
+                # eviction here is what keeps state bounded by density x
+                # horizon for users who view but never purchase (or go
+                # silent after their last purchase emits).
+                to_us = max(views) + horizon_us
+            state.setTimeoutTimestamp(
+                max(to_us // 1000, wm_us // 1000 + 1))
         else:
             state.remove()
 

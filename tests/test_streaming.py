@@ -640,3 +640,48 @@ def test_stream_asof_join_horizon_excludes_stale_views(spark, tmp_path):
     rows = {r.event_id: r for r in out.collect()}
     assert rows[100].asof_view_ts is None          # only view is > horizon
     assert rows[101].asof_view_ts == t(75)         # tie at purchase ts OK
+
+
+def test_stream_asof_join_evicts_view_only_state(spark, tmp_path):
+    """A user who views but never purchases must not leak state forever:
+    once the watermark passes max(views) + horizon their entry is
+    removed on timeout (r10 advice — previously only pending purchases
+    armed a timeout, so view-only users accumulated unboundedly)."""
+    import datetime as dt
+    import json
+
+    from amundsendatabuilder_spark.streaming.asof_stream import (
+        stream_asof_join)
+    schema = ("event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string")
+    src = tmp_path / "asof_src3"
+    src.mkdir()
+    t = lambda m: dt.datetime(2024, 1, 1, 10, 0) + dt.timedelta(minutes=m)
+    # user 1: views only. user 9's late view advances the final watermark
+    # to t(500) - 2h = t(380), far past t(10) + 60min, so user 1's state
+    # must be gone; user 9's own eviction deadline (t(560)) is still
+    # ahead of the watermark, so exactly ONE state row remains.
+    spark.createDataFrame(
+        [(1, t(0), 1, "view", 0.0, "{}"),
+         (2, t(10), 1, "view", 0.0, "{}")],
+        schema).coalesce(1).write.parquet(str(src / "a_b1"))
+    spark.createDataFrame(
+        [(4, t(500), 9, "view", 0.0, "{}")],
+        schema).coalesce(1).write.parquet(str(src / "b_b2"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false")
+              .parquet(str(src) + "/*"))
+    q = (stream_asof_join(stream.where("event_type = 'view'"),
+                          stream.where("event_type = 'purchase'"),
+                          horizon_minutes=60)
+         .writeStream.format("memory").queryName("asof_evict_test")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_asof3"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    state_rows = [json.loads(p.json)["stateOperators"][0]["numRowsTotal"]
+                  for p in q.recentProgress
+                  if json.loads(p.json).get("stateOperators")]
+    assert state_rows, "no state-operator progress recorded"
+    assert state_rows[-1] == 1  # user 9 only; user 1 evicted on timeout
