@@ -1069,7 +1069,10 @@ def fuzzy_match_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def embedding_decontam(train: DataFrame, benchmark: DataFrame,
                        threshold: float = 0.6, id_col: str = "vec_id",
-                       vec_col: str = "embedding") -> DataFrame:
+                       vec_col: str = "embedding",
+                       planes: "list[list[float]] | None" = None,
+                       bands: int = 8,
+                       max_bucket_size: "int | None" = None) -> DataFrame:
     """Semantic (embedding-space) test-set decontamination: every training
     vector within cosine ``threshold`` of ANY benchmark vector, with the
     hit count, max cosine, and nearest benchmark id (cosine ties break to
@@ -1090,17 +1093,63 @@ def embedding_decontam(train: DataFrame, benchmark: DataFrame,
     construction — no LSH recall gap — which is what a contamination
     AUDIT needs (an approximate audit that misses leaked eval rows is
     worse than none).
+
+    Banded production path (r10 verdict item #2 — the exact scan is
+    |train| x |bench|, fine for a fixed MB-sized eval suite but 22x at
+    10x data when the fixture grows both sides): pass seeded ``planes``
+    and the audit runs on DISTINCT train vectors — exact-dup rows
+    collapse to a min-id representative, representatives score only the
+    benchmark vectors sharing an RHP band bucket, and the per-rep
+    verdict then expands back to EVERY train row by vector equality
+    (identical vectors have identical audits, so per-row coverage — the
+    non-negotiable property of a contamination audit — is preserved
+    while the scan cost tracks distinct vectors, immune to duplicate
+    mass). Approximate only in the banding (a leaked pair sharing no
+    band is unseen; more bands recover recall — state that contract
+    next to any banded audit result). ``max_bucket_size`` drops
+    over-cap REPRESENTATIVE buckets from the prefilter — residual
+    near-dup (not exact-dup) cliques — and the drop is NEVER silent:
+    run ``similarity.rhp_cap_audit`` with the same parameters
+    (collapse_exact=True) first and publish both.
     """
     from amundsendatabuilder_spark.functions.vectors import l2_norm
     from amundsendatabuilder_spark.session import ensure_parallelism
-    t = (ensure_parallelism(train)
-         .select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
-         .withColumn("_vn", l2_norm("_v")))
     b = (benchmark
          .select(F.col(id_col).alias("bench_id"),
                  F.col(vec_col).cast("array<double>").alias("_bv"))
          .withColumn("_bn", l2_norm("_bv")))
-    hits = (t.crossJoin(F.broadcast(b))
+    if planes is None:
+        t = (ensure_parallelism(train)
+             .select(F.col(id_col),
+                     F.col(vec_col).cast("array<double>").alias("_v"))
+             .withColumn("_vn", l2_norm("_v")))
+        pairs = t.crossJoin(F.broadcast(b))
+        group_key = id_col
+    else:
+        from pyspark.sql import Window
+        from amundsendatabuilder_spark.operators.similarity import (
+            collapse_exact_vectors, rhp_band_sigs)
+        reps = collapse_exact_vectors(ensure_parallelism(train),
+                                      id_col, vec_col)
+        t = (reps.select(F.col(id_col).alias("_rep"), F.col(vec_col),
+                         F.col(vec_col).cast("array<double>").alias("_v"))
+             .withColumn("_vn", l2_norm("_v")))
+        tsigs = rhp_band_sigs(reps, planes, bands, id_col, vec_col)
+        if max_bucket_size is not None:
+            w_b = Window.partitionBy("band", "sig")
+            tsigs = (tsigs.withColumn("_sz", F.count("*").over(w_b))
+                     .where(F.col("_sz") <= max_bucket_size)
+                     .drop("_sz"))
+        bsigs = rhp_band_sigs(benchmark, planes, bands, id_col, vec_col)
+        cand = (tsigs.join(
+            F.broadcast(bsigs.select(F.col("id").alias("bench_id"),
+                                     "band", "sig")),
+            ["band", "sig"])
+            .select(F.col("id").alias("_rep"), "bench_id")
+            .distinct())
+        pairs = (cand.join(t, "_rep").join(F.broadcast(b), "bench_id"))
+        group_key = "_rep"
+    hits = (pairs
             .withColumn("cos", round_half_away(cosine_similarity(
                 "_v", "_bv", norm_a=F.col("_vn"), norm_b=F.col("_bn")), 6))
             .where(F.col("cos") >= threshold))
@@ -1108,10 +1157,21 @@ def embedding_decontam(train: DataFrame, benchmark: DataFrame,
     # struct carries the smallest bench_id among the max-cosine hits
     pick = F.max(F.struct(F.col("cos").alias("c"),
                           (-F.col("bench_id")).cast("long").alias("nb")))
-    return (hits.groupBy(id_col)
-            .agg(F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
-                 F.max("cos").alias("max_cos"),
-                 (-pick.getField("nb")).cast("long").alias("nearest_bench")))
+    agg = (hits.groupBy(group_key)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
+                F.max("cos").alias("max_cos"),
+                (-pick.getField("nb")).cast("long").alias("nearest_bench")))
+    if planes is None:
+        return agg
+    # expand the per-representative verdict to every train row sharing
+    # the vector: one equality join on the array key (shuffles each
+    # vector once; identical vectors hash together)
+    rep_stats = (reps.withColumnRenamed(id_col, "_rep").join(agg, "_rep")
+                 .select(vec_col, "n_bench_hits", "max_cos",
+                         "nearest_bench"))
+    return (train.select(F.col(id_col), F.col(vec_col))
+            .join(rep_stats, vec_col)
+            .select(id_col, "n_bench_hits", "max_cos", "nearest_bench"))
 
 
 def winnowing_fingerprints(docs: DataFrame, k: int = 8, w: int = 4,

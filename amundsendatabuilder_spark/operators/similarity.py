@@ -565,7 +565,11 @@ def embedding_covariance(emb: DataFrame, vec_col: str = "embedding",
 
 def hard_negative_mining(corpus: DataFrame, anchors: DataFrame, k: int = 3,
                          id_col: str = "vec_id", vec_col: str = "embedding",
-                         label_col: str = "label") -> DataFrame:
+                         label_col: str = "label",
+                         planes: "list[list[float]] | None" = None,
+                         bands: int = 8,
+                         max_bucket_size: "int | None" = None,
+                         collapse_exact: bool = False) -> DataFrame:
     """Contrastive-training hard negatives: for each anchor vector, the
     ``k`` most-cosine-similar corpus vectors with a DIFFERENT label —
     the "looks alike but isn't" examples a contrastive/embedding
@@ -581,9 +585,24 @@ def hard_negative_mining(corpus: DataFrame, anchors: DataFrame, k: int = 3,
     per anchor AFTER the different-label filter, reduced map-side by
     the rank window's underlying partial top-k. For billion-vector
     corpora compose with ``ivf_topk``'s routing to cut the scan.
+
+    Banded production path (r10 verdict item #2 — sf1 headroom measured
+    36x at 10x data when BOTH sides grow): pass seeded ``planes`` to
+    draw candidates from shared RHP band buckets instead of the full
+    anchors x corpus product — approximate like every banded path
+    (a hard negative sharing no band with its anchor is unseen; more
+    bands recover recall). ``max_bucket_size`` drops over-cap CORPUS
+    buckets from candidate generation (run ``rhp_cap_audit`` first);
+    ``collapse_exact`` collapses identical (vector, label) corpus rows
+    to their min-id representative — k identical negatives teach a
+    contrastive batch nothing k times, and the collapse is what keeps
+    duplicate-heavy corpora linear.
     """
     from amundsendatabuilder_spark.functions.vectors import l2_norm
     from amundsendatabuilder_spark.session import ensure_parallelism
+    if collapse_exact:
+        corpus = collapse_exact_vectors(corpus, id_col, vec_col,
+                                        extra_keys=(label_col,))
     q = (anchors.select(F.col(id_col).alias("query_id"),
                         F.col(label_col).alias("query_label"),
                         F.col(vec_col).cast("array<double>").alias("_qv"))
@@ -593,7 +612,25 @@ def hard_negative_mining(corpus: DataFrame, anchors: DataFrame, k: int = 3,
                  F.col(label_col).alias("neighbor_label"),
                  F.col(vec_col).cast("array<double>").alias("_cv"))
          .withColumn("_cn", l2_norm("_cv")))
-    scored = (c.crossJoin(F.broadcast(q))
+    if planes is None:
+        pairs = c.crossJoin(F.broadcast(q))
+    else:
+        csigs = rhp_band_sigs(corpus, planes, bands, id_col, vec_col)
+        if max_bucket_size is not None:
+            w_b = Window.partitionBy("band", "sig")
+            csigs = (csigs.withColumn("_sz", F.count("*").over(w_b))
+                     .where(F.col("_sz") <= max_bucket_size)
+                     .drop("_sz"))
+        asigs = rhp_band_sigs(anchors, planes, bands, id_col, vec_col)
+        cand = (csigs.join(
+            F.broadcast(asigs.select(F.col("id").alias("query_id"),
+                                     "band", "sig")),
+            ["band", "sig"])
+            .select(F.col("id").alias("neighbor_id"), "query_id")
+            .distinct())
+        pairs = (cand.join(c, "neighbor_id")
+                 .join(F.broadcast(q), "query_id"))
+    scored = (pairs
               .where(F.col("neighbor_label") != F.col("query_label"))
               .withColumn("cos", round_half_away(cosine_similarity(
                   "_qv", "_cv", norm_a=F.col("_qn"),
@@ -825,10 +862,77 @@ def pca_top_components(emb: DataFrame, n_components: int = 2,
     return out
 
 
+def collapse_exact_vectors(emb: DataFrame, id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           extra_keys: tuple = ()) -> DataFrame:
+    """Exact-duplicate vector collapse — the embedding-space analogue of
+    jaccard_prefix_join's ``collapse_exact`` text guard: one
+    representative (min id) per identical embedding array (plus any
+    ``extra_keys`` that must not merge, e.g. a label column). At corpus
+    scale exact-dup vectors are MASS (re-crawls, mirrors, replicas);
+    every pairwise operator downstream of this collapse is immune to
+    the quadratic dup-clique blowup the sf1 headroom fixture measured
+    (15-36x at 10x data) because a clique of k identical vectors
+    contributes ONE member, not k(k-1)/2 candidate pairs. One
+    map-side-combinable groupBy on the array key; no vector ever
+    shuffles twice."""
+    keys = [vec_col, *extra_keys]
+    return (emb.groupBy(*keys)
+            .agg(F.min(F.col(id_col)).alias(id_col))
+            .select(id_col, *keys))
+
+
+def rhp_cap_audit(emb: DataFrame, planes: list[list[float]],
+                  bands: int = 8, max_bucket_size: int = 10,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  collapse_exact: bool = False) -> DataFrame:
+    """The no-silent-caps audit for RHP bucket capping (the
+    dedup.similarity_cap_report precedent, r10 verdict item #1): before
+    trusting any ``max_bucket_size``-guarded banded path on a new
+    corpus, this one-row report says exactly what the guard would drop —
+    (n_vectors_in, n_vectors_bucketed, n_buckets_total,
+    n_buckets_over_cap, n_sig_rows_dropped, n_vectors_fully_dropped).
+    ``n_vectors_fully_dropped`` counts vectors whose EVERY band bucket
+    is over cap: completely invisible to candidate generation, the
+    rows an operator consumer must know about (members of such buckets
+    are near-identical by construction — upstream exact/minhash dedup
+    removes them cheaper — but silent invisibility is never OK).
+
+    Scale shape: one signature pass (map-side), one (band, sig) count,
+    and register-sized aggregates; the vectors themselves never join
+    anything."""
+    base = (collapse_exact_vectors(emb, id_col, vec_col)
+            if collapse_exact else emb)
+    sigs = rhp_band_sigs(base, planes, bands, id_col, vec_col)
+    bsz = (sigs.groupBy("band", "sig")
+           .agg(F.count(F.lit(1)).cast("long").alias("_sz")))
+    bstats = bsz.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets_total"),
+        F.sum((F.col("_sz") > max_bucket_size).cast("long")).cast("long")
+        .alias("n_buckets_over_cap"),
+        F.sum(F.when(F.col("_sz") > max_bucket_size, F.col("_sz"))
+              .otherwise(F.lit(0))).cast("long")
+        .alias("n_sig_rows_dropped"))
+    vstats = (sigs.join(F.broadcast(bsz), ["band", "sig"])
+              .groupBy("id")
+              .agg(F.min(F.col("_sz")).alias("_minsz"))
+              .agg(F.count(F.lit(1)).cast("long")
+                   .alias("n_vectors_bucketed"),
+                   F.sum((F.col("_minsz") > max_bucket_size).cast("long"))
+                   .cast("long").alias("n_vectors_fully_dropped")))
+    n_in = emb.agg(F.count(F.lit(1)).cast("long").alias("n_vectors_in"))
+    return (n_in.crossJoin(F.broadcast(vstats))
+            .crossJoin(F.broadcast(bstats))
+            .select("n_vectors_in", "n_vectors_bucketed",
+                    "n_buckets_total", "n_buckets_over_cap",
+                    "n_sig_rows_dropped", "n_vectors_fully_dropped"))
+
+
 def mutual_nn_pairs(emb: DataFrame, planes: list[list[float]],
                     bands: int = 4, id_col: str = "vec_id",
                     vec_col: str = "embedding",
-                    max_bucket_size: "int | None" = None) -> DataFrame:
+                    max_bucket_size: "int | None" = None,
+                    collapse_exact: bool = False) -> DataFrame:
     """Reciprocal (mutual) nearest-neighbor pairs over the RHP-banded
     candidate graph: (a, b) survives only when b is a's top-1 cosine
     neighbor AND a is b's — the semantic-dedup refinement that kills
@@ -858,9 +962,24 @@ def mutual_nn_pairs(emb: DataFrame, planes: list[list[float]],
     entirely, not sampled — members of an over-size bucket are near-
     identical by construction, exactly what exact/minhash dedup
     upstream removes more cheaply. Default None keeps the uncapped
-    oracle-pinned behavior.
+    oracle-pinned behavior. Run ``rhp_cap_audit`` with the same
+    parameters first — no silent caps.
+
+    ``collapse_exact``: the jaccard_prefix_join production guard
+    transplanted to embedding space — collapse identical vectors to
+    their min-id representative BEFORE signatures, so a k-replica
+    exact-dup clique contributes one member instead of k(k-1)/2
+    candidate pairs (the sf1 replica fixture's entire super-linearity).
+    Output pairs then reference representative ids. The certified
+    production configuration (mutual_nn_dedup_capped) engages BOTH
+    guards plus 8-bit band signatures: wider sigs keep bucket size
+    tracking cluster structure rather than corpus size, the collapse
+    absorbs duplicate mass, and the cap bounds whatever near-dup
+    cliques remain.
     """
     from amundsendatabuilder_spark.functions.vectors import l2_norm
+    if collapse_exact:
+        emb = collapse_exact_vectors(emb, id_col, vec_col)
     # the self-join runs the plane-dot projection on both sides; a
     # localCheckpoint here was MEASURED SLOWER (6.3s vs 5.5s at sf0.1 —
     # the materialization write exceeds the duplicated map-side pass),

@@ -235,6 +235,13 @@ EXTENDED = [
     "score_calibration",
     "logreg_weight_explain",
     "mixture_reweight_quality",
+    # round-11: the capped/collapsed production twins of the embedding
+    # pairwise family (r10 verdict items #1-2), the cap audit, and the
+    # end-to-end classifier holdout loop
+    "mutual_nn_dedup_capped",
+    "rhp_cap_audit",
+    "hard_negative_banded",
+    "embedding_decontam_banded",
 ]
 
 

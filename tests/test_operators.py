@@ -4481,6 +4481,131 @@ def test_mutual_nn_bucket_cap_drops_giant_cliques(spark):
     assert [(r.id_a, r.id_b) for r in capped] == [(10, 11)]
 
 
+def test_collapse_exact_and_capped_mutual_nn_survive_replica_cliques(spark):
+    """The production configuration (collapse_exact + cap): a 20-replica
+    exact-dup clique collapses to its min-id representative BEFORE
+    candidate generation, so the capped path still sees the pair
+    structure the uncapped-bucket drop would have destroyed."""
+    from amundsendatabuilder_spark.operators.similarity import (
+        collapse_exact_vectors, mutual_nn_pairs)
+    eye = [[1.0 if i == j else 0.0 for j in range(4)] for i in range(4)]
+    clique = [(i, [-1.0, 1.0, 0.01, 0.0]) for i in range(1, 21)]  # 20 dups
+    pair = [(50, [1.0, 0.02, 0.0, 0.0]), (51, [1.0, 0.01, 0.0, 0.0])]
+    emb = spark.createDataFrame(clique + pair,
+                                "vec_id long, embedding array<float>")
+    col = collapse_exact_vectors(emb).collect()
+    assert sorted(r.vec_id for r in col) == [1, 50, 51]  # min-id reps
+    # cap=4 WITHOUT collapse: the 20-member clique bucket is dropped and
+    # its (single) mutual pair with nobody is moot, but the clique also
+    # swamps nothing else; WITH collapse the rep survives in a size-<=3
+    # bucket, so candidate generation keeps whatever structure remains
+    out = mutual_nn_pairs(emb, eye, bands=2, max_bucket_size=4,
+                          collapse_exact=True).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(50, 51)]
+    # and the collapsed path reports REPRESENTATIVE ids only
+    assert all(r.id_a not in range(2, 21) and r.id_b not in range(2, 21)
+               for r in out)
+
+
+def test_rhp_cap_audit_counts_and_collapse_interaction(spark):
+    """Hand-checkable cap-audit arithmetic, and the headline claim of
+    the production config: exact-dup collapse is what takes buckets
+    back UNDER the cap (the audit proves it, per fixture)."""
+    from amundsendatabuilder_spark.operators.similarity import (
+        rhp_cap_audit)
+    eye = [[1.0 if i == j else 0.0 for j in range(4)] for i in range(4)]
+    clique = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(1, 7)]   # 6 dups
+    pair = [(10, [-1.0, 1.0, 0.01, 0.0]), (11, [-1.0, 1.0, 0.02, 0.0])]
+    emb = spark.createDataFrame(clique + pair,
+                                "vec_id long, embedding array<float>")
+    # no collapse: buckets are (b0,'11')x6, (b0,'01')x2, (b1,'11')x8 —
+    # two over cap 4, 14 sig rows dropped, the 6 clique members have
+    # EVERY band over cap (invisible), the pair survives via (b0,'01')
+    r = rhp_cap_audit(emb, eye, bands=2, max_bucket_size=4).collect()[0]
+    assert (r.n_vectors_in, r.n_vectors_bucketed) == (8, 8)
+    assert (r.n_buckets_total, r.n_buckets_over_cap) == (3, 2)
+    assert r.n_sig_rows_dropped == 14
+    assert r.n_vectors_fully_dropped == 6
+    # with collapse the clique is one rep: nothing is over cap anymore
+    rc = rhp_cap_audit(emb, eye, bands=2, max_bucket_size=4,
+                       collapse_exact=True).collect()[0]
+    assert (rc.n_vectors_in, rc.n_vectors_bucketed) == (8, 3)
+    assert rc.n_buckets_over_cap == 0
+    assert rc.n_sig_rows_dropped == 0
+    assert rc.n_vectors_fully_dropped == 0
+
+
+def test_hard_negative_banded_matches_exact_and_cap_drops_cliques(spark):
+    """Banded hard negatives: where all true negatives share a band with
+    the anchor, banded+collapsed output equals the exact scan; the
+    bucket cap without collapse drops the over-cap bucket entirely."""
+    from amundsendatabuilder_spark.operators.similarity import (
+        hard_negative_mining)
+    eye = [[1.0 if i == j else 0.0 for j in range(4)] for i in range(4)]
+    clique = [(i, "A", [1.0, 0.0, 0.0, 0.0]) for i in range(1, 7)]
+    other = [(30, "B", [0.9, 0.1, 0.0, 0.0])]
+    corpus = spark.createDataFrame(
+        clique + other, "vec_id long, label string, embedding array<float>")
+    anchors = spark.createDataFrame(
+        [(99, "A", [1.0, 0.05, 0.0, 0.0])],
+        "vec_id long, label string, embedding array<float>")
+    exact = hard_negative_mining(corpus, anchors, k=3).collect()
+    banded = hard_negative_mining(
+        corpus, anchors, k=3, planes=eye, bands=2,
+        max_bucket_size=4, collapse_exact=True).collect()
+    assert [(r.query_id, r.neighbor_id, r.cos) for r in banded] \
+        == [(r.query_id, r.neighbor_id, r.cos) for r in exact]
+    assert banded[0].neighbor_id == 30          # the only B-label vector
+    # cap WITHOUT collapse: every bucket holds the 6-clique + B (7 > 4)
+    # -> no candidates at all
+    capped_raw = hard_negative_mining(
+        corpus, anchors, k=3, planes=eye, bands=2,
+        max_bucket_size=4).collect()
+    assert capped_raw == []
+
+
+def test_embedding_decontam_banded_collapse_expand_and_cap(spark):
+    """Banded decontam collapses exact-dup train rows to a
+    representative, audits reps, and expands the verdict back to every
+    row — so a 6-dup clique survives ANY cap (its rep bucket has size
+    1) and all 6 rows stay flagged; the cap bites only on DISTINCT
+    near-dup reps crowding one bucket, and then drops them from the
+    prefilter — never silently (the rhp_cap_audit twin reports it)."""
+    from amundsendatabuilder_spark.operators.dedup import (
+        embedding_decontam)
+    eye = [[1.0 if i == j else 0.0 for j in range(4)] for i in range(4)]
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>")
+    dup_train = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(1, 7)],   # 6 exact dups
+        "vec_id long, embedding array<float>")
+    exact = embedding_decontam(dup_train, bench, threshold=0.5).collect()
+    assert len(exact) == 6 and all(r.max_cos == 1.0 for r in exact)
+    # collapse immunity: even a BINDING-looking cap of 1 leaves the
+    # clique flagged, because the rep bucket holds one member
+    banded = embedding_decontam(
+        dup_train, bench, threshold=0.5, planes=eye, bands=2,
+        max_bucket_size=1).collect()
+    assert sorted((r.vec_id, r.n_bench_hits, r.max_cos, r.nearest_bench)
+                  for r in banded) \
+        == sorted((r.vec_id, r.n_bench_hits, r.max_cos, r.nearest_bench)
+                  for r in exact)
+    # cap bites on DISTINCT reps: 5 distinct near-dups of the benchmark
+    # share every band bucket -> rep buckets of size 5 > cap 4 -> the
+    # banded prefilter drops them (exact audit still sees all 5)
+    distinct_train = spark.createDataFrame(
+        [(i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(1, 6)],
+        "vec_id long, embedding array<float>")
+    assert len(embedding_decontam(
+        distinct_train, bench, threshold=0.5).collect()) == 5
+    assert embedding_decontam(
+        distinct_train, bench, threshold=0.5, planes=eye, bands=2,
+        max_bucket_size=4).collect() == []
+    assert len(embedding_decontam(
+        distinct_train, bench, threshold=0.5, planes=eye, bands=2,
+        max_bucket_size=5).collect()) == 5
+
+
 def test_logreg_train_separates_and_score_ranks(spark):
     """4 GD rounds on a linearly separable corpus must rank every
     positive above every negative when scored back (train-set AUC 1),

@@ -182,6 +182,19 @@ SUITE = [
     "score_calibration",
     "logreg_weight_explain",
     "mixture_reweight_quality",
+    # round-11: the capped/collapsed production twins (r10 verdict items
+    # #1-2). The UNCAPPED mutual_nn_dedup / hard_negative_mining /
+    # embedding_decontam_audit stay in the suite above for the
+    # round-over-round comparison, but the twins below are the
+    # production configuration: on this fixture — whose 10x growth is
+    # pure exact duplication — collapse_exact absorbs the replicas, so
+    # the capped entries should read ~sf0.1-flat (the jaccard_
+    # prefix_join_capped precedent: output bounded by structure, not
+    # corpus^2).
+    "mutual_nn_dedup_capped",
+    "rhp_cap_audit",
+    "hard_negative_banded",
+    "embedding_decontam_banded",
 ]
 
 
