@@ -594,8 +594,15 @@ def hyperball_neighborhood(edges: DataFrame, iters: int = 3, p: int = 4,
     the float math bit-for-bit.
     """
     from amundsendatabuilder_spark.functions.scalars import round_half_away
+    from amundsendatabuilder_spark.operators.profiling import (
+        require_register_width)
     from amundsendatabuilder_spark.operators.sketches import (
         hll_estimate, hll_terms)
+    # register-domain contract (r10 verdict item #4): the frontier state
+    # is nodes x 2^p single-byte-ish registers and every round shuffles
+    # |edges| x 2^p rows — 2^p is the multiplier on the WHOLE iteration,
+    # so an over-wide p raises at plan time, before round one
+    require_register_width(1 << p, f"hyperball registers per node (p={p})")
     nodes = (edges.select(F.col(src_col).alias("node"))
              .unionByName(edges.select(F.col(dst_col).alias("node")))
              .distinct())
@@ -703,8 +710,11 @@ def hyperball_harmonic(edges: DataFrame, iters: int = 3, p: int = 4,
     """
     import math
     from amundsendatabuilder_spark.functions.scalars import round_half_away
+    from amundsendatabuilder_spark.operators.profiling import (
+        require_register_width)
     from amundsendatabuilder_spark.operators.sketches import (
         hll_estimate, hll_terms)
+    require_register_width(1 << p, f"hyperball registers per node (p={p})")
     lcm = math.lcm(*range(1, iters + 1))
     # telescoped coefficient of N_r in lcm * H
     coef = {0: -lcm}

@@ -44,6 +44,23 @@ def guard_register_domain(value, rank, what: str,
     return value + F.coalesce(ok.cast("long"), F.lit(0))
 
 
+def require_register_width(n_rows: int, what: str,
+                           limit: "int | None" = None) -> None:
+    """Plan-time form of the register-domain contract for PARAMETRIC
+    widths (2^p HLL buckets, CMS depth x width, Bloom words, histogram
+    n_buckets; r10 verdict item #4): the register row count is known
+    from the call parameters before any job runs, so an over-wide
+    sketch raises HERE — same raise-not-degrade behavior as
+    ``guard_register_domain``, one job earlier. Reads the module-level
+    limit at call time so tests can pin a tiny one."""
+    limit = REGISTER_DOMAIN_LIMIT if limit is None else limit
+    if n_rows > limit:
+        raise ValueError(
+            f"register domain for {what} is {n_rows} rows, over the "
+            f"{limit}-row register contract — narrow the sketch "
+            "parameters (p / depth x width / bits / buckets)")
+
+
 def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     """(col_name, n_rows, n_nulls, n_distinct, min_value, max_value,
     stddev) for each numeric/orderable column, computed in ONE pass.

@@ -553,14 +553,27 @@ def embedding_covariance(emb: DataFrame, vec_col: str = "embedding",
     si = u.select(F.col("i").alias("_i"), F.col("s").alias("s_i"))
     sj = u.select(F.col("i").alias("_j"), F.col("s").alias("s_j"))
     from amundsendatabuilder_spark.functions.scalars import round_half_away
+    from amundsendatabuilder_spark.operators.profiling import (
+        guard_register_domain)
     num = (F.col("n") * F.col("sxy")
            - F.col("s_i") * F.col("s_j")).cast("double")
     den = (F.col("n") * F.col("n")).cast("double") * float(scale) ** 2
+    # register-domain guard (r10 verdict item #4), MAP-SIDE: the
+    # covariance register holds d(d+1)/2 rows and each row's own pair
+    # index bounds the total — row (i, j<=max) implies at least
+    # (j+1)(j+2)/2 register rows — so the raise-not-degrade check costs
+    # no window, no extra pass, nothing: it folds into the consumed cov
+    # value exactly like the profiling sites
+    rows_bound = F.expr("(CAST(j AS BIGINT) + 1) * (CAST(j AS BIGINT) + 2)"
+                        " DIV 2")
     return (p.join(F.broadcast(si), p["i"] == si["_i"])
             .join(F.broadcast(sj), p["j"] == sj["_j"])
             .crossJoin(F.broadcast(n))
             .select(F.col("i").alias("dim_i"), F.col("j").alias("dim_j"),
-                    round_half_away(num / den, 9).alias("cov")))
+                    guard_register_domain(
+                        round_half_away(num / den, 9), rows_bound,
+                        "embedding covariance register (d(d+1)/2)")
+                    .alias("cov")))
 
 
 def hard_negative_mining(corpus: DataFrame, anchors: DataFrame, k: int = 3,
@@ -784,12 +797,22 @@ def _power_iterate(c: DataFrame, iters: int, seed_prefix: str):
                         .cast("long").alias("t"))
                 .groupBy("dim").agg(F.sum("t").cast("long").alias("wi")))
 
+    from amundsendatabuilder_spark.operators.profiling import (
+        guard_register_domain)
     for _ in range(int(iters)):
         w = matvec(v).localCheckpoint()
-        nrm = w.agg(F.sqrt(F.sum(
-            (F.col("wi").cast("decimal(19,0)")
-             * F.col("wi").cast("decimal(19,0)")).cast("decimal(38,0)"))
-            .cast("double")).alias("nrm"))
+        # register-domain guard piggybacked on the norm aggregation the
+        # round already pays for: the iteration state must stay a d-row
+        # register, and the agg counts its rows for free
+        nrm = w.agg(
+            F.sqrt(F.sum(
+                (F.col("wi").cast("decimal(19,0)")
+                 * F.col("wi").cast("decimal(19,0)")).cast("decimal(38,0)"))
+                .cast("double")).alias("_nrm"),
+            F.count(F.lit(1)).alias("_cnt")
+        ).select(guard_register_domain(
+            F.col("_nrm"), F.col("_cnt"),
+            "power-iteration vector register").alias("nrm"))
         v = (w.crossJoin(F.broadcast(nrm))
              .select("dim", F.when(
                  F.col("nrm") > 0, round_half_away(

@@ -63,6 +63,9 @@ def hll_terms(df: DataFrame, col: str, p: int = 8) -> DataFrame:
     stateless stage shared by batch ``hll_registers`` and the streaming
     windowed sketch (it composes with any watermark/window grouping)."""
     assert p % 4 == 0 and 4 <= p <= 16, "p must be a multiple of 4 in [4,16]"
+    from amundsendatabuilder_spark.operators.profiling import (
+        require_register_width)
+    require_register_width(1 << p, f"hll registers (2^p, p={p})")
     nbhex = p // 4
     rest = 16 - nbhex
     d = df.withColumn(
@@ -87,7 +90,17 @@ def hll_estimate(registers: DataFrame, group_cols: tuple[str, ...] = (),
                  p: int = 8) -> DataFrame:
     """Fold a register table into (group..., approx_distinct). Constants
     are precomputed in Python and inlined so an oracle twin using the
-    identical literals reproduces the float math bit-for-bit."""
+    identical literals reproduces the float math bit-for-bit.
+
+    Runtime register-domain guard (r10 verdict item #4): a register
+    table whose per-group bucket count exceeds 2^p can only come from a
+    mismatched-width merge (unioning p=8 with p=10 registers — THE
+    operational hazard of mergeable sketches), and the estimator
+    constants would then be silently wrong; the fold already counts
+    buckets per group, so the check is free and the job raises instead
+    of shipping a garbage estimate."""
+    from amundsendatabuilder_spark.operators.profiling import (
+        guard_register_domain)
     m = 1 << p
     alpha = 0.7213 / (1 + 1.079 / m)
     num = alpha * m * m * float(1 << 50)  # alpha * m^2 / (S / 2^50)
@@ -103,6 +116,8 @@ def hll_estimate(registers: DataFrame, group_cols: tuple[str, ...] = (),
     est = F.when((raw <= F.lit(2.5 * m)) & (v_empty > 0),
                  F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty.cast("double"))
                  ).otherwise(raw)
+    est = guard_register_domain(
+        est, F.col("n_present"), f"hll register fold (p={p})", limit=m)
     return fold.select(*group_cols, est.alias("approx_distinct"))
 
 
@@ -314,6 +329,10 @@ def cms_registers(df: DataFrame, col: str, group_cols: tuple[str, ...] = (),
     """(group..., j, bucket, cnt): the sketch — at most depth*width rows
     per group, partial-aggregated map-side. Store it, UNION another
     shard's registers and SUM again, or feed it to ``cms_lookup``."""
+    from amundsendatabuilder_spark.operators.profiling import (
+        require_register_width)
+    require_register_width(depth * width,
+                           f"cms registers ({depth}x{width})")
     d = cms_terms(df.select(*group_cols, col), col, depth, width)
     return d.groupBy(*group_cols, "j", "bucket").agg(
         F.count(F.lit(1)).alias("cnt"))
@@ -378,6 +397,10 @@ def bloom_build(df: DataFrame, col: str, m_bits: int = 8192,
     """(word_idx, bits): the filter packed 63 bits per BIGINT word; at
     most ceil(m_bits/63) rows, one map-side-combined bit_or aggregation."""
     from amundsendatabuilder_spark.functions.hashing import udh_positions
+    from amundsendatabuilder_spark.operators.profiling import (
+        require_register_width)
+    require_register_width((m_bits + 62) // 63,
+                           f"bloom filter words ({m_bits} bits)")
     pos = F.explode(F.array(
         *udh_positions(F.col(col), k, m_bits))).alias("pos")
     d = df.select(pos)
@@ -458,6 +481,10 @@ def histogram_registers(df: DataFrame, col, lo: int, width: int,
     integer bucket edges), unlike t-digest/GK whose state depends on
     arrival order."""
     from pyspark.sql import functions as F
+    from amundsendatabuilder_spark.operators.profiling import (
+        require_register_width)
+    require_register_width(n_buckets,
+                           f"histogram registers ({n_buckets} buckets)")
     v = (F.col(col) if isinstance(col, str) else col).cast("long")
     # integer DIV (not float '/'): bucket edges must be exact at any
     # magnitude; negatives clamp to bucket 0 before the division matters

@@ -4345,6 +4345,74 @@ def test_register_domain_guard_enforces_width_contract(spark, monkeypatch):
     assert len(got) == 4  # 2 groups x 2 buckets, each group 20 quanta
 
 
+def test_register_guard_similarity_family(spark, monkeypatch):
+    """r10 verdict item #4: the covariance/power-iteration register
+    state enforces the same raise-not-degrade contract as profiling —
+    map-side (no extra pass) via the pair index bound."""
+    import pytest
+
+    from amundsendatabuilder_spark.operators import profiling, similarity
+    emb = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(6)],
+        "vec_id long, embedding array<float>")
+    # healthy at the default limit: 8 dims -> 36 register rows
+    assert similarity.embedding_covariance(emb).count() == 36
+    monkeypatch.setattr(profiling, "REGISTER_DOMAIN_LIMIT", 10)
+    with pytest.raises(Exception, match="register domain"):
+        similarity.embedding_covariance(emb).collect()
+    # the power-iteration norm agg guards the d-row vector register too
+    cov = spark.createDataFrame(
+        [(i, j, 0.5) for i in range(20) for j in range(20)],
+        "dim_i int, dim_j int, cov double")
+    with pytest.raises(Exception, match="register domain"):
+        similarity._power_iterate(cov, 1, "t:")[0].collect()
+
+
+def test_register_guard_sketches_family(spark, monkeypatch):
+    """Parametric sketch widths raise at PLAN time; the hll_estimate
+    fold raises at RUN time on an over-width register table (the
+    mismatched-p merge hazard) instead of shipping a garbage estimate."""
+    import pytest
+
+    from amundsendatabuilder_spark.operators import profiling, sketches
+    df = spark.createDataFrame([(i,) for i in range(50)], "v long")
+    # healthy end-to-end at default limits
+    est = sketches.hll_distinct(df, "v", p=4).collect()[0].approx_distinct
+    assert est > 0
+    # runtime: 17 register rows for p=4 (m=16) can only be a bad merge
+    bad = spark.createDataFrame(
+        [(format(i, "x"), 3) for i in range(17)], "bucket string, r int")
+    with pytest.raises(Exception, match="register domain"):
+        sketches.hll_estimate(bad, (), p=4).collect()
+    # plan time: every parametric register width checks before any job
+    monkeypatch.setattr(profiling, "REGISTER_DOMAIN_LIMIT", 10)
+    with pytest.raises(ValueError, match="register domain"):
+        sketches.hll_terms(df, "v", p=4)
+    with pytest.raises(ValueError, match="register domain"):
+        sketches.cms_registers(df, "v")
+    with pytest.raises(ValueError, match="register domain"):
+        sketches.bloom_build(df, "v")
+    with pytest.raises(ValueError, match="register domain"):
+        sketches.histogram_registers(df, "v", lo=0, width=1, n_buckets=20)
+
+
+def test_register_guard_graph_family(spark, monkeypatch):
+    """The HyperBall frontier multiplies EVERY round by 2^p — an
+    over-wide p raises at plan time, before round one."""
+    import pytest
+
+    from amundsendatabuilder_spark.operators import graph_algo, profiling
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    assert graph_algo.hyperball_neighborhood(edges, iters=1, p=4).count() == 2
+    monkeypatch.setattr(profiling, "REGISTER_DOMAIN_LIMIT", 10)
+    with pytest.raises(ValueError, match="register domain"):
+        graph_algo.hyperball_neighborhood(edges, iters=1, p=4)
+    with pytest.raises(ValueError, match="register domain"):
+        graph_algo.hyperball_harmonic(edges, iters=1, p=4)
+    with pytest.raises(ValueError, match="register domain"):
+        graph_algo.hyperball_effective_diameter(edges, iters=1, p=4)
+
+
 def test_ir_pr_at_k_known_values(spark):
     from amundsendatabuilder_spark.operators.ranking import ir_pr_at_k
     ranked = spark.createDataFrame(
