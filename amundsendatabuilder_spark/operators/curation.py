@@ -849,7 +849,7 @@ def curriculum_schedule(docs: DataFrame, n_phases: int = 4,
 
 def logreg_train(docs: DataFrame, iters: int = 4, lr: float = 0.5,
                  label=None, id_col: str = "doc_id",
-                 text_col: str = "text") -> DataFrame:
+                 text_col: str = "text", hex_chars: int = 2) -> DataFrame:
     """In-engine quality-classifier training: full-batch logistic
     regression by gradient descent over hashing-trick text features
     (textops.feature_hashing's 256 signed md5 buckets) — the
@@ -881,7 +881,8 @@ def logreg_train(docs: DataFrame, iters: int = 4, lr: float = 0.5,
     """
     from amundsendatabuilder_spark.operators.textops import feature_hashing
     y_expr = (F.col("lang") == "en") if label is None else label
-    feats = feature_hashing(docs, id_col, text_col).localCheckpoint()
+    feats = feature_hashing(docs, id_col, text_col,
+                            hex_chars=hex_chars).localCheckpoint()
     y = docs.select(F.col(id_col).alias("doc_id"),
                     y_expr.cast("int").alias("y"))
     n1 = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
@@ -919,14 +920,14 @@ def logreg_train(docs: DataFrame, iters: int = 4, lr: float = 0.5,
 
 def logreg_score(docs: DataFrame, weights: DataFrame,
                  id_col: str = "doc_id",
-                 text_col: str = "text") -> DataFrame:
+                 text_col: str = "text", hex_chars: int = 2) -> DataFrame:
     """Score documents with a ``logreg_train`` weight table: the sweep
     half of the classifier-filter loop — one feature pass + one
     broadcast join, embarrassingly parallel at any corpus size. Docs
     whose tokens hit no weighted bucket (or with zero tokens) score the
     0.5 prior. Returns (doc_id, score) — sigmoid of the margin, 6dp."""
     from amundsendatabuilder_spark.operators.textops import feature_hashing
-    feats = feature_hashing(docs, id_col, text_col)
+    feats = feature_hashing(docs, id_col, text_col, hex_chars=hex_chars)
     # weights are on the 1e-6 grid, so weight*1e6 is an exact integer:
     # the margin accumulates as an order-free BIGINT sum (a double sum
     # would be partition-order dependent)

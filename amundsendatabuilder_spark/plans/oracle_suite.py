@@ -11319,23 +11319,33 @@ def embedding_decontam_banded_query(spark, sf_dir):
         max_bucket_size=_CAP_SIZE)
 
 
-def _logreg_cte(iters: int = 4, lr: float = 0.5) -> str:
-    """WITH-body (through ``w{iters}`` plus the shared x/y CTEs) replaying
-    logreg_train's GD rounds — shared by the train oracle, the scoring
-    oracle, and the calibration oracle."""
-    head = ("WITH t AS (SELECT doc_id, unnest(" + _LTOKS_SQL
-            + """) AS tok FROM documents),
-h AS (SELECT doc_id, substr(md5(tok), 1, 2) AS bucket,
+def _feat_cte(src: str, t: str = "t", h: str = "h", x: str = "x") -> str:
+    """Signed-hash feature CTEs (t -> h -> x) replaying
+    textops.feature_hashing over ``src`` — name overrides let the
+    holdout oracle carry BOTH the train-split and held-out feature
+    tables in one query."""
+    return (f"{t} AS (SELECT doc_id, unnest(" + _LTOKS_SQL
+            + f""") AS tok FROM {src}),
+{h} AS (SELECT doc_id, substr(md5(tok), 1, 2) AS bucket,
              CASE WHEN substr(md5(tok), 3, 1) IN
                   ('0','1','2','3','4','5','6','7')
                   THEN 1 ELSE -1 END AS sign
-      FROM t),
-x AS MATERIALIZED (SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS val
-                   FROM h GROUP BY 1, 2 HAVING sum(sign) <> 0),
+      FROM {t}),
+{x} AS MATERIALIZED (SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS val
+                   FROM {h} GROUP BY 1, 2 HAVING sum(sign) <> 0)""")
+
+
+def _logreg_cte(iters: int = 4, lr: float = 0.5, src: str = "documents",
+                with_head: bool = True) -> str:
+    """WITH-body (through ``w{iters}`` plus the shared x/y CTEs) replaying
+    logreg_train's GD rounds — shared by the train oracle, the scoring
+    oracle, the calibration oracle, and (with ``src``/``with_head``
+    overrides) the end-to-end holdout-AUC oracle."""
+    head = (("WITH " if with_head else "") + _feat_cte(src) + f""",
 y AS MATERIALIZED (SELECT doc_id,
                           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
-                   FROM documents),
-nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+                   FROM {src}),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM {src}),
 w0 AS MATERIALIZED (SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS w
                     FROM x)""")
     rounds = []
@@ -11530,3 +11540,104 @@ def mixture_reweight_quality_query(spark, sf_dir):
         mixture_reweight)
     (docs,) = _t(spark, sf_dir, "documents")
     return mixture_reweight(docs, domain_col="source", eta=2.0)
+
+
+def _logreg_holdout_oracle(iters: int = 4, lr: float = 0.5) -> str:
+    """End-to-end holdout evaluation replay (r10 verdict item #7):
+    leakage-safe split -> train on the train split -> score the held-out
+    docs -> Mann-Whitney AUC against the true labels — every stage the
+    verbatim SQL of its already-certified per-stage oracle, composed
+    into ONE query so the quality claim is oracle-pinned end-to-end."""
+    return (f"""
+WITH RECURSIVE pairs AS ({_lsh_verified_sql()}),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach AS (SELECT a, b FROM sym
+          UNION
+          SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b
+          WHERE s.b <> r.a),
+comp AS (SELECT a AS node, least(a, min(b)) AS component
+         FROM reach GROUP BY a),
+grp AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS group_key
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+spl AS MATERIALIZED (
+    SELECT doc_id,
+           CASE WHEN CAST('0x' || substr(md5('grp:'
+                    || CAST(group_key AS VARCHAR)), 1, 4) AS BIGINT)
+                < 52428 THEN 'train' ELSE 'held' END AS split
+    FROM grp),
+trdocs AS MATERIALIZED (SELECT d.* FROM documents d
+                        JOIN spl USING (doc_id)
+                        WHERE spl.split = 'train'),
+hdocs AS MATERIALIZED (SELECT d.* FROM documents d
+                       JOIN spl USING (doc_id)
+                       WHERE spl.split <> 'train'),
+""" + _logreg_cte(iters, lr, src="trdocs", with_head=False) + ",\n"
+        + _feat_cte("hdocs", t="th", h="hh", x="xh") + f""",
+w6 AS (SELECT bucket,
+              CAST(round(round(CAST(w AS DOUBLE) / 1e9, 6) * 1e6, 0)
+                   AS BIGINT) AS w_e6
+       FROM w{iters}),
+sm AS (SELECT xh.doc_id, CAST(sum(w6.w_e6 * xh.val) AS BIGINT) AS m_e6
+       FROM xh JOIN w6 USING (bucket) GROUP BY 1),
+sc AS (SELECT d.doc_id, d.lang,
+              round(1.0 / (1.0 + exp(-CAST(coalesce(sm.m_e6, 0)
+                    AS DOUBLE) / 1e6)), 6) AS score
+       FROM hdocs d LEFT JOIN sm USING (doc_id)),
+base AS (SELECT CAST(round(score * 1000000, 0) AS BIGINT) AS v,
+                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ia
+         FROM sc),
+reg AS (SELECT v, CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(ia) AS BIGINT) AS ma
+        FROM base GROUP BY 1),
+cum AS (SELECT v, m, ma,
+               CAST(coalesce(sum(m) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS a
+        FROM reg),
+s AS (SELECT CAST(sum(ma) AS BIGINT) AS n_a,
+             CAST(sum(m - ma) AS BIGINT) AS n_b,
+             CAST(sum(ma * (2 * a + m + 1)) AS BIGINT) AS r2a
+      FROM cum)
+SELECT n_a, n_b, r2a - n_a * (n_a + 1) AS u_stat_x2,
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN round(CAST(r2a - n_a * (n_a + 1) AS DOUBLE)
+                       / (2.0 * CAST(n_a AS DOUBLE)
+                          * CAST(n_b AS DOUBLE)), 6) END AS auc
+FROM s
+""")
+
+
+@query("logreg_holdout_auc", _logreg_holdout_oracle())
+def logreg_holdout_auc_query(spark, sf_dir):
+    """The classifier's REAL evaluation loop as one certified entry
+    (r10 verdict item #7): leakage_safe_split (cluster-atomic 80/20 —
+    near-dups of a held-out doc can't leak into train) -> logreg_train
+    on the train split -> logreg_score on the held-out docs ->
+    profiling.rank_auc of the scores against the true (lang == 'en')
+    labels. One row (n_a, n_b, u_stat_x2, auc): the end-to-end,
+    oracle-pinned answer to "does the trained filter actually separate
+    held-out positives from negatives", not a per-stage claim.
+
+    On this synthetic fixture the answer is HONEST near-chance (~0.44
+    at sf0.01): the 31-token vocabulary carries almost no lang signal
+    out of sample even though train-set separation is easy — exactly
+    the overfit-vs-generalize gap this loop exists to expose before a
+    filter sweeps 100 TB (the unit tests pin AUC 1.0 on a genuinely
+    separable corpus)."""
+    from amundsendatabuilder_spark.operators.curation import (
+        leakage_safe_split, logreg_score, logreg_train)
+    from amundsendatabuilder_spark.operators.dedup import lsh_verified_pairs
+    from amundsendatabuilder_spark.operators.profiling import rank_auc
+    (docs,) = _t(spark, sf_dir, "documents")
+    split = leakage_safe_split(docs, lsh_verified_pairs(docs, threshold=0.7))
+    train_docs = docs.join(
+        split.where(F.col("split") == "train").select("doc_id"), "doc_id")
+    held_docs = docs.join(
+        split.where(F.col("split") != "train").select("doc_id"), "doc_id")
+    w = logreg_train(train_docs, iters=4, lr=0.5)
+    scored = logreg_score(held_docs, w)
+    lab = (scored.join(held_docs.select("doc_id", "lang"), "doc_id")
+           .select("score", F.when(F.col("lang") == "en", "pos")
+                   .otherwise("neg").alias("cls")))
+    return rank_auc(lab, "score", "cls", "pos", "neg", scale=1_000_000)

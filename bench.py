@@ -242,6 +242,7 @@ EXTENDED = [
     "rhp_cap_audit",
     "hard_negative_banded",
     "embedding_decontam_banded",
+    "logreg_holdout_auc",
 ]
 
 

@@ -195,6 +195,7 @@ SUITE = [
     "rhp_cap_audit",
     "hard_negative_banded",
     "embedding_decontam_banded",
+    "logreg_holdout_auc",
 ]
 
 
