@@ -18,50 +18,41 @@ sys.path.insert(0, "/root/repo")
 
 from amundsendatabuilder_spark.plans.oracle_suite import ORACLES, QUERIES  # noqa: E402
 
-# Dict iteration order = presentation order. Round-10 window (50 slots,
-# r9 VERDICT items #1-2): (a) the 31 round-9 queries that are local-gate
-# green + unit-tested but have NEVER seen a driver certification window
-# (the r9 window held 50 slots; the wave added 76) — a green
-# CORRECTNESS_r10 row for each closes out a fully driver-certified
-# suite; (b) the 11 round-10 additions (stream_asof_join, search_pr_at_k,
-# dedup_minhash_estimate, curriculum_schedule, rank_rbo_lists,
-# mutual_nn_dedup, logreg_quality_train/score, score_calibration, logreg_weight_explain, mixture_reweight_quality)
-# plus
-# jl_distortion_audit, whose
-# pair sampler changed this round (md5-hashed id mod cuts, the r9 advice
-# fix) so its r9 cert attests the old sampling — 31 + 12 = 43; (c) the
-# oldest-certified entries (r4-era) under the rotation discipline fill
-# the remaining 7 slots; (d) the rest of the r4 set and the next-oldest
-# (r5-era) continue beyond the window. Names not registered are skipped
-# by ``_ordered``.
+# Dict iteration order = presentation order. Round-11 window (50 slots,
+# r10 VERDICT items #1-3): demand this round is 58 rows (9 new/changed
+# + the 49 oldest certs: 11 r4-era left over from the r10 window's
+# 7-slot (c) block + 38 r5-era), so certification-of-changed-semantics
+# takes precedence over re-certification of stable rows and the 8
+# alphabetically-last r5-era rows defer one round (block (d)):
+# (a) the 5 round-11 additions — the capped/collapsed embedding
+# production twins + cap audit (verdict items #1-2) and the end-to-end
+# classifier holdout loop (item #7);
+# (b) semantics/oracle changed in round 11 — logreg_weight_explain
+# (token df is now count(DISTINCT doc), the r10 advice fix),
+# mixture_reweight_quality (DECIMAL/HUGEINT exact tilt), plus
+# filter_funnel_report (oracle gained the NULL-fails branch) and
+# stream_asof_join (view-only state eviction) whose r10 rows attest the
+# prior text;
+# (c) strict oldest-first rotation: all 11 remaining r4-era rows, then
+# the first 30 r5-era rows — oldest green row after this round is r5,
+# age 6 (8 deferred rows), back under control next round;
+# (d) beyond the window: the 8 deferred r5-era rows, then r6-era.
+# Names not registered are skipped by ``_ordered``.
 _PRIORITY = [
-    # (a) never driver-certified round-9 additions
-    "autocorrelation_report", "classifier_kappa", "cluster_label_nmi",
-    "degree_assortativity", "dup_affinity_matrix", "gini_inequality",
-    "graph_effective_diameter", "hapax_report", "hyperball_harmonic",
-    "hyperball_reach", "importance_ess", "keyness_g2", "ks_time_drift",
-    "lsh_parameter_plan", "missingness_matrix", "multimodal_audio_dedup",
-    "multimodal_phash_dedup", "ngram_entropy_rate", "pca_explained_variance",
-    "pca_power_iteration", "pca_top_components", "rank_auc",
-    "readability_report", "search_ndcg", "similarity_histogram",
-    "spearman_correlation", "stream_benford_registers",
-    "stream_minhash_registers", "theil_decomposition", "token_source_mi",
-    "variance_decomposition",
-    # (b) new in round 10 / semantics changed in round 10
-    "stream_asof_join", "jl_distortion_audit", "search_pr_at_k",
-    "dedup_minhash_estimate", "curriculum_schedule", "rank_rbo_lists",
-    "mutual_nn_dedup", "logreg_quality_train",
-    "logreg_quality_score", "score_calibration", "logreg_weight_explain",
-    "mixture_reweight_quality",
-    # (c) oldest-certified (round 4) rotation re-certs
-    "bm25_topk", "boilerplate_chunks", "cohort_retention", "column_profile",
-    "cross_source_overlap", "dedup_rate_by_source", "doc_chunking",
+    # (a) new in round 11
+    "mutual_nn_dedup_capped", "rhp_cap_audit", "hard_negative_banded",
+    "embedding_decontam_banded", "logreg_holdout_auc",
+    # (b) semantics/oracle changed in round 11
+    "logreg_weight_explain", "mixture_reweight_quality",
+    "filter_funnel_report", "stream_asof_join",
+    # (c1) oldest-certified (round 4) re-certs — the 11 rows the r10
+    # window could not fit
     "graph_match_2hop", "graph_match_pattern",
     "incremental_ingest_anti_join", "multimodal_frame_plan",
-    "quantize_embeddings", "search_doc_table_built", "sliding_window_counts",
-    "split_assign", "stat_aggregates", "strip_boilerplate",
-    "token_count_histogram",
-    # (d) beyond the 50-slot window: next-oldest (round 5) re-certs
+    "quantize_embeddings", "search_doc_table_built",
+    "sliding_window_counts", "split_assign", "stat_aggregates",
+    "strip_boilerplate", "token_count_histogram",
+    # (c2) round-5 re-certs, oldest-first (alphabetical within the era)
     "ann_brute_force_topk", "ann_ivf_full_probe",
     "ann_ivf_kmeans_full_probe", "ann_ivf_topk", "asof_view_before_purchase",
     "centroid_assignment", "cond_agg_subqueries", "conversion_attribution",
@@ -72,10 +63,16 @@ _PRIORITY = [
     "key_templates", "latest_execution_window", "lineage_reachability",
     "lm_fluency", "multimodal_image_features", "presto_view_decode",
     "q1_pricing_summary", "q3_top_revenue", "q5_region_volume",
-    "semi_join_exists", "sharded_table_grouping", "staleness_anti_join",
-    "stream_attribution", "stream_dedup_first_seen", "stream_near_dup",
-    "stream_sessionize", "stream_windowed_counts", "union_dedup",
-    "windowed_event_agg",
+    "semi_join_exists", "sharded_table_grouping",
+    # (d) beyond the 50-slot window: the 8 deferred r5-era rows, then
+    # the oldest r6-era rows
+    "staleness_anti_join", "stream_attribution", "stream_dedup_first_seen",
+    "stream_near_dup", "stream_sessionize", "stream_windowed_counts",
+    "union_dedup", "windowed_event_agg",
+    "active_users_rollup", "ann_pq_adc_topk", "ann_rhp_topk",
+    "bigram_pmi_topk", "bloom_decontam_membership", "bloom_prejoin_reduction",
+    "burst_windows", "class_keywords", "cms_heavy_hitters",
+    "containment_join", "cumulative_active_users", "dedup_simhash64_hamming",
 ]
 
 
