@@ -2686,6 +2686,8 @@ def stream_dedup_first_seen(spark, sf_dir):
          .option("checkpointLocation", tempfile.mkdtemp())
          .trigger(availableNow=True).start())
     q.awaitTermination(300)
+    from amundsendatabuilder_spark.streaming.events import record_stream_audit
+    record_stream_audit(q, "stream_dedup_first_seen")
     return spark.createDataFrame(rows, "fingerprint string, doc_id long, dup_rank long") \
         if rows else spark.createDataFrame([], "fingerprint string, doc_id long, dup_rank long")
 
@@ -2727,6 +2729,8 @@ def stream_near_dup(spark, sf_dir):
          .option("checkpointLocation", tempfile.mkdtemp())
          .trigger(availableNow=True).start())
     q.awaitTermination(300)
+    from amundsendatabuilder_spark.streaming.events import record_stream_audit
+    record_stream_audit(q, "stream_near_dup")
     schema = "band int, band_sig string, doc_a long, doc_b long"
     return spark.createDataFrame(rows, schema) if rows \
         else spark.createDataFrame([], schema)

@@ -89,6 +89,27 @@ def windowed_distinct_registers(events: DataFrame, window: str = "1 hour",
     )
 
 
+# last drained query's progress record, for tools/plan_audit.py's
+# streaming section (state-store shape assertions) — overwritten per
+# drain, read immediately after the suite callable returns
+LAST_STREAM_AUDIT: dict = {}
+
+
+def record_stream_audit(q, name: str) -> None:
+    """Stash a terminated StreamingQuery's progress (micro-batch count,
+    state operator names, state rows) so the plan audit can assert the
+    state-store SHAPE of every streaming entry — the streaming
+    counterpart of the batch plan-feature counts (r10 verdict item #5).
+    Never raises: the audit is observability, not control flow."""
+    import json as _json
+    try:
+        progs = [_json.loads(p.json) for p in q.recentProgress]
+    except Exception:
+        progs = []
+    LAST_STREAM_AUDIT.clear()
+    LAST_STREAM_AUDIT.update({"name": name, "progress": progs})
+
+
 def run_to_memory(stream_df: DataFrame, spark: SparkSession,
                   name: str, checkpoint_dir: str,
                   output_mode: str = "append") -> DataFrame:
@@ -101,6 +122,7 @@ def run_to_memory(stream_df: DataFrame, spark: SparkSession,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+    record_stream_audit(q, name)
     return spark.table(name)
 
 
