@@ -77,19 +77,22 @@ def rhp_band_sigs(df: DataFrame, planes: list[list[float]], bands: int,
     generation) and rhp_topk. One narrow projection + a bands-way
     explode; the vectors themselves never leave their partitions.
 
-    The plane matrix is ONE array-of-arrays literal folded with a single
-    ``transform`` lambda, not len(planes) unrolled dot expressions —
-    per-plane unrolling made the analyzed plan carry n_planes × dim
-    literal terms, and plan analysis + codegen (not arithmetic) dominated
-    the signature pass. The inner left-fold matches
-    functions.vectors.dot's order exactly, so signatures are
-    bit-identical to the unrolled form."""
+    The plane matrix rides in as a BROADCAST one-row frame (array-of-
+    arrays column), folded with a single ``transform`` lambda — not
+    len(planes) unrolled dot expressions, and (since r11) not a literal
+    tree either: a 64x64 matrix as n_planes x dim Literal nodes cost
+    ~2.2s PER PLAN ANALYSIS (measured at sf0.01; self-joining consumers
+    re-analyze it several times), vs 0.4s with the matrix as data. The
+    arithmetic is identical — the inner left-fold matches
+    functions.vectors.dot's order exactly — so signatures are
+    bit-identical to both earlier forms."""
     per_band = len(planes) // bands
     assert per_band * bands == len(planes), "bands must divide len(planes)"
-    planes_lit = F.array(*[F.array(*[F.lit(float(x)) for x in p])
-                           for p in planes])
+    pm = df.sparkSession.createDataFrame(
+        [([[float(x) for x in p] for p in planes],)],
+        "_rhp_planes array<array<double>>")
     bits = F.transform(
-        planes_lit,
+        F.col("_rhp_planes"),
         lambda p: F.when(
             F.aggregate(
                 F.zip_with(F.col(vec_col), p,
@@ -101,8 +104,9 @@ def rhp_band_sigs(df: DataFrame, planes: list[list[float]], bands: int,
                  F.array_join(F.slice(bits, g * per_band + 1, per_band), "")
                  .alias("sig"))
         for g in range(bands)])
-    return (df.select(F.col(id_col).alias("id"),
-                      F.explode(band_structs).alias("bs"))
+    return (df.crossJoin(F.broadcast(pm))
+            .select(F.col(id_col).alias("id"),
+                    F.explode(band_structs).alias("bs"))
             .select("id", "bs.band", "bs.sig"))
 
 
