@@ -309,7 +309,8 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 
 def simhash_hamming_pairs_wide(docs: DataFrame, id_col: str = "doc_id",
                                text_col: str = "text", bits: int = 64,
-                               k: int = 3) -> DataFrame:
+                               k: int = 3, collapse_exact: bool = False,
+                               max_block_size: "int | None" = None) -> DataFrame:
     """SimHash near-dup pairs at PRODUCTION signature width — the
     64-bit configuration of Manku/Jain/Sarma (WWW'07) the 16-bit
     ``simhash_hamming_pairs`` docstring's sizing rule calls for (the sf1
@@ -325,12 +326,19 @@ def simhash_hamming_pairs_wide(docs: DataFrame, id_col: str = "doc_id",
     operator here: only (doc_id, word) rows shuffle; text stays put.
 
     Returns (doc_a, doc_b, hamming), doc_a < doc_b, hamming <= k.
+
+    ``collapse_exact`` / ``max_block_size``: the same production guards
+    as ``simhash_hamming_pairs`` (identical texts share signatures, so
+    exact-dup cliques square every word bucket) — collapse first, then
+    drop over-cap (word_idx, word) buckets from candidate generation.
     """
     assert bits % (k + 1) == 0, "k+1 blocks must divide the signature width"
     word_bits = bits // (k + 1)
     assert word_bits <= 32, "words must stay positive in a signed 64-bit int"
     nibbles = bits // 4
     from amundsendatabuilder_spark.session import ensure_parallelism
+    if collapse_exact:
+        docs = collapse_exact_texts(docs, id_col, text_col)
     toks = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
@@ -360,8 +368,15 @@ def simhash_hamming_pairs_wide(docs: DataFrame, id_col: str = "doc_id",
         # n_docs x (k+1) small rows — same treatment as langid_nb_fit.
         .localCheckpoint()
     )
-    cands = (sigs.alias("a").join(
-        sigs.alias("b"),
+    csigs = sigs
+    if max_block_size is not None:
+        from pyspark.sql import Window
+        w_b = Window.partitionBy("w", "word")
+        csigs = (sigs.withColumn("_sz", F.count("*").over(w_b))
+                 .where(F.col("_sz") <= max_block_size)
+                 .drop("_sz"))
+    cands = (csigs.alias("a").join(
+        csigs.alias("b"),
         (F.col("a.w") == F.col("b.w")) & (F.col("a.word") == F.col("b.word"))
         & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"),
@@ -393,7 +408,8 @@ def simhash_buckets(docs: DataFrame, id_col: str = "doc_id",
 
 def simhash_hamming_pairs(docs: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", bits: int = 16,
-                          k: int = 1) -> DataFrame:
+                          k: int = 1, collapse_exact: bool = False,
+                          max_block_size: "int | None" = None) -> DataFrame:
     """SimHash near-duplicate pairs within Hamming distance ≤ k
     (doc_a < doc_b, hamming) — the production block-bucketing scheme
     (Manku/Jain/Sarma WWW'07): split the signature into k+1 bit blocks; by
@@ -411,7 +427,18 @@ def simhash_hamming_pairs(docs: DataFrame, id_col: str = "doc_id",
     pure birthday saturation. Production corpora need ``bits=64`` (the
     Manku et al. configuration); keep blocks ≥ log2(n_docs) bits so
     block buckets stay discriminative.
+
+    Production guards (r11, the mutual_nn_dedup_capped discipline —
+    identical texts have identical simhashes, so exact-dup cliques make
+    every block bucket quadratic): ``collapse_exact`` pre-collapses
+    byte-identical texts to their min-id representative
+    (collapse_exact_texts); ``max_block_size`` drops over-cap
+    (block, value) buckets from candidate generation entirely — their
+    members are either mass near-dups (exact dedup owns them cheaper)
+    or a saturated signature space (fix ``bits``, not the cap).
     """
+    if collapse_exact:
+        docs = collapse_exact_texts(docs, id_col, text_col)
     sigs = simhash_signatures(docs, id_col, text_col, bits)
     n_blocks = k + 1
     # block b covers bit positions [start_b, start_b + width_b); widths as
@@ -429,6 +456,12 @@ def simhash_hamming_pairs(docs: DataFrame, id_col: str = "doc_id",
         for i in range(n_blocks)])
     keyed = (sigs.select("doc_id", "simhash", F.explode(blocks).alias("b"))
              .select("doc_id", "simhash", "b.blk", "b.blk_val"))
+    if max_block_size is not None:
+        from pyspark.sql import Window
+        w_b = Window.partitionBy("blk", "blk_val")
+        keyed = (keyed.withColumn("_sz", F.count("*").over(w_b))
+                 .where(F.col("_sz") <= max_block_size)
+                 .drop("_sz"))
     return (keyed.alias("x").join(
         keyed.alias("y"),
         (F.col("x.blk") == F.col("y.blk"))
@@ -559,7 +592,9 @@ def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
                               bands: int | None = None,
                               all_pairs: bool = False,
                               dim: int | None = None,
-                              recall_mode: str = "scale") -> DataFrame:
+                              recall_mode: str = "scale",
+                              collapse_exact: bool = False,
+                              max_bucket_size: "int | None" = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ t).
 
     Default path: bucket both sides by random-hyperplane band signatures
@@ -594,9 +629,22 @@ def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
     ``all_pairs=True`` is the explicit O(n²) escape hatch
     (BroadcastNestedLoopJoin) for small candidate sets — never the scale
     path.
+
+    ``collapse_exact`` / ``max_bucket_size``: the mutual_nn_dedup_capped
+    production guards (r11) — exact-dup vectors collapse to their min-id
+    representative BEFORE banding (a k-replica clique contributes one
+    member, not k(k-1)/2 candidates; output pairs then reference
+    representatives), and over-cap (band, sig) buckets drop from
+    candidate generation (run similarity.rhp_cap_audit first — no
+    silent caps). They apply to the banded path only (with all_pairs
+    the caller explicitly asked for the quadratic scan).
     """
     assert recall_mode in ("scale", "exhaustive"), recall_mode
     from amundsendatabuilder_spark.functions.vectors import l2_norm, random_planes
+    if collapse_exact and not all_pairs:
+        from amundsendatabuilder_spark.operators.similarity import (
+            collapse_exact_vectors)
+        emb = collapse_exact_vectors(emb, id_col, vec_col)
     base = emb.select(F.col(id_col).alias("id"),
                       F.col(vec_col).cast("array<double>").alias("vec")) \
         .withColumn("norm", l2_norm("vec"))
@@ -627,6 +675,12 @@ def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
                  else max(1, len(planes) // 4))
     from amundsendatabuilder_spark.operators.similarity import rhp_band_sigs
     sigs = rhp_band_sigs(base, planes, bands, id_col="id", vec_col="vec")
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+        w_b = Window.partitionBy("band", "sig")
+        sigs = (sigs.withColumn("_sz", F.count("*").over(w_b))
+                .where(F.col("_sz") <= max_bucket_size)
+                .drop("_sz"))
     cands = (sigs.alias("x").join(
         sigs.alias("y"),
         (F.col("x.band") == F.col("y.band")) & (F.col("x.sig") == F.col("y.sig"))

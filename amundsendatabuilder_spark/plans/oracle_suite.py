@@ -837,6 +837,13 @@ sig AS (SELECT doc_id,
         FROM votes GROUP BY doc_id)"""
 
 
+def _simhash_sig_sql(src: str = "documents") -> str:
+    """_SIMHASH_SIG_SQL with the source relation swapped — the capped
+    twin replays the signature pass over the exact-text-collapsed
+    ``cdocs`` instead of raw documents."""
+    return _SIMHASH_SIG_SQL.replace("FROM documents)", f"FROM {src})", 1)
+
+
 @query("dedup_simhash", "WITH " + _SIMHASH_SIG_SQL + r"""
 SELECT simhash, count(*) AS bucket_size, min(doc_id) AS keep_id
 FROM sig GROUP BY simhash HAVING count(*) > 1
@@ -11321,6 +11328,108 @@ def embedding_decontam_banded_query(spark, sf_dir):
         train, bench, threshold=0.30,
         planes=random_planes(64, 64, seed=7), bands=_CAP_BANDS,
         max_bucket_size=_CAP_SIZE)
+
+
+@query("dedup_simhash_hamming_capped", "WITH " + _COLLAPSE_SQL + ",\n"
+       + _simhash_sig_sql("cdocs") + r""",
+keyed AS (SELECT doc_id, simhash, 0 AS blk,
+                 (simhash >> 8) & 255 AS blk_val FROM sig
+          UNION ALL
+          SELECT doc_id, simhash, 1, simhash & 255 FROM sig),
+ck AS (SELECT doc_id, simhash, blk, blk_val FROM (
+    SELECT k.*, count(*) OVER (PARTITION BY blk, blk_val) AS _sz
+    FROM keyed k) WHERE _sz <= 40)
+SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+FROM ck x JOIN ck y
+  ON x.blk = y.blk AND x.blk_val = y.blk_val AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 1
+""")
+def dedup_simhash_hamming_capped(spark, sf_dir):
+    """simhash_hamming_pairs with BOTH production guards engaged (the
+    mutual_nn_dedup_capped discipline — identical texts share simhashes,
+    so the sf1 replica fixture squared every block bucket, 15.5x at 10x
+    data): exact-text collapse (no-op on this fixture — zero identical
+    texts — but the guard that absorbs the replica mass at sf1) and the
+    BINDING max_block_size=40 (3 of the sf0.01 fixture's block buckets
+    hold 61/47/46 members and are dropped — the oracle must agree
+    row-for-row on what survives)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return dedup.simhash_hamming_pairs(docs, bits=16, k=1,
+                                       collapse_exact=True,
+                                       max_block_size=40)
+
+
+@query("dedup_simhash64_capped", "WITH " + _COLLAPSE_SQL + r""",
+tok AS (SELECT doc_id, unnest(""" + _TOKS_SQL + r""") AS tok FROM cdocs),
+h AS (SELECT doc_id, substr(md5(tok), 1, 16) AS h FROM tok),
+bs AS (SELECT doc_id, h, unnest(range(0, 64)) AS bit FROM h),
+votes AS (SELECT doc_id, bit,
+                 sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, CAST(bit // 4 AS INT) + 1, 1)) - 1)
+                                >> CAST(3 - bit % 4 AS INT)) & 1 = 1
+                          THEN 1 ELSE -1 END) AS v
+          FROM bs GROUP BY doc_id, bit),
+sigs AS (SELECT doc_id, CAST(bit // 16 AS INT) AS w,
+                CAST(sum(CASE WHEN v > 0 THEN 1 << CAST(15 - bit % 16 AS INT)
+                              ELSE 0 END) AS BIGINT) AS word
+         FROM votes GROUP BY doc_id, bit // 16),
+cs AS (SELECT doc_id, w, word FROM (
+    SELECT s.*, count(*) OVER (PARTITION BY w, word) AS _sz FROM sigs s)
+    WHERE _sz <= 40),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM cs a JOIN cs b
+           ON a.w = b.w AND a.word = b.word AND a.doc_id < b.doc_id),
+ham AS (SELECT c.doc_a, c.doc_b,
+               CAST(sum(bit_count(xor(x.word, y.word))) AS INT) AS hamming
+        FROM cand c JOIN sigs x ON x.doc_id = c.doc_a
+                    JOIN sigs y ON y.doc_id = c.doc_b AND y.w = x.w
+        GROUP BY c.doc_a, c.doc_b)
+SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
+""")
+def dedup_simhash64_capped(spark, sf_dir):
+    """simhash_hamming_pairs_wide (the production 64-bit width) with the
+    exact-text collapse + max_block_size=40 word-bucket guard — the
+    configuration for dup-clique corpora (12.2x at 10x data uncapped on
+    the replica fixture). Candidates come from CAPPED word buckets;
+    verification sums per-word bit_count(XOR) over the FULL signatures
+    of surviving candidates, replayed verbatim in the twin."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return dedup.simhash_hamming_pairs_wide(docs, bits=64, k=3,
+                                            collapse_exact=True,
+                                            max_block_size=40)
+
+
+def _embedding_bucketed_capped_oracle(threshold: float = 0.40) -> str:
+    from amundsendatabuilder_spark.functions.vectors import random_planes
+    planes = random_planes(64, 64, seed=7)
+    return f"""
+WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT min(vec_id) AS vec_id, v FROM raw GROUP BY v),
+{_capped_sigs_sql(planes, _CAP_BANDS, _CAP_SIZE)},
+cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         FROM csigs x JOIN csigs y
+           ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id)
+SELECT id_a, id_b, round(list_cosine_similarity(a.v, b.v), 6) AS cos
+FROM cand JOIN e a ON a.vec_id = cand.id_a
+          JOIN e b ON b.vec_id = cand.id_b
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
+"""
+
+
+@query("dedup_embedding_bucketed_capped", _embedding_bucketed_capped_oracle())
+def dedup_embedding_bucketed_capped(spark, sf_dir):
+    """The embedding near-dup DEFAULT path under the full production
+    configuration (13.9x at 10x data uncapped on the replica fixture):
+    exact-vector collapse -> 8-bit band signatures -> BINDING
+    max_bucket_size=10 -> exact-cosine verify at 0.40 — the same
+    collapse/banding/cap triple as mutual_nn_dedup_capped, applied to
+    dedup.embedding_near_duplicates itself, oracle-replayed verbatim.
+    Pair with rhp_cap_audit (same parameters): no silent caps."""
+    from amundsendatabuilder_spark.functions.vectors import random_planes
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_duplicates(
+        emb, threshold=0.40, planes=random_planes(64, 64, seed=7),
+        bands=_CAP_BANDS, collapse_exact=True, max_bucket_size=_CAP_SIZE)
 
 
 def _feat_cte(src: str, t: str = "t", h: str = "h", x: str = "x") -> str:

@@ -243,6 +243,9 @@ EXTENDED = [
     "hard_negative_banded",
     "embedding_decontam_banded",
     "logreg_holdout_auc",
+    "dedup_simhash_hamming_capped",
+    "dedup_simhash64_capped",
+    "dedup_embedding_bucketed_capped",
 ]
 
 

@@ -4345,6 +4345,44 @@ def test_register_domain_guard_enforces_width_contract(spark, monkeypatch):
     assert len(got) == 4  # 2 groups x 2 buckets, each group 20 quanta
 
 
+def test_simhash_and_near_dup_guards_absorb_cliques(spark):
+    """Round-11 guard extension to the next super-linear tier: identical
+    texts share simhashes (block-bucket cliques) and identical vectors
+    share band sigs — collapse_exact absorbs the clique, max_block_size/
+    max_bucket_size drops whatever over-cap buckets remain."""
+    from amundsendatabuilder_spark.operators.dedup import (
+        embedding_near_duplicates, simhash_hamming_pairs)
+    clique = [(i, "alpha beta gamma delta epsilon") for i in range(1, 21)]
+    others = [(100, "omega psi chi phi upsilon"),
+              (101, "totally different words here now")]
+    docs = spark.createDataFrame(clique + others,
+                                 "doc_id long, text string")
+    un = simhash_hamming_pairs(docs, bits=16, k=1).collect()
+    assert sum(1 for r in un if r.doc_a < 21 and r.doc_b < 21) == 190
+    # cap WITHOUT collapse: the 20-clique's block buckets are dropped
+    capped = simhash_hamming_pairs(docs, bits=16, k=1,
+                                   max_block_size=4).collect()
+    assert not any(r.doc_a < 21 and r.doc_b < 21 for r in capped)
+    # collapse: the clique is ONE rep — intra-clique pairs gone by
+    # construction, and the rep still participates in candidate gen
+    col = simhash_hamming_pairs(docs, bits=16, k=1, collapse_exact=True,
+                                max_block_size=4).collect()
+    assert not any(r.doc_a < 21 and r.doc_b < 21 for r in col)
+    # embedding twin of the same shape
+    eye = [[1.0 if i == j else 0.0 for j in range(4)] for i in range(4)]
+    vclique = [(i, [-1.0, 1.0, 0.01, 0.0]) for i in range(1, 21)]
+    vpair = [(50, [1.0, 0.02, 0.0, 0.0]), (51, [1.0, 0.01, 0.0, 0.0])]
+    emb = spark.createDataFrame(vclique + vpair,
+                                "vec_id long, embedding array<float>")
+    out = embedding_near_duplicates(
+        emb, threshold=0.9, planes=eye, bands=2,
+        collapse_exact=True, max_bucket_size=4).collect()
+    got = {(r.id_a, r.id_b) for r in out}
+    assert (50, 51) in got                      # distinct pair survives
+    assert not any(a in range(2, 21) or b in range(2, 21)
+                   for a, b in got)             # only the rep id appears
+
+
 def test_logreg_holdout_loop_separable_corpus(spark):
     """The end-to-end holdout loop (split -> train -> score -> AUC) on
     a GENUINELY separable corpus pins AUC 1.0 — the counterpart to the
