@@ -45,13 +45,19 @@ def test_lsh_verified_shares_cached_shingles(spark):
 
 def test_embedding_bucketed_avoids_nested_loop(spark):
     """The default (bucketed) embedding near-dup path must candidate-join
-    on band signatures — never the all-pairs BroadcastNestedLoopJoin that
-    only the explicit all_pairs=True escape hatch is allowed to use."""
+    on band signatures — never the all-pairs nested loop that only the
+    explicit all_pairs=True escape hatch is allowed to use. Since r11
+    the RHP plane matrix rides in as a broadcast ONE-ROW frame (cheap
+    plan analysis), so the only BroadcastNestedLoopJoins allowed are
+    those against that `_rhp_planes` scan — one per signature pass,
+    never data x data."""
     from amundsendatabuilder_spark.plans.oracle_suite import QUERIES
     plan = _plan(QUERIES["dedup_embedding_cosine_bucketed"](
         spark, "/root/testdata/sf0.001"))
-    assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    n_plane_scans = plan.count("_rhp_planes")
+    assert n_bnlj > 0 and n_plane_scans >= n_bnlj, (n_bnlj, n_plane_scans)
 
 
 def test_search_doc_flagship_no_cartesian_or_smj(spark):
