@@ -949,7 +949,7 @@ def logreg_score(docs: DataFrame, weights: DataFrame,
 
 def logreg_explain(docs: DataFrame, weights: DataFrame, top_buckets: int = 5,
                    tokens_per_bucket: int = 3, id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text", hex_chars: int = 2) -> DataFrame:
     """Interpretability for the hashed-feature classifier: the
     ``top_buckets`` largest-|weight| buckets from ``logreg_train``,
     each mapped BACK to the corpus tokens that hash into it (top
@@ -976,7 +976,7 @@ def logreg_explain(docs: DataFrame, weights: DataFrame, top_buckets: int = 5,
                        .alias("tok"))
            .select("_doc", "tok",
                    F.substring(F.md5(F.col("tok").cast("binary")),
-                               1, 2).alias("bucket")))
+                               1, hex_chars).alias("bucket")))
     df_ = (tok.groupBy("bucket", "tok")
            .agg(F.countDistinct("_doc").cast("long").alias("df")))
     w_rk = Window.partitionBy("bucket").orderBy(F.col("df").desc(),
