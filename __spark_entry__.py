@@ -19,17 +19,17 @@ sys.path.insert(0, "/root/repo")
 from amundsendatabuilder_spark.plans.oracle_suite import ORACLES, QUERIES  # noqa: E402
 
 # Dict iteration order = presentation order. Round-11 window (50 slots,
-# r10 VERDICT items #1-3): demand this round is 61 rows (12 new/changed
+# r10 VERDICT items #1-3): demand this round is 62 rows (13 new/changed
 # + the 49 oldest certs: 11 r4-era left over from the r10 window's
 # 7-slot (c) block + 38 r5-era), so zero-cert entries and
 # changed-semantics entries take precedence over re-certification of
-# stable rows and the 11 alphabetically-last r5-era rows defer one
+# stable rows and the 12 alphabetically-last r5-era rows defer one
 # round (block (d)):
-# (a) the 8 round-11 additions — the capped/collapsed production twins
-# of the embedding pairwise AND simhash families + the cap audit
-# (verdict items #1-2 plus their pre-emptive extension to the next
-# super-linear tier) and the end-to-end classifier holdout loop
-# (item #7);
+# (a) the 9 round-11 additions — the capped/collapsed production twins
+# of the embedding pairwise AND simhash families + their two
+# no-silent-caps audits (verdict items #1-2 plus their pre-emptive
+# extension to the next super-linear tier) and the end-to-end
+# classifier holdout loop (item #7);
 # (b) semantics/oracle changed in round 11 — logreg_weight_explain
 # (token df is now count(DISTINCT doc), the r10 advice fix),
 # mixture_reweight_quality (DECIMAL/HUGEINT exact tilt), plus
@@ -37,16 +37,16 @@ from amundsendatabuilder_spark.plans.oracle_suite import ORACLES, QUERIES  # noq
 # stream_asof_join (view-only state eviction) whose r10 rows attest the
 # prior text;
 # (c) strict oldest-first rotation: all 11 remaining r4-era rows, then
-# the first 27 r5-era rows — oldest green row after this round is r5,
-# age 6 (11 deferred rows), closed out next round;
-# (d) beyond the window: the 11 deferred r5-era rows, then r6-era.
+# the first 26 r5-era rows — oldest green row after this round is r5,
+# age 6 (12 deferred rows), closed out next round;
+# (d) beyond the window: the 12 deferred r5-era rows, then r6-era.
 # Names not registered are skipped by ``_ordered``.
 _PRIORITY = [
     # (a) new in round 11
     "mutual_nn_dedup_capped", "rhp_cap_audit", "hard_negative_banded",
     "embedding_decontam_banded", "logreg_holdout_auc",
     "dedup_simhash_hamming_capped", "dedup_simhash64_capped",
-    "dedup_embedding_bucketed_capped",
+    "dedup_embedding_bucketed_capped", "simhash_cap_audit",
     # (b) semantics/oracle changed in round 11
     "logreg_weight_explain", "mixture_reweight_quality",
     "filter_funnel_report", "stream_asof_join",
@@ -67,12 +67,13 @@ _PRIORITY = [
     "graph_match_hop_predicate", "group_nest_columns", "hive_union_nest",
     "key_templates", "latest_execution_window", "lineage_reachability",
     "lm_fluency", "multimodal_image_features", "presto_view_decode",
-    "q1_pricing_summary", "q3_top_revenue",
-    # (d) beyond the 50-slot window: the 11 deferred r5-era rows, then
-    # the oldest r6-era rows (3 more r5 rows deferred to fit the
-    # round-11 simhash/embedding capped twins in-window — zero-cert
-    # entries outrank stable re-certs)
-    "q5_region_volume", "semi_join_exists", "sharded_table_grouping",
+    "q1_pricing_summary",
+    # (d) beyond the 50-slot window: the 12 deferred r5-era rows, then
+    # the oldest r6-era rows (4 more r5 rows deferred to fit the
+    # round-11 simhash/embedding capped twins + audit in-window —
+    # zero-cert entries outrank stable re-certs)
+    "q3_top_revenue", "q5_region_volume", "semi_join_exists",
+    "sharded_table_grouping",
     "staleness_anti_join", "stream_attribution", "stream_dedup_first_seen",
     "stream_near_dup", "stream_sessionize", "stream_windowed_counts",
     "union_dedup", "windowed_event_agg",

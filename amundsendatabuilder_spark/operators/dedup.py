@@ -393,6 +393,70 @@ def simhash_hamming_pairs_wide(docs: DataFrame, id_col: str = "doc_id",
             .where(F.col("hamming") <= k))
 
 
+def _simhash_block_keys(sigs: DataFrame, bits: int, k: int) -> DataFrame:
+    """(doc_id, simhash, blk, blk_val): the Manku pigeonhole block split
+    shared by the pair join and the cap audit — block b covers bit
+    positions [start_b, start_b + width_b) counted from the MSB, widths
+    as equal as possible so every block keeps maximal discriminative
+    power."""
+    n_blocks = k + 1
+    widths = [bits // n_blocks + (1 if i < bits % n_blocks else 0)
+              for i in range(n_blocks)]
+    starts = [sum(widths[:i]) for i in range(n_blocks)]
+    blocks = F.array(*[
+        F.struct(
+            F.lit(i).alias("blk"),
+            F.expr(f"(simhash >> {bits - starts[i] - widths[i]}) "
+                   f"& {(1 << widths[i]) - 1}").alias("blk_val"))
+        for i in range(n_blocks)])
+    return (sigs.select("doc_id", "simhash", F.explode(blocks).alias("b"))
+            .select("doc_id", "simhash", "b.blk", "b.blk_val"))
+
+
+def simhash_block_cap_report(docs: DataFrame, bits: int = 16, k: int = 1,
+                             max_block_size: int = 40,
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             collapse_exact: bool = False) -> DataFrame:
+    """The no-silent-caps audit for ``max_block_size`` — the
+    similarity.rhp_cap_audit twin for the simhash pigeonhole family:
+    one row (n_docs_in, n_docs_sigged, n_blocks_total,
+    n_blocks_over_cap, n_sig_rows_dropped, n_docs_fully_dropped) saying
+    exactly what the capped pair join would drop on this corpus.
+    ``n_docs_fully_dropped`` counts docs whose EVERY block bucket is
+    over cap — invisible to candidate generation (their neighborhoods
+    are mass near-dups or the signature space is saturated: fix
+    ``bits``). Publish it next to any capped simhash result.
+
+    One signature pass + one (blk, blk_val) count + register-sized
+    aggregates; text never joins anything."""
+    base = (collapse_exact_texts(docs, id_col, text_col)
+            if collapse_exact else docs)
+    sigs = simhash_signatures(base, id_col, text_col, bits)
+    keyed = _simhash_block_keys(sigs, bits, k)
+    bsz = (keyed.groupBy("blk", "blk_val")
+           .agg(F.count(F.lit(1)).cast("long").alias("_sz")))
+    bstats = bsz.agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks_total"),
+        F.sum((F.col("_sz") > max_block_size).cast("long")).cast("long")
+        .alias("n_blocks_over_cap"),
+        F.sum(F.when(F.col("_sz") > max_block_size, F.col("_sz"))
+              .otherwise(F.lit(0))).cast("long")
+        .alias("n_sig_rows_dropped"))
+    dstats = (keyed.join(F.broadcast(bsz), ["blk", "blk_val"])
+              .groupBy("doc_id")
+              .agg(F.min("_sz").alias("_minsz"))
+              .agg(F.count(F.lit(1)).cast("long").alias("n_docs_sigged"),
+                   F.sum((F.col("_minsz") > max_block_size).cast("long"))
+                   .cast("long").alias("n_docs_fully_dropped")))
+    n_in = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs_in"))
+    return (n_in.crossJoin(F.broadcast(dstats))
+            .crossJoin(F.broadcast(bstats))
+            .select("n_docs_in", "n_docs_sigged", "n_blocks_total",
+                    "n_blocks_over_cap", "n_sig_rows_dropped",
+                    "n_docs_fully_dropped"))
+
+
 def simhash_buckets(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", bits: int = 16) -> DataFrame:
     """Duplicate-candidate buckets: documents sharing an identical SimHash —
@@ -440,22 +504,7 @@ def simhash_hamming_pairs(docs: DataFrame, id_col: str = "doc_id",
     if collapse_exact:
         docs = collapse_exact_texts(docs, id_col, text_col)
     sigs = simhash_signatures(docs, id_col, text_col, bits)
-    n_blocks = k + 1
-    # block b covers bit positions [start_b, start_b + width_b); widths as
-    # equal as possible so every block keeps maximal discriminative power
-    widths = [bits // n_blocks + (1 if i < bits % n_blocks else 0)
-              for i in range(n_blocks)]
-    starts = [sum(widths[:i]) for i in range(n_blocks)]
-    blocks = F.array(*[
-        F.struct(
-            F.lit(i).alias("blk"),
-            # bits [start, start+width) counted from the MSB of a
-            # bits-wide signature: shift right past the lower bits, mask
-            F.expr(f"(simhash >> {bits - starts[i] - widths[i]}) "
-                   f"& {(1 << widths[i]) - 1}").alias("blk_val"))
-        for i in range(n_blocks)])
-    keyed = (sigs.select("doc_id", "simhash", F.explode(blocks).alias("b"))
-             .select("doc_id", "simhash", "b.blk", "b.blk_val"))
+    keyed = _simhash_block_keys(sigs, bits, k)
     if max_block_size is not None:
         from pyspark.sql import Window
         w_b = Window.partitionBy("blk", "blk_val")

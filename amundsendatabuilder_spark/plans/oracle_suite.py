@@ -11399,6 +11399,43 @@ def dedup_simhash64_capped(spark, sf_dir):
                                             max_block_size=40)
 
 
+@query("simhash_cap_audit", "WITH " + _COLLAPSE_SQL + ",\n"
+       + _simhash_sig_sql("cdocs") + r""",
+keyed AS (SELECT doc_id, 0 AS blk, (simhash >> 8) & 255 AS blk_val FROM sig
+          UNION ALL
+          SELECT doc_id, 1, simhash & 255 FROM sig),
+bsz AS (SELECT blk, blk_val, count(*) AS sz FROM keyed GROUP BY 1, 2),
+bstats AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks_total,
+                  CAST(sum(CASE WHEN sz > 40 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_blocks_over_cap,
+                  CAST(sum(CASE WHEN sz > 40 THEN sz ELSE 0 END) AS BIGINT)
+                      AS n_sig_rows_dropped
+           FROM bsz),
+dstats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_sigged,
+                  CAST(sum(CASE WHEN mn > 40 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_docs_fully_dropped
+           FROM (SELECT k.doc_id, min(b.sz) AS mn
+                 FROM keyed k JOIN bsz b USING (blk, blk_val)
+                 GROUP BY 1)),
+nin AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_in FROM documents)
+SELECT n_docs_in, n_docs_sigged, n_blocks_total, n_blocks_over_cap,
+       n_sig_rows_dropped, n_docs_fully_dropped
+FROM nin, dstats, bstats
+""")
+def simhash_cap_audit_query(spark, sf_dir):
+    """The no-silent-caps audit for the simhash block cap
+    (dedup.simhash_block_cap_report — the rhp_cap_audit twin): with
+    dedup_simhash_hamming_capped's exact parameters (16-bit, k=1,
+    collapse, cap 40) the report surfaces the 3 over-cap block buckets
+    (61/47/46 members, 154 signature rows dropped) and how many docs
+    every capped candidate pass would leave completely invisible —
+    publish it next to any capped simhash result."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return dedup.simhash_block_cap_report(docs, bits=16, k=1,
+                                          max_block_size=40,
+                                          collapse_exact=True)
+
+
 def _embedding_bucketed_capped_oracle(threshold: float = 0.40) -> str:
     from amundsendatabuilder_spark.functions.vectors import random_planes
     planes = random_planes(64, 64, seed=7)

@@ -199,6 +199,7 @@ SUITE = [
     "dedup_simhash_hamming_capped",
     "dedup_simhash64_capped",
     "dedup_embedding_bucketed_capped",
+    "simhash_cap_audit",
 ]
 
 
