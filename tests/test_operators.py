@@ -4383,6 +4383,31 @@ def test_simhash_and_near_dup_guards_absorb_cliques(spark):
                    for a, b in got)             # only the rep id appears
 
 
+def test_simhash_block_cap_report_counts(spark):
+    """Hand-checkable simhash cap-audit arithmetic (the rhp_cap_audit
+    twin): a 6-dup text clique shares both 8-bit blocks, so without
+    collapse both its block buckets are over cap 4 (12 sig rows
+    dropped, 6 docs invisible); with collapse nothing is over cap."""
+    from amundsendatabuilder_spark.operators.dedup import (
+        simhash_block_cap_report)
+    clique = [(i, "alpha beta gamma delta") for i in range(1, 7)]
+    other = [(10, "omega psi chi phi")]
+    docs = spark.createDataFrame(clique + other, "doc_id long, text string")
+    r = simhash_block_cap_report(docs, bits=16, k=1, max_block_size=4,
+                                 collapse_exact=False).collect()[0]
+    assert (r.n_docs_in, r.n_docs_sigged) == (7, 7)
+    # clique blocks: 2 buckets of 6 (over cap); the other doc's 2
+    # buckets hold 1 each UNLESS it collides with a clique block
+    assert r.n_blocks_over_cap >= 2
+    assert r.n_sig_rows_dropped >= 12
+    assert r.n_docs_fully_dropped == 6
+    rc = simhash_block_cap_report(docs, bits=16, k=1, max_block_size=4,
+                                  collapse_exact=True).collect()[0]
+    assert (rc.n_docs_in, rc.n_docs_sigged) == (7, 2)
+    assert rc.n_blocks_over_cap == 0
+    assert rc.n_docs_fully_dropped == 0
+
+
 def test_logreg_holdout_loop_separable_corpus(spark):
     """The end-to-end holdout loop (split -> train -> score -> AUC) on
     a GENUINELY separable corpus pins AUC 1.0 — the counterpart to the
