@@ -77,37 +77,45 @@ def rhp_band_sigs(df: DataFrame, planes: list[list[float]], bands: int,
     generation) and rhp_topk. One narrow projection + a bands-way
     explode; the vectors themselves never leave their partitions.
 
-    The plane matrix rides in as a BROADCAST one-row frame (array-of-
-    arrays column), folded with a single ``transform`` lambda — not
-    len(planes) unrolled dot expressions, and (since r11) not a literal
-    tree either: a 64x64 matrix as n_planes x dim Literal nodes cost
-    ~2.2s PER PLAN ANALYSIS (measured at sf0.01; self-joining consumers
-    re-analyze it several times), vs 0.4s with the matrix as data. The
-    arithmetic is identical — the inner left-fold matches
-    functions.vectors.dot's order exactly — so signatures are
-    bit-identical to both earlier forms."""
+    The plane matrix rides in as a BROADCAST one-row frame (bands x
+    per_band x dim, grouped band-major), folded with a single
+    ``transform`` lambda — not len(planes) unrolled dot expressions, and
+    (since r11) not a literal tree either: a 64x64 matrix as
+    n_planes x dim Literal nodes cost ~2.2s PER PLAN ANALYSIS (measured
+    at sf0.01; self-joining consumers re-analyze it several times), vs
+    0.4s with the matrix as data.
+
+    Shape: posexplode the band GROUPS first, THEN evaluate only that
+    band's plane dots. The earlier form built all bands' sign bits as 8
+    struct fields of one array — CollapseProject inlined the full
+    64-plane fold into EVERY field, so each row paid the 64x64 dot
+    pass 8 times (invisible to sigs.count(), which prunes the column;
+    a downstream groupBy("sig") paid it for real: 6.5s for 2000
+    vectors at sf0.1, now ~0.8s). The arithmetic is identical — the
+    inner left-fold matches functions.vectors.dot's order exactly, and
+    each plane's bit is computed from the same per-band slice — so
+    signatures are bit-identical to all earlier forms."""
     per_band = len(planes) // bands
     assert per_band * bands == len(planes), "bands must divide len(planes)"
+    groups = [[[float(x) for x in p]
+               for p in planes[g * per_band:(g + 1) * per_band]]
+              for g in range(bands)]
     pm = df.sparkSession.createDataFrame(
-        [([[float(x) for x in p] for p in planes],)],
-        "_rhp_planes array<array<double>>")
-    bits = F.transform(
-        F.col("_rhp_planes"),
+        [(groups,)], "_rhp_bands array<array<array<double>>>")
+    sig = F.array_join(F.transform(
+        F.col("_bpl"),
         lambda p: F.when(
             F.aggregate(
                 F.zip_with(F.col(vec_col), p,
                            lambda x, y: x.cast("double") * y.cast("double")),
                 F.lit(0.0), lambda acc, v: acc + v) >= 0,
-            F.lit("1")).otherwise(F.lit("0")))
-    band_structs = F.array(*[
-        F.struct(F.lit(g).alias("band"),
-                 F.array_join(F.slice(bits, g * per_band + 1, per_band), "")
-                 .alias("sig"))
-        for g in range(bands)])
+            F.lit("1")).otherwise(F.lit("0"))), "")
     return (df.crossJoin(F.broadcast(pm))
-            .select(F.col(id_col).alias("id"),
-                    F.explode(band_structs).alias("bs"))
-            .select("id", "bs.band", "bs.sig"))
+            .select(F.col(id_col).alias("id"), F.col(vec_col),
+                    F.posexplode(F.col("_rhp_bands"))
+                    .alias("band", "_bpl"))
+            .select("id", F.col("band").cast("int").alias("band"),
+                    sig.alias("sig")))
 
 
 def rhp_topk(corpus: DataFrame, queries: DataFrame,

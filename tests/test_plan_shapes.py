@@ -48,15 +48,16 @@ def test_embedding_bucketed_avoids_nested_loop(spark):
     on band signatures — never the all-pairs nested loop that only the
     explicit all_pairs=True escape hatch is allowed to use. Since r11
     the RHP plane matrix rides in as a broadcast ONE-ROW frame (cheap
-    plan analysis), so the only BroadcastNestedLoopJoins allowed are
-    those against that `_rhp_planes` scan — one per signature pass,
-    never data x data."""
+    plan analysis; band-major `_rhp_bands` groups so each exploded row
+    folds only its own band's planes), so the only
+    BroadcastNestedLoopJoins allowed are those against that
+    `_rhp_bands` scan — one per signature pass, never data x data."""
     from amundsendatabuilder_spark.plans.oracle_suite import QUERIES
     plan = _plan(QUERIES["dedup_embedding_cosine_bucketed"](
         spark, "/root/testdata/sf0.001"))
     assert "CartesianProduct" not in plan
     n_bnlj = plan.count("BroadcastNestedLoopJoin")
-    n_plane_scans = plan.count("_rhp_planes")
+    n_plane_scans = plan.count("_rhp_bands")
     assert n_bnlj > 0 and n_plane_scans >= n_bnlj, (n_bnlj, n_plane_scans)
 
 
