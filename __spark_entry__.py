@@ -36,10 +36,14 @@ from amundsendatabuilder_spark.plans.oracle_suite import ORACLES, QUERIES  # noq
 # filter_funnel_report (oracle gained the NULL-fails branch) and
 # stream_asof_join (view-only state eviction) whose r10 rows attest the
 # prior text;
+# (b') implementation changed in round 11, output bit-identical but the
+# physical plan is new — the PPJoin family's array_intersect verify and
+# the rhp_band_sigs posexplode-first rewrite (every banded-embedding
+# consumer); re-certify the changed plans in-window;
 # (c) strict oldest-first rotation: all 11 remaining r4-era rows, then
-# the first 26 r5-era rows — oldest green row after this round is r5,
-# age 6 (12 deferred rows), closed out next round;
-# (d) beyond the window: the 12 deferred r5-era rows, then r6-era.
+# the first 18 r5-era rows — the 8 alphabetically-last of the r10 plan's
+# c2 block defer one round to make room for (b');
+# (d) beyond the window: the deferred r5-era rows, then r6-era.
 # Names not registered are skipped by ``_ordered``.
 _PRIORITY = [
     # (a) new in round 11
@@ -50,6 +54,13 @@ _PRIORITY = [
     # (b) semantics/oracle changed in round 11
     "logreg_weight_explain", "mixture_reweight_quality",
     "filter_funnel_report", "stream_asof_join",
+    # (b') implementation changed in round 11 (bit-identical output,
+    # new physical plan): PPJoin array_intersect verify + RHP
+    # posexplode-first signatures
+    "jaccard_prefix_join", "jaccard_prefix_join_capped",
+    "containment_join", "containment_join_capped",
+    "ann_rhp_topk", "mutual_nn_dedup", "hard_negative_mining",
+    "embedding_decontam_audit",
     # (c1) oldest-certified (round 4) re-certs — the 11 rows the r10
     # window could not fit
     "graph_match_2hop", "graph_match_pattern",
@@ -64,23 +75,23 @@ _PRIORITY = [
     "dedup_embedding_clusters", "dedup_embedding_cosine_bucketed",
     "dedup_embedding_exhaustive_recall", "dedup_exact", "dedup_lsh_verified",
     "dedup_minhash_lsh", "event_interarrival", "fuzzy_name_match",
-    "graph_match_hop_predicate", "group_nest_columns", "hive_union_nest",
+    "graph_match_hop_predicate",
+    # (d) beyond the 50-slot window: the deferred r5-era rows (8 more
+    # deferred this edit to fit the (b') changed-plan re-certs —
+    # changed implementations outrank stable re-certs), then r6-era
+    "group_nest_columns", "hive_union_nest",
     "key_templates", "latest_execution_window", "lineage_reachability",
     "lm_fluency", "multimodal_image_features", "presto_view_decode",
     "q1_pricing_summary",
-    # (d) beyond the 50-slot window: the 12 deferred r5-era rows, then
-    # the oldest r6-era rows (4 more r5 rows deferred to fit the
-    # round-11 simhash/embedding capped twins + audit in-window —
-    # zero-cert entries outrank stable re-certs)
     "q3_top_revenue", "q5_region_volume", "semi_join_exists",
     "sharded_table_grouping",
     "staleness_anti_join", "stream_attribution", "stream_dedup_first_seen",
     "stream_near_dup", "stream_sessionize", "stream_windowed_counts",
     "union_dedup", "windowed_event_agg",
-    "active_users_rollup", "ann_pq_adc_topk", "ann_rhp_topk",
+    "active_users_rollup", "ann_pq_adc_topk",
     "bigram_pmi_topk", "bloom_decontam_membership", "bloom_prejoin_reduction",
     "burst_windows", "class_keywords", "cms_heavy_hitters",
-    "containment_join", "cumulative_active_users", "dedup_simhash64_hamming",
+    "cumulative_active_users", "dedup_simhash64_hamming",
 ]
 
 
