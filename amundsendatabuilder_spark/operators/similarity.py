@@ -175,6 +175,42 @@ def rhp_topk(corpus: DataFrame, queries: DataFrame,
             .select("query_id", "neighbor_id", "cos", "rank"))
 
 
+def ann_recall_report(corpus: DataFrame, queries: DataFrame,
+                      planes: list[list[float]], bands: int = 4,
+                      k: int = 10, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Per-query recall@k of the RHP-banded approximate top-k against
+    exact brute-force ground truth over the SAME query batch — the
+    evaluation an operator consumer must run before trusting a banded
+    ANN parameterization on a new corpus (the approximate path's analog
+    of the no-silent-caps audits: dedup_embedding_exhaustive_recall
+    proves the bucket/verify MECHANICS lossless; this measures what the
+    production (planes, bands) split actually recalls).
+
+    Truth = brute_force_topk's top-k (cosine 6dp, ties by neighbor id);
+    hits = how many of those k the banded path also returned. Returns
+    (query_id, n_truth, n_hits, recall) — a query whose every true
+    neighbor shares no band bucket still reports, with recall 0.0.
+
+    Scale shape: the brute-force side broadcasts the query batch and
+    scans the corpus once (the ground-truth cost is the point — run it
+    on a sampled query batch, never the full corpus); the banded side
+    is rhp_topk's candidate-bounded plan. The report join carries k
+    rows per query."""
+    truth = brute_force_topk(corpus, queries, k, id_col, vec_col)
+    approx = rhp_topk(corpus, queries, planes, bands, k, id_col, vec_col)
+    hit = approx.select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    return (truth.join(F.broadcast(hit), ["query_id", "neighbor_id"],
+                       "left")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_truth"),
+                 F.coalesce(F.sum("_hit"), F.lit(0)).cast("long")
+                 .alias("n_hits"))
+            .select("query_id", "n_truth", "n_hits",
+                    round_half_away(F.col("n_hits").cast("double")
+                                    / F.col("n_truth"), 6).alias("recall")))
+
+
 def assign_centroids(corpus: DataFrame, centroids: DataFrame,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      cent_id_col: str = "cent_id",

@@ -3039,14 +3039,15 @@ def ann_ivf_kmeans_full_probe(spark, sf_dir):
                     nlist=10, nprobe=10, centroids=cents)
 
 
-def _rhp_topk_oracle(dim: int = 64, n_planes: int = 24, seed: int = 5,
-                     bands: int = 8, k: int = 10) -> str:
-    """DuckDB twin for rhp_topk with the SAME seeded hyperplanes baked in
-    as double literals (repr() round-trips float64 exactly, and DuckDB
-    parses decimal literals to the nearest double, so both engines test
-    sign(v·p) against bit-identical planes). The SQL replays the full
-    bucketing mechanics: per-band sign-bit signatures, multi-band OR
-    candidate union, exact cosine rank over candidates only."""
+def _rhp_topk_ctes(dim: int = 64, n_planes: int = 24, seed: int = 5,
+                   bands: int = 8) -> str:
+    """Shared WITH-body for the rhp_topk twins: the SAME seeded
+    hyperplanes baked in as double literals (repr() round-trips float64
+    exactly, and DuckDB parses decimal literals to the nearest double,
+    so both engines test sign(v·p) against bit-identical planes),
+    replaying the full bucketing mechanics — per-band sign-bit
+    signatures, multi-band OR candidate union, exact cosine rank over
+    candidates only. Ends at CTE ``r`` (ranked candidates)."""
     from amundsendatabuilder_spark.functions.vectors import random_planes
     planes = random_planes(dim, n_planes, seed=seed)
     per_band = n_planes // bands
@@ -3079,9 +3080,41 @@ sc AS (SELECT cand.query_id, cand.neighbor_id,
                  JOIN c cc ON cc.vec_id = cand.neighbor_id),
 r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                                         ORDER BY cos DESC, neighbor_id) AS INT) AS rank
-      FROM sc)
+      FROM sc)"""
+
+
+def _rhp_topk_oracle(dim: int = 64, n_planes: int = 24, seed: int = 5,
+                     bands: int = 8, k: int = 10) -> str:
+    return (_rhp_topk_ctes(dim, n_planes, seed, bands) + f"""
 SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= {k}
-"""
+""")
+
+
+def _ann_recall_oracle(dim: int = 64, n_planes: int = 24, seed: int = 5,
+                       bands: int = 8, k: int = 10) -> str:
+    """Recall@k twin: banded top-k (the shared CTEs) joined against the
+    brute-force top-k ground truth over the same query batch. Integer
+    division in DuckDB is true division (DOUBLE), matching Spark's
+    long/long double divide."""
+    return (_rhp_topk_ctes(dim, n_planes, seed, bands) + f""",
+approx AS (SELECT query_id, neighbor_id FROM r WHERE rank <= {k}),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 8),
+bf AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+              round(list_cosine_similarity(q.qv, c.v), 6) AS cos
+       FROM q JOIN c ON c.vec_id <> q.query_id),
+bfr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rank
+        FROM bf),
+truth AS (SELECT query_id, neighbor_id FROM bfr WHERE rank <= {k})
+SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_truth,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+       round(count(a.neighbor_id) / count(*), 6) AS recall
+FROM truth t LEFT JOIN approx a
+  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+GROUP BY t.query_id
+ORDER BY t.query_id
+""")
 
 
 @query("ann_rhp_topk", _rhp_topk_oracle())
@@ -3097,6 +3130,28 @@ def ann_rhp_topk(spark, sf_dir):
     (emb,) = _t(spark, sf_dir, "embeddings")
     return rhp_topk(emb, emb.where(F.col("vec_id") < 8),
                     planes=random_planes(64, 24, seed=5), bands=8, k=10)
+
+
+@query("ann_recall_report", _ann_recall_oracle())
+def ann_recall_report_query(spark, sf_dir):
+    """Recall@k evaluation of the banded ANN path
+    (operators/similarity.ann_recall_report): the RHP top-10 with
+    ann_rhp_topk's exact production parameters, measured per query
+    against brute-force cosine ground truth — the audit a consumer runs
+    before trusting a (planes, bands) split on a new corpus, completing
+    the approximate-path evaluation triad (exhaustive-recall pins the
+    mechanics, the pinned topk pins the result set, this measures what
+    the production parameters actually recall). Hash-verified: the twin
+    replays the banded candidate union AND the brute-force rank, so the
+    recall fractions are pinned cross-engine."""
+    from amundsendatabuilder_spark.functions.vectors import random_planes
+    from amundsendatabuilder_spark.operators.similarity import (
+        ann_recall_report)
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return (ann_recall_report(emb, emb.where(F.col("vec_id") < 8),
+                              planes=random_planes(64, 24, seed=5),
+                              bands=8, k=10)
+            .orderBy("query_id"))
 
 
 @query("multimodal_image_features", """

@@ -515,6 +515,37 @@ def test_rhp_topk_recall_vs_exact(spark):
         assert all(rs[i].cos >= rs[i + 1].cos for i in range(len(rs) - 1))
 
 
+def test_ann_recall_report_matches_setwise_recall(spark):
+    """ann_recall_report's per-query fractions must equal the set-wise
+    recall computed from brute_force_topk and rhp_topk directly, every
+    query in the batch must report (even with zero candidates), and
+    n_truth is min(k, corpus-1)."""
+    from pyspark.sql import functions as F
+    from amundsendatabuilder_spark.functions.vectors import random_planes
+    from amundsendatabuilder_spark.operators.similarity import (
+        ann_recall_report, brute_force_topk, rhp_topk)
+    from amundsendatabuilder_spark.session import load_tables
+    emb = load_tables(spark, "/root/testdata/sf0.01",
+                      ("embeddings",))["embeddings"]
+    q = emb.where(F.col("vec_id") < 8)
+    planes = random_planes(64, 24, seed=5)
+    report = {r.query_id: r for r in ann_recall_report(
+        emb, q, planes, bands=8, k=10).collect()}
+    assert sorted(report) == sorted(r.vec_id for r in q.collect())
+    exact, approx = {}, {}
+    for r in brute_force_topk(emb, q, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in rhp_topk(emb, q, planes, bands=8, k=10).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for qid, row in report.items():
+        truth = exact[qid]
+        hits = len(truth & approx.get(qid, set()))
+        assert row.n_truth == len(truth) == 10
+        assert row.n_hits == hits
+        assert abs(row.recall - hits / len(truth)) < 1e-9
+        assert 0.0 <= row.recall <= 1.0
+
+
 def test_audio_chunk_features(spark):
     import math
 
