@@ -47,7 +47,7 @@ from amundsendatabuilder_spark.plans.oracle_suite import ORACLES, QUERIES  # noq
 # Names not registered are skipped by ``_ordered``.
 _PRIORITY = [
     # (a) new in round 11
-    "ann_recall_report",
+    "ann_recall_report", "ivf_recall_report",
     "mutual_nn_dedup_capped", "rhp_cap_audit", "hard_negative_banded",
     "embedding_decontam_banded", "logreg_holdout_auc",
     "dedup_simhash_hamming_capped", "dedup_simhash64_capped",
@@ -78,7 +78,7 @@ _PRIORITY = [
     "dedup_minhash_lsh", "event_interarrival", "fuzzy_name_match",
     # (d) beyond the 50-slot window: the deferred r5-era rows (9 more
     # deferred this round to fit the (b') changed-plan re-certs and the
-    # new ann_recall_report — zero-cert entries and changed
+    # new recall reports — zero-cert entries and changed
     # implementations outrank stable re-certs), then r6-era
     "graph_match_hop_predicate",
     "group_nest_columns", "hive_union_nest",

@@ -199,6 +199,31 @@ def ann_recall_report(corpus: DataFrame, queries: DataFrame,
     rows per query."""
     truth = brute_force_topk(corpus, queries, k, id_col, vec_col)
     approx = rhp_topk(corpus, queries, planes, bands, k, id_col, vec_col)
+    return _recall_vs_truth(truth, approx)
+
+
+def ivf_recall_report(corpus: DataFrame, queries: DataFrame,
+                      k: int = 10, nlist: int = 16, nprobe: int = 4,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      centroids: "DataFrame | None" = None) -> DataFrame:
+    """ann_recall_report's IVF sibling: per-query recall@k of the
+    probe-limited IVF scan (ivf_topk, nprobe of nlist lists) against
+    brute-force ground truth — measures what a (nlist, nprobe) budget
+    actually recalls before a consumer trusts it on a new corpus.
+    Returns (query_id, n_truth, n_hits, recall); see ann_recall_report
+    for the report semantics and scale shape."""
+    truth = brute_force_topk(corpus, queries, k, id_col, vec_col)
+    approx = ivf_topk(corpus, queries, k=k, nlist=nlist, nprobe=nprobe,
+                      id_col=id_col, vec_col=vec_col, centroids=centroids)
+    return _recall_vs_truth(truth, approx)
+
+
+def _recall_vs_truth(truth: DataFrame, approx: DataFrame) -> DataFrame:
+    """Shared recall@k report core: both inputs are
+    (query_id, neighbor_id, ...) top-k frames; truth drives (every
+    query reports, zero-candidate queries score 0.0). The hit set is
+    query-batch x k rows — broadcast-small by construction."""
     hit = approx.select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
     return (truth.join(F.broadcast(hit), ["query_id", "neighbor_id"],
                        "left")

@@ -2973,7 +2973,10 @@ def ann_ivf_full_probe(spark, sf_dir):
                     nlist=16, nprobe=16)
 
 
-@query("ann_ivf_topk", r"""
+# Shared WITH-body for the IVF twins (ann_ivf_topk + ivf_recall_report):
+# md5-ordered centroid sample, rounded argmax list assignment, nprobe=4
+# routing, in-list exact rank — ends at CTE ``r`` (ranked candidates).
+_IVF_TOPK_CTES = r"""
 WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cent0 AS (SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h FROM c ORDER BY h LIMIT 16),
 cents AS (SELECT CAST(row_number() OVER (ORDER BY h) AS INT) - 1 AS list_id,
@@ -2997,7 +3000,10 @@ sc AS (SELECT query_id, neighbor_id,
        WHERE query_id <> neighbor_id),
 r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                                         ORDER BY cos DESC, neighbor_id) AS INT) AS rank
-      FROM sc)
+      FROM sc)"""
+
+
+@query("ann_ivf_topk", _IVF_TOPK_CTES + r"""
 SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 10
 """)
 def ann_ivf_topk(spark, sf_dir):
@@ -3011,6 +3017,40 @@ def ann_ivf_topk(spark, sf_dir):
     (emb,) = _t(spark, sf_dir, "embeddings")
     return ivf_topk(emb, emb.where(F.col("vec_id") < 8), k=10,
                     nlist=16, nprobe=4)
+
+
+@query("ivf_recall_report", _IVF_TOPK_CTES + r""",
+approx AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 10),
+q2 AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 8),
+bf AS (SELECT q2.query_id, c.vec_id AS neighbor_id,
+              round(list_cosine_similarity(q2.qv, c.v), 6) AS cos
+       FROM q2 JOIN c ON c.vec_id <> q2.query_id),
+bfr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rank
+        FROM bf),
+truth AS (SELECT query_id, neighbor_id FROM bfr WHERE rank <= 10)
+SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_truth,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+       round(count(a.neighbor_id) / count(*), 6) AS recall
+FROM truth t LEFT JOIN approx a
+  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+GROUP BY t.query_id
+ORDER BY t.query_id
+""")
+def ivf_recall_report_query(spark, sf_dir):
+    """ann_recall_report's IVF sibling
+    (operators/similarity.ivf_recall_report): recall@10 of the
+    probe-limited IVF scan with ann_ivf_topk's exact production
+    parameters (nprobe=4 of nlist=16, sampled centroids) per query
+    against brute-force ground truth — the (nlist, nprobe) budget audit.
+    Hash-verified: the twin replays the full IVF index mechanics AND the
+    brute-force rank."""
+    from amundsendatabuilder_spark.operators.similarity import (
+        ivf_recall_report)
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return (ivf_recall_report(emb, emb.where(F.col("vec_id") < 8),
+                              k=10, nlist=16, nprobe=4)
+            .orderBy("query_id"))
 
 
 @query("ann_ivf_kmeans_full_probe", r"""

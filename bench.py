@@ -59,6 +59,7 @@ EXTENDED = [
     "dedup_simhash64_hamming",
     "ann_rhp_topk",
     "ann_recall_report",
+    "ivf_recall_report",
     "ann_ivf_topk",
     # round-6: HLL sketch (the COUNT-DISTINCT scale path) and the
     # shortest-path graph surface

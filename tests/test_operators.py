@@ -546,6 +546,29 @@ def test_ann_recall_report_matches_setwise_recall(spark):
         assert 0.0 <= row.recall <= 1.0
 
 
+def test_ivf_recall_report_full_probe_is_perfect(spark):
+    """With nprobe == nlist the IVF scan is exhaustive, so every
+    per-query recall row must be exactly 1.0; at the production
+    nprobe=4 of nlist=16 the report stays well-formed with recall in
+    [0, 1] and the same query coverage."""
+    from pyspark.sql import functions as F
+    from amundsendatabuilder_spark.operators.similarity import (
+        ivf_recall_report)
+    from amundsendatabuilder_spark.session import load_tables
+    emb = load_tables(spark, "/root/testdata/sf0.01",
+                      ("embeddings",))["embeddings"]
+    q = emb.where(F.col("vec_id") < 8)
+    full = ivf_recall_report(emb, q, k=10, nlist=16, nprobe=16).collect()
+    assert len(full) == 8
+    assert all(r.recall == 1.0 and r.n_hits == r.n_truth == 10
+               for r in full)
+    partial = ivf_recall_report(emb, q, k=10, nlist=16, nprobe=4).collect()
+    assert sorted(r.query_id for r in partial) == sorted(
+        r.query_id for r in full)
+    assert all(0.0 <= r.recall <= 1.0 and r.n_hits <= r.n_truth
+               for r in partial)
+
+
 def test_audio_chunk_features(spark):
     import math
 
