@@ -929,9 +929,11 @@ def jaccard_prefix_join(docs: DataFrame, threshold_num: int = 3,
     Scale shape: the candidate join shuffles (token, doc_id, size)
     prefix rows only — boilerplate tokens sort LAST and rarely enter any
     prefix, which is the skew protection LSH gets from banding; the
-    verify join shuffles token ids for candidate pairs only. At 100 TB
-    the prefix index is a fraction (1 - t) of the distinct (doc, token)
-    pairs.
+    verify joins each candidate pair to its two docs' distinct-token
+    arrays (built once for prefix-holding docs) and counts the
+    intersection JVM-side, so the verify shuffle is O(candidate pairs),
+    never pairs x tokens. At 100 TB the prefix index is a fraction
+    (1 - t) of the distinct (doc, token) pairs.
 
     Production guards (all off by default so the oracle-pinned exact
     entry stays byte-stable):
