@@ -908,7 +908,9 @@ def jaccard_prefix_join(docs: DataFrame, threshold_num: int = 3,
                         text_col: str = "text",
                         collapse_exact: bool = False,
                         max_token_df: "int | None" = None,
-                        max_pairs_per_doc: "int | None" = None) -> DataFrame:
+                        max_pairs_per_doc: "int | None" = None,
+                        max_token_df_frac:
+                        "tuple[int, int] | None" = None) -> DataFrame:
     """EXACT token-set Jaccard-similarity join (sim >= num/den) via
     prefix filtering (PPJoin family, Xiao et al. 2008) — the lossless
     alternative to MinHash-LSH when a recall guarantee must be 1.0.
@@ -951,6 +953,16 @@ def jaccard_prefix_join(docs: DataFrame, threshold_num: int = 3,
     - ``max_pairs_per_doc``: deterministic top-K partners per doc_a
       (similarity desc, doc_b asc), bounding the OUTPUT at K·|docs|
       where the true pair set is quadratic in duplicate-cluster size.
+    - ``max_token_df_frac`` = (num, den): the SCALE-INVARIANT form of
+      the DF cap — a prefix token survives iff df·den <= num·n_docs
+      (exact integer cross-multiply, n_docs counted AFTER the optional
+      collapse), i.e. tokens in at most num/den of the corpus. An
+      absolute ``max_token_df`` binds 10x harder at 10x corpus (the
+      sf1 headroom run measured the absolute-capped twin dropping to
+      zero output on the replica fixture); the fractional cap keeps
+      the same relative bite at every scale, which is the
+      parameterization a 100 TB run should pin. Composable with the
+      absolute cap; audit either with ``similarity_cap_report``.
     """
     from pyspark.sql import Window
     from amundsendatabuilder_spark.session import ensure_parallelism
@@ -974,6 +986,13 @@ def jaccard_prefix_join(docs: DataFrame, threshold_num: int = 3,
         - F.expr(f"({tn} * sz + {td} - 1) DIV {td}") + 1)
     if max_token_df is not None:
         prefix = prefix.where(F.col("df") <= max_token_df)
+    if max_token_df_frac is not None:
+        fn, fd = max_token_df_frac
+        nd = docs.agg(F.count(F.lit(1)).cast("long").alias("_nd"))
+        prefix = (prefix.crossJoin(F.broadcast(nd))
+                  .where(F.col("df") * F.lit(int(fd))
+                         <= F.lit(int(fn)) * F.col("_nd"))
+                  .drop("_nd"))
     prefix = prefix.localCheckpoint()
     a = prefix.select(F.col(id_col).alias("doc_a"), "tok",
                       F.col("sz").alias("sza"))

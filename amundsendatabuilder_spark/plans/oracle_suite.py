@@ -5119,6 +5119,60 @@ def jaccard_prefix_join_capped(spark, sf_dir):
             .orderBy("doc_a", "doc_b"))
 
 
+@query("jaccard_prefix_join_frac_capped", r"""
+WITH """ + _COLLAPSE_SQL + r""",
+tok AS (SELECT DISTINCT doc_id, unnest(""" + _LTOKS_SQL + r""") AS tok
+        FROM cdocs),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cdocs),
+sz AS (SELECT doc_id, count(*) AS s FROM tok GROUP BY 1),
+dfr AS (SELECT tok, count(*) AS df FROM tok GROUP BY 1),
+ordered AS (SELECT t.doc_id, t.tok, f.df, s.s,
+                   row_number() OVER (PARTITION BY t.doc_id
+                                      ORDER BY f.df, t.tok) AS i
+            FROM tok t JOIN dfr f USING (tok) JOIN sz s USING (doc_id)),
+prefix AS (SELECT * FROM ordered
+           WHERE i <= s - (9 * s + 10 - 1) // 10 + 1),
+capped AS (SELECT p.* FROM prefix p, nd WHERE p.df * 100 <= 9 * nd.n),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.s AS sa, b.s AS sb
+         FROM capped a JOIN capped b
+           ON a.tok = b.tok AND a.doc_id < b.doc_id
+         WHERE b.s * 10 >= a.s * 9 AND b.s * 9 <= a.s * 10),
+i0 AS (SELECT c.doc_a, c.doc_b, c.sa, c.sb, count(*) AS inter
+       FROM cand c JOIN tok ta ON ta.doc_id = c.doc_a
+            JOIN tok tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+       GROUP BY 1, 2, 3, 4),
+q AS (SELECT doc_a, doc_b,
+             round(CAST(inter AS DOUBLE) / (sa + sb - inter), 6) AS jaccard
+      FROM i0 WHERE inter * 10 >= (sa + sb - inter) * 9)
+SELECT doc_a, doc_b, jaccard FROM q
+QUALIFY row_number() OVER (PARTITION BY doc_a
+                           ORDER BY jaccard DESC, doc_b) <= 25
+ORDER BY doc_a, doc_b
+""")
+def jaccard_prefix_join_frac_capped(spark, sf_dir):
+    """The SCALE-INVARIANT capped configuration: collapse +
+    max_token_df_frac=(9, 100) — a prefix token survives iff it appears
+    in at most 9% of the (collapsed) corpus, exact integer
+    cross-multiply — + the top-25 output guard. The absolute-capped
+    twin (jaccard_prefix_join_capped, max_token_df=450) binds 10x
+    harder at every 10x corpus growth (the sf1 headroom replica drove
+    it to zero output); this fractional form keeps the same relative
+    bite at every scale. The cap BINDS on this fixture (df > 45 of 500
+    docs excluded), so the oracle replays the FULL PPJoin mechanics —
+    rarest-first ordering, exact prefix-length arithmetic, the
+    fractional DF gate, size-filtered candidates, exact intersection
+    verify, deterministic top-25 — rather than the brute-force
+    shortcut: a hash match pins the capped semantics themselves."""
+    from amundsendatabuilder_spark.operators.dedup import (
+        jaccard_prefix_join)
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (jaccard_prefix_join(docs, 9, 10, collapse_exact=True,
+                                max_token_df_frac=(9, 100),
+                                max_pairs_per_doc=25)
+            .orderBy("doc_a", "doc_b"))
+
+
 @query("containment_join_capped", r"""
 WITH """ + _COLLAPSE_SQL + r""",
 tok AS (SELECT DISTINCT doc_id, unnest(""" + _LTOKS_SQL + r""") AS tok

@@ -103,6 +103,7 @@ EXTENDED = [
     # (collapse + token-DF cap + top-25 partners), their no-silent-caps
     # audit, and the mixed-direction graph pattern
     "jaccard_prefix_join_capped",
+    "jaccard_prefix_join_frac_capped",
     "containment_join_capped",
     "similarity_cap_report",
     "graph_match_mixed_direction",

@@ -515,6 +515,30 @@ def test_rhp_topk_recall_vs_exact(spark):
         assert all(rs[i].cos >= rs[i + 1].cos for i in range(len(rs) - 1))
 
 
+def test_jaccard_frac_cap_scale_invariant_semantics(spark):
+    """max_token_df_frac contracts: (num, den) with num >= den is a cap
+    of n_docs or more, which no token's df can exceed — output must
+    equal the uncapped run exactly; a binding fraction produces a
+    subset of the uncapped pairs (the cap only removes candidate
+    generation routes, never adds pairs), and every surviving pair
+    shares at least one prefix token under the fractional df gate."""
+    from amundsendatabuilder_spark.operators.dedup import (
+        jaccard_prefix_join)
+    from amundsendatabuilder_spark.session import load_tables
+    docs = load_tables(spark, "/root/testdata/sf0.001",
+                       ("documents",))["documents"]
+    base = {(r.doc_a, r.doc_b, r.jaccard)
+            for r in jaccard_prefix_join(docs, 9, 10).collect()}
+    nobind = {(r.doc_a, r.doc_b, r.jaccard)
+              for r in jaccard_prefix_join(
+                  docs, 9, 10, max_token_df_frac=(1, 1)).collect()}
+    assert nobind == base
+    bound = {(r.doc_a, r.doc_b, r.jaccard)
+             for r in jaccard_prefix_join(
+                 docs, 9, 10, max_token_df_frac=(9, 100)).collect()}
+    assert bound <= base
+
+
 def test_ann_recall_report_matches_setwise_recall(spark):
     """ann_recall_report's per-query fractions must equal the set-wise
     recall computed from brute_force_topk and rhp_topk directly, every
