@@ -1092,7 +1092,9 @@ def containment_join(docs: DataFrame, threshold_num: int = 9,
                      text_col: str = "text",
                      collapse_exact: bool = False,
                      max_token_df: "int | None" = None,
-                     max_pairs_per_doc: "int | None" = None) -> DataFrame:
+                     max_pairs_per_doc: "int | None" = None,
+                     max_token_df_frac:
+                     "tuple[int, int] | None" = None) -> DataFrame:
     """EXACT token-set containment join: pairs where at least
     num/den of A's distinct tokens also appear in B (|A∩B|/|A| >= t,
     A != B, |A| >= min_tokens) — the asymmetric complement of
@@ -1108,11 +1110,12 @@ def containment_join(docs: DataFrame, threshold_num: int = 9,
     count with the integer cross-multiplied test. Returns
     (doc_a, doc_b, containment) — doc_a is the contained side.
 
-    ``collapse_exact`` / ``max_token_df`` / ``max_pairs_per_doc`` carry
-    the same production-guard semantics as jaccard_prefix_join (see its
-    docstring); the token-DF cap here filters BOTH the A-side prefix
-    index and the B-side probe, since a boilerplate token's fan-out is
-    df_prefix(t) * df_full(t)."""
+    ``collapse_exact`` / ``max_token_df`` / ``max_pairs_per_doc`` /
+    ``max_token_df_frac`` carry the same production-guard semantics as
+    jaccard_prefix_join (see its docstring — the fractional form is the
+    scale-invariant cap); the token-DF caps here filter BOTH the A-side
+    prefix index and the B-side probe, since a boilerplate token's
+    fan-out is df_prefix(t) * df_full(t)."""
     from pyspark.sql import Window
 
     from amundsendatabuilder_spark.session import ensure_parallelism
@@ -1133,11 +1136,25 @@ def containment_join(docs: DataFrame, threshold_num: int = 9,
         - F.expr(f"({tn} * sz + {td} - 1) DIV {td}") + 1)
     if max_token_df is not None:
         prefix = prefix.where(F.col("df") <= max_token_df)
+    nd = None
+    if max_token_df_frac is not None:
+        fn, fd = max_token_df_frac
+        nd = docs.agg(F.count(F.lit(1)).cast("long").alias("_nd"))
+        prefix = (prefix.crossJoin(F.broadcast(nd))
+                  .where(F.col("df") * F.lit(int(fd))
+                         <= F.lit(int(fn)) * F.col("_nd"))
+                  .drop("_nd"))
     a = prefix.select(F.col(id_col).alias("doc_a"), "tok",
                       F.col("sz").alias("sza"))
     b = toks.select(F.col(id_col).alias("doc_b"), "tok")
     if max_token_df is not None:
         b = b.join(df_rank.where(F.col("df") <= max_token_df)
+                   .select("tok"), "tok")
+    if max_token_df_frac is not None:
+        fn, fd = max_token_df_frac
+        b = b.join(df_rank.crossJoin(F.broadcast(nd))
+                   .where(F.col("df") * F.lit(int(fd))
+                          <= F.lit(int(fn)) * F.col("_nd"))
                    .select("tok"), "tok")
     cands = (a.join(b, "tok")
              .where(F.col("doc_a") != F.col("doc_b"))

@@ -537,6 +537,18 @@ def test_jaccard_frac_cap_scale_invariant_semantics(spark):
              for r in jaccard_prefix_join(
                  docs, 9, 10, max_token_df_frac=(9, 100)).collect()}
     assert bound <= base
+    # containment_join carries the same fractional-cap contract
+    from amundsendatabuilder_spark.operators.dedup import containment_join
+    cbase = {(r.doc_a, r.doc_b, r.containment)
+             for r in containment_join(docs, 9, 10).collect()}
+    cnobind = {(r.doc_a, r.doc_b, r.containment)
+               for r in containment_join(
+                   docs, 9, 10, max_token_df_frac=(1, 1)).collect()}
+    assert cnobind == cbase
+    cbound = {(r.doc_a, r.doc_b, r.containment)
+              for r in containment_join(
+                  docs, 9, 10, max_token_df_frac=(9, 100)).collect()}
+    assert cbound <= cbase
 
 
 def test_ann_recall_report_matches_setwise_recall(spark):
