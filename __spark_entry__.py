@@ -19,12 +19,12 @@ sys.path.insert(0, "/root/repo")
 from amundsendatabuilder_spark.plans.oracle_suite import ORACLES, QUERIES  # noqa: E402
 
 # Dict iteration order = presentation order. Round-11 window (50 slots,
-# r10 VERDICT items #1-3): demand this round is 62 rows (13 new/changed
-# + the 49 oldest certs: 11 r4-era left over from the r10 window's
-# 7-slot (c) block + 38 r5-era), so zero-cert entries and
-# changed-semantics entries take precedence over re-certification of
-# stable rows and the 12 alphabetically-last r5-era rows defer one
-# round (block (d)):
+# r10 VERDICT items #1-3): demand this round exceeds the window (12
+# new entries + 4 changed-semantics + 8 changed-plan + the 49 oldest
+# certs: 11 r4-era left over from the r10 window's 7-slot (c) block +
+# 38 r5-era), so zero-cert entries, changed semantics, and changed
+# plans take precedence over re-certification of stable rows; the
+# remaining r5-era rows defer one round (block (d)):
 # (a) the 9 round-11 additions — the capped/collapsed production twins
 # of the embedding pairwise AND simhash families + their two
 # no-silent-caps audits (verdict items #1-2 plus their pre-emptive
