@@ -48,7 +48,7 @@ from amundsendatabuilder_spark.plans.oracle_suite import ORACLES, QUERIES  # noq
 _PRIORITY = [
     # (a) new in round 11
     "ann_recall_report", "ivf_recall_report",
-    "jaccard_prefix_join_frac_capped",
+    "jaccard_prefix_join_frac_capped", "similarity_frac_cap_report",
     "mutual_nn_dedup_capped", "rhp_cap_audit", "hard_negative_banded",
     "embedding_decontam_banded", "logreg_holdout_auc",
     "dedup_simhash_hamming_capped", "dedup_simhash64_capped",
@@ -76,12 +76,13 @@ _PRIORITY = [
     "centroid_assignment", "cond_agg_subqueries", "conversion_attribution",
     "dedup_embedding_clusters", "dedup_embedding_cosine_bucketed",
     "dedup_embedding_exhaustive_recall", "dedup_exact", "dedup_lsh_verified",
-    "dedup_minhash_lsh", "event_interarrival",
-    # (d) beyond the 50-slot window: the deferred r5-era rows (10 more
+    "dedup_minhash_lsh",
+    # (d) beyond the 50-slot window: the deferred r5-era rows (11 more
     # deferred this round to fit the (b') changed-plan re-certs and the
-    # new recall reports / fractional-cap twin — zero-cert entries and
-    # changed implementations outrank stable re-certs), then r6-era
-    "fuzzy_name_match", "graph_match_hop_predicate",
+    # new recall reports / fractional-cap twin + audit — zero-cert
+    # entries and changed implementations outrank stable re-certs),
+    # then r6-era
+    "event_interarrival", "fuzzy_name_match", "graph_match_hop_predicate",
     "group_nest_columns", "hive_union_nest",
     "key_templates", "latest_execution_window", "lineage_reachability",
     "lm_fluency", "multimodal_image_features", "presto_view_decode",

@@ -1038,19 +1038,33 @@ def jaccard_prefix_join(docs: DataFrame, threshold_num: int = 3,
     return out
 
 
-def similarity_cap_report(docs: DataFrame, max_token_df: int,
+def similarity_cap_report(docs: DataFrame, max_token_df: "int | None" = None,
                           threshold_num: int = 9, threshold_den: int = 10,
                           id_col: str = "doc_id",
-                          text_col: str = "text") -> DataFrame:
-    """Audit the bite of ``max_token_df`` before trusting a capped
+                          text_col: str = "text",
+                          max_token_df_frac:
+                          "tuple[int, int] | None" = None,
+                          collapse_exact: bool = False) -> DataFrame:
+    """Audit the bite of a token-DF cap before trusting a capped
     similarity join — the no-silent-caps companion to
     jaccard_prefix_join/containment_join. One row:
     (n_tokens_over_cap, n_prefix_rows_dropped, n_docs_unreportable,
     n_docs_total). ``n_docs_unreportable`` counts docs whose ENTIRE
     prefix exceeds the cap — the docs the capped join can never report
-    and that must be routed to exact-collapse/LSH instead."""
+    and that must be routed to exact-collapse/LSH instead.
+
+    Audits either cap form (at least one required, both compose as OR,
+    mirroring the join operators): the absolute ``max_token_df`` and/or
+    the scale-invariant ``max_token_df_frac`` = (num, den) whose exact
+    integer gate is df·den > num·n_docs. ``collapse_exact`` pre-collapses
+    byte-identical texts so the report describes the same corpus the
+    collapsed capped join actually sees (n_docs included)."""
     from pyspark.sql import Window
     from amundsendatabuilder_spark.session import ensure_parallelism
+    assert max_token_df is not None or max_token_df_frac is not None, \
+        "similarity_cap_report needs max_token_df and/or max_token_df_frac"
+    if collapse_exact:
+        docs = collapse_exact_texts(docs, id_col, text_col)
     tn, td = threshold_num, threshold_den
     toks = (ensure_parallelism(docs)
             .select(id_col, F.explode(tokens(F.lower(F.col(text_col))))
@@ -1063,13 +1077,21 @@ def similarity_cap_report(docs: DataFrame, max_token_df: int,
     prefix = ordered.where(
         F.col("i") <= F.col("sz")
         - F.expr(f"({tn} * sz + {td} - 1) DIV {td}") + 1)
-    over = F.when(F.col("df") > max_token_df, F.lit(1)).otherwise(F.lit(0))
+    over_cond = F.lit(False)
+    if max_token_df is not None:
+        over_cond = over_cond | (F.col("df") > max_token_df)
+    if max_token_df_frac is not None:
+        fn, fd = max_token_df_frac
+        nd = docs.agg(F.count(F.lit(1)).cast("long").alias("_nd"))
+        prefix = prefix.crossJoin(F.broadcast(nd))
+        over_cond = over_cond | (F.col("df") * F.lit(int(fd))
+                                 > F.lit(int(fn)) * F.col("_nd"))
+    over = F.when(over_cond, F.lit(1)).otherwise(F.lit(0))
     per_doc = (prefix.groupBy(id_col)
                .agg(F.sum(over).alias("n_over"),
                     F.count(F.lit(1)).alias("n_prefix")))
-    tok_stats = (prefix.select("tok", "df").distinct()
-                 .agg(F.coalesce(F.sum(F.when(F.col("df") > max_token_df,
-                                              F.lit(1))), F.lit(0))
+    tok_stats = (prefix.select("tok", over.alias("_ov")).distinct()
+                 .agg(F.coalesce(F.sum("_ov"), F.lit(0))
                       .alias("n_tokens_over_cap")))
     doc_stats = per_doc.agg(
         F.sum("n_over").alias("n_prefix_rows_dropped"),

@@ -5243,6 +5243,49 @@ def similarity_cap_report_query(spark, sf_dir):
                                  threshold_num=9, threshold_den=10)
 
 
+@query("similarity_frac_cap_report", r"""
+WITH """ + _COLLAPSE_SQL + r""",
+tok AS (SELECT DISTINCT doc_id, unnest(""" + _LTOKS_SQL + r""") AS tok
+        FROM cdocs),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cdocs),
+sz AS (SELECT doc_id, count(*) AS s FROM tok GROUP BY 1),
+dfr AS (SELECT tok, count(*) AS df FROM tok GROUP BY 1),
+ordered AS (SELECT t.doc_id, t.tok, f.df, s.s,
+                   row_number() OVER (PARTITION BY t.doc_id
+                                      ORDER BY f.df, t.tok) AS i
+            FROM tok t JOIN dfr f USING (tok) JOIN sz s USING (doc_id)),
+prefix AS (SELECT p.*, nd.n FROM (SELECT * FROM ordered
+           WHERE i <= s - (9 * s + 10 - 1) // 10 + 1) p, nd),
+ts AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS n_tokens_over_cap
+       FROM prefix WHERE df * 100 > 9 * n),
+ds AS (SELECT CAST(sum(n_over) AS BIGINT) AS n_prefix_rows_dropped,
+              CAST(sum(CASE WHEN n_over = n_pref THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_docs_unreportable,
+              CAST(count(*) AS BIGINT) AS n_docs_total
+       FROM (SELECT doc_id,
+                    count(*) FILTER (WHERE df * 100 > 9 * n) AS n_over,
+                    count(*) AS n_pref
+             FROM prefix GROUP BY 1))
+SELECT ts.n_tokens_over_cap, ds.n_prefix_rows_dropped,
+       ds.n_docs_unreportable, ds.n_docs_total
+FROM ts, ds
+""")
+def similarity_frac_cap_report_query(spark, sf_dir):
+    """The no-silent-caps audit for the SCALE-INVARIANT fractional cap,
+    in exactly jaccard_prefix_join_frac_capped's configuration
+    (collapse + max_token_df_frac=(9, 100), threshold 9/10): how many
+    prefix tokens/rows the fractional gate df·100 > 9·n_docs drops and
+    how many docs become unreportable — publish it next to any
+    frac-capped result, the similarity_cap_report discipline applied to
+    the new cap form."""
+    from amundsendatabuilder_spark.operators.dedup import (
+        similarity_cap_report)
+    (docs,) = _t(spark, sf_dir, "documents")
+    return similarity_cap_report(docs, threshold_num=9, threshold_den=10,
+                                 max_token_df_frac=(9, 100),
+                                 collapse_exact=True)
+
+
 @query("journey_trigrams", """
 WITH seq AS (SELECT user_id, event_type, ts, event_id,
                     lead(event_type, 1) OVER w AS e2,

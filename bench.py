@@ -106,6 +106,7 @@ EXTENDED = [
     "jaccard_prefix_join_frac_capped",
     "containment_join_capped",
     "similarity_cap_report",
+    "similarity_frac_cap_report",
     "graph_match_mixed_direction",
     "budget_selection",
     "content_defined_chunks",

@@ -549,6 +549,20 @@ def test_jaccard_frac_cap_scale_invariant_semantics(spark):
               for r in containment_join(
                   docs, 9, 10, max_token_df_frac=(9, 100)).collect()}
     assert cbound <= cbase
+    # the audit mirrors the gate: frac (1,1) can never flag a token
+    # (df <= n_docs always); a binding frac flags a positive count,
+    # and the OR composition with a huge absolute cap changes nothing
+    from amundsendatabuilder_spark.operators.dedup import (
+        similarity_cap_report)
+    free = similarity_cap_report(
+        docs, max_token_df_frac=(1, 1)).collect()[0]
+    assert free.n_tokens_over_cap == 0 == free.n_prefix_rows_dropped
+    tight = similarity_cap_report(
+        docs, max_token_df_frac=(9, 100)).collect()[0]
+    assert tight.n_tokens_over_cap > 0
+    both = similarity_cap_report(
+        docs, max_token_df=10**9, max_token_df_frac=(9, 100)).collect()[0]
+    assert both == tight
 
 
 def test_ann_recall_report_matches_setwise_recall(spark):
