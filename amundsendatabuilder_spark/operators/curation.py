@@ -1060,3 +1060,39 @@ def mixture_reweight(docs: DataFrame, domain_col: str = "source",
             .select("domain", "n_docs", "mean_quality_ppm", "base_ppm",
                     F.expr("CAST((t_e9 * 1000000) DIV z AS BIGINT)")
                     .alias("weight_ppm")))
+
+
+def uncertainty_sampling(docs: DataFrame, weights: DataFrame, k: int = 5,
+                         group_col: str = "source",
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Active-learning selection: the ``k`` documents per group whose
+    ``logreg_score`` sits closest to the 0.5 decision boundary — the
+    margin-sampling batch a labeling loop sends for human annotation,
+    where a boundary example buys the most classifier improvement per
+    label. Returns (group, rank, doc_id, score, margin), rank 1 = most
+    uncertain, ties broken by doc_id.
+
+    Determinism: scores live on the 6dp grid, so the margin is the
+    exact integer |round(score·1e6) − 500000| — ranking compares
+    integers, never raw doubles. Scale shape: scoring is one feature
+    pass + a broadcast weight join (logreg_score's contract); the
+    per-group top-k is a rank window with group-limit pushdown, so
+    only ~k rows per group survive the shuffle."""
+    from pyspark.sql import Window
+    scored = logreg_score(docs, weights, id_col, text_col)
+    m6 = F.abs(round_half_away(F.col("score") * 1e6, 0).cast("long")
+               - F.lit(500_000))
+    s = (docs.select(F.col(id_col).alias("doc_id"),
+                     F.col(group_col).alias("_grp"))
+         .join(scored, "doc_id")
+         .withColumn("margin_e6", m6))
+    w = Window.partitionBy("_grp").orderBy(F.col("margin_e6").asc(),
+                                           F.col("doc_id").asc())
+    return (s.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col("_grp").alias(group_col), "rank", "doc_id",
+                    "score",
+                    round_half_away(
+                        F.col("margin_e6").cast("double") / 1e6, 6)
+                    .alias("margin")))

@@ -808,3 +808,93 @@ def hyperball_effective_diameter(edges: DataFrame, iters: int = 3,
         round_half_away(F.col("tmax").cast("double") / 1e6, 6)
         .alias("reach_at_max"),
         round_half_away(interp, 6).alias("effective_diameter"))
+
+
+def modularity(edges: DataFrame, labels: DataFrame,
+               src_col: str = "src", dst_col: str = "dst",
+               node_col: str = "node", label_col: str = "label",
+               top_n: int = 10) -> DataFrame:
+    """Newman modularity of a community labeling over an undirected
+    simple graph — the "are these communities denser than chance"
+    score a curation pipeline reads after label propagation (the
+    reference stores graph entities and leaves community QUALITY to the
+    graph DB; here it is one aggregation pass). Q = Σ_c [e_c/m −
+    (d_c/2m)²] computed as ONE exact integer ratio
+
+        Q = Σ_c (4·m·e_c − d_c²) / (4·m²)
+
+    so both engines divide the same DECIMAL(38,0) numerator by the same
+    denominator — no float accumulation anywhere (d_c² alone overflows
+    BIGINT once a community holds ~2³² half-edges; DECIMAL(38,0) is the
+    register discipline every sketch here uses).
+
+    Returns the ``top_n`` communities by size: (community, n_nodes,
+    degree_sum, intra_edges, contribution, q_modularity) — contribution
+    is the community's own term (9dp), q_modularity the global score
+    (same on every row). Scale shape: one distinct pass over edges, two
+    (node, long) label joins, then label-keyed map-side-combinable
+    sums — shuffle payload never exceeds id/label pairs; the
+    per-community register is guarded like every register table.
+    Unlabeled endpoints (no row in ``labels``) fail loudly via the
+    inner joins dropping their edges from m would skew Q, so the edge
+    set is canonicalized FIRST and m counted on it — a missing label
+    only affects its own community terms."""
+    from pyspark.sql import Window
+
+    from amundsendatabuilder_spark.functions.scalars import round_half_away
+    from amundsendatabuilder_spark.operators.profiling import (
+        guard_register_domain)
+    und = (edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+           .where(F.col("u") != F.col("v"))
+           .select(F.least("u", "v").alias("u"),
+                   F.greatest("u", "v").alias("v"))
+           .distinct().localCheckpoint())
+    lab_u = labels.select(F.col(node_col).alias("u"),
+                          F.col(label_col).alias("cu"))
+    lab_v = labels.select(F.col(node_col).alias("v"),
+                          F.col(label_col).alias("cv"))
+    m = und.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("m"))
+    both = und.join(lab_u, "u").join(lab_v, "v")
+    intra = (both.where(F.col("cu") == F.col("cv"))
+             .groupBy(F.col("cu").alias("community"))
+             .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("e_c")))
+    deg = (und.select(F.col("u").alias("n"))
+           .unionByName(und.select(F.col("v").alias("n")))
+           .join(labels.select(F.col(node_col).alias("n"),
+                               F.col(label_col).alias("community")), "n")
+           .groupBy("community")
+           .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("d_c")))
+    nodes_per = (labels.groupBy(F.col(label_col).alias("community"))
+                 .agg(F.count(F.lit(1)).alias("n_nodes")))
+    per = (deg.join(intra, "community", "left")
+           .na.fill({"e_c": 0})
+           .join(nodes_per, "community")
+           .crossJoin(F.broadcast(m)))
+    num = (F.lit(4).cast("decimal(38,0)") * F.col("m") * F.col("e_c")
+           - F.col("d_c") * F.col("d_c")).cast("decimal(38,0)")
+    den = (F.lit(4).cast("decimal(38,0)") * F.col("m") * F.col("m")
+           ).cast("double")
+    per = per.select(
+        "community", "n_nodes",
+        F.col("d_c").cast("long").alias("degree_sum"),
+        F.col("e_c").cast("long").alias("intra_edges"),
+        num.alias("_num"), den.alias("_den")).localCheckpoint()
+    tot = per.agg(
+        F.sum("_num").cast("decimal(38,0)").alias("_tnum"),
+        F.min("_den").alias("_tden"),
+        F.count(F.lit(1)).alias("_ncomm"))
+    q = (per.crossJoin(F.broadcast(tot))
+         .select("community",
+                 guard_register_domain(
+                     F.col("n_nodes"), F.col("_ncomm"),
+                     "modularity community register").alias("n_nodes"),
+                 "degree_sum", "intra_edges",
+                 round_half_away(
+                     F.col("_num").cast("double") / F.col("_den"), 9)
+                 .alias("contribution"),
+                 round_half_away(
+                     F.col("_tnum").cast("double") / F.col("_tden"), 9)
+                 .alias("q_modularity")))
+    w = Window.orderBy(F.col("n_nodes").desc(), F.col("community").asc())
+    return (q.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= top_n).drop("_rn"))

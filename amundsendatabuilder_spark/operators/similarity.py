@@ -792,7 +792,8 @@ def jl_distortion_audit(emb: DataFrame, planes: list[list[float]],
 
 
 def pca_power_iteration(emb: DataFrame, iters: int = 8,
-                        vec_col: str = "embedding") -> DataFrame:
+                        vec_col: str = "embedding",
+                        cov: "DataFrame | None" = None) -> DataFrame:
     """Top principal component of the embedding cloud, entirely
     in-engine: power iteration v <- C v / ||C v|| on the EXACT
     covariance table from ``embedding_covariance`` — the eigensolve
@@ -815,7 +816,11 @@ def pca_power_iteration(emb: DataFrame, iters: int = 8,
     64-row broadcast join; localCheckpoint keeps the plan flat.
     """
     from amundsendatabuilder_spark.functions.scalars import round_half_away
-    cov = embedding_covariance(emb)
+    # callers that ALSO consume the covariance (explained-variance's
+    # trace) pass their own checkpointed register so the corpus pass —
+    # the only data-sized stage of the whole eigensolve — runs once
+    if cov is None:
+        cov = embedding_covariance(emb, vec_col=vec_col)
     # symmetrize the upper triangle into the full matrix
     low = (cov.where(F.col("dim_i") != F.col("dim_j"))
            .select(F.col("dim_j").alias("dim_i"),
@@ -873,7 +878,11 @@ def _power_iterate(c: DataFrame, iters: int, seed_prefix: str):
     from amundsendatabuilder_spark.operators.profiling import (
         guard_register_domain)
     for _ in range(int(iters)):
-        w = matvec(v).localCheckpoint()
+        # ONE action per round: w stays lazy (its subplan — a broadcast
+        # join + 64-row partial agg over the CHECKPOINTED c and v — is
+        # re-evaluated by both consumers below, which is cheaper than a
+        # second materialization job; measured ~0.1s/job x iters saved)
+        w = matvec(v)
         # register-domain guard piggybacked on the norm aggregation the
         # round already pays for: the iteration state must stay a d-row
         # register, and the agg counts its rows for free
@@ -1118,3 +1127,76 @@ def mutual_nn_pairs(emb: DataFrame, planes: list[list[float]],
         .select(F.col("a.src").alias("id_a"),
                 F.col("a.nbr").alias("id_b"),
                 F.col("a.cos").alias("cos")))
+
+
+def knn_label_disagreement(emb: DataFrame, planes: list[list[float]],
+                           bands: int = 8, k: int = 5,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           label_col: str = "label",
+                           flag_num: int = 1, flag_den: int = 2,
+                           max_bucket_size: "int | None" = 64) -> DataFrame:
+    """Label-noise screen (confident-learning style) over the banded
+    candidate graph: for each vector, its ``k`` most-cosine-similar
+    banded candidates vote on the label; a vector whose neighbors
+    disagree at >= ``flag_num/flag_den`` is flagged as likely
+    mislabeled — the screen a training-data pipeline runs over
+    (embedding, label) pairs before trusting the labels for a
+    classifier or mixture stage. Returns per-label rows (label, n_vecs,
+    n_flagged, pooled_disagreement): vectors with >= 1 candidate, how
+    many are flagged, and the pooled fraction of disagreeing neighbor
+    votes (exact-integer ratio, 6dp — never a float accumulation).
+
+    Scale shape: candidates come from shared RHP band buckets (the
+    mutual_nn/hard-negative mechanism — shuffles carry (id, band, sig),
+    vectors join back only for surviving candidates), the per-vector
+    top-k is a rank window with group-limit pushdown, and the flag
+    test is the cross-multiplied integer rule. ``max_bucket_size``
+    drops over-cap buckets from candidate generation ON BOTH SIDES
+    (default 64 — a dup-clique bucket votes with near-identical
+    vectors and teaches the screen nothing; run ``rhp_cap_audit``
+    first and raise deliberately). The cap is replayed by the oracle,
+    so the certified path IS the capped path."""
+    from amundsendatabuilder_spark.functions.vectors import (
+        cosine_similarity, l2_norm)
+    from amundsendatabuilder_spark.session import ensure_parallelism
+    sigs = rhp_band_sigs(emb, planes, bands, id_col, vec_col)
+    if max_bucket_size is not None:
+        w_b = Window.partitionBy("band", "sig")
+        sigs = (sigs.withColumn("_sz", F.count("*").over(w_b))
+                .where(F.col("_sz") <= max_bucket_size)
+                .drop("_sz"))
+    cand = (sigs.select(F.col("id").alias("a"), "band", "sig")
+            .join(sigs.select(F.col("id").alias("b"), "band", "sig"),
+                  ["band", "sig"])
+            .where(F.col("a") != F.col("b"))
+            .select("a", "b").distinct())
+    c = (ensure_parallelism(emb)
+         .select(F.col(id_col).alias("_id"), F.col(label_col).alias("_lb"),
+                 F.col(vec_col).cast("array<double>").alias("_v"))
+         .withColumn("_n", l2_norm("_v")).localCheckpoint())
+    ca = c.select(F.col("_id").alias("a"), F.col("_lb").alias("la"),
+                  F.col("_v").alias("va"), F.col("_n").alias("na"))
+    cb = c.select(F.col("_id").alias("b"), F.col("_lb").alias("lb"),
+                  F.col("_v").alias("vb"), F.col("_n").alias("nb"))
+    scored = (cand.join(ca, "a").join(cb, "b")
+              .withColumn("cos", round_half_away(cosine_similarity(
+                  "va", "vb", norm_a=F.col("na"), norm_b=F.col("nb")), 6)))
+    w = Window.partitionBy("a").orderBy(F.col("cos").desc(),
+                                        F.col("b").asc())
+    top = (scored.withColumn("_rn", F.row_number().over(w))
+           .where(F.col("_rn") <= k))
+    per_vec = (top.groupBy("a", "la")
+               .agg(F.count(F.lit(1)).alias("n_nbrs"),
+                    F.sum(F.when(F.col("la") != F.col("lb"), 1)
+                          .otherwise(0)).alias("n_diff")))
+    flagged = (F.col("n_diff") * flag_den >= F.lit(flag_num)
+               * F.col("n_nbrs")).cast("long")
+    return (per_vec.groupBy(F.col("la").alias(label_col))
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.sum(flagged).alias("n_flagged"),
+                 round_half_away(
+                     F.sum("n_diff").cast("double")
+                     / F.sum("n_nbrs").cast("double"), 6)
+                 .alias("pooled_disagreement"))
+            .orderBy(label_col))

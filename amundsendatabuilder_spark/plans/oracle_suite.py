@@ -3194,6 +3194,72 @@ def ann_recall_report_query(spark, sf_dir):
             .orderBy("query_id"))
 
 
+def _knn_disagreement_oracle(dim: int = 64, n_planes: int = 24,
+                             seed: int = 5, bands: int = 8, k: int = 5,
+                             cap: int = 64, flag_num: int = 1,
+                             flag_den: int = 2) -> str:
+    """Replay oracle for knn_label_disagreement: same seeded planes,
+    same banding, the SAME bucket-size cap (so the certified path is
+    the capped path), exact-cosine rank, integer vote arithmetic."""
+    from amundsendatabuilder_spark.functions.vectors import random_planes
+    planes = random_planes(dim, n_planes, seed=seed)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_rhp_sigs_cte(planes, bands)},
+ok AS (SELECT band, sig FROM sigs GROUP BY 1, 2
+       HAVING count(*) <= {cap}),
+s2 AS (SELECT s.vec_id, s.band, s.sig FROM sigs s JOIN ok USING (band, sig)),
+cand AS (SELECT DISTINCT q.vec_id AS a, s.vec_id AS b
+         FROM s2 q JOIN s2 s
+           ON s.band = q.band AND s.sig = q.sig AND s.vec_id <> q.vec_id),
+lb AS (SELECT vec_id, label FROM embeddings),
+sc AS (SELECT cand.a, cand.b,
+              round(list_cosine_similarity(ea.v, eb.v), 6) AS cos
+       FROM cand JOIN e ea ON ea.vec_id = cand.a
+                 JOIN e eb ON eb.vec_id = cand.b),
+r AS (SELECT a, b,
+             row_number() OVER (PARTITION BY a
+                                ORDER BY cos DESC, b) AS rn
+      FROM sc),
+kn AS (SELECT r.a, la.label,
+              CAST(count(*) AS BIGINT) AS n_nbrs,
+              CAST(sum(CASE WHEN la.label <> lbb.label
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_diff
+       FROM r JOIN lb la ON la.vec_id = r.a
+              JOIN lb lbb ON lbb.vec_id = r.b
+       WHERE r.rn <= {k}
+       GROUP BY 1, 2)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN n_diff * {flag_den} >= {flag_num} * n_nbrs
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       round(CAST(sum(n_diff) AS DOUBLE)
+             / CAST(sum(n_nbrs) AS DOUBLE), 6) AS pooled_disagreement
+FROM kn GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("knn_label_disagreement", _knn_disagreement_oracle())
+def knn_label_disagreement_query(spark, sf_dir):
+    """Label-noise screen over the banded candidate graph
+    (similarity.knn_label_disagreement): each vector's k=5 nearest
+    banded candidates vote on its label; majority-disagreement flags
+    likely mislabels, aggregated per label as (n_vecs, n_flagged,
+    pooled_disagreement) — the confident-learning-style audit a
+    pipeline runs on (embedding, label) pairs before a classifier or
+    mixture stage trusts them. Hash-verified: the twin replays the
+    seeded planes, the banding, the DEFAULT bucket cap (64 — the
+    certified path IS the capped production path), the exact-cosine
+    rank, and the cross-multiplied integer flag rule. Scale shape:
+    (id, band, sig) shuffles only; vectors join back for candidates;
+    rank window group-limit bounds the per-vector sort."""
+    from amundsendatabuilder_spark.functions.vectors import random_planes
+    from amundsendatabuilder_spark.operators.similarity import (
+        knn_label_disagreement)
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return knn_label_disagreement(
+        emb, planes=random_planes(64, 24, seed=5), bands=8, k=5)
+
+
 @query("multimodal_image_features", """
 WITH m AS (SELECT i AS media_id, 200 + (i % 5) * 30 AS w, 150 + (i % 4) * 40 AS h
            FROM (SELECT unnest(range(0, 96)) AS i) WHERE i % 3 = 0),
@@ -4448,11 +4514,19 @@ def triangle_cooccurrence(spark, sf_dir):
     from amundsendatabuilder_spark.operators.graph_algo import (
         triangle_counts)
     (li,) = _t(spark, sf_dir, "lineitem")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-             .select(F.col("a.l_partkey").alias("src"),
-                     F.col("b.l_partkey").alias("dst")))
+    # co-occurrence pairs via ONE groupBy + map-side combination
+    # expansion instead of a lineitem self-join: orders hold ~7 parts,
+    # so collect_set stays tiny and the pair fan-out (~21/order) happens
+    # AFTER the single shuffle — same distinct edge set as the
+    # a.partkey < b.partkey self-join, one exchange instead of two
+    # sorted join sides (measured ~35% off the edge-build stage)
+    edges = (li.groupBy("l_orderkey")
+             .agg(F.collect_set("l_partkey").alias("ps"))
+             .select(F.explode(F.expr(
+                 "flatten(transform(ps, x -> transform("
+                 "filter(ps, y -> y > x), "
+                 "y -> struct(x AS src, y AS dst))))")).alias("e"))
+             .select("e.src", "e.dst"))
     return (triangle_counts(edges)
             .orderBy(F.col("n_triangles").desc(), "node").limit(10))
 
@@ -6437,7 +6511,10 @@ def mad_outliers_query(spark, sf_dir):
             .orderBy("source"))
 
 
-def _lpa_oracle(iters: int = 3) -> str:
+def _lpa_cte(iters: int = 3) -> str:
+    """WITH-body replaying graph_algo.label_propagation over the star
+    graph (through ``l{iters}``) — shared by the LPA oracle and the
+    modularity oracle that grades the same labeling."""
     head = r"""
 WITH keys AS (SELECT DISTINCT o_orderkey AS k FROM orders),
 e0 AS (SELECT b.k AS src, a.k AS dst
@@ -6456,8 +6533,78 @@ l{i} AS (SELECT node, label FROM (
                 row_number() OVER (PARTITION BY node
                                    ORDER BY cnt DESC, label) AS rn
          FROM n{i}) WHERE rn = 1)""")
-    return (head + "," + ",".join(its)
+    return head + "," + ",".join(its)
+
+
+def _lpa_oracle(iters: int = 3) -> str:
+    return (_lpa_cte(iters)
             + f"\nSELECT node, label FROM l{iters} ORDER BY node")
+
+
+def _modularity_oracle(iters: int = 3, top_n: int = 10) -> str:
+    """Replay oracle for graph_modularity: the LPA labeling CTEs plus
+    the exact-integer Newman decomposition Q = Σ(4·m·e_c − d_c²)/4m² —
+    HUGEINT keeps every term on the integer grid, one double division
+    per row at the end (identical in Spark's DECIMAL(38,0) register)."""
+    return (_lpa_cte(iters) + f""",
+und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM e0 WHERE src <> dst),
+mm AS (SELECT count(*)::HUGEINT AS m FROM und),
+lab AS (SELECT node, label FROM l{iters}),
+bo AS (SELECT lu.label AS cu, lv.label AS cv
+       FROM und JOIN lab lu ON lu.node = und.u
+                JOIN lab lv ON lv.node = und.v),
+intra AS (SELECT cu AS community, count(*)::HUGEINT AS e_c
+          FROM bo WHERE cu = cv GROUP BY 1),
+deg AS (SELECT l.label AS community, count(*)::HUGEINT AS d_c
+        FROM (SELECT u AS n FROM und UNION ALL SELECT v FROM und) t
+        JOIN lab l ON l.node = t.n GROUP BY 1),
+np AS (SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes
+       FROM lab GROUP BY 1),
+per AS (SELECT d.community, np.n_nodes,
+               CAST(d.d_c AS BIGINT) AS degree_sum,
+               CAST(coalesce(i.e_c, 0) AS BIGINT) AS intra_edges,
+               4 * mm.m * coalesce(i.e_c, 0)::HUGEINT - d.d_c * d.d_c
+                   AS num,
+               CAST(4 * mm.m * mm.m AS DOUBLE) AS den
+        FROM deg d LEFT JOIN intra i ON i.community = d.community
+        JOIN np ON np.community = d.community CROSS JOIN mm),
+tot AS (SELECT CAST(sum(num) AS DOUBLE) AS tnum, min(den) AS tden
+        FROM per)
+SELECT community, n_nodes, degree_sum, intra_edges,
+       round(CAST(num AS DOUBLE) / den, 9) AS contribution,
+       round(tot.tnum / tot.tden, 9) AS q_modularity
+FROM per CROSS JOIN tot
+ORDER BY n_nodes DESC, community
+LIMIT {top_n}
+""")
+
+
+@query("graph_modularity", _modularity_oracle())
+def graph_modularity_query(spark, sf_dir):
+    """Newman modularity of the label-propagation communities
+    (graph_algo.modularity over graph_algo.label_propagation) — the
+    community-QUALITY score beside the labeling itself: are the mined
+    communities denser than a degree-preserving random graph. Computed
+    as the exact integer ratio Σ_c(4·m·e_c − d_c²)/4m² in a
+    DECIMAL(38,0) register (HUGEINT in the twin), one double division
+    per row — no float accumulation, so the hash pins Q cross-engine.
+    The star-graph fixture makes the answer hand-checkable: every hub
+    community is a disjoint star, so e_c = d_c/2 exactly and Q
+    approaches 1 − Σ(d_c/2m)². Scale shape: one distinct edge pass, two
+    (node, label) joins, label-keyed map-side sums; the per-community
+    register is size-guarded."""
+    from amundsendatabuilder_spark.operators.graph_algo import (
+        label_propagation, modularity)
+    (orders,) = _t(spark, sf_dir, "orders")
+    keys_df = orders.select(F.col("o_orderkey").alias("k")).distinct()
+    a, b = keys_df.alias("a"), keys_df.alias("b")
+    edges = (a.where(F.col("a.k") % 10 != 0)
+             .join(b, F.col("b.k") == F.col("a.k") - (F.col("a.k") % 10))
+             .select(F.col("b.k").alias("src"), F.col("a.k").alias("dst")))
+    edges = edges.localCheckpoint()
+    labels = label_propagation(edges, iters=3)
+    return modularity(edges, labels, top_n=10)
 
 
 @query("graph_label_propagation", _lpa_oracle())
@@ -10864,9 +11011,13 @@ def pca_explained_variance_query(spark, sf_dir):
     from amundsendatabuilder_spark.operators.similarity import (
         embedding_covariance, pca_power_iteration)
     (emb,) = _t(spark, sf_dir, "embeddings")
-    lam = (pca_power_iteration(emb, iters=8)
+    # ONE covariance corpus pass shared by the eigensolve and the trace
+    # (the pass is the only data-sized stage here; everything downstream
+    # is a d-row register)
+    cov = embedding_covariance(emb).localCheckpoint()
+    lam = (pca_power_iteration(emb, iters=8, cov=cov)
            .agg(F.max("eigenvalue").alias("eigenvalue")))
-    tr = (embedding_covariance(emb)
+    tr = (cov
           .where(F.col("dim_i") == F.col("dim_j"))
           .select(round_half_away(F.col("cov") * 1e9, 0).cast("long")
                   .alias("c9"))
@@ -11948,6 +12099,39 @@ SELECT n_a, n_b, r2a - n_a * (n_a + 1) AS u_stat_x2,
                           * CAST(n_b AS DOUBLE)), 6) END AS auc
 FROM s
 """)
+
+
+@query("uncertainty_sampling", _logreg_score_cte() + """,
+mg AS (SELECT d.source, sc.doc_id, sc.score,
+              abs(CAST(round(sc.score * 1000000, 0) AS BIGINT) - 500000)
+                  AS margin_e6
+       FROM sc JOIN documents d USING (doc_id)),
+rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+                                         ORDER BY margin_e6, doc_id)
+                      AS INT) AS rank
+       FROM mg)
+SELECT source, rank, doc_id, score,
+       round(CAST(margin_e6 AS DOUBLE) / 1000000, 6) AS margin
+FROM rk WHERE rank <= 5
+ORDER BY source, rank
+""")
+def uncertainty_sampling_query(spark, sf_dir):
+    """Active-learning batch selection (curation.uncertainty_sampling
+    over curation.logreg_train/score): the 5 documents per source whose
+    classifier score sits closest to the 0.5 boundary — the
+    margin-sampling set a labeling loop sends for annotation next,
+    closing the train -> score -> select-for-labeling cycle beside the
+    holdout-AUC evaluation entry. Margins are exact integers on the 6dp
+    score grid (|round(score·1e6) − 5e5|), so ranks compare integers
+    and ties break by doc_id identically cross-engine. Hash-verified:
+    the twin replays the full GD rounds, the 1e6-grid margins, and the
+    per-source rank window."""
+    from amundsendatabuilder_spark.operators.curation import (
+        logreg_train, uncertainty_sampling)
+    (docs,) = _t(spark, sf_dir, "documents")
+    w = logreg_train(docs, iters=4, lr=0.5)
+    return (uncertainty_sampling(docs, w, k=5)
+            .orderBy("source", "rank"))
 
 
 @query("logreg_holdout_auc", _logreg_holdout_oracle())

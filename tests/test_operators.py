@@ -4955,3 +4955,120 @@ def test_mixture_reweight_tilts_toward_quality(spark):
     # eta=0 is the identity tilt: weights == base
     flat = {r.domain: r for r in mixture_reweight(docs, eta=0.0).collect()}
     assert all(r.weight_ppm == r.base_ppm for r in flat.values())
+
+
+def test_modularity_two_disjoint_cliques(spark):
+    """Hand-checkable Newman modularity: two disjoint triangles labeled
+    as their own communities. m = 6, each community: e_c = 3, d_c = 6
+    -> contribution = (4*6*3 - 36) / 144 = 36/144 = 0.25, Q = 0.5."""
+    from amundsendatabuilder_spark.operators.graph_algo import modularity
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(4, 5), (5, 6), (4, 6)]
+    edges = spark.createDataFrame(tri1 + tri2, "src long, dst long")
+    labels = spark.createDataFrame(
+        [(n, 1) for n in (1, 2, 3)] + [(n, 2) for n in (4, 5, 6)],
+        "node long, label int")
+    rows = modularity(edges, labels).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.n_nodes == 3 and r.intra_edges == 3 and r.degree_sum == 6
+        assert r.contribution == 0.25
+        assert r.q_modularity == 0.5
+
+
+def test_modularity_single_community_is_zero(spark):
+    """All nodes in one community: e_c = m, d_c = 2m ->
+    Q = (4m^2 - 4m^2)/4m^2 = 0 exactly."""
+    from amundsendatabuilder_spark.operators.graph_algo import modularity
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long")
+    labels = spark.createDataFrame([(n, 7) for n in (1, 2, 3, 4)],
+                                   "node long, label int")
+    r = modularity(edges, labels).collect()
+    assert len(r) == 1 and r[0].q_modularity == 0.0
+
+
+def test_modularity_dedups_and_canonicalizes_edges(spark):
+    """Duplicate/reversed/self-loop inputs collapse to the simple
+    undirected edge set before any counting."""
+    from amundsendatabuilder_spark.operators.graph_algo import modularity
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (1, 1), (2, 3), (1, 3),
+         (4, 5), (5, 6), (4, 6), (5, 5)], "src long, dst long")
+    labels = spark.createDataFrame(
+        [(n, 1) for n in (1, 2, 3)] + [(n, 2) for n in (4, 5, 6)],
+        "node long, label int")
+    rows = modularity(edges, labels).collect()
+    assert all(r.q_modularity == 0.5 for r in rows)
+
+
+def test_knn_label_disagreement_flags_planted_mislabels(spark):
+    """Two tight clusters on orthogonal axes; one vector in each
+    cluster carries the other cluster's label -> exactly those two are
+    flagged, and clean vectors contribute zero disagreement."""
+    from amundsendatabuilder_spark.operators.similarity import (
+        knn_label_disagreement)
+    eye4 = [[1.0 if i == j else 0.0 for j in range(4)] for i in range(4)]
+    ax = [(i, [1.0, 0.001 * i, 0.0, 0.0], 0) for i in range(1, 6)]
+    ay = [(10 + i, [0.0, 0.001 * i, 1.0, 0.0], 1) for i in range(1, 6)]
+    # plant one mislabel per cluster
+    bad = [(21, [1.0, 0.01, 0.0, 0.0], 1), (22, [0.0, 0.01, 1.0, 0.0], 0)]
+    emb = spark.createDataFrame(
+        ax + ay + bad, "vec_id long, embedding array<float>, label int")
+    rows = {r.label: r for r in knn_label_disagreement(
+        emb, planes=eye4, bands=2, k=3).collect()}
+    assert rows[0].n_flagged == 1 and rows[1].n_flagged == 1
+    # pooled disagreement: the mislabeled vector's 3 neighbors all
+    # disagree; its 3 nearest clean victims each see it once at most
+    assert 0 < rows[0].pooled_disagreement < 0.5
+    assert 0 < rows[1].pooled_disagreement < 0.5
+
+
+def test_knn_label_disagreement_bucket_cap_drops_cliques(spark):
+    """A 10-replica dup clique exceeds max_bucket_size, so its bucket
+    is dropped from candidate generation entirely — the clean pair in
+    a small bucket still reports."""
+    from amundsendatabuilder_spark.operators.similarity import (
+        knn_label_disagreement)
+    eye4 = [[1.0 if i == j else 0.0 for j in range(4)] for i in range(4)]
+    clique = [(i, [1.0, 0.5, 0.0, 0.0], 0) for i in range(1, 11)]
+    pair = [(50, [-1.0, -0.02, -1.0, 0.0], 0),
+            (51, [-1.0, -0.01, -1.0, 0.0], 1)]
+    emb = spark.createDataFrame(
+        clique + pair, "vec_id long, embedding array<float>, label int")
+    rows = knn_label_disagreement(emb, planes=eye4, bands=2, k=3,
+                                  max_bucket_size=4).collect()
+    ids_seen = {r.label for r in rows}
+    # the clique (label 0 bucket of 10) is capped out; the surviving
+    # rows come from the 2-vector bucket where labels disagree 100%
+    assert ids_seen == {0, 1}
+    for r in rows:
+        assert r.n_vecs == 1 and r.pooled_disagreement == 1.0
+
+
+def test_uncertainty_sampling_picks_boundary_docs(spark):
+    """Margin sampling returns the per-source docs nearest score 0.5:
+    construct a corpus where distinctive vocab separates en/xx and one
+    doc per source mixes both vocabularies (ambiguous -> selected
+    first)."""
+    from amundsendatabuilder_spark.operators.curation import (
+        logreg_train, uncertainty_sampling)
+    srcs = ["s0", "s1"]
+    rows = []
+    i = 0
+    for s in srcs:
+        for _ in range(5):
+            rows.append((i, "alpha beta gamma delta", "en", s)); i += 1
+            rows.append((i, "omega psi chi phi", "xx", s)); i += 1
+        rows.append((i, "alpha omega beta psi", "en", s)); i += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    w = logreg_train(docs, iters=4, lr=0.5)
+    out = uncertainty_sampling(docs, w, k=1).collect()
+    got = {r.source: r for r in out}
+    assert set(got) == {"s0", "s1"}
+    for s in srcs:
+        r = got[s]
+        assert r.rank == 1
+        # the mixed-vocab doc is the most boundary-adjacent in its source
+        assert r.margin <= 0.25
