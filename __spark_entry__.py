@@ -44,8 +44,23 @@ from amundsendatabuilder_spark.plans.oracle_suite import ORACLES, QUERIES  # noq
 # the first 18 r5-era rows — the 8 alphabetically-last of the r10 plan's
 # c2 block defer one round to make room for (b');
 # (d) beyond the window: the deferred r5-era rows, then r6-era.
+# LATE-WAVE AMENDMENT: blocks (a0)/(a0') prepend 3 zero-cert additions
+# (graph_modularity, knn_label_disagreement, uncertainty_sampling) and
+# 4 changed-plan re-certs (shared-covariance/one-checkpoint PCA trio +
+# the groupBy-pair-expansion triangle edges), pushing the last 7 of
+# (c2) past the 50-slot window — they defer one round, same rule as
+# the r10 deferral.
 # Names not registered are skipped by ``_ordered``.
 _PRIORITY = [
+    # (a0) new in the round-11 late wave (zero certs) — modularity of
+    # the LPA communities, the kNN label-noise screen, margin sampling
+    "graph_modularity", "knn_label_disagreement", "uncertainty_sampling",
+    "bpe_fertility_report",
+    # (a0') plans changed in the round-11 late wave (bit-identical
+    # output): shared-covariance/one-checkpoint eigensolve, groupBy
+    # pair-expansion triangle edges
+    "pca_power_iteration", "pca_top_components", "pca_explained_variance",
+    "triangle_cooccurrence",
     # (a) new in round 11
     "ann_recall_report", "ivf_recall_report",
     "jaccard_prefix_join_frac_capped", "similarity_frac_cap_report",

@@ -7316,7 +7316,10 @@ ae{i} AS (SELECT tok,
        GROUP BY e.tok)"""
 
 
-def _bpe_apply_oracle(iters: int = 3, vocab_size: int = 200) -> str:
+def _bpe_apply_body(iters: int = 3, vocab_size: int = 200) -> str:
+    """Training chain + distinct-vocabulary encode CTEs (through
+    ``enc(tok, n_sub)`` and the token stream ``ts``) — shared by the
+    per-document encode oracle and the per-source fertility oracle."""
     train = _bpe_oracle(iters, vocab_size)
     # keep the training CTE chain, drop its final UNION/select
     body = train[: train.index("\nSELECT CAST(1 AS INT)")]
@@ -7330,12 +7333,29 @@ v0 AS (SELECT tok, list_filter(string_split(tok, ''), x -> x <> '') AS l
         parts.append("," + _bpe_islands_merge(f"v{i - 1}", f"b{i}",
                                               f"v{i}", str(i)))
     parts.append(f""",
-ts AS (SELECT doc_id, unnest({_LTOKS_SQL}) AS tok FROM documents),
-enc AS (SELECT tok, CAST(len(l) AS BIGINT) AS n_sub FROM v{iters})
+ts AS (SELECT source, doc_id, unnest({_LTOKS_SQL}) AS tok
+       FROM documents),
+enc AS (SELECT tok, CAST(len(l) AS BIGINT) AS n_sub FROM v{iters})""")
+    return "".join(parts)
+
+
+def _bpe_apply_oracle(iters: int = 3, vocab_size: int = 200) -> str:
+    return _bpe_apply_body(iters, vocab_size) + """
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
        CAST(sum(n_sub) AS BIGINT) AS n_subwords
-FROM ts JOIN enc USING (tok) GROUP BY doc_id ORDER BY doc_id""")
-    return "".join(parts)
+FROM ts JOIN enc USING (tok) GROUP BY doc_id ORDER BY doc_id"""
+
+
+def _bpe_fertility_oracle(iters: int = 3, vocab_size: int = 200) -> str:
+    return _bpe_apply_body(iters, vocab_size) + """
+SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+       CAST(sum(len(tok)) AS BIGINT) AS n_token_chars,
+       round(CAST(sum(n_sub) AS DOUBLE) / count(*), 6) AS fertility,
+       round(CAST(sum(len(tok)) AS DOUBLE)
+             / CAST(sum(n_sub) AS DOUBLE), 6) AS chars_per_subword
+FROM ts JOIN enc USING (tok) GROUP BY source ORDER BY source"""
 
 
 @query("bpe_encode_counts", _bpe_apply_oracle())
@@ -7352,6 +7372,23 @@ def bpe_encode_counts(spark, sf_dir):
     (docs,) = _t(spark, sf_dir, "documents")
     merges = bpe_merges(docs, iters=3, vocab_size=200)
     return bpe_apply(docs, merges, iters=3).orderBy("doc_id")
+
+
+@query("bpe_fertility_report", _bpe_fertility_oracle())
+def bpe_fertility_report_query(spark, sf_dir):
+    """Per-source tokenizer evaluation (textops.bpe_fertility_report):
+    the trained 3-merge table applied back to the corpus, reporting
+    fertility (subwords per word) and compression (chars per subword)
+    per source — the go/no-go table a tokenizer review reads before a
+    vocabulary ships to a full training run (a slice at 2x corpus-mean
+    fertility pays 2x sequence length for the same text). Hash-verified:
+    the twin replays training, the gaps-and-islands encode, and both
+    exact-integer ratio divisions."""
+    from amundsendatabuilder_spark.operators.textops import (
+        bpe_fertility_report, bpe_merges)
+    (docs,) = _t(spark, sf_dir, "documents")
+    merges = bpe_merges(docs, iters=3, vocab_size=200)
+    return bpe_fertility_report(docs, merges, iters=3)
 
 
 @query("interval_union_coverage", """

@@ -251,6 +251,12 @@ EXTENDED = [
     "dedup_simhash64_capped",
     "dedup_embedding_bucketed_capped",
     "simhash_cap_audit",
+    # round-11 late wave: community quality, label-noise screen,
+    # active-learning margin sampling
+    "graph_modularity",
+    "knn_label_disagreement",
+    "uncertainty_sampling",
+    "bpe_fertility_report",
 ]
 
 

@@ -5072,3 +5072,28 @@ def test_uncertainty_sampling_picks_boundary_docs(spark):
         assert r.rank == 1
         # the mixed-vocab doc is the most boundary-adjacent in its source
         assert r.margin <= 0.25
+
+
+def test_bpe_fertility_report_hand_checkable(spark):
+    """One merge (most frequent pair) collapses the dominant bigram:
+    corpus of 'abab' / 'ab' words -> after training 1 merge ('a','b'),
+    'abab' encodes to 2 subwords, 'ab' to 1. Source s0 holds 2x 'abab'
+    (4 subwords / 16 chars... 8 chars), s1 holds 4x 'ab'."""
+    from amundsendatabuilder_spark.operators.textops import (
+        bpe_fertility_report, bpe_merges)
+    docs = spark.createDataFrame(
+        [(1, "abab abab", "s0"), (2, "ab ab ab ab", "s1")],
+        "doc_id long, text string, source string")
+    merges = bpe_merges(docs, iters=1, vocab_size=50)
+    rows = {r.source: r for r in
+            bpe_fertility_report(docs, merges, iters=1).collect()}
+    s0, s1 = rows["s0"], rows["s1"]
+    # 'ab' merged once: 'abab' -> [ab, ab] (2 subwords, 4 chars each word)
+    assert (s0.n_words, s0.n_subwords, s0.n_token_chars) == (2, 4, 8)
+    assert s0.fertility == 2.0 and s0.chars_per_subword == 2.0
+    assert (s1.n_words, s1.n_subwords, s1.n_token_chars) == (4, 4, 8)
+    assert s1.fertility == 1.0 and s1.chars_per_subword == 2.0
+    # consistency with the per-document encode pass
+    from amundsendatabuilder_spark.operators.textops import bpe_apply
+    per_doc = bpe_apply(docs, merges, iters=1).collect()
+    assert sum(r.n_subwords for r in per_doc) == s0.n_subwords + s1.n_subwords

@@ -200,6 +200,14 @@ SUITE = [
     "dedup_simhash64_capped",
     "dedup_embedding_bucketed_capped",
     "simhash_cap_audit",
+    # round-11 late wave. knn_label_disagreement's bucket cap (64)
+    # BINDS on this fixture's 10-replica dup cliques by design — the
+    # capped path is the certified path, so its sf1 reading should be
+    # ~flat like the other capped twins.
+    "graph_modularity",
+    "knn_label_disagreement",
+    "uncertainty_sampling",
+    "bpe_fertility_report",
 ]
 
 
