@@ -5097,3 +5097,17 @@ def test_bpe_fertility_report_hand_checkable(spark):
     from amundsendatabuilder_spark.operators.textops import bpe_apply
     per_doc = bpe_apply(docs, merges, iters=1).collect()
     assert sum(r.n_subwords for r in per_doc) == s0.n_subwords + s1.n_subwords
+
+
+def test_modularity_zero_intra_community(spark):
+    """A community with NO intra edges exercises the left-join + fill
+    path: single edge between two singleton communities -> each has
+    d_c = 1, e_c = 0, contribution = -1/4, Q = -1/2 exactly."""
+    from amundsendatabuilder_spark.operators.graph_algo import modularity
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    labels = spark.createDataFrame([(1, 10), (2, 20)],
+                                   "node long, label int")
+    rows = modularity(edges, labels).collect()
+    assert len(rows) == 2
+    assert all(r.intra_edges == 0 and r.contribution == -0.25
+               and r.q_modularity == -0.5 for r in rows)
