@@ -835,10 +835,12 @@ def modularity(edges: DataFrame, labels: DataFrame,
     (node, long) label joins, then label-keyed map-side-combinable
     sums — shuffle payload never exceeds id/label pairs; the
     per-community register is guarded like every register table.
-    Unlabeled endpoints (no row in ``labels``) fail loudly via the
-    inner joins dropping their edges from m would skew Q, so the edge
-    set is canonicalized FIRST and m counted on it — a missing label
-    only affects its own community terms."""
+    ``m`` is counted on the canonicalized edge set BEFORE any label
+    join, so an endpoint missing from ``labels`` still contributes its
+    edges to the null model while the inner joins exclude them from
+    every community's e_c/d_c — unlabeled nodes depress Q rather than
+    silently shrinking the graph; pass a total labeling
+    (label_propagation emits one) for the standard definition."""
     from pyspark.sql import Window
 
     from amundsendatabuilder_spark.functions.scalars import round_half_away
