@@ -11099,6 +11099,48 @@ SELECT s.window_start, CAST(s.hash_idx AS INT) AS hash_idx, s.min_hash
 FROM sig s, wm WHERE s.window_start + INTERVAL 1 HOUR <= wm.w"""
 
 
+@query("stream_bottomk_sample", r"""
+WITH mx AS (SELECT CAST(floor(epoch(max(ts)) * 1000000) AS BIGINT) AS m_us
+            FROM events),
+ev AS (SELECT DISTINCT event_id,
+              CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) AS hv,
+              (CAST(floor(epoch(ts) * 1000000) AS BIGINT) // 3600000000)
+                  * 3600000000 AS ws_us
+       FROM events),
+r AS (SELECT ws_us, event_id, hv,
+             CAST(row_number() OVER (PARTITION BY ws_us
+                                     ORDER BY hv, event_id) AS INT) AS rank
+      FROM ev)
+SELECT CAST(to_timestamp(ws_us / 1000000.0) AS TIMESTAMP) AS window_start,
+       rank, event_id, hv
+FROM r CROSS JOIN mx
+WHERE rank <= 8
+  AND ws_us + 3600000000 < ((m_us // 1000) - 7200000) * 1000
+ORDER BY ws_us, rank
+""")
+def stream_bottomk_sample_query(spark, sf_dir):
+    """Streaming bottom-k hash sample per tumbling hour
+    (streaming/events.windowed_bottomk_sample): the k=8 events with the
+    smallest md5-derived hash — the uniform-sample member of the
+    streaming sketch family, held as a k-bounded
+    applyInPandasWithState register (a built-in windowed agg cannot
+    express a bounded order statistic in append mode). Hash-verified:
+    the twin replays the hash, the hour bucketing, the per-window rank,
+    and the asof_stream emission frontier (window_end strictly behind
+    max(ts) − delay on the AvailableNow drain) — an all-integer payload,
+    so the streaming entry gets a FULL value-hash check, not the weaker
+    rows-only one."""
+    import tempfile
+
+    from amundsendatabuilder_spark.streaming.events import (
+        run_to_memory, windowed_bottomk_sample)
+    sample = windowed_bottomk_sample(_event_stream(spark, sf_dir))
+    name = "sbk_" + next(tempfile._get_candidate_names())
+    out = run_to_memory(sample, spark, name, tempfile.mkdtemp())
+    return out.orderBy("window_start", "rank")
+
+
 @query("stream_minhash_registers", _stream_minhash_oracle())
 def stream_minhash_registers_query(spark, sf_dir):
     """Streaming per-window MinHash signatures

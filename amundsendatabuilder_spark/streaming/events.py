@@ -400,3 +400,98 @@ def windowed_minhash_registers(events: DataFrame, window: str = "1 hour",
         .select(F.col("w.start").alias("window_start"), "hash_idx",
                 "min_hash")
     )
+
+
+BOTTOMK_OUTPUT = "window_start timestamp, rank int, event_id long, hv long"
+_BK_STATE = "ids array<long>, hvs array<long>"
+
+
+def _bottomk_fn(k: int, window_us: int):
+    """Per-window bottom-k state function (closure over k and the
+    window length): state is two k-bounded arrays; emission follows the
+    asof_stream frontier convention (emit once the watermark strictly
+    passes the window end, whichever invocation observes it)."""
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+        ids, hvs = ((list(state.get[0]), list(state.get[1]))
+                    if state.exists else ([], []))
+        if not state.hasTimedOut:
+            have = set(ids)
+            for pdf in pdf_iter:
+                for i, h in zip(pdf["event_id"].to_numpy(),
+                                pdf["hv"].to_numpy()):
+                    i, h = int(i), int(h)
+                    if i in have:
+                        continue
+                    have.add(i)
+                    ids.append(i)
+                    hvs.append(h)
+            # trim to the k (hv, id)-smallest — the register bound
+            pairs = sorted(zip(hvs, ids))[:k]
+            hvs = [h for h, _ in pairs]
+            ids = [i for _, i in pairs]
+        else:
+            for _ in pdf_iter:  # drain per contract
+                pass
+        ws_us = int(key[0])
+        win_end_us = ws_us + window_us
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if win_end_us < wm_us:
+            # frontier passed: emit the ranked sample, drop the register
+            state.remove()
+            pairs = sorted(zip(hvs, ids))
+            yield pd.DataFrame({
+                "window_start": pd.Series(
+                    [pd.Timestamp(ws_us * 1000)] * len(pairs),
+                    dtype="datetime64[ns]"),
+                "rank": pd.Series(range(1, len(pairs) + 1), dtype="int32"),
+                "event_id": [i for _, i in pairs],
+                "hv": [h for h, _ in pairs]})
+        else:
+            state.update((ids, hvs))
+            # guarantee a future invocation once the frontier passes
+            state.setTimeoutTimestamp(
+                max(win_end_us // 1000, wm_us // 1000 + 1))
+
+    return fn
+
+
+def windowed_bottomk_sample(events: DataFrame, window_seconds: int = 3600,
+                            watermark: str = "2 hours", k: int = 8,
+                            id_col: str = "event_id") -> DataFrame:
+    """Streaming bottom-k hash sample per tumbling window: the ``k``
+    items with the smallest md5-derived 32-bit hash — the UNIFORM-SAMPLE
+    member of the streaming sketch family (HLL counts distinct, CMS
+    counts frequency, MinHash compares audiences; bottom-k/KMV holds a
+    deterministic without-replacement sample you can actually look at,
+    and its k-th hash doubles as the classic KMV distinct estimator at
+    read time). State is exactly k (id, hash) pairs per open window —
+    bounded however hot the window — and bottom-k is merge-associative,
+    so registers from two pipelines union and re-trim like every other
+    register here.
+
+    A built-in windowed agg cannot express this in append mode (a
+    bounded top-k needs an order statistic, not an algebraic aggregate,
+    and collect_list state is unbounded), so this is the third
+    applyInPandasWithState operator beside stream_asof_join and
+    dedup_stream. Emission frontier pinned exactly like asof_stream:
+    a window emits once the watermark strictly passes its end, so an
+    AvailableNow drain equals the batch rank-window restricted to
+    window_end < max(ts) − delay — the oracle in SQL, verbatim.
+
+    Returns (window_start, rank, event_id, hv) — all-integer payload,
+    rank 1 = smallest (hv, id). Duplicate ids within a window occupy
+    one register slot (hash sampling is per distinct item)."""
+    hv = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                16, 10).cast("long")
+    win_us = int(window_seconds) * 1_000_000
+    ev = (events.withWatermark("ts", watermark)
+          .select("ts", F.col(id_col).alias("event_id"), hv.alias("hv"),
+                  (F.expr(f"unix_micros(ts) div {win_us}") * win_us)
+                  .cast("long").alias("ws_us")))
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    return (ev.groupBy("ws_us")
+            .applyInPandasWithState(
+                _bottomk_fn(int(k), win_us), BOTTOMK_OUTPUT, _BK_STATE,
+                "append", GroupStateTimeout.EventTimeTimeout))

@@ -257,6 +257,7 @@ EXTENDED = [
     "knn_label_disagreement",
     "uncertainty_sampling",
     "bpe_fertility_report",
+    "stream_bottomk_sample",
 ]
 
 

@@ -685,3 +685,55 @@ def test_stream_asof_join_evicts_view_only_state(spark, tmp_path):
                   if json.loads(p.json).get("stateOperators")]
     assert state_rows, "no state-operator progress recorded"
     assert state_rows[-1] == 1  # user 9 only; user 1 evicted on timeout
+
+
+def test_stream_bottomk_sample_register_and_frontier(spark, tmp_path):
+    """Bottom-k hash sample (streaming/events.windowed_bottomk_sample):
+
+    - the register holds the k (hv, id)-smallest items of a CLOSED
+      window, merged across micro-batches (items arrive in two files);
+    - duplicates of an id occupy one slot;
+    - an OPEN window (end not strictly behind the final watermark)
+      emits nothing — the asof_stream frontier convention.
+    """
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from amundsendatabuilder_spark.streaming.events import (
+        run_to_memory, windowed_bottomk_sample)
+    schema = ("event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string")
+    src = tmp_path / "bk_src"
+    src.mkdir()
+    t = lambda m: dt.datetime(2024, 1, 1, 10, 0) + dt.timedelta(minutes=m)
+    # closed window 10:00-11:00 gets ids 1..10 split across two batches
+    # (id 7 twice); sentinel at 14:00 pushes the watermark to 12:00
+    b1 = [(i, t(i), 1, "view", 0.0, "{}") for i in range(1, 6)] + \
+         [(7, t(6), 1, "view", 0.0, "{}")]
+    b2 = [(i, t(i), 1, "view", 0.0, "{}") for i in range(6, 11)] + \
+         [(7, t(7), 1, "view", 0.0, "{}"),
+          (999, t(240), 9, "view", 0.0, "{}")]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        str(src / "a_b1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        str(src / "b_b2"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false")
+              .parquet(str(src) + "/*"))
+    out = run_to_memory(windowed_bottomk_sample(stream, k=3),
+                        spark, "bk_stream_test", str(tmp_path / "ckpt_bk"))
+    rows = out.orderBy("window_start", "rank").collect()
+    # expected: the 3 (hv, id)-smallest of ids 1..10 by the same hash
+    exp = (spark.createDataFrame([(i,) for i in range(1, 11)], "id long")
+           .select("id", F.conv(F.substring(
+               F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+               .cast("long").alias("hv"))
+           .orderBy("hv", "id").limit(3).collect())
+    assert [r.event_id for r in rows] == [e.id for e in exp]
+    assert [r.hv for r in rows] == [e.hv for e in exp]
+    assert [r.rank for r in rows] == [1, 2, 3]
+    # every emitted row belongs to the closed 10:00 window; the 14:00
+    # window (open at the final frontier) emitted nothing
+    assert all(r.window_start == t(0) for r in rows)

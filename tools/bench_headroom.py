@@ -208,6 +208,7 @@ SUITE = [
     "knn_label_disagreement",
     "uncertainty_sampling",
     "bpe_fertility_report",
+    "stream_bottomk_sample",
 ]
 
 
