@@ -55,7 +55,7 @@ _PRIORITY = [
     # (a0) new in the round-11 late wave (zero certs) — modularity of
     # the LPA communities, the kNN label-noise screen, margin sampling
     "graph_modularity", "knn_label_disagreement", "uncertainty_sampling",
-    "bpe_fertility_report", "stream_bottomk_sample",
+    "bpe_fertility_report", "stream_bottomk_sample", "skew_salting_plan",
     # (a0') plans changed in the round-11 late wave (bit-identical
     # output): shared-covariance/one-checkpoint eigensolve, groupBy
     # pair-expansion triangle edges

@@ -79,3 +79,36 @@ def skew_report(df: DataFrame, key_col: str, top_n: int = 5) -> DataFrame:
             .crossJoin(F.broadcast(tot))
             .select("rank", "key_value", "n_rows",
                     F.expr("n_rows * 1000000 DIV _tot").alias("share_ppm")))
+
+
+def salting_plan(df: DataFrame, key_col: str,
+                 target_rows_per_bucket: int = 100_000) -> DataFrame:
+    """The PLANNING step between ``skew_report`` (is there skew?) and
+    ``salted_join`` (apply a salt): for every key whose row count
+    exceeds ``target_rows_per_bucket``, the integer salt factor that
+    brings its heaviest (key, salt) bucket back under target —
+    (rank, key_value, n_rows, salt_factor, rows_per_bucket), heaviest
+    first. salt_factor = ceil(n/target), rows_per_bucket =
+    ceil(n/salt_factor) — all ceiling divisions on exact BIGINTs, so
+    the plan is oracle-verifiable like the cap/lateness audits and
+    reproducible across engines. Keys at or under target need no salt
+    and are omitted (a plan row you don't act on is noise).
+
+    At 100 TB this is a metadata-sized query: one map-side-combinable
+    count per key, a rank over the (tiny) hot tail; pass the factors to
+    ``salted_join``'s buckets per key or use them to size AQE skew
+    thresholds."""
+    from pyspark.sql import Window
+    counts = (df.groupBy(F.col(key_col).cast("string").alias("key_value"))
+              .agg(F.count(F.lit(1)).alias("n_rows"))
+              .where(F.col("n_rows") > target_rows_per_bucket))
+    t = int(target_rows_per_bucket)
+    factor = F.expr(f"(n_rows + {t} - 1) DIV {t}")
+    w = Window.orderBy(F.desc("n_rows"), F.asc("key_value"))
+    return (counts.withColumn("salt_factor", factor.cast("long"))
+            .withColumn("rows_per_bucket",
+                        F.expr("(n_rows + salt_factor - 1) DIV salt_factor")
+                        .cast("long"))
+            .withColumn("rank", F.row_number().over(w))
+            .select("rank", "key_value", "n_rows", "salt_factor",
+                    "rows_per_bucket"))

@@ -6238,6 +6238,36 @@ def fuzzy_entity_match(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+@query("skew_salting_plan", r"""
+WITH c AS (SELECT CAST(l_suppkey % 10 AS VARCHAR) AS key_value,
+                  CAST(count(*) AS BIGINT) AS n_rows
+           FROM lineitem GROUP BY 1),
+h AS (SELECT key_value, n_rows,
+             CAST((n_rows + 999) // 1000 AS BIGINT) AS salt_factor
+      FROM c WHERE n_rows > 1000)
+SELECT CAST(row_number() OVER (ORDER BY n_rows DESC, key_value) AS INT)
+           AS rank,
+       key_value, n_rows, salt_factor,
+       CAST((n_rows + salt_factor - 1) // salt_factor AS BIGINT)
+           AS rows_per_bucket
+FROM h ORDER BY rank
+""")
+def skew_salting_plan_query(spark, sf_dir):
+    """The salting PLAN (functions/skew.salting_plan) between
+    skew_report's audit and salted_join's fix: per hot key
+    (l_suppkey % 10, every value hot at gate scale), the
+    ceiling-division salt factor that brings its heaviest (key, salt)
+    bucket under the 1k-row target (pinned so the plan BINDS at sf0.01
+    — a 0-row plan certifies nothing), and the resulting bucket size.
+    All-integer ceiling
+    arithmetic — the plan a 100 TB job computes from a metadata-sized
+    count table before committing a shuffle."""
+    from amundsendatabuilder_spark.functions.skew import salting_plan
+    (li,) = _t(spark, sf_dir, "lineitem")
+    keyed = li.select((F.col("l_suppkey") % 10).alias("k"))
+    return salting_plan(keyed, "k", target_rows_per_bucket=1_000)
+
+
 @query("skew_report", r"""
 WITH c AS (SELECT CAST(l_suppkey % 10 AS VARCHAR) AS key_value,
                   CAST(count(*) AS BIGINT) AS n_rows

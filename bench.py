@@ -258,6 +258,7 @@ EXTENDED = [
     "uncertainty_sampling",
     "bpe_fertility_report",
     "stream_bottomk_sample",
+    "skew_salting_plan",
 ]
 
 

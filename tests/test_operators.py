@@ -5111,3 +5111,17 @@ def test_modularity_zero_intra_community(spark):
     assert len(rows) == 2
     assert all(r.intra_edges == 0 and r.contribution == -0.25
                and r.q_modularity == -0.5 for r in rows)
+
+
+def test_salting_plan_ceiling_arithmetic(spark):
+    """Hand-checkable factors: keys with 25/10/7 rows at target 10 ->
+    only 25 needs salt (factor 3, buckets of 9); 10 and 7 are omitted
+    (at/under target)."""
+    from amundsendatabuilder_spark.functions.skew import salting_plan
+    rows = [("a",)] * 25 + [("b",)] * 10 + [("c",)] * 7
+    df = spark.createDataFrame(rows, "k string")
+    out = salting_plan(df, "k", target_rows_per_bucket=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.rank, r.key_value, r.n_rows) == (1, "a", 25)
+    assert r.salt_factor == 3 and r.rows_per_bucket == 9

@@ -209,6 +209,7 @@ SUITE = [
     "uncertainty_sampling",
     "bpe_fertility_report",
     "stream_bottomk_sample",
+    "skew_salting_plan",
 ]
 
 
