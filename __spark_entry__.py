@@ -44,10 +44,11 @@ from amundsendatabuilder_spark.plans.oracle_suite import ORACLES, QUERIES  # noq
 # the first 18 r5-era rows — the 8 alphabetically-last of the r10 plan's
 # c2 block defer one round to make room for (b');
 # (d) beyond the window: the deferred r5-era rows, then r6-era.
-# LATE-WAVE AMENDMENT: blocks (a0)/(a0') prepend 3 zero-cert additions
-# (graph_modularity, knn_label_disagreement, uncertainty_sampling) and
+# LATE-WAVE AMENDMENT: blocks (a0)/(a0') prepend 6 zero-cert additions
+# (graph_modularity, knn_label_disagreement, uncertainty_sampling,
+# bpe_fertility_report, stream_bottomk_sample, skew_salting_plan) and
 # 4 changed-plan re-certs (shared-covariance/one-checkpoint PCA trio +
-# the groupBy-pair-expansion triangle edges), pushing the last 7 of
+# the groupBy-pair-expansion triangle edges), pushing the last 10 of
 # (c2) past the 50-slot window — they defer one round, same rule as
 # the r10 deferral.
 # Names not registered are skipped by ``_ordered``.
