@@ -414,8 +414,34 @@ def _bottomk_fn(k: int, window_us: int):
 
     def fn(key, pdf_iter, state):
         import pandas as pd
+        existed = state.exists
         ids, hvs = ((list(state.get[0]), list(state.get[1]))
-                    if state.exists else ([], []))
+                    if existed else ([], []))
+        ws_us = int(key[0])
+        win_end_us = ws_us + window_us
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if win_end_us < wm_us:
+            # frontier already passed. Any rows in THIS batch are late
+            # stragglers (the watermark is computed from prior batches)
+            # — drop them per watermark semantics; merging them would
+            # also double-emit the window whenever a straggler arrives
+            # after the register emitted and state was removed.
+            for _ in pdf_iter:
+                pass
+            if existed or state.hasTimedOut:
+                state.remove()
+            if existed:
+                pairs = sorted(zip(hvs, ids))
+                yield pd.DataFrame({
+                    "window_start": pd.Series(
+                        [pd.Timestamp(ws_us * 1000)] * len(pairs),
+                        dtype="datetime64[ns]"),
+                    "rank": pd.Series(range(1, len(pairs) + 1),
+                                      dtype="int32"),
+                    "event_id": [i for _, i in pairs],
+                    "hv": [h for h, _ in pairs]})
+            return
+        # open window: merge the batch into the k-bounded register
         if not state.hasTimedOut:
             have = set(ids)
             for pdf in pdf_iter:
@@ -427,32 +453,16 @@ def _bottomk_fn(k: int, window_us: int):
                     have.add(i)
                     ids.append(i)
                     hvs.append(h)
-            # trim to the k (hv, id)-smallest — the register bound
             pairs = sorted(zip(hvs, ids))[:k]
             hvs = [h for h, _ in pairs]
             ids = [i for _, i in pairs]
         else:
             for _ in pdf_iter:  # drain per contract
                 pass
-        ws_us = int(key[0])
-        win_end_us = ws_us + window_us
-        wm_us = state.getCurrentWatermarkMs() * 1000
-        if win_end_us < wm_us:
-            # frontier passed: emit the ranked sample, drop the register
-            state.remove()
-            pairs = sorted(zip(hvs, ids))
-            yield pd.DataFrame({
-                "window_start": pd.Series(
-                    [pd.Timestamp(ws_us * 1000)] * len(pairs),
-                    dtype="datetime64[ns]"),
-                "rank": pd.Series(range(1, len(pairs) + 1), dtype="int32"),
-                "event_id": [i for _, i in pairs],
-                "hv": [h for h, _ in pairs]})
-        else:
-            state.update((ids, hvs))
-            # guarantee a future invocation once the frontier passes
-            state.setTimeoutTimestamp(
-                max(win_end_us // 1000, wm_us // 1000 + 1))
+        state.update((ids, hvs))
+        # guarantee a future invocation once the frontier passes
+        state.setTimeoutTimestamp(
+            max(win_end_us // 1000, wm_us // 1000 + 1))
 
     return fn
 

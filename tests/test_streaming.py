@@ -737,3 +737,48 @@ def test_stream_bottomk_sample_register_and_frontier(spark, tmp_path):
     # every emitted row belongs to the closed 10:00 window; the 14:00
     # window (open at the final frontier) emitted nothing
     assert all(r.window_start == t(0) for r in rows)
+
+
+def test_stream_bottomk_sample_drops_late_stragglers(spark, tmp_path):
+    """A row for a window whose frontier already passed is a late
+    straggler: it must neither re-open the window (double emission) nor
+    enter the emitted register — even when its hash would rank first."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from amundsendatabuilder_spark.streaming.events import (
+        run_to_memory, windowed_bottomk_sample)
+    schema = ("event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string")
+    t = lambda m: dt.datetime(2024, 1, 1, 10, 0) + dt.timedelta(minutes=m)
+    # find a candidate id (not in 1..10) whose hv beats ALL of 1..10 —
+    # so a wrongly-merged straggler would definitely change rank 1
+    hv_expr = F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8),
+                     16, 10).cast("long")
+    hv = {r.id: r.hv for r in spark.createDataFrame(
+        [(i,) for i in range(1, 3000)], "id long")
+        .select("id", hv_expr.alias("hv")).collect()}
+    floor10 = min(hv[i] for i in range(1, 11))
+    late_id = next(i for i in range(11, 3000) if hv[i] < floor10)
+    src = tmp_path / "bk_late_src"
+    src.mkdir()
+    b1 = [(i, t(i), 1, "view", 0.0, "{}") for i in range(1, 11)] + \
+         [(999, t(240), 9, "view", 0.0, "{}")]   # wm -> 12:00 after b1
+    b2 = [(late_id, t(30), 1, "view", 0.0, "{}")]  # late for 10:00 window
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        str(src / "a_b1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        str(src / "b_b2"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false")
+              .parquet(str(src) + "/*"))
+    out = run_to_memory(windowed_bottomk_sample(stream, k=3),
+                        spark, "bk_late_test", str(tmp_path / "ckpt_bkl"))
+    rows = out.orderBy("window_start", "rank").collect()
+    # exactly one emission of the 10:00 window; the straggler is absent
+    assert [r.rank for r in rows] == [1, 2, 3]
+    assert late_id not in {r.event_id for r in rows}
+    exp = sorted((hv[i], i) for i in range(1, 11))[:3]
+    assert [r.event_id for r in rows] == [i for _, i in exp]
