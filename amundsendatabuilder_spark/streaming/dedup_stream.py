@@ -139,8 +139,11 @@ def _last_writer_fn(key, pdf_iter, state: GroupState):
     """Per key: track the highest sequence ever seen (state = one long);
     emit a row only in micro-batches where the winner ADVANCES — the
     change-feed of a last-writer-wins materialized view. Within a batch
-    the winner is the max-seq row, deterministic regardless of Arrow
-    chunking."""
+    the winner is the max (seq, val) PAIR — seq ties break toward the
+    larger value — so the emitted row is deterministic regardless of
+    Arrow chunking even when one batch carries several rows at the
+    winning sequence (idxmax alone would pick whichever chunk arrived
+    first)."""
     import pandas as pd
 
     best = state.get[0] if state.exists else None
@@ -148,10 +151,11 @@ def _last_writer_fn(key, pdf_iter, state: GroupState):
     for pdf in pdf_iter:
         if len(pdf) == 0:
             continue
-        i = pdf["seq"].idxmax()
-        s = int(pdf["seq"][i])
-        if (new_seq is None) or s > new_seq:
-            new_seq, new_val = s, float(pdf["val"][i])
+        for s, v in zip(pdf["seq"].to_numpy(), pdf["val"].to_numpy()):
+            s, v = int(s), float(v)
+            if (new_seq is None or s > new_seq
+                    or (s == new_seq and v > new_val)):
+                new_seq, new_val = s, v
     if new_seq is not None and (best is None or new_seq > best):
         state.update((new_seq,))
         yield pd.DataFrame({"k": [key[0]], "seq": [new_seq],

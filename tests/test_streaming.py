@@ -782,3 +782,25 @@ def test_stream_bottomk_sample_drops_late_stragglers(spark, tmp_path):
     assert late_id not in {r.event_id for r in rows}
     exp = sorted((hv[i], i) for i in range(1, 11))[:3]
     assert [r.event_id for r in rows] == [i for _, i in exp]
+
+
+def test_last_writer_seq_tie_breaks_to_larger_value(spark, tmp_path):
+    """Two rows at the winning sequence in ONE batch: the emitted value
+    must be the larger one, whatever order the chunks arrive in."""
+    from amundsendatabuilder_spark.streaming.dedup_stream import (
+        last_writer_filter)
+    from amundsendatabuilder_spark.streaming.events import run_to_memory
+    src = tmp_path / "lw_tie_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, 5, 1.0), (1, 5, 9.0), (1, 3, 4.0)],
+        "k long, seq long, val double").coalesce(1).write.parquet(
+        str(src / "b1"))
+    stream = (spark.readStream.schema("k long, seq long, val double")
+              .parquet(str(src) + "/*"))
+    out = run_to_memory(last_writer_filter(stream), spark,
+                        "lw_tie_test", str(tmp_path / "ckpt_lw_tie"),
+                        output_mode="update")
+    rows = out.collect()
+    assert len(rows) == 1
+    assert (rows[0].k, rows[0].seq, rows[0].val) == (1, 5, 9.0)
