@@ -5125,3 +5125,57 @@ def test_salting_plan_ceiling_arithmetic(spark):
     r = out[0]
     assert (r.rank, r.key_value, r.n_rows) == (1, "a", 25)
     assert r.salt_factor == 3 and r.rows_per_bucket == 9
+
+
+def test_knn_label_disagreement_flag_threshold(spark):
+    """flag_num/flag_den controls the flag rule: with 3 clean + 1 noisy
+    neighbor votes, a vector flags at >=1/4 but not at >=1/2."""
+    from amundsendatabuilder_spark.operators.similarity import (
+        knn_label_disagreement)
+    eye4 = [[1.0 if i == j else 0.0 for j in range(4)] for i in range(4)]
+    # target 1 + four neighbors on the same axis: three share label 0,
+    # one carries label 1 -> target's k=4 votes disagree 1/4
+    base = [(1, [1.0, 0.001, 0.0, 0.0], 0)]
+    nbrs = [(10 + i, [1.0, 0.002 + 0.001 * i, 0.0, 0.0], 0)
+            for i in range(3)] + [(20, [1.0, 0.01, 0.0, 0.0], 1)]
+    emb = spark.createDataFrame(
+        base + nbrs, "vec_id long, embedding array<float>, label int")
+    strict = {r.label: r for r in knn_label_disagreement(
+        emb, planes=eye4, bands=2, k=4, flag_num=1, flag_den=2).collect()}
+    loose = {r.label: r for r in knn_label_disagreement(
+        emb, planes=eye4, bands=2, k=4, flag_num=1, flag_den=4).collect()}
+    # label-0 group holds the target + 3 clean neighbors; at 1/2 only
+    # vectors with majority disagreement flag (none of the label-0 core
+    # reaches 1/2), at 1/4 the target (1 of 4 votes) now flags
+    assert loose[0].n_flagged > strict[0].n_flagged
+
+
+def test_uncertainty_sampling_k_exceeds_group(spark):
+    """k larger than a group returns every doc of that group, ranked,
+    without inventing rows."""
+    from amundsendatabuilder_spark.operators.curation import (
+        logreg_train, uncertainty_sampling)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "en", "s0"), (2, "omega psi", "xx", "s0"),
+         (3, "alpha omega", "en", "s1")],
+        "doc_id long, text string, lang string, source string")
+    w = logreg_train(docs, iters=2, lr=0.5)
+    out = uncertainty_sampling(docs, w, k=10).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.rank)
+    assert sorted(by_src["s0"]) == [1, 2]
+    assert sorted(by_src["s1"]) == [1]
+
+
+def test_bpe_fertility_report_skips_tokenless_source(spark):
+    """A source whose docs yield no tokens contributes no report row
+    (nothing to measure), and other sources are unaffected."""
+    from amundsendatabuilder_spark.operators.textops import (
+        bpe_fertility_report, bpe_merges)
+    docs = spark.createDataFrame(
+        [(1, "abab abab", "s0"), (2, "   ", "s1")],
+        "doc_id long, text string, source string")
+    merges = bpe_merges(docs, iters=1, vocab_size=50)
+    rows = bpe_fertility_report(docs, merges, iters=1).collect()
+    assert [r.source for r in rows] == ["s0"]
