@@ -431,7 +431,11 @@ def _bottomk_fn(k: int, window_us: int):
             if existed or state.hasTimedOut:
                 state.remove()
             if existed:
-                pairs = sorted(zip(hvs, ids))
+                # re-trim on emit: the merge path keeps state at <=k, but
+                # if k is ever lowered across a checkpoint restart the
+                # persisted register may hold more — the output bound must
+                # not depend on historical state
+                pairs = sorted(zip(hvs, ids))[:k]
                 yield pd.DataFrame({
                     "window_start": pd.Series(
                         [pd.Timestamp(ws_us * 1000)] * len(pairs),
@@ -441,24 +445,25 @@ def _bottomk_fn(k: int, window_us: int):
                     "event_id": [i for _, i in pairs],
                     "hv": [h for h, _ in pairs]})
             return
-        # open window: merge the batch into the k-bounded register
-        if not state.hasTimedOut:
-            have = set(ids)
-            for pdf in pdf_iter:
-                for i, h in zip(pdf["event_id"].to_numpy(),
-                                pdf["hv"].to_numpy()):
-                    i, h = int(i), int(h)
-                    if i in have:
-                        continue
-                    have.add(i)
-                    ids.append(i)
-                    hvs.append(h)
-            pairs = sorted(zip(hvs, ids))[:k]
-            hvs = [h for h, _ in pairs]
-            ids = [i for _, i in pairs]
-        else:
-            for _ in pdf_iter:  # drain per contract
-                pass
+        # open window: merge the batch into the k-bounded register.
+        # timed-out-while-open cannot happen: the timeout is always set to
+        # max(window_end_ms, watermark_ms+1), so when it fires the
+        # watermark has strictly passed the window end and the closed
+        # branch above was taken.
+        assert not state.hasTimedOut, "timeout fired on an open window"
+        have = set(ids)
+        for pdf in pdf_iter:
+            for i, h in zip(pdf["event_id"].to_numpy(),
+                            pdf["hv"].to_numpy()):
+                i, h = int(i), int(h)
+                if i in have:
+                    continue
+                have.add(i)
+                ids.append(i)
+                hvs.append(h)
+        pairs = sorted(zip(hvs, ids))[:k]
+        hvs = [h for h, _ in pairs]
+        ids = [i for _, i in pairs]
         state.update((ids, hvs))
         # guarantee a future invocation once the frontier passes
         state.setTimeoutTimestamp(

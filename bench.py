@@ -262,6 +262,29 @@ EXTENDED = [
 ]
 
 
+def calibration_probe(spark) -> float:
+    """Fixed machine-factor probe (r11 verdict item #2): a deterministic
+    32-way shuffle + hash-aggregate microbenchmark on generated data,
+    identical every run, so cross-boot/VM-drift comparisons divide out the
+    environment mechanically instead of via git-stash A/B archaeology.
+    60M generated rows -> two-level hash agg across a 32-way shuffle ->
+    single count; ~1-2s on the reference box. Median of 3 runs."""
+    import statistics
+    from pyspark.sql import functions as F
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        (spark.range(0, 60_000_000, 1, 32)
+         .select((F.col("id") % 1_000_003).alias("k"),
+                 (F.col("id") % 97).alias("g"))
+         .groupBy("k").agg(F.count("*").alias("c"), F.sum("g").alias("s"))
+         .groupBy((F.col("k") % 1024).alias("b"))
+         .agg(F.sum("c").alias("n"), F.sum("s").alias("t"))
+         .count())
+        runs.append(round(time.time() - t0, 3))
+    return round(statistics.median(runs), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from amundsendatabuilder_spark.plans.oracle_suite import QUERIES
@@ -303,15 +326,20 @@ def main() -> None:
               file=sys.stderr)
         return med
 
+    # calibrate AFTER warmup, BEFORE the timed queries: same JVM state
+    # the suite runs under
+    calib = calibration_probe(spark)
+    print(f"# calibration_probe: {calib}s", file=sys.stderr)
+
     for name in HEADLINE + EXTENDED:
         timings[name] = bench(name)
 
-    for line in summary_lines(timings, sf_dir, n_runs):
+    for line in summary_lines(timings, sf_dir, n_runs, calib):
         print(line)
 
 
 def summary_lines(timings: "dict[str, float]", sf_dir: str,
-                  n_runs: int) -> "list[str]":
+                  n_runs: int, calib: float = 0.0) -> "list[str]":
     """The machine-readable stdout contract, pinned by
     tests/test_bench_format.py: per-query detail first, compact headline
     LAST. The driver reads the tail of stdout, and round 6 proved the
@@ -335,6 +363,7 @@ def summary_lines(timings: "dict[str, float]", sf_dir: str,
             "n_queries": len(HEADLINE),
             "extended_total": round(sum(timings[q] for q in EXTENDED), 3),
             "n_extended": len(EXTENDED),
+            "calib_seconds": calib,
             "sf": sf_val,
         }),
     ]

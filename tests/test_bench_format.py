@@ -24,6 +24,10 @@ def test_headline_is_last_line_and_parses_standalone():
     assert head["unit"] == "sec"
     assert head["sf"] == 0.1
     assert head["n_queries"] == len(bench.HEADLINE)
+    # r11 verdict item #2: the machine-factor probe rides in the same
+    # JSON line as every bench run so drift-corrected ratios are
+    # computable without same-box A/B archaeology
+    assert "calib_seconds" in head
     # the headline must never outgrow a tail-read window: it carries no
     # per-query dict (that is the first line's job)
     assert "queries" not in head
