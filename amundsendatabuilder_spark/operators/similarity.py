@@ -1129,6 +1129,80 @@ def mutual_nn_pairs(emb: DataFrame, planes: list[list[float]],
                 F.col("a.cos").alias("cos")))
 
 
+def mutual_nn_recall_report(emb: DataFrame,
+                            planes_truth: list[list[float]],
+                            planes_prod: list[list[float]],
+                            bands_truth: int = 4, bands_prod: int = 8,
+                            max_bucket_size: int = 10,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Recall audit for the PRODUCTION mutual-NN configuration — the
+    ann_recall_report discipline applied to mutual_nn_pairs (r11 verdict
+    item #4): before trusting the capped/collapsed/8-bit-band twin on a
+    new corpus, measure what fraction of the uncapped pin's true
+    mutual-NN pairs the production config actually keeps.
+
+    Truth = mutual_nn_pairs(planes_truth, bands_truth) — the uncapped,
+    uncollapsed oracle-pinned configuration. Production =
+    mutual_nn_pairs(planes_prod, bands_prod, max_bucket_size,
+    collapse_exact=True), whose pairs reference exact-vector
+    REPRESENTATIVE ids — so truth pairs are first mapped through the
+    same min-id-per-identical-vector representative before comparison.
+    A truth pair whose two sides collapse to ONE representative is not
+    a recall loss (the collapse dedups it by design); it is counted
+    separately as n_truth_collapsed_away so nothing disappears
+    silently. Returns one row:
+    (n_truth_pairs, n_truth_mapped, n_truth_collapsed_away,
+    n_prod_pairs, n_hits, recall) with recall =
+    n_hits / n_truth_mapped (6dp; 0.0 when the mapped truth set is
+    empty).
+
+    Scale shape: both pair sets come from banded candidate generation
+    (corpus never joins corpus); the representative map is one
+    vector-keyed groupBy + one join (the collapse_exact_vectors
+    shuffle); the hit join is an equi-join on (id_a, id_b) pair keys
+    sized by the truth OUTPUT; all final aggregates are one-row
+    broadcast cross-joins (the rhp_cap_audit pattern)."""
+    truth = mutual_nn_pairs(emb, planes_truth, bands_truth, id_col,
+                            vec_col)
+    prod = mutual_nn_pairs(emb, planes_prod, bands_prod, id_col, vec_col,
+                           max_bucket_size=max_bucket_size,
+                           collapse_exact=True)
+    reps = collapse_exact_vectors(emb, id_col, vec_col)
+    rep_map = (emb.select(F.col(id_col).alias("_rid"),
+                          F.col(vec_col).alias("_v"))
+               .join(reps.select(F.col(id_col).alias("_rep"),
+                                 F.col(vec_col).alias("_v")), "_v")
+               .select("_rid", "_rep"))
+    mapped = (truth
+              .join(rep_map.select(F.col("_rid").alias("id_a"),
+                                   F.col("_rep").alias("_ra")), "id_a")
+              .join(rep_map.select(F.col("_rid").alias("id_b"),
+                                   F.col("_rep").alias("_rb")), "id_b")
+              .select(F.least("_ra", "_rb").alias("id_a"),
+                      F.greatest("_ra", "_rb").alias("id_b")))
+    mapped_d = (mapped.where(F.col("id_a") < F.col("id_b")).distinct())
+    one = F.count(F.lit(1)).cast("long")
+    n_truth = truth.agg(one.alias("n_truth_pairs"))
+    n_away = (mapped.where(F.col("id_a") == F.col("id_b"))
+              .agg(one.alias("n_truth_collapsed_away")))
+    n_mapped = mapped_d.agg(one.alias("n_truth_mapped"))
+    n_prod = prod.agg(one.alias("n_prod_pairs"))
+    n_hits = (mapped_d.join(prod.select("id_a", "id_b"),
+                            ["id_a", "id_b"], "left_semi")
+              .agg(one.alias("n_hits")))
+    return (n_truth.crossJoin(F.broadcast(n_mapped))
+            .crossJoin(F.broadcast(n_away))
+            .crossJoin(F.broadcast(n_prod))
+            .crossJoin(F.broadcast(n_hits))
+            .select("n_truth_pairs", "n_truth_mapped",
+                    "n_truth_collapsed_away", "n_prod_pairs", "n_hits",
+                    F.when(F.col("n_truth_mapped") == 0, F.lit(0.0))
+                    .otherwise(round_half_away(
+                        F.col("n_hits").cast("double")
+                        / F.col("n_truth_mapped"), 6)).alias("recall")))
+
+
 def knn_label_disagreement(emb: DataFrame, planes: list[list[float]],
                            bands: int = 8, k: int = 5,
                            id_col: str = "vec_id",

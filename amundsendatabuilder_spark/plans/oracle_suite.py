@@ -11675,6 +11675,92 @@ def rhp_cap_audit_query(spark, sf_dir):
                          collapse_exact=True)
 
 
+def _mutual_nn_recall_oracle() -> str:
+    """Replay oracle for the mutual-NN recall audit: BOTH mutual-NN
+    chains (uncapped pin = 16 planes / 4 bands over raw ids; production
+    = collapse -> 64 planes / 8 bands / cap 10) replayed verbatim, truth
+    pairs mapped through the min-id exact-vector representative, hits by
+    pair-key join."""
+    from amundsendatabuilder_spark.functions.vectors import random_planes
+    p_t = random_planes(64, 16, seed=7)
+    p_p = random_planes(64, 64, seed=7)
+    return f"""
+WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT vec_id, v FROM raw),
+{_rhp_sigs_cte(p_t, 4, src="e", bits="tbits", sigs="tsigs")},
+tcand AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS nbr
+          FROM tsigs x JOIN tsigs y
+            ON x.band = y.band AND x.sig = y.sig
+           AND x.vec_id <> y.vec_id),
+tsc AS (SELECT src, nbr, round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        FROM tcand JOIN e a ON a.vec_id = tcand.src
+                   JOIN e b ON b.vec_id = tcand.nbr),
+tt1 AS (SELECT src, nbr FROM (SELECT tsc.*, row_number() OVER (
+            PARTITION BY src ORDER BY cos DESC, nbr) AS rk FROM tsc)
+        WHERE rk = 1),
+tp AS (SELECT a.src AS id_a, a.nbr AS id_b
+       FROM tt1 a JOIN tt1 b
+         ON a.src = b.nbr AND a.nbr = b.src AND a.src < b.src),
+ec AS (SELECT min(vec_id) AS rep, v FROM raw GROUP BY v),
+rm AS (SELECT raw.vec_id AS id, ec.rep FROM raw JOIN ec USING (v)),
+mapped AS (SELECT least(ra.rep, rb.rep) AS id_a,
+                  greatest(ra.rep, rb.rep) AS id_b
+           FROM tp JOIN rm ra ON tp.id_a = ra.id
+                   JOIN rm rb ON tp.id_b = rb.id),
+md AS (SELECT DISTINCT id_a, id_b FROM mapped WHERE id_a < id_b),
+e2 AS (SELECT rep AS vec_id, v FROM ec),
+{_capped_sigs_sql(p_p, _CAP_BANDS, _CAP_SIZE, src="e2", bits="pbits",
+                  sigs="psigs", capped="pcs")},
+pcand AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS nbr
+          FROM pcs x JOIN pcs y
+            ON x.band = y.band AND x.sig = y.sig
+           AND x.vec_id <> y.vec_id),
+psc AS (SELECT src, nbr, round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        FROM pcand JOIN e2 a ON a.vec_id = pcand.src
+                   JOIN e2 b ON b.vec_id = pcand.nbr),
+pt1 AS (SELECT src, nbr FROM (SELECT psc.*, row_number() OVER (
+            PARTITION BY src ORDER BY cos DESC, nbr) AS rk FROM psc)
+        WHERE rk = 1),
+pp AS (SELECT a.src AS id_a, a.nbr AS id_b
+       FROM pt1 a JOIN pt1 b
+         ON a.src = b.nbr AND a.nbr = b.src AND a.src < b.src),
+agg AS (SELECT
+    CAST((SELECT count(*) FROM tp) AS BIGINT) AS n_truth_pairs,
+    CAST((SELECT count(*) FROM md) AS BIGINT) AS n_truth_mapped,
+    CAST((SELECT count(*) FROM mapped WHERE id_a = id_b) AS BIGINT)
+        AS n_truth_collapsed_away,
+    CAST((SELECT count(*) FROM pp) AS BIGINT) AS n_prod_pairs,
+    CAST((SELECT count(*) FROM md JOIN pp USING (id_a, id_b)) AS BIGINT)
+        AS n_hits)
+SELECT n_truth_pairs, n_truth_mapped, n_truth_collapsed_away,
+       n_prod_pairs, n_hits,
+       CASE WHEN n_truth_mapped = 0 THEN 0.0
+            ELSE round(CAST(n_hits AS DOUBLE) / n_truth_mapped, 6)
+       END AS recall
+FROM agg
+"""
+
+
+@query("mutual_nn_recall_report", _mutual_nn_recall_oracle())
+def mutual_nn_recall_report_query(spark, sf_dir):
+    """Recall audit for the PRODUCTION mutual-NN configuration
+    (similarity.mutual_nn_recall_report, r11 verdict item #4 — the
+    ann_recall_report discipline applied to mutual_nn_dedup_capped):
+    what fraction of the uncapped pin's true mutual-NN pairs the
+    collapse + 8-bit-band + cap-10 production path keeps, with truth
+    pairs mapped through the exact-vector representative and
+    collapse-absorbed pairs counted separately (not a recall loss —
+    the collapse dedups them by design, but never silently)."""
+    from amundsendatabuilder_spark.functions.vectors import random_planes
+    from amundsendatabuilder_spark.operators.similarity import (
+        mutual_nn_recall_report)
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return mutual_nn_recall_report(
+        emb, random_planes(64, 16, seed=7), random_planes(64, 64, seed=7),
+        bands_truth=4, bands_prod=_CAP_BANDS,
+        max_bucket_size=_CAP_SIZE)
+
+
 def _hard_negative_banded_oracle() -> str:
     from amundsendatabuilder_spark.functions.vectors import random_planes
     planes = random_planes(64, 64, seed=7)

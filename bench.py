@@ -259,6 +259,9 @@ EXTENDED = [
     "bpe_fertility_report",
     "stream_bottomk_sample",
     "skew_salting_plan",
+    # round-12: recall audit of the production mutual-NN configuration
+    # vs the uncapped pin (r11 verdict item #4)
+    "mutual_nn_recall_report",
 ]
 
 

@@ -804,3 +804,247 @@ def test_last_writer_seq_tie_breaks_to_larger_value(spark, tmp_path):
     rows = out.collect()
     assert len(rows) == 1
     assert (rows[0].k, rows[0].seq, rows[0].val) == (1, 5, 9.0)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint-recovery tests for the four custom applyInPandasWithState
+# operators (r11 verdict item #3): kill the query mid-stream AFTER >=1
+# committed micro-batch, restart from the same checkpoint, and assert the
+# union of outputs equals the batch oracle exactly — the exactly-once /
+# state-store-recovery claim at 100 TB rests on this (reference contract
+# analog: commit-on-success, kafka_source_extractor.py:116-130).
+# ---------------------------------------------------------------------------
+
+
+def _kill_restart_drain(stream_out, chk, crash_epoch=1,
+                        output_mode="update", timeout=180):
+    """Run the stream twice against ONE checkpoint: run 1's foreachBatch
+    raises BEFORE touching ``crash_epoch`` (so that epoch's offsets are
+    never committed — a mid-stream kill); run 2 restarts from the
+    checkpoint and drains. Asserts >=1 committed batch before the kill
+    and that recovery resumes at exactly the failed epoch (no re-delivery
+    of committed epochs, no skipped batch). Returns (rows_run1,
+    rows_run2)."""
+    committed = []
+
+    def crashing(df, epoch):
+        if epoch >= crash_epoch:
+            raise RuntimeError("injected mid-stream kill")
+        committed.append((epoch, df.collect()))
+
+    q = (stream_out.writeStream.foreachBatch(crashing)
+         .outputMode(output_mode).option("checkpointLocation", chk)
+         .trigger(availableNow=True).start())
+    died = False
+    try:
+        q.awaitTermination(timeout)
+        q.stop()
+    except Exception:
+        died = True
+    assert died, "injected kill did not terminate run 1"
+    assert len(committed) >= 1, "no committed micro-batch before the kill"
+
+    resumed = []
+
+    def ok(df, epoch):
+        resumed.append((epoch, df.collect()))
+
+    q2 = (stream_out.writeStream.foreachBatch(ok)
+          .outputMode(output_mode).option("checkpointLocation", chk)
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(timeout)
+    assert resumed, "restart produced no micro-batches"
+    assert resumed[0][0] == crash_epoch, (
+        f"recovery resumed at epoch {resumed[0][0]}, not the failed "
+        f"epoch {crash_epoch}")
+    return ([r for _, rows in committed for r in rows],
+            [r for _, rows in resumed for r in rows])
+
+
+def _fresh_drain(stream_out, chk, output_mode="update", timeout=180):
+    """Single uninterrupted AvailableNow drain with its own checkpoint —
+    the same-batching baseline the kill/restart union must equal."""
+    rows = []
+    q = (stream_out.writeStream
+         .foreachBatch(lambda df, _e: rows.extend(df.collect()))
+         .outputMode(output_mode).option("checkpointLocation", chk)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(timeout)
+    return rows
+
+
+def _canon(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+def test_last_writer_recovers_from_checkpoint_kill(spark, tmp_path):
+    """stream_last_writer_upsert: the winning-seq state recovered from the
+    checkpoint must keep absorbing stale rows in the replayed epoch, and
+    the final snapshot equals the batch max-(seq, val) oracle."""
+    from pyspark.sql import functions as F
+
+    from amundsendatabuilder_spark.streaming.dedup_stream import (
+        last_writer_filter)
+    schema = "k long, seq long, val double"
+    src = tmp_path / "lw_src"
+    src.mkdir()
+    batches = [
+        [(1, 1, 10.0), (1, 3, 30.0), (2, 1, 5.0)],   # emits (1,3),(2,1)
+        [(1, 2, 99.0), (2, 4, 8.0)],                 # seq 2 stale: absorbed
+        [(1, 5, 50.0)],                              # advances key 1
+    ]
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(
+            str(src / f"{chr(97 + i)}_b{i}"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false")
+              .parquet(str(src) + "/*"))
+    out = last_writer_filter(stream)
+    r1, r2 = _kill_restart_drain(out, str(tmp_path / "lw_chk"))
+    union = _canon(r1 + r2)
+    # the replayed epoch must absorb (1, 2, 99.0) against RECOVERED state
+    # (seq 3 from the committed epoch) — a lost state store would emit it
+    assert (1, 2, 99.0) not in union
+    assert union == _canon(_fresh_drain(out, str(tmp_path / "lw_chk_base")))
+    # final snapshot (last change per key) == batch oracle
+    batch = spark.createDataFrame(
+        [r for b in batches for r in b], schema)
+    oracle = {(r.k, r.seq, r.val) for r in
+              (batch.groupBy("k")
+               .agg(F.max(F.struct("seq", "val")).alias("w"))
+               .select("k", "w.seq", "w.val")).collect()}
+    final = {}
+    for k, seq, val in union:
+        if k not in final or seq > final[k][1]:
+            final[k] = (k, seq, val)
+    assert set(final.values()) == oracle
+
+
+def test_near_dup_recovers_from_checkpoint_kill(spark, tmp_path):
+    """stream_near_dup: bucket keepers recovered from the checkpoint must
+    pair the replayed epoch's docs with the ORIGINAL batch-0 keeper, and
+    the union's distinct pairs equal the whole-corpus expectation."""
+    from amundsendatabuilder_spark.streaming.dedup_stream import (
+        near_dup_candidates)
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = "completely different content about spark adaptive plans"
+    schema = "doc_id long, text string"
+    src = tmp_path / "ndr_src"
+    src.mkdir()
+    batches = [
+        [(1, text_a), (2, text_b)],      # keepers: 1 and 2
+        [(7, text_a)],                   # replayed epoch: pairs with 1
+        [(9, text_a), (8, text_b)],      # pairs with 1 and 2
+    ]
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(
+            str(src / f"{chr(97 + i)}_b{i}"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false")
+              .parquet(str(src) + "/*"))
+    out = near_dup_candidates(stream)
+    r1, r2 = _kill_restart_drain(out, str(tmp_path / "ndr_chk"))
+    union = r1 + r2
+    # keeper state survived the kill: doc 7 pairs with doc 1, not itself
+    assert {(r.doc_a, r.doc_b) for r in union} == {(1, 7), (1, 9), (2, 8)}
+    assert _canon(union) == _canon(
+        _fresh_drain(out, str(tmp_path / "ndr_chk_base")))
+
+
+def test_asof_join_recovers_from_checkpoint_kill(spark, tmp_path):
+    """stream_asof_join: pending purchases and view registers recovered
+    from the checkpoint must answer with the cross-kill best prior view;
+    the union equals the uninterrupted drain and the known as-of rows."""
+    import datetime as dt
+
+    from amundsendatabuilder_spark.streaming.asof_stream import (
+        stream_asof_join)
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    src = tmp_path / "asr_src"
+    src.mkdir()
+    t = lambda m: dt.datetime(2024, 1, 1, 10, 0) + dt.timedelta(minutes=m)
+    batches = [
+        # committed epoch: two views + two pending purchases
+        [(1, t(0), 1, "view", 0.0, "{}"),
+         (2, t(20), 1, "view", 0.0, "{}"),
+         (100, t(30), 1, "purchase", 9.0, "{}"),
+         (101, t(45), 2, "purchase", 9.0, "{}")],
+        # killed/replayed epoch: the closer prior view for purchase 100
+        # (must merge into RECOVERED state) + a later purchase
+        [(3, t(25), 1, "view", 0.0, "{}"),
+         (103, t(70), 1, "purchase", 9.0, "{}")],
+        # watermark sentinel: 2h delay -> frontier t(480), all emit
+        [(4, t(600), 9, "view", 0.0, "{}")],
+    ]
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(
+            str(src / f"{chr(97 + i)}_b{i}"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false")
+              .parquet(str(src) + "/*"))
+    out = stream_asof_join(stream.where("event_type = 'view'"),
+                           stream.where("event_type = 'purchase'"),
+                           horizon_minutes=60)
+    r1, r2 = _kill_restart_drain(out, str(tmp_path / "asr_chk"),
+                                 output_mode="append")
+    union = {r.event_id: r for r in r1 + r2}
+    assert set(union) == {100, 101, 103}
+    # purchase 100 held in state across the kill and answered with the
+    # POST-RECOVERY view at t(25), not the pre-kill best at t(20)
+    assert union[100].asof_view_ts == t(25)
+    assert union[101].asof_view_ts is None        # left-outer survives
+    assert union[103].asof_view_ts == t(25)       # horizon: t(10) <= t(25)
+    base = {r.event_id: r for r in _fresh_drain(
+        out, str(tmp_path / "asr_chk_base"), output_mode="append")}
+    assert {k: (v.asof_view_ts, v.purchase_ts) for k, v in union.items()} \
+        == {k: (v.asof_view_ts, v.purchase_ts) for k, v in base.items()}
+
+
+def test_bottomk_recovers_from_checkpoint_kill(spark, tmp_path):
+    """stream_bottomk_sample: the k-bounded per-window register recovered
+    from the checkpoint must merge the replayed epoch's items and emit
+    exactly the batch rank-window oracle on window close."""
+    from pyspark.sql import functions as F
+
+    import datetime as dt
+
+    from amundsendatabuilder_spark.streaming.events import (
+        windowed_bottomk_sample)
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    src = tmp_path / "bkr_src"
+    src.mkdir()
+    t = lambda m: dt.datetime(2024, 1, 1, 10, 0) + dt.timedelta(minutes=m)
+    batches = [
+        [(i, t(i), 1, "view", 0.0, "{}") for i in range(1, 6)],
+        # killed/replayed epoch merges into the recovered register
+        [(i, t(i), 1, "view", 0.0, "{}") for i in range(6, 11)]
+        + [(7, t(7), 1, "view", 0.0, "{}")],       # dup id: one slot
+        [(999, t(240), 9, "view", 0.0, "{}")],     # sentinel closes window
+    ]
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(
+            str(src / f"{chr(97 + i)}_b{i}"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false")
+              .parquet(str(src) + "/*"))
+    out = windowed_bottomk_sample(stream, k=3)
+    r1, r2 = _kill_restart_drain(out, str(tmp_path / "bkr_chk"),
+                                 output_mode="append")
+    got = sorted(r1 + r2, key=lambda r: (r.window_start, r.rank))
+    # batch oracle: the 3 (hv, id)-smallest of ids 1..10 by the same hash
+    exp = (spark.createDataFrame([(i,) for i in range(1, 11)], "id long")
+           .select("id", F.conv(F.substring(
+               F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+               .cast("long").alias("hv"))
+           .orderBy("hv", "id").limit(3).collect())
+    assert [(r.event_id, r.hv, r.rank) for r in got] \
+        == [(e.id, e.hv, i + 1) for i, e in enumerate(exp)]
+    assert all(r.window_start == t(0) for r in got)
+    assert _canon(got) == _canon(_fresh_drain(
+        out, str(tmp_path / "bkr_chk_base"), output_mode="append"))
