@@ -33,7 +33,18 @@ def minhash_constants(num_hashes: int) -> tuple[list[int], list[int]]:
     A_j odd and < 2^31 so chunk (< 2^32) * A_j stays under 2^63 — exact in
     signed 64-bit arithmetic on BOTH engines (Spark long, DuckDB BIGINT);
     golden-ratio/Murmur mixing constants give independent permutations.
-    Fixed literals mirrored into the DuckDB oracle SQL."""
+    Fixed literals mirrored into the DuckDB oracle SQL.
+
+    Register contract (r11 verdict item #5): num_hashes is the width of
+    every downstream minhash register — the per-doc signature array, the
+    band-signature rows (bands <= num_hashes), the streaming per-window
+    min registers, and ALSO the literal table baked into the plan here —
+    so the single choke point every minhash consumer passes through
+    enforces the raise-not-degrade width contract at plan time."""
+    from amundsendatabuilder_spark.operators.profiling import (
+        require_register_width)
+    require_register_width(num_hashes,
+                           "minhash signature/band registers (num_hashes)")
     a = [((0x9E3779B1 * (2 * j + 1)) % 0x8000_0000) | 1
          for j in range(num_hashes)]
     b = [(0x85EBCA77 * j) % 0x8000_0000 for j in range(num_hashes)]

@@ -879,7 +879,15 @@ def logreg_train(docs: DataFrame, iters: int = 4, lr: float = 0.5,
     constant (full-batch GD on a convex loss — each round is one pass,
     and the pass count does not grow with data).
     """
+    from amundsendatabuilder_spark.operators.profiling import (
+        require_register_width)
     from amundsendatabuilder_spark.operators.textops import feature_hashing
+    # the weight vector is a 16^hex_chars-row register broadcast every
+    # round — the raise-not-degrade width contract applies (r11 verdict
+    # item #5: 2^16 buckets today, 2^20 tomorrow; past the limit, raise
+    # at plan time instead of silently broadcasting a corpus-sized table)
+    require_register_width(16 ** hex_chars,
+                           "logreg weight register (16^hex_chars buckets)")
     y_expr = (F.col("lang") == "en") if label is None else label
     feats = feature_hashing(docs, id_col, text_col,
                             hex_chars=hex_chars).localCheckpoint()
@@ -926,7 +934,13 @@ def logreg_score(docs: DataFrame, weights: DataFrame,
     broadcast join, embarrassingly parallel at any corpus size. Docs
     whose tokens hit no weighted bucket (or with zero tokens) score the
     0.5 prior. Returns (doc_id, score) — sigmoid of the margin, 6dp."""
+    from amundsendatabuilder_spark.operators.profiling import (
+        require_register_width)
     from amundsendatabuilder_spark.operators.textops import feature_hashing
+    # the scoring side broadcasts the weight register — same width
+    # contract as logreg_train
+    require_register_width(16 ** hex_chars,
+                           "logreg weight register (16^hex_chars buckets)")
     feats = feature_hashing(docs, id_col, text_col, hex_chars=hex_chars)
     # weights are on the 1e-6 grid, so weight*1e6 is an exact integer:
     # the margin accumulates as an order-free BIGINT sum (a double sum

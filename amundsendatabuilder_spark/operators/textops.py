@@ -338,6 +338,12 @@ def bpe_merges(docs: DataFrame, iters: int = 3, vocab_size: int = 200,
     ``bpe_merges_batched`` (O(n_merges/batch) jobs, property-tested
     equal to its pure-Python twin, batch=1 ≡ this function).
     """
+    from amundsendatabuilder_spark.operators.profiling import (
+        require_register_width)
+    # the per-iteration state is the vocab_size-row word register,
+    # broadcast-crossJoined every merge — width contract (r11 item #5)
+    require_register_width(vocab_size,
+                           "bpe word-frequency register (vocab_size)")
     tok = docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
     wf = (tok.groupBy("tok").agg(F.count("*").alias("freq"))
           .orderBy(F.col("freq").desc(), F.col("tok")).limit(vocab_size))
@@ -422,6 +428,13 @@ def bpe_merges_batched(docs: DataFrame, n_merges: int = 1000,
     localCheckpointed (the kmeans/pagerank pattern); only step 0's
     word-frequency count ever sees the corpus.
     """
+    from amundsendatabuilder_spark.operators.profiling import (
+        require_register_width)
+    # two registers here: the vocab_size-row word table (per-sweep state)
+    # and the n_merges-row merge table the sweeps accumulate — both under
+    # the raise-not-degrade width contract (r11 item #5)
+    require_register_width(max(int(vocab_size), int(n_merges)),
+                           "bpe word/merge registers (vocab_size, n_merges)")
     tok = docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
     wf = (tok.groupBy("tok").agg(F.count("*").alias("freq"))
           .orderBy(F.col("freq").desc(), F.col("tok")).limit(vocab_size))

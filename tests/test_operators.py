@@ -4609,6 +4609,70 @@ def test_register_guard_graph_family(spark, monkeypatch):
         graph_algo.hyperball_effective_diameter(edges, iters=1, p=4)
 
 
+def test_register_guard_classifier_family(spark, monkeypatch):
+    """r11 verdict item #5: the logreg weight register (16^hex_chars
+    buckets, broadcast every GD round / at scoring) enforces the
+    raise-not-degrade width contract at plan time — before
+    feature_hashing's eager localCheckpoint runs any job."""
+    import pytest
+
+    from amundsendatabuilder_spark.operators import curation, profiling
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, "bonjour monde", "fr")],
+        "doc_id long, text string, lang string")
+    # healthy at the default limit: 256 buckets at hex_chars=2
+    assert curation.logreg_train(docs, iters=1).count() > 0
+    monkeypatch.setattr(profiling, "REGISTER_DOMAIN_LIMIT", 100)
+    with pytest.raises(ValueError, match="register domain"):
+        curation.logreg_train(docs, iters=1)          # 256 > 100
+    w = spark.createDataFrame([(1, 0.5)], "bucket long, weight double")
+    with pytest.raises(ValueError, match="register domain"):
+        curation.logreg_score(docs, w)                # score side too
+
+
+def test_register_guard_bpe_family(spark, monkeypatch):
+    """The BPE word-frequency register (vocab_size rows, crossJoin-
+    broadcast every merge) and the batched form's merge table both raise
+    at plan time when over-width."""
+    import pytest
+
+    from amundsendatabuilder_spark.operators import profiling, textops
+    docs = spark.createDataFrame(
+        [(1, "aa ab aa ab aa")], "doc_id long, text string")
+    monkeypatch.setattr(profiling, "REGISTER_DOMAIN_LIMIT", 10)
+    assert textops.bpe_merges(docs, iters=1, vocab_size=5).count() >= 0
+    with pytest.raises(ValueError, match="register domain"):
+        textops.bpe_merges(docs, iters=1, vocab_size=11)
+    with pytest.raises(ValueError, match="register domain"):
+        textops.bpe_merges_batched(docs, n_merges=2, vocab_size=11)
+    with pytest.raises(ValueError, match="register domain"):
+        textops.bpe_merges_batched(docs, n_merges=11, vocab_size=5)
+
+
+def test_register_guard_minhash_family(spark, monkeypatch):
+    """minhash_constants is the single choke point every minhash
+    consumer (batch LSH, streaming registers, the Jaccard estimator)
+    passes through: num_hashes bounds the signature array, the band
+    rows, AND the literal table baked into the plan — over-width raises
+    before any job."""
+    import pytest
+
+    from amundsendatabuilder_spark.functions.hashing import minhash_constants
+    from amundsendatabuilder_spark.operators import dedup, profiling
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    monkeypatch.setattr(profiling, "REGISTER_DOMAIN_LIMIT", 8)
+    a, b = minhash_constants(8)
+    assert len(a) == len(b) == 8                      # healthy at limit
+    with pytest.raises(ValueError, match="register domain"):
+        minhash_constants(9)
+    with pytest.raises(ValueError, match="register domain"):
+        dedup.minhash_signatures(docs, num_hashes=16)
+    with pytest.raises(ValueError, match="register domain"):
+        dedup.minhash_signatures_projected(docs, num_hashes=16)
+
+
 def test_ir_pr_at_k_known_values(spark):
     from amundsendatabuilder_spark.operators.ranking import ir_pr_at_k
     ranked = spark.createDataFrame(
