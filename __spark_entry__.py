@@ -52,8 +52,10 @@ _PRIORITY = [
     "union_dedup", "windowed_event_agg",
     # (b) new in round 12 (zero certs)
     "mutual_nn_recall_report",
-    # (b') semantics changed in round 12 (emit-path [:k] re-trim)
-    "stream_bottomk_sample",
+    # (b') implementation changed in round 12: bottom-k emit-path [:k]
+    # re-trim; modularity top-n rewritten TakeOrderedAndProject
+    # (bit-identical rows, new physical plan — re-certify, the r11 rule)
+    "stream_bottomk_sample", "graph_modularity",
     # (c) r6-era re-certs, alphabetical — the first 14 fit the 50-slot
     # window; the rest defer one round (same rule as r10/r11)
     "active_users_rollup", "ann_pq_adc_topk",

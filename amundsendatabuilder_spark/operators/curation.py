@@ -406,6 +406,12 @@ def dsir_importance_weights(docs: DataFrame, target: DataFrame,
                - F.log((F.col("rc") + F.lit(1.0))
                        / (F.col("R") + F.lit(B))), 9).alias("llr")))
     scored = (doc_b.join(F.broadcast(llr), "bucket")
+              # 2^53 scoping (the mixture_reweight lesson): c*llr*1e9
+              # stays on the exact double-integer grid while
+              # |c*llr| < ~9e6 — c is a PER-DOCUMENT bucket count (not a
+              # corpus count) and |llr| <= log(corpus), so the product
+              # is ~1e5 at worst for a 10M-token document; a corpus-
+              # level count here would need the DECIMAL tilt instead
               .select("_rid", "c",
                       F.round(round_half_away(
                           F.col("c") * F.col("llr"), 9) * 1e9)
@@ -849,7 +855,9 @@ def curriculum_schedule(docs: DataFrame, n_phases: int = 4,
 
 def logreg_train(docs: DataFrame, iters: int = 4, lr: float = 0.5,
                  label=None, id_col: str = "doc_id",
-                 text_col: str = "text", hex_chars: int = 2) -> DataFrame:
+                 text_col: str = "text", hex_chars: int = 2,
+                 featurizer=None, n_buckets: "int | None" = None
+                 ) -> DataFrame:
     """In-engine quality-classifier training: full-batch logistic
     regression by gradient descent over hashing-trick text features
     (textops.feature_hashing's 256 signed md5 buckets) — the
@@ -882,15 +890,21 @@ def logreg_train(docs: DataFrame, iters: int = 4, lr: float = 0.5,
     from amundsendatabuilder_spark.operators.profiling import (
         require_register_width)
     from amundsendatabuilder_spark.operators.textops import feature_hashing
-    # the weight vector is a 16^hex_chars-row register broadcast every
+    # the weight vector is a bucket-space-row register broadcast every
     # round — the raise-not-degrade width contract applies (r11 verdict
     # item #5: 2^16 buckets today, 2^20 tomorrow; past the limit, raise
-    # at plan time instead of silently broadcasting a corpus-sized table)
-    require_register_width(16 ** hex_chars,
-                           "logreg weight register (16^hex_chars buckets)")
+    # at plan time instead of silently broadcasting a corpus-sized
+    # table). ``featurizer`` swaps the feature map (e.g. the
+    # power-of-two-width bigram form, textops.feature_hashing_bits) —
+    # it must emit (doc_id, bucket, val) and declare its bucket space
+    # via ``n_buckets`` so the guard still sees the width.
+    require_register_width(
+        int(n_buckets) if n_buckets is not None else 16 ** hex_chars,
+        "logreg weight register (bucket space)")
     y_expr = (F.col("lang") == "en") if label is None else label
-    feats = feature_hashing(docs, id_col, text_col,
-                            hex_chars=hex_chars).localCheckpoint()
+    feats = (featurizer(docs) if featurizer is not None
+             else feature_hashing(docs, id_col, text_col,
+                                  hex_chars=hex_chars)).localCheckpoint()
     y = docs.select(F.col(id_col).alias("doc_id"),
                     y_expr.cast("int").alias("y"))
     n1 = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
@@ -908,6 +922,15 @@ def logreg_train(docs: DataFrame, iters: int = 4, lr: float = 0.5,
         r = (m.join(y, "doc_id")
              .select("doc_id", (p - F.col("y").cast("double"))
                      .alias("resid")))
+        # 2^53 scoping (the mixture_reweight lesson): resid is on the
+        # 1e-9 grid with |resid| <= 1, so resid*val*1e9 is exact while
+        # the PER-DOC signed bucket count |val| < ~9000 (a document
+        # repeating one bucket 9e3+ times leaves the grid — pathological
+        # for natural text; collapse such docs upstream). The bucket
+        # gradient then sums exact longs; the update divides by n as
+        # double, exact while |g_e9| < 2^53 (~9e6 docs x avg |val| per
+        # bucket) — past that scale, tilt through DECIMAL(38,0) like
+        # mixture_reweight
         g = (feats.join(r, "doc_id")
              .groupBy("bucket")
              .agg(F.sum(round_half_away(
@@ -928,7 +951,9 @@ def logreg_train(docs: DataFrame, iters: int = 4, lr: float = 0.5,
 
 def logreg_score(docs: DataFrame, weights: DataFrame,
                  id_col: str = "doc_id",
-                 text_col: str = "text", hex_chars: int = 2) -> DataFrame:
+                 text_col: str = "text", hex_chars: int = 2,
+                 featurizer=None, n_buckets: "int | None" = None
+                 ) -> DataFrame:
     """Score documents with a ``logreg_train`` weight table: the sweep
     half of the classifier-filter loop — one feature pass + one
     broadcast join, embarrassingly parallel at any corpus size. Docs
@@ -938,10 +963,13 @@ def logreg_score(docs: DataFrame, weights: DataFrame,
         require_register_width)
     from amundsendatabuilder_spark.operators.textops import feature_hashing
     # the scoring side broadcasts the weight register — same width
-    # contract as logreg_train
-    require_register_width(16 ** hex_chars,
-                           "logreg weight register (16^hex_chars buckets)")
-    feats = feature_hashing(docs, id_col, text_col, hex_chars=hex_chars)
+    # contract and featurizer injection as logreg_train
+    require_register_width(
+        int(n_buckets) if n_buckets is not None else 16 ** hex_chars,
+        "logreg weight register (bucket space)")
+    feats = (featurizer(docs) if featurizer is not None
+             else feature_hashing(docs, id_col, text_col,
+                                  hex_chars=hex_chars))
     # weights are on the 1e-6 grid, so weight*1e6 is an exact integer:
     # the margin accumulates as an order-free BIGINT sum (a double sum
     # would be partition-order dependent)

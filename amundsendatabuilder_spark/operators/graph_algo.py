@@ -897,6 +897,9 @@ def modularity(edges: DataFrame, labels: DataFrame,
                  round_half_away(
                      F.col("_tnum").cast("double") / F.col("_tden"), 9)
                  .alias("q_modularity")))
-    w = Window.orderBy(F.col("n_nodes").desc(), F.col("community").asc())
-    return (q.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= top_n).drop("_rn"))
+    # top-n as a distributed TakeOrderedAndProject (the vocab_topk
+    # discipline) — identical rows to a rank window (the total order is
+    # unique per community) without a single-task sort over the
+    # register; the register guard above still bounds the worst case
+    return q.orderBy(F.col("n_nodes").desc(), F.col("community").asc()) \
+            .limit(top_n)

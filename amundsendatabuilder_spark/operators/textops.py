@@ -1199,6 +1199,46 @@ def feature_hashing(docs: DataFrame, id_col: str = "doc_id",
             .where(F.col("val") != 0))
 
 
+def feature_hashing_bits(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", bits: int = 18,
+                         bigrams: bool = True) -> DataFrame:
+    """fastText-class hashed featurizer at power-of-two widths (r11
+    verdict item #6 — the width-ladder config): feature units are word
+    unigrams PLUS adjacent word bigrams (the fastText wordNgrams=2
+    recipe), each hashed into one of 2^bits integer buckets (top 60 md5
+    bits mod 2^bits — exact in signed 64-bit) with the ±1 sign trick of
+    ``feature_hashing``. Output: sparse (doc_id, bucket, val), val ≠ 0.
+
+    The hex-prefix ``feature_hashing`` stays the oracle-pinned default
+    (16^k widths, string buckets replayable in DuckDB); this form fills
+    the 2^18/2^20 rungs between hex gridpoints for production sizing.
+    Same 100 TB shape: one tokenize + one map-side-combinable
+    (doc, bucket) aggregation, no fitted dictionary. The 2^bits bucket
+    space is a register width — checked at plan time."""
+    from amundsendatabuilder_spark.operators.profiling import (
+        require_register_width)
+    require_register_width(1 << bits,
+                           "hashed feature/weight register (2^bits)")
+    toked = docs.select(F.col(id_col).alias("doc_id"),
+                        tokens(F.lower(F.col(text_col))).alias("_toks"))
+    gram_arr = F.col("_toks")
+    if bigrams:
+        gram_arr = F.concat(
+            F.col("_toks"),
+            F.expr("transform(sequence(1, greatest(size(_toks) - 1, 0)), "
+                   "i -> concat(_toks[i-1], ' ', _toks[i]))"))
+    h = F.md5(F.col("gram").cast("binary"))
+    rows = (toked.select("doc_id", F.explode(gram_arr).alias("gram"))
+            .select("doc_id",
+                    (F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+                     % F.lit(1 << bits)).alias("bucket"),
+                    F.when(F.substring(h, 16, 1).isin(*"01234567"), 1)
+                    .otherwise(-1).alias("sign")))
+    return (rows.groupBy("doc_id", "bucket")
+            .agg(F.sum("sign").cast("long").alias("val"))
+            .where(F.col("val") != 0))
+
+
 def dataset_card(docs: DataFrame, group_col: str = "source",
                  id_col: str = "doc_id", text_col: str = "text",
                  lang_col: str = "lang") -> DataFrame:

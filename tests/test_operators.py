@@ -5243,3 +5243,34 @@ def test_bpe_fertility_report_skips_tokenless_source(spark):
     merges = bpe_merges(docs, iters=1, vocab_size=50)
     rows = bpe_fertility_report(docs, merges, iters=1).collect()
     assert [r.source for r in rows] == ["s0"]
+
+
+def test_feature_hashing_bits_bigram_space_and_signs(spark):
+    """feature_hashing_bits: buckets live in [0, 2^bits); unigrams AND
+    adjacent bigrams contribute; output is deterministic and sparse
+    (val != 0); bigrams=False reduces to the unigram gram set."""
+    from pyspark.sql import functions as F
+
+    from amundsendatabuilder_spark.operators.textops import (
+        feature_hashing_bits)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha alpha")],
+        "doc_id long, text string")
+    out = feature_hashing_bits(docs, bits=10).collect()
+    assert all(0 <= r.bucket < 1024 and r.val != 0 for r in out)
+    # doc 1: 3 unigrams + 2 bigrams = 5 grams; doc 2: 'alpha' x2 +
+    # 'alpha alpha' — identical grams share a bucket, so distinct
+    # buckets <= distinct grams (collisions possible, never more)
+    per_doc = {r.doc_id: 0 for r in out}
+    for r in out:
+        per_doc[r.doc_id] += 1
+    assert per_doc[1] <= 5 and per_doc[2] <= 2
+    # determinism: same input, same rows
+    again = feature_hashing_bits(docs, bits=10).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # unigram-only form: doc 1 has exactly 3 grams -> <= 3 buckets, and
+    # every unigram bucket also appears in the bigram form's bucket set
+    uni = feature_hashing_bits(docs, bits=10, bigrams=False).collect()
+    uni_d1 = {r.bucket for r in uni if r.doc_id == 1}
+    assert len(uni_d1) <= 3
+    assert uni_d1 <= {r.bucket for r in out if r.doc_id == 1}

@@ -1048,3 +1048,43 @@ def test_bottomk_recovers_from_checkpoint_kill(spark, tmp_path):
     assert all(r.window_start == t(0) for r in got)
     assert _canon(got) == _canon(_fresh_drain(
         out, str(tmp_path / "bkr_chk_base"), output_mode="append"))
+
+
+def test_bottomk_emit_retrim_when_k_lowered_across_restart(spark, tmp_path):
+    """r11 ADVICE: the emit path re-trims to [:k], so lowering k across
+    a checkpoint restart emits the NEW bound even though the persisted
+    register still holds the old k rows."""
+    import datetime as dt
+
+    from amundsendatabuilder_spark.streaming.events import (
+        windowed_bottomk_sample)
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    src = tmp_path / "bkk_src"
+    src.mkdir()
+    chk = str(tmp_path / "bkk_chk")
+    t = lambda m: dt.datetime(2024, 1, 1, 10, 0) + dt.timedelta(minutes=m)
+    spark.createDataFrame(
+        [(i, t(i), 1, "view", 0.0, "{}") for i in range(1, 9)], schema
+    ).coalesce(1).write.parquet(str(src / "a_b1"))
+
+    def stream():
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .option("latestFirst", "false")
+                .parquet(str(src) + "/*"))
+
+    # run 1 at k=4: window still open (no sentinel) -> register persisted
+    # with 4 rows, nothing emitted (foreachBatch: the memory sink cannot
+    # restart from a checkpoint)
+    rows1 = _fresh_drain(windowed_bottomk_sample(stream(), k=4), chk,
+                         output_mode="append")
+    assert rows1 == []
+    # sentinel closes the window; restart from the SAME checkpoint with
+    # k=2 — the recovered 4-row register must emit only 2 rows
+    spark.createDataFrame(
+        [(999, t(240), 9, "view", 0.0, "{}")], schema
+    ).coalesce(1).write.parquet(str(src / "b_b2"))
+    rows2 = _fresh_drain(windowed_bottomk_sample(stream(), k=2), chk,
+                         output_mode="append")
+    assert sorted(r.rank for r in rows2) == [1, 2]  # old-k state, new bound
