@@ -50,8 +50,9 @@ _PRIORITY = [
     "staleness_anti_join", "stream_attribution", "stream_dedup_first_seen",
     "stream_near_dup", "stream_sessionize", "stream_windowed_counts",
     "union_dedup", "windowed_event_agg",
-    # (b) new in round 12 (zero certs)
-    "mutual_nn_recall_report",
+    # (b) new in round 12 (zero certs): the production-config recall
+    # audit vs the uncapped pin, and its exact-ground-truth companion
+    "mutual_nn_recall_report", "mutual_nn_exact_recall_report",
     # (b') implementation changed in round 12: bottom-k emit-path [:k]
     # re-trim; modularity top-n rewritten TakeOrderedAndProject
     # (bit-identical rows, new physical plan — re-certify, the r11 rule)

@@ -1203,6 +1203,88 @@ def mutual_nn_recall_report(emb: DataFrame,
                         / F.col("n_truth_mapped"), 6)).alias("recall")))
 
 
+def mutual_nn_exact_recall_report(emb: DataFrame,
+                                  planes_pin: list[list[float]],
+                                  planes_prod: list[list[float]],
+                                  bands_pin: int = 4, bands_prod: int = 8,
+                                  max_bucket_size: int = 10,
+                                  id_col: str = "vec_id",
+                                  vec_col: str = "embedding") -> DataFrame:
+    """EXACT-ground-truth companion to mutual_nn_recall_report: both
+    banded mutual-NN configurations measured against the true (brute
+    force, all-pairs) mutual top-1 relation — the audit that says which
+    config is closer to the real answer when the two banded pair sets
+    diverge (as the synthetic fixture showed: similar pair counts, low
+    overlap).
+
+    Truth = brute_force_topk(corpus, corpus, k=1) mutual pairs — exact
+    cosine, same 6dp/tie-break convention as mutual_nn_pairs. VERIFICATION
+    CONFIGURATION ONLY: the query side broadcasts the whole corpus
+    (audit scale — at 100 TB run it on a sampled slice; the banded
+    paths are the scale paths, this report is their scorecard). The
+    production config's hits are counted after mapping truth pairs
+    through the exact-vector representative (the mutual_nn_recall_report
+    mapping), so the collapse is not scored as a miss. Returns one row:
+    (n_exact_pairs, n_exact_mapped, n_pin_pairs, n_pin_hits, pin_recall,
+    n_prod_pairs, n_prod_hits, prod_recall), recalls 6dp vs the exact
+    set sized for each comparison."""
+    v = emb.select(F.col(id_col).alias(id_col), F.col(vec_col))
+    t1 = brute_force_topk(v, v, k=1, id_col=id_col, vec_col=vec_col)
+    exact = (t1.alias("a").join(
+        t1.alias("b"),
+        (F.col("a.query_id") == F.col("b.neighbor_id"))
+        & (F.col("a.neighbor_id") == F.col("b.query_id"))
+        & (F.col("a.query_id") < F.col("b.query_id")))
+        .select(F.col("a.query_id").alias("id_a"),
+                F.col("a.neighbor_id").alias("id_b")))
+    pin = mutual_nn_pairs(emb, planes_pin, bands_pin, id_col, vec_col)
+    prod = mutual_nn_pairs(emb, planes_prod, bands_prod, id_col, vec_col,
+                           max_bucket_size=max_bucket_size,
+                           collapse_exact=True)
+    reps = collapse_exact_vectors(emb, id_col, vec_col)
+    rep_map = (emb.select(F.col(id_col).alias("_rid"),
+                          F.col(vec_col).alias("_v"))
+               .join(reps.select(F.col(id_col).alias("_rep"),
+                                 F.col(vec_col).alias("_v")), "_v")
+               .select("_rid", "_rep"))
+    mapped = (exact
+              .join(rep_map.select(F.col("_rid").alias("id_a"),
+                                   F.col("_rep").alias("_ra")), "id_a")
+              .join(rep_map.select(F.col("_rid").alias("id_b"),
+                                   F.col("_rep").alias("_rb")), "id_b")
+              .select(F.least("_ra", "_rb").alias("id_a"),
+                      F.greatest("_ra", "_rb").alias("id_b"))
+              .where(F.col("id_a") < F.col("id_b")).distinct())
+    one = F.count(F.lit(1)).cast("long")
+    n_exact = exact.agg(one.alias("n_exact_pairs"))
+    n_mapped = mapped.agg(one.alias("n_exact_mapped"))
+    n_pin = pin.agg(one.alias("n_pin_pairs"))
+    pin_hits = (exact.join(pin.select("id_a", "id_b"),
+                           ["id_a", "id_b"], "left_semi")
+                .agg(one.alias("n_pin_hits")))
+    n_prod = prod.agg(one.alias("n_prod_pairs"))
+    prod_hits = (mapped.join(prod.select("id_a", "id_b"),
+                             ["id_a", "id_b"], "left_semi")
+                 .agg(one.alias("n_prod_hits")))
+
+    def recall(hits, base):
+        return (F.when(F.col(base) == 0, F.lit(0.0))
+                .otherwise(round_half_away(
+                    F.col(hits).cast("double") / F.col(base), 6)))
+
+    return (n_exact.crossJoin(F.broadcast(n_mapped))
+            .crossJoin(F.broadcast(n_pin))
+            .crossJoin(F.broadcast(pin_hits))
+            .crossJoin(F.broadcast(n_prod))
+            .crossJoin(F.broadcast(prod_hits))
+            .select("n_exact_pairs", "n_exact_mapped",
+                    "n_pin_pairs", "n_pin_hits",
+                    recall("n_pin_hits", "n_exact_pairs").alias("pin_recall"),
+                    "n_prod_pairs", "n_prod_hits",
+                    recall("n_prod_hits", "n_exact_mapped")
+                    .alias("prod_recall")))
+
+
 def knn_label_disagreement(emb: DataFrame, planes: list[list[float]],
                            bands: int = 8, k: int = 5,
                            id_col: str = "vec_id",

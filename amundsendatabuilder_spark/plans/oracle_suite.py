@@ -11761,6 +11761,104 @@ def mutual_nn_recall_report_query(spark, sf_dir):
         max_bucket_size=_CAP_SIZE)
 
 
+def _mutual_nn_exact_recall_oracle() -> str:
+    """Replay oracle for the exact-ground-truth mutual-NN audit: the
+    exact mutual top-1 relation from an ALL-PAIRS cross join (the
+    ann_brute_force_topk oracle pattern), the pin and production banded
+    chains replayed verbatim, and the representative map for the
+    production comparison."""
+    from amundsendatabuilder_spark.functions.vectors import random_planes
+    p_t = random_planes(64, 16, seed=7)
+    p_p = random_planes(64, 64, seed=7)
+    return f"""
+WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT vec_id, v FROM raw),
+xsc AS (SELECT a.vec_id AS src, b.vec_id AS nbr,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+xt1 AS (SELECT src, nbr FROM (SELECT xsc.*, row_number() OVER (
+            PARTITION BY src ORDER BY cos DESC, nbr) AS rk FROM xsc)
+        WHERE rk = 1),
+xp AS (SELECT a.src AS id_a, a.nbr AS id_b
+       FROM xt1 a JOIN xt1 b
+         ON a.src = b.nbr AND a.nbr = b.src AND a.src < b.src),
+{_rhp_sigs_cte(p_t, 4, src="e", bits="tbits", sigs="tsigs")},
+tcand AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS nbr
+          FROM tsigs x JOIN tsigs y
+            ON x.band = y.band AND x.sig = y.sig
+           AND x.vec_id <> y.vec_id),
+tsc AS (SELECT src, nbr, round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        FROM tcand JOIN e a ON a.vec_id = tcand.src
+                   JOIN e b ON b.vec_id = tcand.nbr),
+tt1 AS (SELECT src, nbr FROM (SELECT tsc.*, row_number() OVER (
+            PARTITION BY src ORDER BY cos DESC, nbr) AS rk FROM tsc)
+        WHERE rk = 1),
+tp AS (SELECT a.src AS id_a, a.nbr AS id_b
+       FROM tt1 a JOIN tt1 b
+         ON a.src = b.nbr AND a.nbr = b.src AND a.src < b.src),
+ec AS (SELECT min(vec_id) AS rep, v FROM raw GROUP BY v),
+rm AS (SELECT raw.vec_id AS id, ec.rep FROM raw JOIN ec USING (v)),
+md AS (SELECT DISTINCT least(ra.rep, rb.rep) AS id_a,
+                       greatest(ra.rep, rb.rep) AS id_b
+       FROM xp JOIN rm ra ON xp.id_a = ra.id
+               JOIN rm rb ON xp.id_b = rb.id
+       WHERE ra.rep <> rb.rep),
+e2 AS (SELECT rep AS vec_id, v FROM ec),
+{_capped_sigs_sql(p_p, _CAP_BANDS, _CAP_SIZE, src="e2", bits="pbits",
+                  sigs="psigs", capped="pcs")},
+pcand AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS nbr
+          FROM pcs x JOIN pcs y
+            ON x.band = y.band AND x.sig = y.sig
+           AND x.vec_id <> y.vec_id),
+psc AS (SELECT src, nbr, round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        FROM pcand JOIN e2 a ON a.vec_id = pcand.src
+                   JOIN e2 b ON b.vec_id = pcand.nbr),
+pt1 AS (SELECT src, nbr FROM (SELECT psc.*, row_number() OVER (
+            PARTITION BY src ORDER BY cos DESC, nbr) AS rk FROM psc)
+        WHERE rk = 1),
+pp AS (SELECT a.src AS id_a, a.nbr AS id_b
+       FROM pt1 a JOIN pt1 b
+         ON a.src = b.nbr AND a.nbr = b.src AND a.src < b.src),
+agg AS (SELECT
+    CAST((SELECT count(*) FROM xp) AS BIGINT) AS n_exact_pairs,
+    CAST((SELECT count(*) FROM md) AS BIGINT) AS n_exact_mapped,
+    CAST((SELECT count(*) FROM tp) AS BIGINT) AS n_pin_pairs,
+    CAST((SELECT count(*) FROM xp JOIN tp USING (id_a, id_b)) AS BIGINT)
+        AS n_pin_hits,
+    CAST((SELECT count(*) FROM pp) AS BIGINT) AS n_prod_pairs,
+    CAST((SELECT count(*) FROM md JOIN pp USING (id_a, id_b)) AS BIGINT)
+        AS n_prod_hits)
+SELECT n_exact_pairs, n_exact_mapped, n_pin_pairs, n_pin_hits,
+       CASE WHEN n_exact_pairs = 0 THEN 0.0
+            ELSE round(CAST(n_pin_hits AS DOUBLE) / n_exact_pairs, 6)
+       END AS pin_recall,
+       n_prod_pairs, n_prod_hits,
+       CASE WHEN n_exact_mapped = 0 THEN 0.0
+            ELSE round(CAST(n_prod_hits AS DOUBLE) / n_exact_mapped, 6)
+       END AS prod_recall
+FROM agg
+"""
+
+
+@query("mutual_nn_exact_recall_report", _mutual_nn_exact_recall_oracle())
+def mutual_nn_exact_recall_report_query(spark, sf_dir):
+    """Exact-ground-truth mutual-NN audit
+    (similarity.mutual_nn_exact_recall_report): both banded configs —
+    the 16-plane/4-band pin and the collapse/8-bit-band/cap-10
+    production twin — scored against the TRUE brute-force mutual top-1
+    relation, so when the banded pair sets diverge (the
+    mutual_nn_recall_report finding) this row says which is closer to
+    the real answer. Verification configuration: the exact side is
+    all-pairs (gate scale; sample at 100 TB)."""
+    from amundsendatabuilder_spark.functions.vectors import random_planes
+    from amundsendatabuilder_spark.operators.similarity import (
+        mutual_nn_exact_recall_report)
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return mutual_nn_exact_recall_report(
+        emb, random_planes(64, 16, seed=7), random_planes(64, 64, seed=7),
+        bands_pin=4, bands_prod=_CAP_BANDS, max_bucket_size=_CAP_SIZE)
+
+
 def _hard_negative_banded_oracle() -> str:
     from amundsendatabuilder_spark.functions.vectors import random_planes
     planes = random_planes(64, 64, seed=7)
