@@ -1088,3 +1088,44 @@ def test_bottomk_emit_retrim_when_k_lowered_across_restart(spark, tmp_path):
     rows2 = _fresh_drain(windowed_bottomk_sample(stream(), k=2), chk,
                          output_mode="append")
     assert sorted(r.rank for r in rows2) == [1, 2]  # old-k state, new bound
+
+
+def test_last_writer_recovery_on_rocksdb_state_store(spark, tmp_path):
+    """The 100 TB state claim names the RocksDB state backend; this
+    re-runs the kill/restart recovery scenario with
+    RocksDBStateStoreProvider active, proving the custom stateful
+    operator's state schema round-trips through RocksDB snapshots, not
+    just the default HDFS-backed in-memory map."""
+    from amundsendatabuilder_spark.streaming.dedup_stream import (
+        last_writer_filter)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming."
+                        "state.RocksDBStateStoreProvider")
+    try:
+        schema = "k long, seq long, val double"
+        src = tmp_path / "lwr_src"
+        src.mkdir()
+        batches = [
+            [(1, 3, 30.0), (2, 1, 5.0)],
+            [(1, 2, 99.0), (2, 4, 8.0)],   # stale row must be absorbed
+            [(1, 5, 50.0)],
+        ]
+        for i, b in enumerate(batches):
+            spark.createDataFrame(b, schema).coalesce(1).write.parquet(
+                str(src / f"{chr(97 + i)}_b{i}"))
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .option("latestFirst", "false")
+                  .parquet(str(src) + "/*"))
+        out = last_writer_filter(stream)
+        r1, r2 = _kill_restart_drain(out, str(tmp_path / "lwr_chk"))
+        union = _canon(r1 + r2)
+        assert (1, 2, 99.0) not in union   # recovered RocksDB state absorbs
+        assert union == [(1, 3, 30.0), (1, 5, 50.0),
+                         (2, 1, 5.0), (2, 4, 8.0)]
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

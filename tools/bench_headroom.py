@@ -210,6 +210,15 @@ SUITE = [
     "bpe_fertility_report",
     "stream_bottomk_sample",
     "skew_salting_plan",
+    # round-12: the mutual-NN recall audit composes BOTH banded chains
+    # plus the representative map; on this fixture the 10x growth is
+    # exact duplication, which the collapse absorbs on the production
+    # side and the rep map dedups on the truth side, so the reading
+    # should track the banded chains (~mutual_nn_dedup +
+    # mutual_nn_dedup_capped), not 10x. The EXACT-truth companion is
+    # deliberately absent: its all-pairs side is a verification
+    # configuration (gate scale only).
+    "mutual_nn_recall_report",
 ]
 
 
