@@ -1162,7 +1162,12 @@ def mutual_nn_recall_report(emb: DataFrame,
     vector-keyed groupBy + one join (the collapse_exact_vectors
     shuffle); the hit join is an equi-join on (id_a, id_b) pair keys
     sized by the truth OUTPUT; all final aggregates are one-row
-    broadcast cross-joins (the rhp_cap_audit pattern)."""
+    broadcast cross-joins (the rhp_cap_audit pattern). VERIFICATION
+    TIER, though: the truth side is the UNCAPPED pin, which inherits
+    the uncapped banded paths' dup-clique super-linearity (measured
+    19x at 10x data on the replica fixture, BENCH_HEADROOM_r12) — at
+    corpus scale run this audit on a sampled slice; the production
+    twin itself stays flat (mutual_nn_dedup_capped)."""
     truth = mutual_nn_pairs(emb, planes_truth, bands_truth, id_col,
                             vec_col)
     prod = mutual_nn_pairs(emb, planes_prod, bands_prod, id_col, vec_col,

@@ -211,13 +211,16 @@ SUITE = [
     "stream_bottomk_sample",
     "skew_salting_plan",
     # round-12: the mutual-NN recall audit composes BOTH banded chains
-    # plus the representative map; on this fixture the 10x growth is
-    # exact duplication, which the collapse absorbs on the production
-    # side and the rep map dedups on the truth side, so the reading
-    # should track the banded chains (~mutual_nn_dedup +
-    # mutual_nn_dedup_capped), not 10x. The EXACT-truth companion is
-    # deliberately absent: its all-pairs side is a verification
-    # configuration (gate scale only).
+    # plus the representative map. MEASURED sf1 reading: 176s vs 9.3s at
+    # sf0.1 (19x at 10x data) — the TRUTH side is the UNCAPPED pin,
+    # whose dup-clique super-linearity is exactly what the r10/r11
+    # verdicts measured for every uncapped banded path (the production
+    # side stays flat; see mutual_nn_dedup_capped above). That is
+    # inherent to auditing the uncapped configuration: the audit is a
+    # verification-tier op you run on a SAMPLE at corpus scale, never a
+    # production pass — kept in this suite so the reading stays
+    # measured, not assumed. The EXACT-truth companion is deliberately
+    # absent: its all-pairs side is gate-scale only.
     "mutual_nn_recall_report",
 ]
 
