@@ -329,20 +329,26 @@ def main() -> None:
               file=sys.stderr)
         return med
 
-    # calibrate AFTER warmup, BEFORE the timed queries: same JVM state
-    # the suite runs under
+    # calibrate AFTER warmup, BEFORE the timed queries — and AGAIN after
+    # the last query: the r12 adjudication measured the box drifting
+    # +-40% WITHIN a session, so one probe per run under-states drift;
+    # start/end pairs bound it
     calib = calibration_probe(spark)
     print(f"# calibration_probe: {calib}s", file=sys.stderr)
 
     for name in HEADLINE + EXTENDED:
         timings[name] = bench(name)
 
-    for line in summary_lines(timings, sf_dir, n_runs, calib):
+    calib_end = calibration_probe(spark)
+    print(f"# calibration_probe_end: {calib_end}s", file=sys.stderr)
+
+    for line in summary_lines(timings, sf_dir, n_runs, calib, calib_end):
         print(line)
 
 
 def summary_lines(timings: "dict[str, float]", sf_dir: str,
-                  n_runs: int, calib: float = 0.0) -> "list[str]":
+                  n_runs: int, calib: float = 0.0,
+                  calib_end: float = 0.0) -> "list[str]":
     """The machine-readable stdout contract, pinned by
     tests/test_bench_format.py: per-query detail first, compact headline
     LAST. The driver reads the tail of stdout, and round 6 proved the
@@ -367,6 +373,7 @@ def summary_lines(timings: "dict[str, float]", sf_dir: str,
             "extended_total": round(sum(timings[q] for q in EXTENDED), 3),
             "n_extended": len(EXTENDED),
             "calib_seconds": calib,
+            "calib_seconds_end": calib_end,
             "sf": sf_val,
         }),
     ]
