@@ -57,8 +57,13 @@ _PRIORITY = [
     # re-trim; modularity top-n rewritten TakeOrderedAndProject
     # (bit-identical rows, new physical plan — re-certify, the r11 rule)
     "stream_bottomk_sample", "graph_modularity",
-    # (c) r6-era re-certs, alphabetical — the first 14 fit the 50-slot
-    # window; the rest defer one round (same rule as r10/r11)
+    # (c) r6-era re-certs, alphabetical — the first 12 fit the 50-slot
+    # window (through densify_daily); the remaining 27 defer one round
+    # (same rule as r10/r11). Window arithmetic: the true r5/r6-era debt
+    # is 73 rows (34 r5 + 39 r6, computed from the CORRECTNESS_r* files
+    # directly), larger than the verdict's 44-row estimate, so clearing
+    # it takes this window plus part of r13's — all 73 are green on the
+    # r12 LOCAL gate (CORRECTNESS_LOCAL_r12.json, 311/311) meanwhile.
     "active_users_rollup", "ann_pq_adc_topk",
     "bigram_pmi_topk", "bloom_decontam_membership",
     "bloom_prejoin_reduction", "burst_windows", "class_keywords",
