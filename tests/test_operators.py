@@ -5274,3 +5274,61 @@ def test_feature_hashing_bits_bigram_space_and_signs(spark):
     uni_d1 = {r.bucket for r in uni if r.doc_id == 1}
     assert len(uni_d1) <= 3
     assert uni_d1 <= {r.bucket for r in out if r.doc_id == 1}
+
+
+def test_mutual_nn_recall_report_known_fixture(spark):
+    """Known-answer fixture for the recall audit: two exact-dup pairs and
+    two genuine near-neighbor pairs. The collapse absorbs the dup pairs
+    (counted as collapsed_away, never a recall loss) and the production
+    config must keep the strong pairs, so recall is computable by hand."""
+    from amundsendatabuilder_spark.functions.vectors import random_planes
+    from amundsendatabuilder_spark.operators.similarity import (
+        mutual_nn_recall_report)
+    base = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    near = [1.0, 0.05, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    other = [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    onear = [0.05, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    emb = spark.createDataFrame(
+        [(1, base), (2, base),          # exact dups -> collapse to 1
+         (3, near),                     # strong neighbor of the base pair
+         (10, other), (11, other),      # second exact-dup clique
+         (12, onear)],
+        "vec_id long, embedding array<double>")
+    planes = random_planes(8, 32, seed=7)
+    out = mutual_nn_recall_report(
+        emb, planes, planes, bands_truth=4, bands_prod=4,
+        max_bucket_size=10).collect()[0]
+    # truth (uncapped, raw ids): every vector's top-1 is its EXACT dup
+    # (cos 1.0 beats the near neighbor), so the pin's mutual pairs are
+    # exactly the dup pairs (1,2) and (10,11) — near pairs are NOT
+    # mutual on raw ids because the dup wins one direction
+    assert out.n_truth_pairs == 2
+    assert out.n_truth_collapsed_away == 2     # both vanish under the map
+    assert out.n_truth_mapped == 0             # nothing left to recall
+    assert out.recall == 0.0                   # guarded division
+    # the production config (collapsed corpus) finds the STRONG pairs
+    # the raw pin missed: (1,3) and (10,12) between representatives —
+    # the fixture-scale illustration of why collapse_exact is the
+    # production default, and why the audit reports prod pairs
+    # alongside recall instead of recall alone
+    assert out.n_prod_pairs == 2
+
+
+def test_salting_plan_ceil_math_and_omission(spark):
+    """salting_plan: factors are exact ceiling divisions; keys at or
+    under target are omitted; heaviest-first rank."""
+    from pyspark.sql import functions as F
+
+    from amundsendatabuilder_spark.functions.skew import salting_plan
+    df = spark.range(0, 1000).select(
+        F.when(F.col("id") < 700, F.lit("hot"))
+        .when(F.col("id") < 900, F.lit("warm"))
+        .otherwise(F.lit("cold")).alias("k"))
+    plan = {r.key_value: r for r in
+            salting_plan(df, "k", target_rows_per_bucket=150).collect()}
+    assert set(plan) == {"hot", "warm"}        # cold (100 <= 150) omitted
+    assert plan["hot"].rank == 1 and plan["warm"].rank == 2
+    assert plan["hot"].salt_factor == 5        # ceil(700/150)
+    assert plan["hot"].rows_per_bucket == 140  # ceil(700/5)
+    assert plan["warm"].salt_factor == 2       # ceil(200/150)
+    assert plan["warm"].rows_per_bucket == 100
