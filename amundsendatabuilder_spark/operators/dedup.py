@@ -1443,6 +1443,12 @@ def similarity_histogram(docs: DataFrame, buckets: int = 20,
     value, so bucket edges are engine-identical.
     """
     from amundsendatabuilder_spark.functions.scalars import round_half_away
+    from amundsendatabuilder_spark.operators.profiling import (
+        require_register_width)
+    # the histogram register is buckets+1 rows — same plan-time width
+    # contract as histogram_registers (r11 verdict item #5 family)
+    require_register_width(int(buckets) + 1,
+                           "similarity histogram register (buckets)")
     pairs = lsh_verified_pairs(
         docs, id_col=id_col, text_col=text_col, num_hashes=num_hashes,
         bands=bands, shingle_size=shingle_size, threshold=0.0,
