@@ -265,25 +265,33 @@ EXTENDED = [
 ]
 
 
+def _calib_df(spark):
+    """The calibration probe's FIXED workload — a deterministic 32-way
+    shuffle + two-level hash aggregate over 60M generated rows. Pinned
+    by tests/test_bench_format.py (result is exactly 1024 register
+    rows): any edit that changes this plan silently breaks every
+    cross-round calib comparison, so the shape is load-bearing."""
+    from pyspark.sql import functions as F
+    return (spark.range(0, 60_000_000, 1, 32)
+            .select((F.col("id") % 1_000_003).alias("k"),
+                    (F.col("id") % 97).alias("g"))
+            .groupBy("k").agg(F.count("*").alias("c"),
+                              F.sum("g").alias("s"))
+            .groupBy((F.col("k") % 1024).alias("b"))
+            .agg(F.sum("c").alias("n"), F.sum("s").alias("t")))
+
+
 def calibration_probe(spark) -> float:
     """Fixed machine-factor probe (r11 verdict item #2): a deterministic
     32-way shuffle + hash-aggregate microbenchmark on generated data,
     identical every run, so cross-boot/VM-drift comparisons divide out the
     environment mechanically instead of via git-stash A/B archaeology.
-    60M generated rows -> two-level hash agg across a 32-way shuffle ->
-    single count; ~1-2s on the reference box. Median of 3 runs."""
+    ~0.5-1s on the reference box. Median of 3 runs."""
     import statistics
-    from pyspark.sql import functions as F
     runs = []
     for _ in range(3):
         t0 = time.time()
-        (spark.range(0, 60_000_000, 1, 32)
-         .select((F.col("id") % 1_000_003).alias("k"),
-                 (F.col("id") % 97).alias("g"))
-         .groupBy("k").agg(F.count("*").alias("c"), F.sum("g").alias("s"))
-         .groupBy((F.col("k") % 1024).alias("b"))
-         .agg(F.sum("c").alias("n"), F.sum("s").alias("t"))
-         .count())
+        _calib_df(spark).count()
         runs.append(round(time.time() - t0, 3))
     return round(statistics.median(runs), 3)
 

@@ -46,3 +46,10 @@ def test_each_line_is_single_line_json():
     for line in bench.summary_lines(_fake_timings(), "/root/testdata/sf1", 3):
         assert "\n" not in line
         json.loads(line)  # must round-trip
+
+
+def test_calibration_workload_pinned(spark):
+    """The calib probe's workload is the unit cross-round comparisons
+    divide by — pin its result set (exactly 1024 register rows over a
+    32-way source) so a silent plan edit cannot re-base the metric."""
+    assert bench._calib_df(spark).count() == 1024
