@@ -1129,3 +1129,38 @@ def test_last_writer_recovery_on_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_bottomk_register_is_arrival_order_invariant(spark, tmp_path):
+    """The docstring claims bottom-k is merge-associative; pin it: two
+    drains of the SAME row set split into micro-batches in different
+    orders (all rows inside the watermark delay, sentinel last) must
+    emit identical closed-window registers."""
+    import datetime as dt
+
+    from amundsendatabuilder_spark.streaming.events import (
+        windowed_bottomk_sample)
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    t = lambda m: dt.datetime(2024, 1, 1, 10, 0) + dt.timedelta(minutes=m)
+    rows = [(i, t(i % 50), 1, "view", 0.0, "{}") for i in range(1, 13)]
+    sentinel = (999, t(240), 9, "view", 0.0, "{}")
+    splits = {
+        "fwd": [rows[:6], rows[6:] + [sentinel]],
+        "rev": [rows[6:], rows[:6] + [sentinel]],
+    }
+    got = {}
+    for name, batches in splits.items():
+        src = tmp_path / f"bko_{name}"
+        src.mkdir()
+        for i, b in enumerate(batches):
+            spark.createDataFrame(b, schema).coalesce(1).write.parquet(
+                str(src / f"{chr(97 + i)}_b{i}"))
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .option("latestFirst", "false")
+                  .parquet(str(src) + "/*"))
+        got[name] = _canon(_fresh_drain(
+            windowed_bottomk_sample(stream, k=4),
+            str(tmp_path / f"bko_chk_{name}"), output_mode="append"))
+    assert got["fwd"] == got["rev"] and len(got["fwd"]) == 4
