@@ -888,7 +888,7 @@ def logreg_train(docs: DataFrame, iters: int = 4, lr: float = 0.5,
     and the pass count does not grow with data).
     """
     from amundsendatabuilder_spark.operators.profiling import (
-        require_register_width)
+        guard_register_domain, require_register_width)
     from amundsendatabuilder_spark.operators.textops import feature_hashing
     # the weight vector is a bucket-space-row register broadcast every
     # round — the raise-not-degrade width contract applies (r11 verdict
@@ -896,11 +896,18 @@ def logreg_train(docs: DataFrame, iters: int = 4, lr: float = 0.5,
     # at plan time instead of silently broadcasting a corpus-sized
     # table). ``featurizer`` swaps the feature map (e.g. the
     # power-of-two-width bigram form, textops.feature_hashing_bits) —
-    # it must emit (doc_id, bucket, val) and declare its bucket space
-    # via ``n_buckets`` so the guard still sees the width.
-    require_register_width(
-        int(n_buckets) if n_buckets is not None else 16 ** hex_chars,
-        "logreg weight register (bucket space)")
+    # it MUST declare its bucket space via ``n_buckets``: without it the
+    # plan-time check would validate the irrelevant hex_chars default
+    # and an over-wide custom featurizer would bypass the contract
+    # (r12 advice), so that combination raises instead of guessing.
+    if featurizer is not None and n_buckets is None:
+        raise ValueError(
+            "logreg_train: a custom featurizer must declare its bucket "
+            "space via n_buckets — the register-width contract cannot "
+            "be checked against the hex_chars default")
+    declared = int(n_buckets) if n_buckets is not None else 16 ** hex_chars
+    require_register_width(declared,
+                           "logreg weight register (bucket space)")
     y_expr = (F.col("lang") == "en") if label is None else label
     feats = (featurizer(docs) if featurizer is not None
              else feature_hashing(docs, id_col, text_col,
@@ -908,8 +915,21 @@ def logreg_train(docs: DataFrame, iters: int = 4, lr: float = 0.5,
     y = docs.select(F.col(id_col).alias("doc_id"),
                     y_expr.cast("int").alias("y"))
     n1 = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # runtime half of the contract (r12 verdict item #5): the plan-time
+    # check trusts the DECLARED width, but the register row count is
+    # data-dependent (a featurizer emitting buckets outside its declared
+    # space, or a degenerate feature config, blows the register below the
+    # declared limit's radar) — so the register build itself counts its
+    # rows and raises past the declared width. The rank window is
+    # single-partition BY DESIGN: it runs over the register (<= declared
+    # rows by contract), never the corpus, and the localCheckpoint
+    # materializes it exactly once.
     w = (feats.select("bucket").distinct()
-         .select("bucket", F.lit(0).cast("long").alias("w_e9"))
+         .select("bucket", guard_register_domain(
+             F.lit(0).cast("long"),
+             F.row_number().over(Window.orderBy("bucket")),
+             "logreg weight register (distinct buckets)",
+             limit=declared).alias("w_e9"))
          .localCheckpoint())
     for _ in range(int(iters)):
         m = (feats.join(F.broadcast(w), "bucket")
@@ -960,23 +980,35 @@ def logreg_score(docs: DataFrame, weights: DataFrame,
     whose tokens hit no weighted bucket (or with zero tokens) score the
     0.5 prior. Returns (doc_id, score) — sigmoid of the margin, 6dp."""
     from amundsendatabuilder_spark.operators.profiling import (
-        require_register_width)
+        guard_register_domain, require_register_width)
     from amundsendatabuilder_spark.operators.textops import feature_hashing
     # the scoring side broadcasts the weight register — same width
-    # contract and featurizer injection as logreg_train
-    require_register_width(
-        int(n_buckets) if n_buckets is not None else 16 ** hex_chars,
-        "logreg weight register (bucket space)")
+    # contract, featurizer declaration rule, and runtime register guard
+    # as logreg_train (the weight table is caller-supplied here, so the
+    # runtime count is the only check that sees its TRUE row count)
+    if featurizer is not None and n_buckets is None:
+        raise ValueError(
+            "logreg_score: a custom featurizer must declare its bucket "
+            "space via n_buckets — the register-width contract cannot "
+            "be checked against the hex_chars default")
+    declared = int(n_buckets) if n_buckets is not None else 16 ** hex_chars
+    require_register_width(declared,
+                           "logreg weight register (bucket space)")
     feats = (featurizer(docs) if featurizer is not None
              else feature_hashing(docs, id_col, text_col,
                                   hex_chars=hex_chars))
     # weights are on the 1e-6 grid, so weight*1e6 is an exact integer:
     # the margin accumulates as an order-free BIGINT sum (a double sum
-    # would be partition-order dependent)
+    # would be partition-order dependent). The guard adds +0 when
+    # healthy and raises if the broadcast register outgrows the declared
+    # width — single-partition rank over register-sized rows only.
     w6 = weights.select(
         "bucket",
-        round_half_away(F.col("weight") * 1e6, 0).cast("long")
-        .alias("w_e6"))
+        guard_register_domain(
+            round_half_away(F.col("weight") * 1e6, 0).cast("long"),
+            F.row_number().over(Window.orderBy("bucket")),
+            "logreg weight register (scoring broadcast)",
+            limit=declared).alias("w_e6"))
     m = (feats.join(F.broadcast(w6), "bucket")
          .groupBy("doc_id")
          .agg(F.sum(F.col("w_e6") * F.col("val")).cast("long")

@@ -429,7 +429,7 @@ def bpe_merges_batched(docs: DataFrame, n_merges: int = 1000,
     word-frequency count ever sees the corpus.
     """
     from amundsendatabuilder_spark.operators.profiling import (
-        require_register_width)
+        guard_register_domain, require_register_width)
     # two registers here: the vocab_size-row word table (per-sweep state)
     # and the n_merges-row merge table the sweeps accumulate — both under
     # the raise-not-degrade width contract (r11 item #5)
@@ -438,8 +438,21 @@ def bpe_merges_batched(docs: DataFrame, n_merges: int = 1000,
     tok = docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
     wf = (tok.groupBy("tok").agg(F.count("*").alias("freq"))
           .orderBy(F.col("freq").desc(), F.col("tok")).limit(vocab_size))
+    # runtime half of the contract (r12 verdict item #5): the word
+    # REGISTER row count is structurally bounded by limit(vocab_size),
+    # but each row's symbol array is data-dependent — a degenerate
+    # megabyte "token" (binary junk surviving tokenization) makes every
+    # per-sweep fold carry a million-element array. The guard rides the
+    # select the table already pays for (+0 on freq when healthy) and
+    # raises past 2^16 symbols: no natural-language word is within two
+    # orders of magnitude of that; collapse such blobs upstream.
     words = wf.select(
-        "tok", "freq",
+        "tok",
+        guard_register_domain(
+            F.col("freq"),
+            F.size(F.filter(F.split(F.col("tok"), ""), lambda t: t != "")),
+            "bpe per-word symbol array (degenerate token)",
+            limit=1 << 16).alias("freq"),
         F.filter(F.split(F.col("tok"), ""), lambda t: t != "")
         .alias("syms")).localCheckpoint()
     # greedy fold with SET membership: at a boundary at most one kept
@@ -1223,10 +1236,17 @@ def feature_hashing_bits(docs: DataFrame, id_col: str = "doc_id",
                         tokens(F.lower(F.col(text_col))).alias("_toks"))
     gram_arr = F.col("_toks")
     if bigrams:
+        # guard the 0/1-token case: sequence(1, 0) steps DOWN ([1, 0])
+        # because Spark defaults the step to -1 when start > stop, so an
+        # unguarded bigram lambda indexes _toks[1] on a short array —
+        # INVALID_ARRAY_INDEX under ANSI mode, phantom NULL buckets
+        # otherwise. Short docs contribute unigrams only.
         gram_arr = F.concat(
             F.col("_toks"),
-            F.expr("transform(sequence(1, greatest(size(_toks) - 1, 0)), "
-                   "i -> concat(_toks[i-1], ' ', _toks[i]))"))
+            F.expr("CASE WHEN size(_toks) >= 2 THEN "
+                   "transform(sequence(1, size(_toks) - 1), "
+                   "i -> concat(_toks[i-1], ' ', _toks[i])) "
+                   "ELSE CAST(array() AS ARRAY<STRING>) END"))
     h = F.md5(F.col("gram").cast("binary"))
     rows = (toked.select("doc_id", F.explode(gram_arr).alias("gram"))
             .select("doc_id",

@@ -4564,6 +4564,62 @@ def test_register_guard_similarity_family(spark, monkeypatch):
         similarity._power_iterate(cov, 1, "t:")[0].collect()
 
 
+def test_register_guard_logreg_family(spark):
+    """r12 verdict item #5: the logreg weight register is guarded at
+    RUNTIME against data-dependent blowup below the declared width — a
+    featurizer emitting more distinct buckets than its declared
+    n_buckets raises mid-build instead of silently broadcasting an
+    over-wide register; and (r12 advice) a custom featurizer WITHOUT a
+    declared n_buckets raises at plan time."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from amundsendatabuilder_spark.operators.curation import (
+        logreg_score, logreg_train)
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i % 3}", "en" if i % 2 else "fr")
+         for i in range(20)],
+        "doc_id long, text string, lang string")
+    # healthy: the default featurizer's register fits its declared width
+    w = logreg_train(docs, iters=1)
+    assert w.count() <= 256
+    # plan time: featurizer without n_buckets cannot be width-checked
+    ident = lambda d: d.select(  # noqa: E731
+        "doc_id", F.col("doc_id").alias("bucket"),
+        F.lit(1).cast("long").alias("val"))
+    with pytest.raises(ValueError, match="n_buckets"):
+        logreg_train(docs, iters=1, featurizer=ident)
+    with pytest.raises(ValueError, match="n_buckets"):
+        logreg_score(docs, w, featurizer=ident)
+    # runtime: 20 distinct buckets against a declared width of 10 —
+    # the register build's rank guard raises at the localCheckpoint
+    with pytest.raises(Exception, match="register domain"):
+        logreg_train(docs, iters=1, featurizer=ident, n_buckets=10)
+    # scoring side: a caller-supplied weight table wider than declared
+    wide_w = spark.createDataFrame(
+        [(i, 0.5) for i in range(20)], "bucket long, weight double")
+    with pytest.raises(Exception, match="register domain"):
+        logreg_score(docs, wide_w, featurizer=ident, n_buckets=10).collect()
+
+
+def test_register_guard_bpe_family(spark):
+    """r12 verdict item #5: the BPE word register's row count is
+    structurally bounded by limit(vocab_size), but each row's symbol
+    array is data-dependent — a degenerate 2^16+-char "token" raises
+    instead of dragging a giant array through every sweep's fold."""
+    import pytest
+
+    from amundsendatabuilder_spark.operators.textops import (
+        bpe_merges_batched)
+    docs = spark.createDataFrame(
+        [(1, "ab ab abc")], "doc_id long, text string")
+    assert bpe_merges_batched(docs, n_merges=2, vocab_size=10).count() == 2
+    blob = spark.createDataFrame(
+        [(1, "x" * ((1 << 16) + 8))], "doc_id long, text string")
+    with pytest.raises(Exception, match="register domain"):
+        bpe_merges_batched(blob, n_merges=1, vocab_size=10)
+
+
 def test_register_guard_sketches_family(spark, monkeypatch):
     """Parametric sketch widths raise at PLAN time; the hll_estimate
     fold raises at RUN time on an over-width register table (the
@@ -5274,6 +5330,20 @@ def test_feature_hashing_bits_bigram_space_and_signs(spark):
     uni_d1 = {r.bucket for r in uni if r.doc_id == 1}
     assert len(uni_d1) <= 3
     assert uni_d1 <= {r.bucket for r in out if r.doc_id == 1}
+    # r12-advice regression: a 0- or 1-token doc must NOT evaluate the
+    # bigram lambda (sequence(1, 0) steps DOWN, indexing _toks[1] on a
+    # short array — aborts the job under ANSI mode). Short docs
+    # contribute unigrams only; empty docs contribute nothing.
+    short = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "   "), (4, "pair of tokens")],
+        "doc_id long, text string")
+    srows = feature_hashing_bits(short, bits=10).collect()
+    by_doc = {d: 0 for d in (1, 2, 3, 4)}
+    for r in srows:
+        by_doc[r.doc_id] += 1
+    assert by_doc[1] == 1          # one unigram, no bigram
+    assert by_doc[2] == 0 and by_doc[3] == 0
+    assert 1 <= by_doc[4] <= 5     # 3 unigrams + 2 bigrams, collisions ok
 
 
 def test_mutual_nn_recall_report_known_fixture(spark):

@@ -1164,3 +1164,45 @@ def test_bottomk_register_is_arrival_order_invariant(spark, tmp_path):
             windowed_bottomk_sample(stream, k=4),
             str(tmp_path / f"bko_chk_{name}"), output_mode="append"))
     assert got["fwd"] == got["rev"] and len(got["fwd"]) == 4
+
+
+def test_bottomk_timed_out_open_degrades_to_closed_path():
+    """r12 advice: a timeout firing while the window still looks open
+    (possible only if Spark's internal timeout-vs-watermark boundary
+    comparison ever becomes inclusive) must NOT assert-kill the query —
+    the state function warns and takes the closed path: emit the
+    register's bottom-k, remove the state."""
+    import warnings
+
+    from amundsendatabuilder_spark.streaming.events import _bottomk_fn
+
+    class FakeState:
+        exists = True
+        hasTimedOut = True
+        get = ([7, 3, 9], [70, 30, 90])   # ids, hvs
+        removed = False
+
+        def getCurrentWatermarkMs(self):
+            return 1_000  # watermark == window end: NOT strictly past
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, *_):
+            raise AssertionError("open-path update on a timed-out window")
+
+        def setTimeoutTimestamp(self, *_):
+            raise AssertionError("re-armed timeout on a timed-out window")
+
+    fn = _bottomk_fn(k=2, window_us=1_000_000)
+    state = FakeState()
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = list(fn((0,), iter([]), state))
+    assert any("looks open" in str(w.message) for w in caught)
+    assert state.removed
+    assert len(out) == 1
+    pdf = out[0]
+    # bottom-2 by hash value, rank ascending
+    assert list(pdf["event_id"]) == [3, 7]
+    assert list(pdf["rank"]) == [1, 2]
