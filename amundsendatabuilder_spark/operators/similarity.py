@@ -1129,13 +1129,47 @@ def mutual_nn_pairs(emb: DataFrame, planes: list[list[float]],
                 F.col("a.cos").alias("cos")))
 
 
+def _audit_scale_guard(emb: DataFrame, id_col: str,
+                       sample_frac: "float | None",
+                       max_audit_rows: int, what: str) -> DataFrame:
+    """Structural sample-scale contract for the recall AUDITS (r12
+    verdict item #3): their truth side deliberately replays the UNCAPPED
+    pin — measured 19x cost at 10x data on a dup-heavy corpus
+    (BENCH_HEADROOM_r12) — so "run it on a sampled slice at scale" must
+    be enforced by the function, not by a BENCH_INDEX convention. The
+    optional ``sample_frac`` takes a DETERMINISTIC hash slice (xxhash64
+    of the id — replayable, no RNG seed to drift); the (sampled) corpus
+    is then counted and the audit raises past ``max_audit_rows`` instead
+    of silently launching a super-linear truth job. The count is one
+    column-pruned pass — noise next to the audit itself."""
+    if sample_frac is not None:
+        if not (0.0 < float(sample_frac) <= 1.0):
+            raise ValueError(f"{what}: sample_frac must be in (0, 1], "
+                             f"got {sample_frac}")
+        emb = emb.where(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000))
+            < F.lit(int(round(float(sample_frac) * 1_000_000))))
+    n = emb.select(id_col).count()
+    if n > int(max_audit_rows):
+        raise ValueError(
+            f"{what}: audit corpus is {n} rows, over the "
+            f"max_audit_rows={max_audit_rows} bound — the truth side "
+            "replays the UNCAPPED pin (super-linear on duplicate "
+            "cliques; 19x at 10x data measured). Pass sample_frac to "
+            "audit a deterministic slice, or raise max_audit_rows "
+            "deliberately for a corpus you know is clique-free")
+    return emb
+
+
 def mutual_nn_recall_report(emb: DataFrame,
                             planes_truth: list[list[float]],
                             planes_prod: list[list[float]],
                             bands_truth: int = 4, bands_prod: int = 8,
                             max_bucket_size: int = 10,
                             id_col: str = "vec_id",
-                            vec_col: str = "embedding") -> DataFrame:
+                            vec_col: str = "embedding",
+                            sample_frac: "float | None" = None,
+                            max_audit_rows: int = 1 << 16) -> DataFrame:
     """Recall audit for the PRODUCTION mutual-NN configuration — the
     ann_recall_report discipline applied to mutual_nn_pairs (r11 verdict
     item #4): before trusting the capped/collapsed/8-bit-band twin on a
@@ -1165,9 +1199,14 @@ def mutual_nn_recall_report(emb: DataFrame,
     broadcast cross-joins (the rhp_cap_audit pattern). VERIFICATION
     TIER, though: the truth side is the UNCAPPED pin, which inherits
     the uncapped banded paths' dup-clique super-linearity (measured
-    19x at 10x data on the replica fixture, BENCH_HEADROOM_r12) — at
-    corpus scale run this audit on a sampled slice; the production
-    twin itself stays flat (mutual_nn_dedup_capped)."""
+    19x at 10x data on the replica fixture, BENCH_HEADROOM_r12) — so
+    the sample-scale rule is ENFORCED (r12 verdict item #3): past
+    ``max_audit_rows`` (default 2^16, register-sized) the audit raises
+    at submit unless ``sample_frac`` carves a deterministic hash slice
+    first; the production twin itself stays flat
+    (mutual_nn_dedup_capped)."""
+    emb = _audit_scale_guard(emb, id_col, sample_frac, max_audit_rows,
+                             "mutual_nn_recall_report")
     truth = mutual_nn_pairs(emb, planes_truth, bands_truth, id_col,
                             vec_col)
     prod = mutual_nn_pairs(emb, planes_prod, bands_prod, id_col, vec_col,
@@ -1214,7 +1253,10 @@ def mutual_nn_exact_recall_report(emb: DataFrame,
                                   bands_pin: int = 4, bands_prod: int = 8,
                                   max_bucket_size: int = 10,
                                   id_col: str = "vec_id",
-                                  vec_col: str = "embedding") -> DataFrame:
+                                  vec_col: str = "embedding",
+                                  sample_frac: "float | None" = None,
+                                  max_audit_rows: int = 1 << 16
+                                  ) -> DataFrame:
     """EXACT-ground-truth companion to mutual_nn_recall_report: both
     banded mutual-NN configurations measured against the true (brute
     force, all-pairs) mutual top-1 relation — the audit that says which
@@ -1232,7 +1274,13 @@ def mutual_nn_exact_recall_report(emb: DataFrame,
     mapping), so the collapse is not scored as a miss. Returns one row:
     (n_exact_pairs, n_exact_mapped, n_pin_pairs, n_pin_hits, pin_recall,
     n_prod_pairs, n_prod_hits, prod_recall), recalls 6dp vs the exact
-    set sized for each comparison."""
+    set sized for each comparison. The all-pairs truth makes this the
+    most scale-hostile audit in the engine, so the sample-scale rule is
+    ENFORCED (r12 verdict item #3): past ``max_audit_rows`` the audit
+    raises at submit unless ``sample_frac`` carves a deterministic hash
+    slice first."""
+    emb = _audit_scale_guard(emb, id_col, sample_frac, max_audit_rows,
+                             "mutual_nn_exact_recall_report")
     v = emb.select(F.col(id_col).alias(id_col), F.col(vec_col))
     t1 = brute_force_topk(v, v, k=1, id_col=id_col, vec_col=vec_col)
     exact = (t1.alias("a").join(

@@ -5402,3 +5402,40 @@ def test_salting_plan_ceil_math_and_omission(spark):
     assert plan["hot"].rows_per_bucket == 140  # ceil(700/5)
     assert plan["warm"].salt_factor == 2       # ceil(200/150)
     assert plan["warm"].rows_per_bucket == 100
+
+
+def test_mutual_nn_recall_audits_enforce_sample_scale(spark):
+    """r12 verdict item #3: the recall audits' truth side replays the
+    UNCAPPED pin (19x at 10x data measured), so the sample-scale rule is
+    structural — past max_audit_rows the audit raises at submit; an
+    explicit sample_frac carves a deterministic hash slice first."""
+    import pytest
+
+    from amundsendatabuilder_spark.functions.vectors import random_planes
+    from amundsendatabuilder_spark.operators.similarity import (
+        _audit_scale_guard, mutual_nn_exact_recall_report,
+        mutual_nn_recall_report)
+    emb = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(8)],
+        "vec_id long, embedding array<float>")
+    planes = random_planes(16, 8, seed=7)
+    # raise-not-degrade: 8 rows against a 4-row audit bound, both audits
+    with pytest.raises(ValueError, match="audit corpus"):
+        mutual_nn_recall_report(emb, planes, planes, max_audit_rows=4)
+    with pytest.raises(ValueError, match="audit corpus"):
+        mutual_nn_exact_recall_report(emb, planes, planes,
+                                      max_audit_rows=4)
+    # bad frac is rejected before any job
+    with pytest.raises(ValueError, match="sample_frac"):
+        mutual_nn_recall_report(emb, planes, planes, sample_frac=1.5)
+    # the hash slice is deterministic (no RNG): same frac, same ids
+    a = sorted(r.vec_id for r in _audit_scale_guard(
+        emb, "vec_id", 0.5, 1 << 16, "t").collect())
+    b = sorted(r.vec_id for r in _audit_scale_guard(
+        emb, "vec_id", 0.5, 1 << 16, "t").collect())
+    assert a == b and 0 < len(a) < 8
+    # a sampled audit under the bound runs end-to-end and keeps schema
+    out = mutual_nn_recall_report(
+        emb, planes, planes, sample_frac=0.9,
+        max_audit_rows=1 << 16).collect()
+    assert len(out) == 1 and "recall" in out[0].asDict()
