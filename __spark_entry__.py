@@ -18,57 +18,25 @@ sys.path.insert(0, "/root/repo")
 
 from amundsendatabuilder_spark.plans.oracle_suite import ORACLES, QUERIES  # noqa: E402
 
-# Dict iteration order = presentation order. Round-12 window (50
-# slots): a CONSOLIDATION round per the r11 verdict (item #1 — "clear
-# the certification-age debt in one sweep; put the oldest rows first
-# in _PRIORITY, new work after"). The operator surface is saturating,
-# so re-certs dominate:
-# (a) the 34 rows whose newest green driver cert is r5-era — the 10
-# c2-tail rows the r11 late wave pushed past the window plus the 24
-# block-(d) deferrals, oldest debt in the suite, alphabetical;
-# (b) new in round 12 (zero certs): the mutual-NN production-config
-# recall audit (r11 verdict item #4);
-# (b') semantics changed in round 12: stream_bottomk_sample's emit path
-# now re-trims to [:k] (output identical on this fixture, but the
-# operator changed — re-certify, the r11 (b') rule);
-# (c) r6-era re-certs, alphabetical, filling the remaining window
-# slots; overflow defers one round exactly like the r10/r11 deferrals.
-# Names not registered are skipped by ``_ordered``.
+# Dict iteration order = presentation order. Round-13 window (50
+# slots): the SECOND re-cert-dominated window (r12 verdict item #1 —
+# "oldest rows first in _PRIORITY, the remaining 27 r6-era rows at the
+# very front"). Recounted from CORRECTNESS_r01–r12 this round: the
+# newest-cert histogram is 27 rows at r6 + 50 at r7 (= the verdict's 77);
+# a 50-slot window cannot clear 77, so the window is
+# (a) ALL 27 r6-era rows, then
+# (b') the rows whose operator changed this round (the r11 rule:
+# changed plan/semantics → re-certify): the logreg family carries the
+# new runtime weight-register guard (r12 verdict item #5), the
+# mutual-NN recall audits carry the enforced sample-scale contract
+# (item #3; the exact twin too), and stream_bottomk_sample's
+# timeout-on-open branch now degrades gracefully (r12 advice), then
+# (c) r7-era re-certs, alphabetical, filling the remaining 14 slots;
+# the other 36 r7 rows defer to r14 (all 77 stay green on the r13
+# LOCAL gate meanwhile). Names not registered are skipped by
+# ``_ordered``.
 _PRIORITY = [
-    # (a) r5-era re-certs — the oldest certification debt (34 rows)
-    "asof_view_before_purchase", "centroid_assignment",
-    "cond_agg_subqueries", "conversion_attribution",
-    "dedup_embedding_clusters", "dedup_embedding_cosine_bucketed",
-    "dedup_embedding_exhaustive_recall", "dedup_exact",
-    "dedup_lsh_verified", "dedup_minhash_lsh",
-    "event_interarrival", "fuzzy_name_match", "graph_match_hop_predicate",
-    "group_nest_columns", "hive_union_nest",
-    "key_templates", "latest_execution_window", "lineage_reachability",
-    "lm_fluency", "multimodal_image_features", "presto_view_decode",
-    "q1_pricing_summary", "q3_top_revenue", "q5_region_volume",
-    "semi_join_exists", "sharded_table_grouping",
-    "staleness_anti_join", "stream_attribution", "stream_dedup_first_seen",
-    "stream_near_dup", "stream_sessionize", "stream_windowed_counts",
-    "union_dedup", "windowed_event_agg",
-    # (b) new in round 12 (zero certs): the production-config recall
-    # audit vs the uncapped pin, and its exact-ground-truth companion
-    "mutual_nn_recall_report", "mutual_nn_exact_recall_report",
-    # (b') implementation changed in round 12: bottom-k emit-path [:k]
-    # re-trim; modularity top-n rewritten TakeOrderedAndProject
-    # (bit-identical rows, new physical plan — re-certify, the r11 rule)
-    "stream_bottomk_sample", "graph_modularity",
-    # (c) r6-era re-certs, alphabetical — the first 12 fit the 50-slot
-    # window (through densify_daily); the remaining 27 defer one round
-    # (same rule as r10/r11). Window arithmetic: the true r5/r6-era debt
-    # is 73 rows (34 r5 + 39 r6, computed from the CORRECTNESS_r* files
-    # directly), larger than the verdict's 44-row estimate, so clearing
-    # it takes this window plus part of r13's — all 73 are green on the
-    # r12 LOCAL gate (CORRECTNESS_LOCAL_r12.json, 311/311) meanwhile.
-    "active_users_rollup", "ann_pq_adc_topk",
-    "bigram_pmi_topk", "bloom_decontam_membership",
-    "bloom_prejoin_reduction", "burst_windows", "class_keywords",
-    "cms_heavy_hitters", "cumulative_active_users",
-    "dedup_simhash64_hamming", "dedup_simhash_hamming", "densify_daily",
+    # (a) r6-era re-certs — the oldest certification debt (27 rows)
     "duplicate_substring_spans", "funnel_stages",
     "graph_match_varlen", "graph_path_rel_props", "graph_shortest_path",
     "hll_distinct_sketch", "inverted_index_postings",
@@ -80,6 +48,23 @@ _PRIORITY = [
     "scan_filter_project", "scd2_intervals", "stratified_fixed_k",
     "stream_attribution_outer", "stream_windowed_distinct",
     "stream_windowed_heavy_hitters", "zorder_layout_stats",
+    # (b') operators changed in round 13 — re-certify per the r11 rule:
+    # logreg_train/score gained the runtime register guard (plan
+    # changed, output identical), the recall audits gained the
+    # sample-scale raise (default path adds a pre-count), bottom-k's
+    # timeout branch was softened
+    "logreg_quality_train", "logreg_quality_score", "score_calibration",
+    "logreg_weight_explain", "uncertainty_sampling", "logreg_holdout_auc",
+    "mutual_nn_recall_report", "mutual_nn_exact_recall_report",
+    "stream_bottomk_sample",
+    # (c) r7-era re-certs, alphabetical — first 14 fit the window
+    # (through graph_expand_tables); the remaining 36 defer to r14
+    "char_ngram_profile", "corpus_length_stats", "decayed_popularity",
+    "decontam_benchmark_overlap", "dedup_clusters",
+    "dedup_embedding_cosine", "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped", "dedup_simhash", "doc_fingerprint",
+    "embedding_label_centroids", "embedding_norms", "epoch_transform",
+    "graph_expand_tables",
 ]
 
 

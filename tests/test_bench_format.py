@@ -28,10 +28,49 @@ def test_headline_is_last_line_and_parses_standalone():
     # JSON line as every bench run so drift-corrected ratios are
     # computable without same-box A/B archaeology
     assert "calib_seconds" in head
+    # r12 verdict item #4: the drift correction is emitted mechanically
+    # — value * (calib_ref / calib_seconds) — not computed in prose
+    assert head["calib_ref"] == bench.CALIB_REF
+    assert "value_calib_adjusted" in head
     # the headline must never outgrow a tail-read window: it carries no
     # per-query dict (that is the first line's job)
     assert "queries" not in head
-    assert len(lines[-1]) < 500
+    assert len(lines[-1]) < 600
+
+
+def test_calib_adjusted_value_formula():
+    lines = bench.summary_lines(_fake_timings(), "/root/testdata/sf0.1",
+                                3, calib=1.018, calib_end=0.509)
+    head = json.loads(lines[-1])
+    # calib read 2x the reference -> adjusted halves the raw value
+    assert abs(head["value_calib_adjusted"]
+               - head["value"] * bench.CALIB_REF / 1.018) < 1e-9
+    # no probe (calib=0, e.g. a unit test) -> adjusted is null, not bogus
+    no_probe = json.loads(bench.summary_lines(
+        _fake_timings(), "/root/testdata/sf0.1", 3)[-1])
+    assert no_probe["value_calib_adjusted"] is None
+
+
+def test_extended_pruning_modes(monkeypatch):
+    """r12 verdict item #6: default bench re-times HEADLINE + the
+    round's CHANGED extended entries only; =all keeps the full-record
+    path; summary_lines sums whatever subset actually ran."""
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_EXTENDED", raising=False)
+    changed = bench._extended_to_run()
+    assert set(changed) == set(
+        q for q in bench.EXTENDED if q in bench.CHANGED_THIS_ROUND)
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_EXTENDED", "all")
+    assert bench._extended_to_run() == bench.EXTENDED
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_EXTENDED", "none")
+    assert bench._extended_to_run() == []
+    # a pruned run's summary sums only the entries that ran
+    timings = {q: 0.1 for q in bench.HEADLINE + changed}
+    head = json.loads(bench.summary_lines(
+        timings, "/root/testdata/sf0.1", 3, calib=0.5,
+        extended_mode="changed")[-1])
+    assert head["n_extended"] == len(changed)
+    assert head["extended_mode"] == "changed"
+    assert abs(head["extended_total"] - 0.1 * len(changed)) < 1e-9
 
 
 def test_detail_line_carries_every_query():
