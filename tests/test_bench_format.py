@@ -51,6 +51,17 @@ def test_calib_adjusted_value_formula():
     assert no_probe["value_calib_adjusted"] is None
 
 
+def test_changed_this_round_names_are_registered():
+    """A typo in CHANGED_THIS_ROUND would silently drop the entry from
+    the default (pruned) bench run — every name must be a real bench
+    entry AND a registered query."""
+    from amundsendatabuilder_spark.plans.oracle_suite import QUERIES
+    benched = set(bench.HEADLINE) | set(bench.EXTENDED)
+    for name in bench.CHANGED_THIS_ROUND:
+        assert name in benched, name
+        assert name in QUERIES, name
+
+
 def test_extended_pruning_modes(monkeypatch):
     """r12 verdict item #6: default bench re-times HEADLINE + the
     round's CHANGED extended entries only; =all keeps the full-record
