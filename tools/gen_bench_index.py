@@ -37,6 +37,18 @@ NOTES = {
         "like-for-like local medians: BENCH_LOCAL_r11g 15.85s vs r10 "
         "local 16.25s. bench.py carries calib_seconds from r12 on so "
         "this class of adjudication is mechanical",
+    13: "consolidation round: flat round-over-round on a near-reference "
+        "box (local 19.68s raw / 19.34s ADJUSTED, calib 0.518/0.359 vs "
+        "r12's 19.86s at 0.509/0.623). Every r13 changed-plan entry "
+        "(logreg family + recall audits + bottom-k) reads <=1.12x r12 "
+        "(most faster - the new runtime guards are free); the r12 "
+        "simhash outliers read 0.66x/0.74x, confirming the commit A/B's "
+        "environment adjudication. Median ratio over 196 shared >0.3s "
+        "entries: 1.036x. One mid-run transient inflated the "
+        "consecutive TPC-H block 2.4-3.4x inside the sweep; an idle n=5 "
+        "re-read (tpch_block_recheck line in the artifact) returns it "
+        "to r12 levels. An earlier full run whose START calib read "
+        "3.62s is archived as bench_archive/BENCH_LOCAL_r13a.json",
     12: "first calib-instrumented record: 19.86s with calib "
         "BRACKETING 0.509s start / 0.623s end (the within-run drift "
         "the r12 probe pair now makes visible). Median per-query "
