@@ -57,14 +57,21 @@ _PRIORITY = [
     "logreg_weight_explain", "uncertainty_sampling", "logreg_holdout_auc",
     "mutual_nn_recall_report", "mutual_nn_exact_recall_report",
     "stream_bottomk_sample",
-    # (c) r7-era re-certs, alphabetical — first 14 fit the window
-    # (through graph_expand_tables); the remaining 36 defer to r14
+    # (b'' — r13 corrupt-row hardening, same sequence-steps-down class
+    # as the r12 high advice): embedding_covariance now excludes
+    # zero-length vectors from every sufficient statistic and raises on
+    # ragged dims (PCA trio inherits the plan), frame_sample_plan clamps
+    # negative durations — outputs identical on healthy data, plans
+    # changed, so all five re-certify
+    "embedding_covariance", "pca_power_iteration",
+    "pca_explained_variance", "pca_top_components",
+    "multimodal_frame_plan",
+    # (c) r7-era re-certs, alphabetical — first 9 fit the window
+    # (through dedup_simhash); the remaining 41 defer to r14
     "char_ngram_profile", "corpus_length_stats", "decayed_popularity",
     "decontam_benchmark_overlap", "dedup_clusters",
     "dedup_embedding_cosine", "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_capped", "dedup_simhash", "doc_fingerprint",
-    "embedding_label_centroids", "embedding_norms", "epoch_transform",
-    "graph_expand_tables",
+    "dedup_ngram_jaccard_capped", "dedup_simhash",
 ]
 
 

@@ -162,7 +162,13 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         .select("media_id",
                 F.explode(F.sequence(
                     F.lit(0),
-                    F.coalesce(F.col("meta.duration_ms"), F.lit(0)),
+                    # clamp corrupt negative durations: an explicit
+                    # positive step with stop < start makes sequence()
+                    # raise under ANSI mode — one bad metadata row must
+                    # not kill the frame plan (the audio path already
+                    # guards this way)
+                    F.greatest(F.coalesce(F.col("meta.duration_ms"),
+                                          F.lit(0)), F.lit(0)),
                     F.lit(every_ms))).alias("frame_ts_ms"))
     )
 

@@ -608,7 +608,15 @@ def embedding_covariance(emb: DataFrame, vec_col: str = "embedding",
     d = F.size(F.col(vec_col))
     q = F.transform(F.col(vec_col).cast("array<double>"),
                     lambda x: F.floor(x * scale).cast("long"))
-    v = emb.select(q.alias("q"))
+    # corrupt-row hardening (the r12-advice sequence class): a
+    # zero-length vector would make sequence(0, size-1) step DOWN
+    # (Spark defaults the step to -1 when start > stop) and index q[-1]
+    # — INVALID_ARRAY_INDEX aborts the whole covariance job under ANSI
+    # mode. One empty array in a 100 TB corpus must not kill PCA, so
+    # empties are excluded from EVERY sufficient statistic including n
+    # (counting a row that contributes no products would bias every
+    # entry low — exclusion is the only self-consistent treatment).
+    v = emb.select(q.alias("q")).where(F.size("q") > 0)
     pairs = F.expr(
         "flatten(transform(sequence(0, size(q)-1), i -> "
         "transform(sequence(i, size(q)-1), j -> struct("
@@ -622,7 +630,22 @@ def embedding_covariance(emb: DataFrame, vec_col: str = "embedding",
     u = (v.select(F.posexplode("q").alias("i", "qi"))
          .groupBy("i")
          .agg(F.sum(F.col("qi").cast("decimal(38,0)")).alias("s")))
-    n = v.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+    # ragged NONZERO dims are not excludable — a short row contributes a
+    # partial upper triangle and silently corrupts the matrix — so they
+    # raise instead, for free: min/max(size) fold into the count
+    # aggregate the pass already pays for (assert_true is NULL when
+    # healthy, so n is unchanged)
+    n = (v.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+               F.min(F.size("q")).alias("_dmin"),
+               F.max(F.size("q")).alias("_dmax"))
+         .select((F.col("_n") + F.coalesce(
+             F.assert_true(
+                 F.col("_dmin") == F.col("_dmax"),
+                 F.lit("embedding_covariance: ragged vector dims — a "
+                       "short row would silently corrupt the matrix; "
+                       "fix or filter the corpus upstream"))
+             .cast("decimal(38,0)"),
+             F.lit(0).cast("decimal(38,0)"))).alias("n")))
     si = u.select(F.col("i").alias("_i"), F.col("s").alias("s_i"))
     sj = u.select(F.col("i").alias("_j"), F.col("s").alias("s_j"))
     from amundsendatabuilder_spark.functions.scalars import round_half_away

@@ -292,6 +292,13 @@ CHANGED_THIS_ROUND = [
     "logreg_holdout_auc",
     "mutual_nn_recall_report",
     "stream_bottomk_sample",
+    # r13 corrupt-row hardening: covariance excludes empty vectors and
+    # raises on ragged dims (PCA trio inherits the plan); see also
+    # multimodal_frame_plan (gate-only, not benched)
+    "embedding_covariance",
+    "pca_power_iteration",
+    "pca_explained_variance",
+    "pca_top_components",
 ]
 
 

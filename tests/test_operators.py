@@ -2196,6 +2196,65 @@ def test_embedding_covariance_matches_numpy(spark):
     assert len(got) == 6  # upper triangle of 3x3
 
 
+def test_embedding_covariance_corrupt_row_hardening(spark):
+    """r13 hardening (the r12-advice sequence class, ANSI mode): a
+    zero-length embedding row must not abort the covariance job — it is
+    excluded from every sufficient statistic INCLUDING n, so the result
+    equals the clean-corpus matrix; ragged NONZERO dims raise (a short
+    row would silently corrupt the matrix)."""
+    import pytest
+
+    from amundsendatabuilder_spark.operators.similarity import (
+        embedding_covariance)
+    clean = [[0.5, -0.25, 0.125], [0.1, 0.2, -0.3],
+             [-0.4, 0.0, 0.6], [0.9, -0.1, 0.05]]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(clean)],
+                               "vec_id long, embedding array<double>")
+    want = {(r.dim_i, r.dim_j): r.cov
+            for r in embedding_covariance(df).collect()}
+    with_empty = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(clean)] + [(99, [])],
+        "vec_id long, embedding array<double>")
+    got = {(r.dim_i, r.dim_j): r.cov
+           for r in embedding_covariance(with_empty).collect()}
+    assert got == want
+    ragged = spark.createDataFrame(
+        [(0, [0.5, -0.25, 0.125]), (1, [0.1, 0.2])],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="ragged"):
+        embedding_covariance(ragged).collect()
+
+
+def test_frame_sample_plan_clamps_corrupt_duration(spark):
+    """r13 hardening: a negative duration_ms (corrupt metadata) must
+    not raise in sequence() — it clamps to the 0-frame like the audio
+    path; healthy rows are unaffected."""
+    from pyspark.sql import functions as F
+
+    from amundsendatabuilder_spark.operators.multimodal import (
+        frame_sample_plan, synthetic_media)
+    media = synthetic_media(spark, n=9)
+    bad = media.withColumn(
+        "meta", F.when(F.col("media_id") == 2,
+                       F.struct(*[F.lit(-700).alias("duration_ms")
+                                  if f.name == "duration_ms"
+                                  else F.col(f"meta.{f.name}").alias(f.name)
+                                  for f in media.schema["meta"].dataType]))
+        .otherwise(F.col("meta")))
+    rows = frame_sample_plan(bad, every_ms=1000).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.media_id, []).append(r.frame_ts_ms)
+    assert per[2] == [0]  # clamped, not crashed
+    good = frame_sample_plan(media, every_ms=1000).collect()
+    good_per = {}
+    for r in good:
+        good_per.setdefault(r.media_id, []).append(r.frame_ts_ms)
+    for mid, frames in per.items():
+        if mid != 2:
+            assert frames == good_per[mid]
+
+
 def test_l_diversity_flags_homogeneous_classes_only(spark):
     from amundsendatabuilder_spark.operators.profiling import (
         l_diversity_audit)
