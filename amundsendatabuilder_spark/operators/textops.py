@@ -597,12 +597,18 @@ def mixture_sampling_rates(docs: DataFrame,
     total = F.sum("n_tokens").over(everything)
     n_groups = F.count("*").over(everything)
     target = total.cast("double") / n_groups
+    # dirty-corpus hardening (ANSI mode aborts on x/0): a group whose
+    # docs are all empty has n_tokens = 0 — it needs no downsampling
+    # (rate 1) and holds no share; an entirely tokenless corpus makes
+    # every share 0 rather than killing the bookkeeping pass
     return g.select(
         *group_cols, "n_docs", "n_tokens",
-        round_half_away(F.col("n_tokens") / total.cast("double"), 6)
-        .alias("token_share"),
-        round_half_away(F.least(F.lit(1.0), target / F.col("n_tokens")), 6)
-        .alias("rate"))
+        F.when(total > 0, round_half_away(
+            F.col("n_tokens") / total.cast("double"), 6))
+        .otherwise(F.lit(0.0)).alias("token_share"),
+        F.when(F.col("n_tokens") > 0, round_half_away(
+            F.least(F.lit(1.0), target / F.col("n_tokens")), 6))
+        .otherwise(F.lit(1.0)).alias("rate"))
 
 
 def pack_shards(docs: DataFrame, budget_tokens: int = 20_000,
@@ -894,6 +900,12 @@ def split_exact_counts(docs: DataFrame,
     # a closed-form CASE over _n, so no second pass over the strata.
     names = [n for n, _ in weights]
     ws = [w for _, w in weights]
+    # plan-time validation (ANSI aborts on DIV 0 at runtime): the seat
+    # quotas divide by total_w in every row expression
+    if total_w <= 0 or any(w < 0 for w in ws):
+        raise ValueError(
+            f"split_exact_counts: weights must be non-negative with a "
+            f"positive sum, got {weights}")
     quota = [F.expr(f"_n * {w} DIV {total_w}") for w in ws]
     rem = [F.expr(f"(_n * {w}) % {total_w}") for w in ws]
     # seats_i = quota_i + (1 if i among top-r remainders)

@@ -5498,3 +5498,27 @@ def test_mutual_nn_recall_audits_enforce_sample_scale(spark):
         emb, planes, planes, sample_frac=0.9,
         max_audit_rows=1 << 16).collect()
     assert len(out) == 1 and "recall" in out[0].asDict()
+
+
+def test_mixture_rates_empty_group_and_split_weight_validation(spark):
+    """r13 dirty-corpus hardening (ANSI aborts on x/0): a group whose
+    docs are all empty gets rate 1 / share 0 instead of killing the
+    bookkeeping pass; split_exact_counts validates its weights at plan
+    time for the same reason."""
+    import pytest
+
+    from amundsendatabuilder_spark.operators.textops import (
+        mixture_sampling_rates, split_exact_counts)
+    docs = spark.createDataFrame(
+        [(1, "en", "web", "alpha beta"), (2, "en", "web", "gamma"),
+         (3, "xx", "junk", ""), (4, "xx", "junk", "   ")],
+        "doc_id long, lang string, source string, text string")
+    rows = {(r.lang, r.source): r
+            for r in mixture_sampling_rates(docs).collect()}
+    junk = rows[("xx", "junk")]
+    assert junk.n_tokens == 0 and junk.rate == 1.0 and junk.token_share == 0.0
+    assert rows[("en", "web")].token_share == 1.0
+    with pytest.raises(ValueError, match="weights"):
+        split_exact_counts(docs, weights=(("train", 0), ("val", 0)))
+    with pytest.raises(ValueError, match="weights"):
+        split_exact_counts(docs, weights=(("train", 3), ("val", -1)))
