@@ -67,14 +67,14 @@ _PRIORITY = [
     "pca_explained_variance", "pca_top_components",
     "multimodal_frame_plan",
     # mixture_rates is BOTH r7-era and changed this round (empty-group
-    # division hardening), so it takes a (c) slot with priority
-    "mixture_rates",
-    # (c) r7-era re-certs, alphabetical — first 8 fit the window
-    # (through dedup_ngram_jaccard_capped); the remaining 41 defer to r14
+    # division hardening); distribution_drift changed too (degenerate
+    # one-timestamp range no longer DIV-0-aborts)
+    "mixture_rates", "distribution_drift",
+    # (c) r7-era re-certs, alphabetical — first 7 fit the window
+    # (through dedup_ngram_jaccard); the remaining 42 defer to r14
     "char_ngram_profile", "corpus_length_stats", "decayed_popularity",
     "decontam_benchmark_overlap", "dedup_clusters",
     "dedup_embedding_cosine", "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_capped",
 ]
 
 

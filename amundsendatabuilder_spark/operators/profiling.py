@@ -144,10 +144,19 @@ def distribution_drift(df: DataFrame, category_col: str,
                    F.sum("_second").alias("n_second")))
     tot = counts.agg(F.sum("n_first").alias("_tf"),
                      F.sum("n_second").alias("_ts"))
+    # degenerate-range hardening (ANSI aborts on DIV 0): when every
+    # event carries ONE timestamp, min==max puts all rows in the second
+    # half and _tf = 0 (symmetrically _ts for an empty second half can't
+    # happen — the max row always lands there — but guard both: the
+    # monitor must report 0-vs-all drift, not kill the pipeline)
     out = (counts.crossJoin(F.broadcast(tot))
            .select("category",
-                   F.expr("n_first * 1000000 DIV _tf").alias("ppm_first"),
-                   F.expr("n_second * 1000000 DIV _ts").alias("ppm_second")))
+                   F.when(F.col("_tf") > 0,
+                          F.expr("n_first * 1000000 DIV _tf"))
+                   .otherwise(F.lit(0).cast("long")).alias("ppm_first"),
+                   F.when(F.col("_ts") > 0,
+                          F.expr("n_second * 1000000 DIV _ts"))
+                   .otherwise(F.lit(0).cast("long")).alias("ppm_second")))
     return out.withColumn(
         "abs_delta_ppm",
         F.abs(F.col("ppm_first") - F.col("ppm_second")).cast("long"))

@@ -299,6 +299,9 @@ CHANGED_THIS_ROUND = [
     "pca_power_iteration",
     "pca_explained_variance",
     "pca_top_components",
+    # r13 ANSI div-by-zero hardening on the degenerate one-timestamp
+    # range (mixture_rates changed too — gate-only, not benched)
+    "distribution_drift",
 ]
 
 

@@ -5522,3 +5522,21 @@ def test_mixture_rates_empty_group_and_split_weight_validation(spark):
         split_exact_counts(docs, weights=(("train", 0), ("val", 0)))
     with pytest.raises(ValueError, match="weights"):
         split_exact_counts(docs, weights=(("train", 3), ("val", -1)))
+
+
+def test_distribution_drift_single_timestamp_degenerate_range(spark):
+    """r13 hardening: when every event carries one timestamp, min==max
+    puts ALL rows in the second half — the monitor must report the
+    0-vs-all split, not die on 1e6 DIV 0 (ANSI)."""
+    import datetime as dt
+
+    from amundsendatabuilder_spark.operators.profiling import (
+        distribution_drift)
+    t = dt.datetime(2024, 1, 1, 12, 0)
+    df = spark.createDataFrame(
+        [(1, t, "a"), (2, t, "a"), (3, t, "b")],
+        "event_id long, ts timestamp, event_type string")
+    rows = {r.category: r for r in
+            distribution_drift(df, "event_type", "ts").collect()}
+    assert rows["a"].ppm_first == 0 and rows["a"].ppm_second == 666666
+    assert rows["b"].ppm_first == 0 and rows["b"].ppm_second == 333333
