@@ -485,6 +485,10 @@ def histogram_registers(df: DataFrame, col, lo: int, width: int,
         require_register_width)
     require_register_width(n_buckets,
                            f"histogram registers ({n_buckets} buckets)")
+    if width < 1:
+        raise ValueError(
+            f"histogram width must be >= 1 (got {width}): the bucket "
+            "edge is an integer DIV, and width 0 aborts under ANSI")
     v = (F.col(col) if isinstance(col, str) else col).cast("long")
     # integer DIV (not float '/'): bucket edges must be exact at any
     # magnitude; negatives clamp to bucket 0 before the division matters

@@ -321,6 +321,10 @@ def windowed_histogram_registers(events: DataFrame, window: str = "1 hour",
     per-window p50/p90/p99 fold at read time via histogram_quantile.
     Exact per-window quantiles would hold every value in state; the
     register grid caps state at n_buckets longs per window."""
+    if width < 1:
+        raise ValueError(
+            f"histogram width must be >= 1 (got {width}): the bucket "
+            "edge is an integer DIV, and width 0 aborts under ANSI")
     cents = F.floor(F.col("value") * 100).cast("long")
     b = F.least(F.lit(n_buckets - 1).cast("long"),
                 F.expr(f"GREATEST(CAST(0 AS BIGINT), _c - {lo})"

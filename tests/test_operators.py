@@ -5540,3 +5540,19 @@ def test_distribution_drift_single_timestamp_degenerate_range(spark):
             distribution_drift(df, "event_type", "ts").collect()}
     assert rows["a"].ppm_first == 0 and rows["a"].ppm_second == 666666
     assert rows["b"].ppm_first == 0 and rows["b"].ppm_second == 333333
+
+
+def test_histogram_width_validated_at_plan_time(spark):
+    """r13: width 0 would make every bucket edge an integer DIV 0
+    (ANSI abort) — both histogram register builders raise at plan time."""
+    import pytest
+
+    from amundsendatabuilder_spark.operators.sketches import (
+        histogram_registers)
+    from amundsendatabuilder_spark.streaming.events import (
+        windowed_histogram_registers)
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError, match="width"):
+        histogram_registers(df, "v", lo=0, width=0, n_buckets=8)
+    with pytest.raises(ValueError, match="width"):
+        windowed_histogram_registers(df, width=0)
