@@ -37,7 +37,13 @@ NOTES = {
         "like-for-like local medians: BENCH_LOCAL_r11g 15.85s vs r10 "
         "local 16.25s. bench.py carries calib_seconds from r12 on so "
         "this class of adjudication is mechanical",
-    13: "consolidation round: flat round-over-round on a near-reference "
+    13: "consolidation + corrupt-row hardening round. The full record "
+        "predates the late hardening; the artifact's "
+        "changed_mode_posthardening_supplement line re-times every "
+        "changed entry on final code (hardening 0.92-1.09x = free; "
+        "quiet n=5 isolation shows the recall audit's enforced-guard "
+        "count costs 0.21s). Main note: "
+        "flat round-over-round on a near-reference "
         "box (local 19.68s raw / 19.34s ADJUSTED, calib 0.518/0.359 vs "
         "r12's 19.86s at 0.509/0.623). Every r13 changed-plan entry "
         "(logreg family + recall audits + bottom-k) reads <=1.12x r12 "
