@@ -103,3 +103,17 @@ def test_calibration_workload_pinned(spark):
     divide by — pin its result set (exactly 1024 register rows over a
     32-way source) so a silent plan edit cannot re-base the metric."""
     assert bench._calib_df(spark).count() == 1024
+
+
+def test_priority_window_hygiene():
+    """The driver certifies exactly the first 50 of queries() — a typo'd
+    or duplicated _PRIORITY name silently shrinks the round's
+    re-certification window."""
+    import __spark_entry__ as entry
+    from amundsendatabuilder_spark.plans.oracle_suite import QUERIES
+    pri = entry._PRIORITY
+    assert len(pri) == 50, f"window is {len(pri)} slots, expected 50"
+    assert len(set(pri)) == len(pri), "duplicate window entries"
+    unknown = [q for q in pri if q not in QUERIES]
+    assert not unknown, f"unregistered window entries: {unknown}"
+    assert list(entry.queries())[:50] == pri
