@@ -21,7 +21,9 @@ from amundsendatabuilder_spark.plans.oracle_suite import ORACLES, QUERIES  # noq
 # Dict iteration order = presentation order. Round-13 window (50
 # slots): the SECOND re-cert-dominated window (r12 verdict item #1 —
 # "oldest rows first in _PRIORITY, the remaining 27 r6-era rows at the
-# very front"). Recounted from CORRECTNESS_r01–r12 this round: the
+# very front"). Recounted from CORRECTNESS_r01–r12 this round (the
+# recount is now a tool — ``python tools/cert_age.py`` prints the
+# histogram and the oldest-first paste-ready stale list): the
 # newest-cert histogram is 27 rows at r6 + 50 at r7 (= the verdict's 77);
 # a 50-slot window cannot clear 77, so the window is
 # (a) ALL 27 r6-era rows, then
