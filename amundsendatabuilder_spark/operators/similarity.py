@@ -635,12 +635,18 @@ def embedding_covariance(emb: DataFrame, vec_col: str = "embedding",
     # raise instead, for free: min/max(size) fold into the count
     # aggregate the pass already pays for (assert_true is NULL when
     # healthy, so n is unchanged)
+    # empty-register escape: when the post-filter corpus is EMPTY (no
+    # input, or every vector was zero-length and excluded), min/max are
+    # NULL and assert_true raises on NULL — coalesce(NULL, true) lets
+    # the degenerate corpus flow through to an empty result instead of
+    # aborting with a misleading "ragged dims" error (r13 ADVICE)
     n = (v.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
                F.min(F.size("q")).alias("_dmin"),
                F.max(F.size("q")).alias("_dmax"))
          .select((F.col("_n") + F.coalesce(
              F.assert_true(
-                 F.col("_dmin") == F.col("_dmax"),
+                 F.coalesce(F.col("_dmin") == F.col("_dmax"),
+                            F.lit(True)),
                  F.lit("embedding_covariance: ragged vector dims — a "
                        "short row would silently corrupt the matrix; "
                        "fix or filter the corpus upstream"))
@@ -1164,7 +1170,13 @@ def _audit_scale_guard(emb: DataFrame, id_col: str,
     of the id — replayable, no RNG seed to drift); the (sampled) corpus
     is then counted and the audit raises past ``max_audit_rows`` instead
     of silently launching a super-linear truth job. The count is one
-    column-pruned pass — noise next to the audit itself."""
+    column-pruned pass — noise next to the audit itself.
+
+    NOTE: this guard is EAGER — the ``count()`` below is a Spark action
+    that runs at CALL time, not at the returned plan's submit time.
+    Callers composing the audit into a larger lazy pipeline pay (and
+    observe) that scan immediately; the returned DataFrame is the
+    post-slice corpus, already verified to fit the bound."""
     if sample_frac is not None:
         if not (0.0 < float(sample_frac) <= 1.0):
             raise ValueError(f"{what}: sample_frac must be in (0, 1], "

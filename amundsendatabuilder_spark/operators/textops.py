@@ -1492,7 +1492,14 @@ def quality_decile_table(docs: DataFrame, n_deciles: int = 10,
                F.col("cc").cast("long").alias("n_docs_le"),
                F.expr("cc * 1000000 DIV n").cast("long").alias("pct_docs_ppm"),
                F.col("ct").cast("long").alias("total_tokens_le"),
-               F.expr("ct * 1000000 DIV tok_n").cast("long")
+               # corpus-level-empty denominator (ANSI aborts on DIV 0):
+               # an all-empty-docs corpus has rows (every doc registers
+               # at score 0) but tok_n = 0 — 0 of 0 tokens is 0 ppm,
+               # same convention as mixture_sampling_rates' token_share.
+               # n needs no guard: a joined row implies cc >= need >= 1
+               # so regs were nonempty and n = sum(c) >= 1
+               F.expr("CASE WHEN tok_n > 0 THEN ct * 1000000 DIV tok_n "
+                      "ELSE 0 END").cast("long")
                .alias("pct_tokens_ppm"),
                F.col("cf").cast("long").alias("n_distinct_le"),
                F.expr("(cc - cf) * 1000000 DIV cc").cast("long")

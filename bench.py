@@ -270,7 +270,11 @@ EXTENDED = [
 # 0.509s on an idle box (BENCH_LOCAL_r12.json). Every headline line now
 # carries value * (CALIB_REF / calib_seconds) so drift correction is
 # mechanical, not prose — re-base ONLY alongside a probe-workload change
-# (test_calibration_workload_pinned pins the workload itself).
+# (test_calibration_workload_pinned pins the workload itself) or a
+# driver-box generation change, and then ONLY per the re-base protocol
+# documented in BENCH_INDEX.md ("CALIB_REF re-base protocol"): quiet-box
+# n>=5 probe medians committed alongside the new constant, never
+# mid-round.
 CALIB_REF = 0.509
 
 # Extended entries whose plan or semantics changed THIS round (r12
@@ -279,29 +283,24 @@ CALIB_REF = 0.509
 # changed entries is the signal). Default bench mode re-times HEADLINE +
 # these; SPARK_GRAFT_BENCH_EXTENDED=all runs the full extended set (the
 # every-few-rounds full record and on-demand audits), =none headline only.
+#
+# FRESHNESS CONTRACT (r13 verdict item #3): CHANGED_ROUND must equal the
+# round this list was rebuilt for. tests/test_bench_format.py derives the
+# current round from VERDICT.md's header (round N's verdict exists while
+# round N+1 builds) and fails if the marker is stale — a forgotten
+# rebuild now breaks the suite instead of silently re-timing last
+# round's entries. The marker is also emitted in the headline JSON as
+# ``changed_round`` so the recorded artifact carries the provenance.
+CHANGED_ROUND = 14
 CHANGED_THIS_ROUND = [
-    # r13: runtime register guards in logreg_train/score (r12 verdict
-    # item #5) touch every logreg-family plan; the mutual-NN recall
-    # audit gained the enforced sample-scale contract (item #3); the
-    # bottom-k register's timeout branch degrades gracefully now
-    "logreg_quality_train",
-    "logreg_quality_score",
-    "score_calibration",
-    "logreg_weight_explain",
-    "uncertainty_sampling",
-    "logreg_holdout_auc",
-    "mutual_nn_recall_report",
-    "stream_bottomk_sample",
-    # r13 corrupt-row hardening: covariance excludes empty vectors and
-    # raises on ragged dims (PCA trio inherits the plan); see also
-    # multimodal_frame_plan (gate-only, not benched)
+    # r14: the covariance register's ragged-dims assert now passes an
+    # EMPTY register through (coalesce(cond, true) — r13 ADVICE): plan
+    # changed for the whole covariance family, outputs identical on
+    # healthy data
     "embedding_covariance",
     "pca_power_iteration",
     "pca_explained_variance",
     "pca_top_components",
-    # r13 ANSI div-by-zero hardening on the degenerate one-timestamp
-    # range (mixture_rates changed too — gate-only, not benched)
-    "distribution_drift",
 ]
 
 
@@ -311,6 +310,12 @@ def _extended_to_run() -> "list[str]":
         return EXTENDED
     if mode == "none":
         return []
+    if mode != "changed":
+        # fail loudly: a typo ("al", "ALL") silently falling back to the
+        # pruned mode would get recorded as if deliberate (r13 ADVICE)
+        raise ValueError(
+            f"SPARK_GRAFT_BENCH_EXTENDED={mode!r} — expected one of "
+            "'all', 'none', 'changed'")
     return [q for q in EXTENDED if q in CHANGED_THIS_ROUND]
 
 
@@ -418,10 +423,16 @@ def summary_lines(timings: "dict[str, float]", sf_dir: str,
     metric/value/unit/sf, parseable on its own.
 
     ``value_calib_adjusted`` (r12 verdict item #4) = value *
-    (CALIB_REF / calib_seconds): the drift correction the r12 verdict
-    performed by hand, emitted mechanically alongside the raw number —
-    compare ADJUSTED across rounds, RAW within one."""
+    (CALIB_REF / calib_mean) where calib_mean averages the START and END
+    probe readings when both ran (r13 ADVICE: the r13 record showed 44%
+    within-run probe drift, so a single start reading can carry a
+    transient into the "mechanical" cross-round number; the bracket mean
+    is the robust estimator the run already pays for). Compare ADJUSTED
+    across rounds, RAW within one."""
     total = round(sum(timings[q] for q in HEADLINE), 3)
+    calib_readings = [c for c in (calib, calib_end) if c > 0]
+    calib_mean = (sum(calib_readings) / len(calib_readings)
+                  if calib_readings else 0.0)
     ext_run = [q for q in EXTENDED if q in timings]
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -434,9 +445,11 @@ def summary_lines(timings: "dict[str, float]", sf_dir: str,
         json.dumps({
             "metric": "headline_suite_seconds",
             "value": total,
-            "value_calib_adjusted": (round(total * CALIB_REF / calib, 3)
-                                     if calib > 0 else None),
+            "value_calib_adjusted": (
+                round(total * CALIB_REF / calib_mean, 3)
+                if calib_mean > 0 else None),
             "calib_ref": CALIB_REF,
+            "changed_round": CHANGED_ROUND,
             "unit": "sec",
             "n": n_runs,
             "n_queries": len(HEADLINE),

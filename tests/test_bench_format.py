@@ -42,9 +42,16 @@ def test_calib_adjusted_value_formula():
     lines = bench.summary_lines(_fake_timings(), "/root/testdata/sf0.1",
                                 3, calib=1.018, calib_end=0.509)
     head = json.loads(lines[-1])
-    # calib read 2x the reference -> adjusted halves the raw value
+    # r13 ADVICE: the adjustment divides by the MEAN of the start/end
+    # bracket readings, so one transient probe reading cannot skew the
+    # cross-round number (r13's record showed 44% within-run drift)
     assert abs(head["value_calib_adjusted"]
-               - head["value"] * bench.CALIB_REF / 1.018) < 1e-9
+               - head["value"] * bench.CALIB_REF / 0.7635) < 5e-4
+    # end probe missing (crash-truncated run) -> fall back to start alone
+    start_only = json.loads(bench.summary_lines(
+        _fake_timings(), "/root/testdata/sf0.1", 3, calib=1.018)[-1])
+    assert abs(start_only["value_calib_adjusted"]
+               - start_only["value"] * bench.CALIB_REF / 1.018) < 5e-4
     # no probe (calib=0, e.g. a unit test) -> adjusted is null, not bogus
     no_probe = json.loads(bench.summary_lines(
         _fake_timings(), "/root/testdata/sf0.1", 3)[-1])
@@ -62,6 +69,24 @@ def test_changed_this_round_names_are_registered():
         assert name in QUERIES, name
 
 
+def test_changed_this_round_is_fresh():
+    """r13 verdict item #3: nothing failed if a round forgot to rebuild
+    CHANGED_THIS_ROUND — the default bench would silently re-time LAST
+    round's entries and record them as deliberate. The current round is
+    derived from VERDICT.md's header (`# VERDICT — round N` is written
+    AFTER round N, so round N+1 builds while it reads N); a stale
+    CHANGED_ROUND marker now fails the suite."""
+    import re
+    with open("/root/repo/VERDICT.md", encoding="utf-8") as f:
+        m = re.search(r"round\s+(\d+)", f.readline())
+    assert m, "VERDICT.md header did not carry a round number"
+    current_round = int(m.group(1)) + 1
+    assert bench.CHANGED_ROUND == current_round, (
+        f"bench.CHANGED_ROUND is {bench.CHANGED_ROUND} but the current "
+        f"round is {current_round} — rebuild CHANGED_THIS_ROUND for "
+        "this round's plan changes (and bump the marker)")
+
+
 def test_extended_pruning_modes(monkeypatch):
     """r12 verdict item #6: default bench re-times HEADLINE + the
     round's CHANGED extended entries only; =all keeps the full-record
@@ -74,6 +99,14 @@ def test_extended_pruning_modes(monkeypatch):
     assert bench._extended_to_run() == bench.EXTENDED
     monkeypatch.setenv("SPARK_GRAFT_BENCH_EXTENDED", "none")
     assert bench._extended_to_run() == []
+    # r13 ADVICE: a typo must fail loudly, not silently prune
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_EXTENDED", "al")
+    try:
+        bench._extended_to_run()
+    except ValueError as exc:
+        assert "al" in str(exc)
+    else:
+        raise AssertionError("typo'd extended mode did not raise")
     # a pruned run's summary sums only the entries that ran
     timings = {q: 0.1 for q in bench.HEADLINE + changed}
     head = json.loads(bench.summary_lines(

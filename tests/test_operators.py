@@ -2225,6 +2225,23 @@ def test_embedding_covariance_corrupt_row_hardening(spark):
         embedding_covariance(ragged).collect()
 
 
+def test_embedding_covariance_empty_register_escape(spark):
+    """r13 ADVICE: when the post-filter register is EMPTY (zero-row
+    input, or EVERY vector zero-length and excluded), min/max(size) are
+    NULL and assert_true would raise on NULL with a misleading "ragged
+    dims" error — the coalesce(cond, true) escape must yield an empty
+    result instead, without weakening the ragged raise."""
+    from amundsendatabuilder_spark.operators.similarity import (
+        embedding_covariance)
+    all_empty = spark.createDataFrame(
+        [(1, []), (2, []), (3, [])],
+        "vec_id long, embedding array<double>")
+    assert embedding_covariance(all_empty).collect() == []
+    zero_rows = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>")
+    assert embedding_covariance(zero_rows).collect() == []
+
+
 def test_frame_sample_plan_clamps_corrupt_duration(spark):
     """r13 hardening: a negative duration_ms (corrupt metadata) must
     not raise in sequence() — it clamps to the 0-frame like the audio
@@ -2709,6 +2726,28 @@ def test_quality_decile_table_matches_exact_sort_derivation(spark):
     assert got[-1].dup_ppm_le == 0  # all docs distinct
     curves = [(r.n_docs_le, r.total_tokens_le, r.n_distinct_le) for r in got]
     assert curves == sorted(curves)
+
+
+def test_quality_decile_table_all_empty_corpus(spark):
+    """r13 verdict item #2 (corpus-level-empty denominator class, ANSI
+    mode): an all-empty-docs corpus registers every doc at one score
+    with tok_n = 0 — `ct DIV tok_n` must not abort; 0 of 0 tokens is
+    0 ppm (the mixture_sampling_rates convention). A zero-ROW corpus
+    yields an empty table (no register rows to join)."""
+    from amundsendatabuilder_spark.operators.textops import (
+        quality_decile_table)
+    all_empty = spark.createDataFrame(
+        [(i, "") for i in range(8)], "doc_id long, text string")
+    got = sorted(quality_decile_table(all_empty).collect(),
+                 key=lambda r: r.decile)
+    assert len(got) == 10
+    assert all(r.total_tokens_le == 0 and r.pct_tokens_ppm == 0
+               for r in got)
+    assert got[-1].n_docs_le == 8 and got[-1].pct_docs_ppm == 1000000
+    # every empty doc shares one fingerprint -> 7 of 8 are duplicates
+    assert got[-1].n_distinct_le == 1
+    zero_rows = spark.createDataFrame([], "doc_id long, text string")
+    assert quality_decile_table(zero_rows).collect() == []
 
 
 def test_equi_depth_boundaries_matches_sorted_ranks(spark):

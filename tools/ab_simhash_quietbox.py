@@ -35,9 +35,24 @@ def main() -> None:
     from amundsendatabuilder_spark.session import get_spark
 
     # import the HEAD bench module for the PINNED calib workload so both
-    # sides bracket with the identical probe regardless of worktree age
-    sys.path.insert(0, "/root/repo")
-    import bench
+    # sides bracket with the identical probe regardless of worktree age.
+    # Loaded BY FILE PATH, not via sys.path: inserting /root/repo ahead
+    # of the worktree root would make every module the worktree lazily
+    # imports inside query bodies resolve from HEAD, contaminating the
+    # A/B toward "no difference" (r13 ADVICE — exactly what the r13
+    # simhash adjudication risked)
+    # bench.py's own import-time `sys.path.insert(0, <its dir>)` would
+    # reintroduce the precedence bug, so the path is snapshotted around
+    # the exec and any HEAD package modules it pulled in are evicted
+    import importlib.util
+    _spec = importlib.util.spec_from_file_location(
+        "_head_bench", "/root/repo/bench.py")
+    bench = importlib.util.module_from_spec(_spec)
+    _saved_path = list(sys.path)
+    try:
+        _spec.loader.exec_module(bench)
+    finally:
+        sys.path[:] = _saved_path
 
     spark = get_spark(f"ab_{tag}")
     spark.sparkContext.setLogLevel("ERROR")

@@ -1,0 +1,125 @@
+"""Degenerate-corpus sweep (r14 verdict item #2): run every queries()
+entry against a corpus whose documents are all EMPTY STRINGS (and,
+optionally, a zero-row documents table) and record which plans abort.
+
+Under Spark 4's ANSI default, any corpus-level aggregate used as a
+denominator (total tokens, vocab size, total n-grams, ...) is 0 on such
+a corpus and `DIV`/`/` abort the job — the class the r13 round fixed for
+mixture_sampling_rates / distribution_drift and the short-doc bigram
+crash. This tool finds the remaining members empirically instead of by
+grep: the plan that *runs* is the ground truth.
+
+Usage: python tools/degenerate_sweep.py [allempty|zerorows] [query ...]
+Writes DEGENERATE_SWEEP_<variant>.json next to the repo root unless
+SPARK_GRAFT_SWEEP_JSON overrides the path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, "/root/repo")
+
+BASE_SF = "/root/testdata/sf0.001"
+DEG_ROOT = "/root/repo/.degenerate"
+TABLES = ("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")
+
+
+def build_dir(variant: str) -> str:
+    """Materialize the degenerate sf dir: all non-document tables are
+    symlinks to sf0.001; documents.parquet is rewritten per variant."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = os.path.join(DEG_ROOT, variant)
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        if t == "documents":
+            continue
+        dst = os.path.join(out, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(BASE_SF, f"{t}.parquet"), dst)
+    src = pq.read_table(os.path.join(BASE_SF, "documents.parquet"))
+    if variant == "allempty":
+        n = src.num_rows
+        tbl = pa.table({
+            "doc_id": src.column("doc_id"),
+            "text": pa.array([""] * n, pa.string()),
+            "lang": src.column("lang"),
+            "source": src.column("source"),
+            "n_chars": pa.array([0] * n, pa.int64()),
+        })
+    elif variant == "zerorows":
+        tbl = src.slice(0, 0)
+    else:
+        raise ValueError(f"unknown variant {variant!r}")
+    pq.write_table(tbl, os.path.join(out, "documents.parquet"))
+    return out
+
+
+def main() -> int:
+    variant = "allempty"
+    only = []
+    for a in sys.argv[1:]:
+        if a in ("allempty", "zerorows"):
+            variant = a
+        else:
+            only.append(a)
+    sf_dir = build_dir(variant)
+
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master("local[8]")
+             .appName(f"degenerate-sweep-{variant}")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.driver.memory", "8g")
+             .config("spark.ui.showConsoleProgress", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+    queries = entry.queries()
+    names = only or list(queries)
+    results: dict[str, dict] = {}
+    for i, name in enumerate(names, 1):
+        fn = queries[name]
+        t0 = time.time()
+        try:
+            # collect(), NOT count(): count lets Catalyst column-prune
+            # the very projections under test — quality_decile_table's
+            # DIV tok_n abort is invisible to a count but fatal to any
+            # consumer that reads the values
+            n = len(fn(spark, sf_dir).collect())
+            results[name] = {"status": "ok", "rows": n,
+                             "sec": round(time.time() - t0, 2)}
+        except Exception as exc:  # noqa: BLE001 — the sweep's whole point
+            msg = str(exc).split("\n")[0][:300]
+            results[name] = {"status": "ABORT", "error": msg,
+                             "sec": round(time.time() - t0, 2)}
+            print(f"[{i}/{len(names)}] ABORT {name}: {msg}", flush=True)
+            traceback.print_exc(limit=3)
+        if i % 25 == 0:
+            print(f"[{i}/{len(names)}] ...", flush=True)
+
+    aborts = sorted(k for k, v in results.items() if v["status"] == "ABORT")
+    out_path = os.environ.get(
+        "SPARK_GRAFT_SWEEP_JSON",
+        f"/root/repo/DEGENERATE_SWEEP_{variant}.json")
+    with open(out_path, "w") as f:
+        json.dump({"variant": variant, "sf_base": BASE_SF,
+                   "n": len(results), "n_abort": len(aborts),
+                   "aborts": aborts, "results": results}, f, indent=1,
+                  sort_keys=True)
+    print(f"\n{len(results)} queries, {len(aborts)} aborts -> {out_path}")
+    for a in aborts:
+        print(" ", a, "--", results[a]["error"][:160])
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -138,7 +138,28 @@ def main() -> None:
         "record runs with SPARK_GRAFT_BENCH_EXTENDED=all (the builder's",
         "local records and every-few-rounds full sweeps), so an",
         "`extended_total` is only round-comparable at equal",
-        "`extended_mode`.",
+        "`extended_mode`. From round 14 the adjustment divides by the",
+        "MEAN of the start/end probe bracket when both ran (one",
+        "transient reading cannot skew it), and the headline carries",
+        "`changed_round`, the round `CHANGED_THIS_ROUND` was built for.",
+        "",
+        "## CALIB_REF re-base protocol (r13 verdict item #6)",
+        "",
+        "`bench.CALIB_REF` (0.509s) is the pinned probe's quiet-box",
+        "reading from the r12 authoritative local record — every",
+        "`value_calib_adjusted` across every round divides by it, so",
+        "changing it rewrites history. Re-base ONLY when (a) the probe",
+        "workload itself must change (then",
+        "`test_calibration_workload_pinned` changes with it and NO",
+        "adjusted number compares across the seam), or (b) the driver",
+        "box generation visibly changes (sustained shift in",
+        "`calib_seconds` across >=2 rounds, not one noisy run). To",
+        "re-base: measure the pinned probe on an idle box, n>=5,",
+        "take the median, commit the new constant in the SAME commit as",
+        "the measurement evidence (a BENCH_* sidecar with the 5 raw",
+        "readings), and note the seam in this file's round table —",
+        "never mid-round, never from a single reading, never from a",
+        "run that also timed queries.",
         "",
         "| round | driver artifact | driver headline | local artifact |"
         " local headline | environment note |",
