@@ -18,65 +18,52 @@ sys.path.insert(0, "/root/repo")
 
 from amundsendatabuilder_spark.plans.oracle_suite import ORACLES, QUERIES  # noqa: E402
 
-# Dict iteration order = presentation order. Round-13 window (50
-# slots): the SECOND re-cert-dominated window (r12 verdict item #1 —
-# "oldest rows first in _PRIORITY, the remaining 27 r6-era rows at the
-# very front"). Recounted from CORRECTNESS_r01–r12 this round (the
-# recount is now a tool — ``python tools/cert_age.py`` prints the
-# histogram and the oldest-first paste-ready stale list): the
-# newest-cert histogram is 27 rows at r6 + 50 at r7 (= the verdict's 77);
-# a 50-slot window cannot clear 77, so the window is
-# (a) ALL 27 r6-era rows, then
-# (b') the rows whose operator changed this round (the r11 rule:
-# changed plan/semantics → re-certify): the logreg family carries the
-# new runtime weight-register guard (r12 verdict item #5), the
-# mutual-NN recall audits carry the enforced sample-scale contract
-# (item #3; the exact twin too), and stream_bottomk_sample's
-# timeout-on-open branch now degrades gracefully (r12 advice), then
-# (c) r7-era re-certs, alphabetical, filling the remaining 14 slots;
-# the other 36 r7 rows defer to r14 (all 77 stay green on the r13
-# LOCAL gate meanwhile). Names not registered are skipped by
-# ``_ordered``.
+# Dict iteration order = presentation order. Round-14 window (50
+# slots): the THIRD and FINAL re-cert-dominated window (r13 verdict
+# item #1 — "the r14 window is mechanical: all 42 oldest rows first,
+# then the round's changed-plan rows per the (b') rule"). Built FROM
+# ``python tools/cert_age.py``'s oldest-first paste-ready list (its r13
+# histogram: 42 rows at r7, 45 at r8, ... — after this window every
+# row's newest driver cert is >= r8, retiring the rotation debt):
+# (a) ALL 42 r7-era rows (the alphabetical tail the r13 window could
+# not fit — dedup_ngram_jaccard_capped .. watermark_min_max), then
+# (b') the rows whose plan changed this round: embedding_covariance's
+# ragged-dims assert now passes an EMPTY post-filter register through
+# (coalesce(cond, true), r13 ADVICE — the PCA trio inherits the plan),
+# and the four corpus-level-empty denominator guards (r13 verdict item
+# #2) the degenerate-corpus sweep found: quality_decile_table's
+# tok_n, padding_waste_report's slot_tokens, concat_window_packing's
+# n_windows, mixture_epochs' avail_tokens — outputs identical on
+# healthy data, plans changed, so all eight re-certify (they fill the
+# window exactly; the r8-era rotation starts r15). Names not
+# registered are skipped by ``_ordered``.
 _PRIORITY = [
-    # (a) r6-era re-certs — the oldest certification debt (27 rows)
-    "duplicate_substring_spans", "funnel_stages",
-    "graph_match_varlen", "graph_path_rel_props", "graph_shortest_path",
-    "hll_distinct_sketch", "inverted_index_postings",
-    "joinability_discovery", "journey_trigrams", "k_anonymity_audit",
-    "langid_nb", "linear_touch_credit", "mixture_epochs",
-    "multimodal_audio_chunks", "multimodal_gif_frames",
-    "multimodal_jpeg_features", "multimodal_png_features",
-    "multimodal_spectral_peak", "ri_violations", "rolling_trailing_sum",
-    "scan_filter_project", "scd2_intervals", "stratified_fixed_k",
-    "stream_attribution_outer", "stream_windowed_distinct",
-    "stream_windowed_heavy_hitters", "zorder_layout_stats",
-    # (b') operators changed in round 13 — re-certify per the r11 rule:
-    # logreg_train/score gained the runtime register guard (plan
-    # changed, output identical), the recall audits gained the
-    # sample-scale raise (default path adds a pre-count), bottom-k's
-    # timeout branch was softened
-    "logreg_quality_train", "logreg_quality_score", "score_calibration",
-    "logreg_weight_explain", "uncertainty_sampling", "logreg_holdout_auc",
-    "mutual_nn_recall_report", "mutual_nn_exact_recall_report",
-    "stream_bottomk_sample",
-    # (b'' — r13 corrupt-row hardening, same sequence-steps-down class
-    # as the r12 high advice): embedding_covariance now excludes
-    # zero-length vectors from every sufficient statistic and raises on
-    # ragged dims (PCA trio inherits the plan), frame_sample_plan clamps
-    # negative durations — outputs identical on healthy data, plans
-    # changed, so all five re-certify
+    # (a) r7-era re-certs — the final rotation debt (42 rows, verbatim
+    # from tools/cert_age.py oldest-first)
+    "dedup_ngram_jaccard_capped", "dedup_simhash", "doc_fingerprint",
+    "embedding_label_centroids", "embedding_norms", "epoch_transform",
+    "graph_expand_tables", "graph_pagerank", "hash_sample_stratified",
+    "interval_overlap_join", "json_props_extract", "kmeans_centroids",
+    "lang_id", "last_updated_max", "lineage_asof_diff",
+    "literal_replace_transform", "markov_transitions_ppm",
+    "multimodal_resize", "numeric_corr_matrix", "pii_scrub",
+    "pivot_status_by_priority", "publish_diff", "quality_metrics",
+    "quality_quantile_filter", "repetition_metrics", "revenue_share",
+    "right_join_tables", "rollup_orders", "self_join_same_region",
+    "session_bounce_rate", "sessionize_batch", "shard_watermarks",
+    "skew_salted_collect", "skew_salted_join", "staleness_guard_ratio",
+    "tag_normalize_explode", "template_substitution",
+    "token_shard_packing", "top_customer_per_segment",
+    "usage_hash_count", "vocab_topk", "watermark_min_max",
+    # (b') plans changed in round 14 — re-certify per the r11 rule:
+    # the covariance family's empty-register escape, plus the four
+    # corpus-level-empty denominator guards the r14 degenerate-corpus
+    # sweep (tools/degenerate_sweep.py, DEGENERATE_SWEEP_allempty.json)
+    # found and fixed — outputs identical on healthy data
     "embedding_covariance", "pca_power_iteration",
     "pca_explained_variance", "pca_top_components",
-    "multimodal_frame_plan",
-    # mixture_rates is BOTH r7-era and changed this round (empty-group
-    # division hardening); distribution_drift changed too (degenerate
-    # one-timestamp range no longer DIV-0-aborts)
-    "mixture_rates", "distribution_drift",
-    # (c) r7-era re-certs, alphabetical — first 7 fit the window
-    # (through dedup_ngram_jaccard); the remaining 42 defer to r14
-    "char_ngram_profile", "corpus_length_stats", "decayed_popularity",
-    "decontam_benchmark_overlap", "dedup_clusters",
-    "dedup_embedding_cosine", "dedup_ngram_jaccard",
+    "quality_decile_table", "mixture_epochs", "padding_waste_report",
+    "concat_window_packing",
 ]
 
 

@@ -481,8 +481,14 @@ def padding_waste_report(docs: DataFrame, batch_size: int = 8,
                  .alias("slot_tokens"))
             .withColumn("waste_tokens",
                         F.col("slot_tokens") - F.col("real_tokens"))
+            # corpus-level-empty denominator (ANSI aborts on DIV 0): an
+            # all-empty-docs corpus still batches (rows exist) but every
+            # batch max is 0, so slot_tokens = 0 — 0 wasted of 0 slots
+            # is 0 ppm (r14 degenerate-corpus sweep)
             .withColumn("waste_ppm", F.expr(
-                "waste_tokens * CAST(1000000 AS BIGINT) DIV slot_tokens"))
+                "CASE WHEN slot_tokens > 0 THEN "
+                "waste_tokens * CAST(1000000 AS BIGINT) DIV slot_tokens "
+                "ELSE CAST(0 AS BIGINT) END"))
             .select("strategy", "n_batches", "real_tokens", "slot_tokens",
                     "waste_tokens", "waste_ppm"))
 
@@ -541,9 +547,15 @@ def concat_window_packing(docs: DataFrame, window_tokens: int = 256,
             "docs_split * CAST(1000000 AS BIGINT) DIV total_docs"))
         .withColumn("tail_tokens", F.expr(
             f"n_windows * CAST({W} AS BIGINT) - total_tokens"))
+        # corpus-level-empty denominator (ANSI aborts on DIV 0): an
+        # all-empty-docs corpus concatenates to 0 tokens, so every
+        # shard cuts 0 windows — 0 tokens in 0 windows reads fill 0
+        # rather than killing the audit (r14 degenerate-corpus sweep)
         .withColumn("fill_ppm", F.expr(
+            f"CASE WHEN n_windows > 0 THEN "
             f"total_tokens * CAST(1000000 AS BIGINT) "
-            f"DIV (n_windows * CAST({W} AS BIGINT))")))
+            f"DIV (n_windows * CAST({W} AS BIGINT)) "
+            f"ELSE CAST(0 AS BIGINT) END")))
 
 
 def split_leak_audit(pairs: DataFrame, splits: DataFrame,

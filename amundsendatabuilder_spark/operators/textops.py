@@ -1110,8 +1110,15 @@ def mixture_epochs(docs: DataFrame, budget_tokens: int,
             .withColumn("ppm", F.coalesce(wmap[F.col(source_col)], F.lit(0))
                         .cast("long"))
             .withColumn("needed_tokens", needed)
+            # corpus-level-empty denominator (ANSI aborts on DIV 0): a
+            # source the recipe demands tokens FROM but whose docs are
+            # all empty has avail_tokens = 0 — no finite epoch count
+            # satisfies it, so the row reads NULL (visibly
+            # unsatisfiable) instead of killing the planning table
+            # (r14 degenerate-corpus sweep)
             .withColumn("epochs_x100",
                         F.expr("CASE WHEN needed_tokens = 0 THEN 0 "
+                               "WHEN avail_tokens = 0 THEN NULL "
                                "ELSE (100 * needed_tokens "
                                "+ avail_tokens - 1) DIV avail_tokens END")
                         .cast("long")))

@@ -5043,6 +5043,7 @@ SELECT a.source, a.avail_tokens,
            AS needed_tokens,
        CASE WHEN CAST(10000000 AS BIGINT) * coalesce(wt.ppm, 0) // 1000000
                  = 0 THEN 0
+            WHEN a.avail_tokens = 0 THEN NULL
             ELSE (100 * (CAST(10000000 AS BIGINT) * coalesce(wt.ppm, 0)
                          // 1000000)
                   + a.avail_tokens - 1) // a.avail_tokens END
@@ -7866,7 +7867,9 @@ SELECT decile, CAST(cut_q AS BIGINT) AS cut_q,
         WHERE qi <= b.cut_q) AS pct_docs_ppm,
        (SELECT CAST(sum(n_tok) AS BIGINT) FROM d
         WHERE qi <= b.cut_q) AS total_tokens_le,
-       (SELECT CAST(sum(n_tok) * 1000000 // b.tok_n AS BIGINT) FROM d
+       (SELECT CAST(CASE WHEN b.tok_n > 0
+                         THEN sum(n_tok) * 1000000 // b.tok_n
+                         ELSE 0 END AS BIGINT) FROM d
         WHERE qi <= b.cut_q) AS pct_tokens_ppm,
        (SELECT CAST(count(DISTINCT fp) AS BIGINT) FROM d
         WHERE qi <= b.cut_q) AS n_distinct_le,
@@ -8938,8 +8941,10 @@ agg AS (SELECT strategy, CAST(count(*) AS BIGINT) AS n_batches,
         FROM pb GROUP BY 1)
 SELECT strategy, n_batches, real_tokens, slot_tokens,
        slot_tokens - real_tokens AS waste_tokens,
-       (slot_tokens - real_tokens) * CAST(1000000 AS BIGINT) // slot_tokens
-       AS waste_ppm
+       CASE WHEN slot_tokens > 0 THEN
+            (slot_tokens - real_tokens) * CAST(1000000 AS BIGINT)
+            // slot_tokens
+            ELSE CAST(0 AS BIGINT) END AS waste_ppm
 FROM agg
 """)
 def padding_waste_report_query(spark, sf_dir):
@@ -9045,8 +9050,10 @@ agg AS (SELECT CAST(sum(docs) AS BIGINT) AS total_docs,
 SELECT total_docs, total_tokens, n_windows, docs_split,
        docs_split * CAST(1000000 AS BIGINT) // total_docs AS split_ppm,
        n_windows * CAST(256 AS BIGINT) - total_tokens AS tail_tokens,
-       total_tokens * CAST(1000000 AS BIGINT)
-       // (n_windows * CAST(256 AS BIGINT)) AS fill_ppm
+       CASE WHEN n_windows > 0 THEN
+            total_tokens * CAST(1000000 AS BIGINT)
+            // (n_windows * CAST(256 AS BIGINT))
+            ELSE CAST(0 AS BIGINT) END AS fill_ppm
 FROM agg
 """)
 def concat_window_packing_query(spark, sf_dir):

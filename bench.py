@@ -301,6 +301,13 @@ CHANGED_THIS_ROUND = [
     "pca_power_iteration",
     "pca_explained_variance",
     "pca_top_components",
+    # r14 corpus-level-empty denominator guards (r13 verdict item #2,
+    # found by tools/degenerate_sweep.py): CASE-guarded ppm/epoch
+    # divisions — outputs identical on healthy data
+    "quality_decile_table",
+    "mixture_epochs",
+    "padding_waste_report",
+    "concat_window_packing",
 ]
 
 

@@ -1652,6 +1652,25 @@ def test_mixture_epochs_integer_ceil(spark):
     assert got["s2"].ppm == 0 and got["s2"].epochs_x100 == 0
 
 
+def test_mixture_epochs_demanded_but_empty_source(spark):
+    """r14 degenerate-corpus sweep (ANSI DIV-0 class): a source the
+    recipe demands tokens from but whose docs are ALL EMPTY has
+    avail_tokens = 0 — no finite epoch count satisfies it, so the row
+    reads NULL instead of aborting the planning table; a weighted-0
+    empty source still reads 0."""
+    from amundsendatabuilder_spark.operators.textops import mixture_epochs
+    docs = spark.createDataFrame(
+        [(1, "", "s1"), (2, "", "s2"), (3, "a b", "s3")],
+        "doc_id long, text string, source string")
+    got = {r.source: r for r in
+           mixture_epochs(docs, 10, {"s1": 600_000,
+                                     "s3": 400_000}).collect()}
+    assert got["s1"].avail_tokens == 0 and got["s1"].needed_tokens == 6
+    assert got["s1"].epochs_x100 is None   # unsatisfiable, visibly
+    assert got["s2"].epochs_x100 == 0      # demanded nothing
+    assert got["s3"].epochs_x100 == 200    # 4 of 2 available
+
+
 def test_interval_overlap_join_matches_brute_force(spark):
     from amundsendatabuilder_spark.operators.asof import (
         interval_overlap_join)
@@ -3200,6 +3219,28 @@ def test_concat_window_packing_hand_case(spark):
                               "doc_id long, text string"),
         window_tokens=5, n_shards=1).collect()[0]
     assert alone.docs_split == 1 and alone.n_windows == 2
+
+
+def test_packing_reports_all_empty_corpus(spark):
+    """r14 degenerate-corpus sweep (ANSI DIV-0 class): an all-empty-docs
+    corpus batches rows whose every batch max is 0 (slot_tokens = 0) and
+    concatenates to 0 tokens (n_windows = 0) — both packing reports must
+    degrade to 0-ppm rows, not abort."""
+    from amundsendatabuilder_spark.operators.curation import (
+        concat_window_packing, padding_waste_report)
+    docs = spark.createDataFrame([(i, "") for i in range(6)],
+                                 "doc_id long, text string")
+    pad = {r.strategy: r for r in
+           padding_waste_report(docs, batch_size=4, n_shards=1).collect()}
+    assert set(pad) == {"naive", "bucketed"}
+    for r in pad.values():
+        assert (r.slot_tokens, r.real_tokens, r.waste_tokens,
+                r.waste_ppm) == (0, 0, 0, 0)
+    pack = concat_window_packing(docs, window_tokens=5,
+                                 n_shards=1).collect()[0]
+    assert pack.total_docs == 6 and pack.total_tokens == 0
+    assert (pack.n_windows, pack.docs_split, pack.tail_tokens,
+            pack.fill_ppm) == (0, 0, 0, 0)
 
 
 def test_split_leak_audit_cluster_atomic_reads_zero(spark):

@@ -9,7 +9,14 @@ mixture_sampling_rates / distribution_drift and the short-doc bigram
 crash. This tool finds the remaining members empirically instead of by
 grep: the plan that *runs* is the ground truth.
 
-Usage: python tools/degenerate_sweep.py [allempty|zerorows] [query ...]
+Variants:
+  allempty  — documents.text = '' for every row
+  nulltext  — documents.text = NULL for every row
+  zerorows  — documents has 0 rows
+  emptyvecs — embeddings.embedding = [] for every row
+  zeroembrows — embeddings has 0 rows
+
+Usage: python tools/degenerate_sweep.py [variant] [query ...]
 Writes DEGENERATE_SWEEP_<variant>.json next to the repo root unless
 SPARK_GRAFT_SWEEP_JSON overrides the path.
 """
@@ -31,22 +38,25 @@ TABLES = ("region", "nation", "customer", "supplier", "part",
 
 
 def build_dir(variant: str) -> str:
-    """Materialize the degenerate sf dir: all non-document tables are
-    symlinks to sf0.001; documents.parquet is rewritten per variant."""
+    """Materialize the degenerate sf dir: every table not under test is
+    a symlink to sf0.001; the degenerate table is rewritten per
+    variant."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    mutated = ("embeddings" if variant in ("emptyvecs", "zeroembrows")
+               else "documents")
     out = os.path.join(DEG_ROOT, variant)
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
-        if t == "documents":
+        if t == mutated:
             continue
         dst = os.path.join(out, f"{t}.parquet")
         if not os.path.exists(dst):
             os.symlink(os.path.join(BASE_SF, f"{t}.parquet"), dst)
-    src = pq.read_table(os.path.join(BASE_SF, "documents.parquet"))
+    src = pq.read_table(os.path.join(BASE_SF, f"{mutated}.parquet"))
+    n = src.num_rows
     if variant == "allempty":
-        n = src.num_rows
         tbl = pa.table({
             "doc_id": src.column("doc_id"),
             "text": pa.array([""] * n, pa.string()),
@@ -54,11 +64,25 @@ def build_dir(variant: str) -> str:
             "source": src.column("source"),
             "n_chars": pa.array([0] * n, pa.int64()),
         })
-    elif variant == "zerorows":
+    elif variant == "nulltext":
+        tbl = pa.table({
+            "doc_id": src.column("doc_id"),
+            "text": pa.array([None] * n, pa.string()),
+            "lang": src.column("lang"),
+            "source": src.column("source"),
+            "n_chars": pa.array([None] * n, pa.int64()),
+        })
+    elif variant == "zerorows" or variant == "zeroembrows":
         tbl = src.slice(0, 0)
+    elif variant == "emptyvecs":
+        tbl = pa.table({
+            "vec_id": src.column("vec_id"),
+            "embedding": pa.array([[]] * n, pa.list_(pa.float32())),
+            "label": src.column("label"),
+        })
     else:
         raise ValueError(f"unknown variant {variant!r}")
-    pq.write_table(tbl, os.path.join(out, "documents.parquet"))
+    pq.write_table(tbl, os.path.join(out, f"{mutated}.parquet"))
     return out
 
 
@@ -66,7 +90,8 @@ def main() -> int:
     variant = "allempty"
     only = []
     for a in sys.argv[1:]:
-        if a in ("allempty", "zerorows"):
+        if a in ("allempty", "nulltext", "zerorows", "emptyvecs",
+                 "zeroembrows"):
             variant = a
         else:
             only.append(a)
