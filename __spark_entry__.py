@@ -34,8 +34,14 @@ from amundsendatabuilder_spark.plans.oracle_suite import ORACLES, QUERIES  # noq
 # #2) the degenerate-corpus sweep found: quality_decile_table's
 # tok_n, padding_waste_report's slot_tokens, concat_window_packing's
 # n_windows, mixture_epochs' avail_tokens — outputs identical on
-# healthy data, plans changed, so all eight re-certify (they fill the
-# window exactly; the r8-era rotation starts r15). Names not
+# healthy data, plans changed, so all eight re-certify.
+# HONEST ARITHMETIC: a NINTH row changed this round —
+# cluster_label_nmi's bucket subscript went NULL-tolerant (F.get, the
+# emptyvecs sweep) — making 42 + 9 = 51 candidates for 50 slots. The
+# r14 Done bar is "every row's newest cert >= r8", so the 42 r7 rows
+# all stay; cluster_label_nmi (newest cert >= r10, output
+# hash-identical on healthy data, green on the r14 LOCAL gate at two
+# scale factors) is FIRST IN LINE for the r15 window. Names not
 # registered are skipped by ``_ordered``.
 _PRIORITY = [
     # (a) r7-era re-certs — the final rotation debt (42 rows, verbatim

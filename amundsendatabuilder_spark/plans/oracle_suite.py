@@ -9784,7 +9784,13 @@ def cluster_label_nmi_query(spark, sf_dir):
         mutual_information)
     (emb,) = _t(spark, sf_dir, "embeddings")
     e = F.col("embedding")
-    bucket = sum(F.when(e[i] >= 0, 1 << (3 - i)).otherwise(0)
+    # F.get, not e[i]: ANSI aborts on out-of-bounds index, so a corrupt
+    # zero-length vector would kill the whole evaluation (r14
+    # degenerate-corpus sweep). get() yields NULL past the end ->
+    # when(NULL >= 0) -> otherwise(0): short vectors land in bucket 0,
+    # exactly DuckDB's NULL-on-out-of-bounds subscript semantics — the
+    # bucket is a hash, so the convention only needs to be shared
+    bucket = sum(F.when(F.get(e, F.lit(i)) >= 0, 1 << (3 - i)).otherwise(0)
                  for i in range(4))
     df = (emb.where(F.col("label").isNotNull() & e.isNotNull())
           .select(F.col("label"), bucket.alias("bucket")))

@@ -308,6 +308,8 @@ CHANGED_THIS_ROUND = [
     "mixture_epochs",
     "padding_waste_report",
     "concat_window_packing",
+    # r14 emptyvecs sweep: NULL-tolerant bucket subscript (F.get)
+    "cluster_label_nmi",
 ]
 
 

@@ -2769,6 +2769,22 @@ def test_quality_decile_table_all_empty_corpus(spark):
     assert quality_decile_table(zero_rows).collect() == []
 
 
+def test_cluster_label_nmi_tolerates_empty_vectors(spark, tmp_path):
+    """r14 emptyvecs sweep (ANSI INVALID_ARRAY_INDEX class): the NMI
+    query's 4-bit sign bucket subscripts embedding[0..3] — a corrupt
+    zero-length vector must land in bucket 0 (DuckDB's
+    NULL-on-out-of-bounds subscript convention), not abort the
+    evaluation."""
+    from amundsendatabuilder_spark.plans.oracle_suite import QUERIES
+    spark.createDataFrame(
+        [(1, [], 0), (2, [], 1), (3, [0.5, -0.5, 0.5, -0.5], 1)],
+        "vec_id long, embedding array<float>, label int") \
+        .write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = QUERIES["cluster_label_nmi"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0].n == 3 and out[0].levels_b == 2  # buckets {0, 10}
+
+
 def test_equi_depth_boundaries_matches_sorted_ranks(spark):
     from amundsendatabuilder_spark.operators.profiling import (
         equi_depth_boundaries)
