@@ -204,6 +204,15 @@ def main() -> None:
         "unadjudicated quiet-box outliers differ <=7% (1.07x/0.99x) - "
         "environment variance on 1-2s shuffle-heavy queries, zero code "
         "regression |",
+        "| PCA trio recheck + commit A/B | BENCH_PCA_r14.json | r13 "
+        "item #4 closed: idle n=5 re-read PLUS same-box "
+        "r12-commit-vs-HEAD A/B - HEAD reads FASTER than the r12 "
+        "commit on every family member (top_components 10.09s vs "
+        "11.96s) at healthy calib, so the r13 sweep's 1.20-1.28x was "
+        "a favorable r12 box-day, not code; the family's per-job "
+        "scheduler overhead is under-weighted by the 60M-row calib "
+        "probe, which is why equal-calib rounds can disagree ~1.2x "
+        "on it |",
         "| drift narratives | BENCH_EXONERATION.md, BENCH_HEADROOM.md | "
         "the r05 and r11 environment adjudications |",
         "",
