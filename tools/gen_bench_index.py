@@ -199,11 +199,14 @@ def main() -> None:
         "production vocab |",
         "| skew plan->action | BENCH_SKEW_r12.json | salted_join under "
         "salting_plan factors vs plain SMJ with AQE skew on/off |",
-        "| simhash outlier A/B | BENCH_AB_SIMHASH_r13.json | r12 item "
-        "#2 closed: same-box n=5 r11-commit-vs-HEAD medians for the two "
-        "unadjudicated quiet-box outliers differ <=7% (1.07x/0.99x) - "
-        "environment variance on 1-2s shuffle-heavy queries, zero code "
-        "regression |",
+        "| simhash outlier A/B | BENCH_AB_SIMHASH_r13.json + "
+        "BENCH_AB_SIMHASH_r14.json | r12 item #2 closed: same-box n=5 "
+        "r11-commit-vs-HEAD medians for the two unadjudicated "
+        "quiet-box outliers differ <=7% (1.07x/0.99x) - environment "
+        "variance on 1-2s shuffle-heavy queries, zero code "
+        "regression. r14 re-ran the A/B with the FIXED loader (r13 "
+        "ADVICE: worktree imports no longer shadowed by HEAD): same "
+        "conclusion, 0.98x/1.05x with anchors matched to 1ms |",
         "| PCA trio recheck + commit A/B | BENCH_PCA_r14.json | r13 "
         "item #4 closed: idle n=5 re-read PLUS same-box "
         "r12-commit-vs-HEAD A/B - HEAD reads FASTER than the r12 "
