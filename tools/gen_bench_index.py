@@ -18,6 +18,20 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # round -> (driver artifact, authoritative local artifact or None,
 #           environment note)
 NOTES = {
+    14: "consolidation #3 (degenerate-corpus hardening + cert-rotation "
+        "retirement); CHANGED-mode local record only — the full "
+        "extended sweep cadence says r15 (r13 did one), which should "
+        "also re-read the TPC-H block inline (r13 item #5). Local "
+        "headline FLAT: 19.97s raw vs r13's 19.68s at healthy calib "
+        "0.464/0.507. NOTE the adjusted-value SEAM: from r14 the "
+        "adjustment divides by the MEAN of the start/end probe "
+        "bracket (r13 ADVICE), so adjusted values compare cleanly "
+        "only from r14 on (r14 adjusted 20.94s; r13's start-only "
+        "convention would read 19.90s). All 9 changed-plan entries "
+        "(covariance-family empty-escape + 5 denominator/subscript "
+        "guards) cost sub-second except the PCA family, whose "
+        "apparent 1.2x is closed as environment by BENCH_PCA_r14.json "
+        "(same-box r12-commit A/B: HEAD faster than r12 code)",
     1: "first full suite; baseline for the 2x gate",
     2: "coverage wave; headline flat",
     3: "plan-tuning round (broadcast + partial aggs)",
