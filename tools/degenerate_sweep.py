@@ -13,8 +13,13 @@ Variants:
   allempty  — documents.text = '' for every row
   nulltext  — documents.text = NULL for every row
   zerorows  — documents has 0 rows
+  onedoc    — documents has exactly 1 row (n=1 trips the stat/window
+              logic empty corpora never reach: stddev NULL, ntile of 1,
+              train/holdout splits with an empty side)
   emptyvecs — embeddings.embedding = [] for every row
   zeroembrows — embeddings has 0 rows
+  oneemb    — embeddings has exactly 1 row (k > n clustering, top-k of
+              1, covariance n=1)
 
 Usage: python tools/degenerate_sweep.py [variant] [query ...]
 Writes DEGENERATE_SWEEP_<variant>.json next to the repo root unless
@@ -44,7 +49,8 @@ def build_dir(variant: str) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    mutated = ("embeddings" if variant in ("emptyvecs", "zeroembrows")
+    mutated = ("embeddings"
+               if variant in ("emptyvecs", "zeroembrows", "oneemb")
                else "documents")
     out = os.path.join(DEG_ROOT, variant)
     os.makedirs(out, exist_ok=True)
@@ -74,6 +80,8 @@ def build_dir(variant: str) -> str:
         })
     elif variant == "zerorows" or variant == "zeroembrows":
         tbl = src.slice(0, 0)
+    elif variant == "onedoc" or variant == "oneemb":
+        tbl = src.slice(0, 1)
     elif variant == "emptyvecs":
         tbl = pa.table({
             "vec_id": src.column("vec_id"),
@@ -90,8 +98,8 @@ def main() -> int:
     variant = "allempty"
     only = []
     for a in sys.argv[1:]:
-        if a in ("allempty", "nulltext", "zerorows", "emptyvecs",
-                 "zeroembrows"):
+        if a in ("allempty", "nulltext", "zerorows", "onedoc",
+                 "emptyvecs", "zeroembrows", "oneemb"):
             variant = a
         else:
             only.append(a)
