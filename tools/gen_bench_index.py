@@ -221,6 +221,13 @@ def main() -> None:
         "regression. r14 re-ran the A/B with the FIXED loader (r13 "
         "ADVICE: worktree imports no longer shadowed by HEAD): same "
         "conclusion, 0.98x/1.05x with anchors matched to 1ms |",
+        "| TPC-H block recheck (r14) | BENCH_TPCH_r14.json | r13 item "
+        "#5 pre-confirmed ahead of the r15 full record: on a settled "
+        "box (flagship anchor 0.59x r12) the 7 transient-inflated "
+        "rows read 1.00-1.43x r12, within the established short-query "
+        "noise band - code unchanged; a host-contended first attempt "
+        "(calib 3.1s, zero local load) is kept in the artifact as "
+        "evidence of the disturbance class |",
         "| PCA trio recheck + commit A/B | BENCH_PCA_r14.json | r13 "
         "item #4 closed: idle n=5 re-read PLUS same-box "
         "r12-commit-vs-HEAD A/B - HEAD reads FASTER than the r12 "
