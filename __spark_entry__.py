@@ -35,14 +35,17 @@ from amundsendatabuilder_spark.plans.oracle_suite import ORACLES, QUERIES  # noq
 # tok_n, padding_waste_report's slot_tokens, concat_window_packing's
 # n_windows, mixture_epochs' avail_tokens — outputs identical on
 # healthy data, plans changed, so all eight re-certify.
-# HONEST ARITHMETIC: a NINTH row changed this round —
+# HONEST ARITHMETIC: THREE further rows changed this round —
 # cluster_label_nmi's bucket subscript went NULL-tolerant (F.get, the
-# emptyvecs sweep) — making 42 + 9 = 51 candidates for 50 slots. The
-# r14 Done bar is "every row's newest cert >= r8", so the 42 r7 rows
-# all stay; cluster_label_nmi (newest cert >= r10, output
-# hash-identical on healthy data, green on the r14 LOCAL gate at two
-# scale factors) is FIRST IN LINE for the r15 window. Names not
-# registered are skipped by ``_ordered``.
+# emptyvecs sweep), and ks_drift_stat / ks_time_drift guard the
+# one-sided-sample division (the oneevent sweep) — making 42 + 11
+# candidates for 50 slots. The r14 Done bar is "every row's newest
+# cert >= r8", so the 42 r7 rows all stay; the three late-changed
+# rows (newest certs r9/r10+, outputs hash-identical on healthy data,
+# green on the r14 LOCAL gate at two scale factors and at sf0.1) are
+# FIRST IN LINE for the r15 window: ks_drift_stat (r9-era anyway),
+# ks_time_drift, cluster_label_nmi. Names not registered are skipped
+# by ``_ordered``.
 _PRIORITY = [
     # (a) r7-era re-certs — the final rotation debt (42 rows, verbatim
     # from tools/cert_age.py oldest-first)

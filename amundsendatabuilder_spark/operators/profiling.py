@@ -819,13 +819,22 @@ def ks_drift_stat(df: DataFrame, value_col: str, group_col: str,
             .groupBy("na", "nb")
             .agg(F.max(F.struct(F.col("d").alias("d"),
                                 (-F.col("q")).alias("nq"))).alias("w")))
+    # degenerate-sample hardening (ANSI aborts on x/0, r14 one-event
+    # sweep): a single-row stream puts every row in ONE half, so the
+    # other sample is empty and D = d / (n_a * n_b) divides by zero.
+    # KS between a sample and nothing is undefined -> NULL, the
+    # gini_inequality convention (counts still report, so the consumer
+    # sees WHY)
+    both = (F.col("na") > 0) & (F.col("nb") > 0)
     return best.select(
         F.col("na").alias("n_a"), F.col("nb").alias("n_b"),
-        round_half_away(F.col("w.d").cast("double")
-                        / (F.col("na").cast("double")
-                           * F.col("nb").cast("double")), 6)
+        F.when(both, round_half_away(
+            F.col("w.d").cast("double")
+            / (F.col("na").cast("double")
+               * F.col("nb").cast("double")), 6))
         .alias("ks_d"),
-        round_half_away((-F.col("w.nq")).cast("double") / scale, 6)
+        F.when(both, round_half_away(
+            (-F.col("w.nq")).cast("double") / scale, 6))
         .alias("ks_at_value"))
 
 

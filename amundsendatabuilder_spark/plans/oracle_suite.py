@@ -9675,9 +9675,12 @@ d AS (SELECT t.na, t.nb, abs(c.cum_a * t.nb - c.cum_b * t.na) AS d, c.q
       FROM cum c CROSS JOIN tot t),
 best AS (SELECT na, nb, max(d) AS mx FROM d GROUP BY 1, 2)
 SELECT b.na AS n_a, b.nb AS n_b,
-       round(CAST(b.mx AS DOUBLE)
-             / (CAST(b.na AS DOUBLE) * CAST(b.nb AS DOUBLE)), 6) AS ks_d,
-       round(CAST(min(d.q) AS DOUBLE) / 100, 6) AS ks_at_value
+       CASE WHEN b.na > 0 AND b.nb > 0 THEN
+            round(CAST(b.mx AS DOUBLE)
+                  / (CAST(b.na AS DOUBLE) * CAST(b.nb AS DOUBLE)), 6)
+            END AS ks_d,
+       CASE WHEN b.na > 0 AND b.nb > 0 THEN
+            round(CAST(min(d.q) AS DOUBLE) / 100, 6) END AS ks_at_value
 FROM best b JOIN d ON d.na = b.na AND d.nb = b.nb AND d.d = b.mx
 GROUP BY 1, 2, 3
 """)
@@ -10906,9 +10909,12 @@ d AS (SELECT t.na, t.nb, abs(c.cum_a * t.nb - c.cum_b * t.na) AS d, c.q
       FROM cum c CROSS JOIN tot t),
 best AS (SELECT na, nb, max(d) AS mx FROM d GROUP BY 1, 2)
 SELECT b.na AS n_a, b.nb AS n_b,
-       round(CAST(b.mx AS DOUBLE)
-             / (CAST(b.na AS DOUBLE) * CAST(b.nb AS DOUBLE)), 6) AS ks_d,
-       round(CAST(min(d.q) AS DOUBLE) / 100, 6) AS ks_at_value
+       CASE WHEN b.na > 0 AND b.nb > 0 THEN
+            round(CAST(b.mx AS DOUBLE)
+                  / (CAST(b.na AS DOUBLE) * CAST(b.nb AS DOUBLE)), 6)
+            END AS ks_d,
+       CASE WHEN b.na > 0 AND b.nb > 0 THEN
+            round(CAST(min(d.q) AS DOUBLE) / 100, 6) END AS ks_at_value
 FROM best b JOIN d ON d.na = b.na AND d.nb = b.nb AND d.d = b.mx
 GROUP BY 1, 2, 3
 """)

@@ -310,6 +310,9 @@ CHANGED_THIS_ROUND = [
     "concat_window_packing",
     # r14 emptyvecs sweep: NULL-tolerant bucket subscript (F.get)
     "cluster_label_nmi",
+    # r14 oneevent sweep: one-sided-sample KS reads NULL, not DIV-0
+    "ks_drift_stat",
+    "ks_time_drift",
 ]
 
 

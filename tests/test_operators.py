@@ -2785,6 +2785,28 @@ def test_cluster_label_nmi_tolerates_empty_vectors(spark, tmp_path):
     assert out[0].n == 3 and out[0].levels_b == 2  # buckets {0, 10}
 
 
+def test_ks_drift_stat_one_sided_sample_reads_null(spark):
+    """r14 one-event sweep (ANSI x/0 class): when one of the two
+    samples is EMPTY (a single-row stream puts every row in one half),
+    D = d/(n_a*n_b) divided by zero — KS against nothing is undefined,
+    so ks_d/ks_at_value read NULL (the gini_inequality convention)
+    while the counts still report which side was empty."""
+    from amundsendatabuilder_spark.operators.profiling import ks_drift_stat
+    df = spark.createDataFrame(
+        [(1.0, "b"), (2.0, "b"), (3.0, "b")], "value double, half string")
+    out = ks_drift_stat(df, "value", "half", "a", "b").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_a, r.n_b) == (0, 3)
+    assert r.ks_d is None and r.ks_at_value is None
+    # healthy two-sided case unaffected
+    df2 = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "a"), (10.0, "b"), (11.0, "b")],
+        "value double, half string")
+    r2 = ks_drift_stat(df2, "value", "half", "a", "b").collect()[0]
+    assert r2.ks_d == 1.0  # disjoint supports -> maximal D
+
+
 def test_equi_depth_boundaries_matches_sorted_ranks(spark):
     from amundsendatabuilder_spark.operators.profiling import (
         equi_depth_boundaries)

@@ -20,6 +20,12 @@ Variants:
   zeroembrows — embeddings has 0 rows
   oneemb    — embeddings has exactly 1 row (k > n clustering, top-k of
               1, covariance n=1)
+  zeroevents — events has 0 rows (windowed aggs, sessionization,
+              attribution, drift over nothing)
+  oneevent  — events has exactly 1 row (single-session bounds, lag/lead
+              NULLs, one-point seasonality)
+  nullevents — events.value and events.props NULL for every row (ts and
+              keys intact: NULL-value aggregation/JSON-extraction paths)
 
 Usage: python tools/degenerate_sweep.py [variant] [query ...]
 Writes DEGENERATE_SWEEP_<variant>.json next to the repo root unless
@@ -51,6 +57,8 @@ def build_dir(variant: str) -> str:
 
     mutated = ("embeddings"
                if variant in ("emptyvecs", "zeroembrows", "oneemb")
+               else "events"
+               if variant in ("zeroevents", "oneevent", "nullevents")
                else "documents")
     out = os.path.join(DEG_ROOT, variant)
     os.makedirs(out, exist_ok=True)
@@ -78,10 +86,19 @@ def build_dir(variant: str) -> str:
             "source": src.column("source"),
             "n_chars": pa.array([None] * n, pa.int64()),
         })
-    elif variant == "zerorows" or variant == "zeroembrows":
+    elif variant in ("zerorows", "zeroembrows", "zeroevents"):
         tbl = src.slice(0, 0)
-    elif variant == "onedoc" or variant == "oneemb":
+    elif variant in ("onedoc", "oneemb", "oneevent"):
         tbl = src.slice(0, 1)
+    elif variant == "nullevents":
+        tbl = pa.table({
+            "event_id": src.column("event_id"),
+            "ts": src.column("ts"),
+            "user_id": src.column("user_id"),
+            "event_type": src.column("event_type"),
+            "value": pa.array([None] * n, pa.float64()),
+            "props": pa.array([None] * n, pa.string()),
+        })
     elif variant == "emptyvecs":
         tbl = pa.table({
             "vec_id": src.column("vec_id"),
@@ -99,7 +116,8 @@ def main() -> int:
     only = []
     for a in sys.argv[1:]:
         if a in ("allempty", "nulltext", "zerorows", "onedoc",
-                 "emptyvecs", "zeroembrows", "oneemb"):
+                 "emptyvecs", "zeroembrows", "oneemb",
+                 "zeroevents", "oneevent", "nullevents"):
             variant = a
         else:
             only.append(a)

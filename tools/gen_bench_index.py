@@ -28,10 +28,16 @@ NOTES = {
         "bracket (r13 ADVICE), so adjusted values compare cleanly "
         "only from r14 on (r14 adjusted 20.94s; r13's start-only "
         "convention would read 19.90s). All 9 changed-plan entries "
-        "(covariance-family empty-escape + 5 denominator/subscript "
+        "(covariance-family empty-escape + 7 denominator/subscript "
         "guards) cost sub-second except the PCA family, whose "
         "apparent 1.2x is closed as environment by BENCH_PCA_r14.json "
-        "(same-box r12-commit A/B: HEAD faster than r12 code)",
+        "(same-box r12-commit A/B: HEAD faster than r12 code). The "
+        "two KS entries changed after the healthy-box record; their "
+        "final-code supplement line (with a 2-pair commit A/B - "
+        "deltas swap sign, guard free within noise) is appended to "
+        "the artifact. The host flapped repeatedly this session "
+        "(calib 0.46-3.1 with zero local load) - every recorded "
+        "number names its bracket",
     1: "first full suite; baseline for the 2x gate",
     2: "coverage wave; headline flat",
     3: "plan-tuning round (broadcast + partial aggs)",
