@@ -272,39 +272,56 @@ def minhash_lsh_incremental(new_docs: DataFrame, corpus: DataFrame,
             .distinct())
 
 
-def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text", bits: int = 16) -> DataFrame:
-    """(doc_id, simhash) — Charikar SimHash over whitespace tokens.
+def simhash_votes(docs: DataFrame, id_col: str, text_col: str,
+                  bits: int) -> DataFrame:
+    """(doc_id, _v0.._v{bits-1}) — per-document signed bit-vote sums, the
+    shared core of every SimHash signature form.
 
-    Token hash = first bits/4 hex chars of md5(token); per bit position the
-    signed votes (+1 if bit set, -1 otherwise) are summed; sign of the sum
-    is the signature bit. Pure explode+groupBy — no UDF.
+    Token hash = first bits/4 hex chars of md5(token); bit b's vote is
+    ±1 by bit b of the hash, summed over token OCCURRENCES. r15
+    optimization (guide §2.3/§2.4 — same treatment minhash_signatures
+    already had): the votes are ``bits`` simultaneous SUM aggregates
+    over per-token vote COLUMNS instead of a bits-way row explosion +
+    two chained groupBys. One shuffle carrying one bits-column row per
+    document (map-side combined) replaces two shuffles over bits× the
+    token count; outputs are bit-identical (integer vote sums in either
+    grouping). Plan: 2 Exchange + 2 Generate → 1 Exchange + 1 Generate.
     """
+    from amundsendatabuilder_spark.functions.hashing import nibble_value
     from amundsendatabuilder_spark.session import ensure_parallelism
     nibbles = bits // 4
     toks = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
     ).withColumn("h", F.md5(F.col("tok")).substr(1, nibbles))
-    bit_idx = F.explode(F.array(*[F.lit(i) for i in range(bits)])).alias("bit")
-    votes = (
-        toks.select("doc_id", "h", bit_idx)
-        # nibble containing this bit, then test the bit within the nibble
-        .withColumn("nib_char", F.expr("substring(h, CAST(bit / 4 AS INT) + 1, 1)"))
-        .withColumn("nib_val", F.expr("instr('0123456789abcdef', nib_char) - 1"))
-        .withColumn("bit_set", F.expr("shiftright(nib_val, CAST(3 - bit % 4 AS INT)) & 1"))
-        .withColumn("vote", F.when(F.col("bit_set") == 1, 1).otherwise(-1))
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("votes"))
-    )
-    return (
-        votes.withColumn("bitval",
-                         F.when(F.col("votes") > 0,
-                                F.expr(f"shiftleft(1, CAST({bits - 1} - bit AS INT))"))
-                         .otherwise(0))
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").cast("long").alias("simhash"))
-    )
+    # materialize each nibble's value once as a projection column —
+    # aggregate expressions don't share subexpressions, so instr() inline
+    # in every vote agg would run bits× per token instead of bits/4×
+    nibs = toks.select("doc_id", *[
+        nibble_value(F.substring(F.col("h"), i + 1, 1)).alias(f"_n{i}")
+        for i in range(nibbles)])
+    vote = [
+        (F.shiftright(F.col(f"_n{b // 4}"), 3 - b % 4).bitwiseAND(F.lit(1))
+         * 2 - 1) for b in range(bits)]
+    return nibs.groupBy("doc_id").agg(
+        *[F.sum(vote[b]).alias(f"_v{b}") for b in range(bits)])
+
+
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", bits: int = 16) -> DataFrame:
+    """(doc_id, simhash) — Charikar SimHash over whitespace tokens.
+
+    Sign of each bit's summed ±1 vote is the signature bit (see
+    ``simhash_votes`` for the single-shuffle vote layout). Pure
+    projection over the vote register — no UDF, no second shuffle.
+    """
+    sig = sum(
+        (F.when(F.col(f"_v{b}") > 0,
+                F.lit(1 << (bits - 1 - b)).cast("long"))
+         .otherwise(F.lit(0).cast("long")) for b in range(bits)),
+        F.lit(0).cast("long"))
+    return (simhash_votes(docs, id_col, text_col, bits)
+            .select("doc_id", sig.cast("long").alias("simhash")))
 
 
 def simhash_hamming_pairs_wide(docs: DataFrame, id_col: str = "doc_id",
@@ -335,36 +352,31 @@ def simhash_hamming_pairs_wide(docs: DataFrame, id_col: str = "doc_id",
     assert bits % (k + 1) == 0, "k+1 blocks must divide the signature width"
     word_bits = bits // (k + 1)
     assert word_bits <= 32, "words must stay positive in a signed 64-bit int"
-    nibbles = bits // 4
-    from amundsendatabuilder_spark.session import ensure_parallelism
     if collapse_exact:
         docs = collapse_exact_texts(docs, id_col, text_col)
-    toks = ensure_parallelism(docs).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokens(F.col(text_col))).alias("tok"),
-    ).withColumn("h", F.md5(F.col("tok")).substr(1, nibbles))
-    bit_idx = F.explode(F.array(*[F.lit(i) for i in range(bits)])).alias("bit")
-    votes = (
-        toks.select("doc_id", "h", bit_idx)
-        .withColumn("nib_char", F.expr("substring(h, CAST(bit / 4 AS INT) + 1, 1)"))
-        .withColumn("nib_val", F.expr("instr('0123456789abcdef', nib_char) - 1"))
-        .withColumn("bit_set", F.expr("shiftright(nib_val, CAST(3 - bit % 4 AS INT)) & 1"))
-        .withColumn("vote", F.when(F.col("bit_set") == 1, 1).otherwise(-1))
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("votes"))
-    )
+    # single-shuffle vote register (see simhash_votes — r15: replaces the
+    # bits-way bit explosion + two chained groupBys); each word is then a
+    # pure projection over its word_bits vote columns and the (w, word)
+    # rows come from ONE generator
+    votes = simhash_votes(docs, id_col, text_col, bits)
+
+    def word_val(w: int):
+        return sum(
+            (F.when(F.col(f"_v{w * word_bits + i}") > 0,
+                    F.lit(1 << (word_bits - 1 - i)).cast("long"))
+             .otherwise(F.lit(0).cast("long")) for i in range(word_bits)),
+            F.lit(0).cast("long"))
+
+    words = F.array(*[
+        F.struct(F.lit(w).cast("int").alias("w"),
+                 word_val(w).cast("long").alias("word"))
+        for w in range(k + 1)])
     sigs = (
-        votes.withColumn("w", F.expr(f"CAST(bit DIV {word_bits} AS INT)"))
-        .withColumn("bitval",
-                    F.when(F.col("votes") > 0,
-                           F.expr(f"shiftleft(CAST(1 AS BIGINT), "
-                                  f"CAST({word_bits - 1} - bit % {word_bits} AS INT))"))
-                    .otherwise(F.lit(0).cast("long")))
-        .groupBy("doc_id", "w")
-        .agg(F.sum("bitval").cast("long").alias("word"))
+        votes.select("doc_id", F.explode(words).alias("_wv"))
+        .select("doc_id", "_wv.w", "_wv.word")
         # sigs feeds THREE consumers (the candidate self-join's two sides
         # plus x/y verification); without materialization the full
-        # tokenize -> 64-way bit explode -> vote lineage runs three times.
+        # tokenize -> vote lineage runs three times.
         # n_docs x (k+1) small rows — same treatment as langid_nb_fit.
         .localCheckpoint()
     )
@@ -608,12 +620,30 @@ def lsh_verified_pairs(docs: DataFrame, id_col: str = "doc_id",
     if max_df is not None:
         sh = _cap_shingle_df(sh, max_df)
     sh = sh.cache()
+    # r15 verify-stage restructure (guide §3.2 — reduce the big side
+    # BEFORE it shuffles): the candidate set is broadcast-sized by this
+    # operator's contract (it was already broadcast below), so it is
+    # materialized ONCE (localCheckpoint — each broadcast/semi-join use
+    # would otherwise re-run the whole LSH candidate pipeline) and every
+    # corpus-sized input to the verify join is first cut down to
+    # candidate documents by a broadcast semi-join. Before: the FULL
+    # shingle table shuffled into the doc_b join and the FULL per-doc
+    # size register shuffled into both size joins; after: only
+    # candidate docs' shingles cross an exchange and the size register
+    # (bounded by 2·|candidates| rows) broadcasts. At 100 TB that is
+    # the difference between shuffling the corpus' shingles and
+    # shuffling the near-duplicates'.
     cands = minhash_lsh_pairs(docs, id_col, text_col, num_hashes, bands,
-                              shingle_size, max_bucket_size, shingles=sh)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
-    sb = sh.select(F.col("doc_id").alias("_doc_b2"),
-                   F.col("shingle").alias("shingle_b"))
+                              shingle_size, max_bucket_size,
+                              shingles=sh).localCheckpoint()
+    ids = (cands.select(F.col("doc_a").alias("doc_id"))
+           .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+           .distinct())
+    sh_f = sh.join(F.broadcast(ids), "doc_id", "left_semi")
+    sizes = sh_f.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    sa = sh_f.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
+    sb = sh_f.select(F.col("doc_id").alias("_doc_b2"),
+                     F.col("shingle").alias("shingle_b"))
     inter = (
         F.broadcast(cands).join(sa, "doc_a")
         .join(sb, (F.col("doc_b") == F.col("_doc_b2"))
@@ -626,7 +656,7 @@ def lsh_verified_pairs(docs: DataFrame, id_col: str = "doc_id",
     zb = sizes.select(F.col("doc_id").alias("doc_b"),
                       F.col("n_shingles").alias("size_b"))
     return (
-        inter.join(za, "doc_a").join(zb, "doc_b")
+        inter.join(F.broadcast(za), "doc_a").join(F.broadcast(zb), "doc_b")
         .withColumn("jaccard", round_half_away(
             F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 6))
         .where(F.col("jaccard") >= threshold)

@@ -617,32 +617,52 @@ def embedding_covariance(emb: DataFrame, vec_col: str = "embedding",
     # (counting a row that contributes no products would bias every
     # entry low — exclusion is the only self-consistent treatment).
     v = emb.select(q.alias("q")).where(F.size("q") > 0)
+    # r15 single-pass fuse (guide §1.2/§2.3 — don't scan the corpus
+    # three times for statistics one scan can carry): each vector emits
+    # its d(d+1)/2 upper-triangle products PLUS its d singles as
+    # sentinel rows (j = -1, value = qᵢ) from ONE generator, so the Σqᵢ
+    # register, the Σqᵢqⱼ register and the row count all come out of a
+    # single corpus scan + single map-side-combinable shuffle — the
+    # previous formulation paid three scans and three shuffles (p, u, n)
+    # for the same sufficient statistics. The count and the ragged-dims
+    # guard ride on the singles: group (i, -1) holds one row per vector
+    # with dim > i, so max(count) over the singles groups IS n and
+    # min(count) == max(count) IFF every vector has equal dims — the
+    # exact condition the old min(size)==max(size) assert tested.
     pairs = F.expr(
         "flatten(transform(sequence(0, size(q)-1), i -> "
-        "transform(sequence(i, size(q)-1), j -> struct("
+        "transform(sequence(i-1, size(q)-1), j -> struct("
         "CAST(i AS INT) AS i, CAST(j AS INT) AS j, "
-        "CAST(q[i] AS DECIMAL(19,0)) * CAST(q[j] AS DECIMAL(19,0)) "
-        "AS prod))))")
-    p = (v.select(F.explode(pairs).alias("p"))
-         .select("p.i", "p.j", "p.prod")
-         .groupBy("i", "j")
-         .agg(F.sum(F.col("prod").cast("decimal(38,0)")).alias("sxy")))
-    u = (v.select(F.posexplode("q").alias("i", "qi"))
-         .groupBy("i")
-         .agg(F.sum(F.col("qi").cast("decimal(38,0)")).alias("s")))
+        "CASE WHEN j < i THEN CAST(q[i] AS DECIMAL(19,0)) "
+        "ELSE CAST(q[i] AS DECIMAL(19,0)) * CAST(q[j] AS DECIMAL(19,0)) "
+        "END AS prod))))")
+    # the register feeds FOUR consumers (pair entries, s_i, s_j, n) —
+    # materialize it once (d(d+1)/2 + d rows — register-sized, one
+    # partition) or every broadcast build re-runs the corpus explode
+    reg = (v.select(F.explode(pairs).alias("p"))
+           .select("p.i", F.when(F.col("p.j") < F.col("p.i"), F.lit(-1))
+                   .otherwise(F.col("p.j")).cast("int").alias("j"),
+                   "p.prod")
+           .groupBy("i", "j")
+           .agg(F.sum(F.col("prod").cast("decimal(38,0)")).alias("sxy"),
+                F.count(F.lit(1)).alias("_cnt"))
+           .coalesce(1).localCheckpoint())
+    p = reg.where(F.col("j") >= 0).select("i", "j", "sxy")
+    u = reg.where(F.col("j") == -1).select("i", F.col("sxy").alias("s"))
     # ragged NONZERO dims are not excludable — a short row contributes a
     # partial upper triangle and silently corrupts the matrix — so they
-    # raise instead, for free: min/max(size) fold into the count
-    # aggregate the pass already pays for (assert_true is NULL when
-    # healthy, so n is unchanged)
+    # raise instead, for free off the singles groups' counts (assert_true
+    # is NULL when healthy, so n is unchanged)
     # empty-register escape: when the post-filter corpus is EMPTY (no
     # input, or every vector was zero-length and excluded), min/max are
     # NULL and assert_true raises on NULL — coalesce(NULL, true) lets
     # the degenerate corpus flow through to an empty result instead of
     # aborting with a misleading "ragged dims" error (r13 ADVICE)
-    n = (v.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
-               F.min(F.size("q")).alias("_dmin"),
-               F.max(F.size("q")).alias("_dmax"))
+    n = (reg.where(F.col("j") == -1)
+         .agg(F.coalesce(F.max("_cnt"), F.lit(0)).cast("decimal(38,0)")
+              .alias("_n"),
+              F.min("_cnt").alias("_dmin"),
+              F.max("_cnt").alias("_dmax"))
          .select((F.col("_n") + F.coalesce(
              F.assert_true(
                  F.coalesce(F.col("_dmin") == F.col("_dmax"),
@@ -850,17 +870,21 @@ def pca_power_iteration(emb: DataFrame, iters: int = 8,
     # the only data-sized stage of the whole eigensolve — runs once
     if cov is None:
         cov = embedding_covariance(emb, vec_col=vec_col)
-    # symmetrize the upper triangle into the full matrix
+    # symmetrize the upper triangle into the full matrix. r15: the
+    # symmetrized register is d(d+1) rows (~4k at d=64, ~1M ≈ 30 MB at
+    # d=1k), so it checkpoints as ONE partition — each of the ~iters
+    # broadcast-join jobs then schedules 1 task against it instead of a
+    # 32-task wave (guide §2.4; for d ≥ ~4k shard the register instead).
     low = (cov.where(F.col("dim_i") != F.col("dim_j"))
            .select(F.col("dim_j").alias("dim_i"),
                    F.col("dim_i").alias("dim_j"), "cov"))
-    c = cov.unionByName(low).localCheckpoint()
+    c = cov.unionByName(low).coalesce(1).localCheckpoint()
     # shared jitter-start/mat-vec/renormalize core (bit-identical to the
     # in-line loop this replaced — one arithmetic path for both the
     # single-component and the deflation entry points); wf is one more
     # exact mat-vec against the FINAL v for an honest Rayleigh quotient
     v, wf = _power_iterate(c, iters, "pca:")
-    q = (v.join(wf, "dim")
+    q = (v.join(F.broadcast(wf), "dim")
          .agg(F.sum((F.col("vi").cast("decimal(19,0)")
                      * F.col("wi").cast("decimal(19,0)"))
                     .cast("decimal(38,0)")).alias("vw"),
@@ -889,10 +913,16 @@ def _power_iterate(c: DataFrame, iters: int, seed_prefix: str):
     jitter = F.conv(F.substring(F.md5(F.concat(
         F.lit(seed_prefix), F.col("dim").cast("string"))), 1, 4), 16, 10
     ).cast("long")
+    # r15: the iteration state is a d-row register by contract (the
+    # guard below raises otherwise), so every checkpoint coalesces to ONE
+    # partition first — materializing a 64-row register as 32 AQE
+    # shuffle partitions cost a full 32-task wave per round for nothing
+    # (guide §2.4/§5; the connected_components n_parts lesson applied to
+    # the eigensolve loop).
     v = (c.select(F.col("dim_i").alias("dim")).distinct()
          .select("dim", (F.lit(500_000_000) + jitter * F.lit(10_000))
                  .cast("long").alias("vi"))
-         .localCheckpoint())
+         .coalesce(1).localCheckpoint())
 
     def matvec(vec):
         vr = (vec.withColumnRenamed("dim", "vdim")
@@ -929,7 +959,7 @@ def _power_iterate(c: DataFrame, iters: int, seed_prefix: str):
                  F.col("nrm") > 0, round_half_away(
                      F.col("wi").cast("double") / F.col("nrm") * 1e9, 0))
                  .otherwise(F.lit(0)).cast("long").alias("vi"))
-             .localCheckpoint())
+             .coalesce(1).localCheckpoint())
     return v, matvec(v)
 
 
@@ -954,11 +984,13 @@ def pca_top_components(emb: DataFrame, n_components: int = 2,
     low = (cov.where(F.col("dim_i") != F.col("dim_j"))
            .select(F.col("dim_j").alias("dim_i"),
                    F.col("dim_i").alias("dim_j"), "cov"))
-    c = cov.unionByName(low).localCheckpoint()
+    # r15: register-sized checkpoints coalesce to one partition — see
+    # pca_power_iteration's note (same d(d+1)-row bound, same trade)
+    c = cov.unionByName(low).coalesce(1).localCheckpoint()
     frames = []
     for k in range(1, int(n_components) + 1):
         v, wf = _power_iterate(c, iters, f"pca{k}:")
-        q = (v.join(wf, "dim")
+        q = (v.join(F.broadcast(wf), "dim")
              .agg(F.sum((F.col("vi").cast("decimal(19,0)")
                          * F.col("wi").cast("decimal(19,0)"))
                         .cast("decimal(38,0)")).alias("vw"),
@@ -989,7 +1021,7 @@ def pca_top_components(emb: DataFrame, n_components: int = 2,
                      * (F.col("va").cast("double") / 1e9)
                      * (F.col("vb").cast("double") / 1e9), 9)
                      .alias("cov"))
-                 .localCheckpoint())
+                 .coalesce(1).localCheckpoint())
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)

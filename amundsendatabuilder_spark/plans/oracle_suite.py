@@ -11099,8 +11099,8 @@ def pca_explained_variance_query(spark, sf_dir):
     (emb,) = _t(spark, sf_dir, "embeddings")
     # ONE covariance corpus pass shared by the eigensolve and the trace
     # (the pass is the only data-sized stage here; everything downstream
-    # is a d-row register)
-    cov = embedding_covariance(emb).localCheckpoint()
+    # is a d-row register — so it checkpoints as one partition, r15)
+    cov = embedding_covariance(emb).coalesce(1).localCheckpoint()
     lam = (pca_power_iteration(emb, iters=8, cov=cov)
            .agg(F.max("eigenvalue").alias("eigenvalue")))
     tr = (cov

@@ -291,28 +291,33 @@ CALIB_REF = 0.509
 # rebuild now breaks the suite instead of silently re-timing last
 # round's entries. The marker is also emitted in the headline JSON as
 # ``changed_round`` so the recorded artifact carries the provenance.
-CHANGED_ROUND = 14
-CHANGED_THIS_ROUND = [
-    # r14: the covariance register's ragged-dims assert now passes an
-    # EMPTY register through (coalesce(cond, true) — r13 ADVICE): plan
-    # changed for the whole covariance family, outputs identical on
-    # healthy data
+CHANGED_ROUND = 15
+CHANGED_THIS_ROUND: "list[str]" = [
+    # r15 is the first OPTIMIZATION round: entries are added here as
+    # their plans change (outputs stay hash-identical — every optimized
+    # query re-verifies against the DuckDB oracle before it lands).
+    # Wave 1 — simhash single-shuffle vote register (dedup.simhash_votes):
+    # the bits-way bit explosion + two chained groupBys became per-token
+    # vote columns + ONE groupBy (headline dedup_simhash inherits too)
+    "dedup_simhash_hamming",
+    "dedup_simhash64_hamming",
+    "dedup_simhash_hamming_capped",
+    "dedup_simhash64_capped",
+    "simhash_cap_audit",
+    # Wave 1 — lsh_verified_pairs verify stage: candidate-semi-join the
+    # shingle/size inputs, broadcast the candidate-sized register joins
+    # (headline dedup_lsh_verified/dedup_clusters inherit)
+    "pipeline_end_to_end",
+    "leakage_safe_split",
+    "split_leak_audit",
+    "dedup_quality_winner",
+    # Wave 1 — embedding_covariance single-pass sufficient statistics
+    # (3 corpus scans -> 1, register checkpointed) + power-iteration
+    # register coalesce(1) checkpoints and broadcast Rayleigh joins
     "embedding_covariance",
     "pca_power_iteration",
     "pca_explained_variance",
     "pca_top_components",
-    # r14 corpus-level-empty denominator guards (r13 verdict item #2,
-    # found by tools/degenerate_sweep.py): CASE-guarded ppm/epoch
-    # divisions — outputs identical on healthy data
-    "quality_decile_table",
-    "mixture_epochs",
-    "padding_waste_report",
-    "concat_window_packing",
-    # r14 emptyvecs sweep: NULL-tolerant bucket subscript (F.get)
-    "cluster_label_nmi",
-    # r14 oneevent sweep: one-sided-sample KS reads NULL, not DIV-0
-    "ks_drift_stat",
-    "ks_time_drift",
 ]
 
 
