@@ -22,6 +22,20 @@ from pyspark.sql import functions as F
 from amundsendatabuilder_spark.session import DEFAULT_SHUFFLE_PARTITIONS
 
 
+def _register_parts(n_rows: int, rows_per_part: int = 2_000_000) -> int:
+    """Partition count for an n_rows iteration-state checkpoint (r15,
+    guide §2.4/§5 + the connected_components n_parts lesson generalized):
+    localCheckpoint materializes the PRE-AQE-coalesce partitioning, so a
+    15k-row label/rank/register table checkpointed every round costs a
+    full shuffle-width task wave per round for nothing. State rows here
+    are ~16–50 bytes, so ~2M rows/partition keeps partitions in the
+    tens-of-MB range; the cap at the configured shuffle width means
+    cluster-scale graphs keep full parallelism (scale-adaptive, derived
+    from the measured row count — never a local-only constant)."""
+    return max(1, min(int(DEFAULT_SHUFFLE_PARTITIONS),
+                      int(n_rows) // rows_per_part + 1))
+
+
 def reachability(edges: DataFrame, sources: DataFrame,
                  max_depth: int = 4,
                  src_col: str = "src", dst_col: str = "dst") -> DataFrame:
@@ -210,9 +224,14 @@ def pagerank(edges: DataFrame, iters: int = 3,
     nodes = (edges.select(F.col("src").alias("node"))
              .unionByName(edges.select(F.col("dst").alias("node")))
              .distinct().localCheckpoint())
-    outdeg = (edges.groupBy(F.col("src").alias("node"))
-              .agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint())
     n = nodes.count()
+    # r15: rank/degree state is (node, long) rows — checkpoint at a
+    # node-count-derived width instead of a full shuffle-width task wave
+    # per iteration (see _register_parts)
+    n_parts = _register_parts(n)
+    outdeg = (edges.groupBy(F.col("src").alias("node"))
+              .agg(F.count(F.lit(1)).alias("outdeg"))
+              .coalesce(n_parts).localCheckpoint())
     r0 = unit // n
     total = n * r0
     base = (total * (damping_den - damping_num)) // (damping_den * n)
@@ -234,7 +253,7 @@ def pagerank(edges: DataFrame, iters: int = 3,
                          (F.lit(base) + share
                           + F.coalesce(F.col("in_mass"), F.lit(0)))
                          .cast("long").alias("r"))
-                 .localCheckpoint())
+                 .coalesce(n_parts).localCheckpoint())
     edges.unpersist()
     return state
 
@@ -308,6 +327,9 @@ def label_propagation(edges: DataFrame, iters: int = 3,
     sym = (sym.unionByName(sym.select(F.col("v").alias("u"),
                                       F.col("u").alias("v")))
            .distinct().localCheckpoint())
+    # r15: label state is (node, long) — size its per-sweep checkpoints
+    # to the materialized edge count, not the shuffle-width constant
+    n_parts = _register_parts(sym.count())
     labels = (sym.select(F.col("u").alias("node")).distinct()
               .select("node", F.col("node").alias("label")))
     for _ in range(iters):
@@ -320,7 +342,7 @@ def label_propagation(edges: DataFrame, iters: int = 3,
                                       F.col("label"))).alias("m"))
                   .select(F.col("n").alias("node"),
                           F.col("m.label").alias("label"))
-                  .localCheckpoint())
+                  .coalesce(n_parts).localCheckpoint())
     sym.unpersist()
     return labels
 
@@ -403,13 +425,16 @@ def hash_walks(edges: DataFrame, walk_len: int = 3,
                 F.count(F.lit(1)).alias("deg")).localCheckpoint())
     start_df = (starts if starts is not None
                 else adj.select(F.col("u").alias("start")))
+    # r15: the frontier is (start, walk, cur) — ~walks_per_node x nodes
+    # small rows; size its per-step checkpoints to that count
+    n_parts = _register_parts(adj.count() * walks_per_node)
     frontier = (start_df.select(
         "start",
         F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1)))
         .alias("walk"))
         .select("start", F.col("walk").cast("long").alias("walk"),
                 F.col("start").alias("cur"))
-        .localCheckpoint())
+        .coalesce(n_parts).localCheckpoint())
     out = frontier.select("start", "walk", F.lit(0).alias("step"),
                           F.col("cur").alias("node"))
     for t in range(1, walk_len + 1):
@@ -425,7 +450,7 @@ def hash_walks(edges: DataFrame, walk_len: int = 3,
                     # materialize each level: the final union otherwise
                     # re-evaluates every prefix of the join chain
                     # (O(len²) joins — the match_var_path lesson)
-                    .localCheckpoint())
+                    .coalesce(n_parts).localCheckpoint())
         out = out.unionByName(frontier.select(
             "start", "walk", F.lit(t).alias("step"),
             F.col("cur").alias("node")))
@@ -457,6 +482,8 @@ def feature_propagation(edges: DataFrame, feats: DataFrame,
     sym = (und.unionByName(und.select(F.col("v").alias("u"),
                                       F.col("u").alias("v")))
            .distinct().localCheckpoint())
+    # r15: feature state is (node, long) — register-sized checkpoints
+    n_parts = _register_parts(sym.count())
     deg = sym.groupBy(F.col("u").alias(node_col)).agg(
         F.count(F.lit(1)).alias("deg"))
     state = feats.select(F.col(node_col),
@@ -474,7 +501,7 @@ def feature_propagation(edges: DataFrame, feats: DataFrame,
                          F.expr("(f + coalesce(nsum, CAST(0 AS BIGINT)))"
                                 " DIV (1 + coalesce(deg,"
                                 " CAST(0 AS BIGINT)))").alias("f"))
-                 .localCheckpoint())
+                 .coalesce(n_parts).localCheckpoint())
     return state
 
 
@@ -505,6 +532,9 @@ def temporal_reachability(edges: DataFrame, sources: DataFrame,
                      F.col(ts_col).cast("long").alias("t")).localCheckpoint()
     state = sources.select(F.col("node"),
                            F.lit(0).cast("long").alias("arrival"))
+    # r15: arrival state is (node, long), bounded by reached nodes —
+    # register-sized checkpoints (see _register_parts)
+    n_parts = _register_parts(e.count())
     for _ in range(rounds):
         relaxed = (e.join(state, e["u"] == state["node"])
                    .where(F.col("t") >= F.col("arrival"))
@@ -512,7 +542,7 @@ def temporal_reachability(edges: DataFrame, sources: DataFrame,
                            F.col("t").alias("arrival")))
         state = (state.unionByName(relaxed)
                  .groupBy("node").agg(F.min("arrival").alias("arrival"))
-                 .localCheckpoint())
+                 .coalesce(n_parts).localCheckpoint())
     return state
 
 
@@ -553,12 +583,15 @@ def k_core(edges: DataFrame, k: int = 3, rounds: int = 5,
     sym = (e.unionByName(e.select(F.col("v").alias("u"),
                                   F.col("u").alias("v")))
            .distinct().localCheckpoint())
+    # r15: survivor edge state only shrinks — checkpoint at an
+    # edge-count-derived width, not the shuffle-width constant
+    n_parts = _register_parts(sym.count())
     for _ in range(rounds):
         keep = (sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
                 .where(F.col("deg") >= k).select("u"))
         sym = (sym.join(keep, "u", "left_semi")
                .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
-               .select("u", "v").localCheckpoint())
+               .select("u", "v").coalesce(n_parts).localCheckpoint())
     return (sym.groupBy(F.col("u").alias("node"))
             .agg(F.count(F.lit(1)).cast("long").alias("core_degree")))
 
@@ -627,13 +660,16 @@ def hyperball_neighborhood(edges: DataFrame, iters: int = 3, p: int = 4,
                             / F.col("n_nodes").cast("double") / 1e6, 6)
             .alias("avg_reach"))
 
+    # r15: the register table is nodes x 2^p small rows — size per-round
+    # checkpoints to its materialized count (see _register_parts)
+    n_parts = _register_parts(regs.count())
     frames = [_radius_row(regs, 0)]
     for radius in range(1, iters + 1):
         nbr = (e.join(regs.withColumnRenamed("node", "e_dst"), "e_dst")
                .select(F.col("e_src").alias("node"), "bucket", "r"))
         regs = (regs.unionByName(nbr)
                 .groupBy("node", "bucket").agg(F.max("r").alias("r"))
-                .localCheckpoint())
+                .coalesce(n_parts).localCheckpoint())
         frames.append(_radius_row(regs, radius))
     out = frames[0]
     for f in frames[1:]:
@@ -736,13 +772,16 @@ def hyperball_harmonic(edges: DataFrame, iters: int = 3, p: int = 4,
                         round_half_away(F.col("approx_distinct") * 1e6, 0)
                         .cast("long").alias("e6")))
 
+    # r15: same register-sized checkpoint treatment as
+    # hyperball_neighborhood
+    n_parts = _register_parts(regs.count())
     frames = [_per_node(regs, 0)]
     for radius in range(1, iters + 1):
         nbr = (e.join(regs.withColumnRenamed("node", "e_dst"), "e_dst")
                .select(F.col("e_src").alias("node"), "bucket", "r"))
         regs = (regs.unionByName(nbr)
                 .groupBy("node", "bucket").agg(F.max("r").alias("r"))
-                .localCheckpoint())
+                .coalesce(n_parts).localCheckpoint())
         frames.append(_per_node(regs, radius))
     allr = frames[0]
     for f in frames[1:]:
