@@ -370,18 +370,19 @@ def dsir_importance_weights(docs: DataFrame, target: DataFrame,
     B = float(n_buckets)
 
     def feat_buckets(df: DataFrame) -> DataFrame:
-        # unigrams + adjacent bigrams from ONE posexplode materialization
-        toks = (df.select(F.col(id_col).alias("_rid"),
-                          F.posexplode(tokens(F.lower(F.col(text_col))))
-                          .alias("pos", "tok"))
-                .localCheckpoint())
-        a = toks.select("_rid", "pos", F.col("tok").alias("w1"))
-        b = toks.select("_rid", (F.col("pos") - 1).alias("pos"),
-                        F.col("tok").alias("w2"))
-        bi = (a.join(b, ["_rid", "pos"])
-              .select("_rid", F.concat_ws(" ", "w1", "w2").alias("feat")))
-        feats = toks.select("_rid", F.col("tok").alias("feat")) \
-                    .unionByName(bi)
+        # unigrams + adjacent bigrams from ONE tokens() array: bigrams
+        # are zip_with(toks[0..n-2], toks[1..n-1]) over the array itself,
+        # so the former posexplode self-join on (_rid, pos) — a shuffled
+        # join per corpus pass, plus a corpus-token-sized localCheckpoint
+        # feeding it — disappears outright (guide §2.4); a single explode
+        # emits the 2n-1 features per doc straight into the map-side
+        # bucket aggregation
+        toks = tokens(F.lower(F.col(text_col)))
+        n_1 = F.greatest(F.size(toks) - 1, F.lit(0))
+        bigrams = F.zip_with(F.slice(toks, 1, n_1), F.slice(toks, 2, n_1),
+                             lambda w1, w2: F.concat_ws(" ", w1, w2))
+        feats = df.select(F.col(id_col).alias("_rid"),
+                          F.explode(F.concat(toks, bigrams)).alias("feat"))
         bucket = (F.conv(F.substring(
             F.md5(F.concat(F.lit("dsir:"), F.col("feat"))), 1, 15), 16, 10)
             .cast("long") % n_buckets)

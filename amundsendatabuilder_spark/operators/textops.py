@@ -145,12 +145,20 @@ def langid_nb_predict(docs: DataFrame, model: DataFrame,
                            (F.col("g_total")
                             - F.coalesce(F.col("matched_m"), F.lit(0.0)))
                            * F.col("default_logp"), 9)).alias("raw")))
-    w = Window.partitionBy("doc_id").orderBy(F.col("raw").desc(),
-                                             F.col("lang").asc())
-    return (scored.withColumn("_r", F.row_number().over(w))
-            .where(F.col("_r") == 1)
-            .select("doc_id", F.col("lang").alias("predicted_lang"),
-                    round_half_away(F.col("raw"), 6).alias("score")))
+    # argmax(raw desc, lang asc) as a map-side-combinable MIN over
+    # (-raw, lang) structs instead of a row_number window: the window
+    # shuffled and SORTED every (doc, lang) score row, the aggregate
+    # pre-reduces each map partition to one row per doc before the
+    # exchange (|langs|x fewer shuffled bytes, no sort). Double negation
+    # is exact, so the ordering is identical; lang breaks ties the same
+    # way; raw rides along for the final 6dp round.
+    return (scored.groupBy("doc_id")
+            .agg(F.min(F.struct((-F.col("raw")).alias("_neg_raw"),
+                                F.col("lang").alias("lang"),
+                                F.col("raw").alias("raw"))).alias("_best"))
+            .select("doc_id",
+                    F.col("_best.lang").alias("predicted_lang"),
+                    round_half_away(F.col("_best.raw"), 6).alias("score")))
 
 
 def lm_fluency_score(docs: DataFrame, model: DataFrame,

@@ -318,6 +318,36 @@ CHANGED_THIS_ROUND: "list[str]" = [
     "pca_power_iteration",
     "pca_explained_variance",
     "pca_top_components",
+    # Wave 2 — iterative-register checkpoint sizing
+    # (graph_algo._register_parts): localCheckpoints of register-sized
+    # iterative state coalesce to a data-derived width instead of the
+    # full shuffle width (headline dedup_clusters/centroid_assignment
+    # inherit; kmeans_centroids/ann_ivf_kmeans_full_probe/ann_pq_adc_topk
+    # also changed but are not bench entries)
+    "graph_pagerank",
+    "graph_k_core",
+    "hyperball_reach",
+    "hyperball_harmonic",
+    "graph_effective_diameter",
+    "graph_label_propagation",
+    "graph_hash_walks",
+    "graph_feature_propagation",
+    "temporal_reachability",
+    "logreg_quality_train",
+    "logreg_quality_score",
+    "logreg_holdout_auc",
+    "logreg_weight_explain",
+    "uncertainty_sampling",
+    "score_calibration",
+    "mixture_reweight_quality",
+    "cluster_label_nmi",
+    "dedup_embedding_bucketed_capped",
+    "knn_label_disagreement",
+    # Wave 4 — langid argmax window -> map-side-combinable MIN(struct)
+    # aggregation; dsir bigrams via zip_with over the token array
+    # (posexplode self-join + corpus-token-sized localCheckpoint removed)
+    "langid_nb",
+    "dsir_importance_weights",
 ]
 
 
