@@ -4,9 +4,10 @@ a silent format drift would null the driver's `parsed` field and drop
 the round's benchmark evidence without any visible failure)."""
 
 import json
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench  # noqa: E402
 
@@ -77,9 +78,15 @@ def test_changed_this_round_is_fresh():
     AFTER round N, so round N+1 builds while it reads N); a stale
     CHANGED_ROUND marker now fails the suite."""
     import re
-    with open("/root/repo/VERDICT.md", encoding="utf-8") as f:
-        m = re.search(r"round\s+(\d+)", f.readline())
-    assert m, "VERDICT.md header did not carry a round number"
+    # resolve relative to the repo this test file lives in (not a
+    # hard-coded /root/repo) and anchor to the known header shape so a
+    # reworded first line fails loudly instead of matching a stray
+    # "round N" elsewhere in the sentence (r14 ADVICE)
+    verdict = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "VERDICT.md")
+    with open(verdict, encoding="utf-8") as f:
+        m = re.match(r"# VERDICT — round (\d+)\s*$", f.readline())
+    assert m, "VERDICT.md header did not match '# VERDICT — round N'"
     current_round = int(m.group(1)) + 1
     assert bench.CHANGED_ROUND == current_round, (
         f"bench.CHANGED_ROUND is {bench.CHANGED_ROUND} but the current "

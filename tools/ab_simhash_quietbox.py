@@ -43,16 +43,25 @@ def main() -> None:
     # simhash adjudication risked)
     # bench.py's own import-time `sys.path.insert(0, <its dir>)` would
     # reintroduce the precedence bug, so the path is snapshotted around
-    # the exec and any HEAD package modules it pulled in are evicted
+    # the exec; the assert below fails loudly if the exec ever starts
+    # registering package modules (bench.py has no module-level package
+    # imports today — were one added, those HEAD modules would be cached
+    # ahead of the worktree's and silently contaminate the A/B)
     import importlib.util
     _spec = importlib.util.spec_from_file_location(
         "_head_bench", "/root/repo/bench.py")
     bench = importlib.util.module_from_spec(_spec)
     _saved_path = list(sys.path)
+    _mods_before = set(sys.modules)
     try:
         _spec.loader.exec_module(bench)
     finally:
         sys.path[:] = _saved_path
+    _leaked = [m for m in sys.modules if m not in _mods_before
+               and m.startswith("amundsendatabuilder_spark")]
+    assert not _leaked, (
+        f"HEAD bench exec registered package modules {_leaked} — evict "
+        "them (del sys.modules[...]) before importing the worktree side")
 
     spark = get_spark(f"ab_{tag}")
     spark.sparkContext.setLogLevel("ERROR")

@@ -169,7 +169,9 @@ def main() -> int:
     for a in aborts:
         print(" ", a, "--", results[a]["error"][:160])
     spark.stop()
-    return 0
+    # non-zero on any abort so shell pipelines / CI can gate on the sweep
+    # (r14 ADVICE: `sweep && next` must not pass a regression silently)
+    return min(len(aborts), 125)
 
 
 if __name__ == "__main__":
