@@ -661,7 +661,15 @@ def hyperball_neighborhood(edges: DataFrame, iters: int = 3, p: int = 4,
             .alias("avg_reach"))
 
     # r15: the register table is nodes x 2^p small rows — size per-round
-    # checkpoints to its materialized count (see _register_parts)
+    # checkpoints to its materialized count (see _register_parts). The
+    # width collapse is a repartition ABOVE the agg, not a coalesce on
+    # it: coalesce would run the max-merge reduce itself at n_parts
+    # tasks, and unlike the label/rank registers this merge's INPUT is
+    # |edges| x 2^p rows per round — serializing it costs far more than
+    # the checkpoint task wave saves (measured: effective_diameter ~2x
+    # slower with the coalesce). repartition keeps the merge at AQE
+    # width with map-side partials intact and only the register-sized
+    # checkpoint write narrows.
     n_parts = _register_parts(regs.count())
     frames = [_radius_row(regs, 0)]
     for radius in range(1, iters + 1):
@@ -669,7 +677,7 @@ def hyperball_neighborhood(edges: DataFrame, iters: int = 3, p: int = 4,
                .select(F.col("e_src").alias("node"), "bucket", "r"))
         regs = (regs.unionByName(nbr)
                 .groupBy("node", "bucket").agg(F.max("r").alias("r"))
-                .coalesce(n_parts).localCheckpoint())
+                .repartition(n_parts, "node", "bucket").localCheckpoint())
         frames.append(_radius_row(regs, radius))
     out = frames[0]
     for f in frames[1:]:
@@ -773,7 +781,9 @@ def hyperball_harmonic(edges: DataFrame, iters: int = 3, p: int = 4,
                         .cast("long").alias("e6")))
 
     # r15: same register-sized checkpoint treatment as
-    # hyperball_neighborhood
+    # hyperball_neighborhood — repartition above the agg, NOT coalesce
+    # on it (the max-merge input is |edges| x 2^p rows; see the
+    # neighborhood loop's comment)
     n_parts = _register_parts(regs.count())
     frames = [_per_node(regs, 0)]
     for radius in range(1, iters + 1):
@@ -781,7 +791,7 @@ def hyperball_harmonic(edges: DataFrame, iters: int = 3, p: int = 4,
                .select(F.col("e_src").alias("node"), "bucket", "r"))
         regs = (regs.unionByName(nbr)
                 .groupBy("node", "bucket").agg(F.max("r").alias("r"))
-                .coalesce(n_parts).localCheckpoint())
+                .repartition(n_parts, "node", "bucket").localCheckpoint())
         frames.append(_per_node(regs, radius))
     allr = frames[0]
     for f in frames[1:]:

@@ -19,11 +19,15 @@ import statistics
 import sys
 import time
 
-QUERIES = [
-    "dedup_simhash_hamming_capped",
-    "dedup_simhash64_capped",
-    "search_doc_flagship",        # anchor: known-offset reference
-]
+import os
+
+QUERIES = os.environ.get(
+    "SPARK_GRAFT_AB_QUERIES",
+    "dedup_simhash_hamming_capped,dedup_simhash64_capped,"
+    "search_doc_flagship").split(",")
+# default set: the two r12 outliers + the flagship as the known-offset
+# anchor; override with SPARK_GRAFT_AB_QUERIES=a,b,... for later rounds'
+# adjudications
 SF_DIR = "/root/testdata/sf0.1"
 N = 5
 
