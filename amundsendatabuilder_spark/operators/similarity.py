@@ -242,42 +242,75 @@ def assign_centroids(corpus: DataFrame, centroids: DataFrame,
                      metric: str = "cos",
                      keep_vec: bool = False) -> DataFrame:
     """Nearest-centroid assignment — the IVF index-BUILD step (and one
-    k-means iteration) exposed as its own verified operator: broadcast the
-    centroid set, score each corpus vector against all centroids JVM-side,
-    keep the argmax-cosine (or argmin-L2 with ``metric='l2'``) centroid,
-    ties broken by centroid id. Exactly one pass over the corpus, no
-    shuffle beyond the broadcast. Scores round to 6dp BEFORE the argmin so
-    the assignment itself is engine-reproducible (cos matches DuckDB's
-    list_cosine_similarity, l2 matches list_distance — fold order
-    verified identical).
+    k-means iteration) exposed as its own verified operator: collapse the
+    centroid set into a one-row struct-array register, broadcast it, and
+    compute the argmax-cosine (or argmin-L2 with ``metric='l2'``) centroid
+    as a PURE PROJECTION (``array_min`` over a ``transform``), ties broken
+    by centroid id. Exactly one pass over the corpus and ZERO shuffles —
+    the previous rank-window shape re-exchanged the corpus (with the full
+    vector payload under ``keep_vec``) to sort corpus × k scored rows; at
+    100 TB that exchange was the entire cost of a Lloyd iteration. Scores
+    round to 6dp BEFORE the argmin so the assignment itself is
+    engine-reproducible (cos matches DuckDB's list_cosine_similarity, l2
+    matches list_distance — fold order verified identical). Argmin
+    ordering replicates the old window exactly: cos DESC NULLS LAST /
+    l2 ASC NULLS FIRST, then centroid id ASC — the struct key leads with
+    a null flag so NULL scores keep their old rank.
 
     ``keep_vec=True`` carries the corpus vector through as ``_v`` so a
     consumer that needs both the assignment and the vector (the k-means
-    mean step) avoids a corpus-sized join back — the difference between
-    a broadcast-only pass and a sort-merge join per Lloyd iteration."""
+    mean step) avoids a corpus-sized join back."""
     from amundsendatabuilder_spark.functions.vectors import l2_distance, l2_norm
     from amundsendatabuilder_spark.session import ensure_parallelism
     assert metric in ("cos", "l2"), metric
     c = ensure_parallelism(corpus).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")) \
         .withColumn("_vn", l2_norm("_v"))
-    cents = F.broadcast(centroids.select(
+    reg = (centroids.select(
         F.col(cent_id_col), F.col(vec_col).cast("array<double>").alias("_c"))
-        .withColumn("_cn", l2_norm("_c")))
+        .withColumn("_cn", l2_norm("_c"))
+        .agg(F.collect_list(F.struct(cent_id_col, "_c", "_cn"))
+             .alias("_cents")))
+    # two-pass transform: the score fold is evaluated ONCE per centroid
+    # (HOF lambdas re-evaluate every copy of a subtree, so putting the
+    # fold into the ordering struct three times tripled the per-element
+    # CPU — measured 1.6x wall on kmeans); the ordering key then reads
+    # the scored struct's fields only
     if metric == "cos":
-        score = round_half_away(cosine_similarity(
-            "_v", "_c", norm_a=F.col("_vn"), norm_b=F.col("_cn")), 6)
-        order = F.col("cos").desc()
+        def _score(e):
+            s = round_half_away(cosine_similarity(
+                F.col("_v"), e["_c"], norm_a=F.col("_vn"),
+                norm_b=e["_cn"]), 6)
+            return F.struct(s.alias("_s"), e[cent_id_col].alias("_cid"))
+
+        def _key(p):
+            # old window order: cos DESC NULLS LAST, cent_id ASC
+            return F.struct(p["_s"].isNull().alias("_nl"),
+                            (-F.coalesce(p["_s"], F.lit(0.0))).alias("_o"),
+                            p["_cid"].alias("_cid"),
+                            p["_s"].alias("_s"))
     else:
-        score = round_half_away(l2_distance("_v", "_c"), 6)
-        order = F.col("cos").asc()
-    scored = c.join(cents).withColumn("cos", score)
-    w = Window.partitionBy(id_col).orderBy(order, F.col(cent_id_col))
-    out_cols = [F.col(id_col), F.col(cent_id_col), F.col("cos")]
+        def _score(e):
+            s = round_half_away(l2_distance(F.col("_v"), e["_c"]), 6)
+            return F.struct(s.alias("_s"), e[cent_id_col].alias("_cid"))
+
+        def _key(p):
+            # old window order: d ASC NULLS FIRST, cent_id ASC
+            return F.struct(p["_s"].isNotNull().alias("_nl"),
+                            F.coalesce(p["_s"], F.lit(0.0)).alias("_o"),
+                            p["_cid"].alias("_cid"),
+                            p["_s"].alias("_s"))
+    best = F.array_min(F.transform(
+        F.transform(F.col("_cents"), _score), _key))
+    out_cols = [F.col(id_col), F.col("_best._cid").alias(cent_id_col),
+                F.col("_best._s").alias("cos")]
     if keep_vec:
         out_cols.append(F.col("_v"))
-    return (scored.withColumn("_r", F.row_number().over(w))
-            .where(F.col("_r") == 1)
+    # empty-centroid register -> empty array -> NULL argmin -> no rows,
+    # exactly the old inner-join-with-empty behavior
+    return (c.join(F.broadcast(reg))
+            .withColumn("_best", best)
+            .where(F.col("_best").isNotNull())
             .select(*out_cols))
 
 
@@ -321,6 +354,10 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         # LIST ROUTING itself (not just the final scores) is reproducible
         # across engines/partitionings — required for the partial-probe
         # DuckDB oracle, where which lists a query probes decides the rows
+        # (r15: an array-register projection variant was MEASURED SLOWER
+        # here — interleaved min 2.79->3.36s on ann_ivf_topk — the nested
+        # HOF interpretation cost more than this nlist-way fan-out +
+        # group-limited window; kept the fan-out shape)
         scored = df.crossJoin(cents).withColumn(
             "d", round_half_away(cosine_similarity(vecc, "c_vec"), 6))
         w = Window.partitionBy(idc).orderBy(F.col("d").desc(), F.col("list_id"))
@@ -479,6 +516,10 @@ def pq_train(corpus: DataFrame, m: int = 4, ksub: int = 16, dim: int = 64,
              .coalesce(1).localCheckpoint())
 
     def assign(cs: DataFrame) -> DataFrame:
+        # (r15: an array-register argmin projection was MEASURED SLOWER
+        # for the PQ family — interleaved min 3.30->5.76s on
+        # ann_pq_adc_topk — nested-HOF interpretation beat by this
+        # ksub-way fan-out + group-limited window; kept)
         scored = sliced.join(F.broadcast(cs), "sub_id").withColumn(
             "d", round_half_away(l2_distance("sv", "cv"), 6))
         w = Window.partitionBy(id_col, "sub_id").orderBy("d", "cent_id")
@@ -513,7 +554,9 @@ def pq_encode(corpus: DataFrame, codebooks: DataFrame, m: int = 4,
     (round-6 L2, cent_id tie-break — the same determinism contract as
     assign_centroids). One broadcast of the m*ksub codebook rows, one
     n*m-row argmin window, one groupBy(id) to collapse codes — the
-    corpus vectors never shuffle; only (id, sub_id, code) rows do."""
+    corpus vectors never shuffle; only (id, sub_id, code) rows do.
+    (r15: a zero-shuffle nested-transform projection variant was
+    MEASURED SLOWER — see pq_train.assign's note; kept this shape.)"""
     from amundsendatabuilder_spark.functions.vectors import l2_distance
     dsub = dim // m
     cb = F.broadcast(codebooks.select(
@@ -1117,11 +1160,11 @@ def mutual_nn_pairs(emb: DataFrame, planes: list[list[float]],
     mutuality. Returns (id_a, id_b, cos) with id_a < id_b.
 
     Scale shape: the candidate join shuffles (id, band, sig) rows; the
-    scoring join carries candidate vectors only; the per-source rank
-    window partitions by source id (bounded by bucket-mate counts,
-    never the corpus). Approximate like every banded path: a true
-    mutual-NN pair sharing no band is unseen — more bands recover
-    recall.
+    scoring join carries candidate vectors only; the per-source top-1 is
+    a map-side-combinable MIN(struct) argmax that reuses the scoring
+    join's src partitioning (no sort + rank window over the candidate
+    fan-out). Approximate like every banded path: a true mutual-NN pair
+    sharing no band is unseen — more bands recover recall.
 
     ``max_bucket_size``: the minhash_lsh_pairs guard for the exact-dup
     clique case (sf1 headroom measured candidates growing ~quadratic in
@@ -1169,20 +1212,31 @@ def mutual_nn_pairs(emb: DataFrame, planes: list[list[float]],
     v = (emb.select(F.col(id_col).alias("_id"),
                     F.col(vec_col).cast("array<double>").alias("_v"))
          .withColumn("_n", l2_norm("_v")))
+    # nbr join first, src join LAST: the final join's hash partitioning
+    # on src is exactly the grouping key below, so the argmax aggregation
+    # reuses the join exchange instead of adding one
     scored = (cand
-              .join(v.select(F.col("_id").alias("src"),
-                             F.col("_v").alias("_va"),
-                             F.col("_n").alias("_na")), "src")
               .join(v.select(F.col("_id").alias("nbr"),
                              F.col("_v").alias("_vb"),
                              F.col("_n").alias("_nb")), "nbr")
+              .join(v.select(F.col("_id").alias("src"),
+                             F.col("_v").alias("_va"),
+                             F.col("_n").alias("_na")), "src")
               .select("src", "nbr", round_half_away(cosine_similarity(
                   "_va", "_vb", norm_a=F.col("_na"),
                   norm_b=F.col("_nb")), 6).alias("cos")))
-    w = Window.partitionBy("src").orderBy(F.col("cos").desc(),
-                                          F.col("nbr").asc())
-    top1 = (scored.withColumn("_rk", F.row_number().over(w))
-            .where(F.col("_rk") == 1).select("src", "nbr", "cos"))
+    # top-1 per src as a map-side-combinable MIN(struct) aggregation
+    # (langid argmax pattern) instead of a sort + rank window; the key
+    # replicates the window order (cos DESC NULLS LAST, nbr ASC) via a
+    # leading null flag + exact double negation
+    top1 = (scored.groupBy("src")
+            .agg(F.min(F.struct(
+                F.col("cos").isNull().alias("_nl"),
+                (-F.coalesce(F.col("cos"), F.lit(0.0))).alias("_o"),
+                F.col("nbr").alias("_nbr"),
+                F.col("cos").alias("_cos"))).alias("_m"))
+            .select("src", F.col("_m._nbr").alias("nbr"),
+                    F.col("_m._cos").alias("cos")))
     return (top1.alias("a").join(
         top1.alias("b"),
         (F.col("a.src") == F.col("b.nbr"))

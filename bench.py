@@ -348,6 +348,15 @@ CHANGED_THIS_ROUND: "list[str]" = [
     # (posexplode self-join + corpus-token-sized localCheckpoint removed)
     "langid_nb",
     "dsir_importance_weights",
+    # Wave 5 — assign_centroids argmin as a zero-shuffle array-register
+    # projection (headline centroid_assignment inherits; kmeans_centroids
+    # / ann_ivf_kmeans_full_probe also changed but are not bench
+    # entries); mutual_nn_pairs top-1 as a MIN(struct) aggregation
+    # reusing the scoring join's src partitioning (the exact-recall
+    # report twin changed too but is not a bench entry)
+    "mutual_nn_dedup",
+    "mutual_nn_dedup_capped",
+    "mutual_nn_recall_report",
 ]
 
 
