@@ -272,56 +272,49 @@ def minhash_lsh_incremental(new_docs: DataFrame, corpus: DataFrame,
             .distinct())
 
 
-def simhash_votes(docs: DataFrame, id_col: str, text_col: str,
-                  bits: int) -> DataFrame:
-    """(doc_id, _v0.._v{bits-1}) — per-document signed bit-vote sums, the
-    shared core of every SimHash signature form.
+# NOTE (r15): a single-shuffle "vote register" rewrite of the two simhash
+# functions below (per-token vote COLUMNS + one groupBy with bits SUM
+# aggregates, replacing the bits-way bit explosion + two chained groupBys)
+# was shipped mid-round and REVERTED at round end after a same-box
+# interleaved A/B on a quiet window measured it consistently SLOWER in
+# wall time (min-of-8: dedup_simhash 0.89->1.24s, dedup_simhash64_hamming
+# 1.61->3.08s, dedup_simhash64_capped 1.63->2.56s) - the explode shape's
+# map-side partial aggregation already bounds the first shuffle at
+# docs x bits rows per partition, so the claimed shuffle saving was
+# overstated while the bits-wide aggregate row cost was real.
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", bits: int = 16) -> DataFrame:
+    """(doc_id, simhash) — Charikar SimHash over whitespace tokens.
 
-    Token hash = first bits/4 hex chars of md5(token); bit b's vote is
-    ±1 by bit b of the hash, summed over token OCCURRENCES. r15
-    optimization (guide §2.3/§2.4 — same treatment minhash_signatures
-    already had): the votes are ``bits`` simultaneous SUM aggregates
-    over per-token vote COLUMNS instead of a bits-way row explosion +
-    two chained groupBys. One shuffle carrying one bits-column row per
-    document (map-side combined) replaces two shuffles over bits× the
-    token count; outputs are bit-identical (integer vote sums in either
-    grouping). Plan: 2 Exchange + 2 Generate → 1 Exchange + 1 Generate.
+    Token hash = first bits/4 hex chars of md5(token); per bit position the
+    signed votes (+1 if bit set, -1 otherwise) are summed; sign of the sum
+    is the signature bit. Pure explode+groupBy — no UDF.
     """
-    from amundsendatabuilder_spark.functions.hashing import nibble_value
     from amundsendatabuilder_spark.session import ensure_parallelism
     nibbles = bits // 4
     toks = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
     ).withColumn("h", F.md5(F.col("tok")).substr(1, nibbles))
-    # materialize each nibble's value once as a projection column —
-    # aggregate expressions don't share subexpressions, so instr() inline
-    # in every vote agg would run bits× per token instead of bits/4×
-    nibs = toks.select("doc_id", *[
-        nibble_value(F.substring(F.col("h"), i + 1, 1)).alias(f"_n{i}")
-        for i in range(nibbles)])
-    vote = [
-        (F.shiftright(F.col(f"_n{b // 4}"), 3 - b % 4).bitwiseAND(F.lit(1))
-         * 2 - 1) for b in range(bits)]
-    return nibs.groupBy("doc_id").agg(
-        *[F.sum(vote[b]).alias(f"_v{b}") for b in range(bits)])
-
-
-def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text", bits: int = 16) -> DataFrame:
-    """(doc_id, simhash) — Charikar SimHash over whitespace tokens.
-
-    Sign of each bit's summed ±1 vote is the signature bit (see
-    ``simhash_votes`` for the single-shuffle vote layout). Pure
-    projection over the vote register — no UDF, no second shuffle.
-    """
-    sig = sum(
-        (F.when(F.col(f"_v{b}") > 0,
-                F.lit(1 << (bits - 1 - b)).cast("long"))
-         .otherwise(F.lit(0).cast("long")) for b in range(bits)),
-        F.lit(0).cast("long"))
-    return (simhash_votes(docs, id_col, text_col, bits)
-            .select("doc_id", sig.cast("long").alias("simhash")))
+    bit_idx = F.explode(F.array(*[F.lit(i) for i in range(bits)])).alias("bit")
+    votes = (
+        toks.select("doc_id", "h", bit_idx)
+        # nibble containing this bit, then test the bit within the nibble
+        .withColumn("nib_char", F.expr("substring(h, CAST(bit / 4 AS INT) + 1, 1)"))
+        .withColumn("nib_val", F.expr("instr('0123456789abcdef', nib_char) - 1"))
+        .withColumn("bit_set", F.expr("shiftright(nib_val, CAST(3 - bit % 4 AS INT)) & 1"))
+        .withColumn("vote", F.when(F.col("bit_set") == 1, 1).otherwise(-1))
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("votes"))
+    )
+    return (
+        votes.withColumn("bitval",
+                         F.when(F.col("votes") > 0,
+                                F.expr(f"shiftleft(1, CAST({bits - 1} - bit AS INT))"))
+                         .otherwise(0))
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").cast("long").alias("simhash"))
+    )
 
 
 def simhash_hamming_pairs_wide(docs: DataFrame, id_col: str = "doc_id",
@@ -352,31 +345,36 @@ def simhash_hamming_pairs_wide(docs: DataFrame, id_col: str = "doc_id",
     assert bits % (k + 1) == 0, "k+1 blocks must divide the signature width"
     word_bits = bits // (k + 1)
     assert word_bits <= 32, "words must stay positive in a signed 64-bit int"
+    nibbles = bits // 4
+    from amundsendatabuilder_spark.session import ensure_parallelism
     if collapse_exact:
         docs = collapse_exact_texts(docs, id_col, text_col)
-    # single-shuffle vote register (see simhash_votes — r15: replaces the
-    # bits-way bit explosion + two chained groupBys); each word is then a
-    # pure projection over its word_bits vote columns and the (w, word)
-    # rows come from ONE generator
-    votes = simhash_votes(docs, id_col, text_col, bits)
-
-    def word_val(w: int):
-        return sum(
-            (F.when(F.col(f"_v{w * word_bits + i}") > 0,
-                    F.lit(1 << (word_bits - 1 - i)).cast("long"))
-             .otherwise(F.lit(0).cast("long")) for i in range(word_bits)),
-            F.lit(0).cast("long"))
-
-    words = F.array(*[
-        F.struct(F.lit(w).cast("int").alias("w"),
-                 word_val(w).cast("long").alias("word"))
-        for w in range(k + 1)])
+    toks = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).withColumn("h", F.md5(F.col("tok")).substr(1, nibbles))
+    bit_idx = F.explode(F.array(*[F.lit(i) for i in range(bits)])).alias("bit")
+    votes = (
+        toks.select("doc_id", "h", bit_idx)
+        .withColumn("nib_char", F.expr("substring(h, CAST(bit / 4 AS INT) + 1, 1)"))
+        .withColumn("nib_val", F.expr("instr('0123456789abcdef', nib_char) - 1"))
+        .withColumn("bit_set", F.expr("shiftright(nib_val, CAST(3 - bit % 4 AS INT)) & 1"))
+        .withColumn("vote", F.when(F.col("bit_set") == 1, 1).otherwise(-1))
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("votes"))
+    )
     sigs = (
-        votes.select("doc_id", F.explode(words).alias("_wv"))
-        .select("doc_id", "_wv.w", "_wv.word")
+        votes.withColumn("w", F.expr(f"CAST(bit DIV {word_bits} AS INT)"))
+        .withColumn("bitval",
+                    F.when(F.col("votes") > 0,
+                           F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                                  f"CAST({word_bits - 1} - bit % {word_bits} AS INT))"))
+                    .otherwise(F.lit(0).cast("long")))
+        .groupBy("doc_id", "w")
+        .agg(F.sum("bitval").cast("long").alias("word"))
         # sigs feeds THREE consumers (the candidate self-join's two sides
         # plus x/y verification); without materialization the full
-        # tokenize -> vote lineage runs three times.
+        # tokenize -> 64-way bit explode -> vote lineage runs three times.
         # n_docs x (k+1) small rows — same treatment as langid_nb_fit.
         .localCheckpoint()
     )

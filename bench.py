@@ -296,14 +296,10 @@ CHANGED_THIS_ROUND: "list[str]" = [
     # r15 is the first OPTIMIZATION round: entries are added here as
     # their plans change (outputs stay hash-identical — every optimized
     # query re-verifies against the DuckDB oracle before it lands).
-    # Wave 1 — simhash single-shuffle vote register (dedup.simhash_votes):
-    # the bits-way bit explosion + two chained groupBys became per-token
-    # vote columns + ONE groupBy (headline dedup_simhash inherits too)
-    "dedup_simhash_hamming",
-    "dedup_simhash64_hamming",
-    "dedup_simhash_hamming_capped",
-    "dedup_simhash64_capped",
-    "simhash_cap_audit",
+    # Wave 1's simhash vote-register rewrite was REVERTED at round end
+    # (same-box interleaved A/B measured it consistently slower in wall —
+    # see the NOTE in operators/dedup.py and OPTIMIZATION_r15.md), so the
+    # simhash entries' plans end the round UNCHANGED and are not listed.
     # Wave 1 — lsh_verified_pairs verify stage: candidate-semi-join the
     # shingle/size inputs, broadcast the candidate-sized register joins
     # (headline dedup_lsh_verified/dedup_clusters inherit)
