@@ -627,6 +627,46 @@ def pq_adc_topk(encoded: DataFrame, codebooks: DataFrame,
             .select("query_id", "neighbor_id", "score", "rank"))
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _interpreted_register_exec(df: DataFrame):
+    """Scope whole-stage codegen OFF around a register-sized execution
+    (r16, guide §1.2 "per-task work"): the eigensolve/Rayleigh plans run
+    over d- to d²-row registers where a task's real work is
+    microseconds, but every fresh plan costs janino 2-3 whole-stage
+    compilations (~7 s across one pca_power_iteration run, measured:
+    iterate+count 11.1 s codegen-on cold / 4.4 s warm / 3.3-4.0 s
+    interpreted). Interpreted execution is strictly faster at this row
+    count and semantically identical (same expressions, same results —
+    execution mode only). Restores the previous value on exit so
+    corpus-scale plans keep codegen."""
+    spark = df.sparkSession
+    key = "spark.sql.codegen.wholeStage"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
+def _register_ckpt(df: DataFrame) -> DataFrame:
+    """Materialize a register-sized DataFrame as ONE partition and
+    RESTORE the SinglePartition property afterwards (r16): under AQE,
+    ``localCheckpoint`` reports ``UnknownPartitioning(0)`` on the
+    resulting scan, so every downstream join/aggregate over the register
+    would re-insert exchanges (and every ``AllTuples`` consumer a
+    SinglePartition exchange) even though the RDD is literally one
+    partition. The trailing ``coalesce(1)`` is a physical no-op on a
+    1-partition RDD but lets the planner prove SinglePartition — which
+    is what makes the hinted shuffle-hash register joins and
+    partitionBy()-empty windows in this module plan with ZERO exchanges
+    and ZERO broadcast builds (guide §2.4/§5)."""
+    return df.coalesce(1).localCheckpoint().coalesce(1)
+
+
 def embedding_covariance(emb: DataFrame, vec_col: str = "embedding",
                          scale: int = 1_000_000) -> DataFrame:
     """Exact population covariance matrix of the embedding column — the
@@ -662,7 +702,16 @@ def embedding_covariance(emb: DataFrame, vec_col: str = "embedding",
     # empties are excluded from EVERY sufficient statistic including n
     # (counting a row that contributes no products would bias every
     # entry low — exclusion is the only self-consistent treatment).
-    v = emb.select(q.alias("q")).where(F.size("q") > 0)
+    # r16: the pair generator is the ONLY data-sized stage here and it
+    # explodes d(d+1)/2 + d rows per vector — a single-file local scan
+    # would run that entire fan-out on one core (measured: the whole
+    # corpus pass single-task at sf0.1). Project to the quantized array
+    # FIRST (guide §2.3 — the round-robin exchange then carries longs,
+    # not raw vectors), then ensure scan-width parallelism; on real
+    # pre-partitioned 100 TB input the repartition is a no-op.
+    from amundsendatabuilder_spark.session import ensure_parallelism
+    v = ensure_parallelism(
+        emb.select(q.alias("q")).where(F.size("q") > 0))
     # r15 single-pass fuse (guide §1.2/§2.3 — don't scan the corpus
     # three times for statistics one scan can carry): each vector emits
     # its d(d+1)/2 upper-triangle products PLUS its d singles as
@@ -685,14 +734,14 @@ def embedding_covariance(emb: DataFrame, vec_col: str = "embedding",
     # the register feeds FOUR consumers (pair entries, s_i, s_j, n) —
     # materialize it once (d(d+1)/2 + d rows — register-sized, one
     # partition) or every broadcast build re-runs the corpus explode
-    reg = (v.select(F.explode(pairs).alias("p"))
-           .select("p.i", F.when(F.col("p.j") < F.col("p.i"), F.lit(-1))
-                   .otherwise(F.col("p.j")).cast("int").alias("j"),
-                   "p.prod")
-           .groupBy("i", "j")
-           .agg(F.sum(F.col("prod").cast("decimal(38,0)")).alias("sxy"),
-                F.count(F.lit(1)).alias("_cnt"))
-           .coalesce(1).localCheckpoint())
+    reg = _register_ckpt(
+        v.select(F.explode(pairs).alias("p"))
+        .select("p.i", F.when(F.col("p.j") < F.col("p.i"), F.lit(-1))
+                .otherwise(F.col("p.j")).cast("int").alias("j"),
+                "p.prod")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("prod").cast("decimal(38,0)")).alias("sxy"),
+             F.count(F.lit(1)).alias("_cnt")))
     p = reg.where(F.col("j") >= 0).select("i", "j", "sxy")
     u = reg.where(F.col("j") == -1).select("i", F.col("sxy").alias("s"))
     # ragged NONZERO dims are not excludable — a short row contributes a
@@ -734,9 +783,14 @@ def embedding_covariance(emb: DataFrame, vec_col: str = "embedding",
     # value exactly like the profiling sites
     rows_bound = F.expr("(CAST(j AS BIGINT) + 1) * (CAST(j AS BIGINT) + 2)"
                         " DIV 2")
-    return (p.join(F.broadcast(si), p["i"] == si["_i"])
-            .join(F.broadcast(sj), p["j"] == sj["_j"])
-            .crossJoin(F.broadcast(n))
+    # r16: every side of these joins derives from the SinglePartition
+    # reg checkpoint, so hinted shuffle-hash joins + a cartesian 1-row
+    # attach plan the whole consumer section as ONE exchange-free,
+    # broadcast-free stage (the three F.broadcast builds each cost a
+    # scheduled job re-scanning reg; see _power_iterate's note)
+    return (p.join(si.hint("shuffle_hash"), p["i"] == si["_i"])
+            .join(sj.hint("shuffle_hash"), p["j"] == sj["_j"])
+            .crossJoin(n.hint("shuffle_replicate_nl"))
             .select(F.col("i").alias("dim_i"), F.col("j").alias("dim_j"),
                     guard_register_domain(
                         round_half_away(num / den, 9), rows_bound,
@@ -924,13 +978,17 @@ def pca_power_iteration(emb: DataFrame, iters: int = 8,
     low = (cov.where(F.col("dim_i") != F.col("dim_j"))
            .select(F.col("dim_j").alias("dim_i"),
                    F.col("dim_i").alias("dim_j"), "cov"))
-    c = cov.unionByName(low).coalesce(1).localCheckpoint()
     # shared jitter-start/mat-vec/renormalize core (bit-identical to the
     # in-line loop this replaced — one arithmetic path for both the
     # single-component and the deflation entry points); wf is one more
     # exact mat-vec against the FINAL v for an honest Rayleigh quotient
-    v, wf = _power_iterate(c, iters, "pca:")
-    q = (v.join(F.broadcast(wf), "dim")
+    with _interpreted_register_exec(cov):
+        c = _register_ckpt(cov.unionByName(low))
+        v, wf = _power_iterate(c, iters, "pca:")
+    # r16: v and wf are SinglePartition registers — hinted shuffle-hash
+    # join + cartesian 1-row attach plan exchange-free and broadcast-
+    # free (no broadcast-build jobs for d-row tables; see _power_iterate)
+    q = (v.join(wf.hint("shuffle_hash"), "dim")
          .agg(F.sum((F.col("vi").cast("decimal(19,0)")
                      * F.col("wi").cast("decimal(19,0)"))
                     .cast("decimal(38,0)")).alias("vw"),
@@ -940,7 +998,8 @@ def pca_power_iteration(emb: DataFrame, iters: int = 8,
     lam = F.when(F.col("vv").cast("double") > 0,
                  round_half_away(F.col("vw").cast("double")
                                  / F.col("vv").cast("double"), 9))
-    return (v.crossJoin(F.broadcast(q.select(lam.alias("eigenvalue"))))
+    return (v.crossJoin(q.select(lam.alias("eigenvalue"))
+                        .hint("shuffle_replicate_nl"))
             .select("dim",
                     round_half_away(F.col("vi").cast("double") / 1e9, 6)
                     .alias("loading"),
@@ -959,53 +1018,77 @@ def _power_iterate(c: DataFrame, iters: int, seed_prefix: str):
     jitter = F.conv(F.substring(F.md5(F.concat(
         F.lit(seed_prefix), F.col("dim").cast("string"))), 1, 4), 16, 10
     ).cast("long")
-    # r15: the iteration state is a d-row register by contract (the
-    # guard below raises otherwise), so every checkpoint coalesces to ONE
-    # partition first — materializing a 64-row register as 32 AQE
-    # shuffle partitions cost a full 32-task wave per round for nothing
-    # (guide §2.4/§5; the connected_components n_parts lesson applied to
-    # the eigensolve loop).
+    # r16: the whole iteration is LAZY — no per-round checkpoint at all.
+    # The window-based norm below references the matvec output exactly
+    # ONCE per round (the Window operator computes its aggregates over
+    # its input a single time and attaches them as columns), so the
+    # unrolled plan grows LINEARLY in iters (~6 operators/round) instead
+    # of the exponential blowup that forced r15's checkpoint-per-round:
+    # there, w fed two consumers (norm agg + renormalize) and every
+    # consumer re-planned the subtree. With c a SinglePartition register
+    # and every operator here partitioning-preserving, the ENTIRE
+    # ``iters``-round eigensolve plans as ONE exchange-free,
+    # broadcast-free, single-task job — versus ~3 scheduled jobs (two
+    # broadcast builds + a checkpoint) PER ROUND in r15 (guide §2.4/§5;
+    # per-round eager checkpoints also compounded the checkpoint-
+    # preserved join-size ESTIMATES multiplicatively, see session.py's
+    # maxSinglePartitionBytes note).
     v = (c.select(F.col("dim_i").alias("dim")).distinct()
          .select("dim", (F.lit(500_000_000) + jitter * F.lit(10_000))
-                 .cast("long").alias("vi"))
-         .coalesce(1).localCheckpoint())
+                 .cast("long").alias("vi")))
 
     def matvec(vec):
         vr = (vec.withColumnRenamed("dim", "vdim")
               .withColumnRenamed("vi", "vj"))
-        return (c.join(F.broadcast(vr), c["dim_j"] == F.col("vdim"))
+        # r16: c and vec are BOTH 1-partition register checkpoints, and
+        # SinglePartition satisfies every required distribution — a
+        # hinted shuffle-hash join therefore plans with ZERO exchanges
+        # and ZERO broadcast builds (the old F.broadcast(vr) paid a
+        # broadcast-build JOB per matvec for a d-row table; at sf0.1
+        # the whole trio was scheduling-latency-bound on exactly those
+        # jobs — guide §5, VERDICT r15 item #3)
+        return (c.join(vr.hint("shuffle_hash"),
+                       c["dim_j"] == F.col("vdim"))
                 .select(c["dim_i"].alias("dim"),
                         round_half_away(F.col("cov")
                                         * F.col("vj").cast("double"), 0)
                         .cast("long").alias("t"))
-                .groupBy("dim").agg(F.sum("t").cast("long").alias("wi")))
+                .groupBy("dim").agg(F.sum("t").cast("long").alias("wi"))
+                # physical no-op (input is one partition) that
+                # NORMALIZES the claimed partitioning to SinglePartition:
+                # a join+agg subtree reports a PartitioningCollection
+                # that Spark 4.1's EnsureRequirements re-widens when the
+                # NEXT round joins against it (measured: rounds 2+ and
+                # the Rayleigh join re-inserted 32-way exchanges)
+                .coalesce(1))
 
     from amundsendatabuilder_spark.operators.profiling import (
         guard_register_domain)
+    # The norm is a partitionBy()-empty window (requires AllTuples; the
+    # SinglePartition input satisfies it with no exchange) instead of an
+    # agg + crossJoin(broadcast). Arithmetic is unchanged from r15: same
+    # decimal square-sum, same sqrt, same guarded count, same
+    # renormalization expression — only the physical shape differs.
+    win = Window.partitionBy()
     for _ in range(int(iters)):
-        # ONE action per round: w stays lazy (its subplan — a broadcast
-        # join + 64-row partial agg over the CHECKPOINTED c and v — is
-        # re-evaluated by both consumers below, which is cheaper than a
-        # second materialization job; measured ~0.1s/job x iters saved)
         w = matvec(v)
-        # register-domain guard piggybacked on the norm aggregation the
-        # round already pays for: the iteration state must stay a d-row
-        # register, and the agg counts its rows for free
-        nrm = w.agg(
+        # register-domain guard piggybacked on the norm window the round
+        # already pays for: the iteration state must stay a d-row
+        # register, and the window counts its rows for free
+        nrm = guard_register_domain(
             F.sqrt(F.sum(
                 (F.col("wi").cast("decimal(19,0)")
                  * F.col("wi").cast("decimal(19,0)")).cast("decimal(38,0)"))
-                .cast("double")).alias("_nrm"),
-            F.count(F.lit(1)).alias("_cnt")
-        ).select(guard_register_domain(
-            F.col("_nrm"), F.col("_cnt"),
-            "power-iteration vector register").alias("nrm"))
-        v = (w.crossJoin(F.broadcast(nrm))
-             .select("dim", F.when(
-                 F.col("nrm") > 0, round_half_away(
-                     F.col("wi").cast("double") / F.col("nrm") * 1e9, 0))
-                 .otherwise(F.lit(0)).cast("long").alias("vi"))
-             .coalesce(1).localCheckpoint())
+                .over(win).cast("double")),
+            F.count(F.lit(1)).over(win),
+            "power-iteration vector register")
+        v = (w.select("dim", F.when(
+                 nrm > 0, round_half_away(
+                     F.col("wi").cast("double") / nrm * 1e9, 0))
+                 .otherwise(F.lit(0)).cast("long").alias("vi")))
+    # materialize ONCE at the end: callers consume v 2-3 times (Rayleigh
+    # join, final projection, deflation) and wf re-enters matvec
+    v = _register_ckpt(v)
     return v, matvec(v)
 
 
@@ -1031,43 +1114,56 @@ def pca_top_components(emb: DataFrame, n_components: int = 2,
            .select(F.col("dim_j").alias("dim_i"),
                    F.col("dim_i").alias("dim_j"), "cov"))
     # r15: register-sized checkpoints coalesce to one partition — see
-    # pca_power_iteration's note (same d(d+1)-row bound, same trade)
-    c = cov.unionByName(low).coalesce(1).localCheckpoint()
+    # pca_power_iteration's note (same d(d+1)-row bound, same trade);
+    # r16: the whole register-scale eigensolve (checkpoints, deflation)
+    # executes interpreted — see _interpreted_register_exec
     frames = []
-    for k in range(1, int(n_components) + 1):
-        v, wf = _power_iterate(c, iters, f"pca{k}:")
-        q = (v.join(F.broadcast(wf), "dim")
-             .agg(F.sum((F.col("vi").cast("decimal(19,0)")
-                         * F.col("wi").cast("decimal(19,0)"))
-                        .cast("decimal(38,0)")).alias("vw"),
-                  F.sum((F.col("vi").cast("decimal(19,0)")
-                         * F.col("vi").cast("decimal(19,0)"))
-                        .cast("decimal(38,0)")).alias("vv")))
-        lam_col = F.when(F.col("vv").cast("double") > 0,
-                         round_half_away(F.col("vw").cast("double")
-                                         / F.col("vv").cast("double"),
-                                         9)).alias("eigenvalue")
-        lamdf = q.select(lam_col)
-        frames.append(
-            v.crossJoin(F.broadcast(lamdf))
-            .select(F.lit(k).alias("component"), "dim",
-                    round_half_away(F.col("vi").cast("double") / 1e9, 6)
-                    .alias("loading"), "eigenvalue"))
-        if k < n_components:
-            # Hotelling deflation on the 9dp grid: C -= lambda v v^T
-            vi_ = (v.withColumnRenamed("dim", "di")
-                   .withColumnRenamed("vi", "va"))
-            vj_ = (v.withColumnRenamed("dim", "dj")
-                   .withColumnRenamed("vi", "vb"))
-            c = (c.join(F.broadcast(vi_), c["dim_i"] == F.col("di"))
-                 .join(F.broadcast(vj_), c["dim_j"] == F.col("dj"))
-                 .crossJoin(F.broadcast(lamdf))
-                 .select(c["dim_i"], c["dim_j"], round_half_away(
-                     F.col("cov") - F.col("eigenvalue")
-                     * (F.col("va").cast("double") / 1e9)
-                     * (F.col("vb").cast("double") / 1e9), 9)
-                     .alias("cov"))
-                 .coalesce(1).localCheckpoint())
+    with _interpreted_register_exec(cov):
+        c = _register_ckpt(cov.unionByName(low))
+        for k in range(1, int(n_components) + 1):
+            v, wf = _power_iterate(c, iters, f"pca{k}:")
+            # r16: SinglePartition registers throughout — hinted shuffle-hash
+            # joins and cartesian 1-row attaches replace every broadcast
+            # build (each was a scheduled job per component; see
+            # _power_iterate's note)
+            q = (v.join(wf.hint("shuffle_hash"), "dim")
+                 .agg(F.sum((F.col("vi").cast("decimal(19,0)")
+                             * F.col("wi").cast("decimal(19,0)"))
+                            .cast("decimal(38,0)")).alias("vw"),
+                      F.sum((F.col("vi").cast("decimal(19,0)")
+                             * F.col("vi").cast("decimal(19,0)"))
+                            .cast("decimal(38,0)")).alias("vv")))
+            lam_col = F.when(F.col("vv").cast("double") > 0,
+                             round_half_away(F.col("vw").cast("double")
+                                             / F.col("vv").cast("double"),
+                                             9)).alias("eigenvalue")
+            lamdf = q.select(lam_col)
+            frames.append(
+                v.crossJoin(lamdf.hint("shuffle_replicate_nl"))
+                .select(F.lit(k).alias("component"), "dim",
+                        round_half_away(F.col("vi").cast("double") / 1e9, 6)
+                        .alias("loading"), "eigenvalue"))
+            if k < n_components:
+                # Hotelling deflation on the 9dp grid: C -= lambda v v^T
+                vi_ = (v.withColumnRenamed("dim", "di")
+                       .withColumnRenamed("vi", "va"))
+                vj_ = (v.withColumnRenamed("dim", "dj")
+                       .withColumnRenamed("vi", "vb"))
+                c = (c.join(vi_.hint("shuffle_hash"),
+                            c["dim_i"] == F.col("di"))
+                     .join(vj_.hint("shuffle_hash"),
+                           c["dim_j"] == F.col("dj"))
+                     .crossJoin(lamdf.hint("shuffle_replicate_nl"))
+                     .select(c["dim_i"], c["dim_j"], round_half_away(
+                         F.col("cov") - F.col("eigenvalue")
+                         * (F.col("va").cast("double") / 1e9)
+                         * (F.col("vb").cast("double") / 1e9), 9)
+                         .alias("cov"))
+                     .coalesce(1).localCheckpoint()
+                     # trailing no-op coalesce restores SinglePartition for
+                     # the next component's hinted register joins (see
+                     # _register_ckpt)
+                     .coalesce(1))
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
@@ -1156,8 +1252,10 @@ def mutual_nn_pairs(emb: DataFrame, planes: list[list[float]],
     embedding_near_duplicates candidate generation — corpus never joins
     corpus, only bucket-mates), scored by exact cosine (6dp), ranked
     per source by (cos DESC, neighbor id ASC) so the top-1 is
-    deterministic under ties, then the rank-1 relation self-joins for
-    mutuality. Returns (id_a, id_b, cos) with id_a < id_b.
+    deterministic under ties; mutuality is a canonical-pair count over
+    the top-1 relation (a (least, greatest) key appears twice iff both
+    directions picked each other). Returns (id_a, id_b, cos) with
+    id_a < id_b.
 
     Scale shape: the candidate join shuffles (id, band, sig) rows; the
     scoring join carries candidate vectors only; the per-source top-1 is
@@ -1212,9 +1310,11 @@ def mutual_nn_pairs(emb: DataFrame, planes: list[list[float]],
     v = (emb.select(F.col(id_col).alias("_id"),
                     F.col(vec_col).cast("array<double>").alias("_v"))
          .withColumn("_n", l2_norm("_v")))
-    # nbr join first, src join LAST: the final join's hash partitioning
-    # on src is exactly the grouping key below, so the argmax aggregation
-    # reuses the join exchange instead of adding one
+    # nbr join first, src join LAST: the final join leaves rows grouped
+    # by src, so the argmax aggregation's PARTIAL phase collapses to one
+    # row per (src, partition) before its exchange (the src exchange
+    # itself remains in the plan — the win is partial-aggregate row
+    # collapse, not a removed shuffle)
     scored = (cand
               .join(v.select(F.col("_id").alias("nbr"),
                              F.col("_v").alias("_vb"),
@@ -1228,7 +1328,10 @@ def mutual_nn_pairs(emb: DataFrame, planes: list[list[float]],
     # top-1 per src as a map-side-combinable MIN(struct) aggregation
     # (langid argmax pattern) instead of a sort + rank window; the key
     # replicates the window order (cos DESC NULLS LAST, nbr ASC) via a
-    # leading null flag + exact double negation
+    # leading null flag + exact double negation. The MIN(struct) partial
+    # phase collapses rows to one per (src, partition) BEFORE the src
+    # exchange (the exchange itself remains — the win is the row
+    # collapse and the 8-byte sort key, not a removed shuffle).
     top1 = (scored.groupBy("src")
             .agg(F.min(F.struct(
                 F.col("cos").isNull().alias("_nl"),
@@ -1237,14 +1340,28 @@ def mutual_nn_pairs(emb: DataFrame, planes: list[list[float]],
                 F.col("cos").alias("_cos"))).alias("_m"))
             .select("src", F.col("_m._nbr").alias("nbr"),
                     F.col("_m._cos").alias("cos")))
-    return (top1.alias("a").join(
-        top1.alias("b"),
-        (F.col("a.src") == F.col("b.nbr"))
-        & (F.col("a.nbr") == F.col("b.src"))
-        & (F.col("a.src") < F.col("b.src")))
-        .select(F.col("a.src").alias("id_a"),
-                F.col("a.nbr").alias("id_b"),
-                F.col("a.cos").alias("cos")))
+    # r16 mutuality WITHOUT the top1 self-join: the old
+    # top1.alias("a") ⋈ top1.alias("b") planned the ENTIRE candidate +
+    # scoring + argmax pipeline TWICE (the two sides exchange on
+    # different keys — (src,nbr) vs (nbr,src) — so ReuseExchange never
+    # fired; verified in plans/r15/mutual_nn_dedup_after.txt: two full
+    # copies of every scan/join/aggregate). Mutuality over a top-1
+    # relation is a pair-count: orient each top1 edge to its canonical
+    # (least, greatest) key — the key appears EXACTLY twice iff both
+    # directions picked each other (top1 is unique per src, and only
+    # srcs p,q can emit key (p,q)). cos is bit-identical in both
+    # directions (the dot-product fold, the norms, and the rounding run
+    # the same float ops in the same order), so MIN(cos) is THE pair's
+    # cosine and the output matches the self-join row-for-row — one
+    # groupBy exchange over corpus-bounded top1 rows replaces two
+    # pipeline replays plus a corpus-bounded join (guide §1.2/§2.4).
+    return (top1
+            .select(F.least("src", "nbr").alias("id_a"),
+                    F.greatest("src", "nbr").alias("id_b"), "cos")
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("_n"), F.min("cos").alias("cos"))
+            .where(F.col("_n") == 2)
+            .select("id_a", "id_b", "cos"))
 
 
 def _audit_scale_guard(emb: DataFrame, id_col: str,

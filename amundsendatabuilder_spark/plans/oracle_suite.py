@@ -11100,7 +11100,17 @@ def pca_explained_variance_query(spark, sf_dir):
     # ONE covariance corpus pass shared by the eigensolve and the trace
     # (the pass is the only data-sized stage here; everything downstream
     # is a d-row register — so it checkpoints as one partition, r15)
-    cov = embedding_covariance(emb).coalesce(1).localCheckpoint()
+    # trailing no-op coalesce restores the SinglePartition property the
+    # checkpoint loses under AQE (similarity._register_ckpt pattern) so
+    # the trace agg and the eigensolve's register joins plan
+    # exchange-free; the checkpoint itself executes register-scale
+    # consumer joins only (the corpus pass ran inside
+    # embedding_covariance), so it runs interpreted (r16)
+    from amundsendatabuilder_spark.operators.similarity import (
+        _interpreted_register_exec)
+    cov_lazy = embedding_covariance(emb)
+    with _interpreted_register_exec(cov_lazy):
+        cov = cov_lazy.coalesce(1).localCheckpoint().coalesce(1)
     lam = (pca_power_iteration(emb, iters=8, cov=cov)
            .agg(F.max("eigenvalue").alias("eigenvalue")))
     tr = (cov
@@ -11108,7 +11118,9 @@ def pca_explained_variance_query(spark, sf_dir):
           .select(round_half_away(F.col("cov") * 1e9, 0).cast("long")
                   .alias("c9"))
           .agg(F.sum("c9").cast("long").alias("tr_e9")))
-    j = lam.crossJoin(F.broadcast(tr))
+    # r16: both sides are 1-partition register derivations — a cartesian
+    # 1-row attach skips the broadcast-build job (see _power_iterate)
+    j = lam.crossJoin(tr.hint("shuffle_replicate_nl"))
     return j.select(
         "eigenvalue",
         round_half_away(F.col("tr_e9").cast("double") / 1e9, 6)

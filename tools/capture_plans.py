@@ -1,4 +1,4 @@
-"""Capture .explain("formatted") for named suite queries into plans/r15/.
+"""Capture .explain("formatted") for named suite queries into plans/r16/ (override via $SPARK_GRAFT_PLANS_ROUND).
 
 Usage:
     python tools/capture_plans.py before q1_pricing_summary q5_region_volume ...
@@ -18,7 +18,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "plans", "r15")
+    os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16"))
 
 
 def main() -> None:
