@@ -291,65 +291,21 @@ CALIB_REF = 0.509
 # rebuild now breaks the suite instead of silently re-timing last
 # round's entries. The marker is also emitted in the headline JSON as
 # ``changed_round`` so the recorded artifact carries the provenance.
-CHANGED_ROUND = 15
+CHANGED_ROUND = 16
 CHANGED_THIS_ROUND: "list[str]" = [
-    # r15 is the first OPTIMIZATION round: entries are added here as
+    # r16 is the second OPTIMIZATION round: entries are added here as
     # their plans change (outputs stay hash-identical — every optimized
     # query re-verifies against the DuckDB oracle before it lands).
-    # Wave 1's simhash vote-register rewrite was REVERTED at round end
-    # (same-box interleaved A/B measured it consistently slower in wall —
-    # see the NOTE in operators/dedup.py and OPTIMIZATION_r15.md), so the
-    # simhash entries' plans end the round UNCHANGED and are not listed.
-    # Wave 1 — lsh_verified_pairs verify stage: candidate-semi-join the
-    # shingle/size inputs, broadcast the candidate-sized register joins
-    # (headline dedup_lsh_verified/dedup_clusters inherit)
-    "pipeline_end_to_end",
-    "leakage_safe_split",
-    "split_leak_audit",
-    "dedup_quality_winner",
-    # Wave 1 — embedding_covariance single-pass sufficient statistics
-    # (3 corpus scans -> 1, register checkpointed) + power-iteration
-    # register coalesce(1) checkpoints and broadcast Rayleigh joins
+    # Wave 1 (inherited commit a19bf0c, verified by this session) —
+    # mutual_nn_pairs mutuality as a canonical-pair count (top1
+    # self-join removed: the whole candidate+scoring+argmax pipeline
+    # previously planned twice); _power_iterate lazy single-plan rounds
+    # (no per-round checkpoint/broadcast-build jobs); covariance pair
+    # generator parallelized + register consumers exchange-free
     "embedding_covariance",
     "pca_power_iteration",
     "pca_explained_variance",
     "pca_top_components",
-    # Wave 2 — iterative-register checkpoint sizing
-    # (graph_algo._register_parts): localCheckpoints of register-sized
-    # iterative state coalesce to a data-derived width instead of the
-    # full shuffle width (headline dedup_clusters/centroid_assignment
-    # inherit; kmeans_centroids/ann_ivf_kmeans_full_probe/ann_pq_adc_topk
-    # also changed but are not bench entries)
-    "graph_pagerank",
-    "graph_k_core",
-    "hyperball_reach",
-    "hyperball_harmonic",
-    "graph_effective_diameter",
-    "graph_label_propagation",
-    "graph_hash_walks",
-    "graph_feature_propagation",
-    "temporal_reachability",
-    "logreg_quality_train",
-    "logreg_quality_score",
-    "logreg_holdout_auc",
-    "logreg_weight_explain",
-    "uncertainty_sampling",
-    "score_calibration",
-    "mixture_reweight_quality",
-    "cluster_label_nmi",
-    "dedup_embedding_bucketed_capped",
-    "knn_label_disagreement",
-    # Wave 4 — langid argmax window -> map-side-combinable MIN(struct)
-    # aggregation; dsir bigrams via zip_with over the token array
-    # (posexplode self-join + corpus-token-sized localCheckpoint removed)
-    "langid_nb",
-    "dsir_importance_weights",
-    # Wave 5 — assign_centroids argmin as a zero-shuffle array-register
-    # projection (headline centroid_assignment inherits; kmeans_centroids
-    # / ann_ivf_kmeans_full_probe also changed but are not bench
-    # entries); mutual_nn_pairs top-1 as a MIN(struct) aggregation
-    # reusing the scoring join's src partitioning (the exact-recall
-    # report twin changed too but is not a bench entry)
     "mutual_nn_dedup",
     "mutual_nn_dedup_capped",
     "mutual_nn_recall_report",

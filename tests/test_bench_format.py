@@ -81,11 +81,15 @@ def test_changed_this_round_is_fresh():
     # resolve relative to the repo this test file lives in (not a
     # hard-coded /root/repo) and anchor to the known header shape so a
     # reworded first line fails loudly instead of matching a stray
-    # "round N" elsewhere in the sentence (r14 ADVICE)
+    # "round N" elsewhere in the sentence (r14 ADVICE). The round
+    # number may carry a trailing parenthetical (the r15 header reads
+    # "round 15 (optimization round 1 of 2)"), so anchor the NUMBER and
+    # allow an optional annotation after it.
     verdict = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "VERDICT.md")
     with open(verdict, encoding="utf-8") as f:
-        m = re.match(r"# VERDICT — round (\d+)\s*$", f.readline())
+        m = re.match(r"# VERDICT — round (\d+)\s*(\(.*\))?\s*$",
+                     f.readline())
     assert m, "VERDICT.md header did not match '# VERDICT — round N'"
     current_round = int(m.group(1)) + 1
     assert bench.CHANGED_ROUND == current_round, (
