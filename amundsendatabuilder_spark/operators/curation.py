@@ -29,7 +29,7 @@ def leakage_safe_split(docs: DataFrame, pairs: DataFrame,
                            ("train", 0.8), ("val", 0.1), ("test", 0.1)),
                        id_col: str = "doc_id",
                        pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
-                       ) -> DataFrame:
+                       keep: tuple[str, ...] = ()) -> DataFrame:
     """Cluster-atomic train/val/test assignment: near-duplicate groups
     never straddle a split boundary.
 
@@ -48,13 +48,22 @@ def leakage_safe_split(docs: DataFrame, pairs: DataFrame,
     shuffles and the assignment itself is a map-side projection. The
     expected split RATE is preserved because group keys hash uniformly,
     though realized sizes now move in whole clusters.
+
+    ``keep`` (r16, guide §2.4): extra ``docs`` columns carried through
+    the map-side projection, appended after (doc_id, group_key, split).
+    A consumer that needs the split AND doc payload columns (e.g. the
+    holdout evaluation loop) previously re-joined this output against
+    the corpus by doc_id — a corpus-x-corpus shuffle join per split
+    side, even though the assignment is a projection OF docs. Keeping
+    the columns here makes "train slice of the corpus" a filter, not a
+    join. Default () keeps the certified mapping-table output exactly.
     """
     from amundsendatabuilder_spark.operators.graph_algo import (
         connected_components)
     assert abs(sum(w for _n, w in weights) - 1.0) < 1e-9
     comps = connected_components(pairs, src_col=pair_cols[0],
                                  dst_col=pair_cols[1])
-    joined = docs.select(F.col(id_col)).join(
+    joined = docs.select(F.col(id_col), *[F.col(c) for c in keep]).join(
         F.broadcast(comps.withColumnRenamed("node", id_col)), id_col, "left")
     group_key = F.coalesce(F.col("component"), F.col(id_col))
     bucket = _md5_bucket16(F.concat(F.lit("grp:"), group_key.cast("string")))
@@ -66,7 +75,8 @@ def leakage_safe_split(docs: DataFrame, pairs: DataFrame,
     for name, cut in reversed(cuts):
         expr = F.when(bucket < cut, name).otherwise(expr)
     return joined.select(F.col(id_col), group_key.alias("group_key"),
-                         expr.alias("split"))
+                         expr.alias("split"),
+                         *[F.col(c) for c in keep])
 
 
 def epoch_shuffle_shards(docs: DataFrame, epochs: int = 2,
@@ -922,11 +932,34 @@ def logreg_train(docs: DataFrame, iters: int = 4, lr: float = 0.5,
     require_register_width(declared,
                            "logreg weight register (bucket space)")
     y_expr = (F.col("lang") == "en") if label is None else label
-    feats = (featurizer(docs) if featurizer is not None
-             else feature_hashing(docs, id_col, text_col,
-                                  hex_chars=hex_chars)).localCheckpoint()
     y = docs.select(F.col(id_col).alias("doc_id"),
                     y_expr.cast("int").alias("y"))
+    # r16 (guide §2.4 — remove per-round shuffles outright): the label
+    # is fused ONTO the feature rows and the fused table is materialized
+    # HASH-PARTITIONED BY doc_id with the partitioning visible to the
+    # planner (persist, not localCheckpoint: an InMemoryRelation keeps
+    # its child's outputPartitioning, while a localCheckpoint scan
+    # reports UnknownPartitioning under AQE — see similarity.
+    # _register_ckpt). Previously EVERY GD round (a) re-executed the
+    # docs->y projection and shuffled it into m (per-round corpus scan +
+    # join exchange), and (b) re-shuffled the checkpointed feats by
+    # doc_id for the gradient join. Now the margin aggregation
+    # (groupBy doc_id), the residual, and the gradient join all reuse
+    # the ONE pinned exchange paid at materialization: per round the
+    # only shuffle left is the register-sized bucket-gradient exchange.
+    # The explicit width pin matters twice: y is small enough to
+    # BROADCAST-join at build time (which would leave the fused table in
+    # scan partitioning, not doc_id), and an AQE-coalesced exchange
+    # would not co-partition with the per-round aggregates. Width =
+    # session shuffle width (conf/env-derived, never a local constant);
+    # label values ride y asc through the same exact int cast as before.
+    from amundsendatabuilder_spark.session import DEFAULT_SHUFFLE_PARTITIONS
+    feats = (featurizer(docs) if featurizer is not None
+             else feature_hashing(docs, id_col, text_col,
+                                  hex_chars=hex_chars))
+    featsy = (feats.join(y, "doc_id")
+              .repartition(int(DEFAULT_SHUFFLE_PARTITIONS), "doc_id")
+              .persist())
     # r15: materialize the 1-row corpus count ONCE — it is broadcast
     # into every GD round's update, and an unmaterialized agg re-counts
     # the corpus per round (iters extra corpus scans for one long)
@@ -945,7 +978,7 @@ def logreg_train(docs: DataFrame, iters: int = 4, lr: float = 0.5,
     # it (and each round's update below) as ONE partition instead of a
     # full shuffle-width task wave per round (the _power_iterate
     # discipline)
-    w = (feats.select("bucket").distinct()
+    w = (featsy.select("bucket").distinct()
          .select("bucket", guard_register_domain(
              F.lit(0).cast("long"),
              F.row_number().over(Window.orderBy("bucket")),
@@ -953,16 +986,21 @@ def logreg_train(docs: DataFrame, iters: int = 4, lr: float = 0.5,
              limit=declared).alias("w_e9"))
          .coalesce(1).localCheckpoint())
     for _ in range(int(iters)):
-        m = (feats.join(F.broadcast(w), "bucket")
+        # the margin agg carries the per-doc label along (y is constant
+        # per doc_id, so max(y) IS the label) — the old per-round
+        # m ⋈ y join and its docs re-scan disappear; arithmetic and row
+        # membership are unchanged (y covered every doc, so the old
+        # inner join never dropped an m row)
+        m = (featsy.join(F.broadcast(w), "bucket")
              .groupBy("doc_id")
              .agg(F.sum(F.col("w_e9") * F.col("val")).cast("long")
-                  .alias("m_e9")))
+                  .alias("m_e9"),
+                  F.max("y").alias("y")))
         p = round_half_away(
             F.lit(1.0) / (F.lit(1.0)
                           + F.exp(-F.col("m_e9").cast("double") / 1e9)), 9)
-        r = (m.join(y, "doc_id")
-             .select("doc_id", (p - F.col("y").cast("double"))
-                     .alias("resid")))
+        r = m.select("doc_id", (p - F.col("y").cast("double"))
+                     .alias("resid"))
         # 2^53 scoping (the mixture_reweight lesson): resid is on the
         # 1e-9 grid with |resid| <= 1, so resid*val*1e9 is exact while
         # the PER-DOC signed bucket count |val| < ~9000 (a document
@@ -972,7 +1010,7 @@ def logreg_train(docs: DataFrame, iters: int = 4, lr: float = 0.5,
         # double, exact while |g_e9| < 2^53 (~9e6 docs x avg |val| per
         # bucket) — past that scale, tilt through DECIMAL(38,0) like
         # mixture_reweight
-        g = (feats.join(r, "doc_id")
+        g = (featsy.join(r, "doc_id")
              .groupBy("bucket")
              .agg(F.sum(round_half_away(
                  F.col("resid") * F.col("val").cast("double") * 1e9, 0)
@@ -983,6 +1021,9 @@ def logreg_train(docs: DataFrame, iters: int = 4, lr: float = 0.5,
                  * lr / F.col("n").cast("double"), 0).cast("long"))
                  .cast("long").alias("w_e9"))
              .coalesce(1).localCheckpoint())
+    # the final w is checkpoint-materialized, so the fused feature cache
+    # is no longer needed by anything downstream
+    featsy.unpersist()
     return w.select(
         "bucket",
         round_half_away(F.col("w_e9").cast("double") / 1e9, 6)

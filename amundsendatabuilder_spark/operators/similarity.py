@@ -1300,12 +1300,26 @@ def mutual_nn_pairs(emb: DataFrame, planes: list[list[float]],
         sigs = (sigs.withColumn("_sz", F.count("*").over(w_b))
                 .where(F.col("_sz") <= max_bucket_size)
                 .drop("_sz"))
+    # r16 (guide §2.5/§1.1): the candidate pairs are 16 BYTES/row but
+    # each surviving row pays an exact-cosine evaluation downstream —
+    # AQE's byte-based coalescing (64 MB advisory) collapsed this
+    # exchange to ONE partition at small scale and serialized the whole
+    # scoring+argmax chain onto one core (measured: the mutual step ran
+    # 11-12 s single-task vs 1.8 s wide at sf0.1 — a 6x interleaved A/B).
+    # Pinning the width (explicit N => AQE leaves user repartitions
+    # alone) keys the exchange by src, which a hash-partitioning-subset
+    # argument makes reusable by BOTH the (src, nbr) distinct AND the
+    # per-src top-1 aggregation below — so this does not add an
+    # exchange, it replaces the distinct's own. Width = the session
+    # shuffle width (conf/env-derived, never a local constant).
+    from amundsendatabuilder_spark.session import DEFAULT_SHUFFLE_PARTITIONS
     cand = (sigs.alias("x").join(
         sigs.alias("y"),
         (F.col("x.band") == F.col("y.band"))
         & (F.col("x.sig") == F.col("y.sig"))
         & (F.col("x.id") != F.col("y.id")))
         .select(F.col("x.id").alias("src"), F.col("y.id").alias("nbr"))
+        .repartition(int(DEFAULT_SHUFFLE_PARTITIONS), "src")
         .distinct())
     v = (emb.select(F.col(id_col).alias("_id"),
                     F.col(vec_col).cast("array<double>").alias("_v"))

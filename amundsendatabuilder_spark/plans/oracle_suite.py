@@ -12480,11 +12480,15 @@ def logreg_holdout_auc_query(spark, sf_dir):
     from amundsendatabuilder_spark.operators.dedup import lsh_verified_pairs
     from amundsendatabuilder_spark.operators.profiling import rank_auc
     (docs,) = _t(spark, sf_dir, "documents")
-    split = leakage_safe_split(docs, lsh_verified_pairs(docs, threshold=0.7))
-    train_docs = docs.join(
-        split.where(F.col("split") == "train").select("doc_id"), "doc_id")
-    held_docs = docs.join(
-        split.where(F.col("split") != "train").select("doc_id"), "doc_id")
+    # r16 (guide §2.4): the split is a map-side projection OF docs, so
+    # carrying the payload columns through it (keep=) turns each split
+    # side into a corpus FILTER — the old docs ⋈ split joins shuffled
+    # the corpus by doc_id twice to re-attach columns the projection
+    # already had. Same rows, same columns consumed downstream.
+    split = leakage_safe_split(docs, lsh_verified_pairs(docs, threshold=0.7),
+                               keep=("text", "lang"))
+    train_docs = split.where(F.col("split") == "train")
+    held_docs = split.where(F.col("split") != "train")
     w = logreg_train(train_docs, iters=4, lr=0.5)
     scored = logreg_score(held_docs, w)
     lab = (scored.join(held_docs.select("doc_id", "lang"), "doc_id")

@@ -309,6 +309,21 @@ CHANGED_THIS_ROUND: "list[str]" = [
     "mutual_nn_dedup",
     "mutual_nn_dedup_capped",
     "mutual_nn_recall_report",
+    # Wave 2 — mutual_nn candidate exchange pinned wide + keyed by src
+    # (AQE byte-coalescing serialized the cosine scoring chain onto one
+    # core; the src key makes the distinct AND the top-1 agg reuse the
+    # one exchange) — covered by the mutual_nn entries above; logreg GD
+    # loop: label fused onto the persisted doc_id-partitioned feature
+    # table (per-round y recompute + feats re-shuffle removed);
+    # logreg_holdout_auc additionally derives its split sides as
+    # corpus filters via leakage_safe_split(keep=...) instead of two
+    # corpus-x-corpus joins
+    "logreg_quality_train",
+    "logreg_quality_score",
+    "logreg_holdout_auc",
+    "logreg_weight_explain",
+    "uncertainty_sampling",
+    "score_calibration",
 ]
 
 

@@ -94,7 +94,8 @@ def t(name: str, n: int = 5, sf_dir: str = SF_DIR):
 
 def plans(tag: str, *names: str) -> None:
     import os
-    out_dir = "/root/repo/plans/r15"
+    out_dir = os.path.join("/root/repo/plans",
+                           os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16"))
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = Q[name](spark, SF_DIR)
