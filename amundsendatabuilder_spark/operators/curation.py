@@ -932,34 +932,25 @@ def logreg_train(docs: DataFrame, iters: int = 4, lr: float = 0.5,
     require_register_width(declared,
                            "logreg weight register (bucket space)")
     y_expr = (F.col("lang") == "en") if label is None else label
-    y = docs.select(F.col(id_col).alias("doc_id"),
-                    y_expr.cast("int").alias("y"))
-    # r16 (guide §2.4 — remove per-round shuffles outright): the label
-    # is fused ONTO the feature rows and the fused table is materialized
-    # HASH-PARTITIONED BY doc_id with the partitioning visible to the
-    # planner (persist, not localCheckpoint: an InMemoryRelation keeps
-    # its child's outputPartitioning, while a localCheckpoint scan
-    # reports UnknownPartitioning under AQE — see similarity.
-    # _register_ckpt). Previously EVERY GD round (a) re-executed the
-    # docs->y projection and shuffled it into m (per-round corpus scan +
-    # join exchange), and (b) re-shuffled the checkpointed feats by
-    # doc_id for the gradient join. Now the margin aggregation
-    # (groupBy doc_id), the residual, and the gradient join all reuse
-    # the ONE pinned exchange paid at materialization: per round the
-    # only shuffle left is the register-sized bucket-gradient exchange.
-    # The explicit width pin matters twice: y is small enough to
-    # BROADCAST-join at build time (which would leave the fused table in
-    # scan partitioning, not doc_id), and an AQE-coalesced exchange
-    # would not co-partition with the per-round aggregates. Width =
-    # session shuffle width (conf/env-derived, never a local constant);
-    # label values ride y asc through the same exact int cast as before.
-    from amundsendatabuilder_spark.session import DEFAULT_SHUFFLE_PARTITIONS
+    # r16 MEASURED REJECTIONS (the simhash-revert discipline; 6
+    # interleaved fresh-JVM A/B rounds, flagship anchor matched): two
+    # restructurings of this loop were built, measured WORSE at sf0.1,
+    # and reverted. (1) Label fused onto the feature rows (the margin
+    # agg carrying max(y) instead of the per-round m ⋈ y join): the
+    # extra build-side join + wider checkpoint rows cost 0.3-0.5 s
+    # while the per-round y joins it removed were already
+    # AQE-coalesced-tiny; at 100 TB it is a wash (4 bytes x token-count
+    # per doc of extra checkpoint vs 4 thin scans saved). (2) The full
+    # co-partitioning shape (fused table persist()ed hash-partitioned
+    # by doc_id so margin agg + gradient join plan exchange-free), at
+    # BOTH pinned shuffle width and a docs-count-derived width: the
+    # build repartition + cache write cost more than every removed
+    # exchange. The r15 loop shape below stands.
     feats = (featurizer(docs) if featurizer is not None
              else feature_hashing(docs, id_col, text_col,
-                                  hex_chars=hex_chars))
-    featsy = (feats.join(y, "doc_id")
-              .repartition(int(DEFAULT_SHUFFLE_PARTITIONS), "doc_id")
-              .persist())
+                                  hex_chars=hex_chars)).localCheckpoint()
+    y = docs.select(F.col(id_col).alias("doc_id"),
+                    y_expr.cast("int").alias("y"))
     # r15: materialize the 1-row corpus count ONCE — it is broadcast
     # into every GD round's update, and an unmaterialized agg re-counts
     # the corpus per round (iters extra corpus scans for one long)
@@ -978,7 +969,7 @@ def logreg_train(docs: DataFrame, iters: int = 4, lr: float = 0.5,
     # it (and each round's update below) as ONE partition instead of a
     # full shuffle-width task wave per round (the _power_iterate
     # discipline)
-    w = (featsy.select("bucket").distinct()
+    w = (feats.select("bucket").distinct()
          .select("bucket", guard_register_domain(
              F.lit(0).cast("long"),
              F.row_number().over(Window.orderBy("bucket")),
@@ -986,21 +977,16 @@ def logreg_train(docs: DataFrame, iters: int = 4, lr: float = 0.5,
              limit=declared).alias("w_e9"))
          .coalesce(1).localCheckpoint())
     for _ in range(int(iters)):
-        # the margin agg carries the per-doc label along (y is constant
-        # per doc_id, so max(y) IS the label) — the old per-round
-        # m ⋈ y join and its docs re-scan disappear; arithmetic and row
-        # membership are unchanged (y covered every doc, so the old
-        # inner join never dropped an m row)
-        m = (featsy.join(F.broadcast(w), "bucket")
+        m = (feats.join(F.broadcast(w), "bucket")
              .groupBy("doc_id")
              .agg(F.sum(F.col("w_e9") * F.col("val")).cast("long")
-                  .alias("m_e9"),
-                  F.max("y").alias("y")))
+                  .alias("m_e9")))
         p = round_half_away(
             F.lit(1.0) / (F.lit(1.0)
                           + F.exp(-F.col("m_e9").cast("double") / 1e9)), 9)
-        r = m.select("doc_id", (p - F.col("y").cast("double"))
-                     .alias("resid"))
+        r = (m.join(y, "doc_id")
+             .select("doc_id", (p - F.col("y").cast("double"))
+                     .alias("resid")))
         # 2^53 scoping (the mixture_reweight lesson): resid is on the
         # 1e-9 grid with |resid| <= 1, so resid*val*1e9 is exact while
         # the PER-DOC signed bucket count |val| < ~9000 (a document
@@ -1010,7 +996,7 @@ def logreg_train(docs: DataFrame, iters: int = 4, lr: float = 0.5,
         # double, exact while |g_e9| < 2^53 (~9e6 docs x avg |val| per
         # bucket) — past that scale, tilt through DECIMAL(38,0) like
         # mixture_reweight
-        g = (featsy.join(r, "doc_id")
+        g = (feats.join(r, "doc_id")
              .groupBy("bucket")
              .agg(F.sum(round_half_away(
                  F.col("resid") * F.col("val").cast("double") * 1e9, 0)
@@ -1021,9 +1007,6 @@ def logreg_train(docs: DataFrame, iters: int = 4, lr: float = 0.5,
                  * lr / F.col("n").cast("double"), 0).cast("long"))
                  .cast("long").alias("w_e9"))
              .coalesce(1).localCheckpoint())
-    # the final w is checkpoint-materialized, so the fused feature cache
-    # is no longer needed by anything downstream
-    featsy.unpersist()
     return w.select(
         "bucket",
         round_half_away(F.col("w_e9").cast("double") / 1e9, 6)

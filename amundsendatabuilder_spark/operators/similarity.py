@@ -246,8 +246,10 @@ def assign_centroids(corpus: DataFrame, centroids: DataFrame,
     centroid set into a one-row struct-array register, broadcast it, and
     compute the argmax-cosine (or argmin-L2 with ``metric='l2'``) centroid
     as a PURE PROJECTION (``array_min`` over a ``transform``), ties broken
-    by centroid id. Exactly one pass over the corpus and ZERO shuffles —
-    the previous rank-window shape re-exchanged the corpus (with the full
+    by centroid id. Exactly one pass over the corpus with NO data-sized
+    exchange (the centroid register's collect_list agg is a tiny exchange
+    of k rows, and ensure_parallelism may repartition the scan) — the
+    previous rank-window shape re-exchanged the corpus (with the full
     vector payload under ``keep_vec``) to sort corpus × k scored rows; at
     100 TB that exchange was the entire cost of a Lloyd iteration. Scores
     round to 6dp BEFORE the argmin so the assignment itself is

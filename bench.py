@@ -312,18 +312,15 @@ CHANGED_THIS_ROUND: "list[str]" = [
     # Wave 2 — mutual_nn candidate exchange pinned wide + keyed by src
     # (AQE byte-coalescing serialized the cosine scoring chain onto one
     # core; the src key makes the distinct AND the top-1 agg reuse the
-    # one exchange) — covered by the mutual_nn entries above; logreg GD
-    # loop: label fused onto the persisted doc_id-partitioned feature
-    # table (per-round y recompute + feats re-shuffle removed);
-    # logreg_holdout_auc additionally derives its split sides as
-    # corpus filters via leakage_safe_split(keep=...) instead of two
-    # corpus-x-corpus joins
-    "logreg_quality_train",
-    "logreg_quality_score",
+    # one exchange) — covered by the mutual_nn entries above.
+    # logreg_holdout_auc derives its split sides as corpus filters via
+    # leakage_safe_split(keep=...) instead of two corpus-x-corpus
+    # joins. Two logreg_train loop restructurings (label fuse;
+    # persist co-partitioning) were built, measured WORSE in 6
+    # interleaved fresh-JVM A/B rounds, and reverted — the r15 loop
+    # body stands byte-identical, so the other logreg entries' plans
+    # end the round unchanged and are not listed.
     "logreg_holdout_auc",
-    "logreg_weight_explain",
-    "uncertainty_sampling",
-    "score_calibration",
 ]
 
 
@@ -417,33 +414,47 @@ def main() -> None:
     # calibrate AFTER warmup, BEFORE the timed queries — and AGAIN after
     # the last query: the r12 adjudication measured the box drifting
     # +-40% WITHIN a session, so one probe per run under-states drift;
-    # start/end pairs bound it
+    # start/end pairs bound it. r16 (VERDICT r15 item #7): a THIRD probe
+    # fires mid-headline (after the 13th headline query) so a storm
+    # INSIDE the headline window — which the r15 brackets missed — is
+    # detectable from the record; it is reported only, never folded into
+    # the value_calib_adjusted mean (the bracket-mean formula is pinned
+    # cross-round).
     calib = calibration_probe(spark)
     print(f"# calibration_probe: {calib}s", file=sys.stderr)
 
+    calib_mid = 0.0
     extended = _extended_to_run()
-    for name in HEADLINE + extended:
+    for i, name in enumerate(HEADLINE + extended):
         timings[name] = bench(name)
+        if i == 12:  # after the 13th headline query
+            calib_mid = calibration_probe(spark)
+            print(f"# calibration_probe_mid: {calib_mid}s", file=sys.stderr)
 
     calib_end = calibration_probe(spark)
     print(f"# calibration_probe_end: {calib_end}s", file=sys.stderr)
 
     mode = os.environ.get("SPARK_GRAFT_BENCH_EXTENDED", "changed")
     for line in summary_lines(timings, sf_dir, n_runs, calib, calib_end,
-                              extended_mode=mode):
+                              extended_mode=mode, calib_mid=calib_mid):
         print(line)
 
 
 def summary_lines(timings: "dict[str, float]", sf_dir: str,
                   n_runs: int, calib: float = 0.0,
                   calib_end: float = 0.0,
-                  extended_mode: str = "all") -> "list[str]":
+                  extended_mode: str = "all",
+                  calib_mid: float = 0.0) -> "list[str]":
     """The machine-readable stdout contract, pinned by
-    tests/test_bench_format.py: per-query detail first, compact headline
-    LAST. The driver reads the tail of stdout, and round 6 proved the
-    detail dict (68+ entries) can outgrow that window and truncate the
-    headline mid-line — so the final line must be the short summary with
-    metric/value/unit/sf, parseable on its own.
+    tests/test_bench_format.py: per-query detail first, then one
+    ``headline_query_seconds`` line PER headline query (r16, VERDICT r15
+    item #1: PERF_r15 ended with an empty per_query map because the
+    comparator could not extract rows from the detail dict — a one-line
+    record per query is extractable by any tail parser), compact
+    headline LAST. The driver reads the tail of stdout, and round 6
+    proved the detail dict (68+ entries) can outgrow that window and
+    truncate the headline mid-line — so the final line must be the short
+    summary with metric/value/unit/sf, parseable on its own.
 
     ``value_calib_adjusted`` (r12 verdict item #4) = value *
     (CALIB_REF / calib_mean) where calib_mean averages the START and END
@@ -451,7 +462,8 @@ def summary_lines(timings: "dict[str, float]", sf_dir: str,
     within-run probe drift, so a single start reading can carry a
     transient into the "mechanical" cross-round number; the bracket mean
     is the robust estimator the run already pays for). Compare ADJUSTED
-    across rounds, RAW within one."""
+    across rounds, RAW within one. ``calib_seconds_mid`` (r16) is the
+    mid-headline probe — detectability only, never in the mean."""
     total = round(sum(timings[q] for q in HEADLINE), 3)
     calib_readings = [c for c in (calib, calib_end) if c > 0]
     calib_mean = (sum(calib_readings) / len(calib_readings)
@@ -465,6 +477,15 @@ def summary_lines(timings: "dict[str, float]", sf_dir: str,
             "queries": timings,
             "sf": sf_val,
         }),
+    ] + [
+        json.dumps({
+            "metric": "headline_query_seconds",
+            "query": q,
+            "sec": timings[q],
+            "sf": sf_val,
+        })
+        for q in HEADLINE if q in timings
+    ] + [
         json.dumps({
             "metric": "headline_suite_seconds",
             "value": total,
@@ -480,6 +501,7 @@ def summary_lines(timings: "dict[str, float]", sf_dir: str,
             "n_extended": len(ext_run),
             "extended_mode": extended_mode,
             "calib_seconds": calib,
+            "calib_seconds_mid": calib_mid,
             "calib_seconds_end": calib_end,
             "sf": sf_val,
         }),

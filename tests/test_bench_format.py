@@ -18,7 +18,9 @@ def _fake_timings():
 
 def test_headline_is_last_line_and_parses_standalone():
     lines = bench.summary_lines(_fake_timings(), "/root/testdata/sf0.1", 3)
-    assert len(lines) == 2
+    # r16: detail line + one headline_query_seconds line per headline
+    # query + the compact headline summary LAST
+    assert len(lines) == 2 + len(bench.HEADLINE)
     head = json.loads(lines[-1])  # the driver's tail-of-stdout read
     assert head["metric"] == "headline_suite_seconds"
     assert isinstance(head["value"], (int, float))
@@ -37,6 +39,25 @@ def test_headline_is_last_line_and_parses_standalone():
     # per-query dict (that is the first line's job)
     assert "queries" not in head
     assert len(lines[-1]) < 600
+    # r16 (VERDICT r15 item #1): every headline query gets a standalone
+    # one-line record a tail parser can extract without parsing the
+    # detail dict; each is short, self-describing, and precedes the
+    # headline summary
+    per_query = [json.loads(ln) for ln in lines[1:-1]]
+    assert [p["query"] for p in per_query] == bench.HEADLINE
+    for p in per_query:
+        assert p["metric"] == "headline_query_seconds"
+        assert isinstance(p["sec"], (int, float))
+        assert p["sf"] == 0.1
+    # r16 (VERDICT r15 item #7): the mid-headline calibration probe is
+    # carried in the record (detectability of mid-run storms), and it
+    # must NOT change the pinned bracket-mean adjustment
+    assert "calib_seconds_mid" in head
+    adj_with_mid = json.loads(bench.summary_lines(
+        _fake_timings(), "/root/testdata/sf0.1", 3, calib=1.018,
+        calib_end=0.509, calib_mid=99.0)[-1])
+    assert abs(adj_with_mid["value_calib_adjusted"]
+               - adj_with_mid["value"] * bench.CALIB_REF / 0.7635) < 5e-4
 
 
 def test_calib_adjusted_value_formula():
