@@ -766,11 +766,22 @@ def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
         sigs = (sigs.withColumn("_sz", F.count("*").over(w_b))
                 .where(F.col("_sz") <= max_bucket_size)
                 .drop("_sz"))
+    # r16 (guide §2.5, the mutual_nn_pairs lesson): candidate id pairs
+    # are 16 bytes/row but every survivor pays an exact-cosine fold —
+    # AQE's byte-based coalescing collapsed this exchange to 1-3
+    # partitions and serialized the verify (measured: 5.0 s of
+    # dedup_embedding_cosine_bucketed's 6.2 s in one 3-task job). The
+    # pinned width (explicit N => AQE leaves it) keyed by id_a is
+    # reused by BOTH the distinct and the id_a-side verify join, so no
+    # exchange is added at any scale. Width = conf/env session shuffle
+    # width, never a local constant.
+    from amundsendatabuilder_spark.session import DEFAULT_SHUFFLE_PARTITIONS
     cands = (sigs.alias("x").join(
         sigs.alias("y"),
         (F.col("x.band") == F.col("y.band")) & (F.col("x.sig") == F.col("y.sig"))
         & (F.col("x.id") < F.col("y.id")))
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .repartition(int(DEFAULT_SHUFFLE_PARTITIONS), "id_a")
         .distinct())
     return (cands.join(a, "id_a").join(b, "id_b")
             .withColumn("cos", cos)
@@ -1034,11 +1045,27 @@ def jaccard_prefix_join(docs: DataFrame, threshold_num: int = 3,
                       F.col("sz").alias("sza"))
     b = prefix.select(F.col(id_col).alias("doc_b"), "tok",
                       F.col("sz").alias("szb"))
+    # r16 (guide §2.5, the mutual_nn_pairs lesson): candidate rows are
+    # ~24 bytes but each survivor pays an array_intersect over two full
+    # token arrays downstream — AQE's byte-based coalescing (64 MB
+    # advisory, parallelismFirst=false since r15) collapsed this
+    # exchange to 1-2 partitions and serialized the verify of 965k
+    # candidates onto one core. Interleaved warm A/B at sf0.1: quiet
+    # box 5.9/6.8 s -> 5.5/5.7 s (~10%), but the REAL exposure is
+    # contention fragility — under a concurrent full-gate load the
+    # 1-task verify read 46 s (3 consistent runs) where the wide shape
+    # shares the box gracefully. Pinned width (explicit N => AQE leaves
+    # it) keyed by doc_a: the (doc_a, doc_b, ...) distinct AND the
+    # doc_a-side verify join both reuse this one exchange, so nothing
+    # is added at cluster scale. Width = conf/env session shuffle width.
+    from amundsendatabuilder_spark.session import DEFAULT_SHUFFLE_PARTITIONS
     cands = (a.join(b, "tok")
              .where((F.col("doc_a") < F.col("doc_b"))
                     & (F.col("szb") * td >= F.col("sza") * tn)
                     & (F.col("szb") * tn <= F.col("sza") * td))
-             .select("doc_a", "doc_b", "sza", "szb").distinct())
+             .select("doc_a", "doc_b", "sza", "szb")
+             .repartition(int(DEFAULT_SHUFFLE_PARTITIONS), "doc_a")
+             .distinct())
     # Verify with array_intersect over each doc's (already-distinct)
     # token set instead of re-exploding candidate x token rows through a
     # (doc_b, tok) shuffle join: the pair list carries two token arrays

@@ -313,7 +313,22 @@ def triangle_counts(edges: DataFrame,
     o = lab.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"))
-    o = o.localCheckpoint()
+    # r16 (guide §2.5, the mutual_nn_pairs lesson): the oriented edges
+    # are 16 bytes/row, so AQE byte-coalescing materialized this
+    # checkpoint as 1-4 partitions — and the wedge join + closing
+    # semi-join that stream over it (broadcast at small scale) ran the
+    # whole candidate-wedge probe on one core (measured: 8.4 s of
+    # triangle_cooccurrence's 13.9 s in ONE single-task job). Pin the
+    # checkpoint wide. Keyed by BOTH endpoints, not the wedge key b
+    # alone: forward-orientation still leaves hot b nodes (in-degree is
+    # not bounded by the min-deg trick), and a b-keyed first cut
+    # measured the widened wedge stage skewed onto a few tasks
+    # (3.6 s/32 tasks vs 1.3 s spread). The (a, b) key spreads wedge
+    # work evenly; at cluster scale the wedge join re-exchanges these
+    # 16-byte rows by its own keys regardless, so the even spread costs
+    # nothing extra. Width = conf/env session shuffle width.
+    o = (o.repartition(int(DEFAULT_SHUFFLE_PARTITIONS), "a", "b")
+         .localCheckpoint())
     w = (o.alias("e1")
          .join(o.alias("e2"), F.col("e1.b") == F.col("e2.a"))
          .select(F.col("e1.a").alias("a"), F.col("e1.b").alias("b"),

@@ -321,6 +321,22 @@ CHANGED_THIS_ROUND: "list[str]" = [
     # body stands byte-identical, so the other logreg entries' plans
     # end the round unchanged and are not listed.
     "logreg_holdout_auc",
+    # Wave 4 — jaccard_prefix_join verify exchange pinned wide + keyed
+    # by doc_a (same AQE byte-coalescing disease as mutual_nn: 965k
+    # array_intersect verifications serialized onto 1-2 tasks; ~10%
+    # quiet win and removes a 7x contention cliff)
+    "jaccard_prefix_join",
+    "jaccard_prefix_join_capped",
+    "jaccard_prefix_join_frac_capped",
+    # Wave 5 — same disease, same fix: embedding_near_duplicates
+    # candidate exchange pinned wide + keyed by id_a (6.2 -> 2.0 s);
+    # triangle_counts' oriented-edge checkpoint pinned wide keyed by
+    # (a, b) — the b-only first cut left the wedge stage skewed
+    # (12.5 -> 7.3 s). dedup_embedding_cosine / _exhaustive_recall /
+    # _clusters also changed but are not bench entries.
+    "triangle_cooccurrence",
+    "dedup_embedding_cosine_bucketed",
+    "dedup_embedding_bucketed_capped",
 ]
 
 
